@@ -1,0 +1,36 @@
+"""empdia_iceberg_spark — a brand-new PySpark-native analytics engine.
+
+Reproduces, Spark-first, the query/data-processing capabilities of the
+reference repo MorningKay/EmpDia-Iceberg (see SURVEY.md) and extends them
+into a general data-lake engine: relational OLAP, streaming windows,
+stateful conversation processing, LLM-data-pipeline operators (dedup,
+similarity search, text analysis, multimodal plumbing), and
+Iceberg-style table management (parquet-snapshot fallback — no
+iceberg-spark-runtime jar ships in this environment).
+
+Importing this package populates the query registry
+(``empdia_iceberg_spark.registry``) used by ``__spark_entry__.py``.
+"""
+
+from empdia_iceberg_spark import registry  # noqa: F401
+from empdia_iceberg_spark.session import get_spark  # noqa: F401
+
+# Import operator modules for their @register side effects.
+from empdia_iceberg_spark.operators import relational  # noqa: F401
+from empdia_iceberg_spark.operators import windows  # noqa: F401
+from empdia_iceberg_spark.operators import dedup  # noqa: F401
+from empdia_iceberg_spark.operators import similarity  # noqa: F401
+from empdia_iceberg_spark.operators import textstats  # noqa: F401
+from empdia_iceberg_spark.operators import asof  # noqa: F401
+from empdia_iceberg_spark.operators import multimodal  # noqa: F401
+from empdia_iceberg_spark.functions import reward  # noqa: F401
+from empdia_iceberg_spark.functions import termination  # noqa: F401
+from empdia_iceberg_spark.functions import messages  # noqa: F401
+from empdia_iceberg_spark.plans import prep  # noqa: F401
+from empdia_iceberg_spark.plans import grpo  # noqa: F401
+from empdia_iceberg_spark.streaming import windows as stream_windows  # noqa: F401
+from empdia_iceberg_spark.streaming import conversation  # noqa: F401
+from empdia_iceberg_spark.tables import manager  # noqa: F401
+
+__all__ = ["registry", "get_spark"]
+__version__ = "0.1.0"

@@ -1,0 +1,569 @@
+"""Relational core operators (SURVEY.md §2.B: scans, projection/filter,
+joins incl. semi/anti/broadcast, aggregation incl. rollup/distinct,
+sort/limit/top-k, set ops, scalar functions, subqueries).
+
+Every query is registered with a DuckDB oracle (driver gate) unless its
+semantics are engine-specific (e.g. ``approx_count_distinct`` sketches
+differ between engines → rows-only).
+
+Scale notes (100 TB posture):
+- fact-side scans carry their filters (Catalyst pushes them into the
+  parquet reader — verified via ``.explain``: PushedFilters);
+- region/nation are fixed-cardinality dims → explicit ``broadcast``;
+- customer/orders/lineitem joins are equi-joins on their keys, so AQE
+  picks SMJ/shuffled-hash with skew splitting at scale, broadcast at
+  test scale; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+# Shared cutoffs (data spans 1995-01..2001-11, see FIXTURES.md).
+_Q1_CUTOFF = "1998-09-02"
+_Q3_DATE = "1998-01-01"
+
+
+@register(
+    "q1_pricing_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                            AS sum_qty,
+           round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+           round(avg(l_quantity), 4)                                            AS avg_qty,
+           round(avg(l_extendedprice), 4)                                       AS avg_price,
+           round(avg(l_discount), 4)                                            AS avg_disc,
+           count(*)                                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-Q1-style pricing summary: scan→filter→groupBy→7 aggs→sort.",
+)
+def q1_pricing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_join3_topk",
+    oracle=f"""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+      AND l_shipdate  > TIMESTAMP '{_Q3_DATE}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H-Q3-style: 3-way join → group → top-10 by revenue (deterministic tiebreak).",
+)
+def q3_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H-Q5-style 6-way join with local-supplier condition; nation/region broadcast.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    ORDER BY c_custkey
+    """,
+    doc="Left-semi join (EXISTS): customers having at least one order > 100k.",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big_orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_join_inactive_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "set_ops_segments",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         rich     AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM building UNION SELECT c_custkey FROM rich)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+    ORDER BY op, c_custkey
+    """,
+    doc="Set operations: union distinct, intersect, except on customer key sets.",
+)
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    tagged = (
+        building.union(rich).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionByName(
+            building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey")
+        )
+        .unionByName(
+            building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey")
+        )
+    )
+    return tagged.orderBy("op", "c_custkey")
+
+
+@register(
+    "rollup_pricing",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2)     AS sum_qty,
+           count(*)                      AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    doc="Hierarchical ROLLUP aggregate (grouping-sets family); NULL levels coalesced to 'ALL'.",
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "cube_order_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*)                         AS n_orders,
+           round(sum(o_totalprice), 2)      AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY orderstatus, orderpriority
+    """,
+    doc="CUBE aggregate over order status × priority.",
+)
+def cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Multi distinct-aggregate per group (exact).",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "approx_distinct_counts",
+    oracle=None,  # HLL sketches differ across engines → rows-only check.
+    doc="approx_count_distinct (HyperLogLog++) per group; rows-only (sketch-dependent).",
+)
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "topk_orders_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="Global top-k: sort + limit with deterministic tiebreak (TakeOrderedAndProject).",
+)
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "scalar_string_fns",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                                   AS name_upper,
+           substr(c_name, 1, 9)                            AS name_prefix,
+           concat(c_name, '#', c_mktsegment)               AS name_seg,
+           regexp_extract(c_name, '([0-9]+)', 1)           AS name_digits,
+           length(c_name)                                  AS name_len,
+           starts_with(lower(c_mktsegment), 'b')           AS seg_b,
+           replace(lower(c_mktsegment), 'i', '_')          AS seg_repl
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="String scalar functions: case, substring, concat, regexp, length, predicate, replace.",
+)
+def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.concat_ws("#", "c_name", "c_mktsegment").alias("name_seg"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.length("c_name").alias("name_len"),
+        F.startswith(F.lower("c_mktsegment"), F.lit("b")).alias("seg_b"),
+        F.replace(F.lower("c_mktsegment"), F.lit("i"), F.lit("_")).alias("seg_repl"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "date_fns_orders",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                   AS order_year,
+           month(o_orderdate)                                  AS order_month,
+           quarter(o_orderdate)                                AS order_quarter,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)  AS days_since_epoch_95
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="Date/time scalar functions: year/month/quarter, date_trunc, datediff.",
+)
+def date_fns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_95"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           count(*)                                   AS n_events,
+           sum(CAST(props->>'$.k' AS BIGINT))         AS sum_k,
+           round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="JSON extraction on the events.props column + aggregate (R201-family scalar fns).",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice, 2) AS totalprice,
+           round(cust_avg, 2)     AS cust_avg
+    FROM w
+    WHERE o_totalprice > cust_avg
+    ORDER BY o_orderkey
+    """,
+    doc="Correlated-subquery semantics (orders above their customer's average) via window.",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("cust_avg", 2).alias("cust_avg"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*)              AS n_events,
+           round(sum(value), 2)  AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY hour, event_type
+    """,
+    doc="Time-bucketed rollup: hourly event counts and value sums (BASELINE headline query).",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS open_total,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS done_total,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS part_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Pivot (wide conditional aggregation) of order totals by status.",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def total_for(status: str):
+        return F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))),
+                F.lit(0.0),
+            ),
+            2,
+        )
+
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            total_for("O").alias("open_total"),
+            total_for("F").alias("done_total"),
+            total_for("P").alias("part_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "null_safe_join_acctbal",
+    oracle="""
+    SELECT c.c_custkey, s.s_suppkey
+    FROM customer c
+    JOIN supplier s
+      ON c.c_nationkey IS NOT DISTINCT FROM s.s_nationkey
+    ORDER BY c.c_custkey, s.s_suppkey
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM) customer↔supplier by nation.",
+)
+def null_safe_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        cust.join(supp, cust.c_nationkey.eqNullSafe(supp.s_nationkey))
+        .select("c_custkey", "s_suppkey")
+        .orderBy("c_custkey", "s_suppkey")
+    )

@@ -1,0 +1,217 @@
+"""Window-function operators (SURVEY.md §2.B windows row): ranking,
+analytic lag/lead, running aggregates with row frames, trailing-k
+windows (the same machinery the reference's termination predicates
+R30-R32 use), ntile, first/last.
+
+All window orderings carry a unique tiebreak column so results are
+deterministic and hash-comparable against the DuckDB oracle.
+
+Scale note: every window here partitions by a high-cardinality key
+(custkey/user_id) — at 100 TB the shuffle is one exchange per query,
+and AQE coalesces the post-shuffle partitions. No global (unpartitioned)
+windows are used anywhere in the engine's hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+
+@register(
+    "window_rank_topk_per_customer",
+    oracle="""
+    WITH w AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               rank()       OVER (PARTITION BY o_custkey ORDER BY round(o_totalprice, 2) DESC)   AS rnk,
+               dense_rank() OVER (PARTITION BY o_custkey ORDER BY round(o_totalprice, 2) DESC)   AS drnk
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn, rnk, drnk
+    FROM w WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    doc="Per-group top-k via row_number/rank/dense_rank (BASELINE window_rank headline).",
+)
+def window_rank_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w_unique = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w_price = W.partitionBy("o_custkey").orderBy(F.round("o_totalprice", 2).desc())
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w_unique).alias("rn"),
+            F.rank().over(w_price).alias("rnk"),
+            F.dense_rank().over(w_price).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "window_lag_lead_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           round(lag(o_totalprice)  OVER w, 2) AS prev_total,
+           round(lead(o_totalprice) OVER w, 2) AS next_total,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Analytic lag/lead over per-customer order history (R38 lag-feature machinery).",
+)
+def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lag_total = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.round(lag_total, 2).alias("prev_total"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_total"),
+        F.round(F.col("o_totalprice") - F.coalesce(lag_total, F.col("o_totalprice")), 2).alias(
+            "delta"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_running_max_events",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value, 2) AS value,
+           round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_max,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="Running max/sum per user (reference R27 deepest-layer running max, Spark-general).",
+)
+def window_running_max_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.round(F.max("value").over(w), 2).alias("running_max"),
+        F.round(F.sum("value").over(w), 2).alias("running_sum"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "window_trailing_frame_events",
+    oracle="""
+    SELECT user_id, event_id,
+           count(*)            OVER w AS trailing_n,
+           round(avg(value) OVER w, 4) AS trailing_avg,
+           round(min(value) OVER w, 2) AS trailing_min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="Trailing-6 row frame per user — the exact frame shape of termination predicate R31.",
+)
+def window_trailing_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-5, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.round(F.avg("value").over(w), 4).alias("trailing_avg"),
+        F.round(F.min("value").over(w), 2).alias("trailing_min"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="ntile(4) bucketing by order value (deterministic via orderkey tiebreak).",
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "window_first_last_order",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           count(*)                OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+    """,
+    doc="first_value/last_value over an unbounded frame: each customer's first & last order.",
+)
+def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.count(F.lit(1)).over(w).alias("n_orders"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "window_range_frame_value",
+    oracle="""
+    SELECT user_id, event_id, round(value, 2) AS value,
+           count(*) OVER (PARTITION BY user_id ORDER BY value
+                          RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS peers_within_10
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="RANGE frame with a numeric bound: events within value-distance 10, per user.",
+)
+def window_range_frame_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("value").rangeBetween(-10, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.count(F.lit(1)).over(w).alias("peers_within_10"),
+    ).orderBy("user_id", "event_id")

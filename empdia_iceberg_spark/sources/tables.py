@@ -1,0 +1,63 @@
+"""Table loaders for the driver-generated parquet star schema.
+
+All scans go through ``load`` so predicate pushdown / column pruning are
+preserved (plain ``spark.read.parquet`` — Catalyst handles pruning).
+``SMALL_DIMS`` marks tables that stay broadcast-size at any scale factor
+(region/nation are fixed-cardinality in TPC-H) — join helpers broadcast
+them explicitly so the plan never shuffles the fact side on their
+account.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Fixed-cardinality dimensions: always broadcastable, even at 100 TB.
+SMALL_DIMS = frozenset({"region", "nation"})
+
+
+def path_for(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(path_for(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's native
+    reader. Read it as raw int64 nanos (legacy conf, runtime-settable so
+    it also works under the driver's own session) and convert to a real
+    timestamp column (micros precision; the data is second-resolution)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path_for(sf_dir, "events"))
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL API)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
