@@ -20,6 +20,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from empdia_iceberg_spark.functions.exact import (
+    det_round,
+    exact_avg2,
+    exact_sum2,
+    exact_sum8,
+    sql_avg2,
+    sql_det_round,
+    sql_sum2,
+    sql_sum8,
+)
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
 
@@ -32,14 +42,14 @@ _Q3_DATE = "1998-01-01"
     "q1_pricing_agg",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                            AS sum_qty,
-           round(sum(l_extendedprice), 2)                                       AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
-           round(avg(l_quantity), 4)                                            AS avg_qty,
-           round(avg(l_extendedprice), 4)                                       AS avg_price,
-           round(avg(l_discount), 4)                                            AS avg_disc,
-           count(*)                                                             AS count_order
+           round({sql_sum2('l_quantity')}, 2)                                        AS sum_qty,
+           round({sql_sum2('l_extendedprice')}, 2)                                   AS sum_base_price,
+           {sql_det_round(sql_sum8('l_extendedprice * (1 - l_discount)'), 2)}                AS sum_disc_price,
+           {sql_det_round(sql_sum8('l_extendedprice * (1 - l_discount) * (1 + l_tax)'), 2)}  AS sum_charge,
+           {sql_det_round(sql_avg2('l_quantity'), 4)}                                        AS avg_qty,
+           {sql_det_round(sql_avg2('l_extendedprice'), 4)}                                   AS avg_price,
+           {sql_det_round(sql_avg2('l_discount'), 4)}                                        AS avg_disc,
+           count(*)                                                                  AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
     GROUP BY l_returnflag, l_linestatus
@@ -54,13 +64,13 @@ def q1_pricing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(exact_sum2("l_quantity"), 2).alias("sum_qty"),
+            F.round(exact_sum2("l_extendedprice"), 2).alias("sum_base_price"),
+            det_round(exact_sum8(disc_price), 2).alias("sum_disc_price"),
+            det_round(exact_sum8(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            det_round(exact_avg2("l_quantity"), 4).alias("avg_qty"),
+            det_round(exact_avg2("l_extendedprice"), 4).alias("avg_price"),
+            det_round(exact_avg2("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -71,7 +81,7 @@ def q1_pricing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_join3_topk",
     oracle=f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {sql_det_round(sql_sum8('l_extendedprice * (1 - l_discount)'), 2)} AS revenue,
            strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
            o_orderpriority
     FROM customer
@@ -99,9 +109,9 @@ def q3_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            det_round(
+                exact_sum8(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -116,9 +126,9 @@ def q3_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_region_revenue",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {sql_det_round(sql_sum8('l_extendedprice * (1 - l_discount)'), 2)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -153,9 +163,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            det_round(
+                exact_sum8(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -235,10 +245,10 @@ def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_pricing",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_quantity), 2)     AS sum_qty,
+           round({sql_sum2('l_quantity')}, 2)     AS sum_qty,
            count(*)                      AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -251,7 +261,7 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(exact_sum2("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .select(
@@ -266,11 +276,11 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cube_order_priority",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
            coalesce(o_orderpriority, 'ALL') AS orderpriority,
            count(*)                         AS n_orders,
-           round(sum(o_totalprice), 2)      AS total
+           round({sql_sum2('o_totalprice')}, 2)      AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY orderstatus, orderpriority
@@ -283,7 +293,7 @@ def cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(exact_sum2("o_totalprice"), 2).alias("total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
@@ -423,9 +433,9 @@ def date_fns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_events",
     oracle="""
     SELECT event_type,
-           count(*)                                   AS n_events,
-           sum(CAST(props->>'$.k' AS BIGINT))         AS sum_k,
-           round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k
+           count(*)                                          AS n_events,
+           sum(CAST(props->>'$.k' AS BIGINT))                AS sum_k,
+           floor(CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -440,7 +450,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(k).alias("sum_k"),
-            F.round(F.avg(k), 4).alias("avg_k"),
+            det_round(F.sum(k).cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
         )
         .orderBy("event_type")
     )
@@ -448,15 +458,19 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_above_customer_avg",
-    oracle="""
+    oracle=f"""
     WITH w AS (
         SELECT o_orderkey, o_custkey, o_totalprice,
-               avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+               -- decimal sum => exact & order-independent across engines;
+               -- the double division then matches Spark bit-for-bit
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER win AS DOUBLE)
+                 / count(*) OVER win AS cust_avg
         FROM orders
+        WINDOW win AS (PARTITION BY o_custkey)
     )
     SELECT o_orderkey, o_custkey,
            round(o_totalprice, 2) AS totalprice,
-           round(cust_avg, 2)     AS cust_avg
+           {sql_det_round('cust_avg', 2)}     AS cust_avg
     FROM w
     WHERE o_totalprice > cust_avg
     ORDER BY o_orderkey
@@ -468,14 +482,18 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
     return (
-        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        orders.withColumn("cust_avg", cust_avg)
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
         .select(
             "o_orderkey",
             "o_custkey",
             F.round("o_totalprice", 2).alias("totalprice"),
-            F.round("cust_avg", 2).alias("cust_avg"),
+            det_round(F.col("cust_avg"), 2).alias("cust_avg"),
         )
         .orderBy("o_orderkey")
     )
@@ -483,11 +501,11 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hourly_rollup",
-    oracle="""
+    oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type,
            count(*)              AS n_events,
-           round(sum(value), 2)  AS sum_value
+           round({sql_sum2('value')}, 2)  AS sum_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     ORDER BY hour, event_type
@@ -500,7 +518,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(exact_sum2("value"), 2).alias("sum_value"),
         )
         .select(
             F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -516,9 +534,9 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
-           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS open_total,
-           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS done_total,
-           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS part_total
+           round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 0), 2) AS open_total,
+           round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0), 2) AS done_total,
+           round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 0), 2) AS part_total
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -531,7 +549,11 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     def total_for(status: str):
         return F.round(
             F.coalesce(
-                F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))),
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == status, F.col("o_totalprice")
+                    ).cast("decimal(18,2)")
+                ).cast("double"),
                 F.lit(0.0),
             ),
             2,

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from empdia_iceberg_spark.functions.exact import det_round
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
 
@@ -93,8 +94,8 @@ def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(value, 2) AS value,
            round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_max,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_sum
     FROM events
     ORDER BY user_id, event_id
     """,
@@ -112,7 +113,9 @@ def window_running_max_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round("value", 2).alias("value"),
         F.round(F.max("value").over(w), 2).alias("running_max"),
-        F.round(F.sum("value").over(w), 2).alias("running_sum"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("running_sum"),
     ).orderBy("user_id", "event_id")
 
 
@@ -121,7 +124,8 @@ def window_running_max_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            count(*)            OVER w AS trailing_n,
-           round(avg(value) OVER w, 4) AS trailing_avg,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(*) OVER w * 10000.0 + 0.5) / 10000.0 AS trailing_avg,
            round(min(value) OVER w, 2) AS trailing_min
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
@@ -136,7 +140,11 @@ def window_trailing_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.count(F.lit(1)).over(w).alias("trailing_n"),
-        F.round(F.avg("value").over(w), 4).alias("trailing_avg"),
+        det_round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("trailing_avg"),
         F.round(F.min("value").over(w), 2).alias("trailing_min"),
     ).orderBy("user_id", "event_id")
 
