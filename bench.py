@@ -1,0 +1,68 @@
+"""Benchmark runner (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>}
+
+Methodology (BASELINE.md): Spark session startup excluded; each query
+warmed once (plan compilation, file listing) then timed on the second
+run; time includes full materialization (count + collect of the
+result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_agg",
+    "q3_join3_topk",
+    "q5_region_revenue",
+    "window_rank_topk_per_customer",
+    "events_hourly_rollup",
+    "reward_trajectory",
+    "termination_flags",
+    "doc_exact_dedup",
+    "knn_cosine_top5",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from empdia_iceberg_spark import registry
+    from empdia_iceberg_spark.session import get_spark
+    import empdia_iceberg_spark  # noqa: F401
+
+    spark = get_spark(app_name="empdia-bench")
+    qs = registry.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        fn = qs[name]
+        fn(spark, sf_dir).count()  # warm-up: plan + IO caches
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline-queries total wall time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
