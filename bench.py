@@ -45,8 +45,10 @@ def main() -> None:
     qs = registry.queries()
 
     timings: dict[str, float] = {}
+    skipped: list[str] = []
     for name in HEADLINE:
         if name not in qs:
+            skipped.append(name)  # explicit: missing coverage, not omitted silently
             continue
         fn = qs[name]
         fn(spark, sf_dir).count()  # warm-up: plan + IO caches
@@ -59,6 +61,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "skipped": skipped,
         "sf": sf,
     }
     print(json.dumps(out))

@@ -237,7 +237,9 @@ def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey")
         )
         .unionByName(
-            building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey")
+            # subtract == SQL EXCEPT (set semantics); exceptAll().distinct()
+            # would wrongly keep values whose count(left) > count(right).
+            building.subtract(rich).select(F.lit("except").alias("op"), "c_custkey")
         )
     )
     return tagged.orderBy("op", "c_custkey")
@@ -434,7 +436,7 @@ def date_fns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*)                                          AS n_events,
-           sum(CAST(props->>'$.k' AS BIGINT))                AS sum_k,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            floor(CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_k
     FROM events
     GROUP BY event_type

@@ -30,7 +30,7 @@ from empdia_iceberg_spark.sources.tables import load
 
 SYSTEM_PROMPT = "empathetic-listener-system-prompt"
 DATA_SOURCE = "EmpDia_Iceberg"
-ABILITY = "empathy"
+ABILITY = "empathy_dialogue"  # reference utils/data_preprocess.py:53
 
 DIALOGUE_SCHEMA = T.StructType(
     [
@@ -151,9 +151,12 @@ def prepare_corpus(corpus: DataFrame) -> DataFrame:
     # R7: Python str.strip() strips ALL whitespace; SQL trim() only strips
     # spaces — use a regexp strip to match the reference exactly.
     strip_ws = lambda s: F.regexp_replace(s, r"^\s+|\s+$", "")  # noqa: E731
+    # Reference (utils/data_preprocess.py:34-35) appends the stripped text
+    # whenever a speaker turn EXISTS — even if empty after strip. Only
+    # rounds with no speaker-role turn are skipped (first_speaker → NULL).
     script = F.filter(
         F.transform(sorted_rounds, lambda r: strip_ws(first_speaker(r).text)),
-        lambda s: s.isNotNull() & (F.length(s) > 0),
+        lambda s: s.isNotNull(),
     )
     out = (
         F.when(F.col("dialogue").isNull(), F.array().cast("array<string>"))
@@ -213,12 +216,12 @@ _CORPUS_SQL_ROWS = """
                  list_transform(
                    list_sort(dialogue),
                    r -> regexp_replace(list_filter(r.turns, t -> starts_with(lower(t.role), 'speaker'))[1].text, '^\\s+|\\s+$', '', 'g')),
-                 s -> s IS NOT NULL AND length(s) > 0) AS user_script
+                 s -> s IS NOT NULL) AS user_script
         FROM raw
     )
     SELECT dia_id,
            'EmpDia_Iceberg'                AS data_source,
-           'empathy'                       AS ability,
+           'empathy_dialogue'              AS ability,
            coalesce(rounds, len(user_script)) AS rounds,
            len(user_script)                AS script_len,
            user_script[1]                  AS first_user,
@@ -248,18 +251,46 @@ def dialogue_prep_verl_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dia_id")
 
 
-def positional_split(df: DataFrame, order_col: str, train_frac: float = 0.7):
+def positional_split(
+    df: DataFrame, order_col: str, train_frac: float = 0.7, buckets: int = 64
+):
     """R3: ordered positional split — NOT randomSplit; `int(n*frac)` rows
-    (by position in `order_col` order) go to train, the rest to test."""
+    (by position in `order_col` order) go to train, the rest to test.
+
+    Scale-safe global numbering (no single-reducer world sort): bucket the
+    order column by approx-quantile boundaries, count per bucket (tiny
+    driver collect: one row per bucket), turn counts into cumulative
+    offsets, then ``row_number`` WITHIN each bucket — all buckets number
+    in parallel and the offset map (broadcast literal) makes the result a
+    global position. Assumes `order_col` is numeric and effectively
+    unique (ties make the global order, and hence the split, arbitrary —
+    same as the reference's list order).
+    """
     from pyspark.sql import Window as W
 
-    n = df.count()
+    bounds = sorted(set(df.approxQuantile(order_col, [i / buckets for i in range(1, buckets)], 0.001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
+    bdf = df.withColumn("_bkt", bucket)
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in bdf.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(counts.values())
     cut = int(n * train_frac)
-    w = W.orderBy(order_col)
-    tagged = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "split", F.when(F.col("_rn") <= cut, "train").otherwise("test")
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(*[F.lit(x) for b, o in offsets.items() for x in (b, o)])
+    w = W.partitionBy("_bkt").orderBy(order_col)
+    tagged = (
+        bdf.withColumn("_rn", F.row_number().over(w) + off_map[F.col("_bkt")])
+        .withColumn("split", F.when(F.col("_rn") <= cut, "train").otherwise("test"))
+        .drop("_rn", "_bkt")
     )
-    return tagged.drop("_rn"), cut
+    return tagged, cut
 
 
 @register(

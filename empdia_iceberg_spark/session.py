@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parallelism floor: at small scale factors the default 128 MB
+        # maxPartitionBytes yields ~3 input splits, idling 29/32 cores
+        # (BENCH_r01 showed 3-task stages). Force at least one split per
+        # core; at cluster scale files are large enough that
+        # maxPartitionBytes governs and this floor is a no-op.
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # Don't let AQE coalesce tiny-SF shuffles below the core count.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
