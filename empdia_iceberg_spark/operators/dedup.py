@@ -1,1 +1,366 @@
-"""Placeholder — filled in a later slice this round."""
+"""Document deduplication operators (driver north star; SURVEY.md §2.B
+"LLM-pipeline" rows).
+
+The reference repo has no dedup (it is an RL-training repo — SURVEY §0);
+these operators are the engine-surface extension the driver contract
+demands for large-scale training-data pipelines, designed Spark-first:
+
+- **exact dedup** — ``sha2(text, 256)`` group-by. One shuffle on the
+  content hash; at 100 TB the hash distributes uniformly so there is no
+  skew, and map-side partial aggregation collapses most groups before
+  the exchange.
+- **near-dedup, exact n-gram Jaccard** — the classic inverted-index
+  join: explode word-3-gram shingles, self-join on the shingle, count
+  common shingles per pair, `J = |∩| / (|A|+|B|-|∩|)`. Shuffles on the
+  shingle key (not the doc pair), which is the scalable layout; a
+  high-document-frequency shingle is the only skew source and AQE's
+  skew-join splitting handles it (a df-threshold shingle filter is the
+  standard lossy optimization — not applied here because the oracle
+  is exact).
+- **near-dedup, MinHash + LSH banding** — 128 minhashes (xxhash64 with
+  seed = hash index), 32 bands × 4 rows; candidate pairs = docs sharing
+  a band bucket; candidates are then verified with the exact Jaccard,
+  so false positives are eliminated and the miss probability at the
+  0.8 threshold is (1-0.8^4)^32 ≈ 5e-8 — the output is checked against
+  the *exact* oracle. Scales as O(docs × bands) shuffle rows instead of
+  O(pairs): the 100 TB path.
+- **SimHash** — 64-bit signature from token hashes; candidate
+  generation by 4×16-bit chunk blocking (pigeonhole: hamming ≤ 3 ⇒ at
+  least one chunk identical ⇒ zero false negatives), verification by
+  ``bit_count(xor)``. Deterministic but xxhash64-based, so rows-only
+  (DuckDB has no xxhash64); the hamming bound is property-tested.
+
+Embedding-cosine near-dup lives in ``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.exact import det_round, sql_det_round
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+# ---------------------------------------------------------------- shingling
+
+SHINGLE_WORDS = 3  # word-3-gram shingles
+JACCARD_THRESHOLD = 0.8
+MINHASH_N = 128
+LSH_BANDS = 32
+LSH_ROWS = MINHASH_N // LSH_BANDS  # 4
+
+
+def word_shingles(text: Column, k: int = SHINGLE_WORDS) -> Column:
+    """Distinct word-k-gram shingles of a text column (empty array when
+    the text has fewer than k tokens)."""
+    toks = F.split(text, r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array().cast("array<string>")))
+
+
+# DuckDB mirror of word_shingles (t = string_split_regex(text, '\s+')).
+_SQL_SHINGLES = r"""
+    list_distinct(
+      list_transform(
+        range(1, greatest(len(t) - 2, 0) + 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+"""
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+
+
+# The exact-Jaccard pair SQL (shared oracle for the exact query AND the
+# LSH query — the LSH output must agree with the exact answer).
+_JACCARD_PAIRS_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks
+    ),
+    ex AS (
+        SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+    ),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           {sql_det_round('CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)', 6)} AS jaccard
+    FROM p
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+@register(
+    "doc_exact_dedup",
+    oracle="""
+    SELECT sha256(text)   AS text_hash,
+           count(*)       AS n_dups,
+           min(doc_id)    AS keep_id
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    ORDER BY text_hash
+    """,
+    doc="Exact dedup groups: sha256(text) group-by, duplicate groups only, "
+    "keep-min-id survivor (BASELINE.md doc_exact_dedup shape).",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash-shuffle; uniform key distribution ⇒ no skew at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("text_hash")
+    )
+
+
+@register(
+    "doc_dedup_survivors",
+    oracle="""
+    WITH kept AS (
+        SELECT arg_min(lang, doc_id) AS lang,
+               min(doc_id)           AS keep_id
+        FROM documents
+        GROUP BY sha256(text)
+    )
+    SELECT lang, count(*) AS n_docs, min(keep_id) AS min_keep_id, max(keep_id) AS max_keep_id
+    FROM kept
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Exact-dedup survivor selection (min doc_id per content hash), "
+    "summarized per lang so the output stays small at any scale.",
+)
+def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.groupBy(F.sha2(F.col("text"), 256).alias("text_hash")).agg(
+        F.min_by("lang", "doc_id").alias("lang"), F.min("doc_id").alias("keep_id")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("keep_id").alias("min_keep_id"),
+            F.max("keep_id").alias("max_keep_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ------------------------------------------------- exact n-gram Jaccard pairs
+
+
+def _verify_pairs(cand: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Join candidate (doc_a, doc_b) pairs back to their shingle sets and
+    compute the exact Jaccard (same operation order as the oracle SQL so
+    the doubles match bit-for-bit)."""
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("bigint").alias("n_common"),
+            det_round(jac, 6).alias("jaccard"),
+            jac.alias("_jac_raw"),
+        )
+        .filter(F.col("_jac_raw") >= JACCARD_THRESHOLD)
+        .drop("_jac_raw")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "doc_ngram_jaccard_pairs",
+    oracle=_JACCARD_PAIRS_SQL,
+    doc="Exact near-dup pairs: word-3-gram Jaccard >= 0.8 via inverted-index "
+    "self-join on the shingle key (the scalable exact layout).",
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled_docs(spark, sf_dir)
+    ex = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            det_round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ----------------------------------------------------------- MinHash + LSH
+
+
+def _seeded_hash(i: int):
+    # NB: must be a ONE-argument callable — F.transform passes the array
+    # index as a second argument when the lambda accepts two, which would
+    # silently shadow the seed.
+    def f(s: Column) -> Column:
+        return F.xxhash64(F.lit(i), s)
+
+    return f
+
+
+def minhash_signature(sh: Column, n_hashes: int = MINHASH_N) -> list[Column]:
+    """n deterministic minhashes of a shingle array: min over shingles of
+    xxhash64(seed_i, shingle). Empty shingle set → NULL minhash (such
+    docs can never be near-dup candidates)."""
+    return [
+        F.array_min(F.transform(sh, _seeded_hash(i))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def lsh_candidates(shingled: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs that share at least one LSH band
+    bucket. Shuffle volume is O(docs × bands), never O(pairs)."""
+    sig = shingled.select("doc_id", *minhash_signature(F.col("sh")))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b), *[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@register(
+    "doc_minhash_near_dup",
+    oracle=_JACCARD_PAIRS_SQL,
+    doc="MinHash(128) + LSH(32 bands × 4) near-dup with exact-Jaccard "
+    "verification of candidates. Checked against the EXACT all-pairs "
+    "oracle: miss probability at J=0.8 is (1-0.8^4)^32 ≈ 5e-8, so the "
+    "verified-candidate output equals the exact answer. The 100 TB path: "
+    "O(docs × bands) shuffle rows instead of O(pairs).",
+)
+def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled_docs(spark, sf_dir)
+    return _verify_pairs(lsh_candidates(sh), sh)
+
+
+# ---------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # 4 × 16-bit blocking chunks
+SIMHASH_MAX_HAMMING = SIMHASH_CHUNKS - 1  # pigeonhole: ≤3 ⇒ one chunk equal
+
+
+def simhash(spark_df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc from whitespace tokens: bit b of the
+    signature is the sign of Σ_tokens (2·bit_b(xxhash64(token)) − 1).
+    Computed via explode + 64 conditional sums (one shuffle on doc_id,
+    partial-aggregated map-side)."""
+    toks = spark_df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s_{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+@register(
+    "doc_simhash_near_dup",
+    oracle=None,  # xxhash64 is not expressible in DuckDB — rows-only;
+    # the hamming bound + blocking completeness are property-tested.
+    doc="SimHash(64) near-dup: 4×16-bit chunk blocking (zero false "
+    "negatives for hamming ≤ 3 by pigeonhole), bit_count(xor) verify.",
+)
+def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sig = simhash(docs)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "val")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "val")
+    cand = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )

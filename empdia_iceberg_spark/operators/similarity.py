@@ -1,1 +1,300 @@
-"""Placeholder — filled in a later slice this round."""
+"""Embedding similarity search (driver north star; SURVEY.md §2.B
+"LLM-pipeline" rows). The reference repo has no vector search; this is
+the engine-surface extension for training-data pipelines.
+
+Architecture (100 TB posture):
+
+- **brute-force top-k** (`knn_cosine_top5`) — the classic
+  broadcast-index scan: the query side streams through ``mapInPandas``
+  (Arrow batches → numpy, BLAS matmul, per-row top-k); the index side
+  is loaded ONCE per executor process from parquet (lazy module-level
+  singleton — same pattern as the reference's lazy classifier init,
+  empathy_interaction.py:101-113) and L2-normalized in memory. No
+  driver-side collect; no O(n²) crossJoin through the row pipeline.
+  Scales to an arbitrarily large query side; the index side must fit
+  executor memory (64-dim float64 × 100M rows ≈ 51 GB — beyond that,
+  shard the index by IVF cell, which is `knn_cosine_lsh`'s layout).
+- **bucketed LSH ANN** (`knn_cosine_lsh`) — random-hyperplane signs
+  (deterministic seed) give each vector a bucket key; candidates are
+  generated per bucket with multi-probe (all 1-bit-flip neighbor
+  buckets), then verified exactly. Pure DataFrame ops: the shuffle is
+  on the bucket key, never on pairs. Approximate ⇒ rows-only oracle.
+- **cosine near-dup pairs** (`emb_cosine_near_dup`) — same scan with a
+  threshold instead of top-k; DuckDB oracle via
+  ``list_cosine_similarity`` on DOUBLE[] (float64 both sides; diffs
+  are order-of-summation only, ~1e-16, and the output rounds at 1e-6).
+- **per-label centroids** (`embedding_avg_by_label`) — pure relational
+  array analytics: posexplode + groupBy, decimal-exact averaging.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.exact import det_round, sql_det_round
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load, path_for
+
+TOP_K = 5
+NEAR_DUP_COS = 0.4  # synthetic 64-dim data: cos>=0.4 marks the planted tail
+_CHUNK = 256  # rows per matmul chunk: 256 × n_index × 8 B stays ≪ executor memory
+
+# Executor-process-local index cache (lazy init, one load per worker —
+# the pattern the reference uses for its classifier, cited above).
+_INDEX_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _load_index(path: str) -> tuple[np.ndarray, np.ndarray]:
+    if path not in _INDEX_CACHE:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(ids)  # id-sorted ⇒ deterministic tie-breaks
+        _INDEX_CACHE[path] = (ids[order], m[order])
+    return _INDEX_CACHE[path]
+
+
+def _topk_batches(
+    index_path: str, k: int
+) -> "callable":
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, m = _load_index(index_path)
+        for pdf in batches:
+            for lo in range(0, len(pdf), _CHUNK):
+                chunk = pdf.iloc[lo : lo + _CHUNK]
+                q = np.asarray(chunk["embedding"].to_list(), dtype=np.float64)
+                q /= np.linalg.norm(q, axis=1, keepdims=True)
+                sims = q @ m.T  # (chunk, n_index) float64 BLAS
+                qids = chunk["vec_id"].to_numpy()
+                out_q, out_n, out_c, out_r = [], [], [], []
+                for row in range(len(chunk)):
+                    s = sims[row]
+                    # top k+1 then drop self; lexsort = cos desc, id asc
+                    cand = np.argpartition(s, -(k + 1))[-(k + 1) :]
+                    cand = cand[np.lexsort((ids[cand], -s[cand]))]
+                    cand = cand[ids[cand] != qids[row]][:k]
+                    out_q.extend([qids[row]] * len(cand))
+                    out_n.extend(ids[cand])
+                    out_c.extend(s[cand])
+                    out_r.extend(range(1, len(cand) + 1))
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.asarray(out_q, dtype=np.int64),
+                        "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                        "cos_sim": np.asarray(out_c, dtype=np.float64),
+                        "rank": np.asarray(out_r, dtype=np.int32),
+                    }
+                )
+
+    return compute
+
+
+@register(
+    "knn_cosine_top5",
+    oracle=f"""
+    WITH p AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, c,
+               row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+        FROM p
+    )
+    SELECT query_id, neighbor_id,
+           {sql_det_round('c', 6)} AS cos_sim,
+           CAST(rank AS INT)       AS rank
+    FROM r
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    LIMIT 100
+    """,
+    doc="Brute-force cosine top-5 per vector (BASELINE.md knn_cosine_top5): "
+    "broadcast-index mapInPandas scan, float64 BLAS matmul, deterministic "
+    "(cos DESC, id ASC) tie-break; first 100 rows by (query_id, rank).",
+)
+def knn_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = emb.mapInPandas(
+        _topk_batches(path_for(sf_dir, "embeddings"), TOP_K),
+        schema="query_id long, neighbor_id long, cos_sim double, rank int",
+    )
+    return (
+        out.select("query_id", "neighbor_id", det_round(F.col("cos_sim"), 6).alias("cos_sim"), "rank")
+        .orderBy("query_id", "rank")
+        .limit(100)
+    )
+
+
+def _threshold_batches(index_path: str, threshold: float) -> "callable":
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, m = _load_index(index_path)
+        for pdf in batches:
+            for lo in range(0, len(pdf), _CHUNK):
+                chunk = pdf.iloc[lo : lo + _CHUNK]
+                q = np.asarray(chunk["embedding"].to_list(), dtype=np.float64)
+                q /= np.linalg.norm(q, axis=1, keepdims=True)
+                sims = q @ m.T
+                qids = chunk["vec_id"].to_numpy()
+                rows, cols = np.nonzero(sims >= threshold)
+                keep = qids[rows] < ids[cols]  # dedupe: emit each pair once
+                yield pd.DataFrame(
+                    {
+                        "vec_a": qids[rows[keep]].astype(np.int64),
+                        "vec_b": ids[cols[keep]].astype(np.int64),
+                        "cos_sim": sims[rows[keep], cols[keep]].astype(np.float64),
+                    }
+                )
+
+    return compute
+
+
+@register(
+    "emb_cosine_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_det_round('list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])', 6)} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEAR_DUP_COS}
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-duplicate pairs (cos >= 0.4) — same "
+    "broadcast-index scan as knn, threshold semantics.",
+)
+def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = emb.mapInPandas(
+        _threshold_batches(path_for(sf_dir, "embeddings"), NEAR_DUP_COS),
+        schema="vec_a long, vec_b long, cos_sim double",
+    )
+    return out.select(
+        "vec_a", "vec_b", det_round(F.col("cos_sim"), 6).alias("cos_sim")
+    ).orderBy("vec_a", "vec_b")
+
+
+# ----------------------------------------------------------- LSH (scale path)
+
+LSH_PLANES = 12  # 4096 buckets
+_LSH_SEED = 42
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    return np.random.default_rng(_LSH_SEED).standard_normal((LSH_PLANES, dim))
+
+
+def _lsh_bucket_udf():
+    # built lazily: pandas_udf needs an active session to parse its type
+    def bucket(embedding: pd.Series) -> pd.Series:
+        m = np.asarray(embedding.to_list(), dtype=np.float64)
+        planes = _hyperplanes(m.shape[1])
+        bits = (m @ planes.T) > 0  # (n, planes)
+        return pd.Series((bits @ (1 << np.arange(LSH_PLANES))).astype(np.int32))
+
+    return F.pandas_udf(bucket, "int")
+
+
+@register(
+    "knn_cosine_lsh",
+    oracle=None,  # approximate by construction — rows-only; recall vs the
+    # exact top-k is asserted in tests.
+    doc="Bucketed ANN top-5: random-hyperplane LSH (12 planes, seed 42) "
+    "with 1-bit multi-probe; per-bucket exact verify via a bucket-keyed "
+    "self-join + window. The 100 TB layout: shuffle on bucket keys, "
+    "O(bucket²) work only within buckets.",
+)
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _lsh_bucket_udf()("embedding").alias("bucket")
+    )
+    # multi-probe: each vector also visits every 1-bit-flip neighbor bucket
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << b)).cast("int")
+            for b in range(LSH_PLANES)
+        ],
+    )
+    probed = emb.select(
+        "vec_id", "embedding", F.explode(probes).alias("bucket")
+    )
+    a = probed.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (norm(F.col("emb_a")) * norm(F.col("emb_b")))).alias("cos_sim"),
+        )
+        .distinct()  # same pair can meet in several probe buckets
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", det_round(F.col("cos_sim"), 6).alias("cos_sim"), "rank")
+        .orderBy("query_id", "rank")
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------- relational analytics
+
+
+@register(
+    "embedding_avg_by_label",
+    oracle=f"""
+    SELECT label,
+           CAST(i - 1 AS INT) AS pos,
+           {sql_det_round('CAST(sum(CAST(embedding[i] AS DECIMAL(20,10))) AS DOUBLE) / count(*)', 6)} AS avg_val,
+           count(*) AS n_vecs
+    FROM embeddings
+    CROSS JOIN range(1, 9) AS r(i)
+    GROUP BY label, i
+    ORDER BY label, pos
+    """,
+    doc="Per-label centroid of the first 8 embedding dimensions: "
+    "posexplode + groupBy with decimal-exact averaging (array analytics "
+    "as plain relational ops; one shuffle on (label, pos)).",
+)
+def embedding_avg_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val")
+    )
+    avg_val = F.sum(F.col("val").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(det_round(avg_val, 6).alias("avg_val"), F.count(F.lit(1)).alias("n_vecs"))
+        .select("label", F.col("pos").cast("int").alias("pos"), "avg_val", "n_vecs")
+        .orderBy("label", "pos")
+    )

@@ -1,1 +1,286 @@
-"""Placeholder — filled in a later slice this round."""
+"""Text-analysis operators over the `documents` table (driver north
+star; SURVEY.md §2.B "LLM-pipeline" rows). The reference repo's only
+text processing is trim/strip (utils/data_preprocess.py:34-35); these
+are the engine-surface extensions a training-data pipeline needs.
+
+Everything here is pure built-in column expressions — no UDFs, fully
+whole-stage-codegen'd, one shuffle per group-by at most. Token counting
+uses (a) whitespace split and (b) a BPE-ish regex ([letters]+ |
+[digits]+ | single punctuation), both expressible in DuckDB for exact
+oracles. The language-ID heuristic is stopword-hit voting with a fixed
+precedence tie-break — honest about being a heuristic (the synthetic
+corpus shares one vocabulary across langs, so it mostly votes 'en' /
+'und'); the operator's value is the deterministic, oracle-checkable
+shape of a real lang-id pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.exact import det_round, sql_det_round
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the heuristic vote.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "es": ["el", "la", "de", "y", "que", "en", "los"],
+    "fr": ["le", "la", "de", "et", "que", "les", "des"],
+    "de": ["der", "die", "das", "und", "zu", "den", "ist"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和"],
+}
+_LANG_ORDER = ["en", "es", "fr", "de", "zh"]  # deterministic tie precedence
+
+
+def ws_tokens(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+_SQL_TOK_SUM = r"CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE) / count(*)"
+
+
+@register(
+    "doc_text_stats",
+    oracle=rf"""
+    SELECT lang, source,
+           count(*)                                   AS n_docs,
+           CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
+           {sql_det_round(_SQL_TOK_SUM, 4)} AS avg_tokens,
+           {sql_det_round('CAST(sum(n_chars) AS DOUBLE) / count(*)', 4)} AS avg_chars,
+           CAST(max(n_chars) AS BIGINT)               AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="Corpus length statistics by (lang, source): doc counts, "
+    "whitespace-token totals/averages, char-length stats.",
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(ws_tokens(F.col("text")))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).cast("bigint").alias("total_tokens"),
+            det_round(F.sum(n_tok).cast("double") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+            det_round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "doc_token_counts",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT)                                  AS n_chars,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT)     AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    doc="Per-document token counting: whitespace tokens and a BPE-ish "
+    "regex tokenizer (letter-runs | digit-runs | single punctuation).",
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+_STOP_EN_SQL = "', '".join(LANG_STOPWORDS["en"])
+
+
+@register(
+    "doc_quality_filter",
+    oracle=rf"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(text, '\s+')) AS n_tok,
+               CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> list_contains(['{_STOP_EN_SQL}'], t))) AS DOUBLE)
+                 / len(string_split_regex(text, '\s+')) AS stop_ratio
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang, n_tok, punct_ratio, stop_ratio,
+               0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - punct_ratio)
+             + 0.3 * least(stop_ratio * 10.0, 1.0) AS score
+        FROM s
+    )
+    SELECT doc_id, lang,
+           CAST(n_tok AS BIGINT)            AS n_tok,
+           {sql_det_round('punct_ratio', 6)} AS punct_ratio,
+           {sql_det_round('stop_ratio', 6)}  AS stop_ratio,
+           {sql_det_round('score', 6)}       AS quality_score
+    FROM q
+    WHERE score >= 0.55
+    ORDER BY doc_id
+    """,
+    doc="Heuristic quality scoring (length / punctuation ratio / stopword "
+    "ratio → weighted score) + threshold filter — the standard cheap "
+    "quality gate of a pretraining data pipeline, as pure column math.",
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(ws_tokens(F.col("text")))
+    punct_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+    ).cast("double") / F.length("text")
+    stop_ratio = (
+        F.size(
+            F.filter(
+                ws_tokens(F.lower(F.col("text"))),
+                lambda t: t.isin(*LANG_STOPWORDS["en"]),
+            )
+        ).cast("double")
+        / n_tok
+    )
+    score = (
+        0.4 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.3 * F.least(stop_ratio * 10.0, F.lit(1.0))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tok.cast("bigint").alias("n_tok"),
+            det_round(punct_ratio, 6).alias("punct_ratio"),
+            det_round(stop_ratio, 6).alias("stop_ratio"),
+            det_round(score, 6).alias("quality_score"),
+            score.alias("_score_raw"),
+        )
+        .filter(F.col("_score_raw") >= 0.55)
+        .drop("_score_raw")
+        .orderBy("doc_id")
+    )
+
+
+def _lang_hits(tokens: Column, lang: str) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*LANG_STOPWORDS[lang])))
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = "', '".join(LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"t -> list_contains(['{words}'], t)))"
+    )
+
+
+@register(
+    "doc_lang_id_confusion",
+    oracle=f"""
+    WITH hits AS (
+        SELECT lang,
+               {_sql_lang_hits('en')} AS h_en,
+               {_sql_lang_hits('es')} AS h_es,
+               {_sql_lang_hits('fr')} AS h_fr,
+               {_sql_lang_hits('de')} AS h_de,
+               {_sql_lang_hits('zh')} AS h_zh
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE
+                 WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 AND h_zh = 0 THEN 'und'
+                 WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_zh THEN 'en'
+                 WHEN h_es >= h_fr AND h_es >= h_de AND h_es >= h_zh THEN 'es'
+                 WHEN h_fr >= h_de AND h_fr >= h_zh THEN 'fr'
+                 WHEN h_de >= h_zh THEN 'de'
+                 ELSE 'zh'
+               END AS pred_lang
+        FROM hits
+    )
+    SELECT lang, pred_lang, count(*) AS n_docs
+    FROM pred
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """,
+    doc="Stopword-vote language-ID heuristic with fixed precedence "
+    "tie-break, reported as a (true lang × predicted lang) confusion "
+    "matrix. Honest caveat: the synthetic corpus shares one vocabulary "
+    "across langs, so the vote is dominated by 'en'/'und' — the operator "
+    "demonstrates the deterministic lang-id shape, not model quality.",
+)
+def doc_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    hits = docs.select(
+        "lang", *[_lang_hits(toks, lg).alias(f"h_{lg}") for lg in _LANG_ORDER]
+    )
+    h = {lg: F.col(f"h_{lg}") for lg in _LANG_ORDER}
+    pred = (
+        F.when(sum(h.values(), F.lit(0)) == 0, F.lit("und"))
+        .when((h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]) & (h["en"] >= h["zh"]), "en")
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]) & (h["es"] >= h["zh"]), "es")
+        .when((h["fr"] >= h["de"]) & (h["fr"] >= h["zh"]), "fr")
+        .when(h["de"] >= h["zh"], "de")
+        .otherwise("zh")
+    )
+    return (
+        hits.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+FP_GRAM = 16  # char-16-gram rolling fingerprint
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(text) >= {FP_GRAM}
+                THEN list_min(list_transform(range(1, length(text) - {FP_GRAM} + 2),
+                                             i -> md5(substr(text, i, {FP_GRAM}))))
+                ELSE md5(text) END AS fingerprint,
+           CAST(greatest(length(text) - {FP_GRAM} + 1, 1) AS BIGINT) AS n_grams
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    doc="Rolling-hash document fingerprint (winnowing-lite): minimum md5 "
+    "over all char-16-gram windows — a content-defined signature robust "
+    "to local edits, computed as pure array expressions.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    # substring() with a column start position needs the SQL form.
+    grams = F.expr(
+        f"transform(sequence(1, length(text) - {FP_GRAM - 1}), i -> md5(substring(text, i, {FP_GRAM})))"
+    )
+    fp = F.when(F.length(text) >= FP_GRAM, F.array_min(grams)).otherwise(F.md5(text))
+    return (
+        docs.select(
+            "doc_id",
+            fp.alias("fingerprint"),
+            F.greatest(F.length(text) - (FP_GRAM - 1), F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )

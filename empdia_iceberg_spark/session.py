@@ -52,6 +52,10 @@ def get_spark(
         # maxPartitionBytes governs and this floor is a no-op.
         .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         .config("spark.sql.files.minPartitionNum", str(cpus))
+        # openCostInBytes floors the split size at 4 MB by default, which
+        # defeats minPartitionNum on ~10 MB files; lower it so small-SF
+        # scans really do fan out to all cores.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         # Don't let AQE coalesce tiny-SF shuffles below the core count.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
     )

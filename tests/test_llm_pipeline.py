@@ -1,0 +1,148 @@
+"""Unit/property tests for the LLM-data-pipeline slice (dedup,
+similarity, textstats, multimodal) beyond the registry-wide oracle
+parity in test_parity.py."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.operators import dedup, multimodal, similarity, textstats
+from tests.conftest import SF_DIR
+
+
+def test_minhash_lsh_equals_exact(spark):
+    """Verified LSH candidates must reproduce the exact Jaccard answer
+    (miss probability at the 0.8 threshold is ~5e-8 with 32×4 bands)."""
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in dedup.doc_ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in dedup.doc_minhash_near_dup(spark, SF_DIR).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    assert lsh == exact
+
+
+def test_simhash_blocking_has_no_false_negatives(spark):
+    """Pigeonhole: hamming ≤ 3 over 4 chunks ⇒ the chunk-blocked
+    candidate set contains every qualifying pair. Brute-force all pairs
+    of signatures and compare."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = dedup.simhash(docs).collect()
+    ids = np.array([r.doc_id for r in sigs])
+    vals = np.array([r.simhash for r in sigs], dtype=np.int64).astype(np.uint64)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.doc_simhash_near_dup(spark, SF_DIR).collect()
+    }
+    expected = {}
+    for i in range(len(ids)):
+        x = vals[i] ^ vals[i + 1 :]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.nonzero(ham <= dedup.SIMHASH_MAX_HAMMING)[0]:
+            a, b = ids[i], ids[i + 1 + j]
+            expected[(min(a, b), max(a, b))] = int(ham[j])
+    assert got == expected
+
+
+def test_knn_matches_numpy_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in emb])
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.array([r.embedding for r in emb], dtype=np.float64)[order]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    rows = similarity.knn_cosine_top5(spark, SF_DIR).collect()
+    assert len(rows) == 100
+    by_query: dict[int, list] = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_query.items():
+        qi = int(np.searchsorted(ids, qid))
+        s = sims[qi].copy()
+        s[qi] = -np.inf  # exclude self
+        top = sorted(range(len(s)), key=lambda j: (-s[j], ids[j]))[: len(rs)]
+        assert [r.neighbor_id for r in sorted(rs, key=lambda r: r.rank)] == [
+            int(ids[j]) for j in top
+        ]
+        for r in rs:
+            ni = int(np.searchsorted(ids, r.neighbor_id))
+            assert r.cos_sim == pytest.approx(sims[qi, ni], abs=1e-6)
+
+
+def test_lsh_ann_is_structurally_sound(spark):
+    """Approximate by design: assert structure (ranks contiguous from 1,
+    cos values equal the true cosine for each returned pair) rather than
+    recall, which is legitimately low for near-orthogonal random data."""
+    rows = similarity.knn_cosine_lsh(spark, SF_DIR).collect()
+    assert rows
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()}
+    by_query: dict[int, list] = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_query.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        for r in rs:
+            a, b = emb[qid], emb[r.neighbor_id]
+            true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert r.cos_sim == pytest.approx(true_cos, abs=1e-6)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    survivors = dedup.doc_dedup_survivors(spark, SF_DIR).collect()
+    # survivor count per lang can never exceed doc count per lang
+    per_lang = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for r in survivors:
+        assert r.n_docs <= per_lang[r.lang]
+    assert sum(r.n_docs for r in survivors) <= docs.count()
+
+
+def test_fingerprint_matches_manual_md5(spark):
+    doc = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    fp_row = (
+        textstats.doc_fingerprint(spark, SF_DIR)
+        .filter(F.col("doc_id") == doc.doc_id)
+        .collect()[0]
+    )
+    k = textstats.FP_GRAM
+    grams = [doc.text[i : i + k] for i in range(len(doc.text) - k + 1)]
+    expected = min(hashlib.md5(g.encode()).hexdigest() for g in grams)
+    assert fp_row.fingerprint == expected
+    assert fp_row.n_grams == len(grams)
+
+
+def test_multimodal_features_deterministic(spark):
+    rows = multimodal.multimodal_feature_extract(spark, SF_DIR).limit(10).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    for r in rows:
+        buf = docs[r.asset_id].encode("utf-8")
+        assert r.n_bytes == len(buf)
+        expected = multimodal.fake_decode_features(np.array([buf], dtype=object))[0]
+        assert np.allclose(np.asarray(r.feature), expected)
+        assert abs(sum(r.feature) - 1.0) < 1e-9  # L1-normalized histogram
+
+
+def test_decode_media_is_a_documented_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "image")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"RIFF", "audio")
