@@ -26,6 +26,7 @@ from empdia_iceberg_spark.operators import multimodal  # noqa: F401
 from empdia_iceberg_spark.functions import reward  # noqa: F401
 from empdia_iceberg_spark.functions import termination  # noqa: F401
 from empdia_iceberg_spark.functions import messages  # noqa: F401
+from empdia_iceberg_spark.sources import sinks  # noqa: F401
 from empdia_iceberg_spark.plans import prep  # noqa: F401
 from empdia_iceberg_spark.plans import grpo  # noqa: F401
 from empdia_iceberg_spark.streaming import windows as stream_windows  # noqa: F401

@@ -1,0 +1,116 @@
+"""Write paths (SURVEY.md §2.A R4/R13, §2.B sinks row): parquet sink,
+JSON sink, and a partitioned write — each exercised end-to-end by a
+registered query that WRITES with the engine, READS the files back, and
+aggregates, with the oracle expressed over the base tables alone. That
+makes the correctness gate a differential test of the sink itself
+(data that survives a round trip must match the relational answer).
+
+Reference parity: R4 = utils/split.py:9-13 (train/test JSON writes,
+ensure_ascii=False — Spark's JSON sink is UTF-8, the same bytes);
+R13 = utils/data_preprocess.py:93-95 (Arrow → parquet).
+
+Scale posture: all three writes are executor-parallel (`df.write`);
+the partitioned write demonstrates the layout that enables partition
+pruning on read — the read-back filter prunes to one directory, which
+`.explain` shows as PartitionFilters.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.exact import exact_sum2, sql_sum2
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+SINK_ROOT = os.environ.get("SPARK_GRAFT_SINK_ROOT", "/root/repo/.sink_out")
+
+
+def _fresh(path: str) -> str:
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    return path
+
+
+@register(
+    "sink_parquet_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           round({sql_sum2('o_totalprice')}, 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="R13 parquet sink: filtered orders written with df.write.parquet, "
+    "read back, aggregated; oracle runs on the base table (round-trip "
+    "must be lossless).",
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _fresh(os.path.join(SINK_ROOT, "orders_1996.parquet"))
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")
+    )
+    orders.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "sink_json_roundtrip",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    ORDER BY r_name, n_name
+    """,
+    doc="R4 JSON sink (utils/split.py writes train/test JSON): the "
+    "region⋈nation projection written as JSON lines (UTF-8, the "
+    "ensure_ascii=False equivalent), read back with an explicit schema.",
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _fresh(os.path.join(SINK_ROOT, "region_nation.json"))
+    joined = (
+        load(spark, sf_dir, "region")
+        .join(load(spark, sf_dir, "nation"), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("r_name", "n_name")
+    )
+    joined.write.mode("overwrite").json(out)
+    back = spark.read.schema("r_name string, n_name string").json(out)
+    return back.orderBy("r_name", "n_name")
+
+
+@register(
+    "sink_partitioned_write",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round({sql_sum2('l_quantity')}, 2) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag
+    """,
+    doc="Partitioned write (partitionBy l_returnflag) + pruned read-back: "
+    "the filter on the partition column prunes to one directory "
+    "(PartitionFilters in the scan), the layout that scales.",
+)
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _fresh(os.path.join(SINK_ROOT, "lineitem_by_flag.parquet"))
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(exact_sum2("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -1,1 +1,291 @@
-"""Placeholder — filled in a later slice this round."""
+"""Snapshot-versioned table management on plain parquet — the
+documented fallback for Apache-Iceberg-style table ops (SURVEY.md §7
+slice 5): no ``iceberg-spark-runtime`` jar ships in this environment
+(verified: pyspark/jars has neither iceberg nor delta), so the engine
+provides the same *semantics* — atomic snapshots, append/overwrite,
+copy-on-write MERGE, time travel, snapshot expiry, compaction — on a
+minimal self-describing layout:
+
+    <root>/<table>/
+        _meta/v00001.json     one JSON per snapshot:
+                              {version, op, dirs[], parent, schema}
+        data/s00001/...       immutable parquet dirs, one per write
+
+Reads are ``spark.read.parquet(*dirs)`` over the dirs listed by the
+chosen snapshot — so predicate pushdown / column pruning / split
+planning all work unchanged, and time travel is just "read an older
+file list" (exactly Iceberg's model: metadata chooses files; the data
+files are immutable).
+
+Scale posture: data moves ONLY through executors (``df.write``); the
+driver touches nothing but tiny JSON metadata, like an Iceberg catalog
+commit. MERGE is copy-on-write over the whole table here; file-level
+pruning of untouched files (Iceberg's overwrite-by-filter) is a
+metadata refinement, not an architectural change.
+
+Reference parity note: the reference repo itself has no table
+management (SURVEY §0); this is driver-north-star surface ("data-lake"
+category), cited against Iceberg's public spec semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.exact import sql_sum2, exact_sum2
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+# Engine-managed table root (inside the repo; never touches /root/testdata).
+DEFAULT_ROOT = os.environ.get(
+    "SPARK_GRAFT_TABLE_ROOT", "/root/repo/.managed_tables"
+)
+
+
+class SnapshotTable:
+    """One managed table: immutable parquet data dirs + JSON snapshot log."""
+
+    def __init__(self, spark: SparkSession, name: str, root: str = DEFAULT_ROOT):
+        self.spark = spark
+        self.name = name
+        self.base = os.path.join(root, name)
+        self.meta_dir = os.path.join(self.base, "_meta")
+        self.data_dir = os.path.join(self.base, "data")
+
+    # ------------------------------------------------------------- metadata
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        return sorted(
+            int(f[1:6]) for f in os.listdir(self.meta_dir) if f.endswith(".json")
+        )
+
+    def _read_meta(self, version: int) -> dict:
+        with open(os.path.join(self.meta_dir, f"v{version:05d}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, op: str, dirs: list[str], parent: int | None, schema: str) -> int:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        version = (self._versions()[-1] + 1) if self._versions() else 1
+        meta = {
+            "version": version,
+            "op": op,
+            "dirs": dirs,
+            "parent": parent,
+            "schema": schema,
+        }
+        tmp = os.path.join(self.meta_dir, f".v{version:05d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, os.path.join(self.meta_dir, f"v{version:05d}.json"))  # atomic
+        return version
+
+    def snapshots(self) -> list[dict]:
+        return [self._read_meta(v) for v in self._versions()]
+
+    def current_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    # ------------------------------------------------------------ write ops
+
+    def _write_data(self, df: DataFrame) -> str:
+        version = (self._versions()[-1] + 1) if self._versions() else 1
+        out = os.path.join(self.data_dir, f"s{version:05d}")
+        df.write.mode("overwrite").parquet(out)
+        return out
+
+    def create(self, df: DataFrame) -> int:
+        if self._versions():
+            raise ValueError(f"table {self.name} already exists")
+        d = self._write_data(df)
+        return self._commit("create", [d], None, df.schema.json())
+
+    def append(self, df: DataFrame) -> int:
+        cur = self.current_version()
+        if cur is None:
+            return self.create(df)
+        d = self._write_data(df)
+        dirs = self._read_meta(cur)["dirs"] + [d]
+        return self._commit("append", dirs, cur, df.schema.json())
+
+    def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
+        cur = self.current_version()
+        d = self._write_data(df)
+        return self._commit(op, [d], cur, df.schema.json())
+
+    def merge(self, source: DataFrame, key: str) -> int:
+        """Copy-on-write MERGE (Iceberg MERGE INTO semantics for the
+        update+insert case): matched target rows are replaced by the
+        source row, unmatched source rows are inserted."""
+        target = self.read()
+        kept = target.join(source.select(key), on=key, how="left_anti")
+        merged = kept.unionByName(source)
+        return self.overwrite(merged, op="merge")
+
+    def delete_where(self, condition) -> int:
+        return self.overwrite(self.read().filter(~condition), op="delete")
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """Rewrite the current file set into `target_partitions` files
+        (Iceberg rewrite_data_files): same logical content, new snapshot."""
+        cur = self.read()
+        return self.overwrite(cur.coalesce(target_partitions), op="compact")
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the last `keep_last` snapshots and delete data
+        dirs no longer referenced by a surviving snapshot."""
+        vs = self._versions()
+        expired, survivors = vs[:-keep_last], vs[-keep_last:]
+        live_dirs = {d for v in survivors for d in self._read_meta(v)["dirs"]}
+        for v in expired:
+            for d in self._read_meta(v)["dirs"]:
+                if d not in live_dirs and os.path.isdir(d):
+                    shutil.rmtree(d)
+            os.remove(os.path.join(self.meta_dir, f"v{v:05d}.json"))
+        return expired
+
+    # ------------------------------------------------------------- read ops
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current snapshot, or `VERSION AS OF` time travel."""
+        cur = version if version is not None else self.current_version()
+        if cur is None or cur not in self._versions():
+            raise ValueError(f"table {self.name}: no snapshot v{version}")
+        return self.spark.read.parquet(*self._read_meta(cur)["dirs"])
+
+    def drop(self) -> None:
+        if os.path.isdir(self.base):
+            shutil.rmtree(self.base)
+
+
+# ------------------------------------------------------------------ queries
+#
+# Each registered query rebuilds its managed table from the driver's base
+# parquet (idempotent: drop + recreate), exercises the lifecycle, and
+# returns a read-back result whose oracle is expressible over the base
+# tables alone — so the write path is differentially checked end-to-end.
+
+
+@register(
+    "table_snapshot_lifecycle",
+    oracle=f"""
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderstatus = 'O'),
+         v2 AS (SELECT * FROM orders WHERE o_orderstatus IN ('O', 'F')),
+         v3 AS (SELECT * FROM orders)
+    SELECT 1 AS version, count(*) AS n_rows, round({sql_sum2('o_totalprice')}, 2) AS total_price FROM v1
+    UNION ALL
+    SELECT 2, count(*), round({sql_sum2('o_totalprice')}, 2) FROM v2
+    UNION ALL
+    SELECT 3, count(*), round({sql_sum2('o_totalprice')}, 2) FROM v3
+    ORDER BY version
+    """,
+    doc="CREATE → APPEND → APPEND on the managed snapshot table, then a "
+    "time-travel read of EVERY version (VERSION AS OF semantics); "
+    "differentially checked against filters over the base table.",
+)
+def table_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_lifecycle")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    t.append(orders.filter(F.col("o_orderstatus") == "P"))
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            t.read(version=v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(exact_sum2("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("version", "n_rows", "total_price").orderBy("version")
+
+
+@register(
+    "table_merge_upsert",
+    oracle=f"""
+    WITH source AS (
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal + 1000.0 AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEWSEG', CAST(42.42 AS DOUBLE)
+        FROM customer WHERE c_custkey % 100 = 0
+    ),
+    merged AS (
+        SELECT c.c_custkey, c.c_mktsegment, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer c LEFT JOIN source s ON c.c_custkey = s.c_custkey
+        WHERE s.c_custkey IS NULL
+        UNION ALL
+        SELECT * FROM source
+    )
+    SELECT c_mktsegment, count(*) AS n_rows, round({sql_sum2('c_acctbal')}, 2) AS sum_acctbal
+    FROM merged
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Copy-on-write MERGE INTO (update matched + insert unmatched) on "
+    "the managed table; read-back aggregate checked against the same "
+    "merge expressed relationally over the base table.",
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    t = SnapshotTable(spark, "customer_merge")
+    t.drop()
+    t.create(cust)
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_mktsegment", (F.col("c_acctbal") + 1000.0).alias("c_acctbal")
+    )
+    inserts = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(42.42).cast("double").alias("c_acctbal"),
+    )
+    t.merge(updates.unionByName(inserts), key="c_custkey")
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "table_expire_compact",
+    oracle="""
+    SELECT 3 AS version, 'compact' AS op, count(*) AS n_rows
+    FROM nation
+    """,
+    doc="Snapshot expiry + compaction: 3 snapshots built, compacted to one "
+    "file, all but the last expired; the surviving snapshot listing and "
+    "its row count are the observable output.",
+)
+def table_expire_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    t = SnapshotTable(spark, "nation_expire")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    t.compact(target_partitions=1)
+    t.expire_snapshots(keep_last=1)
+    snaps = t.snapshots()
+    rows = t.read().count()
+    return spark.createDataFrame(
+        [(s["version"], s["op"], rows) for s in snaps],
+        schema="version int, op string, n_rows bigint",
+    )

@@ -1,0 +1,84 @@
+"""Unit tests for snapshot table management (tables/manager.py) beyond
+the registered read-back queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.tables.manager import SnapshotTable
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def nation(spark):
+    return spark.read.parquet(f"{SF_DIR}/nation.parquet")
+
+
+def test_create_append_time_travel(spark, nation):
+    t = SnapshotTable(spark, "t_lifecycle_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 5))
+    t.append(nation.filter(F.col("n_nationkey") >= 5))
+    assert t.read(version=1).count() == 5
+    assert t.read().count() == nation.count()
+    assert [s["op"] for s in t.snapshots()] == ["create", "append"]
+    with pytest.raises(ValueError):
+        t.read(version=99)
+    t.drop()
+
+
+def test_merge_updates_and_inserts(spark, nation):
+    t = SnapshotTable(spark, "t_merge_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    source = spark.createDataFrame(
+        [(0, "RENAMED"), (999, "NEWLAND")], "n_nationkey int, n_name string"
+    ).select(F.col("n_nationkey").cast("long"), "n_name")
+    t.merge(source, key="n_nationkey")
+    rows = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    assert rows[0] == "RENAMED"  # matched → updated
+    assert rows[999] == "NEWLAND"  # unmatched → inserted
+    assert len(rows) == nation.count() + 1
+    t.drop()
+
+
+def test_delete_where(spark, nation):
+    t = SnapshotTable(spark, "t_delete_unit")
+    t.drop()
+    t.create(nation)
+    t.delete_where(F.col("n_regionkey") == 0)
+    remaining = t.read()
+    assert remaining.filter(F.col("n_regionkey") == 0).count() == 0
+    assert remaining.count() == nation.filter(F.col("n_regionkey") != 0).count()
+    # time travel still sees the pre-delete snapshot
+    assert t.read(version=1).count() == nation.count()
+    t.drop()
+
+
+def test_compact_preserves_content_and_expire_drops_history(spark, nation):
+    t = SnapshotTable(spark, "t_compact_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") % 2 == 0))
+    t.append(nation.filter(F.col("n_nationkey") % 2 == 1))
+    before = sorted(r.n_nationkey for r in t.read().collect())
+    t.compact(target_partitions=1)
+    after = sorted(r.n_nationkey for r in t.read().collect())
+    assert before == after
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    assert [s["version"] for s in t.snapshots()] == [3]
+    with pytest.raises(Exception):
+        t.read(version=1)  # expired snapshot unreadable
+    assert sorted(r.n_nationkey for r in t.read().collect()) == before
+    t.drop()
+
+
+def test_partitioned_write_prunes(spark):
+    """The read-back filter on the partition column must prune at the
+    source (PartitionFilters), not post-filter."""
+    from empdia_iceberg_spark.sources.sinks import sink_partitioned_write
+
+    df = sink_partitioned_write(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "l_returnflag" in plan
