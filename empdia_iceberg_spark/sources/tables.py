@@ -53,7 +53,9 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path_for(sf_dir, "events"))
     if dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # integer division: epoch-nanos overflow double's 53-bit mantissa,
+        # so float division rounds some timestamps by ±1 µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,1 +1,256 @@
-"""Placeholder — filled in a later slice this round."""
+"""Structured-Streaming windowed aggregations over the `events` table
+(SURVEY.md §2.B streaming rows; §7 slice 3).
+
+Each registered query runs a REAL streaming query — file-stream source
+over the events parquet, `Trigger.AvailableNow`-style full drain via
+``processAllAvailable``, memory sink — and returns the sink contents.
+Because the whole file arrives in the first micro-batch, watermarking
+drops nothing and the result equals the batch answer, which is exactly
+what makes a deterministic DuckDB oracle possible (the driver gate).
+Late-data drop semantics (which are inherently arrival-order-dependent)
+are exercised separately by `stream_watermark_late_drop` with an
+explicit two-phase file feed, rows-only + unit-tested.
+
+Scale posture: these plans are the standard streaming shuffle —
+partial aggregation per micro-batch, state keyed by (window, group);
+watermarks bound the state store size, which is what survives at
+100 TB/day ingest.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.exact import sql_sum2
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load, path_for
+
+_WORK_ROOT = os.environ.get("SPARK_GRAFT_STREAM_ROOT", "/root/repo/.stream_work")
+
+SESSION_GAP = "8 hours"
+SESSION_GAP_SEC = 8 * 3600
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet. The file stores ts as
+    TIMESTAMP(NANOS) (illegal for Spark's reader) — same workaround as
+    the batch loader: read int64 nanos, convert to micros timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(path_for(sf_dir, "events"))
+    # the file-stream source wants a directory: stream the sf dir with a
+    # glob filter selecting only the events file
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+        # integer division (see sources.tables._load_events): float
+        # division of epoch-nanos rounds some timestamps by ±1 µs
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_memory(
+    agg: DataFrame, name: str, output_mode: str = "complete"
+) -> "SparkSession":
+    """Start agg → memory sink, drain all available input, stop. Returns
+    the session for `spark.table(name)` reads. Fresh checkpoint per run."""
+    spark = agg.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    ckpt = os.path.join(_WORK_ROOT, f"ckpt_{name}_{uuid.uuid4().hex[:8]}")
+    q = (
+        agg.writeStream.queryName(name)
+        .outputMode(output_mode)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round({sql_sum2('value')}, 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Streaming tumbling 1-hour window aggregate with a 1-hour "
+    "watermark, drained via a real file-stream → memory-sink query; "
+    "single-batch arrival makes it equal the batch answer (the oracle).",
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+    )
+    run_to_memory(agg, "t_tumbling")
+    return (
+        spark.table("t_tumbling")
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "stream_sliding_2h_1h",
+    oracle="""
+    WITH contrib AS (
+        SELECT date_trunc('hour', ts)                    AS window_start, event_type FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR  AS window_start, event_type FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM contrib
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Streaming sliding window (2h length, 1h slide): every event "
+    "lands in two overlapping windows; oracle = union of the two "
+    "shifted hour-truncations.",
+)
+def stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    run_to_memory(agg, "t_sliding")
+    return (
+        spark.table("t_sliding")
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+    WITH l AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        FROM events
+    ),
+    brk AS (
+        SELECT user_id, ts,
+               CASE WHEN pts IS NULL OR epoch(ts - pts) >= {SESSION_GAP_SEC} THEN 1 ELSE 0 END AS is_new
+        FROM l
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM brk
+    )
+    SELECT user_id,
+           min(ts)                               AS session_start,
+           max(ts) + INTERVAL 8 HOUR             AS session_end,
+           count(*)                              AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="Streaming session_window (8h inactivity gap) per user; oracle = "
+    "the classic gaps-and-islands SQL (session end = last event + gap, "
+    "matching Spark's session semantics exactly).",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    run_to_memory(agg, "t_session")
+    return (
+        spark.table("t_session")
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "stream_watermark_late_drop",
+    oracle=None,  # arrival-order semantics — deterministic only under the
+    # controlled two-phase feed below; exact counts pinned by unit test.
+    doc="Watermark late-data drop, demonstrated deterministically: phase 1 "
+    "streams the first 29 days of events and advances the watermark; "
+    "phase 2 delivers day-30 events PLUS stale copies of day-1 events, "
+    "which the 1-hour watermark must drop. Output: per-phase ingested "
+    "window counts.",
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cutoff = "2024-01-30 00:00:00"
+    feed = os.path.join(_WORK_ROOT, "late_feed")
+    ckpt = os.path.join(_WORK_ROOT, "late_ckpt")
+    shutil.rmtree(feed, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    onm = ev.filter(F.col("ts") < cutoff)
+    late = ev.filter(F.col("ts") < "2024-01-02").withColumn("event_id", F.col("event_id") + 1000000)
+    tail = ev.filter(F.col("ts") >= cutoff)
+
+    onm.write.parquet(os.path.join(feed, "f1"))
+    schema = spark.read.parquet(os.path.join(feed, "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(feed + "/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    for q in spark.streams.active:
+        if q.name == "t_late":
+            q.stop()
+    q = (
+        stream.writeStream.queryName("t_late")
+        .outputMode("append")  # append mode: windows emit once finalized by the watermark
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        phase1 = spark.table("t_late").count()
+        # phase 2: new tail data + stale day-1 rows (behind the watermark)
+        tail.unionByName(late).write.mode("append").parquet(os.path.join(feed, "f2"))
+        q.processAllAvailable()
+        phase2 = spark.table("t_late").count()
+        total_emitted = (
+            spark.table("t_late").agg(F.sum("n_events")).collect()[0][0] or 0
+        )
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(phase1), int(phase2), int(total_emitted))],
+        schema="windows_after_phase1 long, windows_after_phase2 long, events_emitted long",
+    )
