@@ -1,12 +1,20 @@
 """empdia_iceberg_spark — a brand-new PySpark-native analytics engine.
 
 Reproduces, Spark-first, the query/data-processing capabilities of the
-reference repo MorningKay/EmpDia-Iceberg (see SURVEY.md) and extends them
-into a general data-lake engine: relational OLAP, streaming windows,
-stateful conversation processing, LLM-data-pipeline operators (dedup,
-similarity search, text analysis, multimodal plumbing), and
-Iceberg-style table management (parquet-snapshot fallback — no
-iceberg-spark-runtime jar ships in this environment).
+reference repo MorningKay/EmpDia-Iceberg (see SURVEY.md) and extends
+them into a general data-lake engine. Implemented and oracle-checked:
+
+- relational OLAP core (joins, aggs, windows, set ops, scalar fns)
+- reference semantics (dialogue prep, reward pipeline, termination,
+  GRPO normalization, classifier stub, collate, splits)
+- Structured Streaming (tumbling/sliding/session windows, watermark
+  late-drop, stateful conversation machine via applyInPandasWithState)
+- LLM-pipeline operators (exact + MinHash-LSH + SimHash dedup, cosine
+  kNN + LSH ANN, text stats/quality/lang-id/fingerprint, multimodal
+  binary-payload plumbing with a documented decode stub)
+- snapshot table management on parquet (create/append/MERGE/time
+  travel/expire/compact — the Iceberg-semantics fallback; no
+  iceberg-spark-runtime jar ships in this environment) and write sinks
 
 Importing this package populates the query registry
 (``empdia_iceberg_spark.registry``) used by ``__spark_entry__.py``.
@@ -23,6 +31,7 @@ from empdia_iceberg_spark.operators import similarity  # noqa: F401
 from empdia_iceberg_spark.operators import textstats  # noqa: F401
 from empdia_iceberg_spark.operators import asof  # noqa: F401
 from empdia_iceberg_spark.operators import multimodal  # noqa: F401
+from empdia_iceberg_spark.functions import classifier  # noqa: F401
 from empdia_iceberg_spark.functions import reward  # noqa: F401
 from empdia_iceberg_spark.functions import termination  # noqa: F401
 from empdia_iceberg_spark.functions import messages  # noqa: F401

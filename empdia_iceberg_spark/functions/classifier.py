@@ -1,0 +1,235 @@
+"""Layer classifier surface (SURVEY.md §2.A R24-R26) — label
+canonicalization, lazy per-executor init, and batched text
+classification — with the checkpoint replaced by a DETERMINISTIC STUB
+(SURVEY §7 slice 4: the reference's checkpoint path is private, so the
+contract is tested with a reproducible scorer).
+
+Reference semantics mirrored exactly:
+- R24 label canonicalization (empathy_interaction.py:88-99): lower,
+  space/hyphen → underscore, membership in the 5 Satir layers;
+  unmappable labels fall back to 'behavior' (:131).
+- R25 lazy init (:101-113): the "model" (per-class md5 seeds) is built
+  once per executor process inside the pandas UDF — the standard
+  executor-singleton pattern replacing HF from_pretrained.
+- R26 classification (:115-137): per-text class scores → argmax layer
+  (1-5) + confidence. The stub's "logit" for class i is the first 8 hex
+  chars of md5(f"{i}:{text}") as an integer — deterministic, uniform,
+  and expressible in DuckDB ('0x'||hex cast), so the full UDF path gets
+  a value-level SQL oracle (rare for a classifier; the point is the
+  contract, not the model). Confidence = max_score / Σscores ∈ (0,1)
+  (the softmax analog that stays exactly reproducible cross-engine).
+
+R14 (utils/collate_numpy.py:3-8) is also here: the numpy object-array
+batch collation of `prompt`, re-expressed as Arrow-batched mapInPandas.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.exact import det_round, sql_det_round
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+# empathy_interaction.py:54
+LAYERS = ["behavior", "coping", "feelings", "feelings_about_feelings", "perceptions"]
+
+# Executor-process singleton (R25): trivially cheap for the stub, but the
+# shape is the one a real HF checkpoint load would use.
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def canonical_layer(label: Column) -> Column:
+    """R24: lower, ' '→'_', '-'→'_', membership else NULL."""
+    norm = F.replace(
+        F.replace(F.lower(label), F.lit(" "), F.lit("_")), F.lit("-"), F.lit("_")
+    )
+    return F.when(norm.isin(*LAYERS), norm).otherwise(F.lit(None).cast("string"))
+
+
+def _ensure_stub_model():
+    if "stub" not in _MODEL_CACHE:
+        import hashlib  # lazy, mirroring the lazy-import/load pattern
+
+        def score(i: int, text: str) -> int:
+            return int(hashlib.md5(f"{i}:{text}".encode()).hexdigest()[:8], 16)
+
+        _MODEL_CACHE["stub"] = score
+    return _MODEL_CACHE["stub"]
+
+
+def predict_layer_udf():
+    """R26 as an Arrow-batched pandas UDF returning
+    struct<layer_idx int, layer_name string, confidence double>."""
+
+    def predict(texts: pd.Series) -> pd.DataFrame:
+        score = _ensure_stub_model()  # R25 lazy init
+        n = len(LAYERS)
+        scores = np.array(
+            [[score(i, t) for i in range(n)] for t in texts], dtype=np.float64
+        )
+        idx = scores.argmax(axis=1)  # first-max tiebreak, like torch.argmax
+        conf = scores.max(axis=1) / scores.sum(axis=1)
+        return pd.DataFrame(
+            {
+                "layer_idx": (idx + 1).astype(np.int32),
+                "layer_name": [LAYERS[i] for i in idx],
+                "confidence": conf,
+            }
+        )
+
+    return F.pandas_udf(
+        predict, "layer_idx int, layer_name string, confidence double"
+    )
+
+
+def _sql_score(i: int) -> str:
+    return f"('0x' || substr(md5('{i}:' || text), 1, 8))::BIGINT"
+
+
+@register(
+    "classifier_stub_layers",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               {_sql_score(0)} AS s0, {_sql_score(1)} AS s1, {_sql_score(2)} AS s2,
+               {_sql_score(3)} AS s3, {_sql_score(4)} AS s4
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 >= s4 THEN 1
+                    WHEN s1 >= s2 AND s1 >= s3 AND s1 >= s4 THEN 2
+                    WHEN s2 >= s3 AND s2 >= s4 THEN 3
+                    WHEN s3 >= s4 THEN 4
+                    ELSE 5 END AS layer_idx,
+               greatest(s0, s1, s2, s3, s4) AS mx,
+               (s0 + s1 + s2 + s3 + s4)     AS total
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(layer_idx AS INT) AS layer_idx,
+           CASE layer_idx WHEN 1 THEN 'behavior' WHEN 2 THEN 'coping'
+                          WHEN 3 THEN 'feelings' WHEN 4 THEN 'feelings_about_feelings'
+                          ELSE 'perceptions' END AS layer_name,
+           {sql_det_round('CAST(mx AS DOUBLE) / total', 6)} AS confidence
+    FROM p
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    doc="R25/R26: batched text classification via pandas UDF with lazy "
+    "executor-singleton model init; deterministic md5 stub scorer gives "
+    "the UDF path a full value-level SQL oracle.",
+)
+def classifier_stub_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pred = predict_layer_udf()(F.col("text")).alias("p")
+    return (
+        docs.select("doc_id", pred)
+        .select(
+            "doc_id",
+            F.col("p.layer_idx").alias("layer_idx"),
+            F.col("p.layer_name").alias("layer_name"),
+            det_round(F.col("p.confidence"), 6).alias("confidence"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+# Raw-label fixture covering every R24 rule: exact, case, space, hyphen,
+# mixed, unknown → fallback, empty → fallback.
+_LABEL_FIXTURE = [
+    "behavior",
+    "Coping",
+    "FEELINGS",
+    "Feelings About Feelings",
+    "feelings-about-feelings",
+    "Feelings-About feelings",
+    "perceptions",
+    " perceptions ",
+    "unknown_label",
+    "",
+]
+_LABEL_SQL_ROWS = ", ".join(f"({i}, '{s}')" for i, s in enumerate(_LABEL_FIXTURE))
+
+
+@register(
+    "classifier_label_canonicalization",
+    oracle=f"""
+    WITH raw(id, label) AS (VALUES {_LABEL_SQL_ROWS}),
+    norm AS (
+        SELECT id, label,
+               replace(replace(lower(label), ' ', '_'), '-', '_') AS n
+        FROM raw
+    )
+    SELECT id, label,
+           CASE WHEN n IN ('behavior','coping','feelings','feelings_about_feelings','perceptions')
+                THEN n ELSE NULL END AS canonical,
+           coalesce(CASE WHEN n IN ('behavior','coping','feelings','feelings_about_feelings','perceptions')
+                         THEN n ELSE NULL END, 'behavior') AS effective
+    FROM norm
+    ORDER BY id
+    """,
+    doc="R24 label canonicalization rules (lower, space/hyphen→underscore, "
+    "membership, 'behavior' fallback) over a fixture covering every rule; "
+    "note ' perceptions ' does NOT canonicalize — the reference never "
+    "trims, so neither do we.",
+)
+def classifier_label_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame(
+        list(enumerate(_LABEL_FIXTURE)), schema="id int, label string"
+    )
+    canon = canonical_layer(F.col("label"))
+    return raw.select(
+        "id",
+        "label",
+        canon.alias("canonical"),
+        F.coalesce(canon, F.lit("behavior")).alias("effective"),  # :131 fallback
+    ).orderBy("id")
+
+
+def collate_prompts(prepared: DataFrame) -> DataFrame:
+    """R14: numpy object-array batch collation of `prompt`
+    (utils/collate_numpy.py:3-8) as Arrow-batched mapInPandas. Emits one
+    row per input with the collated batch's dtype and per-element size —
+    the observable contract of the collate (object array in, one entry
+    per example)."""
+
+    def collate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            prompts = np.array(list(pdf["prompt"]), dtype=object)  # the collate
+            yield pd.DataFrame(
+                {
+                    "dia_id": pdf["dia_id"],
+                    "n_messages": [len(p) for p in prompts],
+                    "batch_dtype": str(prompts.dtype),
+                }
+            )
+
+    return prepared.select("dia_id", "prompt").mapInPandas(
+        collate, schema="dia_id string, n_messages int, batch_dtype string"
+    )
+
+
+@register(
+    "collate_prompt_batches",
+    oracle="""
+    SELECT dia_id, 2 AS n_messages, 'object' AS batch_dtype
+    FROM (VALUES ('d0001'), ('d0002'), ('d0003')) t(dia_id)
+    ORDER BY dia_id
+    """,
+    doc="R14 numpy object-array collate of prompt via mapInPandas over the "
+    "prep fixture (every VERL prompt is [system, first user] = 2 messages).",
+)
+def collate_prompt_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.plans.prep import corpus_df, prepare_corpus
+
+    prepared = prepare_corpus(corpus_df(spark))
+    return collate_prompts(prepared).orderBy("dia_id")

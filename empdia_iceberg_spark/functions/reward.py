@@ -184,6 +184,135 @@ def _reward_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 @register(
+    "reward_fallback_mean",
+    oracle=f"""
+    WITH lh AS ({LAYER_HISTORY_SQL}),
+    per_turn AS (
+        SELECT dia_id, turn, (dia_id * 31 + turn) % 100 / 100.0 AS turn_reward
+        FROM lh
+    )
+    SELECT dia_id,
+           count(*) AS n_turns,
+           floor((CASE WHEN count(*) < 5 THEN 0.0
+                       ELSE sum(turn_reward) / count(*) END) * 1000000.0 + 0.5) / 1000000.0
+             AS fallback_reward
+    FROM per_turn
+    GROUP BY dia_id
+    ORDER BY dia_id
+    """,
+    doc="R36 array-mean fallback (reward.py:29-33): when a trajectory has "
+    "no layer history, the reward is mean(user_turn_rewards) — computed "
+    "the reference's way, as an ARRAY aggregate (collect_list in turn "
+    "order + F.aggregate sum / size), gated by the R35 min-turns rule.",
+)
+def reward_fallback_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lh = layer_history_from_events(spark, sf_dir)
+    per_turn = lh.select(
+        "dia_id",
+        "turn",
+        ((F.col("dia_id") * 31 + F.col("turn")) % 100 / 100.0).alias("turn_reward"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("turn", "turn_reward"))
+    )  # rebuild the reference's ordered rewards list
+    return (
+        per_turn.groupBy("dia_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"), arr.alias("_arr"))
+        .select(
+            "dia_id",
+            "n_turns",
+            det_round(
+                F.when(F.col("n_turns") < MIN_TURNS, F.lit(0.0)).otherwise(
+                    F.aggregate(
+                        F.transform(F.col("_arr"), lambda s: s.turn_reward),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    / F.size("_arr")
+                ),
+                6,
+            ).alias("fallback_reward"),
+        )
+        .orderBy("dia_id")
+    )
+
+
+@register(
+    "reward_config_coalesce",
+    oracle=f"""
+    WITH lh AS ({LAYER_HISTORY_SQL}),
+    cfg AS (
+        SELECT *,
+               CASE WHEN dia_id % 2 = 0 THEN CAST(0.9 AS DOUBLE) END  AS beta_cfg,
+               CASE WHEN dia_id % 3 = 0 THEN CAST(10.0 AS DOUBLE) END AS k_cfg
+        FROM lh
+    ),
+    eff AS (
+        SELECT dia_id, turn, layer, confidence,
+               coalesce(beta_cfg, CAST(0.7 AS DOUBLE)) AS beta_eff,
+               coalesce(k_cfg, CAST(8.0 AS DOUBLE))    AS k_eff,
+               coalesce(lag(layer) OVER (PARTITION BY dia_id ORDER BY turn), layer) AS last_layer
+        FROM cfg
+    ),
+    scored AS (
+        SELECT dia_id, beta_eff, k_eff,
+               1.0 / (1.0 + exp(-k_eff * (
+                   ( layer / 5.0
+                     + beta_eff * greatest(layer - last_layer, 0) / 5.0
+                     - 0.6 * greatest(last_layer - layer, 0) / 5.0
+                     - 5.0 * greatest(layer - (last_layer + 1), 0) / 5.0
+                   ) * (0.5 + 0.5 * confidence) - 0.5))) AS score
+        FROM eff
+    )
+    SELECT dia_id,
+           max(beta_eff) AS beta_eff,
+           max(k_eff)    AS k_eff,
+           floor((CASE WHEN count(*) < 5 THEN 0.0 ELSE sum(score) / count(*) END) * 1000000.0 + 0.5) / 1000000.0 AS reward
+    FROM scored
+    GROUP BY dia_id
+    ORDER BY dia_id
+    """,
+    doc="R37 column-level config coalescing (reward.py:36-45): per-row "
+    "reward_config overrides (NULL = absent) coalesced onto the defaults "
+    "with coalesce(col, default), feeding the same scoring pipeline.",
+)
+def reward_config_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lh = layer_history_from_events(spark, sf_dir)
+    beta_eff = F.coalesce(
+        F.when(F.col("dia_id") % 2 == 0, F.lit(0.9)), F.lit(DEFAULTS["beta"])
+    )
+    k_eff = F.coalesce(
+        F.when(F.col("dia_id") % 3 == 0, F.lit(10.0)), F.lit(DEFAULTS["k"])
+    )
+    w = W.partitionBy("dia_id").orderBy("turn")
+    last = F.coalesce(F.lag("layer").over(w), F.col("layer"))
+    raw = (
+        F.col("layer") / 5.0
+        + beta_eff * F.greatest(F.col("layer") - last, F.lit(0)) / 5.0
+        - F.lit(DEFAULTS["delta"]) * F.greatest(last - F.col("layer"), F.lit(0)) / 5.0
+        - F.lit(DEFAULTS["w"]) * F.greatest(F.col("layer") - (last + 1), F.lit(0)) / 5.0
+    ) * (F.lit(0.5) + F.lit(0.5) * F.col("confidence"))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-k_eff * (raw - F.lit(DEFAULTS["c"]))))
+    scored = lh.select(
+        "dia_id", beta_eff.alias("beta_eff"), k_eff.alias("k_eff"), score.alias("score")
+    )
+    return (
+        scored.groupBy("dia_id")
+        .agg(
+            F.max("beta_eff").alias("beta_eff"),
+            F.max("k_eff").alias("k_eff"),
+            det_round(
+                F.when(F.count(F.lit(1)) < MIN_TURNS, F.lit(0.0)).otherwise(
+                    F.avg("score")
+                ),
+                6,
+            ).alias("reward"),
+        )
+        .orderBy("dia_id")
+    )
+
+
+@register(
     "reward_trajectory_pandas",
     oracle=_REWARD_ORACLE,
     doc="Same reward pipeline via grouped-map pandas UDF (applyInPandas) — UDF-path cross-check.",

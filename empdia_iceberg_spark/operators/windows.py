@@ -158,15 +158,25 @@ def window_trailing_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     ORDER BY o_orderkey
     """,
-    doc="ntile(4) bucketing by order value (deterministic via orderkey tiebreak).",
+    doc="ntile(4) bucketing by order value (deterministic via orderkey "
+    "tiebreak). Scale-safe: global position via quantile-bucketed "
+    "parallel row numbering (operators/scale.py) + the ntile arithmetic "
+    "— no single-partition global window.",
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.operators.scale import (
+        bucketed_global_row_number,
+        ntile_from_row_number,
+    )
+
     orders = load(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    numbered, n = bucketed_global_row_number(
+        orders, "o_totalprice", tiebreaks=("o_orderkey",)
+    )
+    return numbered.select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("totalprice"),
-        F.ntile(4).over(w).alias("quartile"),
+        ntile_from_row_number(F.col("_rn"), n, 4).alias("quartile"),
     ).orderBy("o_orderkey")
 
 
@@ -182,23 +192,20 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY o_custkey
     """,
-    doc="first_value/last_value over an unbounded frame: each customer's first & last order.",
+    doc="first/last-in-order per customer. Implemented as ONE hash "
+    "aggregate (min_by/max_by on the (date, key) ordering struct) — the "
+    "plan a sort-window + distinct would only emulate at higher cost.",
 )
 def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
+    order_key = F.struct("o_orderdate", "o_orderkey")
     return (
-        orders.select(
-            "o_custkey",
-            F.first("o_orderkey").over(w).alias("first_order"),
-            F.last("o_orderkey").over(w).alias("last_order"),
-            F.count(F.lit(1)).over(w).alias("n_orders"),
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderkey", order_key).alias("first_order"),
+            F.max_by("o_orderkey", order_key).alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
-        .distinct()
         .orderBy("o_custkey")
     )
 

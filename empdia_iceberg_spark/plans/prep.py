@@ -31,6 +31,10 @@ from empdia_iceberg_spark.sources.tables import load
 SYSTEM_PROMPT = "empathetic-listener-system-prompt"
 DATA_SOURCE = "EmpDia_Iceberg"
 ABILITY = "empathy_dialogue"  # reference utils/data_preprocess.py:53
+# R16 (empathy_interaction.py:63,78): per-conversation user-simulator
+# system prompt templated with {first_explanation} (English-equivalent
+# template; the operator under test is the interpolation).
+USER_SYSTEM_TEMPLATE = "user-sim-system-prompt (%s)"
 
 DIALOGUE_SCHEMA = T.StructType(
     [
@@ -183,7 +187,11 @@ def prepare_corpus(corpus: DataFrame) -> DataFrame:
             F.lit("user").alias("role"), F.element_at("user_script", 1).alias("content")
         ),
     )
-    return prepared.withColumn("prompt", prompt)
+    prepared = prepared.withColumn("prompt", prompt)
+    return prepared.withColumn(  # R16 system-prompt templating
+        "user_system_prompt",
+        F.format_string(USER_SYSTEM_TEMPLATE, F.col("first_explanation")),
+    )
 
 
 _CORPUS_SQL_ROWS = """
@@ -227,6 +235,7 @@ _CORPUS_SQL_ROWS = """
            user_script[1]                  AS first_user,
            'system'                        AS prompt_role_0,
            '{SYSTEM_PROMPT}'               AS prompt_content_0,
+           'user-sim-system-prompt (' || first_explanation || ')' AS user_system_prompt,
            first_explanation, story, seed
     FROM scripted
     WHERE len(user_script) > 0
@@ -245,10 +254,43 @@ def dialogue_prep_verl_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("user_script", 1).alias("first_user"),
         F.element_at("prompt", 1).role.alias("prompt_role_0"),
         F.element_at("prompt", 1).content.alias("prompt_content_0"),
+        "user_system_prompt",
         "first_explanation",
         "story",
         "seed",
     ).orderBy("dia_id")
+
+
+MAX_PROMPT_TOKENS = 64  # R42 analog of max_prompt_length (train.sh:29)
+
+
+@register(
+    "overlong_prompt_filter",
+    oracle=rf"""
+    SELECT lang,
+           count(*) FILTER (len(string_split_regex(text, '\s+')) <= {MAX_PROMPT_TOKENS}) AS n_kept,
+           count(*) FILTER (len(string_split_regex(text, '\s+')) >  {MAX_PROMPT_TOKENS}) AS n_dropped
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="R42 overlong-prompt filter (configs/multiturn_grpo_interaction."
+    "yaml:22-25, filter_overlong_prompts vs max_prompt_length): drop "
+    "prompts above a token budget — whitespace-token proxy for the "
+    "tokenizer length, reported as kept/dropped per lang.",
+)
+def overlong_prompt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), r"\s+"))
+    keep = n_tok <= MAX_PROMPT_TOKENS
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count_if(keep).alias("n_kept"),
+            F.count_if(~keep).alias("n_dropped"),
+        )
+        .orderBy("lang")
+    )
 
 
 def positional_split(
@@ -266,30 +308,13 @@ def positional_split(
     unique (ties make the global order, and hence the split, arbitrary —
     same as the reference's list order).
     """
-    from pyspark.sql import Window as W
+    from empdia_iceberg_spark.operators.scale import bucketed_global_row_number
 
-    bounds = sorted(set(df.approxQuantile(order_col, [i / buckets for i in range(1, buckets)], 0.001)))
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
-    bdf = df.withColumn("_bkt", bucket)
-    counts = {
-        r["_bkt"]: r["cnt"]
-        for r in bdf.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    n = sum(counts.values())
+    numbered, n = bucketed_global_row_number(df, order_col, buckets=buckets)
     cut = int(n * train_frac)
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    off_map = F.create_map(*[F.lit(x) for b, o in offsets.items() for x in (b, o)])
-    w = W.partitionBy("_bkt").orderBy(order_col)
-    tagged = (
-        bdf.withColumn("_rn", F.row_number().over(w) + off_map[F.col("_bkt")])
-        .withColumn("split", F.when(F.col("_rn") <= cut, "train").otherwise("test"))
-        .drop("_rn", "_bkt")
-    )
+    tagged = numbered.withColumn(
+        "split", F.when(F.col("_rn") <= cut, "train").otherwise("test")
+    ).drop("_rn")
     return tagged, cut
 
 
