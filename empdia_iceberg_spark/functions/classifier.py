@@ -195,6 +195,85 @@ def classifier_label_canonicalization(spark: SparkSession, sf_dir: str) -> DataF
     ).orderBy("id")
 
 
+# ---------------------------------------------------- R22/R23 generation
+
+MAX_RETRIES = 5  # configs/interaction_config.yaml:7 retry_on_empty_user
+
+
+def _gen_candidate(attempt: int, text: str) -> tuple[bool, str]:
+    """Deterministic stand-in for one LLM generation call: empty ~1/7 of
+    the time (keyed on attempt+text), else a stable pseudo-response."""
+    import hashlib
+
+    h = hashlib.md5(f"{attempt}:{text}".encode()).hexdigest()
+    empty = int(h[:8], 16) % 7 == 0
+    return empty, "" if empty else f"resp-{h[:12]}"
+
+
+def generate_with_retry_udf():
+    """R22 batched generation call + R23 bounded retry-on-empty
+    (empathy_interaction.py:216-225, 257-276): up to MAX_RETRIES
+    attempts per row, first non-empty wins; all-empty gives '' after
+    MAX_RETRIES calls. The blocking-call-to-thread-pool boundary of the
+    reference becomes Arrow batch parallelism."""
+
+    def gen(texts: pd.Series) -> pd.DataFrame:
+        responses, attempts = [], []
+        for t in texts:
+            resp, n = "", MAX_RETRIES
+            for a in range(MAX_RETRIES):
+                empty, cand = _gen_candidate(a, t)
+                if not empty:
+                    resp, n = cand, a + 1
+                    break
+            responses.append(resp)
+            attempts.append(n)
+        return pd.DataFrame({"response": responses, "attempts": attempts})
+
+    return F.pandas_udf(gen, "response string, attempts int")
+
+
+def _sql_empty(a: int) -> str:
+    return f"(('0x' || substr(md5('{a}:' || text), 1, 8))::BIGINT % 7 = 0)"
+
+
+_GEN_ATT_CASE = (
+    "CASE "
+    + " ".join(f"WHEN NOT {_sql_empty(a)} THEN {a}" for a in range(MAX_RETRIES))
+    + " ELSE -1 END"
+)
+
+
+@register(
+    "generation_retry_stub",
+    oracle=f"""
+    WITH att AS (
+        SELECT doc_id, text, {_GEN_ATT_CASE} AS a
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN a = -1 THEN ''
+                ELSE 'resp-' || substr(md5(CAST(a AS VARCHAR) || ':' || text), 1, 12) END AS response,
+           CAST(CASE WHEN a = -1 THEN {MAX_RETRIES} ELSE a + 1 END AS INT) AS attempts
+    FROM att
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    doc="R22 LLM generation call as a batched pandas UDF + R23 bounded "
+    "retry-on-empty (5 attempts), with a deterministic md5 stub "
+    "generator so the whole retry loop has a value-level SQL oracle.",
+)
+def generation_retry_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    gen = generate_with_retry_udf()(F.col("text")).alias("g")
+    return (
+        docs.select("doc_id", gen)
+        .select("doc_id", F.col("g.response").alias("response"), F.col("g.attempts").alias("attempts"))
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
 def collate_prompts(prepared: DataFrame) -> DataFrame:
     """R14: numpy object-array batch collation of `prompt`
     (utils/collate_numpy.py:3-8) as Arrow-batched mapInPandas. Emits one

@@ -34,7 +34,8 @@ _TURN_LOG_SQL = """
     SELECT user_id                                                            AS dia_id,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)     AS turn,
            CAST(event_id % 5 + 1 AS INT)                                      AS layer,
-           (event_type = 'error')                                             AS is_empty
+           (event_type = 'error')                                             AS is_empty,
+           props                                                              AS next_user
     FROM events
 """
 
@@ -47,6 +48,7 @@ def turn_log_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("turn"),
         (F.col("event_id") % 5 + 1).cast("int").alias("layer"),
         (F.col("event_type") == "error").alias("is_empty"),
+        F.col("props").alias("next_user"),  # the turn's "user text" stand-in
     )
 
 
@@ -154,30 +156,52 @@ def termination_first_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "trajectory_metrics",
     oracle=f"""
-    WITH lh AS ({LAYER_HISTORY_SQL})
+    WITH log AS ({_TURN_LOG_SQL}),
+    flagged AS (
+        SELECT dia_id, turn, layer, next_user,
+               {_TERMINATION_CASE} AS terminate_reason
+        FROM log
+        {_WINDOW_DEFS}
+    )
     SELECT dia_id,
            max(turn)                 AS num_turns,
            max_by(layer, turn)       AS last_layer,
            max(layer)                AS deepest_layer,
-           floor(CAST(sum(layer) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_layer
-    FROM lh
+           floor(CAST(sum(layer) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_layer,
+           substr(max_by(next_user, turn), 1, 64) AS next_user_preview,
+           coalesce(min_by(terminate_reason, turn) FILTER (terminate_reason <> ''), '')
+             AS stop_reason
+    FROM flagged
     GROUP BY dia_id
     ORDER BY dia_id
     """,
-    doc="Per-trajectory metrics summary (R33/D6): turn count, last/deepest layer.",
+    doc="Per-trajectory metrics summary (R33/D6, full shape per "
+    "empathy_interaction.py:319-328): turn count, last/deepest layer, "
+    "64-char preview of the final turn text, and the first firing "
+    "terminate_reason ('' when the conversation never terminated).",
 )
 def trajectory_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from empdia_iceberg_spark.functions.reward import layer_history_from_events
-
-    lh = layer_history_from_events(spark, sf_dir)
+    log = with_termination(turn_log_from_events(spark, sf_dir))
+    first_stop = F.min(
+        F.when(
+            F.col("terminate_reason") != "",
+            F.struct("turn", "terminate_reason"),
+        )
+    )
     return (
-        lh.groupBy("dia_id")
+        log.groupBy("dia_id")
         .agg(
             F.max("turn").alias("num_turns"),
             F.max_by("layer", "turn").alias("last_layer"),
             F.max("layer").alias("deepest_layer"),
             det_round(F.sum("layer").cast("double") / F.count(F.lit(1)), 4).alias(
                 "avg_layer"
+            ),
+            F.substring(F.max_by("next_user", "turn"), 1, 64).alias(
+                "next_user_preview"
+            ),
+            F.coalesce(first_stop.getField("terminate_reason"), F.lit("")).alias(
+                "stop_reason"
             ),
         )
         .orderBy("dia_id")

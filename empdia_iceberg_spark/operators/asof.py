@@ -1,1 +1,150 @@
-"""Placeholder — filled in a later slice this round."""
+"""Temporal joins (SURVEY.md §2.B joins row): as-of join and
+equi+range (theta) join — the two join shapes stock Spark lacks a
+dedicated operator for.
+
+**As-of join** ("for each probe row, the latest build row at or before
+its timestamp, per key") is built with the scalable union trick SURVEY
+§4.3 prescribes: tag both sides, union, and take
+``last(build_value) IGNORE NULLS`` over a (key)-partitioned window
+ordered by (ts, side) — one shuffle on the key, no range explosion, no
+per-row subquery. The DuckDB oracle is a native ``ASOF LEFT JOIN``, so
+the trick is differentially checked against a real as-of
+implementation.
+
+**Range join** (equi key + time band) stays a plain join with a
+range predicate: Catalyst executes the equi part as a hash/SMJ join
+and post-filters the band, which is the right plan when the equi key
+is selective (per-user here). The band is closed-open [ts, ts+1h).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: tuple[str, ...],
+) -> DataFrame:
+    """Generic as-of join: probe columns + last build value_cols with
+    build.ts <= probe.ts per key (ties: build row sorts first, so an
+    equal-timestamp build row IS visible to the probe row — DuckDB ASOF
+    `<=` semantics)."""
+    p = probe.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # probe sorts after build at equal ts
+        F.struct(*probe.columns).alias("_probe"),
+        *[F.lit(None).cast(dict(build.dtypes)[c]).alias(f"_b_{c}") for c in value_cols],
+    )
+    b = build.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{t}" for c, t in probe.dtypes) + ">"
+        ).alias("_probe"),
+        *[F.col(c).alias(f"_b_{c}") for c in value_cols],
+    )
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    unioned = p.unionByName(b)
+    carried = unioned.select(
+        "_probe",
+        *[F.last(f"_b_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
+    )
+    out = carried.filter(F.col("_probe").isNotNull()).select(
+        "_probe.*", *[f"asof_{c}" for c in value_cols]
+    )
+    return out
+
+
+@register(
+    "asof_join_last_error",
+    oracle="""
+    SELECT a.event_id,
+           a.user_id,
+           a.ts,
+           b.event_id AS asof_event_id,
+           b.ts       AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON a.user_id = b.user_id AND b.ts <= a.ts
+    ORDER BY a.event_id
+    """,
+    doc="As-of join: for every click, the latest error by the same user "
+    "at or before it — union + last() IGNORE NULLS over one keyed "
+    "window, checked against DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_join_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    out = asof_join(clicks, errors, key="user_id", ts="ts", value_cols=("event_id", "ts"))
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id"),
+        F.col("asof_ts"),
+    ).orderBy("event_id")
+
+
+@register(
+    "range_join_events_1h",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           count(f.event_id)                 AS n_following_1h,
+           coalesce(round(CAST(sum(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE), 2), 0.0) AS sum_following_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN events f
+      ON f.user_id = p.user_id
+     AND f.ts >= p.ts AND f.ts < p.ts + INTERVAL 1 HOUR
+     AND f.event_id <> p.event_id
+    GROUP BY p.event_id, p.user_id
+    ORDER BY p.event_id
+    """,
+    doc="Equi+range (theta) join: per purchase, activity of the same user "
+    "in the following hour — hash join on user_id with a time-band "
+    "post-predicate (the selective-equi-key plan).",
+)
+def range_join_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    f = ev.select(
+        F.col("event_id").alias("f_id"), F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"), F.col("value").alias("f_value"),
+    )
+    joined = p.join(
+        f,
+        (F.col("f_user") == F.col("p_user"))
+        & (F.col("f_ts") >= F.col("p_ts"))
+        & (F.col("f_ts") < F.col("p_ts") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("f_id") != F.col("p_id")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("p_id").alias("event_id"), F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("f_id").alias("n_following_1h"),
+            F.coalesce(
+                F.round(F.sum(F.col("f_value").cast("decimal(18,2)")).cast("double"), 2),
+                F.lit(0.0),
+            ).alias("sum_following_value"),
+        )
+        .orderBy("event_id")
+    )

@@ -591,3 +591,39 @@ def null_safe_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "s_suppkey")
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+@register(
+    "map_functions_props",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT)            AS n_keys,
+           CAST(props->>'$.k' AS BIGINT)                 AS k_val,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           CAST(props->>'$.k' AS BIGINT)                 AS roundtrip_val
+    FROM events
+    ORDER BY event_id
+    LIMIT 1000
+    """,
+    doc="Map functions (§2.B scalar-fns row): from_json to MAP, "
+    "element_at, map_keys, and a map_from_entries round trip over the "
+    "events.props JSON column.",
+)
+def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    k_val = F.element_at(m, "k")
+    rebuilt = F.map_from_entries(  # map built back from an entries array
+        F.array(F.struct(F.lit("k").alias("key"), k_val.alias("value")))
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.size(m).cast("int").alias("n_keys"),
+            k_val.alias("k_val"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+            F.element_at(rebuilt, "k").alias("roundtrip_val"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )

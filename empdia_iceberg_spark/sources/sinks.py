@@ -92,6 +92,39 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           CAST(sum(c_nationkey) AS BIGINT) AS sum_nation
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="CSV scan + sink (§2.B scans row): customer written as "
+    "headered CSV, read back with an EXPLICIT schema (never inference "
+    "in an engine path), aggregated; oracle runs on the base parquet.",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _fresh(os.path.join(SINK_ROOT, "customer.csv"))
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).schema(
+        "c_custkey bigint, c_mktsegment string, c_nationkey bigint"
+    ).csv(out)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_nationkey").cast("bigint").alias("sum_nation"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "sink_partitioned_write",
     oracle=f"""
     SELECT l_returnflag,
