@@ -627,3 +627,86 @@ def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(1000)
     )
+
+
+@register(
+    "grouping_sets_pricing",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n_rows,
+           round({sql_sum2('l_quantity')}, 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY gid, returnflag, linestatus
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube) with grouping_id — "
+    "per-flag, per-status, and grand-total aggregates in one pass "
+    "(one shuffle; Spark expands sets map-side).",
+)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               count(*) AS n_rows,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, returnflag, linestatus
+        """
+    )
+
+
+@register(
+    "percentile_order_values",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_det_round('quantile_cont(o_totalprice, 0.25)', 4)} AS p25,
+           {sql_det_round('quantile_cont(o_totalprice, 0.50)', 4)} AS p50,
+           {sql_det_round('quantile_cont(o_totalprice, 0.90)', 4)} AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Exact percentiles (continuous interpolation) per priority — "
+    "Spark percentile() vs DuckDB quantile_cont. The exact form is the "
+    "oracle anchor; the sketch form for 100 TB is "
+    "approx_percentile_sketch (rows-only, bounded-error t-digest-style).",
+)
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            det_round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            det_round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+            det_round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "approx_percentile_sketch",
+    oracle=None,  # sketch: bounded-error, not bit-exact — rows-only; the
+    # error bound vs the exact percentiles is asserted in tests.
+    doc="approx_percentile sketch per priority — the mergeable-summary "
+    "path that replaces exact percentile sort at 100 TB (single pass, "
+    "O(1) state per group).",
+)
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -254,3 +254,55 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(phase1), int(phase2), int(total_emitted))],
         schema="windows_after_phase1 long, windows_after_phase2 long, events_emitted long",
     )
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Streaming exact dedup: the feed delivers every event TWICE "
+    "(two files, two micro-batches); dropDuplicates keyed on event_id "
+    "holds seen-key state across batches, so the sink equals the batch "
+    "distinct answer — streaming ingestion dedup, the first stage of a "
+    "continuously-ingesting training-data pipeline.",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    feed = os.path.join(_WORK_ROOT, "dedup_feed")
+    ckpt = os.path.join(_WORK_ROOT, f"dedup_ckpt_{uuid.uuid4().hex[:8]}")
+    shutil.rmtree(feed, ignore_errors=True)
+    ev.write.parquet(feed)  # batch 1: the events
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(feed)
+        .dropDuplicates(["event_id"])
+    )
+    for q in spark.streams.active:
+        if q.name == "t_dedup":
+            q.stop()
+    q = (
+        stream.writeStream.queryName("t_dedup")
+        .outputMode("append")
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.write.mode("append").parquet(feed)  # batch 2: full duplicate copy
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table("t_dedup")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,61 @@
+"""Tests for the scale-path operators: bucketed co-located join plan,
+IVF/LSH ANN recall, approx-percentile error bound."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from empdia_iceberg_spark.operators.bucketing import bucketed_orders_customer
+from empdia_iceberg_spark.operators import relational, similarity
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed+sorted by the join key ⇒ the SMJ plan must
+    contain no Exchange and no explicit Sort stage for the join."""
+    joined = bucketed_orders_customer(spark, SF_DIR)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
+def _exact_top1(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in emb])
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.array([r.embedding for r in emb], dtype=np.float64)[order]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    return ids, sims
+
+
+def test_ivf_recall_reasonable(spark):
+    """IVF with nprobe=4/16 cells should recover most true top-1
+    neighbors on this data; assert a conservative floor + structure."""
+    ids, sims = _exact_top1(spark)
+    true_top1 = {int(ids[i]): int(ids[int(np.argmax(sims[i]))]) for i in range(len(ids))}
+    rows = similarity.knn_cosine_ivf(spark, SF_DIR).collect()
+    assert rows
+    got_top1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    hits = sum(1 for q, n in got_top1.items() if true_top1[q] == n)
+    assert hits / len(got_top1) >= 0.5  # conservative floor for nprobe=4/16
+    for r in rows:
+        assert 1 <= r.rank <= similarity.TOP_K
+
+
+def test_approx_percentile_close_to_exact(spark):
+    exact = {
+        r.o_orderpriority: r.p50
+        for r in relational.percentile_order_values(spark, SF_DIR).collect()
+    }
+    approx = {
+        r.o_orderpriority: r.p50_approx
+        for r in relational.approx_percentile_sketch(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        # the sketch returns an actual data value while the exact form
+        # interpolates; at ~300 rows/group adjacent-value gaps are ~1%
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.03
