@@ -710,3 +710,103 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_multi_grain_rollup",
+    oracle="""
+    WITH g AS (
+        SELECT date_trunc('hour', ts)                    AS h,
+               CAST(date_trunc('day', ts) AS TIMESTAMP)  AS d,  -- DuckDB day-trunc returns DATE
+               event_type, value
+        FROM events
+    )
+    SELECT coalesce(CAST(h AS VARCHAR), CAST(d AS VARCHAR), 'ALL') AS grain_start,
+           CASE WHEN h IS NOT NULL THEN 'hour'
+                WHEN d IS NOT NULL THEN 'day'
+                ELSE 'total' END AS grain,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM g
+    GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (event_type))
+    ORDER BY grain, grain_start, event_type
+    """,
+    doc="Hypertable-style multi-granularity rollup (continuous-aggregate "
+    "shape): hourly, daily, and total aggregates of the events stream in "
+    "ONE pass via GROUPING SETS over the time truncations — one shuffle "
+    "instead of three rollup jobs.",
+)
+def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("_ev_mg")
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT date_trunc('hour', ts)  AS h,
+                   date_trunc('day', ts)   AS d,
+                   event_type, value
+            FROM _ev_mg
+        )
+        SELECT coalesce(CAST(h AS STRING), CAST(d AS STRING), 'ALL') AS grain_start,
+               CASE WHEN h IS NOT NULL THEN 'hour'
+                    WHEN d IS NOT NULL THEN 'day'
+                    ELSE 'total' END AS grain,
+               event_type,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        FROM g
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (event_type))
+        ORDER BY grain, grain_start, event_type
+        """
+    )
+
+
+@register(
+    "salted_join_skewed",
+    oracle="""
+    WITH skewed AS (
+        SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END AS k, value
+        FROM events
+    ),
+    dim AS (
+        SELECT user_id AS k, count(*) AS user_events
+        FROM events GROUP BY user_id
+    )
+    SELECT s.k,
+           count(*) AS n_rows,
+           CAST(max(d.user_events) AS BIGINT) AS dim_val
+    FROM skewed s JOIN dim d ON s.k = d.k
+    GROUP BY s.k
+    ORDER BY s.k
+    """,
+    doc="Skew-handling salted join: a third of the fact rows share one "
+    "hot key (k=0). The fact side gets a random-free deterministic salt "
+    "(event hash % 8); the dim side is exploded across all 8 salts; the "
+    "join key becomes (k, salt), splitting the hot key across 8 reducers. "
+    "Result identical to the unsalted join (the oracle).",
+)
+def salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SALTS = 8
+    ev = load(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when(F.col("event_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+        # deterministic salt (no rand(): keeps the query replayable)
+        (F.xxhash64("event_id") % SALTS).alias("salt"),
+    ).withColumn("salt", F.abs("salt").cast("int"))
+    dim = (
+        ev.groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("user_events"))
+        .withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(SALTS)])))
+    )
+    joined = skewed.join(dim, ["k", "salt"])
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("user_events").cast("bigint").alias("dim_val"),
+        )
+        .orderBy("k")
+    )

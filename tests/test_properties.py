@@ -1,0 +1,111 @@
+"""Property tests (hypothesis) for the reference-semantics invariants
+SURVEY.md §5 prescribes: role-swap involution (R18), positional-split
+partition sizes (R3), sigmoid reward bounds (R39), termination
+precedence (R28 > R30 > R31 > R32).
+
+Each property runs ONE Spark job per example, so example counts are
+kept small; the generators still cover the edge shapes that matter
+(empty lists, single turns, all-identical layers, boundary turns)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.messages import role_swap
+from empdia_iceberg_spark.functions.reward import per_turn_scores
+from empdia_iceberg_spark.functions.termination import MAX_TURNS, with_termination
+from empdia_iceberg_spark.plans.prep import positional_split
+
+_SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+_messages = st.lists(
+    st.tuples(
+        st.sampled_from(["user", "assistant", "system", "narrator"]),
+        st.text(alphabet="abc ", max_size=8),
+    ),
+    max_size=6,
+)
+
+
+@_SETTINGS
+@given(_messages)
+def test_role_swap_is_an_involution(spark, msgs):
+    """swap(swap(m)) == m for every message list (R18)."""
+    df = spark.createDataFrame(
+        [(1, [{"role": r, "content": c} for r, c in msgs])],
+        schema="id int, msgs array<struct<role:string,content:string>>",
+    )
+    out = df.select(role_swap(role_swap(F.col("msgs"))).alias("m2")).collect()[0].m2
+    assert [(m.role, m.content) for m in out] == msgs
+
+
+@_SETTINGS
+@given(st.integers(min_value=1, max_value=40), st.sampled_from([0.5, 0.7, 0.9]))
+def test_positional_split_sizes(spark, n, frac):
+    """train gets exactly int(n*frac) rows, by position (R3)."""
+    df = spark.range(n).withColumnRenamed("id", "k")
+    tagged, cut = positional_split(df, "k", train_frac=frac, buckets=4)
+    counts = {r.split: r.cnt for r in tagged.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert cut == int(n * frac)
+    assert counts.get("train", 0) == cut
+    assert counts.get("test", 0) == n - cut
+    # positional: every train key precedes every test key in order
+    train_max = tagged.filter(F.col("split") == "train").agg(F.max("k")).first()[0]
+    test_min = tagged.filter(F.col("split") == "test").agg(F.min("k")).first()[0]
+    if train_max is not None and test_min is not None:
+        assert train_max < test_min
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.floats(0.0, 1.0)), min_size=1, max_size=12
+    )
+)
+def test_reward_scores_strictly_in_unit_interval(spark, turns):
+    """σ(k·(raw−c)) ∈ (0,1) for any layer/confidence sequence (R39)."""
+    rows = [(1, i + 1, layer, conf) for i, (layer, conf) in enumerate(turns)]
+    lh = spark.createDataFrame(
+        rows, schema="dia_id int, turn int, layer int, confidence double"
+    )
+    scores = [r.score for r in per_turn_scores(lh).collect()]
+    assert all(0.0 < s < 1.0 for s in scores)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.booleans()), min_size=1, max_size=25
+    )
+)
+def test_termination_precedence(spark, turns):
+    """empty > max_turns > no_progress_6 > perception_5, per turn
+    (empathy_interaction.py:299-311)."""
+    rows = [
+        (1, i + 1, layer, is_empty, "x") for i, (layer, is_empty) in enumerate(turns)
+    ]
+    log = spark.createDataFrame(
+        rows, schema="dia_id int, turn int, layer int, is_empty boolean, next_user string"
+    )
+    out = sorted(with_termination(log).collect(), key=lambda r: r.turn)
+    layers = [r.layer for r in out]
+    for i, r in enumerate(out):
+        trailing6 = layers[max(0, i - 5) : i + 1]
+        trailing5 = layers[max(0, i - 4) : i + 1]
+        if r.is_empty:
+            expect = "empty_next_user"
+        elif r.turn >= MAX_TURNS:
+            expect = "max_turns"
+        elif len(trailing6) == 6 and len(set(trailing6)) == 1:
+            expect = "no_progress_6"
+        elif len(trailing5) == 5 and all(x == 5 for x in trailing5):
+            expect = "perception_5"
+        else:
+            expect = ""
+        assert r.terminate_reason == expect, (i, r)
+        assert r.deepest_layer == max(layers[: i + 1])
