@@ -51,9 +51,14 @@ def layer_history_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a long-format layer_history(dia_id, turn, layer, confidence)
     deterministically from events — the fixture shape of FIXTURES.md B3."""
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        F.col("user_id").alias("dia_id"),
+    # Rename BEFORE the window: partitioning the turn numbering on the
+    # final key name lets every downstream dia_id window/aggregate reuse
+    # this one exchange (an alias after the window reads as a different
+    # attribute and forces a second shuffle — verified in test_plans).
+    base = ev.select(F.col("user_id").alias("dia_id"), "ts", "event_id")
+    w = W.partitionBy("dia_id").orderBy("ts", "event_id")
+    return base.select(
+        "dia_id",
         F.row_number().over(w).alias("turn"),
         (F.col("event_id") % 5 + 1).cast("int").alias("layer"),
         (F.lit(0.5) + (F.col("event_id") % 50) / 100.0).alias("confidence"),

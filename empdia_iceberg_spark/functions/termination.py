@@ -42,9 +42,14 @@ _TURN_LOG_SQL = """
 
 def turn_log_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        F.col("user_id").alias("dia_id"),
+    # rename before the window so one dia_id exchange serves the whole
+    # pipeline (see reward.layer_history_from_events)
+    base = ev.select(
+        F.col("user_id").alias("dia_id"), "ts", "event_id", "event_type", "props"
+    )
+    w = W.partitionBy("dia_id").orderBy("ts", "event_id")
+    return base.select(
+        "dia_id",
         F.row_number().over(w).alias("turn"),
         (F.col("event_id") % 5 + 1).cast("int").alias("layer"),
         (F.col("event_type") == "error").alias("is_empty"),
