@@ -284,3 +284,99 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(500)
     )
+
+
+CHUNK_LEN = 200  # chars per chunk
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INT)                              AS chunk_idx,
+           length(substr(text, 1 + i * {CHUNK_STRIDE}, {CHUNK_LEN})) AS chunk_len,
+           md5(substr(text, 1 + i * {CHUNK_STRIDE}, {CHUNK_LEN}))    AS chunk_md5
+    FROM documents
+    CROSS JOIN range(0, 64) r(i)
+    WHERE 1 + i * {CHUNK_STRIDE} <= length(text)
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Document chunking for training-sequence preparation: "
+    "fixed-length overlapping character windows (200 chars, stride "
+    "150) via explode(sequence) — map-only plan, no shuffle; chunk "
+    "content is fingerprinted with md5 for the value-level oracle.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_chunks = F.floor((F.length("text") - 1) / CHUNK_STRIDE) + 1
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    chunk = F.expr(f"substring(text, 1 + chunk_idx * {CHUNK_STRIDE}, {CHUNK_LEN})")
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]+"
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=rf"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 7 = 0
+                            THEN ' contact user' || doc_id || '@example.com or +1-555-' || doc_id
+                            ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM aug
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    doc="PII scrubbing pass (pretraining-pipeline staple): detect and "
+    "redact email/phone patterns with regexp_replace; deterministic "
+    "synthetic PII is injected for 1-in-7 docs so the scrub is "
+    "observable, and the scrubbed text is md5-fingerprinted for the "
+    "oracle. Map-only plan.",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), 0)).cast("int").alias("n_emails"),
+            F.size(F.regexp_extract_all(aug, F.lit(PHONE_RE), 0)).cast("int").alias("n_phones"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )

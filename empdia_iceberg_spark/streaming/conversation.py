@@ -55,21 +55,20 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "turn_index int, deepest int, hist array<int>"
 
 
-def process_conversation(
-    key: Tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-key state transition: mirrors empathy_interaction.py:278-311
-    semantics over (turn, layer, is_empty, n_turns) rows."""
-    (dia_id,) = key
-    if state.exists:
-        turn_index, deepest, hist = state.get
+def advance_conversation(
+    state: tuple | None, rows: pd.DataFrame
+) -> tuple[dict, tuple | None]:
+    """Pure per-key state transition shared by BOTH stateful APIs:
+    mirrors empathy_interaction.py:278-311 semantics over
+    (turn, layer, is_empty, n_turns) rows. Returns (output columns,
+    new state or None-to-evict)."""
+    if state is not None:
+        turn_index, deepest, hist = state
         hist = list(hist)
     else:  # R15 state init
         turn_index, deepest, hist = 0, 0, []
 
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("turn")
+    rows = rows.sort_values("turn")
     out = {k: [] for k in ("turn", "layer", "terminate_reason", "deepest_layer")}
     evict = False
     for r in rows.itertuples(index=False):
@@ -95,16 +94,26 @@ def process_conversation(
         if int(r.turn) == int(r.n_turns):
             evict = True
 
-    if evict:
+    return out, (None if evict else (turn_index, deepest, hist))
+
+
+def process_conversation(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState wrapper around advance_conversation."""
+    (dia_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    out, new_state = advance_conversation(state.get if state.exists else None, rows)
+    if new_state is None:
         state.remove()  # R34 eviction — conversation finished
     else:
-        state.update((turn_index, deepest, hist))
+        state.update(new_state)
     yield pd.DataFrame({"dia_id": dia_id, **out})
 
 
-@register(
-    "stream_conversation_state",
-    oracle=f"""
+_CONV_ORACLE = f"""
     WITH log AS ({_TURN_LOG_SQL})
     SELECT dia_id, turn, layer,
            {_TERMINATION_CASE} AS terminate_reason,
@@ -112,45 +121,35 @@ def process_conversation(
     FROM log
     {_WINDOW_DEFS}
     ORDER BY dia_id, turn
-    """,
-    doc="Stateful streaming conversation machine (applyInPandasWithState, "
-    "two real micro-batches with cross-batch keyed state + eviction) — "
-    "must reproduce the batch termination_flags windowed-SQL answer.",
-)
-def stream_conversation_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Stage the turn log (with per-conversation turn counts for eviction)
-    # as two files split mid-conversation, so keyed state must carry
-    # turn counters and trailing layers across the batch boundary.
+"""
+
+
+def _run_conversation_stream(
+    spark: SparkSession, sf_dir: str, name: str, build_stateful
+) -> DataFrame:
+    """Stage the turn log (with per-conversation turn counts for
+    eviction) as two files split mid-conversation — keyed state must
+    carry turn counters and trailing layers across the micro-batch
+    boundary — then drain `build_stateful(grouped_stream)` to a memory
+    sink."""
     log = turn_log_from_events(spark, sf_dir).withColumn(
         "n_turns", F.max("turn").over(W.partitionBy("dia_id"))
     )
-    feed = os.path.join(_WORK_ROOT, "conv_feed")
+    feed = os.path.join(_WORK_ROOT, f"{name}_feed")
     shutil.rmtree(feed, ignore_errors=True)
     log.filter(F.col("turn") <= 10).write.parquet(feed)
 
     for q in spark.streams.active:
-        if q.name == "t_conv":
+        if q.name == name:
             q.stop()
-    spark.catalog.dropTempView("t_conv") if "t_conv" in [
-        t.name for t in spark.catalog.listTables()
-    ] else None
-    ckpt = os.path.join(_WORK_ROOT, f"conv_ckpt_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(_WORK_ROOT, f"{name}_ckpt_{uuid.uuid4().hex[:8]}")
 
     schema = spark.read.parquet(feed).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(feed)
-        .groupBy("dia_id")
-        .applyInPandasWithState(
-            process_conversation,
-            OUTPUT_SCHEMA,
-            STATE_SCHEMA,
-            "append",
-            GroupStateTimeout.NoTimeout,
-        )
+    stream = build_stateful(
+        spark.readStream.schema(schema).parquet(feed).groupBy("dia_id")
     )
     q = (
-        stream.writeStream.queryName("t_conv")
+        stream.writeStream.queryName(name)
         .outputMode("append")
         .format("memory")
         .option("checkpointLocation", ckpt)
@@ -164,7 +163,90 @@ def stream_conversation_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     return (
-        spark.table("t_conv")
+        spark.table(name)
         .select("dia_id", "turn", "layer", "terminate_reason", "deepest_layer")
         .orderBy("dia_id", "turn")
     )
+
+
+@register(
+    "stream_conversation_state",
+    oracle=_CONV_ORACLE,
+    doc="Stateful streaming conversation machine (applyInPandasWithState, "
+    "two real micro-batches with cross-batch keyed state + eviction) — "
+    "must reproduce the batch termination_flags windowed-SQL answer.",
+)
+def stream_conversation_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_conversation_stream(
+        spark,
+        sf_dir,
+        "t_conv",
+        lambda grouped: grouped.applyInPandasWithState(
+            process_conversation,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        ),
+    )
+
+
+class ConversationProcessor:
+    """transformWithStateInPandas processor (Spark 4 arbitrary-state
+    API, RocksDB-backed): same transition function, ValueState handle.
+    Defined lazily-importing so module import works without a session."""
+
+    def __new__(cls):
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class _P(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._state = handle.getValueState("conv", STATE_SCHEMA)
+
+            def handleInputRows(self, key, rows, timerValues):
+                rows = pd.concat(list(rows), ignore_index=True)
+                prev = self._state.get() if self._state.exists() else None
+                out, new_state = advance_conversation(prev, rows)
+                if new_state is None:
+                    self._state.clear()  # R34 eviction
+                else:
+                    self._state.update(new_state)
+                yield pd.DataFrame({"dia_id": key[0], **out})
+
+            def close(self) -> None:
+                pass
+
+        return _P()
+
+
+def stream_conversation_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same conversation machine on the Spark 4 transformWithState API
+    (StatefulProcessor + ValueState, RocksDB state store).
+
+    NOT registered as a driver query: the TWS Python driver worker
+    requires `google.protobuf`, which is broken in this container
+    (ImportError: cannot import name 'descriptor'), so the query
+    crashes at runtime here. Verified unusable 2026-08-13; the
+    applyInPandasWithState form above is the checked path, and this
+    function is the drop-in upgrade where protobuf is available —
+    `advance_conversation` is shared, so semantics are identical."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return _run_conversation_stream(
+            spark,
+            sf_dir,
+            "t_conv_tws",
+            lambda grouped: grouped.transformWithStateInPandas(
+                statefulProcessor=ConversationProcessor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="append",
+                timeMode="none",
+            ),
+        )
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
