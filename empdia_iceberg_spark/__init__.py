@@ -31,6 +31,7 @@ from empdia_iceberg_spark.operators import similarity  # noqa: F401
 from empdia_iceberg_spark.operators import textstats  # noqa: F401
 from empdia_iceberg_spark.operators import asof  # noqa: F401
 from empdia_iceberg_spark.operators import bucketing  # noqa: F401
+from empdia_iceberg_spark.operators import skyline  # noqa: F401
 from empdia_iceberg_spark.operators import multimodal  # noqa: F401
 from empdia_iceberg_spark.functions import classifier  # noqa: F401
 from empdia_iceberg_spark.functions import reward  # noqa: F401

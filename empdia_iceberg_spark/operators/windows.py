@@ -230,3 +230,27 @@ def window_range_frame_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         F.count(F.lit(1)).over(w).alias("peers_within_10"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "window_percent_rank_cume_dist",
+    oracle="""
+    SELECT user_id, event_id,
+           floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+           floor(cume_dist()    OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    ORDER BY user_id, event_id
+    """,
+    doc="percent_rank + cume_dist per user (relative-position analytics; "
+    "partitioned windows, no global sort).",
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        det_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        det_round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("user_id", "event_id")
