@@ -306,3 +306,101 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_continuous_aggregate",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round({sql_sum2('value')}, 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Continuous aggregate (materialized-view maintenance): the event "
+    "stream is drained in two phases split mid-hour; each micro-batch's "
+    "updated windows are MERGEd (upsert on window+type) into a managed "
+    "snapshot table via foreachBatch, so phase 2 genuinely REVISES "
+    "phase-1 rows. The final table must equal the batch rollup — the "
+    "incremental-maintenance invariant.",
+)
+def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    feed = os.path.join(_WORK_ROOT, "cagg_feed")
+    ckpt = os.path.join(_WORK_ROOT, f"cagg_ckpt_{uuid.uuid4().hex[:8]}")
+    shutil.rmtree(feed, ignore_errors=True)
+    cutoff = "2024-01-15 12:30:00"  # mid-hour: phase 2 updates the 12:00 window
+    ev.filter(F.col("ts") < cutoff).write.parquet(feed)
+
+    table = SnapshotTable(spark, "events_hourly_cagg")
+    table.drop()
+
+    schema = spark.read.parquet(feed).schema
+    stream = spark.readStream.schema(schema).parquet(feed)
+    for q in spark.streams.active:
+        if q.name == "t_cagg":
+            q.stop()
+
+    # Micro-batches are increments, so per-window partial sums are merged
+    # ADDITIVELY into the table (count/sum are decomposable aggregates —
+    # the property continuous aggregates rely on).
+    def upsert_additive(batch_df, batch_id: int) -> None:
+        agg = batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        ).withColumn("_key", F.concat_ws("|", "window_start", "event_type"))
+        if table.current_version() is None:
+            table.create(agg)
+        else:
+            cur = table.read()
+            combined = (
+                cur.unionByName(agg)
+                .groupBy("_key", "window_start", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum(F.col("sum_value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+                )
+            )
+            table.overwrite(combined, op="merge")
+
+    q = (
+        stream.writeStream.queryName("t_cagg")
+        .outputMode("append")
+        .foreachBatch(upsert_additive)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        ev.filter(F.col("ts") >= cutoff).write.mode("append").parquet(feed)
+        q2 = (
+            stream.writeStream.queryName("t_cagg")
+            .outputMode("append")
+            .foreachBatch(upsert_additive)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    finally:
+        for qq in spark.streams.active:
+            if qq.name == "t_cagg":
+                qq.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        table.read()
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_value").cast("decimal(18,2)").cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
