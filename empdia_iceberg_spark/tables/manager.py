@@ -153,12 +153,19 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- read ops
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Current snapshot, or `VERSION AS OF` time travel."""
+    def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
+        """Current snapshot, or `VERSION AS OF` time travel.
+
+        merge_schema=True unions the column sets of all data files
+        (Iceberg-style additive schema evolution: old files surface the
+        new columns as NULL)."""
         cur = version if version is not None else self.current_version()
         if cur is None or cur not in self._versions():
             raise ValueError(f"table {self.name}: no snapshot v{version}")
-        return self.spark.read.parquet(*self._read_meta(cur)["dirs"])
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*self._read_meta(cur)["dirs"])
 
     def drop(self) -> None:
         if os.path.isdir(self.base):
@@ -288,4 +295,40 @@ def table_expire_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(s["version"], s["op"], rows) for s in snaps],
         schema="version int, op string, n_rows bigint",
+    )
+
+
+@register(
+    "table_schema_evolution",
+    oracle="""
+    SELECT count(*)                                    AS n_rows,
+           CAST(count(*) FILTER (n_nationkey >= 100) AS BIGINT) AS n_evolved,
+           CAST(sum(CASE WHEN n_nationkey >= 100 THEN (n_nationkey - 100) * 2 END) AS BIGINT) AS sum_extra
+    FROM (
+        SELECT n_nationkey FROM nation
+        UNION ALL
+        SELECT n_nationkey + 100 FROM nation
+    )
+    """,
+    doc="Additive schema evolution on the snapshot table: v1 is written "
+    "without the `n_extra` column, v2 appends rows WITH it; a "
+    "merge-schema read surfaces the union schema with NULLs for v1 rows "
+    "(Iceberg add-column semantics on plain parquet).",
+)
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = SnapshotTable(spark, "nation_evolve")
+    t.drop()
+    t.create(nation)  # v1: two columns
+    evolved = nation.select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        "n_name",
+        (F.col("n_nationkey") * 2).cast("long").alias("n_extra"),  # new column
+    )
+    t.append(evolved)  # v2: three columns
+    back = t.read(merge_schema=True)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_extra").cast("bigint").alias("n_evolved"),
+        F.sum("n_extra").cast("bigint").alias("sum_extra"),
     )
