@@ -34,6 +34,7 @@ from empdia_iceberg_spark.operators import bucketing  # noqa: F401
 from empdia_iceberg_spark.operators import skyline  # noqa: F401
 from empdia_iceberg_spark.operators import multimodal  # noqa: F401
 from empdia_iceberg_spark.functions import classifier  # noqa: F401
+from empdia_iceberg_spark.functions import udx  # noqa: F401
 from empdia_iceberg_spark.functions import reward  # noqa: F401
 from empdia_iceberg_spark.functions import termination  # noqa: F401
 from empdia_iceberg_spark.functions import messages  # noqa: F401

@@ -1,0 +1,127 @@
+"""UDTF + grouped-agg UDAF surface (SURVEY.md §2.B UDF/UDAF/UDTF row).
+
+- **Python UDTF** (`@udtf`, Spark 3.5+): a sentence/window expander —
+  one input document row → one output row per word-window. Registered
+  against a DuckDB unnest oracle, so the table-function contract is
+  value-checked, not just smoke-run.
+- **grouped-agg pandas UDAF**: a true vectorized aggregate (weighted
+  mean via numpy over Arrow batches) — distinct from the grouped-MAP
+  `applyInPandas` used by the reward cross-check. Exact-decimal math
+  inside the UDAF keeps it order-independent so the DuckDB oracle
+  hash-matches.
+
+Both are the slow-path escape hatches of the engine: used only where
+built-ins can't express the op, always Arrow-batched, never per-row
+Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.exact import det_round, sql_det_round
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+WINDOW_WORDS = 10  # word-window length for the UDTF expander
+WINDOW_STRIDE = 10  # non-overlapping
+
+
+def _word_windows_udtf():
+    """Built lazily (UDTF registration needs an active session)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_idx int, n_words int, first_word string")
+    class WordWindows:
+        def eval(self, text: str):
+            words = text.split()
+            for i, lo in enumerate(range(0, len(words), WINDOW_STRIDE)):
+                chunk = words[lo : lo + WINDOW_WORDS]
+                yield i, len(chunk), chunk[0]
+
+    return WordWindows
+
+
+@register(
+    "udtf_word_windows",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT)                                        AS win_idx,
+           CAST(least({WINDOW_WORDS}, len(w) - i * {WINDOW_STRIDE}) AS INT) AS n_words,
+           w[1 + i * {WINDOW_STRIDE}]                             AS first_word
+    FROM words
+    CROSS JOIN range(0, 4096) r(i)
+    WHERE i * {WINDOW_STRIDE} < len(w)
+    ORDER BY doc_id, win_idx
+    LIMIT 5000
+    """,
+    doc="Python UDTF (table function): expand each document into "
+    "10-word windows via a lateral join — one input row, many output "
+    "rows; value-checked against a DuckDB unnest oracle.",
+)
+def udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    WordWindows = _word_windows_udtf()
+    spark.udtf.register("word_windows", WordWindows)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.win_idx, w.n_words, w.first_word
+        FROM _docs_udtf d, LATERAL word_windows(d.text) w
+        ORDER BY d.doc_id, w.win_idx
+        LIMIT 5000
+        """
+    )
+
+
+def _weighted_mean_udaf():
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        num = (v.astype("float64") * w.astype("float64")).sum()
+        den = w.astype("float64").sum()
+        return float(num / den)
+
+    return F.pandas_udf(weighted_mean, "double")
+
+
+def _count_udaf():
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in one
+    # agg() — the row count rides along as a second pandas aggregate
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    return F.pandas_udf(n_rows, "long")
+
+
+@register(
+    "udaf_weighted_value",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {sql_det_round('sum(value * (event_id % 10 + 1)) / sum(event_id % 10 + 1)', 4)} AS wavg_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Grouped-agg pandas UDAF: weighted mean of event value per type "
+    "(vectorized numpy over Arrow batches) — the custom-aggregate "
+    "escape hatch, value-checked against the relational formulation.",
+)
+def udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "weight", (F.col("event_id") % 10 + 1).cast("double")
+    )
+    wavg = _weighted_mean_udaf()
+    n_rows = _count_udaf()
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n_rows("value").alias("n_events"),
+            det_round(wavg("value", "weight"), 4).alias("wavg_value"),
+        )
+        .orderBy("event_type")
+    )
