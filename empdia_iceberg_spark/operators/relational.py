@@ -810,3 +810,38 @@ def salted_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "unpivot_pricing_metrics",
+    oracle=f"""
+    WITH wide AS (
+        SELECT l_returnflag,
+               round({sql_sum2('l_quantity')}, 2)      AS sum_qty,
+               round({sql_sum2('l_extendedprice')}, 2) AS sum_price,
+               CAST(count(*) AS DOUBLE)                AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_items))
+    ORDER BY l_returnflag, metric
+    """,
+    doc="UNPIVOT/melt (inverse of pivot): wide per-flag pricing metrics "
+    "reshaped to long (metric, value) rows — df.unpivot vs DuckDB "
+    "UNPIVOT.",
+)
+def unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(exact_sum2("l_quantity"), 2).alias("sum_qty"),
+        F.round(exact_sum2("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_items"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "metric")
