@@ -94,3 +94,60 @@ def grpo_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_n",
         det_round(F.col("advantage"), 4).alias("advantage"),
     ).orderBy("event_id")
+
+
+@register(
+    "grpo_pairwise_n2",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT event_id, value,
+               CAST(event_id // 2 AS BIGINT) AS prompt_id,
+               CAST(event_id % 2 AS INT)     AS rollout_idx
+        FROM events
+    ),
+    moments AS (
+        SELECT prompt_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS _sum,
+               CAST(sum(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS _sumsq,
+               count(*) AS group_n
+        FROM pairs
+        GROUP BY prompt_id
+    ),
+    stats AS (
+        SELECT prompt_id, group_n,
+               _sum / group_n AS group_mean,
+               sqrt(CASE WHEN group_n > 1
+                         THEN greatest((_sumsq - _sum * _sum / group_n) / (group_n - 1), 0.0)
+                         ELSE 0.0 END) AS group_std
+        FROM moments
+    )
+    SELECT p.prompt_id, p.rollout_idx,
+           round(p.value, 4) AS reward,
+           CAST(m.group_n AS BIGINT) AS group_n,
+           floor((p.value - m.group_mean) / (m.group_std + {EPS}) * 10000.0 + 0.5) / 10000.0 AS advantage
+    FROM pairs p JOIN stats m USING (prompt_id)
+    ORDER BY p.prompt_id, p.rollout_idx
+    """,
+    doc="GRPO with the reference's ACTUAL group shape — n=2 rollouts per "
+    "prompt (train.sh:50, rollout.n=2): consecutive event pairs form a "
+    "prompt group; within a pair the advantages are symmetric "
+    "±(r−mean)/(std+eps). Same decimal-exact moment math as the general "
+    "form.",
+)
+def grpo_pairwise_n2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select(
+        "event_id",
+        "value",
+        (F.col("event_id") / 2).cast("long").alias("prompt_id"),
+        (F.col("event_id") % 2).cast("int").alias("rollout_idx"),
+    )
+    out = grpo_advantages(pairs, ["prompt_id"], "value")
+    return out.select(
+        "prompt_id",
+        "rollout_idx",
+        F.round("value", 4).alias("reward"),
+        F.col("group_n").cast("bigint").alias("group_n"),
+        det_round(F.col("advantage"), 4).alias("advantage"),
+    ).orderBy("prompt_id", "rollout_idx")

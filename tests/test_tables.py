@@ -82,3 +82,16 @@ def test_partitioned_write_prunes(spark):
     df = sink_partitioned_write(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "l_returnflag" in plan
+
+
+def test_side_effect_queries_are_idempotent(spark):
+    """Managed-table / sink / streaming queries must return identical
+    results when invoked twice in one session (drop/recreate
+    discipline) — the driver may warm-run queries."""
+    from empdia_iceberg_spark import registry
+
+    q = registry.queries()
+    for name in ("table_merge_upsert", "csv_roundtrip", "stream_dedup_events"):
+        r1 = sorted(map(repr, q[name](spark, SF_DIR).collect()))
+        r2 = sorted(map(repr, q[name](spark, SF_DIR).collect()))
+        assert r1 == r2, name
