@@ -148,3 +148,74 @@ def range_join_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+GAP_FILL_START = "2024-01-01 00:00:00"
+GAP_FILL_END = "2024-01-03 23:00:00"  # 3 days of hourly buckets
+
+
+@register(
+    "events_gap_fill_ffill",
+    oracle=f"""
+    WITH hours AS (
+        SELECT unnest(generate_series(TIMESTAMP '{GAP_FILL_START}',
+                                      TIMESTAMP '{GAP_FILL_END}',
+                                      INTERVAL 1 HOUR)) AS hour
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (SELECT user_id, hour FROM users CROSS JOIN hours),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               round(max_by(value, ts), 2) AS last_value_in_hour
+        FROM events
+        WHERE ts >= TIMESTAMP '{GAP_FILL_START}'
+          AND ts <  TIMESTAMP '{GAP_FILL_END}' + INTERVAL 1 HOUR
+        GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.hour,
+           h.last_value_in_hour AS observed,
+           last_value(h.last_value_in_hour IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+    ORDER BY g.user_id, g.hour
+    """,
+    doc="Time-series resample + gap fill (hypertable/continuous-timeline "
+    "shape): a dense per-user hourly grid is generated with sequence()+"
+    "explode, observed hours join in, and missing hours forward-fill via "
+    "last() IGNORE NULLS over the user timeline — one shuffle on "
+    "user_id; the grid generation is embarrassingly parallel.",
+)
+def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit(GAP_FILL_START).cast("timestamp"),
+                F.lit(GAP_FILL_END).cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+    )
+    hourly = (
+        ev.filter(
+            (F.col("ts") >= F.lit(GAP_FILL_START).cast("timestamp"))
+            & (F.col("ts") < F.lit(GAP_FILL_END).cast("timestamp") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.round(F.max_by("value", "ts"), 2).alias("last_value_in_hour"))
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.col("last_value_in_hour").alias("observed"),
+        F.last("last_value_in_hour", ignorenulls=True).over(w).alias("filled"),
+    ).orderBy("user_id", "hour")
