@@ -24,11 +24,12 @@ from empdia_iceberg_spark import registry  # noqa: F401
 from empdia_iceberg_spark.session import get_spark  # noqa: F401
 
 # Import operator modules for their @register side effects.
-from empdia_iceberg_spark.operators import relational  # noqa: F401
-from empdia_iceberg_spark.operators import windows  # noqa: F401
-from empdia_iceberg_spark.operators import dedup  # noqa: F401
-from empdia_iceberg_spark.operators import similarity  # noqa: F401
-from empdia_iceberg_spark.operators import textstats  # noqa: F401
+#
+# ORDER MATTERS for driver evidence: the verify sweep runs queries in
+# registration order under a wall-clock budget (CORRECTNESS_r02 covered
+# exactly the first 50 of 93 entries). Modules whose queries have no
+# driver CORRECTNESS row yet register FIRST; the relational/window/
+# dedup/similarity/textstats core (all hash-green in r02) registers last.
 from empdia_iceberg_spark.operators import asof  # noqa: F401
 from empdia_iceberg_spark.operators import bucketing  # noqa: F401
 from empdia_iceberg_spark.operators import skyline  # noqa: F401
@@ -41,9 +42,14 @@ from empdia_iceberg_spark.functions import messages  # noqa: F401
 from empdia_iceberg_spark.sources import sinks  # noqa: F401
 from empdia_iceberg_spark.plans import prep  # noqa: F401
 from empdia_iceberg_spark.plans import grpo  # noqa: F401
+from empdia_iceberg_spark.tables import manager  # noqa: F401
 from empdia_iceberg_spark.streaming import windows as stream_windows  # noqa: F401
 from empdia_iceberg_spark.streaming import conversation  # noqa: F401
-from empdia_iceberg_spark.tables import manager  # noqa: F401
+from empdia_iceberg_spark.operators import relational  # noqa: F401
+from empdia_iceberg_spark.operators import windows  # noqa: F401
+from empdia_iceberg_spark.operators import dedup  # noqa: F401
+from empdia_iceberg_spark.operators import similarity  # noqa: F401
+from empdia_iceberg_spark.operators import textstats  # noqa: F401
 
 __all__ = ["registry", "get_spark"]
 __version__ = "0.1.0"
