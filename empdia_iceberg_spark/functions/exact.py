@@ -57,6 +57,27 @@ def sql_det_round(expr: str, d: int) -> str:
     return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
 
 
+def exact_sum_r6(expr: Column) -> Column:
+    """Order-independent sum of an ARBITRARY double expression (e.g. a
+    sigmoid score), as double.
+
+    A plain double sum depends on summation order (Spark partials vs
+    DuckDB scan order), which flips det_round at boundary values. Fix:
+    det_round each element to 6 digits first — bit-identical across
+    engines — then cast to DECIMAL(27,6). The det_round output is the
+    nearest double to k/10^6, whose shortest decimal repr IS the
+    6-digit value, so Spark's shortest-repr double→decimal cast and
+    DuckDB's exact-binary cast both yield exactly k·10⁻⁶. The decimal
+    sum is exact and associative; one final cast back to double is
+    correctly rounded on both engines. Mirror: `sql_sum_r6`.
+    """
+    return F.sum(det_round(expr, 6).cast("decimal(27,6)")).cast("double")
+
+
+def sql_sum_r6(expr: str) -> str:
+    return f"CAST(sum(CAST({sql_det_round(expr, 6)} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
 def sql_sum2(col: str) -> str:
     return f"CAST(sum(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from empdia_iceberg_spark.functions.exact import det_round
+from empdia_iceberg_spark.functions.exact import det_round, exact_sum_r6, sql_sum_r6
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
 
@@ -87,12 +87,19 @@ def per_turn_scores(lh: DataFrame, **cfg) -> DataFrame:
 
 
 def trajectory_reward(lh: DataFrame, min_turns: int = MIN_TURNS, **cfg) -> DataFrame:
-    """One row per dia_id: n_turns + gated mean score (reward.py:24-26,69)."""
+    """One row per dia_id: n_turns + gated mean score (reward.py:24-26,69).
+
+    The mean uses `exact_sum_r6` (per-turn scores det-rounded to 6
+    digits, summed as DECIMAL) so the value is independent of summation
+    order — a raw double avg() varies by ±1 ulp between Spark partials
+    and the DuckDB oracle's scan order and can flip det_round at a
+    rounding boundary.
+    """
     scored = per_turn_scores(lh, **cfg)
     return scored.groupBy("dia_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.when(F.count(F.lit(1)) < min_turns, F.lit(0.0))
-        .otherwise(F.avg("score"))
+        .otherwise(exact_sum_r6(F.col("score")) / F.count(F.lit(1)))
         .alias("reward"),
     )
 
@@ -118,7 +125,7 @@ _REWARD_ORACLE = f"""
     )
     SELECT dia_id,
            count(*) AS n_turns,
-           floor((CASE WHEN count(*) < 5 THEN 0.0 ELSE sum(score) / count(*) END) * 1000000.0 + 0.5) / 1000000.0 AS reward
+           floor((CASE WHEN count(*) < 5 THEN 0.0 ELSE {sql_sum_r6('score')} / count(*) END) * 1000000.0 + 0.5) / 1000000.0 AS reward
     FROM scored
     GROUP BY dia_id
     ORDER BY dia_id
@@ -182,7 +189,11 @@ def _reward_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     ) * (0.5 + 0.5 * conf)
     score = 1.0 / (1.0 + np.exp(-p["k"] * (raw - p["c"])))
     n = len(layer)
-    reward = 0.0 if n < MIN_TURNS else float(score.mean())
+    # Mirror exact_sum_r6 bit-for-bit: det-round each score to 6 digits
+    # (floor(x·1e6+0.5) — exact integers in float64), sum exactly, then
+    # the same double divisions the SQL path performs.
+    units = np.floor(score * 1e6 + 0.5)
+    reward = 0.0 if n < MIN_TURNS else (float(units.sum()) / 1e6) / n
     return pd.DataFrame(
         {"dia_id": [pdf["dia_id"].iloc[0]], "n_turns": [n], "reward": [reward]}
     )
@@ -199,7 +210,7 @@ def _reward_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     SELECT dia_id,
            count(*) AS n_turns,
            floor((CASE WHEN count(*) < 5 THEN 0.0
-                       ELSE sum(turn_reward) / count(*) END) * 1000000.0 + 0.5) / 1000000.0
+                       ELSE CAST(sum(CAST(turn_reward AS DECIMAL(18,2))) AS DOUBLE) / count(*) END) * 1000000.0 + 0.5) / 1000000.0
              AS fallback_reward
     FROM per_turn
     GROUP BY dia_id
@@ -227,12 +238,19 @@ def reward_fallback_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dia_id",
             "n_turns",
             det_round(
+                # Fold in DECIMAL (exact, order-independent): turn_reward
+                # is exactly 2-decimal, so the ordered array fold equals
+                # the oracle's unordered decimal sum bit-for-bit. A raw
+                # double fold is order-sensitive and flips det_round at
+                # .5 boundaries (reachable here: 32 turns, odd sum).
                 F.when(F.col("n_turns") < MIN_TURNS, F.lit(0.0)).otherwise(
                     F.aggregate(
-                        F.transform(F.col("_arr"), lambda s: s.turn_reward),
-                        F.lit(0.0),
-                        lambda a, x: a + x,
-                    )
+                        F.transform(
+                            F.col("_arr"), lambda s: s.turn_reward.cast("decimal(18,2)")
+                        ),
+                        F.lit(0).cast("decimal(28,2)"),
+                        lambda a, x: (a + x).cast("decimal(28,2)"),
+                    ).cast("double")
                     / F.size("_arr")
                 ),
                 6,
@@ -272,7 +290,7 @@ def reward_fallback_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dia_id,
            max(beta_eff) AS beta_eff,
            max(k_eff)    AS k_eff,
-           floor((CASE WHEN count(*) < 5 THEN 0.0 ELSE sum(score) / count(*) END) * 1000000.0 + 0.5) / 1000000.0 AS reward
+           floor((CASE WHEN count(*) < 5 THEN 0.0 ELSE {sql_sum_r6('score')} / count(*) END) * 1000000.0 + 0.5) / 1000000.0 AS reward
     FROM scored
     GROUP BY dia_id
     ORDER BY dia_id
@@ -307,8 +325,9 @@ def reward_config_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("beta_eff").alias("beta_eff"),
             F.max("k_eff").alias("k_eff"),
             det_round(
+                # order-independent mean — see trajectory_reward
                 F.when(F.count(F.lit(1)) < MIN_TURNS, F.lit(0.0)).otherwise(
-                    F.avg("score")
+                    exact_sum_r6(F.col("score")) / F.count(F.lit(1))
                 ),
                 6,
             ).alias("reward"),

@@ -36,9 +36,16 @@ def _word_windows_udtf():
 
     @udtf(returnType="win_idx int, n_words int, first_word string")
     class WordWindows:
+        MAX_WINDOWS = 4096  # mirrored by the oracle's range(0, 4096)
+
         def eval(self, text: str):
-            words = text.split()
+            # split() drops empty tokens (and yields [] for empty or
+            # whitespace-only text) — the oracle filters empties from
+            # its regex split to tokenize identically.
+            words = (text or "").split()
             for i, lo in enumerate(range(0, len(words), WINDOW_STRIDE)):
+                if i >= self.MAX_WINDOWS:
+                    break
                 chunk = words[lo : lo + WINDOW_WORDS]
                 yield i, len(chunk), chunk[0]
 
@@ -49,7 +56,9 @@ def _word_windows_udtf():
     "udtf_word_windows",
     oracle=f"""
     WITH words AS (
-        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM documents
     )
     SELECT doc_id,
            CAST(i AS INT)                                        AS win_idx,
@@ -81,9 +90,17 @@ def udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _weighted_mean_udaf():
     def weighted_mean(v: pd.Series, w: pd.Series) -> float:
-        num = (v.astype("float64") * w.astype("float64")).sum()
-        den = w.astype("float64").sum()
-        return float(num / den)
+        import numpy as np
+
+        # value is exactly 2-decimal (see functions.exact): sum in
+        # integer cents so the result is order-independent and matches
+        # the oracle's DECIMAL(18,2) sum bit-for-bit. floor(v·100+0.5)
+        # recovers the exact cents from the nearest-double value.
+        cents = np.floor(v.to_numpy(dtype="float64") * 100.0 + 0.5)
+        wt = w.to_numpy(dtype="float64")
+        num = float((cents * wt).sum())  # exact: integer-valued float64
+        den = float(wt.sum())
+        return (num / 100.0) / den
 
     return F.pandas_udf(weighted_mean, "double")
 
@@ -102,7 +119,7 @@ def _count_udaf():
     oracle=f"""
     SELECT event_type,
            count(*) AS n_events,
-           {sql_det_round('sum(value * (event_id % 10 + 1)) / sum(event_id % 10 + 1)', 4)} AS wavg_value
+           {sql_det_round('CAST(sum(CAST(value AS DECIMAL(18,2)) * (event_id % 10 + 1)) AS DOUBLE) / CAST(sum(event_id % 10 + 1) AS DOUBLE)', 4)} AS wavg_value
     FROM events
     GROUP BY event_type
     ORDER BY event_type

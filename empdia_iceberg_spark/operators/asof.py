@@ -33,11 +33,19 @@ def asof_join(
     key: str,
     ts: str,
     value_cols: tuple[str, ...],
+    tiebreaks: tuple[str, ...] = (),
 ) -> DataFrame:
     """Generic as-of join: probe columns + last build value_cols with
     build.ts <= probe.ts per key (ties: build row sorts first, so an
     equal-timestamp build row IS visible to the probe row — DuckDB ASOF
-    `<=` semantics)."""
+    `<=` semantics).
+
+    ``tiebreaks`` (a subset of value_cols) deterministically picks
+    among build rows sharing (key, ts): the row with the GREATEST
+    tiebreak tuple wins. Without it, last() over a window ordered only
+    by (ts, side) picks an arbitrary peer when build timestamps
+    collide — nondeterministic across runs and engines.
+    """
     p = probe.select(
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
@@ -54,9 +62,11 @@ def asof_join(
         ).alias("_probe"),
         *[F.col(c).alias(f"_b_{c}") for c in value_cols],
     )
+    # Tiebreak columns are null on probe rows, but _side already orders
+    # probe after every build row at equal ts, so the nulls never decide.
     w = (
         W.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", *[f"_b_{c}" for c in tiebreaks])
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     unioned = p.unionByName(b)
@@ -79,19 +89,33 @@ def asof_join(
            b.event_id AS asof_event_id,
            b.ts       AS asof_ts
     FROM (SELECT * FROM events WHERE event_type = 'click') a
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, ts
+    ) b
       ON a.user_id = b.user_id AND b.ts <= a.ts
     ORDER BY a.event_id
     """,
     doc="As-of join: for every click, the latest error by the same user "
     "at or before it — union + last() IGNORE NULLS over one keyed "
-    "window, checked against DuckDB's native ASOF LEFT JOIN.",
+    "window, checked against DuckDB's native ASOF LEFT JOIN. Ties on "
+    "(user_id, ts) resolve to the max event_id on both sides: the Spark "
+    "window tiebreaks on event_id; the oracle pre-collapses ties so "
+    "DuckDB ASOF (whose tie choice is unspecified) sees a unique row.",
 )
 def asof_join_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
-    out = asof_join(clicks, errors, key="user_id", ts="ts", value_cols=("event_id", "ts"))
+    out = asof_join(
+        clicks,
+        errors,
+        key="user_id",
+        ts="ts",
+        value_cols=("event_id", "ts"),
+        tiebreaks=("event_id",),
+    )
     return out.select(
         "event_id",
         "user_id",

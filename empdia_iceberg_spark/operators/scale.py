@@ -16,6 +16,8 @@ in one bucket together, so cross-bucket order is total.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -30,12 +32,72 @@ def bucketed_global_row_number(
 ) -> tuple[DataFrame, int]:
     """Append an exact global 1-based row number in (order_col,
     *tiebreaks) order without a single-partition window. Returns
-    (df_with_out_col, total_row_count)."""
+    (df_with_out_col, total_row_count).
+
+    Degenerate order columns (constant / low-cardinality) collapse the
+    approx-quantile boundaries, which would silently reinstate the
+    single-reducer global window this function exists to avoid. In
+    that case every primary bucket holds exactly ONE distinct
+    order_col value (boundaries = the exact distinct values, fetched
+    with a small groupBy — safe: low cardinality is the premise), so a
+    secondary RANGE bucketing on the first numeric tiebreak still
+    yields a total order across composite buckets. With no usable
+    tiebreak the single-bucket behavior is kept but warned about.
+    """
     qs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(df.approxQuantile(order_col, qs, 0.001)))
+
+    sub_col = None
+    if len(bounds) < max(2, buckets // 8):
+        nd = df.agg(F.approx_count_distinct(order_col).alias("nd")).collect()[0]["nd"]
+        if nd > buckets * 4:
+            # High cardinality but skewed: a composite range bucketing
+            # can't preserve order (a primary bucket mixes values), so
+            # keep the quantile buckets and surface the hot spot.
+            warnings.warn(
+                f"bucketed_global_row_number: {order_col!r} is skewed "
+                f"({len(bounds)} usable boundaries for {nd} distinct values); "
+                "heavy-hitter buckets will be large",
+                stacklevel=2,
+            )
+        else:
+            # Boundaries collapsed → order_col has few distinct values.
+            # Exact distinct values (small by premise) become the primary
+            # boundaries so each bucket is single-valued.
+            distinct_vals = sorted(
+                r[0] for r in df.select(order_col).distinct().collect()
+            )
+            bounds = distinct_vals[:-1]  # > v boundaries between the values
+            numeric_tb = [
+                c
+                for c in tiebreaks
+                if dict(df.dtypes).get(c)
+                in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+            ]
+            if numeric_tb:
+                sub_col = numeric_tb[0]
+            else:
+                warnings.warn(
+                    f"bucketed_global_row_number: order column {order_col!r} has "
+                    f"{len(distinct_vals)} distinct values and no numeric tiebreak — "
+                    "row numbering degrades toward a single-partition window",
+                    stacklevel=2,
+                )
+
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
+    if sub_col is not None:
+        # Secondary range bucketing: valid because each primary bucket
+        # now contains exactly one order_col value, so ordering the
+        # composite buckets by (primary, secondary) agrees with the row
+        # order (order_col, *tiebreaks).
+        sub_bounds = sorted(set(df.approxQuantile(sub_col, qs, 0.001)))
+        sub = F.lit(0)
+        for b in sub_bounds:
+            sub = sub + F.when(F.col(sub_col) > F.lit(b), 1).otherwise(0)
+        bucket = bucket * (len(sub_bounds) + 1) + sub
+
     bdf = df.withColumn("_bkt", bucket)
     counts = {
         r["_bkt"]: r["cnt"]

@@ -308,7 +308,11 @@ CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
     "content is fingerprinted with md5 for the value-level oracle.",
 )
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # Empty text must yield zero chunks: without the filter, n_chunks=0
+    # makes sequence(0, -1) auto-infer step -1 and emit two spurious
+    # rows (chunk_idx 0 and -1) that the oracle's WHERE clause never
+    # produces.
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_chunks = F.floor((F.length("text") - 1) / CHUNK_STRIDE) + 1
     exploded = docs.select(
         "doc_id",
