@@ -32,7 +32,16 @@ HEADLINE = [
     "termination_flags",
     "doc_exact_dedup",
     "knn_cosine_top5",
+    "doc_minhash_near_dup",
+    "stream_tumbling_hourly",
+    "table_merge_upsert",
 ]
+
+# Queries whose real work happens inside the query FUNCTION (streaming
+# drain to a memory sink, managed-table MERGE) rather than at collect
+# time: the timed unit must be the whole call, or we'd time only the
+# final read of an already-materialized sink.
+SIDE_EFFECT = {"stream_tumbling_hourly", "table_merge_upsert"}
 
 
 def main() -> None:
@@ -52,17 +61,25 @@ def main() -> None:
         if name not in qs:
             skipped.append(name)  # explicit: missing coverage, not omitted silently
             continue
-        # Build the DataFrame ONCE: the warm-up run pays Catalyst
-        # analysis/optimization, file listing, and schema read (constant
-        # driver-side costs, irrelevant at scale); the timed second run
-        # measures execution — the documented methodology above.
-        df = qs[name](spark, sf_dir)
-        df.toPandas()  # warm-up
-        best = float("inf")
-        for _ in range(3):  # best-of-3: shields against scheduler noise
-            t0 = time.perf_counter()
-            df.toPandas()
-            best = min(best, time.perf_counter() - t0)
+        if name in SIDE_EFFECT:
+            qs[name](spark, sf_dir).toPandas()  # warm-up
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).toPandas()
+                best = min(best, time.perf_counter() - t0)
+        else:
+            # Build the DataFrame ONCE: the warm-up run pays Catalyst
+            # analysis/optimization, file listing, and schema read (constant
+            # driver-side costs, irrelevant at scale); the timed second run
+            # measures execution — the documented methodology above.
+            df = qs[name](spark, sf_dir)
+            df.toPandas()  # warm-up
+            best = float("inf")
+            for _ in range(3):  # best-of-3: shields against scheduler noise
+                t0 = time.perf_counter()
+                df.toPandas()
+                best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
     out = {

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from empdia_iceberg_spark.functions.exact import det_round, sql_det_round
 from empdia_iceberg_spark.registry import register
-from empdia_iceberg_spark.sources.tables import load
+from empdia_iceberg_spark.sources.tables import load, local_df
 
 # empathy_interaction.py:54
 LAYERS = ["behavior", "coping", "feelings", "feelings_about_feelings", "perceptions"]
@@ -183,9 +183,9 @@ _LABEL_SQL_ROWS = ", ".join(f"({i}, '{s}')" for i, s in enumerate(_LABEL_FIXTURE
     "trims, so neither do we.",
 )
 def classifier_label_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = spark.createDataFrame(
-        list(enumerate(_LABEL_FIXTURE)), schema="id int, label string"
-    )
+    raw = local_df(
+        spark, list(enumerate(_LABEL_FIXTURE)), "id int, label string"
+    )  # 10-row fixture: one partition, one task
     canon = canonical_layer(F.col("label"))
     return raw.select(
         "id",
@@ -193,6 +193,120 @@ def classifier_label_canonicalization(spark: SparkSession, sf_dir: str) -> DataF
         canon.alias("canonical"),
         F.coalesce(canon, F.lit("behavior")).alias("effective"),  # :131 fallback
     ).orderBy("id")
+
+
+# ------------------------------------------- R26 real-model variant
+#
+# The reference loads a real HF sequence classifier per process
+# (empathy_interaction.py:101-113: AutoTokenizer/AutoModel from a private
+# checkpoint path) and runs tokenize(max_length=256) → logits → softmax →
+# argmax (:115-137). This container ships no torch/transformers and no
+# checkpoint, so the real path is ENV-GATED: set EMPDIA_HF_CLASSIFIER to
+# any public text-classification checkpoint to light it up; otherwise the
+# deterministic stub (same output contract) runs and keeps the rows-only
+# check meaningful. The oracle stays on classifier_stub_layers.
+
+HF_MODEL_ENV = "EMPDIA_HF_CLASSIFIER"
+
+
+def real_model_available() -> bool:
+    """True only when a checkpoint is configured AND the ML stack imports."""
+    import importlib.util
+    import os
+
+    if not os.environ.get(HF_MODEL_ENV):
+        return False
+    return (
+        importlib.util.find_spec("torch") is not None
+        and importlib.util.find_spec("transformers") is not None
+    )
+
+
+def _ensure_real_model(model_name: str):
+    """R25 once-per-process init of the HF tokenizer+model
+    (empathy_interaction.py:101-113), keyed by checkpoint name."""
+    key = f"hf:{model_name}"
+    if key not in _MODEL_CACHE:
+        import torch  # noqa: F401  (gated by real_model_available)
+        from transformers import (
+            AutoModelForSequenceClassification,
+            AutoTokenizer,
+        )
+
+        tok = AutoTokenizer.from_pretrained(model_name)
+        model = AutoModelForSequenceClassification.from_pretrained(model_name)
+        model.eval()
+        # id2label in index order, like empathy_interaction.py:111-113
+        id2label = [
+            model.config.id2label[i] for i in range(model.config.num_labels)
+        ]
+        _MODEL_CACHE[key] = (tok, model, id2label)
+    return _MODEL_CACHE[key]
+
+
+def predict_layer_real_udf(model_name: str):
+    """R26 with a real checkpoint: tokenize (max_length=256, trunc/pad) →
+    no-grad logits → softmax → argmax + confidence
+    (empathy_interaction.py:115-137). Arrow-batched; model lives in the
+    executor-process cache, one load per worker."""
+
+    def predict(texts: pd.Series) -> pd.DataFrame:
+        import torch
+
+        tok, model, id2label = _ensure_real_model(model_name)
+        batch = tok(
+            list(texts.fillna("")),
+            truncation=True,
+            padding=True,
+            max_length=256,  # empathy_interaction.py:122
+            return_tensors="pt",
+        )
+        with torch.no_grad():  # :125-126
+            probs = torch.softmax(model(**batch).logits, dim=-1)
+        conf, idx = probs.max(dim=-1)
+        return pd.DataFrame(
+            {
+                "layer_idx": (idx + 1).numpy().astype(np.int32),
+                "layer_name": [id2label[int(i)] for i in idx],
+                "confidence": conf.numpy().astype(np.float64),
+            }
+        )
+
+    return F.pandas_udf(
+        predict, "layer_idx int, layer_name string, confidence double"
+    )
+
+
+@register(
+    "classifier_real_model",
+    oracle=None,  # model outputs are checkpoint-dependent → rows-only;
+    # the value-level oracle lives on classifier_stub_layers (same contract).
+    doc="R26 with real-model wiring (empathy_interaction.py:101-137): if "
+    f"${HF_MODEL_ENV} names an HF checkpoint and torch/transformers import, "
+    "classify with it (tokenize max_length=256 → softmax → argmax, lazy "
+    "per-executor load); else fall back to the deterministic stub with the "
+    "identical output contract. Confidence bounds asserted either way.",
+)
+def classifier_real_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    docs = load(spark, sf_dir, "documents")
+    if real_model_available():
+        pred = predict_layer_real_udf(os.environ[HF_MODEL_ENV])(F.col("text"))
+    else:
+        pred = predict_layer_udf()(F.col("text"))
+    pred = pred.alias("p")
+    return (
+        docs.select("doc_id", pred)
+        .select(
+            "doc_id",
+            F.col("p.layer_idx").alias("layer_idx"),
+            F.col("p.layer_name").alias("layer_name"),
+            det_round(F.col("p.confidence"), 6).alias("confidence"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
 
 
 # ---------------------------------------------------- R22/R23 generation

@@ -35,6 +35,9 @@ Embedding-cosine near-dup lives in ``operators/similarity.py``.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -73,7 +76,14 @@ _SQL_SHINGLES = r"""
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition BEFORE shingling: a small documents file arrives as one
+    # input split, which would serialize the expensive explode/join work
+    # downstream onto a single core. One cheap round-robin exchange of the
+    # raw rows buys full parallelism for everything after; at cluster
+    # scale the scan already has many splits and this coalesces to a
+    # near-no-op (same partition count).
     docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
 
 
@@ -228,46 +238,70 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- MinHash + LSH
 
 
-def _seeded_hash(i: int):
-    # NB: must be a ONE-argument callable — F.transform passes the array
-    # index as a second argument when the lambda accepts two, which would
-    # silently shadow the seed.
-    def f(s: Column) -> Column:
-        return F.xxhash64(F.lit(i), s)
-
-    return f
+_MINHASH_SEED = 42
 
 
-def minhash_signature(sh: Column, n_hashes: int = MINHASH_N) -> list[Column]:
-    """n deterministic minhashes of a shingle array: min over shingles of
-    xxhash64(seed_i, shingle). Empty shingle set → NULL minhash (such
-    docs can never be near-dup candidates)."""
-    return [
-        F.array_min(F.transform(sh, _seeded_hash(i))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
+def _minhash_band_batches(n_hashes: int = MINHASH_N, bands: int = LSH_BANDS):
+    """Arrow-batched signature+banding kernel: per doc, base-hash each
+    shingle (md5 -> uint64), apply n multiply-shift hash functions
+    (vectorized (a*x + b) over uint64; wraparound = mod 2^64 -- a
+    standard universal family for minhash), min-reduce per function,
+    then fold each band's rows into one bucket key. Emits
+    (doc_id, band, bucket): `bands` rows per doc.
+
+    Why a pandas kernel and not 128 JVM expressions: both JVM layouts
+    (128 array_min(transform(...)) lambdas, or explode + a 128-wide
+    min-aggregate) spend seconds in expression construction / codegen
+    per run and the wide-agg adds a shuffle of every exploded shingle.
+    Here signatures never shuffle at all -- the only exchange in the
+    whole operator is on the (band, bucket) join key -- and the numpy
+    matmul-style hashing is vectorized across all shingles of a batch.
+    """
+    rows = n_hashes // bands
+
+    def compute(batches):
+        import hashlib
+
+        rng = np.random.RandomState(_MINHASH_SEED)
+        a = rng.randint(1, 2**62, size=n_hashes).astype(np.uint64) | np.uint64(1)
+        b = rng.randint(0, 2**62, size=n_hashes).astype(np.uint64)
+        fold = rng.randint(1, 2**62, size=rows).astype(np.uint64) | np.uint64(1)
+        for pdf in batches:
+            out_doc, out_band, out_bucket = [], [], []
+            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
+                if sh is None or len(sh) == 0:
+                    continue  # empty shingle set: never a candidate
+                base = np.frombuffer(
+                    b"".join(hashlib.md5(s.encode()).digest()[:8] for s in sh),
+                    dtype="<u8",
+                )
+                sig = (a[:, None] * base[None, :] + b[:, None]).min(axis=1)
+                buckets = (sig.reshape(bands, rows) * fold).sum(axis=1)
+                out_doc.extend([doc_id] * bands)
+                out_band.extend(range(bands))
+                out_bucket.extend(buckets.view(np.int64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out_doc, dtype=np.int64),
+                    "band": np.asarray(out_band, dtype=np.int32),
+                    "bucket": np.asarray(out_bucket, dtype=np.int64),
+                }
+            )
+
+    return compute
+
+
+def minhash_band_rows(shingled: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band rows in one map-only pass."""
+    return shingled.mapInPandas(
+        _minhash_band_batches(), schema="doc_id long, band int, bucket long"
+    )
 
 
 def lsh_candidates(shingled: DataFrame) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs that share at least one LSH band
-    bucket. Shuffle volume is O(docs × bands), never O(pairs)."""
-    sig = shingled.select("doc_id", *minhash_signature(F.col("sh")))
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b), *[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bucket. Shuffle volume is O(docs x bands), never O(pairs)."""
+    bands = minhash_band_rows(shingled)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (

@@ -61,16 +61,76 @@ def asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(payload: bytes, modality: str):
-    """Real decode path — requires codec libs not present in this
-    container. Kept as the documented integration point."""
+    """Real decode path for compressed codecs — requires codec libs not
+    present in this container. Kept as the documented integration point.
+    Uncompressed container formats (PPM images, PCM WAV audio) decode
+    with no external libs at all — see `decode_ppm` / `decode_wav`,
+    which the feature-extract query uses for REAL decoding."""
     if modality == "image":
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:  # pragma: no cover - no codec libs here
             raise NotImplementedError(
-                "image decode requires Pillow; not available in this environment"
+                "compressed image decode requires Pillow; not available here"
             ) from exc
+    if modality == "audio" and payload[:4] == b"RIFF":
+        return decode_wav(payload)
     raise NotImplementedError(f"no decoder wired for modality {modality!r}")
+
+
+# ------------------------------------------------- real numpy-only codecs
+#
+# PPM (P6) and PCM WAV are uncompressed formats whose decode is pure
+# byte-layout parsing — implementable with numpy alone, no codec libs.
+# The synthetic asset table ENCODES deterministic media from each doc's
+# text bytes and the feature pass DECODES them for real: the full
+# encode→binary column→Arrow batch→decode→feature path is genuinely
+# exercised, leaving only compressed codecs (JPEG/MP3/H.264) stubbed.
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Raises ValueError on a
+    malformed header, like any real decoder."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 3)
+    w, h = map(int, parts[1].split())
+    maxval, data = int(parts[2]), parts[3]
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    return np.frombuffer(data[: h * w * 3], dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → PCM WAV bytes (RIFF header + data chunk)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (int16 samples, sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    rate = struct.unpack("<I", payload[24:28])[0]
+    n = struct.unpack("<I", payload[40:44])[0]
+    return np.frombuffer(payload[44 : 44 + n], dtype="<i2"), rate
 
 
 def fake_decode_features(payload: np.ndarray) -> np.ndarray:
@@ -127,6 +187,119 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+_IMG_W, _IMG_H = 8, 8  # synthetic image dims: 8×8 RGB = 192 payload bytes
+
+
+def _text_to_media(text: str, modality: str) -> bytes:
+    """Deterministic media encoder: doc text bytes → a REAL container
+    payload (P6 PPM for images, PCM WAV for audio; video stays an opaque
+    byte blob — its compressed codecs are the documented stub)."""
+    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if modality == "image":
+        need = _IMG_W * _IMG_H * 3
+        px = np.resize(raw if raw.size else np.zeros(1, np.uint8), need)
+        return encode_ppm(px.reshape(_IMG_H, _IMG_W, 3))
+    if modality == "audio":
+        samples = (
+            raw.astype(np.int16) - 128 if raw.size else np.zeros(1, np.int16)
+        ) * 256
+        return encode_wav(samples)
+    return raw.tobytes()
+
+
+def media_asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset table whose image/audio payloads are REAL encoded media
+    (decodable PPM/WAV), built with one Arrow-batched encode pass."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            modality = [MODALITIES[int(d) % 3] for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "modality": modality,
+                    "payload": [
+                        _text_to_media(t, m) for t, m in zip(pdf["text"], modality)
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(
+        encode, schema="asset_id long, modality string, payload binary"
+    )
+
+
+def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "asset_id": pdf["asset_id"].astype("int64"),
+            "modality": pdf["modality"],
+            "decoded": [],
+            "width": [],
+            "height": [],
+            "n_samples": [],
+            "mean_level": [],
+        }
+        for payload, modality in zip(pdf["payload"], pdf["modality"]):
+            try:
+                if modality == "image":
+                    px = decode_ppm(bytes(payload))
+                    out["decoded"].append(True)
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["n_samples"].append(px.size)
+                    out["mean_level"].append(float(px.mean()))
+                elif modality == "audio":
+                    samples, _rate = decode_wav(bytes(payload))
+                    out["decoded"].append(True)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["n_samples"].append(len(samples))
+                    out["mean_level"].append(
+                        float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                    )
+                else:  # video: compressed-codec stub — no decode claimed
+                    out["decoded"].append(False)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["n_samples"].append(len(payload))
+                    out["mean_level"].append(0.0)
+            except ValueError:
+                out["decoded"].append(False)
+                out["width"].append(0)
+                out["height"].append(0)
+                out["n_samples"].append(0)
+                out["mean_level"].append(0.0)
+        pdf_out = pd.DataFrame(out)
+        pdf_out["mean_level"] = np.floor(pdf_out["mean_level"] * 1e6 + 0.5) / 1e6
+        yield pdf_out
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # payload encoding happens inside the pipeline — the
+    # encode/decode roundtrip is value-tested in tests/test_llm_pipeline.py.
+    doc="REAL decode→feature pipeline: text bytes are encoded into "
+    "genuine media containers (P6 PPM images, PCM WAV audio — pure "
+    "numpy codecs, no external libs), stored as binary payload columns, "
+    "then DECODED back in an Arrow-batched mapInPandas pass that "
+    "extracts per-modality features (dims + mean level for images, "
+    "sample count + RMS for audio). Video stays the documented "
+    "compressed-codec stub. Map-only plan: zero shuffles.",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = media_asset_table(spark, sf_dir)
+    out = assets.mapInPandas(
+        _decode_features,
+        schema=(
+            "asset_id long, modality string, decoded boolean, width int, "
+            "height int, n_samples long, mean_level double"
+        ),
+    )
+    return out.orderBy("asset_id").limit(500)
 
 
 @register(

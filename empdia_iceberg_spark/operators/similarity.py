@@ -49,11 +49,48 @@ _CHUNK = 256  # rows per matmul chunk: 256 × n_index × 8 B stays ≪ executor 
 # the pattern the reference uses for its classifier, cited above).
 _INDEX_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
+# Broadcast-index ceiling: every executor process materializes the whole
+# index, so refuse clearly oversized indexes instead of OOMing workers.
+# Parquet bytes underestimate the in-memory float64 matrix, so the guard
+# is deliberately conservative. Override via env for cluster deployments
+# with bigger executors.
+MAX_INDEX_BYTES = 2 * 1024**3  # 2 GiB of parquet per executor process
+
+
+def _index_size_bytes(path: str) -> int:
+    import os
+
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return os.path.getsize(path)
+
+
+def _check_index_size(path: str) -> None:
+    import os
+
+    limit = int(os.environ.get("EMPDIA_MAX_INDEX_BYTES", MAX_INDEX_BYTES))
+    size = _index_size_bytes(path)
+    if size > limit:
+        raise ValueError(
+            f"broadcast kNN index at {path} is {size / 1024**2:.0f} MiB of "
+            f"parquet, over the {limit / 1024**2:.0f} MiB per-executor "
+            "ceiling (every executor process loads the full index). Use "
+            "knn_cosine_ivf (sharded IVF cells) or knn_cosine_lsh (bucketed "
+            "LSH) for indexes beyond one executor's memory, or raise "
+            "EMPDIA_MAX_INDEX_BYTES if your executors are provisioned for it."
+        )
+
 
 def _load_index(path: str) -> tuple[np.ndarray, np.ndarray]:
     if path not in _INDEX_CACHE:
         import pyarrow.parquet as pq
 
+        _check_index_size(path)
         t = pq.read_table(path, columns=["vec_id", "embedding"])
         ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
         m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
@@ -124,6 +161,7 @@ def _topk_batches(
     "(cos DESC, id ASC) tie-break; first 100 rows by (query_id, rank).",
 )
 def knn_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _check_index_size(path_for(sf_dir, "embeddings"))  # fail fast on driver
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = emb.mapInPandas(
         _topk_batches(path_for(sf_dir, "embeddings"), TOP_K),
@@ -172,6 +210,7 @@ def _threshold_batches(index_path: str, threshold: float) -> "callable":
     "broadcast-index scan as knn, threshold semantics.",
 )
 def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _check_index_size(path_for(sf_dir, "embeddings"))  # fail fast on driver
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = emb.mapInPandas(
         _threshold_batches(path_for(sf_dir, "embeddings"), NEAR_DUP_COS),

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from empdia_iceberg_spark.registry import register
-from empdia_iceberg_spark.sources.tables import load
+from empdia_iceberg_spark.sources.tables import load, local_df
 
 SYSTEM_PROMPT = "empathetic-listener-system-prompt"
 DATA_SOURCE = "EmpDia_Iceberg"
@@ -141,7 +141,9 @@ FIXTURE_CORPUS = [
 
 
 def corpus_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(FIXTURE_CORPUS, schema=DIALOGUE_SCHEMA)
+    # single partition: a 3-row fixture must not fan out to
+    # defaultParallelism pickled partitions (see sources.tables.local_df).
+    return local_df(spark, FIXTURE_CORPUS, DIALOGUE_SCHEMA)
 
 
 def prepare_corpus(corpus: DataFrame) -> DataFrame:
@@ -176,6 +178,7 @@ def prepare_corpus(corpus: DataFrame) -> DataFrame:
         "first_explanation",
         "story",
         "seed",
+        "dialogue",  # kept (original order) for extra_info.gold_dialogue
     )
     prepared = prepared.filter(F.size("user_script") > 0)  # R8
     prepared = prepared.withColumn(
@@ -258,6 +261,96 @@ def dialogue_prep_verl_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_explanation",
         "story",
         "seed",
+    ).orderBy("dia_id")
+
+
+def verl_rows(corpus: DataFrame, split: str = "train") -> DataFrame:
+    """R11 in FULL: the complete nested VERL training row
+    (utils/data_preprocess.py:50-73) — data_source, prompt, ability,
+    reward_model {style:'custom', ground_truth:''}, extra_info {dia_id,
+    split, seed, story, first_explanation, gold_dialogue (the RAW
+    dialogue, original round order), interaction_kwargs {name:
+    'empathetic_agent', rounds, user_script, script_next_idx: 1,
+    first_explanation}}. Pure projection — zero shuffles."""
+    both = prepare_corpus(corpus)
+    interaction_kwargs = F.struct(
+        F.lit("empathetic_agent").alias("name"),
+        F.col("rounds").alias("rounds"),
+        F.col("user_script").alias("user_script"),
+        F.lit(1).alias("script_next_idx"),  # first entry already in prompt
+        F.col("first_explanation").alias("first_explanation"),
+    )
+    extra_info = F.struct(
+        F.col("dia_id").alias("dia_id"),
+        F.lit(split).alias("split"),
+        F.col("seed").alias("seed"),
+        F.col("story").alias("story"),
+        F.col("first_explanation").alias("first_explanation"),
+        F.col("dialogue").alias("gold_dialogue"),
+        interaction_kwargs.alias("interaction_kwargs"),
+    )
+    return both.select(
+        "dia_id",
+        F.lit(DATA_SOURCE).alias("data_source"),
+        F.col("prompt").alias("prompt"),
+        F.lit(ABILITY).alias("ability"),
+        F.struct(
+            F.lit("custom").alias("style"), F.lit("").alias("ground_truth")
+        ).alias("reward_model"),
+        extra_info.alias("extra_info"),
+    )
+
+
+@register(
+    "dialogue_prep_nested",
+    oracle=rf"""
+    WITH raw AS (SELECT * FROM {_CORPUS_SQL_ROWS}),
+    scripted AS (
+        SELECT dia_id, seed, story, first_explanation, dialogue,
+               coalesce(rounds, len(user_script)) AS rounds, user_script
+        FROM (
+          SELECT *, list_filter(
+                   list_transform(
+                     list_sort(dialogue),
+                     r -> regexp_replace(list_filter(r.turns, t -> starts_with(lower(t.role), 'speaker'))[1].text, '^\s+|\s+$', '', 'g')),
+                   s -> s IS NOT NULL) AS user_script
+          FROM raw)
+        WHERE len(user_script) > 0
+    )
+    SELECT dia_id,
+           to_json(struct_pack(
+             data_source := 'EmpDia_Iceberg',
+             prompt := [struct_pack(role := 'system', content := '{SYSTEM_PROMPT}'),
+                        struct_pack(role := 'user',   content := user_script[1])],
+             ability := 'empathy_dialogue',
+             reward_model := struct_pack(style := 'custom', ground_truth := ''),
+             extra_info := struct_pack(
+               dia_id := dia_id, split := 'train', seed := seed, story := story,
+               first_explanation := first_explanation,
+               gold_dialogue := dialogue,
+               interaction_kwargs := struct_pack(
+                 name := 'empathetic_agent', rounds := CAST(rounds AS INT),
+                 user_script := user_script, script_next_idx := 1,
+                 first_explanation := first_explanation))
+           )) AS verl_json
+    FROM scripted
+    ORDER BY dia_id
+    """,
+    doc="R11 full nested VERL row (utils/data_preprocess.py:50-73) with a "
+    "value-level nested oracle: both engines serialize the identical "
+    "struct to compact JSON (verified byte-identical Jackson vs DuckDB), "
+    "so the whole prompt/reward_model/extra_info/gold_dialogue tree is "
+    "hash-checked, not just a flattened projection.",
+)
+def dialogue_prep_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = verl_rows(corpus_df(spark), split="train")
+    return rows.select(
+        "dia_id",
+        F.to_json(
+            F.struct(
+                "data_source", "prompt", "ability", "reward_model", "extra_info"
+            )
+        ).alias("verl_json"),
     ).orderBy("dia_id")
 
 

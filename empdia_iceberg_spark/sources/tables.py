@@ -63,3 +63,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL API)."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def local_df(spark: SparkSession, data, schema) -> DataFrame:
+    """Single-partition DataFrame from driver-local fixture/result rows.
+
+    `createDataFrame(list, ...)` fans tiny data across
+    defaultParallelism pickled partitions (32 Python-worker round-trips
+    per downstream stage), and `.coalesce(1)` on that is WORSE — the one
+    merged task computes all parent partitions sequentially, each with
+    its own worker round-trip (~5 s flat, measured). Parallelizing to
+    ONE slice up front keeps the whole fixture in a single partition and
+    a single worker round-trip."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)

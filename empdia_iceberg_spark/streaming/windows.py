@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from empdia_iceberg_spark.functions.exact import sql_sum2
 from empdia_iceberg_spark.registry import register
-from empdia_iceberg_spark.sources.tables import load, path_for
+from empdia_iceberg_spark.sources.tables import load, local_df, path_for
 
 _WORK_ROOT = os.environ.get("SPARK_GRAFT_STREAM_ROOT", "/root/repo/.stream_work")
 
@@ -250,9 +250,10 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(int(phase1), int(phase2), int(total_emitted))],
-        schema="windows_after_phase1 long, windows_after_phase2 long, events_emitted long",
+        "windows_after_phase1 long, windows_after_phase2 long, events_emitted long",
     )
 
 
@@ -302,6 +303,68 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.table("t_dedup")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+def dedup_stream_within_watermark(stream: DataFrame, key: str, delay: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup: `dropDuplicatesWithinWatermark`
+    evicts seen-key state once the watermark passes key-ts + delay, so
+    state size is O(events per delay window), not O(all keys ever seen).
+    This is the 100 TB/day posture — the exact `dropDuplicates` variant in
+    `stream_dedup_events` keeps every key forever, which is only
+    acceptable when the key space is bounded. Dedup is guaranteed for
+    duplicates arriving within `delay` of the original (the re-delivery
+    window of an at-least-once source). Bounded-state is asserted in
+    tests/test_streaming.py via StreamingQueryProgress stateOperators."""
+    return stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark([key])
+
+
+@register(
+    "stream_dedup_bounded_state",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Watermark-bounded streaming dedup: the feed delivers every event "
+    "twice within ONE micro-batch (inside the 1-hour re-delivery window), "
+    "dropDuplicatesWithinWatermark removes them, and — unlike plain "
+    "dropDuplicates — evicts seen-key state as the watermark advances, "
+    "so state is O(events/delay-window), not O(all keys ever). "
+    "Bounded-state growth is asserted in tests/test_streaming.py.",
+)
+def stream_dedup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    feed = os.path.join(_WORK_ROOT, "dedup_wm_feed")
+    ckpt = os.path.join(_WORK_ROOT, f"dedup_wm_ckpt_{uuid.uuid4().hex[:8]}")
+    shutil.rmtree(feed, ignore_errors=True)
+    ev.unionByName(ev).write.parquet(feed)  # every event twice, same batch
+    schema = spark.read.parquet(feed).schema
+    stream = dedup_stream_within_watermark(
+        spark.readStream.schema(schema).parquet(feed), "event_id", "1 hour"
+    )
+    for q in spark.streams.active:
+        if q.name == "t_dedup_wm_q":
+            q.stop()
+    q = (
+        stream.writeStream.queryName("t_dedup_wm_q")
+        .outputMode("append")
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table("t_dedup_wm_q")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from empdia_iceberg_spark.functions.exact import sql_sum2, exact_sum2
 from empdia_iceberg_spark.registry import register
-from empdia_iceberg_spark.sources.tables import load
+from empdia_iceberg_spark.sources.tables import load, local_df
 
 # Engine-managed table root (inside the repo; never touches /root/testdata).
 DEFAULT_ROOT = os.environ.get(
@@ -292,9 +292,10 @@ def table_expire_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.expire_snapshots(keep_last=1)
     snaps = t.snapshots()
     rows = t.read().count()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(s["version"], s["op"], rows) for s in snaps],
-        schema="version int, op string, n_rows bigint",
+        "version int, op string, n_rows bigint",
     )
 
 

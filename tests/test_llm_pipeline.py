@@ -141,8 +141,47 @@ def test_multimodal_features_deterministic(spark):
         assert abs(sum(r.feature) - 1.0) < 1e-9  # L1-normalized histogram
 
 
-def test_decode_media_is_a_documented_stub():
+def test_decode_media_compressed_codecs_still_stubbed():
+    """Compressed codecs (PNG/MP3/video) stay documented stubs; the
+    uncompressed containers decode for real via the numpy codecs."""
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG", "image")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"RIFF", "audio")
+        multimodal.decode_media(b"ID3\x03", "audio")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"anything", "video")
+
+
+def test_ppm_wav_roundtrip():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(px)) == px).all()
+    samples = rng.integers(-32768, 32767, size=100, dtype=np.int16)
+    out, rate = multimodal.decode_wav(multimodal.encode_wav(samples, rate=8000))
+    assert rate == 8000
+    assert (out == samples).all()
+    # decode_media dispatches to the real codecs on container magic
+    assert (multimodal.decode_media(multimodal.encode_ppm(px), "image") == px).all()
+    got, _ = multimodal.decode_media(multimodal.encode_wav(samples), "audio")
+    assert (got == samples).all()
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5\n1 1\n255\nx")
+
+
+def test_multimodal_decode_features_real_decode(spark):
+    """Every image/audio asset must decode (decoded=True) with the
+    expected dims/sample counts; video stays undecoded by design."""
+    rows = multimodal.multimodal_decode_features(spark, SF_DIR).collect()
+    assert rows
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").select("doc_id", "text").collect()}
+    for r in rows:
+        if r.modality == "image":
+            assert r.decoded and (r.width, r.height) == (8, 8) and r.n_samples == 192
+            raw = np.frombuffer(docs[r.asset_id].encode(), dtype=np.uint8)
+            exp = float(np.resize(raw if raw.size else np.zeros(1, np.uint8), 192).mean())
+            assert abs(r.mean_level - exp) < 1e-5
+        elif r.modality == "audio":
+            assert r.decoded and r.n_samples >= 1
+        else:
+            assert not r.decoded

@@ -20,6 +20,7 @@ from empdia_iceberg_spark.plans.prep import (
     positional_split,
     prepare_corpus,
 )
+from tests.conftest import SF_DIR
 
 # ---------- B3: reward golden values ----------
 
@@ -47,10 +48,14 @@ def _lh_df(spark, trajectories: dict[str, list[tuple[int, float]]]):
 
 
 def test_reward_golden_means(spark):
+    """trajectory_reward sums per-turn scores det-rounded to 6 digits
+    (order-independent decimal sum — the cross-engine hash-stability
+    convention), so the golden mean carries a quantization error of at
+    most 0.5e-6 per turn vs the full-precision reference value."""
     lh = _lh_df(spark, {"T1": _T1, "T2": _T2, "T3": _T3})
     out = {r["dia_id"]: r["reward"] for r in trajectory_reward(lh).collect()}
     for k, v in _GOLDEN_MEANS.items():
-        assert out[k] == pytest.approx(v, abs=1e-12), k
+        assert out[k] == pytest.approx(v, abs=5e-7), k
 
 
 def test_reward_golden_per_turn(spark):
@@ -193,3 +198,29 @@ def test_prep_on_real_json(spark, tmp_path):
     corpus = spark.read.option("multiLine", True).schema(DIALOGUE_SCHEMA).json(str(p))
     out = prepare_corpus(corpus)
     assert out.count() == 3
+
+
+def test_classifier_real_model_stub_fallback(spark, monkeypatch):
+    """classifier_real_model: with no checkpoint configured (this
+    container), the env gate must report unavailable and the query must
+    run on the deterministic stub with the real-path output contract
+    (layer_idx 1-5, canonical names, confidence in (0,1))."""
+    from empdia_iceberg_spark.functions import classifier as C
+
+    monkeypatch.delenv(C.HF_MODEL_ENV, raising=False)
+    assert not C.real_model_available()
+    rows = C.classifier_real_model(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.layer_idx <= 5
+        assert r.layer_name == C.LAYERS[r.layer_idx - 1]
+        assert 0.0 < r.confidence < 1.0
+    # setting the env var alone must not flip the gate without the ML stack
+    monkeypatch.setenv(C.HF_MODEL_ENV, "distilbert-base-uncased-finetuned-sst-2-english")
+    import importlib.util
+
+    expected = (
+        importlib.util.find_spec("torch") is not None
+        and importlib.util.find_spec("transformers") is not None
+    )
+    assert C.real_model_available() == expected

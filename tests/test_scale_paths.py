@@ -45,6 +45,45 @@ def test_ivf_recall_reasonable(spark):
         assert 1 <= r.rank <= similarity.TOP_K
 
 
+def test_knn_index_size_guard(spark, tmp_path, monkeypatch):
+    """The broadcast-index kNN must fail fast (driver-side, clear message)
+    when the index parquet exceeds the per-executor ceiling, pointing the
+    user at the sharded IVF path instead of OOMing workers."""
+    import shutil
+
+    import pytest
+
+    guarded = tmp_path / "guarded"
+    guarded.mkdir()
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", guarded / "embeddings.parquet")
+    monkeypatch.setenv("EMPDIA_MAX_INDEX_BYTES", "1024")  # 1 KiB: always over
+    with pytest.raises(ValueError, match="knn_cosine_ivf"):
+        similarity.knn_cosine_top5(spark, str(guarded))
+    monkeypatch.delenv("EMPDIA_MAX_INDEX_BYTES")
+    # under the default ceiling the same call plans fine
+    assert similarity.knn_cosine_top5(spark, str(guarded)).columns == [
+        "query_id", "neighbor_id", "cos_sim", "rank",
+    ]
+
+
+def test_approx_distinct_within_hll_error(spark):
+    """approx_count_distinct uses HLL++ with default rsd=5%; rsd is a
+    standard deviation, so gate at 3σ (±15%) — a quantitative in-repo
+    bound that a broken sketch would still blow through."""
+    exact = relational.distinct_counts(spark, SF_DIR).collect()
+    approx = relational.approx_distinct_counts(spark, SF_DIR).collect()
+    e = {r.l_returnflag: r for r in exact}
+    a = {r.l_returnflag: r for r in approx}
+    assert set(e) == set(a)
+    for k in e:
+        for col_e, col_a in (
+            ("n_parts", "approx_parts"),
+            ("n_orders", "approx_orders"),
+        ):
+            ev, av = getattr(e[k], col_e), getattr(a[k], col_a)
+            assert abs(av - ev) <= max(2, 0.15 * ev), (k, col_e, ev, av)
+
+
 def test_approx_percentile_close_to_exact(spark):
     exact = {
         r.o_orderpriority: r.p50

@@ -55,3 +55,67 @@ def test_conversation_state_evicted_after_final_turn(spark):
     n = df.count()
     log = turn_log_from_events(spark, SF_DIR)
     assert n == log.count()  # one output row per input turn, none dropped
+
+
+def test_stream_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """The scale failure mode of streaming dedup is unbounded seen-key
+    state. dedup_stream_within_watermark must (a) still drop duplicates
+    that arrive within the re-delivery window and (b) evict state as the
+    watermark advances — numRowsTotal after draining a 30-day feed must
+    be far below the total key count, and must not grow between phases."""
+    from empdia_iceberg_spark.streaming.windows import dedup_stream_within_watermark
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "event_type", "ts")
+    n_total = ev.count()
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    cutoff = "2024-01-15 00:00:00"
+    first = ev.filter(F.col("ts") < cutoff)
+    second = ev.filter(F.col("ts") >= cutoff)
+    # phase-1 batch carries immediate duplicates (same file → same batch)
+    first.unionByName(first).write.parquet(f"{feed}/f1")
+
+    schema = spark.read.parquet(f"{feed}/f1").schema
+    stream = spark.readStream.schema(schema).parquet(feed + "/*")
+    deduped = dedup_stream_within_watermark(stream, "event_id", "1 hour")
+    q = (
+        deduped.writeStream.queryName("t_dedup_wm")
+        .outputMode("append")
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state1 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        second.write.mode("append").parquet(f"{feed}/f2")
+        q.processAllAvailable()
+        state2 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        emitted = spark.table("t_dedup_wm").count()
+    finally:
+        q.stop()
+    # duplicates within the watermark window were dropped
+    assert emitted == n_total
+    # state is bounded after BOTH phases: nowhere near one row per key
+    # ever seen (plain dropDuplicates would hold n_total rows by phase 2)
+    assert state1 < n_total / 2, (state1, n_total)
+    assert state2 < n_total / 2, (state2, n_total)
+
+
+def test_tws_twin_when_protobuf_available(spark):
+    """Per-round env re-probe (VERDICT r2 item 5): the moment
+    google.protobuf imports in this container, the transformWithState
+    twin must produce the same result as the applyInPandasWithState
+    path. Skipped (not passed) while the env lacks protobuf."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from empdia_iceberg_spark.streaming.conversation import stream_conversation_tws
+
+    rows_tws = {
+        tuple(r) for r in stream_conversation_tws(spark, SF_DIR).collect()
+    }
+    rows_aip = {
+        tuple(r) for r in stream_conversation_state(spark, SF_DIR).collect()
+    }
+    assert rows_tws == rows_aip
