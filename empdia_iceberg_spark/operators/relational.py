@@ -845,3 +845,89 @@ def unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("l_returnflag", "metric")
+
+
+@register(
+    "stats_exact_moments",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE)                                          AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)            AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)       AS sy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)            AS sxx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)       AS syy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)       AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT)                                                     AS n_items,
+           {sql_det_round('(sxy - sx * sy / n) / n', 4)}                         AS covar_pop,
+           {sql_det_round('(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))', 6)} AS corr,
+           {sql_det_round('sqrt(n * syy - sy * sy) / n', 4)}                     AS stddev_pop_price
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    doc="Second-moment aggregates (covar_pop/corr/stddev_pop) computed "
+    "EXACTLY: all five moment sums accumulate as DECIMAL (associative, "
+    "order-independent), convert once to double, and both engines apply "
+    "the identical IEEE formula — bit-for-bit deterministic, unlike the "
+    "built-in streaming corr/covar whose merge order varies. One "
+    "shuffle, map-side partial aggregation.",
+)
+def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,2)")
+    dy = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_items"),
+        det_round((sxy - sx * sy / n) / n, 4).alias("covar_pop"),
+        det_round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr"),
+        det_round(F.sqrt(n * syy - sy * sy) / n, 4).alias("stddev_pop_price"),
+    ).orderBy("l_returnflag")
+
+
+SAMPLE_FRACTIONS = {"1-URGENT": 0.5, "2-HIGH": 0.25, "3-MEDIUM": 0.1}
+SAMPLE_SEED = 7
+
+
+@register(
+    "stratified_sample_counts",
+    oracle=None,  # Bernoulli sampling is engine-RNG-dependent → rows-only;
+    # per-stratum fraction tolerance is asserted in tests/test_scale_paths.py.
+    doc="Stratified sampling (df.sampleBy): per-stratum Bernoulli "
+    "fractions {0.5, 0.25, 0.1} with a fixed seed, unlisted strata "
+    "dropped. Map-only scan — sampling decisions are per-row, no "
+    "shuffle until the summary aggregate; the layout used to cut a "
+    "100 TB corpus to a class-balanced training subset.",
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    sample = orders.sampleBy("o_orderpriority", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+    return (
+        sample.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .orderBy("o_orderpriority")
+    )

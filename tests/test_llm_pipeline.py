@@ -185,3 +185,22 @@ def test_multimodal_decode_features_real_decode(spark):
             assert r.decoded and r.n_samples >= 1
         else:
             assert not r.decoded
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Component assignment must place both ends of every near-dup pair
+    in the same component, and each component's id must be the min
+    doc_id of its member set (the deterministic survivor policy)."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.doc_ngram_jaccard_pairs(spark, SF_DIR).collect()
+    ]
+    comp = {r.doc_id: r.component for r in dedup.doc_dedup_clusters(spark, SF_DIR).collect()}
+    assert comp  # planted duplicates exist at every sf
+    for a, b in pairs:
+        assert comp[a] == comp[b], (a, b)
+    by_comp = {}
+    for doc, c in comp.items():
+        by_comp.setdefault(c, []).append(doc)
+    for c, members in by_comp.items():
+        assert c == min(members)

@@ -98,3 +98,25 @@ def test_approx_percentile_close_to_exact(spark):
         # the sketch returns an actual data value while the exact form
         # interpolates; at ~300 rows/group adjacent-value gaps are ~1%
         assert abs(approx[k] - exact[k]) / exact[k] < 0.03
+
+
+def test_stratified_sample_fractions(spark):
+    """sampleBy must honor each stratum's fraction (Bernoulli, so allow
+    generous binomial tolerance) and drop unlisted strata entirely."""
+    from pyspark.sql import functions as F
+
+    totals = {
+        r.o_orderpriority: r.n
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = relational.stratified_sample_counts(spark, SF_DIR).collect()
+    got = {r.o_orderpriority: r.n_sampled for r in rows}
+    assert set(got) <= set(relational.SAMPLE_FRACTIONS)
+    for stratum, frac in relational.SAMPLE_FRACTIONS.items():
+        n = totals[stratum]
+        expect = n * frac
+        sd = (n * frac * (1 - frac)) ** 0.5
+        assert abs(got.get(stratum, 0) - expect) <= 5 * sd + 2, (stratum, got.get(stratum), expect)
