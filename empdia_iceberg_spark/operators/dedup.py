@@ -422,7 +422,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).localCheckpoint()  # materialize ONCE — otherwise every round's join
+    # re-derives the edge list all the way back through candidate
+    # generation + verification
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
