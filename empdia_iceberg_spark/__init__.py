@@ -24,12 +24,8 @@ from empdia_iceberg_spark import registry  # noqa: F401
 from empdia_iceberg_spark.session import get_spark  # noqa: F401
 
 # Import operator modules for their @register side effects.
-#
-# ORDER MATTERS for driver evidence: the verify sweep runs queries in
-# registration order under a wall-clock budget (CORRECTNESS_r02 covered
-# exactly the first 50 of 93 entries). Modules whose queries have no
-# driver CORRECTNESS row yet register FIRST; the relational/window/
-# dedup/similarity/textstats core (all hash-green in r02) registers last.
+# Sweep ordering is handled by registry.promote(_SWEEP_PRIORITY) below —
+# module import order no longer matters for driver evidence.
 from empdia_iceberg_spark.operators import asof  # noqa: F401
 from empdia_iceberg_spark.operators import bucketing  # noqa: F401
 from empdia_iceberg_spark.operators import skyline  # noqa: F401
@@ -50,6 +46,77 @@ from empdia_iceberg_spark.operators import windows  # noqa: F401
 from empdia_iceberg_spark.operators import dedup  # noqa: F401
 from empdia_iceberg_spark.operators import similarity  # noqa: F401
 from empdia_iceberg_spark.operators import textstats  # noqa: F401
+
+# ---------------------------------------------------------------- sweep order
+# The driver's per-round CORRECTNESS sweep checks the first ~50 registered
+# queries; with 100 registered, the halves must rotate every round so no
+# query goes two rounds without a driver row. Rotation policy (update the
+# list each round):
+#   1. queries that have never had a clean driver row;
+#   2. queries whose implementation changed this round;
+#   3. the half NOT swept last round (round 3 swept what is now the tail).
+# Round 4 list: the 4 evidence-less queries, the dedup stack (MinHash hash
+# family rewritten in r3 + repartition/convergence changes in r4), then
+# the r2-only-checked relational/window/similarity/textstats block.
+# (`window_percent_rank_cume_dist` — r2-green, untouched since — is the
+# one deferred to slot 51.)
+_SWEEP_PRIORITY = [
+    # never driver-verified
+    "multimodal_feature_extract",
+    "doc_dedup_clusters",
+    "stats_exact_moments",
+    "stratified_sample_counts",
+    # dedup stack: changed since its last driver row
+    "doc_exact_dedup",
+    "doc_dedup_survivors",
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_near_dup",
+    "doc_simhash_near_dup",
+    # last swept in round 2
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "set_ops_segments",
+    "rollup_pricing",
+    "cube_order_priority",
+    "distinct_counts",
+    "approx_distinct_counts",
+    "topk_orders_global",
+    "scalar_string_fns",
+    "date_fns_orders",
+    "json_extract_events",
+    "orders_above_customer_avg",
+    "events_hourly_rollup",
+    "pivot_status_by_priority",
+    "null_safe_join_acctbal",
+    "map_functions_props",
+    "grouping_sets_pricing",
+    "percentile_order_values",
+    "approx_percentile_sketch",
+    "events_multi_grain_rollup",
+    "salted_join_skewed",
+    "unpivot_pricing_metrics",
+    "window_rank_topk_per_customer",
+    "window_lag_lead_orders",
+    "window_running_max_events",
+    "window_trailing_frame_events",
+    "window_ntile_quartiles",
+    "window_first_last_order",
+    "window_range_frame_value",
+    "knn_cosine_top5",
+    "emb_cosine_near_dup",
+    "knn_cosine_lsh",
+    "embedding_avg_by_label",
+    "knn_cosine_ivf",
+    "doc_text_stats",
+    "doc_token_counts",
+    "doc_quality_filter",
+    "doc_lang_id_confusion",
+    "doc_fingerprint",
+    "doc_chunking",
+    "doc_pii_scrub",
+    "window_percent_rank_cume_dist",
+]
+registry.promote(_SWEEP_PRIORITY)
 
 __all__ = ["registry", "get_spark"]
 __version__ = "0.1.0"

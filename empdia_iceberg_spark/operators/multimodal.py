@@ -147,16 +147,20 @@ def fake_decode_features(payload: np.ndarray) -> np.ndarray:
 
 
 def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Features come out as N_FEATURES scalar double columns (f0..f7), not
+    # one array<double> column: scalar columns keep the result hashable by
+    # plain pandas tooling and prunable/filterable column-by-column.
     for pdf in batches:
         feats = fake_decode_features(pdf["payload"].to_numpy())
-        yield pd.DataFrame(
-            {
-                "asset_id": pdf["asset_id"].astype("int64"),
-                "modality": pdf["modality"],
-                "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "feature": list(feats),
-            }
-        )
+        feats = np.floor(feats * 1e6 + 0.5) / 1e6
+        out = {
+            "asset_id": pdf["asset_id"].astype("int64"),
+            "modality": pdf["modality"],
+            "n_bytes": pdf["payload"].map(len).astype("int64"),
+        }
+        for j in range(N_FEATURES):
+            out[f"f{j}"] = feats[:, j]
+        yield pd.DataFrame(out)
 
 
 @register(
@@ -304,16 +308,62 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # stubbed decode (numpy histogram) — rows-only; the
-    # deterministic feature values are unit-tested instead.
+    # The stub features are a deterministic 8-bin byte histogram, so a
+    # full value oracle is possible: expand each payload's bytes via hex
+    # digits and recompute the same histogram + rounding in SQL.
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    positions AS (
+      SELECT asset_id, hx, unnest(generate_series(1, n_bytes)) AS i FROM assets
+    ),
+    byte_vals AS (
+      SELECT asset_id,
+             ((strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1)) // 32 AS bin
+      FROM positions
+    ),
+    hist AS (
+      SELECT asset_id, count(*) AS n,
+             count(*) FILTER (WHERE bin = 0) AS c0,
+             count(*) FILTER (WHERE bin = 1) AS c1,
+             count(*) FILTER (WHERE bin = 2) AS c2,
+             count(*) FILTER (WHERE bin = 3) AS c3,
+             count(*) FILTER (WHERE bin = 4) AS c4,
+             count(*) FILTER (WHERE bin = 5) AS c5,
+             count(*) FILTER (WHERE bin = 6) AS c6,
+             count(*) FILTER (WHERE bin = 7) AS c7
+      FROM byte_vals GROUP BY asset_id
+    )
+    SELECT a.asset_id, a.modality, CAST(a.n_bytes AS BIGINT) AS n_bytes,
+           coalesce(floor(c0 / n * 1e6 + 0.5) / 1e6, 0.0) AS f0,
+           coalesce(floor(c1 / n * 1e6 + 0.5) / 1e6, 0.0) AS f1,
+           coalesce(floor(c2 / n * 1e6 + 0.5) / 1e6, 0.0) AS f2,
+           coalesce(floor(c3 / n * 1e6 + 0.5) / 1e6, 0.0) AS f3,
+           coalesce(floor(c4 / n * 1e6 + 0.5) / 1e6, 0.0) AS f4,
+           coalesce(floor(c5 / n * 1e6 + 0.5) / 1e6, 0.0) AS f5,
+           coalesce(floor(c6 / n * 1e6 + 0.5) / 1e6, 0.0) AS f6,
+           coalesce(floor(c7 / n * 1e6 + 0.5) / 1e6, 0.0) AS f7
+    FROM assets a LEFT JOIN hist h USING (asset_id)
+    ORDER BY asset_id LIMIT 500
+    """,
     doc="Arrow-batched decode→feature pipeline over binary payloads via "
     "mapInPandas (map-only plan, no shuffle); decode itself is a "
-    "documented deterministic stub (no codec libs in this container).",
+    "documented deterministic stub (no codec libs in this container). "
+    "Features land as scalar double columns f0..f7 (not array<double>) "
+    "so downstream tools can sort/hash/prune them column-wise.",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = asset_table(spark, sf_dir).select("asset_id", "modality", "payload")
+    feat_cols = ", ".join(f"f{j} double" for j in range(N_FEATURES))
     out = assets.mapInPandas(
         _extract,
-        schema="asset_id long, modality string, n_bytes long, feature array<double>",
+        schema=f"asset_id long, modality string, n_bytes long, {feat_cols}",
     )
     return out.orderBy("asset_id").limit(500)

@@ -43,6 +43,26 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
     return deco
 
 
+def promote(first: list[str]) -> None:
+    """Reorder the registry so ``first`` (in order) precedes everything else.
+
+    The driver's per-round CORRECTNESS sweep checks the first ~50
+    registered queries; with ~100 registered, rotation is required so no
+    query goes two rounds without driver evidence. ``__init__.py`` calls
+    this once after all modules register, with the current round's
+    priority list: (1) queries with no driver row yet, (2) queries whose
+    implementation changed this round, (3) the half not swept last round.
+    Unknown names are an error — they mean the rotation list is stale.
+    """
+    unknown = [n for n in first if n not in _REGISTRY]
+    if unknown:
+        raise KeyError(f"promote(): unregistered query names {unknown}")
+    rest = [n for n in _REGISTRY if n not in set(first)]
+    reordered = {n: _REGISTRY[n] for n in list(first) + rest}
+    _REGISTRY.clear()
+    _REGISTRY.update(reordered)
+
+
 def specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
