@@ -76,14 +76,17 @@ _SQL_SHINGLES = r"""
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition BEFORE shingling: a small documents file arrives as one
-    # input split, which would serialize the expensive explode/join work
-    # downstream onto a single core. One cheap round-robin exchange of the
-    # raw rows buys full parallelism for everything after; at cluster
-    # scale the scan already has many splits and this coalesces to a
-    # near-no-op (same partition count).
+    # Repartition BEFORE shingling, but only when the scan is under-split:
+    # a small documents file arrives as one input split, which would
+    # serialize the expensive explode/join work downstream onto a single
+    # core. When the scan already has enough splits (the cluster-scale
+    # case — 100 TB arrives as many thousands of splits), skip the
+    # exchange entirely: an unconditional repartition here would be a
+    # full-corpus shuffle of raw document text for nothing.
     docs = load(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     return docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
 
 
@@ -456,6 +459,15 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Unconverged labels are WRONG labels (a cluster with diameter >
+        # max_iters would be silently split). Fail loudly rather than
+        # return them; callers can raise max_iters for pathological
+        # chain-shaped graphs.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            f"rounds ({changed} labels still changing); raise max_iters"
+        )
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
