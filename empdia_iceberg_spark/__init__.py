@@ -58,14 +58,15 @@ from empdia_iceberg_spark.operators import textstats  # noqa: F401
 # Round 4 list: the 4 evidence-less queries, the dedup stack (MinHash hash
 # family rewritten in r3 + repartition/convergence changes in r4), then
 # the r2-only-checked relational/window/similarity/textstats block.
-# (`window_percent_rank_cume_dist` — r2-green, untouched since — is the
-# one deferred to slot 51.)
+# (`doc_pii_scrub` and `window_percent_rank_cume_dist` — r2-green,
+# untouched since — land in slots 51/52 and lead the r5 sweep.)
 _SWEEP_PRIORITY = [
     # never driver-verified
     "multimodal_feature_extract",
     "doc_dedup_clusters",
     "stats_exact_moments",
     "stratified_sample_counts",
+    "generation_retry_real",  # new in r4 (rows-only; stub fallback == stub query)
     # dedup stack: changed since its last driver row
     "doc_exact_dedup",
     "doc_dedup_survivors",
@@ -113,7 +114,7 @@ _SWEEP_PRIORITY = [
     "doc_lang_id_confusion",
     "doc_fingerprint",
     "doc_chunking",
-    "doc_pii_scrub",
+    "doc_pii_scrub",  # slot 51 — swept first in r5 with window_percent_rank_cume_dist
     "window_percent_rank_cume_dist",
 ]
 registry.promote(_SWEEP_PRIORITY)

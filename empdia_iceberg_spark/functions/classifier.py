@@ -347,6 +347,136 @@ def generate_with_retry_udf():
     return F.pandas_udf(gen, "response string, attempts int")
 
 
+# ------------------------------------------- R22 real-generator variant
+#
+# The reference's user simulator is a served LLM: a lazily-initialized
+# LLaMA-Factory ChatModel whose blocking .chat() call is pushed to a
+# thread pool (empathy_interaction.py:176-179, 216-225), with bounded
+# retry-on-empty around it (:257-276). A served model can't ship in this
+# container, so — exactly like the classifier above — the real path is
+# ENV-GATED: set EMPDIA_HF_GENERATOR to a causal-LM checkpoint to light
+# it up; otherwise the deterministic stub (same output contract, full
+# SQL oracle) runs. Decoding budget mirrors the reference's interaction
+# config: max 256 new tokens, temperature 0.7, top_p 0.9
+# (configs/interaction_config.yaml:17-19).
+
+HF_GENERATOR_ENV = "EMPDIA_HF_GENERATOR"
+GEN_MAX_NEW_TOKENS = 256
+GEN_TEMPERATURE = 0.7
+GEN_TOP_P = 0.9
+
+
+def real_generator_available() -> bool:
+    """True only when a checkpoint is configured AND the ML stack imports."""
+    import importlib.util
+    import os
+
+    if not os.environ.get(HF_GENERATOR_ENV):
+        return False
+    return (
+        importlib.util.find_spec("torch") is not None
+        and importlib.util.find_spec("transformers") is not None
+    )
+
+
+def _ensure_real_generator(model_name: str):
+    """Once-per-process init of the generator tokenizer+model, keyed by
+    checkpoint — the ChatModel lazy-init of empathy_interaction.py:176-179."""
+    key = f"hfgen:{model_name}"
+    if key not in _MODEL_CACHE:
+        import torch  # noqa: F401  (gated by real_generator_available)
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_name)
+        model = AutoModelForCausalLM.from_pretrained(model_name)
+        model.eval()
+        _MODEL_CACHE[key] = (tok, model)
+    return _MODEL_CACHE[key]
+
+
+def generate_real_with_retry_udf(model_name: str):
+    """R22 with a real causal-LM checkpoint + R23 bounded retry-on-empty.
+    Batched sampling (T=0.7, top_p=0.9, 256 new tokens — the reference's
+    interaction decoding budget); a row retries alone up to MAX_RETRIES
+    while its batch peers keep their first non-empty response, matching
+    the per-call retry loop of empathy_interaction.py:257-276."""
+
+    def gen(texts: pd.Series) -> pd.DataFrame:
+        import torch
+
+        tok, model = _ensure_real_generator(model_name)
+        responses = ["" for _ in range(len(texts))]
+        attempts = [0 for _ in range(len(texts))]
+        pending = list(range(len(texts)))
+        for attempt in range(MAX_RETRIES):
+            if not pending:
+                break
+            batch = tok(
+                [str(texts.iloc[i] or "") for i in pending],
+                return_tensors="pt",
+                padding=True,
+                truncation=True,
+                max_length=1024,
+            )
+            with torch.no_grad():
+                out = model.generate(
+                    **batch,
+                    max_new_tokens=GEN_MAX_NEW_TOKENS,
+                    do_sample=True,
+                    temperature=GEN_TEMPERATURE,
+                    top_p=GEN_TOP_P,
+                    pad_token_id=tok.pad_token_id or tok.eos_token_id,
+                )
+            still_pending = []
+            for row, ids in zip(pending, out):
+                text = tok.decode(
+                    ids[batch["input_ids"].shape[1] :], skip_special_tokens=True
+                ).strip()
+                attempts[row] = attempt + 1
+                if text:
+                    responses[row] = text
+                else:
+                    still_pending.append(row)  # retry-on-empty (:257-276)
+            pending = still_pending
+        for row in pending:  # all-empty after MAX_RETRIES → '' (:300-301)
+            attempts[row] = MAX_RETRIES
+        return pd.DataFrame({"response": responses, "attempts": attempts})
+
+    return F.pandas_udf(gen, "response string, attempts int")
+
+
+@register(
+    "generation_retry_real",
+    oracle=None,  # sampled model output is nondeterministic → rows-only;
+    # the value-level oracle lives on generation_retry_stub (same contract).
+    doc="R22/R23 with real-model wiring (empathy_interaction.py:216-225, "
+    f"257-276): if ${HF_GENERATOR_ENV} names a causal-LM checkpoint and "
+    "torch/transformers import, generate with it (T=0.7, top_p=0.9, 256 "
+    "new tokens, lazy per-executor load, bounded retry-on-empty); else "
+    "fall back to the deterministic stub with the identical output "
+    "contract.",
+)
+def generation_retry_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    docs = load(spark, sf_dir, "documents")
+    if real_generator_available():
+        udf = generate_real_with_retry_udf(os.environ[HF_GENERATOR_ENV])
+    else:
+        udf = generate_with_retry_udf()
+    gen = udf(F.col("text")).alias("g")
+    return (
+        docs.select("doc_id", gen)
+        .select(
+            "doc_id",
+            F.col("g.response").alias("response"),
+            F.col("g.attempts").alias("attempts"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
 def _sql_empty(a: int) -> str:
     return f"(('0x' || substr(md5('{a}:' || text), 1, 8))::BIGINT % 7 = 0)"
 

@@ -224,3 +224,30 @@ def test_classifier_real_model_stub_fallback(spark, monkeypatch):
         and importlib.util.find_spec("transformers") is not None
     )
     assert C.real_model_available() == expected
+
+
+def test_generation_real_stub_fallback(spark, monkeypatch):
+    """generation_retry_real: with no checkpoint configured (this
+    container), the env gate must report unavailable and the query must
+    run on the deterministic stub, matching generation_retry_stub's
+    output exactly (identical contract, identical fallback path)."""
+    from empdia_iceberg_spark.functions import classifier as C
+
+    monkeypatch.delenv(C.HF_GENERATOR_ENV, raising=False)
+    assert not C.real_generator_available()
+    real = C.generation_retry_real(spark, SF_DIR).collect()
+    stub = C.generation_retry_stub(spark, SF_DIR).collect()
+    assert real == stub
+    for r in real:
+        assert 1 <= r.attempts <= C.MAX_RETRIES
+        if r.response == "":  # all-empty rows burn the full retry budget
+            assert r.attempts == C.MAX_RETRIES
+    # setting the env var alone must not flip the gate without the ML stack
+    monkeypatch.setenv(C.HF_GENERATOR_ENV, "Qwen/Qwen2.5-0.5B-Instruct")
+    import importlib.util
+
+    expected = (
+        importlib.util.find_spec("torch") is not None
+        and importlib.util.find_spec("transformers") is not None
+    )
+    assert C.real_generator_available() == expected
