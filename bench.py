@@ -82,11 +82,50 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # Fixed per-query overhead: a warm trivial two-stage shuffle job on the
+    # same session. Every timed query pays at least this scheduler + Arrow
+    # fetch floor regardless of data volume — at sf0.1 it dominates the
+    # smallest queries (doc_exact_dedup's whole answer is 8 rows), while at
+    # cluster scale it vanishes into real work. Reported so tiny-SF ratios
+    # vs the in-process DuckDB baseline can be read fairly.
+    from pyspark.sql import functions as F
+
+    floor_df = spark.range(1000).groupBy((F.col("id") % 8).alias("k")).count()
+    floor_df.toPandas()  # warm-up
+    overhead = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        floor_df.toPandas()
+        overhead = min(overhead, time.perf_counter() - t0)
+
+    # ANN quality next to ANN speed: recall@5 of the approximate paths vs
+    # the exact brute-force answer, so the approximate/exact tradeoff is
+    # auditable from the bench line alone (VERDICT r3 item 6).
+    recall: dict[str, float] = {}
+    try:
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for _, r in qs["knn_cosine_top5"](spark, sf_dir).toPandas().iterrows()
+        }
+        q_ids = {q for q, _ in exact}
+        if exact:
+            for approx_name in ("knn_cosine_lsh", "knn_cosine_ivf"):
+                approx = {
+                    (r["query_id"], r["neighbor_id"])
+                    for _, r in qs[approx_name](spark, sf_dir).toPandas().iterrows()
+                    if r["query_id"] in q_ids
+                }
+                recall[approx_name] = round(len(exact & approx) / len(exact), 4)
+    except Exception as exc:  # never let the quality probe kill the bench line
+        recall = {"error": str(exc)[:200]}
+
     out = {
         "metric": "headline-queries total wall time",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "overhead_sec": round(overhead, 4),
+        "recall_at_5": recall,
         "skipped": skipped,
         "sf": sf,
     }

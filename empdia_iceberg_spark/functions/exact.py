@@ -23,15 +23,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def exact_sum(expr, dectype: str) -> Column:
+    """The one core pattern every deterministic aggregate here derives
+    from: cast each element to a DECIMAL wide enough to hold it
+    losslessly, sum in decimal (exact, associative — immune to
+    partial-aggregation order), convert ONCE back to double. Specialized
+    entry points below pick the decimal type; new aggregate queries
+    should use those rather than re-derive the cast discipline."""
+    col = F.col(expr) if isinstance(expr, str) else expr
+    return F.sum(col.cast(dectype)).cast("double")
+
+
+def sql_exact_sum(expr: str, dectype: str) -> str:
+    """DuckDB mirror of `exact_sum` for oracle strings."""
+    return f"CAST(sum(CAST({expr} AS {dectype})) AS DOUBLE)"
+
+
 def exact_sum2(col) -> Column:
     """Order-independent sum of a 2-decimal double column, as double."""
-    return F.sum(F.col(col).cast("decimal(18,2)") if isinstance(col, str) else col.cast("decimal(18,2)")).cast("double")
+    return exact_sum(col, "decimal(18,2)")
 
 
 def exact_sum8(expr: Column) -> Column:
     """Order-independent sum of a derived double expression with ≤8
     meaningful decimals, as double."""
-    return F.sum(expr.cast("decimal(28,8)")).cast("double")
+    return exact_sum(expr, "decimal(28,8)")
 
 
 def exact_avg2(col) -> Column:
@@ -71,20 +87,61 @@ def exact_sum_r6(expr: Column) -> Column:
     sum is exact and associative; one final cast back to double is
     correctly rounded on both engines. Mirror: `sql_sum_r6`.
     """
-    return F.sum(det_round(expr, 6).cast("decimal(27,6)")).cast("double")
+    return exact_sum(det_round(expr, 6), "decimal(27,6)")
 
 
 def sql_sum_r6(expr: str) -> str:
-    return f"CAST(sum(CAST({sql_det_round(expr, 6)} AS DECIMAL(27,6))) AS DOUBLE)"
+    return sql_exact_sum(sql_det_round(expr, 6), "DECIMAL(27,6)")
 
 
 def sql_sum2(col: str) -> str:
-    return f"CAST(sum(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+    return sql_exact_sum(col, "DECIMAL(18,2)")
 
 
 def sql_sum8(expr: str) -> str:
-    return f"CAST(sum(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE)"
+    return sql_exact_sum(expr, "DECIMAL(28,8)")
 
 
 def sql_avg2(col: str) -> str:
     return f"({sql_sum2(col)} / count(*))"
+
+
+# ------------------------------------------------------ second moments
+#
+# Bit-deterministic covariance/correlation/stddev need all five moment
+# sums (Σx, Σy, Σx², Σy², Σxy) accumulated exactly; the closed-form
+# combinations are then pure IEEE arithmetic identical on both engines.
+# This is THE pattern for any future exact statistical aggregate — use
+# these two helpers instead of re-deriving the cast discipline
+# (stats_exact_moments in operators/relational.py is the model caller).
+
+
+def moment_sums(x: str, y: str) -> list[Column]:
+    """Aggregate columns [n, sx, sy, sxx, syy, sxy] over 2-decimal
+    columns ``x``/``y``: exact decimal accumulation, one double
+    conversion each. Products of two DECIMAL(18,2) stay exact in
+    Spark/DuckDB's widened decimal multiply."""
+    dx = F.col(x).cast("decimal(18,2)")
+    dy = F.col(y).cast("decimal(18,2)")
+    return [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    ]
+
+
+def sql_moment_sums(x: str, y: str) -> str:
+    """DuckDB mirror of `moment_sums` — the select-list snippet producing
+    the same n/sx/sy/sxx/syy/sxy names."""
+    dx = f"CAST({x} AS DECIMAL(18,2))"
+    dy = f"CAST({y} AS DECIMAL(18,2))"
+    return f"""
+           CAST(count(*) AS DOUBLE)              AS n,
+           CAST(sum({dx}) AS DOUBLE)             AS sx,
+           CAST(sum({dy}) AS DOUBLE)             AS sy,
+           CAST(sum({dx} * {dx}) AS DOUBLE)      AS sxx,
+           CAST(sum({dy} * {dy}) AS DOUBLE)      AS syy,
+           CAST(sum({dx} * {dy}) AS DOUBLE)      AS sxy"""

@@ -25,8 +25,10 @@ from empdia_iceberg_spark.functions.exact import (
     exact_avg2,
     exact_sum2,
     exact_sum8,
+    moment_sums,
     sql_avg2,
     sql_det_round,
+    sql_moment_sums,
     sql_sum2,
     sql_sum8,
 )
@@ -852,15 +854,7 @@ def unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
         SELECT l_returnflag,
-               CAST(count(*) AS DOUBLE)                                          AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)            AS sx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)       AS sy,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)            AS sxx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)       AS syy,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)       AS sxy
+               {sql_moment_sums('l_quantity', 'l_extendedprice')}
         FROM lineitem
         GROUP BY l_returnflag
     )
@@ -881,15 +875,8 @@ def unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    dx = F.col("l_quantity").cast("decimal(18,2)")
-    dy = F.col("l_extendedprice").cast("decimal(18,2)")
     s = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dx).cast("double").alias("sx"),
-        F.sum(dy).cast("double").alias("sy"),
-        F.sum(dx * dx).cast("double").alias("sxx"),
-        F.sum(dy * dy).cast("double").alias("syy"),
-        F.sum(dx * dy).cast("double").alias("sxy"),
+        *moment_sums("l_quantity", "l_extendedprice")
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
