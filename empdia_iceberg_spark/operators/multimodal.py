@@ -284,8 +284,61 @@ def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # payload encoding happens inside the pipeline — the
-    # encode/decode roundtrip is value-tested in tests/test_llm_pipeline.py.
+    # Full value oracle: the PPM/WAV codecs are deterministic byte
+    # arithmetic, so DuckDB can recompute every decoded feature straight
+    # from the source text bytes (hex-digit expansion): image mean = mean
+    # of the 192 np.resize-cycled bytes, audio RMS = sqrt(mean(((b-128)
+    # *256)²)), video = undecoded byte length. All sums are exact
+    # integers < 2^53 → IEEE-identical across engines.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS asset_id, CAST(doc_id % 3 AS INT) AS m,
+             lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    img_pos AS (
+      SELECT asset_id, nb, hx, unnest(generate_series(0, 191)) AS i
+      FROM base WHERE m = 0 AND nb > 0
+    ),
+    img_bytes AS (
+      SELECT asset_id,
+             (strpos('0123456789abcdef', substr(hx, 2*(CASE WHEN nb >= 192 THEN i ELSE i % nb END)+1, 1)) - 1)*16
+           + (strpos('0123456789abcdef', substr(hx, 2*(CASE WHEN nb >= 192 THEN i ELSE i % nb END)+2, 1)) - 1) AS b
+      FROM img_pos
+    ),
+    img_stats AS (
+      SELECT asset_id, CAST(sum(b) AS DOUBLE) / 192 AS mean_level
+      FROM img_bytes GROUP BY asset_id
+    ),
+    aud_pos AS (
+      SELECT asset_id, nb, hx, unnest(generate_series(0, nb - 1)) AS i
+      FROM base WHERE m = 1 AND nb > 0
+    ),
+    aud_bytes AS (
+      SELECT asset_id, nb,
+             (strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1)*16
+           + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1) AS b
+      FROM aud_pos
+    ),
+    aud_stats AS (
+      SELECT asset_id,
+             sqrt(CAST(sum(CAST((b - 128)*256 AS BIGINT) * CAST((b - 128)*256 AS BIGINT)) AS DOUBLE) / nb) AS rms
+      FROM aud_bytes GROUP BY asset_id, nb
+    )
+    SELECT b.asset_id,
+           CASE b.m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           b.m <= 1 AS decoded,
+           CAST(CASE WHEN b.m = 0 THEN 8 ELSE 0 END AS INT) AS width,
+           CAST(CASE WHEN b.m = 0 THEN 8 ELSE 0 END AS INT) AS height,
+           CAST(CASE b.m WHEN 0 THEN 192 WHEN 1 THEN greatest(b.nb, 1) ELSE b.nb END AS BIGINT) AS n_samples,
+           floor((CASE b.m WHEN 0 THEN coalesce(i.mean_level, 0.0)
+                           WHEN 1 THEN coalesce(a.rms, 0.0) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS mean_level
+    FROM base b
+    LEFT JOIN img_stats i USING (asset_id)
+    LEFT JOIN aud_stats a USING (asset_id)
+    ORDER BY b.asset_id LIMIT 500
+    """,
     doc="REAL decode→feature pipeline: text bytes are encoded into "
     "genuine media containers (P6 PPM images, PCM WAV audio — pure "
     "numpy codecs, no external libs), stored as binary payload columns, "
