@@ -67,6 +67,13 @@ _SWEEP_PRIORITY = [
     "stats_exact_moments",
     "stratified_sample_counts",
     "generation_retry_real",  # new in r4 (rows-only; stub fallback == stub query)
+    "stream_stream_join_1h",  # new in r4
+    "doc_tfidf_top_terms",  # new in r4
+    "token_heavy_hitters",  # new in r4
+    "q6_forecast_revenue",  # new in r4
+    "q14_promo_revenue",  # new in r4
+    "q18_large_orders",  # new in r4
+    "q19_disjunctive_revenue",  # new in r4
     # dedup stack: changed since its last driver row
     "doc_exact_dedup",
     "doc_dedup_survivors",
@@ -112,9 +119,10 @@ _SWEEP_PRIORITY = [
     "doc_token_counts",
     "doc_quality_filter",
     "doc_lang_id_confusion",
+    # slots 51+ — these r2-green, since-untouched queries lead the r5 sweep
     "doc_fingerprint",
     "doc_chunking",
-    "doc_pii_scrub",  # slot 51 — swept first in r5 with window_percent_rank_cume_dist
+    "doc_pii_scrub",
     "window_percent_rank_cume_dist",
 ]
 registry.promote(_SWEEP_PRIORITY)

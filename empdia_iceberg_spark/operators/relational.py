@@ -174,6 +174,167 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_det_round(sql_sum8('l_extendedprice * l_discount'), 2)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.02 AND l_discount <= 0.04
+      AND l_quantity < 24
+    """,
+    doc="TPC-H-Q6-style forecast-revenue: pure filter + single aggregate "
+    "— every predicate pushes to the parquet scan (date range, discount "
+    "band, quantity cap), then one map-side-combined sum. The minimal "
+    "full-scan query: at 100 TB its cost IS the pruned scan.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            det_round(
+                exact_sum8(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT {sql_det_round(
+        "100.0 * "
+        + sql_sum8("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")
+        + " / " + sql_sum8('l_extendedprice * (1 - l_discount)'), 4)} AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    doc="TPC-H-Q14-style promo-revenue share: fact-to-dim equi-join "
+    "(part broadcasts — it is the small side at any scale factor) with "
+    "a conditional-aggregate ratio; both sums decimal-exact so the "
+    "division is bit-deterministic.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        det_round(
+            F.lit(100.0) * exact_sum8(promo) / exact_sum8(disc), 4
+        ).alias("promo_revenue_pct")
+    )
+
+
+_Q18_MIN_QTY = 300
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           round({sql_sum2('l_quantity')}, 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_MIN_QTY}
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H-Q18-style large-volume orders: aggregate-derived semi-join "
+    "(orders whose total quantity exceeds the threshold) back into a "
+    "3-way join + re-aggregate, top-20. The HAVING subquery shuffles "
+    "only (orderkey, qty-sum) — never wide rows.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > _Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(exact_sum2("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_det_round(sql_sum8('l_extendedprice * (1 - l_discount)'), 2)} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H-Q19-style disjunctive predicates: an OR of brand/size/"
+    "quantity conjunctions across the join. Catalyst extracts the "
+    "common join key and pushes the per-side conjuncts "
+    "(p_brand/p_size to part, l_quantity to lineitem) below the join.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        det_round(
+            exact_sum8(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
     "semi_join_active_customers",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment

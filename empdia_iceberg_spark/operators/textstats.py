@@ -328,6 +328,240 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+# ---------------------------------------------------------------- TF-IDF
+
+TFIDF_TOP = 3
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS cnt
+        FROM toks WHERE term <> ''
+        GROUP BY doc_id, term
+    ),
+    doc_len AS (
+        SELECT doc_id, sum(cnt) AS n_tokens FROM tf GROUP BY doc_id
+    ),
+    df_t AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               {sql_det_round('(CAST(cnt AS DOUBLE) / n_tokens) * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df)', 6)} AS tfidf
+        FROM tf JOIN doc_len USING (doc_id) JOIN df_t USING (term)
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TFIDF_TOP}
+    ORDER BY doc_id, rank
+    LIMIT 1500
+    """,
+    doc="TF-IDF top-3 terms per document: the inverted-index layout. "
+    "Term frequencies and document frequencies come from ONE "
+    "(doc_id, term) aggregate — doc lengths and df both derive from it, "
+    "so the corpus shuffles once on the composite key plus once on "
+    "term for df. Ranking happens on the det-rounded score so both "
+    "engines order identically (raw ln() can differ in the last ulp). "
+    "At 100 TB: tf is the big intermediate; df_t is vocabulary-sized "
+    "and AQE broadcast-joins it back.",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one scalar job; becomes a literal in the plan
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tokens"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(df_t, "term")
+        .select(
+            "doc_id",
+            "term",
+            det_round(
+                (F.col("cnt").cast("double") / F.col("n_tokens"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+        .orderBy("doc_id", "rank")
+        .limit(1500)
+    )
+
+
+# ---------------------------------------------------------- heavy hitters
+
+HEAVY_HITTERS_K = 20
+
+
+@register(
+    "token_heavy_hitters",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT)              AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM toks WHERE term <> ''
+    GROUP BY term
+    ORDER BY n_occurrences DESC, term
+    LIMIT {HEAVY_HITTERS_K}
+    """,
+    doc="Global heavy-hitter tokens: top-20 by occurrence count with "
+    "per-token document frequency. Map-side partial aggregation makes "
+    "the shuffle O(vocabulary), not O(tokens); the final top-k is a "
+    "TakeOrdered, no global sort materialized. The vocabulary-audit "
+    "staple of a pretraining corpus.",
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(HEAVY_HITTERS_K)
+    )
+
+
+# ------------------------------------------------------ count-min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_col_spark(term, d: int):
+    """Deterministic CMS cell hash: first 8 hex digits of md5(term:d)
+    mod width. md5 exists JVM-side and in DuckDB, so the whole sketch —
+    an approximation STRUCTURE — is still exactly reproducible."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(term, F.lit(f":{d}"))), 1, 8), 16, 10)
+        .cast("long")
+        % CMS_WIDTH
+    )
+
+
+def _cms_col_sql(term: str, d: int) -> str:
+    return f"(('0x' || substr(md5({term} || ':{d}'), 1, 8))::BIGINT % {CMS_WIDTH})"
+
+
+@register(
+    "token_cms_estimates",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT term, count(*) AS cnt FROM toks WHERE term <> '' GROUP BY term
+    ),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS d, {_cms_col_sql('term', d)} AS col, sum(cnt) AS cell FROM tf GROUP BY 2"
+            for d in range(CMS_DEPTH)
+        )}
+    ),
+    top AS (
+        SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 20
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT term, cnt, {d} AS d, {_cms_col_sql('term', d)} AS col FROM top"
+            for d in range(CMS_DEPTH)
+        )}
+    )
+    SELECT p.term,
+           CAST(p.cnt AS BIGINT)  AS true_count,
+           CAST(min(c.cell) AS BIGINT) AS cms_estimate
+    FROM probes p JOIN cells c USING (d, col)
+    GROUP BY p.term, p.cnt
+    ORDER BY true_count DESC, term
+    """,
+    doc="Count-min sketch (depth 4 × width 1024) with DISTRIBUTED merge: "
+    "cell totals are a plain (d, col) aggregate — associative, so "
+    "map-side partials merge like any sum, the way sketch shards merge "
+    "across 1000 executors. Estimates (min over rows) are reported next "
+    "to true counts for the exact top-20 terms; the md5 cell hash makes "
+    "the whole sketch deterministic, so even this approximation "
+    "structure gets a full value oracle. est ≥ true always; "
+    "est ≤ true + εN w.h.p. is property-tested.",
+)
+def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # sketch cells: every term lands in one cell per depth row
+    cell_rows = tf.select(
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_col_spark(F.col("term"), d).alias("col")
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("dc"),
+    ).select("dc.d", "dc.col", "cnt")
+    cells = cell_rows.groupBy("d", "col").agg(F.sum("cnt").alias("cell"))
+    top = tf.orderBy(F.desc("cnt"), F.asc("term")).limit(20)
+    probes = top.select(
+        "term",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_col_spark(F.col("term"), d).alias("col")
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("dc"),
+    ).select("term", "cnt", "dc.d", "dc.col")
+    return (
+        probes.join(F.broadcast(cells), ["d", "col"])
+        .groupBy("term", "cnt")
+        .agg(F.min("cell").alias("cms_estimate"))
+        .select(
+            "term",
+            F.col("cnt").cast("bigint").alias("true_count"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        )
+        .orderBy(F.desc("true_count"), F.asc("term"))
+    )
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+1-555-[0-9]+"
 

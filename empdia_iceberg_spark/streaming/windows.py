@@ -197,6 +197,66 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join_1h",
+    oracle="""
+    SELECT c.event_id                        AS click_id,
+           p.event_id                        AS purchase_id,
+           c.user_id,
+           CAST(epoch_us(p.ts - c.ts) AS BIGINT) AS gap_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+    doc="Stream-stream INTERVAL JOIN: clicks joined to same-user "
+    "purchases within [0, 1h], both sides watermarked so the join state "
+    "is evicted once the event-time bound passes — the canonical "
+    "attribution join. Single-batch arrival makes the inner join equal "
+    "the batch interval join (the oracle). At 100 TB/day the state "
+    "store holds only the 1-hour tail of each side per user key; "
+    "without the time bound + watermarks Spark would (rightly) reject "
+    "the plan as unbounded-state.",
+)
+def stream_stream_join_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    run_to_memory(joined, "t_ssjoin", output_mode="append")
+    return spark.table("t_ssjoin").orderBy("click_id", "purchase_id")
+
+
+@register(
     "stream_watermark_late_drop",
     oracle=None,  # arrival-order semantics — deterministic only under the
     # controlled two-phase feed below; exact counts pinned by unit test.

@@ -137,8 +137,9 @@ def test_multimodal_features_deterministic(spark):
         buf = docs[r.asset_id].encode("utf-8")
         assert r.n_bytes == len(buf)
         expected = multimodal.fake_decode_features(np.array([buf], dtype=object))[0]
-        assert np.allclose(np.asarray(r.feature), expected)
-        assert abs(sum(r.feature) - 1.0) < 1e-9  # L1-normalized histogram
+        feats = [getattr(r, f"f{j}") for j in range(multimodal.N_FEATURES)]
+        assert np.allclose(feats, expected, atol=1e-6)  # f-cols are det-rounded@6
+        assert abs(sum(feats) - 1.0) < 1e-5  # L1-normalized histogram
 
 
 def test_decode_media_compressed_codecs_still_stubbed():
@@ -204,3 +205,23 @@ def test_dedup_clusters_consistent_with_pairs(spark):
         by_comp.setdefault(c, []).append(doc)
     for c, members in by_comp.items():
         assert c == min(members)
+
+
+def test_cms_estimate_bounds(spark):
+    """Count-min estimates must never under-count, and the depth-4 min
+    keeps overestimates within the standard eps*N bound (eps = e/width)
+    with overwhelming probability on this vocabulary."""
+    import math
+
+    rows = textstats.token_cms_estimates(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    n_tokens = (
+        textstats.load(spark, SF_DIR, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    eps = math.e / textstats.CMS_WIDTH
+    for r in rows:
+        assert r.cms_estimate >= r.true_count  # CMS never undercounts
+        assert r.cms_estimate <= r.true_count + eps * n_tokens
