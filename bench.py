@@ -33,6 +33,8 @@ HEADLINE = [
     "doc_exact_dedup",
     "knn_cosine_top5",
     "doc_minhash_near_dup",
+    "doc_tfidf_top_terms",
+    "doc_dedup_clusters",
     "stream_tumbling_hourly",
     "table_merge_upsert",
 ]

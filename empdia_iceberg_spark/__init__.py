@@ -70,6 +70,10 @@ _SWEEP_PRIORITY = [
     "stream_stream_join_1h",  # new in r4
     "doc_tfidf_top_terms",  # new in r4
     "token_heavy_hitters",  # new in r4
+    "token_cms_estimates",  # new in r4
+    "embedding_quantize_int8",  # new in r4
+    "doc_pack_windows",  # new in r4
+    "hash_split_assignments",  # new in r4
     "q6_forecast_revenue",  # new in r4
     "q14_promo_revenue",  # new in r4
     "q18_large_orders",  # new in r4

@@ -1054,6 +1054,58 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+SPLIT_PCT = (80, 10)  # train < 80, val < 90, else test
+
+
+@register(
+    "hash_split_assignments",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < {SPLIT_PCT[0]} THEN 'train'
+                WHEN bucket < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id)              AS min_doc,
+           max(doc_id)              AS max_doc
+    FROM h
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Deterministic hash-based 80/10/10 split (md5(doc_id) mod 100): "
+    "the scale-correct complement to the reference's positional split "
+    "(utils/split.py:6-7) — assignment is a pure per-row function of "
+    "the key, so it needs no global ordering, survives reshuffling and "
+    "incremental ingest, and never moves a document between splits when "
+    "the corpus grows. Map-only until the summary aggregate.",
+)
+def hash_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_PCT[0], "train")
+        .when(bucket < SPLIT_PCT[0] + SPLIT_PCT[1], "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
 SAMPLE_FRACTIONS = {"1-URGENT": 0.5, "2-HIGH": 0.25, "3-MEDIUM": 0.1}
 SAMPLE_SEED = 7
 

@@ -451,6 +451,81 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ sequence packing
+
+PACK_BUDGET = 2048  # tokens per training window
+
+
+@register(
+    "doc_pack_windows",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM toks
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tok,
+               CAST((cum_tok - n_tok) // {PACK_BUDGET} AS BIGINT) AS pack_id
+        FROM cum
+    )
+    SELECT source, pack_id,
+           CAST(count(*) AS BIGINT)    AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)  AS n_tokens,
+           min(doc_id)                 AS first_doc,
+           max(doc_id)                 AS last_doc
+    FROM packed
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    LIMIT 1000
+    """,
+    doc="Sequence packing (concat-then-split): docs are laid out in "
+    "deterministic (source, doc_id) order, token counts prefix-summed, "
+    "and each doc assigned to the 2048-token training window its start "
+    "offset falls in — the standard pretraining batch-packing layout. "
+    "One window function partitioned by source (parallel across "
+    "sources, no global window), then one aggregate.",
+)
+def doc_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+        )
+    )
+    toks = docs.select("doc_id", "source", n_tok.alias("n_tok"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET).cast(
+            "bigint"
+        ),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
+        .limit(1000)
+    )
+
+
 # ------------------------------------------------------ count-min sketch
 
 CMS_DEPTH = 4

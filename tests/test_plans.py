@@ -66,3 +66,44 @@ def test_reward_single_shuffle_for_window_and_agg(spark):
     plan = _plan(spark, "reward_trajectory")
     n_hash_exchanges = plan.count("Exchange hashpartitioning(dia_id")
     assert n_hash_exchanges == 1, plan
+
+
+def test_q6_all_filters_pushed(spark):
+    """Q6 is nothing BUT filters + one aggregate: every predicate must
+    reach the scan, and the plan stays fully whole-stage-codegen'd."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    assert "partial" in plan  # map-side combine before one result merge
+
+
+def test_q14_q19_broadcast_part_dim(spark):
+    """The part dim must broadcast — shuffling the lineitem fact side on
+    partkey is the plan that dies at 100x."""
+    for name in ("q14_promo_revenue", "q19_disjunctive_revenue"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_q19_pushes_per_side_conjuncts(spark):
+    """Catalyst must extract the disjunction's common per-side conjuncts
+    below the join: l_quantity bounds to lineitem's scan, brand/size to
+    part's."""
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    pushed = plan.split("PushedFilters")[1][:600]
+    assert "l_quantity" in pushed or "quantity" in pushed
+
+
+def test_tfidf_reuses_tf_exchange(spark):
+    """doc lengths and document frequencies both derive from the one
+    (doc_id, term) aggregate; the plan must reuse that exchange (or its
+    shuffle output), not recompute the token explode three times."""
+    plan = _plan(spark, "doc_tfidf_top_terms")
+    assert "ReusedExchange" in plan or plan.count("Generate explode") <= 2, plan
+
+
+def test_heavy_hitters_partial_agg_before_shuffle(spark):
+    plan = _plan(spark, "token_heavy_hitters")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
