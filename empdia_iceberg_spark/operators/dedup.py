@@ -331,19 +331,24 @@ def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- SimHash
 
-SIMHASH_BITS = 64
-SIMHASH_CHUNKS = 4  # 4 × 16-bit blocking chunks
+SIMHASH_BITS = 60  # 15 md5 hex digits — fits signed 64-bit in both engines
+SIMHASH_CHUNKS = 4  # 4 × 15-bit blocking chunks
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 SIMHASH_MAX_HAMMING = SIMHASH_CHUNKS - 1  # pigeonhole: ≤3 ⇒ one chunk equal
 
 
 def simhash(spark_df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc from whitespace tokens: bit b of the
-    signature is the sign of Σ_tokens (2·bit_b(xxhash64(token)) − 1).
-    Computed via explode + 64 conditional sums (one shuffle on doc_id,
+    """60-bit SimHash per doc from whitespace tokens: bit b of the
+    signature is the sign of Σ_tokens (2·bit_b(h(token)) − 1), with
+    h = the first 15 md5 hex digits — md5 exists in DuckDB too, which
+    is what buys this operator a full value oracle. Computed via
+    explode + 60 conditional sums (one shuffle on doc_id,
     partial-aggregated map-side)."""
     toks = spark_df.select(
         "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -360,12 +365,53 @@ def simhash(spark_df: DataFrame, text_col: str = "text") -> DataFrame:
     return bit_sums.select("doc_id", sig.alias("simhash"))
 
 
+# The oracle rebuilds the signatures in SQL (same md5 token hash, same
+# 60 sign-sums) and takes ALL pairs with hamming <= 3 by brute force —
+# the Spark blocking path must equal that ground truth because the
+# 4-chunk pigeonhole has zero false negatives (property-tested too).
+_SIMHASH_SIG_SQL = rf"""
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+    ),
+    bits AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+                   for b in range(SIMHASH_BITS)
+               )}
+        FROM h GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               {" + ".join(
+                   f"(CASE WHEN s_{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+                   for b in range(SIMHASH_BITS)
+               )} AS simhash
+        FROM bits
+    )
+"""
+
+
 @register(
     "doc_simhash_near_dup",
-    oracle=None,  # xxhash64 is not expressible in DuckDB — rows-only;
-    # the hamming bound + blocking completeness are property-tested.
-    doc="SimHash(64) near-dup: 4×16-bit chunk blocking (zero false "
-    "negatives for hamming ≤ 3 by pigeonhole), bit_count(xor) verify.",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash(60, md5-derived) near-dup: 4×15-bit chunk blocking "
+    "(zero false negatives for hamming ≤ 3 by pigeonhole), "
+    "bit_count(xor) verify. The md5 hash family makes the signatures "
+    "reproducible in SQL, so this approximate operator carries a FULL "
+    "value oracle: DuckDB recomputes every signature and brute-forces "
+    "all pairs — the blocked path must match exactly.",
 )
 def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -378,8 +424,10 @@ def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(
+                            F.col("simhash"), c * SIMHASH_CHUNK_BITS
+                        )
+                        .bitwiseAND(F.lit((1 << SIMHASH_CHUNK_BITS) - 1))
                         .alias("val"),
                     )
                     for c in range(SIMHASH_CHUNKS)
