@@ -74,6 +74,9 @@ _SWEEP_PRIORITY = [
     "embedding_quantize_int8",  # new in r4
     "doc_pack_windows",  # new in r4
     "hash_split_assignments",  # new in r4
+    "table_rollback_restore",  # new in r4
+    "stream_static_enrich",  # new in r4
+    "q10_returned_revenue",  # new in r4
     "q6_forecast_revenue",  # new in r4
     "q14_promo_revenue",  # new in r4
     "q18_large_orders",  # new in r4

@@ -174,6 +174,52 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_det_round(sql_sum8('l_extendedprice * (1 - l_discount)'), 2)} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H-Q10-style returned-item revenue: quarter of orders, "
+    "returned lineitems only, customer×nation context, top-20 "
+    "customers by lost revenue. Both date and returnflag predicates "
+    "push to their scans; nation broadcasts.",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            det_round(
+                exact_sum8(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
     "q6_forecast_revenue",
     oracle=f"""
     SELECT {sql_det_round(sql_sum8('l_extendedprice * l_discount'), 2)} AS revenue

@@ -257,6 +257,39 @@ def stream_stream_join_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           round({sql_sum2('e.value')}, 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Stream-static join: the event stream enriches against the "
+    "static customer dim (broadcast — the dim is re-read per "
+    "micro-batch but never shuffles the stream side), then aggregates "
+    "by segment. The standard streaming-ETL enrichment shape; oracle = "
+    "the batch join + rollup.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
+    run_to_memory(agg, "t_enrich")
+    return spark.table("t_enrich").orderBy("c_mktsegment")
+
+
+@register(
     "stream_watermark_late_drop",
     oracle=None,  # arrival-order semantics — deterministic only under the
     # controlled two-phase feed below; exact counts pinned by unit test.

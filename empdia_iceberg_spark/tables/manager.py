@@ -138,6 +138,18 @@ class SnapshotTable:
         cur = self.read()
         return self.overwrite(cur.coalesce(target_partitions), op="compact")
 
+    def rollback(self, version: int) -> int:
+        """Iceberg rollback_to_snapshot semantics: commit a NEW snapshot
+        whose file set is the target version's — history stays intact
+        (the bad snapshot remains auditable), only the current pointer
+        moves."""
+        if version not in self._versions():
+            raise ValueError(f"table {self.name}: no snapshot v{version}")
+        meta = self._read_meta(version)
+        return self._commit(
+            "rollback", meta["dirs"], self.current_version(), meta["schema"]
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last `keep_last` snapshots and delete data
         dirs no longer referenced by a surviving snapshot."""
@@ -332,4 +344,48 @@ def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("n_extra").cast("bigint").alias("n_evolved"),
         F.sum("n_extra").cast("bigint").alias("sum_extra"),
+    )
+
+
+@register(
+    "table_rollback_restore",
+    oracle=f"""
+    WITH v2 AS (SELECT * FROM orders WHERE o_orderstatus IN ('O', 'F')),
+         v3 AS (SELECT * FROM v2 WHERE NOT o_totalprice > 150000)
+    SELECT 'after_delete' AS step, count(*) AS n_rows,
+           round({sql_sum2('o_totalprice')}, 2) AS total_price, 3 AS version FROM v3
+    UNION ALL
+    SELECT 'after_rollback', count(*), round({sql_sum2('o_totalprice')}, 2), 4 FROM v2
+    ORDER BY step
+    """,
+    doc="Snapshot ROLLBACK (Iceberg rollback_to_snapshot): create v1, "
+    "append v2, run a (bad) DELETE as v3, then roll back — a NEW "
+    "snapshot v4 restores v2's exact file set while the bad v3 stays "
+    "in history for audit. Read-back differentially checked against "
+    "the base table; metadata-only restore, no data rewrite.",
+)
+def table_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_rollback")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))  # v1
+    v2 = t.append(orders.filter(F.col("o_orderstatus") == "F"))  # v2
+    t.delete_where(F.col("o_totalprice") > 150000)  # v3: the bad delete
+    stats3 = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact_sum2("o_totalprice"), 2).alias("s"),
+    ).collect()[0]
+    v4 = t.rollback(v2)  # restore, keeping v3 in history
+    stats4 = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact_sum2("o_totalprice"), 2).alias("s"),
+    ).collect()[0]
+    assert [m["version"] for m in t.snapshots()] == [1, 2, 3, 4]
+    return local_df(
+        spark,
+        [
+            ("after_delete", int(stats3["n"]), float(stats3["s"]), 3),
+            ("after_rollback", int(stats4["n"]), float(stats4["s"]), int(v4)),
+        ],
+        "step string, n_rows long, total_price double, version int",
     )
