@@ -55,14 +55,15 @@ from empdia_iceberg_spark.operators import textstats  # noqa: F401
 #   1. queries that have never had a clean driver row;
 #   2. queries whose implementation changed this round;
 #   3. the half NOT swept last round (round 3 swept what is now the tail).
-# Round 4 list: the 4 evidence-less queries, the dedup stack (MinHash hash
-# family rewritten in r3 + repartition/convergence changes in r4), then
-# the r2-only-checked relational/window/similarity/textstats block.
-# (`doc_pii_scrub` and `window_percent_rank_cume_dist` — r2-green,
-# untouched since — land in slots 51/52 and lead the r5 sweep.)
+# Round 4 list: 19 never-verified queries (4 evidence-less from r3 + 15
+# added in r4), the 6 changed-this-round queries (dedup stack + reworked
+# LSH ANN), then the r2-only-checked block. The ~16 r2-green, untouched
+# entries past slot 50 (trailing windows, brute kNN/IVF, textstats) are
+# the r5 sweep's head.
 _SWEEP_PRIORITY = [
-    # never driver-verified
+    # never driver-verified (or first value-oracle this round)
     "multimodal_feature_extract",
+    "multimodal_decode_features",  # r4: rows-only → full value oracle
     "doc_dedup_clusters",
     "stats_exact_moments",
     "stratified_sample_counts",
@@ -81,12 +82,13 @@ _SWEEP_PRIORITY = [
     "q14_promo_revenue",  # new in r4
     "q18_large_orders",  # new in r4
     "q19_disjunctive_revenue",  # new in r4
-    # dedup stack: changed since its last driver row
+    # changed since their last driver row (dedup stack + reworked LSH ANN)
     "doc_exact_dedup",
     "doc_dedup_survivors",
     "doc_ngram_jaccard_pairs",
     "doc_minhash_near_dup",
     "doc_simhash_near_dup",
+    "knn_cosine_lsh",
     # last swept in round 2
     "semi_join_active_customers",
     "anti_join_inactive_customers",
@@ -119,14 +121,12 @@ _SWEEP_PRIORITY = [
     "window_range_frame_value",
     "knn_cosine_top5",
     "emb_cosine_near_dup",
-    "knn_cosine_lsh",
     "embedding_avg_by_label",
     "knn_cosine_ivf",
     "doc_text_stats",
     "doc_token_counts",
     "doc_quality_filter",
     "doc_lang_id_confusion",
-    # slots 51+ — these r2-green, since-untouched queries lead the r5 sweep
     "doc_fingerprint",
     "doc_chunking",
     "doc_pii_scrub",
