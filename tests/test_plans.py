@@ -37,6 +37,14 @@ def test_q5_broadcasts_small_dims(spark):
     assert "BroadcastHashJoin" in plan  # region/nation never shuffle the fact side
 
 
+def test_q10_broadcasts_nation(spark):
+    plan = _plan(spark, "q10_returned_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the returnflag predicate must reach SOME scan's pushed filters
+    pushed_sections = plan.split("PushedFilters")[1:]
+    assert any("l_returnflag" in s[:300] for s in pushed_sections), plan
+
+
 def test_no_single_partition_global_window(spark):
     """The scale-killer plans of round 1 must stay gone: neither the
     ntile query nor the positional split may contain an empty-key
