@@ -78,6 +78,8 @@ _SWEEP_PRIORITY = [
     "table_rollback_restore",  # new in r4
     "stream_static_enrich",  # new in r4
     "q10_returned_revenue",  # new in r4
+    "events_funnel_conversion",  # new in r4
+    "events_weekly_retention",  # new in r4
     "q6_forecast_revenue",  # new in r4
     "q14_promo_revenue",  # new in r4
     "q18_large_orders",  # new in r4

@@ -742,6 +742,121 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+               min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT)                                        AS n_users,
+           CAST(count(t_signup) AS BIGINT)                                 AS n_signed_up,
+           CAST(count(*) FILTER (WHERE t_click > t_signup) AS BIGINT)      AS n_clicked_after,
+           CAST(count(*) FILTER (WHERE t_purchase > t_click
+                                   AND t_click > t_signup) AS BIGINT)      AS n_converted
+    FROM firsts
+    """,
+    doc="Funnel analysis (signup → click → purchase, first occurrences "
+    "in strict order): one conditional-min aggregate per user, then a "
+    "single funnel rollup — the sessionized-conversion staple. One "
+    "shuffle on user_id; NULL stage times drop out of later stages "
+    "automatically (SQL NULL comparison semantics, identical in both "
+    "engines).",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    firsts = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t_signup").cast("bigint").alias("n_signed_up"),
+        F.sum((F.col("t_click") > F.col("t_signup")).cast("long"))
+        .cast("bigint")
+        .alias("n_clicked_after"),
+        F.sum(
+            (
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup"))
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_converted"),
+    )
+
+
+@register(
+    "events_weekly_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_week,
+               CAST(floor((epoch(date_trunc('week', e.ts)) - epoch(c.cohort_week))
+                          / (7*24*3600)) AS BIGINT) AS week_offset
+        FROM events e JOIN cohorts c USING (user_id)
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity
+    WHERE week_offset <= 4
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="Cohort retention: users bucketed by first-activity week, then "
+    "distinct active users per (cohort, week offset) for the first 5 "
+    "weeks — the classic retention triangle. Two shuffles (cohort "
+    "assignment on user_id, then the retention rollup); the cohort map "
+    "is user-cardinality and joins back broadcast-or-shuffle as AQE "
+    "sizes it.",
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                )
+                / (7 * 24 * 3600)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 4)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
