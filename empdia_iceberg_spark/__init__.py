@@ -27,6 +27,7 @@ from empdia_iceberg_spark.session import get_spark  # noqa: F401
 # Sweep ordering is handled by registry.promote(_SWEEP_PRIORITY) below —
 # module import order no longer matters for driver evidence.
 from empdia_iceberg_spark.operators import asof  # noqa: F401
+from empdia_iceberg_spark.operators import subqueries  # noqa: F401
 from empdia_iceberg_spark.operators import bucketing  # noqa: F401
 from empdia_iceberg_spark.operators import skyline  # noqa: F401
 from empdia_iceberg_spark.operators import multimodal  # noqa: F401
@@ -84,6 +85,13 @@ _SWEEP_PRIORITY = [
     "q14_promo_revenue",  # new in r4
     "q18_large_orders",  # new in r4
     "q19_disjunctive_revenue",  # new in r4
+    "q4_priority_exists",  # new in r4 (subquery shapes)
+    "q13_custdist",  # new in r4
+    "q16_supplier_part_counts",  # new in r4
+    "q17_small_qty_revenue",  # new in r4
+    "q22_idle_rich_customers",  # new in r4
+    "q2_min_cost_supplier",  # new in r4
+    "events_sessionize_8h",  # new in r4
     # changed since their last driver row (dedup stack + reworked LSH ANN)
     "doc_exact_dedup",
     "doc_dedup_survivors",
