@@ -28,6 +28,7 @@ from empdia_iceberg_spark.session import get_spark  # noqa: F401
 # module import order no longer matters for driver evidence.
 from empdia_iceberg_spark.operators import asof  # noqa: F401
 from empdia_iceberg_spark.operators import subqueries  # noqa: F401
+from empdia_iceberg_spark.operators import mixture  # noqa: F401
 from empdia_iceberg_spark.operators import bucketing  # noqa: F401
 from empdia_iceberg_spark.operators import skyline  # noqa: F401
 from empdia_iceberg_spark.operators import multimodal  # noqa: F401
@@ -92,6 +93,9 @@ _SWEEP_PRIORITY = [
     "q22_idle_rich_customers",  # new in r4
     "q2_min_cost_supplier",  # new in r4
     "events_sessionize_8h",  # new in r4
+    "doc_decontaminate",  # new in r4 (training-pipeline ops)
+    "doc_repetition_stats",  # new in r4
+    "domain_mixture_weights",  # new in r4
     # changed since their last driver row (dedup stack + reworked LSH ANN)
     "doc_exact_dedup",
     "doc_dedup_survivors",

@@ -550,3 +550,74 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled_docs(spark, sf_dir)
     pairs = _verify_pairs(lsh_candidates(sh), sh)
     return connected_components(pairs).orderBy("doc_id")
+
+
+# ------------------------------------------------------ decontamination
+
+
+BENCH_MOD = 50  # doc_id % 50 == 0 stands in for the benchmark/eval set
+CONTAM_THRESHOLD = 0.2
+
+
+@register(
+    "doc_decontaminate",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks
+    ),
+    ex AS (
+        SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM ex WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    hits AS (
+        SELECT e.doc_id, e.n_sh, count(*) AS n_hit
+        FROM ex e JOIN bench b USING (shingle)
+        WHERE e.doc_id % {BENCH_MOD} <> 0
+        GROUP BY e.doc_id, e.n_sh
+    )
+    SELECT doc_id,
+           CAST(n_sh AS BIGINT)  AS n_shingles,
+           CAST(n_hit AS BIGINT) AS n_contaminated,
+           {sql_det_round('CAST(n_hit AS DOUBLE) / n_sh', 6)} AS contamination,
+           (CAST(n_hit AS DOUBLE) / n_sh >= {CONTAM_THRESHOLD}) AS flagged
+    FROM hits
+    ORDER BY doc_id
+    """,
+    doc="Train/test decontamination: corpus documents sharing word-"
+    f"3-gram shingles with the benchmark set (doc_id % {BENCH_MOD} == 0 "
+    "stands in for the eval suite), scored by the fraction of their "
+    "distinct shingles that appear anywhere in the benchmark. The "
+    "benchmark shingle set is eval-suite-sized — small by nature — so "
+    "it broadcasts and the corpus-side explode never shuffles document "
+    "text: the scan stays map-only, the only exchange is the per-doc "
+    "hit count rollup on doc_id. This is the layout that survives a "
+    "100 TB corpus against a fixed benchmark battery.",
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled_docs(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    bench = (
+        ex.filter(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
+    )
+    ratio = F.col("n_hit").cast("double") / F.col("n_sh")
+    return (
+        ex.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select(
+            "doc_id",
+            F.col("n_sh").cast("bigint").alias("n_shingles"),
+            F.col("n_hit").cast("bigint").alias("n_contaminated"),
+            det_round(ratio, 6).alias("contamination"),
+            (ratio >= CONTAM_THRESHOLD).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

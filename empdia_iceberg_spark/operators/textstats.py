@@ -693,3 +693,86 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(500)
     )
+
+
+# --------------------------------------------------- repetition signals
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks WHERE len(t) >= 2
+    ),
+    gc AS (
+        SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    ),
+    gstats AS (
+        SELECT doc_id, max(c) AS top_c, sum(c) AS n_g FROM gc GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           {sql_det_round('1.0 - CAST(n_distinct AS DOUBLE) / n_words', 6)} AS dup_word_frac,
+           CAST(coalesce(top_c, 0) AS BIGINT) AS top_bigram_count,
+           {sql_det_round('coalesce(CAST(top_c AS DOUBLE) / n_g, 0.0)', 6)} AS top_bigram_frac
+    FROM base b LEFT JOIN gstats g USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition quality signals per document: "
+    "duplicate-word fraction (1 - distinct/total) and the frequency "
+    "share of the most repeated word bigram. The bigram mode is "
+    "computed by explode → count per (doc, gram) → max per doc — two "
+    "map-side-combining shuffles keyed on the document, never an "
+    "O(n²) per-row array scan, so a 100 TB corpus streams through. "
+    "High values on either signal are the standard pretraining "
+    "filter cut (Rae et al., Gopher §A1.2).",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("t"))
+    base = toks.select(
+        "doc_id",
+        F.size("t").alias("n_words"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+    grams = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    gstats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_g"))
+    )
+    return (
+        base.join(gstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            det_round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.coalesce(F.col("top_c"), F.lit(0)).cast("bigint").alias("top_bigram_count"),
+            det_round(
+                F.coalesce(F.col("top_c").cast("double") / F.col("n_g"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
