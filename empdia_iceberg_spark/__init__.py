@@ -96,6 +96,10 @@ _SWEEP_PRIORITY = [
     "doc_decontaminate",  # new in r4 (training-pipeline ops)
     "doc_repetition_stats",  # new in r4
     "domain_mixture_weights",  # new in r4
+    "q7_volume_shipping",  # new in r4
+    "q8_market_share",  # new in r4
+    "q9_profit_by_nation",  # new in r4
+    "q15_top_supplier",  # new in r4
     # changed since their last driver row (dedup stack + reworked LSH ANN)
     "doc_exact_dedup",
     "doc_dedup_survivors",

@@ -31,7 +31,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from empdia_iceberg_spark.functions.exact import det_round, exact_sum2, sql_det_round, sql_sum2
+from empdia_iceberg_spark.functions.exact import (
+    det_round,
+    exact_sum2,
+    exact_sum8,
+    sql_det_round,
+    sql_sum2,
+    sql_sum8,
+)
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
 
@@ -373,4 +380,252 @@ def events_sessionize_8h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_end",
         )
         .orderBy("user_id", "session_seq")
+    )
+
+
+# ------------------------------------------- join-heavy TPC-H battery
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_det_round(sql_sum8('volume'), 2)} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+            OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H-Q7: bilateral shipping volume between two nations by "
+    "year — a 5-way join where the disjunctive nation-pair predicate "
+    "can only be applied AFTER both nation joins. Both nation copies "
+    "broadcast; the fact-side joins shuffle on their natural keys and "
+    "the date filter is pushed into the lineitem scan.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
+    ) | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(det_round(exact_sum8(F.col("volume")), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q8_NUM = sql_sum8("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END")
+_Q8_DEN = sql_sum8("volume")
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_n AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n1.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region    ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    )
+    SELECT o_year,
+           {sql_det_round(_Q8_NUM + ' / ' + _Q8_DEN, 6)} AS mkt_share
+    FROM all_n
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H-Q8: a nation's market share of PROMO-part volume sold "
+    "into ASIA by order year — an 8-way join with conditional "
+    "aggregation (share = Σ volume·[nation] / Σ volume, both sums "
+    "exact decimal). All dims broadcast; only customer/orders/lineitem "
+    "shuffle.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31 00:00:00")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    num = F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == region.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            det_round(exact_sum8(num) / exact_sum8(F.col("volume")), 6).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_profit_by_nation",
+    oracle=f"""
+    SELECT nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {sql_det_round(
+               sql_sum8('l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity'),
+               2)} AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN (SELECT n_nationkey, n_name AS nation FROM nation) n
+      ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H-Q9 shape: profit by supplier nation and order year for "
+    "parts matching a name pattern. The schema has no partsupp, so "
+    "supply cost is the synthetic 0.5·p_retailprice·l_quantity — the "
+    "join topology (part-filter → lineitem → supplier/orders/nation) "
+    "and the per-row profit expression are the Q9 features. Profit "
+    "sums use the decimal(28,8) discipline.",
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(det_round(exact_sum8(F.col("profit")), 2).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+_Q15_LO, _Q15_HI = "1997-01-01", "1997-04-01"
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+          AND l_shipdate <  TIMESTAMP '{_Q15_HI}'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           {sql_det_round('CAST(total_revenue AS DOUBLE)', 2)} AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H-Q15: the top supplier(s) by quarterly revenue — a scalar "
+    "MAX-of-aggregate subquery. Revenues are exact decimal sums, so "
+    "the max-equality comparison is exact on both engines; the 1-row "
+    "max cross-joins broadcast against the per-supplier revenue table.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_HI).cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            det_round(F.col("total_revenue").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
     )
