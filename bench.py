@@ -35,6 +35,8 @@ HEADLINE = [
     "doc_minhash_near_dup",
     "doc_tfidf_top_terms",
     "doc_dedup_clusters",
+    "doc_decontaminate",
+    "events_sessionize_8h",
     "stream_tumbling_hourly",
     "table_merge_upsert",
 ]

@@ -57,11 +57,13 @@ from empdia_iceberg_spark.operators import textstats  # noqa: F401
 #   1. queries that have never had a clean driver row;
 #   2. queries whose implementation changed this round;
 #   3. the half NOT swept last round (round 3 swept what is now the tail).
-# Round 4 list: 19 never-verified queries (4 evidence-less from r3 + 15
-# added in r4), the 6 changed-this-round queries (dedup stack + reworked
-# LSH ANN), then the r2-only-checked block. The ~16 r2-green, untouched
-# entries past slot 50 (trailing windows, brute kNN/IVF, textstats) are
-# the r5 sweep's head.
+# Round 4 list: 33 never-verified queries (4 evidence-less from r3 + 29
+# added in r4: subquery shapes, q7/q8/q9/q15, sessionization, and the
+# decontamination / repetition / mixture pipeline ops), the 6
+# changed-this-round queries (dedup stack + reworked LSH ANN), then the
+# r2-only-checked block up to slot 50. The r2-green, untouched entries
+# past slot 50 (trailing windows, brute kNN/IVF, textstats) are the r5
+# sweep's head.
 _SWEEP_PRIORITY = [
     # never driver-verified (or first value-oracle this round)
     "multimodal_feature_extract",
@@ -100,6 +102,8 @@ _SWEEP_PRIORITY = [
     "q8_market_share",  # new in r4
     "q9_profit_by_nation",  # new in r4
     "q15_top_supplier",  # new in r4
+    "q11_important_parts",  # new in r4
+    "q21_waiting_suppliers",  # new in r4
     # changed since their last driver row (dedup stack + reworked LSH ANN)
     "doc_exact_dedup",
     "doc_dedup_survivors",

@@ -629,3 +629,110 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        WHERE s_nationkey = 3
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv
+    WHERE val * 500 > (SELECT sum(val) FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H-Q11 shape (lineitem stands in for partsupp): parts whose "
+    "inventory value from nation-3 suppliers exceeds 1/500 of the "
+    "total — a scalar subquery in HAVING position over the same "
+    "aggregate. Decorrelated into one partkey aggregate reused for "
+    "both sides, with the 1-row grand total cross-joined broadcast; "
+    "the fraction test is multiplied out (val·500 > Σval) so it is "
+    "exact decimal on both engines.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    supp = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val"))
+    )
+    tot = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") * 500 > F.col("total"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H-Q21 shape (l_returnflag='R' stands in for the late-"
+    "delivery predicate): suppliers solely responsible for a problem "
+    "on a multi-supplier finalized order — the double correlated "
+    "EXISTS + NOT EXISTS. Decorrelated into a left-semi join (another "
+    "supplier exists on the order) followed by a left-anti join (no "
+    "OTHER supplier has a returned line), both shuffling on orderkey "
+    "with a non-equi suppkey<>suppkey conjunct; supplier dim "
+    "broadcasts.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("l3_orderkey"),
+            F.col("l_suppkey").alias("l3_suppkey"),
+        )
+    )
+    return (
+        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

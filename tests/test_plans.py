@@ -115,3 +115,48 @@ def test_heavy_hitters_partial_agg_before_shuffle(spark):
     plan = _plan(spark, "token_heavy_hitters")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_q4_semi_join_and_pushed_dates(spark):
+    """The EXISTS decorrelates to a left-semi join and the order-date
+    range reaches the orders scan."""
+    plan = _plan(spark, "q4_priority_exists")
+    assert "LeftSemi" in plan
+    pushed_sections = plan.split("PushedFilters")[1:]
+    assert any("o_orderdate" in s[:300] for s in pushed_sections), plan
+
+
+def test_q16_anti_join_broadcasts_exclusion_list(spark):
+    """NOT IN runs as a broadcast left-anti join — the fact side never
+    shuffles for the exclusion check. Asserted on the pre-AQE plan: at
+    tiny SF the exclusion list is empty and AQE (correctly) erases the
+    anti join from the final plan."""
+    df = registry.queries()["q16_supplier_part_counts"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_q22_scalar_subquery_broadcasts(spark):
+    """The 1-row balance aggregate cross-joins broadcast (nested-loop,
+    not a shuffled join) and NOT EXISTS is a left-anti join."""
+    plan = _plan(spark, "q22_idle_rich_customers")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_sessionize_no_global_window(spark):
+    """Both session windows partition by user_id; the rollup reuses the
+    window's partitioning (no extra hash exchange)."""
+    plan = _plan(spark, "events_sessionize_8h")
+    for line in plan.splitlines():
+        stripped = line.strip()
+        if stripped.startswith("+- Window") or stripped.startswith("Window"):
+            assert "], [], [" not in line, line
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The benchmark shingle set broadcasts — the corpus-side explode
+    must not shuffle document shingles for the join."""
+    plan = _plan(spark, "doc_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
