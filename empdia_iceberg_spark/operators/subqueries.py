@@ -346,7 +346,15 @@ SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8 hours, in microseconds
     "window; the rollup shuffles on (user_id, session_seq).",
 )
 def events_sessionize_8h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    return sessionize(load(spark, sf_dir, "events"), SESSION_GAP_US)
+
+
+def sessionize(ev: DataFrame, gap_us: int) -> DataFrame:
+    """Gap-based session assignment + per-session rollup over a frame
+    with (user_id, ts, event_id) columns. Property-tested invariants:
+    sessions partition each user's events in time order; consecutive
+    events within a session are ≤ gap apart; each session starts >
+    gap after the previous session's last event."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marks = ev.select(
         "user_id",
@@ -354,7 +362,7 @@ def events_sessionize_8h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > SESSION_GAP_US),
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
             1,
         )
         .otherwise(0)

@@ -109,3 +109,51 @@ def test_termination_precedence(spark, turns):
             expect = ""
         assert r.terminate_reason == expect, (i, r)
         assert r.deepest_layer == max(layers[: i + 1])
+
+
+_event_times = st.lists(
+    st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=12),
+    min_size=1,
+    max_size=3,
+)
+
+
+@_SETTINGS
+@given(_event_times)
+def test_sessionize_partitions_events_by_gap(spark, per_user):
+    """Sessions partition each user's events; consecutive events within
+    a session are <= gap apart; a new session starts iff the gap from
+    the previous event exceeds the threshold (boundary: == gap stays in
+    the same session). Times are minutes; gap = 10 minutes."""
+    from empdia_iceberg_spark.operators.subqueries import sessionize
+
+    gap_min = 10
+    rows = []
+    eid = 0
+    for uid, times in enumerate(per_user):
+        for t in sorted(times):
+            rows.append((uid, eid, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, t int").select(
+        "user_id",
+        "event_id",
+        F.timestamp_seconds(F.col("t") * 60).alias("ts"),
+    )
+    out = sessionize(df, gap_min * 60 * 1_000_000).collect()
+
+    for uid, times in enumerate(per_user):
+        ts = sorted(times)
+        # reference sessionization in plain Python
+        expected = []
+        for t in ts:
+            if expected and t - expected[-1][-1] <= gap_min:
+                expected[-1].append(t)
+            else:
+                expected.append([t])
+        got = sorted(
+            [r for r in out if r.user_id == uid], key=lambda r: r.session_seq
+        )
+        assert len(got) == len(expected), (uid, ts, got)
+        assert sum(r.n_events for r in got) == len(ts)
+        for r, exp in zip(got, expected):
+            assert r.n_events == len(exp)
