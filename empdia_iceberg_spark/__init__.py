@@ -40,6 +40,7 @@ from empdia_iceberg_spark.functions import messages  # noqa: F401
 from empdia_iceberg_spark.sources import sinks  # noqa: F401
 from empdia_iceberg_spark.plans import prep  # noqa: F401
 from empdia_iceberg_spark.plans import grpo  # noqa: F401
+from empdia_iceberg_spark.plans import curation  # noqa: F401
 from empdia_iceberg_spark.tables import manager  # noqa: F401
 from empdia_iceberg_spark.streaming import windows as stream_windows  # noqa: F401
 from empdia_iceberg_spark.streaming import conversation  # noqa: F401
@@ -66,6 +67,8 @@ from empdia_iceberg_spark.operators import textstats  # noqa: F401
 # sweep's head.
 _SWEEP_PRIORITY = [
     # never driver-verified (or first value-oracle this round)
+    "curation_pipeline",  # new in r4 (flagship curation funnel)
+    "curation_funnel_counts",  # new in r4
     "multimodal_feature_extract",
     "multimodal_decode_features",  # r4: rows-only → full value oracle
     "doc_dedup_clusters",

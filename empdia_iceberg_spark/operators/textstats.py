@@ -107,6 +107,35 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_EN_SQL = "', '".join(LANG_STOPWORDS["en"])
 
+QUALITY_THRESHOLD = 0.55
+
+
+def quality_parts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_tok, punct_ratio, stop_ratio) raw columns — the inputs of the
+    quality score, shared by doc_quality_filter and the curation
+    pipeline (plans/curation.py) so both gates drop the same docs."""
+    n_tok = F.size(ws_tokens(text))
+    punct_ratio = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+    ).cast("double") / F.length(text)
+    stop_ratio = (
+        F.size(
+            F.filter(ws_tokens(F.lower(text)), lambda t: t.isin(*LANG_STOPWORDS["en"]))
+        ).cast("double")
+        / n_tok
+    )
+    return n_tok, punct_ratio, stop_ratio
+
+
+def quality_score(n_tok: Column, punct_ratio: Column, stop_ratio: Column) -> Column:
+    """Raw (unrounded) weighted quality score; term order matters for
+    cross-engine float determinism — keep in sync with the SQL oracles."""
+    return (
+        0.4 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.3 * F.least(stop_ratio * 10.0, F.lit(1.0))
+    )
+
 
 @register(
     "doc_quality_filter",
@@ -143,24 +172,8 @@ _STOP_EN_SQL = "', '".join(LANG_STOPWORDS["en"])
 )
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    n_tok = F.size(ws_tokens(F.col("text")))
-    punct_ratio = (
-        F.length("text") - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
-    ).cast("double") / F.length("text")
-    stop_ratio = (
-        F.size(
-            F.filter(
-                ws_tokens(F.lower(F.col("text"))),
-                lambda t: t.isin(*LANG_STOPWORDS["en"]),
-            )
-        ).cast("double")
-        / n_tok
-    )
-    score = (
-        0.4 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
-        + 0.3 * (F.lit(1.0) - punct_ratio)
-        + 0.3 * F.least(stop_ratio * 10.0, F.lit(1.0))
-    )
+    n_tok, punct_ratio, stop_ratio = quality_parts(F.col("text"))
+    score = quality_score(n_tok, punct_ratio, stop_ratio)
     return (
         docs.select(
             "doc_id",
@@ -171,7 +184,7 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(score, 6).alias("quality_score"),
             score.alias("_score_raw"),
         )
-        .filter(F.col("_score_raw") >= 0.55)
+        .filter(F.col("_score_raw") >= QUALITY_THRESHOLD)
         .drop("_score_raw")
         .orderBy("doc_id")
     )
