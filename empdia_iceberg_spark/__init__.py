@@ -69,6 +69,8 @@ _SWEEP_PRIORITY = [
     # never driver-verified (or first value-oracle this round)
     "curation_pipeline",  # new in r4 (flagship curation funnel)
     "curation_funnel_counts",  # new in r4
+    "q12_late_priority_counts",  # new in r4 (completes all 22 TPC-H shapes)
+    "q20_dominant_suppliers",  # new in r4
     "multimodal_feature_extract",
     "multimodal_decode_features",  # r4: rows-only → full value oracle
     "doc_dedup_clusters",

@@ -744,3 +744,126 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+_Q12_LO, _Q12_HI = "1996-01-01", "1997-01-01"
+_Q12_LATE_DAYS = 60
+_HIGH_PRIO = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "q12_late_priority_counts",
+    oracle=f"""
+    SELECT l_returnflag AS ship_group,
+           CAST(sum(CASE WHEN o_orderpriority IN {_HIGH_PRIO} THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN {_HIGH_PRIO} THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL {_Q12_LATE_DAYS} DAY
+      AND l_shipdate >= TIMESTAMP '{_Q12_LO}'
+      AND l_shipdate <  TIMESTAMP '{_Q12_HI}'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="TPC-H-Q12 shape (l_returnflag stands in for l_shipmode; "
+    f"shipped ≥{_Q12_LATE_DAYS} days after the order date stands in "
+    "for receipt>commit — the driver lineitem has no commit/receipt "
+    "dates): late lines per ship group with the two-way conditional "
+    "priority counts. The year filter is pushed into the lineitem "
+    "scan; the late predicate is a non-equi join conjunct evaluated "
+    "during the orderkey shuffle join; the final rollup is 3 groups.",
+)
+def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_Q12_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q12_HI).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin(*_HIGH_PRIO)
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (
+                li.l_shipdate
+                >= orders.o_orderdate + F.expr(f"INTERVAL {_Q12_LATE_DAYS} DAYS")
+            ),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_group"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_group")
+    )
+
+
+_Q20_LO, _Q20_HI = "1996-01-01", "1997-01-01"
+_Q20_PREFIX = "red"
+_Q20_SHARE = 0.5  # dominant-supplier share; exact binary fraction on purpose
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle=f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS s_qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '{_Q20_PREFIX}%')
+          AND l_shipdate >= TIMESTAMP '{_Q20_LO}'
+          AND l_shipdate <  TIMESTAMP '{_Q20_HI}'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+        SELECT l_partkey, sum(s_qty) AS t_qty FROM ps GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM ps JOIN tot USING (l_partkey)
+                        WHERE s_qty > {_Q20_SHARE} * t_qty)
+    ORDER BY s_name, s_suppkey
+    """,
+    doc="TPC-H-Q20 shape (lineitem shipped quantities stand in for "
+    "partsupp availability): suppliers that shipped more than half of "
+    "some matching part's total 1996 volume — the nested IN-subqueries "
+    "with a correlated scalar-aggregate comparison. Decorrelation: the "
+    "part name filter broadcasts into the lineitem scan, per-(part,"
+    "supp) partial sums shuffle once on partkey, the per-part total "
+    "reuses that layout, and the dominant-supplier keys semi-join into "
+    "the supplier dim. Quantities are integral doubles, so the sums "
+    "and the power-of-two share comparison are exact in both engines.",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red_parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(_Q20_PREFIX))
+        .select("p_partkey")
+    )
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_Q20_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q20_HI).cast("timestamp"))
+        )
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("s_qty"))
+    )
+    # Per-part total via a window over the (part, supp) partial sums —
+    # one pass instead of an aggregate-then-join-back that would make
+    # Spark recompute the whole ps subtree on both sides of the join.
+    t_qty = F.sum("s_qty").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        ps.withColumn("t_qty", t_qty)
+        .filter(F.col("s_qty") > F.lit(_Q20_SHARE) * F.col("t_qty"))
+        .select("l_suppkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .orderBy("s_name", "s_suppkey")
+    )
