@@ -71,6 +71,8 @@ _SWEEP_PRIORITY = [
     "curation_funnel_counts",  # new in r4
     "q12_late_priority_counts",  # new in r4 (completes all 22 TPC-H shapes)
     "q20_dominant_suppliers",  # new in r4
+    "doc_dup_ngram_fraction",  # new in r4 (Lee et al. dup-rate diagnostic)
+    "semantic_prune_clusters",  # new in r4 (SemDeDup-style pruning)
     "multimodal_feature_extract",
     "multimodal_decode_features",  # r4: rows-only → full value oracle
     "doc_dedup_clusters",

@@ -621,3 +621,68 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- duplicate-n-gram diagnostics
+
+
+@register(
+    "doc_dup_ngram_fraction",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks
+    ),
+    ex AS (
+        SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+    ),
+    dfreq AS (
+        -- shingles are distinct within a doc, so count(*) == doc frequency
+        SELECT shingle, count(*) AS df FROM ex GROUP BY shingle
+    ),
+    j AS (
+        SELECT e.doc_id, e.n_sh,
+               sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM ex e JOIN dfreq d USING (shingle)
+        GROUP BY e.doc_id, e.n_sh
+    )
+    SELECT doc_id,
+           CAST(n_sh AS BIGINT)  AS n_shingles,
+           CAST(n_dup AS BIGINT) AS n_dup_shingles,
+           {sql_det_round('CAST(n_dup AS DOUBLE) / n_sh', 6)} AS dup_fraction
+    FROM j
+    ORDER BY doc_id
+    """,
+    doc="Per-document duplicate-n-gram fraction — the corpus-level "
+    "dedup diagnostic of Lee et al. 2022 (Deduplicating Training Data "
+    "Makes Language Models Better): the share of a document's distinct "
+    "word-3-gram shingles that occur in at least one OTHER document. "
+    "Inverted-index layout: shingle doc-frequencies shuffle on the "
+    "shingle key (shingles are distinct per doc, so plain count(*) is "
+    "the doc frequency — no count-distinct state), the join back to "
+    "the exploded docs reuses the same key, and the per-doc rollup "
+    "shuffles on doc_id. Never materializes doc pairs; hot shingles "
+    "are AQE-skew-split like doc_ngram_jaccard_pairs.",
+)
+def doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled_docs(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(dfreq, "shingle")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup"))
+        .select(
+            "doc_id",
+            F.col("n_sh").cast("bigint").alias("n_shingles"),
+            F.col("n_dup").cast("bigint").alias("n_dup_shingles"),
+            det_round(F.col("n_dup").cast("double") / F.col("n_sh"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -511,3 +511,114 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "rank")
         .limit(100)
     )
+
+
+# ------------------------------------------------ semantic pruning (SemDeDup)
+
+PRUNE_K = 8  # anchor count (vec_id < PRUNE_K are the anchors)
+PRUNE_M = 3  # exemplars retained per cluster
+
+
+@register(
+    "semantic_prune_clusters",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    a AS (
+        SELECT vec_id AS anchor_id, v AS av FROM e WHERE vec_id < {PRUNE_K}
+    ),
+    sims AS (
+        SELECT e.vec_id, a.anchor_id,
+               list_cosine_similarity(e.v, a.av) AS cos
+        FROM e CROSS JOIN a
+    ),
+    assign AS (
+        SELECT vec_id, anchor_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, anchor_id) AS rn
+        FROM sims
+    ),
+    best AS (
+        SELECT vec_id, anchor_id AS cluster_id, cos FROM assign WHERE rn = 1
+    ),
+    ranked AS (
+        SELECT cluster_id, vec_id, cos,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY cos DESC, vec_id) AS rank,
+               count(*)    OVER (PARTITION BY cluster_id) AS n_members
+        FROM best
+    )
+    SELECT cluster_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(rank AS INT)         AS rank,
+           vec_id                    AS exemplar_id,
+           {sql_det_round('cos', 6)} AS cos_sim
+    FROM ranked
+    WHERE rank <= {PRUNE_M}
+    ORDER BY cluster_id, rank
+    """,
+    doc="Semantic pruning (SemDeDup-style, Abbas et al. 2023): assign "
+    f"every embedding to its nearest of {PRUNE_K} anchor vectors by "
+    "cosine, then keep the m most-central exemplars per cluster with "
+    "the cluster population. The anchors are a fixed driver-known-"
+    "small set (here the first K vectors), so the assignment is a "
+    "broadcast join + JVM-side zip_with/aggregate fold — the corpus "
+    "scan stays map-only with map-side partial argmax aggregation; "
+    "the only real exchanges are the per-vector argmax rollup and the "
+    "K-partition exemplar rank. With K clusters the final window has "
+    "bounded parallelism K — at cluster scale raise K (SemDeDup uses "
+    "tens of thousands of k-means cells), which also shrinks per-"
+    "partition sort state.",
+)
+def semantic_prune_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors = e.filter(F.col("vec_id") < PRUNE_K).select(
+        F.col("vec_id").alias("anchor_id"), F.col("v").alias("av")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "av", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cos = (dot / (norm(F.col("v")) * norm(F.col("av")))).alias("cos")
+    sims = e.join(F.broadcast(anchors)).select("vec_id", "anchor_id", cos)
+    # argmax anchor per vector: max of (cos, -anchor_id) ⇒ highest cos,
+    # ties to the smallest anchor id — same order as the oracle's
+    # row_number. Map-side partial agg collapses the K rows per vector
+    # before the vec_id exchange.
+    best = (
+        sims.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("anchor_id")).alias("na"))).alias("b"))
+        .select(
+            "vec_id",
+            (-F.col("b.na")).alias("cluster_id"),
+            F.col("b.cos").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = best.select(
+        "cluster_id",
+        "vec_id",
+        "cos",
+        F.row_number()
+        .over(w.orderBy(F.col("cos").desc(), "vec_id"))
+        .alias("rank"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= PRUNE_M)
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("exemplar_id"),
+            det_round(F.col("cos"), 6).alias("cos_sim"),
+        )
+        .orderBy("cluster_id", "rank")
+    )
