@@ -73,6 +73,9 @@ _SWEEP_PRIORITY = [
     "q20_dominant_suppliers",  # new in r4
     "doc_dup_ngram_fraction",  # new in r4 (Lee et al. dup-rate diagnostic)
     "semantic_prune_clusters",  # new in r4 (SemDeDup-style pruning)
+    "events_ohlc_hourly",  # new in r4
+    "orders_status_summary",  # new in r4
+    "table_incremental_diff",  # new in r4
     "multimodal_feature_extract",
     "multimodal_decode_features",  # r4: rows-only → full value oracle
     "doc_dedup_clusters",

@@ -1292,3 +1292,121 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH k AS (
+        SELECT date_trunc('hour', ts) AS hour_ts, value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+        FROM events
+    )
+    SELECT strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           arg_min(value, ord)      AS open,
+           max(value)               AS high,
+           min(value)               AS low,
+           arg_max(value, ord)      AS close
+    FROM k
+    GROUP BY hour_ts
+    ORDER BY hour
+    """,
+    doc="OHLC candlestick rollup: per-hour open/high/low/close of the "
+    "event value — open/close via min_by/max_by on a zero-padded "
+    "(epoch_micros, event_id) ordering key, so exact-timestamp ties "
+    "break deterministically on event_id in both engines. One shuffle "
+    "with map-side partial min_by/max_by state (a single (key,value) "
+    "pair per bucket per mapper — no sort, no window).",
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "value",
+            ord_key.alias("ord"),
+        )
+        .groupBy("hour_ts")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+        )
+        .select(
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+        .orderBy("hour")
+    )
+
+
+@register(
+    "orders_status_summary",
+    oracle=f"""
+    WITH sc AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    md AS (
+        SELECT o_orderpriority, max(cnt) AS max_cnt
+        FROM sc GROUP BY 1
+    ),
+    mode_pick AS (
+        -- mode with an explicit tie-break: highest count, then lowest status
+        SELECT sc.o_orderpriority, min(sc.o_orderstatus) AS mode_status
+        FROM sc JOIN md ON sc.o_orderpriority = md.o_orderpriority
+                       AND sc.cnt = md.max_cnt
+        GROUP BY sc.o_orderpriority
+    ),
+    base AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_det_round('median(o_totalprice)', 4)} AS median_price,
+               string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        FROM orders GROUP BY 1
+    )
+    SELECT b.o_orderpriority, b.n_orders, b.median_price, b.statuses, m.mode_status
+    FROM base b JOIN mode_pick m ON b.o_orderpriority = m.o_orderpriority
+    ORDER BY b.o_orderpriority
+    """,
+    doc="Ordered-set / collection aggregates: exact median, sorted "
+    "string_agg of distinct statuses (listagg), and mode with an "
+    "explicit (count DESC, value ASC) tie-break — mode is computed as "
+    "a two-level aggregate because engine-native mode() leaves ties "
+    "unspecified. Median is the only sort-based aggregate; everything "
+    "else is hash-aggregable with map-side partials.",
+)
+def orders_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    sc = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mode_pick = sc.groupBy("o_orderpriority").agg(
+        F.min_by(
+            "o_orderstatus", F.struct((-F.col("cnt")).alias("nc"), "o_orderstatus")
+        ).alias("mode_status")
+    )
+    base = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        det_round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+    )
+    return (
+        base.join(mode_pick, "o_orderpriority")
+        .select("o_orderpriority", "n_orders", "median_price", "statuses", "mode_status")
+        .orderBy("o_orderpriority")
+    )

@@ -389,3 +389,72 @@ def table_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "step string, n_rows long, total_price double, version int",
     )
+
+
+@register(
+    "table_incremental_diff",
+    oracle="""
+    WITH added_v2 AS (
+        SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'
+    ),
+    removed_v3 AS (
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderstatus IN ('O', 'F') AND o_totalprice < 10000.0
+    )
+    SELECT 1 AS from_version, 2 AS to_version, 'added' AS change,
+           CAST((SELECT n FROM added_v2) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 1, 2, 'removed', CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 2, 3, 'added', CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 2, 3, 'removed', CAST((SELECT n FROM removed_v3) AS BIGINT)
+    ORDER BY from_version, change
+    """,
+    doc="Incremental snapshot diff (Iceberg incremental-read / CDC "
+    "semantics on the snapshot table): CREATE(status=O) → "
+    "APPEND(status=F) → DELETE(totalprice<10000), then for each "
+    "consecutive snapshot pair report rows added and removed via "
+    "anti-joins between the time-travel reads. Each diff is one "
+    "orderkey-keyed left-anti join whose sides are column-pruned to "
+    "the key, reduced to a scalar count — at scale the anti-join "
+    "shuffles on the uniformly-distributed key and nothing else "
+    "moves. Differentially checked against the same change sets "
+    "expressed over the base orders table.",
+)
+def table_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_incremental")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    t.delete_where(F.col("o_totalprice") < 10000.0)
+
+    def diff_count(a: DataFrame, b: DataFrame) -> DataFrame:
+        """rows in b and not in a, by primary key, as a 1-row count"""
+        return (
+            b.select("o_orderkey")
+            .join(a.select("o_orderkey"), "o_orderkey", "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        )
+
+    v1, v2, v3 = (t.read(version=v) for v in (1, 2, 3))
+    parts = []
+    for frm, to, change, d in (
+        (1, 2, "added", diff_count(v1, v2)),
+        (1, 2, "removed", diff_count(v2, v1)),
+        (2, 3, "added", diff_count(v2, v3)),
+        (2, 3, "removed", diff_count(v3, v2)),
+    ):
+        parts.append(
+            d.select(
+                F.lit(frm).alias("from_version"),
+                F.lit(to).alias("to_version"),
+                F.lit(change).alias("change"),
+                "n_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("from_version", "change")
