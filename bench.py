@@ -36,6 +36,8 @@ HEADLINE = [
     "doc_tfidf_top_terms",
     "doc_dedup_clusters",
     "doc_decontaminate",
+    "curation_pipeline",
+    "semantic_prune_clusters",
     "events_sessionize_8h",
     "stream_tumbling_hourly",
     "table_merge_upsert",

@@ -114,13 +114,18 @@ _SWEEP_PRIORITY = [
     "q15_top_supplier",  # new in r4
     "q11_important_parts",  # new in r4
     "q21_waiting_suppliers",  # new in r4
-    # changed since their last driver row (dedup stack + reworked LSH ANN)
-    "doc_exact_dedup",
-    "doc_dedup_survivors",
-    "doc_ngram_jaccard_pairs",
+    # changed since their last driver row — the ~50-query cap lands just
+    # after these, so the REWRITTEN hash families (md5 minhash/simhash,
+    # reworked LSH ANN — ADVICE r3 item 4) take the last in-window slots;
+    # the three below them only gained a repartition guard (plan change,
+    # identical oracle semantics) and head the r5 sweep instead.
     "doc_minhash_near_dup",
     "doc_simhash_near_dup",
     "knn_cosine_lsh",
+    "doc_exact_dedup",
+    "doc_dedup_survivors",
+    "doc_ngram_jaccard_pairs",
+    "doc_quality_filter",  # r4 refactor (shared helpers; same expressions)
     # last swept in round 2
     "semi_join_active_customers",
     "anti_join_inactive_customers",

@@ -82,11 +82,19 @@ def _decontaminated(docs: DataFrame, kept: DataFrame) -> DataFrame:
         .select(F.explode(word_shingles(F.col("text"))).alias("shingle"))
         .distinct()
     )
-    corpus = kept.filter(F.col("doc_id") % BENCH_MOD != 0)
-    ex = corpus.select(
-        "doc_id",
-        F.size(word_shingles(F.col("text"))).alias("n_sh"),
-        F.explode(word_shingles(F.col("text"))).alias("shingle"),
+    # The dedup aggregate upstream leaves the survivors on a handful of
+    # AQE-coalesced partitions; spread them before the (CPU-heavy)
+    # shingling so the explode parallelizes.
+    corpus = kept.filter(F.col("doc_id") % BENCH_MOD != 0).repartition(
+        kept.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    # Materialize the shingle array as a named column BEFORE size/explode:
+    # referencing one alias twice keeps CollapseProject from inlining the
+    # transform() into both consumers (which would recompute the whole
+    # shingle array per exploded row — quadratic per document).
+    sh = corpus.select("doc_id", "lang", word_shingles(F.col("text")).alias("sh"))
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
     flagged = (
         ex.join(F.broadcast(bench), "shingle")
