@@ -44,18 +44,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's native
-    reader. Read it as raw int64 nanos (legacy conf, runtime-settable so
-    it also works under the driver's own session) and convert to a real
-    timestamp column (micros precision; the data is second-resolution)."""
+    """Normalize events.ts to a session-zone TIMESTAMP regardless of how
+    the driver generated the parquet. Two physical encodings have been
+    observed across testdata generations: TIMESTAMP(NANOS) (illegal for
+    Spark's native reader — read as raw int64 via the legacy conf and
+    convert) and timestamp[us] without a timezone (Spark 4 infers
+    TIMESTAMP_NTZ — cast to TIMESTAMP; the session zone is pinned to UTC
+    so the wall-clock values are identical to DuckDB's naive reading).
+    Downstream operators rely on LTZ-only expressions (`unix_micros`,
+    `window`, watermarks), so this chokepoint is the one place that
+    guarantees the type."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path_for(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
         # integer division: epoch-nanos overflow double's 53-bit mantissa,
         # so float division rounds some timestamps by ±1 µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -49,10 +49,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
         # integer division (see sources.tables._load_events): float
         # division of epoch-nanos rounds some timestamps by ±1 µs
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # timestamp[us] parquet → Spark 4 infers NTZ; watermarks/windows
+        # downstream expect LTZ (session zone pinned UTC — identical values)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
