@@ -27,6 +27,7 @@ from empdia_iceberg_spark.session import get_spark  # noqa: F401
 # Sweep ordering is handled by registry.promote(_SWEEP_PRIORITY) below —
 # module import order no longer matters for driver evidence.
 from empdia_iceberg_spark.operators import asof  # noqa: F401
+from empdia_iceberg_spark.operators import layout  # noqa: F401
 from empdia_iceberg_spark.operators import subqueries  # noqa: F401
 from empdia_iceberg_spark.operators import mixture  # noqa: F401
 from empdia_iceberg_spark.operators import bucketing  # noqa: F401
@@ -67,6 +68,10 @@ from empdia_iceberg_spark.operators import textstats  # noqa: F401
 # sweep's head.
 _SWEEP_PRIORITY = [
     # never driver-verified (or first value-oracle this round)
+    "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
+    "events_anomaly_zscore",  # new in r4
+    "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)
+    "table_zorder_layout",  # new in r4 (Morton clustering envelopes)
     "curation_pipeline",  # new in r4 (flagship curation funnel)
     "curation_funnel_counts",  # new in r4
     "q12_late_priority_counts",  # new in r4 (completes all 22 TPC-H shapes)
@@ -108,20 +113,23 @@ _SWEEP_PRIORITY = [
     "doc_decontaminate",  # new in r4 (training-pipeline ops)
     "doc_repetition_stats",  # new in r4
     "domain_mixture_weights",  # new in r4
+    # changed since their last driver row — the REWRITTEN hash families
+    # (md5 minhash/simhash, reworked LSH ANN — ADVICE r3 item 4) sit
+    # ABOVE the remaining new TPC-H join shapes: the pandas hash kernels
+    # are the highest-divergence-risk code, while the join shapes are
+    # plain exact-SQL whose in-repo parity is the same check the driver
+    # runs. The ~50-query cap lands inside the shapes below.
+    "doc_minhash_near_dup",
+    "doc_simhash_near_dup",
+    "knn_cosine_lsh",
     "q7_volume_shipping",  # new in r4
     "q8_market_share",  # new in r4
     "q9_profit_by_nation",  # new in r4
     "q15_top_supplier",  # new in r4
     "q11_important_parts",  # new in r4
     "q21_waiting_suppliers",  # new in r4
-    # changed since their last driver row — the ~50-query cap lands just
-    # after these, so the REWRITTEN hash families (md5 minhash/simhash,
-    # reworked LSH ANN — ADVICE r3 item 4) take the last in-window slots;
-    # the three below them only gained a repartition guard (plan change,
-    # identical oracle semantics) and head the r5 sweep instead.
-    "doc_minhash_near_dup",
-    "doc_simhash_near_dup",
-    "knn_cosine_lsh",
+    # only gained a repartition guard in r4 (plan change, identical
+    # oracle semantics) — these head the r5 sweep instead.
     "doc_exact_dedup",
     "doc_dedup_survivors",
     "doc_ngram_jaccard_pairs",

@@ -686,3 +686,105 @@ def doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- span-level exact dedup
+
+SPAN_WORDS = 8  # non-overlapping word-span granularity
+
+
+@register(
+    "doc_span_dedup",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t
+        FROM documents WHERE length(text) > 0
+    ),
+    idx AS (
+        SELECT doc_id, t,
+               unnest(range(0, CAST(ceil(len(t) / {SPAN_WORDS}.0) AS BIGINT))) AS pos
+        FROM toks
+    ),
+    spans AS (
+        SELECT doc_id, pos,
+               array_to_string(t[(pos * {SPAN_WORDS}) + 1 : (pos + 1) * {SPAN_WORDS}], ' ') AS span
+        FROM idx
+    ),
+    ranked AS (
+        SELECT doc_id, pos, span,
+               row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        FROM spans
+    ),
+    counts AS (
+        SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(span, ' ' ORDER BY pos) AS new_text
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(c.n_spans AS BIGINT)              AS n_spans,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT)  AS n_kept,
+           CAST(length(coalesce(k.new_text, '')) AS BIGINT) AS dedup_len,
+           md5(coalesce(k.new_text, ''))          AS dedup_md5
+    FROM counts c LEFT JOIN kept k USING (doc_id)
+    ORDER BY c.doc_id
+    """,
+    doc="Exact substring deduplication at span granularity (the "
+    "removal counterpart of doc_dup_ngram_fraction's diagnostic; Lee "
+    "et al. 2022 ExactSubstr adapted to non-overlapping word-8 "
+    "spans): every duplicated span keeps only its first occurrence "
+    "in (doc_id, position) order, and each document is reassembled "
+    "from its surviving spans. Shuffles on the span hash (uniform; a "
+    "hot span is AQE-skew-split) for the keep-first window, then on "
+    "doc_id for reassembly — never materializes doc pairs, so the "
+    "layout is the 100 TB path. Output is audit-shaped: span "
+    "counts before/after plus an md5 of the deduplicated text (the "
+    "full rewritten corpus would be written back via sink_parquet).",
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("t"))
+    n_spans = F.ceil(F.size("t") / F.lit(float(SPAN_WORDS))).cast("int")
+    spans = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("pos"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.array_join(
+            F.slice("t", F.col("pos") * SPAN_WORDS + 1, SPAN_WORDS), " "
+        ).alias("span"),
+    )
+    keep_first = F.row_number().over(W.partitionBy("span").orderBy("doc_id", "pos"))
+    ranked = spans.withColumn("rn", keep_first)
+    counts = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    kept = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    return (
+        counts.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.length(F.coalesce("new_text", F.lit(""))).cast("bigint").alias("dedup_len"),
+            F.md5(F.coalesce("new_text", F.lit(""))).alias("dedup_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,143 @@
+"""Data-layout operators: multi-dimensional clustering for scan pruning.
+
+At 100 TB the dominant cost of a selective query is how many files the
+scan can SKIP. A single-column sort gives tight min/max file ranges on
+that column only; a Z-order (Morton) curve interleaves the bits of
+several columns so every file's min/max envelope is tight on ALL of
+them — the standard layout-maintenance op behind
+`OPTIMIZE ... ZORDER BY` in lakehouse engines (public Delta/Iceberg
+feature; implemented here from first principles on stock Spark).
+
+The pipeline is: compute the Morton key with pure built-in bit
+expressions (whole-stage codegen, map-only) → order globally by the key
+WITHOUT a single-reducer window (`operators.scale.
+bucketed_global_row_number`) → assign ntile file buckets → per-bucket
+min/max envelopes. In production the same ordering feeds
+``df.repartitionByRange(z).sortWithinPartitions(z).write`` — the
+registered query returns the per-bucket envelopes instead so the
+clustering quality is value-checkable: a DuckDB oracle reproduces the
+exact same Morton arithmetic with `ntile` over a plain window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.operators.scale import (
+    bucketed_global_row_number,
+    ntile_from_row_number,
+)
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+Z_BITS = 21  # per dimension: 2M distinct values — headroom beyond sf100
+Z_FILES = 16  # target file buckets for the layout
+
+
+def morton_spark(x: str, y: str, bits: int = Z_BITS):
+    """Bit-interleaved Morton key as a Spark Column: bit i of ``x`` lands
+    at position 2i, bit i of ``y`` at 2i+1. Pure built-in expressions —
+    stays inside whole-stage codegen."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+    return F.expr(" + ".join(terms))
+
+
+def morton_sql(x: str, y: str, bits: int = Z_BITS) -> str:
+    """DuckDB mirror of `morton_spark` (same bit placement)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_SQL_DAYS = "date_diff('day', DATE '1970-01-01', o_orderdate)"
+
+
+@register(
+    "table_zorder_layout",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, {_SQL_DAYS} AS odays FROM orders
+    ),
+    mins AS (
+        SELECT min(o_custkey) AS min_ck, min(odays) AS min_od FROM base
+    ),
+    keyed AS (
+        -- dims are rebased to their min before interleaving so neither
+        -- dimension's high bits drown the other (same as the Spark side)
+        SELECT o_orderkey, o_custkey, odays,
+               {morton_sql('(o_custkey - min_ck)', '(odays - min_od)')} AS z
+        FROM base, mins
+    ),
+    tiled AS (
+        SELECT *, ntile({Z_FILES}) OVER (ORDER BY z, o_orderkey) AS file_bucket
+        FROM keyed
+    )
+    SELECT CAST(file_bucket AS INT)      AS file_bucket,
+           CAST(count(*) AS BIGINT)      AS n_rows,
+           CAST(min(o_custkey) AS BIGINT) AS min_custkey,
+           CAST(max(o_custkey) AS BIGINT) AS max_custkey,
+           CAST(min(odays) AS BIGINT)     AS min_odays,
+           CAST(max(odays) AS BIGINT)     AS max_odays
+    FROM tiled
+    GROUP BY file_bucket
+    ORDER BY file_bucket
+    """,
+    doc="Z-order (Morton) clustering of orders on (o_custkey, "
+    "o_orderdate): interleave 21 bits of each dimension with built-in "
+    "bit expressions (map-only, codegen'd), order globally by the "
+    "Morton key via bucketed parallel row-numbering (no single-"
+    "reducer window), cut into 16 ntile file buckets, and report each "
+    "bucket's min/max envelope on BOTH dimensions — the file-skipping "
+    "statistics a lakehouse scan would prune with. The same ordering "
+    "feeds repartitionByRange(z).write for the actual rewrite; the "
+    "envelope form makes clustering quality value-checkable against "
+    "the oracle's identical Morton arithmetic.",
+)
+def table_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "odays"
+        ),
+    )
+    # Rebase both dims to their min before interleaving (a 1-row
+    # aggregate broadcast-joined to the fact side — never a global
+    # window) so neither dimension's high bits drown the other.
+    mins = orders.agg(
+        F.min("o_custkey").alias("min_ck"), F.min("odays").alias("min_od")
+    )
+    keyed = orders.join(F.broadcast(mins)).withColumn(
+        "z", morton_spark("(o_custkey - min_ck)", "(odays - min_od)")
+    )
+    numbered, n = bucketed_global_row_number(
+        keyed, "z", tiebreaks=("o_orderkey",), out_col="_rn"
+    )
+    tiled = numbered.withColumn(
+        "file_bucket", ntile_from_row_number(F.col("_rn"), n, Z_FILES)
+    )
+    return (
+        tiled.groupBy("file_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_custkey").cast("bigint").alias("min_custkey"),
+            F.max("o_custkey").cast("bigint").alias("max_custkey"),
+            F.min("odays").cast("bigint").alias("min_odays"),
+            F.max("odays").cast("bigint").alias("max_odays"),
+        )
+        .select(
+            F.col("file_bucket").cast("int").alias("file_bucket"),
+            "n_rows",
+            "min_custkey",
+            "max_custkey",
+            "min_odays",
+            "max_odays",
+        )
+        .orderBy("file_bucket")
+    )

@@ -1410,3 +1410,65 @@ def orders_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "n_orders", "median_price", "statuses", "mode_status")
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------------------- per-entity anomaly scan
+
+ZSCORE_THRESHOLD = 3.0
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_id, user_id, value,
+               CAST(count(*) OVER w AS DOUBLE)                                  AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)         AS sx,
+               CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sxx
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    ),
+    z AS (
+        SELECT event_id, user_id, value,
+               (value - sx / n) / sqrt(greatest(sxx / n - (sx / n) * (sx / n), 1e-12)) AS zval
+        FROM m
+    )
+    SELECT event_id, user_id, value,
+           {sql_det_round('zval', 6)} AS zscore
+    FROM z
+    WHERE abs(zval) > {ZSCORE_THRESHOLD}
+    ORDER BY event_id
+    """,
+    doc="Per-user anomaly detection: population z-score of each event "
+    "value against its user's mean/stddev, flagging |z| > 3. The "
+    "moments come from a whole-partition window (one shuffle on "
+    "user_id, no join-back); sums accumulate in DECIMAL so mean and "
+    "variance are bit-deterministic across engines, and the variance "
+    "is floored at 1e-12 so constant-valued users divide cleanly "
+    "instead of by zero. At 100 TB the per-user partitions stay small "
+    "(events per user, not global), so the window never concentrates "
+    "on one reducer.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    dec = F.col("value").cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(dec).over(w).cast("double")
+    sxx = F.sum(dec * dec).over(w).cast("double")
+    mean = sx / n
+    var = F.greatest(sxx / n - mean * mean, F.lit(1e-12))
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.select("event_id", "user_id", "value", z.alias("zval"))
+        .filter(F.abs(F.col("zval")) > ZSCORE_THRESHOLD)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            det_round(F.col("zval"), 6).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )

@@ -128,3 +128,54 @@ def ntile_from_row_number(rn, n: int, tiles: int):
         .otherwise(rem + F.floor((rn - head - 1) / base) + 1)
         .cast("int")
     )
+
+
+def hash_sample_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    k: int,
+    oversample: int = 32,
+) -> DataFrame:
+    """Deterministic per-stratum sample: the k rows with the smallest
+    md5(key) per stratum — a reproducible 'reservoir' whose membership
+    is a pure function of the key, so re-runs, retries, and different
+    cluster layouts all pick the same rows (unlike rand()-based
+    sampling).
+
+    Scale shape: a naive per-stratum top-k window sorts EVERY row of a
+    stratum on one reducer-group. Instead, strata counts (bounded by
+    the number of strata — a driver-safe collect) derive a hash-prefix
+    threshold keeping ~oversample*k rows per stratum; the exact top-k
+    window then runs on survivors only. With oversample=32 the
+    probability a stratum yields fewer than k survivors is
+    Chernoff-negligible (P[Bin(n, 32k/n) < k] < exp(-20k)), so the
+    result equals the unfiltered top-k; callers' oracles can use the
+    plain window form.
+
+    Appends ``_hkey`` (the md5 rank key) and ``sample_rank`` (1..k).
+    """
+    hkey = F.md5(F.col(key_col).cast("string"))
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    space = 16**8  # first 8 hex chars of the md5
+    thresholds = {}
+    for s, n in counts.items():
+        frac = min(1.0, oversample * k / max(n, 1))
+        if frac < 1.0:
+            thresholds[s] = format(int(frac * space), "08x")
+    out = df.withColumn("_hkey", hkey)
+    if thresholds:
+        thresh_map = F.create_map(
+            *[F.lit(x) for s, t in thresholds.items() for x in (s, t)]
+        )
+        bound = thresh_map[F.col(stratum_col)]
+        out = out.filter(bound.isNull() | (F.substring("_hkey", 1, 8) <= bound))
+    w = W.partitionBy(stratum_col).orderBy("_hkey", key_col)
+    return out.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
+    )

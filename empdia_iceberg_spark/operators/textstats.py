@@ -789,3 +789,45 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------ deterministic stratified sample
+
+SAMPLE_PER_LANG_K = 20
+
+
+@register(
+    "doc_sample_per_lang",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked WHERE sample_rank <= {SAMPLE_PER_LANG_K}
+    ORDER BY lang, sample_rank
+    """,
+    doc="Deterministic stratified sampling: the 20 docs with the "
+    "smallest md5(doc_id) per language — a reproducible reservoir "
+    "whose membership is a pure function of the key (re-runs and "
+    "cluster-layout changes pick the same rows, unlike rand()). "
+    "Scale shape via operators.scale.hash_sample_per_stratum: a "
+    "hash-prefix threshold from broadcast-size strata counts cuts "
+    "each stratum to ~32k survivors map-side BEFORE the top-k "
+    "window, so no reducer ever sorts a full stratum; the oracle is "
+    "the plain window form, which the thresholded plan provably "
+    "(Chernoff) equals.",
+)
+def doc_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.operators.scale import hash_sample_per_stratum
+
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id")
+    return (
+        hash_sample_per_stratum(docs, "lang", "doc_id", SAMPLE_PER_LANG_K)
+        .select("lang", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    )

@@ -211,3 +211,47 @@ def test_dup_ngram_shuffles_on_shingle_not_pairs(spark):
     plan = _plan(spark, "doc_dup_ngram_fraction")
     assert "CartesianProduct" not in plan
     assert "Exchange hashpartitioning(shingle" in plan
+
+
+def test_span_dedup_shuffles_on_span_then_doc(spark):
+    """doc_span_dedup must shuffle on the span content key for the
+    keep-first window and on doc_id for reassembly — never on doc
+    pairs, and never through a global window."""
+    plan = _plan(spark, "doc_span_dedup")
+    assert "Exchange hashpartitioning(span" in plan, plan
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("+- Window") or s.startswith("Window"):
+            assert "], [], [" not in line, line  # no empty partition spec
+
+
+def test_zorder_no_global_window_and_broadcast_mins(spark):
+    """table_zorder_layout must order via the bucketed row-number path
+    (no single-partition window) and attach the 1-row mins aggregate
+    with a broadcast join, not a shuffle."""
+    plan = _plan(spark, "table_zorder_layout")
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("+- Window") or s.startswith("Window"):
+            assert "], [], [" not in line, line
+    assert "Broadcast" in plan, plan
+
+
+def test_anomaly_zscore_single_user_shuffle(spark):
+    """events_anomaly_zscore computes all moments in ONE window over
+    user_id — exactly one hash exchange on user_id, no join-back."""
+    plan = _plan(spark, "events_anomaly_zscore")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_sample_per_lang_prefilter_no_full_sort(spark):
+    """doc_sample_per_lang's window must run after the hash-prefix
+    prefilter; the plan partitions by lang (per-stratum window), never
+    an empty global window."""
+    plan = _plan(spark, "doc_sample_per_lang")
+    assert "Exchange hashpartitioning(lang" in plan, plan
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("+- Window") or s.startswith("Window"):
+            assert "], [], [" not in line, line

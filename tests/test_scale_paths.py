@@ -120,3 +120,51 @@ def test_stratified_sample_fractions(spark):
         expect = n * frac
         sd = (n * frac * (1 - frac)) ** 0.5
         assert abs(got.get(stratum, 0) - expect) <= 5 * sd + 2, (stratum, got.get(stratum), expect)
+
+
+def test_hash_sample_prefilter_equals_exact_topk(spark):
+    """hash_sample_per_stratum with the prefilter ACTIVE (n >>
+    oversample*k) must equal the plain per-stratum top-k window — the
+    Chernoff-safe equivalence doc_sample_per_lang's oracle relies on."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.operators.scale import hash_sample_per_stratum
+
+    df = spark.range(20000).select(
+        (F.col("id") % 3).cast("string").alias("grp"), F.col("id").alias("k")
+    )
+    got = hash_sample_per_stratum(df, "grp", "k", 10, oversample=32)
+    exact = (
+        df.withColumn("_h", F.md5(F.col("k").cast("string")))
+        .withColumn("r", F.row_number().over(W.partitionBy("grp").orderBy("_h", "k")))
+        .filter(F.col("r") <= 10)
+    )
+    a = sorted((r["grp"], r["k"], r["sample_rank"]) for r in got.collect())
+    b = sorted((r["grp"], r["k"], r["r"]) for r in exact.collect())
+    assert len(a) == 30 and a == b
+
+
+def test_span_dedup_kept_equals_distinct_spans(spark):
+    """doc_span_dedup's keep-first invariant: the total number of kept
+    spans across the corpus must equal the number of DISTINCT spans
+    (each duplicate group keeps exactly one), and per-doc kept counts
+    never exceed totals."""
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark import registry
+    from empdia_iceberg_spark.operators.dedup import SPAN_WORDS
+    from empdia_iceberg_spark.sources.tables import load
+    from tests.conftest import SF_DIR
+
+    out = registry.queries()["doc_span_dedup"](spark, SF_DIR).collect()
+    assert all(r["n_kept"] <= r["n_spans"] for r in out)
+
+    docs = load(spark, SF_DIR, "documents").filter(F.length("text") > 0)
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("t"))
+    n_spans = F.ceil(F.size("t") / F.lit(float(SPAN_WORDS))).cast("int")
+    spans = toks.select(
+        F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("pos"), "t"
+    ).select(F.array_join(F.slice("t", F.col("pos") * SPAN_WORDS + 1, SPAN_WORDS), " ").alias("span"))
+    n_distinct = spans.distinct().count()
+    assert sum(r["n_kept"] for r in out) == n_distinct
