@@ -1472,3 +1472,42 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------------- mergeable-sketch rollup
+
+
+@register(
+    "user_reach_hll_rollup",
+    oracle=None,  # Spark's Datasketches HLL and DuckDB's approx engine
+    # differ by construction — rows-only; a ±5% accuracy bound vs the
+    # exact distinct count is asserted in tests/test_scale_paths.py.
+    doc="Re-aggregatable sketch rollup — THE pattern for distinct "
+    "counting at 100 TB: per-(event_type, day) HLL sketches of "
+    "user_id (hll_sketch_agg, map-side partial like any agg) are "
+    "merged upward with hll_union_agg to per-type reach WITHOUT "
+    "re-scanning raw events. naive_sum_daily (the wrong answer a "
+    "non-mergeable rollup would give by summing daily uniques) is "
+    "reported next to the merged estimate to show why sketch "
+    "mergeability matters. Deterministic: HLL registers are "
+    "hash-derived and merge by max — associative and order-free.",
+)
+def user_reach_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.approx_count_distinct("user_id").alias("daily_uniques"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("daily_uniques").cast("bigint").alias("naive_sum_daily"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("bigint")
+            .alias("reach_estimate"),
+        )
+        .orderBy("event_type")
+    )

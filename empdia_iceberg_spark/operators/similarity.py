@@ -622,3 +622,154 @@ def semantic_prune_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "rank")
     )
+
+
+# --------------------------------------------- product quantization (PQ)
+
+PQ_SUBS = 8  # subspaces over the 64-dim embeddings
+PQ_SUBDIM = 8  # dims per subspace
+PQ_K = 16  # centroids per subspace => 4-bit codes
+_PQ_LLOYD_ITERS = 3
+
+
+def _pq_codebooks(path: str):
+    """Per-executor PQ codebooks: for each subspace, deterministic
+    k-means (id-smallest seed vectors, fixed Lloyd iterations, L2
+    assignment) — the same determinism recipe as the IVF index, so
+    codes are reproducible across runs and cluster layouts."""
+    key = f"pq:{path}"
+    if key not in _INDEX_CACHE:
+        ids, m = _load_index(path)  # id-sorted, L2-normalized
+        books = []
+        for s in range(PQ_SUBS):
+            sub = m[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            cents = sub[:PQ_K].copy()  # id-sorted ⇒ deterministic init
+            for _ in range(_PQ_LLOYD_ITERS):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for c in range(PQ_K):
+                    members = sub[assign == c]
+                    if len(members):
+                        cents[c] = members.mean(axis=0)
+            books.append(cents)
+        _INDEX_CACHE[key] = np.stack(books)  # (PQ_SUBS, PQ_K, PQ_SUBDIM)
+    return _INDEX_CACHE[key]
+
+
+def _pq_encode_batches(index_path: str):
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = _pq_codebooks(index_path)
+        for pdf in batches:
+            for lo in range(0, len(pdf), _CHUNK):
+                chunk = pdf.iloc[lo : lo + _CHUNK]
+                x = np.asarray(chunk["embedding"].to_list(), dtype=np.float64)
+                x /= np.linalg.norm(x, axis=1, keepdims=True)
+                codes = np.zeros((len(chunk), PQ_SUBS), dtype=np.int64)
+                recon = np.zeros_like(x)
+                for s in range(PQ_SUBS):
+                    sub = x[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                    d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, s] = np.argmin(d2, axis=1)
+                    recon[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM] = books[s][codes[:, s]]
+                packed = np.zeros(len(chunk), dtype=np.int64)
+                for s in range(PQ_SUBS):
+                    packed |= codes[:, s] << (4 * s)
+                mse = ((x - recon) ** 2).mean(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": chunk["vec_id"].to_numpy(),
+                        "pq_code": packed,
+                        "recon_mse": mse,
+                    }
+                )
+
+    return compute
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=None,  # k-means codebooks aren't SQL-expressible — rows-only;
+    # determinism and reconstruction quality are asserted in tests.
+    doc="Product quantization: 64-dim embeddings → 8 subspaces × 4-bit "
+    "codes (16 deterministic k-means centroids per subspace, "
+    "id-seeded + 3 Lloyd iterations — reproducible across runs), "
+    "packed into one 32-bit int per vector: a 16× compression of the "
+    "float32 vector that ANN systems scan instead of raw embeddings. "
+    "Map-only Arrow-batched encode; codebooks are built once per "
+    "executor from the parquet index (the classifier's lazy-singleton "
+    "pattern) and are broadcast-small (8·16·8 floats). Per-vector "
+    "reconstruction MSE is emitted so compression quality is "
+    "auditable from the query output.",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = emb.mapInPandas(
+        _pq_encode_batches(path_for(sf_dir, "embeddings")),
+        schema="vec_id long, pq_code long, recon_mse double",
+    )
+    return (
+        out.select("vec_id", "pq_code", det_round(F.col("recon_mse"), 6).alias("recon_mse"))
+        .orderBy("vec_id")
+        .limit(500)
+    )
+
+
+# ------------------------------------- power-iteration dominant component
+
+PCA_ITERS = 24  # synthetic spectrum is near-degenerate (λ2/λ1 ≈ 0.93);
+# (λ2/λ1)^24 ≈ 0.18 pushes the Rayleigh quotient within a few % of λ1
+EMB_DIM = 64
+
+
+@register(
+    "embedding_pca_power",
+    oracle=None,  # iterative — not single-statement SQL; checked against
+    # numpy's exact eigendecomposition in tests (|cos| ≈ 1).
+    doc="Dominant principal direction of the embedding cloud by "
+    "DISTRIBUTED power iteration: each of 24 iterations is one "
+    "whole-stage-codegen'd pass — per-row dot = aggregate(zip_with("
+    "embedding, v, (a,b)->a*b)) with the current v as a broadcast "
+    "literal, then per-dimension sums of x_i·dot via posexplode + "
+    "groupBy(dim) (a 64-key shuffle). The driver only ever holds the "
+    "64-float vector between iterations — no row data leaves the "
+    "executors, so the same loop runs unchanged on 100 TB of "
+    "embeddings. Output: the unit eigenvector plus the Rayleigh-"
+    "quotient eigenvalue estimate.",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+
+    v = [1.0 / float(EMB_DIM) ** 0.5] * EMB_DIM
+    eigenvalue = 0.0
+    for _ in range(PCA_ITERS):
+        v_lit = F.array(*[F.lit(float(c)) for c in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sums = (
+            emb.select(F.posexplode("embedding").alias("dim", "x"), dot.alias("dot"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("x") * F.col("dot")).alias("s"))
+            .collect()
+        )
+        w = [0.0] * EMB_DIM
+        for r in sums:
+            w[r["dim"]] = r["s"]
+        norm = sum(c * c for c in w) ** 0.5
+        eigenvalue = norm  # Rayleigh estimate: ||A v|| for unit v
+        v = [c / norm for c in w]
+    # deterministic sign: first nonzero component positive
+    for c in v:
+        if abs(c) > 1e-12:
+            if c < 0:
+                v = [-x for x in v]
+            break
+
+    rows = [(i, float(v[i]), float(eigenvalue)) for i in range(EMB_DIM)]
+    return spark.createDataFrame(rows, "dim int, component double, eigenvalue double").select(
+        "dim",
+        det_round(F.col("component"), 6).alias("component"),
+        det_round(F.col("eigenvalue"), 4).alias("eigenvalue"),
+    )

@@ -168,3 +168,84 @@ def test_span_dedup_kept_equals_distinct_spans(spark):
     ).select(F.array_join(F.slice("t", F.col("pos") * SPAN_WORDS + 1, SPAN_WORDS), " ").alias("span"))
     n_distinct = spans.distinct().count()
     assert sum(r["n_kept"] for r in out) == n_distinct
+
+
+def test_hll_rollup_within_5pct_of_exact(spark):
+    """user_reach_hll_rollup's merged estimate must be within ±5% of the
+    exact per-type distinct user count (HLL lgK=12 ⇒ ~1.6% relative
+    stderr; 5% is >3σ), and the naive daily sum must overcount any
+    type whose users appear on multiple days."""
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark import registry
+    from empdia_iceberg_spark.sources.tables import load
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["event_type"]: r
+        for r in registry.queries()["user_reach_hll_rollup"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, row in got.items():
+        assert abs(row["reach_estimate"] - exact[et]) <= max(2, 0.05 * exact[et]), (
+            et,
+            row["reach_estimate"],
+            exact[et],
+        )
+        assert row["naive_sum_daily"] >= row["reach_estimate"]
+
+
+def test_pq_codes_deterministic_and_better_than_mean(spark):
+    """PQ encoding must be bit-reproducible across runs (deterministic
+    codebooks) and reconstruct vectors far better than the trivial
+    'predict the subspace mean' baseline (k-means with k=16 strictly
+    refines k=1)."""
+    import numpy as np
+
+    from empdia_iceberg_spark import registry
+    from tests.conftest import SF_DIR
+
+    a = registry.queries()["embedding_pq_codes"](spark, SF_DIR).collect()
+    b = registry.queries()["embedding_pq_codes"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert all(0 <= r["pq_code"] < 2**32 for r in a)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    m = np.array([r.embedding for r in emb], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    baseline = ((m - m.mean(axis=0)) ** 2).mean()  # k=1 per-dim MSE
+    avg_mse = sum(r["recon_mse"] for r in a) / len(a)
+    assert avg_mse < baseline, (avg_mse, baseline)
+
+
+def test_pca_power_rayleigh_near_lambda1(spark):
+    """Convergence criterion robust to the synthetic data's
+    near-degenerate spectrum (λ2/λ1 ≈ 0.93, so the eigenVECTOR mixes
+    among the top directions): the returned unit vector's Rayleigh
+    quotient must reach ≥ 95% of numpy's exact λ1, the vector must be
+    unit-norm, and the reported eigenvalue must agree with the
+    Rayleigh quotient within 5%."""
+    import numpy as np
+
+    from empdia_iceberg_spark import registry
+    from tests.conftest import SF_DIR
+
+    rows = registry.queries()["embedding_pca_power"](spark, SF_DIR).collect()
+    v = np.zeros(64)
+    for r in rows:
+        v[r["dim"]] = r["component"]
+    assert abs(float(v @ v) - 1.0) < 1e-3
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    m = np.array([r.embedding for r in emb], dtype=np.float64)
+    cov = m.T @ m
+    lam1 = float(np.linalg.eigvalsh(cov)[-1])
+    rayleigh = float(v @ cov @ v) / float(v @ v)
+    assert rayleigh >= 0.95 * lam1, (rayleigh, lam1)
+    assert abs(rows[0]["eigenvalue"] - rayleigh) / lam1 < 0.05
