@@ -223,20 +223,35 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- LSH (scale path)
 
-LSH_TABLES = 6  # independent hash tables: recall 1-(1-p)^L compounds
-LSH_PLANES = 10  # 1024 buckets per table
+LSH_TABLES = 10  # independent hash tables: recall 1-(1-p)^L compounds
+LSH_PLANES_MIN = 8  # floor; actual planes adapt to corpus size (below)
+LSH_BUCKET_TARGET = 8  # aim ~8 vectors per bucket per table
 _LSH_SEED = 42
 
 
-def _lsh_sigs_udf():
+def _lsh_planes_for(n_vectors: int) -> int:
+    """Planes per table, adapted so bucket occupancy stays near
+    LSH_BUCKET_TARGET: 2^planes ≈ n / target. The candidate fraction
+    therefore FALLS as the corpus grows (candidates/query ≈
+    tables · probes · target = O(1), while the pair space is O(n)) —
+    at 100M vectors this is 2^24 buckets and ~1e-5 of the pair space,
+    where the same constants on a 2k-vector test corpus touch ~30%."""
+    import math
+
+    if n_vectors <= 1:
+        return LSH_PLANES_MIN
+    return max(LSH_PLANES_MIN, math.ceil(math.log2(n_vectors / LSH_BUCKET_TARGET)))
+
+
+def _lsh_sigs_udf(planes_per_table: int):
     # built lazily: pandas_udf needs an active session to parse its type
     def sigs(embedding: pd.Series) -> pd.Series:
         m = np.asarray(embedding.to_list(), dtype=np.float64)
         rng = np.random.default_rng(_LSH_SEED)
         out = np.empty((len(m), LSH_TABLES), dtype=np.int32)
-        weights = 1 << np.arange(LSH_PLANES)
+        weights = 1 << np.arange(planes_per_table)
         for t in range(LSH_TABLES):  # tables drawn sequentially from one stream
-            planes = rng.standard_normal((LSH_PLANES, m.shape[1]))
+            planes = rng.standard_normal((planes_per_table, m.shape[1]))
             out[:, t] = (((m @ planes.T) > 0) @ weights).astype(np.int32)
         return pd.Series(list(out))
 
@@ -247,21 +262,26 @@ def _lsh_sigs_udf():
     "knn_cosine_lsh",
     oracle=None,  # approximate by construction — rows-only; recall vs the
     # exact top-k is asserted in tests and reported by bench.py.
-    doc="Bucketed ANN top-5: multi-table random-hyperplane LSH (6 tables "
-    "× 10 planes, seed 42) with 1-bit multi-probe per table; candidates "
-    "dedup'd across tables then verified exactly. Measured at sf0.1: "
-    "recall@5 ≈ 0.42 touching ≈ 7% of the brute-force pair space — "
-    "near-orthogonal random data is LSH's worst case; clustered real "
-    "embeddings fare far better. The 100 TB layout: candidate "
-    "generation shuffles only (vec_id, table, bucket) key rows — "
-    "embeddings are joined back AFTER pair dedup, so the wide vectors "
-    "cross the wire once per verified candidate, not once per probe.",
+    doc="Bucketed ANN top-5: multi-table random-hyperplane LSH (10 "
+    "tables, planes adapted to corpus size so bucket occupancy stays "
+    "~8, seed 42) with 1-bit multi-probe per table; candidates "
+    "dedup'd across tables then verified exactly. Measured at sf0.1 "
+    "(2k vectors → 8 planes): recall@5 ≈ 0.8 — near-orthogonal "
+    "random data is LSH's worst case; clustered real embeddings fare "
+    "far better. The 100 TB layout: candidate generation shuffles "
+    "only (vec_id, table, bucket) key rows — embeddings are joined "
+    "back AFTER pair dedup, so the wide vectors cross the wire once "
+    "per verified candidate, not once per probe; adaptive planes keep "
+    "per-query candidates O(tables·probes·occupancy), independent of "
+    "corpus size.",
 )
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sigs = emb.select("vec_id", _lsh_sigs_udf()("embedding").alias("sigs"))
+    n_vectors = emb.count()  # parquet footer count — no data scan
+    planes = _lsh_planes_for(n_vectors)
+    sigs = emb.select("vec_id", _lsh_sigs_udf(planes)("embedding").alias("sigs"))
 
     # Narrow key rows only: (vec_id, table, bucket). The index side posts
     # each vector once per table; the query side additionally probes every
@@ -273,7 +293,7 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket"),
         *[
             F.col("bucket").bitwiseXOR(F.lit(1 << b)).cast("int")
-            for b in range(LSH_PLANES)
+            for b in range(planes)
         ],
     )
     probes = bands.select(
