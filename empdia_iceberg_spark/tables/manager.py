@@ -46,6 +46,10 @@ DEFAULT_ROOT = os.environ.get(
     "SPARK_GRAFT_TABLE_ROOT", "/root/repo/.managed_tables"
 )
 
+# Snapshot writes aim for files of this size (Iceberg's
+# write.target-file-size-bytes default), via shuffle-free coalesce.
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
 
 class SnapshotTable:
     """One managed table: immutable parquet data dirs + JSON snapshot log."""
@@ -98,6 +102,19 @@ class SnapshotTable:
     def _write_data(self, df: DataFrame) -> str:
         version = (self._versions()[-1] + 1) if self._versions() else 1
         out = os.path.join(self.data_dir, f"s{version:05d}")
+        # Target-file-size policy (Iceberg's write.target-file-size-bytes):
+        # size each write to ~128 MB files from Catalyst's plan-size
+        # estimate, via a shuffle-free coalesce. Prevents the small-files
+        # problem every snapshot write would otherwise accumulate (here:
+        # 32 splits of a 1 MB table -> 32 tiny files per snapshot).
+        # Unknown stats estimate huge -> target clamps high -> coalesce
+        # becomes a no-op, never an error.
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            target = max(1, min(4096, -(-size // TARGET_FILE_BYTES)))
+            df = df.coalesce(target)
+        except Exception:
+            pass  # stats unavailable: write with the plan's partitioning
         df.write.mode("overwrite").parquet(out)
         return out
 
