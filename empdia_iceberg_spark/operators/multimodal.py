@@ -420,3 +420,70 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=f"asset_id long, modality string, n_bytes long, {feat_cols}",
     )
     return out.orderBy("asset_id").limit(500)
+
+
+# ------------------------------------------------- video frame sampling
+
+FRAME_BYTES = 48  # stand-in fixed-size raw frame (no video codecs here)
+FRAME_STEP = 4  # keep every 4th frame
+_FRAME_HEX = FRAME_BYTES * 2
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH vids AS (
+        SELECT doc_id AS asset_id,
+               hex(encode(text)) AS hx,
+               CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT) AS nf
+        FROM documents
+        WHERE doc_id % 3 = 2 AND length(text) > 0
+    )
+    SELECT asset_id,
+           nf AS n_frames,
+           CAST(len(generate_series(0, nf - 1, {FRAME_STEP})) AS INT) AS n_sampled,
+           md5(array_to_string(
+               list_transform(generate_series(0, nf - 1, {FRAME_STEP}),
+                              i -> substring(hx, i * {_FRAME_HEX} + 1, {_FRAME_HEX})),
+               '')) AS sample_digest
+    FROM vids
+    ORDER BY asset_id
+    LIMIT 500
+    """,
+    doc="Video frame sampling (the decode-free plumbing of a real "
+    "frame-sampler): video payloads are treated as sequences of "
+    "fixed-size raw frames (48-byte blocks — no video codecs ship in "
+    "this container, so the block layout stands in for decoded "
+    "frames); every 4th frame is selected with pure built-in "
+    "hex/substring arithmetic and digested. Map-only plan, zero "
+    "shuffle, modality filter prunes non-video assets before any "
+    "bytes are touched — exactly how a real frame-sample pass over "
+    "100 TB of video would be shaped (codec decode slots into the "
+    "mapInPandas kernel of multimodal_decode_features).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vids = (
+        asset_table(spark, sf_dir)
+        .filter((F.col("modality") == "video") & (F.octet_length("payload") > 0))
+        .select(
+            "asset_id",
+            F.hex("payload").alias("hx"),
+            F.ceil(F.octet_length("payload") / F.lit(float(FRAME_BYTES)))
+            .cast("bigint")
+            .alias("nf"),
+        )
+    )
+    sampled = F.expr(
+        f"transform(sequence(0, nf - 1, {FRAME_STEP}), "
+        f"i -> substring(hx, i * {_FRAME_HEX} + 1, {_FRAME_HEX}))"
+    )
+    return (
+        vids.select(
+            "asset_id",
+            F.col("nf").alias("n_frames"),
+            F.size(sampled).cast("int").alias("n_sampled"),
+            F.md5(F.array_join(sampled, "")).alias("sample_digest"),
+        )
+        .orderBy("asset_id")
+        .limit(500)
+    )
