@@ -73,6 +73,7 @@ _SWEEP_PRIORITY = [
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)
     "table_zorder_layout",  # new in r4 (Morton clustering envelopes)
     "multimodal_frame_sample",  # new in r4 (video frame-sample plumbing)
+    "orc_roundtrip",  # new in r4 (ORC source/sink differential)
     "user_reach_hll_rollup",  # new in r4 (rows-only; ±5% bound tested)
     "embedding_pq_codes",  # new in r4 (rows-only; determinism+MSE tested)
     "embedding_pca_power",  # new in r4 (rows-only; Rayleigh bound tested)

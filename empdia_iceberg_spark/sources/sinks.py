@@ -147,3 +147,39 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(exact_sum2("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "orc_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           round({sql_sum2('o_totalprice')}, 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="ORC scan + sink (§2.B scans row; ORC ships in Spark's core "
+    "jars): orders written as ORC, read back and aggregated — the "
+    "differential read-back oracle runs on the base parquet, so any "
+    "type or value corruption in the ORC path breaks the hash. "
+    "Predicate pushdown / column pruning work in the ORC reader the "
+    "same as parquet. (Avro needs the external spark-avro module, "
+    "absent from this environment's jars — probed, documented, and "
+    "gated out rather than stubbed.)",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _fresh(os.path.join(SINK_ROOT, "orders.orc"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2(F.col("o_totalprice")), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
