@@ -74,6 +74,7 @@ _SWEEP_PRIORITY = [
     "table_zorder_layout",  # new in r4 (Morton clustering envelopes)
     "multimodal_frame_sample",  # new in r4 (video frame-sample plumbing)
     "orc_roundtrip",  # new in r4 (ORC source/sink differential)
+    "table_partition_evolution",  # new in r4 (spec evolution + pruning)
     "user_reach_hll_rollup",  # new in r4 (rows-only; ±5% bound tested)
     "embedding_pq_codes",  # new in r4 (rows-only; determinism+MSE tested)
     "embedding_pca_power",  # new in r4 (rows-only; Rayleigh bound tested)

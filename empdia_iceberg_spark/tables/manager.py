@@ -74,7 +74,15 @@ class SnapshotTable:
         with open(os.path.join(self.meta_dir, f"v{version:05d}.json")) as f:
             return json.load(f)
 
-    def _commit(self, op: str, dirs: list[str], parent: int | None, schema: str) -> int:
+    def _commit(
+        self,
+        op: str,
+        dirs: list[str],
+        parent: int | None,
+        schema: str,
+        spec: list[str] | None = None,
+        dir_specs: list[list[str]] | None = None,
+    ) -> int:
         os.makedirs(self.meta_dir, exist_ok=True)
         version = (self._versions()[-1] + 1) if self._versions() else 1
         meta = {
@@ -83,6 +91,12 @@ class SnapshotTable:
             "dirs": dirs,
             "parent": parent,
             "schema": schema,
+            # Iceberg-style partition evolution: `spec` is the DEFAULT
+            # partitioning for future writes; `dir_specs` records, per
+            # data dir, the spec it was written under — reads consult
+            # dir_specs so old and new layouts coexist in one table.
+            "spec": spec if spec is not None else [],
+            "dir_specs": dir_specs if dir_specs is not None else [[] for _ in dirs],
         }
         tmp = os.path.join(self.meta_dir, f".v{version:05d}.json.tmp")
         with open(tmp, "w") as f:
@@ -99,7 +113,7 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ write ops
 
-    def _write_data(self, df: DataFrame) -> str:
+    def _write_data(self, df: DataFrame, spec: list[str] | None = None) -> str:
         version = (self._versions()[-1] + 1) if self._versions() else 1
         out = os.path.join(self.data_dir, f"s{version:05d}")
         # Target-file-size policy (Iceberg's write.target-file-size-bytes):
@@ -115,27 +129,79 @@ class SnapshotTable:
             df = df.coalesce(target)
         except Exception:
             pass  # stats unavailable: write with the plan's partitioning
-        df.write.mode("overwrite").parquet(out)
+        if spec:
+            # Hive-layout partitioning on SHADOW columns (_p_<col>): the
+            # real columns stay inside the data files, so reads never
+            # depend on dir structure (recursiveFileLookup) and dirs
+            # written under DIFFERENT specs union cleanly — Iceberg's
+            # partition-evolution model (metadata chooses files; file
+            # contents are self-sufficient).
+            aug = df
+            for c in spec:
+                aug = aug.withColumn(f"_p_{c}", F.col(c))
+            aug.write.mode("overwrite").partitionBy(
+                *[f"_p_{c}" for c in spec]
+            ).parquet(out)
+        else:
+            df.write.mode("overwrite").parquet(out)
         return out
 
-    def create(self, df: DataFrame) -> int:
+    def current_spec(self) -> list[str]:
+        cur = self.current_version()
+        return self._read_meta(cur).get("spec", []) if cur is not None else []
+
+    def _dir_specs(self, meta: dict) -> list[list[str]]:
+        return meta.get("dir_specs", [[] for _ in meta["dirs"]])
+
+    def create(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         if self._versions():
             raise ValueError(f"table {self.name} already exists")
-        d = self._write_data(df)
-        return self._commit("create", [d], None, df.schema.json())
+        spec = partition_by or []
+        d = self._write_data(df, spec)
+        return self._commit(
+            "create", [d], None, df.schema.json(), spec=spec, dir_specs=[spec]
+        )
 
     def append(self, df: DataFrame) -> int:
         cur = self.current_version()
         if cur is None:
             return self.create(df)
-        d = self._write_data(df)
-        dirs = self._read_meta(cur)["dirs"] + [d]
-        return self._commit("append", dirs, cur, df.schema.json())
+        meta = self._read_meta(cur)
+        spec = meta.get("spec", [])
+        d = self._write_data(df, spec)
+        return self._commit(
+            "append",
+            meta["dirs"] + [d],
+            cur,
+            df.schema.json(),
+            spec=spec,
+            dir_specs=self._dir_specs(meta) + [spec],
+        )
+
+    def evolve_partitioning(self, partition_by: list[str]) -> int:
+        """Iceberg partition-spec evolution: change the partitioning of
+        FUTURE writes only. Existing data dirs keep their layout (their
+        spec stays recorded in dir_specs); no data is rewritten."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"table {self.name}: cannot evolve before create")
+        meta = self._read_meta(cur)
+        return self._commit(
+            "evolve-partitioning",
+            meta["dirs"],
+            cur,
+            meta["schema"],
+            spec=partition_by,
+            dir_specs=self._dir_specs(meta),
+        )
 
     def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
         cur = self.current_version()
-        d = self._write_data(df)
-        return self._commit(op, [d], cur, df.schema.json())
+        spec = self.current_spec()
+        d = self._write_data(df, spec)
+        return self._commit(
+            op, [d], cur, df.schema.json(), spec=spec, dir_specs=[spec]
+        )
 
     def merge(self, source: DataFrame, key: str) -> int:
         """Copy-on-write MERGE (Iceberg MERGE INTO semantics for the
@@ -164,7 +230,12 @@ class SnapshotTable:
             raise ValueError(f"table {self.name}: no snapshot v{version}")
         meta = self._read_meta(version)
         return self._commit(
-            "rollback", meta["dirs"], self.current_version(), meta["schema"]
+            "rollback",
+            meta["dirs"],
+            self.current_version(),
+            meta["schema"],
+            spec=meta.get("spec", []),
+            dir_specs=self._dir_specs(meta),
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
@@ -191,10 +262,39 @@ class SnapshotTable:
         cur = version if version is not None else self.current_version()
         if cur is None or cur not in self._versions():
             raise ValueError(f"table {self.name}: no snapshot v{version}")
-        reader = self.spark.read
+        return self._read_dirs(self._read_meta(cur)["dirs"], merge_schema)
+
+    def _read_dirs(self, dirs: list[str], merge_schema: bool = False) -> DataFrame:
+        # recursiveFileLookup: read leaf files only, no partition-column
+        # discovery — partition values live INSIDE the files (shadow-
+        # column layout), so dirs written under different partition
+        # specs union cleanly.
+        reader = self.spark.read.option("recursiveFileLookup", "true")
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*self._read_meta(cur)["dirs"])
+        return reader.parquet(*dirs)
+
+    def read_pruned(self, col: str, value, version: int | None = None) -> DataFrame:
+        """Metadata-driven partition pruning across evolving specs
+        (Iceberg's model: the catalog chooses files). For each data dir:
+        if its spec leads with `col`, only the matching hive subdir is
+        listed; otherwise the whole dir is read and the residual filter
+        applies. The result always equals read().filter(col == value) —
+        pruning is a file-listing optimization, never a semantics
+        change."""
+        cur = version if version is not None else self.current_version()
+        meta = self._read_meta(cur)
+        chosen: list[str] = []
+        for d, spec in zip(meta["dirs"], self._dir_specs(meta)):
+            if spec and spec[0] == col:
+                sub = os.path.join(d, f"_p_{col}={value}")
+                if os.path.isdir(sub):
+                    chosen.append(sub)
+            else:
+                chosen.append(d)
+        if not chosen:
+            return self.read(version).filter(F.col(col) == F.lit(value)).limit(0)
+        return self._read_dirs(chosen).filter(F.col(col) == F.lit(value))
 
     def drop(self) -> None:
         if os.path.isdir(self.base):
@@ -475,3 +575,44 @@ def table_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("from_version", "change")
+
+
+@register(
+    "table_partition_evolution",
+    oracle=f"""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           count(*) AS n_rows,
+           round({sql_sum2('o_totalprice')}, 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    doc="Iceberg-style partition-spec evolution: half the orders are "
+    "written partitioned by o_orderstatus, the spec is then evolved "
+    "to o_orderpriority, and the other half lands under the new "
+    "layout — no data rewritten, both layouts coexist in one table "
+    "because partition values live inside the files (shadow-column "
+    "hive layout) and reads are layout-independent. The read-back "
+    "aggregate must equal the plain aggregate over ALL base orders; "
+    "metadata-driven pruning across the mixed specs is asserted in "
+    "tests/test_tables.py.",
+)
+def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_partevo")
+    t.drop()
+    t.create(
+        orders.filter(F.col("o_orderkey") % 2 == 0), partition_by=["o_orderstatus"]
+    )
+    t.evolve_partitioning(["o_orderpriority"])
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    return (
+        t.read()
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2(F.col("o_totalprice")), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )

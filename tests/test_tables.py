@@ -117,3 +117,25 @@ def test_iceberg_catalog_when_jar_available(spark):
         "iceberg-spark-runtime detected: wire tables/manager.py to the real "
         "Iceberg catalog (MERGE INTO / time travel) and update this test"
     )
+
+
+def test_partition_evolution_pruned_read(spark):
+    """After spec evolution both layouts coexist; read_pruned must (a)
+    equal the plain filter exactly and (b) list strictly fewer files
+    than the full table (the status-partitioned dir contributes only
+    its matching hive subdir)."""
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark import registry
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+    from tests.conftest import SF_DIR
+
+    registry.queries()["table_partition_evolution"](spark, SF_DIR).collect()
+    t = SnapshotTable(spark, "orders_partevo")
+    assert t.current_spec() == ["o_orderpriority"]
+    pruned = t.read_pruned("o_orderstatus", "O")
+    plain = t.read().filter(F.col("o_orderstatus") == "O")
+    assert pruned.count() == plain.count() > 0
+    assert len(pruned.inputFiles()) < len(t.read().inputFiles())
+    # shadow partition columns never leak into the logical schema
+    assert not [c for c in t.read().columns if c.startswith("_p_")]
