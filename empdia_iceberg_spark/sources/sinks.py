@@ -183,3 +183,63 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "json_ingest_corrupt_records",
+    oracle="""
+    SELECT lang,
+           count(*)                        AS n_rows,
+           CAST(sum(n_chars) AS BIGINT)    AS sum_chars
+    FROM documents WHERE doc_id % 7 <> 0
+    GROUP BY lang
+    UNION ALL
+    SELECT '_corrupt', count(*), NULL
+    FROM documents WHERE doc_id % 7 = 0
+    ORDER BY lang
+    """,
+    doc="Fault-tolerant JSON ingestion: a JSONL feed in which every "
+    "7th record is truncated mid-object is read back in PERMISSIVE "
+    "mode with columnNameOfCorruptRecord — malformed lines land in "
+    "the _corrupt_record column instead of failing the job (the "
+    "quarantine/dead-letter pattern of production ingestion at "
+    "100 TB, where some corrupt input is a certainty). Good rows "
+    "aggregate by lang; corrupt rows count into a '_corrupt' bucket. "
+    "The oracle derives both from the base table arithmetic, so a "
+    "parser that silently drops or mis-parses rows breaks the hash.",
+)
+def json_ingest_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _fresh(os.path.join(SINK_ROOT, "docs_corrupt.jsonl"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    feed = docs.select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.substring(line, 1, F.length(line) / F.lit(2)),  # truncated JSON
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    feed.write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, lang string, n_chars bigint, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_chars")).alias("nc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("nc").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
