@@ -76,6 +76,7 @@ _SWEEP_PRIORITY = [
     "orc_roundtrip",  # new in r4 (ORC source/sink differential)
     "table_partition_evolution",  # new in r4 (spec evolution + pruning)
     "json_ingest_corrupt_records",  # new in r4 (PERMISSIVE quarantine)
+    "user_profile_similarity",  # new in r4 (trajectory-profile top-k)
     "user_reach_hll_rollup",  # new in r4 (rows-only; ±5% bound tested)
     "embedding_pq_codes",  # new in r4 (rows-only; determinism+MSE tested)
     "embedding_pca_power",  # new in r4 (rows-only; Rayleigh bound tested)

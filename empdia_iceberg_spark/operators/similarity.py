@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from empdia_iceberg_spark.functions.exact import det_round, sql_det_round
+from empdia_iceberg_spark.functions.exact import det_round, sql_det_round, sql_sum_r6
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load, path_for
 
@@ -792,4 +792,117 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         det_round(F.col("component"), 6).alias("component"),
         det_round(F.col("eigenvalue"), 4).alias("eigenvalue"),
+    )
+
+
+# --------------------------------------- temporal-profile similarity
+
+PROFILE_TOP_K = 5
+
+
+@register(
+    "user_profile_similarity",
+    oracle=f"""
+    WITH prof AS (
+        SELECT user_id,
+               CAST(hour(ts) AS INT) AS hh,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) AS v
+        FROM events GROUP BY user_id, hour(ts)
+    ),
+    norms AS (
+        SELECT user_id,
+               {sql_det_round('sqrt(' + sql_sum_r6('v * v') + ')', 6)} AS nrm
+        FROM prof GROUP BY user_id
+    ),
+    dots AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               {sql_sum_r6('a.v * b.v')} AS dot
+        FROM prof a JOIN prof b ON a.hh = b.hh AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    ),
+    cos AS (
+        SELECT user_a, user_b,
+               {sql_det_round('dot / (na.nrm * nb.nrm)', 6)} AS cos_sim
+        FROM dots
+        JOIN norms na ON na.user_id = user_a
+        JOIN norms nb ON nb.user_id = user_b
+    ),
+    sym AS (
+        SELECT user_a AS u, user_b AS v, cos_sim FROM cos
+        UNION ALL
+        SELECT user_b, user_a, cos_sim FROM cos
+    ),
+    ranked AS (
+        SELECT u AS user_id, v AS peer_id, cos_sim,
+               row_number() OVER (PARTITION BY u ORDER BY cos_sim DESC, v) AS rank
+        FROM sym
+    )
+    SELECT user_id, peer_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {PROFILE_TOP_K}
+    ORDER BY user_id, rank
+    """,
+    doc="Trajectory/profile similarity (REPOSE-style top-k, EDBT/ICDE "
+    "lineage): each user's event stream collapses to a 24-dim "
+    "hour-of-day behavior profile (decimal-exact averages), then "
+    "pairwise cosine over PROFILES — aggregate-first, so the pairwise "
+    "stage runs on one row per user, not per event; the events-side "
+    "work is a single groupBy shuffle. Dot products use the "
+    "det-round-then-decimal-sum discipline so cosines are "
+    "bit-identical across engines. Top-5 peers per user via a "
+    "per-user window. At 100 TB the profile table is tiny relative "
+    "to raw events; beyond ~100k users the pairwise join swaps in "
+    "the broadcast-index kNN kernel above — same layout, same "
+    "contract.",
+)
+def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from empdia_iceberg_spark.functions.exact import exact_sum_r6
+
+    ev = load(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "user_id", F.hour("ts").cast("int").alias("hh")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    norms = prof.groupBy("user_id").agg(
+        det_round(F.sqrt(exact_sum_r6(F.col("v") * F.col("v"))), 6).alias("nrm")
+    )
+    a = prof.select(
+        F.col("user_id").alias("user_a"), "hh", F.col("v").alias("va")
+    )
+    b = prof.select(
+        F.col("user_id").alias("user_b"), "hh", F.col("v").alias("vb")
+    )
+    dots = (
+        a.join(b, "hh")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(exact_sum_r6(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("user_id").alias("user_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("user_id").alias("user_b"), F.col("nrm").alias("nb"))
+    cos = (
+        dots.join(F.broadcast(na), "user_a")
+        .join(F.broadcast(nb), "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            det_round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+    )
+    sym = cos.select(
+        F.col("user_a").alias("user_id"), F.col("user_b").alias("peer_id"), "cos_sim"
+    ).unionByName(
+        cos.select(
+            F.col("user_b").alias("user_id"), F.col("user_a").alias("peer_id"), "cos_sim"
+        )
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("cos_sim").desc(), "peer_id")
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= PROFILE_TOP_K)
+        .select("user_id", "peer_id", "cos_sim", "rank")
+        .orderBy("user_id", "rank")
     )
