@@ -39,6 +39,10 @@ HEADLINE = [
     "curation_pipeline",
     "semantic_prune_clusters",
     "events_sessionize_8h",
+    "doc_span_dedup",
+    "events_anomaly_zscore",
+    "table_zorder_layout",
+    "user_profile_similarity",
     "stream_tumbling_hourly",
     "table_merge_upsert",
 ]

@@ -77,6 +77,7 @@ _SWEEP_PRIORITY = [
     "table_partition_evolution",  # new in r4 (spec evolution + pruning)
     "json_ingest_corrupt_records",  # new in r4 (PERMISSIVE quarantine)
     "user_profile_similarity",  # new in r4 (trajectory-profile top-k)
+    "events_scd2_history",  # new in r4 (SCD2 dimension build)
     "user_reach_hll_rollup",  # new in r4 (rows-only; ±5% bound tested)
     "embedding_pq_codes",  # new in r4 (rows-only; determinism+MSE tested)
     "embedding_pca_power",  # new in r4 (rows-only; Rayleigh bound tested)
@@ -104,6 +105,22 @@ _SWEEP_PRIORITY = [
     "hash_split_assignments",  # new in r4
     "table_rollback_restore",  # new in r4
     "stream_static_enrich",  # new in r4
+    # changed since their last driver row — the REWRITTEN hash families
+    # (md5 minhash/simhash — ADVICE r3 item 4) and the LSH ANN, whose
+    # plane count was made corpus-adaptive THIS session. Changed code
+    # outranks never-swept plain-SQL shapes: the pandas hash kernels are
+    # the highest-divergence-risk code, while the TPC-H subquery shapes
+    # below are exact SQL whose in-repo parity is the same check the
+    # driver runs.
+    "doc_minhash_near_dup",
+    "doc_simhash_near_dup",
+    "knn_cosine_lsh",
+    # never driver-verified, moderate-risk expressions (µs arithmetic,
+    # explode pipelines, decimal folds) — ahead of the plain join shapes
+    "events_sessionize_8h",  # new in r4
+    "doc_decontaminate",  # new in r4 (training-pipeline ops)
+    "doc_repetition_stats",  # new in r4
+    "domain_mixture_weights",  # new in r4
     "q10_returned_revenue",  # new in r4
     "events_funnel_conversion",  # new in r4
     "events_weekly_retention",  # new in r4
@@ -111,25 +128,15 @@ _SWEEP_PRIORITY = [
     "q14_promo_revenue",  # new in r4
     "q18_large_orders",  # new in r4
     "q19_disjunctive_revenue",  # new in r4
+    # ~50-query cap lands here; the pure subquery shapes below are the
+    # lowest-risk never-swept queries (plain exact SQL) and head the r5
+    # sweep together with the repartition-guard dedup trio.
     "q4_priority_exists",  # new in r4 (subquery shapes)
     "q13_custdist",  # new in r4
     "q16_supplier_part_counts",  # new in r4
     "q17_small_qty_revenue",  # new in r4
     "q22_idle_rich_customers",  # new in r4
     "q2_min_cost_supplier",  # new in r4
-    "events_sessionize_8h",  # new in r4
-    "doc_decontaminate",  # new in r4 (training-pipeline ops)
-    "doc_repetition_stats",  # new in r4
-    "domain_mixture_weights",  # new in r4
-    # changed since their last driver row — the REWRITTEN hash families
-    # (md5 minhash/simhash, reworked LSH ANN — ADVICE r3 item 4) sit
-    # ABOVE the remaining new TPC-H join shapes: the pandas hash kernels
-    # are the highest-divergence-risk code, while the join shapes are
-    # plain exact-SQL whose in-repo parity is the same check the driver
-    # runs. The ~50-query cap lands inside the shapes below.
-    "doc_minhash_near_dup",
-    "doc_simhash_near_dup",
-    "knn_cosine_lsh",
     "q7_volume_shipping",  # new in r4
     "q8_market_share",  # new in r4
     "q9_profit_by_nation",  # new in r4

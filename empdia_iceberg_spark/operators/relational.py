@@ -1511,3 +1511,71 @@ def user_reach_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------- SCD2 dimension build
+
+
+@register(
+    "events_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    versioned AS (
+        SELECT user_id, event_type, ts,
+               lead(ts) OVER w AS next_ts,
+               row_number() OVER w AS version
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id,
+           CAST(version AS INT)                            AS version,
+           event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S')               AS valid_from,
+           strftime(next_ts, '%Y-%m-%d %H:%M:%S')          AS valid_to,
+           (next_ts IS NULL)                               AS is_current
+    FROM versioned
+    ORDER BY user_id, version
+    """,
+    doc="SCD type-2 dimension build (the warehouse change-history "
+    "pattern): each user's event stream collapses to versioned "
+    "(valid_from, valid_to] intervals, one row per event_type change "
+    "— detect changes with lag over (user, time), then close each "
+    "interval with lead over the change rows only. Two windows, ONE "
+    "shuffle: both partition by user_id, so the second window reuses "
+    "the first exchange. At 100 TB the state per user is its event "
+    "history — partition-parallel, no global ordering anywhere.",
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", "ts")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    return (
+        changes.withColumn("next_ts", F.lead("ts").over(w2))
+        .withColumn("version", F.row_number().over(w2).cast("int"))
+        .select(
+            "user_id",
+            "version",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+            F.col("next_ts").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

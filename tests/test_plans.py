@@ -255,3 +255,11 @@ def test_sample_per_lang_prefilter_no_full_sort(spark):
         s = line.strip()
         if s.startswith("+- Window") or s.startswith("Window"):
             assert "], [], [" not in line, line
+
+
+def test_scd2_single_user_exchange(spark):
+    """events_scd2_history's two windows both partition by user_id —
+    the plan must contain exactly one user_id hash exchange (the
+    second window reuses the first's partitioning)."""
+    plan = _plan(spark, "events_scd2_history")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
