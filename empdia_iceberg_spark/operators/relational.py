@@ -1579,3 +1579,126 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+# ------------------------------------------------- RFM segmentation
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH refdate AS (
+        SELECT max(o_orderdate) AS ref FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), (SELECT ref FROM refdate)) AS recency,
+               count(*) AS freq,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    th AS (
+        SELECT quantile_cont(recency * 1.0, 0.25) AS r25,
+               quantile_cont(recency * 1.0, 0.50) AS r50,
+               quantile_cont(recency * 1.0, 0.75) AS r75,
+               quantile_cont(freq * 1.0, 0.25)    AS f25,
+               quantile_cont(freq * 1.0, 0.50)    AS f50,
+               quantile_cont(freq * 1.0, 0.75)    AS f75,
+               quantile_cont(monetary, 0.25)      AS m25,
+               quantile_cont(monetary, 0.50)      AS m50,
+               quantile_cont(monetary, 0.75)      AS m75
+        FROM per_cust
+    ),
+    scored AS (
+        SELECT per_cust.*,
+               CASE WHEN recency <= r25 THEN 4 WHEN recency <= r50 THEN 3
+                    WHEN recency <= r75 THEN 2 ELSE 1 END AS r_score,
+               CASE WHEN freq <= f25 THEN 1 WHEN freq <= f50 THEN 2
+                    WHEN freq <= f75 THEN 3 ELSE 4 END AS f_score,
+               CASE WHEN monetary <= m25 THEN 1 WHEN monetary <= m50 THEN 2
+                    WHEN monetary <= m75 THEN 3 ELSE 4 END AS m_score
+        FROM per_cust, th
+    ),
+    seg AS (
+        SELECT *,
+               CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+                    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                    WHEN r_score >= 3 AND f_score <= 2 THEN 'promising'
+                    ELSE 'regular' END AS segment
+        FROM scored
+    )
+    SELECT segment,
+           count(*) AS n_customers,
+           round({sql_sum2('monetary')}, 2) AS total_monetary,
+           {sql_det_round('CAST(sum(freq) AS DOUBLE) / count(*)', 4)} AS avg_frequency
+    FROM seg
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary): "
+    "per-customer metrics from one orders groupBy, quartile score "
+    "thresholds from ONE 1-row exact-percentile aggregate broadcast "
+    "back (never a global ntile window — the scale-killer form of "
+    "RFM), CASE-scored 1–4 per axis, segments rolled up. Monetary "
+    "values are exact 2-decimal sums so re-summing across customers "
+    "stays order-independent; threshold comparisons use identical "
+    "doubles on both engines.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    asof = orders.agg(F.max("o_orderdate").alias("ref"))
+    per_cust = (
+        orders.join(F.broadcast(asof))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("ref"), F.max("o_orderdate")).alias("recency"),
+            F.count(F.lit(1)).alias("freq"),
+            exact_sum2(F.col("o_totalprice")).alias("monetary"),
+        )
+    )
+    th = per_cust.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), F.lit(q)).alias(f"{c[0]}{int(q*100)}")
+            for c in ("recency", "freq", "monetary")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+    scored = per_cust.join(F.broadcast(th)).select(
+        "*",
+        F.when(F.col("recency") <= F.col("r25"), 4)
+        .when(F.col("recency") <= F.col("r50"), 3)
+        .when(F.col("recency") <= F.col("r75"), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(F.col("freq") <= F.col("f25"), 1)
+        .when(F.col("freq") <= F.col("f50"), 2)
+        .when(F.col("freq") <= F.col("f75"), 3)
+        .otherwise(4)
+        .alias("f_score"),
+        F.when(F.col("monetary") <= F.col("m25"), 1)
+        .when(F.col("monetary") <= F.col("m50"), 2)
+        .when(F.col("monetary") <= F.col("m75"), 3)
+        .otherwise(4)
+        .alias("m_score"),
+    )
+    seg = scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 3) & (F.col("m_score") >= 3),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), "promising")
+        .otherwise("regular"),
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(exact_sum2(F.col("monetary")), 2).alias("total_monetary"),
+            det_round(F.sum("freq").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_frequency"
+            ),
+        )
+        .orderBy("segment")
+    )
