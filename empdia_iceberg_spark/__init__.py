@@ -79,6 +79,7 @@ _SWEEP_PRIORITY = [
     "user_profile_similarity",  # new in r4 (trajectory-profile top-k)
     "events_scd2_history",  # new in r4 (SCD2 dimension build)
     "customer_rfm_segments",  # new in r4 (RFM quartile segmentation)
+    "events_twap_user",  # new in r4 (time-weighted average, decimal-exact)
     "user_reach_hll_rollup",  # new in r4 (rows-only; ±5% bound tested)
     "embedding_pq_codes",  # new in r4 (rows-only; determinism+MSE tested)
     "embedding_pca_power",  # new in r4 (rows-only; Rayleigh bound tested)

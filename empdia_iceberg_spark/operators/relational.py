@@ -1702,3 +1702,61 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ------------------------------------------------- time-weighted average
+
+
+@register(
+    "events_twap_user",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(10,2)) AS v,
+               CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS DECIMAL(14,0)) AS dur
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*)                                     AS n_intervals,
+           CAST(sum(dur) AS BIGINT)                     AS total_dur_us,
+           {sql_det_round('CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE)', 6)} AS twap
+    FROM iv
+    WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Time-weighted average price/value (TWAP) per user over an "
+    "IRREGULAR event series — each value holds until the user's next "
+    "event, so plain avg() is wrong whenever sampling is uneven. "
+    "Interval durations come from lead(ts) in integer microseconds; "
+    "value×duration products and their sums accumulate entirely in "
+    "DECIMAL (exact, associative), with ONE double conversion at the "
+    "final division — bit-identical across engines. One user_id "
+    "shuffle shared by the window and the rollup.",
+)
+def events_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(10,2)").alias("v"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        .cast("decimal(14,0)")
+        .alias("dur"),
+    ).filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur").cast("bigint").alias("total_dur_us"),
+            det_round(
+                F.sum(F.col("v") * F.col("dur")).cast("double")
+                / F.sum("dur").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
