@@ -263,3 +263,26 @@ def test_scd2_single_user_exchange(spark):
     second window reuses the first's partitioning)."""
     plan = _plan(spark, "events_scd2_history")
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_twap_single_user_exchange(spark):
+    """events_twap_user's window and rollup both key on user_id — the
+    plan must carry exactly one user_id hash exchange."""
+    plan = _plan(spark, "events_twap_user")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_rfm_no_global_window(spark):
+    """customer_rfm_segments must derive quartile thresholds from a
+    broadcast 1-row aggregate — no window operator at all in the plan,
+    and a broadcast join attaching the thresholds."""
+    plan = _plan(spark, "customer_rfm_segments")
+    assert "Window" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_frame_sample_map_only(spark):
+    """multimodal_frame_sample is map-only up to the final ordered
+    limit: no hash-partitioned exchange anywhere in the plan."""
+    plan = _plan(spark, "multimodal_frame_sample")
+    assert "Exchange hashpartitioning" not in plan, plan
