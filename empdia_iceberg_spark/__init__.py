@@ -53,19 +53,23 @@ from empdia_iceberg_spark.operators import textstats  # noqa: F401
 
 # ---------------------------------------------------------------- sweep order
 # The driver's per-round CORRECTNESS sweep checks the first ~50 registered
-# queries; with 100 registered, the halves must rotate every round so no
-# query goes two rounds without a driver row. Rotation policy (update the
+# queries; with 157 registered, the list must rotate every round so no
+# query goes too long without a driver row. Rotation policy (update the
 # list each round):
-#   1. queries that have never had a clean driver row;
-#   2. queries whose implementation changed this round;
-#   3. the half NOT swept last round (round 3 swept what is now the tail).
-# Round 4 list: 33 never-verified queries (4 evidence-less from r3 + 29
-# added in r4: subquery shapes, q7/q8/q9/q15, sessionization, and the
-# decontamination / repetition / mixture pipeline ops), the 6
-# changed-this-round queries (dedup stack + reworked LSH ANN), then the
-# r2-only-checked block up to slot 50. The r2-green, untouched entries
-# past slot 50 (trailing windows, brute kNN/IVF, textstats) are the r5
-# sweep's head.
+#   1. queries whose implementation changed this round (ADVICE r3: every
+#      changed query must be swept the round it changed);
+#   2. queries that have never had a clean driver row, ordered by
+#      divergence risk (pandas kernels > µs/decimal arithmetic >
+#      plain exact-SQL shapes);
+#   3. the stalest previously-green block.
+# Round 4 final list: the 16 operators added in this round's session
+# (span dedup → TWAP), the r3 evidence-less four, the r4 additions from
+# the earlier session, then the changed hash families (md5 minhash /
+# simhash, corpus-adaptive LSH) ahead of the never-swept plain-SQL
+# TPC-H subquery shapes. The ~50 cap lands around q6_forecast_revenue;
+# everything after (q14/q18/q19, the 12 subquery shapes, the
+# repartition-guard dedup trio, and the r2-green block) heads the r5
+# sweep.
 _SWEEP_PRIORITY = [
     # never driver-verified (or first value-oracle this round)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
