@@ -84,6 +84,7 @@ _SWEEP_PRIORITY = [
     "events_scd2_history",  # new in r4 (SCD2 dimension build)
     "customer_rfm_segments",  # new in r4 (RFM quartile segmentation)
     "events_twap_user",  # new in r4 (time-weighted average, decimal-exact)
+    "parts_abc_pareto",  # new in r4 (bucketed prefix-sum Pareto classes)
     "user_reach_hll_rollup",  # new in r4 (rows-only; ±5% bound tested)
     "embedding_pq_codes",  # new in r4 (rows-only; determinism+MSE tested)
     "embedding_pca_power",  # new in r4 (rows-only; Rayleigh bound tested)

@@ -1760,3 +1760,78 @@ def events_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------------- ABC / Pareto analysis
+
+
+@register(
+    "parts_abc_pareto",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(r) AS t FROM rev),
+    cum AS (
+        SELECT l_partkey, r,
+               sum(r) OVER (ORDER BY r DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS c
+        FROM rev
+    ),
+    classed AS (
+        SELECT l_partkey, r,
+               CASE WHEN CAST(c AS DOUBLE) / CAST(t AS DOUBLE) <= 0.8 THEN 'A'
+                    WHEN CAST(c AS DOUBLE) / CAST(t AS DOUBLE) <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum, tot
+    )
+    SELECT abc_class,
+           count(*) AS n_parts,
+           round(CAST(sum(r) AS DOUBLE), 2) AS class_revenue
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+    doc="ABC / Pareto inventory classification: parts ranked by exact "
+    "decimal revenue, classified A/B/C at the 80%/95% cumulative-share "
+    "marks. The global running sum uses bucketed prefix summation "
+    "(operators.scale.bucketed_prefix_sum) — quantile buckets, one "
+    "(bucket, sum) driver collect, within-bucket decimal cumsum + "
+    "exact offsets — never a single-partition global window; the "
+    "decimal accumulation keeps every cumulative value bit-identical "
+    "to the oracle's window form.",
+)
+def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.operators.scale import bucketed_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("r")
+    )
+    rev = rev.withColumn("neg_r", (-F.col("r")).cast(dict(rev.dtypes)["r"]))
+    total = rev.agg(F.sum("r").alias("t"))
+    cum = bucketed_prefix_sum(
+        rev, "neg_r", "r", tiebreaks=("l_partkey",), out_col="c"
+    )
+    share = F.col("c").cast("double") / F.col("t").cast("double")
+    classed = cum.join(F.broadcast(total)).select(
+        "l_partkey",
+        "r",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("r").cast("double"), 2).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

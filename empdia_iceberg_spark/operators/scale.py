@@ -179,3 +179,54 @@ def hash_sample_per_stratum(
     return out.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= k
     )
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    tiebreaks: tuple[str, ...] = (),
+    buckets: int = 64,
+    out_col: str = "_cum",
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` in (order_col,
+    *tiebreaks) order WITHOUT a single-partition window — the prefix-sum
+    sibling of `bucketed_global_row_number`: quantile-bucket the order
+    column, collect one (count, sum) row per bucket (driver-bounded),
+    convert to cumulative offsets, then add a within-bucket running sum.
+    ``value_col`` should be DECIMAL for an order-independent result.
+
+    Rows equal to a bucket boundary land in one bucket, so the
+    cross-bucket order is total; ties inside a bucket follow the
+    tiebreaks, exactly like the row-number variant."""
+    qs = [i / buckets for i in range(1, buckets)]
+    probe = df.withColumn("_ord_d", F.col(order_col).cast("double"))
+    bounds = sorted(set(probe.approxQuantile("_ord_d", qs, 0.001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(order_col).cast("double") > F.lit(b), 1).otherwise(0)
+    bdf = df.withColumn("_bkt", bucket)
+    stats = {
+        r["_bkt"]: r["s"]
+        for r in bdf.groupBy("_bkt").agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets, acc = {}, None
+    for b in sorted(stats):
+        offsets[b] = acc  # None => zero offset (first bucket)
+        acc = stats[b] if acc is None else acc + stats[b]
+    off_items = [(b, o) for b, o in offsets.items() if o is not None]
+    w = (
+        W.partitionBy("_bkt")
+        .orderBy(order_col, *tiebreaks)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = F.sum(value_col).over(w)
+    if off_items:
+        off_map = F.create_map(*[F.lit(x) for b, o in off_items for x in (b, str(o))])
+        # offsets travel as exact decimal strings → cast back, never double
+        offset = F.coalesce(
+            off_map[F.col("_bkt")].cast(dict(df.dtypes)[value_col]), F.lit(0)
+        )
+    else:
+        offset = F.lit(0)
+    return bdf.withColumn(out_col, within + offset).drop("_bkt")

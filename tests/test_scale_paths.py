@@ -249,3 +249,26 @@ def test_pca_power_rayleigh_near_lambda1(spark):
     rayleigh = float(v @ cov @ v) / float(v @ v)
     assert rayleigh >= 0.95 * lam1, (rayleigh, lam1)
     assert abs(rows[0]["eigenvalue"] - rayleigh) / lam1 < 0.05
+
+
+def test_bucketed_prefix_sum_equals_global_window(spark):
+    """bucketed_prefix_sum must equal the single-partition global
+    running sum exactly (decimal values), including duplicate order
+    keys that straddle would-be bucket boundaries."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.operators.scale import bucketed_prefix_sum
+
+    df = spark.range(5000).select(
+        (F.col("id") % 700).alias("k"),  # heavy duplicate order keys
+        F.col("id").alias("tb"),
+        ((F.col("id") % 97) + 1).cast("decimal(18,2)").alias("v"),
+    )
+    got = {
+        r["tb"]: r["c"]
+        for r in bucketed_prefix_sum(df, "k", "v", tiebreaks=("tb",), out_col="c").collect()
+    }
+    w = W.orderBy("k", "tb").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {r["tb"]: r["c"] for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    assert got == want
