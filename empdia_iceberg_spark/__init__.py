@@ -85,6 +85,8 @@ _SWEEP_PRIORITY = [
     "customer_rfm_segments",  # new in r4 (RFM quartile segmentation)
     "events_twap_user",  # new in r4 (time-weighted average, decimal-exact)
     "parts_abc_pareto",  # new in r4 (bucketed prefix-sum Pareto classes)
+    "dq_checks_orders",  # new in r4 (data-quality assertion suite)
+    "revenue_yoy_growth",  # new in r4 (period-over-period on the rollup)
     "user_reach_hll_rollup",  # new in r4 (rows-only; ±5% bound tested)
     "embedding_pq_codes",  # new in r4 (rows-only; determinism+MSE tested)
     "embedding_pca_power",  # new in r4 (rows-only; Rayleigh bound tested)

@@ -1790,7 +1790,7 @@ def events_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT abc_class,
            count(*) AS n_parts,
-           round(CAST(sum(r) AS DOUBLE), 2) AS class_revenue
+           floor(CAST(sum(r) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS class_revenue
     FROM classed
     GROUP BY abc_class
     ORDER BY abc_class
@@ -1831,7 +1831,141 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         classed.groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("r").cast("double"), 2).alias("class_revenue"),
+            det_round(F.sum("r").cast("double"), 2).alias("class_revenue"),
         )
         .orderBy("abc_class")
+    )
+
+
+# ------------------------------------------------- data-quality checks
+
+
+@register(
+    "dq_checks_orders",
+    oracle="""
+    SELECT 'duplicate_orderkeys' AS check_name,
+           (SELECT count(*) FROM (
+               SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+           )) AS n_violations
+    UNION ALL
+    SELECT 'null_custkey', (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'orphan_custkey',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'nonpositive_totalprice', (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'bad_status_domain',
+           (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    UNION ALL
+    SELECT 'orderdate_out_of_range',
+           (SELECT count(*) FROM orders
+            WHERE o_orderdate < TIMESTAMP '1992-01-01'
+               OR o_orderdate > TIMESTAMP '2030-01-01')
+    ORDER BY check_name
+    """,
+    doc="Data-quality assertion suite (the dbt-test pattern as one "
+    "engine op): uniqueness (duplicate keys), completeness (null "
+    "keys), referential integrity (orders→customer via LEFT ANTI "
+    "join — never a driver-side loop), domain validity, and range "
+    "checks, each reported as a (check, violation-count) row. Every "
+    "check is a filter-aggregate or anti-join: map-side partial "
+    "counts, broadcastable dimension side, no shuffles beyond the "
+    "anti-join and the duplicate-key groupBy — the shape that audits "
+    "a 100 TB table in one pass per check family.",
+)
+def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def one(name: str, df) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    orphans = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    )
+    checks = [
+        one("duplicate_orderkeys", dups),
+        one("null_custkey", orders.filter(F.col("o_custkey").isNull())),
+        one("orphan_custkey", orphans),
+        one("nonpositive_totalprice", orders.filter(F.col("o_totalprice") <= 0)),
+        one(
+            "bad_status_domain",
+            orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
+        ),
+        one(
+            "orderdate_out_of_range",
+            orders.filter(
+                (F.col("o_orderdate") < "1992-01-01")
+                | (F.col("o_orderdate") > "2030-01-01")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
+
+
+# ------------------------------------------------- period-over-period
+
+
+@register(
+    "revenue_yoy_growth",
+    oracle=f"""
+    WITH yearly AS (
+        SELECT l_returnflag,
+               CAST(year(l_shipdate) AS INT) AS yr,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag, year(l_shipdate)
+    )
+    SELECT l_returnflag, yr,
+           floor(revenue * 100.0 + 0.5) / 100.0 AS revenue,
+           {sql_det_round("CASE WHEN lag(revenue) OVER w IS NULL THEN NULL "
+                          "ELSE (revenue - lag(revenue) OVER w) / lag(revenue) OVER w END", 6)} AS yoy_growth
+    FROM yearly
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY yr)
+    ORDER BY l_returnflag, yr
+    """,
+    doc="Year-over-year growth per return flag: yearly exact-decimal "
+    "revenue rollup, then lag() over the TINY aggregated table (one "
+    "row per flag-year — the window runs on the rollup, never the "
+    "fact table). The period-over-period shape every reporting "
+    "workload needs; growth ratios divide identical doubles on both "
+    "engines.",
+)
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    yearly = li.groupBy(
+        "l_returnflag", F.year("l_shipdate").cast("int").alias("yr")
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    w = W.partitionBy("l_returnflag").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return (
+        yearly.select(
+            "l_returnflag",
+            "yr",
+            det_round(F.col("revenue"), 2).alias("revenue"),
+            det_round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
+        )
+        .orderBy("l_returnflag", "yr")
     )
