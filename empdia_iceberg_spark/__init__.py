@@ -50,6 +50,7 @@ from empdia_iceberg_spark.operators import windows  # noqa: F401
 from empdia_iceberg_spark.operators import dedup  # noqa: F401
 from empdia_iceberg_spark.operators import similarity  # noqa: F401
 from empdia_iceberg_spark.operators import textstats  # noqa: F401
+from empdia_iceberg_spark.operators import langmodel  # noqa: F401
 
 # ---------------------------------------------------------------- sweep order
 # The driver's per-round CORRECTNESS sweep checks the first ~50 registered
@@ -72,6 +73,7 @@ from empdia_iceberg_spark.operators import textstats  # noqa: F401
 # sweep.
 _SWEEP_PRIORITY = [
     # never driver-verified (or first value-oracle this round)
+    "doc_lm_perplexity",  # new in r4 (CCNet-style bigram-LM quality score)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)

@@ -286,3 +286,14 @@ def test_frame_sample_map_only(spark):
     limit: no hash-partitioned exchange anywhere in the plan."""
     plan = _plan(spark, "multimodal_frame_sample")
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_lm_perplexity_broadcast_vocab_no_cartesian(spark):
+    """doc_lm_perplexity's only broadcast is the 1-row vocabulary
+    aggregate (BroadcastNestedLoopJoin, never a CartesianProduct);
+    model counts join on bigram keys and the whole pipeline is
+    built-in expressions — no Python UDF evaluators in the plan."""
+    plan = _plan(spark, "doc_lm_perplexity")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan  # no row-/arrow-UDF stages
