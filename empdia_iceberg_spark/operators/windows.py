@@ -254,3 +254,82 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
         det_round(F.percent_rank().over(w), 6).alias("pct_rank"),
         det_round(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------- exponential smoothing
+#
+# EWMA-16: trailing exponentially-weighted moving average with α = 1/2
+# truncated at 16 lags. With α = 1/2 the weight of lag k is 2^-k, so
+# the truncation error is ≤ max|x|·2^-16 — and because every term is a
+# 2-decimal value times a power of two, the whole sum is EXACT integer
+# arithmetic: x·2^-k = (100x)·5^k / 10^(k+2), so over the common
+# denominator 10^18 each term is the integer (100x)·5^k·10^(16-k)
+# (≤ ~3e20, well inside DECIMAL(38,0) / HUGEINT). Both engines fold the
+# same integers, convert ONCE to double, and divide by 1e18 — one IEEE
+# division each, bit-identical. No pow() of non-representable bases
+# anywhere: 5^k ≤ 5^16 and 10^(16-k) ≤ 10^15 are both < 2^53, so
+# power() returns them exactly.
+#
+# Scale: one hash exchange on user_id; per-row state is a bounded
+# 16-element frame, so memory is O(1) per row regardless of history
+# length — the shape that survives unbounded per-user event counts
+# (an untruncated closed-form EWMA via (1-α)^-i prefix products
+# overflows doubles past ~1000 rows per user; the truncated frame
+# never does, and for α = 1/2 lag-17+ weights are below one ulp of
+# realistic values anyway).
+
+_EWMA16 = """
+  CAST(aggregate(
+    transform(vals, (v, i) ->
+      CAST(floor(v * 100 + 0.5) AS DECIMAL(38,0))
+      * CAST(power(5, size(vals) - i) AS DECIMAL(38,0))
+      * CAST(power(10, 16 - (size(vals) - i)) AS DECIMAL(38,0))),
+    CAST(0 AS DECIMAL(38,0)),
+    (acc, t) -> acc + t) AS DOUBLE) / 1e18
+"""
+
+
+@register(
+    "events_ewma16_user",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    terms AS (
+        SELECT n.event_id, n.user_id,
+               CAST(floor(i.value * 100 + 0.5) AS HUGEINT)
+               * CAST(power(5, n.rn - i.rn + 1) AS HUGEINT)
+               * CAST(power(10, 16 - (n.rn - i.rn + 1)) AS HUGEINT) AS term
+        FROM e n JOIN e i
+          ON i.user_id = n.user_id AND i.rn BETWEEN n.rn - 15 AND n.rn
+    )
+    SELECT event_id, user_id,
+           (floor((CAST(sum(term) AS DOUBLE) / 1e18) * 1000000.0 + 0.5) / 1000000.0) AS ewma16
+    FROM terms
+    GROUP BY event_id, user_id
+    ORDER BY event_id
+    """,
+    doc="Per-user trailing EWMA (α=1/2, 16 lags) over the event value "
+    "series: collect_list over a bounded rows-frame window, then an "
+    "exact integer fold — (100x)·5^k·10^(16-k) over denominator 1e18 "
+    "— so the smoothed value is bit-identical across engines and "
+    "partitionings. One user_id exchange, O(1) state per row.",
+)
+def events_ewma16_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    frame = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-15, 0)
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.collect_list(F.col("value")).over(frame).alias("vals"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            det_round(F.expr(_EWMA16), 6).alias("ewma16"),
+        )
+        .orderBy("event_id")
+    )

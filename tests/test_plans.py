@@ -297,3 +297,12 @@ def test_lm_perplexity_broadcast_vocab_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan  # no row-/arrow-UDF stages
+
+
+def test_ewma16_single_user_exchange(spark):
+    """events_ewma16_user's window keys on user_id — exactly one
+    user_id hash exchange, and the fold is built-in higher-order
+    functions (no Python UDF stages)."""
+    plan = _plan(spark, "events_ewma16_user")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "EvalPython" not in plan, plan

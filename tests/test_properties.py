@@ -157,3 +157,32 @@ def test_sessionize_partitions_events_by_gap(spark, per_user):
         assert sum(r.n_events for r in got) == len(ts)
         for r, exp in zip(got, expected):
             assert r.n_events == len(exp)
+
+
+def test_ewma16_matches_untruncated_recursion_within_bound(spark):
+    """The 16-lag truncated EWMA must sit within max|x|·2^-16 (plus the
+    det_round(6) grain) of the exact untruncated recursion
+    s_n = x_n/2 + s_{n-1}/2 computed sequentially in Python."""
+    from empdia_iceberg_spark import registry
+    from tests.conftest import SF_DIR
+
+    rows = (
+        registry.queries()["events_ewma16_user"](spark, SF_DIR)
+        .collect()
+    )
+    got = {r["event_id"]: r["ewma16"] for r in rows}
+
+    from empdia_iceberg_spark.sources.tables import load
+
+    events = (
+        load(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    events.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    bound = max(abs(r["value"]) for r in events) * 2.0**-16 + 1e-6
+    state: dict = {}
+    for r in events:
+        s = 0.5 * r["value"] + 0.5 * state.get(r["user_id"], 0.0)
+        state[r["user_id"]] = s
+        assert abs(got[r["event_id"]] - s) <= bound, r["event_id"]
