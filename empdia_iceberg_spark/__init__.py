@@ -75,6 +75,7 @@ _SWEEP_PRIORITY = [
     # never driver-verified (or first value-oracle this round)
     "doc_lm_perplexity",  # new in r4 (CCNet-style bigram-LM quality score)
     "events_ewma16_user",  # new in r4 (bit-exact trailing EWMA, α=1/2)
+    "table_wap_publish",  # new in r4 (write-audit-publish lifecycle)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)

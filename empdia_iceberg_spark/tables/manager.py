@@ -616,3 +616,75 @@ def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+# ------------------------------------------------- write-audit-publish
+
+
+@register(
+    "table_wap_publish",
+    oracle="""
+    WITH base AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'),
+         batch AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O'),
+         bad AS (SELECT count(*) AS n FROM orders
+                 WHERE o_orderstatus = 'O' AND o_orderkey % 97 = 0)
+    SELECT '1_staged' AS step, 2 AS version,
+           CAST(base.n + batch.n AS BIGINT) AS n_rows,
+           CAST(bad.n AS BIGINT) AS n_violations
+    FROM base, batch, bad
+    UNION ALL
+    SELECT '2_rolled_back', 3, CAST(base.n AS BIGINT), 0 FROM base
+    UNION ALL
+    SELECT '3_published', 4, CAST(base.n + batch.n AS BIGINT), 0
+    FROM base, batch
+    ORDER BY step
+    """,
+    doc="Iceberg write-audit-publish (WAP) pattern on the snapshot "
+    "table: stage a batch as an unpublished snapshot, run the "
+    "data-quality audit against the staged state, and either publish "
+    "or rollback_to_snapshot — history keeps the rejected snapshot "
+    "auditable. The audit is a filter-aggregate (map-side partial "
+    "counts); the publish decision reads ONE scalar on the driver, "
+    "exactly the orchestrator role Iceberg's WAP workflow assigns it. "
+    "Differentially checked against base-table arithmetic.",
+)
+def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderstatus") == "F")
+    batch = orders.filter(F.col("o_orderstatus") == "O")
+    # The staged batch arrives with a corrupted slice: negated prices on
+    # the %97 keys — the deterministic stand-in for a bad upstream file.
+    staged = batch.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+    t = SnapshotTable(spark, "orders_wap")
+    t.drop()
+    t.create(base)  # v1: published base
+
+    def audit() -> tuple[int, int]:
+        row = t.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("bad"),
+        ).collect()[0]
+        return int(row["n"]), int(row["bad"])
+
+    v_staged = t.append(staged)  # v2: staged, NOT yet published
+    n_staged, bad_staged = audit()
+    steps = [("1_staged", v_staged, n_staged, bad_staged)]
+
+    if bad_staged > 0:  # audit failed: reject the stage
+        v_rb = t.rollback(1)  # v3: pointer back to base, v2 stays in history
+        n_rb, bad_rb = audit()
+        steps.append(("2_rolled_back", v_rb, n_rb, bad_rb))
+        v_pub = t.append(batch)  # v4: corrected batch publishes clean
+        n_pub, bad_pub = audit()
+        steps.append(("3_published", v_pub, n_pub, bad_pub))
+
+    out = spark.createDataFrame(
+        steps, "step string, version int, n_rows bigint, n_violations bigint"
+    )
+    return out.orderBy("step")
