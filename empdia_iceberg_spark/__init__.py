@@ -51,6 +51,8 @@ from empdia_iceberg_spark.operators import dedup  # noqa: F401
 from empdia_iceberg_spark.operators import similarity  # noqa: F401
 from empdia_iceberg_spark.operators import textstats  # noqa: F401
 from empdia_iceberg_spark.operators import langmodel  # noqa: F401
+from empdia_iceberg_spark.operators import mining  # noqa: F401
+from empdia_iceberg_spark.operators import profiling  # noqa: F401
 
 # ---------------------------------------------------------------- sweep order
 # The driver's per-round CORRECTNESS sweep checks the first ~50 registered
@@ -76,6 +78,10 @@ _SWEEP_PRIORITY = [
     "doc_lm_perplexity",  # new in r4 (CCNet-style bigram-LM quality score)
     "events_ewma16_user",  # new in r4 (bit-exact trailing EWMA, α=1/2)
     "table_wap_publish",  # new in r4 (write-audit-publish lifecycle)
+    "pagerank_trading_graph",  # new in r4 (iterative, unrolled-CTE oracle)
+    "part_pairs_cooccurrence",  # new in r4 (market-basket pair mining)
+    "events_type_transitions",  # new in r4 (Markov transition matrix)
+    "profile_orders_stats",  # new in r4 (ANALYZE-style column stats)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)

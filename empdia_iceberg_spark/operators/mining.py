@@ -1,0 +1,279 @@
+"""Pattern- and graph-mining operators (SURVEY.md §2.B extensions):
+market-basket pair mining over order lines, Markov transition matrices
+over per-user event sequences, and PageRank over the customer–supplier
+bipartite graph.
+
+All three are exact-arithmetic shapes (integer counts, det_round-then-
+decimal sums for the iterative ranks) with full DuckDB value oracles —
+the PageRank oracle unrolls the fixed iteration count into chained
+CTEs, so even the iterative algorithm is hash-checked, not rows-only.
+
+Scale posture:
+- basket pairs: the self-join co-partitions on the basket key
+  (l_orderkey) and per-basket fan-out is bounded by order width
+  (≤ 7 lines in TPC-H-shaped data), so the pair stream is O(lines·k),
+  never corpus². Pair counts shuffle on the (p1, p2) key.
+- transitions: one user_id exchange for the lag window, then a tiny
+  (prev, cur) aggregate.
+- pagerank: per iteration one shuffle of (node, contribution) pairs —
+  the textbook join-agg PageRank; lineage is truncated with
+  localCheckpoint like operators/dedup.py:connected_components so 10
+  rounds do not stack a 10-join plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.exact import det_round, sql_det_round
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+
+@register(
+    "part_pairs_cooccurrence",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item_cnt AS (
+        SELECT l_partkey, count(*) AS c_item FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS pair_cnt
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.p1, p.p2, p.pair_cnt,
+           {sql_det_round('CAST(p.pair_cnt AS DOUBLE) / CAST(c1.c_item AS DOUBLE)', 6)} AS conf_p1_p2
+    FROM pairs p JOIN item_cnt c1 ON p.p1 = c1.l_partkey
+    WHERE p.pair_cnt >= 2
+    ORDER BY p.pair_cnt DESC, p.p1, p.p2
+    LIMIT 100
+    """,
+    doc="Market-basket pair mining: frequent part pairs across orders "
+    "with confidence P(p2|p1). The self-join co-partitions on the "
+    "basket key (per-basket fan-out bounded by order width), pair "
+    "support and confidence are exact integer counts.",
+)
+def part_pairs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    item_cnt = items.groupBy(F.col("l_partkey").alias("p1")).agg(
+        F.count(F.lit(1)).alias("c_item")
+    )
+    return (
+        pairs.join(item_cnt, ["p1"])
+        .select(
+            "p1",
+            "p2",
+            "pair_cnt",
+            det_round(
+                F.col("pair_cnt").cast("double") / F.col("c_item").cast("double"), 6
+            ).alias("conf_p1_p2"),
+        )
+        .orderBy(F.col("pair_cnt").desc(), "p1", "p2")
+        .limit(100)
+    )
+
+
+@register(
+    "events_type_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    totals AS (
+        SELECT prev_type, sum(n) AS total FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+           {sql_det_round('CAST(t.n AS DOUBLE) / CAST(tt.total AS DOUBLE)', 6)} AS prob
+    FROM trans t JOIN totals tt ON t.prev_type = tt.prev_type
+    ORDER BY t.prev_type, t.next_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag() inside one user_id exchange, then a tiny "
+    "(prev, next) aggregate; transition probabilities are ratios of "
+    "exact integer counts.",
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return (
+        trans.join(totals, ["prev_type"])
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n"),
+            det_round(
+                F.col("n").cast("double") / F.col("total").cast("double"), 6
+            ).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# ----------------------------------------------------------- pagerank
+#
+# Nodes: customers ('c<key>') and suppliers ('s<key>'); an undirected
+# edge per distinct trading pair from orders⋈lineitem, walked in both
+# directions. Fixed 10 power iterations of
+#     r' = 0.15/N + 0.85 · Σ_in det_round(r/outdeg, 12)
+# with the contribution terms det_round(12)-stabilized and summed in
+# DECIMAL(38,12) — the det-round-then-decimal-sum discipline
+# (functions/exact.py) that makes an ITERATIVE double computation
+# bit-identical across engines and partitionings, so the oracle is a
+# full value hash, not a rows-only check. The DuckDB oracle unrolls
+# the 10 iterations into chained CTEs built by `_pagerank_oracle()`.
+
+_PR_ITERS = 10
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    head = """
+    WITH edges0 AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM edges0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges0
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (
+        SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS r FROM nodes, nn
+    )"""
+    parts = [head]
+    for k in range(1, _PR_ITERS + 1):
+        contrib = sql_det_round(f"r{k-1}.r / CAST(deg.outdeg AS DOUBLE)", 12)
+        parts.append(
+            f""",
+    c{k} AS (
+        SELECT e.dst AS node,
+               CAST(sum(CAST({contrib} AS DECIMAL(38,12))) AS DOUBLE) AS s
+        FROM edges e
+        JOIN r{k-1} ON r{k-1}.node = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    ),
+    r{k} AS (
+        SELECT nodes.node,
+               0.15 / CAST(nn.n AS DOUBLE)
+               + {_PR_DAMP} * COALESCE(c{k}.s, 0.0) AS r
+        FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.node, nn
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, {sql_det_round(f'r{_PR_ITERS}.r', 10)} AS rank
+    FROM r{_PR_ITERS}
+    ORDER BY node
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "pagerank_trading_graph",
+    oracle=_pagerank_oracle(),
+    doc="PageRank over the customer–supplier trading graph (distinct "
+    "pairs from orders⋈lineitem, walked both directions): 10 "
+    "join-agg power iterations, det_round(12)+DECIMAL contribution "
+    "sums so the iterative ranks stay bit-deterministic; lineage "
+    "truncated with localCheckpoint every 4 rounds. The oracle "
+    "unrolls the iterations into chained CTEs — a full value hash "
+    "for an iterative algorithm.",
+)
+def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    directed = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("r")
+    )
+    for k in range(1, _PR_ITERS + 1):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, ["src"])
+            .select(
+                F.col("dst").alias("node"),
+                det_round(F.col("r") / F.col("outdeg").cast("double"), 12).alias(
+                    "t"
+                ),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("t").cast("decimal(38,12)")).cast("double").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, ["node"], "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n").cast("double")
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+        if k % 4 == 0:
+            # eager lineage truncation: 10 join-agg rounds must not
+            # stack into one 10-join plan (dedup.py:connected_components
+            # discipline)
+            ranks = ranks.localCheckpoint()
+    out = ranks.select("node", det_round(F.col("r"), 10).alias("rank")).orderBy(
+        "node"
+    )
+    return out

@@ -1,0 +1,131 @@
+"""Table profiling — the `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+COLUMNS` surface as an engine query: per-column counts, null counts,
+exact NDV, min/max, deterministic mean, and an 8-bucket equi-width
+histogram, emitted as a long-format (column, metric, value) table.
+
+Two scans, like any stats collector: one all-columns aggregate pass,
+then one histogram pass whose bucket bounds come from the broadcast
+1-row aggregate (never a driver round-trip into query logic). Bucket
+assignment floor((x−min)/(max−min)·8) is pure IEEE arithmetic on
+identical doubles, so histogram counts are exact integers on both
+engines. At 100 TB this is two map-side-combined scans and two tiny
+shuffles — the same cost ANALYZE pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.exact import det_round, sql_det_round, sql_sum2
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+
+@register(
+    "profile_orders_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(count(*) AS DOUBLE)                          AS n,
+               CAST(count(*) - count(o_totalprice) AS DOUBLE)    AS price_nulls,
+               CAST(count(DISTINCT o_totalprice) AS DOUBLE)      AS price_ndv,
+               CAST(min(o_totalprice) AS DOUBLE)                 AS price_min,
+               CAST(max(o_totalprice) AS DOUBLE)                 AS price_max,
+               {sql_det_round(sql_sum2('o_totalprice') + ' / count(*)', 4)} AS price_mean,
+               CAST(count(DISTINCT o_custkey) AS DOUBLE)         AS cust_ndv,
+               CAST(min(o_custkey) AS DOUBLE)                    AS cust_min,
+               CAST(max(o_custkey) AS DOUBLE)                    AS cust_max,
+               CAST(count(DISTINCT o_orderstatus) AS DOUBLE)     AS status_ndv
+        FROM orders
+    ),
+    hist AS (
+        SELECT least(7, CAST(floor((o.o_totalprice - b.price_min)
+                                   / (b.price_max - b.price_min) * 8.0) AS INT)) AS bucket,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM orders o, base b
+        GROUP BY 1
+    ),
+    long AS (
+        SELECT 'o_totalprice' AS col_name, 'count' AS metric, n AS value FROM base
+        UNION ALL SELECT 'o_totalprice', 'nulls', price_nulls FROM base
+        UNION ALL SELECT 'o_totalprice', 'ndv', price_ndv FROM base
+        UNION ALL SELECT 'o_totalprice', 'min', price_min FROM base
+        UNION ALL SELECT 'o_totalprice', 'max', price_max FROM base
+        UNION ALL SELECT 'o_totalprice', 'mean', price_mean FROM base
+        UNION ALL SELECT 'o_totalprice', 'hist_' || CAST(bucket AS VARCHAR), cnt FROM hist
+        UNION ALL SELECT 'o_custkey', 'ndv', cust_ndv FROM base
+        UNION ALL SELECT 'o_custkey', 'min', cust_min FROM base
+        UNION ALL SELECT 'o_custkey', 'max', cust_max FROM base
+        UNION ALL SELECT 'o_orderstatus', 'ndv', status_ndv FROM base
+    )
+    SELECT col_name, metric, value FROM long
+    ORDER BY col_name, metric
+    """,
+    doc="ANALYZE-style column statistics for orders: counts, nulls, "
+    "exact NDV, min/max, deterministic mean, and an 8-bucket "
+    "equi-width histogram, as long-format (column, metric, value) "
+    "rows. Two scans: one combined aggregate pass, one histogram "
+    "pass with broadcast bounds.",
+)
+def profile_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.functions.exact import exact_sum2
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).cast("double").alias(
+            "price_nulls"
+        ),
+        F.countDistinct("o_totalprice").cast("double").alias("price_ndv"),
+        F.min("o_totalprice").cast("double").alias("price_min"),
+        F.max("o_totalprice").cast("double").alias("price_max"),
+        det_round(exact_sum2("o_totalprice") / F.count(F.lit(1)), 4).alias(
+            "price_mean"
+        ),
+        F.countDistinct("o_custkey").cast("double").alias("cust_ndv"),
+        F.min("o_custkey").cast("double").alias("cust_min"),
+        F.max("o_custkey").cast("double").alias("cust_max"),
+        F.countDistinct("o_orderstatus").cast("double").alias("status_ndv"),
+    ).persist()  # 1 row, reused by the metric emission AND the histogram bounds
+
+    hist = (
+        orders.crossJoin(F.broadcast(base.select("price_min", "price_max")))
+        .select(
+            F.least(
+                F.lit(7),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("price_min"))
+                    / (F.col("price_max") - F.col("price_min"))
+                    * 8.0
+                ).cast("int"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .select(
+            F.lit("o_totalprice").alias("col_name"),
+            F.concat(F.lit("hist_"), F.col("bucket").cast("string")).alias("metric"),
+            F.col("cnt").alias("value"),
+        )
+    )
+
+    # ONE stack() over the 1-row aggregate emits all scalar metrics —
+    # a single aggregate subtree, so the whole query stays at two
+    # scans of orders (aggregate pass + histogram pass).
+    scalar_rows = base.select(
+        F.expr(
+            "stack(10,"
+            " 'o_totalprice', 'count', n,"
+            " 'o_totalprice', 'nulls', price_nulls,"
+            " 'o_totalprice', 'ndv', price_ndv,"
+            " 'o_totalprice', 'min', price_min,"
+            " 'o_totalprice', 'max', price_max,"
+            " 'o_totalprice', 'mean', price_mean,"
+            " 'o_custkey', 'ndv', cust_ndv,"
+            " 'o_custkey', 'min', cust_min,"
+            " 'o_custkey', 'max', cust_max,"
+            " 'o_orderstatus', 'ndv', status_ndv"
+            ") AS (col_name, metric, value)"
+        )
+    )
+    return scalar_rows.unionByName(hist).orderBy("col_name", "metric")

@@ -306,3 +306,43 @@ def test_ewma16_single_user_exchange(spark):
     plan = _plan(spark, "events_ewma16_user")
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_basket_pairs_copartitioned_no_cartesian(spark):
+    """part_pairs_cooccurrence self-joins on the basket key — an
+    equi-join (never CartesianProduct), all built-in expressions."""
+    plan = _plan(spark, "part_pairs_cooccurrence")
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pagerank_lineage_truncated(spark):
+    """pagerank_trading_graph must not stack 10 join-agg rounds into
+    one plan: the localCheckpoint boundary appears as a LogicalRDD in
+    the final DataFrame's optimized plan (AQE's executed-plan string
+    elides earlier query stages, so assert on the logical tree)."""
+    from tests.conftest import SF_DIR as _SF
+    from empdia_iceberg_spark import registry as _reg
+
+    df = _reg.queries()["pagerank_trading_graph"](spark, _SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in opt, opt
+
+
+def test_profile_reuses_stats_pass(spark):
+    """profile_orders_stats computes the 1-row stats aggregate ONCE and
+    reuses it (cached InMemoryRelation) for both the metric emission
+    and the histogram bounds — never one orders subtree per metric."""
+    from tests.conftest import SF_DIR as _SF
+    from empdia_iceberg_spark import registry as _reg
+
+    df = _reg.queries()["profile_orders_stats"](spark, _SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("InMemoryRelation") >= 1, opt
+    # exactly ONE uncached logical scan of orders (the histogram pass);
+    # `FileScan` lines inside the InMemoryRelation blocks are the
+    # cached stats pass's embedded physical plan, not extra scans
+    logical_scans = [
+        l for l in opt.splitlines() if l.split("+- ")[-1].startswith("Relation [")
+    ]
+    assert len(logical_scans) == 1, opt
