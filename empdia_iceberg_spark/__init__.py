@@ -45,6 +45,7 @@ from empdia_iceberg_spark.plans import curation  # noqa: F401
 from empdia_iceberg_spark.tables import manager  # noqa: F401
 from empdia_iceberg_spark.streaming import windows as stream_windows  # noqa: F401
 from empdia_iceberg_spark.streaming import conversation  # noqa: F401
+from empdia_iceberg_spark.streaming import ewma as stream_ewma  # noqa: F401
 from empdia_iceberg_spark.operators import relational  # noqa: F401
 from empdia_iceberg_spark.operators import windows  # noqa: F401
 from empdia_iceberg_spark.operators import dedup  # noqa: F401
@@ -82,6 +83,7 @@ _SWEEP_PRIORITY = [
     "part_pairs_cooccurrence",  # new in r4 (market-basket pair mining)
     "events_type_transitions",  # new in r4 (Markov transition matrix)
     "profile_orders_stats",  # new in r4 (ANALYZE-style column stats)
+    "stream_ewma16_state",  # new in r4 (stateful-streaming EWMA twin)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)

@@ -289,9 +289,9 @@ _EWMA16 = """
 """
 
 
-@register(
-    "events_ewma16_user",
-    oracle="""
+# shared with streaming/ewma.py: the stateful-streaming twin must
+# reproduce this batch answer exactly, so both register the same oracle
+EWMA16_ORACLE = """
     WITH e AS (
         SELECT event_id, user_id, value,
                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -310,7 +310,12 @@ _EWMA16 = """
     FROM terms
     GROUP BY event_id, user_id
     ORDER BY event_id
-    """,
+    """
+
+
+@register(
+    "events_ewma16_user",
+    oracle=EWMA16_ORACLE,
     doc="Per-user trailing EWMA (α=1/2, 16 lags) over the event value "
     "series: collect_list over a bounded rows-frame window, then an "
     "exact integer fold — (100x)·5^k·10^(16-k) over denominator 1e18 "
