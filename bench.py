@@ -43,6 +43,8 @@ HEADLINE = [
     "events_anomaly_zscore",
     "table_zorder_layout",
     "user_profile_similarity",
+    "doc_lm_perplexity",
+    "pagerank_trading_graph",
     "stream_tumbling_hourly",
     "table_merge_upsert",
 ]

@@ -54,6 +54,7 @@ from empdia_iceberg_spark.operators import textstats  # noqa: F401
 from empdia_iceberg_spark.operators import langmodel  # noqa: F401
 from empdia_iceberg_spark.operators import mining  # noqa: F401
 from empdia_iceberg_spark.operators import profiling  # noqa: F401
+from empdia_iceberg_spark.operators import inference  # noqa: F401
 
 # ---------------------------------------------------------------- sweep order
 # The driver's per-round CORRECTNESS sweep checks the first ~50 registered
@@ -84,6 +85,8 @@ _SWEEP_PRIORITY = [
     "events_type_transitions",  # new in r4 (Markov transition matrix)
     "profile_orders_stats",  # new in r4 (ANALYZE-style column stats)
     "stream_ewma16_state",  # new in r4 (stateful-streaming EWMA twin)
+    "ols_quantity_price",  # new in r4 (hash-checkable OLS fit)
+    "chi2_events_type_dow",  # new in r4 (chi-square independence test)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)

@@ -1,0 +1,129 @@
+"""Statistical-inference operators: OLS regression via the normal
+equations and a chi-square independence test — the "ANALYZE the
+relationship" surface a warehouse bolts onto its aggregates.
+
+Both reduce to the engine's bit-deterministic moment discipline
+(`functions/exact.py:moment_sums`): all sufficient statistics are
+exact DECIMAL sums accumulated map-side in ONE scan, the closed-form
+combination afterwards is pure IEEE arithmetic on identical doubles.
+That makes even r² and the chi-square statistic hash-comparable
+across engines — no tolerance needed. At 100 TB each operator is one
+map-side-combined aggregation (plus, for chi², one tiny contingency
+shuffle): the cheapest possible distributed shape for model fitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.exact import (
+    det_round,
+    moment_sums,
+    sql_det_round,
+    sql_moment_sums,
+)
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+# OLS closed forms over the moment sums (identical expression text on
+# both engines ⇒ identical IEEE evaluation order):
+#   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+#   intercept = (Σy − slope·Σx) / n
+#   r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+_SLOPE = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+_INTERCEPT = f"((sy - {_SLOPE} * sx) / n)"
+_R2 = (
+    "(((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+    " / ((n * sxx - sx * sx) * (n * syy - sy * sy)))"
+)
+
+
+@register(
+    "ols_quantity_price",
+    oracle=f"""
+    WITH m AS (
+        SELECT {sql_moment_sums('l_quantity', 'l_extendedprice')}
+        FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           {sql_det_round(_SLOPE, 6)} AS slope,
+           {sql_det_round(_INTERCEPT, 4)} AS intercept,
+           {sql_det_round(_R2, 6)} AS r2
+    FROM m
+    """,
+    doc="OLS regression l_extendedprice ~ l_quantity by the normal "
+    "equations: one scan accumulates exact decimal moment sums "
+    "(map-side partials), the slope/intercept/r² closed forms are "
+    "identical IEEE arithmetic on both engines — a hash-checkable "
+    "regression fit.",
+)
+def ols_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    m = li.agg(*moment_sums("l_quantity", "l_extendedprice"))
+    return m.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        det_round(F.expr(_SLOPE), 6).alias("slope"),
+        det_round(F.expr(_INTERCEPT), 4).alias("intercept"),
+        det_round(F.expr(_R2), 6).alias("r2"),
+    )
+
+
+# chi² = Σ_cells (observed − expected)² / expected, expected =
+# row_total·col_total/grand_total. Every total is an exact integer
+# count; each cell's term is the same IEEE expression on both engines,
+# det_round(6)-stabilized and decimal-summed (order-independent).
+_CHI_TERM = (
+    "((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE))"
+    " * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE))"
+    " / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE)))"
+)
+
+
+@register(
+    "chi2_events_type_dow",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, count(*) AS o
+        FROM events GROUP BY event_type, dayofweek(ts)
+    ),
+    rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, sum(o) AS ct FROM obs GROUP BY dow),
+    gt AS (SELECT sum(o) AS gt FROM obs),
+    cells AS (
+        SELECT obs.event_type, obs.dow, obs.o, rt.rt, ct.ct, gt.gt
+        FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN gt
+    ),
+    terms AS (
+        SELECT count(*) AS n_cells,
+               CAST(sum(CAST({sql_det_round(_CHI_TERM, 6)} AS DECIMAL(27,6))) AS DOUBLE) AS chi2
+        FROM cells
+    )
+    SELECT CAST(n_cells AS BIGINT) AS n_cells, {sql_det_round('chi2', 4)} AS chi2
+    FROM terms
+    """,
+    doc="Chi-square independence test of event_type × day-of-week: "
+    "contingency counts in one tiny shuffle, marginals re-aggregated "
+    "from the cells (never a second scan), per-cell terms det_round+"
+    "decimal-summed so the statistic hash-matches across engines.",
+)
+def chi2_events_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    obs = events.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    gt = obs.agg(F.sum("o").alias("gt"))
+    cells = (
+        obs.join(rt, ["event_type"]).join(ct, ["dow"]).crossJoin(F.broadcast(gt))
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        det_round(
+            F.sum(det_round(F.expr(_CHI_TERM), 6).cast("decimal(27,6)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("chi2"),
+    )
