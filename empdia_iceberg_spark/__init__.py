@@ -55,6 +55,7 @@ from empdia_iceberg_spark.operators import langmodel  # noqa: F401
 from empdia_iceberg_spark.operators import mining  # noqa: F401
 from empdia_iceberg_spark.operators import profiling  # noqa: F401
 from empdia_iceberg_spark.operators import inference  # noqa: F401
+from empdia_iceberg_spark.operators import dataprep  # noqa: F401
 
 # ---------------------------------------------------------------- sweep order
 # The driver's per-round CORRECTNESS sweep checks the first ~50 registered
@@ -87,6 +88,8 @@ _SWEEP_PRIORITY = [
     "stream_ewma16_state",  # new in r4 (stateful-streaming EWMA twin)
     "ols_quantity_price",  # new in r4 (hash-checkable OLS fit)
     "chi2_events_type_dow",  # new in r4 (chi-square independence test)
+    "welch_t_acctbal_segments",  # new in r4 (Welch two-sample t-test)
+    "events_impute_value",  # new in r4 (two-level mean imputer)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)

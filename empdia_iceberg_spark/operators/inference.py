@@ -127,3 +127,73 @@ def chi2_events_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2"),
     )
+
+
+# Welch's t-test closed forms over per-group moment sums. IEEE sqrt is
+# correctly rounded by spec, so even the denominator stays
+# bit-identical across engines.
+@register(
+    "welch_t_acctbal_segments",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                        * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        FROM customer
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        GROUP BY c_mktsegment
+    ),
+    w AS (
+        SELECT
+            max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN n END) AS n1,
+            max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN s END) AS s1,
+            max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN ss END) AS ss1,
+            max(CASE WHEN c_mktsegment = 'BUILDING' THEN n END) AS n2,
+            max(CASE WHEN c_mktsegment = 'BUILDING' THEN s END) AS s2,
+            max(CASE WHEN c_mktsegment = 'BUILDING' THEN ss END) AS ss2
+        FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_auto, CAST(n2 AS BIGINT) AS n_build,
+           {sql_det_round('(s1 / n1 - s2 / n2)', 4)} AS mean_diff,
+           {sql_det_round(
+               '(s1 / n1 - s2 / n2) / sqrt('
+               '((ss1 - s1 * s1 / n1) / (n1 - 1.0)) / n1'
+               ' + ((ss2 - s2 * s2 / n2) / (n2 - 1.0)) / n2)', 6)} AS t_stat
+    FROM w
+    """,
+    doc="Welch's two-sample t-test of account balance between the "
+    "AUTOMOBILE and BUILDING segments: per-group exact decimal moment "
+    "sums in one scan, pivoted into one row; means/variances/t are "
+    "identical IEEE closed forms (sqrt is correctly rounded by "
+    "IEEE-754) — a hash-checkable significance test.",
+)
+def welch_t_acctbal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    d = F.col("c_acctbal").cast("decimal(18,2)")
+    g = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d).cast("double").alias("s"),
+        F.sum(d * d).cast("double").alias("ss"),
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("c_mktsegment") == seg, F.col(c))).alias(f"{c}{i}")
+            for i, seg in ((1, "AUTOMOBILE"), (2, "BUILDING"))
+            for c in ("n", "s", "ss")
+        ]
+    )
+    t_expr = (
+        "(s1 / n1 - s2 / n2) / sqrt("
+        "((ss1 - s1 * s1 / n1) / (n1 - 1.0)) / n1"
+        " + ((ss2 - s2 * s2 / n2) / (n2 - 1.0)) / n2)"
+    )
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_auto"),
+        F.col("n2").cast("bigint").alias("n_build"),
+        det_round(F.expr("s1 / n1 - s2 / n2"), 4).alias("mean_diff"),
+        det_round(F.expr(t_expr), 6).alias("t_stat"),
+    )
