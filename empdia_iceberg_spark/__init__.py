@@ -90,6 +90,7 @@ _SWEEP_PRIORITY = [
     "chi2_events_type_dow",  # new in r4 (chi-square independence test)
     "welch_t_acctbal_segments",  # new in r4 (Welch two-sample t-test)
     "events_impute_value",  # new in r4 (two-level mean imputer)
+    "events_pit_dimension_join",  # new in r4 (PIT join to the SCD2 dim)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)

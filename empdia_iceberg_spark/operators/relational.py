@@ -1969,3 +1969,89 @@ def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "yr")
     )
+
+
+# ------------------------------------------ point-in-time (PIT) join
+
+
+@register(
+    "events_pit_dimension_join",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    dim AS (
+        SELECT user_id, event_type AS state_type, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               row_number() OVER w AS version
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT f.event_id, f.user_id,
+           strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(d.version AS INT)              AS state_version,
+           d.state_type
+    FROM events f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.event_type = 'purchase'
+    ORDER BY f.event_id
+    """,
+    doc="Point-in-time join of purchase facts to the SCD2 user-state "
+    "dimension: each fact matches the ONE version whose "
+    "(valid_from, valid_to] interval covers its timestamp. The join "
+    "is an equi-join on user_id with the interval predicate as a "
+    "residual condition — facts and versions co-partition on the "
+    "user key, so at 100 TB this is one co-located shuffle, never an "
+    "interval cross-product. Completes the SCD2 story: build "
+    "(events_scd2_history) + temporally-correct consumption.",
+)
+def events_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("state_type"), "ts")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    dim = (
+        changes.withColumn("valid_to", F.lead("ts").over(w2))
+        .withColumn("version", F.row_number().over(w2).cast("int"))
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            "version",
+            "state_type",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase")
+    return (
+        facts.join(
+            dim,
+            (facts["user_id"] == dim["d_user_id"])
+            & (dim["valid_from"] <= facts["ts"])
+            & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"])),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format(facts["ts"], "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.col("version").alias("state_version"),
+            "state_type",
+        )
+        .orderBy("event_id")
+    )

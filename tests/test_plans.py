@@ -346,3 +346,12 @@ def test_profile_reuses_stats_pass(spark):
         l for l in opt.splitlines() if l.split("+- ")[-1].startswith("Relation [")
     ]
     assert len(logical_scans) == 1, opt
+
+
+def test_pit_join_is_keyed_not_cartesian(spark):
+    """events_pit_dimension_join must execute as a KEYED join on
+    user_id with the interval predicate residual — never a
+    nested-loop/cartesian interval product."""
+    plan = _plan(spark, "events_pit_dimension_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
