@@ -92,6 +92,8 @@ _SWEEP_PRIORITY = [
     "welch_t_acctbal_segments",  # new in r4 (Welch two-sample t-test)
     "events_impute_value",  # new in r4 (two-level mean imputer)
     "events_pit_dimension_join",  # new in r4 (PIT join to the SCD2 dim)
+    "events_longest_streaks",  # new in r4 (gaps-and-islands streaks)
+    "events_mad_outliers",  # new in r4 (median-absolute-deviation cut)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)

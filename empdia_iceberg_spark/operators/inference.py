@@ -197,3 +197,57 @@ def welch_t_acctbal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.expr("s1 / n1 - s2 / n2"), 4).alias("mean_diff"),
         det_round(F.expr(t_expr), 6).alias("t_stat"),
     )
+
+
+@register(
+    "events_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT quantile_cont(value, 0.5) AS med FROM events
+    ),
+    dev AS (
+        SELECT e.value, abs(e.value - m.med) AS d, m.med
+        FROM events e CROSS JOIN med m
+    ),
+    mad AS (
+        SELECT any_value(med) AS med, quantile_cont(d, 0.5) AS mad FROM dev
+    )
+    SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n,
+           {sql_det_round('med', 4)} AS median_value,
+           {sql_det_round('mad', 4)} AS mad,
+           CAST((SELECT count(*) FROM dev, mad
+                 WHERE dev.d > 3.0 * 1.4826 * mad.mad) AS BIGINT) AS n_outliers
+    FROM mad
+    """,
+    doc="Robust outlier detection by median absolute deviation: global "
+    "exact median (one pass), deviations against the broadcast "
+    "median (second pass), MAD and the 3σ-equivalent cut "
+    "(3·1.4826·MAD) — the outlier rule that, unlike z-scores, does "
+    "not let the outliers inflate their own threshold. All "
+    "comparisons are IEEE arithmetic on identical doubles.",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select("value")
+    med = events.agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = events.crossJoin(F.broadcast(med)).select(
+        "value", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.agg(
+        F.first("med").alias("med"), F.percentile("d", F.lit(0.5)).alias("mad")
+    ).persist()  # 1 row, reused for the threshold count
+    outliers = (
+        dev.crossJoin(F.broadcast(mad.select(F.col("mad").alias("m2"))))
+        .filter(F.col("d") > 3.0 * 1.4826 * F.col("m2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_outliers"))
+    )
+    n = events.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        n.crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(outliers))
+        .select(
+            "n",
+            det_round(F.col("med"), 4).alias("median_value"),
+            det_round(F.col("mad"), 4).alias("mad"),
+            "n_outliers",
+        )
+    )

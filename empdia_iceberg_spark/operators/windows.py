@@ -338,3 +338,86 @@ def events_ewma16_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------------- gaps and islands
+
+
+@register(
+    "events_longest_streaks",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    grouped AS (
+        SELECT user_id, event_type, ts,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS island
+        FROM marked
+    ),
+    streaks AS (
+        SELECT user_id, event_type, island,
+               count(*) AS streak_len, min(ts) AS start_ts
+        FROM grouped GROUP BY user_id, event_type, island
+    ),
+    ranked AS (
+        SELECT user_id, event_type, streak_len, start_ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY streak_len DESC, start_ts, event_type) AS rn
+        FROM streaks
+    )
+    SELECT user_id, event_type,
+           CAST(streak_len AS BIGINT) AS streak_len,
+           strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS start_ts
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Gaps-and-islands: longest consecutive same-event_type run per "
+    "user. Change markers (lag) and island ids (running sum) come "
+    "from TWO windows over the SAME user_id partitioning — one "
+    "exchange — then a per-island rollup and a top-1 pick. The "
+    "value-change-island shape every funnel/streak analysis needs.",
+)
+def events_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    grouped = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("island"),
+    )
+    streaks = grouped.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("ts").alias("start_ts")
+    )
+    w2 = W.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), "start_ts", "event_type"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("streak_len").cast("bigint").alias("streak_len"),
+            F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        )
+        .orderBy("user_id")
+    )
