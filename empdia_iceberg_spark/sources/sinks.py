@@ -243,3 +243,41 @@ def json_ingest_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "xml_roundtrip",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           round({sql_sum2('c_acctbal')}, 2) AS sum_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="XML scan + sink (Spark 4 ships the XML source in core): "
+    "customers written as row-tagged XML, read back and aggregated — "
+    "the differential read-back oracle runs on the base parquet, so "
+    "any attribute/element mis-typing in the XML path breaks the "
+    "hash. Completes the text-format matrix (JSON/CSV/XML) next to "
+    "the columnar pair (parquet/ORC).",
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _fresh(os.path.join(SINK_ROOT, "customer.xml"))
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    cust.write.format("xml").option("rootTag", "customers").option(
+        "rowTag", "customer"
+    ).mode("overwrite").save(out)
+    back = spark.read.format("xml").option("rowTag", "customer").load(out)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2(F.col("c_acctbal")), 2).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
