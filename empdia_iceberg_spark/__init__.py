@@ -95,6 +95,7 @@ _SWEEP_PRIORITY = [
     "events_longest_streaks",  # new in r4 (gaps-and-islands streaks)
     "events_mad_outliers",  # new in r4 (median-absolute-deviation cut)
     "xml_roundtrip",  # new in r4 (Spark 4 core XML source/sink)
+    "stream_stream_left_join",  # new in r4 (watermark-driven outer emission)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)

@@ -565,3 +565,115 @@ def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT c.event_id                            AS click_id,
+           p.event_id                            AS purchase_id,
+           c.user_id,
+           CAST(epoch_us(p.ts - c.ts) AS BIGINT) AS gap_us
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    ORDER BY click_id, purchase_id
+    """,
+    doc="Stream-stream LEFT OUTER interval join: clicks with no "
+    "same-user purchase within 1h emit a NULL row — but only once the "
+    "WATERMARK has passed their join window (outer emission is "
+    "watermark-driven, the part the inner join never exercises). A "
+    "far-future sentinel row in a second micro-batch pushes the "
+    "watermark past every window so the streaming answer equals the "
+    "batch LEFT JOIN exactly — a full value oracle for outer "
+    "streaming semantics. State stays bounded to the 1-hour tail per "
+    "user key, as at 100 TB/day.",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "t_ssleft"
+    feed = os.path.join(_WORK_ROOT, f"{name}_feed")
+    shutil.rmtree(feed, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    ev.write.parquet(feed)
+
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    ckpt = os.path.join(_WORK_ROOT, f"{name}_ckpt_{uuid.uuid4().hex[:8]}")
+
+    schema = spark.read.parquet(feed).schema
+    stream = spark.readStream.schema(schema).parquet(feed)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    q = (
+        joined.writeStream.queryName(name)
+        .outputMode("append")
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: all real events; inner matches emit
+        # Outer emission lags the watermark by one batch, and the GLOBAL
+        # watermark is the MIN over both sides' watermark operators — so
+        # each sentinel batch must advance BOTH streams (a far-future
+        # click AND a far-future purchase on disjoint sentinel users
+        # that can never join). Batch 2 advances the watermark past
+        # every click's join window; batch 3 evicts-and-emits ALL
+        # remaining outer rows against it.
+        for extra_h in (10, 20):
+            sentinel = ev.agg(F.max("ts").alias("m")).select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(-1).cast("bigint").alias("event_id"),
+                            (F.col("m") + F.expr(f"INTERVAL {extra_h} HOURS")).alias("ts"),
+                            F.lit(-1).cast("bigint").alias("user_id"),
+                            F.lit("click").alias("event_type"),
+                        ),
+                        F.struct(
+                            F.lit(-2).cast("bigint").alias("event_id"),
+                            (F.col("m") + F.expr(f"INTERVAL {extra_h} HOURS")).alias("ts"),
+                            F.lit(-2).cast("bigint").alias("user_id"),
+                            F.lit("purchase").alias("event_type"),
+                        ),
+                    )
+                ).alias("s")
+            ).select("s.*")
+            sentinel.write.mode("append").parquet(feed)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .filter(F.col("click_id") != -1)
+        .orderBy("click_id", "purchase_id")
+    )
