@@ -277,3 +277,54 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node"
     )
     return out
+
+
+# --------------------------------------------------- hierarchy rollup
+
+
+@register(
+    "part_hierarchy_rollup",
+    oracle="""
+    WITH anc AS (
+        SELECT p.p_partkey // CAST(power(10, l.i) AS BIGINT) AS ancestor,
+               p.p_retailprice
+        FROM part p
+        CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) l
+    )
+    SELECT ancestor,
+           CAST(count(*) AS BIGINT) AS n_descendants,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS subtree_value
+    FROM anc
+    WHERE ancestor > 0
+    GROUP BY ancestor
+    ORDER BY ancestor
+    """,
+    doc="Hierarchical (BOM-style) subtree rollup over the implicit "
+    "decimal-digit part hierarchy (parent = key div 10): instead of "
+    "iterating parent joins, each leaf EXPLODES its full ancestor "
+    "chain in closed form (key div 10^i, bounded by key width) and "
+    "one groupBy sums every subtree — transitive aggregation as a "
+    "single map-side explode + one shuffle, the shape that beats "
+    "k iterative self-joins at 100 TB when depth is bounded.",
+)
+def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    anc = part.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 6),"
+                " i -> p_partkey div CAST(power(10, i) AS BIGINT))"
+            )
+        ).alias("ancestor"),
+        "p_retailprice",
+    ).filter(F.col("ancestor") > 0)
+    return (
+        anc.groupBy("ancestor")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_descendants"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("subtree_value"),
+        )
+        .orderBy("ancestor")
+    )
