@@ -97,6 +97,7 @@ _SWEEP_PRIORITY = [
     "xml_roundtrip",  # new in r4 (Spark 4 core XML source/sink)
     "stream_stream_left_join",  # new in r4 (watermark-driven outer emission)
     "part_hierarchy_rollup",  # new in r4 (closed-form ancestor explode)
+    "doc_fuzzy_pairs_blocked",  # new in r4 (blocked Levenshtein matching)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)
