@@ -112,6 +112,8 @@ _SWEEP_PRIORITY = [
     "stream_stream_left_join",  # new in r4 (watermark-driven outer emission)
     "part_hierarchy_rollup",  # new in r4 (closed-form ancestor explode)
     "doc_fuzzy_pairs_blocked",  # new in r4 (blocked Levenshtein matching)
+    "events_cusum_drift",  # new in r4 (closed-form CUSUM via prefix sums)
+    "stream_restart_recovery",  # new in r4 (exactly-once across restarts)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)

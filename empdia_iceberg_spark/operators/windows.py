@@ -421,3 +421,88 @@ def events_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------- CUSUM drift scan
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+    WITH mu AS (
+        SELECT CAST(floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           / count(*)) * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS mu
+        FROM events
+    ),
+    pref AS (
+        SELECT e.event_id, e.user_id,
+               sum(CAST(e.value AS DECIMAL(18,2)) - m.mu)
+                   OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM events e CROSS JOIN mu m
+    ),
+    runmin AS (
+        SELECT event_id, user_id, p,
+               min(p) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        FROM pref
+    )
+    SELECT event_id, user_id,
+           CAST(p - least(mn, 0) AS DOUBLE) AS cusum,
+           (CAST(p - least(mn, 0) AS DOUBLE) > 500.0) AS drifted
+    FROM runmin
+    ORDER BY event_id
+    """,
+    doc="One-sided CUSUM drift detection per user: s_n = max(0, "
+    "s_{n-1} + (x_n − μ)) computed in CLOSED FORM as P_n − min_{j≤n} "
+    "P_j over exact decimal prefix sums — two window functions over "
+    "ONE user_id exchange, O(1) state per row, instead of a "
+    "sequential fold over per-user history (which would hold O(n) "
+    "state and break at unbounded history). μ is the det-rounded "
+    "global mean, broadcast; all arithmetic stays in DECIMAL until "
+    "one final double cast, so the statistic is bit-deterministic.",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    mu = ev.agg(
+        det_round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        )
+        .cast("decimal(18,2)")
+        .alias("mu")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pref = ev.crossJoin(F.broadcast(mu)).select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)") - F.col("mu")).over(w).alias("p"),
+    )
+    # second window orders by event_id only: p is already per-(user,
+    # event) and event_id is unique, so the running min is well-defined
+    # and the window reuses the same user_id partitioning
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    runmin = pref.select(
+        "event_id",
+        "user_id",
+        "p",
+        F.min("p").over(w2).alias("mn"),
+    )
+    cusum = (F.col("p") - F.least(F.col("mn"), F.lit(0).cast("decimal(18,2)"))).cast(
+        "double"
+    )
+    return runmin.select(
+        "event_id",
+        "user_id",
+        cusum.alias("cusum"),
+        (cusum > 500.0).alias("drifted"),
+    ).orderBy("event_id")

@@ -677,3 +677,100 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("click_id") != -1)
         .orderBy("click_id", "purchase_id")
     )
+
+
+@register(
+    "stream_restart_recovery",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           round({sql_sum2('value')}, 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Exactly-once across QUERY RESTARTS: phase 1 drains half the "
+    "feed through foreachBatch additive-MERGE into the snapshot "
+    "table, then the StreamingQuery is STOPPED; a brand-new query "
+    "object resumes from the same checkpoint and processes ONLY the "
+    "appended second half. If checkpoint recovery re-delivered (or "
+    "lost) phase-1 files, the additive counts would double (or drop) "
+    "and the hash against the batch rollup would break — this is the "
+    "restart-recovery guarantee production streaming jobs live on.",
+)
+def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    name = "t_restart"
+    feed = os.path.join(_WORK_ROOT, f"{name}_feed")
+    ckpt = os.path.join(_WORK_ROOT, f"{name}_ckpt_{uuid.uuid4().hex[:8]}")
+    shutil.rmtree(feed, ignore_errors=True)
+    cutoff = "2024-01-15"
+    ev.filter(F.col("ts") < cutoff).write.parquet(feed)
+
+    table = SnapshotTable(spark, "events_restart_agg")
+    table.drop()
+
+    def upsert_additive(batch_df, batch_id: int) -> None:
+        agg = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        if table.current_version() is None:
+            table.create(agg)
+        else:
+            combined = (
+                table.read()
+                .unionByName(agg)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum(F.col("sum_value").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("sum_value"),
+                )
+            )
+            table.overwrite(combined, op="merge")
+
+    schema = spark.read.parquet(feed).schema
+
+    def start_query():
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        return (
+            spark.readStream.schema(schema)
+            .parquet(feed)
+            .writeStream.queryName(name)
+            .foreachBatch(upsert_additive)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start_query()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # simulate a planned restart (or crash) between phases
+
+    ev.filter(F.col("ts") >= cutoff).write.mode("append").parquet(feed)
+
+    q2 = start_query()  # NEW query object, SAME checkpoint: must resume
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return (
+        table.read()
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(F.col("sum_value").cast("decimal(18,2)").cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
