@@ -82,3 +82,46 @@ def events_impute_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_target_encode_loo",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               sum(CAST(value AS DECIMAL(18,2))) AS s,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (floor((CAST(g.s - CAST(e.value AS DECIMAL(18,2)) AS DOUBLE)
+                   / CAST(g.n - 1 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS te_loo
+    FROM events e JOIN g USING (event_type)
+    ORDER BY e.event_id
+    """,
+    doc="Leave-one-out target encoding of event_type by the value "
+    "column: per-category exact decimal sums broadcast back, each "
+    "row's own target excluded — (Σ−x)/(n−1) — the LOO form that "
+    "prevents target leakage in feature engineering. One tiny "
+    "aggregate + one broadcast join; the encode itself is "
+    "map-side arithmetic, det-rounded to hash across engines.",
+)
+def events_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    g = events.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        events.join(F.broadcast(g), ["event_type"])
+        .select(
+            "event_id",
+            "event_type",
+            det_round(
+                (F.col("s") - F.col("value").cast("decimal(18,2)")).cast("double")
+                / (F.col("n") - 1).cast("double"),
+                4,
+            ).alias("te_loo"),
+        )
+        .orderBy("event_id")
+    )
