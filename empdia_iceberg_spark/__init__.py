@@ -115,6 +115,8 @@ _SWEEP_PRIORITY = [
     "events_cusum_drift",  # new in r4 (closed-form CUSUM via prefix sums)
     "stream_restart_recovery",  # new in r4 (exactly-once across restarts)
     "events_target_encode_loo",  # new in r4 (leakage-safe target encoding)
+    "events_cohort_ltv",  # new in r4 (cohort lifetime-value curve)
+    "events_time_to_convert",  # new in r4 (conversion-delay percentiles)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)

@@ -2055,3 +2055,141 @@ def events_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------------- cohort LTV curve
+
+
+@register(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH first_seen AS (
+        SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    labeled AS (
+        SELECT e.user_id,
+               date_trunc('week', f.first_ts) AS cohort_week,
+               CAST(floor(epoch(e.ts - date_trunc('week', f.first_ts)) / 604800.0) AS INT) AS week_index,
+               e.value
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    ),
+    weekly AS (
+        SELECT cohort_week, week_index,
+               {sql_sum2('value')} AS revenue
+        FROM labeled GROUP BY cohort_week, week_index
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_index,
+           round(revenue, 2) AS revenue,
+           round(CAST(sum(CAST(revenue AS DECIMAL(18,2)))
+                     OVER (PARTITION BY cohort_week ORDER BY week_index
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+               AS cum_revenue
+    FROM weekly
+    ORDER BY cohort_week, week_index
+    """,
+    doc="Cohort LTV curve: users cohorted by first-seen week, purchase "
+    "revenue bucketed by weeks-since-cohort, cumulative revenue per "
+    "cohort as a running decimal sum over the TINY weekly rollup "
+    "(the window runs on cohort×week rows, never the fact table). "
+    "The lifetime-value report every growth team maintains.",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    labeled = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, ["user_id"])
+        .select(
+            F.date_trunc("week", "first_ts").alias("cohort_week"),
+            F.floor(
+                (
+                    F.unix_timestamp("ts")
+                    - F.unix_timestamp(F.date_trunc("week", "first_ts"))
+                )
+                / 604800.0
+            )
+            .cast("int")
+            .alias("week_index"),
+            "value",
+        )
+    )
+    weekly = labeled.groupBy("cohort_week", "week_index").agg(
+        exact_sum2("value").alias("revenue")
+    )
+    w = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_index")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return weekly.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_index",
+        F.round(F.col("revenue"), 2).alias("revenue"),
+        F.round(
+            F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("cum_revenue"),
+    ).orderBy("cohort_week", "week_index")
+
+
+# ------------------------------------------- conversion-delay percentiles
+
+
+@register(
+    "events_time_to_convert",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, min(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        GROUP BY e.user_id
+    ),
+    delays AS (
+        SELECT CAST(epoch_us(p.first_purchase_ts - s.signup_ts) AS DOUBLE) / 3600e6 AS delay_h
+        FROM s JOIN p ON s.user_id = p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           {sql_det_round('quantile_cont(delay_h, 0.50)', 4)} AS p50_hours,
+           {sql_det_round('quantile_cont(delay_h, 0.90)', 4)} AS p90_hours
+    FROM delays
+    """,
+    doc="Time-to-convert distribution: per user the delay from first "
+    "signup to first subsequent purchase (exact µs arithmetic), then "
+    "exact median/p90 of the delay in hours. Two tiny keyed "
+    "aggregates + one join on the user key; the percentile runs over "
+    "one row per converted user.",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, ["user_id"])
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    delays = s.join(p, ["user_id"]).select(
+        (
+            (
+                F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
+            ).cast("double")
+            / F.lit(3600e6)
+        ).alias("delay_h")
+    )
+    return delays.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        det_round(F.percentile("delay_h", F.lit(0.50)), 4).alias("p50_hours"),
+        det_round(F.percentile("delay_h", F.lit(0.90)), 4).alias("p90_hours"),
+    )
