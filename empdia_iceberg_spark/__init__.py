@@ -132,10 +132,10 @@ _SWEEP_PRIORITY = [
     "parts_abc_pareto",  # new in r4 (bucketed prefix-sum Pareto classes)
     "dq_checks_orders",  # new in r4 (data-quality assertion suite)
     "revenue_yoy_growth",  # new in r4 (period-over-period on the rollup)
-    "curation_pipeline",  # new in r4 (flagship curation funnel)
-    "curation_funnel_counts",  # new in r4
     "doc_dup_ngram_fraction",  # new in r4 (Lee et al. dup-rate diagnostic)
     "semantic_prune_clusters",  # new in r4 (SemDeDup-style pruning)
+    "curation_pipeline",  # new in r4 (flagship curation funnel)
+    "curation_funnel_counts",  # new in r4
     "q12_late_priority_counts",  # new in r4 (completes all 22 TPC-H shapes)
     "q20_dominant_suppliers",  # new in r4
     "events_ohlc_hourly",  # new in r4
