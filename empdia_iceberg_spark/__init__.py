@@ -59,7 +59,7 @@ from empdia_iceberg_spark.operators import dataprep  # noqa: F401
 
 # ---------------------------------------------------------------- sweep order
 # The driver's per-round CORRECTNESS sweep checks the first ~50 registered
-# queries; with 173 registered, the list must rotate every round so no
+# queries; with 184 registered, the list must rotate every round so no
 # query goes too long without a driver row. Rotation policy (update the
 # list each round):
 #   1. queries whose implementation changed this round (ADVICE r3: every
@@ -73,7 +73,7 @@ from empdia_iceberg_spark.operators import dataprep  # noqa: F401
 # the judge's #1 ask: CORRECTNESS_r04 rows for all of them) plus the
 # rewritten hash families (md5 minhash/simhash, corpus-adaptive LSH —
 # ADVICE r3: changed code must be swept) and the env-gated generation
-# twin; THEN the 19 late-session operators; THEN the earlier-session
+# twin; THEN the 25 late-session operators; THEN the earlier-session
 # r4 additions ordered kernels-before-plain-SQL. The ~50 cap lands at
 # the end of that block; the plain-SQL/rows-only remainder
 # (q20_dominant_suppliers, orders_status_summary, the HLL/PQ/PCA
