@@ -2193,3 +2193,98 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.percentile("delay_h", F.lit(0.50)), 4).alias("p50_hours"),
         det_round(F.percentile("delay_h", F.lit(0.90)), 4).alias("p90_hours"),
     )
+
+
+# --------------------------------------------- FIFO inventory matching
+
+
+@register(
+    "lineitem_fifo_allocation",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))
+                   OVER (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+        FROM lineitem WHERE l_returnflag = 'N'
+    ),
+    demand AS (
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))
+                   OVER (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d1
+        FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT d.l_partkey,
+           d.l_orderkey AS demand_order, d.l_linenumber AS demand_line,
+           s.l_orderkey AS supply_order, s.l_linenumber AS supply_line,
+           CAST(least(d.d1, s.s1) - greatest(d.d1 - d.qty, s.s1 - s.qty) AS DOUBLE) AS alloc_qty
+    FROM demand d JOIN supply s
+      ON d.l_partkey = s.l_partkey
+     AND s.s1 - s.qty < d.d1
+     AND d.d1 - d.qty < s.s1
+    ORDER BY d.l_partkey, demand_order, demand_line, supply_order, supply_line
+    """,
+    doc="FIFO inventory allocation: returned-demand lines ('R') match "
+    "supply lines ('N') per part in ship-date order WITHOUT any "
+    "sequential loop — each side gets an exact-decimal cumulative "
+    "interval [cum−qty, cum) and the allocation is the interval "
+    "OVERLAP, found by an equi-join on the part key with the overlap "
+    "predicate residual. One window + one co-keyed join; per-part "
+    "fan-out is bounded by lines-per-part. The matching shape behind "
+    "FIFO costing, order fulfilment, and lot tracking.",
+)
+def lineitem_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+
+    def side(flag: str, cum: str):
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .select(
+                "l_partkey",
+                "l_orderkey",
+                "l_linenumber",
+                F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).alias(cum),
+            )
+        )
+
+    s = side("N", "s1").select(
+        F.col("l_partkey").alias("s_part"),
+        F.col("l_orderkey").alias("supply_order"),
+        F.col("l_linenumber").alias("supply_line"),
+        F.col("qty").alias("s_qty"),
+        "s1",
+    )
+    d = side("R", "d1")
+    return (
+        d.join(
+            s,
+            (d["l_partkey"] == s["s_part"])
+            & (s["s1"] - s["s_qty"] < d["d1"])
+            & (d["d1"] - d["qty"] < s["s1"]),
+        )
+        .select(
+            "l_partkey",
+            F.col("l_orderkey").alias("demand_order"),
+            F.col("l_linenumber").alias("demand_line"),
+            "supply_order",
+            "supply_line",
+            (
+                F.least(d["d1"], s["s1"])
+                - F.greatest(d["d1"] - d["qty"], s["s1"] - s["s_qty"])
+            )
+            .cast("double")
+            .alias("alloc_qty"),
+        )
+        .orderBy("l_partkey", "demand_order", "demand_line", "supply_order", "supply_line")
+    )
