@@ -418,3 +418,28 @@ def test_fuzzy_pairs_equi_join_on_blocks(spark):
     plan = _plan(spark, "doc_fuzzy_pairs_blocked")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fifo_allocation_keyed_join(spark):
+    """lineitem_fifo_allocation joins supply to demand on the part key
+    with the overlap predicate residual — keyed, never cartesian."""
+    plan = _plan(spark, "lineitem_fifo_allocation")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cohort_ltv_window_on_rollup_only(spark):
+    """events_cohort_ltv's running sum must partition by cohort_week
+    (tiny rollup), never an empty-key global window."""
+    plan = _plan(spark, "events_cohort_ltv")
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("+- Window") or s.startswith("Window"):
+            assert "], [], [" not in line, line
+
+
+def test_target_encode_broadcasts_category_sums(spark):
+    """events_target_encode_loo: the per-category aggregate broadcasts;
+    the fact side never shuffles for the encode."""
+    plan = _plan(spark, "events_target_encode_loo")
+    assert "BroadcastHashJoin" in plan, plan
