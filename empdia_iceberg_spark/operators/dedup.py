@@ -793,26 +793,32 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ blocked fuzzy pairs
 
 
+# shared by doc_fuzzy_pairs_blocked and doc_fuzzy_clusters' oracles
+_FUZZY_PAIRS_BODY = """
+        SELECT doc_a, doc_b, dist FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.head, b.head) AS dist
+            FROM (SELECT doc_id, substr(lower(trim(text)), 1, 64) AS head,
+                         substr(lower(trim(text)), 1, 8)  AS block_pfx,
+                         len(lower(trim(text))) // 16     AS block_len
+                  FROM documents) a
+            JOIN (SELECT doc_id, substr(lower(trim(text)), 1, 64) AS head,
+                         substr(lower(trim(text)), 1, 8)  AS block_pfx,
+                         len(lower(trim(text))) // 16     AS block_len
+                  FROM documents) b
+              ON a.block_pfx = b.block_pfx
+             AND a.block_len = b.block_len
+             AND a.doc_id < b.doc_id
+        ) WHERE dist <= 5
+"""
+
+
 @register(
     "doc_fuzzy_pairs_blocked",
-    oracle="""
-    WITH keyed AS (
-        SELECT doc_id,
-               substr(lower(trim(text)), 1, 64) AS head,
-               substr(lower(trim(text)), 1, 8)  AS block_pfx,
-               len(lower(trim(text))) // 16     AS block_len
-        FROM documents
-    ),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               levenshtein(a.head, b.head) AS dist
-        FROM keyed a JOIN keyed b
-          ON a.block_pfx = b.block_pfx
-         AND a.block_len = b.block_len
-         AND a.doc_id < b.doc_id
-    )
+    oracle=f"""
+    WITH pairs AS ({_FUZZY_PAIRS_BODY})
     SELECT doc_a, doc_b, CAST(dist AS INT) AS dist
-    FROM pairs WHERE dist <= 5
+    FROM pairs
     ORDER BY doc_a, doc_b
     """,
     doc="Entity-resolution fuzzy matching with blocking: candidate "
@@ -851,3 +857,34 @@ def doc_fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 5)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "doc_fuzzy_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_FUZZY_PAIRS_BODY}),
+    sym AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT doc_a, doc_a FROM sym
+        UNION
+        SELECT s.doc_a, r.label FROM sym s JOIN reach r ON s.doc_b = r.doc_id
+    )
+    SELECT doc_id, min(label) AS component
+    FROM reach
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Entity-resolution end-to-end: connected components over the "
+    "blocked-Levenshtein fuzzy-pair graph (doc_fuzzy_pairs_blocked) "
+    "via the same distributed min-label propagation as "
+    "doc_dedup_clusters — candidate generation, pairwise verify, and "
+    "transitive clustering composed into one resolution pipeline, "
+    "hash-checked against a recursive-CTE oracle.",
+)
+def doc_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = doc_fuzzy_pairs_blocked(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs).orderBy("doc_id")
