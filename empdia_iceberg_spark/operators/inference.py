@@ -251,3 +251,35 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "ols_by_returnflag",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag, {sql_moment_sums('l_quantity', 'l_extendedprice')}
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_obs,
+           {sql_det_round(_SLOPE, 6)} AS slope,
+           {sql_det_round(_INTERCEPT, 4)} AS intercept,
+           {sql_det_round(_R2, 6)} AS r2
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    doc="Grouped OLS — one regression PER return flag from a single "
+    "grouped moment-sum pass (map-side partial decimal sums, one tiny "
+    "shuffle): the GROUP BY model-fitting shape, sharing the exact "
+    "closed forms with the global fit.",
+)
+def ols_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(*moment_sums("l_quantity", "l_extendedprice"))
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_obs"),
+        det_round(F.expr(_SLOPE), 6).alias("slope"),
+        det_round(F.expr(_INTERCEPT), 4).alias("intercept"),
+        det_round(F.expr(_R2), 6).alias("r2"),
+    ).orderBy("l_returnflag")
