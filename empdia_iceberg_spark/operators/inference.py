@@ -283,3 +283,127 @@ def ols_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.expr(_INTERCEPT), 4).alias("intercept"),
         det_round(F.expr(_R2), 6).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "revenue_concentration_hhi",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT sum(rev) AS total FROM per_cust),
+    shares AS (
+        SELECT CAST(p.rev AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+        FROM per_cust p CROSS JOIN tot t
+    )
+    SELECT CAST((SELECT count(*) FROM per_cust) AS BIGINT) AS n_customers,
+           {sql_det_round(
+               'CAST(sum(CAST((floor(share * share * 1000000000.0 + 0.5) / 1000000000.0)'
+               ' AS DECIMAL(28,9))) AS DOUBLE)', 6)} AS hhi
+    FROM shares
+    """,
+    doc="Herfindahl–Hirschman revenue-concentration index over "
+    "customers: exact decimal revenue shares, per-share squared terms "
+    "det_round(9)-stabilized and decimal-summed (order-independent), "
+    "one aggregate + a broadcast total — the market-concentration "
+    "metric as a hash-checkable scalar.",
+)
+def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    tot = per_cust.agg(F.sum("rev").alias("total"))
+    shares = per_cust.crossJoin(F.broadcast(tot)).select(
+        (F.col("rev").cast("double") / F.col("total").cast("double")).alias("share")
+    )
+    n = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    hhi = shares.agg(
+        det_round(
+            F.sum(
+                det_round(F.col("share") * F.col("share"), 9).cast("decimal(28,9)")
+            ).cast("double"),
+            6,
+        ).alias("hhi")
+    )
+    return n.crossJoin(F.broadcast(hhi))
+
+
+@register(
+    "corpus_zipf_slope",
+    oracle=rf"""
+    WITH freq AS (
+        SELECT term, count(*) AS f
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents)
+        GROUP BY term
+        ORDER BY f DESC, term
+        LIMIT 1000
+    ),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, term) AS rnk FROM freq
+    ),
+    logs AS (
+        SELECT {sql_det_round('ln(CAST(rnk AS DOUBLE))', 9)} AS x,
+               {sql_det_round('ln(CAST(f AS DOUBLE))', 9)} AS y
+        FROM ranked
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(28,9)) * CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(28,9)) * CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x AS DECIMAL(28,9)) * CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sxy
+        FROM logs
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           {sql_det_round(_SLOPE, 6)} AS zipf_slope,
+           {sql_det_round(_R2, 6)} AS r2
+    FROM m
+    """,
+    doc="Zipf's-law exponent of the corpus: top-1000 term frequencies "
+    "(TakeOrdered — bounded, no global window over the vocabulary), "
+    "log-log OLS via det_round(9)-stabilized decimal moment sums — "
+    "the corpus-health diagnostic (natural text ⇒ slope ≈ −1) as a "
+    "hash-checkable statistic.",
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.col("f").desc(), "term")
+        .limit(1000)
+    )
+    # ranking the top-1000 rows: the input is already LIMIT-bounded, so
+    # the single-partition window operates on ≤1000 rows by construction
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.col("f").desc(), "term"))
+    )
+    logs = ranked.select(
+        det_round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
+        det_round(F.log(F.col("f").cast("double")), 9).alias("y"),
+    )
+    dx = F.col("x").cast("decimal(28,9)")
+    dy = F.col("y").cast("decimal(28,9)")
+    m = logs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        det_round(F.expr(_SLOPE), 6).alias("zipf_slope"),
+        det_round(F.expr(_R2), 6).alias("r2"),
+    )
