@@ -407,3 +407,63 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.expr(_SLOPE), 6).alias("zipf_slope"),
         det_round(F.expr(_R2), 6).alias("r2"),
     )
+
+
+@register(
+    "revenue_gini_customers",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev, o_custkey) AS rnk
+        FROM per_cust
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE)                                    AS n,
+               CAST(sum(rev) AS DOUBLE)                                    AS total,
+               CAST(sum(CAST(rnk AS DECIMAL(38,0)) * CAST(rev AS DECIMAL(38,2))) AS DOUBLE) AS s_ranked
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           {sql_det_round('(2.0 * s_ranked) / (n * total) - (n + 1.0) / n', 6)} AS gini
+    FROM m
+    """,
+    doc="Gini coefficient of customer revenue (the Lorenz-curve "
+    "inequality metric): per-customer exact decimal revenue, global "
+    "rank via the scale-safe BUCKETED row numbering "
+    "(operators/scale.py — no single-partition window over the "
+    "customer set), Σ rank·revenue accumulated exactly in DECIMAL, "
+    "one closed form — hash-checkable inequality measurement.",
+)
+def revenue_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.operators.scale import bucketed_global_row_number
+
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    ranked, _n = bucketed_global_row_number(
+        per_cust, "rev", tiebreaks=("o_custkey",), out_col="rnk"
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("rev").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.sum(
+            F.col("rnk").cast("decimal(38,0)")
+            * F.col("rev").cast("decimal(38,2)")
+        )
+        .cast("double")
+        .alias("s_ranked"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        det_round(
+            F.expr("(2.0 * s_ranked) / (n * total) - (n + 1.0) / n"), 6
+        ).alias("gini"),
+    )
