@@ -2288,3 +2288,144 @@ def lineitem_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey", "demand_order", "demand_line", "supply_order", "supply_line")
     )
+
+
+# ------------------------------------------- multi-touch attribution
+
+
+@register(
+    "events_linear_attribution",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.user_id, CAST(p.value AS DECIMAL(18,2)) AS purchase_value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ),
+    weighted AS (
+        SELECT click_id, user_id,
+               CAST(purchase_value AS DOUBLE)
+                   / count(*) OVER (PARTITION BY purchase_id) AS credit
+        FROM pairs
+    )
+    SELECT click_id, user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           {sql_det_round(
+               'CAST(sum(CAST(floor(credit * 1000000.0 + 0.5) / 1000000.0'
+               ' AS DECIMAL(27,6))) AS DOUBLE)', 4)} AS attributed_value
+    FROM weighted
+    GROUP BY click_id, user_id
+    ORDER BY click_id
+    """,
+    doc="Linear multi-touch attribution: each purchase's value splits "
+    "equally across the same-user clicks in the preceding hour "
+    "(interval join on the user key), credit = value / touch-count "
+    "via a window over the purchase — per-click totals are "
+    "det_round+decimal-summed. The marketing-attribution shape, "
+    "keyed end to end (no pair blowup beyond the interval join).",
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,2)").alias("purchase_value"),
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    w = W.partitionBy("purchase_id")
+    weighted = pairs.select(
+        "click_id",
+        "user_id",
+        (
+            F.col("purchase_value").cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("credit"),
+    )
+    return (
+        weighted.groupBy("click_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            det_round(
+                F.sum(det_round(F.col("credit"), 6).cast("decimal(27,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("attributed_value"),
+        )
+        .orderBy("click_id")
+    )
+
+
+# ------------------------------------------------- join-key skew stats
+
+
+@register(
+    "join_key_skew_stats",
+    oracle=f"""
+    WITH ok AS (
+        SELECT count(*) AS f FROM lineitem GROUP BY l_orderkey
+    ),
+    pk AS (
+        SELECT count(*) AS f FROM lineitem GROUP BY l_partkey
+    ),
+    uk AS (
+        SELECT count(*) AS f FROM events GROUP BY user_id
+    )
+    SELECT 'events.user_id' AS key_name,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(f) AS BIGINT) AS max_freq,
+           {sql_det_round('CAST(sum(f) AS DOUBLE) / count(*)', 4)} AS avg_freq,
+           {sql_det_round('CAST(max(f) AS DOUBLE) / (CAST(sum(f) AS DOUBLE) / count(*))', 4)} AS skew_ratio
+    FROM uk
+    UNION ALL
+    SELECT 'lineitem.l_orderkey', CAST(count(*) AS BIGINT), CAST(max(f) AS BIGINT),
+           {sql_det_round('CAST(sum(f) AS DOUBLE) / count(*)', 4)},
+           {sql_det_round('CAST(max(f) AS DOUBLE) / (CAST(sum(f) AS DOUBLE) / count(*))', 4)}
+    FROM ok
+    UNION ALL
+    SELECT 'lineitem.l_partkey', CAST(count(*) AS BIGINT), CAST(max(f) AS BIGINT),
+           {sql_det_round('CAST(sum(f) AS DOUBLE) / count(*)', 4)},
+           {sql_det_round('CAST(max(f) AS DOUBLE) / (CAST(sum(f) AS DOUBLE) / count(*))', 4)}
+    FROM pk
+    ORDER BY key_name
+    """,
+    doc="Join-key skew diagnostics — the planner-advisor query behind "
+    "salting decisions: per candidate join key, distinct-key count, "
+    "max and mean per-key frequency, and the max/mean skew ratio "
+    "(≈1 ⇒ uniform, ≫1 ⇒ salt or AQE-split). One map-side-combined "
+    "count per key family; exact integer frequencies.",
+)
+def join_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+
+    def stats(df, col: str, label: str) -> DataFrame:
+        f = df.groupBy(col).agg(F.count(F.lit(1)).alias("f"))
+        avg = F.sum("f").cast("double") / F.count(F.lit(1))
+        return f.agg(
+            F.lit(label).alias("key_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("f").cast("bigint").alias("max_freq"),
+            det_round(avg, 4).alias("avg_freq"),
+            det_round(F.max("f").cast("double") / avg, 4).alias("skew_ratio"),
+        )
+    out = stats(ev, "user_id", "events.user_id")
+    for df, col, label in (
+        (li, "l_orderkey", "lineitem.l_orderkey"),
+        (li, "l_partkey", "lineitem.l_partkey"),
+    ):
+        out = out.unionByName(stats(df, col, label))
+    return out.orderBy("key_name")
