@@ -37,7 +37,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from empdia_iceberg_spark.functions.exact import sql_sum2, exact_sum2
+from empdia_iceberg_spark.functions.exact import sql_sum2, sql_sum8, exact_sum2, exact_sum8
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load, local_df
 
@@ -688,3 +688,82 @@ def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps, "step string, version int, n_rows bigint, n_violations bigint"
     )
     return out.orderBy("step")
+
+
+# --------------------------------------------- CDC changelog compaction
+
+
+@register(
+    "cdc_log_compaction",
+    oracle=f"""
+    WITH changelog AS (
+        -- deterministic synthetic CDC feed: one I/U/D op per order,
+        -- op decided by the key, change-sequence = the key itself,
+        -- updates add 10%% to the price
+        SELECT o_orderkey AS key,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                    WHEN o_orderkey % 3 = 0  THEN 'U'
+                    ELSE 'I' END AS op,
+               o_orderkey AS seq,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                              * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE)
+                    ELSE o_totalprice END AS price,
+               o_orderstatus
+        FROM orders
+    ),
+    latest AS (
+        SELECT key, arg_max(op, seq) AS op,
+               arg_max(price, seq) AS price,
+               arg_max(o_orderstatus, seq) AS o_orderstatus
+        FROM changelog GROUP BY key
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round({sql_sum8('price')}, 2) AS sum_price
+    FROM latest WHERE op <> 'D'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="CDC changelog compaction (the Debezium→lake apply): an "
+    "insert/update/delete log with per-key change sequences collapses "
+    "to final state by last-writer-wins (max_by over the sequence), "
+    "deletes dropped — ONE hash aggregate on the key, map-side "
+    "partials, no sort and no window; then the read-back rollup is "
+    "hash-checked against the same compaction in SQL. This is the "
+    "log-to-snapshot shape every lakehouse ingestion pipeline runs.",
+)
+def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    changelog = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 3 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            (
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(3,1)")
+            ).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        "o_orderstatus",
+    )
+    latest = changelog.groupBy("key").agg(
+        F.max_by("op", "seq").alias("op"),
+        F.max_by("price", "seq").alias("price"),
+        F.max_by("o_orderstatus", "seq").alias("o_orderstatus"),
+    )
+    return (
+        latest.filter(F.col("op") != "D")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(exact_sum8(F.col("price")), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
