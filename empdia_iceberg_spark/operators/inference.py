@@ -467,3 +467,65 @@ def revenue_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(2.0 * s_ranked) / (n * total) - (n + 1.0) / n"), 6
         ).alias("gini"),
     )
+
+
+# Pairwise correlation matrix from ONE moment pass. corr(x,y) =
+# (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) — identical
+# IEEE closed form on both engines over exact decimal sums.
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_expr(a: str, b: str) -> str:
+    return (
+        f"((n * s_{a}_{b} - s_{a} * s_{b})"
+        f" / sqrt((n * s_{a}_{a} - s_{a} * s_{a})"
+        f" * (n * s_{b}_{b} - s_{b} * s_{b})))"
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               {", ".join(f"CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c}" for c in _CORR_COLS)},
+               {", ".join(f"CAST(sum(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))) AS DOUBLE) AS s_{a}_{b}" for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i:])}
+        FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{a}' AS var_a, '{b}' AS var_b, "
+        + sql_det_round(_corr_expr(a, b), 6) + " AS corr FROM m"
+        for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+    )}
+    ORDER BY var_a, var_b
+    """,
+    doc="Pairwise Pearson correlation matrix over four lineitem "
+    "measures from ONE scan: all 14 moment sums (4 first-order + 10 "
+    "second-order) accumulate exactly in a single map-side-combined "
+    "aggregate, then each of the 6 correlations is an identical IEEE "
+    "closed form — the multi-measure generalization of "
+    "stats_exact_moments, hash-checkable with no tolerance.",
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec[c]).cast("double").alias(f"s_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            aggs.append(F.sum(dec[a] * dec[b]).cast("double").alias(f"s_{a}_{b}"))
+    m = li.agg(*aggs)
+    rows = None
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            r = m.select(
+                F.lit(a).alias("var_a"),
+                F.lit(b).alias("var_b"),
+                det_round(F.expr(_corr_expr(a, b)), 6).alias("corr"),
+            )
+            rows = r if rows is None else rows.unionByName(r)
+    # the 1-row moment aggregate is reused by all 6 outputs: cache it so
+    # the union does not replicate the lineitem scan per pair
+    m.persist()
+    return rows.orderBy("var_a", "var_b")
