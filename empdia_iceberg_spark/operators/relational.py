@@ -2429,3 +2429,59 @@ def join_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(stats(df, col, label))
     return out.orderBy("key_name")
+
+
+# ------------------------------------------------- diversified top-k
+
+
+@register(
+    "orders_diversified_topk",
+    oracle="""
+    WITH ranked AS (
+        SELECT n.n_name, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY n.n_name
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn_nation
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, o_orderkey, round(o_totalprice, 2) AS totalprice, rn_nation
+    FROM ranked
+    WHERE rn_nation <= 2
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Diversified top-k (result diversification): the global top-10 "
+    "orders subject to a max-2-per-nation quota — per-nation "
+    "row_number prunes to ≤2·nations candidates FIRST (one keyed "
+    "window), then a TakeOrdered top-10 over the tiny candidate set; "
+    "never a global sort of the fact table. The quota-constrained "
+    "ranking shape of search and recommendation backends.",
+)
+def orders_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    w = W.partitionBy("n_name").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        joined.select(
+            "n_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn_nation"),
+        )
+        .filter(F.col("rn_nation") <= 2)
+        .select(
+            "n_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn_nation",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
