@@ -328,3 +328,63 @@ def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ancestor")
     )
+
+
+# ------------------------------------------------ duplicate baskets
+
+
+@register(
+    "duplicate_baskets",
+    oracle="""
+    WITH baskets AS (
+        SELECT l_orderkey,
+               md5(array_to_string(list_sort(list_distinct(list(l_partkey))), ',')) AS basket_hash,
+               len(list_distinct(list(l_partkey))) AS basket_size
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT basket_hash,
+           CAST(any_value(basket_size) AS INT) AS basket_size,
+           CAST(count(*) AS BIGINT)            AS n_orders,
+           min(l_orderkey)                     AS keep_order
+    FROM baskets
+    WHERE basket_size >= 2
+    GROUP BY basket_hash
+    HAVING count(*) > 1
+    ORDER BY basket_hash
+    """,
+    doc="Duplicate-transaction detection: each order's part set "
+    "canonicalizes to a sorted-distinct array fingerprint "
+    "(md5 of the joined key list — set equality as hash equality), "
+    "then identical baskets group together. Two hash aggregates "
+    "(order key, then fingerprint), map-side partials on both; the "
+    "shape behind duplicate-payment / replay detection.",
+)
+def duplicate_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                # sort NUMERICALLY first, stringify after — lexicographic
+                # sorting of stringified keys ("10" < "9") would produce a
+                # different canonical form than the oracle's numeric sort
+                F.transform(
+                    F.sort_array(F.collect_set("l_partkey")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("basket_hash"),
+        F.size(F.collect_set("l_partkey")).alias("basket_size"),
+    )
+    return (
+        baskets.filter(F.col("basket_size") >= 2)
+        .groupBy("basket_hash")
+        .agg(
+            F.first("basket_size").cast("int").alias("basket_size"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("l_orderkey").alias("keep_order"),
+        )
+        .filter(F.col("n_orders") > 1)
+        .orderBy("basket_hash")
+    )
