@@ -342,23 +342,28 @@ def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_distinct(list(l_partkey))) AS basket_size
         FROM lineitem
         GROUP BY l_orderkey
+    ),
+    per_hash AS (
+        SELECT basket_size, basket_hash, count(*) AS n_orders
+        FROM baskets GROUP BY basket_size, basket_hash
     )
-    SELECT basket_hash,
-           CAST(any_value(basket_size) AS INT) AS basket_size,
-           CAST(count(*) AS BIGINT)            AS n_orders,
-           min(l_orderkey)                     AS keep_order
-    FROM baskets
-    WHERE basket_size >= 2
-    GROUP BY basket_hash
-    HAVING count(*) > 1
-    ORDER BY basket_hash
+    SELECT CAST(basket_size AS INT)                 AS basket_size,
+           CAST(sum(n_orders) AS BIGINT)            AS n_orders,
+           CAST(count(*) AS BIGINT)                 AS n_distinct_baskets,
+           CAST(count(*) FILTER (WHERE n_orders > 1) AS BIGINT) AS n_dup_groups,
+           min(basket_hash)                         AS min_hash
+    FROM per_hash
+    GROUP BY basket_size
+    ORDER BY basket_size
     """,
     doc="Duplicate-transaction detection: each order's part set "
-    "canonicalizes to a sorted-distinct array fingerprint "
-    "(md5 of the joined key list — set equality as hash equality), "
-    "then identical baskets group together. Two hash aggregates "
-    "(order key, then fingerprint), map-side partials on both; the "
-    "shape behind duplicate-payment / replay detection.",
+    "canonicalizes to a NUMERIC-sorted distinct array fingerprint "
+    "(md5 of the joined key list — set equality as hash equality); "
+    "identical baskets share a fingerprint, and the per-size summary "
+    "(orders, distinct baskets, duplicate groups, min fingerprint) "
+    "stays productive even when the corpus has few true duplicates. "
+    "Two map-side-combined hash aggregates; the shape behind "
+    "duplicate-payment / replay detection.",
 )
 def duplicate_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -377,14 +382,25 @@ def duplicate_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("basket_hash"),
         F.size(F.collect_set("l_partkey")).alias("basket_size"),
     )
+    per_hash = baskets.groupBy("basket_size", "basket_hash").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
     return (
-        baskets.filter(F.col("basket_size") >= 2)
-        .groupBy("basket_hash")
+        per_hash.groupBy("basket_size")
         .agg(
-            F.first("basket_size").cast("int").alias("basket_size"),
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.min("l_orderkey").alias("keep_order"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_baskets"),
+            F.count(F.when(F.col("n_orders") > 1, 1))
+            .cast("bigint")
+            .alias("n_dup_groups"),
+            F.min("basket_hash").alias("min_hash"),
         )
-        .filter(F.col("n_orders") > 1)
-        .orderBy("basket_hash")
+        .select(
+            F.col("basket_size").cast("int").alias("basket_size"),
+            "n_orders",
+            "n_distinct_baskets",
+            "n_dup_groups",
+            "min_hash",
+        )
+        .orderBy("basket_size")
     )
