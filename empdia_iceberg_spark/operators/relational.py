@@ -2485,3 +2485,88 @@ def orders_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+# ------------------------------------------------- business-day latency
+
+
+@register(
+    "orders_shipping_busdays",
+    oracle=f"""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS days,
+               dayofweek(o.o_orderdate) AS dow0
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    bus AS (
+        SELECT o_orderpriority,
+               5 * (days // 7)
+               + len(list_filter(range(1, days % 7 + 1),
+                     d -> ((dow0 + d) % 7) NOT IN (0, 6))) AS busdays
+        FROM lat
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(max(busdays) AS INT) AS max_busdays,
+           {sql_det_round('CAST(sum(CAST(busdays AS DECIMAL(18,0))) AS DOUBLE) / count(*)', 4)} AS avg_busdays
+    FROM bus
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Business-day shipping latency per order priority: weekends "
+    "excluded by pure integer calendar arithmetic — 5·(weeks) plus a "
+    "per-remainder-day weekday test, with the day-of-week convention "
+    "explicitly aligned between engines (Spark's 1=Sunday mapped to "
+    "DuckDB's 0=Sunday). Map-side expression + one broadcast-joined "
+    "rollup; exact integer day counts, decimal-exact mean.",
+)
+def orders_shipping_busdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+                "days"
+            ),
+            # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek:
+            # 0=Sunday..6=Saturday — subtract 1 to share the convention
+            (F.dayofweek(F.to_date("o_orderdate")) - 1).alias("dow0"),
+        )
+    )
+    bus = lat.select(
+        "o_orderpriority",
+        (
+            5 * (F.col("days") / 7).cast("int")
+            # sequence(1, 0) yields DESCENDING [1, 0] in Spark, not an
+            # empty array — guard the zero-remainder case explicitly
+            + F.size(
+                F.filter(
+                    F.when(
+                        F.col("days") % 7 > 0,
+                        F.sequence(F.lit(1), F.col("days") % 7),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda d: ~((F.col("dow0") + d) % 7).isin(0, 6),
+                )
+            )
+        ).alias("busdays"),
+    )
+    return (
+        bus.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.max("busdays").cast("int").alias("max_busdays"),
+            det_round(
+                F.sum(F.col("busdays").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_busdays"),
+        )
+        .orderBy("o_orderpriority")
+    )
