@@ -767,3 +767,83 @@ def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ------------------------------------------------- crypto-shredding
+
+
+@register(
+    "table_crypto_shred",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE c_custkey % 10 <> 0) AS BIGINT) AS n_readable,
+           CAST(count(*) FILTER (WHERE c_custkey % 10 = 0) AS BIGINT)  AS n_shredded,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                      FILTER (WHERE c_custkey % 10 <> 0) AS DOUBLE), 2) AS readable_acctbal,
+           CAST(0 AS BIGINT) AS n_decrypt_mismatch
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="GDPR crypto-shredding: PII (c_name) is stored AES-GCM-"
+    "encrypted under a PER-CUSTOMER key held in a separate keyring; "
+    "'deleting' a customer destroys only their key row — the "
+    "ciphertext becomes permanently unreadable without rewriting a "
+    "single data file (the right-to-erasure pattern for immutable "
+    "lakes). The query shreds every 10th key, re-reads through the "
+    "keyring join, and emits per-segment readable/shredded counts "
+    "PLUS a decrypt-mismatch counter that the oracle pins to 0 — so "
+    "the hash check proves the encrypt→shred→decrypt roundtrip, not "
+    "just the bookkeeping.",
+)
+def table_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    key = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16)
+    encrypted = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        "c_name",
+        F.expr(
+            "aes_encrypt(c_name, substr(md5(cast(c_custkey as string)), 1, 16), 'GCM')"
+        ).alias("enc_name"),
+    )
+    keyring = cust.select("c_custkey", key.alias("k")).filter(
+        F.col("c_custkey") % 10 != 0  # shredded: every 10th key destroyed
+    )
+    read_back = encrypted.join(
+        keyring.withColumnRenamed("c_custkey", "k_custkey"),
+        encrypted["c_custkey"] == F.col("k_custkey"),
+        "left",
+    ).select(
+        "c_mktsegment",
+        "c_acctbal",
+        "c_name",
+        F.col("k").isNotNull().alias("readable"),
+        F.expr("cast(aes_decrypt(enc_name, k, 'GCM') as string)").alias("name_back"),
+    )
+    return (
+        read_back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.count(F.when(F.col("readable"), 1)).cast("bigint").alias("n_readable"),
+            F.count(F.when(~F.col("readable"), 1)).cast("bigint").alias("n_shredded"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("readable"), F.col("c_acctbal").cast("decimal(18,2)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("readable_acctbal"),
+            F.count(
+                F.when(F.col("readable") & (F.col("name_back") != F.col("c_name")), 1)
+            )
+            .cast("bigint")
+            .alias("n_decrypt_mismatch"),
+        )
+        .orderBy("c_mktsegment")
+    )
