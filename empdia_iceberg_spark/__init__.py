@@ -59,7 +59,7 @@ from empdia_iceberg_spark.operators import dataprep  # noqa: F401
 
 # ---------------------------------------------------------------- sweep order
 # The driver's per-round CORRECTNESS sweep checks the first ~50 registered
-# queries; with 184 registered, the list must rotate every round so no
+# queries; with 204 registered, the list must rotate every round so no
 # query goes too long without a driver row. Rotation policy (update the
 # list each round):
 #   1. queries whose implementation changed this round (ADVICE r3: every
@@ -74,11 +74,14 @@ from empdia_iceberg_spark.operators import dataprep  # noqa: F401
 # rewritten hash families (md5 minhash/simhash, corpus-adaptive LSH —
 # ADVICE r3: changed code must be swept) and the env-gated generation
 # twin; THEN the 25 late-session operators; THEN the earlier-session
-# r4 additions ordered kernels-before-plain-SQL. The ~50 cap lands at
-# the end of that block; the plain-SQL/rows-only remainder
-# (q20_dominant_suppliers, orders_status_summary, the HLL/PQ/PCA
-# rows-only trio, the never-swept token/stream shapes, and the
-# r2-green block) heads the r5 sweep.
+# r4 additions ordered kernels-before-plain-SQL, with the six
+# late-session novel-arithmetic queries (rank-sum, Kaplan-Meier,
+# association rules, triangle census, sweep-line, Benford) swapped in
+# for seven plain-SQL/roundtrip shapes. The 50-query cap lands right
+# after curation_pipeline; the displaced plain-SQL shapes, the
+# curation twin, q20_dominant_suppliers, orders_status_summary, the
+# HLL/PQ/PCA rows-only trio, the never-swept token/stream shapes, and
+# the r2-green block head the r5 sweep.
 _SWEEP_PRIORITY = [
     # --- judge's ask: queries with no driver row in ANY round, fixed in r4
     "multimodal_feature_extract",
@@ -108,7 +111,6 @@ _SWEEP_PRIORITY = [
     "events_pit_dimension_join",  # new in r4 (PIT join to the SCD2 dim)
     "events_longest_streaks",  # new in r4 (gaps-and-islands streaks)
     "events_mad_outliers",  # new in r4 (median-absolute-deviation cut)
-    "xml_roundtrip",  # new in r4 (Spark 4 core XML source/sink)
     "stream_stream_left_join",  # new in r4 (watermark-driven outer emission)
     "part_hierarchy_rollup",  # new in r4 (closed-form ancestor explode)
     "doc_fuzzy_pairs_blocked",  # new in r4 (blocked Levenshtein matching)
@@ -117,21 +119,24 @@ _SWEEP_PRIORITY = [
     "events_target_encode_loo",  # new in r4 (leakage-safe target encoding)
     "events_cohort_ltv",  # new in r4 (cohort lifetime-value curve)
     "events_time_to_convert",  # new in r4 (conversion-delay percentiles)
+    # late-r4 additions with novel cross-engine arithmetic (rank-sum
+    # decimals, log-series survival product, lift closed forms) — ahead
+    # of the plain TPC-H subquery shapes in divergence risk
+    "mannwhitney_u_segments",  # new in r4 (rank-sum test, mid-rank ties)
+    "events_survival_km",  # new in r4 (Kaplan-Meier via exact log series)
+    "part_association_rules",  # new in r4 (confidence/lift/leverage)
+    "graph_triangle_census",  # new in r4 (node-ordered triangle join)
+    "orders_open_peak_monthly",  # new in r4 (sweep-line concurrency)
+    "benford_order_totals",  # new in r4 (first-digit audit)
     "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
     "events_anomaly_zscore",  # new in r4
     "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)
     "table_zorder_layout",  # new in r4 (Morton clustering envelopes)
     "multimodal_frame_sample",  # new in r4 (video frame-sample plumbing)
-    "orc_roundtrip",  # new in r4 (ORC source/sink differential)
     "table_partition_evolution",  # new in r4 (spec evolution + pruning)
-    "json_ingest_corrupt_records",  # new in r4 (PERMISSIVE quarantine)
     "user_profile_similarity",  # new in r4 (trajectory-profile top-k)
-    "events_scd2_history",  # new in r4 (SCD2 dimension build)
-    "customer_rfm_segments",  # new in r4 (RFM quartile segmentation)
     "events_twap_user",  # new in r4 (time-weighted average, decimal-exact)
     "parts_abc_pareto",  # new in r4 (bucketed prefix-sum Pareto classes)
-    "dq_checks_orders",  # new in r4 (data-quality assertion suite)
-    "revenue_yoy_growth",  # new in r4 (period-over-period on the rollup)
     "doc_dup_ngram_fraction",  # new in r4 (Lee et al. dup-rate diagnostic)
     "semantic_prune_clusters",  # new in r4 (SemDeDup-style pruning)
     "curation_pipeline",  # new in r4 (flagship curation funnel)
@@ -181,6 +186,16 @@ _SWEEP_PRIORITY = [
     "q15_top_supplier",  # new in r4
     "q11_important_parts",  # new in r4
     "q21_waiting_suppliers",  # new in r4
+    # displaced from the r4 window by the late-session novel-arithmetic
+    # queries (these are plain-SQL windows / deterministic format roundtrips
+    # — lowest divergence risk); they head the r5 sweep.
+    "xml_roundtrip",  # new in r4 (Spark 4 core XML source/sink)
+    "orc_roundtrip",  # new in r4 (ORC source/sink differential)
+    "json_ingest_corrupt_records",  # new in r4 (PERMISSIVE quarantine)
+    "events_scd2_history",  # new in r4 (SCD2 dimension build)
+    "customer_rfm_segments",  # new in r4 (RFM quartile segmentation)
+    "dq_checks_orders",  # new in r4 (data-quality assertion suite)
+    "revenue_yoy_growth",  # new in r4 (period-over-period on the rollup)
     # only gained a repartition guard in r4 (plan change, identical
     # oracle semantics) — these head the r5 sweep instead.
     "doc_exact_dedup",

@@ -529,3 +529,319 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the union does not replicate the lineitem scan per pair
     m.persist()
     return rows.orderBy("var_a", "var_b")
+
+
+# --------------------------------------- Mann-Whitney U (rank-sum test)
+#
+# Nonparametric two-sample test — the robust complement to
+# welch_t_acctbal_segments when the distribution is skewed. All rank
+# arithmetic happens at VALUE grain: c_acctbal is a 2-decimal amount in
+# a bounded domain, so the distinct-value table is capped by the value
+# domain (≤ ~1.1M rows for [-999.99, 9999.99]) NO MATTER how many
+# customers there are — the one shuffle is the value-grain groupBy, and
+# the rank window runs over the domain-bounded aggregate, never the
+# customer set. Mid-ranks are k/2 rationals (exact in DECIMAL(38,1));
+# U, the tie-corrected variance, and z are one IEEE closed form over
+# exact integer sums — hash-checkable, no tolerance.
+
+_MWU_VAR = (
+    "(na * nb / 12.0) * ((nn + 1.0) - tsum / (nn * (nn - 1.0)))"
+)
+_MWU_Z = f"((ua - na * nb / 2.0) / sqrt({_MWU_VAR}))"
+
+
+@register(
+    "mannwhitney_u_segments",
+    oracle=f"""
+    WITH pool AS (
+        SELECT c_acctbal AS v,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    ),
+    vals AS (
+        SELECT v, CAST(sum(is_a) AS BIGINT) AS ta,
+               CAST(count(*) AS BIGINT) AS t
+        FROM pool GROUP BY v
+    ),
+    ranked AS (
+        SELECT ta, t,
+               sum(t) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - t AS below,
+               CAST(t * t * t - t AS DECIMAL(38,0)) AS tie3
+        FROM vals
+    ),
+    m AS (
+        SELECT CAST(sum(ta) AS DOUBLE) AS na,
+               CAST(sum(t - ta) AS DOUBLE) AS nb,
+               CAST(sum(t) AS DOUBLE) AS nn,
+               CAST(sum(CAST(ta AS DECIMAL(38,1))
+                        * (CAST(below AS DECIMAL(38,1))
+                           + (CAST(t AS DECIMAL(38,1)) + 1) / 2)) AS DOUBLE)
+                 AS ra,
+               CAST(sum(tie3) AS DOUBLE) AS tsum
+        FROM ranked
+    ),
+    u AS (
+        SELECT na, nb, nn, tsum,
+               ra - na * (na + 1.0) / 2.0 AS ua
+        FROM m
+    )
+    SELECT CAST(na AS BIGINT) AS n_building,
+           CAST(nb AS BIGINT) AS n_automobile,
+           ua AS u_building,
+           na * nb - ua AS u_automobile,
+           {sql_det_round(_MWU_Z, 6)} AS z,
+           {sql_det_round('1.0 - 2.0 * ua / (na * nb)', 6)} AS rank_biserial
+    FROM u
+    """,
+    doc="Mann-Whitney U rank-sum test comparing c_acctbal between the "
+    "BUILDING and AUTOMOBILE segments, with full mid-rank tie handling "
+    "and the tie-corrected normal approximation. Ranks are computed on "
+    "the value-grain aggregate (distinct 2-decimal balances — domain-"
+    "bounded, so the rank window never scales with customer count); "
+    "mid-ranks are exact k/2 rationals summed in DECIMAL(38,1); "
+    "U / z / rank-biserial effect size are identical IEEE closed forms "
+    "on both engines. One value-grain shuffle + a domain-bounded "
+    "cumulative window: scale-safe at 100 TB.",
+)
+def mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load(spark, sf_dir, "customer")
+    pool = cust.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+    ).select(
+        F.col("c_acctbal").alias("v"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("is_a"),
+    )
+    vals = pool.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("ta"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    # cumulative count of strictly-smaller observations per distinct
+    # value: the window input is the domain-bounded value-grain table
+    # (≤ |value domain| rows regardless of corpus size), so the single
+    # global ordering is cheap by construction.
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = vals.select(
+        "ta",
+        "t",
+        (F.sum("t").over(w) - F.col("t")).alias("below"),
+        (
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie3"),
+    )
+    m = ranked.agg(
+        F.sum("ta").cast("double").alias("na"),
+        F.sum(F.col("t") - F.col("ta")).cast("double").alias("nb"),
+        F.sum("t").cast("double").alias("nn"),
+        F.sum(
+            F.col("ta").cast("decimal(38,1)")
+            * (
+                F.col("below").cast("decimal(38,1)")
+                + (F.col("t").cast("decimal(38,1)") + 1) / 2
+            )
+        )
+        .cast("double")
+        .alias("ra"),
+        F.sum("tie3").cast("double").alias("tsum"),
+    )
+    u = m.select(
+        "na", "nb", "nn", "tsum",
+        (F.col("ra") - F.col("na") * (F.col("na") + 1.0) / 2.0).alias("ua"),
+    )
+    return u.select(
+        F.col("na").cast("bigint").alias("n_building"),
+        F.col("nb").cast("bigint").alias("n_automobile"),
+        F.col("ua").alias("u_building"),
+        (F.col("na") * F.col("nb") - F.col("ua")).alias("u_automobile"),
+        det_round(F.expr(_MWU_Z), 6).alias("z"),
+        det_round(
+            F.lit(1.0) - F.lit(2.0) * F.col("ua") / (F.col("na") * F.col("nb")), 6
+        ).alias("rank_biserial"),
+    )
+
+
+# ------------------------------------------- Kaplan-Meier survival curve
+#
+# Survival analysis over the signup→purchase funnel: subjects are
+# signup users, the "event" is the first subsequent purchase, users who
+# never purchase are right-censored at the global observation end (the
+# corpus max timestamp — a deterministic constant, not wall clock).
+# Durations collapse to DAY grain, so every window below runs over a
+# calendar-bounded table (#days in the observation span) no matter how
+# many users exist: the per-user work is two keyed aggregates + one
+# join, the curve itself is O(days). The survival product
+# Π(1 − d/n) is computed as exp(Σ ln(1 − d/n)) with each ln term
+# det_round-ed to 9 digits and summed exactly in DECIMAL (the
+# corpus_zipf_slope discipline), so the curve is hash-checkable.
+
+
+@register(
+    "events_survival_km",
+    oracle=f"""
+    WITH obs AS (
+        SELECT max(ts) AS end_ts FROM events
+    ),
+    s AS (
+        SELECT user_id, min(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        GROUP BY e.user_id
+    ),
+    subj AS (
+        SELECT CAST(floor(CAST(epoch_us(
+                   coalesce(p.first_purchase_ts, obs.end_ts) - s.signup_ts
+               ) AS DOUBLE) / 86400e6) AS BIGINT) AS t_days,
+               CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS converted
+        FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN obs
+    ),
+    byday AS (
+        SELECT t_days,
+               CAST(sum(converted) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS leave_n
+        FROM subj GROUP BY t_days
+    ),
+    risk AS (
+        SELECT t_days, d,
+               CAST((SELECT count(*) FROM subj) AS BIGINT)
+                 - (sum(leave_n) OVER (ORDER BY t_days
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - leave_n) AS n_risk
+        FROM byday
+    ),
+    death AS (
+        SELECT t_days, d, n_risk,
+               CASE WHEN d < n_risk
+                    THEN {sql_det_round('ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))', 9)}
+                    ELSE 0.0 END AS lnterm,
+               CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS zero_factor
+        FROM risk WHERE d > 0
+    ),
+    curve AS (
+        SELECT t_days, d, n_risk,
+               CAST(sum(CAST(lnterm AS DECIMAL(28,9))) OVER (ORDER BY t_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS lnsum,
+               max(zero_factor) OVER (ORDER BY t_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS zero_seen
+        FROM death
+    )
+    SELECT t_days, d AS n_events, n_risk,
+           CASE WHEN zero_seen = 1 THEN 0.0
+                ELSE {sql_det_round('exp(lnsum)', 6)} END AS survival
+    FROM curve ORDER BY t_days
+    """,
+    doc="Kaplan-Meier survival curve of signup→first-purchase delay "
+    "with right-censoring at the corpus observation end. Per-user work "
+    "is two keyed aggregates and one user-key join; durations collapse "
+    "to day grain so the at-risk/curve windows run over a calendar-"
+    "bounded table (O(#days), independent of user count). "
+    "S(t) = Π(1 − dᵢ/nᵢ) is evaluated as exp of an exactly-summed "
+    "det_round-ed log series — bit-identical across engines.",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    end_ts = ev.agg(F.max("ts").alias("end_ts"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, ["user_id"])
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    subj = (
+        s.join(p, ["user_id"], "left")
+        # the observation-end scalar joins in as a broadcast 1-row dim
+        .crossJoin(F.broadcast(end_ts))
+        .select(
+            F.floor(
+                (
+                    F.unix_micros(
+                        F.coalesce("first_purchase_ts", "end_ts")
+                    )
+                    - F.unix_micros("signup_ts")
+                ).cast("double")
+                / F.lit(86400e6)
+            )
+            .cast("bigint")
+            .alias("t_days"),
+            F.when(F.col("first_purchase_ts").isNull(), 0)
+            .otherwise(1)
+            .alias("converted"),
+        )
+    )
+    byday = subj.groupBy("t_days").agg(
+        F.sum("converted").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leave_n"),
+    )
+    n_total = subj.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    # day-grain windows: input cardinality is the observation span in
+    # days — calendar-bounded, safe as a single global ordering.
+    w = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = (
+        byday.crossJoin(F.broadcast(n_total))
+        .select(
+            "t_days",
+            "d",
+            (
+                F.col("n_total")
+                - (F.sum("leave_n").over(w) - F.col("leave_n"))
+            ).alias("n_risk"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    # an S(t) factor of exactly zero (d == n_risk: everyone remaining
+    # dies) would be ln(0) = -inf; carry it as an absorbing flag instead
+    # so the log-sum stays finite on both engines.
+    death = risk.select(
+        "t_days",
+        "d",
+        "n_risk",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            det_round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk").cast("double")
+                ),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lnterm"),
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0).alias("zero_factor"),
+    )
+    curve = death.select(
+        "t_days",
+        "d",
+        "n_risk",
+        F.sum(F.col("lnterm").cast("decimal(28,9)"))
+        .over(w)
+        .cast("double")
+        .alias("lnsum"),
+        F.max("zero_factor").over(w).alias("zero_seen"),
+    )
+    return curve.select(
+        "t_days",
+        F.col("d").alias("n_events"),
+        "n_risk",
+        F.when(F.col("zero_seen") == 1, F.lit(0.0))
+        .otherwise(det_round(F.exp("lnsum"), 6))
+        .alias("survival"),
+    ).orderBy("t_days")

@@ -404,3 +404,254 @@ def duplicate_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("basket_size")
     )
+
+
+# -------------------------------------------------- association rules
+#
+# The directional extension of part_pairs_cooccurrence: every frequent
+# unordered pair yields TWO candidate rules A→B and B→A, scored with
+# confidence, lift and leverage against the basket universe. All four
+# metrics are ratios of exact integer counts combined in one IEEE
+# closed form, so the rule table is hash-checkable. Scale shape: the
+# pair stream shuffles on the basket key (fan-out bounded by order
+# width), supports shuffle on the item key, and the final top-k is a
+# TakeOrdered over the thresholded rule set — never materializing an
+# unthresholded rule table.
+
+_LIFT = "(pair_cnt * n_baskets) / (c_ante * c_cons)"
+_LEVERAGE = (
+    "pair_cnt / n_baskets - (c_ante / n_baskets) * (c_cons / n_baskets)"
+)
+
+
+@register(
+    "part_association_rules",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets FROM items
+    ),
+    item_cnt AS (
+        SELECT l_partkey, CAST(count(*) AS DOUBLE) AS c_item FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(count(*) AS DOUBLE) AS pair_cnt
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    rules AS (
+        SELECT p1 AS antecedent, p2 AS consequent, pair_cnt FROM pairs
+        UNION ALL
+        SELECT p2 AS antecedent, p1 AS consequent, pair_cnt FROM pairs
+    ),
+    scored AS (
+        SELECT r.antecedent, r.consequent,
+               CAST(r.pair_cnt AS BIGINT) AS pair_support,
+               ca.c_item AS c_ante, cc.c_item AS c_cons,
+               r.pair_cnt, n.n_baskets
+        FROM rules r
+        JOIN item_cnt ca ON r.antecedent = ca.l_partkey
+        JOIN item_cnt cc ON r.consequent = cc.l_partkey
+        CROSS JOIN n
+    )
+    SELECT antecedent, consequent, pair_support,
+           {sql_det_round('pair_cnt / c_ante', 6)} AS confidence,
+           {sql_det_round(_LIFT, 6)} AS lift,
+           {sql_det_round(_LEVERAGE, 9)} AS leverage
+    FROM scored
+    ORDER BY {sql_det_round(_LIFT, 6)} DESC, antecedent, consequent
+    LIMIT 50
+    """,
+    doc="Association-rule mining over order baskets: directional rules "
+    "from frequent part pairs, scored with confidence, lift and "
+    "leverage (exact integer counts, identical IEEE closed forms). "
+    "Top-50 by lift with deterministic tiebreaks. Shuffles: basket-key "
+    "pair join, item-key support joins (the support side is "
+    "dimension-sized — AQE broadcasts it), TakeOrdered top-k.",
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = items.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_baskets")
+    )
+    item_cnt = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("c_item")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    rules = pairs.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "pair_cnt",
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            "pair_cnt",
+        )
+    )
+    scored = (
+        rules.join(
+            F.broadcast(
+                item_cnt.select(
+                    F.col("l_partkey").alias("antecedent"),
+                    F.col("c_item").alias("c_ante"),
+                )
+            ),
+            ["antecedent"],
+        )
+        .join(
+            F.broadcast(
+                item_cnt.select(
+                    F.col("l_partkey").alias("consequent"),
+                    F.col("c_item").alias("c_cons"),
+                )
+            ),
+            ["consequent"],
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        scored.select(
+            "antecedent",
+            "consequent",
+            F.col("pair_cnt").cast("bigint").alias("pair_support"),
+            det_round(F.expr("pair_cnt / c_ante"), 6).alias("confidence"),
+            det_round(F.expr(_LIFT), 6).alias("lift"),
+            det_round(F.expr(_LEVERAGE), 9).alias("leverage"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(50)
+    )
+
+
+# ------------------------------------------------------ triangle census
+#
+# Global clustering structure of the co-purchase graph: nodes are
+# parts, edges are part pairs co-purchased in ≥ 2 baskets. Triangles
+# are enumerated with the canonical node-ordered two-path join
+# (a<b<c), the distributed-standard algorithm: every triangle is
+# produced exactly once, and the join keys are edge endpoints so the
+# work shuffles on node ids, never on the full edge square. Wedges
+# (open two-paths) come from per-node degrees; the global clustering
+# coefficient 3·triangles/wedges is one IEEE division over exact
+# integer counts.
+
+
+@register(
+    "graph_triangle_census",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS DECIMAL(38,0)) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    m AS (
+        SELECT (SELECT count(*) FROM edges) AS n_edges,
+               (SELECT count(*) FROM deg) AS n_nodes,
+               (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+               (SELECT n_triangles FROM tri) AS n_triangles
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           {sql_det_round('3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)', 6)} AS clustering_coef
+    FROM m
+    """,
+    doc="Triangle census of the co-purchase part graph (edges: pairs "
+    "co-bought in ≥ 2 baskets): node/edge/wedge/triangle counts and "
+    "the global clustering coefficient. Node-ordered two-path join "
+    "(a<b<c) enumerates each triangle once — the standard distributed "
+    "triangle algorithm; joins shuffle on node endpoints, degrees are "
+    "one node-key aggregate. Counts are exact integers; the "
+    "coefficient is one IEEE division.",
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    # the thresholded edge set feeds three joins: materialize it once
+    edges.persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    m = (
+        nodes.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(tri))
+    )
+    return m.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_wedges").cast("bigint").alias("n_wedges"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        det_round(
+            F.lit(3.0)
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double"),
+            6,
+        ).alias("clustering_coef"),
+    )

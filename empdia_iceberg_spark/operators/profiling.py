@@ -129,3 +129,97 @@ def profile_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scalar_rows.unionByName(hist).orderBy("col_name", "metric")
+
+
+# --------------------------------------------------- Benford digit audit
+#
+# Fraud/data-quality screening: the first-significant-digit
+# distribution of order totals against Benford's law. The digit is
+# extracted from the EXACT cents integer (decimal(18,2)·100 → bigint →
+# first character) — no log10 on doubles, so there is no libm boundary
+# risk where 1000.00 could land on digit 9 in one engine and 1 in the
+# other. Expected shares are shared 17-digit literals (identical
+# constant text in both plans). One map-side-combined digit aggregate
+# (9 groups) + a broadcast total: a single cheap scan at any scale.
+
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_SQL_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD.items())
+    + " END"
+)
+
+
+@register(
+    "benford_order_totals",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    ),
+    counts AS (
+        SELECT digit, CAST(count(*) AS DOUBLE) AS c FROM digits GROUP BY digit
+    ),
+    tot AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts
+    ),
+    scored AS (
+        SELECT digit, c, n, {_BENFORD_SQL_CASE} AS expected
+        FROM counts CROSS JOIN tot
+    )
+    SELECT digit,
+           CAST(c AS BIGINT) AS n_orders,
+           {sql_det_round('c / n', 6)} AS obs_share,
+           {sql_det_round('expected', 6)} AS exp_share,
+           {sql_det_round('(c - n * expected) * (c - n * expected) / (n * expected)', 6)} AS chi2_term
+    FROM scored ORDER BY digit
+    """,
+    doc="Benford first-digit audit of o_totalprice: observed vs "
+    "expected digit shares and per-digit chi-square contribution. The "
+    "leading digit comes from the exact cents integer via string "
+    "slicing (never log10 on a double — no cross-libm boundary risk); "
+    "expected shares are shared literals. One 9-group map-side "
+    "aggregate + broadcast total: one scan at any scale.",
+)
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = counts.agg(F.sum("c").cast("double").alias("n"))
+    expected = F.expr(_BENFORD_SQL_CASE)
+    scored = counts.crossJoin(F.broadcast(tot)).withColumn("expected", expected)
+    return scored.select(
+        "digit",
+        F.col("c").cast("bigint").alias("n_orders"),
+        det_round(F.col("c") / F.col("n"), 6).alias("obs_share"),
+        det_round(F.col("expected"), 6).alias("exp_share"),
+        det_round(
+            (F.col("c") - F.col("n") * F.col("expected"))
+            * (F.col("c") - F.col("n") * F.col("expected"))
+            / (F.col("n") * F.col("expected")),
+            6,
+        ).alias("chi2_term"),
+    ).orderBy("digit")

@@ -506,3 +506,102 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum"),
         (cusum > 500.0).alias("drifted"),
     ).orderBy("event_id")
+
+
+# ------------------------------------------- sweep-line peak concurrency
+#
+# Interval concurrency — "how many orders were simultaneously open at
+# the worst moment of each month" — via the distributed sweep-line:
+# each order contributes a +1 delta at the start of its activity span
+# and a −1 the day after it closes (the span is least/greatest over
+# orderdate and the order's ship dates, tolerant of out-of-order
+# synthetic dates). The deltas collapse to DAY grain in one shuffle,
+# so the running-total window operates on a CALENDAR-bounded table
+# (one row per active day) no matter how many orders exist — the
+# standard trick that keeps prefix sums scale-free. Peak extraction is
+# a per-month rank over the same tiny day table.
+
+
+@register(
+    "orders_open_peak_monthly",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               least(o.o_orderdate, min(l.l_shipdate))    AS open_day,
+               greatest(o.o_orderdate, max(l.l_shipdate)) AS close_day
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT date_trunc('day', open_day) AS day, 1 AS delta FROM spans
+        UNION ALL
+        SELECT date_trunc('day', close_day) + INTERVAL 1 DAY AS day, -1 AS delta
+        FROM spans
+    ),
+    daily AS (
+        SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY day
+    ),
+    open_count AS (
+        SELECT day,
+               sum(net) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_open
+        FROM daily
+    ),
+    ranked AS (
+        SELECT strftime(date_trunc('month', day), '%Y-%m-%d') AS month,
+               strftime(day, '%Y-%m-%d') AS peak_day,
+               CAST(n_open AS BIGINT) AS peak_open,
+               row_number() OVER (PARTITION BY date_trunc('month', day)
+                                  ORDER BY n_open DESC, day) AS rn
+        FROM open_count
+    )
+    SELECT month, peak_day, peak_open FROM ranked WHERE rn = 1
+    ORDER BY month
+    """,
+    doc="Peak interval concurrency by month via the distributed "
+    "sweep-line: per-order activity spans (least/greatest of order and "
+    "ship dates — robust to out-of-order dates) become ±1 deltas, "
+    "deltas collapse to day grain in one shuffle, and the running "
+    "open-count window runs over the calendar-bounded daily table "
+    "(O(#days) rows regardless of order count). Peak day per month "
+    "with deterministic earliest-day tiebreak.",
+)
+def orders_open_peak_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.least(F.col("o_orderdate"), F.min("l_shipdate")).alias("open_day"),
+            F.greatest(F.col("o_orderdate"), F.max("l_shipdate")).alias("close_day"),
+        )
+    )
+    deltas = spans.select(
+        F.date_trunc("day", "open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            (F.date_trunc("day", "close_day") + F.expr("INTERVAL 1 DAY")).alias(
+                "day"
+            ),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").cast("bigint").alias("net"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    open_count = daily.select("day", F.sum("net").over(w).alias("n_open"))
+    month = F.date_trunc("month", "day")
+    rn = F.row_number().over(
+        W.partitionBy(month).orderBy(F.col("n_open").desc(), "day")
+    )
+    return (
+        open_count.select(
+            F.date_format(month, "yyyy-MM-dd").alias("month"),
+            F.date_format("day", "yyyy-MM-dd").alias("peak_day"),
+            F.col("n_open").cast("bigint").alias("peak_open"),
+            rn.alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("month")
+    )

