@@ -56,6 +56,7 @@ from empdia_iceberg_spark.operators import mining  # noqa: F401
 from empdia_iceberg_spark.operators import profiling  # noqa: F401
 from empdia_iceberg_spark.operators import inference  # noqa: F401
 from empdia_iceberg_spark.operators import dataprep  # noqa: F401
+from empdia_iceberg_spark.operators import retrieval  # noqa: F401
 
 # ---------------------------------------------------------------- sweep order
 # The driver's per-round CORRECTNESS sweep checks the first ~50 registered
@@ -81,7 +82,9 @@ from empdia_iceberg_spark.operators import dataprep  # noqa: F401
 # after curation_pipeline; the displaced plain-SQL shapes, the
 # curation twin, q20_dominant_suppliers, orders_status_summary, the
 # HLL/PQ/PCA rows-only trio, the never-swept token/stream shapes, and
-# the r2-green block head the r5 sweep.
+# the r2-green block head the r5 sweep, together with the retrieval
+# stack (doc_bm25_search, doc_rrf_fusion) added after the window was
+# frozen.
 _SWEEP_PRIORITY = [
     # --- judge's ask: queries with no driver row in ANY round, fixed in r4
     "multimodal_feature_extract",

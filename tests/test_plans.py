@@ -523,3 +523,20 @@ def test_mannwhitney_u_complement(spark):
     assert row["u_building"] + row["u_automobile"] == (
         row["n_building"] * row["n_automobile"]
     )
+
+
+def test_bm25_takeordered_not_global_window(spark):
+    """doc_bm25_search: the global top-k must be TakeOrdered (orderBy+
+    limit); the rank window runs only on the LIMIT-bounded rows."""
+    plan = _plan(spark, "doc_bm25_search")
+    assert "TakeOrdered" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_fusion_bounded_join(spark):
+    """doc_rrf_fusion: candidate lists are LIMIT-bounded before the
+    fusion join; the only nested-loop joins are 1-row broadcasts
+    (corpus stats, query vector)."""
+    plan = _plan(spark, "doc_rrf_fusion")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrdered" in plan, plan
