@@ -125,3 +125,102 @@ def events_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------- deterministic WEIGHTED sampling
+#
+# Efraimidis–Spirakis A-ES weighted sampling without replacement, made
+# reproducible: the per-row uniform comes from an md5 prefix (a pure
+# function of doc_id — rerun- and layout-stable, like
+# doc_sample_per_lang), the exponential key is u's arrival time scaled
+# by the weight, and the k smallest keys per stratum win. P(pick) is
+# proportional to weight (n_chars) — the "sample training docs by
+# quality/length" primitive.
+#
+# Scale shape (the hash_sample_per_stratum discipline, weighted):
+# before the per-stratum rank window, rows are prefiltered MAP-SIDE to
+# key ≤ 16k/W_s, where W_s is the stratum's total weight from one tiny
+# broadcast aggregate. N(t) = #{keys ≤ t} is a sum of independent
+# Bernoullis with E[N(16k/W)] ≳ 10k even under weight skew (heavy rows
+# pass the cutoff with prob ≥ 1 − e^(−16k·w/W)); Chernoff gives
+# P(top-k row filtered) ≤ exp(−4k) ≈ 2·10⁻⁹ at k=5 — so the window
+# input is ≤ ~16k rows per stratum in expectation, never the full
+# stratum, and the plain-window oracle provably equals the
+# prefiltered plan.
+
+WEIGHTED_SAMPLE_K = 5
+_WS_CUSHION = 16.0
+
+# u = (hex52(md5(doc_id)) + 1) / 2^52  ∈ (0, 1] — exact dyadic double,
+# identical in both engines; key = −ln(u)/w (det-rounded to 12: the
+# only libm call, same discipline as corpus_zipf_slope).
+_U_SQL = (
+    "((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1)"
+    " / 4503599627370496.0)"
+)
+
+
+@register(
+    "doc_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               {sql_det_round(f'-ln({_U_SQL}) / n_chars', 12)} AS k
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+                 AS sample_rank
+        FROM keyed
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked WHERE sample_rank <= {WEIGHTED_SAMPLE_K}
+    ORDER BY source, sample_rank
+    """,
+    doc="Deterministic Efraimidis-Spirakis weighted sampling: 5 docs "
+    "per source with probability proportional to n_chars, via "
+    "exponential keys −ln(u)/w over md5-derived exact-dyadic "
+    "uniforms. A map-side Chernoff prefilter (key ≤ 16k/W_stratum, "
+    "stratum weights from one broadcast aggregate; miss prob "
+    "≤ 2·10⁻⁹ even under weight skew) bounds the rank-window input to ~16k rows per "
+    "stratum, so no reducer ever sorts a full stratum. The oracle is "
+    "the plain window form the prefiltered plan provably equals.",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    u = (
+        F.conv(F.md5(F.col("doc_id").cast("string").cast("binary")).substr(1, 13), 16, 10)
+        .cast("bigint")
+        + 1
+    ) / F.lit(4503599627370496.0)
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        det_round(-F.log(u) / F.col("n_chars"), 12).alias("k"),
+    )
+    # stratum weight totals: dimension-sized (one row per source) →
+    # broadcast; the cutoff prefilter runs map-side before any shuffle
+    totals = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("w_total")
+    )
+    pruned = keyed.join(F.broadcast(totals), ["source"]).filter(
+        F.col("k")
+        <= F.lit(_WS_CUSHION * WEIGHTED_SAMPLE_K) / F.col("w_total")
+    )
+    w = W.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= WEIGHTED_SAMPLE_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+        .orderBy("source", "sample_rank")
+    )

@@ -655,3 +655,105 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("clustering_coef"),
     )
+
+
+# ------------------------------------------------------ BFS hop counts
+#
+# Graph traversal as iterative join-aggregate (the connected-components
+# / PageRank discipline): breadth-first distances from a deterministic
+# source (the smallest node id in the co-purchase edge set) out to
+# MAX_HOPS, returning the hop histogram. Each round is ONE join of the
+# current frontier against the edge list (shuffle keys: node ids) and
+# a min-aggregate; `localCheckpoint` truncates lineage so 6 rounds do
+# not stack a 6-join plan, and the loop reads back only a 1-int
+# frontier count per round. The oracle is a bounded recursive CTE with
+# set-dedup — a FULL value check for an iterative algorithm.
+
+BFS_MAX_HOPS = 6
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges0 AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    edges AS (
+        SELECT u, v FROM edges0 UNION ALL SELECT v AS u, u AS v FROM edges0
+    ),
+    src AS (
+        SELECT min(u) AS s FROM edges
+    ),
+    bfs(node, d) AS (
+        SELECT s AS node, 0 AS d FROM src
+        UNION
+        SELECT e.v AS node, bfs.d + 1 AS d
+        FROM bfs JOIN edges e ON e.u = bfs.node
+        WHERE bfs.d < {BFS_MAX_HOPS}
+    ),
+    dist AS (
+        SELECT node, min(d) AS hop FROM bfs GROUP BY node
+    )
+    SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM dist GROUP BY hop ORDER BY hop
+    """,
+    doc="BFS hop histogram over the undirected co-purchase graph from "
+    "the smallest node id: distances to every node within 6 hops via "
+    "iterative frontier-join-min (one node-key join + one min-agg per "
+    "round, localCheckpoint lineage truncation, only a scalar frontier "
+    "count crosses to the driver per round). Value-checked against a "
+    "bounded recursive-CTE oracle.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    edges = edges.localCheckpoint(eager=True)  # reused every round
+
+    src = edges.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).alias("hop")
+    )
+    dist = src.localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, BFS_MAX_HOPS + 1):
+        # expand the frontier one hop; drop nodes already reached
+        reached = (
+            frontier.join(edges, frontier.node == edges.u)
+            .select(F.col("v").alias("node"), F.lit(h).alias("hop"))
+            .distinct()
+            .join(dist.select("node"), ["node"], "left_anti")
+        )
+        reached = reached.localCheckpoint(eager=True)
+        # only a scalar crosses to the driver — never frontier rows
+        if reached.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(reached).localCheckpoint(eager=True)
+        frontier = reached
+    return (
+        dist.groupBy("hop")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.col("hop").cast("int").alias("hop"), "n_nodes")
+        .orderBy("hop")
+    )

@@ -605,3 +605,87 @@ def orders_open_peak_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------- maximum drawdown
+#
+# The finance/monitoring metric over each user's irregular value
+# series: drawdown(t) = running-peak(value) − value(t); report each
+# user's worst drawdown and when it bottomed. value is 2-decimal
+# (driver-verified lossless as DECIMAL(18,2)), so peak−value is EXACT
+# decimal subtraction — no float tolerance anywhere. One user_id
+# exchange shared by the running-max window and the per-user argmax.
+
+
+@register(
+    "events_max_drawdown_user",
+    oracle="""
+    WITH series AS (
+        SELECT user_id, event_id,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               max(CAST(value AS DECIMAL(18,2)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM events
+    ),
+    dd AS (
+        SELECT user_id, event_id, CAST(peak - v AS DOUBLE) AS drawdown
+        FROM series
+    )
+    SELECT user_id,
+           CAST(max(drawdown) AS DOUBLE) AS max_drawdown,
+           CAST(arg_min(event_id, lpad(CAST(CAST(100 * (999999.99 - drawdown) AS BIGINT) AS VARCHAR), 12, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS BIGINT) AS trough_event_id
+    FROM dd
+    GROUP BY user_id
+    HAVING max(drawdown) > 0
+    ORDER BY user_id
+    """,
+    doc="Per-user maximum drawdown over the ts-ordered value series: "
+    "running peak via a rows-frame max window, drawdown as EXACT "
+    "DECIMAL(18,2) subtraction, per-user worst drawdown plus the "
+    "deterministic trough event (earliest event_id at the worst "
+    "drawdown, via a zero-padded composite min_by key). The window "
+    "and the final aggregate share one user_id exchange.",
+)
+def events_max_drawdown_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    series = ev.select(
+        "user_id",
+        "event_id",
+        v.alias("v"),
+        F.max(v).over(w).alias("peak"),
+    )
+    dd = series.select(
+        "user_id",
+        "event_id",
+        (F.col("peak") - F.col("v")).cast("double").alias("drawdown"),
+    )
+    # deterministic argmin key: worst drawdown first (descending via the
+    # 999999.99 complement — drawdown is 2-decimal exact, so 100·x is an
+    # exact integer), then earliest event_id
+    ordkey = F.concat(
+        F.lpad(
+            (F.lit(100) * (F.lit(999999.99) - F.col("drawdown")))
+            .cast("bigint")
+            .cast("string"),
+            12,
+            "0",
+        ),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.max("drawdown").cast("double").alias("max_drawdown"),
+            F.min_by("event_id", ordkey).cast("bigint").alias("trough_event_id"),
+        )
+        .filter(F.col("max_drawdown") > 0)
+        .orderBy("user_id")
+    )

@@ -540,3 +540,72 @@ def test_rrf_fusion_bounded_join(spark):
     plan = _plan(spark, "doc_rrf_fusion")
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrdered" in plan, plan
+
+
+def test_drawdown_single_user_exchange(spark):
+    """events_max_drawdown_user: the running-max window and the final
+    per-user aggregate share ONE user_id exchange."""
+    plan = _plan(spark, "events_max_drawdown_user")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_weighted_sample_prefilter_matches_plain_window(spark):
+    """The Chernoff key-cutoff prefilter must select exactly the same
+    sample as the unfiltered per-stratum rank window (miss prob
+    ~2e-9 is theoretical; on this corpus it must be exact)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.functions.exact import det_round
+    from empdia_iceberg_spark.operators.dataprep import (
+        WEIGHTED_SAMPLE_K,
+        doc_weighted_sample,
+    )
+    from empdia_iceberg_spark.sources.tables import load
+
+    got = {
+        (r["source"], r["doc_id"], r["sample_rank"])
+        for r in doc_weighted_sample(spark, SF_DIR).collect()
+    }
+    docs = load(spark, SF_DIR, "documents").select("source", "doc_id", "n_chars")
+    u = (
+        F.conv(
+            F.md5(F.col("doc_id").cast("string").cast("binary")).substr(1, 13),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4503599627370496.0)
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        det_round(-F.log(u) / F.col("n_chars"), 12).alias("k"),
+    )
+    w = W.partitionBy("source").orderBy("k", "doc_id")
+    plain = {
+        (r["source"], r["doc_id"], r["sample_rank"])
+        for r in keyed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= WEIGHTED_SAMPLE_K)
+        .collect()
+    }
+    assert got == plain
+
+
+def test_weighted_sample_prefilter_bounds_window_input(spark):
+    """doc_weighted_sample: the cutoff filter must run BEFORE the rank
+    window (plan order: Filter below Window), with the stratum totals
+    broadcast."""
+    plan = _plan(spark, "doc_weighted_sample")
+    assert "BroadcastHashJoin" in plan, plan
+    win_pos = plan.find("Window")
+    assert win_pos != -1, plan
+    below = plan[win_pos:]
+    assert "Filter" in below and "w_total" in below, plan
+
+
+def test_bfs_keyed_frontier_join(spark):
+    """graph_bfs_hops: every frontier expansion is a keyed node join —
+    no cartesian, no nested-loop over the edge set."""
+    plan = _plan(spark, "graph_bfs_hops")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
