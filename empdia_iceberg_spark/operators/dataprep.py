@@ -224,3 +224,121 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "sample_rank")
     )
+
+
+# -------------------------------- greedy coverage (submodular) selection
+#
+# Facility-location-style training-data selection: greedily pick the K
+# documents that maximize marginal BIGRAM coverage of the corpus — the
+# classic submodular data-subset-selection primitive (guaranteed
+# (1−1/e)-optimal for coverage). Each round is one anti-join of the
+# (doc_id, bigram) inverted index against the covered set plus one
+# count-per-doc TakeOrdered(1); only the 1-row winner and a scalar
+# coverage count cross to the driver, and `localCheckpoint` keeps the
+# growing covered set's lineage flat — the same iterative discipline
+# as connected_components/pagerank. The oracle unrolls all K greedy
+# rounds into chained CTEs, so even this iterative selection is
+# value-hashed, not rows-only.
+
+GREEDY_COVERAGE_K = 5
+
+
+def _coverage_round_sql(r: int) -> str:
+    prev_c = f"c{r - 1}" if r > 1 else None
+    marg = (
+        "items"
+        if prev_c is None
+        else f"(SELECT i.* FROM items i ANTI JOIN {prev_c} p ON i.it = p.it)"
+    )
+    pick = (
+        f"p{r} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g FROM {marg} m"
+        f" GROUP BY doc_id ORDER BY g DESC, doc_id LIMIT 1)"
+    )
+    if prev_c is None:
+        cov = (
+            f"c{r} AS (SELECT DISTINCT it FROM items JOIN p{r} USING (doc_id))"
+        )
+    else:
+        cov = (
+            f"c{r} AS (SELECT it FROM {prev_c} UNION "
+            f"SELECT it FROM items JOIN p{r} USING (doc_id))"
+        )
+    return f"{pick},\n    {cov}"
+
+
+_COVERAGE_ROUNDS_SQL = ",\n    ".join(
+    _coverage_round_sql(r) for r in range(1, GREEDY_COVERAGE_K + 1)
+)
+_COVERAGE_UNION_SQL = " UNION ALL ".join(
+    f"SELECT {r} AS pick_rank, doc_id, g AS marginal_gain,"
+    f" (SELECT CAST(count(*) AS BIGINT) FROM c{r}) AS covered_bigrams FROM p{r}"
+    for r in range(1, GREEDY_COVERAGE_K + 1)
+)
+
+
+@register(
+    "doc_greedy_coverage_select",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    items AS (
+        SELECT DISTINCT doc_id, w1 || ' ' || w2 AS it FROM (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM tok)
+        )
+    ),
+    {_COVERAGE_ROUNDS_SQL}
+    {_COVERAGE_UNION_SQL}
+    ORDER BY pick_rank
+    """,
+    doc="Greedy submodular coverage selection: the 5 documents that "
+    "maximize marginal bigram coverage, one anti-join + count-per-doc "
+    "TakeOrdered(1) per round (driver sees only the 1-row winner and "
+    "a scalar coverage count; covered-set lineage truncated via "
+    "localCheckpoint). The (1−1/e) facility-location primitive behind "
+    "coverage-based training-subset selection. Oracle unrolls the "
+    "greedy rounds into chained CTEs — full value hash for an "
+    "iterative selection.",
+)
+def doc_greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.operators.langmodel import _bigrams, _tokenized
+
+    toked = _tokenized(spark, sf_dir)
+    items = (
+        _bigrams(toked)
+        .select("doc_id", F.concat_ws(" ", "w1", "w2").alias("it"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None
+    picks: list[tuple[int, int, int, int]] = []
+    for r in range(1, GREEDY_COVERAGE_K + 1):
+        marg = (
+            items
+            if covered is None
+            else items.join(covered, ["it"], "left_anti")
+        )
+        top = (
+            marg.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+            .orderBy(F.col("g").desc(), "doc_id")
+            .limit(1)
+            .collect()  # 1-row winner — the only row-data driver read
+        )
+        if not top:
+            break
+        winner, gain = top[0]["doc_id"], top[0]["g"]
+        new_cov = items.filter(F.col("doc_id") == winner).select("it")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+        picks.append((r, winner, gain, covered.count()))
+    return spark.createDataFrame(
+        picks, "pick_rank int, doc_id bigint, marginal_gain bigint, covered_bigrams bigint"
+    )

@@ -223,3 +223,97 @@ def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     ).orderBy("digit")
+
+
+# ------------------------------------------ KMV distinct-count sketch
+#
+# The k-minimum-values cardinality sketch made DETERMINISTIC (and
+# therefore fully value-oracled — rare for an "approximate" algorithm):
+# hash every key to an exact-dyadic uniform u = hex52(md5)/2^52, keep
+# the k smallest distinct u, estimate D ≈ (k−1)/u_(k). Every step is a
+# pure function of the key set, so both engines produce the identical
+# estimate — the sketch's ±1/√k error is against the TRUE cardinality,
+# not between engines.
+#
+# Scale shape: an adaptive map-side prefilter u ≤ 64k/D̂ (D̂ from
+# Spark's built-in HLL approx_count_distinct, one cheap scalar job)
+# cuts the stream to ~64k candidate hashes BEFORE the distinct —
+# #{u ≤ 64k/D} is Binomial(D, 64k/D), so P(losing a true k-min) is
+# astronomically small — then TakeOrdered merges per-partition k-mins:
+# the mergeable-sketch layout, never a full-key global sort.
+
+KMV_K = 256
+
+_KMV_U_SQL = (
+    "(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 13) AS BIGINT)"
+    " / 4503599627370496.0)"
+)
+
+
+@register(
+    "kmv_distinct_orders",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT DISTINCT {_KMV_U_SQL} AS u FROM lineitem
+    ),
+    mins AS (
+        SELECT u FROM hashes ORDER BY u LIMIT {KMV_K}
+    ),
+    m AS (
+        SELECT max(u) AS u_k, CAST(count(*) AS BIGINT) AS k_used FROM mins
+    ),
+    x AS (
+        SELECT (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS n_exact,
+               k_used, u_k
+        FROM m
+    )
+    SELECT n_exact, k_used,
+           {sql_det_round(f'({KMV_K} - 1) / u_k', 4)} AS kmv_estimate,
+           {sql_det_round(f'(({KMV_K} - 1) / u_k - n_exact) / n_exact', 6)} AS rel_error
+    FROM x
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch over lineitem "
+    "order keys, deterministic end-to-end: md5-derived exact-dyadic "
+    "uniforms, k=256 smallest distinct values via TakeOrdered "
+    "(per-partition k-mins merged — the mergeable-sketch layout), "
+    "estimate (k−1)/u_(k). An adaptive HLL-guided map-side prefilter "
+    "bounds the candidate stream at scale. Reported against the exact "
+    "cardinality with its relative error — fully hash-checkable.",
+)
+def kmv_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    u = (
+        F.conv(
+            F.md5(F.col("l_orderkey").cast("string").cast("binary")).substr(1, 13),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4503599627370496.0)
+    ).alias("u")
+
+    # one cheap scalar job: HLL estimate steers the prefilter threshold
+    d_approx = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("d")
+    ).collect()[0]["d"]
+    threshold = min(1.0, (64.0 * KMV_K) / max(d_approx, 1))
+
+    hashes = li.select(u).filter(F.col("u") <= F.lit(threshold)).distinct()
+    mins = hashes.orderBy("u").limit(KMV_K)
+    m = mins.agg(
+        F.max("u").alias("u_k"), F.count(F.lit(1)).cast("bigint").alias("k_used")
+    )
+    n_exact = li.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_exact")
+    )
+    est = (F.lit(float(KMV_K - 1)) / F.col("u_k"))
+    return (
+        m.crossJoin(F.broadcast(n_exact))
+        .select(
+            "n_exact",
+            "k_used",
+            det_round(est, 4).alias("kmv_estimate"),
+            det_round((est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+                "rel_error"
+            ),
+        )
+    )

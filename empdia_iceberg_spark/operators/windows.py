@@ -689,3 +689,49 @@ def events_max_drawdown_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("max_drawdown") > 0)
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------- rolling exact percentiles
+#
+# Time-based rolling robust statistics: per user, the exact median and
+# p90 of `value` over the trailing 7 days (RANGE frame on the event
+# time, not a row count — irregular series need time frames). Exact
+# windowed percentiles hold one frame in memory per partition; the
+# frame is bounded by a user's 7-day event volume (fine for per-entity
+# monitoring; the approx-percentile rollups cover the unbounded case).
+# Spark's integer-µs rangeBetween and the oracle's INTERVAL frame are
+# both closed on [t−7d, t]; interpolation arithmetic over 2-decimal
+# values is identical IEEE on both engines.
+
+
+@register(
+    "events_rolling_median_7d",
+    oracle="""
+    SELECT user_id, event_id,
+           (floor(quantile_cont(value, 0.5) OVER w * 10000.0 + 0.5) / 10000.0) AS med_7d,
+           (floor(quantile_cont(value, 0.9) OVER w * 10000.0 + 0.5) / 10000.0) AS p90_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="Rolling 7-day exact median and p90 per user over the "
+    "irregular event series (RANGE time frame, closed both ends). "
+    "One user_id exchange; frame memory is bounded by per-user 7-day "
+    "volume. Interpolated quantiles over 2-decimal values are "
+    "IEEE-identical across engines; det_round(…,4) closes the "
+    "rounding-boundary gap.",
+)
+def events_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        det_round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("med_7d"),
+        det_round(F.percentile("value", F.lit(0.9)).over(w), 4).alias("p90_7d"),
+    ).orderBy("user_id", "event_id")

@@ -609,3 +609,41 @@ def test_bfs_keyed_frontier_join(spark):
     plan = _plan(spark, "graph_bfs_hops")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rolling_median_single_user_exchange(spark):
+    """events_rolling_median_7d: both percentile frames share ONE
+    user_id exchange; no global window."""
+    plan = _plan(spark, "events_rolling_median_7d")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("+- Window") or s.startswith("Window"):
+            assert "], [], [" not in line, line
+
+
+def test_kmv_takeordered_mins(spark):
+    """kmv_distinct_orders: the k smallest hashes come from TakeOrdered
+    (per-partition k-mins merged), never a global sort."""
+    plan = _plan(spark, "kmv_distinct_orders")
+    assert "TakeOrdered" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmv_estimate_within_sketch_bound(spark):
+    """KMV's ±1/√k relative error (k=256 → ~6.25%); allow 4σ."""
+    row = registry.queries()["kmv_distinct_orders"](spark, SF_DIR).collect()[0]
+    assert abs(row["rel_error"]) < 4.0 / (256 ** 0.5), row
+
+
+def test_greedy_coverage_gains_monotone(spark):
+    """Submodularity: marginal gains must be non-increasing and
+    coverage strictly increasing across picks."""
+    rows = registry.queries()["doc_greedy_coverage_select"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    gains = [r["marginal_gain"] for r in rows]
+    assert all(a >= b for a, b in zip(gains, gains[1:])), gains
+    cov = [r["covered_bigrams"] for r in rows]
+    assert all(a < b for a, b in zip(cov, cov[1:])), cov
