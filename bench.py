@@ -45,6 +45,10 @@ HEADLINE = [
     "user_profile_similarity",
     "doc_lm_perplexity",
     "pagerank_trading_graph",
+    "doc_bm25_search",
+    "events_survival_km",
+    "orders_open_peak_monthly",
+    "mannwhitney_u_segments",
     "stream_tumbling_hourly",
     "table_merge_upsert",
 ]

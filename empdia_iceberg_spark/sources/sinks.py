@@ -281,3 +281,67 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ------------------------------------------------ raw binary-file ingest
+#
+# The `binaryFile` source — Spark's entry point for raw multimodal
+# corpora (images/audio/video as loose files on object storage): each
+# file becomes one row (path, modificationTime, length, content), and
+# partition-parallel listing + reading scales with executor count.
+# Fixture staging (8 tiny files derived from document texts) happens
+# once driver-side — it is test scaffolding, not the measured path;
+# the OPERATOR under test is the distributed read + digest. The oracle
+# recomputes every expected digest from the base `documents` table
+# alone (sha256 over the same UTF-8 bytes), so correctness proves the
+# raw-file round trip bit-for-bit without the oracle touching files.
+
+BINARY_INGEST_N = 8
+
+
+@register(
+    "binaryfile_ingest",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents
+    WHERE doc_id < {BINARY_INGEST_N}
+    ORDER BY doc_id
+    """,
+    doc="Raw binary-file ingestion via the binaryFile source: loose "
+    ".bin files (UTF-8 document texts staged as fixtures) read as "
+    "(path, length, content) rows with a pathGlobFilter, doc ids "
+    "parsed from filenames, per-file sha256 digests computed "
+    "executor-side. The oracle recomputes lengths and digests from "
+    "the base table — the round trip must be bit-exact. At 100 TB "
+    "this is the object-store listing + parallel-read path every "
+    "multimodal pipeline starts with.",
+)
+def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _fresh(os.path.join(SINK_ROOT, "binary_ingest"))
+    os.makedirs(out)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARY_INGEST_N)
+        .select("doc_id", "text")
+        .collect()  # BINARY_INGEST_N rows — bounded fixture staging only
+    )
+    for r in docs:
+        with open(os.path.join(out, f"doc_{r['doc_id']:04d}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return (
+        back.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.lower(F.sha2(F.col("content"), 256)).alias("digest"),
+        )
+        .orderBy("doc_id")
+    )
