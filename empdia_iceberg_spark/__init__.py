@@ -57,6 +57,7 @@ from empdia_iceberg_spark.operators import profiling  # noqa: F401
 from empdia_iceberg_spark.operators import inference  # noqa: F401
 from empdia_iceberg_spark.operators import dataprep  # noqa: F401
 from empdia_iceberg_spark.operators import retrieval  # noqa: F401
+from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 
 # ---------------------------------------------------------------- sweep order
 # The driver's per-round CORRECTNESS sweep checks the first ~50 registered

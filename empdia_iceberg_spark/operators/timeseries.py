@@ -1,0 +1,217 @@
+"""Time-series diagnostics over day-grain rollups: sample
+autocorrelation (ACF) and a trig-free seasonal-strength scan.
+
+Both operators share the engine's calendar-bounded window discipline
+(the `orders_open_peak_monthly` precedent): the fact table collapses
+to ONE row per day in a single shuffle, so every subsequent window or
+join runs over a table bounded by the calendar span — at 100 TB the
+daily series is still a few thousand rows, and the lag windows /
+phase-fold joins never touch the raw events again.
+
+Determinism follows `functions/exact.py`: the daily sums are exact
+DECIMAL accumulations; per-element doubles (products of deviations,
+squared phase-mean gaps) are det_round(6)-stabilized then
+decimal-summed, and every closed-form combination is the identical
+IEEE expression on both engines — so even an autocorrelation
+coefficient is hash-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.functions.exact import (
+    det_round,
+    sql_det_round,
+    sql_sum_r6,
+    exact_sum_r6,
+)
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+
+# Daily series CTE shared by both oracles: exact decimal sum of
+# events.value per calendar day, plus a 0-based day index from the
+# series start (DuckDB date_diff('day', start, d) == Spark
+# datediff(d, start) for DATE operands).
+_DAILY_SQL = """
+    daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    idx AS (
+        SELECT d, x,
+               CAST(date_diff('day', (SELECT min(d) FROM daily), d) AS INT) AS t
+        FROM daily
+    )
+"""
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain exact-decimal rollup of events.value with a 0-based
+    day index — ONE shuffle over the fact table; everything downstream
+    is calendar-bounded."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
+    )
+    start = daily.agg(F.min("d").alias("d0"))
+    return daily.crossJoin(F.broadcast(start)).select(
+        "d", "x", F.datediff("d", "d0").cast("int").alias("t")
+    )
+
+
+@register(
+    "daily_acf_value",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx
+        FROM idx
+    ),
+    dev AS (
+        SELECT idx.t, idx.x - stats.sx / stats.n AS dx FROM idx CROSS JOIN stats
+    ),
+    denom AS (
+        SELECT {sql_sum_r6('dx * dx')} AS ss FROM dev
+    ),
+    lagged AS (
+        SELECT l.lag_k, cur.dx AS dx, prev.dx AS dx_lag
+        FROM (SELECT unnest(generate_series(1, 7)) AS lag_k) l
+        JOIN dev cur ON TRUE
+        JOIN dev prev ON prev.t = cur.t - l.lag_k
+    ),
+    numer AS (
+        SELECT lag_k, {sql_sum_r6('dx * dx_lag')} AS sp, count(*) AS n_pairs
+        FROM lagged GROUP BY lag_k
+    )
+    SELECT CAST(lag_k AS INT) AS lag_k,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           {sql_det_round('sp / denom.ss', 6)} AS acf
+    FROM numer CROSS JOIN denom
+    ORDER BY lag_k
+    """,
+    doc="Sample autocorrelation of the daily events.value series at "
+    "lags 1..7: the fact table collapses to one row per day in a "
+    "single shuffle, deviations from the series mean are paired with "
+    "their k-day-earlier counterparts by an equi-join on the day "
+    "index (calendar-bounded — never the fact table), and each "
+    "r_k = Σ dx_t·dx_{t−k} / Σ dx_t² is det_round+decimal-summed so "
+    "the coefficients hash-match across engines. Lag-7 spikes flag "
+    "weekly seasonality.",
+)
+def daily_acf_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _daily_series(spark, sf_dir)
+    stats = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(27,6)")).cast("double").alias("sx"),
+    )
+    dev = idx.crossJoin(F.broadcast(stats)).select(
+        "t", (F.col("x") - F.col("sx") / F.col("n")).alias("dx")
+    )
+    denom = dev.agg(exact_sum_r6(F.col("dx") * F.col("dx")).alias("ss"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_k"))
+    # Pair each day with its k-day-earlier neighbour: broadcast the
+    # 7-row lag table against the daily series, then equi-join back to
+    # the series on the shifted index — both sides calendar-bounded.
+    cur = dev.crossJoin(F.broadcast(lags)).withColumn(
+        "t_prev", F.col("t") - F.col("lag_k")
+    )
+    prev = dev.select(F.col("t").alias("t_prev"), F.col("dx").alias("dx_lag"))
+    numer = (
+        cur.join(prev, "t_prev")
+        .groupBy("lag_k")
+        .agg(
+            exact_sum_r6(F.col("dx") * F.col("dx_lag")).alias("sp"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return (
+        numer.crossJoin(F.broadcast(denom))
+        .select(
+            F.col("lag_k").cast("int").alias("lag_k"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            det_round(F.col("sp") / F.col("ss"), 6).alias("acf"),
+        )
+        .orderBy("lag_k")
+    )
+
+
+@register(
+    "seasonal_strength_scan",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    periods AS (SELECT unnest(generate_series(2, 14)) AS period),
+    folded AS (
+        SELECT p.period, idx.t % p.period AS phase, idx.x
+        FROM periods p JOIN idx ON TRUE
+    ),
+    phase_stats AS (
+        SELECT period, phase,
+               CAST(count(*) AS DOUBLE) AS ng,
+               CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sg
+        FROM folded GROUP BY period, phase
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx
+        FROM idx
+    ),
+    tss AS (
+        SELECT {sql_sum_r6('(idx.x - tot.sx / tot.n) * (idx.x - tot.sx / tot.n)')} AS ss
+        FROM idx CROSS JOIN tot
+    ),
+    bss AS (
+        SELECT period,
+               {sql_sum_r6('ng * (sg / ng - tot.sx / tot.n) * (sg / ng - tot.sx / tot.n)')} AS bs
+        FROM phase_stats CROSS JOIN tot GROUP BY period
+    )
+    SELECT CAST(period AS INT) AS period,
+           {sql_det_round('bs / tss.ss', 6)} AS eta2
+    FROM bss CROSS JOIN tss
+    ORDER BY period
+    """,
+    doc="Trig-free seasonality detection: for each candidate period "
+    "p∈[2,14], fold the daily series by t mod p and measure the "
+    "variance explained by the phase means (ANOVA η² = between-SS / "
+    "total-SS). A weekly cycle peaks at p=7 — the periodogram's "
+    "job WITHOUT cos/sin, so every term is an exact closed form "
+    "over decimal sums and the scan hash-matches across engines. "
+    "The fold runs over the day-grain rollup (13 periods × days "
+    "rows), never the fact table.",
+)
+def seasonal_strength_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _daily_series(spark, sf_dir)
+    periods = spark.range(2, 15).select(F.col("id").cast("int").alias("period"))
+    folded = idx.crossJoin(F.broadcast(periods)).select(
+        "period", (F.col("t") % F.col("period")).alias("phase"), "x"
+    )
+    phase_stats = folded.groupBy("period", "phase").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum(F.col("x").cast("decimal(27,6)")).cast("double").alias("sg"),
+    )
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(27,6)")).cast("double").alias("sx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    tss = idx.crossJoin(F.broadcast(tot)).agg(
+        exact_sum_r6((F.col("x") - mean) * (F.col("x") - mean)).alias("ss")
+    )
+    gap = F.col("sg") / F.col("ng") - mean
+    bss = (
+        phase_stats.crossJoin(F.broadcast(tot))
+        .groupBy("period")
+        .agg(exact_sum_r6(F.col("ng") * gap * gap).alias("bs"))
+    )
+    return (
+        bss.crossJoin(F.broadcast(tss))
+        .select(
+            F.col("period").cast("int").alias("period"),
+            det_round(F.col("bs") / F.col("ss"), 6).alias("eta2"),
+        )
+        .orderBy("period")
+    )
