@@ -757,3 +757,203 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("hop").cast("int").alias("hop"), "n_nodes")
         .orderBy("hop")
     )
+
+
+# ----------------------------------------- item-item recommendations
+#
+# The classic neighborhood recommender: cosine similarity between
+# parts over BINARY basket membership, sim(u,v) = cooc(u,v) /
+# sqrt(freq(u)·freq(v)). Aggregate-first: the pair stream is the same
+# basket-key-co-partitioned self-join as part_pairs_cooccurrence
+# (bounded per-basket fan-out), supports are one part-key aggregate
+# joined back on the pair endpoints, and the per-item top-5 window
+# runs over each item's candidate list (≤ its co-purchase degree),
+# never a global sort. sqrt is IEEE-exact on both engines, so the
+# cosine is hash-checkable.
+
+
+@register(
+    "item_item_similar_parts",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+        SELECT l_partkey AS pk, count(*) AS f FROM items GROUP BY l_partkey
+    ),
+    cooc AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS c
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    sym AS (
+        SELECT u, v, c FROM cooc
+        UNION ALL
+        SELECT v AS u, u AS v, c FROM cooc
+    ),
+    scored AS (
+        SELECT sym.u, sym.v,
+               {sql_det_round('CAST(sym.c AS DOUBLE) / sqrt(CAST(fu.f AS DOUBLE) * CAST(fv.f AS DOUBLE))', 6)} AS cosine,
+               row_number() OVER (PARTITION BY sym.u
+                                  ORDER BY CAST(sym.c AS DOUBLE) / sqrt(CAST(fu.f AS DOUBLE) * CAST(fv.f AS DOUBLE)) DESC, sym.v) AS rnk
+        FROM sym
+        JOIN freq fu ON fu.pk = sym.u
+        JOIN freq fv ON fv.pk = sym.v
+    )
+    SELECT CAST(u AS BIGINT) AS part_id,
+           CAST(v AS BIGINT) AS similar_part,
+           CAST(rnk AS INT) AS rnk,
+           cosine
+    FROM scored WHERE rnk <= 5
+    ORDER BY part_id, rnk
+    """,
+    doc="Item-item collaborative filtering over binary basket vectors: "
+    "cosine(u,v) = cooc/sqrt(freq_u·freq_v) for part pairs co-bought "
+    "in ≥2 baskets, top-5 neighbours per part with deterministic "
+    "tiebreak. The pair stream co-partitions on the basket key with "
+    "bounded fan-out; supports broadcast back onto pair endpoints; "
+    "the ranking window is per-item-candidate-bounded, never global.",
+)
+def item_item_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    freq = items.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    sym = cooc.unionByName(
+        cooc.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
+    )
+    fu = freq.select(F.col("pk").alias("u"), F.col("f").alias("fu"))
+    fv = freq.select(F.col("pk").alias("v"), F.col("f").alias("fv"))
+    cosine = F.col("c").cast("double") / F.sqrt(
+        F.col("fu").cast("double") * F.col("fv").cast("double")
+    )
+    w = W.partitionBy("u").orderBy(cosine.desc(), F.col("v"))
+    scored = (
+        sym.join(fu, "u")
+        .join(fv, "v")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+    return scored.select(
+        F.col("u").cast("bigint").alias("part_id"),
+        F.col("v").cast("bigint").alias("similar_part"),
+        F.col("rnk").cast("int").alias("rnk"),
+        det_round(cosine, 6).alias("cosine"),
+    ).orderBy("part_id", "rnk")
+
+
+# ------------------------------------------- degree assortativity
+#
+# Newman's degree-assortativity coefficient: the Pearson correlation
+# of endpoint degrees over the (symmetrized) edge list of the
+# co-purchase graph. One degree aggregate on the node key, one join of
+# the edge list against it per endpoint, then the five moment sums —
+# exact decimal accumulation with the identical IEEE closed form on
+# both engines (sqrt is correctly rounded per IEEE-754), so even a
+# correlation coefficient over a graph is hash-checkable.
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    cooc AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    sym AS (
+        SELECT u, v FROM cooc UNION ALL SELECT v AS u, u AS v FROM cooc
+    ),
+    deg AS (
+        SELECT u AS node, count(*) AS d FROM sym GROUP BY u
+    ),
+    pairs AS (
+        SELECT CAST(du.d AS DOUBLE) AS x, CAST(dv.d AS DOUBLE) AS y
+        FROM sym JOIN deg du ON du.node = sym.u JOIN deg dv ON dv.node = sym.v
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           {sql_det_round('(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))', 6)} AS assortativity
+    FROM m
+    """,
+    doc="Newman degree assortativity of the co-purchase part graph: "
+    "Pearson correlation of endpoint degrees over the symmetrized "
+    "edge list. Degrees are one node-key aggregate joined back per "
+    "endpoint; the five moment sums accumulate exactly in decimal "
+    "and the closed form (with IEEE-exact sqrt) hash-matches across "
+    "engines. Negative values = hubs link to leaves (disassortative).",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    sym = cooc.unionByName(cooc.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    pairs = (
+        sym.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("dx").cast("double").alias("x"),
+            F.col("dy").cast("double").alias("y"),
+        )
+    )
+    dx = F.col("x").cast("decimal(18,2)")
+    dy = F.col("y").cast("decimal(18,2)")
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        det_round(r, 6).alias("assortativity"),
+    )
