@@ -150,3 +150,146 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ----------------------------------------- multinomial Naive Bayes
+#
+# The classic trained text classifier, distributed the same way as the
+# bigram LM: per-language token counts are groupBy aggregations that
+# LIVE as DataFrames (never collected — a 100 TB corpus's count table
+# shards like any fact), scoring joins the token stream back to the
+# counts on the token key, and the only broadcasts are the
+# language table (one row per class) and the 1-row vocabulary size.
+# Add-one smoothing makes every probability a ratio of exact small
+# integers; each ln-term is det_round(6)+decimal-summed, so the
+# per-class scores — and therefore the argmax predictions — are
+# bit-identical across engines, making a TRAINED classifier's
+# confusion matrix hash-checkable.
+
+_NB_TERM = "ln((CAST(c AS DOUBLE) + 1.0) / (CAST(n_l AS DOUBLE) + CAST(v AS DOUBLE)))"
+
+
+@register(
+    "nb_lang_confusion",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    tokens AS (
+        SELECT doc_id, lang, unnest(toks) AS w FROM tok
+    ),
+    cnt AS (
+        SELECT lang AS cand_lang, w, count(*) AS c
+        FROM tokens GROUP BY lang, w
+    ),
+    langs AS (
+        SELECT cand_lang, sum(c) AS n_l FROM cnt GROUP BY cand_lang
+    ),
+    priors AS (
+        SELECT t.lang AS cand_lang, count(*) AS n_docs_l
+        FROM tok t GROUP BY t.lang
+    ),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM tokens),
+    total AS (SELECT count(*) AS n_docs FROM tok),
+    stream AS (
+        SELECT tk.doc_id, tk.lang AS actual_lang, l.cand_lang, l.n_l, tk.w
+        FROM (SELECT doc_id, lang, w FROM tokens) tk
+        CROSS JOIN langs l
+    ),
+    terms AS (
+        SELECT s.doc_id, s.actual_lang, s.cand_lang,
+               {sql_det_round(_NB_TERM, 6)} AS term
+        FROM (SELECT s.*, COALESCE(cnt.c, 0) AS c
+              FROM stream s
+              LEFT JOIN cnt ON cnt.cand_lang = s.cand_lang AND cnt.w = s.w) s
+        CROSS JOIN vocab
+    ),
+    scores AS (
+        SELECT doc_id, actual_lang, cand_lang,
+               {sql_sum_r6('term')}
+               + {sql_det_round('ln(CAST(p.n_docs_l AS DOUBLE) / CAST(t.n_docs AS DOUBLE))', 6)} AS score
+        FROM terms
+        JOIN priors p USING (cand_lang)
+        CROSS JOIN total t
+        GROUP BY doc_id, actual_lang, cand_lang, p.n_docs_l, t.n_docs
+    ),
+    pred AS (
+        SELECT doc_id, actual_lang, cand_lang AS predicted_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand_lang) AS rnk
+        FROM scores
+    )
+    SELECT actual_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rnk = 1
+    GROUP BY actual_lang, predicted_lang
+    ORDER BY actual_lang, predicted_lang
+    """,
+    doc="Multinomial Naive Bayes language identification, trained and "
+    "applied in one plan: per-language add-one-smoothed token counts "
+    "(distributed, never collected), corpus re-scored by joining the "
+    "token stream to its own counts, argmax class per document with "
+    "a deterministic tiebreak, output as the confusion matrix vs the "
+    "true labels. det_round+decimal-summed ln-terms make the scores "
+    "— hence the predictions — bit-identical across engines.",
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    toked = _tokenized(spark, sf_dir)
+    tokens = toked.select("doc_id", "lang", F.explode("toks").alias("w"))
+
+    cnt = tokens.groupBy(F.col("lang").alias("cand_lang"), "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    langs = cnt.groupBy("cand_lang").agg(F.sum("c").alias("n_l"))
+    priors = toked.groupBy(F.col("lang").alias("cand_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs_l")
+    )
+    vocab = tokens.agg(F.countDistinct("w").alias("v"))
+    total = toked.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    stream = tokens.select(
+        "doc_id", F.col("lang").alias("actual_lang"), "w"
+    ).crossJoin(F.broadcast(langs))
+    joined = stream.join(
+        cnt, ["cand_lang", "w"], "left"
+    ).withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    terms = joined.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        "actual_lang",
+        "cand_lang",
+        det_round(F.expr(_NB_TERM), 6).alias("term"),
+    )
+    scores = (
+        terms.groupBy("doc_id", "actual_lang", "cand_lang")
+        .agg(exact_sum_r6(F.col("term")).alias("sum_terms"))
+        .join(F.broadcast(priors), ["cand_lang"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "actual_lang",
+            "cand_lang",
+            (
+                F.col("sum_terms")
+                + det_round(
+                    F.log(
+                        F.col("n_docs_l").cast("double")
+                        / F.col("n_docs").cast("double")
+                    ),
+                    6,
+                )
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
+    pred = scores.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    return (
+        pred.groupBy("actual_lang", F.col("cand_lang").alias("predicted_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
