@@ -847,3 +847,97 @@ def table_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ----------------------------------- incremental materialized view
+#
+# The lakehouse MV-maintenance pattern (Iceberg + Trino/Databricks
+# "incremental refresh", Materialize-style delta aggregation): a
+# revenue-by-(year, status) MV over the orders snapshot table is
+# refreshed after an append by aggregating ONLY the rows added
+# between the two snapshots (incremental read = key-pruned anti-join)
+# and merging the delta into the MV — refresh cost is O(delta) +
+# O(MV), never O(base table). The MV stores its sums as
+# DECIMAL(18,2), so delta addition is exact and the refreshed MV is
+# bit-identical to a full recompute — which is exactly what the
+# oracle checks: the hash-match against a plain aggregate over ALL
+# base orders PROVES incremental == full.
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round({sql_sum2('o_totalprice')}, 2) AS revenue
+    FROM orders
+    GROUP BY year(o_orderdate), o_orderstatus
+    ORDER BY yr, o_orderstatus
+    """,
+    doc="Incremental materialized-view maintenance: MV = revenue by "
+    "(year, status) built over half the orders, base table appended "
+    "with the other half, then refreshed by aggregating ONLY the "
+    "incremental-read delta (anti-join between snapshots, key-pruned) "
+    "and merging counts/decimal-exact sums into the MV — O(delta+MV) "
+    "refresh, never O(base). Hash-matching the full aggregate over "
+    "all orders proves incremental == full recompute.",
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def agg_mv(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("o_orderstatus"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+        )
+
+    base = SnapshotTable(spark, "orders_mv_base")
+    base.drop()
+    base.create(orders.filter(F.col("o_orderkey") % 2 == 0))
+    mv = SnapshotTable(spark, "orders_mv")
+    mv.drop()
+    mv.create(agg_mv(base.read()))
+
+    base.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+
+    # incremental read: rows added v1 → v2 (for an append this prunes
+    # to the appended files' keys; expressed as the general anti-join)
+    added = base.read(version=2).join(
+        base.read(version=1).select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    delta = agg_mv(added).withColumnsRenamed(
+        {"n_orders": "d_n", "rev_dec": "d_rev"}
+    )
+    refreshed = (
+        mv.read()
+        .join(delta, ["yr", "o_orderstatus"], "full_outer")
+        .select(
+            "yr",
+            "o_orderstatus",
+            (
+                F.coalesce(F.col("n_orders"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("rev_dec"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("d_rev"), F.lit(0).cast("decimal(18,2)"))
+            ).alias("rev_dec"),
+        )
+    )
+    mv.overwrite(refreshed, op="refresh")
+    return (
+        mv.read()
+        .select(
+            "yr",
+            "o_orderstatus",
+            "n_orders",
+            F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("yr", "o_orderstatus")
+    )
