@@ -2570,3 +2570,59 @@ def orders_shipping_busdays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------------- weighted order statistics
+
+
+@register(
+    "weighted_quantiles_quantity",
+    oracle="""
+    WITH w AS (
+        SELECT l_quantity AS v,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS wt
+        FROM lineitem
+    ),
+    tot AS (SELECT sum(wt) AS tw FROM w),
+    cum AS (
+        SELECT v, sum(wt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c
+        FROM w
+    )
+    SELECT (SELECT min(v) FROM cum, tot WHERE 2 * c >= tw)  AS w_median,
+           (SELECT min(v) FROM cum, tot WHERE 10 * c >= 9 * tw) AS w_p90,
+           (SELECT CAST(tw AS DOUBLE) FROM tot) AS total_weight
+    """,
+    doc="Weighted median and weighted p90 of l_quantity with "
+    "l_extendedprice weights: the smallest value whose cumulative "
+    "weight crosses p·W. The global running weight uses "
+    "operators.scale.bucketed_prefix_sum (quantile buckets + exact "
+    "decimal offsets — never a single-partition window), and the "
+    "crossing test is an EXACT decimal comparison (2·cum ≥ W, "
+    "10·cum ≥ 9·W) — no float threshold, so the quantiles are "
+    "hash-identical however ties are ordered.",
+)
+def weighted_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.operators.scale import bucketed_prefix_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("v"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = li.agg(F.sum("wt").alias("tw"))
+    cum = bucketed_prefix_sum(
+        li, "v", "wt", tiebreaks=("l_orderkey", "l_linenumber"), out_col="c"
+    )
+    crossed = cum.crossJoin(F.broadcast(tot))
+    med = crossed.filter(F.lit(2) * F.col("c") >= F.col("tw")).agg(
+        F.min("v").alias("w_median")
+    )
+    p90 = crossed.filter(F.lit(10) * F.col("c") >= F.lit(9) * F.col("tw")).agg(
+        F.min("v").alias("w_p90")
+    )
+    return (
+        med.crossJoin(F.broadcast(p90))
+        .crossJoin(F.broadcast(tot))
+        .select("w_median", "w_p90", F.col("tw").cast("double").alias("total_weight"))
+    )
