@@ -19,9 +19,11 @@ from pyspark.sql import functions as F
 
 from empdia_iceberg_spark.functions.exact import (
     det_round,
+    exact_sum_r6,
     moment_sums,
     sql_det_round,
     sql_moment_sums,
+    sql_sum_r6,
 )
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
@@ -845,3 +847,97 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(det_round(F.exp("lnsum"), 6))
         .alias("survival"),
     ).orderBy("t_days")
+
+
+# ------------------------------------------ information-theoretic profiling
+#
+# Entropy and mutual information between event_type and hour-of-day —
+# the feature-relevance / drift-diagnostic companion to the chi-square
+# test: the same one tiny contingency shuffle, marginals re-aggregated
+# from the cells, and every p·log2 term det_round(6)+decimal-summed so
+# the information quantities are hash-comparable.
+
+
+def _sql_h_term(c: str) -> str:
+    """-p·log2(p) for a count column over grand total gt."""
+    p = f"(CAST({c} AS DOUBLE) / CAST(gt AS DOUBLE))"
+    return f"(-{p} * log2({p}))"
+
+
+_SQL_MI_TERM = (
+    "((CAST(o AS DOUBLE) / CAST(gt AS DOUBLE))"
+    " * log2(CAST(o AS DOUBLE) * CAST(gt AS DOUBLE)"
+    " / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))))"
+)
+
+
+@register(
+    "mi_events_type_hour",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS o
+        FROM events GROUP BY event_type, hour(ts)
+    ),
+    rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY event_type),
+    ct AS (SELECT hr, sum(o) AS ct FROM obs GROUP BY hr),
+    gt AS (SELECT sum(o) AS gt FROM obs),
+    hx AS (
+        SELECT {sql_sum_r6(_sql_h_term('rt.rt'))} AS h FROM rt CROSS JOIN gt
+    ),
+    hy AS (
+        SELECT {sql_sum_r6(_sql_h_term('ct.ct'))} AS h FROM ct CROSS JOIN gt
+    ),
+    mi AS (
+        SELECT {sql_sum_r6(_SQL_MI_TERM)} AS mi
+        FROM obs JOIN rt USING (event_type) JOIN ct USING (hr) CROSS JOIN gt
+    )
+    SELECT {sql_det_round('hx.h', 4)} AS h_type,
+           {sql_det_round('hy.h', 4)} AS h_hour,
+           {sql_det_round('mi.mi', 4)} AS mutual_info
+    FROM hx CROSS JOIN hy CROSS JOIN mi
+    """,
+    doc="Entropy of event_type, entropy of hour-of-day, and their "
+    "mutual information in bits: one contingency shuffle, marginals "
+    "re-aggregated from the cells, every p·log2 term det_round+"
+    "decimal-summed — hash-checkable information theory. MI near 0 "
+    "means the event mix is stationary across the day; drift "
+    "monitors alert on a rise.",
+)
+def mi_events_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    obs = events.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("hr").agg(F.sum("o").alias("ct"))
+    gt = obs.agg(F.sum("o").alias("gt"))
+
+    def h_sum(df: DataFrame, c: str) -> DataFrame:
+        p = F.col(c).cast("double") / F.col("gt").cast("double")
+        return df.crossJoin(F.broadcast(gt)).agg(
+            exact_sum_r6(det_round(-p * F.log2(p), 6)).alias("h")
+        )
+
+    hx = h_sum(rt, "rt")
+    hy = h_sum(ct, "ct")
+    p_xy = F.col("o").cast("double") / F.col("gt").cast("double")
+    ratio = (
+        F.col("o").cast("double")
+        * F.col("gt").cast("double")
+        / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+    )
+    mi = (
+        obs.join(rt, ["event_type"])
+        .join(ct, ["hr"])
+        .crossJoin(F.broadcast(gt))
+        .agg(exact_sum_r6(det_round(p_xy * F.log2(ratio), 6)).alias("mi"))
+    )
+    return (
+        hx.crossJoin(F.broadcast(hy.withColumnRenamed("h", "h2")))
+        .crossJoin(F.broadcast(mi))
+        .select(
+            det_round(F.col("h"), 4).alias("h_type"),
+            det_round(F.col("h2"), 4).alias("h_hour"),
+            det_round(F.col("mi"), 4).alias("mutual_info"),
+        )
+    )

@@ -957,3 +957,80 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_directed_edges"),
         det_round(r, 6).alias("assortativity"),
     )
+
+
+# -------------------------------------- sequential pattern support
+#
+# Frequent ordered 2-sequences "a … then … b" (any gap) across user
+# event histories — the sequence-mining complement of the ADJACENT
+# Markov transitions: support(a→b) = how many users have SOME a
+# strictly before SOME b. Aggregate-first: a→b exists for a user iff
+# min_ts(a) < max_ts(b), so the per-user pair enumeration runs over
+# the (user, type) MIN/MAX rollup — at most |types|² rows per user,
+# never the event history — one user-keyed self-join of a table with
+# one row per (user, type). Pure integer counts ⇒ hash-green.
+
+
+@register(
+    "seq2_event_patterns",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, event_type,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM events GROUP BY user_id, event_type
+    ),
+    users AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+    sup AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS support
+        FROM spans a JOIN spans b
+          ON a.user_id = b.user_id AND a.first_ts < b.last_ts
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b,
+           CAST(support AS BIGINT) AS support,
+           (floor(CAST(support AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS user_share
+    FROM sup CROSS JOIN users
+    ORDER BY type_a, type_b
+    """,
+    doc="Frequent ordered event-type 2-sequences with arbitrary gap "
+    "(a occurs strictly before b for the same user): existence "
+    "reduces to min_ts(a) < max_ts(b) over the per-(user, type) "
+    "span rollup, so the pair join touches ≤ |types|² rows per user "
+    "— the aggregate-first trick that keeps sequence mining off the "
+    "raw history. Supports are exact user counts.",
+)
+def seq2_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    spans = events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    users = events.agg(F.countDistinct("user_id").alias("nu"))
+    a = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("first_ts").alias("fa"),
+    )
+    b = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("last_ts").alias("lb"),
+    )
+    sup = (
+        a.join(b, "user_id")
+        .filter(F.col("fa") < F.col("lb"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        sup.crossJoin(F.broadcast(users))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("support").cast("bigint").alias("support"),
+            det_round(
+                F.col("support").cast("double") / F.col("nu").cast("double"), 6
+            ).alias("user_share"),
+        )
+        .orderBy("type_a", "type_b")
+    )

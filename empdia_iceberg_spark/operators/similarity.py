@@ -906,3 +906,69 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "peer_id", "cos_sim", "rank")
         .orderBy("user_id", "rank")
     )
+
+
+# ----------------------------- embedding-based benchmark decontamination
+
+EMB_DECON_COS = 0.4  # synthetic 64-dim data: >= 0.4 marks the planted tail
+EMB_DECON_MOD = 20  # benchmark = every 20th vector (held-out eval proxy)
+
+
+@register(
+    "emb_decontaminate",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    bench AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % {EMB_DECON_MOD} = 0),
+    corpus AS (SELECT * FROM e WHERE vec_id % {EMB_DECON_MOD} <> 0),
+    best AS (
+        SELECT c.vec_id, c.label,
+               max(list_cosine_similarity(c.v, b.bv)) AS max_cos
+        FROM corpus c CROSS JOIN bench b
+        GROUP BY c.vec_id, c.label
+    )
+    SELECT label,
+           CAST(count(*) FILTER (max_cos >= {EMB_DECON_COS}) AS BIGINT) AS n_contaminated,
+           CAST(count(*) FILTER (max_cos < {EMB_DECON_COS}) AS BIGINT) AS n_clean
+    FROM best
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Embedding-space train/benchmark decontamination (the semantic "
+    "complement of the shingle-overlap doc_decontaminate): corpus "
+    "vectors whose max cosine against ANY benchmark vector crosses "
+    "the threshold are flagged per label. The benchmark side is small "
+    "by nature and BROADCASTS, so the corpus scan is map-only with "
+    "map-side partial max — no shuffle touches the corpus until the "
+    "per-label count rollup. Same JVM zip_with/aggregate fold as "
+    "semantic_prune_clusters ⇒ bit-identical cosines across engines.",
+)
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bench = e.filter(F.col("vec_id") % EMB_DECON_MOD == 0).select(
+        F.col("vec_id").alias("bid"), F.col("v").alias("bv")
+    )
+    corpus = e.filter(F.col("vec_id") % EMB_DECON_MOD != 0)
+    dot = F.aggregate(
+        F.zip_with("v", "bv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cos = (dot / (norm(F.col("v")) * norm(F.col("bv")))).alias("cos")
+    best = (
+        corpus.join(F.broadcast(bench))
+        .select("vec_id", "label", cos)
+        .groupBy("vec_id", "label")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    flagged = F.col("max_cos") >= EMB_DECON_COS
+    return (
+        best.groupBy("label")
+        .agg(
+            F.count(F.when(flagged, 1)).cast("bigint").alias("n_contaminated"),
+            F.count(F.when(~flagged, 1)).cast("bigint").alias("n_clean"),
+        )
+        .orderBy("label")
+    )
