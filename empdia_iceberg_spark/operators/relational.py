@@ -2626,3 +2626,50 @@ def weighted_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w_median", "w_p90", F.col("tw").cast("double").alias("total_weight"))
     )
+
+
+# ------------------------------------------- rolling distinct actives
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d0 FROM events
+    ),
+    contrib AS (
+        SELECT user_id, CAST(d0 + k * INTERVAL 1 DAY AS DATE) AS d
+        FROM active, unnest(generate_series(0, 6)) AS t(k)
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT days.d AS day,
+           CAST(count(DISTINCT contrib.user_id) AS BIGINT) AS n_active_7d
+    FROM days JOIN contrib ON contrib.d = days.d
+    GROUP BY days.d
+    ORDER BY day
+    """,
+    doc="Rolling 7-day active users per day (the WAU curve): the naive "
+    "form is COUNT(DISTINCT) over a sliding window — undistributable. "
+    "Scale shape: dedupe to (user, active-day) once, fan each row out "
+    "to the ≤7 trailing window-days it contributes to (map-only "
+    "explode), then one distinct-count per day keyed on the day — "
+    "shuffle volume is 7× the (user, day) rollup, never the raw "
+    "events, and no window function appears at all.",
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    active = events.select(
+        "user_id", F.col("ts").cast("date").alias("d0")
+    ).distinct()
+    contrib = active.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "d0",
+    ).select("user_id", F.expr("date_add(d0, k)").alias("d"))
+    days = events.select(F.col("ts").cast("date").alias("d")).distinct()
+    return (
+        days.join(contrib, "d")
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_7d"))
+        .orderBy("day")
+    )

@@ -67,7 +67,9 @@ class SnapshotTable:
         if not os.path.isdir(self.meta_dir):
             return []
         return sorted(
-            int(f[1:6]) for f in os.listdir(self.meta_dir) if f.endswith(".json")
+            int(f[1:6])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
         )
 
     def _read_meta(self, version: int) -> dict:
@@ -237,6 +239,85 @@ class SnapshotTable:
             spec=meta.get("spec", []),
             dir_specs=self._dir_specs(meta),
         )
+
+    # ------------------------------------------------------- branch refs
+    #
+    # Iceberg-style named refs (branches + tags, the Nessie/Iceberg
+    # `branch` model): a ref is a named pointer into the SAME shared
+    # snapshot log. Branch writes commit ordinary snapshots and advance
+    # only their ref; other refs keep reading their pinned file sets
+    # (writer isolation for write-audit-merge flows). A fast-forward
+    # merge moves a ref onto a descendant head; divergence (the target
+    # moved since the fork) is detected by walking the parent chain and
+    # refused — the caller must rebase, exactly like Iceberg's
+    # fast-forward.
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.meta_dir, "refs.json")
+
+    def refs(self) -> dict:
+        if not os.path.exists(self._refs_path()):
+            return {}
+        with open(self._refs_path()) as f:
+            return json.load(f)
+
+    def set_ref(self, name: str, version: int) -> None:
+        if version not in self._versions():
+            raise ValueError(f"table {self.name}: no snapshot v{version}")
+        refs = self.refs()
+        refs[name] = version
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.rename(tmp, self._refs_path())  # atomic, like snapshot commits
+
+    def get_ref(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"table {self.name}: no ref {name!r}")
+        return refs[name]
+
+    def read_ref(self, name: str) -> DataFrame:
+        return self.read(version=self.get_ref(name))
+
+    def branch_append(self, branch: str, df: DataFrame) -> int:
+        """Append onto a branch head: the new snapshot's parent is the
+        branch ref (not the global latest), and only this ref moves."""
+        parent = self.get_ref(branch)
+        pmeta = self._read_meta(parent)
+        spec = pmeta.get("spec", [])
+        d = self._write_data(df, spec)
+        v = self._commit(
+            f"append@{branch}",
+            pmeta["dirs"] + [d],
+            parent,
+            df.schema.json(),
+            spec=spec,
+            dir_specs=self._dir_specs(pmeta) + [spec],
+        )
+        self.set_ref(branch, v)
+        return v
+
+    def is_ancestor(self, ancestor: int, descendant: int) -> bool:
+        v: int | None = descendant
+        while v is not None:
+            if v == ancestor:
+                return True
+            v = self._read_meta(v).get("parent")
+        return False
+
+    def fast_forward(self, target: str, source: str) -> int:
+        """Fast-forward merge: move ref `target` to ref `source`'s head,
+        allowed only when the target head is an ancestor of the source
+        head (no divergence — Iceberg fast_forward semantics)."""
+        src, tgt = self.get_ref(source), self.get_ref(target)
+        if not self.is_ancestor(tgt, src):
+            raise ValueError(
+                f"table {self.name}: ref {target!r} (v{tgt}) is not an "
+                f"ancestor of {source!r} (v{src}) — diverged; rebase required"
+            )
+        self.set_ref(target, src)
+        return src
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last `keep_last` snapshots and delete data
@@ -940,4 +1021,70 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
         )
         .orderBy("yr", "o_orderstatus")
+    )
+
+
+# --------------------------------------------- branch / tag lifecycle
+
+
+@register(
+    "table_branch_merge",
+    oracle="""
+    WITH o AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O'),
+    f AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'main_before_merge' AS step, CAST((SELECT n FROM o) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'branch_head', CAST((SELECT n FROM o) + (SELECT n FROM f) AS BIGINT)
+    UNION ALL
+    SELECT 'main_after_merge', CAST((SELECT n FROM o) + (SELECT n FROM f) AS BIGINT)
+    UNION ALL
+    SELECT 'tag_pre_merge', CAST((SELECT n FROM o) AS BIGINT)
+    UNION ALL
+    SELECT 'audit_violations', CAST(0 AS BIGINT)
+    ORDER BY step
+    """,
+    doc="Iceberg/Nessie-style branch-and-merge (write-audit-merge with "
+    "named refs): fork branch 'etl' from main, append to the branch "
+    "(main's pinned file set is untouched — writer isolation), run a "
+    "DQ audit on the branch head, fast-forward main onto it only "
+    "after the audit passes (divergence is refused by ancestor-chain "
+    "walk), and pin a pre-merge tag that time-travels forever. Refs "
+    "are named pointers into the shared snapshot log — branch state "
+    "is metadata, no data is copied. The oracle derives every step's "
+    "row count from base-table arithmetic.",
+)
+def table_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_branching")
+    t.drop()
+    v1 = t.create(orders.filter(F.col("o_orderstatus") == "O"))
+    t.set_ref("main", v1)
+    t.set_ref("etl", v1)  # branch fork: a pointer, no data copied
+    t.set_ref("tag_pre_merge", v1)  # tag: immutable named snapshot
+
+    t.branch_append("etl", orders.filter(F.col("o_orderstatus") == "F"))
+    main_before = t.read_ref("main").count()  # isolation: still v1's files
+
+    # write-audit-merge: the DQ gate runs on the BRANCH head
+    audit_violations = (
+        t.read_ref("etl").filter(F.col("o_totalprice") <= 0).count()
+    )
+    if audit_violations == 0:
+        t.fast_forward("main", "etl")
+    branch_head = t.read_ref("etl").count()
+    main_after = t.read_ref("main").count()
+    tag_rows = t.read_ref("tag_pre_merge").count()
+
+    return local_df(
+        spark,
+        sorted(
+            [
+                ("main_before_merge", int(main_before)),
+                ("branch_head", int(branch_head)),
+                ("main_after_merge", int(main_after)),
+                ("tag_pre_merge", int(tag_rows)),
+                ("audit_violations", int(audit_violations)),
+            ]
+        ),
+        "step string, n_rows long",
     )

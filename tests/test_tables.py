@@ -139,3 +139,55 @@ def test_partition_evolution_pruned_read(spark):
     assert len(pruned.inputFiles()) < len(t.read().inputFiles())
     # shadow partition columns never leak into the logical schema
     assert not [c for c in t.read().columns if c.startswith("_p_")]
+
+
+def test_branch_refs_isolation_and_divergence(spark):
+    """Branch refs: a branch append must not move other refs (writer
+    isolation), fast-forward onto a descendant must succeed, and
+    fast-forward across DIVERGED refs must be refused."""
+    from empdia_iceberg_spark.sources.tables import load
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+    from tests.conftest import SF_DIR
+
+    orders = load(spark, SF_DIR, "orders")
+    t = SnapshotTable(spark, "orders_branch_test")
+    t.drop()
+    v1 = t.create(orders.limit(10))
+    t.set_ref("main", v1)
+    t.set_ref("b", v1)
+
+    t.branch_append("b", orders.limit(5))
+    assert t.get_ref("main") == v1, "branch append moved main"
+    assert t.read_ref("main").count() == 10  # isolation
+    assert t.read_ref("b").count() == 15
+
+    t.fast_forward("main", "b")  # descendant: allowed
+    assert t.get_ref("main") == t.get_ref("b")
+    assert t.read_ref("main").count() == 15
+
+    # diverge: both refs advance independently from the shared head
+    t.branch_append("main", orders.limit(3))
+    t.branch_append("b", orders.limit(2))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="diverged"):
+        t.fast_forward("main", "b")
+    t.drop()
+
+
+def test_refs_survive_and_pin_across_expiry(spark):
+    """A tag keeps reading its pinned snapshot even after later writes."""
+    from empdia_iceberg_spark.sources.tables import load
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+    from tests.conftest import SF_DIR
+
+    orders = load(spark, SF_DIR, "orders")
+    t = SnapshotTable(spark, "orders_tag_test")
+    t.drop()
+    v1 = t.create(orders.limit(7))
+    t.set_ref("tag_v1", v1)
+    t.set_ref("main", v1)
+    t.branch_append("main", orders.limit(4))
+    assert t.read_ref("tag_v1").count() == 7
+    assert t.read_ref("main").count() == 11
+    t.drop()
