@@ -87,9 +87,10 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # stack (doc_bm25_search, doc_rrf_fusion) and the post-freeze batch
 # (daily_acf_value, seasonal_strength_scan, item_item_similar_parts,
 # graph_degree_assortativity, nb_lang_confusion, mv_incremental_refresh,
-# weighted_quantiles_quantity — each landed with driver-style sf0.01
-# verification plus sf0.001/sf0.1 re-checks) added after the window
-# was frozen.
+# weighted_quantiles_quantity, mi_events_type_hour, seq2_event_patterns,
+# emb_decontaminate, events_rolling_wau, table_branch_merge — each
+# landed with driver-style sf0.01 verification plus sf0.001/sf0.1
+# re-checks) added after the window was frozen.
 _SWEEP_PRIORITY = [
     # --- judge's ask: queries with no driver row in ANY round, fixed in r4
     "multimodal_feature_extract",
