@@ -1034,3 +1034,114 @@ def seq2_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ------------------------------------------------ k-core decomposition
+
+KCORE_KS = (2, 3)
+KCORE_ROUNDS = 24  # peeling is idempotent post-fixpoint: extra rounds no-op
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling (the _pagerank_oracle discipline): for each k,
+    KCORE_ROUNDS rounds of 'keep nodes with degree >= k in the current
+    subgraph'. Peeling is monotone and idempotent at the fixpoint, so
+    as long as the graph stabilizes within the unrolled budget (the
+    Spark side ASSERTS it does) the chained CTEs equal the true core."""
+    base = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    cooc AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    sym AS MATERIALIZED (SELECT u, v FROM cooc UNION ALL SELECT v, u FROM cooc)"""
+    selects = []
+    for k in KCORE_KS:
+        prev = "sym"
+        for r in range(KCORE_ROUNDS):
+            cur = f"e_{k}_{r}"
+            base += f""",
+    keep_{k}_{r} AS MATERIALIZED (
+        SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {k}
+    ),
+    {cur} AS MATERIALIZED (
+        SELECT e.u, e.v FROM {prev} e
+        JOIN keep_{k}_{r} a ON e.u = a.u
+        JOIN keep_{k}_{r} b ON e.v = b.u
+    )"""
+            prev = cur
+        selects.append(
+            f"SELECT {k} AS k, CAST(count(DISTINCT u) AS BIGINT) AS n_nodes,"
+            f" CAST(count(*) / 2 AS BIGINT) AS n_edges FROM {prev}"
+        )
+    return base + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY k"
+
+
+@register(
+    "graph_kcore_sizes",
+    oracle=_kcore_oracle(),
+    doc="k-core decomposition of the co-purchase graph (k=2,3): "
+    "iterative peeling — drop nodes with degree < k, recompute, "
+    "repeat to fixpoint. Each round is one degree aggregate plus one "
+    "semi-join of the edge list against the survivors (shuffles on "
+    "node ids only), lineage truncated with localCheckpoint; the "
+    "driver reads a single edge-count scalar per round and ASSERTS "
+    "the fixpoint lands within the unrolled-oracle budget. Cores are "
+    "the standard dense-subgraph/influence screen.",
+)
+def graph_kcore_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    sym = cooc.unionByName(
+        cooc.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    results = []
+    for k in KCORE_KS:
+        edges = sym
+        n_edges = edges.count()
+        for _ in range(KCORE_ROUNDS):
+            keep = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d")).filter(
+                F.col("d") >= k
+            ).select("u")
+            edges = (
+                edges.join(keep, "u", "left_semi")
+                .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+            prev, n_edges = n_edges, edges.count()  # one scalar per round
+            if n_edges == prev:
+                break
+        else:
+            raise RuntimeError(
+                f"k-core (k={k}) did not stabilize within {KCORE_ROUNDS} "
+                "rounds; raise KCORE_ROUNDS (and regenerate the oracle)"
+            )
+        stats = edges.agg(
+            F.countDistinct("u").cast("bigint").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        ).select(F.lit(k).alias("k"), "n_nodes", "n_edges")
+        results.append(stats)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("k")

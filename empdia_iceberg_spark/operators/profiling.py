@@ -317,3 +317,125 @@ def kmv_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------ KMV sketch set algebra
+#
+# Theta/KMV-style SET OPERATIONS on sketches (the Datasketches
+# "sketch algebra" story): Jaccard overlap of the click-user and
+# purchase-user sets estimated from their k-min-value sketches alone —
+# union sketch = k smallest of the merged k-mins, intersection share =
+# common hashes inside the union sketch's theta region. Deterministic
+# md5-dyadic hashing makes the whole pipeline a pure function of the
+# key sets, so the ESTIMATE itself is value-oracled (and reported next
+# to the exact Jaccard with its error). When a set is smaller than k
+# the sketch degrades to exact — the estimator switches by k_used,
+# same CASE on both engines.
+
+
+def _kmv_u_sql(col: str) -> str:
+    return (
+        f"(CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 13) AS BIGINT)"
+        " / 4503599627370496.0)"
+    )
+
+
+def _kmv_u_col(col: str):
+    return (
+        F.conv(F.md5(F.col(col).cast("string").cast("binary")).substr(1, 13), 16, 10)
+        .cast("bigint")
+        / F.lit(4503599627370496.0)
+    )
+
+
+@register(
+    "kmv_set_overlap",
+    oracle=f"""
+    WITH ah AS (
+        SELECT DISTINCT {_kmv_u_sql('user_id')} AS u
+        FROM events WHERE event_type = 'click'
+    ),
+    bh AS (
+        SELECT DISTINCT {_kmv_u_sql('user_id')} AS u
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ak AS (SELECT u FROM ah ORDER BY u LIMIT {KMV_K}),
+    bk AS (SELECT u FROM bh ORDER BY u LIMIT {KMV_K}),
+    un AS (
+        SELECT u FROM (SELECT u FROM ak UNION SELECT u FROM bk)
+        ORDER BY u LIMIT {KMV_K}
+    ),
+    th AS (SELECT max(u) AS theta, CAST(count(*) AS BIGINT) AS ku FROM un),
+    inter AS (
+        SELECT CAST(count(*) AS BIGINT) AS ci
+        FROM ak JOIN bk USING (u) CROSS JOIN th WHERE ak.u <= th.theta
+    ),
+    ex AS (
+        SELECT (SELECT count(*) FROM (SELECT u FROM ah INTERSECT SELECT u FROM bh)) AS i,
+               (SELECT count(*) FROM (SELECT u FROM ah UNION SELECT u FROM bh)) AS n
+    )
+    SELECT th.ku AS k_used, inter.ci AS n_common_in_sketch,
+           {sql_det_round('CAST(inter.ci AS DOUBLE) / CAST(th.ku AS DOUBLE)', 6)} AS jaccard_kmv,
+           {sql_det_round('CAST(ex.i AS DOUBLE) / CAST(ex.n AS DOUBLE)', 6)} AS jaccard_exact
+    FROM th CROSS JOIN inter CROSS JOIN ex
+    """,
+    doc="KMV sketch set algebra: Jaccard overlap of click-users vs "
+    "purchase-users estimated from the two k-min-value sketches only "
+    "(union sketch = k smallest of the merged k-mins; intersection = "
+    "common hashes under theta), reported next to the exact Jaccard. "
+    "Deterministic md5-dyadic hashing makes even the estimate "
+    "hash-checkable; sketches merge per-partition via TakeOrdered — "
+    "the re-aggregatable layout that joins sets WITHOUT re-scanning "
+    "either side at 100 TB.",
+)
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+
+    def sketch(ev_type: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == ev_type)
+            .select(_kmv_u_col("user_id").alias("u"))
+            .distinct()
+            .orderBy("u")
+            .limit(KMV_K)
+        )
+
+    ak, bk = sketch("click"), sketch("purchase")
+    un = ak.unionByName(bk).distinct().orderBy("u").limit(KMV_K)
+    th = un.agg(
+        F.max("u").alias("theta"), F.count(F.lit(1)).cast("bigint").alias("ku")
+    )
+    inter = (
+        ak.join(bk, "u")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("u") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ci"))
+    )
+
+    def uset(ev_type: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == ev_type)
+            .select(_kmv_u_col("user_id").alias("u"))
+            .distinct()
+        )
+
+    ua, ub = uset("click"), uset("purchase")
+    ex = (
+        ua.join(ub, "u")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .crossJoin(ua.unionByName(ub).distinct().agg(F.count(F.lit(1)).alias("n")))
+    )
+    return (
+        th.crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.col("ku").alias("k_used"),
+            F.col("ci").alias("n_common_in_sketch"),
+            det_round(F.col("ci").cast("double") / F.col("ku").cast("double"), 6).alias(
+                "jaccard_kmv"
+            ),
+            det_round(F.col("i").cast("double") / F.col("n").cast("double"), 6).alias(
+                "jaccard_exact"
+            ),
+        )
+    )
