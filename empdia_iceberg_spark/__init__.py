@@ -88,7 +88,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # (daily_acf_value, seasonal_strength_scan, item_item_similar_parts,
 # graph_degree_assortativity, nb_lang_confusion, mv_incremental_refresh,
 # weighted_quantiles_quantity, mi_events_type_hour, seq2_event_patterns,
-# emb_decontaminate, events_rolling_wau, table_branch_merge — each
+# emb_decontaminate, events_rolling_wau, table_branch_merge,
+# kmv_set_overlap, graph_kcore_sizes, doc_rake_keyphrases — each
 # landed with driver-style sf0.01 verification plus sf0.001/sf0.1
 # re-checks) added after the window was frozen.
 _SWEEP_PRIORITY = [

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from empdia_iceberg_spark.functions.exact import det_round, sql_det_round
+from empdia_iceberg_spark.functions.exact import det_round, sql_det_round, sql_sum_r6
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
 
@@ -831,3 +831,135 @@ def doc_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank"))
         .orderBy("lang", "sample_rank")
     )
+
+
+# ------------------------------------------ RAKE keyphrase extraction
+
+# Union of the per-language stopword votes — RAKE phrase delimiters.
+RAKE_STOPS = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+RAKE_TOP = 20
+
+
+def _rake_stop_sql() -> str:
+    return ", ".join("'" + w + "'" for w in RAKE_STOPS)
+
+
+@register(
+    "doc_rake_keyphrases",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i, toks[i] AS tok,
+               (toks[i] IN ({_rake_stop_sql()}) OR toks[i] = '') AS is_stop
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+              FROM tok)
+    ),
+    runs AS (
+        SELECT doc_id, i, tok,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM pos WHERE NOT is_stop
+    ),
+    phrases AS (
+        SELECT doc_id, island,
+               string_agg(tok, ' ' ORDER BY i) AS phrase,
+               count(*) AS plen
+        FROM runs GROUP BY doc_id, island
+    ),
+    pw AS (
+        SELECT p.doc_id, p.island, p.phrase, p.plen, r.tok
+        FROM phrases p JOIN runs r
+          ON r.doc_id = p.doc_id AND r.island = p.island
+    ),
+    wstat AS (
+        SELECT tok,
+               count(*) AS freq,
+               sum(plen) AS deg
+        FROM pw GROUP BY tok
+    ),
+    pscore AS (
+        SELECT pw.doc_id, pw.island, pw.phrase,
+               {sql_sum_r6('CAST(wstat.deg AS DOUBLE) / CAST(wstat.freq AS DOUBLE)')} AS score
+        FROM pw JOIN wstat USING (tok)
+        GROUP BY pw.doc_id, pw.island, pw.phrase
+    ),
+    agg AS (
+        SELECT phrase,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               {sql_det_round('max(score)', 6)} AS rake_score
+        FROM pscore GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, rake_score
+    FROM agg
+    ORDER BY rake_score DESC, phrase
+    LIMIT {RAKE_TOP}
+    """,
+    doc="RAKE keyphrase extraction (Rose et al. 2010) corpus-wide: "
+    "stopwords delimit candidate phrases (gaps-and-islands per doc — "
+    "the run window is doc-length-bounded), word degree/frequency "
+    "statistics aggregate over ALL phrase occurrences on the token "
+    "key (inverted-index layout), phrase score = Σ deg(w)/freq(w) "
+    "det_round+decimal-summed, top-20 by score with deterministic "
+    "tiebreak. Integer-ratio word scores make the extraction "
+    "hash-checkable.",
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from empdia_iceberg_spark.functions.exact import exact_sum_r6
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    pos = tok.select(
+        "doc_id", F.posexplode("toks").alias("i0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        "tok",
+        (F.col("tok").isin(*RAKE_STOPS) | (F.col("tok") == "")).alias("is_stop"),
+    )
+    runs = (
+        pos.filter(~F.col("is_stop"))
+        .withColumn(
+            "island",
+            F.col("i")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("i")),
+        )
+        .select("doc_id", "i", "tok", "island")
+    )
+    phrases = runs.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    pw = phrases.join(runs, ["doc_id", "island"]).select(
+        "doc_id", "island", "phrase", "plen", "tok"
+    )
+    wstat = pw.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    pscore = (
+        pw.join(wstat, "tok")
+        .groupBy("doc_id", "island", "phrase")
+        .agg(
+            exact_sum_r6(
+                det_round(
+                    F.col("deg").cast("double") / F.col("freq").cast("double"), 6
+                )
+            ).alias("score")
+        )
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        det_round(F.max("score"), 6).alias("rake_score"),
+    )
+    return agg.orderBy(F.col("rake_score").desc(), "phrase").limit(RAKE_TOP)

@@ -701,3 +701,43 @@ def test_weighted_quantiles_no_global_window(spark):
     for line in plan.splitlines():
         if line.strip().startswith("+- Window") or line.strip().startswith("Window"):
             assert "], [], [" not in line, line
+
+
+def test_seq2_join_keyed_on_user(spark):
+    """seq2_event_patterns' pair join runs over the (user, type) span
+    rollup keyed on user_id — no cartesian, partial agg before it."""
+    plan = _plan(spark, "seq2_event_patterns")
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_emb_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark side broadcasts; the corpus max-cos aggregation
+    partially aggregates map-side before any exchange."""
+    plan = _plan(spark, "emb_decontaminate")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_rolling_wau_no_window_function(spark):
+    """events_rolling_wau must contain NO window operator at all — the
+    sliding-distinct is re-expressed as fan-out + day-keyed distinct."""
+    plan = _plan(spark, "events_rolling_wau")
+    assert "Window" not in plan
+
+
+def test_kmv_overlap_takeordered_sketches(spark):
+    """kmv_set_overlap's k-mins come from TakeOrdered (per-partition
+    k-mins merged), never a global sort of the hash stream."""
+    plan = _plan(spark, "kmv_set_overlap")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rake_windows_doc_bounded(spark):
+    """doc_rake_keyphrases' only window partitions by doc_id (island
+    numbering) — no global window; top-20 is TakeOrdered."""
+    plan = _plan(spark, "doc_rake_keyphrases")
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Window") or line.strip().startswith("Window"):
+            assert "], [], [" not in line, line
+    assert "TakeOrderedAndProject" in plan
