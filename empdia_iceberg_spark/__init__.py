@@ -39,6 +39,7 @@ from empdia_iceberg_spark.functions import reward  # noqa: F401
 from empdia_iceberg_spark.functions import termination  # noqa: F401
 from empdia_iceberg_spark.functions import messages  # noqa: F401
 from empdia_iceberg_spark.sources import sinks  # noqa: F401
+from empdia_iceberg_spark.sources import pydatasource  # noqa: F401
 from empdia_iceberg_spark.plans import prep  # noqa: F401
 from empdia_iceberg_spark.plans import grpo  # noqa: F401
 from empdia_iceberg_spark.plans import curation  # noqa: F401
@@ -89,7 +90,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # graph_degree_assortativity, nb_lang_confusion, mv_incremental_refresh,
 # weighted_quantiles_quantity, mi_events_type_hour, seq2_event_patterns,
 # emb_decontaminate, events_rolling_wau, table_branch_merge,
-# kmv_set_overlap, graph_kcore_sizes, doc_rake_keyphrases — each
+# kmv_set_overlap, graph_kcore_sizes, doc_rake_keyphrases,
+# pyds_synthetic_rollup — each
 # landed with driver-style sf0.01 verification plus sf0.001/sf0.1
 # re-checks) added after the window was frozen.
 _SWEEP_PRIORITY = [

@@ -741,3 +741,23 @@ def test_rake_windows_doc_bounded(spark):
         if line.strip().startswith("+- Window") or line.strip().startswith("Window"):
             assert "], [], [" not in line, line
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pyds_source_plans_16_partitions(spark):
+    """The custom Python data source must plan one InputPartition per
+    row range — a parallel scan, not a driver materialization."""
+    from empdia_iceberg_spark.sources.pydatasource import (
+        SYNTH_PARTS,
+        SYNTH_ROWS,
+        SyntheticLedgerDataSource,
+    )
+
+    spark.dataSource.register(SyntheticLedgerDataSource)
+    df = (
+        spark.read.format("empdia_synth")
+        .option("n_rows", SYNTH_ROWS)
+        .option("n_partitions", SYNTH_PARTS)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == SYNTH_PARTS
+    assert df.count() == SYNTH_ROWS
