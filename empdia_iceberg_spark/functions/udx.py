@@ -142,3 +142,82 @@ def udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------- polymorphic UDTF (analyze())
+
+FIXED_COLS = 4  # leading tokens split into this many typed columns
+
+
+def _split_fixed_udtf():
+    """Spark 4 POLYMORPHIC UDTF: the output schema is computed by the
+    static ``analyze()`` hook from the literal column-count argument —
+    the table function adapts its shape per call site instead of
+    declaring one static returnType. Built lazily (needs a session)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            assert n.isConstantExpression, "n must be a literal"
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"tok{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            words = (text or "").split()
+            yield tuple(words[i] if i < len(words) else None for i in range(n))
+
+    return udtf(SplitFixed)
+
+
+@register(
+    "udtf_split_fixed_cols",
+    oracle=rf"""
+    WITH w AS (
+        SELECT lang,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN len(toks) >= 1 THEN 1 END) AS BIGINT) AS n_tok1,
+           CAST(count(CASE WHEN len(toks) >= {FIXED_COLS} THEN 1 END) AS BIGINT) AS n_tok{FIXED_COLS},
+           CAST(count(DISTINCT CASE WHEN len(toks) >= 1 THEN toks[1] END) AS BIGINT) AS n_distinct_tok1
+    FROM w
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Polymorphic Python UDTF (Spark 4 analyze() API): the table "
+    "function's output schema — tok1..tokN string columns — is "
+    "derived at PLAN time from the literal N argument, not declared "
+    "statically; the lateral join then splits each document's "
+    "leading tokens into typed columns. The rollup (per-language "
+    "fill-rates and distinct leading tokens) is value-checked "
+    "against DuckDB list arithmetic, so the dynamic-schema contract "
+    "is oracle-proven.",
+)
+def udtf_split_fixed_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split_fixed = _split_fixed_udtf()
+    spark.udtf.register("split_fixed", split_fixed)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    out = spark.sql(
+        f"""
+        SELECT d.lang, s.*
+        FROM docs_for_udtf d,
+        LATERAL split_fixed(d.text, {FIXED_COLS}) s
+        """
+    )
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("tok1").cast("bigint").alias("n_tok1"),
+            F.count(f"tok{FIXED_COLS}").cast("bigint").alias(f"n_tok{FIXED_COLS}"),
+            F.countDistinct("tok1").cast("bigint").alias("n_distinct_tok1"),
+        )
+        .orderBy("lang")
+    )

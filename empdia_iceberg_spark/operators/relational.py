@@ -2673,3 +2673,51 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_7d"))
         .orderBy("day")
     )
+
+
+# ------------------------------------------- VARIANT semi-structured
+
+
+@register(
+    "variant_props_typed",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           floor(median(k) * 10000.0 + 0.5) / 10000.0 AS median_k,
+           CAST(count(*) AS BIGINT) AS n_missing_null,
+           'OBJECT<k: BIGINT>' AS variant_schema
+    FROM v
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Semi-structured analytics on Spark 4's VARIANT type: "
+    "events.props parses ONCE into a binary-encoded variant "
+    "(parse_json), then typed paths extract without re-parsing — "
+    "variant_get for the present field, try_variant_get proving "
+    "missing paths yield NULL (counted), schema_of_variant pinning "
+    "the inferred object shape. The oracle reproduces the typed "
+    "extraction with DuckDB JSON operators and pins the variant "
+    "schema string — the engine's semi-structured fast path, "
+    "hash-checked.",
+)
+def variant_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json(F.col("props"))
+    )
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    missing = F.expr("try_variant_get(v, '$.missing', 'int')")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct(k).cast("bigint").alias("n_distinct_k"),
+            det_round(F.median(k), 4).alias("median_k"),
+            F.count(F.when(missing.isNull(), 1)).cast("bigint").alias("n_missing_null"),
+            F.any_value(F.expr("schema_of_variant(v)")).alias("variant_schema"),
+        )
+        .orderBy("event_type")
+    )
