@@ -941,3 +941,107 @@ def mi_events_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(F.col("mi"), 4).alias("mutual_info"),
         )
     )
+
+
+# --------------------------------------------- two-proportion z-test
+#
+# The A/B-test readout: conversion rate (purchases per click-user) in
+# two deterministic cohorts (user_id parity), compared with the pooled
+# two-proportion z statistic. Cohort assignment by key hash/parity is
+# the production pattern (stable under re-runs); every count is exact,
+# the z closed form is identical IEEE on both engines.
+
+
+@register(
+    "ab_test_conversion",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts, CAST(user_id % 2 AS INT) AS cohort
+        FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    conv AS (
+        SELECT c.event_id, c.cohort,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM purch p
+                   WHERE p.user_id = c.user_id
+                     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+               ) THEN 1 ELSE 0 END AS converted
+        FROM clicks c
+    ),
+    g AS (
+        SELECT cohort,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(converted) AS DOUBLE) AS x
+        FROM conv GROUP BY cohort
+    ),
+    w AS (
+        SELECT max(CASE WHEN cohort = 0 THEN n END) AS n0,
+               max(CASE WHEN cohort = 0 THEN x END) AS x0,
+               max(CASE WHEN cohort = 1 THEN n END) AS n1,
+               max(CASE WHEN cohort = 1 THEN x END) AS x1
+        FROM g
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+           {sql_det_round('x0 / n0', 6)} AS rate_control,
+           {sql_det_round('x1 / n1', 6)} AS rate_treat,
+           {sql_det_round(
+               '(x1 / n1 - x0 / n0) / sqrt('
+               '((x0 + x1) / (n0 + n1)) * (1.0 - (x0 + x1) / (n0 + n1))'
+               ' * (1.0 / n0 + 1.0 / n1))', 6)} AS z_stat
+    FROM w
+    """,
+    doc="Two-proportion z-test (the A/B-test readout): users split into "
+    "deterministic parity cohorts, a click converts if the same user "
+    "purchases within the following hour (user-keyed interval join "
+    "with residual time predicate — never a cartesian), pooled z "
+    "statistic from exact counts — "
+    "identical IEEE closed form on both engines, so the significance "
+    "readout is hash-checkable. One user-keyed aggregate + one "
+    "two-row pivot; nothing else moves.",
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        (F.col("user_id") % 2).cast("int").alias("cohort"),
+    )
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    matched = clicks.join(
+        purch,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("event_id")
+    conv = clicks.join(
+        matched.withColumn("converted", F.lit(1)), "event_id", "left"
+    ).withColumn("converted", F.coalesce(F.col("converted"), F.lit(0)))
+    g = conv.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("x"),
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("cohort") == c, F.col(v))).alias(f"{v}{c}")
+            for c in (0, 1)
+            for v in ("n", "x")
+        ]
+    )
+    p_pool = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1"))
+    z = (F.col("x1") / F.col("n1") - F.col("x0") / F.col("n0")) / F.sqrt(
+        p_pool * (F.lit(1.0) - p_pool) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return w.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        det_round(F.col("x0") / F.col("n0"), 6).alias("rate_control"),
+        det_round(F.col("x1") / F.col("n1"), 6).alias("rate_treat"),
+        det_round(z, 6).alias("z_stat"),
+    )

@@ -2721,3 +2721,43 @@ def variant_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- governance: masked view
+
+
+@register(
+    "secure_masked_view",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, 1, 2) || '***' AS name_masked,
+           CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acctbal_band,
+           c_mktsegment
+    FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+    ORDER BY c_custkey
+    """,
+    doc="Column masking + row-level security as a governed view: "
+    "c_name truncates to a 2-char prefix, account balance "
+    "generalizes to a 1000-unit band (k-anonymity-style "
+    "coarsening), and the restricted segment's rows are filtered "
+    "out entirely — the masked SELECT registered as a temp view and "
+    "queried through spark.sql, so consumers never touch raw "
+    "columns. Both the predicate and the projection reach the scan "
+    "(pushed filter + pruned columns); masking is deterministic "
+    "string/integer arithmetic ⇒ hash-green.",
+)
+def secure_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    masked = cust.filter(F.col("c_mktsegment") != "BUILDING").select(
+        "c_custkey",
+        F.concat(F.substring("c_name", 1, 2), F.lit("***")).alias("name_masked"),
+        (F.floor(F.col("c_acctbal") / 1000.0) * 1000)
+        .cast("bigint")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+    )
+    masked.createOrReplaceTempView("customer_masked_v")
+    return spark.sql(
+        "SELECT * FROM customer_masked_v ORDER BY c_custkey"
+    )

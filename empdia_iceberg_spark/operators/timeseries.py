@@ -215,3 +215,40 @@ def seasonal_strength_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+@register(
+    "forecast_backtest_snaive",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    joined AS (
+        SELECT cur.t, cur.x AS actual, prev.x AS forecast
+        FROM idx cur JOIN idx prev ON prev.t = cur.t - 7
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           {sql_det_round(sql_sum_r6('abs(actual - forecast)') + ' / count(*)', 4)} AS mae,
+           {sql_det_round(sql_sum_r6('abs(actual - forecast) / actual') + ' / count(*)', 6)} AS mape
+    FROM joined
+    """,
+    doc="Seasonal-naive forecast backtest: forecast each day's total "
+    "event value as the value 7 days earlier (the benchmark every "
+    "fancier forecaster must beat), scored by MAE and MAPE over the "
+    "evaluation days. The lag pairing is the same calendar-bounded "
+    "day-index equi-join as the ACF; absolute-error terms are "
+    "det_round+decimal-summed so the backtest metrics hash-match.",
+)
+def forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _daily_series(spark, sf_dir)
+    cur = idx.select("t", F.col("x").alias("actual"))
+    prev = idx.select((F.col("t") + 7).alias("t"), F.col("x").alias("forecast"))
+    joined = cur.join(prev, "t")
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        det_round(
+            exact_sum_r6(err) / F.count(F.lit(1)), 4
+        ).alias("mae"),
+        det_round(
+            exact_sum_r6(err / F.col("actual")) / F.count(F.lit(1)), 6
+        ).alias("mape"),
+    )

@@ -1088,3 +1088,50 @@ def table_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "step string, n_rows long",
     )
+
+
+# ------------------------------------------------ history audit table
+
+
+@register(
+    "table_history_audit",
+    oracle="""
+    WITH o AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O'),
+    f AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'),
+    kept AS (
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderstatus IN ('O', 'F') AND o_totalprice <= 200000.0
+    )
+    SELECT 1 AS version, 'create' AS op, CAST((SELECT n FROM o) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 2, 'append', CAST((SELECT n FROM o) + (SELECT n FROM f) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'delete', CAST((SELECT n FROM kept) AS BIGINT)
+    UNION ALL
+    SELECT 4, 'compact', CAST((SELECT n FROM kept) AS BIGINT)
+    ORDER BY version
+    """,
+    doc="Queryable table history (Iceberg's .history/.snapshots "
+    "metadata tables): after a create→append→delete→compact "
+    "lifecycle, the snapshot log surfaces as a DataFrame of "
+    "(version, op, n_rows) with each version's row count read via "
+    "time travel — at scale the counts come from snapshot metadata, "
+    "not data scans. The oracle derives every row from base-table "
+    "arithmetic, pinning both the operation sequence and the "
+    "per-version contents.",
+)
+def table_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_history_audit")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    t.delete_where(F.col("o_totalprice") > 200000.0)
+    t.compact()
+    rows = [
+        (int(m["version"]), str(m["op"]), int(t.read(version=m["version"]).count()))
+        for m in t.snapshots()
+    ]
+    return local_df(spark, rows, "version int, op string, n_rows long").orderBy(
+        "version"
+    )
