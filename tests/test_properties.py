@@ -186,3 +186,36 @@ def test_ewma16_matches_untruncated_recursion_within_bound(spark):
         s = 0.5 * r["value"] + 0.5 * state.get(r["user_id"], 0.0)
         state[r["user_id"]] = s
         assert abs(got[r["event_id"]] - s) <= bound, r["event_id"]
+
+
+def test_results_invariant_under_shuffle_parallelism(spark):
+    """Bit-determinism across partitionings: the decimal-fold /
+    det_round discipline means float-producing queries return
+    IDENTICAL rows whether the shuffle runs at 3 or 32 partitions —
+    the property that makes results reproducible between a laptop
+    and a 1000-executor cluster."""
+    from empdia_iceberg_spark import registry
+    from tests.conftest import SF_DIR, rows_key
+
+    names = [
+        "q1_pricing_agg",
+        "stats_exact_moments",
+        "daily_acf_value",
+        "parts_abc_pareto",
+        "ols_quantity_price",
+        "nb_lang_confusion",
+        "weighted_quantiles_quantity",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in names:
+                df = registry.queries()[name](spark, SF_DIR)
+                key = rows_key([tuple(r) for r in df.collect()], df.columns)
+                results.setdefault(name, []).append(key)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name}: result depends on shuffle parallelism"
