@@ -774,3 +774,70 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_topk_trending",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+    LIMIT 3
+    """,
+    doc="Streaming top-k trending in COMPLETE output mode — the one "
+    "output mode where a streaming query may sort and limit: the "
+    "running per-type count/value aggregation re-emits the full "
+    "ranked top-3 after every micro-batch (two-phase file feed, so "
+    "the ranking is genuinely re-derived from updated state). State "
+    "is one row per event type — bounded by key cardinality, the "
+    "complete-mode prerequisite. Final emission equals the batch "
+    "top-3, giving the exact oracle.",
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    feed = os.path.join(_WORK_ROOT, "topk_feed")
+    ckpt = os.path.join(_WORK_ROOT, f"topk_ckpt_{uuid.uuid4().hex[:8]}")
+    shutil.rmtree(feed, ignore_errors=True)
+    cutoff = "2024-01-15 00:00:00"
+    ev.filter(F.col("ts") < cutoff).write.parquet(feed)
+
+    schema = spark.read.parquet(feed).schema
+    ranked = (
+        spark.readStream.schema(schema)
+        .parquet(feed)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "event_type")
+        .limit(3)
+    )
+    for q in spark.streams.active:
+        if q.name == "t_topk":
+            q.stop()
+    q = (
+        ranked.writeStream.queryName("t_topk")
+        .outputMode("complete")  # ranking re-emitted in full per batch
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("ts") >= cutoff).write.mode("append").parquet(feed)
+        q.processAllAvailable()
+        out = spark.table("t_topk").collect()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return local_df(
+        spark,
+        [(r["event_type"], int(r["n_events"]), float(r["sum_value"])) for r in out],
+        "event_type string, n_events long, sum_value double",
+    )
