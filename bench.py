@@ -51,6 +51,13 @@ HEADLINE = [
     "mannwhitney_u_segments",
     "stream_tumbling_hourly",
     "table_merge_upsert",
+    # round-4 late additions: trained-model, recommender, time-series,
+    # sliding-distinct, and custom-source shapes
+    "nb_lang_confusion",
+    "item_item_similar_parts",
+    "daily_acf_value",
+    "events_rolling_wau",
+    "pyds_synthetic_rollup",
 ]
 
 # Queries whose real work happens inside the query FUNCTION (streaming
