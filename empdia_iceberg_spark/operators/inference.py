@@ -1045,3 +1045,148 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.col("x1") / F.col("n1"), 6).alias("rate_treat"),
         det_round(z, 6).alias("z_stat"),
     )
+
+
+# ------------------------------------------------- one-way ANOVA F
+
+
+@register(
+    "anova_acctbal_segments",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                        * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        FROM customer GROUP BY c_mktsegment
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k,
+               sum(n) AS n, sum(s) AS s
+        FROM g
+    ),
+    parts AS (
+        SELECT
+            {sql_sum_r6('g.n * (g.s / g.n - tot.s / tot.n) * (g.s / g.n - tot.s / tot.n)')} AS bss,
+            {sql_sum_r6('g.ss - g.s * g.s / g.n')} AS wss,
+            max(tot.k) AS k, max(tot.n) AS n
+        FROM g CROSS JOIN tot
+    )
+    SELECT CAST(k AS INT) AS n_groups,
+           CAST(n AS BIGINT) AS n_obs,
+           {sql_det_round('bss', 2)} AS between_ss,
+           {sql_det_round('wss', 2)} AS within_ss,
+           {sql_det_round('(bss / (k - 1.0)) / (wss / (n - k))', 6)} AS f_stat
+    FROM parts
+    """,
+    doc="One-way ANOVA F-test of account balance across ALL market "
+    "segments (the k-group generalization of the Welch pair test): "
+    "per-group exact decimal moment sums in one scan, between/within "
+    "sums of squares det_round+decimal-summed over the 5-row group "
+    "table, F from the identical IEEE closed form — a hash-checkable "
+    "variance decomposition.",
+)
+def anova_acctbal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    d = F.col("c_acctbal").cast("decimal(18,2)")
+    g = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d).cast("double").alias("s"),
+        F.sum(d * d).cast("double").alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+    )
+    gm = F.col("ts") / F.col("tn")
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        exact_sum_r6(
+            F.col("n") * (F.col("s") / F.col("n") - gm) * (F.col("s") / F.col("n") - gm)
+        ).alias("bss"),
+        exact_sum_r6(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("wss"),
+        F.max("k").alias("k"),
+        F.max("tn").alias("n"),
+    )
+    return parts.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("n").cast("bigint").alias("n_obs"),
+        det_round(F.col("bss"), 2).alias("between_ss"),
+        det_round(F.col("wss"), 2).alias("within_ss"),
+        det_round(
+            (F.col("bss") / (F.col("k") - F.lit(1.0)))
+            / (F.col("wss") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# --------------------------------------------- two-sample KS test
+
+
+@register(
+    "ks_acctbal_two_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT c_acctbal AS v,
+               CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g2
+        FROM customer
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    byv AS (
+        SELECT v, sum(g1) AS d1, sum(g2) AS d2 FROM s GROUP BY v
+    ),
+    tot AS (SELECT sum(d1) AS n1, sum(d2) AS n2 FROM byv),
+    cum AS (
+        SELECT v,
+               sum(d1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+               sum(d2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+        FROM byv
+    )
+    SELECT CAST(tot.n1 AS BIGINT) AS n_auto,
+           CAST(tot.n2 AS BIGINT) AS n_build,
+           {sql_det_round(
+               'max(abs(CAST(c1 AS DOUBLE) / CAST(tot.n1 AS DOUBLE)'
+               ' - CAST(c2 AS DOUBLE) / CAST(tot.n2 AS DOUBLE)))', 6)} AS ks_d
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.n1, tot.n2
+    """,
+    doc="Two-sample Kolmogorov–Smirnov statistic between the "
+    "AUTOMOBILE and BUILDING balance distributions: D = max |F1−F2| "
+    "evaluated at every distinct pooled value. The empirical CDFs "
+    "come from bucketed prefix sums over the value-grain (value, "
+    "count-per-group) rollup — `scale.bucketed_prefix_sum` twice, "
+    "never a single-partition window — and D is a max over exact "
+    "integer-ratio differences ⇒ hash-green distribution comparison.",
+)
+def ks_acctbal_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.operators.scale import bucketed_prefix_sum
+
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    byv = cust.groupBy(F.col("c_acctbal").alias("v")).agg(
+        F.sum(
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(0)
+        ).alias("d1"),
+        F.sum(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+        ).alias("d2"),
+    )
+    tot = byv.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
+    cum = bucketed_prefix_sum(byv, "v", "d1", out_col="c1")
+    cum = bucketed_prefix_sum(cum, "v", "d2", out_col="c2")
+    d = F.abs(
+        F.col("c1").cast("double") / F.col("n1").cast("double")
+        - F.col("c2").cast("double") / F.col("n2").cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(F.col("n1")).cast("bigint").alias("n_auto"),
+            F.max(F.col("n2")).cast("bigint").alias("n_build"),
+            det_round(F.max(d), 6).alias("ks_d"),
+        )
+    )
