@@ -487,3 +487,89 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("asset_id")
         .limit(500)
     )
+
+
+# --------------------------------------------- audio signal features
+
+
+def _audio_signal_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {"asset_id": [], "n_samples": [], "zcr": [], "roughness": []}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            samples, _rate = decode_wav(bytes(payload))
+            s = samples.astype(np.int64)
+            rows["asset_id"].append(int(asset_id))
+            rows["n_samples"].append(len(s))
+            if len(s) <= 1:
+                rows["zcr"].append(0.0)
+                rows["roughness"].append(0.0)
+            else:
+                nonneg = s >= 0
+                crossings = int(np.sum(nonneg[1:] != nonneg[:-1]))
+                rows["zcr"].append(crossings / (len(s) - 1))
+                rows["roughness"].append(
+                    float(np.sum(np.abs(np.diff(s)))) / (len(s) - 1)
+                )
+        out = pd.DataFrame(rows)
+        for c in ("zcr", "roughness"):
+            out[c] = np.floor(out[c] * 1e6 + 0.5) / 1e6
+        yield out
+
+
+@register(
+    "multimodal_audio_zcr",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    pos AS (
+      SELECT asset_id, nb, hx, unnest(generate_series(0, nb - 1)) AS i
+      FROM base WHERE nb > 0
+    ),
+    samples AS (
+      SELECT asset_id, nb, i,
+             ((strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1)*16
+            + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1) - 128) * 256 AS s
+      FROM pos
+    ),
+    lagged AS (
+      SELECT asset_id, nb, s,
+             lag(s) OVER (PARTITION BY asset_id ORDER BY i) AS prev_s
+      FROM samples
+    ),
+    feats AS (
+      SELECT asset_id, nb,
+             sum(CASE WHEN prev_s IS NOT NULL
+                       AND ((s >= 0) <> (prev_s >= 0)) THEN 1 ELSE 0 END) AS crossings,
+             sum(CASE WHEN prev_s IS NULL THEN 0 ELSE abs(s - prev_s) END) AS absdiff
+      FROM lagged GROUP BY asset_id, nb
+    )
+    SELECT b.asset_id,
+           CAST(greatest(b.nb, 1) AS BIGINT) AS n_samples,
+           CASE WHEN b.nb <= 1 THEN 0.0 ELSE
+             coalesce(floor(CAST(f.crossings AS DOUBLE) / (b.nb - 1) * 1e6 + 0.5) / 1e6, 0.0) END AS zcr,
+           CASE WHEN b.nb <= 1 THEN 0.0 ELSE
+             coalesce(floor(CAST(f.absdiff AS DOUBLE) / (b.nb - 1) * 1e6 + 0.5) / 1e6, 0.0) END AS roughness
+    FROM base b LEFT JOIN feats f USING (asset_id)
+    ORDER BY b.asset_id
+    """,
+    doc="Audio signal features over REAL decoded WAV payloads: "
+    "zero-crossing rate (sign flips between consecutive samples, "
+    "s≥0 convention) and roughness (mean |Δsample|) per asset, "
+    "computed in one Arrow-batched mapInPandas decode pass — "
+    "map-only, modality-pruned to the audio third of the asset "
+    "table. The PCM samples are a closed form of the source text "
+    "bytes, so the oracle recomputes both features via hex "
+    "expansion + a doc-bounded lag window: exact integer counts ⇒ "
+    "hash-green DSP.",
+)
+def multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = media_asset_table(spark, sf_dir).filter(F.col("modality") == "audio")
+    out = assets.mapInPandas(
+        _audio_signal_features,
+        schema="asset_id long, n_samples long, zcr double, roughness double",
+    )
+    return out.orderBy("asset_id")
