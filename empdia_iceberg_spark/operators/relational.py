@@ -33,7 +33,7 @@ from empdia_iceberg_spark.functions.exact import (
     sql_sum8,
 )
 from empdia_iceberg_spark.registry import register
-from empdia_iceberg_spark.sources.tables import load
+from empdia_iceberg_spark.sources.tables import load, local_df
 
 # Shared cutoffs (data spans 1995-01..2001-11, see FIXTURES.md).
 _Q1_CUTOFF = "1998-09-02"
@@ -2760,4 +2760,50 @@ def secure_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     masked.createOrReplaceTempView("customer_masked_v")
     return spark.sql(
         "SELECT * FROM customer_masked_v ORDER BY c_custkey"
+    )
+
+
+# --------------------------------------------- inline observed metrics
+
+
+@register(
+    "observed_metrics_shipments",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    """,
+    doc="Inline pipeline observability via Spark's Observation API: "
+    "the ETL filter runs ONCE, and audit metrics (row count, "
+    "discounted-line count, exact-decimal quantity sum) are "
+    "harvested from the SAME pass by observe() — no second scan, no "
+    "separate audit query; the accumulator-style metrics ride the "
+    "action. This is how production ETL asserts volumes without "
+    "doubling I/O; the oracle recomputes the metrics relationally.",
+)
+def observed_metrics_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    ob = Observation("shipments_audit")
+    observed = li.observe(
+        ob,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1))
+        .cast("bigint")
+        .alias("n_discounted"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    m = ob.get
+    return local_df(
+        spark,
+        [(int(m["n_rows"]), int(m["n_discounted"]), float(m["total_qty"]))],
+        "n_rows long, n_discounted long, total_qty double",
     )
