@@ -1145,3 +1145,75 @@ def graph_kcore_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in results[1:]:
         out = out.unionByName(r)
     return out.orderBy("k")
+
+
+# ----------------------------------------- Markov-chain entropy rate
+#
+# H = −Σ_i π_i Σ_j P_ij log2 P_ij over the empirical transition matrix
+# (π = observed source-state distribution): how predictable user
+# behaviour is — 0 bits = deterministic next event, log2(|types|) =
+# uniform. All inputs are exact integer counts from the transitions
+# aggregate; each π_i·P_ij·log2(P_ij) term is det_round+decimal-summed
+# so the entropy rate hash-matches across engines.
+
+from empdia_iceberg_spark.functions.exact import exact_sum_r6, sql_sum_r6  # noqa: E402
+
+_ER_TERM = (
+    "-(CAST(tt.total AS DOUBLE) / CAST(g.gt AS DOUBLE))"
+    " * (CAST(t.n AS DOUBLE) / CAST(tt.total AS DOUBLE))"
+    " * log2(CAST(t.n AS DOUBLE) / CAST(tt.total AS DOUBLE))"
+)
+
+
+@register(
+    "events_markov_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    totals AS (
+        SELECT prev_type, sum(n) AS total FROM trans GROUP BY prev_type
+    ),
+    g AS (SELECT sum(n) AS gt FROM trans)
+    SELECT CAST((SELECT count(*) FROM totals) AS INT) AS n_states,
+           {sql_sum_r6(_ER_TERM)} AS entropy_rate_bits
+    FROM trans t JOIN totals tt ON t.prev_type = tt.prev_type CROSS JOIN g
+    """,
+    doc="Entropy rate of the user-behaviour Markov chain: "
+    "H = −Σ π_i P_ij log2 P_ij with π the empirical source-state "
+    "share — the single-number predictability of the event stream "
+    "(0 = deterministic, log2|types| = uniform). Reuses the "
+    "transitions aggregate's one user_id exchange; terms are "
+    "det_round+decimal-summed ⇒ hash-green.",
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    g = trans.agg(F.sum("n").alias("gt"))
+    n_states = totals.agg(F.count(F.lit(1)).cast("int").alias("n_states"))
+    pi = F.col("total").cast("double") / F.col("gt").cast("double")
+    pij = F.col("n").cast("double") / F.col("total").cast("double")
+    h = (
+        trans.join(totals, ["prev_type"])
+        .crossJoin(F.broadcast(g))
+        .agg(exact_sum_r6(det_round(-pi * pij * F.log2(pij), 6)).alias("entropy_rate_bits"))
+    )
+    return n_states.crossJoin(F.broadcast(h))

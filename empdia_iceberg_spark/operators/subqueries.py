@@ -867,3 +867,58 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
         .orderBy("s_name", "s_suppkey")
     )
+
+
+@register(
+    "events_session_window_batch",
+    oracle=f"""
+    WITH marks AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marks
+    ),
+    per_session AS (
+        SELECT user_id, session_seq, count(*) AS n FROM sess
+        GROUP BY user_id, session_seq
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS max_session_events
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Batch sessionization via the BUILT-IN session_window (the same "
+    "API the streaming path uses, running in batch): per-user 8h-gap "
+    "sessions aggregated to (n_sessions, n_events, largest session). "
+    "session_window opens a new session when the gap is >= the "
+    "timeout (the oracle's islands formulation mirrors that "
+    "boundary); state is the standard (user, window) aggregation "
+    "keyed shuffle. Complements the manual gaps-and-islands "
+    "sessionize — same answer, zero window functions in the Spark "
+    "plan.",
+)
+def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "8 hours").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("n").cast("bigint").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
