@@ -95,7 +95,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # forecast_backtest_snaive, ab_test_conversion, secure_masked_view,
 # table_history_audit, stream_topk_trending, anova_acctbal_segments,
 # ks_acctbal_two_sample, multimodal_audio_zcr, observed_metrics_shipments,
-# events_session_window_batch, events_markov_entropy_rate — each
+# events_session_window_batch, events_markov_entropy_rate,
+# table_concurrent_appends — each
 # landed with driver-style sf0.01 verification plus sf0.001/sf0.1
 # re-checks) added after the window was frozen.
 _SWEEP_PRIORITY = [

@@ -51,6 +51,12 @@ DEFAULT_ROOT = os.environ.get(
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency failure: the table advanced past the
+    snapshot this commit was based on (Iceberg's commit-conflict
+    semantics). Callers re-read the table and retry."""
+
+
 class SnapshotTable:
     """One managed table: immutable parquet data dirs + JSON snapshot log."""
 
@@ -84,9 +90,20 @@ class SnapshotTable:
         schema: str,
         spec: list[str] | None = None,
         dir_specs: list[list[str]] | None = None,
+        expect_parent: int | None = None,
     ) -> int:
         os.makedirs(self.meta_dir, exist_ok=True)
-        version = (self._versions()[-1] + 1) if self._versions() else 1
+        latest = self._versions()[-1] if self._versions() else None
+        if expect_parent is not None and latest != expect_parent:
+            # Optimistic concurrency (Iceberg commit semantics): the
+            # caller built its file list against `expect_parent`; if the
+            # table moved on, committing would silently drop the other
+            # writer's files. Refuse; the caller re-reads and retries.
+            raise CommitConflictError(
+                f"table {self.name}: commit based on v{expect_parent} but "
+                f"table is at v{latest} — concurrent writer won; retry"
+            )
+        version = (latest + 1) if latest is not None else 1
         meta = {
             "version": version,
             "op": op,
@@ -178,6 +195,37 @@ class SnapshotTable:
             df.schema.json(),
             spec=spec,
             dir_specs=self._dir_specs(meta) + [spec],
+        )
+
+    def append_checked(self, df: DataFrame, max_retries: int = 3) -> int:
+        """Append with optimistic-concurrency conflict detection: the
+        commit declares the parent it was built on; if another writer
+        advanced the table between read and commit, CommitConflictError
+        fires and the append is REBUILT against the fresh state (data
+        is rewritten under the new version — file lists are immutable).
+        This is the Iceberg commit loop."""
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                return self.create(df)
+            meta = self._read_meta(cur)
+            spec = meta.get("spec", [])
+            d = self._write_data(df, spec)
+            try:
+                return self._commit(
+                    "append",
+                    meta["dirs"] + [d],
+                    cur,
+                    df.schema.json(),
+                    spec=spec,
+                    dir_specs=self._dir_specs(meta) + [spec],
+                    expect_parent=cur,
+                )
+            except CommitConflictError:
+                shutil.rmtree(d, ignore_errors=True)  # orphaned write
+                continue
+        raise CommitConflictError(
+            f"table {self.name}: gave up after {max_retries} retries"
         )
 
     def evolve_partitioning(self, partition_by: list[str]) -> int:
@@ -1134,4 +1182,80 @@ def table_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return local_df(spark, rows, "version int, op string, n_rows long").orderBy(
         "version"
+    )
+
+
+# ------------------------------------------- concurrent-writer race
+
+
+@register(
+    "table_concurrent_appends",
+    oracle="""
+    WITH o AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O'),
+    f AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'),
+    p AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'P')
+    SELECT 'conflicts_detected' AS metric, CAST(1 AS BIGINT) AS value
+    UNION ALL
+    SELECT 'final_version', CAST(3 AS BIGINT)
+    UNION ALL
+    SELECT 'final_rows',
+           CAST((SELECT n FROM o) + (SELECT n FROM f) + (SELECT n FROM p) AS BIGINT)
+    UNION ALL
+    SELECT 'writer_b_rows_present', CAST((SELECT n FROM f) AS BIGINT)
+    ORDER BY metric
+    """,
+    doc="Optimistic-concurrency commit race (Iceberg commit semantics): "
+    "writer A reads the table at v1 and prepares an append; writer B "
+    "commits first (v2); A's commit DECLARES its base snapshot and is "
+    "REFUSED (CommitConflictError — silently committing would drop "
+    "B's files), then retries against the fresh state and lands v3. "
+    "The oracle pins the conflict count, final version, and final "
+    "row count containing BOTH writers' rows — lost-update "
+    "prevention proven by hash, not asserted in prose.",
+)
+def table_concurrent_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_concurrent")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))  # v1
+
+    # writer A reads its base snapshot
+    writer_a = SnapshotTable(spark, "orders_concurrent")
+    base_a = writer_a.current_version()
+    meta_a = writer_a._read_meta(base_a)
+    # writer B wins the race
+    writer_b = SnapshotTable(spark, "orders_concurrent")
+    writer_b.append(orders.filter(F.col("o_orderstatus") == "F"))  # v2
+
+    conflicts = 0
+    d = writer_a._write_data(orders.filter(F.col("o_orderstatus") == "P"))
+    try:
+        writer_a._commit(
+            "append",
+            meta_a["dirs"] + [d],
+            base_a,
+            meta_a["schema"],
+            spec=meta_a.get("spec", []),
+            dir_specs=writer_a._dir_specs(meta_a) + [[]],
+            expect_parent=base_a,
+        )
+    except CommitConflictError:
+        conflicts += 1
+        shutil.rmtree(d, ignore_errors=True)
+        writer_a.append_checked(orders.filter(F.col("o_orderstatus") == "P"))  # v3
+
+    final_version = t.current_version()
+    final_rows = t.read().count()
+    b_rows = t.read().filter(F.col("o_orderstatus") == "F").count()
+    return local_df(
+        spark,
+        sorted(
+            [
+                ("conflicts_detected", conflicts),
+                ("final_version", int(final_version)),
+                ("final_rows", int(final_rows)),
+                ("writer_b_rows_present", int(b_rows)),
+            ]
+        ),
+        "metric string, value long",
     )
