@@ -284,3 +284,66 @@ def doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOP)
+
+
+# ------------------------------------------ positional phrase search
+
+PHRASE_Q = ("fast", "table")  # the benchmark two-token phrase query
+PHRASE_TOP = 20
+
+
+@register(
+    "doc_phrase_search",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    postings AS (
+        SELECT doc_id, toks[i] AS tok, i AS pos
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+              FROM tok)
+        WHERE toks[i] IN ('{PHRASE_Q[0]}', '{PHRASE_Q[1]}')
+    ),
+    hits AS (
+        SELECT a.doc_id, count(*) AS n_occurrences
+        FROM postings a JOIN postings b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok = '{PHRASE_Q[0]}' AND b.tok = '{PHRASE_Q[1]}'
+        GROUP BY a.doc_id
+    )
+    SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM hits
+    ORDER BY n_occurrences DESC, doc_id
+    LIMIT {PHRASE_TOP}
+    """,
+    doc="Exact-phrase search over a POSITIONAL inverted index (the "
+    "structure behind quoted-phrase queries): posting lists carry "
+    "(doc, position), only the query terms' postings survive the "
+    "pushed token filter, and phrase occurrences are an adjacency "
+    "equi-join on (doc, pos+1) — shuffles move tiny posting rows "
+    "keyed by doc, never documents. Top-20 by occurrence count with "
+    "deterministic tiebreak; exact integer counts ⇒ hash-green.",
+)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    postings = (
+        tok.select("doc_id", F.posexplode("toks").alias("i0", "tok"))
+        .filter(F.col("tok").isin(*PHRASE_Q))
+        .select("doc_id", "tok", (F.col("i0") + 1).alias("pos"))
+    )
+    a = postings.filter(F.col("tok") == PHRASE_Q[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = postings.filter(F.col("tok") == PHRASE_Q[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pa")
+    )
+    hits = (
+        a.join(b, ["doc_id", "pa"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    return hits.orderBy(F.col("n_occurrences").desc(), "doc_id").limit(PHRASE_TOP)
