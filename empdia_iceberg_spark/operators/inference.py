@@ -1190,3 +1190,100 @@ def ks_acctbal_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(F.max(d), 6).alias("ks_d"),
         )
     )
+
+
+# ------------------------------------------- deterministic Monte Carlo
+
+MC_SAMPLES = 1_000_000
+
+
+@register(
+    "mc_pi_estimate",
+    oracle=f"""
+    WITH pts AS (
+        SELECT (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':x'), 1, 13) AS BIGINT)
+                / 4503599627370496.0) AS x,
+               (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':y'), 1, 13) AS BIGINT)
+                / 4503599627370496.0) AS y
+        FROM (SELECT unnest(generate_series(0, {MC_SAMPLES - 1})) AS i)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(count(CASE WHEN x * x + y * y <= 1.0 THEN 1 END) AS BIGINT) AS n_inside,
+           {sql_det_round(f'4.0 * count(CASE WHEN x * x + y * y <= 1.0 THEN 1 END) / {float(MC_SAMPLES)}', 6)} AS pi_estimate
+    FROM pts
+    """,
+    doc="Monte Carlo simulation made reproducible: π from 1M 2-D "
+    "points whose coordinates are md5-derived exact-dyadic uniforms "
+    "— a pure function of the sample index, so the 'random' "
+    "simulation is bit-identical across engines, partitionings, and "
+    "re-runs (the determinism discipline data pipelines need for "
+    "audited simulations). Embarrassingly parallel: spark.range "
+    "shards the index space, one count aggregate, no shuffle of "
+    "sample rows.",
+)
+def mc_pi_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def u(salt: str):
+        return (
+            F.conv(
+                F.md5(
+                    F.concat(F.col("id").cast("string"), F.lit(":" + salt)).cast(
+                        "binary"
+                    )
+                ).substr(1, 13),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(4503599627370496.0)
+        )
+
+    pts = spark.range(MC_SAMPLES).select(u("x").alias("x"), u("y").alias("y"))
+    inside = F.count(
+        F.when(F.col("x") * F.col("x") + F.col("y") * F.col("y") <= 1.0, 1)
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        inside.cast("bigint").alias("n_inside"),
+        det_round(F.lit(4.0) * inside / F.lit(float(MC_SAMPLES)), 6).alias(
+            "pi_estimate"
+        ),
+    )
+
+
+# --------------------------------------------------- tail risk (VaR/CVaR)
+
+
+@register(
+    "orders_var_cvar",
+    oracle="""
+    WITH v AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+    cut AS (
+        SELECT quantile_disc(p, 0.99) AS var99 FROM v
+    )
+    SELECT CAST(var99 AS DOUBLE) AS var_99,
+           CAST((SELECT count(*) FROM v, cut WHERE p >= var99) AS BIGINT) AS n_tail,
+           (floor((SELECT CAST(sum(p) AS DOUBLE) / count(*)
+                   FROM v, cut WHERE p >= var99) * 100.0 + 0.5) / 100.0) AS cvar_99
+    FROM cut
+    """,
+    doc="Tail risk on order values: VaR(99) as the exact discrete "
+    "99th-percentile price, CVaR(99) as the exact-decimal mean of "
+    "the tail at-or-beyond it. The quantile comes from Spark's "
+    "exact percentile aggregate (discrete, no interpolation — "
+    "engine-agnostic on 2-decimal data); the tail mean is one "
+    "pushed-filter scan with decimal accumulation ⇒ hash-green "
+    "risk metrics.",
+)
+def orders_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    v = orders.select(F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
+    cut = v.agg(
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY p)").alias("var99")
+    )
+    tail = v.crossJoin(F.broadcast(cut)).filter(F.col("p") >= F.col("var99"))
+    return tail.agg(
+        F.max(F.col("var99")).cast("double").alias("var_99"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        det_round(
+            F.sum("p").cast("double") / F.count(F.lit(1)), 2
+        ).alias("cvar_99"),
+    )
