@@ -25,6 +25,8 @@ Scale shape:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -347,3 +349,86 @@ def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
     )
     return hits.orderBy(F.col("n_occurrences").desc(), "doc_id").limit(PHRASE_TOP)
+
+
+# --------------------------------------- retrieve → rerank pipeline
+
+RERANK_HEAD = 64  # the "cross-encoder" reads the first 64 tokens
+
+
+def _rerank_stub_udf():
+    """Deterministic cross-encoder STUB with the production shape: an
+    Arrow-batched pandas_udf scoring (query, doc-head) pairs — the
+    executor-singleton slot where a real reranker checkpoint would
+    load (mirroring functions/classifier.py's env-gated pattern).
+    The stub's score is query-term density over the first
+    RERANK_HEAD tokens, a pure function of the text that the oracle
+    reproduces in SQL."""
+    terms = set(QUERY_TERMS)
+
+    def score(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            head = (t or "").lower().split()[:RERANK_HEAD]
+            hits = sum(1 for w in head if w in terms)
+            out.append(hits / max(len(head), 1))
+        return pd.Series(out)
+
+    return F.pandas_udf(score, "double")
+
+
+@register(
+    "doc_rerank_crossencoder",
+    oracle=rf"""
+    WITH {_bm25_scored_sql()},
+    top AS (
+        SELECT doc_id, score AS bm25_score FROM scored
+        ORDER BY score DESC, doc_id LIMIT {BM25_TOP}
+    ),
+    heads AS (
+        SELECT t.doc_id, t.bm25_score,
+               list_slice(list_filter(string_split_regex(lower(d.text), '\s+'),
+                                      x -> x <> ''), 1, {RERANK_HEAD}) AS head
+        FROM top t JOIN documents d ON d.doc_id = t.doc_id
+    ),
+    reranked AS (
+        SELECT doc_id, bm25_score,
+               {sql_det_round(
+                   'CAST(len(list_filter(head, x -> x IN (' + _QUERY_SQL_LIST + '))) AS DOUBLE)'
+                   ' / greatest(len(head), 1)', 6)} AS rerank_score
+        FROM heads
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rerank_score DESC, bm25_score DESC, doc_id) AS INT) AS rank,
+           doc_id, bm25_score, rerank_score
+    FROM reranked
+    ORDER BY rank
+    """,
+    doc="Retrieve→rerank pipeline (the RAG serving shape): BM25 pulls "
+    "top-20 candidates from the inverted index, then an Arrow-batched "
+    "cross-encoder STUB re-scores each (query, doc-head) pair — the "
+    "executor-singleton pandas_udf slot a real reranker checkpoint "
+    "drops into. Only the LIMIT-bounded candidates reach the model "
+    "(20 rows regardless of corpus size); the stub score is a pure "
+    "text function the oracle mirrors, so the fused reranking is "
+    "hash-checkable end-to-end.",
+)
+def doc_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    heads = top.withColumnRenamed("score", "bm25_score").join(docs, "doc_id")
+    rerank = _rerank_stub_udf()
+    reranked = heads.select(
+        "doc_id",
+        "bm25_score",
+        det_round(rerank(F.col("text")), 6).alias("rerank_score"),
+    )
+    w = W.orderBy(
+        F.col("rerank_score").desc(), F.col("bm25_score").desc(), F.col("doc_id")
+    )
+    return reranked.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "bm25_score",
+        "rerank_score",
+    ).orderBy("rank")

@@ -252,3 +252,78 @@ def forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum_r6(err / F.col("actual")) / F.count(F.lit(1)), 6
         ).alias("mape"),
     )
+
+
+@register(
+    "events_seasonal_residual_outliers",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    phase_means AS (
+        SELECT t % 7 AS phase,
+               CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mu
+        FROM idx GROUP BY t % 7
+    ),
+    resid AS (
+        SELECT idx.d, idx.x, idx.t % 7 AS phase,
+               idx.x - pm.mu AS r
+        FROM idx JOIN phase_means pm ON pm.phase = idx.t % 7
+    ),
+    med AS (SELECT median(r) AS m FROM resid),
+    absdev AS (
+        SELECT resid.d, resid.x, resid.phase, resid.r,
+               abs(resid.r - med.m) AS ad
+        FROM resid CROSS JOIN med
+    ),
+    mad AS (SELECT median(ad) AS mad FROM absdev),
+    flagged AS (
+        SELECT a.d, a.x, a.phase, a.r
+        FROM absdev a CROSS JOIN med CROSS JOIN mad
+        WHERE abs(a.r - med.m) > 1.5 * 1.4826 * mad.mad
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(phase AS INT) AS phase,
+           {sql_det_round('x', 2)} AS value,
+           {sql_det_round('r', 2)} AS residual
+    FROM flagged
+    ORDER BY day
+    """,
+    doc="Seasonality-adjusted anomaly detection on the daily series: "
+    "subtract the day-of-week phase mean (the seasonal_strength_scan "
+    "fold), then flag days whose residual exceeds 3·1.4826·MAD — "
+    "robust outliers that plain z-scores miss when the weekly cycle "
+    "inflates the variance. Phase means are a 7-row broadcast; the "
+    "exact medians run over the calendar-bounded day rollup; all "
+    "arithmetic det_round+decimal ⇒ hash-green.",
+)
+def events_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _daily_series(spark, sf_dir)
+    phase_means = idx.groupBy((F.col("t") % 7).alias("phase")).agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mu")
+    )
+    resid = (
+        idx.withColumn("phase", F.col("t") % 7)
+        .join(F.broadcast(phase_means), "phase")
+        .select("d", "x", "phase", (F.col("x") - F.col("mu")).alias("r"))
+    )
+    med = resid.agg(F.expr("median(r)").alias("m"))
+    absdev = resid.crossJoin(F.broadcast(med)).withColumn(
+        "ad", F.abs(F.col("r") - F.col("m"))
+    )
+    mad = absdev.agg(F.expr("median(ad)").alias("mad"))
+    flagged = (
+        absdev.crossJoin(F.broadcast(mad))
+        .filter(
+            F.abs(F.col("r") - F.col("m"))
+            > F.lit(1.5) * F.lit(1.4826) * F.col("mad")
+        )
+    )
+    return flagged.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("phase").cast("int").alias("phase"),
+        det_round(F.col("x"), 2).alias("value"),
+        det_round(F.col("r"), 2).alias("residual"),
+    ).orderBy("day")
