@@ -91,6 +91,7 @@ class SnapshotTable:
         spec: list[str] | None = None,
         dir_specs: list[list[str]] | None = None,
         expect_parent: int | None = None,
+        delete_dirs: list[dict] | None = None,
     ) -> int:
         os.makedirs(self.meta_dir, exist_ok=True)
         latest = self._versions()[-1] if self._versions() else None
@@ -116,6 +117,8 @@ class SnapshotTable:
             # dir_specs so old and new layouts coexist in one table.
             "spec": spec if spec is not None else [],
             "dir_specs": dir_specs if dir_specs is not None else [[] for _ in dirs],
+            # merge-on-read equality-delete files riding this snapshot
+            "delete_dirs": delete_dirs if delete_dirs is not None else [],
         }
         tmp = os.path.join(self.meta_dir, f".v{version:05d}.json.tmp")
         with open(tmp, "w") as f:
@@ -195,6 +198,7 @@ class SnapshotTable:
             df.schema.json(),
             spec=spec,
             dir_specs=self._dir_specs(meta) + [spec],
+            delete_dirs=meta.get("delete_dirs", []),
         )
 
     def append_checked(self, df: DataFrame, max_retries: int = 3) -> int:
@@ -262,6 +266,34 @@ class SnapshotTable:
         merged = kept.unionByName(source)
         return self.overwrite(merged, op="merge")
 
+    def delete_where_mor(self, condition, key: str) -> int:
+        """Merge-on-read DELETE (Iceberg v2 equality deletes): instead
+        of rewriting the table (copy-on-write), commit a tiny delete
+        file holding only the matching keys; every subsequent read
+        anti-joins it. O(deleted keys) write instead of O(table) —
+        the delete path that stays cheap at 100 TB; `compact()`
+        later folds deletes into a rewritten file set."""
+        cur = self.current_version()
+        meta = self._read_meta(cur)
+        keys = self.read().filter(condition).select(key).distinct()
+        version = (self._versions()[-1] + 1) if self._versions() else 1
+        dd = os.path.join(self.data_dir, f"d{version:05d}")
+        keys.write.mode("overwrite").parquet(dd)
+        return self._commit(
+            "delete-mor",
+            meta["dirs"],
+            cur,
+            meta["schema"],
+            spec=meta.get("spec", []),
+            dir_specs=self._dir_specs(meta),
+            # prior delete files carry forward so stacked deletes
+            # compose; `applies_to` pins the data files that existed at
+            # delete time (Iceberg's sequence-number semantics) so rows
+            # APPENDED later under the same key are NOT swallowed
+            delete_dirs=meta.get("delete_dirs", [])
+            + [{"dir": dd, "key": key, "applies_to": list(meta["dirs"])}],
+        )
+
     def delete_where(self, condition) -> int:
         return self.overwrite(self.read().filter(~condition), op="delete")
 
@@ -286,6 +318,7 @@ class SnapshotTable:
             meta["schema"],
             spec=meta.get("spec", []),
             dir_specs=self._dir_specs(meta),
+            delete_dirs=meta.get("delete_dirs", []),
         )
 
     # ------------------------------------------------------- branch refs
@@ -391,7 +424,37 @@ class SnapshotTable:
         cur = version if version is not None else self.current_version()
         if cur is None or cur not in self._versions():
             raise ValueError(f"table {self.name}: no snapshot v{version}")
-        return self._read_dirs(self._read_meta(cur)["dirs"], merge_schema)
+        meta = self._read_meta(cur)
+        deletes = meta.get("delete_dirs", [])
+        if not deletes:
+            return self._read_dirs(meta["dirs"], merge_schema)
+        # Merge-on-read (Iceberg v2 equality-delete files): delete
+        # commits write only the deleted KEYS; readers anti-join them —
+        # but only against data files that existed when the delete
+        # committed (`applies_to`, the sequence-number rule), so later
+        # appends of the same key survive. Data dirs sharing the same
+        # applicable delete set are read together.
+        from collections import defaultdict
+
+        groups: dict[tuple, list[str]] = defaultdict(list)
+        for d in meta["dirs"]:
+            applicable = tuple(
+                i
+                for i, dd in enumerate(deletes)
+                if d in dd.get("applies_to", meta["dirs"])
+            )
+            groups[applicable].append(d)
+        parts = []
+        for applicable, dirs in groups.items():
+            part = self._read_dirs(dirs, merge_schema)
+            for i in applicable:
+                keys = self.spark.read.parquet(deletes[i]["dir"])
+                part = part.join(keys, on=deletes[i]["key"], how="left_anti")
+            parts.append(part)
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_, allowMissingColumns=merge_schema)
+        return out
 
     def _read_dirs(self, dirs: list[str], merge_schema: bool = False) -> DataFrame:
         # recursiveFileLookup: read leaf files only, no partition-column
@@ -1258,4 +1321,78 @@ def table_concurrent_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
         "metric string, value long",
+    )
+
+
+# ------------------------------------------- merge-on-read deletes
+
+
+@register(
+    "table_mor_deletes",
+    oracle="""
+    WITH o AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O'),
+    o_cheap AS (
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice >= 50000.0
+    ),
+    f AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'),
+    f_cheap AS (
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0
+    )
+    SELECT 'after_mor_delete' AS step,
+           CAST((SELECT n FROM o_cheap) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'after_reinsert_append',
+           CAST((SELECT n FROM o_cheap) + (SELECT n FROM f) AS BIGINT)
+    UNION ALL
+    SELECT 'after_second_delete',
+           CAST((SELECT n FROM o_cheap) + (SELECT n FROM f_cheap) AS BIGINT)
+    UNION ALL
+    SELECT 'after_compaction',
+           CAST((SELECT n FROM o_cheap) + (SELECT n FROM f_cheap) AS BIGINT)
+    UNION ALL
+    SELECT 'time_travel_v1',
+           CAST((SELECT n FROM o) AS BIGINT)
+    ORDER BY step
+    """,
+    doc="Merge-on-read DELETE lifecycle (Iceberg v2 equality deletes): "
+    "a delete commits only the matching KEYS (O(deleted), never an "
+    "O(table) rewrite); reads anti-join the delete files — pinned to "
+    "the data files that existed at delete time (sequence-number "
+    "semantics), so APPENDED rows with previously-deleted values "
+    "survive; stacked deletes compose; compaction folds deletes into "
+    "a rewritten file set; time travel before the delete still sees "
+    "every row. Every step's count is pinned by base-table "
+    "arithmetic.",
+)
+def table_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_mor")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))  # v1
+    t.delete_where_mor(F.col("o_totalprice") < 50000.0, key="o_orderkey")  # v2
+    n_after_delete = t.read().count()
+    # appended rows are NOT affected by the earlier delete file, even
+    # though many F-orders are cheap (sequence semantics)
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))  # v3
+    n_after_append = t.read().count()
+    t.delete_where_mor(F.col("o_totalprice") < 50000.0, key="o_orderkey")  # v4
+    n_after_second = t.read().count()
+    t.compact()  # folds both delete files into a rewritten file set
+    assert not t._read_meta(t.current_version())["delete_dirs"]
+    n_after_compact = t.read().count()
+    n_v1 = t.read(version=1).count()
+    return local_df(
+        spark,
+        sorted(
+            [
+                ("after_mor_delete", int(n_after_delete)),
+                ("after_reinsert_append", int(n_after_append)),
+                ("after_second_delete", int(n_after_second)),
+                ("after_compaction", int(n_after_compact)),
+                ("time_travel_v1", int(n_v1)),
+            ]
+        ),
+        "step string, n_rows long",
     )
