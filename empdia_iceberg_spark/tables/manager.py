@@ -1396,3 +1396,147 @@ def table_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "step string, n_rows long",
     )
+
+
+# ------------------------------------------- bloom-filter file skipping
+
+BLOOM_MIN_BITS = 4096
+BLOOM_BITS_PER_KEY = 12  # ~12 bits/key with k=3 → FP rate ≈ 1%
+BLOOM_HASHES = 3
+
+
+def _bloom_bits_for(n_keys: int) -> int:
+    """Per-file bloom sizing (what real formats do — Iceberg puffin
+    blobs scale with the file): next power of two above 12 bits/key,
+    floored at 4 Kib so tiny files stay cheap."""
+    bits = max(BLOOM_MIN_BITS, BLOOM_BITS_PER_KEY * max(n_keys, 1))
+    return 1 << (bits - 1).bit_length()
+
+
+def _bloom_positions_col(key: str, bits: int) -> list:
+    """BLOOM_HASHES bit positions per key value: independent md5 slices
+    reduced mod `bits` — deterministic, engine-replicable."""
+    return [
+        (
+            F.conv(
+                F.md5(
+                    F.concat(F.col(key).cast("string"), F.lit(f"#bloom{h}")).cast(
+                        "binary"
+                    )
+                ).substr(1, 12),
+                16,
+                10,
+            ).cast("bigint")
+            % bits
+        ).cast("int")
+        for h in range(BLOOM_HASHES)
+    ]
+
+
+class BloomIndex:
+    """Sidecar file-skipping index (Iceberg puffin-style bloom filters,
+    Hudi bloom index): one BLOOM_BITS bitset per data dir over a key
+    column. Point lookups test the probe's BLOOM_HASHES bits against
+    each dir's bitset and read ONLY passing dirs — O(matching files)
+    instead of O(table) for needle queries; false positives cost an
+    extra file read, never a wrong answer (the exact filter still
+    applies)."""
+
+    def __init__(self, table: "SnapshotTable", key: str):
+        self.table = table
+        self.key = key
+        self.path = os.path.join(table.meta_dir, f"bloom_{key}.json")
+
+    def build(self) -> int:
+        meta = self.table._read_meta(self.table.current_version())
+        index: dict[str, list[int]] = {}
+        for d in meta["dirs"]:
+            keys = self.table._read_dirs([d]).select(self.key)
+            m = _bloom_bits_for(keys.count())
+            bits = (
+                keys.select(
+                    F.explode(F.array(*_bloom_positions_col(self.key, m))).alias("b")
+                )
+                .distinct()
+                .collect()
+            )  # ≤ m rows per dir — driver-bounded by the sizing rule
+            index[d] = {"m": m, "bits": sorted(r["b"] for r in bits)}
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"key": self.key, "version": meta["version"], "dirs": index}, f)
+        os.rename(tmp, self.path)
+        return len(index)
+
+    @staticmethod
+    def _probe_bits(value, m: int) -> list[int]:
+        import hashlib
+
+        return [
+            int(hashlib.md5(f"{value}#bloom{h}".encode()).hexdigest()[:12], 16) % m
+            for h in range(BLOOM_HASHES)
+        ]
+
+    def lookup_dirs(self, value) -> tuple[list[str], int]:
+        with open(self.path) as f:
+            index = json.load(f)
+        passing = [
+            d
+            for d, entry in index["dirs"].items()
+            if set(self._probe_bits(value, entry["m"])) <= set(entry["bits"])
+        ]
+        return passing, len(index["dirs"])
+
+    def read_point(self, value) -> DataFrame:
+        dirs, _total = self.lookup_dirs(value)
+        if not dirs:
+            return self.table.read().filter(F.lit(False))
+        return self.table._read_dirs(dirs).filter(F.col(self.key) == F.lit(value))
+
+
+@register(
+    "table_bloom_point_lookup",
+    oracle="""
+    WITH probe AS (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY o_orderkey LIMIT 5
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           round(o.o_totalprice, 2) AS totalprice
+    FROM orders o JOIN probe USING (o_orderkey)
+    ORDER BY o.o_orderkey
+    """,
+    doc="Point lookups through a bloom-filter secondary index (Iceberg "
+    "puffin / Hudi bloom-index pattern): the table lands as three "
+    "per-status data files, a 4096-bit md5 bloom is built per file "
+    "over o_orderkey, and each probe reads ONLY the files whose "
+    "bitset contains all its bits — O(matching files) needle "
+    "lookups; false positives cost an extra read, never a wrong "
+    "answer (the exact filter still applies — which is what the "
+    "oracle checks). File skipping itself is asserted in "
+    "tests/test_tables.py.",
+)
+def table_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_bloom")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    t.append(orders.filter(F.col("o_orderstatus") == "P"))
+    idx = BloomIndex(t, "o_orderkey")
+    idx.build()
+    probes = [
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_orderstatus") == "P")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .collect()
+    ]  # 5 scalars — driver-bounded probe set
+    parts = [idx.read_point(k) for k in probes]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    ).orderBy("o_orderkey")

@@ -191,3 +191,30 @@ def test_refs_survive_and_pin_across_expiry(spark):
     assert t.read_ref("tag_v1").count() == 7
     assert t.read_ref("main").count() == 11
     t.drop()
+
+
+def test_bloom_index_skips_files(spark):
+    """Bloom point lookups must read strictly fewer dirs than the table
+    has, and must equal the plain filter exactly."""
+    from empdia_iceberg_spark import registry
+    from empdia_iceberg_spark.sources.tables import load
+    from empdia_iceberg_spark.tables.manager import BloomIndex, SnapshotTable
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    registry.queries()["table_bloom_point_lookup"](spark, SF_DIR).collect()
+    t = SnapshotTable(spark, "orders_bloom")
+    idx = BloomIndex(t, "o_orderkey")
+    orders = load(spark, SF_DIR, "orders")
+    probe = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .orderBy("o_orderkey")
+        .limit(1)
+        .collect()[0]["o_orderkey"]
+    )
+    dirs, total = idx.lookup_dirs(probe)
+    assert total == 3
+    assert 1 <= len(dirs) < total, "bloom pruned nothing"
+    exact = t.read().filter(F.col("o_orderkey") == probe).collect()
+    via_index = idx.read_point(probe).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, via_index))
