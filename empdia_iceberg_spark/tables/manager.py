@@ -1540,3 +1540,76 @@ def table_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round("o_totalprice", 2).alias("totalprice"),
     ).orderBy("o_orderkey")
+
+
+# ------------------------------------------------- CDC changelog emit
+
+
+@register(
+    "table_changelog_emit",
+    oracle="""
+    WITH o AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O'),
+    f AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'),
+    upd AS (
+        SELECT count(*) AS n FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
+    )
+    SELECT 'delete' AS op, CAST(0 AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'insert', CAST((SELECT n FROM f) AS BIGINT)
+    UNION ALL
+    SELECT 'update', CAST((SELECT n FROM upd) AS BIGINT)
+    ORDER BY op
+    """,
+    doc="CDC changelog EMISSION between snapshots (the read side of "
+    "Iceberg's changelog / Delta CDF — the inverse of "
+    "cdc_log_compaction): after a MERGE that updates expensive "
+    "orders and inserts the F-orders, diff v1→v2 BY KEY into "
+    "insert (key only in v2), delete (key only in v1), update (key "
+    "in both, any non-key column changed — compared via a "
+    "whole-row hash, never column-by-column plans). Two key-pruned "
+    "anti-joins + one inner join on the uniform key; counts pinned "
+    "by base arithmetic.",
+)
+def table_changelog_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_changelog")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))  # v1
+    source = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .filter(F.col("o_totalprice") > 150000.0)
+        .withColumn("o_orderpriority", F.lit("0-RUSH"))  # the update
+        .unionByName(orders.filter(F.col("o_orderstatus") == "F"))  # inserts
+    )
+    t.merge(source, key="o_orderkey")  # v2
+
+    v1, v2 = t.read(version=1), t.read(version=2)
+    key = "o_orderkey"
+    cols = sorted(v1.columns)
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            key, F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])).alias("h")
+        )
+
+    h1, h2 = hashed(v1), hashed(v2)
+    inserts = h2.join(h1.select(key), key, "left_anti").count()
+    deletes = h1.join(h2.select(key), key, "left_anti").count()
+    updates = (
+        h1.withColumnRenamed("h", "h_old")
+        .join(h2, key)
+        .filter(F.col("h_old") != F.col("h"))
+        .count()
+    )
+    return local_df(
+        spark,
+        sorted(
+            [
+                ("insert", int(inserts)),
+                ("delete", int(deletes)),
+                ("update", int(updates)),
+            ]
+        ),
+        "op string, n_rows long",
+    )
