@@ -99,7 +99,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # table_concurrent_appends, doc_phrase_search, mc_pi_estimate,
 # orders_var_cvar, doc_rerank_crossencoder,
 # events_seasonal_residual_outliers, table_mor_deletes,
-# table_bloom_point_lookup, table_changelog_emit — each
+# table_bloom_point_lookup, table_changelog_emit,
+# revenue_price_volume_bridge, quantile_transform_acctbal — each
 # landed with driver-style sf0.01 verification plus sf0.001/sf0.1
 # re-checks) added after the window was frozen.
 _SWEEP_PRIORITY = [

@@ -2807,3 +2807,111 @@ def observed_metrics_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), int(m["n_discounted"]), float(m["total_qty"]))],
         "n_rows long, n_discounted long, total_qty double",
     )
+
+
+# --------------------------------------------- price-volume bridge
+
+
+@register(
+    "revenue_price_volume_bridge",
+    oracle=f"""
+    WITH yearly AS (
+        SELECT CAST(year(l_shipdate) AS INT) AS yr,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS vol,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+        FROM lineitem GROUP BY year(l_shipdate)
+    ),
+    paired AS (
+        SELECT yr, vol, rev,
+               lag(vol) OVER (ORDER BY yr) AS vol0,
+               lag(rev) OVER (ORDER BY yr) AS rev0
+        FROM yearly
+    )
+    SELECT yr,
+           {sql_det_round('rev - rev0', 2)} AS delta_revenue,
+           {sql_det_round('(vol - vol0) * (rev0 / vol0)', 2)} AS volume_effect,
+           {sql_det_round('vol * (rev / vol - rev0 / vol0)', 2)} AS price_effect
+    FROM paired WHERE vol0 IS NOT NULL
+    ORDER BY yr
+    """,
+    doc="Price-volume bridge (the FP&A revenue-change decomposition): "
+    "Δrevenue between consecutive years split into a volume effect "
+    "(Δvolume at old average price) and a price effect (new volume × "
+    "Δaverage price) — the two sum to Δrevenue by construction. One "
+    "exact-decimal year rollup; the lag runs over the calendar-"
+    "bounded year table; effects are identical IEEE closed forms ⇒ "
+    "hash-green bridge.",
+)
+def revenue_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    yearly = li.groupBy(F.year("l_shipdate").cast("int").alias("yr")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("vol"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("rev"),
+    )
+    w = W.orderBy("yr")
+    paired = yearly.select(
+        "yr",
+        "vol",
+        "rev",
+        F.lag("vol").over(w).alias("vol0"),
+        F.lag("rev").over(w).alias("rev0"),
+    ).filter(F.col("vol0").isNotNull())
+    p0 = F.col("rev0") / F.col("vol0")
+    return paired.select(
+        "yr",
+        det_round(F.col("rev") - F.col("rev0"), 2).alias("delta_revenue"),
+        det_round((F.col("vol") - F.col("vol0")) * p0, 2).alias("volume_effect"),
+        det_round(F.col("vol") * (F.col("rev") / F.col("vol") - p0), 2).alias(
+            "price_effect"
+        ),
+    ).orderBy("yr")
+
+
+# --------------------------------------------- quantile transform
+
+
+@register(
+    "quantile_transform_acctbal",
+    oracle="""
+    WITH r AS (
+        SELECT c_custkey, c_acctbal,
+               row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+               count(*) OVER () AS n
+        FROM customer
+    )
+    SELECT c_custkey,
+           round(c_acctbal, 2) AS acctbal,
+           (floor((CAST(rn AS DOUBLE) - 0.5) / n * 1000000.0 + 0.5) / 1000000.0) AS quantile
+    FROM r
+    ORDER BY c_custkey
+    """,
+    doc="Quantile transform (the sklearn QuantileTransformer / "
+    "rank-gauss preprocessor): every balance maps to its empirical "
+    "quantile (rank − ½)/n with a deterministic key tiebreak. The "
+    "global ranking uses operators.scale.bucketed_global_row_number "
+    "— quantile-bucketed parallel numbering, never a single-"
+    "partition window — so the transform scales to any corpus while "
+    "the oracle's plain window form pins every value.",
+)
+def quantile_transform_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.operators.scale import bucketed_global_row_number
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked, n = bucketed_global_row_number(
+        cust, "c_acctbal", tiebreaks=("c_custkey",), out_col="rn"
+    )
+    return ranked.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        det_round(
+            (F.col("rn").cast("double") - F.lit(0.5)) / F.lit(float(n)), 6
+        ).alias("quantile"),
+    ).orderBy("c_custkey")
