@@ -31,6 +31,8 @@ from empdia_iceberg_spark.functions.exact import (
     sql_moment_sums,
     sql_sum2,
     sql_sum8,
+    exact_sum_r6,
+    sql_sum_r6,
 )
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load, local_df
@@ -2915,3 +2917,77 @@ def quantile_transform_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn").cast("double") - F.lit(0.5)) / F.lit(float(n)), 6
         ).alias("quantile"),
     ).orderBy("c_custkey")
+
+
+# ------------------------------------------------------- robust means
+
+
+@register(
+    "orders_robust_means",
+    oracle=f"""
+    WITH v AS (
+        SELECT o_totalprice AS p,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS pd,
+               o_orderkey
+        FROM orders
+    ),
+    n_tot AS (SELECT count(*) AS n FROM v),
+    ranked AS (
+        SELECT pd, row_number() OVER (ORDER BY p, o_orderkey) AS rn FROM v
+    ),
+    trimmed AS (
+        SELECT CAST(sum(r.pd) AS DOUBLE) AS s, count(*) AS m
+        FROM ranked r, n_tot
+        WHERE r.rn > floor(0.05 * n_tot.n) AND r.rn <= n_tot.n - floor(0.05 * n_tot.n)
+    )
+    SELECT CAST(n_tot.n AS BIGINT) AS n_orders,
+           {sql_det_round('CAST((SELECT sum(pd) FROM v) AS DOUBLE) / n_tot.n', 2)} AS mean,
+           {sql_det_round('exp(' + sql_sum_r6('ln(p)') + ' / n_tot.n)', 2)} AS geometric_mean,
+           {sql_det_round('n_tot.n / ' + sql_sum_r6('1.0 / p'), 2)} AS harmonic_mean,
+           (SELECT {sql_det_round('s / m', 2)} FROM trimmed) AS trimmed_mean_5pct
+    FROM v CROSS JOIN n_tot
+    GROUP BY n_tot.n
+    """,
+    doc="The four classical location estimators of order value in one "
+    "row: arithmetic (exact decimal sum), geometric (exp of det_round"
+    "+decimal-summed logs), harmonic (reciprocal sums, same "
+    "discipline), and the 5%-two-sided trimmed mean — whose rank "
+    "filter uses operators.scale.bucketed_global_row_number, never a "
+    "single-partition window, making the order-statistic estimator "
+    "scale-safe. All four hash-green.",
+)
+def orders_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.operators.scale import bucketed_global_row_number
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("p"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("pd"),
+        "o_orderkey",
+    )
+    ranked, n = bucketed_global_row_number(
+        orders, "p", tiebreaks=("o_orderkey",), out_col="rn"
+    )
+    cut = int(0.05 * n)
+    trimmed = ranked.filter(
+        (F.col("rn") > cut) & (F.col("rn") <= n - cut)
+    ).agg(
+        (F.sum("pd").cast("double") / F.count(F.lit(1))).alias("tm")
+    )
+    base = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum("pd").cast("double") / F.count(F.lit(1))).alias("am"),
+        F.exp(
+            exact_sum_r6(det_round(F.log(F.col("p")), 6)) / F.count(F.lit(1))
+        ).alias("gm"),
+        (
+            F.count(F.lit(1)).cast("double")
+            / exact_sum_r6(det_round(F.lit(1.0) / F.col("p"), 6))
+        ).alias("hm"),
+    )
+    return base.crossJoin(F.broadcast(trimmed)).select(
+        "n_orders",
+        det_round(F.col("am"), 2).alias("mean"),
+        det_round(F.col("gm"), 2).alias("geometric_mean"),
+        det_round(F.col("hm"), 2).alias("harmonic_mean"),
+        det_round(F.col("tm"), 2).alias("trimmed_mean_5pct"),
+    )

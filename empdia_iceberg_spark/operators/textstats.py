@@ -963,3 +963,76 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.max("score"), 6).alias("rake_score"),
     )
     return agg.orderBy(F.col("rake_score").desc(), "phrase").limit(RAKE_TOP)
+
+
+# --------------------------------------------- vocabulary coverage
+
+OOV_VOCAB_SIZE = 1000
+
+
+@register(
+    "doc_oov_rate",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY w),
+    vocab AS (
+        SELECT w FROM tf ORDER BY c DESC, w LIMIT {OOV_VOCAB_SIZE}
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.lang,
+               count(*) AS n_toks,
+               count(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov
+        FROM (SELECT * FROM toks WHERE w <> '') t
+        LEFT JOIN vocab v ON v.w = t.w
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           {sql_det_round('CAST(sum(n_oov) AS DOUBLE) / sum(n_toks)', 6)} AS oov_rate
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Vocabulary-coverage diagnostic (tokenizer-fit / domain-shift "
+    "screen): the top-1000 corpus tokens form the vocabulary "
+    "(TakeOrdered over the term-frequency aggregate — never a "
+    "vocabulary-wide window), every token left-joins against the "
+    "BROADCAST vocab, and per-language out-of-vocabulary rates come "
+    "from exact integer counts ⇒ hash-green. High OOV for a "
+    "language = the tokenizer/vocab underserves it — the check run "
+    "before committing a 100 TB tokenization pass.",
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tf.orderBy(F.col("c").desc(), "w").limit(OOV_VOCAB_SIZE).select(
+        "w", F.lit(True).alias("in_vocab")
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            det_round(
+                F.sum("n_oov").cast("double") / F.sum("n_toks"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
