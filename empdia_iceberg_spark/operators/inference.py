@@ -1287,3 +1287,104 @@ def orders_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p").cast("double") / F.count(F.lit(1)), 2
         ).alias("cvar_99"),
     )
+
+
+# --------------------------------------------- Spearman rank correlation
+#
+# The nonparametric dependence measure: Pearson correlation of
+# mid-ranks. Each variable's ranks are computed at VALUE grain (the
+# mannwhitney_u_segments discipline — the rank window runs over the
+# domain-bounded distinct-value aggregate, never the row set), joined
+# back on the value key, then the five moment sums over the exact
+# k/2-rational ranks give rho as one IEEE closed form — hash-green.
+
+
+def _sql_midranks(col: str) -> str:
+    return f"""(
+        SELECT v,
+               CAST(below AS DECIMAL(38,1))
+                 + (CAST(t AS DECIMAL(38,1)) + 1) / 2 AS r
+        FROM (
+            SELECT v, t,
+                   sum(t) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - t AS below
+            FROM (SELECT {col} AS v, count(*) AS t FROM lineitem GROUP BY {col})
+        )
+    )"""
+
+
+@register(
+    "spearman_qty_price",
+    oracle=f"""
+    WITH rx AS {_sql_midranks('l_quantity')},
+    ry AS {_sql_midranks('l_extendedprice')},
+    pairs AS (
+        SELECT CAST(rx.r AS DECIMAL(18,2)) AS a,
+               CAST(ry.r AS DECIMAL(18,2)) AS b
+        FROM lineitem li
+        JOIN rx ON rx.v = li.l_quantity
+        JOIN ry ON ry.v = li.l_extendedprice
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(a) AS DOUBLE) AS sx,
+               CAST(sum(b) AS DOUBLE) AS sy,
+               CAST(sum(a * a) AS DOUBLE) AS sxx,
+               CAST(sum(b * b) AS DOUBLE) AS syy,
+               CAST(sum(a * b) AS DOUBLE) AS sxy
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           {sql_det_round('(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))', 6)} AS spearman_rho
+    FROM m
+    """,
+    doc="Spearman rank correlation of quantity vs extended price: "
+    "mid-ranks per variable at value grain (tie-exact k/2 rationals, "
+    "domain-bounded rank windows — never a row-set sort), joined "
+    "back on the value key, Pearson closed form over the exact "
+    "decimal rank moments. The nonparametric complement to the OLS/"
+    "Pearson pair — monotone dependence, hash-green.",
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+
+    def midranks(col: str) -> DataFrame:
+        vals = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("t"))
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        return vals.select(
+            "v",
+            (
+                (F.sum("t").over(w) - F.col("t")).cast("decimal(38,1)")
+                + (F.col("t").cast("decimal(38,1)") + 1) / 2
+            ).alias("r"),
+        )
+
+    rx = midranks("l_quantity").select(
+        F.col("v").alias("l_quantity"), F.col("r").cast("decimal(18,2)").alias("a")
+    )
+    ry = midranks("l_extendedprice").select(
+        F.col("v").alias("l_extendedprice"),
+        F.col("r").cast("decimal(18,2)").alias("b"),
+    )
+    pairs = li.select("l_quantity", "l_extendedprice").join(
+        F.broadcast(rx), "l_quantity"
+    ).join(ry, "l_extendedprice")
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("a").cast("double").alias("sx"),
+        F.sum("b").cast("double").alias("sy"),
+        F.sum(F.col("a") * F.col("a")).cast("double").alias("sxx"),
+        F.sum(F.col("b") * F.col("b")).cast("double").alias("syy"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("sxy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        det_round(rho, 6).alias("spearman_rho"),
+    )

@@ -2991,3 +2991,69 @@ def orders_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.col("hm"), 2).alias("harmonic_mean"),
         det_round(F.col("tm"), 2).alias("trimmed_mean_5pct"),
     )
+
+
+# --------------------------------------------- revenue recognition
+
+
+@register(
+    "revenue_recognition_schedule",
+    oracle="""
+    WITH sched AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS m0,
+               unnest(generate_series(0, 2)) AS k
+        FROM orders
+    ),
+    alloc AS (
+        SELECT o_orderkey,
+               CAST(m0 + to_months(CAST(k AS INT)) AS DATE) AS month,
+               CASE WHEN k = 0 THEN cents - 2 * (cents // 3)
+                    ELSE cents // 3 END AS rec_cents
+        FROM sched
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(rec_cents) AS DECIMAL(28,0)) AS DOUBLE) / 100.0 AS recognized
+    FROM alloc
+    GROUP BY month
+    ORDER BY month
+    """,
+    doc="Deferred-revenue recognition schedule: each order's total "
+    "spreads over 3 months in exact INTEGER cents — two equal "
+    "floor-to-cent installments plus a first-month remainder "
+    "installment (cents − 2·⌊cents/3⌋), so Σ == o_totalprice EXACTLY (the "
+    "reconciliation auditors require; float splits never reconcile). "
+    "Map-only 3× month explode, one month-key shuffle; the monthly "
+    "ledger is hash-green because the allocation is integer-cent "
+    "arithmetic.",
+)
+def revenue_recognition_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    sched = orders.select(
+        "o_orderkey",
+        cents.alias("cents"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m0"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"),
+    )
+    third = F.floor(F.col("cents") / 3).cast("bigint")
+    alloc = sched.select(
+        "o_orderkey",
+        F.add_months(F.col("m0"), F.col("k")).alias("month"),
+        F.when(F.col("k") == 0, F.col("cents") - F.lit(2) * third)
+        .otherwise(third)
+        .alias("rec_cents"),
+    )
+    return (
+        alloc.groupBy(F.date_format("month", "yyyy-MM").alias("month"))
+        .agg(
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            (
+                F.sum("rec_cents").cast("decimal(28,0)").cast("double")
+                / F.lit(100.0)
+            ).alias("recognized"),
+        )
+        .orderBy("month")
+    )
