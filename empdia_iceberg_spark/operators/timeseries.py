@@ -327,3 +327,120 @@ def events_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataF
         det_round(F.col("x"), 2).alias("value"),
         det_round(F.col("r"), 2).alias("residual"),
     ).orderBy("day")
+
+
+_INTERP_BLEND = (
+    "v_prev + (v_next - v_prev)"
+    " * CAST(date_diff('day', d_prev, d) AS DOUBLE)"
+    " / CAST(date_diff('day', d_prev, d_next) AS DOUBLE)"
+)
+
+
+@register(
+    "events_linear_interpolate",
+    oracle=f"""
+    WITH obs AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spans AS (
+        SELECT user_id, min(d) AS d_min, max(d) AS d_max FROM obs GROUP BY user_id
+    ),
+    cal AS (
+        SELECT s.user_id, CAST(s.d_min + k * INTERVAL 1 DAY AS DATE) AS d
+        FROM spans s,
+             unnest(generate_series(0, date_diff('day', s.d_min, s.d_max))) AS t(k)
+    ),
+    joined AS (
+        SELECT cal.user_id, cal.d, obs.v FROM cal LEFT JOIN obs USING (user_id, d)
+    ),
+    fenced AS (
+        SELECT user_id, d, v,
+               last_value(v IGNORE NULLS) OVER w_prev AS v_prev,
+               last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                 OVER w_prev AS d_prev,
+               first_value(v IGNORE NULLS) OVER w_next AS v_next,
+               first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                 OVER w_next AS d_next
+        FROM joined
+        WINDOW w_prev AS (PARTITION BY user_id ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY user_id ORDER BY d
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    interp AS (
+        SELECT user_id,
+               CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_interp,
+               CASE WHEN v IS NOT NULL THEN v
+                    ELSE {sql_det_round(_INTERP_BLEND, 4)}
+               END AS val
+        FROM fenced
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(is_interp) AS BIGINT) AS n_interpolated,
+           {sql_det_round(sql_sum_r6('val'), 2)} AS total_value
+    FROM interp
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Linear-interpolation resampling of per-user daily series (the "
+    "pandas df.interpolate / upsample-to-daily shape): each user's "
+    "calendar gap-fills from min to max observed day (map-only "
+    "sequence explode), missing days take the linear blend of the "
+    "surrounding observations — prev/next located by IGNORE NULLS "
+    "window frames that SHARE one user_id exchange. Integer day "
+    "arithmetic + det_round'd blends + decimal sums ⇒ the resampled "
+    "per-user totals hash-match.",
+)
+def events_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    obs = events.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    spans = obs.groupBy("user_id").agg(
+        F.min("d").alias("d_min"), F.max("d").alias("d_max")
+    )
+    cal = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d_min, d_max, interval 1 day)")).alias("d"),
+    )
+    joined = cal.join(obs, ["user_id", "d"], "left")
+    w_prev = (
+        W.partitionBy("user_id").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("user_id").orderBy("d").rowsBetween(0, W.unboundedFollowing)
+    )
+    d_obs = F.when(F.col("v").isNotNull(), F.col("d"))
+    fenced = joined.select(
+        "user_id",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.last(d_obs, ignorenulls=True).over(w_prev).alias("d_prev"),
+        F.first("v", ignorenulls=True).over(w_next).alias("v_next"),
+        F.first(d_obs, ignorenulls=True).over(w_next).alias("d_next"),
+    )
+    blend = det_round(
+        F.col("v_prev")
+        + (F.col("v_next") - F.col("v_prev"))
+        * F.datediff("d", "d_prev").cast("double")
+        / F.datediff("d_next", "d_prev").cast("double"),
+        4,
+    )
+    interp = fenced.select(
+        "user_id",
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_interp"),
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(blend).alias("val"),
+    )
+    return (
+        interp.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("is_interp").cast("bigint").alias("n_interpolated"),
+            det_round(exact_sum_r6(F.col("val")), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
