@@ -62,7 +62,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 
 # ---------------------------------------------------------------- sweep order
 # The driver's per-round CORRECTNESS sweep checks the first ~50 registered
-# queries; with 204 registered, the list must rotate every round so no
+# queries; with 258 registered, the list must rotate every round so no
 # query goes too long without a driver row. Rotation policy (update the
 # list each round):
 #   1. queries whose implementation changed this round (ADVICE r3: every

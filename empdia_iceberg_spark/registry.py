@@ -47,7 +47,7 @@ def promote(first: list[str]) -> None:
     """Reorder the registry so ``first`` (in order) precedes everything else.
 
     The driver's per-round CORRECTNESS sweep checks the first ~50
-    registered queries; with ~100 registered, rotation is required so no
+    registered queries; with ~258 registered, rotation is required so no
     query goes two rounds without driver evidence. ``__init__.py`` calls
     this once after all modules register, with the current round's
     priority list: (1) queries with no driver row yet, (2) queries whose
