@@ -221,3 +221,77 @@ def udtf_split_fixed_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------- UDTF over a TABLE argument (Spark 4)
+
+
+def _user_digest_udtf():
+    """Spark 4 table-argument UDTF: the function consumes
+    TABLE(events) PARTITION BY user_id ORDER BY ts — the engine feeds
+    each partition's rows IN ORDER to one UDTF instance (terminate()
+    emits the digest), replacing a collect_list + UDF chain with a
+    streaming per-group fold. Built lazily (needs a session)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events int, first_type string, last_type string")
+    class UserDigest:
+        def __init__(self):
+            self.user_id = None
+            self.n = 0
+            self.first_type = None
+            self.last_type = None
+
+        def eval(self, row):
+            self.user_id = row["user_id"]
+            self.n += 1
+            if self.first_type is None:
+                self.first_type = row["event_type"]
+            self.last_type = row["event_type"]
+
+        def terminate(self):
+            if self.user_id is not None:
+                yield self.user_id, self.n, self.first_type, self.last_type
+
+    return UserDigest
+
+
+@register(
+    "udtf_table_arg_digest",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               row_number() OVER w AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(max(n) AS INT) AS n_events,
+           max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+           max(CASE WHEN rn = n THEN event_type END) AS last_type
+    FROM ordered
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Polymorphic UDTF consuming a TABLE argument (Spark 4 "
+    "TABLE(...) PARTITION BY ... ORDER BY ...): each user's events "
+    "stream IN EVENT-TIME ORDER through one UDTF instance, which "
+    "folds them to a digest row in terminate() — the per-group "
+    "sequential-fold shape without collect_list materialization; "
+    "partitions shuffle on user_id exactly like a window. The "
+    "digest (count, first/last event type) is oracle-pinned.",
+)
+def udtf_table_arg_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("user_digest", _user_digest_udtf())
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_for_digest")
+    return spark.sql(
+        """
+        SELECT * FROM user_digest(
+            TABLE(SELECT user_id, event_type, ts, event_id FROM events_for_digest)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        ORDER BY user_id
+        """
+    )

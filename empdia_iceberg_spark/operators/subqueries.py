@@ -922,3 +922,54 @@ def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "lateral_top2_per_customer",
+    oracle="""
+    WITH rich AS (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > 9000
+    )
+    SELECT r.c_custkey,
+           round(r.c_acctbal, 2) AS acctbal,
+           t.o_orderkey,
+           round(t.o_totalprice, 2) AS totalprice
+    FROM rich r,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = r.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 2
+    ) t
+    ORDER BY r.c_custkey, t.o_orderkey
+    """,
+    doc="Explicit LATERAL correlated subquery (the SQL-standard "
+    "form of per-probe top-k): for each high-balance customer, the "
+    "lateral derived table returns their 2 most expensive orders. "
+    "Catalyst decorrelates this into the same keyed window shape as "
+    "window_rank_topk_per_customer — asserted by the identical "
+    "result against DuckDB's native LATERAL execution; no "
+    "row-at-a-time re-execution survives in the physical plan.",
+)
+def lateral_top2_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cust.filter(F.col("c_acctbal") > 9000).createOrReplaceTempView("rich_cust")
+    orders.createOrReplaceTempView("orders_for_lateral")
+    return spark.sql(
+        """
+        SELECT r.c_custkey,
+               round(r.c_acctbal, 2) AS acctbal,
+               t.o_orderkey,
+               round(t.o_totalprice, 2) AS totalprice
+        FROM rich_cust r,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders_for_lateral o
+            WHERE o.o_custkey = r.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 2
+        ) t
+        ORDER BY r.c_custkey, t.o_orderkey
+        """
+    )
