@@ -3057,3 +3057,73 @@ def revenue_recognition_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------- segment migration
+
+
+@register(
+    "customer_segment_migration",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CASE WHEN year(o_orderdate) <= 1998 THEN 'p1' ELSE 'p2' END AS period,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM orders
+        GROUP BY o_custkey, CASE WHEN year(o_orderdate) <= 1998 THEN 'p1' ELSE 'p2' END
+    ),
+    cuts AS (
+        SELECT period,
+               quantile_disc(s, 0.25) AS q1,
+               quantile_disc(s, 0.50) AS q2,
+               quantile_disc(s, 0.75) AS q3
+        FROM spend GROUP BY period
+    ),
+    seg AS (
+        SELECT spend.o_custkey, spend.period,
+               CASE WHEN s <= q1 THEN 1 WHEN s <= q2 THEN 2
+                    WHEN s <= q3 THEN 3 ELSE 4 END AS tier
+        FROM spend JOIN cuts USING (period)
+    )
+    SELECT a.tier AS tier_p1, b.tier AS tier_p2,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT o_custkey, tier FROM seg WHERE period = 'p1') a
+    JOIN (SELECT o_custkey, tier FROM seg WHERE period = 'p2') b USING (o_custkey)
+    GROUP BY a.tier, b.tier
+    ORDER BY tier_p1, tier_p2
+    """,
+    doc="Customer segment-migration matrix (the BI churn/upsell "
+    "screen): customers tiered into spend quartiles independently in "
+    "two periods (exact discrete percentile cut points — a broadcast "
+    "3-value row per period, never a global ntile window), then the "
+    "4×4 transition matrix counts who moved where. Exact integer "
+    "counts over one custkey-keyed self-join ⇒ hash-green.",
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy(
+        "o_custkey",
+        F.when(F.year("o_orderdate") <= 1998, "p1").otherwise("p2").alias("period"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("s"))
+    cuts = spend.groupBy("period").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY s)").alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY s)").alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY s)").alias("q3"),
+    )
+    seg = spend.join(F.broadcast(cuts), "period").select(
+        "o_custkey",
+        "period",
+        F.when(F.col("s") <= F.col("q1"), 1)
+        .when(F.col("s") <= F.col("q2"), 2)
+        .when(F.col("s") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("tier"),
+    )
+    p1 = seg.filter(F.col("period") == "p1").select("o_custkey", F.col("tier").alias("tier_p1"))
+    p2 = seg.filter(F.col("period") == "p2").select("o_custkey", F.col("tier").alias("tier_p2"))
+    return (
+        p1.join(p2, "o_custkey")
+        .groupBy("tier_p1", "tier_p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("tier_p1", "tier_p2")
+    )
