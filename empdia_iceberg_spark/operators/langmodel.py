@@ -169,10 +169,8 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NB_TERM = "ln((CAST(c AS DOUBLE) + 1.0) / (CAST(n_l AS DOUBLE) + CAST(v AS DOUBLE)))"
 
 
-@register(
-    "nb_lang_confusion",
-    oracle=rf"""
-    WITH tok AS (
+_NB_PRED_SQL = rf"""
+    tok AS (
         SELECT doc_id, lang,
                string_split_regex(lower(trim(text)), '\s+') AS toks
         FROM documents
@@ -215,15 +213,23 @@ _NB_TERM = "ln((CAST(c AS DOUBLE) + 1.0) / (CAST(n_l AS DOUBLE) + CAST(v AS DOUB
         CROSS JOIN total t
         GROUP BY doc_id, actual_lang, cand_lang, p.n_docs_l, t.n_docs
     ),
-    pred AS (
-        SELECT doc_id, actual_lang, cand_lang AS predicted_lang,
-               row_number() OVER (PARTITION BY doc_id
-                                  ORDER BY score DESC, cand_lang) AS rnk
-        FROM scores
-    )
+    nb_pred AS (
+        SELECT doc_id, actual_lang, predicted_lang FROM (
+            SELECT doc_id, actual_lang, cand_lang AS predicted_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand_lang) AS rnk
+            FROM scores
+        ) WHERE rnk = 1
+    )"""
+
+
+@register(
+    "nb_lang_confusion",
+    oracle=f"""
+    WITH {_NB_PRED_SQL.strip()}
     SELECT actual_lang, predicted_lang,
            CAST(count(*) AS BIGINT) AS n_docs
-    FROM pred WHERE rnk = 1
+    FROM nb_pred
     GROUP BY actual_lang, predicted_lang
     ORDER BY actual_lang, predicted_lang
     """,
@@ -236,6 +242,18 @@ _NB_TERM = "ln((CAST(c AS DOUBLE) + 1.0) / (CAST(n_l AS DOUBLE) + CAST(v AS DOUB
     "— hence the predictions — bit-identical across engines.",
 )
 def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _nb_predictions(spark, sf_dir)
+    return (
+        pred.groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc NB argmax predictions (doc_id, actual_lang,
+    predicted_lang) — the plan shared by nb_lang_confusion and
+    classifier_agreement_kappa; mirrors _NB_PRED_SQL."""
     from pyspark.sql import Window as W
 
     toked = _tokenized(spark, sf_dir)
@@ -288,8 +306,143 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = scores.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") == 1
     )
+    return pred.select(
+        "doc_id", "actual_lang", F.col("cand_lang").alias("predicted_lang")
+    )
+
+
+# ------------------------------------------- inter-classifier kappa
+#
+# Cohen's kappa between the engine's TWO language identifiers — the
+# trained Naive Bayes (above) and the stopword-vote heuristic
+# (operators/textstats.py) — the measurement-science answer to "do my
+# two labelers actually agree beyond chance?". Every input is an
+# exact integer count over per-doc predictions; po/pe/kappa are one
+# IEEE closed form ⇒ a hash-green agreement study. (Honest caveat,
+# inherited from the heuristic: the synthetic corpus shares one
+# vocabulary, so the heuristic mostly votes en/und — kappa is
+# expected to be LOW; the operator demonstrates the shape.)
+
+
+@register(
+    "classifier_agreement_kappa",
+    oracle=f"""
+    WITH {{nb}},
+    hh AS (
+        SELECT doc_id,
+               {{h_en}} AS h_en, {{h_es}} AS h_es, {{h_fr}} AS h_fr,
+               {{h_de}} AS h_de, {{h_zh}} AS h_zh
+        FROM documents
+    ),
+    heur AS (
+        SELECT doc_id,
+               CASE
+                 WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 AND h_zh = 0 THEN 'und'
+                 WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_zh THEN 'en'
+                 WHEN h_es >= h_fr AND h_es >= h_de AND h_es >= h_zh THEN 'es'
+                 WHEN h_fr >= h_de AND h_fr >= h_zh THEN 'fr'
+                 WHEN h_de >= h_zh THEN 'de'
+                 ELSE 'zh'
+               END AS heur_lang
+        FROM hh
+    ),
+    paired AS (
+        SELECT nb_pred.predicted_lang AS a, heur.heur_lang AS b
+        FROM nb_pred JOIN heur USING (doc_id)
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM paired),
+    po AS (
+        SELECT CAST(count(CASE WHEN a = b THEN 1 END) AS DOUBLE) AS agree FROM paired
+    ),
+    pe AS (
+        SELECT {{sumr6}} AS pe
+        FROM (
+            SELECT COALESCE(ca.c, 0) AS ca_c, COALESCE(cb.c, 0) AS cb_c, nn.n
+            FROM (SELECT a AS k, count(*) AS c FROM paired GROUP BY a) ca
+            FULL OUTER JOIN (SELECT b AS k, count(*) AS c FROM paired GROUP BY b) cb
+              USING (k)
+            CROSS JOIN nn
+        )
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_docs,
+           {{po_r}} AS p_observed,
+           {{pe_r}} AS p_expected,
+           {{kappa_r}} AS kappa
+    FROM nn CROSS JOIN po CROSS JOIN pe
+    """.format(
+        nb=_NB_PRED_SQL.strip(),
+        h_en="len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains(['the', 'a', 'of', 'and', 'to', 'is', 'in'], t)))",
+        h_es="len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains(['el', 'la', 'de', 'y', 'que', 'en', 'los'], t)))",
+        h_fr="len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains(['le', 'la', 'de', 'et', 'que', 'les', 'des'], t)))",
+        h_de="len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains(['der', 'die', 'das', 'und', 'zu', 'den', 'ist'], t)))",
+        h_zh="len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains(['的', '了', '是', '在', '我', '有', '和'], t)))",
+        sumr6=sql_sum_r6("(CAST(ca_c AS DOUBLE) / n) * (CAST(cb_c AS DOUBLE) / n)"),
+        po_r=sql_det_round("po.agree / nn.n", 6),
+        pe_r=sql_det_round("pe.pe", 6),
+        kappa_r=sql_det_round("(po.agree / nn.n - pe.pe) / (1.0 - pe.pe)", 6),
+    ),
+    doc="Cohen's kappa between the trained Naive Bayes language ID and "
+    "the stopword-vote heuristic: per-doc predictions from BOTH "
+    "models joined on doc_id, observed vs chance agreement from "
+    "exact integer marginals, kappa as one IEEE closed form — a "
+    "hash-green inter-rater agreement study over 2 real classifiers.",
+)
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from empdia_iceberg_spark.operators.textstats import (
+        _LANG_ORDER,
+        _lang_hits,
+        ws_tokens,
+    )
+
+    nb = _nb_predictions(spark, sf_dir).select("doc_id", F.col("predicted_lang").alias("a"))
+
+    docs = load(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    hits = docs.select(
+        "doc_id", *[_lang_hits(toks, lg).alias(f"h_{lg}") for lg in _LANG_ORDER]
+    )
+    h = {lg: F.col(f"h_{lg}") for lg in _LANG_ORDER}
+    heur = (
+        F.when(sum(h.values(), F.lit(0)) == 0, F.lit("und"))
+        .when((h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]) & (h["en"] >= h["zh"]), "en")
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]) & (h["es"] >= h["zh"]), "es")
+        .when((h["fr"] >= h["de"]) & (h["fr"] >= h["zh"]), "fr")
+        .when(h["de"] >= h["zh"], "de")
+        .otherwise("zh")
+    )
+    paired = nb.join(hits.select("doc_id", heur.alias("b")), "doc_id")
+
+    nn = paired.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    po = paired.agg(
+        F.count(F.when(F.col("a") == F.col("b"), 1)).cast("double").alias("agree")
+    )
+    ca = paired.groupBy(F.col("a").alias("k")).agg(F.count(F.lit(1)).alias("ca_c"))
+    cb = paired.groupBy(F.col("b").alias("k")).agg(F.count(F.lit(1)).alias("cb_c"))
+    pe = (
+        ca.join(cb, "k", "full_outer")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            exact_sum_r6(
+                det_round(
+                    (F.coalesce(F.col("ca_c"), F.lit(0)).cast("double") / F.col("n"))
+                    * (F.coalesce(F.col("cb_c"), F.lit(0)).cast("double") / F.col("n")),
+                    6,
+                )
+            ).alias("pe")
+        )
+    )
     return (
-        pred.groupBy("actual_lang", F.col("cand_lang").alias("predicted_lang"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .orderBy("actual_lang", "predicted_lang")
+        nn.crossJoin(F.broadcast(po))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").cast("bigint").alias("n_docs"),
+            det_round(F.col("agree") / F.col("n"), 6).alias("p_observed"),
+            det_round(F.col("pe"), 6).alias("p_expected"),
+            det_round(
+                (F.col("agree") / F.col("n") - F.col("pe")) / (F.lit(1.0) - F.col("pe")),
+                6,
+            ).alias("kappa"),
+        )
     )
