@@ -205,6 +205,11 @@ def test_results_invariant_under_shuffle_parallelism(spark):
         "ols_quantity_price",
         "nb_lang_confusion",
         "weighted_quantiles_quantity",
+        "spearman_qty_price",
+        "anova_acctbal_segments",
+        "mi_events_type_hour",
+        "classifier_agreement_kappa",
+        "events_linear_interpolate",
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
