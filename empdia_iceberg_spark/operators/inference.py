@@ -1388,3 +1388,113 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_obs"),
         det_round(rho, 6).alias("spearman_rho"),
     )
+
+
+# --------------------------------------------- sequential testing (SPRT)
+
+SPRT_P0 = 0.010  # H0 click→purchase-within-1h conversion rate
+SPRT_P1 = 0.020  # H1 rate the test is powered to detect
+SPRT_ALPHA_BOUND = 2.944438979166441  # ln(19): alpha=beta=0.05 thresholds
+
+
+@register(
+    "ab_sprt_trace",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts, CAST(ts AS DATE) AS d FROM events
+        WHERE event_type = 'click'
+    ),
+    purch AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    conv AS (
+        SELECT c.d,
+               count(*) AS n,
+               sum(CASE WHEN EXISTS (
+                   SELECT 1 FROM purch p
+                   WHERE p.user_id = c.user_id
+                     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+               ) THEN 1 ELSE 0 END) AS x
+        FROM clicks c GROUP BY c.d
+    ),
+    llr AS (
+        SELECT d, n, x,
+               {sql_det_round(
+                   f'CAST(x AS DOUBLE) * ln({SPRT_P1} / {SPRT_P0})'
+                   f' + CAST(n - x AS DOUBLE) * ln((1.0 - {SPRT_P1}) / (1.0 - {SPRT_P0}))', 6)}
+                 AS day_llr
+        FROM conv
+    ),
+    cum AS (
+        SELECT d, n, x, day_llr,
+               CAST(sum(CAST(day_llr AS DECIMAL(27,6)))
+                    OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_llr
+        FROM llr
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_trials,
+           CAST(x AS BIGINT) AS n_conversions,
+           {sql_det_round('cum_llr', 6)} AS cum_llr,
+           CASE WHEN cum_llr >= {SPRT_ALPHA_BOUND} THEN 'accept_h1'
+                WHEN cum_llr <= -{SPRT_ALPHA_BOUND} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    ORDER BY day
+    """,
+    doc="Sequential probability ratio test (Wald's SPRT — the "
+    "early-stopping A/B monitor): daily click→purchase-within-1h "
+    "conversions accumulate a binomial log-likelihood ratio against "
+    "H0 p=1% vs H1 p=2%, with ±ln(19) decision bounds (5%/5% "
+    "errors). Daily LLR terms are det_round+decimal-cumsum'd over "
+    "the calendar-bounded day series, so the whole decision TRACE — "
+    "not just the endpoint — is hash-green.",
+)
+def ab_sprt_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.col("ts").cast("date").alias("d"),
+    )
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    matched = clicks.join(
+        purch,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("event_id")
+    conv = (
+        clicks.join(matched.withColumn("hit", F.lit(1)), "event_id", "left")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("x"),
+        )
+    )
+    import math
+
+    day_llr = det_round(
+        F.col("x").cast("double") * F.lit(math.log(SPRT_P1 / SPRT_P0))
+        + (F.col("n") - F.col("x")).cast("double")
+        * F.lit(math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))),
+        6,
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    cum = conv.withColumn("day_llr", day_llr).withColumn(
+        "cum_llr",
+        F.sum(F.col("day_llr").cast("decimal(27,6)")).over(w).cast("double"),
+    )
+    return cum.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n_trials"),
+        F.col("x").cast("bigint").alias("n_conversions"),
+        det_round(F.col("cum_llr"), 6).alias("cum_llr"),
+        F.when(F.col("cum_llr") >= SPRT_ALPHA_BOUND, "accept_h1")
+        .when(F.col("cum_llr") <= -SPRT_ALPHA_BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")
