@@ -3127,3 +3127,52 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
         .orderBy("tier_p1", "tier_p2")
     )
+
+
+# --------------------------------------------- repeat-purchase gaps
+
+
+@register(
+    "orders_interpurchase_intervals",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w,
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_days) AS BIGINT) AS min_days,
+           floor(median(gap_days) * 10000.0 + 0.5) / 10000.0 AS median_days,
+           CAST(quantile_disc(gap_days, 0.90) AS BIGINT) AS p90_days,
+           CAST(max(gap_days) AS BIGINT) AS max_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+    doc="Repeat-purchase behaviour: the distribution of gaps between "
+    "a customer's consecutive orders (lag over ONE o_custkey "
+    "exchange, integer day arithmetic), summarized by exact "
+    "min/median/p90/max. The reorder-cycle metric behind "
+    "replenishment forecasting and churn-risk windows; all order "
+    "statistics exact ⇒ hash-green.",
+)
+def orders_interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        det_round(F.median("gap_days"), 4).alias("median_days"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY gap_days)")
+        .cast("bigint")
+        .alias("p90_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+    )
