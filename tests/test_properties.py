@@ -224,3 +224,64 @@ def test_results_invariant_under_shuffle_parallelism(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for name, (a, b) in results.items():
         assert a == b, f"{name}: result depends on shuffle parallelism"
+
+
+@given(
+    totals=st.lists(
+        st.integers(min_value=1, max_value=10_000_000),  # cents
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_revenue_recognition_reconciles_exactly(spark, totals):
+    """The 3-way integer-cents split must sum back to each total
+    EXACTLY for arbitrary amounts — the reconciliation invariant the
+    operator's oracle relies on."""
+    for cents in totals:
+        third = cents // 3
+        parts = [cents - 2 * third, third, third]
+        assert sum(parts) == cents
+        assert max(parts) - min(parts) <= 2  # near-equal installments
+
+
+def test_weighted_quantiles_match_bruteforce(spark):
+    """bucketed-prefix-sum weighted quantiles == the O(n log n) python
+    brute force on the real sf0.001 data."""
+    from empdia_iceberg_spark import registry
+    from empdia_iceberg_spark.sources.tables import load
+    from tests.conftest import SF_DIR
+
+    row = registry.queries()["weighted_quantiles_quantity"](spark, SF_DIR).collect()[0]
+    data = sorted(
+        (r["l_quantity"], r["l_extendedprice"])
+        for r in load(spark, SF_DIR, "lineitem")
+        .select("l_quantity", "l_extendedprice")
+        .collect()
+    )
+    total = sum(w for _, w in data)
+
+    def crossing(p_num: int, p_den: int) -> float:
+        acc = 0.0
+        for v, w in data:
+            acc += w
+            if acc * p_den >= p_num * total - 1e-6:
+                return v
+        return data[-1][0]
+
+    assert row["w_median"] == crossing(1, 2)
+    assert row["w_p90"] == crossing(9, 10)
+
+
+def test_kcore_peeling_is_idempotent(spark):
+    """Running the registered k-core query twice gives identical counts
+    (fixpoint stability), and the 3-core is a subgraph of the 2-core."""
+    from empdia_iceberg_spark import registry
+    from tests.conftest import SF_DIR
+
+    a = {r["k"]: (r["n_nodes"], r["n_edges"])
+         for r in registry.queries()["graph_kcore_sizes"](spark, SF_DIR).collect()}
+    b = {r["k"]: (r["n_nodes"], r["n_edges"])
+         for r in registry.queries()["graph_kcore_sizes"](spark, SF_DIR).collect()}
+    assert a == b
+    assert a[3][0] <= a[2][0] and a[3][1] <= a[2][1]
