@@ -1459,7 +1459,12 @@ class BloomIndex:
                 )
                 .distinct()
                 .collect()
-            )  # ≤ m rows per dir — driver-bounded by the sizing rule
+            )  # ≤ m set-bit positions per dir. NOTE: m scales with the
+            # file's key count, so this driver materialization is the
+            # demo simplification — a production build writes the
+            # serialized bitset from the executors (Iceberg puffin
+            # blobs); the INDEX SEMANTICS (per-file bitsets, probe-bit
+            # subset test, FP-tolerant exact re-filter) are identical.
             index[d] = {"m": m, "bits": sorted(r["b"] for r in bits)}
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
