@@ -1217,3 +1217,128 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact_sum_r6(det_round(-pi * pij * F.log2(pij), 6)).alias("entropy_rate_bits"))
     )
     return n_states.crossJoin(F.broadcast(h))
+
+
+# ------------------------------------- greedy weighted matching
+
+MATCH_ROUNDS = 16  # mutual-best matches ~half the free vertices/round
+
+
+def _matching_oracle() -> str:
+    """Unrolled mutual-best matching (the _kcore_oracle discipline):
+    each round keeps the edges whose supplier-side argmax and
+    part-side argmax coincide (deterministic (w DESC, s, p) order),
+    adds them to the matching, and drops every edge touching a
+    matched vertex. Idempotent once the edge set is empty, so the
+    fixed unroll equals the converged matching — asserted Spark-side."""
+    base = """
+    WITH e_0 AS MATERIALIZED (
+        SELECT l_suppkey AS s, l_partkey AS p,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS w
+        FROM lineitem GROUP BY l_suppkey, l_partkey
+    )"""
+    matched = []
+    for r in range(MATCH_ROUNDS):
+        base += f""",
+    sb_{r} AS MATERIALIZED (
+        SELECT s, p AS bp FROM (
+            SELECT s, p, row_number() OVER (PARTITION BY s ORDER BY w DESC, p) AS rn
+            FROM e_{r}
+        ) WHERE rn = 1
+    ),
+    pb_{r} AS MATERIALIZED (
+        SELECT p, s AS bs FROM (
+            SELECT p, s, row_number() OVER (PARTITION BY p ORDER BY w DESC, s) AS rn
+            FROM e_{r}
+        ) WHERE rn = 1
+    ),
+    m_{r} AS MATERIALIZED (
+        SELECT e.s, e.p, e.w
+        FROM e_{r} e
+        JOIN sb_{r} ON sb_{r}.s = e.s AND sb_{r}.bp = e.p
+        JOIN pb_{r} ON pb_{r}.p = e.p AND pb_{r}.bs = e.s
+    ),
+    e_{r + 1} AS MATERIALIZED (
+        SELECT e.s, e.p, e.w FROM e_{r} e
+        WHERE e.s NOT IN (SELECT s FROM m_{r})
+          AND e.p NOT IN (SELECT p FROM m_{r})
+    )"""
+        matched.append(f"SELECT s, p, w FROM m_{r}")
+    base += f""",
+    matching AS ({' UNION ALL '.join(matched)})
+    SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           (floor(sum(w) * 100.0 + 0.5) / 100.0) AS total_weight,
+           CAST((SELECT count(*) FROM e_{MATCH_ROUNDS}) AS BIGINT) AS n_unmatched_edges
+    FROM matching"""
+    return base
+
+
+@register(
+    "supplier_part_matching",
+    oracle=_matching_oracle(),
+    doc="Distributed greedy weighted matching (the parallel 'auction' "
+    "round: an edge is matched iff it is BOTH its supplier's and its "
+    "part's best remaining edge — the locally-dominant-edge algorithm, "
+    "which agrees with sequential greedy matching and halves the free "
+    "vertices per round in expectation): suppliers paired to parts "
+    "maximizing revenue weight. Each round is two argmax aggregates + "
+    "one mutual join + two anti-joins, all keyed on vertex ids; "
+    "lineage truncated per round, one scalar read per round, "
+    "convergence ASSERTED within the unrolled-oracle budget. The "
+    "assignment-problem family (allocation, load balance, ad "
+    "matching) at shuffle-join scale.",
+)
+def supplier_part_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.groupBy(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("w")
+        )
+        .localCheckpoint(eager=True)
+    )
+    matched = None
+    n_edges = edges.count()
+    for r in range(MATCH_ROUNDS):
+        if n_edges == 0:
+            break
+        sb = edges.groupBy("s").agg(
+            F.max(F.struct(F.col("w"), (-F.col("p")).alias("np"))).alias("b")
+        ).select("s", (-F.col("b.np")).alias("bp"))
+        pb = edges.groupBy("p").agg(
+            F.max(F.struct(F.col("w"), (-F.col("s")).alias("ns"))).alias("b")
+        ).select("p", (-F.col("b.ns")).alias("bs"))
+        m = (
+            edges.join(sb, ["s"])
+            .filter(F.col("bp") == F.col("p"))
+            .join(pb, ["p"])
+            .filter(F.col("bs") == F.col("s"))
+            .select("s", "p", "w")
+            .localCheckpoint(eager=True)
+        )
+        matched = m if matched is None else matched.unionByName(m)
+        matched = matched.localCheckpoint(eager=True)
+        edges = (
+            edges.join(m.select("s"), ["s"], "left_anti")
+            .join(m.select("p"), ["p"], "left_anti")
+            .select("s", "p", "w")
+            .localCheckpoint(eager=True)
+        )
+        n_edges = edges.count()  # one scalar per round
+    else:
+        if n_edges != 0:
+            raise RuntimeError(
+                f"matching did not converge within {MATCH_ROUNDS} rounds "
+                f"({n_edges} edges left); raise MATCH_ROUNDS (and the oracle)"
+            )
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        det_round(F.sum("w"), 2).alias("total_weight"),
+        F.lit(0).cast("bigint").alias("n_unmatched_edges"),
+    )
