@@ -105,7 +105,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # spearman_qty_price, events_linear_interpolate, udtf_table_arg_digest,
 # lateral_top2_per_customer, customer_segment_migration,
 # classifier_agreement_kappa, ab_sprt_trace,
-# orders_interpurchase_intervals, supplier_part_matching — each
+# orders_interpurchase_intervals, supplier_part_matching,
+# catalog_multi_table_txn — each
 # landed with driver-style sf0.01 verification plus sf0.001/sf0.1
 # re-checks) added after the window was frozen.
 _SWEEP_PRIORITY = [

@@ -1618,3 +1618,133 @@ def table_changelog_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "op string, n_rows long",
     )
+
+
+# ------------------------------------------- multi-table transactions
+
+
+class Catalog:
+    """Atomic multi-table publish (the Nessie / Iceberg-REST-catalog
+    transaction model): consumers resolve every table version through
+    ONE catalog pointer file, and a commit swaps the whole mapping in
+    a single atomic rename — so a reader sees either all of a
+    transaction's table versions or none of them, never a torn mix.
+    Tables stage their snapshots normally (snapshots are inert until
+    referenced); the catalog commit is the only publication point."""
+
+    def __init__(self, spark: SparkSession, name: str, root: str = DEFAULT_ROOT):
+        self.spark = spark
+        self.path = os.path.join(root, f"_catalog_{name}.json")
+
+    def pins(self) -> dict[str, int]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def publish(self, updates: dict[str, int]) -> None:
+        """Atomically move the catalog to a new table→version mapping
+        (merging over current pins). One rename = one transaction."""
+        pins = self.pins()
+        pins.update(updates)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(pins, f)
+        os.rename(tmp, self.path)
+
+    def read(self, table: str) -> DataFrame:
+        return SnapshotTable(self.spark, table).read(version=self.pins()[table])
+
+    def drop(self) -> None:
+        if os.path.exists(self.path):
+            os.remove(self.path)
+
+
+@register(
+    "catalog_multi_table_txn",
+    oracle="""
+    WITH o AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O'),
+    f AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'),
+    li_o AS (
+        SELECT count(*) AS n FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
+    ),
+    li_of AS (
+        SELECT count(*) AS n FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderstatus IN ('O', 'F'))
+    )
+    SELECT 'before_txn_orders' AS step, CAST((SELECT n FROM o) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'before_txn_lineitem', CAST((SELECT n FROM li_o) AS BIGINT)
+    UNION ALL
+    SELECT 'mid_txn_orders', CAST((SELECT n FROM o) AS BIGINT)
+    UNION ALL
+    SELECT 'mid_txn_lineitem', CAST((SELECT n FROM li_o) AS BIGINT)
+    UNION ALL
+    SELECT 'after_txn_orders', CAST((SELECT n FROM o) + (SELECT n FROM f) AS BIGINT)
+    UNION ALL
+    SELECT 'after_txn_lineitem', CAST((SELECT n FROM li_of) AS BIGINT)
+    ORDER BY step
+    """,
+    doc="Multi-table ACID transaction through a catalog pointer "
+    "(Nessie / Iceberg-REST model): orders and their lineitems are "
+    "appended as STAGED snapshots — a reader resolving through the "
+    "catalog mid-transaction still sees the OLD versions of BOTH "
+    "tables (the torn-read the single-pointer design prevents) — "
+    "then one atomic catalog publish flips both tables together. "
+    "The oracle pins all three phases' row counts for both tables "
+    "from base arithmetic; referential consistency (every lineitem's "
+    "order visible in the same catalog view) holds at every step.",
+)
+def catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o_keys = orders.select("o_orderkey", "o_orderstatus")
+
+    t_orders = SnapshotTable(spark, "txn_orders")
+    t_li = SnapshotTable(spark, "txn_lineitem")
+    cat = Catalog(spark, "txn_demo")
+    for t in (t_orders, t_li):
+        t.drop()
+    cat.drop()
+
+    v_o1 = t_orders.create(orders.filter(F.col("o_orderstatus") == "O"))
+    v_l1 = t_li.create(
+        li.join(
+            o_keys.filter(F.col("o_orderstatus") == "O").select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        )
+    )
+    cat.publish({"txn_orders": v_o1, "txn_lineitem": v_l1})
+    before = (cat.read("txn_orders").count(), cat.read("txn_lineitem").count())
+
+    # stage the F-orders in BOTH tables — snapshots exist but are unpublished
+    v_o2 = t_orders.append(orders.filter(F.col("o_orderstatus") == "F"))
+    v_l2 = t_li.append(
+        li.join(
+            o_keys.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        )
+    )
+    mid = (cat.read("txn_orders").count(), cat.read("txn_lineitem").count())
+
+    cat.publish({"txn_orders": v_o2, "txn_lineitem": v_l2})  # ONE atomic flip
+    after = (cat.read("txn_orders").count(), cat.read("txn_lineitem").count())
+
+    return local_df(
+        spark,
+        sorted(
+            [
+                ("before_txn_orders", int(before[0])),
+                ("before_txn_lineitem", int(before[1])),
+                ("mid_txn_orders", int(mid[0])),
+                ("mid_txn_lineitem", int(mid[1])),
+                ("after_txn_orders", int(after[0])),
+                ("after_txn_lineitem", int(after[1])),
+            ]
+        ),
+        "step string, n_rows long",
+    )
