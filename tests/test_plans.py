@@ -803,3 +803,35 @@ def test_session_window_batch_no_window_fn(spark):
     an aggregation, not a window function."""
     plan = _plan(spark, "events_session_window_batch")
     assert "SessionWindow" in plan.replace(" ", "") or "session_window" in plan or "Window" not in plan
+
+
+def test_matching_rounds_keyed_no_cartesian(spark):
+    """supplier_part_matching: every round is keyed aggregates + keyed
+    joins — no cartesian product anywhere in the final plan."""
+    plan = _plan(spark, "supplier_part_matching")
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_migration_broadcasts_cuts(spark):
+    """customer_segment_migration: the per-period percentile cut rows
+    broadcast; tiers never come from a global ntile window."""
+    plan = _plan(spark, "customer_segment_migration")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Window") or line.strip().startswith("Window"):
+            assert "], [], [" not in line, line
+
+
+def test_sprt_interval_join_keyed_on_user(spark):
+    """ab_sprt_trace: the click→purchase interval join is keyed on
+    user_id with the time bound as residual — never a cartesian."""
+    plan = _plan(spark, "ab_sprt_trace")
+    assert "CartesianProduct" not in plan
+
+
+def test_oov_vocab_broadcast(spark):
+    """doc_oov_rate: the top-1000 vocabulary broadcasts onto the token
+    stream; vocab selection is TakeOrdered."""
+    plan = _plan(spark, "doc_oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
