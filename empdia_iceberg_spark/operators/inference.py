@@ -712,11 +712,15 @@ def mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM subj GROUP BY t_days
     ),
     risk AS (
+        -- DuckDB's window sum(BIGINT) is HUGEINT, which pandas converts to
+        -- float64 while Spark emits int64 — the values are identical but the
+        -- driver's dtype-sensitive hash splits. CAST the whole expression
+        -- back to BIGINT so both engines materialize int64.
         SELECT t_days, d,
-               CAST((SELECT count(*) FROM subj) AS BIGINT)
+               CAST(CAST((SELECT count(*) FROM subj) AS BIGINT)
                  - (sum(leave_n) OVER (ORDER BY t_days
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    - leave_n) AS n_risk
+                    - leave_n) AS BIGINT) AS n_risk
         FROM byday
     ),
     death AS (

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,37 +95,58 @@ class SnapshotTable:
         delete_dirs: list[dict] | None = None,
     ) -> int:
         os.makedirs(self.meta_dir, exist_ok=True)
-        latest = self._versions()[-1] if self._versions() else None
-        if expect_parent is not None and latest != expect_parent:
-            # Optimistic concurrency (Iceberg commit semantics): the
-            # caller built its file list against `expect_parent`; if the
-            # table moved on, committing would silently drop the other
-            # writer's files. Refuse; the caller re-reads and retries.
-            raise CommitConflictError(
-                f"table {self.name}: commit based on v{expect_parent} but "
-                f"table is at v{latest} — concurrent writer won; retry"
+        # The metadata publish must be a true atomic CREATE, not a
+        # check-then-rename: two racing writers can both read the same
+        # `latest`, and os.rename silently overwrites, losing the first
+        # writer's commit. os.link(tmp, final) fails with EEXIST when the
+        # slot is taken (POSIX-atomic), so exactly one writer wins each
+        # version number — the Iceberg catalog swap.
+        while True:
+            latest = self._versions()[-1] if self._versions() else None
+            if expect_parent is not None and latest != expect_parent:
+                # Optimistic concurrency (Iceberg commit semantics): the
+                # caller built its file list against `expect_parent`; if the
+                # table moved on, committing would silently drop the other
+                # writer's files. Refuse; the caller re-reads and retries.
+                raise CommitConflictError(
+                    f"table {self.name}: commit based on v{expect_parent} but "
+                    f"table is at v{latest} — concurrent writer won; retry"
+                )
+            version = (latest + 1) if latest is not None else 1
+            meta = {
+                "version": version,
+                "op": op,
+                "dirs": dirs,
+                "parent": parent,
+                "schema": schema,
+                # Iceberg-style partition evolution: `spec` is the DEFAULT
+                # partitioning for future writes; `dir_specs` records, per
+                # data dir, the spec it was written under — reads consult
+                # dir_specs so old and new layouts coexist in one table.
+                "spec": spec if spec is not None else [],
+                "dir_specs": dir_specs if dir_specs is not None else [[] for _ in dirs],
+                # merge-on-read equality-delete files riding this snapshot
+                "delete_dirs": delete_dirs if delete_dirs is not None else [],
+            }
+            tmp = os.path.join(
+                self.meta_dir, f".v{version:05d}.{os.getpid()}.{id(meta):x}.tmp"
             )
-        version = (latest + 1) if latest is not None else 1
-        meta = {
-            "version": version,
-            "op": op,
-            "dirs": dirs,
-            "parent": parent,
-            "schema": schema,
-            # Iceberg-style partition evolution: `spec` is the DEFAULT
-            # partitioning for future writes; `dir_specs` records, per
-            # data dir, the spec it was written under — reads consult
-            # dir_specs so old and new layouts coexist in one table.
-            "spec": spec if spec is not None else [],
-            "dir_specs": dir_specs if dir_specs is not None else [[] for _ in dirs],
-            # merge-on-read equality-delete files riding this snapshot
-            "delete_dirs": delete_dirs if delete_dirs is not None else [],
-        }
-        tmp = os.path.join(self.meta_dir, f".v{version:05d}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.rename(tmp, os.path.join(self.meta_dir, f"v{version:05d}.json"))  # atomic
-        return version
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            final = os.path.join(self.meta_dir, f"v{version:05d}.json")
+            try:
+                os.link(tmp, final)  # atomic create; EEXIST = lost the race
+                return version
+            except FileExistsError:
+                if expect_parent is not None:
+                    raise CommitConflictError(
+                        f"table {self.name}: v{version} was committed by a "
+                        "concurrent writer during publish — retry"
+                    )
+                continue  # unchecked commit: last-writer-wins by sequencing
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
 
     def snapshots(self) -> list[dict]:
         return [self._read_meta(v) for v in self._versions()]
@@ -137,7 +159,11 @@ class SnapshotTable:
 
     def _write_data(self, df: DataFrame, spec: list[str] | None = None) -> str:
         version = (self._versions()[-1] + 1) if self._versions() else 1
-        out = os.path.join(self.data_dir, f"s{version:05d}")
+        # uuid suffix (Iceberg file-UUID pattern): racing writers that both
+        # derive `version` from the same stale read still write DISJOINT
+        # dirs, so a loser's cleanup (rmtree on conflict) can never delete
+        # a directory the winning writer just committed.
+        out = os.path.join(self.data_dir, f"s{version:05d}-{uuid.uuid4().hex[:8]}")
         # Target-file-size policy (Iceberg's write.target-file-size-bytes):
         # size each write to ~128 MB files from Catalyst's plan-size
         # estimate, via a shuffle-free coalesce. Prevents the small-files
@@ -257,14 +283,105 @@ class SnapshotTable:
             op, [d], cur, df.schema.json(), spec=spec, dir_specs=[spec]
         )
 
-    def merge(self, source: DataFrame, key: str) -> int:
-        """Copy-on-write MERGE (Iceberg MERGE INTO semantics for the
-        update+insert case): matched target rows are replaced by the
-        source row, unmatched source rows are inserted."""
-        target = self.read()
-        kept = target.join(source.select(key), on=key, how="left_anti")
-        merged = kept.unionByName(source)
-        return self.overwrite(merged, op="merge")
+    def _dir_key_envelope(self, d: str, key: str):
+        """(min, max) of `key` inside one data dir — the per-file column
+        bounds an Iceberg manifest stores. Data dirs are immutable, so
+        envelopes are computed once and cached in a metadata sidecar;
+        the first computation is a footer-statistics-sized aggregate.
+        Returns ("empty",) for a rowless dir and None when the column is
+        absent (caller must treat None as must-rewrite)."""
+        cache_path = os.path.join(self.meta_dir, f"envelopes_{key}.json")
+        cache: dict = {}
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                cache = json.load(f)
+        if d in cache:
+            v = cache[d]
+            return tuple(v) if v is not None else None
+        df = self._read_dirs([d])
+        if key not in df.columns:
+            env = None
+        else:
+            r = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+            env = ("empty",) if r["lo"] is None else (r["lo"], r["hi"])
+        cache[d] = list(env) if env is not None else None
+        tmp = cache_path + f".{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(cache, f)
+        os.rename(tmp, cache_path)  # best-effort cache; dirs are immutable
+        return env
+
+    def merge(self, source: DataFrame, key: str) -> tuple[int, dict]:
+        """File-pruned copy-on-write MERGE (Iceberg MERGE INTO semantics
+        for the update+insert case): matched target rows are replaced by
+        the source row, unmatched source rows are inserted.
+
+        Scale posture — overwrite-by-filter, not whole-table COW: the
+        source's key envelope [min, max] (one 2-scalar aggregate) is
+        tested against each data dir's cached per-file key bounds
+        (Iceberg manifest min/max); only INTERSECTING dirs are rewritten,
+        every other dir is carried into the new snapshot BY REFERENCE,
+        byte-identical. A MERGE touching 0.1% of keys at 100 TB rewrites
+        only the files that can contain those keys. Envelope false
+        positives cost an extra rewrite, never a wrong answer. Dirs with
+        applicable merge-on-read deletes are force-rewritten (deletes
+        fold in), so carried-forward delete files never apply to a
+        rewritten dir.
+
+        Returns (version, audit) where audit = {"dirs_rewritten": n,
+        "dirs_reused": m}."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"table {self.name}: cannot MERGE before create")
+        meta = self._read_meta(cur)
+        deletes = meta.get("delete_dirs", [])
+        spec = meta.get("spec", [])
+        env_row = source.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        lo, hi = env_row["lo"], env_row["hi"]
+
+        touched: list[str] = []
+        untouched: list[str] = []
+        untouched_specs: list[list[str]] = []
+        for d, ds in zip(meta["dirs"], self._dir_specs(meta)):
+            has_deletes = any(
+                d in dd.get("applies_to", meta["dirs"]) for dd in deletes
+            )
+            env = None if lo is None else self._dir_key_envelope(d, key)
+            if lo is None:
+                intersects = False  # empty source matches nothing
+            elif env == ("empty",):
+                intersects = False  # rowless dir matches nothing
+            elif env is None:
+                intersects = True  # unknown bounds: conservative rewrite
+            else:
+                intersects = env[0] <= hi and env[1] >= lo
+            if intersects or (has_deletes and lo is not None):
+                touched.append(d)
+            else:
+                untouched.append(d)
+                untouched_specs.append(ds)
+
+        if touched:
+            target = self._read_dirs_mor(meta, touched)
+            kept = target.join(source.select(key), on=key, how="left_anti")
+            merged = kept.unionByName(source)
+        else:
+            merged = source
+        d_new = self._write_data(merged, spec)
+        # Every delete-applicable dir was force-touched, so no surviving
+        # delete file applies to any dir in the new snapshot.
+        version = self._commit(
+            "merge",
+            untouched + [d_new],
+            cur,
+            source.schema.json(),
+            spec=spec,
+            dir_specs=untouched_specs + [spec],
+        )
+        return version, {
+            "dirs_rewritten": len(touched),
+            "dirs_reused": len(untouched),
+        }
 
     def delete_where_mor(self, condition, key: str) -> int:
         """Merge-on-read DELETE (Iceberg v2 equality deletes): instead
@@ -277,7 +394,7 @@ class SnapshotTable:
         meta = self._read_meta(cur)
         keys = self.read().filter(condition).select(key).distinct()
         version = (self._versions()[-1] + 1) if self._versions() else 1
-        dd = os.path.join(self.data_dir, f"d{version:05d}")
+        dd = os.path.join(self.data_dir, f"d{version:05d}-{uuid.uuid4().hex[:8]}")
         keys.write.mode("overwrite").parquet(dd)
         return self._commit(
             "delete-mor",
@@ -402,12 +519,28 @@ class SnapshotTable:
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last `keep_last` snapshots and delete data
-        dirs no longer referenced by a surviving snapshot."""
+        AND merge-on-read delete-key dirs no longer referenced by a
+        surviving snapshot. Versions still pointed to by named refs
+        (branches/tags) are refused — expiring them would leave dangling
+        refs whose reads fail mid-flight (Iceberg likewise keeps
+        ref-reachable snapshots alive)."""
         vs = self._versions()
         expired, survivors = vs[:-keep_last], vs[-keep_last:]
-        live_dirs = {d for v in survivors for d in self._read_meta(v)["dirs"]}
+        referenced = {v for v in self.refs().values() if v in expired}
+        if referenced:
+            raise ValueError(
+                f"table {self.name}: cannot expire snapshots {sorted(referenced)} "
+                "— still pointed to by named refs; drop or move the refs first"
+            )
+
+        def _all_dirs(meta: dict) -> set[str]:
+            return set(meta["dirs"]) | {
+                dd["dir"] for dd in meta.get("delete_dirs", [])
+            }
+
+        live_dirs = {d for v in survivors for d in _all_dirs(self._read_meta(v))}
         for v in expired:
-            for d in self._read_meta(v)["dirs"]:
+            for d in _all_dirs(self._read_meta(v)):
                 if d not in live_dirs and os.path.isdir(d):
                     shutil.rmtree(d)
             os.remove(os.path.join(self.meta_dir, f"v{v:05d}.json"))
@@ -425,19 +558,28 @@ class SnapshotTable:
         if cur is None or cur not in self._versions():
             raise ValueError(f"table {self.name}: no snapshot v{version}")
         meta = self._read_meta(cur)
+        return self._read_dirs_mor(meta, meta["dirs"], merge_schema)
+
+    def _read_dirs_mor(
+        self, meta: dict, dirs: list[str], merge_schema: bool = False
+    ) -> DataFrame:
+        """Read a subset of a snapshot's data dirs with that snapshot's
+        merge-on-read equality deletes applied — the shared scan path for
+        full reads, bloom-index point reads, and pruned MERGE rewrites.
+
+        Merge-on-read (Iceberg v2 equality-delete files): delete commits
+        write only the deleted KEYS; readers anti-join them — but only
+        against data files that existed when the delete committed
+        (`applies_to`, the sequence-number rule), so later appends of the
+        same key survive. Data dirs sharing the same applicable delete
+        set are read together."""
         deletes = meta.get("delete_dirs", [])
         if not deletes:
-            return self._read_dirs(meta["dirs"], merge_schema)
-        # Merge-on-read (Iceberg v2 equality-delete files): delete
-        # commits write only the deleted KEYS; readers anti-join them —
-        # but only against data files that existed when the delete
-        # committed (`applies_to`, the sequence-number rule), so later
-        # appends of the same key survive. Data dirs sharing the same
-        # applicable delete set are read together.
+            return self._read_dirs(dirs, merge_schema)
         from collections import defaultdict
 
         groups: dict[tuple, list[str]] = defaultdict(list)
-        for d in meta["dirs"]:
+        for d in dirs:
             applicable = tuple(
                 i
                 for i, dd in enumerate(deletes)
@@ -445,8 +587,8 @@ class SnapshotTable:
             )
             groups[applicable].append(d)
         parts = []
-        for applicable, dirs in groups.items():
-            part = self._read_dirs(dirs, merge_schema)
+        for applicable, group_dirs in groups.items():
+            part = self._read_dirs(group_dirs, merge_schema)
             for i in applicable:
                 keys = self.spark.read.parquet(deletes[i]["dir"])
                 part = part.join(keys, on=deletes[i]["key"], how="left_anti")
@@ -1484,6 +1626,19 @@ class BloomIndex:
     def lookup_dirs(self, value) -> tuple[list[str], int]:
         with open(self.path) as f:
             index = json.load(f)
+        # Staleness gate: the index was built against one snapshot's file
+        # set. Consulting it after the table advanced would silently MISS
+        # keys in newer data files — a false NEGATIVE, i.e. a wrong
+        # answer, which breaks the index's "false positives only"
+        # contract. Refuse instead; the caller rebuilds (Iceberg drops
+        # puffin stats on snapshot change the same way).
+        current = self.table.current_version()
+        if index.get("version") != current:
+            raise ValueError(
+                f"bloom index for {self.table.name}.{self.key} was built at "
+                f"v{index.get('version')} but the table is at v{current} — "
+                "rebuild with BloomIndex.build()"
+            )
         passing = [
             d
             for d, entry in index["dirs"].items()
@@ -1495,7 +1650,12 @@ class BloomIndex:
         dirs, _total = self.lookup_dirs(value)
         if not dirs:
             return self.table.read().filter(F.lit(False))
-        return self.table._read_dirs(dirs).filter(F.col(self.key) == F.lit(value))
+        # MOR-aware: apply the snapshot's equality-delete anti-joins to
+        # the passing dirs (raw _read_dirs would resurrect deleted rows).
+        meta = self.table._read_meta(self.table.current_version())
+        return self.table._read_dirs_mor(meta, dirs).filter(
+            F.col(self.key) == F.lit(value)
+        )
 
 
 @register(

@@ -54,12 +54,46 @@ def rows_key(rows, colnames):
     return sorted(canon, key=repr)
 
 
+def _dtype_class(kind: str) -> str:
+    """Collapse a numpy dtype kind into the classes the driver's
+    pandas-based value hash distinguishes."""
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    return "other"
+
+
+def assert_dtype_parity(spark_df, con, sql, name=""):
+    """Mirror the driver's pandas materialization: an oracle column that
+    pandas-converts to float64 while Spark emits int64 (e.g. DuckDB's
+    HUGEINT window sums) splits the driver hash even when every value is
+    bit-identical — fetchall()-based comparison can't see it because
+    Python's 200 == 200.0. Fetch BOTH sides through pandas and fail on
+    any int-vs-float column-kind drift."""
+    spdf = spark_df.toPandas()
+    spark_kinds = {c: spdf[c].dtype.kind for c in spdf.columns}
+    odf = con.execute(sql).fetchdf()
+    for col, skind in spark_kinds.items():
+        if col not in odf.columns:
+            continue  # column-set mismatch is assert_parity's job
+        sc, oc = _dtype_class(skind), _dtype_class(odf[col].dtype.kind)
+        if {sc, oc} == {"int", "float"}:
+            raise AssertionError(
+                f"{name}: dtype drift on column {col!r}: spark pandas kind "
+                f"{skind!r} vs oracle pandas kind {odf[col].dtype.kind!r} — "
+                "this splits the driver's dtype-sensitive value hash even "
+                "when values match (CAST the oracle column explicitly)"
+            )
+
+
 def assert_parity(spark_df, con, sql, name=""):
     spark_rows = [tuple(r) for r in spark_df.collect()]
     spark_cols = spark_df.columns
     res = con.execute(sql)
     oracle_cols = [d[0] for d in res.description]
     oracle_rows = res.fetchall()
+    assert_dtype_parity(spark_df, con, sql, name=name)
 
     assert sorted(spark_cols) == sorted(oracle_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
