@@ -62,174 +62,161 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 
 # ---------------------------------------------------------------- sweep order
 # The driver's per-round CORRECTNESS sweep checks the first ~50 registered
-# queries; with 258 registered, the list must rotate every round so no
-# query goes too long without a driver row. Rotation policy (update the
-# list each round):
-#   1. queries whose implementation changed this round (ADVICE r3: every
-#      changed query must be swept the round it changed);
-#   2. queries that have never had a clean driver row, ordered by
+# queries; the list must rotate every round so no query goes too long
+# without a driver row. Rotation policy (update the list each round):
+#   1. queries whose implementation changed this round (every changed
+#      query must be swept the round it changed);
+#   2. queries that have never had a driver row, ordered by
 #      divergence risk (pandas kernels > µs/decimal arithmetic >
 #      plain exact-SQL shapes);
 #   3. the stalest previously-green block.
-# Round 4 final list: FIRST the r3 evidence-less queries (multimodal
-# feature/decode, dedup clusters, exact moments, stratified sample —
-# the judge's #1 ask: CORRECTNESS_r04 rows for all of them) plus the
-# rewritten hash families (md5 minhash/simhash, corpus-adaptive LSH —
-# ADVICE r3: changed code must be swept) and the env-gated generation
-# twin; THEN the 25 late-session operators; THEN the earlier-session
-# r4 additions ordered kernels-before-plain-SQL, with the six
-# late-session novel-arithmetic queries (rank-sum, Kaplan-Meier,
-# association rules, triangle census, sweep-line, Benford) swapped in
-# for seven plain-SQL/roundtrip shapes. The 50-query cap lands right
-# after curation_pipeline; the displaced plain-SQL shapes, the
-# curation twin, q20_dominant_suppliers, orders_status_summary, the
-# HLL/PQ/PCA rows-only trio, the never-swept token/stream shapes, and
-# the r2-green block head the r5 sweep, together with the retrieval
-# stack (doc_bm25_search, doc_rrf_fusion) and the post-freeze batch
-# (daily_acf_value, seasonal_strength_scan, item_item_similar_parts,
-# graph_degree_assortativity, nb_lang_confusion, mv_incremental_refresh,
-# weighted_quantiles_quantity, mi_events_type_hour, seq2_event_patterns,
-# emb_decontaminate, events_rolling_wau, table_branch_merge,
-# kmv_set_overlap, graph_kcore_sizes, doc_rake_keyphrases,
-# pyds_synthetic_rollup, variant_props_typed, udtf_split_fixed_cols,
-# forecast_backtest_snaive, ab_test_conversion, secure_masked_view,
-# table_history_audit, stream_topk_trending, anova_acctbal_segments,
-# ks_acctbal_two_sample, multimodal_audio_zcr, observed_metrics_shipments,
-# events_session_window_batch, events_markov_entropy_rate,
-# table_concurrent_appends, doc_phrase_search, mc_pi_estimate,
-# orders_var_cvar, doc_rerank_crossencoder,
-# events_seasonal_residual_outliers, table_mor_deletes,
-# table_bloom_point_lookup, table_changelog_emit,
-# revenue_price_volume_bridge, quantile_transform_acctbal,
-# orders_robust_means, doc_oov_rate, revenue_recognition_schedule,
-# spearman_qty_price, events_linear_interpolate, udtf_table_arg_digest,
-# lateral_top2_per_customer, customer_segment_migration,
-# classifier_agreement_kappa, ab_sprt_trace,
-# orders_interpurchase_intervals, supplier_part_matching,
-# catalog_multi_table_txn — each
-# landed with driver-style sf0.01 verification plus sf0.001/sf0.1
-# re-checks) added after the window was frozen.
+# Round 6 list (VERDICT r5 ask #1 — front-load the never-swept debt):
+# FIRST the queries whose code changed in r5/r6 (the pruned-MERGE +
+# atomic-commit + bloom + expire table stack, the new
+# table_merge_pruned proof query, and the bucketed Spearman rewrite);
+# THEN the four all-zero driver modules — all 12 never-swept table ops,
+# all 17 subquery/TPC-H shapes, all 5 timeseries, all 4 retrieval;
+# THEN the remaining never-swept names ordered kernels-before-plain-SQL
+# so a deeper sweep keeps retiring debt. Everything below position ~124
+# already has a green driver row in r01–r05.
 _SWEEP_PRIORITY = [
-    # --- judge's ask: queries with no driver row in ANY round, fixed in r4
-    "multimodal_feature_extract",
-    "multimodal_decode_features",  # r4: rows-only → full value oracle
-    "doc_dedup_clusters",
-    "stats_exact_moments",
-    "stratified_sample_counts",
-    # --- changed since their last driver row: rewritten hash-family
-    # kernels (the highest-divergence-risk pandas code in the repo)
-    "doc_minhash_near_dup",
-    "doc_simhash_near_dup",
-    "knn_cosine_lsh",
-    "generation_retry_real",  # new in r4 (rows-only; stub fallback == stub query)
-    # --- never driver-verified: this session's operators
-    "doc_lm_perplexity",  # new in r4 (CCNet-style bigram-LM quality score)
-    "events_ewma16_user",  # new in r4 (bit-exact trailing EWMA, α=1/2)
-    "table_wap_publish",  # new in r4 (write-audit-publish lifecycle)
-    "pagerank_trading_graph",  # new in r4 (iterative, unrolled-CTE oracle)
-    "part_pairs_cooccurrence",  # new in r4 (market-basket pair mining)
-    "events_type_transitions",  # new in r4 (Markov transition matrix)
-    "profile_orders_stats",  # new in r4 (ANALYZE-style column stats)
-    "stream_ewma16_state",  # new in r4 (stateful-streaming EWMA twin)
-    "ols_quantity_price",  # new in r4 (hash-checkable OLS fit)
-    "chi2_events_type_dow",  # new in r4 (chi-square independence test)
-    "welch_t_acctbal_segments",  # new in r4 (Welch two-sample t-test)
-    "events_impute_value",  # new in r4 (two-level mean imputer)
-    "events_pit_dimension_join",  # new in r4 (PIT join to the SCD2 dim)
-    "events_longest_streaks",  # new in r4 (gaps-and-islands streaks)
-    "events_mad_outliers",  # new in r4 (median-absolute-deviation cut)
-    "stream_stream_left_join",  # new in r4 (watermark-driven outer emission)
-    "part_hierarchy_rollup",  # new in r4 (closed-form ancestor explode)
-    "doc_fuzzy_pairs_blocked",  # new in r4 (blocked Levenshtein matching)
-    "events_cusum_drift",  # new in r4 (closed-form CUSUM via prefix sums)
-    "stream_restart_recovery",  # new in r4 (exactly-once across restarts)
-    "events_target_encode_loo",  # new in r4 (leakage-safe target encoding)
-    "events_cohort_ltv",  # new in r4 (cohort lifetime-value curve)
-    "events_time_to_convert",  # new in r4 (conversion-delay percentiles)
-    # late-r4 additions with novel cross-engine arithmetic (rank-sum
-    # decimals, log-series survival product, lift closed forms) — ahead
-    # of the plain TPC-H subquery shapes in divergence risk
-    "mannwhitney_u_segments",  # new in r4 (rank-sum test, mid-rank ties)
-    "events_survival_km",  # new in r4 (Kaplan-Meier via exact log series)
-    "part_association_rules",  # new in r4 (confidence/lift/leverage)
-    "graph_triangle_census",  # new in r4 (node-ordered triangle join)
-    "orders_open_peak_monthly",  # new in r4 (sweep-line concurrency)
-    "benford_order_totals",  # new in r4 (first-digit audit)
-    "doc_span_dedup",  # new in r4 (ExactSubstr-style span removal)
-    "events_anomaly_zscore",  # new in r4
-    "doc_sample_per_lang",  # new in r4 (deterministic stratified sample)
-    "table_zorder_layout",  # new in r4 (Morton clustering envelopes)
-    "multimodal_frame_sample",  # new in r4 (video frame-sample plumbing)
-    "table_partition_evolution",  # new in r4 (spec evolution + pruning)
-    "user_profile_similarity",  # new in r4 (trajectory-profile top-k)
-    "events_twap_user",  # new in r4 (time-weighted average, decimal-exact)
-    "parts_abc_pareto",  # new in r4 (bucketed prefix-sum Pareto classes)
-    "doc_dup_ngram_fraction",  # new in r4 (Lee et al. dup-rate diagnostic)
-    "semantic_prune_clusters",  # new in r4 (SemDeDup-style pruning)
-    "curation_pipeline",  # new in r4 (flagship curation funnel)
-    "curation_funnel_counts",  # new in r4
-    "q12_late_priority_counts",  # new in r4 (completes all 22 TPC-H shapes)
-    "q20_dominant_suppliers",  # new in r4
-    "events_ohlc_hourly",  # new in r4
-    "orders_status_summary",  # new in r4
-    "table_incremental_diff",  # new in r4
-    "user_reach_hll_rollup",  # new in r4 (rows-only row-count check only; ±5% bound tested)
-    "embedding_pq_codes",  # new in r4 (rows-only row-count check only; determinism+MSE tested)
-    "embedding_pca_power",  # new in r4 (rows-only row-count check only; Rayleigh bound tested)
-    "stream_stream_join_1h",  # new in r4
-    "doc_tfidf_top_terms",  # new in r4
-    "token_heavy_hitters",  # new in r4
-    "token_cms_estimates",  # new in r4
-    "embedding_quantize_int8",  # new in r4
-    "doc_pack_windows",  # new in r4
-    "hash_split_assignments",  # new in r4
-    "table_rollback_restore",  # new in r4
-    "stream_static_enrich",  # new in r4
-    # never driver-verified, moderate-risk expressions (µs arithmetic,
-    # explode pipelines, decimal folds) — ahead of the plain join shapes
-    "events_sessionize_8h",  # new in r4
-    "doc_decontaminate",  # new in r4 (training-pipeline ops)
-    "doc_repetition_stats",  # new in r4
-    "domain_mixture_weights",  # new in r4
-    "q10_returned_revenue",  # new in r4
-    "events_funnel_conversion",  # new in r4
-    "events_weekly_retention",  # new in r4
-    "q6_forecast_revenue",  # new in r4
-    "q14_promo_revenue",  # new in r4
-    "q18_large_orders",  # new in r4
-    "q19_disjunctive_revenue",  # new in r4
-    # ~50-query cap lands here; the pure subquery shapes below are the
-    # lowest-risk never-swept queries (plain exact SQL) and head the r5
-    # sweep together with the repartition-guard dedup trio.
-    "q4_priority_exists",  # new in r4 (subquery shapes)
-    "q13_custdist",  # new in r4
-    "q16_supplier_part_counts",  # new in r4
-    "q17_small_qty_revenue",  # new in r4
-    "q22_idle_rich_customers",  # new in r4
-    "q2_min_cost_supplier",  # new in r4
-    "q7_volume_shipping",  # new in r4
-    "q8_market_share",  # new in r4
-    "q9_profit_by_nation",  # new in r4
-    "q15_top_supplier",  # new in r4
-    "q11_important_parts",  # new in r4
-    "q21_waiting_suppliers",  # new in r4
-    # displaced from the r4 window by the late-session novel-arithmetic
-    # queries (these are plain-SQL windows / deterministic format roundtrips
-    # — lowest divergence risk); they head the r5 sweep.
-    "xml_roundtrip",  # new in r4 (Spark 4 core XML source/sink)
-    "orc_roundtrip",  # new in r4 (ORC source/sink differential)
-    "json_ingest_corrupt_records",  # new in r4 (PERMISSIVE quarantine)
-    "events_scd2_history",  # new in r4 (SCD2 dimension build)
-    "customer_rfm_segments",  # new in r4 (RFM quartile segmentation)
-    "dq_checks_orders",  # new in r4 (data-quality assertion suite)
-    "revenue_yoy_growth",  # new in r4 (period-over-period on the rollup)
-    # only gained a repartition guard in r4 (plan change, identical
-    # oracle semantics) — these head the r5 sweep instead.
-    "doc_exact_dedup",
-    "doc_dedup_survivors",
-    "doc_ngram_jaccard_pairs",
-    "doc_quality_filter",  # r4 refactor (shared helpers; same expressions)
-    # last swept in round 2
+    # --- changed in r5/r6: MUST be swept this round (changed-code-first)
+    "table_merge_pruned",  # new in r6 — proves the pruned-MERGE reuse path
+    "table_merge_upsert",  # r5 rewrite: file-pruned MERGE w/ cached envelopes
+    "spearman_qty_price",  # r6 rewrite: bucketed mid-ranks (no global window)
+    "table_bloom_point_lookup",  # r5 staleness gate + r6 executor-side build
+    "table_mor_deletes",  # r5: MOR-aware read_point + GC interplay
+    "table_history_audit",  # r5: atomic hardlink commit lifecycle
+    "table_concurrent_appends",  # r5: O_EXCL commit race semantics
+    "table_branch_merge",  # r5: ref-aware expire_snapshots
+    "table_changelog_emit",
+    "catalog_multi_table_txn",
+    "cdc_log_compaction",
+    "table_crypto_shred",
+    "mv_incremental_refresh",
+    "table_incremental_diff",
+    "table_rollback_restore",
+    # --- never swept: all 17 subquery/TPC-H shapes (the most user-visible
+    # query family; zero driver evidence through r5)
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_late_priority_counts",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "lateral_top2_per_customer",
+    "events_sessionize_8h",
+    # --- never swept: all 5 timeseries
+    "daily_acf_value",
+    "seasonal_strength_scan",
+    "forecast_backtest_snaive",
+    "events_seasonal_residual_outliers",  # r6: doc/code MAD-constant fix
+    "events_linear_interpolate",
+    # --- never swept: all 4 retrieval
+    "doc_bm25_search",
+    "doc_rrf_fusion",
+    "doc_phrase_search",
+    "doc_rerank_crossencoder",
+    # --- never swept: highest-divergence-risk kernels next (pandas /
+    # decimal / sketch arithmetic before plain SQL)
+    "embedding_pq_codes",  # rows-only by design
+    "embedding_pca_power",  # rows-only by design
+    "user_reach_hll_rollup",  # rows-only by design
+    "token_cms_estimates",
+    "token_heavy_hitters",
+    "kmv_distinct_orders",
+    "kmv_set_overlap",
+    "doc_tfidf_top_terms",
+    "doc_decontaminate",
+    "emb_decontaminate",
+    "doc_repetition_stats",
+    "doc_rake_keyphrases",
+    "doc_oov_rate",
+    "nb_lang_confusion",
+    "classifier_agreement_kappa",
+    "multimodal_audio_zcr",
+    "binaryfile_ingest",
+    "udtf_split_fixed_cols",
+    "udtf_table_arg_digest",
+    "pyds_synthetic_rollup",
+    # ~50-query cap lands in this block; everything below keeps retiring
+    # never-swept debt if the driver sweeps deeper, ordered
+    # kernels-before-plain-SQL.
+    "stream_topk_trending",
+    "stream_stream_join_1h",
+    "stream_static_enrich",
+    "events_session_window_batch",
+    "events_markov_entropy_rate",
+    "events_max_drawdown_user",
+    "events_rolling_median_7d",
+    "events_rolling_wau",
+    "events_linear_attribution",
+    "events_ohlc_hourly",
+    "events_scd2_history",
+    "events_weekly_retention",
+    "events_funnel_conversion",
+    "mc_pi_estimate",
+    "orders_var_cvar",
+    "ab_sprt_trace",
+    "ab_test_conversion",
+    "anova_acctbal_segments",
+    "ks_acctbal_two_sample",
+    "ols_by_returnflag",
+    "lineitem_corr_matrix",
+    "mi_events_type_hour",
+    "weighted_quantiles_quantity",
+    "quantile_transform_acctbal",
+    "orders_robust_means",
+    "revenue_concentration_hhi",
+    "revenue_gini_customers",
+    "corpus_zipf_slope",
+    "revenue_price_volume_bridge",
+    "revenue_recognition_schedule",
+    "revenue_yoy_growth",
+    "customer_segment_migration",
+    "customer_rfm_segments",
+    "orders_interpurchase_intervals",
+    "orders_shipping_busdays",
+    "orders_diversified_topk",
+    "orders_status_summary",
+    "lineitem_fifo_allocation",
+    "join_key_skew_stats",
+    "duplicate_baskets",
+    "graph_bfs_hops",
+    "graph_kcore_sizes",
+    "graph_degree_assortativity",
+    "item_item_similar_parts",
+    "seq2_event_patterns",
+    "supplier_part_matching",
+    "doc_fuzzy_clusters",
+    "doc_weighted_sample",
+    "doc_greedy_coverage_select",
+    "doc_pack_windows",
+    "hash_split_assignments",
+    "domain_mixture_weights",
+    "embedding_quantize_int8",
+    "variant_props_typed",
+    "secure_masked_view",
+    "observed_metrics_shipments",
+    "dq_checks_orders",
+    "json_ingest_corrupt_records",
+    "xml_roundtrip",
+    "orc_roundtrip",
+    "curation_funnel_counts",
+    # --- previously-green blocks, stalest first (r2 era), as tail filler
     "semi_join_active_customers",
     "anti_join_inactive_customers",
     "set_ops_segments",
@@ -252,25 +239,6 @@ _SWEEP_PRIORITY = [
     "events_multi_grain_rollup",
     "salted_join_skewed",
     "unpivot_pricing_metrics",
-    "window_rank_topk_per_customer",
-    "window_lag_lead_orders",
-    "window_running_max_events",
-    "window_trailing_frame_events",
-    "window_ntile_quartiles",
-    "window_first_last_order",
-    "window_range_frame_value",
-    "knn_cosine_top5",
-    "emb_cosine_near_dup",
-    "embedding_avg_by_label",
-    "knn_cosine_ivf",
-    "doc_text_stats",
-    "doc_token_counts",
-    "doc_quality_filter",
-    "doc_lang_id_confusion",
-    "doc_fingerprint",
-    "doc_chunking",
-    "doc_pii_scrub",
-    "window_percent_rank_cume_dist",
 ]
 registry.promote(_SWEEP_PRIORITY)
 

@@ -1345,23 +1345,29 @@ def _sql_midranks(col: str) -> str:
     """,
     doc="Spearman rank correlation of quantity vs extended price: "
     "mid-ranks per variable at value grain (tie-exact k/2 rationals, "
-    "domain-bounded rank windows — never a row-set sort), joined "
-    "back on the value key, Pearson closed form over the exact "
+    "via `scale.bucketed_prefix_sum` over the distinct-value counts — "
+    "no single-partition global window, the KS/ABC-Pareto pattern), "
+    "joined back on the value key, Pearson closed form over the exact "
     "decimal rank moments. The nonparametric complement to the OLS/"
     "Pearson pair — monotone dependence, hash-green.",
 )
 def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from empdia_iceberg_spark.operators.scale import bucketed_prefix_sum
 
     li = load(spark, sf_dir, "lineitem")
 
     def midranks(col: str) -> DataFrame:
+        # mid-rank of value v = (#rows below v) + (ties + 1)/2; the
+        # "#rows below" prefix sum runs bucketed (quantile buckets of v,
+        # one (bucket, sum) driver row each), so the l_extendedprice
+        # value grain — which grows with the part catalog — never funnels
+        # through a one-reducer ORDER BY window.
         vals = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("t"))
-        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-        return vals.select(
+        cum = bucketed_prefix_sum(vals, "v", "t", out_col="_cum")
+        return cum.select(
             "v",
             (
-                (F.sum("t").over(w) - F.col("t")).cast("decimal(38,1)")
+                (F.col("_cum") - F.col("t")).cast("decimal(38,1)")
                 + (F.col("t").cast("decimal(38,1)") + 1) / 2
             ).alias("r"),
         )

@@ -290,7 +290,7 @@ def forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Seasonality-adjusted anomaly detection on the daily series: "
     "subtract the day-of-week phase mean (the seasonal_strength_scan "
-    "fold), then flag days whose residual exceeds 3·1.4826·MAD — "
+    "fold), then flag days whose residual exceeds 1.5·1.4826·MAD — "
     "robust outliers that plain z-scores miss when the weekly cycle "
     "inflates the variance. Phase means are a 7-row broadcast; the "
     "exact medians run over the calendar-bounded day rollup; all "

@@ -19,9 +19,10 @@ files are immutable).
 
 Scale posture: data moves ONLY through executors (``df.write``); the
 driver touches nothing but tiny JSON metadata, like an Iceberg catalog
-commit. MERGE is copy-on-write over the whole table here; file-level
-pruning of untouched files (Iceberg's overwrite-by-filter) is a
-metadata refinement, not an architectural change.
+commit. MERGE is file-pruned copy-on-write (Iceberg's
+overwrite-by-filter): only dirs whose cached key envelope intersects
+the source's key range are rewritten; every other dir is carried into
+the new snapshot by reference.
 
 Reference parity note: the reference repo itself has no table
 management (SURVEY §0); this is driver-north-star surface ("data-lake"
@@ -93,6 +94,7 @@ class SnapshotTable:
         dir_specs: list[list[str]] | None = None,
         expect_parent: int | None = None,
         delete_dirs: list[dict] | None = None,
+        retry_on_race: bool = False,
     ) -> int:
         os.makedirs(self.meta_dir, exist_ok=True)
         # The metadata publish must be a true atomic CREATE, not a
@@ -138,12 +140,20 @@ class SnapshotTable:
                 os.link(tmp, final)  # atomic create; EEXIST = lost the race
                 return version
             except FileExistsError:
-                if expect_parent is not None:
+                if expect_parent is not None or not retry_on_race:
+                    # Append-shaped commits (the dirs list extends a parent's)
+                    # must NOT auto-retry a lost publish race: the loop would
+                    # republish the caller's now-stale dirs under the next
+                    # version, silently dropping the concurrent winner's new
+                    # dir. Surface the conflict; the caller rebuilds its dir
+                    # list against the fresh head (append_checked does).
                     raise CommitConflictError(
                         f"table {self.name}: v{version} was committed by a "
                         "concurrent writer during publish — retry"
                     )
-                continue  # unchecked commit: last-writer-wins by sequencing
+                # whole-table-replacing op (create/overwrite/compact/rollback):
+                # last-writer-wins by re-sequencing is the declared semantics
+                continue
             finally:
                 if os.path.exists(tmp):
                     os.unlink(tmp)
@@ -207,7 +217,8 @@ class SnapshotTable:
         spec = partition_by or []
         d = self._write_data(df, spec)
         return self._commit(
-            "create", [d], None, df.schema.json(), spec=spec, dir_specs=[spec]
+            "create", [d], None, df.schema.json(), spec=spec, dir_specs=[spec],
+            retry_on_race=True,
         )
 
     def append(self, df: DataFrame) -> int:
@@ -280,14 +291,51 @@ class SnapshotTable:
         spec = self.current_spec()
         d = self._write_data(df, spec)
         return self._commit(
-            op, [d], cur, df.schema.json(), spec=spec, dir_specs=[spec]
+            op, [d], cur, df.schema.json(), spec=spec, dir_specs=[spec],
+            retry_on_race=True,
         )
+
+    @staticmethod
+    def _env_encode(v):
+        """Type-preserving JSON encoding for envelope bounds: DATE /
+        TIMESTAMP / DECIMAL merge keys surface as datetime/Decimal
+        values that json.dump rejects — and a default=str fallback
+        would reload STRING bounds that compare wrongly (or raise)
+        against native source values. Tag them instead so decode
+        restores the native type exactly."""
+        import datetime
+        import decimal
+
+        if isinstance(v, datetime.datetime):
+            return {"__t": "ts", "v": v.isoformat()}
+        if isinstance(v, datetime.date):
+            return {"__t": "date", "v": v.isoformat()}
+        if isinstance(v, decimal.Decimal):
+            return {"__t": "dec", "v": str(v)}
+        return v
+
+    @staticmethod
+    def _env_decode(v):
+        import datetime
+        import decimal
+
+        if isinstance(v, dict) and "__t" in v:
+            t = v["__t"]
+            if t == "ts":
+                return datetime.datetime.fromisoformat(v["v"])
+            if t == "date":
+                return datetime.date.fromisoformat(v["v"])
+            if t == "dec":
+                return decimal.Decimal(v["v"])
+        return v
 
     def _dir_key_envelope(self, d: str, key: str):
         """(min, max) of `key` inside one data dir — the per-file column
         bounds an Iceberg manifest stores. Data dirs are immutable, so
-        envelopes are computed once and cached in a metadata sidecar;
-        the first computation is a footer-statistics-sized aggregate.
+        envelopes are computed once and cached in a metadata sidecar
+        (bounds round-trip through a type-tagged codec so date/decimal
+        keys reload as native comparable values); the first computation
+        is a footer-statistics-sized aggregate.
         Returns ("empty",) for a rowless dir and None when the column is
         absent (caller must treat None as must-rewrite)."""
         cache_path = os.path.join(self.meta_dir, f"envelopes_{key}.json")
@@ -297,14 +345,14 @@ class SnapshotTable:
                 cache = json.load(f)
         if d in cache:
             v = cache[d]
-            return tuple(v) if v is not None else None
+            return tuple(self._env_decode(x) for x in v) if v is not None else None
         df = self._read_dirs([d])
         if key not in df.columns:
             env = None
         else:
             r = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
             env = ("empty",) if r["lo"] is None else (r["lo"], r["hi"])
-        cache[d] = list(env) if env is not None else None
+        cache[d] = [self._env_encode(x) for x in env] if env is not None else None
         tmp = cache_path + f".{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump(cache, f)
@@ -338,6 +386,17 @@ class SnapshotTable:
         spec = meta.get("spec", [])
         env_row = source.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
         lo, hi = env_row["lo"], env_row["hi"]
+        if lo is None:
+            # Empty source (or all-NULL keys): MERGE is a no-op. Committing
+            # anyway would be worse than useless — the commit below does not
+            # carry delete_dirs, so a snapshot published here would drop the
+            # MOR equality-delete files while carrying every data dir by
+            # reference, silently resurrecting deleted rows on every
+            # subsequent read. Leave the table at its current version.
+            return cur, {
+                "dirs_rewritten": 0,
+                "dirs_reused": len(meta["dirs"]),
+            }
 
         touched: list[str] = []
         untouched: list[str] = []
@@ -346,16 +405,14 @@ class SnapshotTable:
             has_deletes = any(
                 d in dd.get("applies_to", meta["dirs"]) for dd in deletes
             )
-            env = None if lo is None else self._dir_key_envelope(d, key)
-            if lo is None:
-                intersects = False  # empty source matches nothing
-            elif env == ("empty",):
+            env = self._dir_key_envelope(d, key)
+            if env == ("empty",):
                 intersects = False  # rowless dir matches nothing
             elif env is None:
                 intersects = True  # unknown bounds: conservative rewrite
             else:
                 intersects = env[0] <= hi and env[1] >= lo
-            if intersects or (has_deletes and lo is not None):
+            if intersects or has_deletes:
                 touched.append(d)
             else:
                 untouched.append(d)
@@ -370,11 +427,15 @@ class SnapshotTable:
         d_new = self._write_data(merged, spec)
         # Every delete-applicable dir was force-touched, so no surviving
         # delete file applies to any dir in the new snapshot.
+        # Snapshot schema: when dirs are carried by reference the snapshot
+        # must describe THEIR schema (the table's), not the source's —
+        # a narrower source would otherwise mislabel the carried files.
+        schema_json = meta["schema"] if untouched else merged.schema.json()
         version = self._commit(
             "merge",
             untouched + [d_new],
             cur,
-            source.schema.json(),
+            schema_json,
             spec=spec,
             dir_specs=untouched_specs + [spec],
         )
@@ -436,6 +497,9 @@ class SnapshotTable:
             spec=meta.get("spec", []),
             dir_specs=self._dir_specs(meta),
             delete_dirs=meta.get("delete_dirs", []),
+            # rollback replaces the head with a pinned historical file set —
+            # the user's explicit "restore v{version}" wins a publish race
+            retry_on_race=True,
         )
 
     # ------------------------------------------------------- branch refs
@@ -731,6 +795,81 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.round(exact_sum2("c_acctbal"), 2).alias("sum_acctbal"),
         )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "table_merge_pruned",
+    oracle=f"""
+    WITH bounds AS (SELECT max(c_custkey) AS kmax FROM customer),
+    source AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal + 500.0 AS DOUBLE) AS c_acctbal
+        FROM customer, bounds
+        WHERE c_custkey > (2 * kmax) // 3 AND c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 10 * kmax, 'PRUNESEG', CAST(7.77 AS DOUBLE)
+        FROM customer, bounds WHERE c_custkey % 100 = 0
+    ),
+    merged AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer c LEFT JOIN source s ON c.c_custkey = s.c_custkey
+        WHERE s.c_custkey IS NULL
+        UNION ALL
+        SELECT * FROM source
+    )
+    SELECT c_mktsegment, count(*) AS n_rows,
+           round({sql_sum2('c_acctbal')}, 2) AS sum_acctbal,
+           CAST(1 AS INT) AS dirs_rewritten,
+           CAST(2 AS INT) AS dirs_reused
+    FROM merged
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="File-PRUNED MERGE proof (Iceberg overwrite-by-filter): the table "
+    "lands as three data dirs covering disjoint c_custkey thirds; the "
+    "source's keys live strictly above the 2/3 boundary, so its key "
+    "envelope intersects only the top dir — merge() must rewrite "
+    "exactly 1 dir and carry 2 by reference. The audit counts "
+    "(dirs_rewritten=1, dirs_reused=2) are emitted as result columns "
+    "and hash-checked against the oracle's literals, so the PRUNING "
+    "DECISION itself — not just the merged values — is "
+    "driver-verified. Byte-identity of the reused dirs is asserted in "
+    "tests/test_tables.py.",
+)
+def table_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    k_max = cust.agg(F.max("c_custkey")).first()[0]  # 1 audit scalar
+    b1, b2 = k_max // 3, (2 * k_max) // 3
+    t = SnapshotTable(spark, "customer_merge_pruned")
+    t.drop()
+    t.create(cust.filter(F.col("c_custkey") <= b1))
+    t.append(cust.filter((F.col("c_custkey") > b1) & (F.col("c_custkey") <= b2)))
+    t.append(cust.filter(F.col("c_custkey") > b2))
+    updates = cust.filter(
+        (F.col("c_custkey") > b2) & (F.col("c_custkey") % 10 == 0)
+    ).select(
+        "c_custkey", "c_mktsegment", (F.col("c_acctbal") + 500.0).alias("c_acctbal")
+    )
+    inserts = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 10 * k_max).alias("c_custkey"),
+        F.lit("PRUNESEG").alias("c_mktsegment"),
+        F.lit(7.77).cast("double").alias("c_acctbal"),
+    )
+    _, audit = t.merge(updates.unionByName(inserts), key="c_custkey")
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .withColumn("dirs_rewritten", F.lit(int(audit["dirs_rewritten"])).cast("int"))
+        .withColumn("dirs_reused", F.lit(int(audit["dirs_reused"])).cast("int"))
         .orderBy("c_mktsegment")
     )
 
@@ -1555,9 +1694,10 @@ def _bloom_bits_for(n_keys: int) -> int:
     return 1 << (bits - 1).bit_length()
 
 
-def _bloom_positions_col(key: str, bits: int) -> list:
+def _bloom_positions_col(key: str, bits) -> list:
     """BLOOM_HASHES bit positions per key value: independent md5 slices
-    reduced mod `bits` — deterministic, engine-replicable."""
+    reduced mod `bits` — deterministic, engine-replicable. `bits` may be
+    an int or a Column (per-dir bitset sizes in the one-job build)."""
     return [
         (
             F.conv(
@@ -1590,24 +1730,60 @@ class BloomIndex:
         self.path = os.path.join(table.meta_dir, f"bloom_{key}.json")
 
     def build(self) -> int:
+        """Build every dir's bitset in ONE distributed job: tag each
+        dir's keys, size each bitset from a per-dir count (one row per
+        dir), then dedupe the set-bit positions per dir EXECUTOR-side
+        (collect_set partially aggregates map-side). The driver receives
+        exactly one row per dir — the finished bit list it writes to the
+        sidecar — never a key-proportional intermediate; this is the
+        puffin-blob shape (per-file bitsets serialized from the
+        executors), not a per-dir driver loop."""
+        from functools import reduce
+
         meta = self.table._read_meta(self.table.current_version())
-        index: dict[str, list[int]] = {}
-        for d in meta["dirs"]:
-            keys = self.table._read_dirs([d]).select(self.key)
-            m = _bloom_bits_for(keys.count())
-            bits = (
-                keys.select(
-                    F.explode(F.array(*_bloom_positions_col(self.key, m))).alias("b")
+        dirs = meta["dirs"]
+        index: dict[str, dict] = {}
+        if dirs:
+            tagged = reduce(
+                DataFrame.unionByName,
+                [
+                    self.table._read_dirs([d]).select(
+                        F.lit(d).alias("_dir"), F.col(self.key).alias("_k")
+                    )
+                    for d in dirs
+                ],
+            ).persist()  # sizing pass + bit pass share one scan
+            try:
+                counts = {
+                    r["_dir"]: r["n"]
+                    for r in tagged.groupBy("_dir")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                ms = {d: _bloom_bits_for(counts.get(d, 0)) for d in dirs}
+                m_map = F.create_map(
+                    *[F.lit(x) for d in dirs for x in (d, ms[d])]
                 )
-                .distinct()
-                .collect()
-            )  # ≤ m set-bit positions per dir. NOTE: m scales with the
-            # file's key count, so this driver materialization is the
-            # demo simplification — a production build writes the
-            # serialized bitset from the executors (Iceberg puffin
-            # blobs); the INDEX SEMANTICS (per-file bitsets, probe-bit
-            # subset test, FP-tolerant exact re-filter) are identical.
-            index[d] = {"m": m, "bits": sorted(r["b"] for r in bits)}
+                rows = (
+                    tagged.withColumn("_m", m_map[F.col("_dir")])
+                    .select(
+                        "_dir",
+                        F.explode(
+                            F.array(*_bloom_positions_col("_k", F.col("_m")))
+                        ).alias("b"),
+                    )
+                    .groupBy("_dir")
+                    .agg(F.sort_array(F.collect_set("b")).alias("bits"))
+                    .collect()
+                )
+            finally:
+                tagged.unpersist()
+            index = {
+                r["_dir"]: {"m": ms[r["_dir"]], "bits": list(r["bits"])}
+                for r in rows
+            }
+            for d in dirs:  # rowless dir → empty bitset (matches nothing)
+                index.setdefault(d, {"m": ms[d], "bits": []})
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"key": self.key, "version": meta["version"], "dirs": index}, f)

@@ -91,7 +91,12 @@ def test_side_effect_queries_are_idempotent(spark):
     from empdia_iceberg_spark import registry
 
     q = registry.queries()
-    for name in ("table_merge_upsert", "csv_roundtrip", "stream_dedup_events"):
+    for name in (
+        "table_merge_upsert",
+        "table_merge_pruned",
+        "csv_roundtrip",
+        "stream_dedup_events",
+    ):
         r1 = sorted(map(repr, q[name](spark, SF_DIR).collect()))
         r2 = sorted(map(repr, q[name](spark, SF_DIR).collect()))
         assert r1 == r2, name
@@ -190,6 +195,157 @@ def test_refs_survive_and_pin_across_expiry(spark):
     t.branch_append("main", orders.limit(4))
     assert t.read_ref("tag_v1").count() == 7
     assert t.read_ref("main").count() == 11
+    t.drop()
+
+
+def test_merge_pruned_reuses_untouched_dirs(spark):
+    """The pruned-MERGE reuse path (VERDICT r5 ask #2): a source whose
+    key envelope misses two of three dirs must (a) report
+    dirs_reused=2, (b) carry those dirs into the new snapshot VERBATIM
+    (same paths — byte-identical files by construction), and (c) keep
+    the snapshot schema describing the carried files (the table's
+    schema, not the source's)."""
+    from empdia_iceberg_spark import registry
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+    from tests.conftest import SF_DIR
+
+    out = registry.queries()["table_merge_pruned"](spark, SF_DIR).collect()
+    assert out, "pruned merge returned no rows"
+    assert all(r["dirs_rewritten"] == 1 and r["dirs_reused"] == 2 for r in out)
+
+    t = SnapshotTable(spark, "customer_merge_pruned")
+    metas = {m["version"]: m for m in t.snapshots()}
+    pre, post = metas[3], metas[4]  # create+2 appends, then merge
+    assert post["op"] == "merge"
+    carried = set(pre["dirs"]) & set(post["dirs"])
+    assert len(carried) == 2, (pre["dirs"], post["dirs"])
+    rewritten = set(pre["dirs"]) - set(post["dirs"])
+    assert len(rewritten) == 1
+    # carried dirs keep their per-dir specs, and the snapshot schema is
+    # the table's (describes the carried files)
+    assert post["schema"] == pre["schema"]
+
+
+def test_merge_forces_rewrite_of_mor_delete_dirs(spark, nation):
+    """A dir with applicable merge-on-read deletes must be rewritten by
+    MERGE even when the source envelope misses it (deletes fold in);
+    a dir appended AFTER the delete (not in applies_to) with a
+    disjoint envelope is still reused."""
+    t = SnapshotTable(spark, "t_merge_mor_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") <= 10))  # dirA: keys 0..10
+    t.delete_where_mor(F.col("n_nationkey") <= 2, key="n_nationkey")
+    t.append(
+        nation.filter(F.col("n_nationkey") > 10).withColumn(
+            "n_nationkey", F.col("n_nationkey") + 100
+        )
+    )  # dirB: keys 111.., post-delete so deletes don't apply to it
+    source = nation.filter(F.col("n_nationkey") <= 2).withColumn(
+        "n_nationkey", F.col("n_nationkey") + 1000
+    )  # envelope [1000, 1002]: intersects neither dir
+    _, audit = t.merge(source, key="n_nationkey")
+    assert audit == {"dirs_rewritten": 1, "dirs_reused": 1}
+    keys = {r.n_nationkey for r in t.read().select("n_nationkey").collect()}
+    assert not keys & {0, 1, 2}, "MOR-deleted rows resurrected by merge"
+    assert {1000, 1001, 1002} <= keys
+    # the delete files were folded in, not carried forward
+    assert t._read_meta(t.current_version())["delete_dirs"] == []
+    t.drop()
+
+
+def test_merge_empty_source_is_noop_and_keeps_mor_deletes(spark, nation):
+    """ADVICE r5 (high): an empty / all-NULL-key source must leave the
+    table at its current version — committing would drop the MOR
+    delete files while carrying every data dir, resurrecting deleted
+    rows."""
+    t = SnapshotTable(spark, "t_merge_empty_unit")
+    t.drop()
+    t.create(nation)
+    t.delete_where_mor(F.col("n_nationkey") < 3, key="n_nationkey")
+    v_before = t.current_version()
+    n_before = t.read().count()
+    empty = nation.filter(F.lit(False))
+    v, audit = t.merge(empty, key="n_nationkey")
+    assert v == v_before, "empty-source merge committed a snapshot"
+    assert audit["dirs_rewritten"] == 0
+    assert t.read().count() == n_before
+    assert t.read().filter(F.col("n_nationkey") < 3).count() == 0
+    t.drop()
+
+
+def test_merge_envelope_codec_date_and_decimal_keys(spark):
+    """ADVICE r5 (medium): DATE and DECIMAL merge keys must survive the
+    envelope sidecar cache round-trip (json.dump rejects datetime /
+    Decimal; string fallbacks would compare wrongly). Two merges on
+    the same key exercise write-then-reload of the cache."""
+    from decimal import Decimal
+
+    t = SnapshotTable(spark, "t_merge_datekey_unit")
+    t.drop()
+    base = spark.createDataFrame(
+        [("2024-01-01", "a"), ("2024-06-01", "b")], "d string, v string"
+    ).select(F.col("d").cast("date"), "v")
+    t.create(base)
+    src = spark.createDataFrame([("2024-06-01", "B2")], "d string, v string").select(
+        F.col("d").cast("date"), "v"
+    )
+    t.merge(src, key="d")  # first merge computes + caches the envelope
+    t.merge(src, key="d")  # second merge decodes the cached bounds
+    rows = {str(r.d): r.v for r in t.read().collect()}
+    assert rows == {"2024-01-01": "a", "2024-06-01": "B2"}
+    t.drop()
+
+    t2 = SnapshotTable(spark, "t_merge_deckey_unit")
+    t2.drop()
+    base2 = spark.createDataFrame(
+        [(Decimal("1.50"), "x"), (Decimal("9.75"), "y")],
+        "k decimal(10,2), v string",
+    )
+    t2.create(base2)
+    src2 = spark.createDataFrame([(Decimal("9.75"), "Y2")], "k decimal(10,2), v string")
+    t2.merge(src2, key="k")
+    t2.merge(src2, key="k")
+    rows2 = {str(r.k): r.v for r in t2.read().collect()}
+    assert rows2 == {"1.50": "x", "9.75": "Y2"}
+    t2.drop()
+
+
+def test_publish_race_conflicts_append_but_retries_replacing_ops(
+    spark, nation, monkeypatch
+):
+    """ADVICE r5 (low): a lost hardlink publish race must surface
+    CommitConflictError for append-shaped commits (auto-retry would
+    republish a stale dirs list, dropping the concurrent winner's
+    dir), while whole-table-replacing ops (overwrite/compact) retry
+    through the race — last-writer-wins is their declared
+    semantics."""
+    import os as _os
+
+    import empdia_iceberg_spark.tables.manager as mgr
+    from empdia_iceberg_spark.tables.manager import CommitConflictError
+
+    t = SnapshotTable(spark, "t_race_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 5))
+
+    real_link = _os.link
+    fail_next = {"n": 0}
+
+    def flaky_link(src, dst, **kw):
+        if fail_next["n"] > 0:
+            fail_next["n"] -= 1
+            raise FileExistsError(dst)
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(mgr.os, "link", flaky_link)
+
+    fail_next["n"] = 1
+    with pytest.raises(CommitConflictError):
+        t.append(nation.filter(F.col("n_nationkey") >= 5))
+
+    fail_next["n"] = 1  # replacing op: retries through the same race
+    t.overwrite(nation.filter(F.col("n_nationkey") < 3))
+    assert t.read().count() == 3
     t.drop()
 
 
