@@ -122,12 +122,17 @@ def main() -> None:
         floor_df.toPandas()
         overhead = min(overhead, time.perf_counter() - t0)
 
-    # Fixed STREAMING overhead: the micro-batch lifecycle cost
-    # (query start → drain → stop on a 1-row file-stream source → memory
-    # sink, the exact run_to_memory shape the stream_* queries pay). The
-    # streaming queries' times are dominated by this constant at sf0.1 —
-    # report it so their ratios vs the batch baseline can be read net of
-    # lifecycle, symmetric to overhead_sec for batch queries.
+    # Fixed STREAMING overhead: the micro-batch lifecycle cost of the
+    # EXACT pipeline shape the stream_* queries run — file-stream source,
+    # 1-hour watermark, windowed stateful aggregation, memory sink,
+    # processAllAvailable drain, stop — at negligible data volume (2
+    # rows). The watermark operator forces a second micro-batch and the
+    # state store initializes across every shuffle partition, so a bare
+    # source→sink probe would understate the constant by ~3×; measured
+    # this way, stream_tumbling_hourly's time is ~95% this constant
+    # (1.36 s at sf0.001 vs 1.44 s at sf0.1 — the data-dependent part is
+    # ~0.08 s). Reported so streaming ratios vs the batch baseline can
+    # be read net of lifecycle, symmetric to overhead_sec for batch.
     import shutil
     import uuid
 
@@ -135,17 +140,32 @@ def main() -> None:
     try:
         probe_root = f"/root/repo/.stream_work/bench_probe_{uuid.uuid4().hex[:8]}"
         src = os.path.join(probe_root, "src")
-        spark.range(1).write.mode("overwrite").parquet(src)
+        tiny = spark.createDataFrame(
+            [
+                ("2024-01-01 00:10:00", "click", 1.0),
+                ("2024-01-01 05:10:00", "view", 2.0),
+            ],
+            "ts string, event_type string, value double",
+        ).select(F.col("ts").cast("timestamp"), "event_type", "value")
+        tiny.coalesce(1).write.mode("overwrite").parquet(src)
         schema = spark.read.parquet(src).schema
         for i in range(3):
             ckpt = os.path.join(probe_root, f"ckpt{i}")
-            t0 = time.perf_counter()
-            q = (
+            agg = (
                 spark.readStream.schema(schema)
                 .parquet(src)
-                .groupBy()
-                .count()
-                .writeStream.queryName(f"bench_probe_{i}")
+                .withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 hour"), "event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+                    ).alias("sum_value"),
+                )
+            )
+            t0 = time.perf_counter()
+            q = (
+                agg.writeStream.queryName(f"bench_probe_{i}")
                 .outputMode("complete")
                 .format("memory")
                 .option("checkpointLocation", ckpt)
