@@ -38,6 +38,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from empdia_iceberg_spark.functions.exact import sql_sum2, sql_sum8, exact_sum2, exact_sum8
 from empdia_iceberg_spark.registry import register
@@ -364,17 +365,20 @@ class SnapshotTable:
         for the update+insert case): matched target rows are replaced by
         the source row, unmatched source rows are inserted.
 
-        Scale posture — overwrite-by-filter, not whole-table COW: the
-        source's key envelope [min, max] (one 2-scalar aggregate) is
-        tested against each data dir's cached per-file key bounds
-        (Iceberg manifest min/max); only INTERSECTING dirs are rewritten,
-        every other dir is carried into the new snapshot BY REFERENCE,
-        byte-identical. A MERGE touching 0.1% of keys at 100 TB rewrites
-        only the files that can contain those keys. Envelope false
-        positives cost an extra rewrite, never a wrong answer. Dirs with
-        applicable merge-on-read deletes are force-rewritten (deletes
-        fold in), so carried-forward delete files never apply to a
-        rewritten dir.
+        Scale posture — overwrite-by-filter, not whole-table COW, with
+        EXACT per-dir pruning: each data dir's cached key bounds
+        (Iceberg manifest min/max) form a tiny bounds table; the source
+        keys range-join against its broadcast, so a dir is rewritten
+        only if SOME source key falls inside its bounds. A single
+        [min, max] envelope of the source would fatten to the whole
+        table the moment the source holds keys near both extremes — the
+        membership join keeps a scattered 0.1%-of-keys MERGE at 100 TB
+        rewriting only the files that can actually contain those keys.
+        Every other dir is carried into the new snapshot BY REFERENCE,
+        byte-identical. Bounds false positives cost an extra rewrite,
+        never a wrong answer. Dirs with applicable merge-on-read deletes
+        are force-rewritten (deletes fold in), so carried-forward delete
+        files never apply to a rewritten dir.
 
         Returns (version, audit) where audit = {"dirs_rewritten": n,
         "dirs_reused": m}."""
@@ -398,21 +402,56 @@ class SnapshotTable:
                 "dirs_reused": len(meta["dirs"]),
             }
 
-        touched: list[str] = []
-        untouched: list[str] = []
-        untouched_specs: list[list[str]] = []
-        for d, ds in zip(meta["dirs"], self._dir_specs(meta)):
+        # Coarse pass (free, metadata-only): the source envelope rules out
+        # dirs wholly outside [lo, hi]; survivors get the exact test.
+        must_touch: set[str] = set()  # unknown bounds / MOR deletes
+        candidates: list[tuple[str, object, object]] = []  # (dir, lo_d, hi_d)
+        for d in meta["dirs"]:
             has_deletes = any(
                 d in dd.get("applies_to", meta["dirs"]) for dd in deletes
             )
             env = self._dir_key_envelope(d, key)
-            if env == ("empty",):
-                intersects = False  # rowless dir matches nothing
-            elif env is None:
-                intersects = True  # unknown bounds: conservative rewrite
-            else:
-                intersects = env[0] <= hi and env[1] >= lo
-            if intersects or has_deletes:
+            if has_deletes or env is None:
+                must_touch.add(d)  # deletes fold in / conservative rewrite
+            elif env == ("empty",):
+                pass  # rowless dir matches nothing
+            elif env[0] <= hi and env[1] >= lo:
+                candidates.append((d, env[0], env[1]))
+
+        # Exact pass: one distributed range-join of the source keys
+        # against the broadcast bounds of the surviving candidate dirs
+        # (one row per dir) — the result is a ≤|dirs|-row collect of the
+        # dirs that actually contain a source key.
+        hit: set[str] = set()
+        if candidates:
+            kt = source.schema[key].dataType
+            bounds = self.spark.createDataFrame(
+                candidates,
+                T.StructType(
+                    [
+                        T.StructField("_dir", T.StringType()),
+                        T.StructField("_lo", kt),
+                        T.StructField("_hi", kt),
+                    ]
+                ),
+            )
+            hit = {
+                r["_dir"]
+                for r in source.select(F.col(key).alias("_k"))
+                .join(
+                    F.broadcast(bounds),
+                    (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+                )
+                .select("_dir")
+                .distinct()
+                .collect()
+            }
+
+        touched: list[str] = []
+        untouched: list[str] = []
+        untouched_specs: list[list[str]] = []
+        for d, ds in zip(meta["dirs"], self._dir_specs(meta)):
+            if d in must_touch or d in hit:
                 touched.append(d)
             else:
                 untouched.append(d)

@@ -226,6 +226,29 @@ def test_merge_pruned_reuses_untouched_dirs(spark):
     assert post["schema"] == pre["schema"]
 
 
+def test_merge_prunes_middle_dir_for_scattered_source(spark, nation):
+    """Exact per-dir membership pruning: a source with keys near BOTH
+    extremes (envelope spans the whole table) must still reuse the
+    middle dir — the bounds range-join prunes per dir, not by one
+    fattened [min, max] envelope."""
+    t = SnapshotTable(spark, "t_merge_scatter_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") <= 7))  # dirA: 0..7
+    t.append(
+        nation.filter((F.col("n_nationkey") > 7) & (F.col("n_nationkey") <= 15))
+    )  # dirB: 8..15
+    t.append(nation.filter(F.col("n_nationkey") > 15))  # dirC: 16..24
+    source = nation.filter(F.col("n_nationkey").isin(1, 20)).withColumn(
+        "n_name", F.lit("SCATTERED")
+    )  # envelope [1, 20] spans all three dirs; keys hit only A and C
+    _, audit = t.merge(source, key="n_nationkey")
+    assert audit == {"dirs_rewritten": 2, "dirs_reused": 1}, audit
+    rows = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    assert rows[1] == "SCATTERED" and rows[20] == "SCATTERED"
+    assert len(rows) == nation.count()
+    t.drop()
+
+
 def test_merge_forces_rewrite_of_mor_delete_dirs(spark, nation):
     """A dir with applicable merge-on-read deletes must be rewritten by
     MERGE even when the source envelope misses it (deletes fold in);
