@@ -330,35 +330,67 @@ class SnapshotTable:
                 return decimal.Decimal(v["v"])
         return v
 
-    def _dir_key_envelope(self, d: str, key: str):
-        """(min, max) of `key` inside one data dir — the per-file column
-        bounds an Iceberg manifest stores. Data dirs are immutable, so
-        envelopes are computed once and cached in a metadata sidecar
-        (bounds round-trip through a type-tagged codec so date/decimal
-        keys reload as native comparable values); the first computation
-        is a footer-statistics-sized aggregate.
-        Returns ("empty",) for a rowless dir and None when the column is
-        absent (caller must treat None as must-rewrite)."""
+    def _ensure_key_envelopes(self, dirs: list[str], key: str) -> dict:
+        """(min, max) of `key` for EVERY dir in `dirs` — the per-file
+        column bounds an Iceberg manifest stores. Data dirs are
+        immutable, so envelopes are computed once and cached in a
+        metadata sidecar (bounds round-trip through a type-tagged codec
+        so date/decimal keys reload as native comparable values). All
+        missing dirs are computed in ONE tagged-union Spark job (a
+        per-dir job loop would mean 10k scheduler round-trips on a
+        10k-file table); the driver receives one (dir, lo, hi) row per
+        dir. Per dir the value is ("empty",) when rowless and None when
+        the column is absent (caller must treat None as must-rewrite)."""
+        from functools import reduce
+
         cache_path = os.path.join(self.meta_dir, f"envelopes_{key}.json")
         cache: dict = {}
         if os.path.exists(cache_path):
             with open(cache_path) as f:
                 cache = json.load(f)
-        if d in cache:
-            v = cache[d]
-            return tuple(self._env_decode(x) for x in v) if v is not None else None
-        df = self._read_dirs([d])
-        if key not in df.columns:
-            env = None
-        else:
-            r = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-            env = ("empty",) if r["lo"] is None else (r["lo"], r["hi"])
-        cache[d] = [self._env_encode(x) for x in env] if env is not None else None
-        tmp = cache_path + f".{os.getpid()}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(cache, f)
-        os.rename(tmp, cache_path)  # best-effort cache; dirs are immutable
-        return env
+        missing = [d for d in dirs if d not in cache]
+        if missing:
+            parts = []
+            for d in missing:
+                df = self._read_dirs([d])
+                if key not in df.columns:
+                    cache[d] = None
+                else:
+                    parts.append(
+                        df.select(F.lit(d).alias("_dir"), F.col(key).alias("_k"))
+                    )
+            if parts:
+                got = {
+                    r["_dir"]: (r["lo"], r["hi"])
+                    for r in reduce(DataFrame.unionByName, parts)
+                    .groupBy("_dir")
+                    .agg(F.min("_k").alias("lo"), F.max("_k").alias("hi"))
+                    .collect()
+                }
+                for d in missing:
+                    if d in cache:
+                        continue  # column-absent case recorded above
+                    env = got.get(d)
+                    if env is None or env[0] is None:
+                        cache[d] = ["empty"]  # rowless dir
+                    else:
+                        cache[d] = [self._env_encode(env[0]), self._env_encode(env[1])]
+            tmp = cache_path + f".{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(cache, f)
+            os.rename(tmp, cache_path)  # best-effort cache; dirs are immutable
+        return {
+            d: (
+                tuple(self._env_decode(x) for x in cache[d])
+                if cache[d] is not None
+                else None
+            )
+            for d in dirs
+        }
+
+    def _dir_key_envelope(self, d: str, key: str):
+        """Single-dir convenience wrapper over `_ensure_key_envelopes`."""
+        return self._ensure_key_envelopes([d], key)[d]
 
     def merge(self, source: DataFrame, key: str) -> tuple[int, dict]:
         """File-pruned copy-on-write MERGE (Iceberg MERGE INTO semantics
@@ -404,13 +436,15 @@ class SnapshotTable:
 
         # Coarse pass (free, metadata-only): the source envelope rules out
         # dirs wholly outside [lo, hi]; survivors get the exact test.
+        # All missing dir envelopes compute in ONE job up front.
+        envs = self._ensure_key_envelopes(meta["dirs"], key)
         must_touch: set[str] = set()  # unknown bounds / MOR deletes
         candidates: list[tuple[str, object, object]] = []  # (dir, lo_d, hi_d)
         for d in meta["dirs"]:
             has_deletes = any(
                 d in dd.get("applies_to", meta["dirs"]) for dd in deletes
             )
-            env = self._dir_key_envelope(d, key)
+            env = envs[d]
             if has_deletes or env is None:
                 must_touch.add(d)  # deletes fold in / conservative rewrite
             elif env == ("empty",):
