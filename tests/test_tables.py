@@ -249,6 +249,44 @@ def test_merge_prunes_middle_dir_for_scattered_source(spark, nation):
     t.drop()
 
 
+def test_merge_differential_random_layouts(spark, nation):
+    """Differential net for the pruning logic: across seeded random dir
+    layouts and source key sets, merge() must equal the naive
+    relational merge (target anti-join source ∪ source) EXACTLY —
+    whatever the pruning decided — and the audit must account for
+    every dir."""
+    import random
+
+    base = [(int(r.n_nationkey), str(r.n_name)) for r in nation.collect()]
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        rows = sorted(base)
+        # random contiguous split into 2–4 dirs (dirs get key ranges)
+        n_cuts = rng.randint(1, 3)
+        cuts = sorted(rng.sample(range(1, len(rows)), n_cuts))
+        chunks = [rows[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])]
+        t = SnapshotTable(spark, f"t_merge_diff_{seed}")
+        t.drop()
+        for i, chunk in enumerate(chunks):
+            df = spark.createDataFrame(chunk, "n_nationkey long, n_name string")
+            (t.create if i == 0 else t.append)(df)
+        # random source: some existing keys updated, some new inserted
+        upd = rng.sample([k for k, _ in rows], rng.randint(0, 6))
+        ins = [k + 1000 for k in rng.sample(range(50), rng.randint(0, 4))]
+        src_rows = [(k, f"U{k}") for k in upd] + [(k, f"I{k}") for k in ins]
+        src = spark.createDataFrame(src_rows or [], "n_nationkey long, n_name string")
+        _, audit = t.merge(src, key="n_nationkey")
+        assert audit["dirs_rewritten"] + audit["dirs_reused"] == len(chunks), (
+            seed,
+            audit,
+        )
+        expect = dict(rows)
+        expect.update(dict(src_rows))
+        got = {r.n_nationkey: r.n_name for r in t.read().collect()}
+        assert got == expect, (seed, audit)
+        t.drop()
+
+
 def test_merge_forces_rewrite_of_mor_delete_dirs(spark, nation):
     """A dir with applicable merge-on-read deletes must be rewritten by
     MERGE even when the source envelope misses it (deletes fold in);
