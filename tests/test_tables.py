@@ -334,6 +334,31 @@ def test_merge_empty_source_is_noop_and_keeps_mor_deletes(spark, nation):
     t.drop()
 
 
+def test_env_codec_json_roundtrip():
+    """The envelope codec must round-trip every bound type through
+    json.dumps/loads as the EXACT native value (leap-day dates,
+    microsecond timestamps, negative scaled decimals, and the plain
+    JSON-native types untouched)."""
+    import datetime
+    import decimal
+    import json as _json
+
+    vals = [
+        datetime.date(2024, 2, 29),
+        datetime.datetime(2024, 1, 1, 12, 30, 45, 123456),
+        decimal.Decimal("-123.4500"),
+        "empty",
+        42,
+        3.14,
+        "plain-string",
+        None,
+    ]
+    for v in vals:
+        enc = _json.loads(_json.dumps(SnapshotTable._env_encode(v)))
+        got = SnapshotTable._env_decode(enc)
+        assert got == v and type(got) is type(v), (v, got)
+
+
 def test_merge_envelope_codec_date_and_decimal_keys(spark):
     """ADVICE r5 (medium): DATE and DECIMAL merge keys must survive the
     envelope sidecar cache round-trip (json.dump rejects datetime /
