@@ -1851,12 +1851,21 @@ class BloomIndex:
                 )
             finally:
                 tagged.unpersist()
+            def _pack(m: int, bits) -> str:
+                # packed bitmap, not a position list: m/8 bytes per dir
+                # (vs ~6 JSON chars per set bit) — the serialized-blob
+                # shape real formats persist (Iceberg puffin)
+                buf = bytearray(m // 8)
+                for b in bits:
+                    buf[b >> 3] |= 1 << (b & 7)
+                return bytes(buf).hex()
+
             index = {
-                r["_dir"]: {"m": ms[r["_dir"]], "bits": list(r["bits"])}
+                r["_dir"]: {"m": ms[r["_dir"]], "bitmap": _pack(ms[r["_dir"]], r["bits"])}
                 for r in rows
             }
             for d in dirs:  # rowless dir → empty bitset (matches nothing)
-                index.setdefault(d, {"m": ms[d], "bits": []})
+                index.setdefault(d, {"m": ms[d], "bitmap": _pack(ms[d], [])})
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"key": self.key, "version": meta["version"], "dirs": index}, f)
@@ -1888,10 +1897,16 @@ class BloomIndex:
                 f"v{index.get('version')} but the table is at v{current} — "
                 "rebuild with BloomIndex.build()"
             )
+        def _contains(entry: dict, probe: list[int]) -> bool:
+            if "bitmap" in entry:
+                buf = bytes.fromhex(entry["bitmap"])
+                return all(buf[b >> 3] & (1 << (b & 7)) for b in probe)
+            return set(probe) <= set(entry["bits"])  # legacy position list
+
         passing = [
             d
             for d, entry in index["dirs"].items()
-            if set(self._probe_bits(value, entry["m"])) <= set(entry["bits"])
+            if _contains(entry, self._probe_bits(value, entry["m"]))
         ]
         return passing, len(index["dirs"])
 
