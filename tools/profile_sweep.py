@@ -9,10 +9,13 @@ Usage: python tools/profile_sweep.py [first_n]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import empdia_iceberg_spark as e
 from empdia_iceberg_spark.session import get_spark
