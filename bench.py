@@ -136,9 +136,10 @@ def main() -> None:
     import shutil
     import uuid
 
-    stream_overhead = float("inf")
+    stream_overhead: float | None = float("inf")
+    stream_root = os.environ.get("SPARK_GRAFT_STREAM_ROOT", "/root/repo/.stream_work")
+    probe_root = os.path.join(stream_root, f"bench_probe_{uuid.uuid4().hex[:8]}")
     try:
-        probe_root = f"/root/repo/.stream_work/bench_probe_{uuid.uuid4().hex[:8]}"
         src = os.path.join(probe_root, "src")
         tiny = spark.createDataFrame(
             [
@@ -176,9 +177,12 @@ def main() -> None:
             finally:
                 q.stop()
             stream_overhead = min(stream_overhead, time.perf_counter() - t0)
-        shutil.rmtree(probe_root, ignore_errors=True)
     except Exception:
-        stream_overhead = float("nan")  # probe must never kill the bench line
+        # probe must never kill the bench line; None serializes as JSON
+        # null (NaN would make the whole output line invalid JSON)
+        stream_overhead = None
+    finally:
+        shutil.rmtree(probe_root, ignore_errors=True)
 
     # ANN quality next to ANN speed: recall@5 of the approximate paths vs
     # the exact brute-force answer, so the approximate/exact tradeoff is
@@ -207,7 +211,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "overhead_sec": round(overhead, 4),
-        "stream_overhead_sec": round(stream_overhead, 4),
+        "stream_overhead_sec": (
+            round(stream_overhead, 4) if stream_overhead is not None else None
+        ),
         "recall_at_5": recall,
         "skipped": skipped,
         "sf": sf,

@@ -388,10 +388,6 @@ class SnapshotTable:
             for d in dirs
         }
 
-    def _dir_key_envelope(self, d: str, key: str):
-        """Single-dir convenience wrapper over `_ensure_key_envelopes`."""
-        return self._ensure_key_envelopes([d], key)[d]
-
     def merge(self, source: DataFrame, key: str) -> tuple[int, dict]:
         """File-pruned copy-on-write MERGE (Iceberg MERGE INTO semantics
         for the update+insert case): matched target rows are replaced by
@@ -420,13 +416,33 @@ class SnapshotTable:
         meta = self._read_meta(cur)
         deletes = meta.get("delete_dirs", [])
         spec = meta.get("spec", [])
-        env_row = source.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-        lo, hi = env_row["lo"], env_row["hi"]
-        if lo is None:
-            # Empty source (or all-NULL keys): MERGE is a no-op. Committing
-            # anyway would be worse than useless — the commit below does not
-            # carry delete_dirs, so a snapshot published here would drop the
-            # MOR equality-delete files while carrying every data dir by
+        # merge makes three passes over the source (bounds aggregate,
+        # membership join, final write) — cache it so an expensive source
+        # pipeline computes once
+        source = source.persist()
+        try:
+            return self._merge_impl(source, key, cur, meta, deletes, spec)
+        finally:
+            source.unpersist()
+
+    def _merge_impl(
+        self,
+        source: DataFrame,
+        key: str,
+        cur: int,
+        meta: dict,
+        deletes: list,
+        spec: list,
+    ) -> tuple[int, dict]:
+        env_row = source.agg(
+            F.count(F.lit(1)).alias("n"), F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).first()
+        n_src, lo, hi = env_row["n"], env_row["lo"], env_row["hi"]
+        if n_src == 0:
+            # Empty source: MERGE is a true no-op. Committing anyway would
+            # be worse than useless — the commit below does not carry
+            # delete_dirs, so a snapshot published here would drop the MOR
+            # equality-delete files while carrying every data dir by
             # reference, silently resurrecting deleted rows on every
             # subsequent read. Leave the table at its current version.
             return cur, {
@@ -434,11 +450,22 @@ class SnapshotTable:
                 "dirs_reused": len(meta["dirs"]),
             }
 
+        def _isnan(x) -> bool:
+            return isinstance(x, float) and x != x
+
         # Coarse pass (free, metadata-only): the source envelope rules out
         # dirs wholly outside [lo, hi]; survivors get the exact test.
         # All missing dir envelopes compute in ONE job up front.
+        # NULL bounds (all source keys NULL) match no target row — the
+        # source is pure NOT-MATCHED inserts, same as any NULL-key source
+        # row. NaN bounds (float keys) poison ordered comparisons in BOTH
+        # the coarse test and the membership join, so a NaN source bound
+        # just disables the coarse filter, and a dir whose own bounds
+        # contain NaN is conservatively rewritten.
         envs = self._ensure_key_envelopes(meta["dirs"], key)
-        must_touch: set[str] = set()  # unknown bounds / MOR deletes
+        lo_c = None if lo is None or _isnan(lo) else lo
+        hi_c = None if hi is None or _isnan(hi) else hi
+        must_touch: set[str] = set()  # unknown/NaN bounds / MOR deletes
         candidates: list[tuple[str, object, object]] = []  # (dir, lo_d, hi_d)
         for d in meta["dirs"]:
             has_deletes = any(
@@ -449,7 +476,11 @@ class SnapshotTable:
                 must_touch.add(d)  # deletes fold in / conservative rewrite
             elif env == ("empty",):
                 pass  # rowless dir matches nothing
-            elif env[0] <= hi and env[1] >= lo:
+            elif _isnan(env[0]) or _isnan(env[1]):
+                must_touch.add(d)  # NaN dir bounds break the membership join
+            elif lo is None:
+                pass  # all-NULL source keys: no target row can match
+            elif (hi_c is None or env[0] <= hi_c) and (lo_c is None or env[1] >= lo_c):
                 candidates.append((d, env[0], env[1]))
 
         # Exact pass: one distributed range-join of the source keys
@@ -1834,11 +1865,15 @@ class BloomIndex:
                     .collect()
                 }
                 ms = {d: _bloom_bits_for(counts.get(d, 0)) for d in dirs}
-                m_map = F.create_map(
-                    *[F.lit(x) for d in dirs for x in (d, ms[d])]
+                # per-dir bitset size joins in as a broadcast (dir, m)
+                # table — a create_map literal would put 2·|dirs| literals
+                # in the plan and scan them per row (O(rows·dirs) at the
+                # 10k-file scale this build targets)
+                m_df = self.table.spark.createDataFrame(
+                    [(d, ms[d]) for d in dirs], "_dir string, _m int"
                 )
                 rows = (
-                    tagged.withColumn("_m", m_map[F.col("_dir")])
+                    tagged.join(F.broadcast(m_df), "_dir")
                     .select(
                         "_dir",
                         F.explode(

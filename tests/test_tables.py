@@ -359,6 +359,46 @@ def test_env_codec_json_roundtrip():
         assert got == v and type(got) is type(v), (v, got)
 
 
+def test_merge_all_null_key_source_inserts(spark):
+    """A non-empty source whose keys are ALL NULL is pure NOT-MATCHED
+    inserts (NULL matches no target row) — the same rows must land
+    whether or not a non-NULL sibling row happens to be present, and
+    MOR delete files must not be dropped."""
+    t = SnapshotTable(spark, "t_merge_nullkey_unit")
+    t.drop()
+    t.create(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"))
+    t.delete_where_mor(F.col("k") == 3, key="k")
+    src = spark.createDataFrame([(None, "n1"), (None, "n2")], "k int, v string")
+    _, audit = t.merge(src, key="k")
+    out = t.read()
+    assert out.count() == 4  # a, b, n1, n2 — k=3 stays MOR-deleted
+    assert out.filter(F.col("k").isNull()).count() == 2
+    assert out.filter(F.col("k") == 3).count() == 0, "MOR delete dropped"
+    assert audit["dirs_rewritten"] >= 1  # the delete-applicable dir folded
+    t.drop()
+
+
+def test_merge_nan_source_key_does_not_break_pruning(spark):
+    """A NaN in a DOUBLE-key source poisons ordered bound comparisons;
+    it must disable the coarse filter (not prune everything), so real
+    keys still update instead of duplicating, and the NaN row lands
+    as an insert."""
+    t = SnapshotTable(spark, "t_merge_nankey_unit")
+    t.drop()
+    t.create(
+        spark.createDataFrame([(1.0, "x"), (50.0, "y")], "k double, v string")
+    )
+    src = spark.createDataFrame(
+        [(5.0, "ins"), (50.0, "upd"), (float("nan"), "n")], "k double, v string"
+    )
+    _, audit = t.merge(src, key="k")
+    rows = [(r.k, r.v) for r in t.read().collect()]
+    assert len(rows) == 4, rows
+    assert [v for k, v in rows if k == 50.0] == ["upd"], rows  # no duplicate
+    assert audit["dirs_rewritten"] == 1
+    t.drop()
+
+
 def test_merge_envelope_codec_date_and_decimal_keys(spark):
     """ADVICE r5 (medium): DATE and DECIMAL merge keys must survive the
     envelope sidecar cache round-trip (json.dump rejects datetime /
