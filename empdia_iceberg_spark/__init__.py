@@ -70,175 +70,286 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 #      divergence risk (pandas kernels > µs/decimal arithmetic >
 #      plain exact-SQL shapes);
 #   3. the stalest previously-green block.
-# Round 6 list (VERDICT r5 ask #1 — front-load the never-swept debt):
-# FIRST the queries whose code changed in r5/r6 (the pruned-MERGE +
-# atomic-commit + bloom + expire table stack, the new
-# table_merge_pruned proof query, and the bucketed Spearman rewrite);
-# THEN the four all-zero driver modules — all 12 never-swept table ops,
-# all 17 subquery/TPC-H shapes, all 5 timeseries, all 4 retrieval;
-# THEN the remaining never-swept names ordered kernels-before-plain-SQL
-# so a deeper sweep keeps retiring debt. Everything below position ~124
-# already has a green driver row in r01–r05.
+# Round 7 list (VERDICT r6 ask #1): FIRST the four queries whose code
+# changed in r7 (merge OCC + dup-key guard, executor-blob bloom,
+# bucketed Mann-Whitney mid-ranks — all four have green prior rows to
+# hash-match); THEN all 76 still-never-swept names in the
+# kernels-before-plain-SQL order tools/next_sweep.py emits — the 50-cap
+# lands ~46 deep into that block, and the remaining ~30 queue in order
+# so the round-8 rotation retires the debt entirely; THEN the
+# previously-green tail, stalest first.
 _SWEEP_PRIORITY = [
-    # --- changed in r5/r6: MUST be swept this round (changed-code-first)
-    "table_merge_pruned",  # new in r6 — proves the pruned-MERGE reuse path
-    "table_merge_upsert",  # r5 rewrite: file-pruned MERGE w/ cached envelopes
-    "spearman_qty_price",  # r6 rewrite: bucketed mid-ranks (no global window)
-    "table_bloom_point_lookup",  # r5 staleness gate + r6 executor-side build
-    "table_mor_deletes",  # r5: MOR-aware read_point + GC interplay
-    "table_history_audit",  # r5: atomic hardlink commit lifecycle
-    "table_concurrent_appends",  # r5: O_EXCL commit race semantics
-    "table_branch_merge",  # r5: ref-aware expire_snapshots
-    "table_changelog_emit",
-    "catalog_multi_table_txn",
-    "cdc_log_compaction",
-    "table_crypto_shred",
-    "mv_incremental_refresh",
-    "table_incremental_diff",
-    "table_rollback_restore",
-    # --- never swept: all 17 subquery/TPC-H shapes (the most user-visible
-    # query family; zero driver evidence through r5)
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_late_priority_counts",
-    "q13_custdist",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "lateral_top2_per_customer",
-    "events_sessionize_8h",
-    # --- never swept: all 5 timeseries
-    "daily_acf_value",
-    "seasonal_strength_scan",
-    "forecast_backtest_snaive",
-    "events_seasonal_residual_outliers",  # r6: doc/code MAD-constant fix
-    "events_linear_interpolate",
-    # --- never swept: all 4 retrieval
-    "doc_bm25_search",
-    "doc_rrf_fusion",
-    "doc_phrase_search",
-    "doc_rerank_crossencoder",
-    # --- never swept: highest-divergence-risk kernels next (pandas /
-    # decimal / sketch arithmetic before plain SQL)
-    "embedding_pq_codes",  # rows-only by design
-    "embedding_pca_power",  # rows-only by design
-    "user_reach_hll_rollup",  # rows-only by design
-    "token_cms_estimates",
-    "token_heavy_hitters",
-    "kmv_distinct_orders",
-    "kmv_set_overlap",
-    "doc_tfidf_top_terms",
-    "doc_decontaminate",
-    "emb_decontaminate",
-    "doc_repetition_stats",
-    "doc_rake_keyphrases",
-    "doc_oov_rate",
-    "nb_lang_confusion",
-    "classifier_agreement_kappa",
-    "multimodal_audio_zcr",
-    "binaryfile_ingest",
-    "udtf_split_fixed_cols",
-    "udtf_table_arg_digest",
-    "pyds_synthetic_rollup",
-    # ~50-query cap lands in this block; everything below keeps retiring
-    # never-swept debt if the driver sweeps deeper, ordered
-    # kernels-before-plain-SQL.
-    "stream_topk_trending",
-    "stream_stream_join_1h",
-    "stream_static_enrich",
-    "events_session_window_batch",
-    "events_markov_entropy_rate",
-    "events_max_drawdown_user",
-    "events_rolling_median_7d",
-    "events_rolling_wau",
-    "events_linear_attribution",
-    "events_ohlc_hourly",
-    "events_scd2_history",
-    "events_weekly_retention",
-    "events_funnel_conversion",
-    "mc_pi_estimate",
-    "orders_var_cvar",
-    "ab_sprt_trace",
-    "ab_test_conversion",
-    "anova_acctbal_segments",
-    "ks_acctbal_two_sample",
-    "ols_by_returnflag",
-    "lineitem_corr_matrix",
-    "mi_events_type_hour",
-    "weighted_quantiles_quantity",
-    "quantile_transform_acctbal",
-    "orders_robust_means",
-    "revenue_concentration_hhi",
-    "revenue_gini_customers",
-    "corpus_zipf_slope",
-    "revenue_price_volume_bridge",
-    "revenue_recognition_schedule",
-    "revenue_yoy_growth",
-    "customer_segment_migration",
-    "customer_rfm_segments",
-    "orders_interpurchase_intervals",
-    "orders_shipping_busdays",
-    "orders_diversified_topk",
-    "orders_status_summary",
-    "lineitem_fifo_allocation",
-    "join_key_skew_stats",
-    "duplicate_baskets",
-    "graph_bfs_hops",
-    "graph_kcore_sizes",
-    "graph_degree_assortativity",
-    "item_item_similar_parts",
-    "seq2_event_patterns",
-    "supplier_part_matching",
-    "doc_fuzzy_clusters",
-    "doc_weighted_sample",
-    "doc_greedy_coverage_select",
-    "doc_pack_windows",
-    "hash_split_assignments",
-    "domain_mixture_weights",
-    "embedding_quantize_int8",
-    "variant_props_typed",
-    "secure_masked_view",
-    "observed_metrics_shipments",
-    "dq_checks_orders",
-    "json_ingest_corrupt_records",
-    "xml_roundtrip",
-    "orc_roundtrip",
-    "curation_funnel_counts",
-    # --- previously-green blocks, stalest first (r2 era), as tail filler
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "set_ops_segments",
-    "rollup_pricing",
-    "cube_order_priority",
-    "distinct_counts",
-    "approx_distinct_counts",
-    "topk_orders_global",
-    "scalar_string_fns",
-    "date_fns_orders",
-    "json_extract_events",
-    "orders_above_customer_avg",
-    "events_hourly_rollup",
-    "pivot_status_by_priority",
-    "null_safe_join_acctbal",
-    "map_functions_props",
-    "grouping_sets_pricing",
-    "percentile_order_values",
-    "approx_percentile_sketch",
-    "events_multi_grain_rollup",
-    "salted_join_skewed",
-    "unpivot_pricing_metrics",
+    # --- changed in r7: MUST be swept this round (changed-code-first)
+    "table_merge_pruned",  # r7: OCC expect_parent + dup-key guard
+    "table_merge_upsert",  # r7: OCC expect_parent + dup-key guard
+    "table_bloom_point_lookup",  # r7: executor-written blob sidecar, bigint m
+    "mannwhitney_u_segments",  # r7: bucketed_prefix_sum mid-ranks (has green r06 row to match)
+    # --- never swept (driver takes first ~50: 4 changed + 46 of these;
+    # the rest queue in order for the round-8 rotation to retire fully)
+    "kmv_distinct_orders",  # never
+    "kmv_set_overlap",  # never
+    "doc_tfidf_top_terms",  # never
+    "doc_decontaminate",  # never
+    "emb_decontaminate",  # never
+    "doc_repetition_stats",  # never
+    "doc_rake_keyphrases",  # never
+    "doc_oov_rate",  # never
+    "nb_lang_confusion",  # never
+    "classifier_agreement_kappa",  # never
+    "multimodal_audio_zcr",  # never
+    "binaryfile_ingest",  # never
+    "udtf_split_fixed_cols",  # never
+    "udtf_table_arg_digest",  # never
+    "pyds_synthetic_rollup",  # never
+    "stream_topk_trending",  # never
+    "stream_stream_join_1h",  # never
+    "stream_static_enrich",  # never
+    "events_session_window_batch",  # never
+    "events_markov_entropy_rate",  # never
+    "events_max_drawdown_user",  # never
+    "events_rolling_median_7d",  # never
+    "events_rolling_wau",  # never
+    "events_linear_attribution",  # never
+    "events_ohlc_hourly",  # never
+    "events_scd2_history",  # never
+    "events_weekly_retention",  # never
+    "events_funnel_conversion",  # never
+    "mc_pi_estimate",  # never
+    "orders_var_cvar",  # never
+    "ab_sprt_trace",  # never
+    "ab_test_conversion",  # never
+    "anova_acctbal_segments",  # never
+    "ks_acctbal_two_sample",  # never
+    "ols_by_returnflag",  # never
+    "lineitem_corr_matrix",  # never
+    "mi_events_type_hour",  # never
+    "weighted_quantiles_quantity",  # never
+    "quantile_transform_acctbal",  # never
+    "orders_robust_means",  # never
+    "revenue_concentration_hhi",  # never
+    "revenue_gini_customers",  # never
+    "corpus_zipf_slope",  # never
+    "revenue_price_volume_bridge",  # never
+    "revenue_recognition_schedule",  # never
+    "revenue_yoy_growth",  # never
+    "customer_segment_migration",  # never
+    "customer_rfm_segments",  # never
+    "orders_interpurchase_intervals",  # never
+    "orders_shipping_busdays",  # never
+    "orders_diversified_topk",  # never
+    "orders_status_summary",  # never
+    "lineitem_fifo_allocation",  # never
+    "join_key_skew_stats",  # never
+    "duplicate_baskets",  # never
+    "graph_bfs_hops",  # never
+    "graph_kcore_sizes",  # never
+    "graph_degree_assortativity",  # never
+    "item_item_similar_parts",  # never
+    "seq2_event_patterns",  # never
+    "supplier_part_matching",  # never
+    "doc_fuzzy_clusters",  # never
+    "doc_weighted_sample",  # never
+    "doc_greedy_coverage_select",  # never
+    "doc_pack_windows",  # never
+    "hash_split_assignments",  # never
+    "domain_mixture_weights",  # never
+    "embedding_quantize_int8",  # never
+    "variant_props_typed",  # never
+    "secure_masked_view",  # never
+    "observed_metrics_shipments",  # never
+    "dq_checks_orders",  # never
+    "json_ingest_corrupt_records",  # never
+    "xml_roundtrip",  # never
+    "orc_roundtrip",  # never
+    "curation_funnel_counts",  # never
+    # --- previously-green, stalest first, as tail filler
+    "semi_join_active_customers",  # r2
+    "anti_join_inactive_customers",  # r2
+    "set_ops_segments",  # r2
+    "rollup_pricing",  # r2
+    "cube_order_priority",  # r2
+    "distinct_counts",  # r2
+    "approx_distinct_counts",  # r2
+    "topk_orders_global",  # r2
+    "scalar_string_fns",  # r2
+    "date_fns_orders",  # r2
+    "json_extract_events",  # r2
+    "orders_above_customer_avg",  # r2
+    "events_hourly_rollup",  # r2
+    "pivot_status_by_priority",  # r2
+    "null_safe_join_acctbal",  # r2
+    "map_functions_props",  # r2
+    "grouping_sets_pricing",  # r2
+    "percentile_order_values",  # r2
+    "approx_percentile_sketch",  # r2
+    "events_multi_grain_rollup",  # r2
+    "salted_join_skewed",  # r2
+    "unpivot_pricing_metrics",  # r2
+    "doc_exact_dedup",  # r2
+    "doc_dedup_survivors",  # r2
+    "doc_ngram_jaccard_pairs",  # r2
+    "doc_text_stats",  # r2
+    "doc_token_counts",  # r2
+    "doc_quality_filter",  # r2
+    "doc_lang_id_confusion",  # r2
+    "doc_fingerprint",  # r2
+    "doc_chunking",  # r2
+    "doc_pii_scrub",  # r2
+    "window_rank_topk_per_customer",  # r2
+    "window_lag_lead_orders",  # r2
+    "window_running_max_events",  # r2
+    "window_trailing_frame_events",  # r2
+    "window_ntile_quartiles",  # r2
+    "window_first_last_order",  # r2
+    "window_range_frame_value",  # r2
+    "window_percent_rank_cume_dist",  # r2
+    "knn_cosine_top5",  # r2
+    "emb_cosine_near_dup",  # r2
+    "embedding_avg_by_label",  # r2
+    "knn_cosine_ivf",  # r2
+    "asof_join_last_error",  # r3
+    "range_join_events_1h",  # r3
+    "events_gap_fill_ffill",  # r3
+    "bucketed_join_colocated",  # r3
+    "skyline_orders_2d",  # r3
+    "multimodal_metadata",  # r3
+    "classifier_stub_layers",  # r3
+    "classifier_label_canonicalization",  # r3
+    "classifier_real_model",  # r3
+    "generation_retry_stub",  # r3
+    "collate_prompt_batches",  # r3
+    "udtf_word_windows",  # r3
+    "udaf_weighted_value",  # r3
+    "reward_trajectory",  # r3
+    "reward_per_turn_scores",  # r3
+    "reward_fallback_mean",  # r3
+    "reward_config_coalesce",  # r3
+    "reward_trajectory_pandas",  # r3
+    "termination_flags",  # r3
+    "termination_first_stop",  # r3
+    "trajectory_metrics",  # r3
+    "messages_role_swap_pipeline",  # r3
+    "messages_last_by_role",  # r3
+    "sink_parquet_roundtrip",  # r3
+    "sink_json_roundtrip",  # r3
+    "csv_roundtrip",  # r3
+    "sink_partitioned_write",  # r3
+    "dialogue_prep_verl_rows",  # r3
+    "dialogue_prep_nested",  # r3
+    "overlong_prompt_filter",  # r3
+    "positional_split_70_30",  # r3
+    "grpo_group_normalize",  # r3
+    "grpo_pairwise_n2",  # r3
+    "q1_pricing_agg",  # r3
+    "q3_join3_topk",  # r3
+    "q5_region_revenue",  # r3
+    "table_snapshot_lifecycle",  # r3
+    "table_expire_compact",  # r3
+    "table_schema_evolution",  # r3
+    "stream_tumbling_hourly",  # r3
+    "stream_sliding_2h_1h",  # r3
+    "stream_session_window",  # r3
+    "stream_watermark_late_drop",  # r3
+    "stream_dedup_events",  # r3
+    "stream_dedup_bounded_state",  # r3
+    "stream_continuous_aggregate",  # r3
+    "stream_conversation_state",  # r3
+    "table_zorder_layout",  # r5
+    "multimodal_decode_features",  # r5
+    "multimodal_feature_extract",  # r5
+    "multimodal_frame_sample",  # r5
+    "generation_retry_real",  # r5
+    "doc_minhash_near_dup",  # r5
+    "doc_simhash_near_dup",  # r5
+    "doc_dedup_clusters",  # r5
+    "doc_dup_ngram_fraction",  # r5
+    "doc_span_dedup",  # r5
+    "doc_fuzzy_pairs_blocked",  # r5
+    "stats_exact_moments",  # r5
+    "stratified_sample_counts",  # r5
+    "events_anomaly_zscore",  # r5
+    "events_twap_user",  # r5
+    "parts_abc_pareto",  # r5
+    "events_pit_dimension_join",  # r5
+    "events_cohort_ltv",  # r5
+    "events_time_to_convert",  # r5
+    "doc_sample_per_lang",  # r5
+    "curation_pipeline",  # r5
+    "table_partition_evolution",  # r5
+    "table_wap_publish",  # r5
+    "stream_stream_left_join",  # r5
+    "stream_restart_recovery",  # r5
+    "events_ewma16_user",  # r5
+    "events_longest_streaks",  # r5
+    "events_cusum_drift",  # r5
+    "orders_open_peak_monthly",  # r5
+    "stream_ewma16_state",  # r5
+    "knn_cosine_lsh",  # r5
+    "semantic_prune_clusters",  # r5
+    "user_profile_similarity",  # r5
+    "doc_lm_perplexity",  # r5
+    "part_pairs_cooccurrence",  # r5
+    "events_type_transitions",  # r5
+    "pagerank_trading_graph",  # r5
+    "part_hierarchy_rollup",  # r5
+    "part_association_rules",  # r5
+    "graph_triangle_census",  # r5
+    "profile_orders_stats",  # r5
+    "benford_order_totals",  # r5
+    "ols_quantity_price",  # r5
+    "chi2_events_type_dow",  # r5
+    "welch_t_acctbal_segments",  # r5
+    "events_mad_outliers",  # r5
+    "events_survival_km",  # r5
+    "events_impute_value",  # r5
+    "events_target_encode_loo",  # r5
+    "spearman_qty_price",  # r6
+    "table_mor_deletes",  # r6
+    "table_history_audit",  # r6
+    "table_concurrent_appends",  # r6
+    "table_branch_merge",  # r6
+    "table_changelog_emit",  # r6
+    "catalog_multi_table_txn",  # r6
+    "cdc_log_compaction",  # r6
+    "table_crypto_shred",  # r6
+    "mv_incremental_refresh",  # r6
+    "table_incremental_diff",  # r6
+    "table_rollback_restore",  # r6
+    "q2_min_cost_supplier",  # r6
+    "q4_priority_exists",  # r6
+    "q6_forecast_revenue",  # r6
+    "q7_volume_shipping",  # r6
+    "q8_market_share",  # r6
+    "q9_profit_by_nation",  # r6
+    "q10_returned_revenue",  # r6
+    "q11_important_parts",  # r6
+    "q12_late_priority_counts",  # r6
+    "q13_custdist",  # r6
+    "q14_promo_revenue",  # r6
+    "q15_top_supplier",  # r6
+    "q16_supplier_part_counts",  # r6
+    "q17_small_qty_revenue",  # r6
+    "q18_large_orders",  # r6
+    "q19_disjunctive_revenue",  # r6
+    "q20_dominant_suppliers",  # r6
+    "q21_waiting_suppliers",  # r6
+    "q22_idle_rich_customers",  # r6
+    "lateral_top2_per_customer",  # r6
+    "events_sessionize_8h",  # r6
+    "daily_acf_value",  # r6
+    "seasonal_strength_scan",  # r6
+    "forecast_backtest_snaive",  # r6
+    "events_seasonal_residual_outliers",  # r6
+    "events_linear_interpolate",  # r6
+    "doc_bm25_search",  # r6
+    "doc_rrf_fusion",  # r6
+    "doc_phrase_search",  # r6
+    "doc_rerank_crossencoder",  # r6
+    "embedding_pq_codes",  # r6
+    "embedding_pca_power",  # r6
+    "user_reach_hll_rollup",  # r6
+    "token_cms_estimates",  # r6
+    "token_heavy_hitters",  # r6
 ]
 registry.promote(_SWEEP_PRIORITY)
 

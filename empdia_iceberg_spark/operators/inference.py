@@ -605,11 +605,12 @@ _MWU_Z = f"((ua - na * nb / 2.0) / sqrt({_MWU_VAR}))"
     "bounded, so the rank window never scales with customer count); "
     "mid-ranks are exact k/2 rationals summed in DECIMAL(38,1); "
     "U / z / rank-biserial effect size are identical IEEE closed forms "
-    "on both engines. One value-grain shuffle + a domain-bounded "
-    "cumulative window: scale-safe at 100 TB.",
+    "on both engines. One value-grain shuffle + a bucketed prefix sum "
+    "(`scale.bucketed_prefix_sum`, no partition-less window anywhere): "
+    "scale-safe at 100 TB.",
 )
 def mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from empdia_iceberg_spark.operators.scale import bucketed_prefix_sum
 
     cust = load(spark, sf_dir, "customer")
     pool = cust.filter(
@@ -623,14 +624,16 @@ def mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("t"),
     )
     # cumulative count of strictly-smaller observations per distinct
-    # value: the window input is the domain-bounded value-grain table
-    # (≤ |value domain| rows regardless of corpus size), so the single
-    # global ordering is cheap by construction.
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ranked = vals.select(
+    # value, via the bucketed prefix sum (quantile buckets of v, one
+    # (bucket, sum) driver row each — the spearman_qty_price pattern):
+    # no single-partition ORDER BY window even if the value grain grows.
+    # The bigint tie counts sum exactly in any order, so the result is
+    # partitioning-independent.
+    cum = bucketed_prefix_sum(vals, "v", "t", out_col="_cum")
+    ranked = cum.select(
         "ta",
         "t",
-        (F.sum("t").over(w) - F.col("t")).alias("below"),
+        (F.col("_cum") - F.col("t")).alias("below"),
         (
             F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
             - F.col("t")

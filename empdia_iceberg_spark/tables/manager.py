@@ -229,15 +229,22 @@ class SnapshotTable:
         meta = self._read_meta(cur)
         spec = meta.get("spec", [])
         d = self._write_data(df, spec)
-        return self._commit(
-            "append",
-            meta["dirs"] + [d],
-            cur,
-            df.schema.json(),
-            spec=spec,
-            dir_specs=self._dir_specs(meta) + [spec],
-            delete_dirs=meta.get("delete_dirs", []),
-        )
+        try:
+            return self._commit(
+                "append",
+                meta["dirs"] + [d],
+                cur,
+                df.schema.json(),
+                spec=spec,
+                dir_specs=self._dir_specs(meta) + [spec],
+                delete_dirs=meta.get("delete_dirs", []),
+            )
+        except CommitConflictError:
+            # lost the publish race: the new dir is in no snapshot, so
+            # expire/GC would never reclaim it — clean up before
+            # surfacing the conflict (mirrors append_checked)
+            shutil.rmtree(d, ignore_errors=True)
+            raise
 
     def append_checked(self, df: DataFrame, max_retries: int = 3) -> int:
         """Append with optimistic-concurrency conflict detection: the
@@ -388,7 +395,9 @@ class SnapshotTable:
             for d in dirs
         }
 
-    def merge(self, source: DataFrame, key: str) -> tuple[int, dict]:
+    def merge(
+        self, source: DataFrame, key: str, max_retries: int = 3
+    ) -> tuple[int, dict]:
         """File-pruned copy-on-write MERGE (Iceberg MERGE INTO semantics
         for the update+insert case): matched target rows are replaced by
         the source row, unmatched source rows are inserted.
@@ -408,20 +417,44 @@ class SnapshotTable:
         are force-rewritten (deletes fold in), so carried-forward delete
         files never apply to a rewritten dir.
 
+        Duplicate non-NULL source keys are REJECTED (ValueError): two
+        source rows with the same key would leave duplicate keys in the
+        table after the anti-join — real Iceberg/Spark ``MERGE INTO``
+        raises on multiple source matches per target row, and we extend
+        that to the insert case for a clean primary-key guarantee.
+        NULL-key source rows match no target row and insert freely
+        (duplicates among them are legal).
+
+        Commits are optimistic-concurrency checked (Iceberg commit
+        loop): the merge declares the parent snapshot it read; if a
+        concurrent writer advanced the table between read and publish,
+        the stale merge is rebuilt against the fresh head (up to
+        ``max_retries`` times) instead of silently dropping the other
+        writer's files.
+
         Returns (version, audit) where audit = {"dirs_rewritten": n,
         "dirs_reused": m}."""
-        cur = self.current_version()
-        if cur is None:
-            raise ValueError(f"table {self.name}: cannot MERGE before create")
-        meta = self._read_meta(cur)
-        deletes = meta.get("delete_dirs", [])
-        spec = meta.get("spec", [])
         # merge makes three passes over the source (bounds aggregate,
         # membership join, final write) — cache it so an expensive source
         # pipeline computes once
         source = source.persist()
         try:
-            return self._merge_impl(source, key, cur, meta, deletes, spec)
+            for _ in range(max_retries + 1):
+                cur = self.current_version()
+                if cur is None:
+                    raise ValueError(
+                        f"table {self.name}: cannot MERGE before create"
+                    )
+                meta = self._read_meta(cur)
+                deletes = meta.get("delete_dirs", [])
+                spec = meta.get("spec", [])
+                try:
+                    return self._merge_impl(source, key, cur, meta, deletes, spec)
+                except CommitConflictError:
+                    continue  # re-read the head and rebuild the merge
+            raise CommitConflictError(
+                f"table {self.name}: merge gave up after {max_retries} retries"
+            )
         finally:
             source.unpersist()
 
@@ -435,9 +468,23 @@ class SnapshotTable:
         spec: list,
     ) -> tuple[int, dict]:
         env_row = source.agg(
-            F.count(F.lit(1)).alias("n"), F.min(key).alias("lo"), F.max(key).alias("hi")
+            F.count(F.lit(1)).alias("n"),
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            # dup-key guard rides the same aggregate job: non-NULL key
+            # count vs distinct non-NULL key count
+            F.count(key).alias("nk"),
+            F.countDistinct(key).alias("ndk"),
         ).first()
         n_src, lo, hi = env_row["n"], env_row["lo"], env_row["hi"]
+        if env_row["nk"] != env_row["ndk"]:
+            raise ValueError(
+                f"table {self.name}: MERGE source contains duplicate values "
+                f"of key '{key}' ({env_row['nk']} non-NULL keys, "
+                f"{env_row['ndk']} distinct) — Iceberg MERGE INTO semantics "
+                "forbid multiple source rows per key; de-duplicate the "
+                "source first"
+            )
         if n_src == 0:
             # Empty source: MERGE is a true no-op. Committing anyway would
             # be worse than useless — the commit below does not carry
@@ -458,10 +505,18 @@ class SnapshotTable:
         # All missing dir envelopes compute in ONE job up front.
         # NULL bounds (all source keys NULL) match no target row — the
         # source is pure NOT-MATCHED inserts, same as any NULL-key source
-        # row. NaN bounds (float keys) poison ordered comparisons in BOTH
-        # the coarse test and the membership join, so a NaN source bound
-        # just disables the coarse filter, and a dir whose own bounds
-        # contain NaN is conservatively rewritten.
+        # row. NaN bounds (float keys): the coarse test below runs in
+        # PYTHON, where IEEE NaN comparisons are all false, so a NaN
+        # source bound would silently rule out every dir — we null it
+        # out instead (coarse filter disabled, exact pass decides). The
+        # membership join runs in SPARK SQL, whose semantics differ from
+        # IEEE: NaN sorts GREATER than every value and NaN = NaN is TRUE.
+        # Under that ordering a NaN source key satisfies `NaN >= _lo` but
+        # never `NaN <= _hi` for non-NaN _hi, so it can only hit a dir
+        # whose _hi is itself NaN — and exactly those dirs are force-
+        # rewritten (must_touch) below, which is what makes NaN-key
+        # matches correct. Do NOT "simplify" the must_touch path away:
+        # without it, NaN target keys would be unreachable by the join.
         envs = self._ensure_key_envelopes(meta["dirs"], key)
         lo_c = None if lo is None or _isnan(lo) else lo
         hi_c = None if hi is None or _isnan(hi) else hi
@@ -535,14 +590,27 @@ class SnapshotTable:
         # must describe THEIR schema (the table's), not the source's —
         # a narrower source would otherwise mislabel the carried files.
         schema_json = meta["schema"] if untouched else merged.schema.json()
-        version = self._commit(
-            "merge",
-            untouched + [d_new],
-            cur,
-            schema_json,
-            spec=spec,
-            dir_specs=untouched_specs + [spec],
-        )
+        try:
+            version = self._commit(
+                "merge",
+                untouched + [d_new],
+                cur,
+                schema_json,
+                spec=spec,
+                dir_specs=untouched_specs + [spec],
+                # OCC (Iceberg commit semantics): this merge carried
+                # `untouched` by reference from snapshot `cur`; if the
+                # table moved on between our _read_meta and this publish,
+                # committing would silently drop the concurrent writer's
+                # files. expect_parent makes the stale-base check raise;
+                # merge()'s retry loop rebuilds against the fresh head.
+                expect_parent=cur,
+            )
+        except CommitConflictError:
+            # the freshly written dir belongs to no snapshot — reclaim it
+            # now, or expire/GC never would
+            shutil.rmtree(d_new, ignore_errors=True)
+            raise
         return version, {
             "dirs_rewritten": len(touched),
             "dirs_reused": len(untouched),
@@ -1814,7 +1882,7 @@ def _bloom_positions_col(key: str, bits) -> list:
                 10,
             ).cast("bigint")
             % bits
-        ).cast("int")
+        ).cast("bigint")  # int32 would overflow past ~2^31 bits/dir
         for h in range(BLOOM_HASHES)
     ]
 
@@ -1834,18 +1902,33 @@ class BloomIndex:
         self.path = os.path.join(table.meta_dir, f"bloom_{key}.json")
 
     def build(self) -> int:
-        """Build every dir's bitset in ONE distributed job: tag each
+        """Build every dir's bitset in ONE distributed job and write the
+        packed blobs FROM THE EXECUTORS (Iceberg puffin shape): tag each
         dir's keys, size each bitset from a per-dir count (one row per
-        dir), then dedupe the set-bit positions per dir EXECUTOR-side
-        (collect_set partially aggregates map-side). The driver receives
-        exactly one row per dir — the finished bit list it writes to the
-        sidecar — never a key-proportional intermediate; this is the
-        puffin-blob shape (per-file bitsets serialized from the
-        executors), not a per-dir driver loop."""
+        dir), dedupe the set-bit positions per dir executor-side
+        (collect_set partially aggregates map-side), then a
+        foreachPartition packs each dir's bitmap and writes
+        `<meta>/bloom_<key>_v<N>/<dir>.bloom` directly from the task.
+        Driver traffic is strictly O(|dirs|): the sizing counts row-set
+        plus the path sidecar JSON — never a set-bit list. The blob dir
+        lives beside the table metadata, i.e. on the same shared
+        storage (HDFS/S3 in production) the data dirs use, so executor
+        writes land where every reader can see them."""
         from functools import reduce
 
         meta = self.table._read_meta(self.table.current_version())
         dirs = meta["dirs"]
+        blob_root = os.path.join(
+            self.table.meta_dir, f"bloom_{self.key}_v{meta['version']:05d}"
+        )
+        # superseded blob sets from earlier builds of this key are dead
+        # weight (the sidecar below points only at blob_root) — reclaim
+        prefix = f"bloom_{self.key}_v"
+        for old in os.listdir(self.table.meta_dir):
+            full = os.path.join(self.table.meta_dir, old)
+            if old.startswith(prefix) and full != blob_root and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+        os.makedirs(blob_root, exist_ok=True)
         index: dict[str, dict] = {}
         if dirs:
             tagged = reduce(
@@ -1868,39 +1951,61 @@ class BloomIndex:
                 # per-dir bitset size joins in as a broadcast (dir, m)
                 # table — a create_map literal would put 2·|dirs| literals
                 # in the plan and scan them per row (O(rows·dirs) at the
-                # 10k-file scale this build targets)
+                # 10k-file scale this build targets). bigint: a >179M-key
+                # dir sizes past int32.
                 m_df = self.table.spark.createDataFrame(
-                    [(d, ms[d]) for d in dirs], "_dir string, _m int"
+                    [(d, ms[d]) for d in dirs], "_dir string, _m bigint"
                 )
-                rows = (
+                agg = (
                     tagged.join(F.broadcast(m_df), "_dir")
                     .select(
                         "_dir",
+                        "_m",
                         F.explode(
                             F.array(*_bloom_positions_col("_k", F.col("_m")))
                         ).alias("b"),
                     )
                     .groupBy("_dir")
-                    .agg(F.sort_array(F.collect_set("b")).alias("bits"))
-                    .collect()
+                    .agg(
+                        F.first("_m").alias("_m"),
+                        F.sort_array(F.collect_set("b")).alias("bits"),
+                    )
                 )
+                root = blob_root  # plain-string closure for the executor fn
+
+                def _write_blobs(rows):
+                    # runs ON EXECUTORS: pack m/8 bytes per dir, write
+                    # atomically (tmp + replace) so task retries are
+                    # idempotent — the last replace wins, byte-identical
+                    import os as _os
+                    import uuid as _uuid
+
+                    for r in rows:
+                        m = int(r["_m"])
+                        buf = bytearray(m // 8)
+                        for b in r["bits"]:
+                            buf[b >> 3] |= 1 << (b & 7)
+                        name = _os.path.basename(r["_dir"]) + ".bloom"
+                        tmp = _os.path.join(
+                            root, f".{name}.{_uuid.uuid4().hex[:8]}.tmp"
+                        )
+                        with open(tmp, "wb") as f:
+                            f.write(bytes(buf))
+                        _os.replace(tmp, _os.path.join(root, name))
+
+                agg.foreachPartition(_write_blobs)
             finally:
                 tagged.unpersist()
-            def _pack(m: int, bits) -> str:
-                # packed bitmap, not a position list: m/8 bytes per dir
-                # (vs ~6 JSON chars per set bit) — the serialized-blob
-                # shape real formats persist (Iceberg puffin)
-                buf = bytearray(m // 8)
-                for b in bits:
-                    buf[b >> 3] |= 1 << (b & 7)
-                return bytes(buf).hex()
-
-            index = {
-                r["_dir"]: {"m": ms[r["_dir"]], "bitmap": _pack(ms[r["_dir"]], r["bits"])}
-                for r in rows
-            }
-            for d in dirs:  # rowless dir → empty bitset (matches nothing)
-                index.setdefault(d, {"m": ms[d], "bitmap": _pack(ms[d], [])})
+            for d in dirs:
+                name = os.path.basename(d) + ".bloom"
+                blob = os.path.join(blob_root, name)
+                if not os.path.exists(blob):  # rowless dir → empty bitset
+                    with open(blob, "wb") as f:
+                        f.write(bytes(ms[d] // 8))
+                index[d] = {
+                    "m": ms[d],
+                    "blob": os.path.join(os.path.basename(blob_root), name),
+                }
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"key": self.key, "version": meta["version"], "dirs": index}, f)
@@ -1933,7 +2038,11 @@ class BloomIndex:
                 "rebuild with BloomIndex.build()"
             )
         def _contains(entry: dict, probe: list[int]) -> bool:
-            if "bitmap" in entry:
+            if "blob" in entry:  # executor-written packed blob (r7+)
+                with open(os.path.join(self.table.meta_dir, entry["blob"]), "rb") as f:
+                    buf = f.read()
+                return all(buf[b >> 3] & (1 << (b & 7)) for b in probe)
+            if "bitmap" in entry:  # inline hex bitmap (r6)
                 buf = bytes.fromhex(entry["bitmap"])
                 return all(buf[b >> 3] & (1 << (b & 7)) for b in probe)
             return set(probe) <= set(entry["bits"])  # legacy position list

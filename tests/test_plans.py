@@ -48,12 +48,13 @@ def test_q10_broadcasts_nation(spark):
 def test_no_single_partition_global_window(spark):
     """The scale-killer plans of round 1 must stay gone: neither the
     ntile query, the positional split, nor the Spearman mid-ranks
-    (bucketed prefix-sum since r6) may contain an empty-key global
-    window."""
+    (bucketed prefix-sum since r6), nor the Mann-Whitney mid-ranks
+    (bucketed since r7) may contain an empty-key global window."""
     for name in (
         "window_ntile_quartiles",
         "positional_split_70_30",
         "spearman_qty_price",
+        "mannwhitney_u_segments",
     ):
         plan = _plan(spark, name)
         assert "Window [" not in plan or "windowspecdefinition()" not in plan, name

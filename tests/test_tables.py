@@ -500,3 +500,150 @@ def test_bloom_index_skips_files(spark):
     exact = t.read().filter(F.col("o_orderkey") == probe).collect()
     via_index = idx.read_point(probe).collect()
     assert sorted(map(tuple, exact)) == sorted(map(tuple, via_index))
+
+
+def test_merge_rejects_duplicate_source_keys(spark):
+    """VERDICT r6 #5: two source rows with the same non-NULL key would
+    both insert after the anti-join, leaving duplicate keys in the
+    table — Iceberg MERGE INTO raises on multiple source matches, and
+    merge() extends that to a clean primary-key guarantee. NULL-key
+    duplicates stay legal (they match nothing; each inserts)."""
+    t = SnapshotTable(spark, "t_merge_dupkey_unit")
+    t.drop()
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    v_before = t.current_version()
+
+    dup = spark.createDataFrame(
+        [(2, "upd1"), (2, "upd2"), (9, "ins")], "k int, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(dup, key="k")
+    # the rejected merge must not have committed or left orphan dirs
+    assert t.current_version() == v_before
+    referenced = {d for s in t.snapshots() for d in s["dirs"]}
+    import os as _os
+
+    on_disk = {
+        _os.path.join(t.data_dir, d) for d in _os.listdir(t.data_dir)
+    }
+    assert on_disk <= referenced, on_disk - referenced
+
+    # NULL-key duplicates are pure inserts and pass the guard
+    nulls = spark.createDataFrame(
+        [(None, "n1"), (None, "n2"), (2, "UPD")], "k int, v string"
+    )
+    t.merge(nulls, key="k")
+    out = {(r.k, r.v) for r in t.read().collect()}
+    assert out == {(1, "a"), (2, "UPD"), (None, "n1"), (None, "n2")}
+    t.drop()
+
+
+def test_merge_detects_concurrent_writer_and_retries(spark, monkeypatch):
+    """ADVICE r6 (medium): a writer that commits between merge's
+    _read_meta and its publish must NOT be silently dropped. The merge
+    commit declares expect_parent; the stale-base check raises
+    CommitConflictError; merge()'s retry loop rebuilds against the
+    fresh head. The conflicted attempt's data dir is reclaimed."""
+    import os as _os
+
+    from empdia_iceberg_spark.tables.manager import SnapshotTable as ST
+
+    t = SnapshotTable(spark, "t_merge_occ_unit")
+    t.drop()
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+
+    real_write = ST._write_data
+    state = {"armed": True}
+
+    def inject_write(self, df, spec=None):
+        if state["armed"] and self.name == "t_merge_occ_unit":
+            state["armed"] = False
+            # concurrent append lands in merge's read-to-commit window
+            # (its own _write_data passes through: armed is now False)
+            t.append(
+                df.sparkSession.createDataFrame([(99, "zz")], "k int, v string")
+            )
+        return real_write(self, df, spec)
+
+    monkeypatch.setattr(ST, "_write_data", inject_write)
+    _, audit = t.merge(
+        spark.createDataFrame([(2, "UPD"), (7, "ins")], "k int, v string"),
+        key="k",
+    )
+    monkeypatch.undo()
+
+    out = {(r.k, r.v) for r in t.read().collect()}
+    # the concurrent append's row SURVIVES the merge — no lost update
+    assert out == {(1, "a"), (2, "UPD"), (7, "ins"), (99, "zz")}
+    # the conflicted first attempt's dir was rmtree'd: everything on
+    # disk is referenced by some snapshot
+    referenced = {d for s in t.snapshots() for d in s["dirs"]}
+    on_disk = {_os.path.join(t.data_dir, d) for d in _os.listdir(t.data_dir)}
+    assert on_disk <= referenced, on_disk - referenced
+    t.drop()
+
+
+def test_append_race_cleans_orphan_dir(spark, nation, monkeypatch):
+    """ADVICE r6 (low): when plain append() loses the publish race and
+    surfaces CommitConflictError, its freshly written data dir must be
+    rmtree'd — an orphan belongs to no snapshot, so expire/GC would
+    never reclaim it."""
+    import os as _os
+
+    import empdia_iceberg_spark.tables.manager as mgr
+    from empdia_iceberg_spark.tables.manager import CommitConflictError
+
+    t = SnapshotTable(spark, "t_append_orphan_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 5))
+
+    real_link = _os.link
+    fail_next = {"n": 1}
+
+    def flaky_link(src, dst, **kw):
+        if fail_next["n"] > 0:
+            fail_next["n"] -= 1
+            raise FileExistsError(dst)
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(mgr.os, "link", flaky_link)
+    with pytest.raises(CommitConflictError):
+        t.append(nation.filter(F.col("n_nationkey") >= 5))
+    monkeypatch.undo()
+
+    referenced = {d for s in t.snapshots() for d in s["dirs"]}
+    on_disk = {_os.path.join(t.data_dir, d) for d in _os.listdir(t.data_dir)}
+    assert on_disk <= referenced, on_disk - referenced
+    t.drop()
+
+
+def test_bloom_blobs_written_outside_sidecar(spark):
+    """VERDICT r6 #6: the bloom sidecar JSON must hold only paths + m
+    (O(|dirs|) driver traffic); the packed bitmaps live as per-dir
+    blob files written from executors. Legacy inline-bitmap and
+    position-list entries must still probe correctly."""
+    import json as _json
+    import os as _os
+
+    from empdia_iceberg_spark import registry
+    from empdia_iceberg_spark.tables.manager import BloomIndex, SnapshotTable
+
+    registry.queries()["table_bloom_point_lookup"](spark, SF_DIR).collect()
+    t = SnapshotTable(spark, "orders_bloom")
+    idx = BloomIndex(t, "o_orderkey")
+    with open(idx.path) as f:
+        sidecar = _json.load(f)
+    for d, entry in sidecar["dirs"].items():
+        assert set(entry) == {"m", "blob"}, entry  # no inline bit payload
+        blob = _os.path.join(t.meta_dir, entry["blob"])
+        assert _os.path.getsize(blob) == entry["m"] // 8
+
+    # legacy formats keep working through lookup_dirs
+    some_dir, entry = next(iter(sidecar["dirs"].items()))
+    with open(_os.path.join(t.meta_dir, entry["blob"]), "rb") as f:
+        raw = f.read()
+    sidecar["dirs"][some_dir] = {"m": entry["m"], "bitmap": raw.hex()}
+    with open(idx.path, "w") as f:
+        _json.dump(sidecar, f)
+    dirs, total = idx.lookup_dirs(1)  # must not raise on the legacy entry
+    assert total == len(sidecar["dirs"])
