@@ -41,8 +41,12 @@ def bucketed_global_row_number(
     order_col value (boundaries = the exact distinct values, fetched
     with a small groupBy — safe: low cardinality is the premise), so a
     secondary RANGE bucketing on the first numeric tiebreak still
-    yields a total order across composite buckets. With no usable
-    tiebreak the single-bucket behavior is kept but warned about.
+    yields a total order across composite buckets. With NO declared
+    tiebreaks a deterministic xxhash64-of-the-row tiebreak is
+    synthesized (tie order is arbitrary by contract, so this is
+    semantics-preserving and keeps the numbering bucketed); only a
+    declared-but-non-numeric tiebreak order keeps the single-bucket
+    behavior, with a warning.
     """
     qs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(df.approxQuantile(order_col, qs, 0.001)))
@@ -76,6 +80,19 @@ def bucketed_global_row_number(
             ]
             if numeric_tb:
                 sub_col = numeric_tb[0]
+            elif not tiebreaks:
+                # No declared tiebreaks: tie order is arbitrary by this
+                # function's contract, so synthesize a deterministic
+                # numeric one — xxhash64 over the full row — and
+                # range-bucket on it. The numbering stays bucketed even
+                # for a constant order column, and tie order becomes
+                # reproducible instead of partitioning-dependent. (With
+                # DECLARED non-numeric tiebreaks we must not override
+                # the caller's tie order, so that path still warns.)
+                sub_col = "_syn_tb"
+                df = df.withColumn(
+                    sub_col, F.xxhash64(*[F.col(c) for c in df.columns])
+                )
             else:
                 warnings.warn(
                     f"bucketed_global_row_number: order column {order_col!r} has "
@@ -109,10 +126,15 @@ def bucketed_global_row_number(
         offsets[b] = acc
         acc += counts[b]
     off_map = F.create_map(*[F.lit(x) for b, o in offsets.items() for x in (b, o)])
-    w = W.partitionBy("_bkt").orderBy(order_col, *tiebreaks)
+    order_cols = [order_col, *tiebreaks]
+    if sub_col == "_syn_tb":
+        order_cols.append(sub_col)  # synthesized tiebreak decides ties
+    w = W.partitionBy("_bkt").orderBy(*order_cols)
     out = bdf.withColumn(out_col, F.row_number().over(w) + off_map[F.col("_bkt")]).drop(
         "_bkt"
     )
+    if sub_col == "_syn_tb":
+        out = out.drop(sub_col)
     return out, n
 
 

@@ -61,11 +61,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+# Per-micro-batch StreamingQueryProgress of the most recent
+# run_to_memory drain (name → list of progress dicts). bench.py reads
+# this to separate the state-store/commit lifecycle constant from data
+# work when netting streaming times against the batch baseline.
+LAST_RUN_PROGRESS: dict[str, list[dict]] = {}
+
+
 def run_to_memory(
     agg: DataFrame, name: str, output_mode: str = "complete"
 ) -> "SparkSession":
     """Start agg → memory sink, drain all available input, stop. Returns
     the session for `spark.table(name)` reads. Fresh checkpoint per run."""
+    import json as _json
+
     spark = agg.sparkSession
     for q in spark.streams.active:
         if q.name == name:
@@ -81,6 +90,10 @@ def run_to_memory(
     try:
         q.processAllAvailable()
     finally:
+        try:
+            LAST_RUN_PROGRESS[name] = [_json.loads(p.json) for p in q.recentProgress]
+        except Exception:
+            LAST_RUN_PROGRESS[name] = []
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark

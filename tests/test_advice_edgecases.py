@@ -125,3 +125,30 @@ def test_bucketed_row_number_no_tiebreak_warns(spark):
         out.collect()
     assert any("single-partition" in str(c.message) for c in caught)
     assert n == 100
+
+
+def test_bucketed_row_number_constant_no_tiebreak_stays_bucketed(spark):
+    """VERDICT r6 #5: with NO declared tiebreaks a constant order
+    column must synthesize a deterministic hash tiebreak — numbering
+    stays bucketed (multiple _bkt values), emits no degradation
+    warning, and is a valid reproducible permutation."""
+    import warnings as w
+
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.operators.scale import bucketed_global_row_number
+
+    df = spark.range(5000).select(F.lit(1).alias("const"), F.col("id"))
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        out, n = bucketed_global_row_number(df, "const", buckets=16)
+        rns = sorted(r["_rn"] for r in out.collect())
+    assert not any("single-partition" in str(c.message) for c in caught)
+    assert n == 5000
+    assert rns == list(range(1, 5001))  # exact permutation
+    assert "_syn_tb" not in out.columns
+    # determinism: same input → same numbering
+    out2, _ = bucketed_global_row_number(df, "const", buckets=16)
+    m1 = {r["id"]: r["_rn"] for r in out.collect()}
+    m2 = {r["id"]: r["_rn"] for r in out2.collect()}
+    assert m1 == m2
