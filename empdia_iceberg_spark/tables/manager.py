@@ -467,23 +467,29 @@ class SnapshotTable:
         deletes: list,
         spec: list,
     ) -> tuple[int, dict]:
-        env_row = source.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(key).alias("lo"),
-            F.max(key).alias("hi"),
-            # dup-key guard rides the same aggregate job: non-NULL key
-            # count vs distinct non-NULL key count
-            F.count(key).alias("nk"),
-            F.countDistinct(key).alias("ndk"),
+        # Envelope + dup-key guard in ONE pass: a per-key partial
+        # aggregate (map-side combine, one key shuffle, no Expand — the
+        # two-phase plan countDistinct would need) yields row count,
+        # key bounds, and the max per-key multiplicity together. The
+        # NULL-key group is excluded from the dup test: NULL keys match
+        # no target row, so duplicates among them are legal inserts.
+        per_key = source.groupBy(F.col(key).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        env_row = per_key.agg(
+            F.sum("_c").alias("n"),
+            F.min("_k").alias("lo"),
+            F.max("_k").alias("hi"),
+            F.max(F.when(F.col("_k").isNotNull(), F.col("_c"))).alias("max_mult"),
         ).first()
         n_src, lo, hi = env_row["n"], env_row["lo"], env_row["hi"]
-        if env_row["nk"] != env_row["ndk"]:
+        n_src = int(n_src) if n_src is not None else 0
+        if env_row["max_mult"] is not None and env_row["max_mult"] > 1:
             raise ValueError(
                 f"table {self.name}: MERGE source contains duplicate values "
-                f"of key '{key}' ({env_row['nk']} non-NULL keys, "
-                f"{env_row['ndk']} distinct) — Iceberg MERGE INTO semantics "
-                "forbid multiple source rows per key; de-duplicate the "
-                "source first"
+                f"of key '{key}' (a key occurs {env_row['max_mult']} times) — "
+                "Iceberg MERGE INTO semantics forbid multiple source rows "
+                "per key; de-duplicate the source first"
             )
         if n_src == 0:
             # Empty source: MERGE is a true no-op. Committing anyway would

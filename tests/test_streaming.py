@@ -119,3 +119,20 @@ def test_tws_twin_when_protobuf_available(spark):
         tuple(r) for r in stream_conversation_state(spark, SF_DIR).collect()
     }
     assert rows_tws == rows_aip
+
+
+def test_run_to_memory_captures_progress(spark):
+    """bench.py's streaming netting reads per-micro-batch
+    StreamingQueryProgress from LAST_RUN_PROGRESS — the capture must
+    survive the query stop and carry the duration fields the
+    breakdown uses."""
+    from empdia_iceberg_spark import registry
+    from empdia_iceberg_spark.streaming import windows as sw
+    from tests.conftest import SF_DIR
+
+    registry.queries()["stream_tumbling_hourly"](spark, SF_DIR).limit(1).collect()
+    prog = sw.LAST_RUN_PROGRESS.get("t_tumbling")
+    assert prog, "no progress captured"
+    assert all("durationMs" in p and "numInputRows" in p for p in prog)
+    assert any(p["numInputRows"] > 0 for p in prog)  # the data batch
+    assert all("triggerExecution" in p["durationMs"] for p in prog)
