@@ -1920,8 +1920,6 @@ class BloomIndex:
         lives beside the table metadata, i.e. on the same shared
         storage (HDFS/S3 in production) the data dirs use, so executor
         writes land where every reader can see them."""
-        from functools import reduce
-
         meta = self.table._read_meta(self.table.current_version())
         dirs = meta["dirs"]
         blob_root = os.path.join(
@@ -1937,18 +1935,22 @@ class BloomIndex:
         os.makedirs(blob_root, exist_ok=True)
         index: dict[str, dict] = {}
         if dirs:
-            tagged = reduce(
-                DataFrame.unionByName,
-                [
-                    self.table._read_dirs([d]).select(
-                        F.lit(d).alias("_dir"), F.col(self.key).alias("_k")
-                    )
-                    for d in dirs
-                ],
+            import re as _re
+
+            # ONE scan over every data dir with the owning dir recovered
+            # from input_file_name() — NOT a |dirs|-way unionByName,
+            # whose plan has one scan branch per dir and stops compiling
+            # long before the 10k-file design point. Dir basenames are
+            # unique by construction (uuid-suffixed in _write_data).
+            base_of = {os.path.basename(d): d for d in dirs}
+            dir_pat = _re.escape(self.table.data_dir.rstrip("/")) + "/([^/]+)/"
+            tagged = self.table._read_dirs(dirs, merge_schema=True).select(
+                F.regexp_extract(F.input_file_name(), dir_pat, 1).alias("_dir"),
+                F.col(self.key).alias("_k"),
             ).persist()  # sizing pass + bit pass share one scan
             try:
                 counts = {
-                    r["_dir"]: r["n"]
+                    base_of[r["_dir"]]: r["n"]
                     for r in tagged.groupBy("_dir")
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
@@ -1960,7 +1962,8 @@ class BloomIndex:
                 # 10k-file scale this build targets). bigint: a >179M-key
                 # dir sizes past int32.
                 m_df = self.table.spark.createDataFrame(
-                    [(d, ms[d]) for d in dirs], "_dir string, _m bigint"
+                    [(os.path.basename(d), ms[d]) for d in dirs],
+                    "_dir string, _m bigint",
                 )
                 agg = (
                     tagged.join(F.broadcast(m_df), "_dir")
