@@ -343,13 +343,17 @@ class SnapshotTable:
         immutable, so envelopes are computed once and cached in a
         metadata sidecar (bounds round-trip through a type-tagged codec
         so date/decimal keys reload as native comparable values). All
-        missing dirs are computed in ONE tagged-union Spark job (a
-        per-dir job loop would mean 10k scheduler round-trips on a
-        10k-file table); the driver receives one (dir, lo, hi) row per
-        dir. Per dir the value is ("empty",) when rowless and None when
-        the column is absent (caller must treat None as must-rewrite)."""
-        from functools import reduce
-
+        missing dirs are computed in ONE scan with the owning dir
+        recovered from input_file_name() — neither a per-dir job loop
+        (10k scheduler round-trips on a 10k-file table) nor a |dirs|-way
+        unionByName (a plan with one scan branch per dir that stops
+        compiling at that size); the driver receives one (dir, lo, hi)
+        row per dir. Per dir the value is ("empty",) when the dir has no
+        non-NULL key — rowless, all keys NULL, or written before the key
+        column existed (additive evolution): NULL keys equal no source
+        key, so such dirs can always be carried by reference. None (the
+        conservative must-rewrite marker) remains only for the case
+        where the key column exists in NO missing dir at all."""
         cache_path = os.path.join(self.meta_dir, f"envelopes_{key}.json")
         cache: dict = {}
         if os.path.exists(cache_path):
@@ -357,31 +361,37 @@ class SnapshotTable:
                 cache = json.load(f)
         missing = [d for d in dirs if d not in cache]
         if missing:
-            parts = []
-            for d in missing:
-                df = self._read_dirs([d])
-                if key not in df.columns:
+            import re as _re
+
+            base_of = {os.path.basename(d): d for d in missing}
+            dir_pat = _re.escape(self.data_dir.rstrip("/")) + "/([^/]+)/"
+            df = self._read_dirs(missing, merge_schema=True)
+            if key not in df.columns:
+                for d in missing:
                     cache[d] = None
-                else:
-                    parts.append(
-                        df.select(F.lit(d).alias("_dir"), F.col(key).alias("_k"))
-                    )
-            if parts:
+            else:
                 got = {
-                    r["_dir"]: (r["lo"], r["hi"])
-                    for r in reduce(DataFrame.unionByName, parts)
+                    base_of[r["_dir"]]: (r["nk"], r["lo"], r["hi"])
+                    for r in df.select(
+                        F.regexp_extract(
+                            F.input_file_name(), dir_pat, 1
+                        ).alias("_dir"),
+                        F.col(key).alias("_k"),
+                    )
                     .groupBy("_dir")
-                    .agg(F.min("_k").alias("lo"), F.max("_k").alias("hi"))
+                    .agg(
+                        F.count("_k").alias("nk"),
+                        F.min("_k").alias("lo"),
+                        F.max("_k").alias("hi"),
+                    )
                     .collect()
                 }
                 for d in missing:
-                    if d in cache:
-                        continue  # column-absent case recorded above
-                    env = got.get(d)
-                    if env is None or env[0] is None:
-                        cache[d] = ["empty"]  # rowless dir
+                    nk, lo, hi = got.get(d, (0, None, None))
+                    if nk == 0:
+                        cache[d] = ["empty"]  # no non-NULL key in the dir
                     else:
-                        cache[d] = [self._env_encode(env[0]), self._env_encode(env[1])]
+                        cache[d] = [self._env_encode(lo), self._env_encode(hi)]
             tmp = cache_path + f".{os.getpid()}.tmp"
             with open(tmp, "w") as f:
                 json.dump(cache, f)
@@ -536,7 +546,9 @@ class SnapshotTable:
             if has_deletes or env is None:
                 must_touch.add(d)  # deletes fold in / conservative rewrite
             elif env == ("empty",):
-                pass  # rowless dir matches nothing
+                # no non-NULL key in the dir (rowless / all-NULL keys /
+                # written before the key column existed): matches nothing
+                pass
             elif _isnan(env[0]) or _isnan(env[1]):
                 must_touch.add(d)  # NaN dir bounds break the membership join
             elif lo is None:

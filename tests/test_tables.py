@@ -647,3 +647,25 @@ def test_bloom_blobs_written_outside_sidecar(spark):
         _json.dump(sidecar, f)
     dirs, total = idx.lookup_dirs(1)  # must not raise on the legacy entry
     assert total == len(sidecar["dirs"])
+
+
+def test_merge_carries_dirs_predating_key_column(spark):
+    """Schema-evolution interplay with pruned MERGE: a dir written
+    before the merge key column existed surfaces NULL keys under the
+    mergeSchema read, so it can never match a source key — it must be
+    carried by reference (["empty"] envelope), not force-rewritten."""
+    t = SnapshotTable(spark, "t_merge_prekey_unit")
+    t.drop()
+    t.create(spark.createDataFrame([("a",), ("b",)], "v string"))  # pre-key dir
+    t.append(
+        spark.createDataFrame([(1, "c"), (2, "d")], "k int, v string")
+    )  # evolved dir
+    src = spark.createDataFrame([(2, "D2"), (9, "ins")], "k int, v string")
+    _, audit = t.merge(src, key="k")
+    assert audit["dirs_reused"] >= 1, audit  # the pre-key dir survived untouched
+    out = t.read(merge_schema=True)
+    rows = {(r["k"], r["v"]) for r in out.collect()}
+    assert (None, "a") in rows and (None, "b") in rows  # old rows intact
+    assert (2, "D2") in rows and (9, "ins") in rows and (1, "c") in rows
+    assert (2, "d") not in rows  # updated, not duplicated
+    t.drop()
