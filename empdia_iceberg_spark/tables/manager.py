@@ -277,21 +277,34 @@ class SnapshotTable:
             f"table {self.name}: gave up after {max_retries} retries"
         )
 
-    def evolve_partitioning(self, partition_by: list[str]) -> int:
+    def evolve_partitioning(self, partition_by: list[str], max_retries: int = 3) -> int:
         """Iceberg partition-spec evolution: change the partitioning of
         FUTURE writes only. Existing data dirs keep their layout (their
-        spec stays recorded in dir_specs); no data is rewritten."""
-        cur = self.current_version()
-        if cur is None:
-            raise ValueError(f"table {self.name}: cannot evolve before create")
-        meta = self._read_meta(cur)
-        return self._commit(
-            "evolve-partitioning",
-            meta["dirs"],
-            cur,
-            meta["schema"],
-            spec=partition_by,
-            dir_specs=self._dir_specs(meta),
+        spec stays recorded in dir_specs); no data is rewritten.
+
+        Append-shaped OCC (same window as merge): the commit carries the
+        parent's dirs by reference, so it declares expect_parent and
+        rebuilds against the fresh head on conflict — republishing a
+        stale dirs list would drop a concurrent writer's files."""
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(f"table {self.name}: cannot evolve before create")
+            meta = self._read_meta(cur)
+            try:
+                return self._commit(
+                    "evolve-partitioning",
+                    meta["dirs"],
+                    cur,
+                    meta["schema"],
+                    spec=partition_by,
+                    dir_specs=self._dir_specs(meta),
+                    expect_parent=cur,
+                )
+            except CommitConflictError:
+                continue  # metadata-only: nothing to clean, just re-read
+        raise CommitConflictError(
+            f"table {self.name}: evolve gave up after {max_retries} retries"
         )
 
     def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
@@ -641,25 +654,39 @@ class SnapshotTable:
         anti-joins it. O(deleted keys) write instead of O(table) —
         the delete path that stays cheap at 100 TB; `compact()`
         later folds deletes into a rewritten file set."""
-        cur = self.current_version()
-        meta = self._read_meta(cur)
-        keys = self.read().filter(condition).select(key).distinct()
-        version = (self._versions()[-1] + 1) if self._versions() else 1
-        dd = os.path.join(self.data_dir, f"d{version:05d}-{uuid.uuid4().hex[:8]}")
-        keys.write.mode("overwrite").parquet(dd)
-        return self._commit(
-            "delete-mor",
-            meta["dirs"],
-            cur,
-            meta["schema"],
-            spec=meta.get("spec", []),
-            dir_specs=self._dir_specs(meta),
-            # prior delete files carry forward so stacked deletes
-            # compose; `applies_to` pins the data files that existed at
-            # delete time (Iceberg's sequence-number semantics) so rows
-            # APPENDED later under the same key are NOT swallowed
-            delete_dirs=meta.get("delete_dirs", [])
-            + [{"dir": dd, "key": key, "applies_to": list(meta["dirs"])}],
+        # Append-shaped OCC (same window as merge): the delete snapshot
+        # carries the parent's dirs by reference, so a writer landing
+        # between our read and publish must conflict us — the keys and
+        # applies_to list are rebuilt against the fresh head on retry.
+        max_retries = 3
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            meta = self._read_meta(cur)
+            keys = self.read().filter(condition).select(key).distinct()
+            version = (self._versions()[-1] + 1) if self._versions() else 1
+            dd = os.path.join(self.data_dir, f"d{version:05d}-{uuid.uuid4().hex[:8]}")
+            keys.write.mode("overwrite").parquet(dd)
+            try:
+                return self._commit(
+                    "delete-mor",
+                    meta["dirs"],
+                    cur,
+                    meta["schema"],
+                    spec=meta.get("spec", []),
+                    dir_specs=self._dir_specs(meta),
+                    # prior delete files carry forward so stacked deletes
+                    # compose; `applies_to` pins the data files that existed at
+                    # delete time (Iceberg's sequence-number semantics) so rows
+                    # APPENDED later under the same key are NOT swallowed
+                    delete_dirs=meta.get("delete_dirs", [])
+                    + [{"dir": dd, "key": key, "applies_to": list(meta["dirs"])}],
+                    expect_parent=cur,
+                )
+            except CommitConflictError:
+                shutil.rmtree(dd, ignore_errors=True)  # orphaned delete file
+                continue
+        raise CommitConflictError(
+            f"table {self.name}: MOR delete gave up after {max_retries} retries"
         )
 
     def delete_where(self, condition) -> int:
@@ -746,6 +773,11 @@ class SnapshotTable:
             df.schema.json(),
             spec=spec,
             dir_specs=self._dir_specs(pmeta) + [spec],
+            # a lost publish race only needs the next free version slot:
+            # this snapshot's dirs are parented to the BRANCH REF (which
+            # moves only via set_ref below), not the global latest, so
+            # re-sequencing can never republish a stale dirs list
+            retry_on_race=True,
         )
         self.set_ref(branch, v)
         return v

@@ -669,3 +669,49 @@ def test_merge_carries_dirs_predating_key_column(spark):
     assert (2, "D2") in rows and (9, "ins") in rows and (1, "c") in rows
     assert (2, "d") not in rows  # updated, not duplicated
     t.drop()
+
+
+def test_mor_delete_detects_concurrent_writer_and_retries(spark, monkeypatch):
+    """delete_where_mor carries the parent's dirs by reference, so a
+    writer landing in its read-to-commit window must conflict it; the
+    retry rebuilds keys + applies_to against the fresh head and the
+    conflicted attempt's delete file is reclaimed. Critically, the
+    retried delete's applies_to must INCLUDE the concurrent append's
+    dir (its rows existed when the delete finally committed)."""
+    import os as _os
+
+    from empdia_iceberg_spark.tables.manager import SnapshotTable as ST
+
+    t = SnapshotTable(spark, "t_mor_occ_unit")
+    t.drop()
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+
+    real_commit = ST._commit
+    state = {"armed": True}
+
+    def inject_commit(self, *a, **kw):
+        if state["armed"] and self.name == "t_mor_occ_unit" and a[0] == "delete-mor":
+            state["armed"] = False
+            # concurrent append lands between the delete's read and publish
+            t.append(
+                spark.createDataFrame([(2, "late"), (9, "z")], "k int, v string")
+            )
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(ST, "_commit", inject_commit)
+    t.delete_where_mor(F.col("k") == 2, key="k")
+    monkeypatch.undo()
+
+    out = {(r.k, r.v) for r in t.read().collect()}
+    # BOTH k=2 rows deleted (the retried delete saw the appended row),
+    # the append's other row survives
+    assert out == {(1, "a"), (9, "z")}, out
+    # conflicted delete file reclaimed: every on-disk dir is referenced
+    # by a snapshot's dirs or delete_dirs
+    referenced = {d for s in t.snapshots() for d in s["dirs"]}
+    referenced |= {
+        dd["dir"] for s in t.snapshots() for dd in s.get("delete_dirs", [])
+    }
+    on_disk = {_os.path.join(t.data_dir, d) for d in _os.listdir(t.data_dir)}
+    assert on_disk <= referenced, on_disk - referenced
+    t.drop()
