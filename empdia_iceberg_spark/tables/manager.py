@@ -740,15 +740,54 @@ class SnapshotTable:
         with open(self._refs_path()) as f:
             return json.load(f)
 
-    def set_ref(self, name: str, version: int) -> None:
+    _REF_UNSET = object()  # sentinel: set_ref without a CAS expectation
+
+    def set_ref(self, name: str, version: int, expect=_REF_UNSET) -> None:
+        """Move a ref, optionally compare-and-swap (Nessie commit
+        semantics): with `expect` set, the update is refused
+        (CommitConflictError) if the ref no longer points where the
+        caller last read it — the guard that keeps two concurrent
+        branch writers from silently dropping each other's commits.
+        The read-modify-write runs under an O_EXCL lockfile so CAS
+        checks cannot interleave; a lock older than 10 s is treated as
+        a crashed holder and broken (single-host scope — a shared
+        object store would use a conditional PUT instead)."""
+        import time
+
         if version not in self._versions():
             raise ValueError(f"table {self.name}: no snapshot v{version}")
-        refs = self.refs()
-        refs[name] = version
-        tmp = self._refs_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(refs, f)
-        os.rename(tmp, self._refs_path())  # atomic, like snapshot commits
+        lock = self._refs_path() + ".lock"
+        fd = None
+        for _ in range(2000):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 10.0:
+                        os.unlink(lock)  # crashed holder
+                        continue
+                except OSError:
+                    continue  # holder released between check and stat
+                time.sleep(0.002)
+        if fd is None:
+            raise TimeoutError(f"table {self.name}: refs lock busy")
+        try:
+            refs = self.refs()
+            if expect is not SnapshotTable._REF_UNSET and refs.get(name) != expect:
+                raise CommitConflictError(
+                    f"table {self.name}: ref {name!r} moved to "
+                    f"v{refs.get(name)} (expected v{expect}) — concurrent "
+                    "branch writer won; re-read and retry"
+                )
+            refs[name] = version
+            tmp = self._refs_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(refs, f)
+            os.rename(tmp, self._refs_path())  # atomic, like snapshot commits
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     def get_ref(self, name: str) -> int:
         refs = self.refs()
@@ -759,28 +798,40 @@ class SnapshotTable:
     def read_ref(self, name: str) -> DataFrame:
         return self.read(version=self.get_ref(name))
 
-    def branch_append(self, branch: str, df: DataFrame) -> int:
+    def branch_append(self, branch: str, df: DataFrame, max_retries: int = 3) -> int:
         """Append onto a branch head: the new snapshot's parent is the
-        branch ref (not the global latest), and only this ref moves."""
-        parent = self.get_ref(branch)
-        pmeta = self._read_meta(parent)
-        spec = pmeta.get("spec", [])
-        d = self._write_data(df, spec)
-        v = self._commit(
-            f"append@{branch}",
-            pmeta["dirs"] + [d],
-            parent,
-            df.schema.json(),
-            spec=spec,
-            dir_specs=self._dir_specs(pmeta) + [spec],
-            # a lost publish race only needs the next free version slot:
-            # this snapshot's dirs are parented to the BRANCH REF (which
-            # moves only via set_ref below), not the global latest, so
-            # re-sequencing can never republish a stale dirs list
-            retry_on_race=True,
+        branch ref (not the global latest), and only this ref moves.
+        The ref update is a CAS against the head this append was built
+        on; if a concurrent writer moved the branch first, the append
+        rebuilds against the new head (its superseded snapshot stays in
+        the log as auditable history until expire_snapshots)."""
+        for _ in range(max_retries + 1):
+            parent = self.get_ref(branch)
+            pmeta = self._read_meta(parent)
+            spec = pmeta.get("spec", [])
+            d = self._write_data(df, spec)
+            v = self._commit(
+                f"append@{branch}",
+                pmeta["dirs"] + [d],
+                parent,
+                df.schema.json(),
+                spec=spec,
+                dir_specs=self._dir_specs(pmeta) + [spec],
+                # a lost publish race only needs the next free version slot:
+                # this snapshot's dirs are parented to the BRANCH REF,
+                # not the global latest, so re-sequencing can never
+                # republish a stale dirs list
+                retry_on_race=True,
+            )
+            try:
+                self.set_ref(branch, v, expect=parent)
+                return v
+            except CommitConflictError:
+                continue  # branch moved first: rebuild on the new head
+        raise CommitConflictError(
+            f"table {self.name}: branch append on {branch!r} gave up after "
+            f"{max_retries} retries"
         )
-        self.set_ref(branch, v)
-        return v
 
     def is_ancestor(self, ancestor: int, descendant: int) -> bool:
         v: int | None = descendant

@@ -715,3 +715,53 @@ def test_mor_delete_detects_concurrent_writer_and_retries(spark, monkeypatch):
     on_disk = {_os.path.join(t.data_dir, d) for d in _os.listdir(t.data_dir)}
     assert on_disk <= referenced, on_disk - referenced
     t.drop()
+
+
+def test_branch_append_cas_keeps_both_writers(spark, monkeypatch):
+    """Ref-level CAS: two interleaved branch appends to the same branch
+    must BOTH land (the loser rebuilds on the new head) — last-writer-
+    wins on refs.json would silently drop one from the branch."""
+    from empdia_iceberg_spark.tables.manager import SnapshotTable as ST
+
+    t = SnapshotTable(spark, "t_branch_cas_unit")
+    t.drop()
+    v1 = t.create(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.set_ref("b", v1)
+
+    real_commit = ST._commit
+    state = {"armed": True}
+
+    def inject_commit(self, *a, **kw):
+        if (
+            state["armed"]
+            and self.name == "t_branch_cas_unit"
+            and str(a[0]).startswith("append@")
+        ):
+            state["armed"] = False
+            # a concurrent branch append completes fully (commit +
+            # ref CAS) inside writer A's commit-to-CAS window
+            t.branch_append("b", spark.createDataFrame([(2, "w2")], "k int, v string"))
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(ST, "_commit", inject_commit)
+    t.branch_append("b", spark.createDataFrame([(3, "w1")], "k int, v string"))
+    monkeypatch.undo()
+
+    out = {(r.k, r.v) for r in t.read_ref("b").collect()}
+    assert out == {(1, "a"), (2, "w2"), (3, "w1")}, out
+    t.drop()
+
+
+def test_set_ref_cas_rejects_stale_expectation(spark):
+    from empdia_iceberg_spark.tables.manager import CommitConflictError
+
+    t = SnapshotTable(spark, "t_refcas_unit")
+    t.drop()
+    v1 = t.create(spark.createDataFrame([(1,)], "k int"))
+    v2 = t.append(spark.createDataFrame([(2,)], "k int"))
+    t.set_ref("main", v1)
+    t.set_ref("main", v2, expect=v1)  # correct expectation: moves
+    assert t.get_ref("main") == v2
+    with pytest.raises(CommitConflictError):
+        t.set_ref("main", v1, expect=v1)  # stale: ref is at v2 now
+    t.drop()
