@@ -2314,15 +2314,59 @@ class Catalog:
         with open(self.path) as f:
             return json.load(f)
 
-    def publish(self, updates: dict[str, int]) -> None:
+    def publish(
+        self, updates: dict[str, int], expect: dict[str, int] | None = None
+    ) -> None:
         """Atomically move the catalog to a new table→version mapping
-        (merging over current pins). One rename = one transaction."""
-        pins = self.pins()
-        pins.update(updates)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(pins, f)
-        os.rename(tmp, self.path)
+        (merging over current pins). One rename = one transaction.
+
+        The merge runs under an O_EXCL lockfile so two concurrent
+        transactions updating DISJOINT tables cannot drop each other's
+        pins (read-modify-write race). `expect` adds true transactional
+        conflict detection: {table: version} the transaction read its
+        base state from — if any of those pins moved, the publish is
+        REFUSED (CommitConflictError) so the caller re-reads, re-stages,
+        and retries (Nessie/Iceberg-REST commit semantics)."""
+        import time
+
+        lock = self.path + ".lock"
+        fd = None
+        for _ in range(2000):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 10.0:
+                        os.unlink(lock)  # crashed holder
+                        continue
+                except OSError:
+                    continue
+                time.sleep(0.002)
+        if fd is None:
+            raise TimeoutError(f"catalog {self.path}: lock busy")
+        try:
+            pins = self.pins()
+            if expect is not None:
+                moved = {
+                    t: (v, pins.get(t))
+                    for t, v in expect.items()
+                    if pins.get(t) != v
+                }
+                if moved:
+                    raise CommitConflictError(
+                        f"catalog {self.path}: pins moved since the "
+                        f"transaction's base read: {moved} — concurrent "
+                        "transaction won; re-stage and retry"
+                    )
+            pins.update(updates)
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(pins, f)
+            os.rename(tmp, self.path)
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     def read(self, table: str) -> DataFrame:
         return SnapshotTable(self.spark, table).read(version=self.pins()[table])

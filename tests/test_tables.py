@@ -765,3 +765,26 @@ def test_set_ref_cas_rejects_stale_expectation(spark):
     with pytest.raises(CommitConflictError):
         t.set_ref("main", v1, expect=v1)  # stale: ref is at v2 now
     t.drop()
+
+
+def test_catalog_publish_cas(spark):
+    """Catalog transactions: `expect` pins conflict detection — a
+    publish whose base pins moved is refused; a correct expectation
+    (including tables the txn did not touch) goes through."""
+    from empdia_iceberg_spark.tables.manager import Catalog, CommitConflictError
+
+    t1 = SnapshotTable(spark, "t_cat_a_unit")
+    t1.drop()
+    va1 = t1.create(spark.createDataFrame([(1,)], "k int"))
+    va2 = t1.append(spark.createDataFrame([(2,)], "k int"))
+    cat = Catalog(spark, "cas_unit")
+    cat.drop()
+    cat.publish({"t_cat_a_unit": va1})
+    # txn based on va1 succeeds while the pin still points there
+    cat.publish({"t_cat_a_unit": va2}, expect={"t_cat_a_unit": va1})
+    assert cat.pins()["t_cat_a_unit"] == va2
+    # a second txn still based on va1 must conflict
+    with pytest.raises(CommitConflictError):
+        cat.publish({"t_cat_a_unit": va1}, expect={"t_cat_a_unit": va1})
+    cat.drop()
+    t1.drop()
