@@ -887,3 +887,70 @@ def test_bloom_never_false_negative_seeded(spark):
                 dirs, _total = idx.lookup_dirs(k)
                 assert d in dirs, (trial, k, d)  # no false negative ever
     t.drop()
+
+
+def test_table_lifecycle_model_based_seeded(spark):
+    """Model-based differential test: random op sequences over a
+    snapshot table, mirrored in a plain-dict reference model; after
+    EVERY op the table read must equal the model exactly. Lifecycle
+    interactions (MOR deletes vs later appends vs merge vs compact vs
+    rollback) are where bugs hide — this sweeps their compositions."""
+    import random
+
+    rng = random.Random(7_2026)
+    for trial in range(3):
+        t = SnapshotTable(spark, f"t_model_unit_{trial}")
+        t.drop()
+        model: dict[int, str] = {}  # key -> value (keys unique by merge guard)
+        history: list[dict[int, str]] = []  # model state per committed version
+
+        def commit_state() -> None:
+            history.append(dict(model))
+
+        def fresh_rows(n: int) -> list[tuple[int, str]]:
+            ks = rng.sample([k for k in range(1000) if k not in model], n)
+            return [(k, f"v{rng.randrange(1_000_000)}") for k in ks]
+
+        rows = fresh_rows(rng.randrange(3, 8))
+        t.create(spark.createDataFrame(rows, "k int, v string"))
+        model.update(dict(rows))
+        commit_state()
+
+        for _ in range(8):
+            op = rng.choice(["append", "delete_mor", "merge", "compact", "rollback"])
+            if op == "append":
+                rows = fresh_rows(rng.randrange(1, 5))
+                t.append(spark.createDataFrame(rows, "k int, v string"))
+                model.update(dict(rows))
+            elif op == "delete_mor":
+                if not model:
+                    continue
+                cut = rng.choice(sorted(model))
+                t.delete_where_mor(F.col("k") <= cut, key="k")
+                for k in [k for k in model if k <= cut]:
+                    del model[k]
+            elif op == "merge":
+                upd_keys = rng.sample(sorted(model), min(2, len(model))) if model else []
+                upd = [(k, f"u{rng.randrange(1_000_000)}") for k in upd_keys]
+                ins = fresh_rows(rng.randrange(1, 3))
+                src = upd + ins
+                t.merge(spark.createDataFrame(src, "k int, v string"), key="k")
+                model.update(dict(src))
+            elif op == "compact":
+                t.compact(target_partitions=2)
+            elif op == "rollback":
+                v = rng.randrange(1, len(history) + 1)
+                t.rollback(v)
+                model = dict(history[v - 1])
+            commit_state()
+
+            got = {(r.k, r.v) for r in t.read().collect()}
+            want = set(model.items())
+            assert got == want, (trial, op, got ^ want)
+            # time travel must reproduce any historical state exactly,
+            # including the MOR delete files that existed THEN
+            v = rng.randrange(1, len(history) + 1)
+            got_v = {(r.k, r.v) for r in t.read(version=v).collect()}
+            want_v = set(history[v - 1].items())
+            assert got_v == want_v, (trial, op, v, got_v ^ want_v)
+        t.drop()
