@@ -84,6 +84,7 @@ _SWEEP_PRIORITY = [
     "table_merge_upsert",  # r7: OCC expect_parent + dup-key guard
     "table_bloom_point_lookup",  # r7: executor-written blob sidecar, bigint m
     "mannwhitney_u_segments",  # r7: bucketed_prefix_sum mid-ranks (has green r06 row to match)
+    "pagerank_trading_graph",  # r7: broadcast rank vector + per-round checkpoint (green r04 row to match)
     # --- never swept (driver takes first ~50: 4 changed + 46 of these;
     # the rest queue in order for the round-8 rotation to retire fully)
     "kmv_distinct_orders",  # never

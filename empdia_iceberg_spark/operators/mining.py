@@ -15,10 +15,16 @@ Scale posture:
   never corpus². Pair counts shuffle on the (p1, p2) key.
 - transitions: one user_id exchange for the lag window, then a tiny
   (prev, cur) aggregate.
-- pagerank: per iteration one shuffle of (node, contribution) pairs —
-  the textbook join-agg PageRank; lineage is truncated with
-  localCheckpoint like operators/dedup.py:connected_components so 10
-  rounds do not stack a 10-join plan.
+- pagerank: the iteration-invariant edge list (with out-degrees
+  pre-joined) is partitioned by src and persisted ONCE; each round the
+  rank vector — |nodes| rows, tiny next to |edges| — joins it
+  BROADCAST below a node-count ceiling (map-side, so per iteration the
+  only shuffle is the (node, contribution) partial-agg), else falls
+  back to a shuffle join in which only the rank vector moves (the
+  cached edge partitioning is reused). Each round is eagerly
+  localCheckpoint-ed: lineage stays flat AND the next round's
+  broadcast reads materialized rows instead of re-executing the prior
+  rounds' plan (stacked lineage makes per-round broadcasts quadratic).
 """
 
 from __future__ import annotations
@@ -162,6 +168,12 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 10
 _PR_DAMP = 0.85
+# Broadcast the rank vector (one row per node, ~50 B each ⇒ ~1 GiB at
+# 20M nodes) only while it fits comfortably in every executor; above
+# the ceiling fall back to a shuffle join where only the rank vector
+# moves (the edge list keeps its cached src partitioning). Override via
+# env for clusters provisioned with bigger executors.
+_PR_BROADCAST_MAX_NODES = 20_000_000
 
 
 def _pagerank_oracle() -> str:
@@ -218,12 +230,16 @@ def _pagerank_oracle() -> str:
     doc="PageRank over the customer–supplier trading graph (distinct "
     "pairs from orders⋈lineitem, walked both directions): 10 "
     "join-agg power iterations, det_round(12)+DECIMAL contribution "
-    "sums so the iterative ranks stay bit-deterministic; lineage "
-    "truncated with localCheckpoint every 4 rounds. The oracle "
-    "unrolls the iterations into chained CTEs — a full value hash "
-    "for an iterative algorithm.",
+    "sums so the iterative ranks stay bit-deterministic. The "
+    "out-degree-annotated edge list is partitioned+persisted once; "
+    "the rank vector joins it broadcast under a node-count ceiling "
+    "(shuffle-join fallback above), and every round is eagerly "
+    "localCheckpoint-ed. The oracle unrolls the iterations into "
+    "chained CTEs — a full value hash for an iterative algorithm.",
 )
 def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     directed = (
@@ -236,18 +252,33 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = directed.unionByName(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
-
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("r")
     )
-    for k in range(1, _PR_ITERS + 1):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, ["src"])
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Iteration-invariant: out-degree pre-joined onto every edge, hash
+    # partitioned by the join key so the non-broadcast fallback reuses
+    # this cached partitioning (only the rank vector shuffles per round).
+    edge_w = edges.join(deg, ["src"]).repartition("src").persist()
+    nodes = edge_w.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # scalar driver read; also materializes edge_w
+
+    # The rank vector is one row per node. Broadcasting it makes the
+    # per-round edge join map-side, but every executor holds the whole
+    # vector — same ceiling discipline as similarity.MAX_INDEX_BYTES.
+    broadcast_ranks = n <= int(
+        os.environ.get("EMPDIA_PR_BROADCAST_MAX_NODES", _PR_BROADCAST_MAX_NODES)
+    )
+
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / F.lit(float(n))).alias("r")
+    ).localCheckpoint()
+    for _ in range(_PR_ITERS):
+        rvec = F.broadcast(ranks) if broadcast_ranks else ranks
+        # The edge list is symmetric (each trading pair walked both
+        # ways), so every node has indegree ≥ 1 and the inner groupBy
+        # already covers the full node set — no dangling-node left
+        # join is needed to keep the rank vector complete.
+        ranks = (
+            edge_w.join(rvec, edge_w["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 det_round(F.col("r") / F.col("outdeg").cast("double"), 12).alias(
@@ -256,23 +287,24 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.sum(F.col("t").cast("decimal(38,12)")).cast("double").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, ["node"], "left")
-            .crossJoin(F.broadcast(n_nodes))
             .select(
                 "node",
                 (
-                    F.lit(0.15) / F.col("n").cast("double")
-                    + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+                    F.lit(0.15) / F.lit(float(n))
+                    + F.lit(_PR_DAMP) * F.col("s")
                 ).alias("r"),
             )
+            # Eager per-round truncation (dedup.py:connected_components
+            # discipline): keeps lineage flat AND gives the next round's
+            # broadcast materialized rows — broadcasting a stacked-plan
+            # rank vector re-executes all prior rounds per broadcast,
+            # turning 10 rounds into O(rounds²) work.
+            .localCheckpoint()
         )
-        if k % 4 == 0:
-            # eager lineage truncation: 10 join-agg rounds must not
-            # stack into one 10-join plan (dedup.py:connected_components
-            # discipline)
-            ranks = ranks.localCheckpoint()
+    # every round is materialized (checkpointed) by now, so the cached
+    # edge list can be released — keeps long registry sweeps (267
+    # queries, one session) from accumulating block-manager residue
+    edge_w.unpersist()
     out = ranks.select("node", det_round(F.col("r"), 10).alias("rank")).orderBy(
         "node"
     )
