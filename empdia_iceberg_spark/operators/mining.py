@@ -254,10 +254,8 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Iteration-invariant: out-degree pre-joined onto every edge, hash
-    # partitioned by the join key so the non-broadcast fallback reuses
-    # this cached partitioning (only the rank vector shuffles per round).
-    edge_w = edges.join(deg, ["src"]).repartition("src").persist()
+    # Iteration-invariant: out-degree pre-joined onto every edge.
+    edge_w = edges.join(deg, ["src"]).persist()
     nodes = edge_w.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # scalar driver read; also materializes edge_w
 
@@ -267,6 +265,15 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast_ranks = n <= int(
         os.environ.get("EMPDIA_PR_BROADCAST_MAX_NODES", _PR_BROADCAST_MAX_NODES)
     )
+    if not broadcast_ranks:
+        # Re-layout the cached edges hash-partitioned by the join key so
+        # the shuffle-join fallback reuses the cached partitioning —
+        # only the rank vector moves per round. Skipped in the broadcast
+        # branch, where the extra full shuffle would buy nothing.
+        repart = edge_w.repartition("src").persist()
+        repart.count()  # materialize from the old cache, then drop it
+        edge_w.unpersist()
+        edge_w = repart
 
     ranks = nodes.select(
         "node", (F.lit(1.0) / F.lit(float(n))).alias("r")
