@@ -85,6 +85,16 @@ _SWEEP_PRIORITY = [
     "table_bloom_point_lookup",  # r7: executor-written blob sidecar, bigint m
     "mannwhitney_u_segments",  # r7: bucketed_prefix_sum mid-ranks (has green r06 row to match)
     "pagerank_trading_graph",  # r7: broadcast rank vector + per-round checkpoint (green r04 row to match)
+    # r7 perf rewrites — identical results (hash-verified vs oracle at
+    # sf0.01+sf0.1 in-session), but changed code must re-earn driver rows:
+    "user_profile_similarity",  # r7: pivot-wide dense profiles + broadcast pair join (green r04 row)
+    "doc_decontaminate",  # r7: word_shingles slice/zip rewrite (green row to match)
+    "doc_minhash_near_dup",  # r7: word_shingles rewrite
+    "doc_dedup_clusters",  # r7: word_shingles rewrite
+    "doc_ngram_jaccard_pairs",  # r7: word_shingles rewrite
+    "doc_dup_ngram_fraction",  # r7: word_shingles rewrite
+    "curation_pipeline",  # r7: word_shingles rewrite
+    "curation_funnel_counts",  # r7: word_shingles rewrite
     # --- never swept (driver takes first ~50: 4 changed + 46 of these;
     # the rest queue in order for the round-8 rotation to retire fully)
     "kmv_distinct_orders",  # never

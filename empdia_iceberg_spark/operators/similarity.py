@@ -871,22 +871,58 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = prof.groupBy("user_id").agg(
         det_round(F.sqrt(exact_sum_r6(F.col("v") * F.col("v"))), 6).alias("nrm")
     )
-    a = prof.select(
-        F.col("user_id").alias("user_a"), "hh", F.col("v").alias("va")
+    # Collapse each user's sparse (hh, v) rows into a DENSE 24-wide row
+    # of scalar hour columns (0.0 for unobserved hours — a zero term
+    # det-rounds to 0, so the dense dot equals the oracle's shared-hour
+    # sparse sum). The pairwise stage then runs over |users| rows
+    # instead of |users|·24 — the old per-hh equi-join fanned out to
+    # |users|²·24/2 rows and SHUFFLED them all into the dot groupBy;
+    # this shape keeps the pair space broadcast-local and shuffles only
+    # the |users|² cosine rows already needed for ranking. Flat scalar
+    # columns beat an array<double> vector ~2× here: the 24-term dot
+    # stays pure register arithmetic in whole-stage codegen with no
+    # per-pair array allocation. (user_id, hh) is unique, so the
+    # pivot's first() is deterministic.
+    wide = (
+        prof.groupBy("user_id")
+        .pivot("hh", list(range(24)))
+        .agg(F.first("v"))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(str(i)), F.lit(0.0)).alias(f"h{i}") for i in range(24)],
+        )
     )
-    b = prof.select(
-        F.col("user_id").alias("user_b"), "hh", F.col("v").alias("vb")
+    a = wide.select(
+        F.col("user_id").alias("user_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(24)],
     )
-    dots = (
-        a.join(b, "hh")
-        .filter(F.col("user_a") < F.col("user_b"))
-        .groupBy("user_a", "user_b")
-        .agg(exact_sum_r6(F.col("va") * F.col("vb")).alias("dot"))
+    b = wide.select(
+        F.col("user_id").alias("user_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(24)],
+    )
+    # Per-term det_round(·,6) as a scaled LONG (floor(x·10⁶+0.5)), then
+    # an exact integer sum: Σk/10⁶ is precisely the oracle's
+    # DECIMAL(27,6) sum, and double(Σk)/10⁶ is the same correctly
+    # rounded double as the decimal→double cast while |Σk| < 2⁵³
+    # (2-decimal event values keep per-pair sums ≤ ~10¹³; the decimal
+    # path's own exactness argument in functions/exact.py bounds the
+    # same way). All arithmetic stays in whole-stage codegen.
+    scaled = [
+        F.floor(F.col(f"a{i}") * F.col(f"b{i}") * F.lit(1e6) + F.lit(0.5))
+        for i in range(24)
+    ]
+    total = scaled[0]
+    for term in scaled[1:]:
+        total = total + term
+    dot = total.cast("double") / F.lit(1e6)
+    pairs = (
+        a.join(F.broadcast(b), F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b", dot.alias("dot"))
     )
     na = norms.select(F.col("user_id").alias("user_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("user_id").alias("user_b"), F.col("nrm").alias("nb"))
     cos = (
-        dots.join(F.broadcast(na), "user_a")
+        pairs.join(F.broadcast(na), "user_a")
         .join(F.broadcast(nb), "user_b")
         .select(
             "user_a",
