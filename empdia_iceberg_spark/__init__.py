@@ -88,6 +88,7 @@ _SWEEP_PRIORITY = [
     # r7 perf rewrites — identical results (hash-verified vs oracle at
     # sf0.01+sf0.1 in-session), but changed code must re-earn driver rows:
     "user_profile_similarity",  # r7: pivot-wide dense profiles + broadcast pair join (green r04 row)
+    "q1_pricing_agg",  # r7: grouped_scaled_sums two-level exact aggregation (green rows r01-r03)
     "doc_decontaminate",  # r7: word_shingles slice/zip rewrite (green row to match)
     "doc_minhash_near_dup",  # r7: word_shingles rewrite
     "doc_dedup_clusters",  # r7: word_shingles rewrite

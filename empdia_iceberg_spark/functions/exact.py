@@ -106,6 +106,58 @@ def sql_avg2(col: str) -> str:
     return f"({sql_sum2(col)} / count(*))"
 
 
+def grouped_scaled_sums(df, keys: list[str], specs: dict):
+    """Exact grouped decimal sums at LONG speed: two-level aggregation
+    with scaled-integer partials.
+
+    Spark's sum over a DECIMAL wider than 18 digits keeps a BigDecimal
+    buffer — ~4× slower per element than a long sum on the driver
+    corpus (measured: 8 exact decimal aggs over 600k rows 1.1 s vs
+    0.28 s as longs). But a single-level long sum silently wraps once a
+    whole-table group sum passes 2⁶³. This helper restores the decimal
+    path's scale safety while keeping the hot per-row work integral:
+
+    - level 1 groups by (keys, spark_partition_id): each element is
+      floor(x·10^d + 0.5) — for values with ≤ d exact decimal digits
+      this is precisely the integer the decimal cast would produce
+      (same argument as det_round) — and sums as a LONG. The bound is
+      per-PARTITION: ≤ rows-per-split · max|x|·10^d, e.g. 4M rows of
+      128 MB splits × 10¹³ stays far under 2⁶³ for money columns.
+    - level 2 re-aggregates the per-partition partials per key in
+      DECIMAL(38,0) — exact at any corpus size — and converts once to
+      double. double(Σk)/10^d equals the oracle's decimal→double cast
+      exactly while Σk < 2⁵³ (true at every hash-gated SF; beyond it
+      both sides agree to within the double's own representability).
+
+    ``specs``: {name: (Column expr with ≤ d exact decimals, d)}.
+    Returns df grouped by ``keys`` with one double column per spec
+    plus ``__count`` (the level-1 row count, for averages). Shuffled
+    rows: |groups|·|partitions| of longs — the same volume a plain
+    partial aggregation exchanges.
+    """
+    lvl1 = df.withColumn("__pid", F.spark_partition_id()).groupBy(
+        *keys, "__pid"
+    ).agg(
+        *[
+            F.sum(F.floor(expr * F.lit(float(10**d)) + F.lit(0.5))).alias(
+                f"__p_{name}"
+            )
+            for name, (expr, d) in specs.items()
+        ],
+        F.count(F.lit(1)).alias("__pn"),
+    )
+    return lvl1.groupBy(*keys).agg(
+        *[
+            (
+                F.sum(F.col(f"__p_{name}").cast("decimal(38,0)")).cast("double")
+                / F.lit(float(10**d))
+            ).alias(name)
+            for name, (expr, d) in specs.items()
+        ],
+        F.sum("__pn").alias("__count"),
+    )
+
+
 # ------------------------------------------------------ second moments
 #
 # Bit-deterministic covariance/correlation/stddev need all five moment
