@@ -35,15 +35,33 @@ Z_BITS = 21  # per dimension: 2M distinct values — headroom beyond sf100
 Z_FILES = 16  # target file buckets for the layout
 
 
+def _spread_bits(x):
+    """Spread the low 21 bits of a non-negative bigint column so bit i
+    lands at position 2i — the standard part1by1 mask-shift cascade
+    (binary magic numbers; public-domain bit-twiddling identity used by
+    every Morton library). 5 shift+or+and steps instead of a 2·bits-term
+    sum: the per-bit formulation built an 84-node expression tree whose
+    Catalyst analysis/optimization alone cost ~3 s PER JOB on the
+    driver corpus; this tree is ~30 nodes and constant in ``bits``.
+    All masks and intermediates stay within positive int64 (top bit of
+    a 21-bit input reaches position 40 before the final step)."""
+    x = x.bitwiseAND(F.lit(0x1FFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return x
+
+
 def morton_spark(x: str, y: str, bits: int = Z_BITS):
     """Bit-interleaved Morton key as a Spark Column: bit i of ``x`` lands
     at position 2i, bit i of ``y`` at 2i+1. Pure built-in expressions —
-    stays inside whole-stage codegen."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
-        terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
-    return F.expr(" + ".join(terms))
+    stays inside whole-stage codegen. Value-identical to the per-bit
+    oracle formula `morton_sql` (property-tested in tests)."""
+    xs = _spread_bits(F.expr(x).cast("bigint"))
+    ys = _spread_bits(F.expr(y).cast("bigint"))
+    return xs.bitwiseOR(F.shiftleft(ys, 1))
 
 
 def morton_sql(x: str, y: str, bits: int = Z_BITS) -> str:
@@ -113,8 +131,15 @@ def table_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins = orders.agg(
         F.min("o_custkey").alias("min_ck"), F.min("odays").alias("min_od")
     )
-    keyed = orders.join(F.broadcast(mins)).withColumn(
-        "z", morton_spark("(o_custkey - min_ck)", "(odays - min_od)")
+    # The bucketed numbering below makes three passes over the keyed
+    # rows (quantile boundaries, per-bucket counts, the windowed
+    # numbering itself) — persist the slim (key, dims, z) projection so
+    # the scan+join+interleave runs once. A few MB per million rows;
+    # the session's LRU store reclaims it.
+    keyed = (
+        orders.join(F.broadcast(mins))
+        .withColumn("z", morton_spark("(o_custkey - min_ck)", "(odays - min_od)"))
+        .persist()
     )
     numbered, n = bucketed_global_row_number(
         keyed, "z", tiebreaks=("o_orderkey",), out_col="_rn"
