@@ -90,6 +90,7 @@ _SWEEP_PRIORITY = [
     "user_profile_similarity",  # r7: pivot-wide dense profiles + broadcast pair join (green r04 row)
     "q1_pricing_agg",  # r7: grouped_scaled_sums two-level exact aggregation (green rows r01-r03)
     "table_zorder_layout",  # r7: magic-number Morton spread + persisted keyed pass (green r05 row)
+    "doc_lm_perplexity",  # r7: bounded long-scaled per-doc bit sums (green row to match)
     "doc_decontaminate",  # r7: word_shingles slice/zip rewrite (green row to match)
     "doc_minhash_near_dup",  # r7: word_shingles rewrite
     "doc_dedup_clusters",  # r7: word_shingles rewrite

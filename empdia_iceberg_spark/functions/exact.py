@@ -94,6 +94,26 @@ def sql_sum_r6(expr: str) -> str:
     return sql_exact_sum(sql_det_round(expr, 6), "DECIMAL(27,6)")
 
 
+def exact_sum_r6_bounded(expr: Column) -> Column:
+    """`exact_sum_r6` for BOUNDED-cardinality groups, at LONG speed.
+
+    Same value: floor(x·10⁶+0.5) is exactly the integer k the
+    det_round→DECIMAL(27,6) cast would accumulate, a long sum of the
+    k's is exact, and double(Σk)/10⁶ equals the decimal→double cast
+    while |Σk| < 2⁵³. The difference from `exact_sum_r6` is the
+    overflow posture: the decimal buffer is exact at ANY group size,
+    the long sum only while rows-per-group · max|x|·10⁶ ≪ 2⁶³. Use
+    this ONLY where the group is structurally bounded — per-document
+    token sums, per-key fixed-width vectors — never for whole-corpus
+    rollups (those take `exact_sum_r6` or `grouped_scaled_sums`).
+    Hot-loop motivation: a DECIMAL(27,6) sum buffer is BigDecimal
+    (~4× per element, measured); per-doc NB/LM scoring over the token
+    stream is the engine's largest decimal-aggregation volume."""
+    return (
+        F.sum(F.floor(expr * F.lit(1e6) + F.lit(0.5))).cast("double") / F.lit(1e6)
+    )
+
+
 def sql_sum2(col: str) -> str:
     return sql_exact_sum(col, "DECIMAL(18,2)")
 

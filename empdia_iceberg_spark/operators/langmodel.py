@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from empdia_iceberg_spark.functions.exact import (
     det_round,
     exact_sum_r6,
+    exact_sum_r6_bounded,
     sql_det_round,
     sql_sum_r6,
 )
@@ -135,7 +136,8 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        exact_sum_r6(F.col("bits")).alias("sum_bits"),
+        # per-doc group: bounded by document length -> long-scaled exact sum
+        exact_sum_r6_bounded(F.col("bits")).alias("sum_bits"),
     )
     return (
         toked.select("doc_id", "lang")
@@ -283,7 +285,8 @@ def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scores = (
         terms.groupBy("doc_id", "actual_lang", "cand_lang")
-        .agg(exact_sum_r6(F.col("term")).alias("sum_terms"))
+        # per-(doc, lang) group: bounded by document length
+        .agg(exact_sum_r6_bounded(F.col("term")).alias("sum_terms"))
         .join(F.broadcast(priors), ["cand_lang"])
         .crossJoin(F.broadcast(total))
         .select(
