@@ -285,3 +285,73 @@ def test_kcore_peeling_is_idempotent(spark):
          for r in registry.queries()["graph_kcore_sizes"](spark, SF_DIR).collect()}
     assert a == b
     assert a[3][0] <= a[2][0] and a[3][1] <= a[2][1]
+
+
+def test_word_shingles_matches_per_bit_reference(spark):
+    """The r7 slice/zip shingle construction must produce exactly the
+    arrays the naive per-index definition gives (order preserved,
+    first-occurrence dedup, <k-token texts -> empty array)."""
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.operators.dedup import SHINGLE_WORDS, word_shingles
+
+    texts = [
+        "",
+        "one",
+        "one two",
+        "one two three",
+        "a b c d e f g",
+        "dup dup dup dup dup",
+        "x y x y x y x y",  # repeated shingles -> dedup keeps first
+        "  leading and   multi   spaces here",
+        "tab\tand\nnewline separated tokens go here",
+    ]
+
+    def py_shingles(t: str, k: int = SHINGLE_WORDS) -> list[str]:
+        import re
+
+        toks = re.split(r"\s+", t)
+        if len(toks) < k:
+            return []
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        seen, out = set(), []
+        for g in grams:
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        "text", word_shingles(F.col("text")).alias("sh")
+    )
+    for r in df.collect():
+        assert list(r["sh"]) == py_shingles(r["text"]), r["text"]
+
+
+def test_morton_spread_matches_per_bit_reference(spark):
+    """The r7 magic-number Morton cascade must equal the per-bit
+    interleave (bit i of x at 2i, bit i of y at 2i+1) across the full
+    21-bit domain, including the corner values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.operators.layout import Z_BITS, morton_spark
+
+    def py_morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(Z_BITS):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(42)
+    top = 2**Z_BITS - 1
+    pairs = [(0, 0), (top, top), (top, 0), (0, top), (1, top)] + [
+        (rng.randrange(0, top + 1), rng.randrange(0, top + 1)) for _ in range(500)
+    ]
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", morton_spark("a", "b").alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == py_morton(r["a"], r["b"]), (r["a"], r["b"])
