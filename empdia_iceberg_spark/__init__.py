@@ -70,14 +70,17 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 #      divergence risk (pandas kernels > µs/decimal arithmetic >
 #      plain exact-SQL shapes);
 #   3. the stalest previously-green block.
-# Round 7 list (VERDICT r6 ask #1): FIRST the four queries whose code
-# changed in r7 (merge OCC + dup-key guard, executor-blob bloom,
-# bucketed Mann-Whitney mid-ranks — all four have green prior rows to
-# hash-match); THEN all 76 still-never-swept names in the
-# kernels-before-plain-SQL order tools/next_sweep.py emits — the 50-cap
-# lands ~46 deep into that block, and the remaining ~30 queue in order
-# so the round-8 rotation retires the debt entirely; THEN the
-# previously-green tail, stalest first.
+# Round 7 list (VERDICT r6 ask #1): FIRST the queries whose code
+# changed in r7 — the four table/rank changes from the r6 asks PLUS
+# the twelve late-r7 honest-bench perf rewrites (SURVEY §6: shingles,
+# profile cosine, PageRank, Morton, q1, LM/NB sums — every one
+# hash-verified in-session against its oracle at sf0.01 AND sf0.1,
+# but changed code must re-earn its DRIVER row the round it changes;
+# rule 1 below outranks debt retirement); THEN all 76 still-never-swept
+# names in the kernels-before-plain-SQL order tools/next_sweep.py
+# emits. With ~16 changed entries the 50-cap reaches ~34 deep into the
+# never-swept block, leaving ~42 — still fully retirable inside round
+# 8's single 50-query rotation, one round later than the r6 plan.
 _SWEEP_PRIORITY = [
     # --- changed in r7: MUST be swept this round (changed-code-first)
     "table_merge_pruned",  # r7: OCC expect_parent + dup-key guard

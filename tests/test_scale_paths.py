@@ -272,3 +272,55 @@ def test_bucketed_prefix_sum_equals_global_window(spark):
     w = W.orderBy("k", "tb").rowsBetween(W.unboundedPreceding, W.currentRow)
     want = {r["tb"]: r["c"] for r in df.withColumn("c", F.sum("v").over(w)).collect()}
     assert got == want
+
+
+def test_pagerank_shuffle_fallback_matches_broadcast(spark, monkeypatch):
+    """Above the rank-vector broadcast ceiling pagerank falls back to a
+    shuffle join over the cached src-partitioned edge list; the two
+    branches must produce identical ranks."""
+    from tests.conftest import SF_DIR
+    from empdia_iceberg_spark import registry
+
+    fn = registry.queries()["pagerank_trading_graph"]
+    broad = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    monkeypatch.setenv("EMPDIA_PR_BROADCAST_MAX_NODES", "1")
+    fell = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    assert broad == fell and len(broad) > 0
+
+
+def test_grouped_scaled_sums_matches_decimal_path(spark):
+    """grouped_scaled_sums (long partials + DECIMAL(38,0) re-agg) must
+    be bit-identical to the straight decimal-cast sum for 2- and
+    6-decimal data, including negatives and NULLs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.functions.exact import grouped_scaled_sums
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(5000):
+        k = rng.choice(["a", "b", "c"])
+        v2 = None if i % 97 == 0 else round(rng.uniform(-1e4, 1e4), 2)
+        v6 = None if i % 89 == 0 else round(rng.uniform(-50, 50), 6)
+        rows.append((k, v2, v6))
+    df = spark.createDataFrame(rows, "k string, v2 double, v6 double").repartition(7)
+
+    fast = {
+        r["k"]: (r["s2"], r["s6"], r["__count"])
+        for r in grouped_scaled_sums(
+            df, ["k"], {"s2": (F.col("v2"), 2), "s6": (F.col("v6"), 6)}
+        ).collect()
+    }
+    exact = {
+        r["k"]: (r["s2"], r["s6"], r["n"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v2").cast("decimal(18,2)")).cast("double").alias("s2"),
+            F.sum(F.col("v6").cast("decimal(28,6)")).cast("double").alias("s6"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert fast == exact
