@@ -97,10 +97,14 @@ def main() -> None:
             continue
         qs[name](spark, sf_dir).toPandas()  # warm-up (listing, codegen, JIT)
         best = float("inf")
-        for _ in range(3):  # best-of-3: shields against scheduler noise
+        for i in range(3):  # best-of-3: shields against scheduler noise
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).toPandas()  # fresh plan, every stage runs
             best = min(best, time.perf_counter() - t0)
+            if best >= 2.0 and i >= 1:
+                # multi-second queries: scheduler noise is relatively
+                # small — best-of-2 bounds total bench wall time
+                break
         timings[name] = round(best, 4)
 
     # Fixed per-query overhead: a trivial two-stage shuffle, REBUILT per
