@@ -937,6 +937,18 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_b").alias("user_id"), F.col("user_a").alias("peer_id"), "cos_sim"
         )
     )
+    # Pin the ranking shuffle's width: AQE sees |users|² cosine rows as
+    # "one small partition" (~50 MB here) and coalesces the window's
+    # exchange to 1-2 partitions, serializing the sort of the whole pair
+    # table on one thread (measured: 2.9 s → 2.1 s whole-query at sf0.1
+    # with the explicit width). The explicit hash repartition produces
+    # exactly the distribution the window requires, so it REPLACES the
+    # window's own exchange rather than adding one; sizing it from
+    # spark.sql.shuffle.partitions keeps the cluster posture (pair rows
+    # grow as |users|², so wide-and-parallel is always right for this
+    # stage — per-user groups are tiny and skew-free by construction).
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sym = sym.repartition(n_shuffle, "user_id")
     w = W.partitionBy("user_id").orderBy(F.col("cos_sim").desc(), "peer_id")
     return (
         sym.withColumn("rank", F.row_number().over(w).cast("int"))
