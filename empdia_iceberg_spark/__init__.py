@@ -79,8 +79,11 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # rule 1 below outranks debt retirement); THEN all 76 still-never-swept
 # names in the kernels-before-plain-SQL order tools/next_sweep.py
 # emits. With ~16 changed entries the 50-cap reaches ~34 deep into the
-# never-swept block, leaving ~42 — still fully retirable inside round
-# 8's single 50-query rotation, one round later than the r6 plan.
+# never-swept block (the two names changed in r7 that were ALSO
+# never-swept — doc_decontaminate, curation_funnel_counts — appear
+# once, in the changed block), leaving ~42 — still fully retirable
+# inside round 8's single 50-query rotation, one round later than the
+# r6 plan.
 _SWEEP_PRIORITY = [
     # --- changed in r7: MUST be swept this round (changed-code-first)
     "table_merge_pruned",  # r7: OCC expect_parent + dup-key guard
@@ -101,12 +104,12 @@ _SWEEP_PRIORITY = [
     "doc_dup_ngram_fraction",  # r7: word_shingles rewrite
     "curation_pipeline",  # r7: word_shingles rewrite
     "curation_funnel_counts",  # r7: word_shingles rewrite
-    # --- never swept (driver takes first ~50: 4 changed + 46 of these;
-    # the rest queue in order for the round-8 rotation to retire fully)
+    # --- never swept (driver takes first ~50: 16 changed above — two of
+    # which are themselves never-swept — + ~33 of these; the rest queue
+    # in order for the round-8 rotation to retire fully)
     "kmv_distinct_orders",  # never
     "kmv_set_overlap",  # never
     "doc_tfidf_top_terms",  # never
-    "doc_decontaminate",  # never
     "emb_decontaminate",  # never
     "doc_repetition_stats",  # never
     "doc_rake_keyphrases",  # never
@@ -178,7 +181,6 @@ _SWEEP_PRIORITY = [
     "json_ingest_corrupt_records",  # never
     "xml_roundtrip",  # never
     "orc_roundtrip",  # never
-    "curation_funnel_counts",  # never
     # --- previously-green, stalest first, as tail filler
     "semi_join_active_customers",  # r2
     "anti_join_inactive_customers",  # r2

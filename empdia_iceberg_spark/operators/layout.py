@@ -147,7 +147,7 @@ def table_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiled = numbered.withColumn(
         "file_bucket", ntile_from_row_number(F.col("_rn"), n, Z_FILES)
     )
-    return (
+    out = (
         tiled.groupBy("file_bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -164,5 +164,13 @@ def table_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_odays",
             "max_odays",
         )
+        # Materialize the Z_FILES-row summary eagerly so the persisted
+        # keyed projection can be RELEASED before returning — otherwise
+        # every invocation leaks a cache entry into the block manager
+        # for the session's lifetime (same residue discipline as
+        # pagerank's edge_w.unpersist()).
+        .localCheckpoint()
         .orderBy("file_bucket")
     )
+    keyed.unpersist()
+    return out

@@ -883,21 +883,37 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays pure register arithmetic in whole-stage codegen with no
     # per-pair array allocation. (user_id, hh) is unique, so the
     # pivot's first() is deterministic.
+    # Observed-hour bitmask: the oracle's sparse equi-join only emits a
+    # pair at all when the two users SHARE at least one observed hour —
+    # a dense a<b join over zero-filled profiles would add cos=0 rows
+    # for hour-disjoint pairs (invisible on hour-dense corpora, wrong on
+    # sparse ones, e.g. users active in single disjoint hours). Carrying
+    # one int of observedness per user and testing mask_a & mask_b ≠ 0
+    # in the join condition reproduces the oracle's pair membership
+    # exactly; dot values are unaffected (unshared hours contribute
+    # exactly-zero terms either way).
+    hour_mask = None
+    for i in range(24):
+        bit = F.when(F.col(str(i)).isNotNull(), F.lit(1 << i)).otherwise(F.lit(0))
+        hour_mask = bit if hour_mask is None else hour_mask + bit
     wide = (
         prof.groupBy("user_id")
         .pivot("hh", list(range(24)))
         .agg(F.first("v"))
         .select(
             "user_id",
+            hour_mask.cast("int").alias("hmask"),
             *[F.coalesce(F.col(str(i)), F.lit(0.0)).alias(f"h{i}") for i in range(24)],
         )
     )
     a = wide.select(
         F.col("user_id").alias("user_a"),
+        F.col("hmask").alias("amask"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(24)],
     )
     b = wide.select(
         F.col("user_id").alias("user_b"),
+        F.col("hmask").alias("bmask"),
         *[F.col(f"h{i}").alias(f"b{i}") for i in range(24)],
     )
     # Per-term det_round(·,6) as a scaled LONG (floor(x·10⁶+0.5)), then
@@ -916,7 +932,11 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = total + term
     dot = total.cast("double") / F.lit(1e6)
     pairs = (
-        a.join(F.broadcast(b), F.col("user_a") < F.col("user_b"))
+        a.join(
+            F.broadcast(b),
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("amask").bitwiseAND(F.col("bmask")) != 0),
+        )
         .select("user_a", "user_b", dot.alias("dot"))
     )
     na = norms.select(F.col("user_id").alias("user_a"), F.col("nrm").alias("na"))

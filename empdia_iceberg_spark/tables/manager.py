@@ -60,6 +60,47 @@ class CommitConflictError(RuntimeError):
     semantics). Callers re-read the table and retry."""
 
 
+def _acquire_excl_lock(
+    lock: str, what: str, stale_after: float = 10.0, attempts: int = 4000,
+    sleep_s: float = 0.005,
+) -> int:
+    """O_EXCL lockfile acquire with race-safe stale-lock recovery.
+
+    Breaking a stale lock by plain unlink is itself racy: two waiters
+    can both judge the lock stale, the first unlinks-and-recreates, and
+    the second's already-decided unlink then deletes the FIRST waiter's
+    fresh lock — two holders in the critical section, exactly the
+    lost-update the lock exists to prevent. Here the breaker RENAMES
+    the stale lock to a unique tombstone first: rename is atomic and
+    fails (FileNotFoundError) for every breaker but one, so at most one
+    waiter removes any given lock incarnation; everyone then re-races
+    the O_EXCL create, which picks a single winner. The wait budget
+    (attempts × sleep_s = 20 s) deliberately exceeds stale_after so a
+    crashed holder is always recovered within one call rather than
+    timing out every caller. Single-host scope — a shared object store
+    would use a conditional PUT instead."""
+    import time
+    import uuid as _uuid
+
+    for _ in range(attempts):
+        try:
+            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > stale_after:
+                    tomb = f"{lock}.stale.{_uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock, tomb)  # atomic: one breaker wins
+                        os.unlink(tomb)
+                    except FileNotFoundError:
+                        pass  # another breaker already claimed it
+                    continue
+            except OSError:
+                continue  # holder released between check and stat
+            time.sleep(sleep_s)
+    raise TimeoutError(f"{what}: lock busy")
+
+
 class SnapshotTable:
     """One managed table: immutable parquet data dirs + JSON snapshot log."""
 
@@ -268,6 +309,10 @@ class SnapshotTable:
                     df.schema.json(),
                     spec=spec,
                     dir_specs=self._dir_specs(meta) + [spec],
+                    # parent dirs ride by reference ⇒ so must the
+                    # parent's MOR delete files (plain append() does this;
+                    # omitting them here would resurrect deleted rows)
+                    delete_dirs=meta.get("delete_dirs", []),
                     expect_parent=cur,
                 )
             except CommitConflictError:
@@ -300,6 +345,10 @@ class SnapshotTable:
                     spec=partition_by,
                     dir_specs=self._dir_specs(meta),
                     expect_parent=cur,
+                    # dirs are carried by reference, so the parent's MOR
+                    # delete files must ride along — dropping them here
+                    # would resurrect every MOR-deleted row at next read
+                    delete_dirs=meta.get("delete_dirs", []),
                 )
             except CommitConflictError:
                 continue  # metadata-only: nothing to clean, just re-read
@@ -377,17 +426,23 @@ class SnapshotTable:
             import re as _re
 
             base_of = {os.path.basename(d): d for d in missing}
+            # input_file_name() is a Hadoop URI — percent-encoded (a
+            # space in the table root arrives as %20), so the raw path
+            # would never match re.escape(data_dir) and every dir would
+            # silently extract as ''. url_decode first; the pattern
+            # stays ROOT-anchored (not parent-of-file) because
+            # partitioned dirs nest _p_<col>=… subdirs under the dir.
             dir_pat = _re.escape(self.data_dir.rstrip("/")) + "/([^/]+)/"
             df = self._read_dirs(missing, merge_schema=True)
             if key not in df.columns:
                 for d in missing:
                     cache[d] = None
             else:
-                got = {
-                    base_of[r["_dir"]]: (r["nk"], r["lo"], r["hi"])
-                    for r in df.select(
+                got = {}
+                for r in (
+                    df.select(
                         F.regexp_extract(
-                            F.input_file_name(), dir_pat, 1
+                            F.url_decode(F.input_file_name()), dir_pat, 1
                         ).alias("_dir"),
                         F.col(key).alias("_k"),
                     )
@@ -398,7 +453,15 @@ class SnapshotTable:
                         F.max("_k").alias("hi"),
                     )
                     .collect()
-                }
+                ):
+                    owner = base_of.get(r["_dir"])
+                    if owner is None:  # fail loud, not KeyError-deep-in-merge
+                        raise RuntimeError(
+                            f"table {self.name}: envelope scan could not "
+                            f"attribute file tag {r['_dir']!r} to a data dir "
+                            f"under {self.data_dir!r}"
+                        )
+                    got[owner] = (r["nk"], r["lo"], r["hi"])
                 for d in missing:
                     nk, lo, hi = got.get(d, (0, None, None))
                     if nk == 0:
@@ -752,26 +815,10 @@ class SnapshotTable:
         checks cannot interleave; a lock older than 10 s is treated as
         a crashed holder and broken (single-host scope — a shared
         object store would use a conditional PUT instead)."""
-        import time
-
         if version not in self._versions():
             raise ValueError(f"table {self.name}: no snapshot v{version}")
         lock = self._refs_path() + ".lock"
-        fd = None
-        for _ in range(2000):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > 10.0:
-                        os.unlink(lock)  # crashed holder
-                        continue
-                except OSError:
-                    continue  # holder released between check and stat
-                time.sleep(0.002)
-        if fd is None:
-            raise TimeoutError(f"table {self.name}: refs lock busy")
+        fd = _acquire_excl_lock(lock, f"table {self.name} refs")
         try:
             refs = self.refs()
             if expect is not SnapshotTable._REF_UNSET and refs.get(name) != expect:
@@ -817,6 +864,9 @@ class SnapshotTable:
                 df.schema.json(),
                 spec=spec,
                 dir_specs=self._dir_specs(pmeta) + [spec],
+                # parent dirs ride by reference ⇒ so must the parent's
+                # MOR delete files (same hazard as evolve_partitioning)
+                delete_dirs=pmeta.get("delete_dirs", []),
                 # a lost publish race only needs the next free version slot:
                 # this snapshot's dirs are parented to the BRANCH REF,
                 # not the global latest, so re-sequencing can never
@@ -2020,13 +2070,6 @@ class BloomIndex:
         blob_root = os.path.join(
             self.table.meta_dir, f"bloom_{self.key}_v{meta['version']:05d}"
         )
-        # superseded blob sets from earlier builds of this key are dead
-        # weight (the sidecar below points only at blob_root) — reclaim
-        prefix = f"bloom_{self.key}_v"
-        for old in os.listdir(self.table.meta_dir):
-            full = os.path.join(self.table.meta_dir, old)
-            if old.startswith(prefix) and full != blob_root and os.path.isdir(full):
-                shutil.rmtree(full, ignore_errors=True)
         os.makedirs(blob_root, exist_ok=True)
         index: dict[str, dict] = {}
         if dirs:
@@ -2038,18 +2081,30 @@ class BloomIndex:
             # long before the 10k-file design point. Dir basenames are
             # unique by construction (uuid-suffixed in _write_data).
             base_of = {os.path.basename(d): d for d in dirs}
+            # url_decode before matching: input_file_name() is a
+            # percent-encoded URI (same hazard as _ensure_key_envelopes)
             dir_pat = _re.escape(self.table.data_dir.rstrip("/")) + "/([^/]+)/"
             tagged = self.table._read_dirs(dirs, merge_schema=True).select(
-                F.regexp_extract(F.input_file_name(), dir_pat, 1).alias("_dir"),
+                F.regexp_extract(
+                    F.url_decode(F.input_file_name()), dir_pat, 1
+                ).alias("_dir"),
                 F.col(self.key).alias("_k"),
             ).persist()  # sizing pass + bit pass share one scan
             try:
-                counts = {
-                    base_of[r["_dir"]]: r["n"]
-                    for r in tagged.groupBy("_dir")
+                counts = {}
+                for r in (
+                    tagged.groupBy("_dir")
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
-                }
+                ):
+                    owner = base_of.get(r["_dir"])
+                    if owner is None:
+                        raise RuntimeError(
+                            f"bloom build for {self.table.name}.{self.key}: "
+                            f"cannot attribute file tag {r['_dir']!r} to a "
+                            f"data dir under {self.table.data_dir!r}"
+                        )
+                    counts[owner] = r["n"]
                 ms = {d: _bloom_bits_for(counts.get(d, 0)) for d in dirs}
                 # per-dir bitset size joins in as a broadcast (dir, m)
                 # table — a create_map literal would put 2·|dirs| literals
@@ -2114,6 +2169,16 @@ class BloomIndex:
         with open(tmp, "w") as f:
             json.dump({"key": self.key, "version": meta["version"], "dirs": index}, f)
         os.rename(tmp, self.path)
+        # Reclaim superseded blob sets only AFTER the sidecar swap:
+        # deleting them first would break a reader that already opened
+        # the still-current sidecar (its blob paths point at the old
+        # dir), and a mid-build failure would leave NO usable index at
+        # all instead of the previous good one.
+        prefix = f"bloom_{self.key}_v"
+        for old in os.listdir(self.table.meta_dir):
+            full = os.path.join(self.table.meta_dir, old)
+            if old.startswith(prefix) and full != blob_root and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
         return len(index)
 
     @staticmethod
@@ -2327,24 +2392,8 @@ class Catalog:
         base state from — if any of those pins moved, the publish is
         REFUSED (CommitConflictError) so the caller re-reads, re-stages,
         and retries (Nessie/Iceberg-REST commit semantics)."""
-        import time
-
         lock = self.path + ".lock"
-        fd = None
-        for _ in range(2000):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > 10.0:
-                        os.unlink(lock)  # crashed holder
-                        continue
-                except OSError:
-                    continue
-                time.sleep(0.002)
-        if fd is None:
-            raise TimeoutError(f"catalog {self.path}: lock busy")
+        fd = _acquire_excl_lock(lock, f"catalog {self.path}")
         try:
             pins = self.pins()
             if expect is not None:

@@ -152,3 +152,46 @@ def test_bucketed_row_number_constant_no_tiebreak_stays_bucketed(spark):
     m1 = {r["id"]: r["_rn"] for r in out.collect()}
     m2 = {r["id"]: r["_rn"] for r in out2.collect()}
     assert m1 == m2
+
+
+@pytest.fixture(scope="module")
+def hour_sparse_sf_dir(tmp_path_factory):
+    """Users active in DISJOINT single hours: the oracle's sparse
+    shared-hour equi-join emits no pair at all for them, while a naive
+    dense zero-filled profile join would emit cos=0 rows — pair
+    MEMBERSHIP, not just values, must match."""
+    d = str(tmp_path_factory.mktemp("hour_sparse_sf"))
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            -- u1: hour 1 only; u2: hour 2 only (disjoint from u1);
+            -- u3: hours 1 and 2 (shares one hour with each)
+            SELECT 1::BIGINT AS event_id, TIMESTAMP '2024-01-05 01:00:00' AS ts,
+                   1::BIGINT AS user_id, 'click' AS event_type, 10.0 AS value, '{{}}' AS props
+            UNION ALL SELECT 2, TIMESTAMP '2024-01-06 01:30:00', 1, 'click', 30.0, '{{}}'
+            UNION ALL SELECT 3, TIMESTAMP '2024-01-05 02:00:00', 2, 'click', 5.0, '{{}}'
+            UNION ALL SELECT 4, TIMESTAMP '2024-01-05 01:15:00', 3, 'click', 7.0, '{{}}'
+            UNION ALL SELECT 5, TIMESTAMP '2024-01-05 02:45:00', 3, 'click', 2.0, '{{}}'
+        ) TO '{os.path.join(d, "events.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return d
+
+
+def test_profile_similarity_hour_disjoint_pairs(spark, hour_sparse_sf_dir):
+    spec = _SPECS["user_profile_similarity"]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(hour_sparse_sf_dir, 'events.parquet')}')"
+    )
+    df = spec.fn(spark, hour_sparse_sf_dir)
+    rows = {(r.user_id, r.peer_id) for r in df.collect()}
+    # u1-u2 share no hour: the pair must be ABSENT in both engines
+    assert (1, 2) not in rows and (2, 1) not in rows
+    assert (1, 3) in rows and (3, 2) in rows
+    assert_parity(df, con, spec.oracle, name="user_profile_similarity[sparse]")
+    con.close()

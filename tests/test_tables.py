@@ -954,3 +954,65 @@ def test_table_lifecycle_model_based_seeded(spark):
             want_v = set(history[v - 1].items())
             assert got_v == want_v, (trial, op, v, got_v ^ want_v)
         t.drop()
+
+
+def test_reference_carrying_commits_keep_mor_deletes(spark):
+    """Every commit that carries the parent's data dirs BY REFERENCE
+    must also carry the parent's MOR delete files — append_checked,
+    evolve_partitioning, and branch_append each used to drop them,
+    silently resurrecting MOR-deleted rows at the next read."""
+    t = SnapshotTable(spark, "t_refcarry_mor_unit")
+    t.drop()
+    t.create(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"))
+    t.delete_where_mor(F.col("k") == 2, key="k")
+    assert t.read().filter(F.col("k") == 2).count() == 0
+
+    t.append_checked(spark.createDataFrame([(4, "d")], "k int, v string"))
+    assert t.read().filter(F.col("k") == 2).count() == 0, (
+        "append_checked dropped MOR delete files"
+    )
+
+    t.evolve_partitioning(["v"])
+    assert t.read().filter(F.col("k") == 2).count() == 0, (
+        "evolve_partitioning dropped MOR delete files"
+    )
+
+    t.set_ref("dev", t.current_version())
+    t.branch_append("dev", spark.createDataFrame([(5, "e")], "k int, v string"))
+    assert t.read_ref("dev").filter(F.col("k") == 2).count() == 0, (
+        "branch_append dropped MOR delete files"
+    )
+    assert t.read_ref("dev").count() == 4  # 1,3,4,5 — not the deleted 2
+    t.drop()
+
+
+def test_stale_lock_breaking_is_race_safe(tmp_path):
+    """A stale lock is recovered via atomic rename (one breaker wins);
+    a breaker that loses the rename must NOT delete the new holder's
+    fresh lock — plain unlink-on-stale allowed two concurrent holders."""
+    import os
+    import time
+
+    from empdia_iceberg_spark.tables.manager import _acquire_excl_lock
+
+    lock = str(tmp_path / "refs.json.lock")
+    # crashed holder: lock exists with an old mtime
+    with open(lock, "w"):
+        pass
+    old = time.time() - 60
+    os.utime(lock, (old, old))
+    fd = _acquire_excl_lock(lock, "test")  # breaks the stale lock
+    assert os.path.exists(lock)
+    os.close(fd)
+    # the lock is now FRESH (held): a second caller must wait/time out,
+    # never break it — and the holder's lockfile must survive the attempt
+    t0 = time.time()
+    with pytest.raises(TimeoutError):
+        _acquire_excl_lock(lock, "test2", attempts=20, sleep_s=0.001)
+    assert os.path.exists(lock), "fresh lock was deleted by a waiter"
+    assert time.time() - t0 < 5
+    os.unlink(lock)
+    # and a free lock acquires immediately
+    fd2 = _acquire_excl_lock(lock, "test3")
+    os.close(fd2)
+    os.unlink(lock)
