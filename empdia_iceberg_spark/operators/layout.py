@@ -118,6 +118,22 @@ _SQL_DAYS = "date_diff('day', DATE '1970-01-01', o_orderdate)"
     "the oracle's identical Morton arithmetic.",
 )
 def table_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyed, out = _zorder_frame(spark, sf_dir)
+    # Materialize the Z_FILES-row summary eagerly so the persisted
+    # keyed projection can be RELEASED before returning — otherwise
+    # every invocation leaks a cache entry into the block manager for
+    # the session's lifetime (same residue discipline as pagerank's
+    # edge_w.unpersist()). Plan-shape tests assert on _zorder_frame,
+    # whose lazy plan the checkpoint would otherwise hide.
+    out = out.localCheckpoint().orderBy("file_bucket")
+    keyed.unpersist()
+    return out
+
+
+def _zorder_frame(spark: SparkSession, sf_dir: str):
+    """The lazy (un-checkpointed) zorder plan: returns (keyed, summary)
+    where `keyed` is the persisted slim projection the caller must
+    unpersist after materializing `summary`."""
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -164,13 +180,5 @@ def table_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_odays",
             "max_odays",
         )
-        # Materialize the Z_FILES-row summary eagerly so the persisted
-        # keyed projection can be RELEASED before returning — otherwise
-        # every invocation leaks a cache entry into the block manager
-        # for the session's lifetime (same residue discipline as
-        # pagerank's edge_w.unpersist()).
-        .localCheckpoint()
-        .orderBy("file_bucket")
     )
-    keyed.unpersist()
-    return out
+    return keyed, out

@@ -234,8 +234,16 @@ def test_span_dedup_shuffles_on_span_then_doc(spark):
 def test_zorder_no_global_window_and_broadcast_mins(spark):
     """table_zorder_layout must order via the bucketed row-number path
     (no single-partition window) and attach the 1-row mins aggregate
-    with a broadcast join, not a shuffle."""
-    plan = _plan(spark, "table_zorder_layout")
+    with a broadcast join, not a shuffle. The registered query eagerly
+    checkpoints (to release its cache entry), which truncates the
+    visible plan — assert on the lazy _zorder_frame instead."""
+    from empdia_iceberg_spark.operators.layout import _zorder_frame
+
+    keyed, out = _zorder_frame(spark, SF_DIR)
+    out.collect()  # AQE: the final plan exists post-run
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    keyed.unpersist()
     for line in plan.splitlines():
         s = line.strip()
         if s.startswith("+- Window") or s.startswith("Window"):
