@@ -104,9 +104,16 @@ _SWEEP_PRIORITY = [
     "doc_dup_ngram_fraction",  # r7: word_shingles rewrite
     "curation_pipeline",  # r7: word_shingles rewrite
     "curation_funnel_counts",  # r7: word_shingles rewrite
-    # --- never swept (driver takes first ~50: 16 changed above — two of
-    # which are themselves never-swept — + ~33 of these; the rest queue
-    # in order for the round-8 rotation to retire fully)
+    # r7 late session: review-pass fixes — changed code re-earns its row
+    "anova_acctbal_segments",  # r7: exact-decimal grand total (was never-swept)
+    "ks_acctbal_two_sample",  # r7: one-pass bucketed_prefix_sums (was never-swept)
+    "lineitem_corr_matrix",  # r7: localCheckpoint replaces leaked persist
+    "events_mad_outliers",  # r7: localCheckpoint replaces leaked persist
+    "stream_tumbling_hourly",  # r7: shared normalize_event_ts chokepoint
+    "stream_watermark_late_drop",  # r7: uuid feed/ckpt paths + normalize_event_ts
+    # --- never swept (driver takes first ~50: 22 changed above — four
+    # of which are themselves never-swept — + ~28 of these; the rest
+    # queue in order for the round-8 rotation to retire fully)
     "kmv_distinct_orders",  # never
     "kmv_set_overlap",  # never
     "doc_tfidf_top_terms",  # never
@@ -138,10 +145,7 @@ _SWEEP_PRIORITY = [
     "orders_var_cvar",  # never
     "ab_sprt_trace",  # never
     "ab_test_conversion",  # never
-    "anova_acctbal_segments",  # never
-    "ks_acctbal_two_sample",  # never
     "ols_by_returnflag",  # never
-    "lineitem_corr_matrix",  # never
     "mi_events_type_hour",  # never
     "weighted_quantiles_quantity",  # never
     "quantile_transform_acctbal",  # never
@@ -265,10 +269,8 @@ _SWEEP_PRIORITY = [
     "table_snapshot_lifecycle",  # r3
     "table_expire_compact",  # r3
     "table_schema_evolution",  # r3
-    "stream_tumbling_hourly",  # r3
     "stream_sliding_2h_1h",  # r3
     "stream_session_window",  # r3
-    "stream_watermark_late_drop",  # r3
     "stream_dedup_events",  # r3
     "stream_dedup_bounded_state",  # r3
     "stream_continuous_aggregate",  # r3
@@ -318,7 +320,6 @@ _SWEEP_PRIORITY = [
     "ols_quantity_price",  # r5
     "chi2_events_type_dow",  # r5
     "welch_t_acctbal_segments",  # r5
-    "events_mad_outliers",  # r5
     "events_survival_km",  # r5
     "events_impute_value",  # r5
     "events_target_encode_loo",  # r5

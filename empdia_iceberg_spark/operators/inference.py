@@ -234,9 +234,14 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = events.crossJoin(F.broadcast(med)).select(
         "value", "med", F.abs(F.col("value") - F.col("med")).alias("d")
     )
+    # localCheckpoint, not persist: the 1-row aggregate is reused by the
+    # threshold count AND the final select, but a persist() here is
+    # never unpersisted — each invocation would pin a cache entry for
+    # the session's lifetime. The checkpointed blocks are released with
+    # the DataFrame by GC.
     mad = dev.agg(
         F.first("med").alias("med"), F.percentile("d", F.lit(0.5)).alias("mad")
-    ).persist()  # 1 row, reused for the threshold count
+    ).localCheckpoint()
     outliers = (
         dev.crossJoin(F.broadcast(mad.select(F.col("mad").alias("m2"))))
         .filter(F.col("d") > 3.0 * 1.4826 * F.col("m2"))
@@ -517,7 +522,13 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, a in enumerate(_CORR_COLS):
         for b in _CORR_COLS[i:]:
             aggs.append(F.sum(dec[a] * dec[b]).cast("double").alias(f"s_{a}_{b}"))
-    m = li.agg(*aggs)
+    # the 1-row moment aggregate is reused by all 6 union branches:
+    # materialize it ONCE eagerly (localCheckpoint) so the union does
+    # not replicate the lineitem scan per pair. Not persist(): a
+    # persist here is never unpersisted, so each invocation would pin a
+    # cache entry for the session's lifetime; checkpointed blocks are
+    # released with the DataFrame by GC.
+    m = li.agg(*aggs).localCheckpoint()
     rows = None
     for i, a in enumerate(_CORR_COLS):
         for b in _CORR_COLS[i + 1 :]:
@@ -527,9 +538,6 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 det_round(F.expr(_corr_expr(a, b)), 6).alias("corr"),
             )
             rows = r if rows is None else rows.unionByName(r)
-    # the 1-row moment aggregate is reused by all 6 outputs: cache it so
-    # the union does not replicate the lineitem scan per pair
-    m.persist()
     return rows.orderBy("var_a", "var_b")
 
 
@@ -1063,14 +1071,18 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT c_mktsegment,
                CAST(count(*) AS DOUBLE) AS n,
+               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s_dec,
                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s,
                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
                         * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS ss
         FROM customer GROUP BY c_mktsegment
     ),
     tot AS (
+        -- grand total from the EXACT decimal group sums (one double
+        -- conversion): sum(s) over double group sums is order-dependent
+        -- and can differ between engines by an ulp
         SELECT CAST(count(*) AS DOUBLE) AS k,
-               sum(n) AS n, sum(s) AS s
+               sum(n) AS n, CAST(sum(s_dec) AS DOUBLE) AS s
         FROM g
     ),
     parts AS (
@@ -1099,13 +1111,19 @@ def anova_acctbal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("c_acctbal").cast("decimal(18,2)")
     g = cust.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d).alias("s_dec"),  # exact decimal, for the grand total
         F.sum(d).cast("double").alias("s"),
         F.sum(d * d).cast("double").alias("ss"),
     )
+    # Grand total from the exact decimal group sums, one double
+    # conversion: F.sum over the double group sums would add them in
+    # partial-aggregation order while the oracle adds them in scan
+    # order — double addition is order-dependent, so the two can differ
+    # by an ulp and flip the det_round grid (exact.py discipline).
     tot = g.agg(
         F.count(F.lit(1)).cast("double").alias("k"),
         F.sum("n").alias("tn"),
-        F.sum("s").alias("ts"),
+        F.sum("s_dec").cast("double").alias("ts"),
     )
     gm = F.col("ts") / F.col("tn")
     parts = g.crossJoin(F.broadcast(tot)).agg(
@@ -1164,12 +1182,13 @@ def anova_acctbal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AUTOMOBILE and BUILDING balance distributions: D = max |F1−F2| "
     "evaluated at every distinct pooled value. The empirical CDFs "
     "come from bucketed prefix sums over the value-grain (value, "
-    "count-per-group) rollup — `scale.bucketed_prefix_sum` twice, "
-    "never a single-partition window — and D is a max over exact "
+    "count-per-group) rollup — ONE `scale.bucketed_prefix_sums` pass "
+    "for both CDFs (shared boundaries, shared window), never a "
+    "single-partition window — and D is a max over exact "
     "integer-ratio differences ⇒ hash-green distribution comparison.",
 )
 def ks_acctbal_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from empdia_iceberg_spark.operators.scale import bucketed_prefix_sum
+    from empdia_iceberg_spark.operators.scale import bucketed_prefix_sums
 
     cust = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
@@ -1183,8 +1202,10 @@ def ks_acctbal_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d2"),
     )
     tot = byv.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
-    cum = bucketed_prefix_sum(byv, "v", "d1", out_col="c1")
-    cum = bucketed_prefix_sum(cum, "v", "d2", out_col="c2")
+    # one pass for BOTH cumulative CDFs: shared quantile probe, shared
+    # bucketing, shared window (two sequential bucketed_prefix_sum calls
+    # would re-scan for boundaries and could even bucket differently)
+    cum = bucketed_prefix_sums(byv, "v", {"c1": "d1", "c2": "d2"})
     d = F.abs(
         F.col("c1").cast("double") / F.col("n1").cast("double")
         - F.col("c2").cast("double") / F.col("n2").cast("double")

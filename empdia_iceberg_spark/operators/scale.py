@@ -221,6 +221,26 @@ def bucketed_prefix_sum(
     Rows equal to a bucket boundary land in one bucket, so the
     cross-bucket order is total; ties inside a bucket follow the
     tiebreaks, exactly like the row-number variant."""
+    return bucketed_prefix_sums(
+        df, order_col, {out_col: value_col}, tiebreaks=tiebreaks, buckets=buckets
+    )
+
+
+def bucketed_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    specs: dict,
+    tiebreaks: tuple[str, ...] = (),
+    buckets: int = 64,
+) -> DataFrame:
+    """Multi-column `bucketed_prefix_sum`: ``specs`` maps out_col →
+    value_col; every cumulative column shares ONE quantile probe, ONE
+    bucket assignment, ONE per-bucket stats collect, and ONE window —
+    callers needing several running sums over the same ordering (the KS
+    two-sample CDFs, for instance) would otherwise re-run the
+    approxQuantile scan and the driver round-trip per column, and the
+    two passes' independently-sampled boundaries could even bucket the
+    table differently."""
     qs = [i / buckets for i in range(1, buckets)]
     probe = df.withColumn("_ord_d", F.col(order_col).cast("double"))
     bounds = sorted(set(probe.approxQuantile("_ord_d", qs, 0.001)))
@@ -228,27 +248,33 @@ def bucketed_prefix_sum(
     for b in bounds:
         bucket = bucket + F.when(F.col(order_col).cast("double") > F.lit(b), 1).otherwise(0)
     bdf = df.withColumn("_bkt", bucket)
-    stats = {
-        r["_bkt"]: r["s"]
-        for r in bdf.groupBy("_bkt").agg(F.sum(value_col).alias("s")).collect()
-    }
-    offsets, acc = {}, None
-    for b in sorted(stats):
-        offsets[b] = acc  # None => zero offset (first bucket)
-        acc = stats[b] if acc is None else acc + stats[b]
-    off_items = [(b, o) for b, o in offsets.items() if o is not None]
+    stats_rows = bdf.groupBy("_bkt").agg(
+        *[F.sum(v).alias(f"_s_{o}") for o, v in specs.items()]
+    ).collect()
     w = (
         W.partitionBy("_bkt")
         .orderBy(order_col, *tiebreaks)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    within = F.sum(value_col).over(w)
-    if off_items:
-        off_map = F.create_map(*[F.lit(x) for b, o in off_items for x in (b, str(o))])
-        # offsets travel as exact decimal strings → cast back, never double
-        offset = F.coalesce(
-            off_map[F.col("_bkt")].cast(dict(df.dtypes)[value_col]), F.lit(0)
-        )
-    else:
-        offset = F.lit(0)
-    return bdf.withColumn(out_col, within + offset).drop("_bkt")
+    dtypes = dict(df.dtypes)
+    out = bdf
+    for out_col, value_col in specs.items():
+        stats = {r["_bkt"]: r[f"_s_{out_col}"] for r in stats_rows}
+        offsets, acc = {}, None
+        for b in sorted(stats):
+            offsets[b] = acc  # None => zero offset (first bucket)
+            acc = stats[b] if acc is None else acc + stats[b]
+        off_items = [(b, o) for b, o in offsets.items() if o is not None]
+        within = F.sum(value_col).over(w)
+        if off_items:
+            off_map = F.create_map(
+                *[F.lit(x) for b, o in off_items for x in (b, str(o))]
+            )
+            # offsets travel as exact decimal strings → cast back, never double
+            offset = F.coalesce(
+                off_map[F.col("_bkt")].cast(dtypes[value_col]), F.lit(0)
+            )
+        else:
+            offset = F.lit(0)
+        out = out.withColumn(out_col, within + offset)
+    return out.drop("_bkt")

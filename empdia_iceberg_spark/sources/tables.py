@@ -57,7 +57,17 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path_for(sf_dir, "events"))
+    return normalize_event_ts(spark.read.parquet(path_for(sf_dir, "events")))
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Shared ts-dtype dispatch for BOTH the batch loader above and the
+    streaming reader (streaming/windows._events_stream): one place to
+    extend if a new physical ts encoding appears in future testdata
+    generations — a divergence here would silently feed wrong event
+    times to every watermark/window query on one of the two paths."""
+    from pyspark.sql import functions as F
+
     ts_type = dict(df.dtypes).get("ts")
     if ts_type in ("bigint", "long"):
         # integer division: epoch-nanos overflow double's 53-bit mantissa,

@@ -250,3 +250,7 @@ def stream_conversation_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if prev:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            # previously UNSET: restore that, don't leave RocksDB pinned
+            # session-wide for every later streaming query
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -49,16 +49,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type in ("bigint", "long"):
-        # integer division (see sources.tables._load_events): float
-        # division of epoch-nanos rounds some timestamps by ±1 µs
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # timestamp[us] parquet → Spark 4 infers NTZ; watermarks/windows
-        # downstream expect LTZ (session zone pinned UTC — identical values)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    # shared dtype dispatch with the batch loader — the two paths must
+    # never diverge on how event time is decoded
+    from empdia_iceberg_spark.sources.tables import normalize_event_ts
+
+    return normalize_event_ts(stream)
 
 
 # Per-micro-batch StreamingQueryProgress of the most recent
@@ -320,8 +315,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     cutoff = "2024-01-30 00:00:00"
-    feed = os.path.join(_WORK_ROOT, "late_feed")
-    ckpt = os.path.join(_WORK_ROOT, "late_ckpt")
+    # uuid-suffixed like every other streaming scaffold here: fixed
+    # paths would let a concurrent invocation clobber a LIVE checkpoint
+    run_id = uuid.uuid4().hex[:8]
+    feed = os.path.join(_WORK_ROOT, f"late_feed_{run_id}")
+    ckpt = os.path.join(_WORK_ROOT, f"late_ckpt_{run_id}")
     shutil.rmtree(feed, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     onm = ev.filter(F.col("ts") < cutoff)
@@ -361,6 +359,7 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(feed, ignore_errors=True)  # uuid dirs never reused
     return local_df(
         spark,
         [(int(phase1), int(phase2), int(total_emitted))],
