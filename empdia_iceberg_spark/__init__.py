@@ -78,12 +78,12 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # but changed code must re-earn its DRIVER row the round it changes;
 # rule 1 below outranks debt retirement); THEN all 76 still-never-swept
 # names in the kernels-before-plain-SQL order tools/next_sweep.py
-# emits. With ~16 changed entries the 50-cap reaches ~34 deep into the
-# never-swept block (the two names changed in r7 that were ALSO
-# never-swept — doc_decontaminate, curation_funnel_counts — appear
-# once, in the changed block), leaving ~42 — still fully retirable
-# inside round 8's single 50-query rotation, one round later than the
-# r6 plan.
+# emits. With 27 changed entries the 50-cap reaches ~23 deep into the
+# never-swept block (the four names changed in r7 that were ALSO
+# never-swept — anova, ks, doc_decontaminate, curation_funnel_counts —
+# appear once, in the changed block), retiring ~27 of the 76 and
+# leaving ~49 — still fully retirable inside round 8's single 50-query
+# rotation, one round later than the r6 plan.
 _SWEEP_PRIORITY = [
     # --- changed in r7: MUST be swept this round (changed-code-first)
     "table_merge_pruned",  # r7: OCC expect_parent + dup-key guard
@@ -111,8 +111,21 @@ _SWEEP_PRIORITY = [
     "events_mad_outliers",  # r7: localCheckpoint replaces leaked persist
     "stream_tumbling_hourly",  # r7: shared normalize_event_ts chokepoint
     "stream_watermark_late_drop",  # r7: uuid feed/ckpt paths + normalize_event_ts
-    # --- never swept (driver takes first ~50: 22 changed above — four
-    # of which are themselves never-swept — + ~28 of these; the rest
+    # r7 late session: the reference-carrying-commit MOR fix, ref CAS,
+    # stale-lock rename-breaking, and catalog publish serialization all
+    # live in tables/manager.py paths these five exercise — their green
+    # r06 rows predate the change, so they re-earn rows now.
+    # (spearman_qty_price's only r7 delta is bucketed_prefix_sum's
+    # mechanical delegation to bucketed_prefix_sums; that helper earns
+    # fresh rows via mannwhitney + ks above, so spearman keeps its
+    # green r06 row and a never-swept slot instead.)
+    "table_concurrent_appends",  # r7: append_checked carries MOR delete_dirs + orphan cleanup
+    "table_partition_evolution",  # r7: evolve_partitioning carries MOR delete_dirs
+    "table_wap_publish",  # r7: branch_append carries MOR delete_dirs
+    "table_branch_merge",  # r7: ref compare-and-swap + rename-breaking stale locks
+    "catalog_multi_table_txn",  # r7: serialized catalog publish + txn pin conflicts
+    # --- never swept (driver takes first ~50: 27 changed above — four
+    # of which are themselves never-swept — + ~23 of these; the rest
     # queue in order for the round-8 rotation to retire fully)
     "kmv_distinct_orders",  # never
     "kmv_set_overlap",  # never
@@ -296,8 +309,6 @@ _SWEEP_PRIORITY = [
     "events_time_to_convert",  # r5
     "doc_sample_per_lang",  # r5
     "curation_pipeline",  # r5
-    "table_partition_evolution",  # r5
-    "table_wap_publish",  # r5
     "stream_stream_left_join",  # r5
     "stream_restart_recovery",  # r5
     "events_ewma16_user",  # r5
@@ -326,10 +337,7 @@ _SWEEP_PRIORITY = [
     "spearman_qty_price",  # r6
     "table_mor_deletes",  # r6
     "table_history_audit",  # r6
-    "table_concurrent_appends",  # r6
-    "table_branch_merge",  # r6
     "table_changelog_emit",  # r6
-    "catalog_multi_table_txn",  # r6
     "cdc_log_compaction",  # r6
     "table_crypto_shred",  # r6
     "mv_incremental_refresh",  # r6
