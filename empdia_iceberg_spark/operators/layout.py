@@ -35,17 +35,18 @@ Z_BITS = 21  # per dimension: 2M distinct values — headroom beyond sf100
 Z_FILES = 16  # target file buckets for the layout
 
 
-def _spread_bits(x):
-    """Spread the low 21 bits of a non-negative bigint column so bit i
-    lands at position 2i — the standard part1by1 mask-shift cascade
-    (binary magic numbers; public-domain bit-twiddling identity used by
-    every Morton library). 5 shift+or+and steps instead of a 2·bits-term
-    sum: the per-bit formulation built an 84-node expression tree whose
-    Catalyst analysis/optimization alone cost ~3 s PER JOB on the
-    driver corpus; this tree is ~30 nodes and constant in ``bits``.
-    All masks and intermediates stay within positive int64 (top bit of
-    a 21-bit input reaches position 40 before the final step)."""
-    x = x.bitwiseAND(F.lit(0x1FFFFF))
+def _spread_bits(x, bits: int):
+    """Spread the low ``bits`` bits of a non-negative bigint column so
+    bit i lands at position 2i — the standard 64-bit part1by1
+    mask-shift cascade (binary magic numbers; public-domain
+    bit-twiddling identity used by every Morton library). 5
+    shift+or+and steps instead of a 2·bits-term sum: the per-bit
+    formulation built an 84-node expression tree whose Catalyst
+    analysis/optimization alone cost ~3 s PER JOB on the driver
+    corpus; this tree is ~30 nodes and constant in ``bits``. The
+    cascade is exact for any bits ≤ 31 (callers validate), keeping
+    every interleaved position ≤ 62 — inside positive int64."""
+    x = x.bitwiseAND(F.lit((1 << bits) - 1))
     x = x.bitwiseOR(F.shiftleft(x, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
     x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
     x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
@@ -59,13 +60,17 @@ def morton_spark(x: str, y: str, bits: int = Z_BITS):
     at position 2i, bit i of ``y`` at 2i+1. Pure built-in expressions —
     stays inside whole-stage codegen. Value-identical to the per-bit
     oracle formula `morton_sql` (property-tested in tests)."""
-    xs = _spread_bits(F.expr(x).cast("bigint"))
-    ys = _spread_bits(F.expr(y).cast("bigint"))
+    if not 1 <= bits <= 31:
+        raise ValueError(f"morton_spark: bits must be in [1, 31], got {bits}")
+    xs = _spread_bits(F.expr(x).cast("bigint"), bits)
+    ys = _spread_bits(F.expr(y).cast("bigint"), bits)
     return xs.bitwiseOR(F.shiftleft(ys, 1))
 
 
 def morton_sql(x: str, y: str, bits: int = Z_BITS) -> str:
     """DuckDB mirror of `morton_spark` (same bit placement)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"morton_sql: bits must be in [1, 31], got {bits}")
     terms = []
     for i in range(bits):
         terms.append(f"((({x} >> {i}) & 1) << {2 * i})")

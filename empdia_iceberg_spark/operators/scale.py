@@ -52,6 +52,7 @@ def bucketed_global_row_number(
     bounds = sorted(set(df.approxQuantile(order_col, qs, 0.001)))
 
     sub_col = None
+    synthesized = False
     if len(bounds) < max(2, buckets // 8):
         nd = df.agg(F.approx_count_distinct(order_col).alias("nd")).collect()[0]["nd"]
         if nd > buckets * 4:
@@ -78,9 +79,16 @@ def bucketed_global_row_number(
                 if dict(df.dtypes).get(c)
                 in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
             ]
+            # xxhash64 rejects MapType anywhere in an input's type (maps
+            # have no canonical element order), so the synthesized row
+            # hash feeds only map-free columns; 'map<' in the ddl string
+            # catches maps at any nesting depth.
+            hashable = [
+                c for c, t in df.dtypes if "map<" not in t
+            ]
             if numeric_tb:
                 sub_col = numeric_tb[0]
-            elif not tiebreaks:
+            elif not tiebreaks and hashable:
                 # No declared tiebreaks: tie order is arbitrary by this
                 # function's contract, so synthesize a deterministic
                 # numeric one — xxhash64 over the full row — and
@@ -90,8 +98,11 @@ def bucketed_global_row_number(
                 # DECLARED non-numeric tiebreaks we must not override
                 # the caller's tie order, so that path still warns.)
                 sub_col = "_syn_tb"
+                while sub_col in df.columns:  # never clobber a user column
+                    sub_col += "_"
+                synthesized = True
                 df = df.withColumn(
-                    sub_col, F.xxhash64(*[F.col(c) for c in df.columns])
+                    sub_col, F.xxhash64(*[F.col(c) for c in hashable])
                 )
             else:
                 warnings.warn(
@@ -127,13 +138,13 @@ def bucketed_global_row_number(
         acc += counts[b]
     off_map = F.create_map(*[F.lit(x) for b, o in offsets.items() for x in (b, o)])
     order_cols = [order_col, *tiebreaks]
-    if sub_col == "_syn_tb":
+    if synthesized:
         order_cols.append(sub_col)  # synthesized tiebreak decides ties
     w = W.partitionBy("_bkt").orderBy(*order_cols)
     out = bdf.withColumn(out_col, F.row_number().over(w) + off_map[F.col("_bkt")]).drop(
         "_bkt"
     )
-    if sub_col == "_syn_tb":
+    if synthesized:
         out = out.drop(sub_col)
     return out, n
 

@@ -61,43 +61,32 @@ class CommitConflictError(RuntimeError):
 
 
 def _acquire_excl_lock(
-    lock: str, what: str, stale_after: float = 10.0, attempts: int = 4000,
-    sleep_s: float = 0.005,
+    lock: str, what: str, attempts: int = 4000, sleep_s: float = 0.005,
 ) -> int:
-    """O_EXCL lockfile acquire with race-safe stale-lock recovery.
+    """Kernel-arbitrated exclusive lock on ``lock`` (flock, LOCK_EX).
 
-    Breaking a stale lock by plain unlink is itself racy: two waiters
-    can both judge the lock stale, the first unlinks-and-recreates, and
-    the second's already-decided unlink then deletes the FIRST waiter's
-    fresh lock — two holders in the critical section, exactly the
-    lost-update the lock exists to prevent. Here the breaker RENAMES
-    the stale lock to a unique tombstone first: rename is atomic and
-    fails (FileNotFoundError) for every breaker but one, so at most one
-    waiter removes any given lock incarnation; everyone then re-races
-    the O_EXCL create, which picks a single winner. The wait budget
-    (attempts × sleep_s = 20 s) deliberately exceeds stale_after so a
-    crashed holder is always recovered within one call rather than
-    timing out every caller. Single-host scope — a shared object store
-    would use a conditional PUT instead."""
+    Release = ``os.close(fd)``. Earlier designs used an O_EXCL
+    lockfile with mtime-based stale-break heuristics; every variant of
+    "judge stale, then unlink/rename" is a check-then-act race — a
+    fresh incarnation created between the check and the removal can be
+    destroyed, admitting two holders. flock has no such window: the
+    kernel owns the arbitration, a crashed or killed holder's lock is
+    released with its file descriptors (no staleness heuristic at
+    all), and the lockfile path is NEVER unlinked (unlink+recreate
+    would let one waiter lock the orphaned inode while another locks
+    the new one — two holders again). Single-host scope — a shared
+    object store would use a conditional PUT instead."""
+    import fcntl
     import time
-    import uuid as _uuid
 
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
     for _ in range(attempts):
         try:
-            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(lock) > stale_after:
-                    tomb = f"{lock}.stale.{_uuid.uuid4().hex[:8]}"
-                    try:
-                        os.rename(lock, tomb)  # atomic: one breaker wins
-                        os.unlink(tomb)
-                    except FileNotFoundError:
-                        pass  # another breaker already claimed it
-                    continue
-            except OSError:
-                continue  # holder released between check and stat
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return fd
+        except OSError:
             time.sleep(sleep_s)
+    os.close(fd)
     raise TimeoutError(f"{what}: lock busy")
 
 
@@ -423,16 +412,22 @@ class SnapshotTable:
                 cache = json.load(f)
         missing = [d for d in dirs if d not in cache]
         if missing:
-            import re as _re
-
             base_of = {os.path.basename(d): d for d in missing}
             # input_file_name() is a Hadoop URI — percent-encoded (a
-            # space in the table root arrives as %20), so the raw path
-            # would never match re.escape(data_dir) and every dir would
-            # silently extract as ''. url_decode first; the pattern
-            # stays ROOT-anchored (not parent-of-file) because
-            # partitioned dirs nest _p_<col>=… subdirs under the dir.
-            dir_pat = _re.escape(self.data_dir.rstrip("/")) + "/([^/]+)/"
+            # space in the table root arrives as %20), so matching the
+            # raw path against re.escape(data_dir) would silently
+            # extract '' (and DEcoding is no better: url_decode turns a
+            # legal '+' in the root into a space and throws on a
+            # literal '%'). Match STRUCTURE instead of the root: the
+            # greedy prefix pins the RIGHTMOST '/data/<seg>/' — every
+            # segment right of the true data dir is an engine-generated
+            # s<NNNNN>-<hex> dir, a '_p_<col>=…' partition dir, or the
+            # filename, none of which is ever the literal segment
+            # 'data' (slashes inside partition VALUES stay %2F in raw
+            # space), and those generated names are URL-safe, so the
+            # raw segment equals the basename. Root-anchored-not-parent
+            # because partitioned dirs nest _p_ subdirs under the dir.
+            dir_pat = "^.*/data/([^/]+)/"
             df = self._read_dirs(missing, merge_schema=True)
             if key not in df.columns:
                 for d in missing:
@@ -442,7 +437,7 @@ class SnapshotTable:
                 for r in (
                     df.select(
                         F.regexp_extract(
-                            F.url_decode(F.input_file_name()), dir_pat, 1
+                            F.input_file_name(), dir_pat, 1
                         ).alias("_dir"),
                         F.col(key).alias("_k"),
                     )
@@ -811,9 +806,9 @@ class SnapshotTable:
         (CommitConflictError) if the ref no longer points where the
         caller last read it — the guard that keeps two concurrent
         branch writers from silently dropping each other's commits.
-        The read-modify-write runs under an O_EXCL lockfile so CAS
-        checks cannot interleave; a lock older than 10 s is treated as
-        a crashed holder and broken (single-host scope — a shared
+        The read-modify-write runs under a kernel flock so CAS checks
+        cannot interleave; a crashed holder's lock releases with its
+        process, no staleness heuristic (single-host scope — a shared
         object store would use a conditional PUT instead)."""
         if version not in self._versions():
             raise ValueError(f"table {self.name}: no snapshot v{version}")
@@ -833,8 +828,7 @@ class SnapshotTable:
                 json.dump(refs, f)
             os.rename(tmp, self._refs_path())  # atomic, like snapshot commits
         finally:
-            os.close(fd)
-            os.unlink(lock)
+            os.close(fd)  # releases the flock; the lockfile path stays
 
     def get_ref(self, name: str) -> int:
         refs = self.refs()
@@ -2073,20 +2067,19 @@ class BloomIndex:
         os.makedirs(blob_root, exist_ok=True)
         index: dict[str, dict] = {}
         if dirs:
-            import re as _re
-
             # ONE scan over every data dir with the owning dir recovered
             # from input_file_name() — NOT a |dirs|-way unionByName,
             # whose plan has one scan branch per dir and stops compiling
             # long before the 10k-file design point. Dir basenames are
             # unique by construction (uuid-suffixed in _write_data).
             base_of = {os.path.basename(d): d for d in dirs}
-            # url_decode before matching: input_file_name() is a
-            # percent-encoded URI (same hazard as _ensure_key_envelopes)
-            dir_pat = _re.escape(self.table.data_dir.rstrip("/")) + "/([^/]+)/"
+            # Structural match on the RAW percent-encoded URI — the
+            # rightmost '/data/<seg>/' is always the table's data dir
+            # (rationale + '+'/'%'-in-root hazard: _ensure_key_envelopes)
+            dir_pat = "^.*/data/([^/]+)/"
             tagged = self.table._read_dirs(dirs, merge_schema=True).select(
                 F.regexp_extract(
-                    F.url_decode(F.input_file_name()), dir_pat, 1
+                    F.input_file_name(), dir_pat, 1
                 ).alias("_dir"),
                 F.col(self.key).alias("_k"),
             ).persist()  # sizing pass + bit pass share one scan
@@ -2208,9 +2201,16 @@ class BloomIndex:
             )
         def _contains(entry: dict, probe: list[int]) -> bool:
             if "blob" in entry:  # executor-written packed blob (r7+)
+                # seek to the k probed bytes — reading the whole blob
+                # would make one point lookup O(total index bytes)
+                # (a 10M-key dir's bitmap is ~15 MB; ×10k dirs = GBs)
                 with open(os.path.join(self.table.meta_dir, entry["blob"]), "rb") as f:
-                    buf = f.read()
-                return all(buf[b >> 3] & (1 << (b & 7)) for b in probe)
+                    for b in probe:
+                        f.seek(b >> 3)
+                        byte = f.read(1)
+                        if not byte or not byte[0] & (1 << (b & 7)):
+                            return False
+                return True
             if "bitmap" in entry:  # inline hex bitmap (r6)
                 buf = bytes.fromhex(entry["bitmap"])
                 return all(buf[b >> 3] & (1 << (b & 7)) for b in probe)
@@ -2385,7 +2385,7 @@ class Catalog:
         """Atomically move the catalog to a new table→version mapping
         (merging over current pins). One rename = one transaction.
 
-        The merge runs under an O_EXCL lockfile so two concurrent
+        The merge runs under a kernel flock so two concurrent
         transactions updating DISJOINT tables cannot drop each other's
         pins (read-modify-write race). `expect` adds true transactional
         conflict detection: {table: version} the transaction read its
@@ -2414,8 +2414,7 @@ class Catalog:
                 json.dump(pins, f)
             os.rename(tmp, self.path)
         finally:
-            os.close(fd)
-            os.unlink(lock)
+            os.close(fd)  # releases the flock; the lockfile path stays
 
     def read(self, table: str) -> DataFrame:
         return SnapshotTable(self.spark, table).read(version=self.pins()[table])

@@ -195,3 +195,27 @@ def test_profile_similarity_hour_disjoint_pairs(spark, hour_sparse_sf_dir):
     assert (1, 3) in rows and (3, 2) in rows
     assert_parity(df, con, spec.oracle, name="user_profile_similarity[sparse]")
     con.close()
+
+
+def test_bucketed_row_number_map_column_and_name_collision(spark):
+    """The synthesized xxhash64 tiebreak must (a) skip MapType columns
+    (xxhash64 rejects them — maps have no canonical element order)
+    instead of raising AnalysisException, and (b) never clobber a
+    pre-existing user column named _syn_tb."""
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.operators.scale import bucketed_global_row_number
+
+    df = spark.range(2000).select(
+        F.lit(1).alias("const"),
+        F.col("id"),
+        F.create_map(F.lit("k"), F.col("id")).alias("props"),  # map col
+        (F.col("id") * 10).alias("_syn_tb"),  # collision bait
+    )
+    out, n = bucketed_global_row_number(df, "const", buckets=16)
+    assert n == 2000
+    rows = out.collect()
+    assert sorted(r["_rn"] for r in rows) == list(range(1, 2001))
+    # the user column survives untouched
+    assert all(r["_syn_tb"] == r["id"] * 10 for r in rows)
+    assert all(r["props"] == {"k": r["id"]} for r in rows)

@@ -355,3 +355,52 @@ def test_morton_spread_matches_per_bit_reference(spark):
     )
     for r in df.collect():
         assert r["z"] == py_morton(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_morton_honors_bits_param_and_validates(spark):
+    """morton_spark must honor a non-default ``bits`` (the magic-number
+    cascade previously hardcoded the 21-bit mask, silently diverging
+    from the per-bit morton_sql oracle for values >= 2^21) and both
+    sides must reject bits outside [1, 31] (bit 2*31+1 = 63 is the
+    int64 sign bit)."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.operators.layout import morton_spark, morton_sql
+
+    def py_morton(a: int, b: int, bits: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(7)
+    for bits in (8, 24, 31):
+        top = 2**bits - 1
+        pairs = [(0, 0), (top, top), (top, 0), (0, top)] + [
+            (rng.randrange(0, top + 1), rng.randrange(0, top + 1))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(pairs, "a long, b long").select(
+            "a", "b", morton_spark("a", "b", bits=bits).alias("z")
+        )
+        for r in df.collect():
+            assert r["z"] == py_morton(r["a"], r["b"], bits), (bits, r["a"], r["b"])
+    # DuckDB mirror agrees above 2^21 too
+    import duckdb
+
+    con = duckdb.connect()
+    expr = morton_sql("a", "b", bits=24)
+    a, b = 2**23 + 12345, 2**22 + 678
+    got = con.execute(
+        f"SELECT {expr} FROM (SELECT {a}::BIGINT a, {b}::BIGINT b)"
+    ).fetchone()[0]
+    assert got == py_morton(a, b, 24)
+    for bad in (0, 32, -1):
+        with pytest.raises(ValueError):
+            morton_spark("a", "b", bits=bad)
+        with pytest.raises(ValueError):
+            morton_sql("a", "b", bits=bad)

@@ -986,33 +986,63 @@ def test_reference_carrying_commits_keep_mor_deletes(spark):
     t.drop()
 
 
-def test_stale_lock_breaking_is_race_safe(tmp_path):
-    """A stale lock is recovered via atomic rename (one breaker wins);
-    a breaker that loses the rename must NOT delete the new holder's
-    fresh lock — plain unlink-on-stale allowed two concurrent holders."""
+def test_excl_lock_is_kernel_arbitrated(tmp_path):
+    """The refs/catalog lock is a kernel flock: a held lock blocks every
+    other acquirer (no mtime staleness heuristic a racing waiter could
+    exploit to delete a fresh holder's lock), a crashed holder's lock
+    releases with its process (a leftover lockfile from a dead holder
+    acquires instantly), and release never unlinks the path (unlink +
+    recreate would let two waiters lock different inodes)."""
     import os
     import time
 
     from empdia_iceberg_spark.tables.manager import _acquire_excl_lock
 
     lock = str(tmp_path / "refs.json.lock")
-    # crashed holder: lock exists with an old mtime
+    # crashed holder: the lockFILE survives, but its flock died with the
+    # process — acquisition must be immediate, regardless of mtime
     with open(lock, "w"):
         pass
     old = time.time() - 60
     os.utime(lock, (old, old))
-    fd = _acquire_excl_lock(lock, "test")  # breaks the stale lock
-    assert os.path.exists(lock)
-    os.close(fd)
-    # the lock is now FRESH (held): a second caller must wait/time out,
-    # never break it — and the holder's lockfile must survive the attempt
     t0 = time.time()
+    fd = _acquire_excl_lock(lock, "test")
+    assert time.time() - t0 < 1, "leftover lockfile must not block"
+    # while HELD: a second caller must time out, and the holder's
+    # lockfile must survive the attempt (no unlink anywhere)
     with pytest.raises(TimeoutError):
         _acquire_excl_lock(lock, "test2", attempts=20, sleep_s=0.001)
-    assert os.path.exists(lock), "fresh lock was deleted by a waiter"
-    assert time.time() - t0 < 5
-    os.unlink(lock)
-    # and a free lock acquires immediately
-    fd2 = _acquire_excl_lock(lock, "test3")
+    assert os.path.exists(lock), "held lock was deleted by a waiter"
+    # release = close; the next acquirer gets it immediately
+    os.close(fd)
+    fd2 = _acquire_excl_lock(lock, "test3", attempts=20, sleep_s=0.001)
     os.close(fd2)
-    os.unlink(lock)
+    assert os.path.exists(lock), "release must not unlink the lock path"
+
+
+def test_hostile_table_root_attribution(spark, tmp_path):
+    """Dir attribution must survive table roots containing spaces, '+',
+    and '%': input_file_name() is a percent-encoded URI, and decoding
+    it with url_decode turned '+' into a space (and threw on a literal
+    '%'), breaking every merge and bloom build under such roots. The
+    structural rightmost-'/data/<seg>/' match is encoding-agnostic."""
+    from empdia_iceberg_spark.tables.manager import BloomIndex, SnapshotTable
+
+    root = str(tmp_path / "gcc+clang 7% builds")
+    t = SnapshotTable(spark, "t_hostile_root", root=root)
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.append(spark.createDataFrame([(3, "c"), (4, "d")], "k int, v string"))
+    # merge runs the envelope scan (the attribution path under test)
+    t.merge(
+        spark.createDataFrame([(2, "B"), (9, "z")], "k int, v string"),
+        key="k",
+    )
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "d", 9: "z"}
+    # bloom build shares the same one-scan attribution
+    idx = BloomIndex(t, "k")
+    idx.build()
+    dirs, total = idx.lookup_dirs(3)
+    assert 1 <= len(dirs) <= total
+    assert {r.k for r in idx.read_point(3).collect()} == {3}
+    t.drop()
