@@ -79,11 +79,11 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # rule 1 below outranks debt retirement); THEN all 76 still-never-swept
 # names in the kernels-before-plain-SQL order tools/next_sweep.py
 # emits. With 27 changed entries the 50-cap reaches ~23 deep into the
-# never-swept block (the four names changed in r7 that were ALSO
-# never-swept — anova, ks, doc_decontaminate, curation_funnel_counts —
-# appear once, in the changed block), retiring ~27 of the 76 and
-# leaving ~49 — still fully retirable inside round 8's single 50-query
-# rotation, one round later than the r6 plan.
+# never-swept block (the five names changed in r7 that were ALSO
+# never-swept — anova, ks, lineitem_corr_matrix, doc_decontaminate,
+# curation_funnel_counts — appear once, in the changed block), retiring
+# ~28 of the 76 and leaving ~48 — still fully retirable inside round
+# 8's single 50-query rotation, one round later than the r6 plan.
 _SWEEP_PRIORITY = [
     # --- changed in r7: MUST be swept this round (changed-code-first)
     "table_merge_pruned",  # r7: OCC expect_parent + dup-key guard
@@ -124,7 +124,7 @@ _SWEEP_PRIORITY = [
     "table_wap_publish",  # r7: branch_append carries MOR delete_dirs
     "table_branch_merge",  # r7: ref compare-and-swap + rename-breaking stale locks
     "catalog_multi_table_txn",  # r7: serialized catalog publish + txn pin conflicts
-    # --- never swept (driver takes first ~50: 27 changed above — four
+    # --- never swept (driver takes first ~50: 27 changed above — five
     # of which are themselves never-swept — + ~23 of these; the rest
     # queue in order for the round-8 rotation to retire fully)
     "kmv_distinct_orders",  # never
