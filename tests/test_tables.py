@@ -1046,3 +1046,45 @@ def test_hostile_table_root_attribution(spark, tmp_path):
     assert 1 <= len(dirs) <= total
     assert {r.k for r in idx.read_point(3).collect()} == {3}
     t.drop()
+
+
+def test_excl_lock_crash_recovery_across_processes(tmp_path):
+    """Cross-process flock semantics: a child holding the lock blocks
+    the parent; a child that dies WITHOUT releasing (crash) frees the
+    lock via kernel fd cleanup, so the parent acquires immediately —
+    the property mtime-staleness heuristics only approximated."""
+    import multiprocessing as mp
+    import os
+    import time
+
+    from empdia_iceberg_spark.tables.manager import _acquire_excl_lock
+
+    lock = str(tmp_path / "catalog.json.lock")
+
+    def hold_then_crash(acquired_evt, crash_evt):
+        fd = _acquire_excl_lock(lock, "child")
+        acquired_evt.set()
+        crash_evt.wait(30)
+        os._exit(1)  # simulate a crash: no close, no cleanup handlers
+
+    ctx = mp.get_context("fork")
+    acquired, crash = ctx.Event(), ctx.Event()
+    child = ctx.Process(target=hold_then_crash, args=(acquired, crash))
+    child.start()
+    try:
+        assert acquired.wait(10), "child never acquired"
+        # held by the child: the parent must time out
+        with pytest.raises(TimeoutError):
+            _acquire_excl_lock(lock, "parent", attempts=30, sleep_s=0.005)
+        # child crashes; the kernel releases its flock with the process
+        crash.set()
+        child.join(10)
+        t0 = time.time()
+        fd = _acquire_excl_lock(lock, "parent2")
+        assert time.time() - t0 < 2, "crashed holder's lock not released"
+        os.close(fd)
+    finally:
+        crash.set()
+        if child.is_alive():
+            child.terminate()
+            child.join(5)
