@@ -529,8 +529,9 @@ class SnapshotTable:
                 meta = self._read_meta(cur)
                 deletes = meta.get("delete_dirs", [])
                 spec = meta.get("spec", [])
+                aligned = self._align_source_to_schema(source, meta["schema"])
                 try:
-                    return self._merge_impl(source, key, cur, meta, deletes, spec)
+                    return self._merge_impl(aligned, key, cur, meta, deletes, spec)
                 except CommitConflictError:
                     continue  # re-read the head and rebuild the merge
             raise CommitConflictError(
@@ -538,6 +539,50 @@ class SnapshotTable:
             )
         finally:
             source.unpersist()
+
+    # Iceberg type promotion: the only SOURCE→TABLE assignments a MERGE
+    # may coerce silently (safe widenings). Everything else — including
+    # narrowing bigint→int — is rejected: before this guard a
+    # type-mismatched source wrote files whose parquet types disagreed
+    # with the table schema, and a reader mixing such files with carried
+    # dirs failed with PARQUET_COLUMN_DATA_TYPE_MISMATCH.
+    _SAFE_WIDENINGS = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"), ("float", "double"),
+    }
+
+    def _align_source_to_schema(self, source: DataFrame, schema_json: str) -> DataFrame:
+        """Conform a MERGE source to the table schema (table wins, like
+        Iceberg ``MERGE INTO``): same column set required, safe
+        widenings cast, anything else raises. Also normalizes column
+        ORDER to the table's, so downstream unions are positional-safe."""
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromJson(json.loads(schema_json))
+        tgt = {f.name: f.dataType.simpleString() for f in target.fields}
+        src = dict(source.dtypes)
+        missing = [c for c in tgt if c not in src]
+        extra = [c for c in src if c not in tgt]
+        if missing or extra:
+            raise ValueError(
+                f"table {self.name}: MERGE source columns must match the "
+                f"table schema (missing={missing}, unexpected={extra})"
+            )
+        cols = []
+        for name, ttype in tgt.items():
+            stype = src[name]
+            if stype == ttype:
+                cols.append(F.col(name))
+            elif (stype, ttype) in self._SAFE_WIDENINGS:
+                cols.append(F.col(name).cast(ttype).alias(name))
+            else:
+                raise ValueError(
+                    f"table {self.name}: MERGE source column {name!r} has "
+                    f"type {stype}, not assignable to table type {ttype} "
+                    "(only Iceberg-style safe widenings are coerced)"
+                )
+        return source.select(*cols)
 
     def _merge_impl(
         self,

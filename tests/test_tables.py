@@ -34,7 +34,7 @@ def test_merge_updates_and_inserts(spark, nation):
     t.create(nation.select("n_nationkey", "n_name"))
     source = spark.createDataFrame(
         [(0, "RENAMED"), (999, "NEWLAND")], "n_nationkey int, n_name string"
-    ).select(F.col("n_nationkey").cast("long"), "n_name")
+    )
     t.merge(source, key="n_nationkey")
     rows = {r.n_nationkey: r.n_name for r in t.read().collect()}
     assert rows[0] == "RENAMED"  # matched → updated
@@ -1088,3 +1088,76 @@ def test_excl_lock_crash_recovery_across_processes(tmp_path):
         if child.is_alive():
             child.terminate()
             child.join(5)
+
+
+def test_merge_envelope_attribution_on_partitioned_dirs(spark, nation):
+    """The structural '/data/<seg>/' attribution must recover the
+    snapshot dir (not a nested '_p_<col>=…' hive subdir) when data
+    files sit one level deeper in partitioned dirs — the envelope scan
+    is root-anchored for exactly this layout."""
+    t = SnapshotTable(spark, "t_merge_part_attr")
+    t.drop()
+    t.create(
+        nation.select("n_nationkey", "n_regionkey", "n_name"),
+        partition_by=["n_regionkey"],
+    )
+    t.append(
+        nation.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            "n_regionkey",
+            F.upper("n_name").alias("n_name"),
+        )
+    )
+    src = spark.createDataFrame(
+        [(3, 99, "PATCHED"), (777, 0, "NEWROW")],
+        "n_nationkey int, n_regionkey int, n_name string",
+    )
+    t.merge(src, key="n_nationkey")
+    rows = {r.n_nationkey: (r.n_regionkey, r.n_name) for r in t.read().collect()}
+    assert rows[3] == (99, "PATCHED")  # matched, updated
+    assert rows[777] == (0, "NEWROW")  # inserted
+    assert len(rows) == 2 * nation.count() + 1
+    t.drop()
+
+
+def test_merge_source_schema_validation(spark, nation):
+    """MERGE conforms the source to the TABLE schema (Iceberg MERGE INTO
+    semantics): identical types pass, safe widenings (int source into a
+    bigint column) are cast, narrowings and column-set mismatches raise
+    — previously a bigint source merged into an int table wrote INT64
+    parquet under an int meta schema, and readers mixing those files
+    with carried dirs failed with PARQUET_COLUMN_DATA_TYPE_MISMATCH."""
+    # target with a BIGINT key: an int source widens safely
+    t = SnapshotTable(spark, "t_merge_widen_unit")
+    t.drop()
+    t.create(
+        nation.select(F.col("n_nationkey").cast("bigint").alias("k"), "n_name")
+    )
+    t.merge(
+        spark.createDataFrame([(0, "W"), (888, "X")], "k int, n_name string"),
+        key="k",
+    )
+    rows = {r.k: r.n_name for r in t.read().collect()}
+    assert rows[0] == "W" and rows[888] == "X"
+    assert t.read().schema["k"].dataType.simpleString() == "bigint"
+    t.drop()
+
+    # target with an INT key: a bigint source is a narrowing — rejected
+    t2 = SnapshotTable(spark, "t_merge_narrow_unit")
+    t2.drop()
+    t2.create(nation.select("n_nationkey", "n_name"))  # int key
+    v_before = t2.current_version()
+    with pytest.raises(ValueError, match="not assignable"):
+        t2.merge(
+            spark.createDataFrame([(1, "Y")], "n_nationkey bigint, n_name string"),
+            key="n_nationkey",
+        )
+    assert t2.current_version() == v_before  # nothing committed
+
+    # column-set mismatch is named, not a union error deep inside
+    with pytest.raises(ValueError, match="missing.*unexpected"):
+        t2.merge(
+            spark.createDataFrame([(1, 2)], "n_nationkey int, bogus int"),
+            key="n_nationkey",
+        )
+    t2.drop()
