@@ -258,13 +258,14 @@ class SnapshotTable:
             return self.create(df)
         meta = self._read_meta(cur)
         spec = meta.get("spec", [])
+        df, schema_json = self._align_append_to_schema(df, meta["schema"])
         d = self._write_data(df, spec)
         try:
             return self._commit(
                 "append",
                 meta["dirs"] + [d],
                 cur,
-                df.schema.json(),
+                schema_json,
                 spec=spec,
                 dir_specs=self._dir_specs(meta) + [spec],
                 delete_dirs=meta.get("delete_dirs", []),
@@ -289,13 +290,14 @@ class SnapshotTable:
                 return self.create(df)
             meta = self._read_meta(cur)
             spec = meta.get("spec", [])
-            d = self._write_data(df, spec)
+            aligned, schema_json = self._align_append_to_schema(df, meta["schema"])
+            d = self._write_data(aligned, spec)
             try:
                 return self._commit(
                     "append",
                     meta["dirs"] + [d],
                     cur,
-                    df.schema.json(),
+                    schema_json,
                     spec=spec,
                     dir_specs=self._dir_specs(meta) + [spec],
                     # parent dirs ride by reference ⇒ so must the
@@ -551,6 +553,45 @@ class SnapshotTable:
         ("smallint", "int"), ("smallint", "bigint"),
         ("int", "bigint"), ("float", "double"),
     }
+
+    def _align_append_to_schema(
+        self, df: DataFrame, schema_json: str
+    ) -> tuple[DataFrame, str]:
+        """Conform an APPEND's dataframe to the table schema and compute
+        the evolved schema to commit. Additive evolution stays legal
+        (new columns append to the schema; columns the df omits stay in
+        the schema and read back as NULL for the new files), but a
+        SHARED column must keep the table's type — identical passes,
+        safe widenings cast down to the table type, anything else
+        raises. Before this guard, appending a bigint column onto an
+        int table wrote INT64 files next to INT32 ones and every
+        subsequent read failed with PARQUET_COLUMN_DATA_TYPE_MISMATCH
+        (reads infer from the files, so mixed physical types are
+        unreadable, not just mislabeled)."""
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromJson(json.loads(schema_json))
+        tgt = {f.name: f.dataType.simpleString() for f in target.fields}
+        src = dict(df.dtypes)
+        cols, changed = [], False
+        for name in df.columns:
+            stype, ttype = src[name], tgt.get(name)
+            if ttype is None or stype == ttype:
+                cols.append(F.col(name))
+            elif (stype, ttype) in self._SAFE_WIDENINGS:
+                cols.append(F.col(name).cast(ttype).alias(name))
+                changed = True
+            else:
+                raise ValueError(
+                    f"table {self.name}: append column {name!r} has type "
+                    f"{stype}, not assignable to table type {ttype} "
+                    "(only Iceberg-style safe widenings are coerced; "
+                    "type promotion needs an explicit rewrite)"
+                )
+        out = df.select(*cols) if changed else df
+        new_fields = [f for f in out.schema.fields if f.name not in tgt]
+        evolved = StructType(list(target.fields) + new_fields)
+        return out, evolved.json()
 
     def _align_source_to_schema(self, source: DataFrame, schema_json: str) -> DataFrame:
         """Conform a MERGE source to the table schema (table wins, like
@@ -895,12 +936,13 @@ class SnapshotTable:
             parent = self.get_ref(branch)
             pmeta = self._read_meta(parent)
             spec = pmeta.get("spec", [])
-            d = self._write_data(df, spec)
+            aligned, schema_json = self._align_append_to_schema(df, pmeta["schema"])
+            d = self._write_data(aligned, spec)
             v = self._commit(
                 f"append@{branch}",
                 pmeta["dirs"] + [d],
                 parent,
-                df.schema.json(),
+                schema_json,
                 spec=spec,
                 dir_specs=self._dir_specs(pmeta) + [spec],
                 # parent dirs ride by reference ⇒ so must the parent's

@@ -1161,3 +1161,36 @@ def test_merge_source_schema_validation(spark, nation):
             key="n_nationkey",
         )
     t2.drop()
+
+
+def test_append_type_mismatch_rejected_and_widening_cast(spark):
+    """append() must conform shared columns to the table schema: a
+    bigint column appended onto an int table previously wrote INT64
+    files next to INT32 ones, and every subsequent read failed with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH. Safe widenings cast; additive
+    new columns still evolve the schema; omitted columns stay in the
+    schema and read back NULL."""
+    t = SnapshotTable(spark, "t_append_align_unit")
+    t.drop()
+    t.create(spark.createDataFrame([(1, "a")], "k int, v string"))
+    with pytest.raises(ValueError, match="not assignable"):
+        t.append(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    assert [r.k for r in t.read().collect()] == [1]  # table unharmed
+
+    # bigint-keyed table: an int append widens safely
+    t2 = SnapshotTable(spark, "t_append_widen_unit")
+    t2.drop()
+    t2.create(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    t2.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    assert sorted(r.k for r in t2.read().collect()) == [1, 2]
+    assert t2.read().schema["k"].dataType.simpleString() == "bigint"
+
+    # additive evolution still works and keeps earlier columns
+    t2.append(
+        spark.createDataFrame([(3, "c", 7)], "k bigint, v string, extra int")
+    )
+    back = t2.read(merge_schema=True)
+    assert {f.name for f in back.schema} == {"k", "v", "extra"}
+    assert {r.k: r.extra for r in back.collect()} == {1: None, 2: None, 3: 7}
+    t.drop()
+    t2.drop()
