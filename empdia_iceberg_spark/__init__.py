@@ -78,11 +78,11 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # but changed code must re-earn its DRIVER row the round it changes;
 # rule 1 below outranks debt retirement); THEN all 76 still-never-swept
 # names in the kernels-before-plain-SQL order tools/next_sweep.py
-# emits. With 27 changed entries the 50-cap reaches ~23 deep into the
+# emits. With 28 changed entries the 50-cap reaches ~22 deep into the
 # never-swept block (the five names changed in r7 that were ALSO
 # never-swept — anova, ks, lineitem_corr_matrix, doc_decontaminate,
 # curation_funnel_counts — appear once, in the changed block), retiring
-# ~28 of the 76 and leaving ~48 — still fully retirable inside round
+# ~27 of the 76 and leaving ~49 — still fully retirable inside round
 # 8's single 50-query rotation, one round later than the r6 plan.
 _SWEEP_PRIORITY = [
     # --- changed in r7: MUST be swept this round (changed-code-first)
@@ -124,6 +124,11 @@ _SWEEP_PRIORITY = [
     "table_wap_publish",  # r7: branch_append carries MOR delete_dirs
     "table_branch_merge",  # r7: ref compare-and-swap + rename-breaking stale locks
     "catalog_multi_table_txn",  # r7: serialized catalog publish + txn pin conflicts
+    # r7 second review pass: write-time schema conformance (merge +
+    # append paths). The merge/append queries above re-earn rows through
+    # the same changed machinery; this one additionally exercises the
+    # additive-evolution branch (new column + union schema) directly.
+    "table_schema_evolution",  # r7: append conforms shared cols, evolves schema additively
     # --- never swept (driver takes first ~50: 27 changed above — five
     # of which are themselves never-swept — + ~23 of these; the rest
     # queue in order for the round-8 rotation to retire fully)
@@ -281,7 +286,6 @@ _SWEEP_PRIORITY = [
     "q5_region_revenue",  # r3
     "table_snapshot_lifecycle",  # r3
     "table_expire_compact",  # r3
-    "table_schema_evolution",  # r3
     "stream_sliding_2h_1h",  # r3
     "stream_session_window",  # r3
     "stream_dedup_events",  # r3
