@@ -78,12 +78,14 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # but changed code must re-earn its DRIVER row the round it changes;
 # rule 1 below outranks debt retirement); THEN all 76 still-never-swept
 # names in the kernels-before-plain-SQL order tools/next_sweep.py
-# emits. With 28 changed entries the 50-cap reaches ~22 deep into the
+# emits. With 31 changed entries the 50-cap reaches ~19 deep into the
 # never-swept block (the five names changed in r7 that were ALSO
 # never-swept — anova, ks, lineitem_corr_matrix, doc_decontaminate,
 # curation_funnel_counts — appear once, in the changed block), retiring
-# ~27 of the 76 and leaving ~49 — still fully retirable inside round
-# 8's single 50-query rotation, one round later than the r6 plan.
+# ~24 of the 76 and leaving ~52 — round 8's 50-rotation retires all
+# but ~2, with the remainder gone early in round 9. Correctness fixes
+# outrank debt retirement: every changed query must re-earn its driver
+# row the round it changes.
 _SWEEP_PRIORITY = [
     # --- changed in r7: MUST be swept this round (changed-code-first)
     "table_merge_pruned",  # r7: OCC expect_parent + dup-key guard
@@ -129,6 +131,13 @@ _SWEEP_PRIORITY = [
     # the same changed machinery; this one additionally exercises the
     # additive-evolution branch (new column + union schema) directly.
     "table_schema_evolution",  # r7: append conforms shared cols, evolves schema additively
+    # r7 second review pass, streaming: atomic phase-2 feed staging
+    # (live file-stream sources require files to appear atomically) and
+    # batch-id-idempotent foreachBatch sinks (at-least-once retries must
+    # not double-count) — changed code re-earns its rows.
+    "stream_ewma16_state",  # r7: append_atomically phase-2 staging
+    "stream_restart_recovery",  # r7: additive_upsert batch-id idempotency
+    "stream_continuous_aggregate",  # r7: additive_upsert + dead _key column dropped
     # --- never swept (driver takes first ~50: 27 changed above — five
     # of which are themselves never-swept — + ~23 of these; the rest
     # queue in order for the round-8 rotation to retire fully)
@@ -290,7 +299,6 @@ _SWEEP_PRIORITY = [
     "stream_session_window",  # r3
     "stream_dedup_events",  # r3
     "stream_dedup_bounded_state",  # r3
-    "stream_continuous_aggregate",  # r3
     "stream_conversation_state",  # r3
     "table_zorder_layout",  # r5
     "multimodal_decode_features",  # r5
@@ -314,12 +322,10 @@ _SWEEP_PRIORITY = [
     "doc_sample_per_lang",  # r5
     "curation_pipeline",  # r5
     "stream_stream_left_join",  # r5
-    "stream_restart_recovery",  # r5
     "events_ewma16_user",  # r5
     "events_longest_streaks",  # r5
     "events_cusum_drift",  # r5
     "orders_open_peak_monthly",  # r5
-    "stream_ewma16_state",  # r5
     "knn_cosine_lsh",  # r5
     "semantic_prune_clusters",  # r5
     "user_profile_similarity",  # r5

@@ -157,6 +157,13 @@ def _run_conversation_stream(
     )
     try:
         q.processAllAvailable()  # micro-batch 1: turns 1-10, state persists
+        # Live append without atomic staging is safe HERE (unlike
+        # streaming/ewma.py, which stages via append_atomically): the
+        # dia_id window shuffle above hash-partitions the log, so one
+        # conversation's phase-2 turns sit in exactly ONE part file — a
+        # trigger listing a half-committed job can split conversations
+        # ACROSS batches but never split one conversation's turns, and
+        # per-key arrival order is all the keyed state relies on.
         log.filter(F.col("turn") > 10).write.mode("append").parquet(feed)
         q.processAllAvailable()  # micro-batch 2: turns 11+, state resumes, evicts
     finally:

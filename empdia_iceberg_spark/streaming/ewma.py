@@ -40,6 +40,13 @@ OUTPUT_SCHEMA = "event_id bigint, user_id bigint, ewma16 double"
 STATE_SCHEMA = "vals array<double>"
 
 
+# The 16 possible integer weights 5^k · 10^(16-k), k = 1..16 — constant,
+# precomputed once: recomputing two bigint pows per element of every
+# row's window inside the applyInPandasWithState worker was pure
+# per-row overhead for identical values.
+_EWMA_W = [5**k * 10 ** (16 - k) for k in range(17)]
+
+
 def ewma16_exact(vals: list[float]) -> float:
     """Exact-integer EWMA-16 of a ≤16-element window (oldest first):
     mirrors the batch plan's DECIMAL fold bit-for-bit — Python ints are
@@ -50,7 +57,7 @@ def ewma16_exact(vals: list[float]) -> float:
     total = 0
     for i, v in enumerate(vals):
         k = n - i  # lag + 1: latest element gets k=1
-        total += int(math.floor(v * 100 + 0.5)) * 5**k * 10 ** (16 - k)
+        total += int(math.floor(v * 100 + 0.5)) * _EWMA_W[k]
     x = float(total) / 1e18
     return math.floor(x * 1e6 + 0.5) / 1e6
 
@@ -125,7 +132,12 @@ def stream_ewma16_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()  # micro-batch 1: week 1, state persists
-        events.filter(F.col("ts") >= boundary).write.mode("append").parquet(feed)
+        # atomically: the query is LIVE, and a half-committed multi-file
+        # append could split week 2 across micro-batches in file-listing
+        # order, feeding each user's ring buffer out of event-time order
+        from empdia_iceberg_spark.streaming.windows import append_atomically
+
+        append_atomically(events.filter(F.col("ts") >= boundary), feed)
         q.processAllAvailable()  # micro-batch 2: state resumes mid-series
     finally:
         q.stop()

@@ -63,6 +63,71 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 LAST_RUN_PROGRESS: dict[str, list[dict]] = {}
 
 
+def append_atomically(df: DataFrame, feed: str) -> None:
+    """Stage a follow-up batch into a LIVE file-stream feed.
+
+    Spark's file source requires files to APPEAR atomically: it lists
+    the watched directory every trigger, and a plain
+    ``df.write.mode("append")`` commits part files one rename at a
+    time — a trigger firing mid-commit sees a partial subset, splitting
+    one event-time batch across micro-batches in file-listing (not
+    event-time) order. For a stateful consumer that corrupts per-key
+    state (out-of-order EWMA ingestion) or drops on-time rows behind a
+    watermark the first sub-batch advanced. Writing to a sibling temp
+    dir and moving ONE part file in with a single atomic rename makes
+    the whole batch visible to exactly one trigger. coalesce(1) is
+    test-scaffold-sized by design — a production continuous feed
+    commits files through a transactional manifest (Iceberg/Delta) or
+    writes temp-then-rename per file."""
+    import glob as _glob
+
+    tmp = feed.rstrip("/") + f".stage_{uuid.uuid4().hex[:8]}"
+    df.coalesce(1).write.parquet(tmp)
+    parts = _glob.glob(os.path.join(tmp, "part-*"))
+    assert len(parts) == 1, parts
+    os.makedirs(feed, exist_ok=True)
+    os.rename(parts[0], os.path.join(feed, os.path.basename(tmp) + ".parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def additive_upsert(table, batch_df: DataFrame, batch_id: int, group_cols: list) -> None:
+    """Shared foreachBatch sink: merge a micro-batch's per-group
+    count/sum increments into a snapshot table, idempotently.
+
+    foreachBatch is AT-LEAST-once: a crash after the table commit but
+    before the checkpoint records the batch re-delivers it on restart,
+    and a plain additive merge would double-count. Each commit stamps
+    its batch id in the snapshot op ("merge@b<N>"), so a re-delivered
+    batch is recognized and skipped — the make-foreachBatch-idempotent
+    pattern from the Structured Streaming guide, with the snapshot log
+    itself as the transaction record (the table commit and the
+    batch-id stamp are ONE atomic metadata publish)."""
+    if table.current_version() is not None and any(
+        s["op"] == f"merge@b{batch_id}" for s in table.snapshots()
+    ):
+        return
+    agg = batch_df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    group_names = agg.columns[: len(group_cols)]
+    if table.current_version() is None:
+        table.overwrite(agg, op=f"merge@b{batch_id}")
+    else:
+        combined = (
+            table.read()
+            .unionByName(agg)
+            .groupBy(*group_names)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum(F.col("sum_value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        table.overwrite(combined, op=f"merge@b{batch_id}")
+
+
 def run_to_memory(
     agg: DataFrame, name: str, output_mode: str = "complete"
 ) -> "SparkSession":
@@ -315,8 +380,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     cutoff = "2024-01-30 00:00:00"
-    # uuid-suffixed like every other streaming scaffold here: fixed
-    # paths would let a concurrent invocation clobber a LIVE checkpoint
+    # uuid-suffixed feed AND checkpoint (unlike the fixed feed dirs of
+    # the single-phase scaffolds below, which assume one invocation per
+    # host at a time): fixed paths would let a concurrent invocation
+    # clobber a LIVE checkpoint
     run_id = uuid.uuid4().hex[:8]
     feed = os.path.join(_WORK_ROOT, f"late_feed_{run_id}")
     ckpt = os.path.join(_WORK_ROOT, f"late_ckpt_{run_id}")
@@ -349,8 +416,13 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.processAllAvailable()
         phase1 = spark.table("t_late").count()
-        # phase 2: new tail data + stale day-1 rows (behind the watermark)
-        tail.unionByName(late).write.mode("append").parquet(os.path.join(feed, "f2"))
+        # phase 2: new tail data + stale day-1 rows (behind the watermark).
+        # Staged atomically: the query is LIVE, and a half-committed
+        # multi-file append could split the tail across micro-batches —
+        # the first sub-batch's max(ts) advances the watermark past the
+        # second sub-batch's earlier-but-on-time rows, wrongly dropping
+        # them (see append_atomically).
+        append_atomically(tail.unionByName(late), os.path.join(feed, "f2"))
         q.processAllAvailable()
         phase2 = spark.table("t_late").count()
         total_emitted = (
@@ -522,25 +594,14 @@ def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADDITIVELY into the table (count/sum are decomposable aggregates —
     # the property continuous aggregates rely on).
     def upsert_additive(batch_df, batch_id: int) -> None:
-        agg = batch_df.groupBy(
-            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
-        ).agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-        ).withColumn("_key", F.concat_ws("|", "window_start", "event_type"))
-        if table.current_version() is None:
-            table.create(agg)
-        else:
-            cur = table.read()
-            combined = (
-                cur.unionByName(agg)
-                .groupBy("_key", "window_start", "event_type")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum(F.col("sum_value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-                )
-            )
-            table.overwrite(combined, op="merge")
+        # shared idempotent additive sink (at-least-once retry guard +
+        # decomposable count/sum merge) — see additive_upsert
+        additive_upsert(
+            table,
+            batch_df,
+            batch_id,
+            [F.date_trunc("hour", "ts").alias("window_start"), "event_type"],
+        )
 
     q = (
         stream.writeStream.queryName("t_cagg")
@@ -725,25 +786,9 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.drop()
 
     def upsert_additive(batch_df, batch_id: int) -> None:
-        agg = batch_df.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-        )
-        if table.current_version() is None:
-            table.create(agg)
-        else:
-            combined = (
-                table.read()
-                .unionByName(agg)
-                .groupBy("event_type")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum(F.col("sum_value").cast("decimal(18,2)"))
-                    .cast("double")
-                    .alias("sum_value"),
-                )
-            )
-            table.overwrite(combined, op="merge")
+        # shared idempotent additive sink (at-least-once retry guard +
+        # decomposable count/sum merge) — see additive_upsert
+        additive_upsert(table, batch_df, batch_id, ["event_type"])
 
     schema = spark.read.parquet(feed).schema
 

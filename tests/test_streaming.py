@@ -136,3 +136,37 @@ def test_run_to_memory_captures_progress(spark):
     assert all("durationMs" in p and "numInputRows" in p for p in prog)
     assert any(p["numInputRows"] > 0 for p in prog)  # the data batch
     assert all("triggerExecution" in p["durationMs"] for p in prog)
+
+
+def test_additive_upsert_is_idempotent_per_batch_id(spark):
+    """foreachBatch is at-least-once: re-delivering a micro-batch (crash
+    between the table commit and the checkpoint commit) must NOT merge
+    its counts twice. The shared sink stamps each batch id into the
+    snapshot op, so the retry is recognized and skipped — and a NEW
+    batch id still merges."""
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.streaming.windows import additive_upsert
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    t = SnapshotTable(spark, "t_idem_upsert_unit")
+    t.drop()
+    b0 = spark.createDataFrame(
+        [("click", 10.0), ("click", 5.0), ("buy", 2.0)], "event_type string, value double"
+    )
+    additive_upsert(t, b0, 0, ["event_type"])
+    first = {r.event_type: (r.n_events, r.sum_value) for r in t.read().collect()}
+    assert first["click"] == (2, 15.0) and first["buy"] == (1, 2.0)
+
+    # retry of batch 0: identical state, no new snapshot
+    v = t.current_version()
+    additive_upsert(t, b0, 0, ["event_type"])
+    assert t.current_version() == v
+    assert {r.event_type: (r.n_events, r.sum_value) for r in t.read().collect()} == first
+
+    # a genuinely new batch merges additively
+    b1 = spark.createDataFrame([("click", 1.0)], "event_type string, value double")
+    additive_upsert(t, b1, 1, ["event_type"])
+    after = {r.event_type: (r.n_events, r.sum_value) for r in t.read().collect()}
+    assert after["click"] == (3, 16.0) and after["buy"] == (1, 2.0)
+    t.drop()
