@@ -78,12 +78,12 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # but changed code must re-earn its DRIVER row the round it changes;
 # rule 1 below outranks debt retirement); THEN all 76 still-never-swept
 # names in the kernels-before-plain-SQL order tools/next_sweep.py
-# emits. With 31 changed entries the 50-cap reaches ~19 deep into the
+# emits. With 34 changed entries the 50-cap reaches ~16 deep into the
 # never-swept block (the five names changed in r7 that were ALSO
 # never-swept — anova, ks, lineitem_corr_matrix, doc_decontaminate,
 # curation_funnel_counts — appear once, in the changed block), retiring
-# ~24 of the 76 and leaving ~52 — round 8's 50-rotation retires all
-# but ~2, with the remainder gone early in round 9. Correctness fixes
+# ~21 of the 76 and leaving ~55 — round 8's 50-rotation retires all
+# but ~5, with the remainder gone early in round 9. Correctness fixes
 # outrank debt retirement: every changed query must re-earn its driver
 # row the round it changes.
 _SWEEP_PRIORITY = [
@@ -138,6 +138,15 @@ _SWEEP_PRIORITY = [
     "stream_ewma16_state",  # r7: append_atomically phase-2 staging
     "stream_restart_recovery",  # r7: additive_upsert batch-id idempotency
     "stream_continuous_aggregate",  # r7: additive_upsert + dead _key column dropped
+    # r7 second review pass, ANN: tie-exact top-k selection, sharded
+    # IVF cells (no process holds the full index), and grid-thresholded
+    # near-dup pair membership. (semantic_prune_clusters and
+    # emb_decontaminate changed only by extracting their IDENTICAL
+    # cosine fold into the shared jvm_cosine helper — same expression
+    # tree, bit-identical results — so they keep their green rows.)
+    "knn_cosine_top5",  # r7: exact tie-break at the k+1 cut + tiny-index guard
+    "emb_cosine_near_dup",  # r7: det_round-grid threshold on BOTH engines
+    "knn_cosine_ivf",  # r7: hive-sharded cells, per-cell tasks, sample-trained centroids
     # --- never swept (driver takes first ~50: 27 changed above — five
     # of which are themselves never-swept — + ~23 of these; the rest
     # queue in order for the round-8 rotation to retire fully)
@@ -253,10 +262,7 @@ _SWEEP_PRIORITY = [
     "window_first_last_order",  # r2
     "window_range_frame_value",  # r2
     "window_percent_rank_cume_dist",  # r2
-    "knn_cosine_top5",  # r2
-    "emb_cosine_near_dup",  # r2
     "embedding_avg_by_label",  # r2
-    "knn_cosine_ivf",  # r2
     "asof_join_last_error",  # r3
     "range_join_events_1h",  # r3
     "events_gap_fill_ffill",  # r3

@@ -17,20 +17,30 @@ demands for large-scale training-data pipelines, designed Spark-first:
   skew-join splitting handles it (a df-threshold shingle filter is the
   standard lossy optimization — not applied here because the oracle
   is exact).
-- **near-dedup, MinHash + LSH banding** — 128 minhashes (xxhash64 with
-  seed = hash index), 32 bands × 4 rows; candidate pairs = docs sharing
-  a band bucket; candidates are then verified with the exact Jaccard,
-  so false positives are eliminated and the miss probability at the
-  0.8 threshold is (1-0.8^4)^32 ≈ 5e-8 — the output is checked against
-  the *exact* oracle. Scales as O(docs × bands) shuffle rows instead of
-  O(pairs): the 100 TB path.
-- **SimHash** — 64-bit signature from token hashes; candidate
-  generation by 4×16-bit chunk blocking (pigeonhole: hamming ≤ 3 ⇒ at
-  least one chunk identical ⇒ zero false negatives), verification by
-  ``bit_count(xor)``. Deterministic but xxhash64-based, so rows-only
-  (DuckDB has no xxhash64); the hamming bound is property-tested.
+- **near-dedup, MinHash + LSH banding** — 128 minhashes (md5-derived
+  multiply-shift family, so DuckDB can reproduce every hash), 32 bands
+  × 4 rows; candidate pairs = docs sharing a band bucket; candidates
+  are then verified with the exact Jaccard, so false positives are
+  eliminated and the miss probability at the 0.8 threshold is
+  (1-0.8^4)^32 ≈ 5e-8 — the output is checked against the *exact*
+  oracle. Scales as O(docs × bands) shuffle rows instead of O(pairs):
+  the 100 TB path.
+- **SimHash** — 64-bit signature from md5-derived token hashes;
+  candidate generation by 4×16-bit chunk blocking (pigeonhole:
+  hamming ≤ 3 ⇒ at least one chunk identical ⇒ zero false negatives),
+  verification by ``bit_count(xor)``. The md5 family makes the whole
+  pipeline reproducible in DuckDB, so `doc_simhash_near_dup` carries a
+  FULL value oracle; the hamming bound is property-tested besides.
 
 Embedding-cosine near-dup lives in ``operators/similarity.py``.
+
+Cross-engine tokenizer contract: both engines split on ``\\s+``, but
+Java regex ``\\s`` includes vertical tab (\\x0B) while DuckDB's RE2
+``\\s`` does not — a document containing \\x0B would tokenize
+differently across engines in every shingle/token oracle. The driver
+corpus contains none at any SF (asserted by a data-contract tripwire in
+tests/test_dedup.py); ingesting foreign corpora through these operators
+should normalize \\x0B (or pin an explicit class on both sides).
 """
 
 from __future__ import annotations

@@ -86,14 +86,54 @@ def _check_index_size(path: str) -> None:
         )
 
 
+def jvm_cosine(a, b):
+    """cos(a, b) over two array<double> columns as pure built-in
+    expressions: aggregate(zip_with(·)) dot + transform-square norms,
+    folded left-to-right inside whole-stage codegen. The oracles
+    replicate THIS exact operation order in SQL, which is what makes
+    the cosines bit-identical across engines — every caller must go
+    through this one helper, or a future change to one copy silently
+    desynchronizes the other and breaks that guarantee."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        )
+
+    return dot / (norm(a) * norm(b))
+
+
+def _list_col_to_matrix(col) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) float64 matrix via the flat
+    values buffer — `.to_pylist()` materialized hundreds of millions of
+    transient Python floats for a guard-sized index (~10× peak RSS and
+    tens of seconds of CPU per executor), the very worker pressure
+    MAX_INDEX_BYTES exists to prevent. Falls back to the object path
+    only for ragged lists (never the case for an embedding column)."""
+    arr = col.combine_chunks()
+    try:
+        offsets = arr.offsets.to_numpy()
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all():
+            flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            # offsets may not start at 0 after slicing; honor them
+            return flat[offsets[0] : offsets[-1]].reshape(len(arr), widths[0])
+    except AttributeError:
+        pass  # FixedSizeList or exotic layout: use the generic path
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
 def _load_index(path: str) -> tuple[np.ndarray, np.ndarray]:
     if path not in _INDEX_CACHE:
         import pyarrow.parquet as pq
 
         _check_index_size(path)
         t = pq.read_table(path, columns=["vec_id", "embedding"])
-        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        m = _list_col_to_matrix(t.column("embedding"))
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         order = np.argsort(ids)  # id-sorted ⇒ deterministic tie-breaks
         _INDEX_CACHE[path] = (ids[order], m[order])
@@ -115,8 +155,21 @@ def _topk_batches(
                 out_q, out_n, out_c, out_r = [], [], [], []
                 for row in range(len(chunk)):
                     s = sims[row]
-                    # top k+1 then drop self; lexsort = cos desc, id asc
-                    cand = np.argpartition(s, -(k + 1))[-(k + 1) :]
+                    # Exact top-k under ties: argpartition alone breaks
+                    # ties ARBITRARILY at the cut, disagreeing with the
+                    # oracle's (cos DESC, id ASC) order whenever equal
+                    # cosines span the k+1 boundary (duplicate embeddings
+                    # — exactly what a near-dup corpus contains). Take the
+                    # (k+1)-th value as a threshold, keep EVERY candidate
+                    # at-or-above it, then lexsort — the tied low-id
+                    # candidate always wins. Also guards tiny indexes
+                    # (n <= k+1), where argpartition's kth is out of range.
+                    kk = min(k + 1, len(s))
+                    if kk < len(s):
+                        part = np.argpartition(s, -kk)[-kk:]
+                        cand = np.nonzero(s >= s[part].min())[0]
+                    else:
+                        cand = np.arange(len(s))
                     cand = cand[np.lexsort((ids[cand], -s[cand]))]
                     cand = cand[ids[cand] != qids[row]][:k]
                     out_q.extend([qids[row]] * len(cand))
@@ -184,7 +237,17 @@ def _threshold_batches(index_path: str, threshold: float) -> "callable":
                 q /= np.linalg.norm(q, axis=1, keepdims=True)
                 sims = q @ m.T
                 qids = chunk["vec_id"].to_numpy()
-                rows, cols = np.nonzero(sims >= threshold)
+                # Threshold on the det_round(·,6) grid, mirrored in the
+                # oracle SQL: raw kernel cosines (normalize-then-BLAS-dot)
+                # and DuckDB's list_cosine_similarity (dot-then-divide)
+                # differ by ~1e-16 in operation order, so thresholding
+                # raw values near the cut could split PAIR MEMBERSHIP
+                # across engines — a mismatch 1e-6 output rounding can't
+                # repair. Rounding first shrinks the divergence window
+                # from "near the threshold" to "within an ulp of a 1e-6
+                # grid edge".
+                rounded = np.floor(sims * 1e6 + 0.5) / 1e6
+                rows, cols = np.nonzero(rounded >= threshold)
                 keep = qids[rows] < ids[cols]  # dedupe: emit each pair once
                 yield pd.DataFrame(
                     {
@@ -203,11 +266,13 @@ def _threshold_batches(index_path: str, threshold: float) -> "callable":
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {sql_det_round('list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])', 6)} AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEAR_DUP_COS}
+    WHERE {sql_det_round('list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])', 6)} >= {NEAR_DUP_COS}
     ORDER BY vec_a, vec_b
     """,
     doc="Embedding-cosine near-duplicate pairs (cos >= 0.4) — same "
-    "broadcast-index scan as knn, threshold semantics.",
+    "broadcast-index scan as knn, threshold semantics. Both engines "
+    "threshold on the det_round(·,6) grid so ulp-level operation-order "
+    "differences cannot split pair membership at the cut.",
 )
 def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _check_index_size(path_for(sf_dir, "embeddings"))  # fail fast on driver
@@ -455,81 +520,199 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CELLS = 16
 IVF_NPROBE = 6
 _IVF_LLOYD_ITERS = 3
+IVF_TRAIN_SAMPLE = 4096  # centroid-training sample size (FAISS trains on a sample)
 
 
-def _ivf_index(path: str):
-    """Per-executor IVF structure over the parquet index: deterministic
-    centroids (seeded by the K id-smallest vectors, then a fixed number
-    of Lloyd iterations) + per-cell member lists. Cached per worker
-    alongside the flat index."""
-    key = f"ivf:{path}"
-    if key not in _INDEX_CACHE:
-        ids, m = _load_index(path)
-        cents = m[:IVF_CELLS].copy()  # id-sorted ⇒ deterministic init
-        for _ in range(_IVF_LLOYD_ITERS):
-            assign = np.argmax(m @ cents.T, axis=1)
-            for c in range(IVF_CELLS):
-                members = m[assign == c]
-                if len(members):
-                    v = members.sum(axis=0)
-                    cents[c] = v / np.linalg.norm(v)
+def _ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
+    """Deterministic IVF centroids from a BOUNDED training sample — the
+    id-smallest IVF_TRAIN_SAMPLE vectors (one TakeOrdered-shaped job),
+    never the full index: centroid training is the one step FAISS-style
+    IVF performs on a sample precisely so the index itself never has to
+    fit in one process. Driver-side Lloyd (id-seeded, fixed iterations)
+    over the sample is bit-deterministic across runs and partitionings."""
+    rows = (
+        spark.read.parquet(path)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(IVF_TRAIN_SAMPLE)
+        .collect()
+    )
+    m = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cents = m[:IVF_CELLS].copy()  # id-sorted ⇒ deterministic init
+    for _ in range(_IVF_LLOYD_ITERS):
         assign = np.argmax(m @ cents.T, axis=1)
-        cells = [np.nonzero(assign == c)[0] for c in range(IVF_CELLS)]
-        _INDEX_CACHE[key] = (ids, m, cents, cells)
-    return _INDEX_CACHE[key]
+        for c in range(IVF_CELLS):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+    return cents
 
 
-def _ivf_topk_batches(index_path: str, k: int):
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, m, cents, cells = _ivf_index(index_path)
-        for pdf in batches:
-            for lo in range(0, len(pdf), _CHUNK):
-                chunk = pdf.iloc[lo : lo + _CHUNK]
-                q = np.asarray(chunk["embedding"].to_list(), dtype=np.float64)
-                q /= np.linalg.norm(q, axis=1, keepdims=True)
-                qids = chunk["vec_id"].to_numpy()
-                probe = np.argsort(-(q @ cents.T), axis=1)[:, :IVF_NPROBE]
-                out_q, out_n, out_c, out_r = [], [], [], []
-                for row in range(len(chunk)):
-                    cand = np.concatenate([cells[c] for c in probe[row]])
-                    s = m[cand] @ q[row]
-                    order = np.lexsort((ids[cand], -s))
-                    sel = [j for j in order if ids[cand[j]] != qids[row]][: k]
-                    out_q.extend([qids[row]] * len(sel))
-                    out_n.extend(ids[cand[sel]])
-                    out_c.extend(s[sel])
-                    out_r.extend(range(1, len(sel) + 1))
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.asarray(out_q, dtype=np.int64),
-                        "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                        "cos_sim": np.asarray(out_c, dtype=np.float64),
-                        "rank": np.asarray(out_r, dtype=np.int32),
-                    }
-                )
+def _ivf_cells_dir(spark: SparkSession, path: str) -> tuple[str, np.ndarray]:
+    """Build (or reuse) the hive-sharded IVF cell layout for the index:
+    ONE distributed job assigns every vector to its nearest centroid
+    (only the KB-sized centroid matrix ships to executors) and writes
+    `_cell=<c>/` parquet shards. Search-time tasks then load exactly ONE
+    cell (≈ 1/IVF_CELLS of the index) — this is what makes IVF the
+    beyond-executor-memory path. The earlier design loaded the FULL flat
+    index per executor to build cells in-process, tripping the very
+    memory ceiling it was advertised to escape. The build is
+    deterministic, so the shard dir is a reusable cache keyed by the
+    index path; publication is an atomic dir rename (one builder wins,
+    losers clean up)."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
 
-    return compute
+    ann_root = os.environ.get("SPARK_GRAFT_ANN_ROOT", "/root/repo/.ann_work")
+    dest = os.path.join(ann_root, f"ivf_{hashlib.md5(path.encode()).hexdigest()[:12]}")
+    cents = _ivf_centroids(spark, path)
+    if not os.path.exists(os.path.join(dest, "_built")):
+        os.makedirs(ann_root, exist_ok=True)
+        tmp = f"{dest}.build_{uuid.uuid4().hex[:8]}"
+        cl = cents.tolist()
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = np.asarray(cl, dtype=np.float64)
+            for pdf in batches:
+                v = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                out = pdf.copy()
+                out["_cell"] = np.argmax(v @ c.T, axis=1).astype(np.int32)
+                yield out
+
+        (
+            spark.read.parquet(path)
+            .select("vec_id", "embedding")
+            .mapInPandas(
+                assign, schema="vec_id long, embedding array<float>, _cell int"
+            )
+            .write.partitionBy("_cell")
+            .parquet(tmp)
+        )
+        open(os.path.join(tmp, "_built"), "w").close()
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    return dest, cents
+
+
+def _ivf_search_cell(cells_dir: str, k: int):
+    """applyInPandas kernel: all queries probing one cell arrive as one
+    group; load ONLY that cell's shard, exact local top-(k+1) per query
+    with the same tie-exact (cos DESC, id ASC) selection as the
+    brute-force kernel. Each index vector lives in exactly one cell, so
+    the union of per-cell candidates has no duplicate pairs."""
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+
+        import pyarrow.parquet as pq
+
+        empty = pd.DataFrame(
+            {
+                "query_id": np.asarray([], dtype=np.int64),
+                "neighbor_id": np.asarray([], dtype=np.int64),
+                "cos_sim": np.asarray([], dtype=np.float64),
+            }
+        )
+        cell = int(pdf["_cell"].iloc[0])
+        shard = os.path.join(cells_dir, f"_cell={cell}")
+        if not os.path.isdir(shard):
+            return empty  # centroid trained on a sample: cell may be empty
+        t = pq.read_table(shard, columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        if not len(ids):
+            return empty
+        m = _list_col_to_matrix(t.column("embedding"))
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        out_q, out_n, out_c = [], [], []
+        for lo in range(0, len(pdf), _CHUNK):
+            chunk = pdf.iloc[lo : lo + _CHUNK]
+            q = np.asarray(chunk["embedding"].to_list(), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ m.T
+            qids = chunk["vec_id"].to_numpy()
+            for row in range(len(chunk)):
+                s = sims[row]
+                kk = min(k + 1, len(s))
+                if kk < len(s):
+                    part = np.argpartition(s, -kk)[-kk:]
+                    cand = np.nonzero(s >= s[part].min())[0]
+                else:
+                    cand = np.arange(len(s))
+                cand = cand[np.lexsort((ids[cand], -s[cand]))]
+                cand = cand[ids[cand] != qids[row]][:k]
+                out_q.extend([qids[row]] * len(cand))
+                out_n.extend(ids[cand])
+                out_c.extend(s[cand])
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                "cos_sim": np.asarray(out_c, dtype=np.float64),
+            }
+        )
+
+    return search
 
 
 @register(
     "knn_cosine_ivf",
     oracle=None,  # approximate (cell pruning) — rows-only; recall vs the
     # exact top-k is asserted in tests.
-    doc="IVF-bucketed ANN top-5: 16 deterministic k-means cells (3 Lloyd "
-    "iterations from id-seeded centroids), nprobe=6 (recall@5 0.94 at "
-    "sf0.1, was 0.89 at nprobe=4, same wall-clock) — each query scans "
-    "only ~nprobe/cells of the index. The sharded-index layout for "
-    "indexes beyond one executor's memory: at cluster scale each cell "
-    "is a partition and probes become a bucket-pruned join.",
+    doc="IVF-bucketed ANN top-5, genuinely SHARDED: 16 deterministic "
+    "k-means cells (Lloyd over an id-smallest training sample, "
+    "FAISS-style) written as hive `_cell=` parquet shards by one "
+    "distributed assignment job; queries fan out to their nprobe=6 "
+    "nearest cells and a per-cell applyInPandas task loads ONLY that "
+    "cell's shard (≈1/16 of the index) for an exact local top-k, "
+    "merged by a per-query window over ≤ nprobe·k candidates. No "
+    "process ever holds the full index — the beyond-executor-memory "
+    "path the brute-force ceiling error points at. Recall@5 vs the "
+    "exact answer is re-measured every BENCH round.",
 )
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    path = path_for(sf_dir, "embeddings")
+    cells_dir, cents = _ivf_cells_dir(spark, path)
+    cl = cents.tolist()
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = np.asarray(cl, dtype=np.float64)
+        for pdf in batches:
+            q = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            pr = np.argsort(-(q @ c.T), axis=1)[:, :IVF_NPROBE]
+            rep = pdf.loc[pdf.index.repeat(IVF_NPROBE)].copy()
+            rep["_cell"] = pr.reshape(-1).astype(np.int32)
+            yield rep
+
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    out = emb.mapInPandas(
-        _ivf_topk_batches(path_for(sf_dir, "embeddings"), TOP_K),
-        schema="query_id long, neighbor_id long, cos_sim double, rank int",
+    probed = emb.mapInPandas(
+        probes, schema="vec_id long, embedding array<float>, _cell int"
     )
+    cand = probed.groupBy("_cell").applyInPandas(
+        _ivf_search_cell(cells_dir, TOP_K),
+        schema="query_id long, neighbor_id long, cos_sim double",
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        out.select("query_id", "neighbor_id", det_round(F.col("cos_sim"), 6).alias("cos_sim"), "rank")
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            det_round(F.col("cos_sim"), 6).alias("cos_sim"),
+            "rank",
+        )
         .orderBy("query_id", "rank")
         .limit(100)
     )
@@ -602,13 +785,7 @@ def semantic_prune_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = e.filter(F.col("vec_id") < PRUNE_K).select(
         F.col("vec_id").alias("anchor_id"), F.col("v").alias("av")
     )
-    dot = F.aggregate(
-        F.zip_with("v", "av", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    cos = (dot / (norm(F.col("v")) * norm(F.col("av")))).alias("cos")
+    cos = jvm_cosine(F.col("v"), F.col("av")).alias("cos")
     sims = e.join(F.broadcast(anchors)).select("vec_id", "anchor_id", cos)
     # argmax anchor per vector: max of (cos, -anchor_id) ⇒ highest cos,
     # ties to the smallest anchor id — same order as the oracle's
@@ -1020,13 +1197,7 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("bid"), F.col("v").alias("bv")
     )
     corpus = e.filter(F.col("vec_id") % EMB_DECON_MOD != 0)
-    dot = F.aggregate(
-        F.zip_with("v", "bv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    cos = (dot / (norm(F.col("v")) * norm(F.col("bv")))).alias("cos")
+    cos = jvm_cosine(F.col("v"), F.col("bv")).alias("cos")
     best = (
         corpus.join(F.broadcast(bench))
         .select("vec_id", "label", cos)

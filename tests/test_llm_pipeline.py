@@ -225,3 +225,24 @@ def test_cms_estimate_bounds(spark):
     for r in rows:
         assert r.cms_estimate >= r.true_count  # CMS never undercounts
         assert r.cms_estimate <= r.true_count + eps * n_tokens
+
+
+def test_corpus_tokenizer_contract_no_vertical_tab():
+    """Data-contract tripwire for the cross-engine tokenizer boundary
+    documented in operators/dedup.py: Java regex \\s includes vertical
+    tab (\\x0B), DuckDB's RE2 \\s does not, so a document containing
+    \\x0B would tokenize differently across engines in EVERY
+    shingle/token oracle. The driver corpus must stay \\x0B-free at
+    every SF — if this fires, normalize \\x0B at ingest or pin an
+    explicit whitespace class on both engines before chasing mystery
+    hash mismatches."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        t = pq.read_table(f"/root/testdata/{sf}/documents.parquet", columns=["text"])
+        hits = pc.sum(pc.cast(pc.match_substring(t["text"], "\x0b"), "int64")).as_py()
+        assert not hits, (
+            f"{sf}: {hits} documents contain vertical tab — Java vs RE2 "
+            "\\s+ tokenization diverges; see operators/dedup.py header"
+        )

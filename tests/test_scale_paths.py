@@ -324,3 +324,46 @@ def test_grouped_scaled_sums_matches_decimal_path(spark):
         .collect()
     }
     assert fast == exact
+
+
+def test_knn_kernel_exact_tiebreak_and_tiny_index(spark, tmp_path):
+    """argpartition alone breaks ties ARBITRARILY at the k+1 cut, which
+    disagreed with the oracle's (cos DESC, neighbor_id ASC) order when
+    equal cosines span the boundary (duplicate embeddings — exactly
+    what a near-dup corpus contains). The kernel must keep every
+    candidate at-or-above the cut value and lexsort, so the tied
+    low-id neighbor always wins; and it must not crash on indexes
+    smaller than k+1."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from empdia_iceberg_spark.operators.similarity import _topk_batches
+
+    # ids 0-3: identical vectors (cos=1 with the query direction);
+    # ids 4-6: identical second tier; id 7: filler; id 8: the query itself
+    base = [1.0] + [0.0] * 7
+    tier2 = [0.8] + [0.6] + [0.0] * 6
+    emb = [base] * 4 + [tier2] * 3 + [[0.0] * 7 + [1.0]] + [base]
+    ids = list(range(9))
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, "int64"),
+                  "embedding": pa.array(emb, pa.list_(pa.float32()))}),
+        path,
+    )
+    query = pd.DataFrame({"vec_id": [8], "embedding": [base]})
+    out = pd.concat(list(_topk_batches(path, 5)([query])))
+    # ties: cos=1 for ids 0,1,2,3 (and self 8, excluded); tier2 ties on
+    # ids 4,5,6 → rank-5 must be id 4, never an arbitrary one of 4-6
+    assert list(out["neighbor_id"]) == [0, 1, 2, 3, 4]
+    # tiny index: n <= k+1 must not raise (argpartition kth bound)
+    tiny = str(tmp_path / "tiny.parquet")
+    pq.write_table(
+        pa.table({"vec_id": pa.array([0, 1], "int64"),
+                  "embedding": pa.array([base, tier2], pa.list_(pa.float32()))}),
+        tiny,
+    )
+    out2 = pd.concat(list(_topk_batches(tiny, 5)([pd.DataFrame({"vec_id": [0], "embedding": [base]})])))
+    assert list(out2["neighbor_id"]) == [1]
