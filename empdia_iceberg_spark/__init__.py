@@ -78,14 +78,15 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # but changed code must re-earn its DRIVER row the round it changes;
 # rule 1 below outranks debt retirement); THEN all 76 still-never-swept
 # names in the kernels-before-plain-SQL order tools/next_sweep.py
-# emits. With 34 changed entries the 50-cap reaches ~16 deep into the
-# never-swept block (the five names changed in r7 that were ALSO
+# emits. With 38 changed entries the 50-cap reaches ~12 deep into the
+# never-swept block (the eight names changed in r7 that were ALSO
 # never-swept — anova, ks, lineitem_corr_matrix, doc_decontaminate,
-# curation_funnel_counts — appear once, in the changed block), retiring
-# ~21 of the 76 and leaving ~55 — round 8's 50-rotation retires all
-# but ~5, with the remainder gone early in round 9. Correctness fixes
-# outrank debt retirement: every changed query must re-earn its driver
-# row the round it changes.
+# curation_funnel_counts, supplier_part_matching,
+# events_markov_entropy_rate, mi_events_type_hour — appear once, in
+# the changed block), retiring ~20 of the 76 and leaving ~56 — round
+# 8's 50-rotation retires all but ~6, with the remainder gone early in
+# round 9. Correctness fixes outrank debt retirement: every changed
+# query must re-earn its driver row the round it changes.
 _SWEEP_PRIORITY = [
     # --- changed in r7: MUST be swept this round (changed-code-first)
     "table_merge_pruned",  # r7: OCC expect_parent + dup-key guard
@@ -147,6 +148,11 @@ _SWEEP_PRIORITY = [
     "knn_cosine_top5",  # r7: exact tie-break at the k+1 cut + tiny-index guard
     "emb_cosine_near_dup",  # r7: det_round-grid threshold on BOTH engines
     "knn_cosine_ivf",  # r7: hive-sharded cells, per-cell tasks, sample-trained centroids
+    # r7 second review pass, inference/mining: exact-sum hardening
+    "supplier_part_matching",  # r7: exact decimal total_weight rides alongside the double w (was never-swept)
+    "graph_triangle_census",  # r7: localCheckpoint replaces the never-unpersisted persist
+    "events_markov_entropy_rate",  # r7: drop redundant det_round inside exact_sum_r6 (was never-swept)
+    "mi_events_type_hour",  # r7: drop redundant det_round inside exact_sum_r6 (was never-swept)
     # --- never swept (driver takes first ~50: 27 changed above — five
     # of which are themselves never-swept — + ~23 of these; the rest
     # queue in order for the round-8 rotation to retire fully)
@@ -168,7 +174,6 @@ _SWEEP_PRIORITY = [
     "stream_stream_join_1h",  # never
     "stream_static_enrich",  # never
     "events_session_window_batch",  # never
-    "events_markov_entropy_rate",  # never
     "events_max_drawdown_user",  # never
     "events_rolling_median_7d",  # never
     "events_rolling_wau",  # never
@@ -182,7 +187,6 @@ _SWEEP_PRIORITY = [
     "ab_sprt_trace",  # never
     "ab_test_conversion",  # never
     "ols_by_returnflag",  # never
-    "mi_events_type_hour",  # never
     "weighted_quantiles_quantity",  # never
     "quantile_transform_acctbal",  # never
     "orders_robust_means",  # never
@@ -206,7 +210,6 @@ _SWEEP_PRIORITY = [
     "graph_degree_assortativity",  # never
     "item_item_similar_parts",  # never
     "seq2_event_patterns",  # never
-    "supplier_part_matching",  # never
     "doc_fuzzy_clusters",  # never
     "doc_weighted_sample",  # never
     "doc_greedy_coverage_select",  # never
@@ -341,7 +344,6 @@ _SWEEP_PRIORITY = [
     "pagerank_trading_graph",  # r5
     "part_hierarchy_rollup",  # r5
     "part_association_rules",  # r5
-    "graph_triangle_census",  # r5
     "profile_orders_stats",  # r5
     "benford_order_totals",  # r5
     "ols_quantity_price",  # r5

@@ -242,9 +242,13 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.agg(
         F.first("med").alias("med"), F.percentile("d", F.lit(0.5)).alias("mad")
     ).localCheckpoint()
+    # count from the CHECKPOINTED mad row (it carries med too): deriving
+    # the threshold filter from `dev` would rebuild dev's lineage and
+    # re-run the exact-percentile median pass — the operator's heaviest
+    # stage — a second time (no cross-action reuse in Spark)
     outliers = (
-        dev.crossJoin(F.broadcast(mad.select(F.col("mad").alias("m2"))))
-        .filter(F.col("d") > 3.0 * 1.4826 * F.col("m2"))
+        events.crossJoin(F.broadcast(mad))
+        .filter(F.abs(F.col("value") - F.col("med")) > 3.0 * 1.4826 * F.col("mad"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_outliers"))
     )
     n = events.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -586,9 +590,14 @@ _MWU_Z = f"((ua - na * nb / 2.0) / sqrt({_MWU_VAR}))"
         SELECT CAST(sum(ta) AS DOUBLE) AS na,
                CAST(sum(t - ta) AS DOUBLE) AS nb,
                CAST(sum(t) AS DOUBLE) AS nn,
-               CAST(sum(CAST(ta AS DECIMAL(38,1))
-                        * (CAST(below AS DECIMAL(38,1))
-                           + (CAST(t AS DECIMAL(38,1)) + 1) / 2)) AS DOUBLE)
+               -- integral form: DuckDB DECIMAL division returns DOUBLE,
+               -- so the (t+1)/2 half-rank form silently degraded the
+               -- whole sum to an order-dependent float sum; doubling
+               -- keeps every term integer in DECIMAL(38,0), one exact
+               -- halving (a power of two) after the final cast
+               CAST(sum(CAST(ta AS DECIMAL(38,0))
+                        * (2 * CAST(below AS DECIMAL(38,0))
+                           + CAST(t AS DECIMAL(38,0)) + 1)) AS DOUBLE) / 2
                  AS ra,
                CAST(sum(tie3) AS DOUBLE) AS tsum
         FROM ranked
@@ -930,7 +939,8 @@ def mi_events_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     def h_sum(df: DataFrame, c: str) -> DataFrame:
         p = F.col(c).cast("double") / F.col("gt").cast("double")
         return df.crossJoin(F.broadcast(gt)).agg(
-            exact_sum_r6(det_round(-p * F.log2(p), 6)).alias("h")
+            # exact_sum_r6 det_rounds its argument at 6 itself
+            exact_sum_r6(-p * F.log2(p)).alias("h")
         )
 
     hx = h_sum(rt, "rt")
@@ -945,7 +955,8 @@ def mi_events_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs.join(rt, ["event_type"])
         .join(ct, ["hr"])
         .crossJoin(F.broadcast(gt))
-        .agg(exact_sum_r6(det_round(p_xy * F.log2(ratio), 6)).alias("mi"))
+        # exact_sum_r6 det_rounds its argument at 6 itself
+        .agg(exact_sum_r6(p_xy * F.log2(ratio)).alias("mi"))
     )
     return (
         hx.crossJoin(F.broadcast(hy.withColumnRenamed("h", "h2")))

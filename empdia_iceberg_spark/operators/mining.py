@@ -667,8 +667,13 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("u", "v")
     )
-    # the thresholded edge set feeds three joins: materialize it once
-    edges.persist()
+    # The thresholded edge set feeds three joins: materialize it ONCE —
+    # localCheckpoint, not persist: a persist() here was never
+    # unpersisted (the returned plan still references it, so there is
+    # no safe unpersist point), pinning cache blocks for the session
+    # lifetime across long registry sweeps; checkpointed blocks release
+    # with the DataFrame by GC (same discipline as pagerank/BFS/k-core).
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -1264,7 +1269,8 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (
         trans.join(totals, ["prev_type"])
         .crossJoin(F.broadcast(g))
-        .agg(exact_sum_r6(det_round(-pi * pij * F.log2(pij), 6)).alias("entropy_rate_bits"))
+        # exact_sum_r6 det_rounds its argument at 6 itself
+        .agg(exact_sum_r6(-pi * pij * F.log2(pij)).alias("entropy_rate_bits"))
     )
     return n_states.crossJoin(F.broadcast(h))
 
@@ -1285,7 +1291,9 @@ def _matching_oracle() -> str:
     WITH e_0 AS MATERIALIZED (
         SELECT l_suppkey AS s, l_partkey AS p,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS w
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS w,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS w_exact
         FROM lineitem GROUP BY l_suppkey, l_partkey
     )"""
     matched = []
@@ -1304,21 +1312,21 @@ def _matching_oracle() -> str:
         ) WHERE rn = 1
     ),
     m_{r} AS MATERIALIZED (
-        SELECT e.s, e.p, e.w
+        SELECT e.s, e.p, e.w, e.w_exact
         FROM e_{r} e
         JOIN sb_{r} ON sb_{r}.s = e.s AND sb_{r}.bp = e.p
         JOIN pb_{r} ON pb_{r}.p = e.p AND pb_{r}.bs = e.s
     ),
     e_{r + 1} AS MATERIALIZED (
-        SELECT e.s, e.p, e.w FROM e_{r} e
+        SELECT e.s, e.p, e.w, e.w_exact FROM e_{r} e
         WHERE e.s NOT IN (SELECT s FROM m_{r})
           AND e.p NOT IN (SELECT p FROM m_{r})
     )"""
-        matched.append(f"SELECT s, p, w FROM m_{r}")
+        matched.append(f"SELECT s, p, w_exact FROM m_{r}")
     base += f""",
     matching AS ({' UNION ALL '.join(matched)})
     SELECT CAST(count(*) AS BIGINT) AS n_matched,
-           (floor(sum(w) * 100.0 + 0.5) / 100.0) AS total_weight,
+           (floor(CAST(sum(w_exact) AS DOUBLE) * 100.0 + 0.5) / 100.0) AS total_weight,
            CAST((SELECT count(*) FROM e_{MATCH_ROUNDS}) AS BIGINT) AS n_unmatched_edges
     FROM matching"""
     return base
@@ -1347,10 +1355,13 @@ def supplier_part_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-            )
-            .cast("double")
-            .alias("w")
+            ).alias("w_exact")
         )
+        # comparisons use the double (identical across engines — the
+        # same exact rational casts to the same nearest double); the
+        # EXACT decimal rides along so the final total is an exact
+        # decimal sum, never an order-dependent double sum
+        .select("s", "p", F.col("w_exact").cast("double").alias("w"), "w_exact")
         .localCheckpoint(eager=True)
     )
     matched = None
@@ -1369,7 +1380,7 @@ def supplier_part_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("bp") == F.col("p"))
             .join(pb, ["p"])
             .filter(F.col("bs") == F.col("s"))
-            .select("s", "p", "w")
+            .select("s", "p", "w", "w_exact")
             .localCheckpoint(eager=True)
         )
         matched = m if matched is None else matched.unionByName(m)
@@ -1377,7 +1388,7 @@ def supplier_part_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(m.select("s"), ["s"], "left_anti")
             .join(m.select("p"), ["p"], "left_anti")
-            .select("s", "p", "w")
+            .select("s", "p", "w", "w_exact")
             .localCheckpoint(eager=True)
         )
         n_edges = edges.count()  # one scalar per round
@@ -1389,6 +1400,8 @@ def supplier_part_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     return matched.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matched"),
-        det_round(F.sum("w"), 2).alias("total_weight"),
+        # exact decimal total: a plain double sum is summation-order-
+        # dependent and could flip det_round by 0.01 near a boundary
+        det_round(F.sum("w_exact").cast("double"), 2).alias("total_weight"),
         F.lit(0).cast("bigint").alias("n_unmatched_edges"),
     )
