@@ -78,15 +78,17 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # but changed code must re-earn its DRIVER row the round it changes;
 # rule 1 below outranks debt retirement); THEN all 76 still-never-swept
 # names in the kernels-before-plain-SQL order tools/next_sweep.py
-# emits. With 38 changed entries the 50-cap reaches ~12 deep into the
+# emits. With 41 changed entries the 50-cap reaches ~9 deep into the
 # never-swept block (the eight names changed in r7 that were ALSO
 # never-swept — anova, ks, lineitem_corr_matrix, doc_decontaminate,
 # curation_funnel_counts, supplier_part_matching,
 # events_markov_entropy_rate, mi_events_type_hour — appear once, in
-# the changed block), retiring ~20 of the 76 and leaving ~56 — round
-# 8's 50-rotation retires all but ~6, with the remainder gone early in
+# the changed block), retiring ~17 of the 76 and leaving ~59 — round
+# 8's 50-rotation retires all but ~9, with the remainder gone early in
 # round 9. Correctness fixes outrank debt retirement: every changed
-# query must re-earn its driver row the round it changes.
+# query must re-earn its driver row the round it changes; this round's
+# two independent full-diff/full-module review passes deliberately
+# spent sweep slots on the fixes they produced.
 _SWEEP_PRIORITY = [
     # --- changed in r7: MUST be swept this round (changed-code-first)
     "table_merge_pruned",  # r7: OCC expect_parent + dup-key guard
@@ -153,6 +155,13 @@ _SWEEP_PRIORITY = [
     "graph_triangle_census",  # r7: localCheckpoint replaces the never-unpersisted persist
     "events_markov_entropy_rate",  # r7: drop redundant det_round inside exact_sum_r6 (was never-swept)
     "mi_events_type_hour",  # r7: drop redundant det_round inside exact_sum_r6 (was never-swept)
+    # r7 second review pass, text stack: oracle/engine contract fixes
+    "doc_chunking",  # r7: oracle per-row range (the 64-chunk CROSS JOIN cap is gone)
+    "doc_quality_filter",  # r7: explicit empty-text gate + interpolated threshold
+    "doc_rrf_fusion",  # r7: shared jvm_cosine fold
+    # (classifier_agreement_kappa also changed — oracle now built from
+    # LANG_STOPWORDS + paired checkpoint — and is already inside the
+    # first-50 never-swept block below.)
     # --- never swept (driver takes first ~50: 27 changed above — five
     # of which are themselves never-swept — + ~23 of these; the rest
     # queue in order for the round-8 rotation to retire fully)
@@ -252,10 +261,8 @@ _SWEEP_PRIORITY = [
     "doc_ngram_jaccard_pairs",  # r2
     "doc_text_stats",  # r2
     "doc_token_counts",  # r2
-    "doc_quality_filter",  # r2
     "doc_lang_id_confusion",  # r2
     "doc_fingerprint",  # r2
-    "doc_chunking",  # r2
     "doc_pii_scrub",  # r2
     "window_rank_topk_per_customer",  # r2
     "window_lag_lead_orders",  # r2
@@ -388,7 +395,6 @@ _SWEEP_PRIORITY = [
     "events_seasonal_residual_outliers",  # r6
     "events_linear_interpolate",  # r6
     "doc_bm25_search",  # r6
-    "doc_rrf_fusion",  # r6
     "doc_phrase_search",  # r6
     "doc_rerank_crossencoder",  # r6
     "embedding_pq_codes",  # r6

@@ -40,6 +40,7 @@ from empdia_iceberg_spark.functions.exact import (
     sql_det_round,
     sql_sum_r6,
 )
+from empdia_iceberg_spark.operators.textstats import _sql_lang_hits
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
 
@@ -374,11 +375,13 @@ def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nn CROSS JOIN po CROSS JOIN pe
     """.format(
         nb=_NB_PRED_SQL.strip(),
-        h_en="len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains(['the', 'a', 'of', 'and', 'to', 'is', 'in'], t)))",
-        h_es="len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains(['el', 'la', 'de', 'y', 'que', 'en', 'los'], t)))",
-        h_fr="len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains(['le', 'la', 'de', 'et', 'que', 'les', 'des'], t)))",
-        h_de="len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains(['der', 'die', 'das', 'und', 'zu', 'den', 'ist'], t)))",
-        h_zh="len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains(['的', '了', '是', '在', '我', '有', '和'], t)))",
+        # built from the SAME LANG_STOPWORDS the Spark side votes with —
+        # inline literals here once went stale-prone against textstats
+        h_en=_sql_lang_hits("en"),
+        h_es=_sql_lang_hits("es"),
+        h_fr=_sql_lang_hits("fr"),
+        h_de=_sql_lang_hits("de"),
+        h_zh=_sql_lang_hits("zh"),
         sumr6=sql_sum_r6("(CAST(ca_c AS DOUBLE) / n) * (CAST(cb_c AS DOUBLE) / n)"),
         po_r=sql_det_round("po.agree / nn.n", 6),
         pe_r=sql_det_round("pe.pe", 6),
@@ -415,7 +418,12 @@ def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(h["de"] >= h["zh"], "de")
         .otherwise("zh")
     )
-    paired = nb.join(hits.select("doc_id", heur.alias("b")), "doc_id")
+    # the costliest pipeline in the module (NB scoring: token-stream x
+    # 5-language join + per-doc window) feeds FOUR independent
+    # aggregates below — materialize it once instead of executing 4x
+    paired = nb.join(hits.select("doc_id", heur.alias("b")), "doc_id").localCheckpoint(
+        eager=True
+    )
 
     nn = paired.agg(F.count(F.lit(1)).cast("double").alias("n"))
     po = paired.agg(

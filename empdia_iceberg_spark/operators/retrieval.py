@@ -227,30 +227,23 @@ def doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
     )
-    # element-order sequential folds — identical IEEE order on both
-    # engines; cast to double BEFORE multiplying (float32 inputs)
-    def _fold(col):
-        return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+    # the ONE shared cosine fold (similarity.jvm_cosine) — identical
+    # IEEE order on both engines; arrays cast to double first
+    # (float32 inputs), exactly the established pattern at
+    # similarity.py's semantic-prune/decontaminate call sites
+    from empdia_iceberg_spark.operators.similarity import jvm_cosine
 
-    dot = _fold(
-        F.zip_with(
-            "embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")
-        )
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        _fold(
-            F.transform(
-                c, lambda x: x.cast("double") * x.cast("double")
-            )
-        )
-    )
     dense_scored = (
         emb.filter(F.col("vec_id") != RRF_QUERY_VEC_ID)
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
             det_round(
-                dot / (nrm(F.col("embedding")) * nrm(F.col("qv"))), 6
+                jvm_cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qv").cast("array<double>"),
+                ),
+                6,
             ).alias("cos"),
         )
     )

@@ -149,6 +149,7 @@ def quality_score(n_tok: Column, punct_ratio: Column, stop_ratio: Column) -> Col
                                     t -> list_contains(['{_STOP_EN_SQL}'], t))) AS DOUBLE)
                  / len(string_split_regex(text, '\s+')) AS stop_ratio
         FROM documents
+        WHERE length(text) > 0
     ),
     q AS (
         SELECT doc_id, lang, n_tok, punct_ratio, stop_ratio,
@@ -163,7 +164,7 @@ def quality_score(n_tok: Column, punct_ratio: Column, stop_ratio: Column) -> Col
            {sql_det_round('stop_ratio', 6)}  AS stop_ratio,
            {sql_det_round('score', 6)}       AS quality_score
     FROM q
-    WHERE score >= 0.55
+    WHERE score >= {QUALITY_THRESHOLD}
     ORDER BY doc_id
     """,
     doc="Heuristic quality scoring (length / punctuation ratio / stopword "
@@ -171,7 +172,11 @@ def quality_score(n_tok: Column, punct_ratio: Column, stop_ratio: Column) -> Col
     "quality gate of a pretraining data pipeline, as pure column math.",
 )
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # Empty docs dropped EXPLICITLY, not via divide-by-zero -> NULL ->
+    # filter: NULL-drop is engine-version-dependent (DuckDB >= 1.1
+    # makes 0.0/0 NaN, which compares GREATER than the threshold), so
+    # both engines gate on length(text) > 0 up front.
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_tok, punct_ratio, stop_ratio = quality_parts(F.col("text"))
     score = quality_score(n_tok, punct_ratio, stop_ratio)
     return (
@@ -306,13 +311,20 @@ CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
 @register(
     "doc_chunking",
     oracle=f"""
+    -- per-row unnest(range(0, n_chunks)): the earlier CROSS JOIN
+    -- range(0, 64) silently capped the oracle at 64 chunks while the
+    -- Spark side derives n_chunks unbounded — a one-sided truncation
+    -- latent until a document exceeds 1 + 63 * stride chars
     SELECT doc_id,
            CAST(i AS INT)                              AS chunk_idx,
-           length(substr(text, 1 + i * {CHUNK_STRIDE}, {CHUNK_LEN})) AS chunk_len,
-           md5(substr(text, 1 + i * {CHUNK_STRIDE}, {CHUNK_LEN}))    AS chunk_md5
-    FROM documents
-    CROSS JOIN range(0, 64) r(i)
-    WHERE 1 + i * {CHUNK_STRIDE} <= length(text)
+           length(substr(text, 1 + CAST(i AS INT) * {CHUNK_STRIDE}, {CHUNK_LEN})) AS chunk_len,
+           md5(substr(text, 1 + CAST(i AS INT) * {CHUNK_STRIDE}, {CHUNK_LEN}))    AS chunk_md5
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) + 1 AS BIGINT))) AS i
+        FROM documents
+        WHERE length(text) > 0
+    )
     ORDER BY doc_id, chunk_idx
     """,
     doc="Document chunking for training-sequence preparation: "

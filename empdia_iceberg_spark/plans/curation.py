@@ -54,7 +54,13 @@ def _quality_docs(docs: DataFrame) -> DataFrame:
     score expression as doc_quality_filter — shared helpers)."""
     n_tok, punct_ratio, stop_ratio = quality_parts(F.col("text"))
     score = quality_score(n_tok, punct_ratio, stop_ratio)
-    return docs.filter(score >= QUALITY_THRESHOLD).select("doc_id", "lang", "text")
+    # explicit empty-text gate, same rationale as doc_quality_filter:
+    # engine-version-independent drop instead of divide-by-zero NULL/NaN
+    return (
+        docs.filter(F.length("text") > 0)
+        .filter(score >= QUALITY_THRESHOLD)
+        .select("doc_id", "lang", "text")
+    )
 
 
 def _dedup_survivors(quality: DataFrame) -> DataFrame:
@@ -133,6 +139,7 @@ _FUNNEL_CTES = rf"""
                                     t -> list_contains(['{_STOP_EN_SQL}'], t))) AS DOUBLE)
                  / len(string_split_regex(text, '\s+')) AS stop_ratio
         FROM documents
+        WHERE length(text) > 0
     ),
     q AS (
         SELECT doc_id, lang, text FROM s

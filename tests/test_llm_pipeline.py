@@ -246,3 +246,42 @@ def test_corpus_tokenizer_contract_no_vertical_tab():
             f"{sf}: {hits} documents contain vertical tab — Java vs RE2 "
             "\\s+ tokenization diverges; see operators/dedup.py header"
         )
+
+
+def test_doc_chunking_beyond_64_chunks(spark, tmp_path):
+    """The chunking oracle once capped at 64 chunks via CROSS JOIN
+    range(0, 64) while the Spark side derives n_chunks unbounded — a
+    one-sided truncation latent until a document exceeds
+    1 + 63*stride chars. Pin parity on a document long enough to need
+    80+ chunks."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from empdia_iceberg_spark import registry
+    import __spark_entry__ as entry
+
+    big = "word " * 2500  # 12500 chars -> ceil((12500-1)/150)+1 = 84 chunks
+    d = tmp_path / "sf_chunk"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], "int64"),
+                "text": pa.array([big, "short text"], "string"),
+                "lang": pa.array(["en", "en"], "string"),
+                "source": pa.array(["t", "t"], "string"),
+                "n_chars": pa.array([len(big), 10], "int64"),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    sdf = registry.queries()["doc_chunking"](spark, str(d))
+    srows = sorted(map(tuple, sdf.collect()))
+    assert max(r[1] for r in srows) >= 80  # genuinely beyond the old cap
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    orows = sorted(map(tuple, con.execute(entry.oracle_sql()["doc_chunking"]).fetchall()))
+    assert srows == orows
