@@ -78,17 +78,20 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # but changed code must re-earn its DRIVER row the round it changes;
 # rule 1 below outranks debt retirement); THEN all 76 still-never-swept
 # names in the kernels-before-plain-SQL order tools/next_sweep.py
-# emits. With 41 changed entries the 50-cap reaches ~9 deep into the
-# never-swept block (the eight names changed in r7 that were ALSO
-# never-swept — anova, ks, lineitem_corr_matrix, doc_decontaminate,
-# curation_funnel_counts, supplier_part_matching,
-# events_markov_entropy_rate, mi_events_type_hour — appear once, in
-# the changed block), retiring ~17 of the 76 and leaving ~59 — round
-# 8's 50-rotation retires all but ~9, with the remainder gone early in
-# round 9. Correctness fixes outrank debt retirement: every changed
+# emits. With 46 changed entries the 50-cap reaches ~4 deep into the
+# remaining never-swept block — but THIRTEEN of the changed entries
+# are themselves never-swept (anova, ks, lineitem_corr_matrix,
+# doc_decontaminate, curation_funnel_counts, supplier_part_matching,
+# events_markov_entropy_rate, mi_events_type_hour,
+# events_funnel_conversion, orders_shipping_busdays,
+# orders_diversified_topk, weighted_quantiles_quantity,
+# orders_robust_means; each appears once, in the changed block), so
+# the sweep still retires ~17 of the 76 never-swept, leaving ~59 —
+# round 8's 50-rotation retires all but ~9, the remainder gone early
+# in round 9. Correctness fixes outrank debt retirement: every changed
 # query must re-earn its driver row the round it changes; this round's
-# two independent full-diff/full-module review passes deliberately
-# spent sweep slots on the fixes they produced.
+# independent full-diff + per-module review passes deliberately spent
+# sweep slots on the fixes they produced.
 _SWEEP_PRIORITY = [
     # --- changed in r7: MUST be swept this round (changed-code-first)
     "table_merge_pruned",  # r7: OCC expect_parent + dup-key guard
@@ -162,6 +165,17 @@ _SWEEP_PRIORITY = [
     # (classifier_agreement_kappa also changed — oracle now built from
     # LANG_STOPWORDS + paired checkpoint — and is already inside the
     # first-50 never-swept block below.)
+    # r7 second review pass, relational: edge-semantics + scale-hint
+    # fixes, all never-swept — they move up within their own block.
+    # (anti_join_inactive_customers / q16_supplier_part_counts changed
+    # ORACLE TEXT only — NOT IN → NULL-safe NOT EXISTS, identical on
+    # the corpus — and observed_metrics_shipments only gained an
+    # empty-slice None guard; those three keep their green rows.)
+    "events_funnel_conversion",  # r7: count(when) — sum(cast) was NULL on no-hit inputs
+    "orders_shipping_busdays",  # r7: fact-table broadcast hint dropped (AQE decides)
+    "orders_diversified_topk",  # r7: customer broadcast hint dropped (AQE decides)
+    "weighted_quantiles_quantity",  # r7: both crossing thresholds in ONE aggregate pass
+    "orders_robust_means",  # r7: drop redundant det_round inside exact_sum_r6
     # --- never swept (driver takes first ~50: 27 changed above — five
     # of which are themselves never-swept — + ~23 of these; the rest
     # queue in order for the round-8 rotation to retire fully)
@@ -190,15 +204,12 @@ _SWEEP_PRIORITY = [
     "events_ohlc_hourly",  # never
     "events_scd2_history",  # never
     "events_weekly_retention",  # never
-    "events_funnel_conversion",  # never
     "mc_pi_estimate",  # never
     "orders_var_cvar",  # never
     "ab_sprt_trace",  # never
     "ab_test_conversion",  # never
     "ols_by_returnflag",  # never
-    "weighted_quantiles_quantity",  # never
     "quantile_transform_acctbal",  # never
-    "orders_robust_means",  # never
     "revenue_concentration_hhi",  # never
     "revenue_gini_customers",  # never
     "corpus_zipf_slope",  # never
@@ -208,8 +219,6 @@ _SWEEP_PRIORITY = [
     "customer_segment_migration",  # never
     "customer_rfm_segments",  # never
     "orders_interpurchase_intervals",  # never
-    "orders_shipping_busdays",  # never
-    "orders_diversified_topk",  # never
     "orders_status_summary",  # never
     "lineitem_fifo_allocation",  # never
     "join_key_skew_stats",  # never

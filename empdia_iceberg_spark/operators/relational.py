@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 
 from empdia_iceberg_spark.functions.exact import (
     det_round,
-    exact_avg2,
     exact_sum2,
     exact_sum8,
     grouped_scaled_sums,
@@ -426,8 +425,12 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_inactive_customers",
     oracle="""
     SELECT c_custkey, c_name
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    FROM customer c
+    -- NOT EXISTS, not NOT IN: a single NULL o_custkey would make
+    -- NOT IN return ZERO rows while the Spark left-anti join keeps
+    -- every order-less customer (and dq_checks_orders audits for
+    -- exactly such dirty keys)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     ORDER BY c_custkey
     """,
     doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
@@ -799,14 +802,17 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.count("t_signup").cast("bigint").alias("n_signed_up"),
-        F.sum((F.col("t_click") > F.col("t_signup")).cast("long"))
+        # count(when), not sum(cast): sum over an input with no true
+        # rows is NULL where the oracle's count(*) FILTER is 0
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1))
         .cast("bigint")
         .alias("n_clicked_after"),
-        F.sum(
-            (
+        F.count(
+            F.when(
                 (F.col("t_purchase") > F.col("t_click"))
-                & (F.col("t_click") > F.col("t_signup"))
-            ).cast("long")
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            )
         )
         .cast("bigint")
         .alias("n_converted"),
@@ -2484,8 +2490,10 @@ def orders_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # customer scales with SF (150k x SF): no explicit broadcast —
+    # AQE decides; nation is a fixed 25-row dim, broadcast stays
     joined = orders.join(
-        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        cust, orders["o_custkey"] == cust["c_custkey"]
     ).join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
     w = W.partitionBy("n_name").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return (
@@ -2548,7 +2556,10 @@ def orders_shipping_busdays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     lat = (
-        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        # plain equi-join: orders is FACT-scale (never an explicit
+        # broadcast — that hint forces the whole table into every
+        # executor at any SF); AQE picks broadcast only when it fits
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
         .select(
             "o_orderpriority",
@@ -2635,16 +2646,17 @@ def weighted_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "v", "wt", tiebreaks=("l_orderkey", "l_linenumber"), out_col="c"
     )
     crossed = cum.crossJoin(F.broadcast(tot))
-    med = crossed.filter(F.lit(2) * F.col("c") >= F.col("tw")).agg(
-        F.min("v").alias("w_median")
-    )
-    p90 = crossed.filter(F.lit(10) * F.col("c") >= F.lit(9) * F.col("tw")).agg(
-        F.min("v").alias("w_p90")
-    )
-    return (
-        med.crossJoin(F.broadcast(p90))
-        .crossJoin(F.broadcast(tot))
-        .select("w_median", "w_p90", F.col("tw").cast("double").alias("total_weight"))
+    # BOTH crossing thresholds from ONE aggregate pass — separate
+    # filter+agg subtrees would execute the prefix-sum frame (window +
+    # bucket join over all of lineitem) once per quantile
+    return crossed.agg(
+        F.min(F.when(F.lit(2) * F.col("c") >= F.col("tw"), F.col("v"))).alias(
+            "w_median"
+        ),
+        F.min(
+            F.when(F.lit(10) * F.col("c") >= F.lit(9) * F.col("tw"), F.col("v"))
+        ).alias("w_p90"),
+        F.first("tw").cast("double").alias("total_weight"),
     )
 
 
@@ -2822,9 +2834,12 @@ def observed_metrics_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()  # one real pass
     m = ob.get
+    # an empty slice reports total_qty as None (sum over zero rows):
+    # surface the same NULL the oracle emits instead of a TypeError
+    tq = float(m["total_qty"]) if m["total_qty"] is not None else None
     return local_df(
         spark,
-        [(int(m["n_rows"]), int(m["n_discounted"]), float(m["total_qty"]))],
+        [(int(m["n_rows"]), int(m["n_discounted"]), tq)],
         "n_rows long, n_discounted long, total_qty double",
     )
 
@@ -2995,11 +3010,11 @@ def orders_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         (F.sum("pd").cast("double") / F.count(F.lit(1))).alias("am"),
         F.exp(
-            exact_sum_r6(det_round(F.log(F.col("p")), 6)) / F.count(F.lit(1))
+            exact_sum_r6(F.log(F.col("p"))) / F.count(F.lit(1))
         ).alias("gm"),
         (
             F.count(F.lit(1)).cast("double")
-            / exact_sum_r6(det_round(F.lit(1.0) / F.col("p"), 6))
+            / exact_sum_r6(F.lit(1.0) / F.col("p"))
         ).alias("hm"),
     )
     return base.crossJoin(F.broadcast(trimmed)).select(

@@ -133,7 +133,9 @@ _Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#5'
       AND p_size IN {_Q16_SIZES}
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      -- NOT EXISTS form: NULL-safe, matches the Spark left-anti join
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_acctbal < 0 AND s.s_suppkey = l_suppkey)
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
