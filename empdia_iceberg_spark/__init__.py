@@ -78,20 +78,21 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # but changed code must re-earn its DRIVER row the round it changes;
 # rule 1 below outranks debt retirement); THEN all 76 still-never-swept
 # names in the kernels-before-plain-SQL order tools/next_sweep.py
-# emits. With 46 changed entries the 50-cap reaches ~4 deep into the
-# remaining never-swept block — but THIRTEEN of the changed entries
+# emits. With 48 changed entries the 50-cap reaches 2 deep into the
+# remaining never-swept block — but FOURTEEN of the changed entries
 # are themselves never-swept (anova, ks, lineitem_corr_matrix,
 # doc_decontaminate, curation_funnel_counts, supplier_part_matching,
 # events_markov_entropy_rate, mi_events_type_hour,
 # events_funnel_conversion, orders_shipping_busdays,
 # orders_diversified_topk, weighted_quantiles_quantity,
-# orders_robust_means; each appears once, in the changed block), so
-# the sweep still retires ~17 of the 76 never-swept, leaving ~59 —
-# round 8's 50-rotation retires all but ~9, the remainder gone early
-# in round 9. Correctness fixes outrank debt retirement: every changed
-# query must re-earn its driver row the round it changes; this round's
-# independent full-diff + per-module review passes deliberately spent
-# sweep slots on the fixes they produced.
+# orders_robust_means, udtf_table_arg_digest; each appears once, in
+# the changed block), so the sweep still retires ~16 of the 76
+# never-swept, leaving ~60 — round 8's 50-rotation retires all but
+# ~10, the remainder gone early in round 9. Correctness fixes outrank
+# debt retirement: every changed query must re-earn its driver row the
+# round it changes; this round's independent full-diff + per-module
+# review passes deliberately spent sweep slots on the fixes they
+# produced.
 _SWEEP_PRIORITY = [
     # --- changed in r7: MUST be swept this round (changed-code-first)
     "table_merge_pruned",  # r7: OCC expect_parent + dup-key guard
@@ -176,6 +177,9 @@ _SWEEP_PRIORITY = [
     "orders_diversified_topk",  # r7: customer broadcast hint dropped (AQE decides)
     "weighted_quantiles_quantity",  # r7: both crossing thresholds in ONE aggregate pass
     "orders_robust_means",  # r7: drop redundant det_round inside exact_sum_r6
+    # r7 second review pass, reference-semantics surface
+    "messages_last_by_role",  # r7: try_element_at — ANSI element_at raises on role-less conversations
+    "udtf_table_arg_digest",  # r7: row-counter sentinel replaces first_type-is-None (was never-swept)
     # --- never swept (driver takes first ~50: 27 changed above — five
     # of which are themselves never-swept — + ~23 of these; the rest
     # queue in order for the round-8 rotation to retire fully)
@@ -191,7 +195,6 @@ _SWEEP_PRIORITY = [
     "multimodal_audio_zcr",  # never
     "binaryfile_ingest",  # never
     "udtf_split_fixed_cols",  # never
-    "udtf_table_arg_digest",  # never
     "pyds_synthetic_rollup",  # never
     "stream_topk_trending",  # never
     "stream_stream_join_1h",  # never
@@ -304,7 +307,6 @@ _SWEEP_PRIORITY = [
     "termination_first_stop",  # r3
     "trajectory_metrics",  # r3
     "messages_role_swap_pipeline",  # r3
-    "messages_last_by_role",  # r3
     "sink_parquet_roundtrip",  # r3
     "sink_json_roundtrip",  # r3
     "csv_roundtrip",  # r3

@@ -209,17 +209,22 @@ def classifier_label_canonicalization(spark: SparkSession, sf_dir: str) -> DataF
 HF_MODEL_ENV = "EMPDIA_HF_CLASSIFIER"
 
 
-def real_model_available() -> bool:
-    """True only when a checkpoint is configured AND the ML stack imports."""
+def _ml_stack_available(env_name: str) -> bool:
+    """True only when the env var names a checkpoint AND the ML stack
+    imports — the one shared probe behind both real-path gates."""
     import importlib.util
     import os
 
-    if not os.environ.get(HF_MODEL_ENV):
+    if not os.environ.get(env_name):
         return False
     return (
         importlib.util.find_spec("torch") is not None
         and importlib.util.find_spec("transformers") is not None
     )
+
+
+def real_model_available() -> bool:
+    return _ml_stack_available(HF_MODEL_ENV)
 
 
 def _ensure_real_model(model_name: str):
@@ -367,16 +372,7 @@ GEN_TOP_P = 0.9
 
 
 def real_generator_available() -> bool:
-    """True only when a checkpoint is configured AND the ML stack imports."""
-    import importlib.util
-    import os
-
-    if not os.environ.get(HF_GENERATOR_ENV):
-        return False
-    return (
-        importlib.util.find_spec("torch") is not None
-        and importlib.util.find_spec("transformers") is not None
-    )
+    return _ml_stack_available(HF_GENERATOR_ENV)
 
 
 def _ensure_real_generator(model_name: str):
@@ -388,6 +384,14 @@ def _ensure_real_generator(model_name: str):
         from transformers import AutoModelForCausalLM, AutoTokenizer
 
         tok = AutoTokenizer.from_pretrained(model_name)
+        # causal-LM batching essentials: most checkpoints (gpt2, LLaMA
+        # family) ship NO pad token — tok(..., padding=True) would raise
+        # before generate() ever ran — and decoder-only generation needs
+        # LEFT padding, or shorter prompts in a batch condition on
+        # trailing pads between prompt and continuation
+        if tok.pad_token is None:
+            tok.pad_token = tok.eos_token
+        tok.padding_side = "left"
         model = AutoModelForCausalLM.from_pretrained(model_name)
         model.eval()
         _MODEL_CACHE[key] = (tok, model)

@@ -46,7 +46,6 @@ _CONV_SQL = f"""
 
 def conversations_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(dia_id, msgs ARRAY<STRUCT<role,content>>) with a leading system msg."""
-    ev = load(spark, sf_dir, "events")
     msg = F.struct(
         F.col("ts"),
         F.col("event_id"),
@@ -166,13 +165,18 @@ def messages_role_swap_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def messages_last_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv = conversations_from_events(spark, sf_dir)
+    # try_element_at, not element_at: under Spark 4 ANSI mode,
+    # element_at(empty_array, -1) RAISES — a conversation with no user
+    # (or no assistant) messages would kill the query, while the oracle
+    # returns NULL for that row (prep.py uses try_element_at for the
+    # same reason)
     return conv.select(
         "dia_id",
         F.size("msgs").alias("n_msgs"),
-        F.element_at(F.filter("msgs", lambda m: m.role == "user"), -1).content.alias(
-            "last_user"
-        ),
-        F.element_at(
-            F.filter("msgs", lambda m: m.role == "assistant"), -1
+        F.try_element_at(
+            F.filter("msgs", lambda m: m.role == "user"), F.lit(-1)
+        ).content.alias("last_user"),
+        F.try_element_at(
+            F.filter("msgs", lambda m: m.role == "assistant"), F.lit(-1)
         ).content.alias("last_assistant"),
     ).orderBy("dia_id")

@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from empdia_iceberg_spark.functions.exact import det_round
 from empdia_iceberg_spark.registry import register
-from empdia_iceberg_spark.functions.reward import LAYER_HISTORY_SQL
 from empdia_iceberg_spark.sources.tables import load
 
 MAX_TURNS = 20

@@ -245,7 +245,10 @@ def _user_digest_udtf():
         def eval(self, row):
             self.user_id = row["user_id"]
             self.n += 1
-            if self.first_type is None:
+            # row counter as the 'unset' sentinel — first_type-is-None
+            # would conflate 'no rows yet' with a genuinely NULL first
+            # event_type and silently take the SECOND row's type
+            if self.n == 1:
                 self.first_type = row["event_type"]
             self.last_type = row["event_type"]
 
