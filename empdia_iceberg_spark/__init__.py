@@ -180,6 +180,18 @@ _SWEEP_PRIORITY = [
     # r7 second review pass, reference-semantics surface
     "messages_last_by_role",  # r7: try_element_at — ANSI element_at raises on role-less conversations
     "udtf_table_arg_digest",  # r7: row-counter sentinel replaces first_type-is-None (was never-swept)
+    # --- ROUND-8 ROTATION HEAD (overflow): the final r7 review batch
+    # also changed asof_join_last_error (struct-carried build row),
+    # events_gap_fill_ffill ((ts,event_id) tiebreak), events_cusum_drift
+    # (chronological running-min window), events_max_drawdown_user
+    # (floor(+0.5) key), forecast_backtest_snaive (MAPE zero guard),
+    # profile_orders_stats (localCheckpoint), kmv_distinct_orders /
+    # kmv_set_overlap (shared uniform helper; exact Jaccard over raw
+    # ids), and the dataprep weighted samples (shared uniform helper).
+    # The two kmv queries sit in this round's window below; every other
+    # name here was verified hash-green vs its oracle in-session and
+    # MUST lead round 8's changed-code block — the 50-slot window is
+    # full this round.
     # --- never swept (driver takes first ~50: 27 changed above — five
     # of which are themselves never-swept — + ~23 of these; the rest
     # queue in order for the round-8 rotation to retire fully)

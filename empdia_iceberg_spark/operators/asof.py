@@ -70,12 +70,24 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     unioned = p.unionByName(b)
+    # Carry the matched build row as ONE struct, not one last(ignore
+    # nulls) window per column: per-column carries TEAR the row when a
+    # build value column is NULL — each column falls back to a
+    # DIFFERENT earlier build row, producing a composite no build row
+    # ever contained, where ASOF semantics return the latest row's
+    # values (NULLs included). The struct is NULL exactly on probe
+    # rows (build structs are never NULL even when every field is), so
+    # last(struct, ignorenulls) is precisely "latest build row".
+    brow = F.when(
+        F.col("_side") == 0, F.struct(*[F.col(f"_b_{c}").alias(c) for c in value_cols])
+    )
     carried = unioned.select(
         "_probe",
-        *[F.last(f"_b_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
+        F.last(brow, ignorenulls=True).over(w).alias("_brow"),
     )
     out = carried.filter(F.col("_probe").isNotNull()).select(
-        "_probe.*", *[f"asof_{c}" for c in value_cols]
+        "_probe.*",
+        *[F.col(f"_brow.{c}").alias(f"asof_{c}") for c in value_cols],
     )
     return out
 
@@ -189,12 +201,20 @@ GAP_FILL_END = "2024-01-03 23:00:00"  # 3 days of hourly buckets
     users AS (SELECT DISTINCT user_id FROM events),
     grid AS (SELECT user_id, hour FROM users CROSS JOIN hours),
     hourly AS (
-        SELECT user_id, date_trunc('hour', ts) AS hour,
-               round(max_by(value, ts), 2) AS last_value_in_hour
-        FROM events
-        WHERE ts >= TIMESTAMP '{GAP_FILL_START}'
-          AND ts <  TIMESTAMP '{GAP_FILL_END}' + INTERVAL 1 HOUR
-        GROUP BY 1, 2
+        -- row_number (ts DESC, event_id DESC) mirror of Spark's
+        -- max_by(value, struct(ts, event_id)): DuckDB max_by takes no
+        -- composite key, and max_by on ts alone picks an ARBITRARY
+        -- peer when two events share a timestamp
+        SELECT user_id, hour, round(value, 2) AS last_value_in_hour
+        FROM (
+            SELECT user_id, date_trunc('hour', ts) AS hour, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WHERE ts >= TIMESTAMP '{GAP_FILL_START}'
+              AND ts <  TIMESTAMP '{GAP_FILL_END}' + INTERVAL 1 HOUR
+        ) WHERE rn = 1
     )
     SELECT g.user_id, g.hour,
            h.last_value_in_hour AS observed,
@@ -229,7 +249,14 @@ def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ts") < F.lit(GAP_FILL_END).cast("timestamp") + F.expr("INTERVAL 1 HOUR"))
         )
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
-        .agg(F.round(F.max_by("value", "ts"), 2).alias("last_value_in_hour"))
+        # (ts, event_id) tiebreak: max_by on ts alone picks an
+        # ARBITRARY peer when two events share a timestamp — the same
+        # nondeterminism asof_join's docstring warns about
+        .agg(
+            F.round(
+                F.max_by("value", F.struct("ts", "event_id")), 2
+            ).alias("last_value_in_hour")
+        )
     )
     joined = grid.join(hourly, ["user_id", "hour"], "left")
     w = (

@@ -154,10 +154,9 @@ _WS_CUSHION = 16.0
 # u = (hex52(md5(doc_id)) + 1) / 2^52  ∈ (0, 1] — exact dyadic double,
 # identical in both engines; key = −ln(u)/w (det-rounded to 12: the
 # only libm call, same discipline as corpus_zipf_slope).
-_U_SQL = (
-    "((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1)"
-    " / 4503599627370496.0)"
-)
+from empdia_iceberg_spark.operators.profiling import _kmv_u_sql as _shared_u_sql
+
+_U_SQL = _shared_u_sql("doc_id", offset=1)
 
 
 @register(
@@ -192,11 +191,9 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
-    u = (
-        F.conv(F.md5(F.col("doc_id").cast("string").cast("binary")).substr(1, 13), 16, 10)
-        .cast("bigint")
-        + 1
-    ) / F.lit(4503599627370496.0)
+    from empdia_iceberg_spark.operators.profiling import _kmv_u_col
+
+    u = _kmv_u_col("doc_id", offset=1)
     keyed = docs.select(
         "source",
         "doc_id",

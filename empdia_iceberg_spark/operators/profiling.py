@@ -86,7 +86,10 @@ def profile_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_custkey").cast("double").alias("cust_min"),
         F.max("o_custkey").cast("double").alias("cust_max"),
         F.countDistinct("o_orderstatus").cast("double").alias("status_ndv"),
-    ).persist()  # 1 row, reused by the metric emission AND the histogram bounds
+    ).localCheckpoint()  # 1 row, reused by the metric emission AND the
+    # histogram bounds — localCheckpoint, not persist: a persist here was
+    # never unpersisted, leaking one cache entry per invocation across
+    # registry sweeps; checkpointed blocks release with the DataFrame
 
     hist = (
         orders.crossJoin(F.broadcast(base.select("price_min", "price_max")))
@@ -244,17 +247,36 @@ def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMV_K = 256
 
-_KMV_U_SQL = (
-    "(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 13) AS BIGINT)"
-    " / 4503599627370496.0)"
-)
+
+def _kmv_u_sql(col: str, offset: int = 0) -> str:
+    """md5-derived exact-dyadic uniform, DuckDB side. THE one shared
+    hash-to-uniform construction (52-bit hex prefix / 2^52) — it was
+    once written out in four places across profiling/dataprep, and a
+    drift in any copy (prefix width, divisor) silently breaks the
+    cross-engine hashes. ``offset=1`` gives the (0, 1]-supported
+    variant dataprep's Efraimidis-Spirakis keys need (−ln u defined)."""
+    off = f" + {offset}" if offset else ""
+    return (
+        f"((CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 13) AS BIGINT){off})"
+        " / 4503599627370496.0)"
+    )
+
+
+def _kmv_u_col(col: str, offset: int = 0):
+    """Spark mirror of `_kmv_u_sql` — same 52-bit dyadic uniform."""
+    h = F.conv(
+        F.md5(F.col(col).cast("string").cast("binary")).substr(1, 13), 16, 10
+    ).cast("bigint")
+    if offset:
+        h = h + F.lit(offset)
+    return h / F.lit(4503599627370496.0)
 
 
 @register(
     "kmv_distinct_orders",
     oracle=f"""
     WITH hashes AS (
-        SELECT DISTINCT {_KMV_U_SQL} AS u FROM lineitem
+        SELECT DISTINCT {_kmv_u_sql('l_orderkey')} AS u FROM lineitem
     ),
     mins AS (
         SELECT u FROM hashes ORDER BY u LIMIT {KMV_K}
@@ -282,14 +304,7 @@ _KMV_U_SQL = (
 )
 def kmv_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey")
-    u = (
-        F.conv(
-            F.md5(F.col("l_orderkey").cast("string").cast("binary")).substr(1, 13),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4503599627370496.0)
-    ).alias("u")
+    u = _kmv_u_col("l_orderkey").alias("u")
 
     # one cheap scalar job: HLL estimate steers the prefilter threshold
     d_approx = li.agg(
@@ -333,19 +348,7 @@ def kmv_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same CASE on both engines.
 
 
-def _kmv_u_sql(col: str) -> str:
-    return (
-        f"(CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 13) AS BIGINT)"
-        " / 4503599627370496.0)"
-    )
-
-
-def _kmv_u_col(col: str):
-    return (
-        F.conv(F.md5(F.col(col).cast("string").cast("binary")).substr(1, 13), 16, 10)
-        .cast("bigint")
-        / F.lit(4503599627370496.0)
-    )
+# (_kmv_u_sql / _kmv_u_col are defined once, above kmv_distinct_orders.)
 
 
 @register(
@@ -370,9 +373,15 @@ def _kmv_u_col(col: str):
         SELECT CAST(count(*) AS BIGINT) AS ci
         FROM ak JOIN bk USING (u) CROSS JOIN th WHERE ak.u <= th.theta
     ),
+    au AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    bu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
     ex AS (
-        SELECT (SELECT count(*) FROM (SELECT u FROM ah INTERSECT SELECT u FROM bh)) AS i,
-               (SELECT count(*) FROM (SELECT u FROM ah UNION SELECT u FROM bh)) AS n
+        -- exact baseline over RAW user_ids: computing it over the
+        -- 52-bit hashes would collapse colliding ids, so the reported
+        -- "exact" Jaccard (and the sketch's error against it) would be
+        -- wrong at cardinalities where birthday collisions appear
+        SELECT (SELECT count(*) FROM (SELECT user_id FROM au INTERSECT SELECT user_id FROM bu)) AS i,
+               (SELECT count(*) FROM (SELECT user_id FROM au UNION SELECT user_id FROM bu)) AS n
     )
     SELECT th.ku AS k_used, inter.ci AS n_common_in_sketch,
            {sql_det_round('CAST(inter.ci AS DOUBLE) / CAST(th.ku AS DOUBLE)', 6)} AS jaccard_kmv,
@@ -413,15 +422,17 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def uset(ev_type: str) -> DataFrame:
+        # RAW user_ids for the exact baseline — hashing first would
+        # collapse 52-bit collisions and misstate the sketch's error
         return (
             events.filter(F.col("event_type") == ev_type)
-            .select(_kmv_u_col("user_id").alias("u"))
+            .select("user_id")
             .distinct()
         )
 
     ua, ub = uset("click"), uset("purchase")
     ex = (
-        ua.join(ub, "u")
+        ua.join(ub, "user_id")
         .agg(F.count(F.lit(1)).alias("i"))
         .crossJoin(ua.unionByName(ub).distinct().agg(F.count(F.lit(1)).alias("n")))
     )

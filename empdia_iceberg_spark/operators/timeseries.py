@@ -227,7 +227,10 @@ def seasonal_strength_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(count(*) AS BIGINT) AS n_days,
            {sql_det_round(sql_sum_r6('abs(actual - forecast)') + ' / count(*)', 4)} AS mae,
-           {sql_det_round(sql_sum_r6('abs(actual - forecast) / actual') + ' / count(*)', 6)} AS mape
+           -- MAPE over nonzero-actual days only: a zero-total day would
+           -- make the term Infinity (DuckDB then ERRORS casting to
+           -- DECIMAL; Spark det_round floors it into garbage)
+           {sql_det_round(sql_sum_r6('CASE WHEN actual <> 0 THEN abs(actual - forecast) / actual END') + ' / count(CASE WHEN actual <> 0 THEN 1 END)', 6)} AS mape
     FROM joined
     """,
     doc="Seasonal-naive forecast backtest: forecast each day's total "
@@ -248,8 +251,11 @@ def forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(
             exact_sum_r6(err) / F.count(F.lit(1)), 4
         ).alias("mae"),
+        # nonzero-actual days only — see the oracle comment
         det_round(
-            exact_sum_r6(err / F.col("actual")) / F.count(F.lit(1)), 6
+            exact_sum_r6(F.when(F.col("actual") != 0, err / F.col("actual")))
+            / F.count(F.when(F.col("actual") != 0, 1)),
+            6,
         ).alias("mape"),
     )
 

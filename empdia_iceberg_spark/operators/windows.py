@@ -435,7 +435,7 @@ def events_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     pref AS (
-        SELECT e.event_id, e.user_id,
+        SELECT e.event_id, e.user_id, e.ts,
                sum(CAST(e.value AS DECIMAL(18,2)) - m.mu)
                    OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
@@ -443,7 +443,7 @@ def events_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     runmin AS (
         SELECT event_id, user_id, p,
-               min(p) OVER (PARTITION BY user_id ORDER BY event_id
+               min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
         FROM pref
     )
@@ -481,14 +481,19 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = ev.crossJoin(F.broadcast(mu)).select(
         "event_id",
         "user_id",
+        "ts",
         F.sum(F.col("value").cast("decimal(18,2)") - F.col("mu")).over(w).alias("p"),
     )
-    # second window orders by event_id only: p is already per-(user,
-    # event) and event_id is unique, so the running min is well-defined
-    # and the window reuses the same user_id partitioning
+    # second window orders by (ts, event_id) — the SAME chronological
+    # order the prefix sums use: ordering the running min by event_id
+    # alone silently assumed per-user event_ids are ts-monotone (true
+    # of the current generator, an undeclared invariant otherwise), and
+    # the CUSUM closed form s_n = P_n - min_j<=n P_j is only the
+    # documented statistic when both windows scan the same order.
+    # The window still reuses the same user_id partitioning.
     w2 = (
         W.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     runmin = pref.select(
@@ -634,7 +639,7 @@ def orders_open_peak_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(max(drawdown) AS DOUBLE) AS max_drawdown,
-           CAST(arg_min(event_id, lpad(CAST(CAST(100 * (999999.99 - drawdown) AS BIGINT) AS VARCHAR), 12, '0')
+           CAST(arg_min(event_id, lpad(CAST(CAST(floor(100 * (999999.99 - drawdown) + 0.5) AS BIGINT) AS VARCHAR), 12, '0')
                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS BIGINT) AS trough_event_id
     FROM dd
     GROUP BY user_id
@@ -670,9 +675,12 @@ def events_max_drawdown_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic argmin key: worst drawdown first (descending via the
     # 999999.99 complement — drawdown is 2-decimal exact, so 100·x is an
     # exact integer), then earliest event_id
+    # floor(x + 0.5), the det_round discipline — a raw double->bigint
+    # cast TRUNCATES in Spark but rounds-to-nearest in DuckDB, so a
+    # 1-ulp non-integral product would key k-1 vs k across engines
     ordkey = F.concat(
         F.lpad(
-            (F.lit(100) * (F.lit(999999.99) - F.col("drawdown")))
+            F.floor(F.lit(100) * (F.lit(999999.99) - F.col("drawdown")) + F.lit(0.5))
             .cast("bigint")
             .cast("string"),
             12,

@@ -56,6 +56,14 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees the type."""
     from pyspark.sql import functions as F
 
+    # Deliberately SESSION-scoped, not save-and-restore: the conf is
+    # consulted when the scan EXECUTES, and the returned DataFrame is
+    # lazy — restoring immediately would break every deferred read.
+    # Engine contract: in any session this engine touches, nanos
+    # parquet columns read as raw int64 and must pass through
+    # normalize_event_ts (the one dispatch below), exactly as events
+    # does. A foreign nanos table read around this engine would see
+    # the same convention, not a decode error.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_event_ts(spark.read.parquet(path_for(sf_dir, "events")))
 
