@@ -345,17 +345,19 @@ def test_pagerank_lineage_truncated(spark):
 
 def test_profile_reuses_stats_pass(spark):
     """profile_orders_stats computes the 1-row stats aggregate ONCE and
-    reuses it (cached InMemoryRelation) for both the metric emission
-    and the histogram bounds — never one orders subtree per metric."""
+    reuses it (a materialized localCheckpoint, surfacing as LogicalRDD)
+    for both the metric emission and the histogram bounds — never one
+    orders subtree per metric. (Was a persist()/InMemoryRelation until
+    r7: that cache entry leaked — never unpersisted — so the reuse now
+    rides a checkpoint whose blocks release with the DataFrame.)"""
     from tests.conftest import SF_DIR as _SF
     from empdia_iceberg_spark import registry as _reg
 
     df = _reg.queries()["profile_orders_stats"](spark, _SF)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert opt.count("InMemoryRelation") >= 1, opt
+    assert opt.count("LogicalRDD") >= 1, opt
     # exactly ONE uncached logical scan of orders (the histogram pass);
-    # `FileScan` lines inside the InMemoryRelation blocks are the
-    # cached stats pass's embedded physical plan, not extra scans
+    # the stats pass is the materialized checkpoint, not a second scan
     logical_scans = [
         l for l in opt.splitlines() if l.split("+- ")[-1].startswith("Relation [")
     ]
