@@ -45,6 +45,12 @@ TOP_K = 5
 NEAR_DUP_COS = 0.4  # synthetic 64-dim data: cos>=0.4 marks the planted tail
 _CHUNK = 256  # rows per matmul chunk: 256 × n_index × 8 B stays ≪ executor memory
 
+# user_profile_similarity broadcasts three one-row-per-user tables (the
+# pivot-wide b side and the two norm sides, ~200 B/user ⇒ ~40 MB at the
+# ceiling). Past the ceiling the hints drop away and the planner falls
+# back to shuffle joins instead of failing on a fact-scale broadcast.
+_PROFILE_BROADCAST_MAX_USERS = 200_000
+
 # Executor-process-local index cache (lazy init, one load per worker —
 # the pattern the reference uses for its classifier, cited above).
 _INDEX_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -170,6 +176,27 @@ def _topk_batches(
                         cand = np.nonzero(s >= s[part].min())[0]
                     else:
                         cand = np.arange(len(s))
+                    # Cap the tied set before the O(|cand| log |cand|)
+                    # lexsort: on a corpus of many duplicate embeddings
+                    # (exactly what a near-dup corpus contains) every
+                    # duplicate ties at the cut and |cand| can approach
+                    # n. Only the k+1 winners by (cos DESC, id ASC) can
+                    # survive, and every candidate at the cutoff value
+                    # competes purely on id — so take all strictly-above
+                    # rows (≤ k of them by definition of the cutoff)
+                    # plus an O(|tied|) argpartition of the smallest
+                    # ids among the tied rows. Bit-identical to sorting
+                    # the whole tied set; worst case stays O(n).
+                    if len(cand) > 4 * kk + 64:
+                        s_c = s[cand]
+                        cutoff = s_c.min()
+                        strict = cand[s_c > cutoff]
+                        tied = cand[s_c == cutoff]
+                        need = kk - len(strict)
+                        if len(tied) > need:
+                            tid = np.argpartition(ids[tied], need - 1)[:need]
+                            tied = tied[tid]
+                        cand = np.concatenate([strict, tied])
                     cand = cand[np.lexsort((ids[cand], -s[cand]))]
                     cand = cand[ids[cand] != qids[row]][:k]
                     out_q.extend([qids[row]] * len(cand))
@@ -560,15 +587,31 @@ def _ivf_cells_dir(spark: SparkSession, path: str) -> tuple[str, np.ndarray]:
     index per executor to build cells in-process, tripping the very
     memory ceiling it was advertised to escape. The build is
     deterministic, so the shard dir is a reusable cache keyed by the
-    index path; publication is an atomic dir rename (one builder wins,
-    losers clean up)."""
+    index path PLUS a content fingerprint (mtime_ns + size of the
+    parquet file, or of every entry for a directory): a path-only key
+    would keep serving stale shards after the file at that path is
+    regenerated, while the centroids retrain on the NEW data — probe
+    assignment and shard contents would silently disagree and recall
+    would sink with no error. A fingerprint mismatch simply lands in a
+    fresh cache dir, the same refuse-stale posture as the bloom
+    sidecar's version gate. Publication is an atomic dir rename (one
+    builder wins, losers clean up)."""
     import hashlib
     import os
     import shutil
     import uuid
 
+    def _fingerprint(p: str) -> str:
+        st = os.stat(p)
+        parts = [f"{p}|{st.st_mtime_ns}|{st.st_size}"]
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                s = os.stat(os.path.join(p, name))
+                parts.append(f"{name}|{s.st_mtime_ns}|{s.st_size}")
+        return hashlib.md5("||".join(parts).encode()).hexdigest()[:12]
+
     ann_root = os.environ.get("SPARK_GRAFT_ANN_ROOT", "/root/repo/.ann_work")
-    dest = os.path.join(ann_root, f"ivf_{hashlib.md5(path.encode()).hexdigest()[:12]}")
+    dest = os.path.join(ann_root, f"ivf_{_fingerprint(path)}")
     cents = _ivf_centroids(spark, path)
     if not os.path.exists(os.path.join(dest, "_built")):
         os.makedirs(ann_root, exist_ok=True)
@@ -1073,6 +1116,9 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(24):
         bit = F.when(F.col(str(i)).isNotNull(), F.lit(1 << i)).otherwise(F.lit(0))
         hour_mask = bit if hour_mask is None else hour_mask + bit
+    # localCheckpoint: the pivot feeds BOTH sides of the self-join (one
+    # materialization instead of two) and makes the user-count gate
+    # below a free count on the checkpointed RDD.
     wide = (
         prof.groupBy("user_id")
         .pivot("hh", list(range(24)))
@@ -1082,7 +1128,18 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             hour_mask.cast("int").alias("hmask"),
             *[F.coalesce(F.col(str(i)), F.lit(0.0)).alias(f"h{i}") for i in range(24)],
         )
+        .localCheckpoint()
     )
+    # The b/na/nb sides below are one row per user — tiny next to raw
+    # events, but they SCALE WITH USER COUNT, and a forced broadcast of
+    # a fact-scale side fails outright instead of letting AQE fall
+    # back. Gate the hints on a ceiling (~200 bytes/user ⇒ ~40 MB at
+    # the ceiling) with a shuffle-join fallback past it: SMJ for the
+    # equi norm joins, join-with-predicate for the a<b pair join — the
+    # same ceiling-plus-fallback posture as the PageRank rank vector
+    # (_PR_BROADCAST_MAX_NODES in operators/mining.py).
+    n_users = wide.count()
+    hint = F.broadcast if n_users <= _PROFILE_BROADCAST_MAX_USERS else (lambda d: d)
     a = wide.select(
         F.col("user_id").alias("user_a"),
         F.col("hmask").alias("amask"),
@@ -1110,7 +1167,7 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = total.cast("double") / F.lit(1e6)
     pairs = (
         a.join(
-            F.broadcast(b),
+            hint(b),
             (F.col("user_a") < F.col("user_b"))
             & (F.col("amask").bitwiseAND(F.col("bmask")) != 0),
         )
@@ -1119,8 +1176,8 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = norms.select(F.col("user_id").alias("user_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("user_id").alias("user_b"), F.col("nrm").alias("nb"))
     cos = (
-        pairs.join(F.broadcast(na), "user_a")
-        .join(F.broadcast(nb), "user_b")
+        pairs.join(hint(na), "user_a")
+        .join(hint(nb), "user_b")
         .select(
             "user_a",
             "user_b",

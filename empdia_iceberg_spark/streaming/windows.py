@@ -101,10 +101,23 @@ def additive_upsert(table, batch_df: DataFrame, batch_id: int, group_cols: list)
     batch is recognized and skipped — the make-foreachBatch-idempotent
     pattern from the Structured Streaming guide, with the snapshot log
     itself as the transaction record (the table commit and the
-    batch-id stamp are ONE atomic metadata publish)."""
-    if table.current_version() is not None and any(
-        s["op"] == f"merge@b{batch_id}" for s in table.snapshots()
-    ):
+    batch-id stamp are ONE atomic metadata publish).
+
+    The already-committed probe walks the snapshot log BACKWARDS and
+    stops at the first merge@b<N> stamp: batch ids are monotonic within
+    a stream and this sink commits them in order, so batch_id <= N ⇔
+    this batch already landed. Reading every version's metadata per
+    micro-batch (the r7 shape) made a long-running stream O(batches²)
+    in metadata I/O; the backward scan reads ONE snapshot JSON per
+    trigger in steady state (the newest stamp is at or next to the
+    head even when compaction/expire ops interleave)."""
+    last = None
+    for v in reversed(table._versions()):
+        op = table._read_meta(v).get("op", "")
+        if op.startswith("merge@b"):
+            last = int(op[len("merge@b"):])
+            break
+    if last is not None and batch_id <= last:
         return
     agg = batch_df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -2245,19 +2245,39 @@ class BloomIndex:
                     "m": ms[d],
                     "blob": os.path.join(os.path.basename(blob_root), name),
                 }
+        # Blob roots the ABOUT-TO-BE-REPLACED sidecar references: they
+        # get a one-generation grace period below, so a reader that
+        # loaded that sidecar moments before the swap still finds every
+        # blob it points at (the swap is atomic for the sidecar but a
+        # lookup holds its parsed copy across the blob reads).
+        prev_roots: set = set()
+        if os.path.exists(self.path):
+            try:
+                with open(self.path) as f:
+                    for entry in json.load(f).get("dirs", {}).values():
+                        if "blob" in entry:
+                            prev_roots.add(entry["blob"].split("/", 1)[0])
+            except (json.JSONDecodeError, OSError):
+                pass
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"key": self.key, "version": meta["version"], "dirs": index}, f)
         os.rename(tmp, self.path)
-        # Reclaim superseded blob sets only AFTER the sidecar swap:
-        # deleting them first would break a reader that already opened
-        # the still-current sidecar (its blob paths point at the old
-        # dir), and a mid-build failure would leave NO usable index at
-        # all instead of the previous good one.
+        # Reclaim superseded blob sets only AFTER the sidecar swap, and
+        # only those at least TWO generations old: deleting the current
+        # set pre-swap would break readers of the still-current sidecar,
+        # and deleting the immediately-superseded set right after the
+        # swap would break a reader that parsed that sidecar just before
+        # it — the same snapshot-isolation window the table stack's MOR
+        # readers get. Dirs older than the kept generation have been
+        # unreferenced for a full build cycle; at most two generations
+        # of blobs ever sit on disk, so storage stays bounded the way
+        # expire_snapshots bounds data dirs.
         prefix = f"bloom_{self.key}_v"
+        keep = {os.path.basename(blob_root)} | prev_roots
         for old in os.listdir(self.table.meta_dir):
             full = os.path.join(self.table.meta_dir, old)
-            if old.startswith(prefix) and full != blob_root and os.path.isdir(full):
+            if old.startswith(prefix) and old not in keep and os.path.isdir(full):
                 shutil.rmtree(full, ignore_errors=True)
         return len(index)
 
@@ -2271,6 +2291,22 @@ class BloomIndex:
         ]
 
     def lookup_dirs(self, value) -> tuple[list[str], int]:
+        # One retry on FileNotFoundError: a concurrent build() can
+        # reclaim a blob dir between this reader's sidecar parse and its
+        # blob reads (build keeps one superseded generation, so the
+        # window needs TWO builds to bite — but two quick rebuilds after
+        # appends are legal). Re-reading the sidecar resolves it either
+        # way: the fresh sidecar points at live blobs, or the version
+        # gate below reports staleness instead of a spurious IO error.
+        for attempt in (0, 1):
+            try:
+                return self._lookup_dirs_once(value)
+            except FileNotFoundError:
+                if attempt:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _lookup_dirs_once(self, value) -> tuple[list[str], int]:
         with open(self.path) as f:
             index = json.load(f)
         # Staleness gate: the index was built against one snapshot's file

@@ -3,6 +3,8 @@ IVF/LSH ANN recall, approx-percentile error bound."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from empdia_iceberg_spark.operators.bucketing import bucketed_orders_customer
@@ -367,3 +369,90 @@ def test_knn_kernel_exact_tiebreak_and_tiny_index(spark, tmp_path):
     )
     out2 = pd.concat(list(_topk_batches(tiny, 5)([pd.DataFrame({"vec_id": [0], "embedding": [base]})])))
     assert list(out2["neighbor_id"]) == [1]
+
+
+def test_knn_kernel_tie_cap_partial_selection(tmp_path):
+    """r8 ADVICE: the tie-exact cut keeps every candidate at the cutoff
+    value, so a duplicate-heavy corpus (the very thing a near-dup
+    kernel targets) can tie nearly the WHOLE index at the boundary and
+    degrade the per-query lexsort to O(n log n). The kernel now caps
+    the candidate set with an O(|tied|) partial selection of the
+    smallest ids — results must stay bit-identical to sorting the full
+    tied set: the k lowest ids among the ties, in id order."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from empdia_iceberg_spark.operators.similarity import _topk_batches
+
+    base = [1.0] + [0.0] * 7
+    n = 2000  # every index vector identical → all n tie at the cut
+    pq.write_table(
+        pa.table({"vec_id": pa.array(list(range(n)), "int64"),
+                  "embedding": pa.array([base] * n, pa.list_(pa.float32()))}),
+        str(tmp_path / "dup.parquet"),
+    )
+    query = pd.DataFrame({"vec_id": [7], "embedding": [base]})
+    out = pd.concat(list(_topk_batches(str(tmp_path / "dup.parquet"), 5)([query])))
+    # self (id 7) excluded; the 5 lowest ids win, in id order
+    assert list(out["neighbor_id"]) == [0, 1, 2, 3, 4]
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]
+
+    # mixed corpus: a strict tier above the cutoff plus a huge tied
+    # tier spanning it — strict rows must all survive, then lowest ids
+    tier_hi = [0.9, float(np.sqrt(1 - 0.81))] + [0.0] * 6
+    emb = [base if i % 2 else tier_hi for i in range(6)] + [base] * 1000
+    pq.write_table(
+        pa.table({"vec_id": pa.array(list(range(len(emb))), "int64"),
+                  "embedding": pa.array(emb, pa.list_(pa.float32()))}),
+        str(tmp_path / "mix.parquet"),
+    )
+    q2 = pd.DataFrame({"vec_id": [100001], "embedding": [base]})
+    out2 = pd.concat(list(_topk_batches(str(tmp_path / "mix.parquet"), 5)([q2])))
+    # cos=1 rows: odd ids 1,3,5 and ids 6..1005; cos=0.9 rows: 0,2,4.
+    # top-5 by (cos DESC, id ASC) = ids 1,3,5,6,7
+    assert list(out2["neighbor_id"]) == [1, 3, 5, 6, 7]
+
+
+def test_ivf_cell_cache_rebuilds_when_index_file_changes(spark, tmp_path, monkeypatch):
+    """r8 ADVICE: the IVF cell-shard cache was keyed on the index PATH
+    alone — regenerating the embeddings file at the same path reused
+    stale shards while centroids retrained on the new data (silent
+    recall loss). The cache key now fingerprints mtime+size, so a
+    changed file lands in a fresh cache dir."""
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from empdia_iceberg_spark.operators.similarity import _ivf_cells_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_ROOT", str(tmp_path / "ann"))
+    path = str(tmp_path / "embeddings.parquet")
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", path)
+    d1, c1 = _ivf_cells_dir(spark, path)
+    d1_again, _ = _ivf_cells_dir(spark, path)
+    assert d1 == d1_again  # unchanged file → cache hit
+
+    # regenerate the file at the SAME path (content changes: drop rows)
+    t = pq.read_table(path)
+    time.sleep(0.01)
+    pq.write_table(t.slice(0, max(1, t.num_rows // 2)), path)
+    d2, c2 = _ivf_cells_dir(spark, path)
+    assert d2 != d1, "stale cell shards reused after the index file changed"
+    assert os.path.exists(os.path.join(d2, "_built"))
+
+
+def test_profile_similarity_broadcast_gate_fallback(spark, monkeypatch):
+    """r8 ADVICE: user_profile_similarity force-broadcast three
+    one-row-per-user tables; past executor memory that fails outright.
+    The hints are now gated on a user-count ceiling — force the
+    fallback (ceiling 0) and the shuffle-join plan must produce the
+    exact same rows."""
+    from empdia_iceberg_spark.operators import similarity as sim
+
+    expected = {tuple(r) for r in sim.user_profile_similarity(spark, SF_DIR).collect()}
+    monkeypatch.setattr(sim, "_PROFILE_BROADCAST_MAX_USERS", 0)
+    got = {tuple(r) for r in sim.user_profile_similarity(spark, SF_DIR).collect()}
+    assert got == expected

@@ -169,4 +169,21 @@ def test_additive_upsert_is_idempotent_per_batch_id(spark):
     additive_upsert(t, b1, 1, ["event_type"])
     after = {r.event_type: (r.n_events, r.sum_value) for r in t.read().collect()}
     assert after["click"] == (3, 16.0) and after["buy"] == (1, 2.0)
+
+    # r8 ADVICE: the probe now walks the snapshot log BACKWARDS to the
+    # newest merge@b stamp (O(1) steady-state metadata reads, not
+    # O(versions) per trigger). A STALE re-delivery (batch 0 after
+    # batch 1 committed) must still be recognized via batch-id
+    # monotonicity, and a non-merge op interleaved at the head must
+    # not blind the scan.
+    v = t.current_version()
+    additive_upsert(t, b0, 0, ["event_type"])  # stale retry, skipped
+    assert t.current_version() == v
+    assert {r.event_type: (r.n_events, r.sum_value) for r in t.read().collect()} == after
+    t.append(spark.createDataFrame([("noise", 1, 0.0)],
+                                   "event_type string, n_events long, sum_value double"))
+    b2 = spark.createDataFrame([("buy", 4.0)], "event_type string, value double")
+    additive_upsert(t, b2, 2, ["event_type"])  # scan steps over the append op
+    final = {r.event_type: (r.n_events, r.sum_value) for r in t.read().collect()}
+    assert final["buy"] == (2, 6.0) and final["click"] == (3, 16.0)
     t.drop()

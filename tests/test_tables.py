@@ -1194,3 +1194,56 @@ def test_append_type_mismatch_rejected_and_widening_cast(spark):
     assert {r.k: r.extra for r in back.collect()} == {1: None, 2: None, 3: 7}
     t.drop()
     t2.drop()
+
+
+def test_bloom_blob_reclamation_keeps_previous_generation(spark):
+    """r8 ADVICE: build() used to rmtree every superseded blob dir the
+    instant the sidecar swapped, so a reader that parsed the previous
+    sidecar moments earlier hit FileNotFoundError mid-lookup.
+    Reclamation now lags one generation (at most two generations on
+    disk), and lookup_dirs retries through a fresh sidecar read when a
+    blob vanishes underneath it."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from empdia_iceberg_spark.tables.manager import BloomIndex, SnapshotTable
+
+    t = SnapshotTable(spark, "t_bloom_gen_unit")
+    t.drop()
+    t.create(spark.createDataFrame([(k,) for k in range(100)], "k int"))
+    idx = BloomIndex(t, "k")
+    idx.build()
+
+    def gens():
+        return sorted(
+            d for d in os.listdir(t.meta_dir)
+            if d.startswith("bloom_k_v") and os.path.isdir(os.path.join(t.meta_dir, d))
+        )
+
+    g1 = gens()
+    assert len(g1) == 1
+    t.append(spark.createDataFrame([(k,) for k in range(100, 150)], "k int"))
+    idx.build()
+    g2 = gens()
+    # the superseded generation survives one build cycle
+    assert g1[0] in g2 and len(g2) == 2
+    t.append(spark.createDataFrame([(k,) for k in range(150, 160)], "k int"))
+    idx.build()
+    g3 = gens()
+    assert g1[0] not in g3, "two-generations-old blobs must be reclaimed"
+    assert len(g3) == 2 and g2[1] in g3
+    # lookups still correct across the whole history
+    dirs, total = idx.lookup_dirs(155)
+    assert dirs and total == 3
+
+    # blob vanishing with NO newer sidecar: the one retry re-reads the
+    # sidecar, still finds the dead path, and surfaces the IO error
+    # (not an infinite loop, not a silent false negative)
+    current = json.load(open(idx.path))
+    some = next(iter(current["dirs"].values()))
+    os.remove(os.path.join(t.meta_dir, some["blob"]))
+    with _pytest.raises(FileNotFoundError):
+        idx.lookup_dirs(0)
+    t.drop()
