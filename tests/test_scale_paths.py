@@ -456,3 +456,111 @@ def test_profile_similarity_broadcast_gate_fallback(spark, monkeypatch):
     monkeypatch.setattr(sim, "_PROFILE_BROADCAST_MAX_USERS", 0)
     got = {tuple(r) for r in sim.user_profile_similarity(spark, SF_DIR).collect()}
     assert got == expected
+
+
+def test_load_index_cache_keys_on_content_fingerprint(tmp_path):
+    """r9 ADVICE: the brute-force kernel's executor-local _INDEX_CACHE
+    was keyed on path alone — regenerating the embeddings file at the
+    same path made long-lived executor processes silently serve stale
+    vectors (the exact hazard class the r8 IVF fix documents). The
+    cache now re-stats the index per lookup and reloads on a content
+    fingerprint mismatch."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from empdia_iceberg_spark.operators.similarity import _load_index
+
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table({"vec_id": pa.array([1, 2], "int64"),
+                  "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32()))}),
+        path,
+    )
+    ids, m = _load_index(path)
+    assert list(ids) == [1, 2]
+    ids_again, _ = _load_index(path)
+    assert list(ids_again) == [1, 2]  # unchanged file → cache hit
+
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse clocks
+    pq.write_table(
+        pa.table({"vec_id": pa.array([7], "int64"),
+                  "embedding": pa.array([[0.6, 0.8]], pa.list_(pa.float32()))}),
+        path,
+    )
+    ids2, m2 = _load_index(path)
+    assert list(ids2) == [7], "stale executor-local index served after in-place regeneration"
+    np.testing.assert_allclose(m2, [[0.6, 0.8]])
+
+
+def test_fingerprint_sees_nested_file_changes(tmp_path):
+    """r9 ADVICE: the r8 fingerprint statted only top-level entries of a
+    directory index, so a file replaced in place two levels deep (e.g.
+    inside a hive `_cell=` partition subdir) left the fingerprint — and
+    the cache — stale. The fingerprint now walks recursively. Top-level
+    mtimes are pinned across the rewrite so ONLY the nested file's stat
+    can distinguish the two states."""
+    import time
+
+    from empdia_iceberg_spark.operators.similarity import _fingerprint
+
+    root = tmp_path / "ds"
+    sub = root / "_cell=3"
+    sub.mkdir(parents=True)
+    f = sub / "part-0.bin"
+    f.write_bytes(b"aaaa")
+    pin = 1_700_000_000
+    for d in (root, sub):
+        os.utime(d, ns=(pin * 10**9, pin * 10**9))
+    fp1 = _fingerprint(str(root))
+
+    time.sleep(0.01)
+    f.write_bytes(b"bbbb")  # same size, two levels deep
+    for d in (root, sub):
+        os.utime(d, ns=(pin * 10**9, pin * 10**9))
+    fp2 = _fingerprint(str(root))
+    assert fp1 != fp2, "nested in-place rewrite invisible to the fingerprint"
+
+
+def test_ivf_generation_reclamation_keeps_two_bounded(spark, tmp_path, monkeypatch):
+    """r9 ADVICE: fingerprint-keyed ivf_* cache dirs accumulated
+    unboundedly across index regenerations. A winning build now keeps
+    the current generation plus the most recent superseded one (the
+    bloom blob two-generation grace) within ITS source's namespace,
+    deletes older ones, and never touches another dataset's dirs."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from empdia_iceberg_spark.operators.similarity import _ivf_cells_dir
+
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    # another dataset's live cache dir + a legacy unprefixed dir
+    other = ann / "ivf_feedf00d_0123456789ab"
+    other.mkdir()
+    legacy = ann / "ivf_0123456789ab"
+    legacy.mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_ANN_ROOT", str(ann))
+
+    import shutil as _sh
+
+    path = str(tmp_path / "embeddings.parquet")
+    _sh.copy(f"{SF_DIR}/embeddings.parquet", path)
+    dirs = []
+    for i in range(3):  # three successive index generations
+        if i:
+            t = pq.read_table(path)
+            time.sleep(0.01)
+            pq.write_table(t.slice(0, t.num_rows - i), path)
+        d, _ = _ivf_cells_dir(spark, path)
+        dirs.append(d)
+    assert len(set(dirs)) == 3
+    mine = sorted(p for p in os.listdir(ann) if p.startswith("ivf_")
+                  and p not in (other.name, legacy.name))
+    assert len(mine) == 2, f"expected exactly two generations, got {mine}"
+    assert os.path.basename(dirs[-1]) in mine  # current generation kept
+    assert os.path.basename(dirs[-2]) in mine  # one-generation grace
+    assert other.is_dir(), "another dataset's cache dir was reclaimed"
+    assert not legacy.exists(), "legacy unprefixed dir should be reclaimed"

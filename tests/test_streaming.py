@@ -187,3 +187,44 @@ def test_additive_upsert_is_idempotent_per_batch_id(spark):
     final = {r.event_type: (r.n_events, r.sum_value) for r in t.read().collect()}
     assert final["buy"] == (2, 6.0) and final["click"] == (3, 16.0)
     t.drop()
+
+
+def test_additive_upsert_two_checkpoint_lineages(spark):
+    """r9 ADVICE: batch ids are only monotonic within ONE checkpoint
+    lineage. A second stream (fresh checkpoint dir — ids restart at 0)
+    writing the same table must not have its early batches dropped by
+    the first lineage's newer stamps: the run_id stamp
+    ("merge@<run_id>#b<N>") scopes the monotonic skip per lineage,
+    while re-delivery WITHIN a lineage is still recognized."""
+    from empdia_iceberg_spark.streaming.windows import additive_upsert
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    t = SnapshotTable(spark, "t_idem_upsert_lineages")
+    t.drop()
+
+    def b(*rows):
+        return spark.createDataFrame(list(rows), "event_type string, value double")
+
+    # lineage A commits batches 0 and 1
+    additive_upsert(t, b(("click", 1.0)), 0, ["event_type"], run_id="ckptA")
+    additive_upsert(t, b(("click", 2.0)), 1, ["event_type"], run_id="ckptA")
+    # lineage B: fresh checkpoint, ids restart at 0 — must still land
+    additive_upsert(t, b(("click", 4.0)), 0, ["event_type"], run_id="ckptB")
+    got = {r.event_type: (r.n_events, r.sum_value) for r in t.read().collect()}
+    assert got["click"] == (3, 7.0), "lineage B's batch 0 was dropped"
+
+    # re-delivery inside each lineage is still skipped (no new snapshot)
+    v = t.current_version()
+    additive_upsert(t, b(("click", 8.0)), 0, ["event_type"], run_id="ckptB")
+    additive_upsert(t, b(("click", 8.0)), 1, ["event_type"], run_id="ckptA")
+    assert t.current_version() == v
+    assert {r.event_type: (r.n_events, r.sum_value)
+            for r in t.read().collect()} == got
+
+    # legacy unscoped stamps are distinct from run-id stamps: the
+    # digit-suffix guard keeps "merge@b" from matching "merge@ckptB#b0",
+    # so an unscoped writer's batch 0 is not mistaken as already landed
+    additive_upsert(t, b(("click", 16.0)), 0, ["event_type"])
+    got = {r.event_type: (r.n_events, r.sum_value) for r in t.read().collect()}
+    assert got["click"] == (4, 23.0)
+    t.drop()
