@@ -97,14 +97,16 @@ def main() -> None:
             continue
         qs[name](spark, sf_dir).toPandas()  # warm-up (listing, codegen, JIT)
         best = float("inf")
-        for i in range(3):  # best-of-3: shields against scheduler noise
+        # Full best-of-3 for EVERY query, multi-second ones included
+        # (VERDICT r8 ask #2): r8 showed iterative multi-job chains
+        # (pagerank: 10 jobs) amplify scheduler jitter the most, so the
+        # longest queries need the min-of-N discipline more, not less —
+        # the old best-of-2 shortcut for >=2 s queries traded exactly
+        # the wrong measurements for wall time.
+        for i in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).toPandas()  # fresh plan, every stage runs
             best = min(best, time.perf_counter() - t0)
-            if best >= 2.0 and i >= 1:
-                # multi-second queries: scheduler noise is relatively
-                # small — best-of-2 bounds total bench wall time
-                break
         timings[name] = round(best, 4)
 
     # Fixed per-query overhead: a trivial two-stage shuffle, REBUILT per
@@ -123,10 +125,28 @@ def main() -> None:
 
     _floor_df().toPandas()  # warm-up
     overhead = float("inf")
+    anchor_runs: list[float] = []
     for _ in range(3):
         t0 = time.perf_counter()
         _floor_df().toPandas()
+        anchor_runs.append(round(time.perf_counter() - t0, 4))
         overhead = min(overhead, time.perf_counter() - t0)
+
+    # Attestation record (VERDICT r8 ask #2): BENCH_r08 drifted +13-15%
+    # across the board INCLUDING this fixed-work anchor and untouched
+    # code, and nothing in the bench line let a reader separate machine
+    # load from engine regression. The anchor is fixed work, so its
+    # ratio against the r7 idle-machine reference IS the machine-load
+    # factor of this run; round-over-round per-query deltas within
+    # ~that ratio are drift, not engine change. All three anchor runs
+    # are persisted so a noisy run is visible as spread, not hidden by
+    # the min.
+    ANCHOR_REF_SEC = 0.116  # BENCH_r07, attested idle machine
+    anchor = {
+        "runs_sec": anchor_runs,
+        "ref_sec": ANCHOR_REF_SEC,
+        "ratio_vs_ref": round(overhead / ANCHOR_REF_SEC, 3),
+    }
 
     # Fixed STREAMING overhead (VERDICT r6 #2): the probe is the REAL
     # stream_tumbling_hourly query function, run against a 2-row events
@@ -239,6 +259,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "overhead_sec": round(overhead, 4),
+        "anchor": anchor,
         "stream_overhead_sec": (
             round(stream_overhead, 4) if stream_overhead is not None else None
         ),

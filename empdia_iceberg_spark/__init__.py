@@ -79,10 +79,14 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # knn_cosine_top5 / knn_cosine_ivf; additive_upsert stamps a
 # checkpoint-lineage run_id so a second stream or fresh-checkpoint
 # restart can't have its early batches dropped ->
-# stream_restart_recovery / stream_continuous_aggregate). 23 + 4 = 27;
-# the remaining 23 slots fill with the stalest green block (r2, swept
-# seven rounds ago). Registry stays FROZEN at 267 (ask #5: delta 0
-# until the driver's rows prove debt zero).
+# stream_restart_recovery / stream_continuous_aggregate; plus the
+# ask-#2/#4 perf rewrite of pagerank_trading_graph — long surrogate
+# node keys + one declarative 10-round plan with AQE-native broadcast
+# and a 5-round checkpoint cadence, ~7.7 -> ~5.0 s best-of-3 at sf0.1,
+# 1.4x its DuckDB oracle). 23 + 5 = 28; the remaining 22 slots fill
+# with the stalest green block (r2, swept seven rounds ago). Registry
+# stays FROZEN at 267 (ask #5: delta 0 until the driver's rows prove
+# debt zero).
 _SWEEP_PRIORITY = [
     "orders_interpurchase_intervals",  # never - r9 head (debt -> zero)
     "orders_status_summary",  # never - r9 head (debt -> zero)
@@ -111,7 +115,8 @@ _SWEEP_PRIORITY = [
     "knn_cosine_ivf",  # r9 ADVICE fix touches this answer path (last row r8)
     "stream_restart_recovery",  # r9 ADVICE fix touches this answer path (last row r8)
     "stream_continuous_aggregate",  # r9 ADVICE fix touches this answer path (last row r8)
-    # ---------------- 50-slot window ends here (23 + 4 + 23 filler) ----
+    "pagerank_trading_graph",  # r9 perf rewrite (asks #2/#4): declarative rounds + long keys (last row r7)
+    # ---------------- 50-slot window ends here (23 + 5 + 22 filler) ----
     "semi_join_active_customers",  # r2
     "anti_join_inactive_customers",  # r2
     "set_ops_segments",  # r2
@@ -265,7 +270,6 @@ _SWEEP_PRIORITY = [
     "table_merge_pruned",  # r7
     "table_merge_upsert",  # r7
     "mannwhitney_u_segments",  # r7
-    "pagerank_trading_graph",  # r7
     "q1_pricing_agg",  # r7
     "table_zorder_layout",  # r7
     "doc_lm_perplexity",  # r7

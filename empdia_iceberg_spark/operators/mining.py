@@ -168,12 +168,13 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 10
 _PR_DAMP = 0.85
-# Broadcast the rank vector (one row per node, ~50 B each ⇒ ~1 GiB at
-# 20M nodes) only while it fits comfortably in every executor; above
-# the ceiling fall back to a shuffle join where only the rank vector
-# moves (the edge list keeps its cached src partitioning). Override via
-# env for clusters provisioned with bigger executors.
-_PR_BROADCAST_MAX_NODES = 20_000_000
+# Lineage bound for long iteration counts: one localCheckpoint every N
+# rounds truncates plan growth and fault-recovery depth while leaving
+# the common 10-round run as at most two jobs (r9: the per-ROUND
+# checkpoint + manual rank broadcast forced one job — plan, AQE,
+# scheduler, driver collect — per iteration, and that 10× job floor,
+# not the math, was the bulk of the wall time at bench scale).
+_PR_CHECKPOINT_EVERY = 5
 
 
 def _pagerank_oracle() -> str:
@@ -229,24 +230,30 @@ def _pagerank_oracle() -> str:
     oracle=_pagerank_oracle(),
     doc="PageRank over the customer–supplier trading graph (distinct "
     "pairs from orders⋈lineitem, walked both directions): 10 "
-    "join-agg power iterations, det_round(12)+DECIMAL contribution "
-    "sums so the iterative ranks stay bit-deterministic. The "
-    "out-degree-annotated edge list is partitioned+persisted once; "
-    "the rank vector joins it broadcast under a node-count ceiling "
-    "(shuffle-join fallback above), and every round is eagerly "
-    "localCheckpoint-ed. The oracle unrolls the iterations into "
-    "chained CTEs — a full value hash for an iterative algorithm.",
+    "join-agg power iterations, det_round(12)-stabilized long "
+    "contribution sums so the iterative ranks stay bit-deterministic. "
+    "Long surrogate node keys through the whole pipeline (string "
+    "labels only in the final projection); the out-degree-annotated "
+    "edge list persists once; the rounds are ONE declarative plan — "
+    "AQE broadcasts the rank side at runtime while it fits and falls "
+    "back to a shuffle join above the threshold — with a "
+    "localCheckpoint every 5 rounds bounding lineage. The oracle "
+    "unrolls the iterations into chained CTEs — a full value hash "
+    "for an iterative algorithm.",
 )
 def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Long surrogate node keys — customers even (2k), suppliers odd
+    # (2k+1) — instead of 'c<key>'/'s<key>' strings: every shuffle,
+    # sort, and hash over the 10 rounds compares 8-byte longs, not
+    # variable-length UTF-8. The human-readable labels the oracle
+    # expects materialize once, in the final projection.
     directed = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -254,32 +261,37 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Iteration-invariant: out-degree pre-joined onto every edge.
-    edge_w = edges.join(deg, ["src"]).persist()
+    # Iteration-invariant: out-degree pre-joined onto every edge,
+    # materialized ONCE as an eager localCheckpoint (not persist: the
+    # returned plan must read it at action time, and a still-persisted
+    # cache entry would outlive the query — checkpoint blocks release
+    # with the DataFrame, the profile_orders_stats discipline). The
+    # join leaves it hash-partitioned by src and LogicalRDD keeps that
+    # outputPartitioning, so each round's rank join replans against it
+    # without re-exchanging the (large) edge side.
+    edge_w = edges.join(deg, ["src"]).localCheckpoint()
     nodes = edge_w.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()  # scalar driver read; also materializes edge_w
+    n = nodes.count()  # scalar driver read
 
-    # The rank vector is one row per node. Broadcasting it makes the
-    # per-round edge join map-side, but every executor holds the whole
-    # vector — same ceiling discipline as similarity.MAX_INDEX_BYTES.
-    broadcast_ranks = n <= int(
-        os.environ.get("EMPDIA_PR_BROADCAST_MAX_NODES", _PR_BROADCAST_MAX_NODES)
-    )
-    if not broadcast_ranks:
-        # Re-layout the cached edges hash-partitioned by the join key so
-        # the shuffle-join fallback reuses the cached partitioning —
-        # only the rank vector moves per round. Skipped in the broadcast
-        # branch, where the extra full shuffle would buy nothing.
-        repart = edge_w.repartition("src").persist()
-        repart.count()  # materialize from the old cache, then drop it
-        edge_w.unpersist()
-        edge_w = repart
-
-    ranks = nodes.select(
-        "node", (F.lit(1.0) / F.lit(float(n))).alias("r")
-    ).localCheckpoint()
-    for _ in range(_PR_ITERS):
-        rvec = F.broadcast(ranks) if broadcast_ranks else ranks
+    # The rounds build ONE declarative plan (r9 rewrite). The previous
+    # shape — manual F.broadcast(ranks) + localCheckpoint EVERY round —
+    # forced one complete job (plan, AQE, schedule, driver collect) per
+    # iteration; at bench scale that 10× per-job floor dominated the
+    # wall time (10 × ~0.45 s against ~1.5 s of actual compute). The
+    # manual broadcast was also why the per-round checkpoint existed at
+    # all (broadcasting a stacked lineage re-executes prior rounds —
+    # O(rounds²)). Declared as one plan, a single action executes every
+    # round exactly once (shuffle stage boundaries), and the
+    # broadcast-vs-shuffle choice for the rank side becomes
+    # Catalyst-native: AQE measures the actual rank-vector size each
+    # round and broadcasts below spark.sql.autoBroadcastJoinThreshold
+    # (one row per node — ~1 GiB at 20M nodes, far over the 64 MiB
+    # threshold, so huge graphs get the shuffle join against the
+    # cached src-partitioned edges with no ceiling env var to tune).
+    # A checkpoint every _PR_CHECKPOINT_EVERY rounds still bounds plan
+    # depth and fault-recovery re-execution for long iteration counts.
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    for it in range(_PR_ITERS):
         # The edge list is symmetric (each trading pair walked both
         # ways), so every node has indegree ≥ 1 and the inner groupBy
         # already covers the full node set — no dangling-node left
@@ -291,11 +303,11 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # because PageRank mass is conserved — Σr = 1 every round, so a
         # group's Σk ≤ 10¹² ≪ 2⁵³ < 2⁶³ regardless of corpus scale.
         # double(Σk)/10¹² therefore equals the decimal→double cast
-        # bit-for-bit (verified rank-identical at sf0.1), while the hot
-        # per-row aggregation drops the BigDecimal buffer (~4×/element;
-        # measured 6.0 → 5.3 s over the 10 rounds at sf0.1).
+        # bit-for-bit (verified rank-identical at sf0.1 against the
+        # unrolled-CTE oracle), with no BigDecimal buffer in the hot
+        # per-row aggregation.
         ranks = (
-            edge_w.join(rvec, edge_w["src"] == ranks["node"])
+            edge_w.join(ranks, edge_w["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.floor(
@@ -312,20 +324,20 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_PR_DAMP) * F.col("s")
                 ).alias("r"),
             )
-            # Eager per-round truncation (dedup.py:connected_components
-            # discipline): keeps lineage flat AND gives the next round's
-            # broadcast materialized rows — broadcasting a stacked-plan
-            # rank vector re-executes all prior rounds per broadcast,
-            # turning 10 rounds into O(rounds²) work.
-            .localCheckpoint()
         )
-    # every round is materialized (checkpointed) by now, so the cached
-    # edge list can be released — keeps long registry sweeps (267
-    # queries, one session) from accumulating block-manager residue
-    edge_w.unpersist()
-    out = ranks.select("node", det_round(F.col("r"), 10).alias("rank")).orderBy(
-        "node"
-    )
+        if (it + 1) % _PR_CHECKPOINT_EVERY == 0 and it < _PR_ITERS - 1:
+            ranks = ranks.localCheckpoint()
+    out = ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+        )
+        .alias("node"),
+        det_round(F.col("r"), 10).alias("rank"),
+    ).orderBy("node")
     return out
 
 

@@ -276,17 +276,33 @@ def test_bucketed_prefix_sum_equals_global_window(spark):
     assert got == want
 
 
-def test_pagerank_shuffle_fallback_matches_broadcast(spark, monkeypatch):
-    """Above the rank-vector broadcast ceiling pagerank falls back to a
-    shuffle join over the cached src-partitioned edge list; the two
-    branches must produce identical ranks."""
+def test_pagerank_shuffle_fallback_matches_broadcast(spark):
+    """r9: the broadcast-vs-shuffle choice for the rank side is
+    Catalyst-native — AQE broadcasts the measured rank vector below
+    spark.sql.autoBroadcastJoinThreshold and shuffle-joins above it
+    (a 20M-node vector is ~1 GiB, far over the 64 MiB threshold, so
+    huge graphs take the shuffle path with no env ceiling to tune).
+    Force the shuffle path by disabling auto-broadcast; ranks must be
+    identical — the det_round(12) long contribution sums are
+    partitioning-independent by construction."""
     from tests.conftest import SF_DIR
     from empdia_iceberg_spark import registry
 
     fn = registry.queries()["pagerank_trading_graph"]
     broad = [tuple(r) for r in fn(spark, SF_DIR).collect()]
-    monkeypatch.setenv("EMPDIA_PR_BROADCAST_MAX_NODES", "1")
-    fell = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_aqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        fell = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        if saved_aqe is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved_aqe)
     assert broad == fell and len(broad) > 0
 
 
