@@ -83,10 +83,13 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # ask-#2/#4 perf rewrite of pagerank_trading_graph — long surrogate
 # node keys + one declarative 10-round plan with AQE-native broadcast
 # and a 5-round checkpoint cadence, ~7.7 -> ~5.0 s best-of-3 at sf0.1,
-# 1.4x its DuckDB oracle). 23 + 5 = 28; the remaining 22 slots fill
-# with the stalest green block (r2, swept seven rounds ago). Registry
-# stays FROZEN at 267 (ask #5: delta 0 until the driver's rows prove
-# debt zero).
+# 1.4x its DuckDB oracle; and the ask-#4 q3_join3_topk plan rewrite —
+# revenue aggregate pushed below the join at long-sum speed, orders
+# semi-reduced by the broadcast customer dim before any exchange —
+# driven by the committed tools/scaling_study.py numbers). 23 + 6 =
+# 29; the remaining 21 slots fill with the stalest green block (r2,
+# swept seven rounds ago). Registry stays FROZEN at 267 (ask #5:
+# delta 0 until the driver's rows prove debt zero).
 _SWEEP_PRIORITY = [
     "orders_interpurchase_intervals",  # never - r9 head (debt -> zero)
     "orders_status_summary",  # never - r9 head (debt -> zero)
@@ -116,7 +119,8 @@ _SWEEP_PRIORITY = [
     "stream_restart_recovery",  # r9 ADVICE fix touches this answer path (last row r8)
     "stream_continuous_aggregate",  # r9 ADVICE fix touches this answer path (last row r8)
     "pagerank_trading_graph",  # r9 perf rewrite (asks #2/#4): declarative rounds + long keys (last row r7)
-    # ---------------- 50-slot window ends here (23 + 5 + 22 filler) ----
+    "q3_join3_topk",  # r9 perf rewrite (ask #4 study): agg below join + semi-reduced orders (last row r6)
+    # ---------------- 50-slot window ends here (23 + 6 + 21 filler) ----
     "semi_join_active_customers",  # r2
     "anti_join_inactive_customers",  # r2
     "set_ops_segments",  # r2
@@ -185,7 +189,6 @@ _SWEEP_PRIORITY = [
     "positional_split_70_30",  # r3
     "grpo_group_normalize",  # r3
     "grpo_pairwise_n2",  # r3
-    "q3_join3_topk",  # r3
     "q5_region_revenue",  # r3
     "table_snapshot_lifecycle",  # r3
     "table_expire_compact",  # r3

@@ -114,6 +114,25 @@ def exact_sum_r6_bounded(expr: Column) -> Column:
     )
 
 
+def exact_sum8_bounded(expr: Column) -> Column:
+    """`exact_sum8` for BOUNDED-cardinality groups, at LONG speed.
+
+    The d=8 sibling of `exact_sum_r6_bounded` (same argument): for an
+    expression with ≤8 exact decimal digits, floor(x·10⁸+0.5) is
+    exactly the integer the DECIMAL(28,8) cast would accumulate, the
+    long sum of those integers is exact while
+    rows-per-group · max|x|·10⁸ ≪ 2⁶³, and double(Σk)/10⁸ equals the
+    oracle's decimal→double cast bit-for-bit while |Σk| < 2⁵³. Use
+    ONLY where the group is structurally bounded — e.g. per-ORDER
+    lineitem revenue (≤7 lineitems per order in the TPC-H data model;
+    the 2⁵³ identity holds to ~800 lineitems × 10⁵ money values, and
+    the long itself to ~840k) — never for whole-corpus rollups (those
+    take `grouped_scaled_sums`, exact at any scale)."""
+    return (
+        F.sum(F.floor(expr * F.lit(1e8) + F.lit(0.5))).cast("double") / F.lit(1e8)
+    )
+
+
 def sql_sum2(col: str) -> str:
     return sql_exact_sum(col, "DECIMAL(18,2)")
 

@@ -24,6 +24,7 @@ from empdia_iceberg_spark.functions.exact import (
     det_round,
     exact_sum2,
     exact_sum8,
+    exact_sum8_bounded,
     grouped_scaled_sums,
     moment_sums,
     sql_avg2,
@@ -115,7 +116,22 @@ def q1_pricing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
-    doc="TPC-H-Q3-style: 3-way join → group → top-10 by revenue (deterministic tiebreak).",
+    doc="TPC-H-Q3-style: 3-way join → group → top-10 by revenue "
+    "(deterministic tiebreak). Plan shape (r9): the revenue aggregate "
+    "is pushed BELOW the join — lineitem pre-aggregates per "
+    "l_orderkey (o_orderdate/o_orderpriority are functionally "
+    "dependent on the unique orderkey, so the per-orderkey groups are "
+    "exactly the query's groups), and orders is semi-reduced by the "
+    "broadcast BUILDING-customer dim BEFORE its exchange. The big "
+    "exchange then carries map-side-combined (orderkey, Σrevenue) "
+    "partials — ~4× fewer rows, 2 narrow columns — instead of every "
+    "filtered lineitem, the post-join re-aggregation disappears, and "
+    "the final join reuses the pre-agg's hash partitioning (one "
+    "exchange per side total). Catalyst doesn't push aggregates "
+    "through joins, so the shape is declared this way; the revenue "
+    "sum itself runs at LONG speed (exact_sum8_bounded: per-order "
+    "groups are structurally ≤7 lineitems), bit-identical to the "
+    "oracle's DECIMAL(28,8) sum.",
 )
 def q3_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -125,15 +141,19 @@ def q3_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
     )
+    li_rev = li.groupBy("l_orderkey").agg(
+        det_round(
+            exact_sum8_bounded(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            2,
+        ).alias("revenue")
+    )
+    # customer prunes to one join column (~2.4 MB per 100M-row scale
+    # unit after the segment filter) — under the auto-broadcast
+    # threshold at bench scale, and above it Catalyst falls back to a
+    # shuffle join on its own: no forced broadcast to outgrow.
+    orders_b = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            det_round(
-                exact_sum8(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        li_rev.join(orders_b, li_rev.l_orderkey == orders_b.o_orderkey)
         .select(
             "l_orderkey",
             "revenue",

@@ -82,6 +82,31 @@ def test_reward_single_shuffle_for_window_and_agg(spark):
     assert n_hash_exchanges == 1, plan
 
 
+def test_q3_agg_below_join_single_exchange(spark):
+    """r9 rewrite: the revenue aggregate is pushed BELOW the join (the
+    per-orderkey groups equal the query's groups because orderkey is
+    unique in orders), so the plan's only hash exchange is the
+    map-side-combined lineitem pre-agg — orders joins off a broadcast
+    (or, above the threshold, its own single exchange), and NO
+    re-aggregation runs after the join."""
+    plan = _plan(spark, "q3_join3_topk")
+    # long-speed partial sum of scaled revenue, combined before the exchange
+    assert "partial_sum(FLOOR" in plan, plan
+    # no aggregate may consume join output: every HashAggregate block
+    # sits below the joins (string order mirrors tree order: joins at
+    # top of the final plan tree print BEFORE their aggregate children)
+    first_join = min(
+        i for i in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+        if i >= 0
+    )
+    agg_keys = [s[:80] for s in plan.split("HashAggregate(keys=")[1:]]
+    assert agg_keys and all("l_orderkey" in k for k in agg_keys), agg_keys
+    assert plan.find("TakeOrderedAndProject") < first_join
+    # exactly one hash-partitioned exchange (the pre-agg); customer and
+    # the agg output move by broadcast at test scale
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
 def test_q6_all_filters_pushed(spark):
     """Q6 is nothing BUT filters + one aggregate: every predicate must
     reach the scan, and the plan stays fully whole-stage-codegen'd."""
