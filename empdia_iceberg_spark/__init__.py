@@ -86,10 +86,13 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # 1.4x its DuckDB oracle; and the ask-#4 q3_join3_topk plan rewrite —
 # revenue aggregate pushed below the join at long-sum speed, orders
 # semi-reduced by the broadcast customer dim before any exchange —
-# driven by the committed tools/scaling_study.py numbers). 23 + 6 =
-# 29; the remaining 21 slots fill with the stalest green block (r2,
-# swept seven rounds ago). Registry stays FROZEN at 267 (ask #5:
-# delta 0 until the driver's rows prove debt zero).
+# driven by the committed tools/scaling_study.py numbers; plus the
+# near-dup pipeline cost fix — convergence probe riding the label
+# checkpoint and candidate-restricted verify shingling — touching
+# doc_dedup_clusters and doc_minhash_near_dup). 23 + 8 = 31; the
+# remaining 19 slots fill with the stalest green block (r2, swept
+# seven rounds ago). Registry stays FROZEN at 267 (ask #5: delta 0
+# until the driver's rows prove debt zero).
 _SWEEP_PRIORITY = [
     "orders_interpurchase_intervals",  # never - r9 head (debt -> zero)
     "orders_status_summary",  # never - r9 head (debt -> zero)
@@ -120,7 +123,9 @@ _SWEEP_PRIORITY = [
     "stream_continuous_aggregate",  # r9 ADVICE fix touches this answer path (last row r8)
     "pagerank_trading_graph",  # r9 perf rewrite (asks #2/#4): declarative rounds + long keys (last row r7)
     "q3_join3_topk",  # r9 perf rewrite (ask #4 study): agg below join + semi-reduced orders (last row r6)
-    # ---------------- 50-slot window ends here (23 + 6 + 21 filler) ----
+    "doc_dedup_clusters",  # r9 perf: convergence probe rides the checkpoint; candidate-restricted verify (last row r5)
+    "doc_minhash_near_dup",  # r9 perf: verify sides shingle only candidate docs, broadcast-gated (last row r6)
+    # ---------------- 50-slot window ends here (23 + 8 + 19 filler) ----
     "semi_join_active_customers",  # r2
     "anti_join_inactive_customers",  # r2
     "set_ops_segments",  # r2
@@ -277,8 +282,6 @@ _SWEEP_PRIORITY = [
     "table_zorder_layout",  # r7
     "doc_lm_perplexity",  # r7
     "doc_decontaminate",  # r7
-    "doc_minhash_near_dup",  # r7
-    "doc_dedup_clusters",  # r7
     "doc_ngram_jaccard_pairs",  # r7
     "doc_dup_ngram_fraction",  # r7
     "curation_pipeline",  # r7

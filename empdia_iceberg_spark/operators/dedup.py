@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 
 from empdia_iceberg_spark.functions.exact import det_round, sql_det_round
 from empdia_iceberg_spark.registry import register
-from empdia_iceberg_spark.sources.tables import load
+from empdia_iceberg_spark.sources.tables import load, path_for
 
 # ---------------------------------------------------------------- shingling
 
@@ -201,10 +201,78 @@ def doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- exact n-gram Jaccard pairs
 
 
-def _verify_pairs(cand: DataFrame, shingled: DataFrame) -> DataFrame:
+# Verify-side restriction ceiling: candidate doc ids broadcast to
+# restrict the raw corpus BEFORE the expensive shingle projection. 5M
+# longs ≈ 40 MB per executor — safe; above it (a pathologically
+# dup-heavy corpus) fall back to the corpus-wide shingled table, which
+# is the layout that never needs the driver to hold anything.
+CAND_RESTRICT_MAX_IDS = 5_000_000
+
+# ...and a FLOOR below which the restriction is a net loss: it spends
+# 2–3 extra driver jobs (candidate checkpoint, id-count gate, restricted
+# shingle checkpoint — ~0.15 s of plan+schedule floor each on local[32])
+# to save two corpus-wide shingle passes. Measured A/B at sf0.1 (0.6 MB
+# of documents): direct 1.4–1.9 s vs restricted 1.8–2.1 s — the floors
+# cost more than toy-scale shingling. The floors are CONSTANT while the
+# saved passes grow with the corpus, so the crossover is a corpus-size
+# gate, same discipline as the kNN/profile broadcast ceilings.
+CAND_RESTRICT_MIN_CORPUS_BYTES = 64 * 1024**2
+
+
+def _corpus_bytes(sf_dir: str) -> int:
+    import os
+
+    p = path_for(sf_dir, "documents")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(p)
+            for f in files
+        )
+    return os.path.getsize(p)
+
+
+def _verify_docs_arg(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The `docs` argument for `_verify_pairs`: the raw table when the
+    corpus is big enough for candidate-restricted shingling to pay,
+    None (direct corpus-wide verify) below the gate."""
+    if _corpus_bytes(sf_dir) >= CAND_RESTRICT_MIN_CORPUS_BYTES:
+        return load(spark, sf_dir, "documents")
+    return None
+
+
+def _verify_pairs(
+    cand: DataFrame, shingled: DataFrame, docs: DataFrame | None = None
+) -> DataFrame:
     """Join candidate (doc_a, doc_b) pairs back to their shingle sets and
     compute the exact Jaccard (same operation order as the oracle SQL so
-    the doubles match bit-for-bit)."""
+    the doubles match bit-for-bit).
+
+    When ``docs`` (raw doc_id, text) is provided, the candidate pairs are
+    materialized once (localCheckpoint — they are O(near-dup pairs),
+    tiny, and about to be consumed three times), and if the distinct
+    candidate-id count is under CAND_RESTRICT_MAX_IDS the verify sides
+    shingle ONLY candidate docs: the ids broadcast-restrict the raw scan
+    BEFORE the shingle projection, and the restricted shingle table is
+    itself checkpointed so both join sides read materialized arrays.
+    Without this, the corpus-wide shingle projection — the pipeline's
+    most expensive expression — executes once for the LSH bands and TWICE
+    more for the verify sides (Catalyst cannot defer a projection through
+    a join), tripling the dominant cost. Values are unchanged: the
+    restricted table contains every doc the pair join can touch."""
+    if docs is not None:
+        cand = cand.localCheckpoint()
+        ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        if ids.count() <= CAND_RESTRICT_MAX_IDS:
+            shingled = (
+                docs.join(F.broadcast(ids), "doc_id")
+                .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+                .localCheckpoint()
+            )
     a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = cand.join(a, "doc_a").join(b, "doc_b")
@@ -346,7 +414,7 @@ def lsh_candidates(shingled: DataFrame) -> DataFrame:
 )
 def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled_docs(spark, sf_dir)
-    return _verify_pairs(lsh_candidates(sh), sh)
+    return _verify_pairs(lsh_candidates(sh), sh, docs=_verify_docs_arg(spark, sf_dir))
 
 
 # ---------------------------------------------------------------- SimHash
@@ -487,9 +555,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     groups, not long chains). Each round is one join + one aggregate,
     all shuffles on doc_id; the driver only reads ONE scalar per round
     (the changed-label count) and `localCheckpoint` truncates the plan
-    so lineage stays O(1) per round rather than compounding. This is
-    the standard scalable layout (label propagation, a.k.a. the
-    small-star step of Hash-to-Min) — no driver-side graph."""
+    so lineage stays O(1) per round rather than compounding. The
+    convergence probe rides the checkpoint: labels only DECREASE, so
+    `changed ⟺ coalesce(nbr_label, label) < label`, computed as a flag
+    column in the same projection and counted off the already-
+    materialized checkpoint blocks — no separate old-vs-new join (which
+    would re-shuffle the whole label table once more per round; r9).
+    This is the standard scalable layout (label propagation, a.k.a.
+    the small-star step of Hash-to-Min) — no driver-side graph."""
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -515,16 +588,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.least(
                     labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])
                 ).alias("label"),
+                (
+                    F.coalesce(nbr["nbr_label"], labels["label"]) < labels["label"]
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     else:
@@ -568,7 +639,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 )
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled_docs(spark, sf_dir)
-    pairs = _verify_pairs(lsh_candidates(sh), sh)
+    pairs = _verify_pairs(lsh_candidates(sh), sh, docs=_verify_docs_arg(spark, sf_dir))
     return connected_components(pairs).orderBy("doc_id")
 
 

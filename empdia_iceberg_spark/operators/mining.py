@@ -327,15 +327,16 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if (it + 1) % _PR_CHECKPOINT_EVERY == 0 and it < _PR_ITERS - 1:
             ranks = ranks.localCheckpoint()
+    # node >> 1 recovers the original key for BOTH parities (2k and
+    # 2k+1) in pure integer arithmetic — `node / 2` would be a DOUBLE
+    # division, whose quotient rounds for keys ≥ 2⁵³ and would silently
+    # mislabel ranks on exactly the any-graph-size path the long-sum
+    # argument above guarantees
     out = ranks.select(
-        F.when(
-            F.col("node") % 2 == 0,
-            F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
-        )
-        .otherwise(
-            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
-        )
-        .alias("node"),
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+            F.shiftright(F.col("node"), 1).cast("string"),
+        ).alias("node"),
         det_round(F.col("r"), 10).alias("rank"),
     ).orderBy("node")
     return out

@@ -81,7 +81,17 @@ def _fingerprint(path: str) -> str:
             dirs.sort()  # deterministic traversal order
             for name in sorted(files):
                 full = os.path.join(root, name)
-                s = os.stat(full)
+                try:
+                    s = os.stat(full)
+                except FileNotFoundError:
+                    # a file vanished between walk and stat — the dataset
+                    # is being rewritten in place RIGHT NOW. Record the
+                    # vanishing itself (the fingerprint must differ from
+                    # both the old and the settled new state, so the next
+                    # probe re-fingerprints and reloads) instead of
+                    # crashing the task.
+                    parts.append(f"{os.path.relpath(full, path)}|VANISHED")
+                    continue
                 rel = os.path.relpath(full, path)
                 parts.append(f"{rel}|{s.st_mtime_ns}|{s.st_size}")
     return hashlib.md5("||".join(parts).encode()).hexdigest()[:12]
@@ -638,6 +648,7 @@ def _ivf_cells_dir(spark: SparkSession, path: str) -> tuple[str, np.ndarray]:
     import hashlib
     import os
     import re
+    import time
     import shutil
     import uuid
 
@@ -681,18 +692,37 @@ def _ivf_cells_dir(spark: SparkSession, path: str) -> tuple[str, np.ndarray]:
         # (one-generation grace for in-flight searches), drop the rest.
         # Legacy unprefixed `ivf_<fp>` dirs (pre-r9 layout, no longer
         # read by anyone) are reclaimed unconditionally.
+        def _mtime_or_zero(p):
+            # a concurrent builder may rmtree a superseded dir between
+            # our listdir and this stat: treat vanished as oldest (it is
+            # already being reclaimed) rather than crashing the query
+            try:
+                return os.path.getmtime(p)
+            except OSError:
+                return 0.0
+
         mine, legacy = [], []
+        now = time.time()
         for name in os.listdir(ann_root):
             full = os.path.join(ann_root, name)
             if not os.path.isdir(full) or name == os.path.basename(dest):
                 continue
             if ".build_" in name:
-                continue  # a concurrent builder's staging dir — never touch
+                # a concurrent builder's staging dir — never touch while
+                # fresh, but a CRASHED builder (killed between write and
+                # rename) leaves its staging dir forever; without an age
+                # bound repeated crashes accumulate full-index-sized
+                # orphans and storage is NOT bounded at two generations.
+                # One hour is >> any build (seconds at the sizes the
+                # 2 GiB index ceiling admits).
+                if now - _mtime_or_zero(full) > 3600:
+                    shutil.rmtree(full, ignore_errors=True)
+                continue
             if name.startswith(f"ivf_{src}_"):
                 mine.append(full)
             elif re.fullmatch(r"ivf_[0-9a-f]{12}", name):
                 legacy.append(full)
-        mine.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+        mine.sort(key=_mtime_or_zero, reverse=True)
         for old in mine[1:] + legacy:
             shutil.rmtree(old, ignore_errors=True)
     return dest, cents

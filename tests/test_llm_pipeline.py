@@ -29,6 +29,30 @@ def test_minhash_lsh_equals_exact(spark):
     assert lsh == exact
 
 
+def test_verify_pairs_restricted_path_matches_direct(spark):
+    """The candidate-restricted verify branch (taken above the
+    64 MB corpus gate, so never exercised by the small fixtures on the
+    registry path) must return exactly the direct corpus-wide rows —
+    the restriction only changes WHERE the shingles for the verify join
+    are computed, never which pairs qualify."""
+    from empdia_iceberg_spark.sources.tables import load
+
+    sh = dedup._shingled_docs(spark, SF_DIR)
+    direct = dedup._verify_pairs(dedup.lsh_candidates(sh), sh).collect()
+    sh = dedup._shingled_docs(spark, SF_DIR)
+    restricted = dedup._verify_pairs(
+        dedup.lsh_candidates(sh), sh, docs=load(spark, SF_DIR, "documents")
+    ).collect()
+    assert direct == restricted and direct, "restricted verify must be value-identical"
+
+
+def test_verify_docs_arg_gate(spark):
+    """Below the corpus-size gate the registry path takes the direct
+    branch (None); the gate helper must flip on byte size, not rows."""
+    assert dedup._verify_docs_arg(spark, SF_DIR) is None  # tiny fixture
+    assert dedup._corpus_bytes(SF_DIR) < dedup.CAND_RESTRICT_MIN_CORPUS_BYTES
+
+
 def test_simhash_blocking_has_no_false_negatives(spark):
     """Pigeonhole: hamming ≤ 3 over 4 chunks ⇒ the chunk-blocked
     candidate set contains every qualifying pair. Brute-force all pairs

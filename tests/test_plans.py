@@ -95,13 +95,18 @@ def test_q3_agg_below_join_single_exchange(spark):
     # no aggregate may consume join output: every HashAggregate block
     # sits below the joins (string order mirrors tree order: joins at
     # top of the final plan tree print BEFORE their aggregate children)
-    first_join = min(
+    join_positions = [
         i for i in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
         if i >= 0
-    )
+    ]
+    assert join_positions, plan  # the plan must still contain a join
+    first_join = min(join_positions)
     agg_keys = [s[:80] for s in plan.split("HashAggregate(keys=")[1:]]
     assert agg_keys and all("l_orderkey" in k for k in agg_keys), agg_keys
-    assert plan.find("TakeOrderedAndProject") < first_join
+    # top-k must be TakeOrderedAndProject (not a global Sort+Limit),
+    # above the join: find() = -1 would pass the < vacuously
+    topk = plan.find("TakeOrderedAndProject")
+    assert 0 <= topk < first_join, plan
     # exactly one hash-partitioned exchange (the pre-agg); customer and
     # the agg output move by broadcast at test scale
     assert plan.count("Exchange hashpartitioning") <= 1, plan

@@ -51,8 +51,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = "/root/testdata/sf0.1"
 ROOT = os.environ.get("SPARK_GRAFT_SCALE_ROOT", "/tmp/scale_study")
-DAY_NS = 86_400_000_000_000
 EVENT_TS_STRIDE_DAYS = 35  # base events span <35 days: replicas never collide
+_TS_TICKS_PER_DAY = {"s": 86_400, "ms": 86_400_000, "us": 86_400_000_000, "ns": 86_400_000_000_000}
 
 STUDY_TABLES = {
     "window_rank": ["orders"],
@@ -87,8 +87,11 @@ def _replicate(table: str, scale: int, dest_dir: str, offsets: dict) -> None:
                 kind, stride = offsets[name]
                 if kind == "int":
                     col = pc.add(col, i * stride).cast(col.type)
-                else:  # ns-timestamp shift, type preserved
-                    shifted = pc.add(col.cast(pa.int64()), i * stride)
+                else:  # timestamp shift by `stride` DAYS, in the column's
+                    # own tick unit (a fixed-unit constant silently shifts
+                    # a timestamp[us] column ~1e3 too far), type preserved
+                    ticks = stride * _TS_TICKS_PER_DAY[col.type.unit]
+                    shifted = pc.add(col.cast(pa.int64()), i * ticks)
                     col = shifted.cast(col.type)
             cols[name] = col
         pq.write_table(pa.table(cols, schema=base.schema), os.path.join(dest_dir, f"part-{i:04d}.parquet"))
@@ -104,28 +107,27 @@ def build_dataset(study: str, scale: int) -> str:
     if os.path.exists(done):
         return sf_dir
 
-    def mx(table, col):
-        t = pq.read_table(os.path.join(BASE_SF, f"{table}.parquet"), columns=[col])
-        return int(pa_max(t.column(col))) + 1
-
     import pyarrow.compute as pc
 
-    def pa_max(col):
-        return pc.max(col).as_py()
+    def mx(table, col):
+        t = pq.read_table(os.path.join(BASE_SF, f"{table}.parquet"), columns=[col])
+        return int(pc.max(t.column(col)).as_py()) + 1
 
-    o_off = mx("orders", "o_orderkey")
-    c_off = mx("customer", "c_custkey")
-    e_off = mx("events", "event_id")
+    # key maxima read lazily: only the tables this study replicates are
+    # touched (the q3 studies must not require events.parquet to exist)
+    tables = STUDY_TABLES[study]
+    o_off = mx("orders", "o_orderkey") if {"orders", "lineitem"} & set(tables) else 0
+    c_off = mx("customer", "c_custkey") if {"orders", "customer"} & set(tables) else 0
     offsets = {
         "orders": {"o_orderkey": ("int", o_off), "o_custkey": ("int", c_off)},
         "customer": {"c_custkey": ("int", c_off)},
         "lineitem": {"l_orderkey": ("int", o_off)},
         "events": {
-            "event_id": ("int", e_off),
-            "ts": ("ts", EVENT_TS_STRIDE_DAYS * DAY_NS),
+            "event_id": ("int", mx("events", "event_id") if "events" in tables else 0),
+            "ts": ("ts", EVENT_TS_STRIDE_DAYS),
         },
     }
-    for table in STUDY_TABLES[study]:
+    for table in tables:
         _replicate(table, scale, os.path.join(sf_dir, f"{table}.parquet"), offsets[table])
     open(done, "w").close()
     return sf_dir
@@ -182,9 +184,11 @@ def _bucketed_q3(spark, sf_dir: str, scale: int):
             2,
         ).alias("revenue")
     )
+    # identical join order to the registered q3: orders semi-reduced by
+    # the broadcast customer dim FIRST, then the orderkey join
+    orders_b = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
-        li_rev.join(orders, li_rev.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li_rev.join(orders_b, li_rev.l_orderkey == orders_b.o_orderkey)
         .select(
             "l_orderkey",
             "revenue",
@@ -224,29 +228,32 @@ def run_study(spark, study: str, scale: int, reps: int, check: bool) -> dict:
         s_best = min(s_best, time.perf_counter() - t0)
 
     d_best = None
-    if study != "q3_bucketed":  # bucketing has no DuckDB twin; reuse q3's
-        con = duckdb.connect()
-        for t in STUDY_TABLES[study]:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
-            )
+    con = duckdb.connect()
+    for t in STUDY_TABLES[study]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    if study != "q3_bucketed":  # bucketing has no DuckDB TIMING twin
         con.execute(spec.oracle).fetchall()  # warm OS page cache
         d_best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             orows = con.execute(spec.oracle).fetchall()
             d_best = min(d_best, time.perf_counter() - t0)
-        if check:
-            res = con.execute(spec.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-            srows = [tuple(r) for r in pdf.itertuples(index=False)]
-            ok = len(srows) == len(orows) and _canon(srows, list(pdf.columns)) == _canon(
-                orows, ocols
-            )
-            assert ok, f"{study} x{scale}: Spark/oracle mismatch on scaled data"
-        con.close()
+    if check:
+        # the VALUE check runs for every study — including q3_bucketed,
+        # whose rows must equal the plain q3 oracle on the same files
+        # (the bucketed layout may not change the answer)
+        res = con.execute(spec.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        srows = [tuple(r) for r in pdf.itertuples(index=False)]
+        ok = len(srows) == len(orows) and _canon(srows, list(pdf.columns)) == _canon(
+            orows, ocols
+        )
+        assert ok, f"{study} x{scale}: Spark/oracle mismatch on scaled data"
+    con.close()
 
     return {
         "study": study,
