@@ -222,14 +222,24 @@ CAND_RESTRICT_MIN_CORPUS_BYTES = 64 * 1024**2
 def _corpus_bytes(sf_dir: str) -> int:
     import os
 
+    def _size_or_zero(path):
+        # a part file replaced mid-walk (in-place dataset regeneration,
+        # the same race _fingerprint in operators/similarity.py guards)
+        # must not crash the gate — an under-count merely picks the
+        # direct verify branch, which is always correct
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return 0
+
     p = path_for(sf_dir, "documents")
     if os.path.isdir(p):
         return sum(
-            os.path.getsize(os.path.join(root, f))
+            _size_or_zero(os.path.join(root, f))
             for root, _, files in os.walk(p)
             for f in files
         )
-    return os.path.getsize(p)
+    return _size_or_zero(p)
 
 
 def _verify_docs_arg(spark: SparkSession, sf_dir: str) -> DataFrame | None:
@@ -266,6 +276,10 @@ def _verify_pairs(
             cand.select(F.col("doc_a").alias("doc_id"))
             .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
             .distinct()
+            # materialized once: the count gate below AND the broadcast
+            # exchange both consume it — unmaterialized, the broadcast
+            # build would re-run the union+distinct shuffle
+            .localCheckpoint()
         )
         if ids.count() <= CAND_RESTRICT_MAX_IDS:
             shingled = (

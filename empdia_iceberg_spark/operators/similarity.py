@@ -692,14 +692,25 @@ def _ivf_cells_dir(spark: SparkSession, path: str) -> tuple[str, np.ndarray]:
         # (one-generation grace for in-flight searches), drop the rest.
         # Legacy unprefixed `ivf_<fp>` dirs (pre-r9 layout, no longer
         # read by anyone) are reclaimed unconditionally.
-        def _mtime_or_zero(p):
-            # a concurrent builder may rmtree a superseded dir between
-            # our listdir and this stat: treat vanished as oldest (it is
-            # already being reclaimed) rather than crashing the query
+        def _last_activity(p):
+            """Newest file mtime anywhere under p (the dir's own mtime
+            is set at creation and never advances during a distributed
+            partitioned write, so it cannot distinguish a slow LIVE
+            build from a crashed one — part files closing DO advance
+            this). Vanished entries are skipped; a fully vanished tree
+            reads as 0 (already being reclaimed elsewhere)."""
+            newest = 0.0
             try:
-                return os.path.getmtime(p)
+                newest = os.path.getmtime(p)
             except OSError:
                 return 0.0
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+                    except OSError:
+                        continue
+            return newest
 
         mine, legacy = [], []
         now = time.time()
@@ -709,21 +720,35 @@ def _ivf_cells_dir(spark: SparkSession, path: str) -> tuple[str, np.ndarray]:
                 continue
             if ".build_" in name:
                 # a concurrent builder's staging dir — never touch while
-                # fresh, but a CRASHED builder (killed between write and
+                # active, but a CRASHED builder (killed between write and
                 # rename) leaves its staging dir forever; without an age
                 # bound repeated crashes accumulate full-index-sized
                 # orphans and storage is NOT bounded at two generations.
-                # One hour is >> any build (seconds at the sizes the
-                # 2 GiB index ceiling admits).
-                if now - _mtime_or_zero(full) > 3600:
+                # Age = time since the newest file write ANYWHERE in the
+                # tree (IVF is the beyond-executor-memory path with no
+                # size ceiling, so a build may legitimately run long —
+                # but its tasks keep closing part files, refreshing
+                # this). Six idle hours with zero file activity is a
+                # crash, not a build.
+                if now - _last_activity(full) > 6 * 3600:
                     shutil.rmtree(full, ignore_errors=True)
                 continue
             if name.startswith(f"ivf_{src}_"):
-                mine.append(full)
+                try:
+                    mine.append((os.path.getmtime(full), full))
+                except FileNotFoundError:
+                    continue  # vanished: a concurrent reclaim owns it
+                except OSError:
+                    continue  # transient stat error: neither keep-sort
+                    # nor DELETE it on uncertain evidence — deleting a
+                    # mis-sorted newest generation would break the
+                    # one-generation grace for in-flight searches
             elif re.fullmatch(r"ivf_[0-9a-f]{12}", name):
                 legacy.append(full)
-        mine.sort(key=_mtime_or_zero, reverse=True)
-        for old in mine[1:] + legacy:
+        mine.sort(reverse=True)
+        for _, old in mine[1:]:
+            shutil.rmtree(old, ignore_errors=True)
+        for old in legacy:
             shutil.rmtree(old, ignore_errors=True)
     return dest, cents
 
