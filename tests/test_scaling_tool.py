@@ -1,0 +1,98 @@
+"""Regression tests for tools/scaling_study.py's replication recipe —
+the tool is load-bearing evidence for SURVEY §6, so the properties the
+studies rely on (referential integrity across replicas, group-structure
+preservation, timestamp strides in the column's OWN unit) are pinned
+here with pyarrow only (no Spark session — runs in seconds).
+
+The timestamp test exists because of a real bug: the stride was once a
+nanosecond constant applied to a timestamp[us] column, silently shifting
+each replica ~95.8 years instead of the documented 35 days."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import scaling_study  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def x2(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scale"))
+    old = scaling_study.ROOT
+    scaling_study.ROOT = root
+    try:
+        yield {
+            study: scaling_study.build_dataset(study, 2)
+            for study in ("events_hourly", "q3")
+        }
+    finally:
+        scaling_study.ROOT = old
+
+
+def _col(path, table, col):
+    return pq.read_table(
+        os.path.join(path, f"{table}.parquet"), columns=[col]
+    ).column(col)
+
+
+def test_events_ts_stride_is_35_days_in_column_unit(x2):
+    base = _col(scaling_study.BASE_SF, "events", "ts")
+    rep = pq.read_table(
+        os.path.join(x2["events_hourly"], "events.parquet", "part-0001.parquet"),
+        columns=["ts"],
+    ).column("ts")
+    assert rep.type == base.type  # unit preserved, not silently widened
+    delta = pc.min(rep).as_py() - pc.min(base).as_py()
+    assert delta.days == scaling_study.EVENT_TS_STRIDE_DAYS
+    assert delta.seconds == 0 and delta.microseconds == 0
+    # replicas must not collide in event time (disjoint hour buckets)
+    assert pc.min(rep).as_py() > pc.max(base).as_py()
+
+
+def test_events_ids_disjoint_and_rows_scaled(x2):
+    base = _col(scaling_study.BASE_SF, "events", "event_id")
+    scaled = _col(x2["events_hourly"], "events", "event_id")
+    assert len(scaled) == 2 * len(base)
+    assert pc.count_distinct(scaled).as_py() == 2 * pc.count_distinct(base).as_py()
+
+
+def test_q3_replicas_preserve_referential_integrity(x2):
+    """Every orders.o_custkey must exist in the scaled customer table
+    and every lineitem.l_orderkey in the scaled orders table — the key
+    offsets shift parent and child by the SAME stride, so each replica
+    keeps every join edge (scaling adds GROUPS, it never orphans rows)."""
+    sf = x2["q3"]
+    custkeys = set(_col(sf, "customer", "c_custkey").to_pylist())
+    orderkeys = set(_col(sf, "orders", "o_orderkey").to_pylist())
+    o_cust = set(_col(sf, "orders", "o_custkey").to_pylist())
+    l_order = set(_col(sf, "lineitem", "l_orderkey").to_pylist())
+    assert o_cust <= custkeys
+    assert l_order <= orderkeys
+    # and the replicas are genuinely disjoint: 2x the distinct keys
+    base_orders = _col(scaling_study.BASE_SF, "orders", "o_orderkey")
+    assert len(orderkeys) == 2 * pc.count_distinct(base_orders).as_py()
+
+
+def test_q3_lazy_offsets_do_not_touch_events(x2, monkeypatch):
+    """The q3 studies must not require events.parquet to exist (lazy
+    key maxima): building from a BASE_SF without events works."""
+    real_read = pq.read_table
+
+    def guarded(path, *a, **kw):
+        assert "events.parquet" not in str(path), "q3 build read events"
+        return real_read(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "read_table", guarded)
+    # dataset exists (built by the fixture) — but the offsets for a
+    # FRESH scale are computed before the _done check short-circuits,
+    # so use a new scale and let it build for real
+    monkeypatch.setattr(scaling_study, "ROOT", os.path.join(x2["q3"], "..", "lazy"))
+    sf = scaling_study.build_dataset("q3", 1)
+    assert os.path.exists(os.path.join(sf, "_done"))
