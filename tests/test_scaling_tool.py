@@ -30,7 +30,7 @@ def x2(tmp_path_factory):
     try:
         yield {
             study: scaling_study.build_dataset(study, 2)
-            for study in ("events_hourly", "q3")
+            for study in ("events_hourly", "q3", "dedup")
         }
     finally:
         scaling_study.ROOT = old
@@ -78,6 +78,22 @@ def test_q3_replicas_preserve_referential_integrity(x2):
     # and the replicas are genuinely disjoint: 2x the distinct keys
     base_orders = _col(scaling_study.BASE_SF, "orders", "o_orderkey")
     assert len(orderkeys) == 2 * pc.count_distinct(base_orders).as_py()
+
+
+def test_documents_salt_preserves_dup_group_structure(x2):
+    """Each replica's texts carry a per-replica suffix: duplicate
+    groups stay intact within a replica (k× the dup GROUPS, same group
+    sizes) and never merge across replicas."""
+    base = _col(scaling_study.BASE_SF, "documents", "text")
+    rep1 = pq.read_table(
+        os.path.join(x2["dedup"], "documents.parquet", "part-0001.parquet"),
+        columns=["text"],
+    ).column("text")
+    assert rep1[0].as_py() == base[0].as_py() + " repl0001"
+    scaled = _col(x2["dedup"], "documents", "text")
+    assert pc.count_distinct(scaled).as_py() == 2 * pc.count_distinct(base).as_py()
+    ids = _col(x2["dedup"], "documents", "doc_id")
+    assert pc.count_distinct(ids).as_py() == 2 * len(base)
 
 
 def test_q3_lazy_offsets_do_not_touch_events(x2, monkeypatch):

@@ -30,6 +30,8 @@ Studies:
 Usage:
   python tools/scaling_study.py window_rank events_hourly --scales 10,30,100
   python tools/scaling_study.py q3 q3_bucketed --scales 10,30,100
+  python tools/scaling_study.py q1 --scales 10,30,100
+  python tools/scaling_study.py dedup --scales 100,1000
 
 Scaled datasets land under $SPARK_GRAFT_SCALE_ROOT (default
 /tmp/scale_study) and are reused across invocations; `--check` also
@@ -55,17 +57,27 @@ EVENT_TS_STRIDE_DAYS = 35  # base events span <35 days: replicas never collide
 _TS_TICKS_PER_DAY = {"s": 86_400, "ms": 86_400_000, "us": 86_400_000_000, "ns": 86_400_000_000_000}
 
 STUDY_TABLES = {
+    "q1": ["lineitem"],
     "window_rank": ["orders"],
     "events_hourly": ["events"],
     "q3": ["customer", "orders", "lineitem"],
     "q3_bucketed": ["customer", "orders", "lineitem"],
+    "dedup": ["documents"],
 }
 STUDY_QUERY = {
+    "q1": "q1_pricing_agg",
     "window_rank": "window_rank_topk_per_customer",
     "events_hourly": "events_hourly_rollup",
     "q3": "q3_join3_topk",
     "q3_bucketed": "q3_join3_topk",  # oracle + unbucketed twin source
+    "dedup": "doc_exact_dedup",
 }
+# q1 is the one study whose scaling mode is BIGGER groups, not more
+# groups (its output is always the 4 returnflag/linestatus rows):
+# replication just multiplies rows per group, which is exactly what the
+# partial-aggregation path must absorb. dedup replicates documents with
+# a per-replica text salt so duplicate-GROUP structure is preserved
+# within each replica and no cross-replica dups appear.
 
 
 def _replicate(table: str, scale: int, dest_dir: str, offsets: dict) -> None:
@@ -87,6 +99,12 @@ def _replicate(table: str, scale: int, dest_dir: str, offsets: dict) -> None:
                 kind, stride = offsets[name]
                 if kind == "int":
                     col = pc.add(col, i * stride).cast(col.type)
+                elif kind == "salt":
+                    # per-replica text suffix: duplicate groups stay
+                    # intact within a replica, never merge across them
+                    col = pc.binary_join_element_wise(
+                        col.cast(pa.string()), pa.scalar(f" repl{i:04d}"), ""
+                    ).cast(base.schema.field(name).type)
                 else:  # timestamp shift by `stride` DAYS, in the column's
                     # own tick unit (a fixed-unit constant silently shifts
                     # a timestamp[us] column ~1e3 too far), type preserved
@@ -125,6 +143,13 @@ def build_dataset(study: str, scale: int) -> str:
         "events": {
             "event_id": ("int", mx("events", "event_id") if "events" in tables else 0),
             "ts": ("ts", EVENT_TS_STRIDE_DAYS),
+        },
+        "documents": {
+            "doc_id": (
+                "int",
+                mx("documents", "doc_id") if "documents" in tables else 0,
+            ),
+            "text": ("salt", None),
         },
     }
     for table in tables:
