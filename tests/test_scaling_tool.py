@@ -42,12 +42,24 @@ def _col(path, table, col):
     ).column(col)
 
 
+def _replica(path, table, i, cols):
+    """Replica i of a scaled table: replicas pack into ~64 MB files as
+    one ROW GROUP each, in order — the packing contract _replicate
+    documents."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(path, f"{table}.parquet", "part-*.parquet")))
+    for f in files:
+        pf = pq.ParquetFile(f)
+        if i < pf.metadata.num_row_groups:
+            return pf.read_row_group(i, columns=cols)
+        i -= pf.metadata.num_row_groups
+    raise AssertionError("replica index out of range")
+
+
 def test_events_ts_stride_is_35_days_in_column_unit(x2):
     base = _col(scaling_study.BASE_SF, "events", "ts")
-    rep = pq.read_table(
-        os.path.join(x2["events_hourly"], "events.parquet", "part-0001.parquet"),
-        columns=["ts"],
-    ).column("ts")
+    rep = _replica(x2["events_hourly"], "events", 1, ["ts"]).column("ts")
     assert rep.type == base.type  # unit preserved, not silently widened
     delta = pc.min(rep).as_py() - pc.min(base).as_py()
     assert delta.days == scaling_study.EVENT_TS_STRIDE_DAYS
@@ -85,10 +97,7 @@ def test_documents_salt_preserves_dup_group_structure(x2):
     groups stay intact within a replica (k× the dup GROUPS, same group
     sizes) and never merge across replicas."""
     base = _col(scaling_study.BASE_SF, "documents", "text")
-    rep1 = pq.read_table(
-        os.path.join(x2["dedup"], "documents.parquet", "part-0001.parquet"),
-        columns=["text"],
-    ).column("text")
+    rep1 = _replica(x2["dedup"], "documents", 1, ["text"]).column("text")
     assert rep1[0].as_py() == base[0].as_py() + " repl0001"
     scaled = _col(x2["dedup"], "documents", "text")
     assert pc.count_distinct(scaled).as_py() == 2 * pc.count_distinct(base).as_py()

@@ -80,17 +80,33 @@ STUDY_QUERY = {
 # within each replica and no cross-replica dups appear.
 
 
+# Pack replicas into files of roughly this many base-table bytes. A
+# one-file-per-replica layout hands BOTH engines a file-count artifact
+# at high scale factors (e.g. ×1000 of a 0.6 MB table = 1000 tiny
+# files: Spark pays ~1 s of per-file open/task overhead that a REAL
+# corpus — written at the 64–256 MB targets every production writer
+# uses, including tables/manager.py's 128 MB — never exhibits). Each
+# replica still lands as its own ROW GROUP, so per-replica structure
+# (and the tests' replica-range assertions) are unchanged.
+_TARGET_FILE_BYTES = 64 * 1024**2
+
+
 def _replicate(table: str, scale: int, dest_dir: str, offsets: dict) -> None:
     """Write `scale` replicas of the base table, each with its key
     columns shifted by replica_index × (max_key + 1) so replicas are
     disjoint but referential integrity (customer↔orders↔lineitem, and
-    per-replica group sizes) is preserved exactly."""
+    per-replica group sizes) is preserved exactly. Replicas are packed
+    into ~64 MB files (one row group per replica)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    base = pq.read_table(os.path.join(BASE_SF, f"{table}.parquet"))
+    base_path = os.path.join(BASE_SF, f"{table}.parquet")
+    base = pq.read_table(base_path)
+    per_file = max(1, _TARGET_FILE_BYTES // max(1, os.path.getsize(base_path)))
     os.makedirs(dest_dir, exist_ok=True)
+    writer = None
+    file_no = 0
     for i in range(scale):
         cols = {}
         for name in base.schema.names:
@@ -112,7 +128,17 @@ def _replicate(table: str, scale: int, dest_dir: str, offsets: dict) -> None:
                     shifted = pc.add(col.cast(pa.int64()), i * ticks)
                     col = shifted.cast(col.type)
             cols[name] = col
-        pq.write_table(pa.table(cols, schema=base.schema), os.path.join(dest_dir, f"part-{i:04d}.parquet"))
+        if writer is None:
+            writer = pq.ParquetWriter(
+                os.path.join(dest_dir, f"part-{file_no:04d}.parquet"), base.schema
+            )
+        writer.write_table(pa.table(cols, schema=base.schema))
+        if (i + 1) % per_file == 0:
+            writer.close()
+            writer = None
+            file_no += 1
+    if writer is not None:
+        writer.close()
 
 
 def build_dataset(study: str, scale: int) -> str:
