@@ -580,3 +580,94 @@ def test_ivf_generation_reclamation_keeps_two_bounded(spark, tmp_path, monkeypat
     assert os.path.basename(dirs[-2]) in mine  # one-generation grace
     assert other.is_dir(), "another dataset's cache dir was reclaimed"
     assert not legacy.exists(), "legacy unprefixed dir should be reclaimed"
+
+
+def test_ivf_reclamation_ages_out_crashed_staging_orphans(spark, tmp_path, monkeypatch):
+    """r9 review: a builder killed between write and rename leaves its
+    `.build_` staging dir forever; without an age bound repeated crashes
+    accumulate full-index-sized orphans. The reclaim pass now removes
+    staging dirs whose NEWEST file write is >6 h old (a live build keeps
+    closing part files, refreshing that stamp) and must leave a fresh
+    staging dir — a possibly in-flight concurrent build — untouched."""
+    import shutil as _sh
+    import time
+
+    from empdia_iceberg_spark.operators.similarity import _ivf_cells_dir
+
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    old_ns = int((time.time() - 7 * 3600) * 1e9)
+    crashed = ann / "ivf_deadbeef_aaaaaaaaaaaa.build_cafe"
+    crashed.mkdir()
+    (crashed / "part-0.parquet").write_bytes(b"orphan")
+    for p in (crashed / "part-0.parquet", crashed):
+        os.utime(p, ns=(old_ns, old_ns))
+    fresh = ann / "ivf_deadbeef_bbbbbbbbbbbb.build_beef"
+    fresh.mkdir()
+    (fresh / "part-0.parquet").write_bytes(b"in-flight")
+    monkeypatch.setenv("SPARK_GRAFT_ANN_ROOT", str(ann))
+
+    path = str(tmp_path / "embeddings.parquet")
+    _sh.copy(f"{SF_DIR}/embeddings.parquet", path)
+    _ivf_cells_dir(spark, path)  # triggers a build + the reclaim pass
+    assert not crashed.exists(), "crashed builder's stale staging dir must age out"
+    assert fresh.is_dir(), "a fresh staging dir (possible live build) must survive"
+
+
+def test_fingerprint_survives_file_vanishing_mid_walk(tmp_path, monkeypatch):
+    """r9 review: a file deleted between the fingerprint's walk listing
+    and its stat (an in-place dataset rewrite in progress) must not
+    crash the task — the vanishing is itself recorded, so the resulting
+    fingerprint differs from the settled state and the next probe
+    reloads."""
+    from empdia_iceberg_spark.operators.similarity import _fingerprint
+
+    root = tmp_path / "ds"
+    root.mkdir()
+    (root / "a.bin").write_bytes(b"aaaa")
+    target = root / "b.bin"
+    target.write_bytes(b"bbbb")
+    fp_settled = _fingerprint(str(root))
+
+    real_stat = os.stat
+
+    def flaky_stat(p, *a, **kw):
+        if str(p) == str(target):
+            raise FileNotFoundError(p)
+        return real_stat(p, *a, **kw)
+
+    monkeypatch.setattr(os, "stat", flaky_stat)
+    fp_mid_rewrite = _fingerprint(str(root))  # must not raise
+    assert fp_mid_rewrite != fp_settled
+
+
+def test_exact_sum8_bounded_matches_decimal_path(spark):
+    """r9: `exact_sum8_bounded` (long-scaled revenue sums for
+    structurally bounded groups, the q3 pre-agg kernel) must be
+    bit-identical to the DECIMAL(28,8) path on q3-shaped money values —
+    2-decimal prices × (1 − 2-decimal discounts), groups well under the
+    2⁵³ identity bound."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.functions.exact import exact_sum8, exact_sum8_bounded
+
+    rng = random.Random(1234)
+    rows = [
+        (i % 997, round(rng.uniform(900.0, 110000.0), 2), round(rng.uniform(0.0, 0.10), 2))
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "k int, price double, disc double")
+    expr = F.col("price") * (1 - F.col("disc"))
+    got = (
+        df.groupBy("k")
+        .agg(
+            exact_sum8(expr).alias("dec"),
+            exact_sum8_bounded(expr).alias("lng"),
+        )
+        .collect()
+    )
+    assert len(got) == 997
+    for r in got:
+        assert r.dec == r.lng, (r.k, r.dec, r.lng, r.dec.hex(), r.lng.hex())
