@@ -70,124 +70,71 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 #      (tools/next_sweep.py emits the order);
 #   3. the stalest previously-green block as tail filler.
 #
-# ROUND 9 ARITHMETIC (VERDICT r8 asks #1 + #5): the window leads with
-# the 23 LAST never-swept names — the committed r9 head VERDICT r8
-# verified against the live registry — so never-swept debt reaches
-# ZERO this round. Then the 4 queries whose answer paths this round's
-# ADVICE fixes touch (r9 ADVICE: brute-force kernel _INDEX_CACHE +
-# PQ-codebook cache keyed on a shared recursive content fingerprint ->
-# knn_cosine_top5 / knn_cosine_ivf; additive_upsert stamps a
-# checkpoint-lineage run_id so a second stream or fresh-checkpoint
-# restart can't have its early batches dropped ->
-# stream_restart_recovery / stream_continuous_aggregate; plus the
-# ask-#2/#4 perf rewrite of pagerank_trading_graph — long surrogate
-# node keys + one declarative 10-round plan with AQE-native broadcast
-# and a 5-round checkpoint cadence, ~7.7 -> ~5.0 s best-of-3 at sf0.1,
-# 1.4x its DuckDB oracle; and the ask-#4 q3_join3_topk plan rewrite —
-# revenue aggregate pushed below the join at long-sum speed, orders
-# semi-reduced by the broadcast customer dim before any exchange —
-# driven by the committed tools/scaling_study.py numbers; plus the
-# near-dup pipeline cost fix — convergence probe riding the label
-# checkpoint and candidate-restricted verify shingling — touching
-# doc_dedup_clusters and doc_minhash_near_dup). 23 + 8 = 31; the
-# remaining 19 slots fill with the stalest green block (r2, swept
-# seven rounds ago). Registry stays FROZEN at 267 (ask #5: delta 0
-# until the driver's rows prove debt zero).
+# ROUND 10 ARITHMETIC (VERDICT r9 asks #1 + #6): never-swept debt is
+# ZERO (all 267 queries have driver rows through r9), so the window is
+# (1) the answer paths this round's work touches — the r10 ADVICE fixes
+# (fingerprint TTL cache on directory-index stat storms; env-tunable IVF
+# reclamation grace -> knn_cosine_top5 / knn_cosine_ivf) and the queries
+# whose plans/gates the r10 scaling studies may retune (near-dup verify
+# gate -> doc_minhash_near_dup / doc_dedup_clusters; q1/q3 posture work;
+# user_profile_similarity study) — then (2) the stalest green block,
+# which is now the r2 cohort (last rows eight rounds ago). New surface
+# registered this round (ask #6: table_update_dml / table_delete_dml /
+# table_zorder_hilbert) is inserted at the VERY FRONT of this list when
+# it lands, per the same-round-driver-row rule. 7 changed + 43 stalest
+# = 50.
 _SWEEP_PRIORITY = [
-    "orders_interpurchase_intervals",  # never - r9 head (debt -> zero)
-    "orders_status_summary",  # never - r9 head (debt -> zero)
-    "lineitem_fifo_allocation",  # never - r9 head (debt -> zero)
-    "join_key_skew_stats",  # never - r9 head (debt -> zero)
-    "duplicate_baskets",  # never - r9 head (debt -> zero)
-    "graph_bfs_hops",  # never - r9 head (debt -> zero)
-    "graph_kcore_sizes",  # never - r9 head (debt -> zero)
-    "graph_degree_assortativity",  # never - r9 head (debt -> zero)
-    "item_item_similar_parts",  # never - r9 head (debt -> zero)
-    "seq2_event_patterns",  # never - r9 head (debt -> zero)
-    "doc_fuzzy_clusters",  # never - r9 head (debt -> zero)
-    "doc_greedy_coverage_select",  # never - r9 head (debt -> zero)
-    "doc_pack_windows",  # never - r9 head (debt -> zero)
-    "hash_split_assignments",  # never - r9 head (debt -> zero)
-    "domain_mixture_weights",  # never - r9 head (debt -> zero)
-    "embedding_quantize_int8",  # never - r9 head (debt -> zero)
-    "variant_props_typed",  # never - r9 head (debt -> zero)
-    "secure_masked_view",  # never - r9 head (debt -> zero)
-    "observed_metrics_shipments",  # never - r9 head (debt -> zero)
-    "dq_checks_orders",  # never - r9 head (debt -> zero)
-    "json_ingest_corrupt_records",  # never - r9 head (debt -> zero)
-    "xml_roundtrip",  # never - r9 head (debt -> zero)
-    "orc_roundtrip",  # never - r9 head (debt -> zero)
-    "knn_cosine_top5",  # r9 ADVICE fix touches this answer path (last row r8)
-    "knn_cosine_ivf",  # r9 ADVICE fix touches this answer path (last row r8)
-    "stream_restart_recovery",  # r9 ADVICE fix touches this answer path (last row r8)
-    "stream_continuous_aggregate",  # r9 ADVICE fix touches this answer path (last row r8)
-    "pagerank_trading_graph",  # r9 perf rewrite (asks #2/#4): declarative rounds + long keys (last row r7)
-    "q3_join3_topk",  # r9 perf rewrite (ask #4 study): agg below join + semi-reduced orders (last row r6)
-    "doc_dedup_clusters",  # r9 perf: convergence probe rides the checkpoint; candidate-restricted verify (last row r5)
-    "doc_minhash_near_dup",  # r9 perf: verify sides shingle only candidate docs, broadcast-gated (last row r6)
-    # ---------------- 50-slot window ends here (23 + 8 + 19 filler) ----
-    "semi_join_active_customers",  # r2
-    "anti_join_inactive_customers",  # r2
-    "set_ops_segments",  # r2
-    "rollup_pricing",  # r2
-    "cube_order_priority",  # r2
-    "distinct_counts",  # r2
-    "approx_distinct_counts",  # r2
-    "topk_orders_global",  # r2
-    "scalar_string_fns",  # r2
-    "date_fns_orders",  # r2
-    "json_extract_events",  # r2
-    "orders_above_customer_avg",  # r2
-    "events_hourly_rollup",  # r2
-    "pivot_status_by_priority",  # r2
-    "null_safe_join_acctbal",  # r2
-    "map_functions_props",  # r2
-    "grouping_sets_pricing",  # r2
-    "percentile_order_values",  # r2
-    "approx_percentile_sketch",  # r2
-    "events_multi_grain_rollup",  # r2
-    "salted_join_skewed",  # r2
-    "unpivot_pricing_metrics",  # r2
-    "doc_exact_dedup",  # r2
-    "doc_dedup_survivors",  # r2
-    "doc_text_stats",  # r2
-    "doc_token_counts",  # r2
-    "doc_lang_id_confusion",  # r2
-    "doc_fingerprint",  # r2
-    "doc_pii_scrub",  # r2
-    "window_rank_topk_per_customer",  # r2
-    "window_lag_lead_orders",  # r2
-    "window_running_max_events",  # r2
-    "window_trailing_frame_events",  # r2
-    "window_ntile_quartiles",  # r2
-    "window_first_last_order",  # r2
-    "window_range_frame_value",  # r2
-    "window_percent_rank_cume_dist",  # r2
-    "embedding_avg_by_label",  # r2
-    "range_join_events_1h",  # r3
-    "bucketed_join_colocated",  # r3
-    "skyline_orders_2d",  # r3
-    "multimodal_metadata",  # r3
-    "classifier_stub_layers",  # r3
-    "classifier_label_canonicalization",  # r3
-    "classifier_real_model",  # r3
-    "generation_retry_stub",  # r3
-    "collate_prompt_batches",  # r3
-    "udtf_word_windows",  # r3
-    "udaf_weighted_value",  # r3
-    "reward_trajectory",  # r3
-    "reward_per_turn_scores",  # r3
-    "reward_fallback_mean",  # r3
-    "reward_config_coalesce",  # r3
-    "reward_trajectory_pandas",  # r3
-    "termination_flags",  # r3
-    "termination_first_stop",  # r3
-    "trajectory_metrics",  # r3
-    "messages_role_swap_pipeline",  # r3
-    "sink_parquet_roundtrip",  # r3
-    "sink_json_roundtrip",  # r3
-    "csv_roundtrip",  # r3
-    "sink_partitioned_write",  # r3
+    "knn_cosine_top5",  # r10-planned-changed (last row r9)
+    "knn_cosine_ivf",  # r10-planned-changed (last row r9)
+    "doc_minhash_near_dup",  # r10-planned-changed (last row r9)
+    "doc_dedup_clusters",  # r10-planned-changed (last row r9)
+    "q1_pricing_agg",  # r10-planned-changed (last row r7)
+    "q3_join3_topk",  # r10-planned-changed (last row r9)
+    "user_profile_similarity",  # r10-planned-changed (last row r8)
+    "events_multi_grain_rollup",  # stalest green (r2)
+    "salted_join_skewed",  # stalest green (r2)
+    "unpivot_pricing_metrics",  # stalest green (r2)
+    "doc_exact_dedup",  # stalest green (r2)
+    "doc_dedup_survivors",  # stalest green (r2)
+    "doc_text_stats",  # stalest green (r2)
+    "doc_token_counts",  # stalest green (r2)
+    "doc_lang_id_confusion",  # stalest green (r2)
+    "doc_fingerprint",  # stalest green (r2)
+    "doc_pii_scrub",  # stalest green (r2)
+    "window_rank_topk_per_customer",  # stalest green (r2)
+    "window_lag_lead_orders",  # stalest green (r2)
+    "window_running_max_events",  # stalest green (r2)
+    "window_trailing_frame_events",  # stalest green (r2)
+    "window_ntile_quartiles",  # stalest green (r2)
+    "window_first_last_order",  # stalest green (r2)
+    "window_range_frame_value",  # stalest green (r2)
+    "window_percent_rank_cume_dist",  # stalest green (r2)
+    "embedding_avg_by_label",  # stalest green (r2)
+    "range_join_events_1h",  # stalest green (r3)
+    "bucketed_join_colocated",  # stalest green (r3)
+    "skyline_orders_2d",  # stalest green (r3)
+    "multimodal_metadata",  # stalest green (r3)
+    "classifier_stub_layers",  # stalest green (r3)
+    "classifier_label_canonicalization",  # stalest green (r3)
+    "classifier_real_model",  # stalest green (r3)
+    "generation_retry_stub",  # stalest green (r3)
+    "collate_prompt_batches",  # stalest green (r3)
+    "udtf_word_windows",  # stalest green (r3)
+    "udaf_weighted_value",  # stalest green (r3)
+    "reward_trajectory",  # stalest green (r3)
+    "reward_per_turn_scores",  # stalest green (r3)
+    "reward_fallback_mean",  # stalest green (r3)
+    "reward_config_coalesce",  # stalest green (r3)
+    "reward_trajectory_pandas",  # stalest green (r3)
+    "termination_flags",  # stalest green (r3)
+    "termination_first_stop",  # stalest green (r3)
+    "trajectory_metrics",  # stalest green (r3)
+    "messages_role_swap_pipeline",  # stalest green (r3)
+    "sink_parquet_roundtrip",  # stalest green (r3)
+    "sink_json_roundtrip",  # stalest green (r3)
+    "csv_roundtrip",  # stalest green (r3)
+    "sink_partitioned_write",  # stalest green (r3)
+    # ---------------- 50-slot window ends here (7 changed + 43 stalest) ----
     "dialogue_prep_verl_rows",  # r3
     "dialogue_prep_nested",  # r3
     "overlong_prompt_filter",  # r3
@@ -278,7 +225,6 @@ _SWEEP_PRIORITY = [
     "table_merge_pruned",  # r7
     "table_merge_upsert",  # r7
     "mannwhitney_u_segments",  # r7
-    "q1_pricing_agg",  # r7
     "table_zorder_layout",  # r7
     "doc_lm_perplexity",  # r7
     "doc_decontaminate",  # r7
@@ -326,7 +272,6 @@ _SWEEP_PRIORITY = [
     "doc_sample_per_lang",  # r8
     "stream_conversation_state",  # r8
     "table_bloom_point_lookup",  # r8
-    "user_profile_similarity",  # r8
     "doc_tfidf_top_terms",  # r8
     "emb_decontaminate",  # r8
     "doc_repetition_stats",  # r8
@@ -362,6 +307,51 @@ _SWEEP_PRIORITY = [
     "revenue_yoy_growth",  # r8
     "customer_segment_migration",  # r8
     "customer_rfm_segments",  # r8
+    "orders_interpurchase_intervals",  # r9
+    "orders_status_summary",  # r9
+    "lineitem_fifo_allocation",  # r9
+    "join_key_skew_stats",  # r9
+    "duplicate_baskets",  # r9
+    "graph_bfs_hops",  # r9
+    "graph_kcore_sizes",  # r9
+    "graph_degree_assortativity",  # r9
+    "item_item_similar_parts",  # r9
+    "seq2_event_patterns",  # r9
+    "doc_fuzzy_clusters",  # r9
+    "doc_greedy_coverage_select",  # r9
+    "doc_pack_windows",  # r9
+    "hash_split_assignments",  # r9
+    "domain_mixture_weights",  # r9
+    "embedding_quantize_int8",  # r9
+    "variant_props_typed",  # r9
+    "secure_masked_view",  # r9
+    "observed_metrics_shipments",  # r9
+    "dq_checks_orders",  # r9
+    "json_ingest_corrupt_records",  # r9
+    "xml_roundtrip",  # r9
+    "orc_roundtrip",  # r9
+    "stream_restart_recovery",  # r9
+    "stream_continuous_aggregate",  # r9
+    "pagerank_trading_graph",  # r9
+    "semi_join_active_customers",  # r9
+    "anti_join_inactive_customers",  # r9
+    "set_ops_segments",  # r9
+    "rollup_pricing",  # r9
+    "cube_order_priority",  # r9
+    "distinct_counts",  # r9
+    "approx_distinct_counts",  # r9
+    "topk_orders_global",  # r9
+    "scalar_string_fns",  # r9
+    "date_fns_orders",  # r9
+    "json_extract_events",  # r9
+    "orders_above_customer_avg",  # r9
+    "events_hourly_rollup",  # r9
+    "pivot_status_by_priority",  # r9
+    "null_safe_join_acctbal",  # r9
+    "map_functions_props",  # r9
+    "grouping_sets_pricing",  # r9
+    "percentile_order_values",  # r9
+    "approx_percentile_sketch",  # r9
 ]
 
 registry.promote(_SWEEP_PRIORITY)

@@ -53,11 +53,31 @@ def test_all_never_swept_names_sit_inside_the_driver_window():
 
 def test_sweep_comment_round_matches_latest_correctness_file():
     """The arithmetic comment above _SWEEP_PRIORITY must be for the
-    CURRENT round (latest CORRECTNESS_r{N}.json + 1) — a stale comment
-    means the rotation was not rethought this round."""
+    CURRENT round (latest COMMITTED CORRECTNESS_r{N}.json + 1) — a stale
+    comment means the rotation was not rethought this round.
+
+    Only committed artifacts count (r9 ADVICE): the driver drops the
+    current round's own CORRECTNESS file as an untracked artifact
+    mid-round, and counting it would flip this suite red on every
+    artifact-bearing checkout. Gating on ``git ls-files`` makes the
+    forcing function fire at the START of the next code round (when the
+    round-N artifacts get committed) instead. Falls back to the glob if
+    git is unavailable (fresh tarball)."""
+    import subprocess
+
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+        files = [os.path.join(REPO, f) for f in tracked]
+    except (OSError, subprocess.CalledProcessError):
+        files = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
     rounds = [
-        int(re.search(r"_r(\d+)", os.path.basename(f)).group(1))
-        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        int(re.search(r"_r(\d+)", os.path.basename(f)).group(1)) for f in files
     ]
     if not rounds:  # fresh clone without driver artifacts
         return
