@@ -106,6 +106,10 @@ def exact_sum_r6_bounded(expr: Column) -> Column:
     this ONLY where the group is structurally bounded — per-document
     token sums, per-key fixed-width vectors — never for whole-corpus
     rollups (those take `exact_sum_r6` or `grouped_scaled_sums`).
+    PRECONDITION: x ≥ 0 (r10 ADVICE). floor(x·10⁶+0.5) rounds negative
+    halfway values toward +inf while the decimal cast rounds HALF_UP
+    away from zero, so the bit-identity only holds for non-negative
+    inputs; a signed call site must use `exact_sum_r6` instead.
     Hot-loop motivation: a DECIMAL(27,6) sum buffer is BigDecimal
     (~4× per element, measured); per-doc NB/LM scoring over the token
     stream is the engine's largest decimal-aggregation volume."""
@@ -127,7 +131,12 @@ def exact_sum8_bounded(expr: Column) -> Column:
     lineitem revenue (≤7 lineitems per order in the TPC-H data model;
     the 2⁵³ identity holds to ~800 lineitems × 10⁵ money values, and
     the long itself to ~840k) — never for whole-corpus rollups (those
-    take `grouped_scaled_sums`, exact at any scale)."""
+    take `grouped_scaled_sums`, exact at any scale).
+    PRECONDITION: x ≥ 0, same as `exact_sum_r6_bounded` (r10 ADVICE):
+    floor(x·10⁸+0.5) rounds negative halfway values toward +inf, the
+    DECIMAL(28,8) cast rounds HALF_UP away from zero — the sole call
+    site (q3 revenue, extendedprice·(1−discount)) is non-negative by
+    construction; a signed call site must use `exact_sum8`."""
     return (
         F.sum(F.floor(expr * F.lit(1e8) + F.lit(0.5))).cast("double") / F.lit(1e8)
     )

@@ -220,6 +220,12 @@ CAND_RESTRICT_MIN_CORPUS_BYTES = 64 * 1024**2
 
 
 def _corpus_bytes(sf_dir: str) -> int:
+    # Local-filesystem assumption (r9 VERDICT note): this sizes the
+    # corpus with os.walk/os.path.getsize, which reads 0 for object-store
+    # URIs (s3://, hdfs://) — there the gate silently takes the direct
+    # verify branch, which is ALWAYS CORRECT, just slower at scale. A
+    # cluster deployment should size via the FileSystem API or a catalog
+    # statistic; the fail-safe direction here is deliberate.
     import os
 
     def _size_or_zero(path):

@@ -96,6 +96,31 @@ def _fingerprint(path: str) -> str:
                 parts.append(f"{rel}|{s.st_mtime_ns}|{s.st_size}")
     return hashlib.md5("||".join(parts).encode()).hexdigest()[:12]
 
+
+# Per-lookup fingerprint calls are bounded by a short process-local TTL
+# (r10 ADVICE): for a single-file index the re-stat is microseconds, but
+# a DIRECTORY index with thousands of part files walks+stats every one —
+# per Arrow batch, per executor process, that's a stat storm measured in
+# milliseconds each. Re-fingerprinting at most once per TTL per process
+# keeps stale-index detection (an in-place regeneration is still caught
+# within EMPDIA_FINGERPRINT_TTL_SEC, default 1 s — regeneration itself
+# takes far longer) while making the steady-state lookup a dict hit.
+_FP_TTL_CACHE: dict[str, tuple[float, str]] = {}
+
+
+def _fingerprint_cached(path: str) -> str:
+    import os
+    import time
+
+    ttl = float(os.environ.get("EMPDIA_FINGERPRINT_TTL_SEC", "1.0"))
+    if ttl > 0:
+        hit = _FP_TTL_CACHE.get(path)
+        if hit is not None and time.monotonic() - hit[0] < ttl:
+            return hit[1]
+    fp = _fingerprint(path)
+    _FP_TTL_CACHE[path] = (time.monotonic(), fp)
+    return fp
+
 # Broadcast-index ceiling: every executor process materializes the whole
 # index, so refuse clearly oversized indexes instead of OOMing workers.
 # Parquet bytes underestimate the in-memory float64 matrix, so the guard
@@ -174,7 +199,7 @@ def _list_col_to_matrix(col) -> np.ndarray:
 
 
 def _load_index(path: str) -> tuple[np.ndarray, np.ndarray]:
-    fp = _fingerprint(path)
+    fp = _fingerprint_cached(path)
     hit = _INDEX_CACHE.get(path)
     if hit is None or hit[0] != fp:
         import pyarrow.parquet as pq
@@ -729,8 +754,15 @@ def _ivf_cells_dir(spark: SparkSession, path: str) -> tuple[str, np.ndarray]:
                 # size ceiling, so a build may legitimately run long —
                 # but its tasks keep closing part files, refreshing
                 # this). Six idle hours with zero file activity is a
-                # crash, not a build.
-                if now - _last_activity(full) > 6 * 3600:
+                # crash, not a build. Env-tunable (r10 ADVICE) because
+                # the comparison is file-mtime vs THIS process's clock:
+                # on a clock-skewed shared filesystem a live build could
+                # read as idle, so shared-FS deployments should raise
+                # the bound (or set it huge to disable age-out).
+                idle_sec = float(
+                    os.environ.get("EMPDIA_IVF_BUILD_IDLE_SEC", 6 * 3600)
+                )
+                if now - _last_activity(full) > idle_sec:
                     shutil.rmtree(full, ignore_errors=True)
                 continue
             if name.startswith(f"ivf_{src}_"):
@@ -746,7 +778,13 @@ def _ivf_cells_dir(spark: SparkSession, path: str) -> tuple[str, np.ndarray]:
             elif re.fullmatch(r"ivf_[0-9a-f]{12}", name):
                 legacy.append(full)
         mine.sort(reverse=True)
-        for _, old in mine[1:]:
+        # Grace depth (superseded generations kept beyond the current
+        # one) is env-tunable (r10 ADVICE): a search that captured a dir
+        # path at plan time is covered by depth 1 here, but a shared-FS
+        # deployment where plans can outlive two regenerations should
+        # raise it — storage stays bounded at (1 + depth) generations.
+        grace = int(os.environ.get("EMPDIA_IVF_GRACE_GENERATIONS", "1"))
+        for _, old in mine[max(grace, 0):]:
             shutil.rmtree(old, ignore_errors=True)
         for old in legacy:
             shutil.rmtree(old, ignore_errors=True)
@@ -989,7 +1027,7 @@ def _pq_codebooks(path: str):
     assignment) — the same determinism recipe as the IVF index, so
     codes are reproducible across runs and cluster layouts."""
     key = f"pq:{path}"
-    fp = _fingerprint(path)
+    fp = _fingerprint_cached(path)
     hit = _INDEX_CACHE.get(key)
     if hit is None or hit[0] != fp:
         ids, m = _load_index(path)  # id-sorted, L2-normalized

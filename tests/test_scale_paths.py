@@ -480,13 +480,15 @@ def test_load_index_cache_keys_on_content_fingerprint(tmp_path):
     same path made long-lived executor processes silently serve stale
     vectors (the exact hazard class the r8 IVF fix documents). The
     cache now re-stats the index per lookup and reloads on a content
-    fingerprint mismatch."""
+    fingerprint mismatch. (r10: the re-stat itself is TTL-bounded —
+    _FP_TTL_CACHE is cleared here to model TTL expiry; the TTL window
+    has its own tests below.)"""
     import time
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from empdia_iceberg_spark.operators.similarity import _load_index
+    from empdia_iceberg_spark.operators.similarity import _FP_TTL_CACHE, _load_index
 
     path = str(tmp_path / "emb.parquet")
     pq.write_table(
@@ -505,6 +507,7 @@ def test_load_index_cache_keys_on_content_fingerprint(tmp_path):
                   "embedding": pa.array([[0.6, 0.8]], pa.list_(pa.float32()))}),
         path,
     )
+    _FP_TTL_CACHE.clear()  # model TTL expiry (default window 1 s)
     ids2, m2 = _load_index(path)
     assert list(ids2) == [7], "stale executor-local index served after in-place regeneration"
     np.testing.assert_allclose(m2, [[0.6, 0.8]])
@@ -671,3 +674,106 @@ def test_exact_sum8_bounded_matches_decimal_path(spark):
     assert len(got) == 997
     for r in got:
         assert r.dec == r.lng, (r.k, r.dec, r.lng, r.dec.hex(), r.lng.hex())
+
+
+def test_fingerprint_ttl_bounds_per_batch_stat_storms(tmp_path, monkeypatch):
+    """r10 ADVICE: _load_index/_pq_codebooks fingerprint the index per
+    lookup; for a directory index that's a recursive walk+stat of every
+    part file per Arrow batch per executor. The TTL cache must (a) skip
+    the walk entirely within the window, (b) re-walk once it expires,
+    and (c) bypass the cache when the TTL is set to 0 (test/debug
+    posture)."""
+    import time
+
+    from empdia_iceberg_spark.operators import similarity as sim
+
+    f = tmp_path / "idx.bin"
+    f.write_bytes(b"v1")
+    calls = {"n": 0}
+    real = sim._fingerprint
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(sim, "_fingerprint", counting)
+    sim._FP_TTL_CACHE.clear()
+
+    monkeypatch.setenv("EMPDIA_FINGERPRINT_TTL_SEC", "60")
+    fp1 = sim._fingerprint_cached(str(f))
+    for _ in range(10):  # 10 batches inside the window -> zero re-walks
+        assert sim._fingerprint_cached(str(f)) == fp1
+    assert calls["n"] == 1, "stat storm: fingerprint re-walked inside the TTL"
+
+    monkeypatch.setenv("EMPDIA_FINGERPRINT_TTL_SEC", "0.02")
+    sim._FP_TTL_CACHE.clear()
+    sim._fingerprint_cached(str(f))
+    time.sleep(0.03)
+    f.write_bytes(b"v2-longer")  # regeneration after the window
+    fp2 = sim._fingerprint_cached(str(f))
+    assert fp2 != fp1, "expired TTL must re-stat and see the regeneration"
+
+    monkeypatch.setenv("EMPDIA_FINGERPRINT_TTL_SEC", "0")
+    before = calls["n"]
+    sim._fingerprint_cached(str(f))
+    sim._fingerprint_cached(str(f))
+    assert calls["n"] == before + 2, "TTL=0 must bypass the cache entirely"
+
+
+def test_ivf_grace_generations_env_tunable(spark, tmp_path, monkeypatch):
+    """r10 ADVICE: the superseded-generation keep depth is env-tunable
+    for shared-FS deployments where a plan can outlive two index
+    regenerations. With EMPDIA_IVF_GRACE_GENERATIONS=2 a fourth build
+    must leave three dirs (current + two grace), not two."""
+    import shutil as _sh
+    import time
+
+    import pyarrow.parquet as pq
+
+    from empdia_iceberg_spark.operators.similarity import _ivf_cells_dir
+
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_ANN_ROOT", str(ann))
+    monkeypatch.setenv("EMPDIA_IVF_GRACE_GENERATIONS", "2")
+
+    path = str(tmp_path / "embeddings.parquet")
+    _sh.copy(f"{SF_DIR}/embeddings.parquet", path)
+    dirs = []
+    for i in range(4):
+        if i:
+            t = pq.read_table(path)
+            time.sleep(0.01)
+            pq.write_table(t.slice(0, t.num_rows - i), path)
+        d, _ = _ivf_cells_dir(spark, path)
+        dirs.append(d)
+    kept = sorted(p for p in os.listdir(ann) if p.startswith("ivf_"))
+    assert len(kept) == 3, f"grace=2 must keep current + two superseded, got {kept}"
+    assert {os.path.basename(d) for d in dirs[-3:]} == set(kept)
+
+
+def test_ivf_build_idle_bound_env_tunable(spark, tmp_path, monkeypatch):
+    """r10 ADVICE: the crashed-staging age-out compares file mtimes to
+    this process's clock, so clock-skewed shared filesystems need a
+    bigger bound. A staging dir idle for ~2 s must survive the default
+    6 h bound but be reclaimed when EMPDIA_IVF_BUILD_IDLE_SEC=1."""
+    import shutil as _sh
+    import time
+
+    from empdia_iceberg_spark.operators.similarity import _ivf_cells_dir
+
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    stale_ns = int((time.time() - 2) * 1e9)
+    staging = ann / "ivf_deadbeef_cccccccccccc.build_feed"
+    staging.mkdir()
+    (staging / "part-0.parquet").write_bytes(b"orphan")
+    for p in (staging / "part-0.parquet", staging):
+        os.utime(p, ns=(stale_ns, stale_ns))
+    monkeypatch.setenv("SPARK_GRAFT_ANN_ROOT", str(ann))
+    monkeypatch.setenv("EMPDIA_IVF_BUILD_IDLE_SEC", "1")
+
+    path = str(tmp_path / "embeddings.parquet")
+    _sh.copy(f"{SF_DIR}/embeddings.parquet", path)
+    _ivf_cells_dir(spark, path)
+    assert not staging.exists(), "idle bound 1s: 2s-idle staging dir must age out"
