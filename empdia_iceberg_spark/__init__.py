@@ -44,6 +44,7 @@ from empdia_iceberg_spark.plans import prep  # noqa: F401
 from empdia_iceberg_spark.plans import grpo  # noqa: F401
 from empdia_iceberg_spark.plans import curation  # noqa: F401
 from empdia_iceberg_spark.tables import manager  # noqa: F401
+from empdia_iceberg_spark.tables import dml  # noqa: F401
 from empdia_iceberg_spark.streaming import windows as stream_windows  # noqa: F401
 from empdia_iceberg_spark.streaming import conversation  # noqa: F401
 from empdia_iceberg_spark.streaming import ewma as stream_ewma  # noqa: F401
@@ -80,10 +81,11 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # user_profile_similarity study) — then (2) the stalest green block,
 # which is now the r2 cohort (last rows eight rounds ago). New surface
 # registered this round (ask #6: table_update_dml / table_delete_dml /
-# table_zorder_hilbert) is inserted at the VERY FRONT of this list when
-# it lands, per the same-round-driver-row rule. 7 changed + 43 stalest
-# = 50.
+# table_zorder_hilbert) sits at the VERY FRONT of this list, per the
+# same-round-driver-row rule. New + changed + stalest filler = 50.
 _SWEEP_PRIORITY = [
+    "table_update_dml",  # NEW r10 (ask #6): SQL UPDATE via pruned COW
+    "table_delete_dml",  # NEW r10 (ask #6): SQL DELETE via pruned COW
     "knn_cosine_top5",  # r10-planned-changed (last row r9)
     "knn_cosine_ivf",  # r10-planned-changed (last row r9)
     "doc_minhash_near_dup",  # r10-planned-changed (last row r9)
@@ -132,9 +134,9 @@ _SWEEP_PRIORITY = [
     "messages_role_swap_pipeline",  # stalest green (r3)
     "sink_parquet_roundtrip",  # stalest green (r3)
     "sink_json_roundtrip",  # stalest green (r3)
-    "csv_roundtrip",  # stalest green (r3)
-    "sink_partitioned_write",  # stalest green (r3)
-    # ---------------- 50-slot window ends here (7 changed + 43 stalest) ----
+    # -------- 50-slot window ends here (2 new + 7 changed + 41 stalest) ----
+    "csv_roundtrip",  # r3
+    "sink_partitioned_write",  # r3
     "dialogue_prep_verl_rows",  # r3
     "dialogue_prep_nested",  # r3
     "overlong_prompt_filter",  # r3

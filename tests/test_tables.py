@@ -1247,3 +1247,139 @@ def test_bloom_blob_reclamation_keeps_previous_generation(spark):
     with _pytest.raises(FileNotFoundError):
         idx.lookup_dirs(0)
     t.drop()
+
+
+# ------------------------------------------------------------ SQL DML layer
+
+
+def test_execute_dml_update_prunes_and_applies(spark, nation):
+    """UPDATE via the SQL front-end: Catalyst-parsed WHERE/RHS, pruned
+    COW rewrite — a predicate confined to one of two dirs must rewrite
+    exactly that dir and carry the other by reference (same path in the
+    new snapshot's dir list)."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_dml_upd_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    carried = t._read_meta(t.current_version())["dirs"][1]
+    res = execute_dml(
+        spark,
+        "UPDATE t_dml_upd_unit SET n_name = concat(n_name, '_X') "
+        "WHERE n_nationkey < 3",
+    )
+    assert res["op"] == "update"
+    assert res["audit"] == {"dirs_rewritten": 1, "dirs_reused": 1}
+    assert carried in t._read_meta(t.current_version())["dirs"], (
+        "untouched dir must be carried by reference, not rewritten"
+    )
+    names = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    assert all(names[k].endswith("_X") for k in (0, 1, 2))
+    assert not names[3].endswith("_X")
+    t.drop()
+
+
+def test_execute_dml_update_assignments_are_simultaneous(spark):
+    """Standard SQL UPDATE: every RHS sees PRE-update values — swapping
+    two columns must swap, not cascade."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_dml_swap_unit")
+    t.drop()
+    t.create(spark.createDataFrame([(1, 10, 20)], "k int, a int, b int"))
+    execute_dml(spark, "UPDATE t_dml_swap_unit SET a = b, b = a WHERE k = 1")
+    row = t.read().first()
+    assert (row.a, row.b) == (20, 10)
+    t.drop()
+
+
+def test_execute_dml_update_no_match_is_noop(spark, nation):
+    """A WHERE matching nothing must leave the table at its current
+    version (no empty commit) with audit dirs_rewritten=0."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_dml_noop_unit")
+    t.drop()
+    t.create(nation)
+    v0 = t.current_version()
+    res = execute_dml(
+        spark, "UPDATE t_dml_noop_unit SET n_name = 'Z' WHERE n_nationkey = -1"
+    )
+    assert res["version"] == v0 == t.current_version()
+    assert res["audit"]["dirs_rewritten"] == 0
+    t.drop()
+
+
+def test_execute_dml_update_without_where_rewrites_all(spark, nation):
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_dml_allrows_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    res = execute_dml(spark, "UPDATE t_dml_allrows_unit SET n_regionkey = 9")
+    assert res["audit"] == {"dirs_rewritten": 2, "dirs_reused": 0}
+    assert t.read().filter(F.col("n_regionkey") != 9).count() == 0
+    t.drop()
+
+
+def test_execute_dml_delete_pruned_and_mor(spark, nation):
+    """DELETE routes to the pruned COW path by default and to the
+    merge-on-read equality-delete path when mor_key is given; both must
+    produce the same surviving rows."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    expect = {r.n_nationkey for r in nation.filter(~(F.col("n_regionkey") == 2)).collect()}
+
+    t = SnapshotTable(spark, "t_dml_del_unit")
+    t.drop()
+    t.create(nation)
+    res = execute_dml(spark, "DELETE FROM t_dml_del_unit WHERE n_regionkey = 2")
+    assert res["op"] == "delete" and res["audit"]["dirs_rewritten"] == 1
+    assert {r.n_nationkey for r in t.read().collect()} == expect
+
+    t2 = SnapshotTable(spark, "t_dml_delmor_unit")
+    t2.drop()
+    t2.create(nation)
+    dirs_before = t2._read_meta(t2.current_version())["dirs"]
+    res2 = execute_dml(
+        spark,
+        "DELETE FROM t_dml_delmor_unit WHERE n_regionkey = 2",
+        mor_key="n_nationkey",
+    )
+    assert res2["op"] == "delete-mor" and res2["audit"] is None
+    meta = t2._read_meta(t2.current_version())
+    assert meta["dirs"] == dirs_before, "MOR delete must not rewrite data dirs"
+    assert meta["delete_dirs"], "MOR delete must commit an equality-delete file"
+    assert {r.n_nationkey for r in t2.read().collect()} == expect
+    t.drop()
+    t2.drop()
+
+
+def test_execute_dml_parse_and_guard_errors(spark, nation):
+    from empdia_iceberg_spark.tables.dml import (
+        _parse_assignments,
+        _split_top_level,
+        execute_dml,
+    )
+
+    # splitter respects parens and quotes
+    assert _split_top_level("a = f(x, y), b = 'v,w'") == ["a = f(x, y)", "b = 'v,w'"]
+    assert _parse_assignments("a = 1, b = concat(c, ',')") == {
+        "a": "1",
+        "b": "concat(c, ',')",
+    }
+    with pytest.raises(ValueError, match="assigned twice"):
+        _parse_assignments("a = 1, a = 2")
+    with pytest.raises(ValueError, match="unsupported DML"):
+        execute_dml(spark, "MERGE INTO t USING s ON 1=1")
+    with pytest.raises(ValueError, match="mor_key applies to DELETE"):
+        execute_dml(spark, "UPDATE t SET a = 1", mor_key="a")
+
+    t = SnapshotTable(spark, "t_dml_guard_unit")
+    t.drop()
+    t.create(nation)
+    with pytest.raises(ValueError, match="unknown column"):
+        execute_dml(spark, "UPDATE t_dml_guard_unit SET nope = 1 WHERE n_nationkey = 0")
+    t.drop()
