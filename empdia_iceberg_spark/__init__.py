@@ -81,11 +81,12 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # user_profile_similarity study) — then (2) the stalest green block,
 # which is now the r2 cohort (last rows eight rounds ago). New surface
 # registered this round (ask #6: table_update_dml / table_delete_dml /
-# table_zorder_hilbert) sits at the VERY FRONT of this list, per the
+# table_hilbert_layout) sits at the VERY FRONT of this list, per the
 # same-round-driver-row rule. New + changed + stalest filler = 50.
 _SWEEP_PRIORITY = [
     "table_update_dml",  # NEW r10 (ask #6): SQL UPDATE via pruned COW
     "table_delete_dml",  # NEW r10 (ask #6): SQL DELETE via pruned COW
+    "table_hilbert_layout",  # NEW r10 (ask #6): Hilbert twin of zorder
     "knn_cosine_top5",  # r10-planned-changed (last row r9)
     "knn_cosine_ivf",  # r10-planned-changed (last row r9)
     "doc_minhash_near_dup",  # r10-planned-changed (last row r9)
@@ -133,8 +134,8 @@ _SWEEP_PRIORITY = [
     "trajectory_metrics",  # stalest green (r3)
     "messages_role_swap_pipeline",  # stalest green (r3)
     "sink_parquet_roundtrip",  # stalest green (r3)
-    "sink_json_roundtrip",  # stalest green (r3)
-    # -------- 50-slot window ends here (2 new + 7 changed + 41 stalest) ----
+    # -------- 50-slot window ends here (3 new + 7 changed + 40 stalest) ----
+    "sink_json_roundtrip",  # r3
     "csv_roundtrip",  # r3
     "sink_partitioned_write",  # r3
     "dialogue_prep_verl_rows",  # r3

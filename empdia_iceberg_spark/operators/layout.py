@@ -6,7 +6,12 @@ that column only; a Z-order (Morton) curve interleaves the bits of
 several columns so every file's min/max envelope is tight on ALL of
 them — the standard layout-maintenance op behind
 `OPTIMIZE ... ZORDER BY` in lakehouse engines (public Delta/Iceberg
-feature; implemented here from first principles on stock Spark).
+feature; implemented here from first principles on stock Spark). The
+Hilbert-curve twin (`table_hilbert_layout`) keys the same pipeline by
+the Hilbert index — strictly better locality at quadrant boundaries
+(no diagonal jumps), the curve Delta OPTIMIZE uses for liquid
+clustering — via an Arrow-batched numpy kernel (see `hilbert_spark`
+for why it cannot be a Catalyst expression tree).
 
 The pipeline is: compute the Morton key with pure built-in bit
 expressions (whole-stage codegen, map-only) → order globally by the key
@@ -21,6 +26,7 @@ exact same Morton arithmetic with `ntile` over a plain window.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,6 +82,84 @@ def morton_sql(x: str, y: str, bits: int = Z_BITS) -> str:
         terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
     return " + ".join(terms)
+
+
+def hilbert_spark(x, y, bits: int = Z_BITS):
+    """Hilbert curve index d of grid point (x, y) as an Arrow-batched
+    Pandas UDF over two bigint columns.
+
+    Why not built-in expressions like `morton_spark`: the Hilbert
+    transform is a 21-level STATEFUL bit recurrence — each level
+    conditionally swaps/flips the (x, y) pair before the next level
+    reads it (the classic xy2d quadrant rotation, public-domain
+    Wikipedia/Hacker's-Delight algorithm). Chained as Column
+    expressions, Catalyst's CollapseProject would inline each level's
+    x/y into the next level's THREE references without common
+    subexpression reuse — an exponentially exploding expression tree
+    (the same Catalyst-inlining trap SNIPPETS.md documents for
+    transform() lambdas). The numpy kernel is O(bits) vectorized passes
+    per Arrow batch, map-only, no shuffle — tier (b) of the brief's
+    custom-operator ladder.
+
+    Inputs are masked to [0, 2^bits); d ranges over [0, 4^bits), inside
+    int64 for bits ≤ 31 (d ≤ 2⁶²)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"hilbert_spark: bits must be in [1, 31], got {bits}")
+
+    @F.pandas_udf("long")
+    def _hilbert(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = np.int64(1 << bits)
+        mask = np.int64(n - 1)
+        x = xs.to_numpy(dtype=np.int64, na_value=0) & mask
+        y = ys.to_numpy(dtype=np.int64, na_value=0) & mask
+        d = np.zeros_like(x)
+        s = np.int64(n >> 1)
+        while s > 0:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            swap = ry == 0
+            flip = swap & (rx == 1)
+            xf = np.where(flip, n - 1 - x, x)
+            yf = np.where(flip, n - 1 - y, y)
+            x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+            s >>= 1
+        return pd.Series(d)
+
+    return _hilbert(x.cast("bigint"), y.cast("bigint"))
+
+
+def hilbert_sql_ctes(x: str, y: str, bits: int, src: str) -> tuple[str, str]:
+    """DuckDB mirror of `hilbert_spark` as a chain of CTEs — one
+    projection per bit level, value-identical to the kernel (each level
+    is a real operator in DuckDB, so no exponential expression inlining
+    there either). Returns (cte_sql, last_cte_name); the chain carries
+    working columns _hx/_hy/_hd alongside ``src``'s columns."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"hilbert_sql_ctes: bits must be in [1, 31], got {bits}")
+    n = 1 << bits
+    lines = [
+        f"h0 AS (SELECT *, CAST({x} AS BIGINT) AS _hx, "
+        f"CAST({y} AS BIGINT) AS _hy, CAST(0 AS BIGINT) AS _hd FROM {src})"
+    ]
+    lvl, s = 0, n >> 1
+    while s > 0:
+        lvl += 1
+        lines.append(
+            f"h{lvl} AS (SELECT * EXCLUDE (_hx, _hy, _hd), "
+            f"_hd + {s * s} * (CASE WHEN (_hx & {s}) > 0 THEN "
+            f"(CASE WHEN (_hy & {s}) > 0 THEN 2 ELSE 3 END) ELSE "
+            f"(CASE WHEN (_hy & {s}) > 0 THEN 1 ELSE 0 END) END) AS _hd, "
+            f"CASE WHEN (_hy & {s}) = 0 THEN (CASE WHEN (_hx & {s}) > 0 "
+            f"THEN {n - 1} - _hy ELSE _hy END) ELSE _hx END AS _hx, "
+            f"CASE WHEN (_hy & {s}) = 0 THEN (CASE WHEN (_hx & {s}) > 0 "
+            f"THEN {n - 1} - _hx ELSE _hx END) ELSE _hy END AS _hy "
+            f"FROM h{lvl - 1})"
+        )
+        s >>= 1
+    return ",\n".join(lines), f"h{lvl}"
 
 
 _SQL_DAYS = "date_diff('day', DATE '1970-01-01', o_orderdate)"
@@ -139,6 +223,17 @@ def _zorder_frame(spark: SparkSession, sf_dir: str):
     """The lazy (un-checkpointed) zorder plan: returns (keyed, summary)
     where `keyed` is the persisted slim projection the caller must
     unpersist after materializing `summary`."""
+    return _curve_frame(
+        spark, sf_dir, lambda x, y: morton_spark("(o_custkey - min_ck)", "(odays - min_od)")
+    )
+
+
+def _curve_frame(spark: SparkSession, sf_dir: str, key_of):
+    """Shared layout scaffolding for space-filling-curve clustering:
+    rebase dims to their min, compute the curve key via ``key_of(x, y)``
+    (Morton expression or Hilbert kernel), order globally without a
+    single-reducer window, ntile into Z_FILES buckets, and report each
+    bucket's per-dimension min/max envelope."""
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -159,7 +254,13 @@ def _zorder_frame(spark: SparkSession, sf_dir: str):
     # the session's LRU store reclaims it.
     keyed = (
         orders.join(F.broadcast(mins))
-        .withColumn("z", morton_spark("(o_custkey - min_ck)", "(odays - min_od)"))
+        .withColumn(
+            "z",
+            key_of(
+                F.col("o_custkey") - F.col("min_ck"),
+                F.col("odays") - F.col("min_od"),
+            ),
+        )
         .persist()
     )
     numbered, n = bucketed_global_row_number(
@@ -187,3 +288,59 @@ def _zorder_frame(spark: SparkSession, sf_dir: str):
         )
     )
     return keyed, out
+
+
+_H_CTES, _H_LAST = hilbert_sql_ctes(
+    "(o_custkey - min_ck)", "(odays - min_od)", Z_BITS, "keyed_base"
+)
+
+
+@register(
+    "table_hilbert_layout",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, {_SQL_DAYS} AS odays FROM orders
+    ),
+    mins AS (
+        SELECT min(o_custkey) AS min_ck, min(odays) AS min_od FROM base
+    ),
+    keyed_base AS (
+        SELECT o_orderkey, o_custkey, odays, min_ck, min_od FROM base, mins
+    ),
+    {_H_CTES},
+    tiled AS (
+        SELECT *, ntile({Z_FILES}) OVER (ORDER BY _hd, o_orderkey) AS file_bucket
+        FROM {_H_LAST}
+    )
+    SELECT CAST(file_bucket AS INT)      AS file_bucket,
+           CAST(count(*) AS BIGINT)      AS n_rows,
+           CAST(min(o_custkey) AS BIGINT) AS min_custkey,
+           CAST(max(o_custkey) AS BIGINT) AS max_custkey,
+           CAST(min(odays) AS BIGINT)     AS min_odays,
+           CAST(max(odays) AS BIGINT)     AS max_odays
+    FROM tiled
+    GROUP BY file_bucket
+    ORDER BY file_bucket
+    """,
+    doc="Hilbert-curve clustering twin of table_zorder_layout: same "
+    "(o_custkey, o_orderdate) dims, rebase, bucketed global ordering "
+    "and 16-bucket envelope report, but keyed by the Hilbert index "
+    "(hilbert_spark, Arrow-batched numpy kernel — see its docstring "
+    "for why the 21-level stateful bit recurrence cannot be a Catalyst "
+    "expression tree). Hilbert preserves locality strictly better than "
+    "Morton at quadrant boundaries (no long diagonal jumps), so file "
+    "envelopes stay tighter under skewed dimension distributions — "
+    "the OPTIMIZE ... ZORDER/HILBERT pair lakehouse engines expose. "
+    "The DuckDB oracle reproduces the exact recurrence as one chained "
+    "CTE per bit level.",
+)
+def table_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyed, out = _hilbert_frame(spark, sf_dir)
+    # same eager-summary + release discipline as table_zorder_layout
+    out = out.localCheckpoint().orderBy("file_bucket")
+    keyed.unpersist()
+    return out
+
+
+def _hilbert_frame(spark: SparkSession, sf_dir: str):
+    return _curve_frame(spark, sf_dir, lambda x, y: hilbert_spark(x, y))

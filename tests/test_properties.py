@@ -404,3 +404,85 @@ def test_morton_honors_bits_param_and_validates(spark):
             morton_spark("a", "b", bits=bad)
         with pytest.raises(ValueError):
             morton_sql("a", "b", bits=bad)
+
+
+def test_hilbert_kernel_matches_reference_and_is_a_true_curve(spark):
+    """hilbert_spark must equal the classic xy2d recurrence (pure-Python
+    reference) and satisfy the DEFINING Hilbert property on a full
+    2^bits x 2^bits grid: d is a bijection onto [0, 4^bits) and
+    consecutive d values are grid NEIGHBORS (unit Manhattan step) — the
+    locality guarantee Morton lacks at quadrant boundaries."""
+    import numpy as np
+
+    from empdia_iceberg_spark.operators.layout import hilbert_spark
+    from pyspark.sql import functions as F
+
+    def xy2d(n: int, x: int, y: int) -> int:
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits, n = 4, 16
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x long, y long").select(
+        "x", "y", hilbert_spark(F.col("x"), F.col("y"), bits=bits).alias("d")
+    )
+    rows = df.collect()
+    assert all(r["d"] == xy2d(n, r["x"], r["y"]) for r in rows)
+    by_d = sorted(rows, key=lambda r: r["d"])
+    assert [r["d"] for r in by_d] == list(range(n * n)), "not a bijection"
+    steps = [
+        abs(a["x"] - b["x"]) + abs(a["y"] - b["y"])
+        for a, b in zip(by_d, by_d[1:])
+    ]
+    assert all(s == 1 for s in steps), "consecutive curve points must be neighbors"
+
+
+def test_hilbert_kernel_large_bits_and_validation(spark):
+    """At the production bits=21 the kernel must agree with the
+    reference on random coordinates (int64 headroom: d < 2^42), mask
+    out-of-range inputs instead of overflowing, and reject bad bits."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.operators.layout import Z_BITS, hilbert_spark
+
+    def xy2d(n: int, x: int, y: int) -> int:
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = random.Random(42)
+    n = 1 << Z_BITS
+    pts = [(rng.randrange(n), rng.randrange(n)) for _ in range(200)]
+    pts.append((0, 0))
+    pts.append((n - 1, n - 1))
+    pts.append((n + 5, 3))  # out of range: masked to (5, 3)
+    df = spark.createDataFrame(pts, "x long, y long").select(
+        "x", "y", hilbert_spark(F.col("x"), F.col("y")).alias("d")
+    )
+    for r in df.collect():
+        assert r["d"] == xy2d(n, r["x"] & (n - 1), r["y"] & (n - 1))
+    for bad in (0, 32):
+        with pytest.raises(ValueError):
+            hilbert_spark(F.col("x"), F.col("y"), bits=bad)
