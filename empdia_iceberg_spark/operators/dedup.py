@@ -350,52 +350,92 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_SEED = 42
+# reduceat chunk cap: 128 hash fns × 128k shingles × 8 B ≈ 128 MB matrix
+_MINHASH_CHUNK_SHINGLES = 131_072
 
 
 def _minhash_band_batches(n_hashes: int = MINHASH_N, bands: int = LSH_BANDS):
-    """Arrow-batched signature+banding kernel: per doc, base-hash each
-    shingle (md5 -> uint64), apply n multiply-shift hash functions
-    (vectorized (a*x + b) over uint64; wraparound = mod 2^64 -- a
-    standard universal family for minhash), min-reduce per function,
-    then fold each band's rows into one bucket key. Emits
-    (doc_id, band, bucket): `bands` rows per doc.
+    """Arrow-batched signature+banding kernel: base-hash every shingle
+    (vectorized 64-bit SipHash via ``pd.util.hash_array`` — stable
+    across processes and executors, no PYTHONHASHSEED dependence),
+    apply n multiply-shift hash functions ((a*x + b) over uint64;
+    wraparound = mod 2^64 — a standard universal family for minhash),
+    min-reduce per function per doc, then fold each band's rows into
+    one bucket key. Emits (doc_id, band, bucket): `bands` rows per doc.
 
     Why a pandas kernel and not 128 JVM expressions: both JVM layouts
     (128 array_min(transform(...)) lambdas, or explode + a 128-wide
     min-aggregate) spend seconds in expression construction / codegen
     per run and the wide-agg adds a shuffle of every exploded shingle.
     Here signatures never shuffle at all -- the only exchange in the
-    whole operator is on the (band, bucket) join key -- and the numpy
-    matmul-style hashing is vectorized across all shingles of a batch.
-    """
+    whole operator is on the (band, bucket) join key.
+
+    r10 at-scale rewrite (found by the ×100 scaling study): the old
+    kernel called ``hashlib.md5`` per shingle in a Python loop — ~1 µs
+    × O(corpus shingles) dominated the whole near-dup pipeline at
+    500k docs (26 s at ×100, ~25 s of it md5). Now the batch's
+    shingles are flattened ONCE into a single object array, hashed in
+    one vectorized call, and the per-function minima come from a
+    chunked ``np.minimum.reduceat`` over the 128×S matrix (S capped so
+    the matrix stays ≲128 MB) — no per-shingle or per-doc Python in
+    the hot path. The base-hash family only shapes LSH candidate
+    RECALL (every candidate is exact-Jaccard-verified downstream and
+    both self-join sides hash identically within a run), so values are
+    unchanged by construction; the oracle parity tests re-pin it."""
     rows = n_hashes // bands
 
     def compute(batches):
-        import hashlib
+        from itertools import chain
 
         rng = np.random.RandomState(_MINHASH_SEED)
         a = rng.randint(1, 2**62, size=n_hashes).astype(np.uint64) | np.uint64(1)
         b = rng.randint(0, 2**62, size=n_hashes).astype(np.uint64)
         fold = rng.randint(1, 2**62, size=rows).astype(np.uint64) | np.uint64(1)
+        chunk_shingles = _MINHASH_CHUNK_SHINGLES
         for pdf in batches:
-            out_doc, out_band, out_bucket = [], [], []
-            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
-                if sh is None or len(sh) == 0:
-                    continue  # empty shingle set: never a candidate
-                base = np.frombuffer(
-                    b"".join(hashlib.md5(s.encode()).digest()[:8] for s in sh),
-                    dtype="<u8",
+            keep = [
+                (doc_id, sh)
+                for doc_id, sh in zip(pdf["doc_id"], pdf["sh"])
+                if sh is not None and len(sh) > 0  # empty set: no candidate
+            ]
+            if not keep:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array([], dtype=np.int64),
+                        "band": np.array([], dtype=np.int32),
+                        "bucket": np.array([], dtype=np.int64),
+                    }
                 )
-                sig = (a[:, None] * base[None, :] + b[:, None]).min(axis=1)
-                buckets = (sig.reshape(bands, rows) * fold).sum(axis=1)
-                out_doc.extend([doc_id] * bands)
-                out_band.extend(range(bands))
-                out_bucket.extend(buckets.view(np.int64))
+                continue
+            doc_ids = np.fromiter((d for d, _ in keep), np.int64, count=len(keep))
+            lens = np.fromiter((len(s) for _, s in keep), np.int64, count=len(keep))
+            n_docs, total = len(keep), int(lens.sum())
+            flat = np.empty(total, dtype=object)
+            for k, s in enumerate(chain.from_iterable(s for _, s in keep)):
+                flat[k] = s
+            base_all = pd.util.hash_array(flat).astype(np.uint64)
+            starts = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            sig = np.empty((n_hashes, n_docs), dtype=np.uint64)
+            i = 0
+            while i < n_docs:
+                j = i + 1
+                while j < n_docs and starts[j + 1] - starts[i] <= chunk_shingles:
+                    j += 1  # a single over-budget doc still processes alone
+                seg = base_all[starts[i] : starts[j]]
+                m = a[:, None] * seg[None, :] + b[:, None]
+                sig[:, i:j] = np.minimum.reduceat(
+                    m, starts[i : j] - starts[i], axis=1
+                )
+                i = j
+            buckets = (sig.reshape(bands, rows, n_docs) * fold[None, :, None]).sum(
+                axis=1
+            )  # (bands, n_docs), uint64 wraparound
             yield pd.DataFrame(
                 {
-                    "doc_id": np.asarray(out_doc, dtype=np.int64),
-                    "band": np.asarray(out_band, dtype=np.int32),
-                    "bucket": np.asarray(out_bucket, dtype=np.int64),
+                    "doc_id": np.repeat(doc_ids, bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
+                    "bucket": buckets.T.ravel().view(np.int64),
                 }
             )
 

@@ -309,3 +309,61 @@ def test_doc_chunking_beyond_64_chunks(spark, tmp_path):
     )
     orows = sorted(map(tuple, con.execute(entry.oracle_sql()["doc_chunking"]).fetchall()))
     assert srows == orows
+
+
+def test_minhash_kernel_matches_naive_reference(monkeypatch):
+    """r10 vectorized minhash kernel (flattened hash_array + chunked
+    minimum.reduceat): bucket keys must equal a naive per-doc
+    reference using the same hash family, including across chunk
+    boundaries (chunk cap forced tiny) and for docs bigger than the
+    cap; empty shingle sets emit nothing."""
+    import numpy as np
+    import pandas as pd
+
+    from empdia_iceberg_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_N,
+        _MINHASH_SEED,
+        _minhash_band_batches,
+    )
+
+    rng = np.random.RandomState(7)
+    docs = {
+        1: [f"tok{i}" for i in range(30)],
+        2: [f"tok{i}" for i in range(25, 60)],  # overlaps doc 1
+        3: [f"zzz{i}" for i in range(400)],  # exceeds the forced chunk cap
+        4: [],  # must be dropped
+        5: ["single shingle"],
+    }
+    pdf = pd.DataFrame({"doc_id": list(docs), "sh": [docs[k] for k in docs]})
+
+    # force chunk boundaries mid-batch AND a single doc over the cap
+    import empdia_iceberg_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "_MINHASH_CHUNK_SHINGLES", 48)
+    out = pd.concat(list(_minhash_band_batches()(iter([pdf]))))
+
+    # naive reference: same family, per doc
+    r = np.random.RandomState(_MINHASH_SEED)
+    rows = MINHASH_N // LSH_BANDS
+    a = r.randint(1, 2**62, size=MINHASH_N).astype(np.uint64) | np.uint64(1)
+    b = r.randint(0, 2**62, size=MINHASH_N).astype(np.uint64)
+    fold = r.randint(1, 2**62, size=rows).astype(np.uint64) | np.uint64(1)
+    expect = {}
+    for doc_id, sh in docs.items():
+        if not sh:
+            continue
+        base = pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
+        sig = (a[:, None] * base[None, :] + b[:, None]).min(axis=1)
+        expect[doc_id] = (sig.reshape(LSH_BANDS, rows) * fold).sum(axis=1).view(np.int64)
+
+    assert set(out["doc_id"]) == {1, 2, 3, 5}
+    for doc_id, grp in out.groupby("doc_id"):
+        got = grp.sort_values("band")["bucket"].to_numpy()
+        assert (got == expect[doc_id]).all(), f"doc {doc_id} buckets diverge"
+
+    # and with the production cap (single chunk) the buckets are identical
+    monkeypatch.setattr(dd, "_MINHASH_CHUNK_SHINGLES", 131_072)
+    out2 = pd.concat(list(_minhash_band_batches()(iter([pdf]))))
+    merged = out.merge(out2, on=["doc_id", "band"], suffixes=("_tiny", "_big"))
+    assert (merged["bucket_tiny"] == merged["bucket_big"]).all()
