@@ -350,14 +350,18 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_SEED = 42
-# reduceat chunk cap: 128 hash fns × 128k shingles × 8 B ≈ 128 MB matrix
-_MINHASH_CHUNK_SHINGLES = 131_072
+# reduceat chunk cap, chosen by measurement: the 128×chunk uint64 work
+# matrix must stay L2-resident (128 × 2048 × 8 B = 2 MB). A 128k-shingle
+# chunk (128 MB matrix) measured 8× SLOWER single-threaded — every
+# multiply and min round-trips DRAM instead of cache, and 32 concurrent
+# tasks contend for bandwidth.
+_MINHASH_CHUNK_SHINGLES = 2048
 
 
 def _minhash_band_batches(n_hashes: int = MINHASH_N, bands: int = LSH_BANDS):
-    """Arrow-batched signature+banding kernel: base-hash every shingle
-    (vectorized 64-bit SipHash via ``pd.util.hash_array`` — stable
-    across processes and executors, no PYTHONHASHSEED dependence),
+    """Arrow-batched signature+banding kernel over PRE-HASHED shingles
+    (array<long> — `minhash_band_rows` hashes each shingle string with
+    JVM ``xxhash64`` inside the scan projection, whole-stage codegen):
     apply n multiply-shift hash functions ((a*x + b) over uint64;
     wraparound = mod 2^64 — a standard universal family for minhash),
     min-reduce per function per doc, then fold each band's rows into
@@ -373,47 +377,44 @@ def _minhash_band_batches(n_hashes: int = MINHASH_N, bands: int = LSH_BANDS):
     r10 at-scale rewrite (found by the ×100 scaling study): the old
     kernel called ``hashlib.md5`` per shingle in a Python loop — ~1 µs
     × O(corpus shingles) dominated the whole near-dup pipeline at
-    500k docs (26 s at ×100, ~25 s of it md5). Now the batch's
-    shingles are flattened ONCE into a single object array, hashed in
-    one vectorized call, and the per-function minima come from a
-    chunked ``np.minimum.reduceat`` over the 128×S matrix (S capped so
-    the matrix stays ≲128 MB) — no per-shingle or per-doc Python in
-    the hot path. The base-hash family only shapes LSH candidate
-    RECALL (every candidate is exact-Jaccard-verified downstream and
-    both self-join sides hash identically within a run), so values are
-    unchanged by construction; the oracle parity tests re-pin it."""
+    500k docs (26 s at ×100, ~25 s of it md5). Now the base hash runs
+    JVM-side (and ships 8-byte longs through Arrow instead of strings),
+    the batch's hashes flatten with one np.concatenate, and the
+    per-function minima come from ``np.minimum.reduceat`` over
+    L2-sized 128×chunk matrices (cap measured: see
+    _MINHASH_CHUNK_SHINGLES — a DRAM-sized chunk was 8× slower).
+    The base-hash family only shapes LSH candidate RECALL (every
+    candidate is exact-Jaccard-verified downstream and both self-join
+    sides hash identically within a run), so values are unchanged by
+    construction; the oracle parity tests re-pin it."""
     rows = n_hashes // bands
 
     def compute(batches):
-        from itertools import chain
-
         rng = np.random.RandomState(_MINHASH_SEED)
         a = rng.randint(1, 2**62, size=n_hashes).astype(np.uint64) | np.uint64(1)
         b = rng.randint(0, 2**62, size=n_hashes).astype(np.uint64)
         fold = rng.randint(1, 2**62, size=rows).astype(np.uint64) | np.uint64(1)
         chunk_shingles = _MINHASH_CHUNK_SHINGLES
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.array([], dtype=np.int64),
+                "band": np.array([], dtype=np.int32),
+                "bucket": np.array([], dtype=np.int64),
+            }
+        )
         for pdf in batches:
             keep = [
-                (doc_id, sh)
+                (doc_id, np.asarray(sh, dtype=np.int64))
                 for doc_id, sh in zip(pdf["doc_id"], pdf["sh"])
                 if sh is not None and len(sh) > 0  # empty set: no candidate
             ]
             if not keep:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.array([], dtype=np.int64),
-                        "band": np.array([], dtype=np.int32),
-                        "bucket": np.array([], dtype=np.int64),
-                    }
-                )
+                yield empty
                 continue
             doc_ids = np.fromiter((d for d, _ in keep), np.int64, count=len(keep))
             lens = np.fromiter((len(s) for _, s in keep), np.int64, count=len(keep))
-            n_docs, total = len(keep), int(lens.sum())
-            flat = np.empty(total, dtype=object)
-            for k, s in enumerate(chain.from_iterable(s for _, s in keep)):
-                flat[k] = s
-            base_all = pd.util.hash_array(flat).astype(np.uint64)
+            n_docs = len(keep)
+            base_all = np.concatenate([s for _, s in keep]).view(np.uint64)
             starts = np.zeros(n_docs + 1, dtype=np.int64)
             np.cumsum(lens, out=starts[1:])
             sig = np.empty((n_hashes, n_docs), dtype=np.uint64)
@@ -443,8 +444,15 @@ def _minhash_band_batches(n_hashes: int = MINHASH_N, bands: int = LSH_BANDS):
 
 
 def minhash_band_rows(shingled: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) LSH band rows in one map-only pass."""
-    return shingled.mapInPandas(
+    """(doc_id, band, bucket) LSH band rows in one map-only pass. The
+    per-shingle base hash runs in the JVM (xxhash64 inside a transform
+    lambda — O(1) per element, no Catalyst-inlining hazard because the
+    lambda body references only its element), so the Python kernel
+    receives longs and does pure vectorized arithmetic."""
+    hashed = shingled.select(
+        "doc_id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh")
+    )
+    return hashed.mapInPandas(
         _minhash_band_batches(), schema="doc_id long, band int, bucket long"
     )
 

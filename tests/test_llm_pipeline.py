@@ -312,7 +312,7 @@ def test_doc_chunking_beyond_64_chunks(spark, tmp_path):
 
 
 def test_minhash_kernel_matches_naive_reference(monkeypatch):
-    """r10 vectorized minhash kernel (flattened hash_array + chunked
+    """r10 vectorized minhash kernel (JVM-pre-hashed shingles + chunked
     minimum.reduceat): bucket keys must equal a naive per-doc
     reference using the same hash family, including across chunk
     boundaries (chunk cap forced tiny) and for docs bigger than the
@@ -328,14 +328,17 @@ def test_minhash_kernel_matches_naive_reference(monkeypatch):
     )
 
     rng = np.random.RandomState(7)
+    # kernel contract: shingles arrive PRE-HASHED as int64
     docs = {
-        1: [f"tok{i}" for i in range(30)],
-        2: [f"tok{i}" for i in range(25, 60)],  # overlaps doc 1
-        3: [f"zzz{i}" for i in range(400)],  # exceeds the forced chunk cap
+        1: list(rng.randint(-(2**62), 2**62, size=30)),
+        3: list(rng.randint(-(2**62), 2**62, size=400)),  # over the tiny cap
         4: [],  # must be dropped
-        5: ["single shingle"],
+        5: [123456789],
     }
-    pdf = pd.DataFrame({"doc_id": list(docs), "sh": [docs[k] for k in docs]})
+    docs[2] = docs[1][25:] + list(rng.randint(-(2**62), 2**62, size=5))
+    pdf = pd.DataFrame(
+        {"doc_id": sorted(docs), "sh": [docs[k] for k in sorted(docs)]}
+    )
 
     # force chunk boundaries mid-batch AND a single doc over the cap
     import empdia_iceberg_spark.operators.dedup as dd
@@ -353,7 +356,7 @@ def test_minhash_kernel_matches_naive_reference(monkeypatch):
     for doc_id, sh in docs.items():
         if not sh:
             continue
-        base = pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
+        base = np.asarray(sh, dtype=np.int64).view(np.uint64)
         sig = (a[:, None] * base[None, :] + b[:, None]).min(axis=1)
         expect[doc_id] = (sig.reshape(LSH_BANDS, rows) * fold).sum(axis=1).view(np.int64)
 
@@ -362,7 +365,7 @@ def test_minhash_kernel_matches_naive_reference(monkeypatch):
         got = grp.sort_values("band")["bucket"].to_numpy()
         assert (got == expect[doc_id]).all(), f"doc {doc_id} buckets diverge"
 
-    # and with the production cap (single chunk) the buckets are identical
+    # and with the production cap (single chunk here) identical buckets
     monkeypatch.setattr(dd, "_MINHASH_CHUNK_SHINGLES", 131_072)
     out2 = pd.concat(list(_minhash_band_batches()(iter([pdf]))))
     merged = out.merge(out2, on=["doc_id", "band"], suffixes=("_tiny", "_big"))

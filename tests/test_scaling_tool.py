@@ -121,3 +121,64 @@ def test_q3_lazy_offsets_do_not_touch_events(x2, monkeypatch):
     monkeypatch.setattr(scaling_study, "ROOT", os.path.join(x2["q3"], "..", "lazy"))
     sf = scaling_study.build_dataset("q3", 1)
     assert os.path.exists(os.path.join(sf, "_done"))
+
+
+@pytest.fixture(scope="module")
+def x2_new(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scale_new"))
+    old = scaling_study.ROOT
+    scaling_study.ROOT = root
+    try:
+        yield {
+            study: scaling_study.build_dataset(study, 2)
+            for study in ("minhash", "profile_sim")
+        }
+    finally:
+        scaling_study.ROOT = old
+
+
+def test_wordsalt_preserves_jaccard_structure_within_replica(x2_new):
+    """The neardup replication salts EVERY word: within a replica the
+    word-3-gram Jaccard between any two docs is EXACTLY the base value
+    (a bijection on words), and across replicas NO shingle is shared —
+    near-dup groups scale ×k instead of pairs inflating ×k²."""
+    def shingles(text, k=3):
+        w = text.split()
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+    base = _col(scaling_study.BASE_SF, "documents", "text").to_pylist()
+    r0 = _replica(x2_new["minhash"], "documents", 0, ["text"]).column("text").to_pylist()
+    r1 = _replica(x2_new["minhash"], "documents", 1, ["text"]).column("text").to_pylist()
+    assert len(r0) == len(base) == len(r1)
+
+    def jac(a, b):
+        sa, sb = shingles(a), shingles(b)
+        if not sa and not sb:
+            return None
+        return (len(sa & sb), len(sa), len(sb))
+
+    # within-replica structure identical to base on a row sample
+    import itertools
+
+    for i, j in itertools.islice(itertools.combinations(range(40), 2), 200):
+        assert jac(base[i], base[j]) == jac(r0[i], r0[j]) == jac(r1[i], r1[j])
+    # across replicas: zero shared shingles (even for the same base doc)
+    for i in range(40):
+        assert not (shingles(r0[i]) & shingles(r1[i]))
+
+
+def test_profile_replication_scales_users_not_profiles(x2_new):
+    """profile_sim replication must offset user_id (disjoint users per
+    replica), keep ts UNSHIFTED (per-replica hour-of-day profiles equal
+    the base ones), and keep event_id unique."""
+    sf = x2_new["profile_sim"]
+    base_users = _col(scaling_study.BASE_SF, "events", "user_id")
+    users = _col(sf, "events", "user_id")
+    assert pc.count_distinct(users).as_py() == 2 * pc.count_distinct(base_users).as_py()
+
+    base_ts = _col(scaling_study.BASE_SF, "events", "ts")
+    rep1_ts = _replica(sf, "events", 1, ["ts"]).column("ts")
+    assert pc.min(rep1_ts).as_py() == pc.min(base_ts).as_py(), "ts must not shift"
+
+    ids = _col(sf, "events", "event_id")
+    assert pc.count_distinct(ids).as_py() == 2 * len(base_ts)

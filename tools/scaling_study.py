@@ -27,11 +27,28 @@ Studies:
                 no bucketed twin — compare against the q3 study's
                 DuckDB column at the same scale.
 
+  minhash       doc_minhash_near_dup over documents ×k with WORD-level
+                replica salting (a bijection on words: within-replica
+                Jaccard structure exact, zero cross-replica shingles —
+                near-dup GROUPS scale ×k, pair inflation impossible)
+  minhash_direct the same query with the ≥64 MB candidate-restricted
+                verify gate forced OFF — same process + files as
+                `minhash`, isolating what the restriction buys
+  clusters      doc_dedup_clusters (LSH pairs → connected components)
+                on the same neardup datasets
+  profile_sim   user_profile_similarity over events ×k USERS (user_id
+                offset, ts unshifted so per-replica hour profiles are
+                the base ones): the O(users²) pairwise stage at k× users
+  profile_sim_nobroadcast  the same with the 200k-user broadcast
+                ceiling forced to 0 (shuffle-join fallback cost)
+
 Usage:
   python tools/scaling_study.py window_rank events_hourly --scales 10,30,100
   python tools/scaling_study.py q3 q3_bucketed --scales 10,30,100
   python tools/scaling_study.py q1 --scales 10,30,100
   python tools/scaling_study.py dedup --scales 100,1000
+  python tools/scaling_study.py minhash minhash_direct clusters --scales 100,1000 --check
+  python tools/scaling_study.py profile_sim profile_sim_nobroadcast --scales 3,10 --check
 
 Scaled datasets land under $SPARK_GRAFT_SCALE_ROOT (default
 /tmp/scale_study) and are reused across invocations; `--check` also
@@ -62,7 +79,13 @@ STUDY_TABLES = {
     "events_hourly": ["events"],
     "q3": ["customer", "orders", "lineitem"],
     "q3_bucketed": ["customer", "orders", "lineitem"],
+    "q3_bucketed_part": ["customer", "orders", "lineitem"],
     "dedup": ["documents"],
+    "minhash": ["documents"],
+    "minhash_direct": ["documents"],
+    "clusters": ["documents"],
+    "profile_sim": ["events"],
+    "profile_sim_nobroadcast": ["events"],
 }
 STUDY_QUERY = {
     "q1": "q1_pricing_agg",
@@ -70,7 +93,24 @@ STUDY_QUERY = {
     "events_hourly": "events_hourly_rollup",
     "q3": "q3_join3_topk",
     "q3_bucketed": "q3_join3_topk",  # oracle + unbucketed twin source
+    "q3_bucketed_part": "q3_join3_topk",  # + month-partitioned scan pruning
     "dedup": "doc_exact_dedup",
+    "minhash": "doc_minhash_near_dup",
+    "minhash_direct": "doc_minhash_near_dup",  # verify gate forced OFF (A/B)
+    "clusters": "doc_dedup_clusters",
+    "profile_sim": "user_profile_similarity",
+    "profile_sim_nobroadcast": "user_profile_similarity",  # ceiling forced 0
+}
+# Studies sharing one scaled dataset (the A/B variants must time the
+# SAME files, and q3_bucketed layers a layout on q3's data).
+_DATASET_ALIAS = {
+    "q3_bucketed": "q3",
+    "q3_bucketed_part": "q3",
+    "minhash": "neardup",
+    "minhash_direct": "neardup",
+    "clusters": "neardup",
+    "profile_sim": "profile",
+    "profile_sim_nobroadcast": "profile",
 }
 # q1 is the one study whose scaling mode is BIGGER groups, not more
 # groups (its output is always the 4 returnflag/linestatus rows):
@@ -121,6 +161,21 @@ def _replicate(table: str, scale: int, dest_dir: str, offsets: dict) -> None:
                     col = pc.binary_join_element_wise(
                         col.cast(pa.string()), pa.scalar(f" repl{i:04d}"), ""
                     ).cast(base.schema.field(name).type)
+                elif kind == "wordsalt":
+                    # per-replica suffix on EVERY whitespace token: a
+                    # bijection on words, so word-shingle (Jaccard)
+                    # relationships within a replica are preserved
+                    # EXACTLY (same n_common, same set sizes) while NO
+                    # shingle is shared across replicas — the similarity
+                    # analogue of `salt` (whose doc-level suffix changes
+                    # only the tail shingles, which would leave replica
+                    # twins at J≈1 and quadratically inflate near-dup
+                    # pairs instead of scaling their GROUP COUNT)
+                    col = pc.replace_substring_regex(
+                        col.cast(pa.string()),
+                        pattern=r"(\S+)",
+                        replacement=rf"\1~r{i:04d}",
+                    ).cast(base.schema.field(name).type)
                 else:  # timestamp shift by `stride` DAYS, in the column's
                     # own tick unit (a fixed-unit constant silently shifts
                     # a timestamp[us] column ~1e3 too far), type preserved
@@ -146,7 +201,7 @@ def build_dataset(study: str, scale: int) -> str:
     path usable by both sources.tables.load and the DuckDB views."""
     import pyarrow.parquet as pq
 
-    sf_dir = os.path.join(ROOT, f"{'q3' if study == 'q3_bucketed' else study}_x{scale}")
+    sf_dir = os.path.join(ROOT, f"{_DATASET_ALIAS.get(study, study)}_x{scale}")
     done = os.path.join(sf_dir, "_done")
     if os.path.exists(done):
         return sf_dir
@@ -178,10 +233,94 @@ def build_dataset(study: str, scale: int) -> str:
             "text": ("salt", None),
         },
     }
+    dataset = _DATASET_ALIAS.get(study, study)
+    if dataset == "neardup":
+        # similarity-preserving document replication (see `wordsalt`)
+        offsets["documents"]["text"] = ("wordsalt", None)
+    elif dataset == "profile":
+        # scale USER COUNT: user_id offset per replica; ts NOT shifted —
+        # each replica's users keep the base hour-of-day profiles, so
+        # per-replica profile vectors (and norms) are exactly the base
+        # ones and the pairwise stage grows as (k·users)², the O(n²)
+        # growth the study measures. event_id stays unique across
+        # replicas.
+        offsets["events"] = {
+            "event_id": ("int", mx("events", "event_id")),
+            "user_id": ("int", mx("events", "user_id")),
+        }
     for table in tables:
         _replicate(table, scale, os.path.join(sf_dir, f"{table}.parquet"), offsets[table])
     open(done, "w").close()
     return sf_dir
+
+
+def _bucketed_part_q3(spark, sf_dir: str, scale: int):
+    """q3 over a month-PARTITIONED + orderkey-bucketed layout (ask #4's
+    'one more concrete cut'): lineitem partitioned by ship month and
+    orders by order month (hive dirs), both bucketBy(32, orderkey)
+    within each partition. The query carries the coarse month predicate
+    alongside the exact date one — the standard partition-pruning
+    contract for a date-partitioned lakehouse table (Delta/Iceberg
+    generated-column pruning automates exactly this) — so the scan
+    SKIPS every month dir strictly outside its side of the date cut
+    at plan time, while the orderkey join still reads both sides
+    bucket-local (bucket spec is table-level, valid across partition
+    dirs). Same answer, value-checked against the plain q3 oracle."""
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.functions.exact import det_round, exact_sum8_bounded
+    from empdia_iceberg_spark.operators.relational import _Q3_DATE
+    from empdia_iceberg_spark.sources.tables import load
+
+    warehouse = os.path.join(ROOT, "bucketed_warehouse")
+    names = {t: f"scale_{t}_bktpart_x{scale}" for t in ("orders", "lineitem")}
+    month = {"orders": ("o_orderdate", "_om"), "lineitem": ("l_shipdate", "_sm")}
+    for t, tbl in names.items():
+        path = os.path.join(warehouse, tbl)
+        if not spark.catalog.tableExists(tbl) or not os.path.isdir(path):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(path, ignore_errors=True)
+            key = "o_orderkey" if t == "orders" else "l_orderkey"
+            dcol, mcol = month[t]
+            (
+                load(spark, sf_dir, t)
+                .withColumn(mcol, (F.year(dcol) * 100 + F.month(dcol)).cast("int"))
+                .repartition(32, F.col(key))
+                .write.format("parquet")
+                .partitionBy(mcol)
+                .bucketBy(32, key)
+                .sortBy(key)
+                .option("path", path)
+                .saveAsTable(tbl)
+            )
+    cut = int(_Q3_DATE[:4]) * 100 + int(_Q3_DATE[5:7])  # 199503
+    orders = spark.table(names["orders"]).filter(
+        (F.col("_om") <= cut)
+        & (F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp"))
+    )
+    li = spark.table(names["lineitem"]).filter(
+        (F.col("_sm") >= cut)
+        & (F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    li_rev = li.groupBy("l_orderkey").agg(
+        det_round(
+            exact_sum8_bounded(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            2,
+        ).alias("revenue")
+    )
+    orders_b = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        li_rev.join(orders_b, li_rev.l_orderkey == orders_b.o_orderkey)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
 
 
 def _bucketed_q3(spark, sf_dir: str, scale: int):
@@ -257,7 +396,47 @@ def _canon(rows, cols):
     return sorted([tuple(norm(r[i]) for i in order) for r in rows], key=repr)
 
 
-def run_study(spark, study: str, scale: int, reps: int, check: bool) -> dict:
+import contextlib
+
+
+@contextlib.contextmanager
+def _study_variant(study: str):
+    """A/B variants run the SAME registered query with one engine knob
+    forced, so the comparison against the default study is same-process
+    and same-files (the only comparison the ±30% cross-process page-
+    cache wobble allows — SURVEY §6 note):
+
+    - minhash_direct: the ≥64 MB candidate-restricted verify gate is
+      forced OFF (corpus-wide shingle verify sides), isolating what the
+      restriction buys at scale.
+    - profile_sim_nobroadcast: the 200k-user broadcast ceiling is
+      forced to 0, exercising the shuffle-join fallback the ceiling
+      protects (SMJ norm joins + predicate pair join)."""
+    if study == "minhash_direct":
+        from empdia_iceberg_spark.operators import dedup
+
+        old = dedup.CAND_RESTRICT_MIN_CORPUS_BYTES
+        dedup.CAND_RESTRICT_MIN_CORPUS_BYTES = 1 << 62
+        try:
+            yield
+        finally:
+            dedup.CAND_RESTRICT_MIN_CORPUS_BYTES = old
+    elif study == "profile_sim_nobroadcast":
+        from empdia_iceberg_spark.operators import similarity
+
+        old = similarity._PROFILE_BROADCAST_MAX_USERS
+        similarity._PROFILE_BROADCAST_MAX_USERS = 0
+        try:
+            yield
+        finally:
+            similarity._PROFILE_BROADCAST_MAX_USERS = old
+    else:
+        yield
+
+
+def run_study(
+    spark, study: str, scale: int, reps: int, check: bool, spark_only: bool = False
+) -> dict:
     import duckdb
 
     from empdia_iceberg_spark import registry
@@ -269,14 +448,17 @@ def run_study(spark, study: str, scale: int, reps: int, check: bool) -> dict:
     def spark_df():
         if study == "q3_bucketed":
             return _bucketed_q3(spark, sf_dir, scale)
+        if study == "q3_bucketed_part":
+            return _bucketed_part_q3(spark, sf_dir, scale)
         return spec.fn(spark, sf_dir)
 
-    spark_df().toPandas()  # warm: listing, codegen, JIT, bucketed prep
-    s_best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        pdf = spark_df().toPandas()  # fresh plan every run (bench.py rule)
-        s_best = min(s_best, time.perf_counter() - t0)
+    with _study_variant(study):
+        spark_df().toPandas()  # warm: listing, codegen, JIT, bucketed prep
+        s_best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            pdf = spark_df().toPandas()  # fresh plan every run (bench.py rule)
+            s_best = min(s_best, time.perf_counter() - t0)
 
     d_best = None
     con = duckdb.connect()
@@ -285,14 +467,28 @@ def run_study(spark, study: str, scale: int, reps: int, check: bool) -> dict:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
         )
-    if study != "q3_bucketed":  # bucketing has no DuckDB TIMING twin
+    # bucketed/variant studies have no DuckDB TIMING twin of their own
+    # (compare them against their default-study row at the same scale);
+    # --spark-only skips the oracle entirely for scales where the
+    # oracle's all-pairs shape is itself intractable single-node (that
+    # intractability is part of the posture finding, not a gap).
+    if (
+        study
+        not in (
+            "q3_bucketed",
+            "q3_bucketed_part",
+            "minhash_direct",
+            "profile_sim_nobroadcast",
+        )
+        and not spark_only
+    ):
         con.execute(spec.oracle).fetchall()  # warm OS page cache
         d_best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             orows = con.execute(spec.oracle).fetchall()
             d_best = min(d_best, time.perf_counter() - t0)
-    if check:
+    if check and not spark_only:
         # the VALUE check runs for every study — including q3_bucketed,
         # whose rows must equal the plain q3 oracle on the same files
         # (the bucketed layout may not change the answer)
@@ -322,6 +518,7 @@ def main() -> None:
     ap.add_argument("--scales", default="10,30,100")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--check", action="store_true", help="value-compare Spark vs oracle on the scaled data")
+    ap.add_argument("--spark-only", action="store_true", help="skip DuckDB timing+check (oracle intractable at this scale)")
     args = ap.parse_args()
 
     from empdia_iceberg_spark.session import get_spark
@@ -329,7 +526,7 @@ def main() -> None:
     spark = get_spark(app_name="scaling-study")
     for study in args.studies:
         for scale in [int(s) for s in args.scales.split(",")]:
-            r = run_study(spark, study, scale, args.reps, args.check)
+            r = run_study(spark, study, scale, args.reps, args.check, args.spark_only)
             print(
                 f"| {r['study']} | x{r['scale']} | {r['spark_sec']} s | "
                 f"{r['duckdb_sec']} s | {r['ratio']}x | rows={r['rows']} |",
