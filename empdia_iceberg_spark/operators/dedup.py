@@ -213,9 +213,16 @@ CAND_RESTRICT_MAX_IDS = 5_000_000
 # shingle checkpoint — ~0.15 s of plan+schedule floor each on local[32])
 # to save two corpus-wide shingle passes. Measured A/B at sf0.1 (0.6 MB
 # of documents): direct 1.4–1.9 s vs restricted 1.8–2.1 s — the floors
-# cost more than toy-scale shingling. The floors are CONSTANT while the
-# saved passes grow with the corpus, so the crossover is a corpus-size
-# gate, same discipline as the kNN/profile broadcast ceilings.
+# cost more than toy-scale shingling.
+#
+# r10 at-scale A/B (tools/scaling_study.py, ×1000 docs ≈ 180 MB corpus,
+# same process/files): restricted 77.4 s vs direct 77.3 s — a TIE. The
+# r9 rationale (3× corpus-wide shingle execution) dissolved once the
+# kernel moved per-shingle hashing JVM-side; the pipeline is now
+# LSH-join/kernel-bound. The gate stays — where it engages it measured
+# free, and CAND_RESTRICT_MAX_IDS bounds the broadcast — but its
+# documented status is "neutral at demonstrated scale", not "a win"
+# (SURVEY §6 near-dup study).
 CAND_RESTRICT_MIN_CORPUS_BYTES = 64 * 1024**2
 
 
