@@ -61,15 +61,17 @@ def _spread_bits(x, bits: int):
     return x
 
 
-def morton_spark(x: str, y: str, bits: int = Z_BITS):
+def morton_spark(x, y, bits: int = Z_BITS):
     """Bit-interleaved Morton key as a Spark Column: bit i of ``x`` lands
     at position 2i, bit i of ``y`` at 2i+1. Pure built-in expressions —
     stays inside whole-stage codegen. Value-identical to the per-bit
-    oracle formula `morton_sql` (property-tested in tests)."""
+    oracle formula `morton_sql` (property-tested in tests). Accepts SQL
+    expression strings or Columns — `_curve_frame` passes its rebased
+    dim Columns so both curve twins key off the SAME expressions."""
     if not 1 <= bits <= 31:
         raise ValueError(f"morton_spark: bits must be in [1, 31], got {bits}")
-    xs = _spread_bits(F.expr(x).cast("bigint"), bits)
-    ys = _spread_bits(F.expr(y).cast("bigint"), bits)
+    xs = _spread_bits((F.expr(x) if isinstance(x, str) else x).cast("bigint"), bits)
+    ys = _spread_bits((F.expr(y) if isinstance(y, str) else y).cast("bigint"), bits)
     return xs.bitwiseOR(F.shiftleft(ys, 1))
 
 
@@ -102,7 +104,11 @@ def hilbert_spark(x, y, bits: int = Z_BITS):
     custom-operator ladder.
 
     Inputs are masked to [0, 2^bits); d ranges over [0, 4^bits), inside
-    int64 for bits ≤ 31 (d ≤ 2⁶²)."""
+    int64 for bits ≤ 31 (d ≤ 2⁶²). NULL in either dimension yields a
+    NULL index — the same propagation as `morton_spark`'s built-in
+    expressions, so the twins place nullable dims identically (a
+    silent null→0 coercion would cluster unknown values with the
+    dimension minimum)."""
     if not 1 <= bits <= 31:
         raise ValueError(f"hilbert_spark: bits must be in [1, 31], got {bits}")
 
@@ -110,10 +116,11 @@ def hilbert_spark(x, y, bits: int = Z_BITS):
     def _hilbert(xs: pd.Series, ys: pd.Series) -> pd.Series:
         import numpy as np
 
+        nulls = (xs.isna() | ys.isna()).to_numpy()
         n = np.int64(1 << bits)
         mask = np.int64(n - 1)
-        x = xs.to_numpy(dtype=np.int64, na_value=0) & mask
-        y = ys.to_numpy(dtype=np.int64, na_value=0) & mask
+        x = xs.to_numpy(dtype=np.int64, na_value=0, copy=True) & mask
+        y = ys.to_numpy(dtype=np.int64, na_value=0, copy=True) & mask
         d = np.zeros_like(x)
         s = np.int64(n >> 1)
         while s > 0:
@@ -126,7 +133,9 @@ def hilbert_spark(x, y, bits: int = Z_BITS):
             yf = np.where(flip, n - 1 - y, y)
             x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
             s >>= 1
-        return pd.Series(d)
+        out = pd.Series(d, dtype="Int64")
+        out[nulls] = pd.NA
+        return out
 
     return _hilbert(x.cast("bigint"), y.cast("bigint"))
 
@@ -223,9 +232,7 @@ def _zorder_frame(spark: SparkSession, sf_dir: str):
     """The lazy (un-checkpointed) zorder plan: returns (keyed, summary)
     where `keyed` is the persisted slim projection the caller must
     unpersist after materializing `summary`."""
-    return _curve_frame(
-        spark, sf_dir, lambda x, y: morton_spark("(o_custkey - min_ck)", "(odays - min_od)")
-    )
+    return _curve_frame(spark, sf_dir, lambda x, y: morton_spark(x, y))
 
 
 def _curve_frame(spark: SparkSession, sf_dir: str, key_of):

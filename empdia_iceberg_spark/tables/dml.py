@@ -39,22 +39,29 @@ from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
 from empdia_iceberg_spark.tables.manager import DEFAULT_ROOT, SnapshotTable
 
-_UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
+_UPDATE_HEAD = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
-_DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
+_DELETE_HEAD = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)\s*(.*?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/quote depth 0 only — `SET a = f(x, y),
-    b = 'v,w'` must yield two assignments, not four."""
+    b = 'v,w'` must yield two assignments, not four. Backslash escapes
+    inside quotes are honored (Spark SQL string syntax): a comma after
+    `'it\\'s x, y'` must NOT split inside the literal."""
     parts, buf, depth, quote = [], [], 0, None
-    for ch in s:
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
         if quote:
+            if ch == "\\" and i + 1 < n:
+                buf.append(ch)
+                buf.append(s[i + 1])
+                i += 2
+                continue
             if ch == quote:
                 quote = None
         elif ch in ("'", '"'):
@@ -66,10 +73,44 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
         elif ch == sep and depth == 0:
             parts.append("".join(buf))
             buf = []
+            i += 1
             continue
         buf.append(ch)
+        i += 1
     parts.append("".join(buf))
     return [p.strip() for p in parts if p.strip()]
+
+
+def _split_where(s: str) -> tuple[str, str | None]:
+    """Split ``s`` at the first TOP-LEVEL ``WHERE`` keyword — outside
+    quotes and parens, on word boundaries — returning (before, after)
+    or (s, None). A quote-blind regex split broke valid statements
+    whose string literals contain the word 'where'."""
+    depth, quote = 0, None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == "\\" and i + 1 < n:
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i : i + 5].upper() == "WHERE"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 5 >= n or not (s[i + 5].isalnum() or s[i + 5] == "_"))
+        ):
+            return s[:i].strip(), s[i + 5 :].strip() or None
+        i += 1
+    return s.strip(), None
 
 
 def _parse_assignments(set_clause: str) -> dict[str, str]:
@@ -100,9 +141,12 @@ def execute_dml(
     is None for a merge-on-read delete (which rewrites nothing).
     A statement whose WHERE matches no row leaves the table at its
     current version (audit shows dirs_rewritten=0)."""
-    m = _UPDATE_RE.match(statement)
+    m = _UPDATE_HEAD.match(statement)
     if m:
-        name, set_clause, where = m.group(1), m.group(2), m.group(3)
+        name, rest = m.group(1), m.group(2)
+        set_clause, where = _split_where(rest)
+        if not set_clause:
+            raise ValueError("UPDATE statement has an empty SET clause")
         if mor_key is not None:
             raise ValueError("mor_key applies to DELETE only (Iceberg v2 "
                              "equality deletes); UPDATE is copy-on-write")
@@ -113,9 +157,14 @@ def execute_dml(
         }
         version, audit = t.update_where(cond, assignments)
         return {"op": "update", "table": name, "version": version, "audit": audit}
-    m = _DELETE_RE.match(statement)
+    m = _DELETE_HEAD.match(statement)
     if m:
-        name, where = m.group(1), m.group(2)
+        name, rest = m.group(1), m.group(2)
+        before, where = _split_where(rest)
+        if before:
+            raise ValueError(
+                f"unexpected tokens after DELETE FROM {name}: {before[:40]!r}"
+            )
         t = SnapshotTable(spark, name, root)
         cond = F.expr(where) if where else F.lit(True)
         if mor_key is not None:

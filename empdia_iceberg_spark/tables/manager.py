@@ -834,7 +834,11 @@ class SnapshotTable:
         )
 
     def delete_where(self, condition) -> int:
-        return self.overwrite(self.read().filter(~condition), op="delete")
+        # SQL DELETE semantics: only predicate-TRUE rows go; NULL-
+        # predicate rows survive (same contract as delete_where_pruned)
+        return self.overwrite(
+            self.read().filter(~condition | condition.isNull()), op="delete"
+        )
 
     # ------------------------------------------------------- pruned COW DML
 
@@ -942,8 +946,17 @@ class SnapshotTable:
         all assignments see the same old values); every other row, and
         every FILE with no matching row, is carried unchanged. Scale
         posture in `_cow_rewrite`/`_dirs_matching`: rewrite cost is
-        O(matched files), not O(table)."""
-        cols = set(self.read().columns)
+        O(matched files), not O(table).
+
+        Column validation reads the snapshot's stored schema JSON —
+        metadata-only, no file listing or parquet footer inference
+        (the full MOR-composed read it previously built just for
+        `.columns` cost a driver-side directory walk per UPDATE)."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"table {self.name}: cannot update before create")
+        schema = T.StructType.fromJson(json.loads(self._read_meta(cur)["schema"]))
+        cols = set(schema.fieldNames())
         unknown = sorted(set(assignments) - cols)
         if unknown:
             raise ValueError(
@@ -969,9 +982,20 @@ class SnapshotTable:
         reference. The third point on the delete cost spectrum:
         `delete_where` (whole-table COW, simplest), this (COW but
         O(matched files)), `delete_where_mor` (O(deleted keys) write,
-        read-time anti-join)."""
+        read-time anti-join).
+
+        SQL DELETE deletes rows where the predicate is TRUE — not
+        NULL. A bare ``filter(~condition)`` would also drop NULL-
+        predicate rows, but ONLY inside rewritten files (pruned files
+        keep theirs), making survival depend on physical layout. The
+        explicit ``| isNull()`` keeps NULL-predicate rows everywhere,
+        consistent with `_dirs_matching`'s cond-IS-TRUE pruning pass
+        and with `delete_where_mor`."""
         return self._cow_rewrite(
-            "delete", condition, lambda df: df.filter(~condition), max_retries
+            "delete",
+            condition,
+            lambda df: df.filter(~condition | condition.isNull()),
+            max_retries,
         )
 
     def compact(self, target_partitions: int = 1) -> int:

@@ -486,3 +486,27 @@ def test_hilbert_kernel_large_bits_and_validation(spark):
     for bad in (0, 32):
         with pytest.raises(ValueError):
             hilbert_spark(F.col("x"), F.col("y"), bits=bad)
+
+
+def test_hilbert_propagates_nulls_like_morton(spark):
+    """r10 review: hilbert_spark must yield NULL for a NULL dimension —
+    the same propagation as morton_spark's built-in expressions — not
+    silently coerce the null to 0 (which would cluster unknown values
+    with the dimension minimum)."""
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.operators.layout import hilbert_spark, morton_spark
+
+    df = spark.createDataFrame(
+        [(1, 5, 9), (2, None, 9), (3, 5, None), (4, None, None)],
+        "id long, x long, y long",
+    ).select(
+        "id",
+        hilbert_spark(F.col("x"), F.col("y"), bits=4).alias("h"),
+        morton_spark(F.col("x"), F.col("y"), bits=4).alias("z"),
+    )
+    rows = {r.id: (r.h, r.z) for r in df.collect()}
+    assert rows[1][0] is not None and rows[1][1] is not None
+    for i in (2, 3, 4):
+        assert rows[i][0] is None, f"hilbert must be NULL for row {i}"
+        assert rows[i][1] is None, f"morton must be NULL for row {i}"

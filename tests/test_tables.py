@@ -1383,3 +1383,63 @@ def test_execute_dml_parse_and_guard_errors(spark, nation):
     with pytest.raises(ValueError, match="unknown column"):
         execute_dml(spark, "UPDATE t_dml_guard_unit SET nope = 1 WHERE n_nationkey = 0")
     t.drop()
+
+
+def test_delete_pruned_keeps_null_predicate_rows_regardless_of_layout(spark):
+    """r10 review: SQL DELETE removes rows where the predicate is TRUE;
+    NULL-predicate rows survive. A bare filter(~cond) dropped them —
+    but only inside REWRITTEN files, so survival depended on which file
+    a NULL row shared with a matching row. Both dirs here hold a NULL
+    row; only one dir holds matching rows."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_dml_null_unit")
+    t.drop()
+    t.create(
+        spark.createDataFrame(
+            [(1, -5.0), (2, None)], "k int, x double"
+        )  # dir 1: a match AND a NULL row
+    )
+    t.append(
+        spark.createDataFrame([(3, None), (4, 7.0)], "k int, x double")
+    )  # dir 2: no match, a NULL row
+    res = execute_dml(spark, "DELETE FROM t_dml_null_unit WHERE x < 0")
+    assert res["audit"] == {"dirs_rewritten": 1, "dirs_reused": 1}
+    kept = {r.k for r in t.read().collect()}
+    assert kept == {2, 3, 4}, (
+        "NULL-predicate rows must survive in rewritten AND pruned files"
+    )
+    # the old whole-table COW delete honors the same contract
+    t.delete_where(F.col("x") > 100)
+    assert {r.k for r in t.read().collect()} == {2, 3, 4}
+    t.drop()
+
+
+def test_execute_dml_where_keyword_inside_string_literal(spark, nation):
+    """r10 review: the clause split must be quote-aware — a string
+    literal containing the word 'where' (or an escaped quote before a
+    comma) is not a clause boundary."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_dml_quotes_unit")
+    t.drop()
+    t.create(nation)
+    res = execute_dml(
+        spark,
+        "UPDATE t_dml_quotes_unit SET n_name = 'fix where needed, maybe' "
+        "WHERE n_nationkey = 0",
+    )
+    assert res["audit"]["dirs_rewritten"] >= 1
+    names = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    assert names[0] == "fix where needed, maybe"
+    assert names[1] != "fix where needed, maybe"
+
+    res2 = execute_dml(
+        spark,
+        "UPDATE t_dml_quotes_unit SET n_name = 'it\\'s a, b where c' "
+        "WHERE n_nationkey = 1",
+    )
+    assert res2["op"] == "update"
+    names = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    assert names[1] == "it's a, b where c"
+    t.drop()
