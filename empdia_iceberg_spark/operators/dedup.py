@@ -216,13 +216,15 @@ CAND_RESTRICT_MAX_IDS = 5_000_000
 # cost more than toy-scale shingling.
 #
 # r10 at-scale A/B (tools/scaling_study.py, ×1000 docs ≈ 180 MB corpus,
-# same process/files): restricted 77.4 s vs direct 77.3 s — a TIE. The
-# r9 rationale (3× corpus-wide shingle execution) dissolved once the
-# kernel moved per-shingle hashing JVM-side; the pipeline is now
-# LSH-join/kernel-bound. The gate stays — where it engages it measured
-# free, and CAND_RESTRICT_MAX_IDS bounds the broadcast — but its
-# documented status is "neutral at demonstrated scale", not "a win"
-# (SURVEY §6 near-dup study).
+# same process/files, interleaved): with the r10 pipeline (JVM xxhash64
+# kernel + bucket-local pair expansion) the restriction wins
+# **69.9 s vs 90.6 s direct (1.30×)** — and one direct run at 5M docs
+# died in a JVM allocation failure under corpus-wide verify-side
+# shingle pressure. (With the r9 code the A/B had TIED at ~77 s: the
+# md5 kernel and the double-executed candidate self-join masked the
+# verify-side cost entirely.) The 64 MB crossover stands: below it the
+# restriction's fixed driver jobs measurably lose (A/B above), above it
+# it wins and sheds memory pressure. SURVEY §6 near-dup study.
 CAND_RESTRICT_MIN_CORPUS_BYTES = 64 * 1024**2
 
 
