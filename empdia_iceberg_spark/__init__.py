@@ -78,11 +78,14 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # reclamation grace -> knn_cosine_top5 / knn_cosine_ivf) and the queries
 # whose plans/gates the r10 scaling studies may retune (near-dup verify
 # gate -> doc_minhash_near_dup / doc_dedup_clusters; q1/q3 posture work;
-# user_profile_similarity study) — then (2) the stalest green block,
-# which is now the r2 cohort (last rows eight rounds ago). New surface
+# user_profile_similarity study; late-r10 review fixes changed
+# delete_where's NULL-predicate semantics -> table_rollback_restore /
+# table_incremental_diff / table_history_audit, and morton key_of ->
+# table_zorder_layout) — then (2) the stalest green block, which is
+# now the r2 cohort (last rows eight rounds ago). New surface
 # registered this round (ask #6: table_update_dml / table_delete_dml /
 # table_hilbert_layout) sits at the VERY FRONT of this list, per the
-# same-round-driver-row rule. New + changed + stalest filler = 50.
+# same-round-driver-row rule. 3 new + 11 changed + 36 stalest = 50.
 _SWEEP_PRIORITY = [
     "table_update_dml",  # NEW r10 (ask #6): SQL UPDATE via pruned COW
     "table_delete_dml",  # NEW r10 (ask #6): SQL DELETE via pruned COW
@@ -94,6 +97,10 @@ _SWEEP_PRIORITY = [
     "q1_pricing_agg",  # r10-planned-changed (last row r7)
     "q3_join3_topk",  # r10-planned-changed (last row r9)
     "user_profile_similarity",  # r10-planned-changed (last row r8)
+    "table_zorder_layout",  # r10-changed: morton key_of now uses _curve_frame's columns
+    "table_rollback_restore",  # r10-changed: delete_where NULL-predicate semantics
+    "table_incremental_diff",  # r10-changed: delete_where NULL-predicate semantics
+    "table_history_audit",  # r10-changed: delete_where NULL-predicate semantics
     "events_multi_grain_rollup",  # stalest green (r2)
     "salted_join_skewed",  # stalest green (r2)
     "unpivot_pricing_metrics",  # stalest green (r2)
@@ -185,13 +192,10 @@ _SWEEP_PRIORITY = [
     "events_target_encode_loo",  # r5
     "spearman_qty_price",  # r6
     "table_mor_deletes",  # r6
-    "table_history_audit",  # r6
     "table_changelog_emit",  # r6
     "cdc_log_compaction",  # r6
     "table_crypto_shred",  # r6
     "mv_incremental_refresh",  # r6
-    "table_incremental_diff",  # r6
-    "table_rollback_restore",  # r6
     "q2_min_cost_supplier",  # r6
     "q4_priority_exists",  # r6
     "q6_forecast_revenue",  # r6
@@ -228,7 +232,6 @@ _SWEEP_PRIORITY = [
     "table_merge_pruned",  # r7
     "table_merge_upsert",  # r7
     "mannwhitney_u_segments",  # r7
-    "table_zorder_layout",  # r7
     "doc_lm_perplexity",  # r7
     "doc_decontaminate",  # r7
     "doc_ngram_jaccard_pairs",  # r7
