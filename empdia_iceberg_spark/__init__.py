@@ -71,293 +71,295 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 #      (tools/next_sweep.py emits the order);
 #   3. the stalest previously-green block as tail filler.
 #
-# ROUND 10 ARITHMETIC (VERDICT r9 asks #1 + #6): never-swept debt is
-# ZERO (all 267 queries have driver rows through r9), so the window is
-# (1) the answer paths this round's work touches — the r10 ADVICE fixes
-# (fingerprint TTL cache on directory-index stat storms; env-tunable IVF
-# reclamation grace -> knn_cosine_top5 / knn_cosine_ivf) and the queries
-# whose plans/gates the r10 scaling studies may retune (near-dup verify
-# gate -> doc_minhash_near_dup / doc_dedup_clusters; q1/q3 posture work;
-# user_profile_similarity study; late-r10 review fixes changed
-# delete_where's NULL-predicate semantics -> table_rollback_restore /
-# table_incremental_diff / table_history_audit, and morton key_of ->
-# table_zorder_layout) — then (2) the stalest green block, which is
-# now the r2 cohort (last rows eight rounds ago). New surface
-# registered this round (ask #6: table_update_dml / table_delete_dml /
-# table_hilbert_layout) sits at the VERY FRONT of this list, per the
-# same-round-driver-row rule. 3 new + 11 changed + 36 stalest = 50.
+# ROUND 11 ARITHMETIC (VERDICT r10 asks #1): never-swept debt stays
+# ZERO (all 270 queries have driver rows through r10), so the window is
+# (1) the answer paths this round's work plans to touch — the SQL DML
+# story gains MERGE INTO (manager._merge_impl generalizes to clause
+# semantics -> table_merge_pruned / table_merge_upsert re-swept, and the
+# COW DML queries ride the _dirs_matching micro-fix), the knn stack's
+# fingerprint-TTL parse moves to import time (r10 ADVICE #4) and the
+# recall-audit work touches the IVF/LSH paths, doc_exact_dedup gets the
+# cheap-key pre-group cut (ask #4), lsh_candidates gets the heavy-hitter
+# bucket cap (r10 ADVICE #2) -> doc_minhash_near_dup/doc_dedup_clusters,
+# and table_hilbert_layout's oracle mirror gains NULL propagation (r10
+# ADVICE #3) — then (2) the stalest green block: the four r3-cohort
+# names the r10 window annotation mis-included (r10 ADVICE #1), the
+# rest of the r3 cohort, and the r5 cohort head. NEW queries registered
+# this round (table_merge_dml, table_delete_mor_dml, knn recall audits)
+# are inserted at the VERY FRONT as they land, displacing the bottom of
+# the stalest block below the marker (same-round-driver-row rule).
 _SWEEP_PRIORITY = [
-    "table_update_dml",  # NEW r10 (ask #6): SQL UPDATE via pruned COW
-    "table_delete_dml",  # NEW r10 (ask #6): SQL DELETE via pruned COW
-    "table_hilbert_layout",  # NEW r10 (ask #6): Hilbert twin of zorder
-    "knn_cosine_top5",  # r10-planned-changed (last row r9)
-    "knn_cosine_ivf",  # r10-planned-changed (last row r9)
-    "doc_minhash_near_dup",  # r10-planned-changed (last row r9)
-    "doc_dedup_clusters",  # r10-planned-changed (last row r9)
-    "q1_pricing_agg",  # r10-planned-changed (last row r7)
-    "q3_join3_topk",  # r10-planned-changed (last row r9)
-    "user_profile_similarity",  # r10-planned-changed (last row r8)
-    "table_zorder_layout",  # r10-changed: morton key_of now uses _curve_frame's columns
-    "table_rollback_restore",  # r10-changed: delete_where NULL-predicate semantics
-    "table_incremental_diff",  # r10-changed: delete_where NULL-predicate semantics
-    "table_history_audit",  # r10-changed: delete_where NULL-predicate semantics
-    "events_multi_grain_rollup",  # stalest green (r2)
-    "salted_join_skewed",  # stalest green (r2)
-    "unpivot_pricing_metrics",  # stalest green (r2)
-    "doc_exact_dedup",  # stalest green (r2)
-    "doc_dedup_survivors",  # stalest green (r2)
-    "doc_text_stats",  # stalest green (r2)
-    "doc_token_counts",  # stalest green (r2)
-    "doc_lang_id_confusion",  # stalest green (r2)
-    "doc_fingerprint",  # stalest green (r2)
-    "doc_pii_scrub",  # stalest green (r2)
-    "window_rank_topk_per_customer",  # stalest green (r2)
-    "window_lag_lead_orders",  # stalest green (r2)
-    "window_running_max_events",  # stalest green (r2)
-    "window_trailing_frame_events",  # stalest green (r2)
-    "window_ntile_quartiles",  # stalest green (r2)
-    "window_first_last_order",  # stalest green (r2)
-    "window_range_frame_value",  # stalest green (r2)
-    "window_percent_rank_cume_dist",  # stalest green (r2)
-    "embedding_avg_by_label",  # stalest green (r2)
-    "range_join_events_1h",  # stalest green (r3)
-    "bucketed_join_colocated",  # stalest green (r3)
-    "skyline_orders_2d",  # stalest green (r3)
-    "multimodal_metadata",  # stalest green (r3)
-    "classifier_stub_layers",  # stalest green (r3)
-    "classifier_label_canonicalization",  # stalest green (r3)
-    "classifier_real_model",  # stalest green (r3)
-    "generation_retry_stub",  # stalest green (r3)
-    "collate_prompt_batches",  # stalest green (r3)
-    "udtf_word_windows",  # stalest green (r3)
-    "udaf_weighted_value",  # stalest green (r3)
-    "reward_trajectory",  # stalest green (r3)
-    "reward_per_turn_scores",  # stalest green (r3)
-    "reward_fallback_mean",  # stalest green (r3)
-    "reward_config_coalesce",  # stalest green (r3)
-    "reward_trajectory_pandas",  # stalest green (r3)
-    "termination_flags",  # stalest green (r3)
-    "termination_first_stop",  # stalest green (r3)
-    "trajectory_metrics",  # stalest green (r3)
-    "messages_role_swap_pipeline",  # stalest green (r3)
-    "sink_parquet_roundtrip",  # stalest green (r3)
-    # -------- 50-slot window ends here (3 new + 7 changed + 40 stalest) ----
-    "sink_json_roundtrip",  # r3
-    "csv_roundtrip",  # r3
-    "sink_partitioned_write",  # r3
-    "dialogue_prep_verl_rows",  # r3
-    "dialogue_prep_nested",  # r3
-    "overlong_prompt_filter",  # r3
-    "positional_split_70_30",  # r3
-    "grpo_group_normalize",  # r3
-    "grpo_pairwise_n2",  # r3
-    "q5_region_revenue",  # r3
-    "table_snapshot_lifecycle",  # r3
-    "table_expire_compact",  # r3
-    "stream_sliding_2h_1h",  # r3
-    "stream_session_window",  # r3
-    "stream_dedup_events",  # r3
-    "stream_dedup_bounded_state",  # r3
-    "multimodal_decode_features",  # r5
-    "multimodal_feature_extract",  # r5
-    "multimodal_frame_sample",  # r5
-    "generation_retry_real",  # r5
-    "doc_simhash_near_dup",  # r5
-    "doc_span_dedup",  # r5
-    "doc_fuzzy_pairs_blocked",  # r5
-    "stats_exact_moments",  # r5
-    "stratified_sample_counts",  # r5
-    "events_anomaly_zscore",  # r5
-    "events_twap_user",  # r5
-    "parts_abc_pareto",  # r5
-    "events_pit_dimension_join",  # r5
-    "events_cohort_ltv",  # r5
-    "events_time_to_convert",  # r5
-    "stream_stream_left_join",  # r5
-    "events_ewma16_user",  # r5
-    "events_longest_streaks",  # r5
-    "orders_open_peak_monthly",  # r5
-    "knn_cosine_lsh",  # r5
-    "semantic_prune_clusters",  # r5
-    "part_pairs_cooccurrence",  # r5
-    "events_type_transitions",  # r5
-    "part_hierarchy_rollup",  # r5
-    "part_association_rules",  # r5
-    "benford_order_totals",  # r5
-    "ols_quantity_price",  # r5
-    "chi2_events_type_dow",  # r5
-    "welch_t_acctbal_segments",  # r5
-    "events_survival_km",  # r5
-    "events_impute_value",  # r5
-    "events_target_encode_loo",  # r5
-    "spearman_qty_price",  # r6
-    "table_mor_deletes",  # r6
-    "table_changelog_emit",  # r6
-    "cdc_log_compaction",  # r6
-    "table_crypto_shred",  # r6
-    "mv_incremental_refresh",  # r6
-    "q2_min_cost_supplier",  # r6
-    "q4_priority_exists",  # r6
-    "q6_forecast_revenue",  # r6
-    "q7_volume_shipping",  # r6
-    "q8_market_share",  # r6
-    "q9_profit_by_nation",  # r6
-    "q10_returned_revenue",  # r6
-    "q11_important_parts",  # r6
-    "q12_late_priority_counts",  # r6
-    "q13_custdist",  # r6
-    "q14_promo_revenue",  # r6
-    "q15_top_supplier",  # r6
-    "q16_supplier_part_counts",  # r6
-    "q17_small_qty_revenue",  # r6
-    "q18_large_orders",  # r6
-    "q19_disjunctive_revenue",  # r6
-    "q20_dominant_suppliers",  # r6
-    "q21_waiting_suppliers",  # r6
-    "q22_idle_rich_customers",  # r6
-    "lateral_top2_per_customer",  # r6
-    "events_sessionize_8h",  # r6
-    "daily_acf_value",  # r6
-    "seasonal_strength_scan",  # r6
-    "events_seasonal_residual_outliers",  # r6
-    "events_linear_interpolate",  # r6
-    "doc_bm25_search",  # r6
-    "doc_phrase_search",  # r6
-    "doc_rerank_crossencoder",  # r6
-    "embedding_pq_codes",  # r6
-    "embedding_pca_power",  # r6
-    "user_reach_hll_rollup",  # r6
-    "token_cms_estimates",  # r6
-    "token_heavy_hitters",  # r6
-    "table_merge_pruned",  # r7
-    "table_merge_upsert",  # r7
-    "mannwhitney_u_segments",  # r7
-    "doc_lm_perplexity",  # r7
-    "doc_decontaminate",  # r7
-    "doc_ngram_jaccard_pairs",  # r7
-    "doc_dup_ngram_fraction",  # r7
-    "curation_pipeline",  # r7
-    "curation_funnel_counts",  # r7
-    "anova_acctbal_segments",  # r7
-    "ks_acctbal_two_sample",  # r7
-    "lineitem_corr_matrix",  # r7
-    "events_mad_outliers",  # r7
-    "stream_tumbling_hourly",  # r7
-    "stream_watermark_late_drop",  # r7
-    "table_concurrent_appends",  # r7
-    "table_partition_evolution",  # r7
-    "table_wap_publish",  # r7
-    "table_branch_merge",  # r7
-    "catalog_multi_table_txn",  # r7
-    "table_schema_evolution",  # r7
-    "stream_ewma16_state",  # r7
-    "emb_cosine_near_dup",  # r7
-    "supplier_part_matching",  # r7
-    "graph_triangle_census",  # r7
-    "events_markov_entropy_rate",  # r7
-    "mi_events_type_hour",  # r7
-    "doc_chunking",  # r7
-    "doc_quality_filter",  # r7
-    "doc_rrf_fusion",  # r7
-    "events_funnel_conversion",  # r7
-    "orders_shipping_busdays",  # r7
-    "orders_diversified_topk",  # r7
-    "weighted_quantiles_quantity",  # r7
-    "orders_robust_means",  # r7
-    "messages_last_by_role",  # r7
-    "udtf_table_arg_digest",  # r7
-    "kmv_distinct_orders",  # r7
-    "kmv_set_overlap",  # r7
-    "asof_join_last_error",  # r8
-    "events_gap_fill_ffill",  # r8
-    "events_cusum_drift",  # r8
-    "events_max_drawdown_user",  # r8
-    "forecast_backtest_snaive",  # r8
-    "profile_orders_stats",  # r8
-    "doc_weighted_sample",  # r8
-    "doc_sample_per_lang",  # r8
-    "stream_conversation_state",  # r8
-    "table_bloom_point_lookup",  # r8
-    "doc_tfidf_top_terms",  # r8
-    "emb_decontaminate",  # r8
-    "doc_repetition_stats",  # r8
-    "doc_rake_keyphrases",  # r8
-    "doc_oov_rate",  # r8
-    "nb_lang_confusion",  # r8
-    "classifier_agreement_kappa",  # r8
-    "multimodal_audio_zcr",  # r8
-    "binaryfile_ingest",  # r8
-    "udtf_split_fixed_cols",  # r8
-    "pyds_synthetic_rollup",  # r8
-    "stream_topk_trending",  # r8
-    "stream_stream_join_1h",  # r8
-    "stream_static_enrich",  # r8
-    "events_session_window_batch",  # r8
-    "events_rolling_median_7d",  # r8
-    "events_rolling_wau",  # r8
-    "events_linear_attribution",  # r8
-    "events_ohlc_hourly",  # r8
-    "events_scd2_history",  # r8
-    "events_weekly_retention",  # r8
-    "mc_pi_estimate",  # r8
-    "orders_var_cvar",  # r8
-    "ab_sprt_trace",  # r8
-    "ab_test_conversion",  # r8
-    "ols_by_returnflag",  # r8
-    "quantile_transform_acctbal",  # r8
-    "revenue_concentration_hhi",  # r8
-    "revenue_gini_customers",  # r8
-    "corpus_zipf_slope",  # r8
-    "revenue_price_volume_bridge",  # r8
-    "revenue_recognition_schedule",  # r8
-    "revenue_yoy_growth",  # r8
-    "customer_segment_migration",  # r8
-    "customer_rfm_segments",  # r8
-    "orders_interpurchase_intervals",  # r9
-    "orders_status_summary",  # r9
-    "lineitem_fifo_allocation",  # r9
-    "join_key_skew_stats",  # r9
-    "duplicate_baskets",  # r9
-    "graph_bfs_hops",  # r9
-    "graph_kcore_sizes",  # r9
-    "graph_degree_assortativity",  # r9
-    "item_item_similar_parts",  # r9
-    "seq2_event_patterns",  # r9
-    "doc_fuzzy_clusters",  # r9
-    "doc_greedy_coverage_select",  # r9
-    "doc_pack_windows",  # r9
-    "hash_split_assignments",  # r9
-    "domain_mixture_weights",  # r9
-    "embedding_quantize_int8",  # r9
-    "variant_props_typed",  # r9
-    "secure_masked_view",  # r9
-    "observed_metrics_shipments",  # r9
-    "dq_checks_orders",  # r9
-    "json_ingest_corrupt_records",  # r9
-    "xml_roundtrip",  # r9
-    "orc_roundtrip",  # r9
-    "stream_restart_recovery",  # r9
-    "stream_continuous_aggregate",  # r9
-    "pagerank_trading_graph",  # r9
-    "semi_join_active_customers",  # r9
-    "anti_join_inactive_customers",  # r9
-    "set_ops_segments",  # r9
-    "rollup_pricing",  # r9
-    "cube_order_priority",  # r9
-    "distinct_counts",  # r9
-    "approx_distinct_counts",  # r9
-    "topk_orders_global",  # r9
-    "scalar_string_fns",  # r9
-    "date_fns_orders",  # r9
-    "json_extract_events",  # r9
-    "orders_above_customer_avg",  # r9
-    "events_hourly_rollup",  # r9
-    "pivot_status_by_priority",  # r9
-    "null_safe_join_acctbal",  # r9
-    "map_functions_props",  # r9
-    "grouping_sets_pricing",  # r9
-    "percentile_order_values",  # r9
-    "approx_percentile_sketch",  # r9
+    "table_update_dml",  # r11-planned-changed
+    "table_delete_dml",  # r11-planned-changed
+    "table_hilbert_layout",  # r11-planned-changed
+    "table_merge_pruned",  # r11-planned-changed
+    "table_merge_upsert",  # r11-planned-changed
+    "knn_cosine_top5",  # r11-planned-changed
+    "knn_cosine_ivf",  # r11-planned-changed
+    "knn_cosine_lsh",  # r11-planned-changed
+    "doc_exact_dedup",  # r11-planned-changed
+    "doc_minhash_near_dup",  # r11-planned-changed
+    "doc_dedup_clusters",  # r11-planned-changed
+    "termination_first_stop",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
+    "trajectory_metrics",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
+    "messages_role_swap_pipeline",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
+    "sink_parquet_roundtrip",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
+    "sink_json_roundtrip",  # stalest green (r3)
+    "csv_roundtrip",  # stalest green (r3)
+    "sink_partitioned_write",  # stalest green (r3)
+    "dialogue_prep_verl_rows",  # stalest green (r3)
+    "dialogue_prep_nested",  # stalest green (r3)
+    "overlong_prompt_filter",  # stalest green (r3)
+    "positional_split_70_30",  # stalest green (r3)
+    "grpo_group_normalize",  # stalest green (r3)
+    "grpo_pairwise_n2",  # stalest green (r3)
+    "q5_region_revenue",  # stalest green (r3)
+    "table_snapshot_lifecycle",  # stalest green (r3)
+    "table_expire_compact",  # stalest green (r3)
+    "stream_sliding_2h_1h",  # stalest green (r3)
+    "stream_session_window",  # stalest green (r3)
+    "stream_dedup_events",  # stalest green (r3)
+    "stream_dedup_bounded_state",  # stalest green (r3)
+    "multimodal_decode_features",  # stalest green (r5)
+    "multimodal_feature_extract",  # stalest green (r5)
+    "multimodal_frame_sample",  # stalest green (r5)
+    "generation_retry_real",  # stalest green (r5)
+    "doc_simhash_near_dup",  # stalest green (r5)
+    "doc_span_dedup",  # stalest green (r5)
+    "doc_fuzzy_pairs_blocked",  # stalest green (r5)
+    "stats_exact_moments",  # stalest green (r5)
+    "stratified_sample_counts",  # stalest green (r5)
+    "events_anomaly_zscore",  # stalest green (r5)
+    "events_twap_user",  # stalest green (r5)
+    "parts_abc_pareto",  # stalest green (r5)
+    "events_pit_dimension_join",  # stalest green (r5)
+    "events_cohort_ltv",  # stalest green (r5)
+    "events_time_to_convert",  # stalest green (r5)
+    "stream_stream_left_join",  # stalest green (r5)
+    "events_ewma16_user",  # stalest green (r5)
+    "events_longest_streaks",  # stalest green (r5)
+    "orders_open_peak_monthly",  # stalest green (r5)
+    # -------- 50-slot window ends here (11 changed + 39 stalest) ----------
+    "q1_pricing_agg",
+    "q3_join3_topk",
+    "user_profile_similarity",
+    "table_zorder_layout",
+    "table_rollback_restore",
+    "table_incremental_diff",
+    "table_history_audit",
+    "events_multi_grain_rollup",
+    "salted_join_skewed",
+    "unpivot_pricing_metrics",
+    "doc_dedup_survivors",
+    "doc_text_stats",
+    "doc_token_counts",
+    "doc_lang_id_confusion",
+    "doc_fingerprint",
+    "doc_pii_scrub",
+    "window_rank_topk_per_customer",
+    "window_lag_lead_orders",
+    "window_running_max_events",
+    "window_trailing_frame_events",
+    "window_ntile_quartiles",
+    "window_first_last_order",
+    "window_range_frame_value",
+    "window_percent_rank_cume_dist",
+    "embedding_avg_by_label",
+    "range_join_events_1h",
+    "bucketed_join_colocated",
+    "skyline_orders_2d",
+    "multimodal_metadata",
+    "classifier_stub_layers",
+    "classifier_label_canonicalization",
+    "classifier_real_model",
+    "generation_retry_stub",
+    "collate_prompt_batches",
+    "udtf_word_windows",
+    "udaf_weighted_value",
+    "reward_trajectory",
+    "reward_per_turn_scores",
+    "reward_fallback_mean",
+    "reward_config_coalesce",
+    "reward_trajectory_pandas",
+    "termination_flags",
+    "semantic_prune_clusters",
+    "part_pairs_cooccurrence",
+    "events_type_transitions",
+    "part_hierarchy_rollup",
+    "part_association_rules",
+    "benford_order_totals",
+    "ols_quantity_price",
+    "chi2_events_type_dow",
+    "welch_t_acctbal_segments",
+    "events_survival_km",
+    "events_impute_value",
+    "events_target_encode_loo",
+    "spearman_qty_price",
+    "table_mor_deletes",
+    "table_changelog_emit",
+    "cdc_log_compaction",
+    "table_crypto_shred",
+    "mv_incremental_refresh",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_late_priority_counts",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "lateral_top2_per_customer",
+    "events_sessionize_8h",
+    "daily_acf_value",
+    "seasonal_strength_scan",
+    "events_seasonal_residual_outliers",
+    "events_linear_interpolate",
+    "doc_bm25_search",
+    "doc_phrase_search",
+    "doc_rerank_crossencoder",
+    "embedding_pq_codes",
+    "embedding_pca_power",
+    "user_reach_hll_rollup",
+    "token_cms_estimates",
+    "token_heavy_hitters",
+    "mannwhitney_u_segments",
+    "doc_lm_perplexity",
+    "doc_decontaminate",
+    "doc_ngram_jaccard_pairs",
+    "doc_dup_ngram_fraction",
+    "curation_pipeline",
+    "curation_funnel_counts",
+    "anova_acctbal_segments",
+    "ks_acctbal_two_sample",
+    "lineitem_corr_matrix",
+    "events_mad_outliers",
+    "stream_tumbling_hourly",
+    "stream_watermark_late_drop",
+    "table_concurrent_appends",
+    "table_partition_evolution",
+    "table_wap_publish",
+    "table_branch_merge",
+    "catalog_multi_table_txn",
+    "table_schema_evolution",
+    "stream_ewma16_state",
+    "emb_cosine_near_dup",
+    "supplier_part_matching",
+    "graph_triangle_census",
+    "events_markov_entropy_rate",
+    "mi_events_type_hour",
+    "doc_chunking",
+    "doc_quality_filter",
+    "doc_rrf_fusion",
+    "events_funnel_conversion",
+    "orders_shipping_busdays",
+    "orders_diversified_topk",
+    "weighted_quantiles_quantity",
+    "orders_robust_means",
+    "messages_last_by_role",
+    "udtf_table_arg_digest",
+    "kmv_distinct_orders",
+    "kmv_set_overlap",
+    "asof_join_last_error",
+    "events_gap_fill_ffill",
+    "events_cusum_drift",
+    "events_max_drawdown_user",
+    "forecast_backtest_snaive",
+    "profile_orders_stats",
+    "doc_weighted_sample",
+    "doc_sample_per_lang",
+    "stream_conversation_state",
+    "table_bloom_point_lookup",
+    "doc_tfidf_top_terms",
+    "emb_decontaminate",
+    "doc_repetition_stats",
+    "doc_rake_keyphrases",
+    "doc_oov_rate",
+    "nb_lang_confusion",
+    "classifier_agreement_kappa",
+    "multimodal_audio_zcr",
+    "binaryfile_ingest",
+    "udtf_split_fixed_cols",
+    "pyds_synthetic_rollup",
+    "stream_topk_trending",
+    "stream_stream_join_1h",
+    "stream_static_enrich",
+    "events_session_window_batch",
+    "events_rolling_median_7d",
+    "events_rolling_wau",
+    "events_linear_attribution",
+    "events_ohlc_hourly",
+    "events_scd2_history",
+    "events_weekly_retention",
+    "mc_pi_estimate",
+    "orders_var_cvar",
+    "ab_sprt_trace",
+    "ab_test_conversion",
+    "ols_by_returnflag",
+    "quantile_transform_acctbal",
+    "revenue_concentration_hhi",
+    "revenue_gini_customers",
+    "corpus_zipf_slope",
+    "revenue_price_volume_bridge",
+    "revenue_recognition_schedule",
+    "revenue_yoy_growth",
+    "customer_segment_migration",
+    "customer_rfm_segments",
+    "orders_interpurchase_intervals",
+    "orders_status_summary",
+    "lineitem_fifo_allocation",
+    "join_key_skew_stats",
+    "duplicate_baskets",
+    "graph_bfs_hops",
+    "graph_kcore_sizes",
+    "graph_degree_assortativity",
+    "item_item_similar_parts",
+    "seq2_event_patterns",
+    "doc_fuzzy_clusters",
+    "doc_greedy_coverage_select",
+    "doc_pack_windows",
+    "hash_split_assignments",
+    "domain_mixture_weights",
+    "embedding_quantize_int8",
+    "variant_props_typed",
+    "secure_masked_view",
+    "observed_metrics_shipments",
+    "dq_checks_orders",
+    "json_ingest_corrupt_records",
+    "xml_roundtrip",
+    "orc_roundtrip",
+    "stream_restart_recovery",
+    "stream_continuous_aggregate",
+    "pagerank_trading_graph",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "set_ops_segments",
+    "rollup_pricing",
+    "cube_order_priority",
+    "distinct_counts",
+    "approx_distinct_counts",
+    "topk_orders_global",
+    "scalar_string_fns",
+    "date_fns_orders",
+    "json_extract_events",
+    "orders_above_customer_avg",
+    "events_hourly_rollup",
+    "pivot_status_by_priority",
+    "null_safe_join_acctbal",
+    "map_functions_props",
+    "grouping_sets_pricing",
+    "percentile_order_values",
+    "approx_percentile_sketch",
 ]
 
 registry.promote(_SWEEP_PRIORITY)
