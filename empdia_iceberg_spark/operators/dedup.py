@@ -466,6 +466,30 @@ def minhash_band_rows(shingled: DataFrame) -> DataFrame:
     )
 
 
+# Per-(band, bucket) doc-id list cap (r11, from r10 ADVICE): a bucket
+# key is 4 agreeing minhashes, so a list beyond this size means a
+# pathological corpus (≥64k near-identical docs in ONE group — run
+# doc_exact_dedup first, as the pipeline docs say). The cap makes that
+# corpus degrade PREDICTABLY — the id-smallest 65,536 members keep all
+# their pairs (the group stays connected for clustering, and 2·10⁹
+# candidate pairs from one group is already beyond any useful verify)
+# and the drop is counted in LAST_LSH_DROPS — instead of failing inside
+# the aggregation buffer. Kept members are id-smallest, so the output
+# stays deterministic. 64k longs ≈ 0.5 MB per row post-slice; the
+# collect_list buffer itself still holds the full group once (one pass
+# over the band rows is the r10 rewrite's whole point), bounded at
+# ~8 B/member — 5M identical docs ≈ 40 MB, survivable where the
+# downstream k² expansion was not.
+LSH_BUCKET_ID_CAP = 65_536
+
+# Drop visibility ("logged drop"): the Observation attached to the most
+# recently BUILT lsh_candidates plan in this process — the streaming
+# module's LAST_RUN_PROGRESS pattern. `LAST_LSH_OBSERVATION.get` blocks
+# until an action has executed the observed plan, then yields
+# {"n_capped_buckets": ..., "n_dropped_ids": ...}.
+LAST_LSH_OBSERVATION = None
+
+
 def lsh_candidates(shingled: DataFrame) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs that share at least one LSH band
     bucket. Shuffle volume is O(docs × bands), never O(pairs).
@@ -480,18 +504,36 @@ def lsh_candidates(shingled: DataFrame) -> DataFrame:
     4.5 s for the band rows themselves. The groupBy runs the pipeline
     once and shuffles each band row once.
 
-    Per-bucket lists are near-dup-group sized by construction (a
-    bucket key is 4 agreeing minhashes — unrelated docs collide with
-    probability ~2⁻⁶⁴·fold); a degenerate corpus of millions of
-    IDENTICAL docs would make one giant bucket and should run
-    `doc_exact_dedup` first — the same caveat the old k²-row join
-    shape carried, here visible as a list instead of a row explosion."""
+    Heavy-hitter buckets are capped at LSH_BUCKET_ID_CAP id-smallest
+    members with the drop counted in LAST_LSH_DROPS (see the cap's
+    comment for the degradation contract)."""
+    import uuid
+
+    from pyspark.sql import Observation
+
     bands = minhash_band_rows(shingled)
     buckets = (
         bands.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids_all"))
+        .filter(F.size("ids_all") >= 2)
+        .select(
+            F.slice("ids_all", 1, LSH_BUCKET_ID_CAP).alias("ids"),
+            F.greatest(
+                F.size("ids_all") - LSH_BUCKET_ID_CAP, F.lit(0)
+            ).alias("_n_dropped"),
+        )
     )
+    obs = Observation(f"lsh_bucket_drops_{uuid.uuid4().hex[:8]}")
+    buckets = buckets.observe(
+        obs,
+        F.sum(F.when(F.col("_n_dropped") > 0, 1).otherwise(0)).alias(
+            "n_capped_buckets"
+        ),
+        F.sum("_n_dropped").alias("n_dropped_ids"),
+    )
+    global LAST_LSH_OBSERVATION
+    LAST_LSH_OBSERVATION = obs
+
     # two chained generators: each unordered pair (a < b) exactly once
     # per shared bucket; the inner filter's lambda touches only its
     # element and the row's doc_a (no whole-array re-computation per

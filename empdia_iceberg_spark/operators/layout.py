@@ -145,13 +145,22 @@ def hilbert_sql_ctes(x: str, y: str, bits: int, src: str) -> tuple[str, str]:
     projection per bit level, value-identical to the kernel (each level
     is a real operator in DuckDB, so no exponential expression inlining
     there either). Returns (cte_sql, last_cte_name); the chain carries
-    working columns _hx/_hy/_hd alongside ``src``'s columns."""
+    working columns _hx/_hy/_hd alongside ``src``'s columns.
+
+    Value identity includes the kernel's edge semantics (r10 ADVICE):
+    inputs are masked to [0, 2^bits) in h0 exactly like the kernel's
+    ``& mask``, and a NULL in EITHER dimension yields a NULL ``_hd`` —
+    without the explicit final CASE, the per-level CASE expressions'
+    ELSE branches swallow the NULL comparison and the chain would emit
+    ``_hd = 0`` where the Spark kernel (deliberately) emits NULL."""
     if not 1 <= bits <= 31:
         raise ValueError(f"hilbert_sql_ctes: bits must be in [1, 31], got {bits}")
     n = 1 << bits
     lines = [
-        f"h0 AS (SELECT *, CAST({x} AS BIGINT) AS _hx, "
-        f"CAST({y} AS BIGINT) AS _hy, CAST(0 AS BIGINT) AS _hd FROM {src})"
+        f"h0 AS (SELECT *, (CAST({x} AS BIGINT) & {n - 1}) AS _hx, "
+        f"(CAST({y} AS BIGINT) & {n - 1}) AS _hy, "
+        f"(CAST({x} AS BIGINT) IS NULL OR CAST({y} AS BIGINT) IS NULL) AS _hnull, "
+        f"CAST(0 AS BIGINT) AS _hd FROM {src})"
     ]
     lvl, s = 0, n >> 1
     while s > 0:
@@ -168,7 +177,11 @@ def hilbert_sql_ctes(x: str, y: str, bits: int, src: str) -> tuple[str, str]:
             f"FROM h{lvl - 1})"
         )
         s >>= 1
-    return ",\n".join(lines), f"h{lvl}"
+    lines.append(
+        f"h{lvl + 1} AS (SELECT * EXCLUDE (_hd, _hnull), "
+        f"CASE WHEN _hnull THEN NULL ELSE _hd END AS _hd FROM h{lvl})"
+    )
+    return ",\n".join(lines), f"h{lvl + 1}"
 
 
 _SQL_DAYS = "date_diff('day', DATE '1970-01-01', o_orderdate)"

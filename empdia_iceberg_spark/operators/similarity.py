@@ -29,6 +29,7 @@ Architecture (100 TB posture):
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -107,17 +108,34 @@ def _fingerprint(path: str) -> str:
 # takes far longer) while making the steady-state lookup a dict hit.
 _FP_TTL_CACHE: dict[str, tuple[float, str]] = {}
 
+# Parsed ONCE at import (r11, from r10 ADVICE): the env read + float()
+# sat on exactly the per-batch hot path the TTL cache was added to cool.
+# Tests (and unusual deployments changing the TTL mid-process) override
+# by monkeypatching this module constant; the env var still configures
+# a process at launch, which is the only time executors read it anyway
+# (each executor process imports this module once).
+_FP_TTL_SEC: float = float(os.environ.get("EMPDIA_FINGERPRINT_TTL_SEC", "1.0"))
+
+# Entry bound: one entry per distinct index/dataset path — a handful in
+# any real process, but a long-lived session iterating over unbounded
+# ephemeral paths (tests, notebooks) must not grow this forever.
+_FP_TTL_CACHE_MAX = 1024
+
 
 def _fingerprint_cached(path: str) -> str:
-    import os
     import time
 
-    ttl = float(os.environ.get("EMPDIA_FINGERPRINT_TTL_SEC", "1.0"))
+    ttl = _FP_TTL_SEC
     if ttl > 0:
         hit = _FP_TTL_CACHE.get(path)
         if hit is not None and time.monotonic() - hit[0] < ttl:
             return hit[1]
     fp = _fingerprint(path)
+    if len(_FP_TTL_CACHE) >= _FP_TTL_CACHE_MAX:
+        now = time.monotonic()
+        expired = [p for p, (t, _) in _FP_TTL_CACHE.items() if now - t >= ttl]
+        for p in expired or list(_FP_TTL_CACHE):  # all live: drop the lot
+            _FP_TTL_CACHE.pop(p, None)            # (they re-stat next probe)
     _FP_TTL_CACHE[path] = (time.monotonic(), fp)
     return fp
 

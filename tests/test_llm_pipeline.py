@@ -46,6 +46,37 @@ def test_verify_pairs_restricted_path_matches_direct(spark):
     assert direct == restricted and direct, "restricted verify must be value-identical"
 
 
+def test_lsh_bucket_cap_degrades_predictably(spark, monkeypatch):
+    """r11 (r10 ADVICE): a degenerate heavy-hitter bucket (many
+    identical docs sharing every band bucket) must degrade predictably
+    under LSH_BUCKET_ID_CAP — pairs come from the id-smallest CAP
+    members, and the drop is visible through LAST_LSH_OBSERVATION —
+    instead of growing one unbounded aggregation row. Uncapped corpora
+    must report zero drops."""
+    monkeypatch.setattr(dedup, "LSH_BUCKET_ID_CAP", 4)
+    n = 9
+    sh = spark.createDataFrame(
+        [(i, ["alpha beta gamma", "beta gamma delta"]) for i in range(n)],
+        "doc_id long, sh array<string>",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidates(sh).collect()}
+    expected = {(a, b) for a in range(4) for b in range(4) if a < b}
+    assert pairs == expected, "capped bucket must keep id-smallest members' pairs"
+    drops = dedup.LAST_LSH_OBSERVATION.get
+    assert drops["n_dropped_ids"] > 0
+    assert drops["n_capped_buckets"] > 0
+
+    monkeypatch.setattr(dedup, "LSH_BUCKET_ID_CAP", 65_536)
+    sh2 = spark.createDataFrame(
+        [(i, ["alpha beta gamma", "beta gamma delta"]) for i in range(n)],
+        "doc_id long, sh array<string>",
+    )
+    all_pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidates(sh2).collect()}
+    assert all_pairs == {(a, b) for a in range(n) for b in range(n) if a < b}
+    drops = dedup.LAST_LSH_OBSERVATION.get
+    assert drops["n_dropped_ids"] == 0 and drops["n_capped_buckets"] == 0
+
+
 def test_verify_docs_arg_gate(spark):
     """Below the corpus-size gate the registry path takes the direct
     branch (None); the gate helper must flip on byte size, not rows."""

@@ -510,3 +510,33 @@ def test_hilbert_propagates_nulls_like_morton(spark):
     for i in (2, 3, 4):
         assert rows[i][0] is None, f"hilbert must be NULL for row {i}"
         assert rows[i][1] is None, f"morton must be NULL for row {i}"
+
+
+def test_hilbert_sql_mirror_matches_kernel_on_edges(spark):
+    """r11 (r10 ADVICE): the DuckDB CTE mirror must be value-identical
+    to the Spark kernel INCLUDING edge semantics — NULL in either
+    dimension yields NULL _hd (the per-level CASE ELSE branches used to
+    swallow the NULL comparison and emit _hd = 0), and out-of-range
+    inputs are masked to [0, 2^bits) like the kernel's ``& mask``."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.operators.layout import hilbert_spark, hilbert_sql_ctes
+
+    bits, n = 4, 16
+    pts = [(i, x, y) for i, (x, y) in enumerate(
+        [(0, 0), (15, 15), (5, 9), (None, 9), (5, None), (None, None),
+         (n + 5, 3), (-1, 2), (7, n + n + 1)]
+    )]
+    sdf = spark.createDataFrame(pts, "id long, x long, y long").select(
+        "id", hilbert_spark(F.col("x"), F.col("y"), bits=bits).alias("d")
+    )
+    spark_d = {r.id: r.d for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (id BIGINT, x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?, ?)", pts)
+    ctes, last = hilbert_sql_ctes("x", "y", bits, "pts")
+    duck_d = dict(con.execute(f"WITH {ctes} SELECT id, _hd FROM {last}").fetchall())
+    con.close()
+    assert duck_d == spark_d, f"mirror diverges: {duck_d} vs {spark_d}"

@@ -699,13 +699,16 @@ def test_fingerprint_ttl_bounds_per_batch_stat_storms(tmp_path, monkeypatch):
     monkeypatch.setattr(sim, "_fingerprint", counting)
     sim._FP_TTL_CACHE.clear()
 
-    monkeypatch.setenv("EMPDIA_FINGERPRINT_TTL_SEC", "60")
+    # r11 (r10 ADVICE): the TTL is parsed ONCE at import — the per-call
+    # env read + float() sat on the hot per-batch path. Overrides go
+    # through the module constant, which is what these monkeypatches do.
+    monkeypatch.setattr(sim, "_FP_TTL_SEC", 60.0)
     fp1 = sim._fingerprint_cached(str(f))
     for _ in range(10):  # 10 batches inside the window -> zero re-walks
         assert sim._fingerprint_cached(str(f)) == fp1
     assert calls["n"] == 1, "stat storm: fingerprint re-walked inside the TTL"
 
-    monkeypatch.setenv("EMPDIA_FINGERPRINT_TTL_SEC", "0.02")
+    monkeypatch.setattr(sim, "_FP_TTL_SEC", 0.02)
     sim._FP_TTL_CACHE.clear()
     sim._fingerprint_cached(str(f))
     time.sleep(0.03)
@@ -713,11 +716,22 @@ def test_fingerprint_ttl_bounds_per_batch_stat_storms(tmp_path, monkeypatch):
     fp2 = sim._fingerprint_cached(str(f))
     assert fp2 != fp1, "expired TTL must re-stat and see the regeneration"
 
-    monkeypatch.setenv("EMPDIA_FINGERPRINT_TTL_SEC", "0")
+    monkeypatch.setattr(sim, "_FP_TTL_SEC", 0.0)
     before = calls["n"]
     sim._fingerprint_cached(str(f))
     sim._fingerprint_cached(str(f))
     assert calls["n"] == before + 2, "TTL=0 must bypass the cache entirely"
+
+    # the cache is BOUNDED: exceeding the entry cap must evict (expired
+    # entries first, everything as the fallback), never grow unbounded
+    monkeypatch.setattr(sim, "_FP_TTL_SEC", 60.0)
+    monkeypatch.setattr(sim, "_FP_TTL_CACHE_MAX", 4)
+    sim._FP_TTL_CACHE.clear()
+    for i in range(10):
+        g = tmp_path / f"idx_{i}.bin"
+        g.write_bytes(b"x")
+        sim._fingerprint_cached(str(g))
+    assert len(sim._FP_TTL_CACHE) <= 5, "TTL cache must stay bounded"
 
 
 def test_ivf_grace_generations_env_tunable(spark, tmp_path, monkeypatch):
