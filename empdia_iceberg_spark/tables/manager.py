@@ -479,7 +479,11 @@ class SnapshotTable:
         }
 
     def merge(
-        self, source: DataFrame, key: str, max_retries: int = 3
+        self,
+        source: DataFrame,
+        key: str,
+        max_retries: int = 3,
+        clauses: dict | None = None,
     ) -> tuple[int, dict]:
         """File-pruned copy-on-write MERGE (Iceberg MERGE INTO semantics
         for the update+insert case): matched target rows are replaced by
@@ -516,7 +520,44 @@ class SnapshotTable:
         writer's files.
 
         Returns (version, audit) where audit = {"dirs_rewritten": n,
-        "dirs_reused": m}."""
+        "dirs_reused": m}.
+
+        ``clauses`` (r11, the SQL ``MERGE INTO`` front-end in
+        `tables/dml.py`) generalizes the matched/not-matched actions
+        while keeping THIS default path (clauses=None: update-* +
+        insert-*) byte-identical. Shape::
+
+            {"matched": None
+                        | {"action": "update", "set": "*" | {col: sql}}
+                        | {"action": "delete"},
+             "not_matched": None
+                        | {"action": "insert",
+                           "cols": None | [col, ...],   # None => INSERT *
+                           "vals": None | [sql, ...]},
+             "target_alias": str, "source_alias": str}
+
+        Assignment/VALUES expressions are raw Spark SQL strings handed
+        to Catalyst (``F.expr``); in assignments they may reference both
+        ``target_alias.col`` and ``source_alias.col`` (unqualified
+        shared names raise Spark's ambiguity error — qualify them).
+        Sources for the *-forms must be table-shaped (same alignment as
+        the default path); assignment/column-list forms accept ANY
+        source schema containing the key column — standard MERGE lets
+        the source carry deltas, not full rows. Scale posture nuance:
+        an insert-only merge (matched=None) never rewrites a dir for
+        containing a matched key — matched rows are unchanged, so
+        bounds-hit dirs are only READ for the not-matched anti-join and
+        carried by reference (a uniformly-spread insert-only MERGE at
+        100 TB must cost one new file, not a table rewrite); dirs with
+        applicable MOR deletes still rewrite (deletes must fold in
+        because this commit drops delete files)."""
+        if clauses is not None:
+            m, nm = clauses.get("matched"), clauses.get("not_matched")
+            if m is None and nm is None:
+                raise ValueError(
+                    f"table {self.name}: MERGE requires at least one "
+                    "WHEN MATCHED / WHEN NOT MATCHED clause"
+                )
         # merge makes three passes over the source (bounds aggregate,
         # membership join, final write) — cache it so an expensive source
         # pipeline computes once
@@ -531,9 +572,26 @@ class SnapshotTable:
                 meta = self._read_meta(cur)
                 deletes = meta.get("delete_dirs", [])
                 spec = meta.get("spec", [])
-                aligned = self._align_source_to_schema(source, meta["schema"])
+                needs_aligned = clauses is None or (
+                    (clauses.get("matched") or {}).get("set") == "*"
+                    or (
+                        clauses.get("not_matched") is not None
+                        and clauses["not_matched"].get("cols") is None
+                    )
+                )
+                if needs_aligned:
+                    aligned = self._align_source_to_schema(source, meta["schema"])
+                else:
+                    if key not in source.columns:
+                        raise ValueError(
+                            f"table {self.name}: MERGE source lacks the key "
+                            f"column {key!r}"
+                        )
+                    aligned = source
                 try:
-                    return self._merge_impl(aligned, key, cur, meta, deletes, spec)
+                    return self._merge_impl(
+                        aligned, key, cur, meta, deletes, spec, clauses
+                    )
                 except CommitConflictError:
                     continue  # re-read the head and rebuild the merge
             raise CommitConflictError(
@@ -633,6 +691,7 @@ class SnapshotTable:
         meta: dict,
         deletes: list,
         spec: list,
+        clauses: dict | None = None,
     ) -> tuple[int, dict]:
         # Envelope + dup-key guard in ONE pass: a per-key partial
         # aggregate (map-side combine, one key shuffle, no Expand — the
@@ -742,29 +801,56 @@ class SnapshotTable:
                 .collect()
             }
 
+        # Rewrite set vs read set: with NO matched clause (insert-only
+        # MERGE) matched rows are unchanged, so bounds-hit dirs are only
+        # READ for the not-matched anti-join and carry by reference —
+        # never rewritten for containing a matched key. must_touch still
+        # rewrites (this commit drops MOR delete files; they must fold).
+        insert_only = clauses is not None and clauses.get("matched") is None
+        rewrite = set(must_touch) | (set() if insert_only else hit)
+        read_set = set(must_touch) | hit
         touched: list[str] = []
         untouched: list[str] = []
         untouched_specs: list[list[str]] = []
         for d, ds in zip(meta["dirs"], self._dir_specs(meta)):
-            if d in must_touch or d in hit:
+            if d in rewrite:
                 touched.append(d)
             else:
                 untouched.append(d)
                 untouched_specs.append(ds)
 
-        if touched:
-            target = self._read_dirs_mor(meta, touched)
-            kept = target.join(source.select(key), on=key, how="left_anti")
-            merged = kept.unionByName(source)
+        if clauses is None:
+            if touched:
+                target = self._read_dirs_mor(meta, touched)
+                kept = target.join(source.select(key), on=key, how="left_anti")
+                merged = kept.unionByName(source)
+            else:
+                merged = source
         else:
-            merged = source
+            read_dirs = [d for d in meta["dirs"] if d in read_set]
+            merged = self._apply_merge_clauses(
+                source, key, meta, touched, read_dirs, clauses
+            )
+            if merged is None:
+                # no dir needs rewriting and there is no insert clause:
+                # a true no-op (mirrors the empty-source posture above)
+                return cur, {
+                    "dirs_rewritten": 0,
+                    "dirs_reused": len(meta["dirs"]),
+                }
         d_new = self._write_data(merged, spec)
         # Every delete-applicable dir was force-touched, so no surviving
         # delete file applies to any dir in the new snapshot.
         # Snapshot schema: when dirs are carried by reference the snapshot
         # must describe THEIR schema (the table's), not the source's —
         # a narrower source would otherwise mislabel the carried files.
-        schema_json = meta["schema"] if untouched else merged.schema.json()
+        # Clause merges always keep the table schema (every piece is
+        # projected to it; MERGE never evolves the schema).
+        schema_json = (
+            meta["schema"]
+            if untouched or clauses is not None
+            else merged.schema.json()
+        )
         try:
             version = self._commit(
                 "merge",
@@ -790,6 +876,118 @@ class SnapshotTable:
             "dirs_rewritten": len(touched),
             "dirs_reused": len(untouched),
         }
+
+    def _apply_merge_clauses(
+        self,
+        source: DataFrame,
+        key: str,
+        meta: dict,
+        touched: list,
+        read_dirs: list,
+        clauses: dict,
+    ) -> DataFrame | None:
+        """Rewritten-rows frame for a clause-form MERGE (see `merge` for
+        the clause shape). Returns None when nothing needs writing (no
+        rewritten dir and no insert clause). Every piece projects to the
+        table schema in table column order so the union — and the
+        snapshot that mixes the new dir with carried dirs — agrees.
+
+        Join semantics follow SQL MERGE: key equality only, so NULL-key
+        source rows match no target row (they insert, if an insert
+        clause exists) and NULL-key target rows are never matched.
+        The bounds-pruning proof from `_merge_impl` carries over: any
+        target row whose key equals a source key lives in a read_dirs
+        dir, so the anti-/semi-/inner-joins below never need the
+        carried dirs."""
+        m = clauses.get("matched")
+        nm = clauses.get("not_matched")
+        t_a = clauses.get("target_alias") or self.name
+        s_a = clauses.get("source_alias") or "src"
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        ttypes = {f.name: f.dataType for f in schema.fields}
+        tcols = [f.name for f in schema.fields]
+
+        pieces: list[DataFrame] = []
+        target_read = (
+            self._read_dirs_mor(meta, read_dirs) if read_dirs else None
+        )
+        if touched:
+            # read set == rewrite set whenever a matched clause exists;
+            # insert-only merges rewrite only must_touch dirs (their
+            # rows pass through unchanged — the rewrite exists to fold
+            # MOR deletes in, not to touch matched rows)
+            target_rw = (
+                target_read
+                if read_dirs == touched
+                else self._read_dirs_mor(meta, touched)
+            )
+            if m is None:
+                pieces.append(target_rw)
+            else:
+                kept = target_rw.join(
+                    source.select(key), on=key, how="left_anti"
+                )
+                pieces.append(kept)
+                if m["action"] == "update" and m["set"] == "*":
+                    pieces.append(
+                        source.join(
+                            target_rw.select(key), on=key, how="left_semi"
+                        )
+                    )
+                elif m["action"] == "update":
+                    unknown = sorted(set(m["set"]) - set(tcols))
+                    if unknown:
+                        raise ValueError(
+                            f"table {self.name}: MERGE UPDATE assigns "
+                            f"unknown column(s) {unknown}"
+                        )
+                    j = target_rw.alias(t_a).join(
+                        source.alias(s_a),
+                        F.col(f"{t_a}.{key}") == F.col(f"{s_a}.{key}"),
+                        "inner",
+                    )
+                    proj = [
+                        (
+                            F.expr(m["set"][c]).cast(ttypes[c])
+                            if c in m["set"]
+                            else F.col(f"{t_a}.{c}")
+                        ).alias(c)
+                        for c in tcols
+                    ]
+                    pieces.append(j.select(*proj))
+                # action == "delete": matched rows contribute nothing
+        if nm is not None:
+            ins = (
+                source
+                if target_read is None
+                else source.join(target_read.select(key), on=key, how="left_anti")
+            )
+            if nm.get("cols") is None:
+                pieces.append(ins)  # INSERT *: source aligned by merge()
+            else:
+                cols, vals = list(nm["cols"]), list(nm["vals"])
+                unknown = sorted(set(cols) - set(tcols))
+                if unknown:
+                    raise ValueError(
+                        f"table {self.name}: MERGE INSERT targets unknown "
+                        f"column(s) {unknown}"
+                    )
+                by_col = dict(zip(cols, vals))
+                proj = [
+                    (
+                        F.expr(by_col[c]).cast(ttypes[c])
+                        if c in by_col
+                        else F.lit(None).cast(ttypes[c])
+                    ).alias(c)
+                    for c in tcols
+                ]
+                pieces.append(ins.alias(s_a).select(*proj))
+        if not pieces:
+            return None
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     def delete_where_mor(self, condition, key: str) -> int:
         """Merge-on-read DELETE (Iceberg v2 equality deletes): instead

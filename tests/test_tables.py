@@ -1372,8 +1372,12 @@ def test_execute_dml_parse_and_guard_errors(spark, nation):
     }
     with pytest.raises(ValueError, match="assigned twice"):
         _parse_assignments("a = 1, a = 2")
-    with pytest.raises(ValueError, match="unsupported DML"):
+    # r11: MERGE INTO is now a supported statement — it fails on its own
+    # grammar (missing WHEN), not as "unsupported DML"
+    with pytest.raises(ValueError, match="at least one WHEN"):
         execute_dml(spark, "MERGE INTO t USING s ON 1=1")
+    with pytest.raises(ValueError, match="unsupported DML"):
+        execute_dml(spark, "TRUNCATE TABLE t")
     with pytest.raises(ValueError, match="mor_key applies to DELETE"):
         execute_dml(spark, "UPDATE t SET a = 1", mor_key="a")
 
@@ -1442,4 +1446,211 @@ def test_execute_dml_where_keyword_inside_string_literal(spark, nation):
     assert res2["op"] == "update"
     names = {r.n_nationkey: r.n_name for r in t.read().collect()}
     assert names[1] == "it's a, b where c"
+    t.drop()
+
+
+# ------------------------------------------------------- SQL MERGE INTO layer
+
+
+def test_merge_dml_update_assignments_and_column_list_insert(spark, nation):
+    """The general clause path: SET assignments referencing BOTH the
+    target and source aliases, plus a column-list INSERT over a source
+    that is NOT table-shaped (it carries deltas). Unassigned INSERT
+    columns land NULL."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_mrgdml_upd_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name", "n_regionkey"))
+    spark.createDataFrame(
+        [(0, "zero", 7), (999, "new", 9)], "n_nationkey int, tag string, rk int"
+    ).createOrReplaceTempView("mrgdml_src_unit")
+    res = execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_upd_unit t USING mrgdml_src_unit s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET n_name = concat(t.n_name, '_', s.tag), "
+        "n_regionkey = s.rk "
+        "WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name) "
+        "VALUES (s.n_nationkey, upper(s.tag))",
+    )
+    assert res["op"] == "merge"
+    rows = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in t.read().collect()}
+    assert rows[0][0].endswith("_zero") and rows[0][1] == 7
+    assert rows[999] == ("NEW", None)  # unassigned INSERT column -> NULL
+    assert len(rows) == nation.count() + 1
+    assert rows[1][0] == nation.filter(F.col("n_nationkey") == 1).first().n_name
+    t.drop()
+
+
+def test_merge_dml_matched_delete_and_upsert_star(spark, nation):
+    """WHEN MATCHED THEN DELETE removes matched rows (inserting the
+    not-matched source rows when the INSERT clause is present); the
+    *-forms reproduce the engine's proven upsert semantics."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_mrgdml_del_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    spark.createDataFrame(
+        [(0, "DROPME"), (888, "ADDME")], "n_nationkey int, n_name string"
+    ).createOrReplaceTempView("mrgdml_del_src")
+    execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_del_unit USING mrgdml_del_src s "
+        "ON t_mrgdml_del_unit.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    assert 0 not in rows and rows[888] == "ADDME"
+    assert len(rows) == nation.count()  # -1 deleted, +1 inserted
+
+    # SET * / INSERT * == the engine's default upsert path
+    t2 = SnapshotTable(spark, "t_mrgdml_star_unit")
+    t2.drop()
+    t2.create(nation.select("n_nationkey", "n_name"))
+    execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_star_unit USING mrgdml_del_src s "
+        "ON t_mrgdml_star_unit.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows2 = {r.n_nationkey: r.n_name for r in t2.read().collect()}
+    assert rows2[0] == "DROPME" and rows2[888] == "ADDME"
+    assert len(rows2) == nation.count() + 1
+    t.drop()
+    t2.drop()
+
+
+def test_merge_dml_insert_only_carries_bounds_hit_dirs(spark, nation):
+    """Scale posture: an insert-only MERGE (no matched clause) must NOT
+    rewrite a dir for containing a matched key — matched rows are
+    unchanged, so bounds-hit dirs are only READ for the anti-join and
+    carried by reference. audit.dirs_rewritten == 0."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_mrgdml_insonly_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name").filter("n_nationkey < 10"))
+    t.append(nation.select("n_nationkey", "n_name").filter("n_nationkey >= 10"))
+    dirs_before = t._read_meta(t.current_version())["dirs"]
+    spark.createDataFrame(
+        [(5, "EXISTS"), (777, "FRESH")], "n_nationkey int, n_name string"
+    ).createOrReplaceTempView("mrgdml_ins_src")
+    res = execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_insonly_unit USING mrgdml_ins_src s "
+        "ON t_mrgdml_insonly_unit.n_nationkey = s.n_nationkey "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert res["audit"]["dirs_rewritten"] == 0
+    assert res["audit"]["dirs_reused"] == len(dirs_before)
+    meta = t._read_meta(t.current_version())
+    assert all(d in meta["dirs"] for d in dirs_before), "dirs carried by ref"
+    rows = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    assert rows[777] == "FRESH"
+    assert rows[5] == nation.filter(F.col("n_nationkey") == 5).first().n_name
+    assert len(rows) == nation.count() + 1  # key 5 NOT duplicated
+    t.drop()
+
+
+def test_merge_dml_matched_only_update_does_not_insert(spark, nation):
+    """With no NOT MATCHED clause, unmatched source rows vanish."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_mrgdml_mo_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    spark.createDataFrame(
+        [(2, "two"), (555, "ghost")], "n_nationkey int, tag string"
+    ).createOrReplaceTempView("mrgdml_mo_src")
+    execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_mo_unit t USING mrgdml_mo_src s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET n_name = s.tag",
+    )
+    rows = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    assert rows[2] == "two" and 555 not in rows
+    assert len(rows) == nation.count()
+    t.drop()
+
+
+def test_merge_dml_subquery_source_and_errors(spark, nation):
+    """Subquery USING sources parse via spark.sql (alias required);
+    malformed statements fail with clear errors instead of silently
+    mis-merging."""
+    import pytest
+
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_mrgdml_err_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    nation.createOrReplaceTempView("mrgdml_nation_view")
+    execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_err_unit t USING "
+        "(SELECT n_nationkey, 'Q' AS tag FROM mrgdml_nation_view "
+        "WHERE n_nationkey = 4) s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET n_name = s.tag",
+    )
+    assert {r.n_name for r in t.read().filter("n_nationkey = 4").collect()} == {"Q"}
+
+    head = ("MERGE INTO t_mrgdml_err_unit t USING mrgdml_nation_view s ")
+    for stmt, msg in [
+        (head + "ON t.n_nationkey = s.n_nationkey "
+         "WHEN MATCHED AND s.n_regionkey = 1 THEN DELETE", "qualified WHEN"),
+        (head + "ON t.n_nationkey < s.n_nationkey "
+         "WHEN MATCHED THEN DELETE", "single key equality"),
+        (head + "ON t.n_nationkey = s.n_regionkey "
+         "WHEN MATCHED THEN DELETE", "SAME column name"),
+        (head + "ON x.n_nationkey = s.n_nationkey "
+         "WHEN MATCHED THEN DELETE", "unknown qualifier"),
+        (head + "ON t.n_nationkey = t.n_nationkey "
+         "WHEN MATCHED THEN DELETE", "not two of the same side"),
+        (head + "ON t.n_nationkey = s.n_nationkey "
+         "WHEN MATCHED THEN DELETE WHEN MATCHED THEN DELETE", "duplicate WHEN"),
+        (head + "ON t.n_nationkey = s.n_nationkey "
+         "WHEN NOT MATCHED THEN INSERT (n_nationkey) VALUES (s.a, s.b)",
+         "columns but"),
+        (head + "ON t.n_nationkey = s.n_nationkey", "at least one WHEN"),
+        ("MERGE INTO t_mrgdml_err_unit USING (SELECT 1 AS n_nationkey) "
+         "ON t_mrgdml_err_unit.n_nationkey = n_nationkey "
+         "WHEN MATCHED THEN DELETE", "requires an alias"),
+    ]:
+        with pytest.raises(ValueError, match=msg.replace("(", "\\(")):
+            execute_dml(spark, stmt)
+    with pytest.raises(ValueError, match="mor_key applies to DELETE"):
+        execute_dml(
+            spark,
+            head + "ON t.n_nationkey = s.n_nationkey WHEN MATCHED THEN DELETE",
+            mor_key="n_nationkey",
+        )
+    t.drop()
+
+
+def test_merge_dml_null_key_source_rows_insert(spark):
+    """SQL MERGE: NULL-key source rows match no target row — with an
+    INSERT clause they insert; matched semantics are untouched."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_mrgdml_null_unit")
+    t.drop()
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    spark.createDataFrame(
+        [(None, "nullrow"), (2, "B2")], "k int, v string"
+    ).createOrReplaceTempView("mrgdml_null_src")
+    execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_null_unit t USING mrgdml_null_src s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = sorted(((r.k, r.v) for r in t.read().collect()), key=repr)
+    assert rows == sorted([(1, "a"), (2, "B2"), (None, "nullrow")], key=repr)
     t.drop()
