@@ -238,22 +238,25 @@ def main() -> None:
 
     # ANN quality next to ANN speed: recall@5 of the approximate paths vs
     # the exact brute-force answer, so the approximate/exact tradeoff is
-    # auditable from the bench line alone (VERDICT r3 item 6).
-    recall: dict[str, float] = {}
+    # auditable from the bench line alone (VERDICT r3 item 6). r11: the
+    # probe now folds the FULL-CORPUS recall-audit histograms (every
+    # query), not the first-100-display-rows prefix the pre-r11 probe
+    # intersected — the prefix overstated recall (first rows = smallest
+    # query ids, which seed the IVF centroids and so probe their own
+    # cells). Cross-round note: r10 and earlier recall_at_5 values are
+    # prefix-scoped and NOT comparable to these.
+    recall: dict = {"scope": "full-corpus (pre-r11 rounds were a 100-row prefix)"}
     try:
-        exact = {
-            (r["query_id"], r["neighbor_id"])
-            for _, r in qs["knn_cosine_top5"](spark, sf_dir).toPandas().iterrows()
-        }
-        q_ids = {q for q, _ in exact}
-        if exact:
-            for approx_name in ("knn_cosine_lsh", "knn_cosine_ivf"):
-                approx = {
-                    (r["query_id"], r["neighbor_id"])
-                    for _, r in qs[approx_name](spark, sf_dir).toPandas().iterrows()
-                    if r["query_id"] in q_ids
-                }
-                recall[approx_name] = round(len(exact & approx) / len(exact), 4)
+        from empdia_iceberg_spark.operators.similarity import TOP_K
+
+        for approx_name, audit_name in (
+            ("knn_cosine_lsh", "knn_lsh_recall_audit"),
+            ("knn_cosine_ivf", "knn_ivf_recall_audit"),
+        ):
+            hist = qs[audit_name](spark, sf_dir).toPandas()
+            n_q = int(hist["n_queries"].sum())
+            hits = int((hist["n_hit"] * hist["n_queries"]).sum())
+            recall[approx_name] = round(hits / (TOP_K * n_q), 4)
     except Exception as exc:  # never let the quality probe kill the bench line
         recall = {"error": str(exc)[:200]}
 

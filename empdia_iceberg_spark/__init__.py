@@ -91,6 +91,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 _SWEEP_PRIORITY = [
     "table_merge_dml",  # NEW r11 (ask #2): SQL MERGE INTO via clause merge
     "table_delete_mor_dml",  # NEW r11 (ask #7): DML mor_key branch driver row
+    "knn_ivf_recall_audit",  # NEW r11 (ask #6): IVF recall as hash-checked value
+    "knn_lsh_recall_audit",  # NEW r11 (ask #6): LSH recall histogram (rows-only)
     "table_update_dml",  # r11-planned-changed
     "table_delete_dml",  # r11-planned-changed
     "table_hilbert_layout",  # r11-planned-changed
@@ -137,9 +139,9 @@ _SWEEP_PRIORITY = [
     "events_pit_dimension_join",  # stalest green (r5)
     "events_cohort_ltv",  # stalest green (r5)
     "events_time_to_convert",  # stalest green (r5)
-    "stream_stream_left_join",  # stalest green (r5)
-    "events_ewma16_user",  # stalest green (r5)
-    # -------- 50-slot window ends here (2 new + 11 changed + 37 stalest) ----------
+    # -------- 50-slot window ends here (4 new + 11 changed + 35 stalest) ----------
+    "stream_stream_left_join",  # stalest green (r5), displaced by r11 new
+    "events_ewma16_user",  # stalest green (r5), displaced by r11 new
     "orders_open_peak_monthly",  # stalest green (r5), displaced by r11 new
     "events_longest_streaks",  # stalest green (r5), displaced by r11 new
     "q1_pricing_agg",

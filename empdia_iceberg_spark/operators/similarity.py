@@ -327,16 +327,22 @@ def _topk_batches(
     "(cos DESC, id ASC) tie-break; first 100 rows by (query_id, rank).",
 )
 def knn_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _check_index_size(path_for(sf_dir, "embeddings"))  # fail fast on driver
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    out = emb.mapInPandas(
-        _topk_batches(path_for(sf_dir, "embeddings"), TOP_K),
-        schema="query_id long, neighbor_id long, cos_sim double, rank int",
-    )
+    out = _exact_topk_frame(spark, sf_dir)
     return (
         out.select("query_id", "neighbor_id", det_round(F.col("cos_sim"), 6).alias("cos_sim"), "rank")
         .orderBy("query_id", "rank")
         .limit(100)
+    )
+
+
+def _exact_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL brute-force exact top-k frame (every query, no output
+    limit) — the ground truth the recall audits join against."""
+    _check_index_size(path_for(sf_dir, "embeddings"))  # fail fast on driver
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInPandas(
+        _topk_batches(path_for(sf_dir, "embeddings"), TOP_K),
+        schema="query_id long, neighbor_id long, cos_sim double, rank int",
     )
 
 
@@ -455,6 +461,23 @@ def _lsh_sigs_udf(planes_per_table: int):
     "corpus size.",
 )
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _lsh_topk_frame(spark, sf_dir)
+    return (
+        out.select(
+            "query_id",
+            "neighbor_id",
+            det_round(F.col("cos_sim"), 6).alias("cos_sim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+        .limit(100)
+    )
+
+
+def _lsh_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL LSH approximate top-k frame (every query, no output
+    limit) — knn_cosine_lsh's plan minus the display limit, reused by
+    the recall audit."""
     from pyspark.sql import Window as W
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -515,12 +538,8 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", cos_udf("emb_a", "emb_b").alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", det_round(F.col("cos_sim"), 6).alias("cos_sim"), "rank")
-        .orderBy("query_id", "rank")
-        .limit(100)
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
     )
 
 
@@ -887,6 +906,23 @@ def _ivf_search_cell(cells_dir: str, k: int):
     "exact answer is re-measured every BENCH round.",
 )
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _ivf_topk_frame(spark, sf_dir)
+    return (
+        out.select(
+            "query_id",
+            "neighbor_id",
+            det_round(F.col("cos_sim"), 6).alias("cos_sim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+        .limit(100)
+    )
+
+
+def _ivf_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF approximate top-k frame (every query, no output
+    limit) — knn_cosine_ivf's plan minus the display limit, reused by
+    the recall audit."""
     from pyspark.sql import Window as W
 
     path = path_for(sf_dir, "embeddings")
@@ -912,17 +948,205 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="query_id long, neighbor_id long, cos_sim double",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            det_round(F.col("cos_sim"), 6).alias("cos_sim"),
-            "rank",
+    return cand.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+# --------------------------------------------------------- ANN recall audits
+
+
+def _ivf_recall_oracle_sql() -> str:
+    """DuckDB mirror of the ENTIRE IVF pipeline (VERDICT r10 ask #6) —
+    the same technique as the Hilbert CTE mirror, applied to k-means:
+    the centroid training is deterministic relational arithmetic
+    (id-smallest IVF_TRAIN_SAMPLE sample, first-IVF_CELLS init, then
+    _IVF_LLOYD_ITERS unrolled Lloyd iterations: argmax-cosine
+    assignment with the numpy first-max tie rule = row_number ORDER BY
+    dot DESC, cell ASC; normalized member-sum update; empty cells keep
+    their previous centroid), followed by full-corpus assignment,
+    nprobe cell selection, candidate ranking inside probed cells, and
+    the per-query overlap count against the exact brute-force top-k.
+    This turns the IVF path's recall into a HASH-CHECKED VALUE: any
+    drift in sharding, assignment, probing, or merge breaks the driver
+    compare, not just a bench field."""
+    parts = [
+        f"""e AS (
+        SELECT vec_id, CAST(v AS DOUBLE) AS v, dim FROM (
+            SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings)
+    ),
+    vnrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    en AS (
+        SELECT e.vec_id, e.dim, e.v / n.nrm AS v
+        FROM e JOIN vnrm n USING (vec_id)
+    ),
+    samp AS (
+        SELECT * FROM en WHERE vec_id IN (
+            SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {IVF_TRAIN_SAMPLE})
+    ),
+    c0 AS (
+        SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, dim, v
+        FROM samp WHERE vec_id IN (
+            SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS})
+    )"""
+    ]
+    for k in range(1, _IVF_LLOYD_ITERS + 1):
+        parts.append(
+            f"""dot{k} AS (
+        SELECT s.vec_id, c.cell, sum(s.v * c.v) AS dot
+        FROM samp s JOIN c{k - 1} c USING (dim)
+        GROUP BY s.vec_id, c.cell
+    ),
+    asg{k} AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+            FROM dot{k}) WHERE rn = 1
+    ),
+    sums{k} AS (
+        SELECT a.cell, s.dim, sum(s.v) AS sv
+        FROM samp s JOIN asg{k} a USING (vec_id)
+        GROUP BY a.cell, s.dim
+    ),
+    cn{k} AS (SELECT cell, sqrt(sum(sv * sv)) AS cnrm FROM sums{k} GROUP BY cell),
+    c{k} AS (
+        SELECT p.cell, p.dim,
+               CASE WHEN s.sv IS NULL THEN p.v ELSE s.sv / n.cnrm END AS v
+        FROM c{k - 1} p
+        LEFT JOIN sums{k} s ON s.cell = p.cell AND s.dim = p.dim
+        LEFT JOIN cn{k} n ON n.cell = p.cell
+    )"""
         )
-        .orderBy("query_id", "rank")
-        .limit(100)
+    parts.append(
+        f"""fdot AS (
+        SELECT en.vec_id, c.cell, sum(en.v * c.v) AS dot
+        FROM en JOIN c{_IVF_LLOYD_ITERS} c USING (dim)
+        GROUP BY en.vec_id, c.cell
+    ),
+    ranked_cells AS (
+        SELECT vec_id, cell,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+        FROM fdot
+    ),
+    fasg AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM ranked_cells WHERE rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN fasg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    ivf_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(
+                           qa.embedding::DOUBLE[], nb.embedding::DOUBLE[]) DESC,
+                       c.neighbor_id) AS rn
+            FROM cand c
+            JOIN embeddings qa ON qa.vec_id = c.query_id
+            JOIN embeddings nb ON nb.vec_id = c.neighbor_id)
+        WHERE rn <= {TOP_K}
+    ),
+    exact_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                       b.vec_id) AS rn
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        WHERE rn <= {TOP_K}
+    ),
+    hits AS (
+        SELECT e.query_id, CAST(count(i.neighbor_id) AS INT) AS n_hit
+        FROM exact_k e
+        LEFT JOIN ivf_k i
+          ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT n_hit, count(*) AS n_queries
+    FROM hits GROUP BY n_hit ORDER BY n_hit"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _recall_histogram(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query overlap of an approximate top-k against the exact
+    top-k, folded to a (n_hit, n_queries) histogram: sum(n_hit · n) /
+    (k · total) IS recall@k, as an exact integer-valued table instead
+    of a float bench field. Audit-shaped plan: both sides are ~k rows
+    per query; the overlap join shuffles on (query_id, neighbor_id)."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select(
+        F.col("query_id").alias("_aq"), F.col("neighbor_id").alias("_an")
+    )
+    per_q = (
+        e.join(
+            a,
+            (F.col("query_id") == F.col("_aq"))
+            & (F.col("neighbor_id") == F.col("_an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("_an").isNotNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_hit")
+        )
+    )
+    return (
+        per_q.groupBy("n_hit")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .orderBy("n_hit")
+    )
+
+
+@register(
+    "knn_ivf_recall_audit",
+    oracle=_ivf_recall_oracle_sql(),
+    doc="Recall@5 of the sharded IVF path as a HASH-CHECKED VALUE "
+    "(VERDICT r10 ask #6): per-query overlap counts between the real "
+    "IVF machinery (hive cell shards, nprobe=6 probing, per-cell "
+    "applyInPandas search, window merge) and the exact brute-force "
+    "top-5, folded to a (n_hit, n_queries) histogram. The DuckDB "
+    "oracle reproduces the ENTIRE deterministic IVF pipeline — "
+    "id-sample Lloyd centroids as unrolled relational CTEs (the "
+    "Hilbert-mirror technique), full-corpus assignment, probe "
+    "selection, candidate ranking — so sharding/assignment/probe/merge "
+    "drift all break the value compare, not just a bench field.",
+)
+def knn_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_histogram(
+        _exact_topk_frame(spark, sf_dir), _ivf_topk_frame(spark, sf_dir)
+    )
+
+
+@register(
+    "knn_lsh_recall_audit",
+    oracle=None,  # rows-only BY NECESSITY: the LSH planes come from
+    # numpy's PCG64 + ziggurat gaussian sampler, which no SQL engine
+    # reproduces — unlike IVF's id-seeded Lloyd arithmetic (see
+    # knn_ivf_recall_audit for the mirrored variant of this audit).
+    # The recall VALUE is still pinned by tests/test_scale_paths.py's
+    # recall floor and re-published every BENCH round.
+    doc="Recall@5 of the multi-probe LSH path against the exact "
+    "brute-force top-5, as the same (n_hit, n_queries) histogram as "
+    "knn_ivf_recall_audit. Rows-only: the random-hyperplane family is "
+    "drawn from numpy PCG64 (not SQL-reproducible), so the oracle "
+    "cannot mirror the bucketing the way it mirrors IVF's Lloyd "
+    "arithmetic; the histogram makes the approximation's quality an "
+    "auditable per-round artifact rather than a single float.",
+)
+def knn_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_histogram(
+        _exact_topk_frame(spark, sf_dir), _lsh_topk_frame(spark, sf_dir)
     )
 
 

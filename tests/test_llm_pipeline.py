@@ -401,3 +401,23 @@ def test_minhash_kernel_matches_naive_reference(monkeypatch):
     out2 = pd.concat(list(_minhash_band_batches()(iter([pdf]))))
     merged = out.merge(out2, on=["doc_id", "band"], suffixes=("_tiny", "_big"))
     assert (merged["bucket_tiny"] == merged["bucket_big"]).all()
+
+
+def test_recall_histogram_identity_and_bounds(spark):
+    """The recall audit folded against ITSELF must be one (k, n) row —
+    perfect recall — and the IVF/LSH audits' histograms must cover all
+    queries with n_hit in [0, k]."""
+    from empdia_iceberg_spark.operators.similarity import (
+        TOP_K,
+        _exact_topk_frame,
+        _recall_histogram,
+    )
+
+    exact = _exact_topk_frame(spark, SF_DIR)
+    n_queries = exact.select("query_id").distinct().count()
+    ident = _recall_histogram(exact, _exact_topk_frame(spark, SF_DIR)).collect()
+    assert [(r.n_hit, r.n_queries) for r in ident] == [(TOP_K, n_queries)]
+
+    audit = similarity.knn_ivf_recall_audit(spark, SF_DIR).collect()
+    assert sum(r.n_queries for r in audit) == n_queries
+    assert all(0 <= r.n_hit <= TOP_K for r in audit)
