@@ -140,6 +140,29 @@ _JACCARD_PAIRS_SQL = rf"""
 # ---------------------------------------------------------------- exact dedup
 
 
+# r11 (VERDICT r10 ask #4) — what the ×3000 (15M-doc) same-process
+# profile actually showed, versus what the weak-flag hypothesis said:
+#   scan+length sum            1.51 s   (pure read floor)
+#   xxhash64(8B) group-by      3.10 s   (cheap hash, same agg shape)
+#   sha256-hex    group-by     3.83 s
+#   sha256-BINARY group-by     3.05 s   -> 1.82x vs the 1.67 s oracle
+# The crypto hash costs ~0.3 s of 3.4; the residual is the hash
+# AGGREGATION itself (15M distinct keys: map-side combine buys nothing
+# on unique keys, and the shuffle carries the group key per row). The
+# r10 suggestion — pre-group on cheap (length, xxhash64) keys and
+# sha256 only multi-member groups — was built and measured: it LOSES
+# (5.11-5.19 s interleaved vs 3.61-3.74 single-pass) because the
+# second corpus scan it needs costs more than the sha256 it saves; a
+# group-by-raw-text shape loses too (4.53 s, text-wide shuffle). The
+# winning cut keeps ONE pass and halves the shuffled key instead:
+# group on the 32-BYTE BINARY digest (unhex) rather than the 64-char
+# hex string, rendering hex only for the ~|dup| output rows. This flag
+# exists for the committed A/B study twin (tools/scaling_study.py
+# `dedup_hexkey`), which times the pre-r11 hex-key plan on the same
+# files in the same process.
+EXACT_DEDUP_BINARY_KEY = True
+
+
 @register(
     "doc_exact_dedup",
     oracle="""
@@ -151,16 +174,33 @@ _JACCARD_PAIRS_SQL = rf"""
     HAVING count(*) > 1
     ORDER BY text_hash
     """,
-    doc="Exact dedup groups: sha256(text) group-by, duplicate groups only, "
-    "keep-min-id survivor (BASELINE.md doc_exact_dedup shape).",
+    doc="Exact dedup groups: sha256 group-by, duplicate groups only, "
+    "keep-min-id survivor (BASELINE.md doc_exact_dedup shape). The "
+    "group key is the 32-byte BINARY digest — half the shuffled bytes "
+    "of the 64-char hex string for the same exact semantics (unhex is "
+    "a bijection) — and hex renders only on the few duplicate-group "
+    "output rows. Measured at ×3000 (15M docs): 3.05 s vs 3.83 s for "
+    "the hex-key plan, 1.82× the single-node oracle — under the 2× "
+    "weak bar; see the module comment for the full shape A/B (the "
+    "r10-suggested cheap-key pre-group loses to its own second scan).",
 )
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One hash-shuffle; uniform key distribution ⇒ no skew at 100 TB."""
+    """One hash-shuffle; uniform 256-bit keys ⇒ no skew at 100 TB."""
     docs = load(spark, sf_dir, "documents")
+    if not EXACT_DEDUP_BINARY_KEY:  # pre-r11 hex-key plan (study A/B twin)
+        return (
+            docs.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+            .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+            .filter(F.col("n_dups") > 1)
+            .orderBy("text_hash")
+        )
     return (
-        docs.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+        docs.groupBy(F.unhex(F.sha2(F.col("text"), 256)).alias("_hb"))
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("n_dups") > 1)
+        .select(
+            F.lower(F.hex("_hb")).alias("text_hash"), "n_dups", "keep_id"
+        )
         .orderBy("text_hash")
     )
 

@@ -248,6 +248,47 @@ def _zorder_frame(spark: SparkSession, sf_dir: str):
     return _curve_frame(spark, sf_dir, lambda x, y: morton_spark(x, y))
 
 
+def curve_envelopes(
+    keyed: DataFrame,
+    z_col: str,
+    xcol: str,
+    ycol: str,
+    n_buckets: int,
+    tiebreaks: tuple[str, ...],
+) -> DataFrame:
+    """Generic clustering-quality report for ANY precomputed curve key:
+    order ``keyed`` globally by ``z_col`` (bucketed parallel numbering,
+    never a single-reducer window), cut into ``n_buckets`` ntile file
+    buckets, and emit each bucket's (min_x, max_x, min_y, max_y)
+    envelope plus row count — the statistics a lakehouse scan prunes
+    with. Shared by the registered zorder/hilbert queries and
+    tools/layout_quality_study.py's skip-rate measurements."""
+    numbered, n = bucketed_global_row_number(
+        keyed, z_col, tiebreaks=tiebreaks, out_col="_rn"
+    )
+    tiled = numbered.withColumn(
+        "file_bucket", ntile_from_row_number(F.col("_rn"), n, n_buckets)
+    )
+    return (
+        tiled.groupBy("file_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(xcol).cast("bigint").alias("min_x"),
+            F.max(xcol).cast("bigint").alias("max_x"),
+            F.min(ycol).cast("bigint").alias("min_y"),
+            F.max(ycol).cast("bigint").alias("max_y"),
+        )
+        .select(
+            F.col("file_bucket").cast("int").alias("file_bucket"),
+            "n_rows",
+            "min_x",
+            "max_x",
+            "min_y",
+            "max_y",
+        )
+    )
+
+
 def _curve_frame(spark: SparkSession, sf_dir: str, key_of):
     """Shared layout scaffolding for space-filling-curve clustering:
     rebase dims to their min, compute the curve key via ``key_of(x, y)``

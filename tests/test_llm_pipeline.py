@@ -421,3 +421,17 @@ def test_recall_histogram_identity_and_bounds(spark):
     audit = similarity.knn_ivf_recall_audit(spark, SF_DIR).collect()
     assert sum(r.n_queries for r in audit) == n_queries
     assert all(0 <= r.n_hit <= TOP_K for r in audit)
+
+
+def test_exact_dedup_binary_key_matches_hex_key(spark, monkeypatch):
+    """r11 (VERDICT ask #4): the 32-byte-binary-group-key plan must
+    return exactly the pre-r11 hex-string-key rows — unhex is a
+    bijection, so only shuffle width changes, never the groups. Runs
+    at sf0.1 — the only test SF whose documents contain exact
+    duplicates (8 groups); smaller fixtures would pass vacuously on
+    empty results."""
+    sf = "/root/testdata/sf0.1"
+    binary = dedup.doc_exact_dedup(spark, sf).collect()
+    monkeypatch.setattr(dedup, "EXACT_DEDUP_BINARY_KEY", False)
+    hexkey = dedup.doc_exact_dedup(spark, sf).collect()
+    assert binary == hexkey and binary, "key layouts must be value-identical"

@@ -27,6 +27,9 @@ Studies:
                 no bucketed twin — compare against the q3 study's
                 DuckDB column at the same scale.
 
+  dedup_hexkey  doc_exact_dedup with the pre-r11 hex-string group key
+                forced back ON — same process and files as `dedup`,
+                isolating what the 32-byte binary key buys
   minhash       doc_minhash_near_dup over documents ×k with WORD-level
                 replica salting (a bijection on words: within-replica
                 Jaccard structure exact, zero cross-replica shingles —
@@ -81,6 +84,7 @@ STUDY_TABLES = {
     "q3_bucketed": ["customer", "orders", "lineitem"],
     "q3_bucketed_part": ["customer", "orders", "lineitem"],
     "dedup": ["documents"],
+    "dedup_hexkey": ["documents"],
     "minhash": ["documents"],
     "minhash_direct": ["documents"],
     "clusters": ["documents"],
@@ -95,6 +99,7 @@ STUDY_QUERY = {
     "q3_bucketed": "q3_join3_topk",  # oracle + unbucketed twin source
     "q3_bucketed_part": "q3_join3_topk",  # + month-partitioned scan pruning
     "dedup": "doc_exact_dedup",
+    "dedup_hexkey": "doc_exact_dedup",  # hex-string group key forced (A/B)
     "minhash": "doc_minhash_near_dup",
     "minhash_direct": "doc_minhash_near_dup",  # verify gate forced OFF (A/B)
     "clusters": "doc_dedup_clusters",
@@ -106,6 +111,7 @@ STUDY_QUERY = {
 _DATASET_ALIAS = {
     "q3_bucketed": "q3",
     "q3_bucketed_part": "q3",
+    "dedup_hexkey": "dedup",
     "minhash": "neardup",
     "minhash_direct": "neardup",
     "clusters": "neardup",
@@ -421,6 +427,17 @@ def _study_variant(study: str):
             yield
         finally:
             dedup.CAND_RESTRICT_MIN_CORPUS_BYTES = old
+    elif study == "dedup_hexkey":
+        # r11: the pre-r11 hex-string group key forced back on — the
+        # 64-char-key plan, same process + files as `dedup`
+        from empdia_iceberg_spark.operators import dedup
+
+        old = dedup.EXACT_DEDUP_BINARY_KEY
+        dedup.EXACT_DEDUP_BINARY_KEY = False
+        try:
+            yield
+        finally:
+            dedup.EXACT_DEDUP_BINARY_KEY = old
     elif study == "profile_sim_nobroadcast":
         from empdia_iceberg_spark.operators import similarity
 
@@ -478,6 +495,7 @@ def run_study(
             "q3_bucketed",
             "q3_bucketed_part",
             "minhash_direct",
+            "dedup_hexkey",
             "profile_sim_nobroadcast",
         )
         and not spark_only
