@@ -166,8 +166,13 @@ def hilbert_sql_ctes(x: str, y: str, bits: int, src: str) -> tuple[str, str]:
     while s > 0:
         lvl += 1
         lines.append(
+            # the level weight is CAST to BIGINT: DuckDB parses a
+            # ≤2^30 literal as INT32, and INT32·3 overflows at the
+            # s=2^15 level the moment an input actually has that bit
+            # set (the registered orders dims never do — full-range
+            # grid inputs in tools/layout_quality_study.py did)
             f"h{lvl} AS (SELECT * EXCLUDE (_hx, _hy, _hd), "
-            f"_hd + {s * s} * (CASE WHEN (_hx & {s}) > 0 THEN "
+            f"_hd + CAST({s * s} AS BIGINT) * (CASE WHEN (_hx & {s}) > 0 THEN "
             f"(CASE WHEN (_hy & {s}) > 0 THEN 2 ELSE 3 END) ELSE "
             f"(CASE WHEN (_hy & {s}) > 0 THEN 1 ELSE 0 END) END) AS _hd, "
             f"CASE WHEN (_hy & {s}) = 0 THEN (CASE WHEN (_hx & {s}) > 0 "
@@ -389,11 +394,16 @@ _H_CTES, _H_LAST = hilbert_sql_ctes(
     "(hilbert_spark, Arrow-batched numpy kernel — see its docstring "
     "for why the 21-level stateful bit recurrence cannot be a Catalyst "
     "expression tree). Hilbert preserves locality strictly better than "
-    "Morton at quadrant boundaries (no long diagonal jumps), so file "
-    "envelopes stay tighter under skewed dimension distributions — "
-    "the OPTIMIZE ... ZORDER/HILBERT pair lakehouse engines expose. "
-    "The DuckDB oracle reproduces the exact recurrence as one chained "
-    "CTE per bit level.",
+    "Morton at quadrant boundaries (no long diagonal jumps) — "
+    "QUANTIFIED in tools/layout_quality_study.py (r11, every envelope "
+    "value-checked vs the oracle): on ×10/×100 orders with 64 file "
+    "buckets, Hilbert envelopes cover 1.9× less area than Morton's on "
+    "uniform dims (0.0174 vs 0.0328 of the domain) and 1.7× less "
+    "under a quadratic x-skew (0.0222 vs 0.0387), and selective 2-D "
+    "probes touch ~45%% fewer buckets (skip 0.982 vs 0.968). The "
+    "OPTIMIZE ... ZORDER/HILBERT pair lakehouse engines expose. The "
+    "DuckDB oracle reproduces the exact recurrence as one chained CTE "
+    "per bit level.",
 )
 def table_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed, out = _hilbert_frame(spark, sf_dir)

@@ -540,3 +540,21 @@ def test_hilbert_sql_mirror_matches_kernel_on_edges(spark):
     duck_d = dict(con.execute(f"WITH {ctes} SELECT id, _hd FROM {last}").fetchall())
     con.close()
     assert duck_d == spark_d, f"mirror diverges: {duck_d} vs {spark_d}"
+
+    # full-range bits=21 coordinates: the level weight s*s at s=2^15 is
+    # 2^30 — an INT32 literal in DuckDB — and multiplying it by the
+    # quadrant CASE overflowed INT32 the moment an input had high bits
+    # set (the registered orders dims never do; the layout-quality
+    # study's grid coords did). Regression for the CAST(... AS BIGINT).
+    n21 = 1 << 21
+    pts21 = [(0, n21 - 1, n21 - 1), (1, n21 // 2 + 5, n21 // 3), (2, 0, n21 - 1)]
+    sdf21 = spark.createDataFrame(pts21, "id long, x long, y long").select(
+        "id", hilbert_spark(F.col("x"), F.col("y"), bits=21).alias("d")
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (id BIGINT, x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?, ?)", pts21)
+    ctes21, last21 = hilbert_sql_ctes("x", "y", 21, "pts")
+    duck21 = dict(con.execute(f"WITH {ctes21} SELECT id, _hd FROM {last21}").fetchall())
+    con.close()
+    assert duck21 == {r.id: r.d for r in sdf21.collect()}
