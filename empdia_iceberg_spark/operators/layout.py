@@ -329,29 +329,15 @@ def _curve_frame(spark: SparkSession, sf_dir: str, key_of):
         )
         .persist()
     )
-    numbered, n = bucketed_global_row_number(
-        keyed, "z", tiebreaks=("o_orderkey",), out_col="_rn"
-    )
-    tiled = numbered.withColumn(
-        "file_bucket", ntile_from_row_number(F.col("_rn"), n, Z_FILES)
-    )
-    out = (
-        tiled.groupBy("file_bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.min("o_custkey").cast("bigint").alias("min_custkey"),
-            F.max("o_custkey").cast("bigint").alias("max_custkey"),
-            F.min("odays").cast("bigint").alias("min_odays"),
-            F.max("odays").cast("bigint").alias("max_odays"),
-        )
-        .select(
-            F.col("file_bucket").cast("int").alias("file_bucket"),
-            "n_rows",
-            "min_custkey",
-            "max_custkey",
-            "min_odays",
-            "max_odays",
-        )
+    out = curve_envelopes(
+        keyed, "z", "o_custkey", "odays", Z_FILES, ("o_orderkey",)
+    ).select(
+        "file_bucket",
+        "n_rows",
+        F.col("min_x").alias("min_custkey"),
+        F.col("max_x").alias("max_custkey"),
+        F.col("min_y").alias("min_odays"),
+        F.col("max_y").alias("max_odays"),
     )
     return keyed, out
 
