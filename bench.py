@@ -265,12 +265,15 @@ def main() -> None:
     # anchor swung 0.926→0.67, and nothing in the record let a reader
     # separate machine from engine. Two fields fix that: (1)
     # queries_adjusted divides every wall time by this run's anchor
-    # ratio (fixed-work machine-speed factor), making cross-round
-    # comparisons machine-normalized; (2) any query whose ADJUSTED time
+    # ratio — context for cross-round reading, NOT the flag: the anchor
+    # measures only the fixed plan/schedule floor, and the r10→r11 pair
+    # shows floor and bulk throughput can ANTI-correlate (r10: anchor
+    # 0.67 yet raw walls ~25% higher across the board), so dividing
+    # whole walls by it over-corrects; (2) any query whose RAW time
     # moved >25% vs the latest committed BENCH_r*.json is re-timed in
-    # THIS process (interleaved best-of-2) — a reading that does not
+    # THIS process (best-of-2, fresh plans) — a reading that does not
     # reproduce within 15% is marked transient (scheduler/page-cache
-    # blip), one that does is a real engine/plan move on this machine.
+    # blip), one that does is a real move on this machine this round.
     ratio = anchor["ratio_vs_ref"] or 1.0
     queries_adjusted = {q: round(v / ratio, 4) for q, v in timings.items()}
     adjudication: dict = {}
@@ -297,7 +300,7 @@ def main() -> None:
                 if q not in p_q:
                     continue  # new query this round: nothing to adjudicate
                 prior_adj = p_q[q] / p_ratio
-                move = now_adj / prior_adj if prior_adj else 1.0
+                move = timings[q] / p_q[q] if p_q[q] else 1.0
                 if 0.8 <= move <= 1.25:
                     continue
                 best = float("inf")

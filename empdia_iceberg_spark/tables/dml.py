@@ -118,15 +118,28 @@ def _split_where(s: str) -> tuple[str, str | None]:
     return _split_at_keyword(s, "WHERE")
 
 
-def _split_all_keyword(s: str, kw: str) -> list[str]:
-    """All top-level ``kw``-separated segments of ``s`` (the text BEFORE
-    the first ``kw`` is segment 0, possibly empty)."""
-    segs = []
-    rest: str | None = s
-    while rest is not None:
-        before, rest = _split_at_keyword(rest, kw)
-        segs.append(before)
-    return segs
+def _split_merge_clauses(s: str) -> list[str]:
+    """Split ``ON <cond> WHEN ... WHEN ...`` at top-level clause
+    boundaries ONLY — a WHEN that starts a ``WHEN [NOT] MATCHED``
+    clause. A bare top-level ``CASE WHEN ... END`` inside a SET
+    assignment or INSERT VALUES expression must NOT split (parens don't
+    protect it: ``SET v = CASE WHEN s.a > 0 THEN 1 ELSE 0 END`` is
+    legal Spark SQL at depth 0)."""
+    segs: list[str] = [""]
+    rest = s
+    while True:
+        before, after = _split_at_keyword(rest, "WHEN")
+        if after is None:
+            segs[-1] = f"{segs[-1]} {before}".strip()
+            return segs
+        if re.match(r"^(NOT\s+)?MATCHED\b", after, re.IGNORECASE):
+            segs[-1] = f"{segs[-1]} {before}".strip()
+            segs.append("")  # a real clause boundary: start a new segment
+        else:
+            # expression-level WHEN (CASE WHEN): glue the keyword back
+            # into the current segment and keep scanning
+            segs[-1] = f"{segs[-1]} {before} WHEN".strip()
+        rest = after
 
 
 def _parse_assignments(set_clause: str) -> dict[str, str]:
@@ -284,7 +297,7 @@ def _execute_merge(
     src_part, on_rest = _split_at_keyword(rest.rstrip().rstrip(";"), "ON")
     if on_rest is None:
         raise ValueError("MERGE requires an ON clause")
-    when_segs = _split_all_keyword(on_rest, "WHEN")
+    when_segs = _split_merge_clauses(on_rest)
     cond = when_segs[0]
     if len(when_segs) < 2:
         raise ValueError("MERGE requires at least one WHEN clause")

@@ -1654,3 +1654,30 @@ def test_merge_dml_null_key_source_rows_insert(spark):
     rows = sorted(((r.k, r.v) for r in t.read().collect()), key=repr)
     assert rows == sorted([(1, "a"), (2, "B2"), (None, "nullrow")], key=repr)
     t.drop()
+
+
+def test_merge_dml_case_when_in_assignments_does_not_split_clauses(spark, nation):
+    """A top-level CASE WHEN inside a SET assignment or INSERT VALUES
+    expression is legal Spark SQL at paren depth 0 — the clause scanner
+    must only split at WHEN [NOT] MATCHED boundaries, not at
+    expression-level WHENs."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_mrgdml_case_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name", "n_regionkey"))
+    spark.createDataFrame(
+        [(0, 5), (999, -1)], "n_nationkey int, sig int"
+    ).createOrReplaceTempView("mrgdml_case_src")
+    execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_case_unit t USING mrgdml_case_src s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET "
+        "n_regionkey = CASE WHEN s.sig > 0 THEN 100 ELSE 200 END "
+        "WHEN NOT MATCHED THEN INSERT (n_nationkey, n_regionkey) "
+        "VALUES (s.n_nationkey, CASE WHEN s.sig > 0 THEN 1 ELSE 2 END)",
+    )
+    rows = {r.n_nationkey: r.n_regionkey for r in t.read().collect()}
+    assert rows[0] == 100 and rows[999] == 2
+    t.drop()
