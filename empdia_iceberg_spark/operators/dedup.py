@@ -513,7 +513,7 @@ def minhash_band_rows(shingled: DataFrame) -> DataFrame:
 # corpus degrade PREDICTABLY — the id-smallest 65,536 members keep all
 # their pairs (the group stays connected for clustering, and 2·10⁹
 # candidate pairs from one group is already beyond any useful verify)
-# and the drop is counted in LAST_LSH_DROPS — instead of failing inside
+# and the drop is counted via LAST_LSH_OBSERVATION — instead of failing inside
 # the aggregation buffer. Kept members are id-smallest, so the output
 # stays deterministic. 64k longs ≈ 0.5 MB per row post-slice; the
 # collect_list buffer itself still holds the full group once (one pass
@@ -545,7 +545,7 @@ def lsh_candidates(shingled: DataFrame) -> DataFrame:
     once and shuffles each band row once.
 
     Heavy-hitter buckets are capped at LSH_BUCKET_ID_CAP id-smallest
-    members with the drop counted in LAST_LSH_DROPS (see the cap's
+    members with the drop counted via LAST_LSH_OBSERVATION (see the cap's
     comment for the degradation contract)."""
     import uuid
 

@@ -81,14 +81,15 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _split_at_keyword(s: str, kw: str) -> tuple[str, str | None]:
-    """Split ``s`` at the first TOP-LEVEL occurrence of keyword ``kw`` —
-    outside quotes and parens, on word boundaries — returning
-    (before, after) or (s, None). A quote-blind regex split broke valid
-    statements whose string literals contain the keyword."""
+def _find_keyword(s: str, kw: str, start: int = 0) -> int:
+    """Index of the first TOP-LEVEL occurrence of keyword ``kw`` at or
+    after ``start`` — outside quotes and parens, on word boundaries —
+    or -1. The primitive under _split_at_keyword and the CASE/END
+    nesting tracker (which must distinguish 'keyword at end of string'
+    from 'not found' — an empty remainder is a real occurrence)."""
     depth, quote = 0, None
     k = len(kw)
-    i, n = 0, len(s)
+    i, n = start, len(s)
     while i < n:
         ch = s[i]
         if quote:
@@ -109,35 +110,74 @@ def _split_at_keyword(s: str, kw: str) -> tuple[str, str | None]:
             and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
             and (i + k >= n or not (s[i + k].isalnum() or s[i + k] == "_"))
         ):
-            return s[:i].strip(), s[i + k :].strip() or None
+            return i
         i += 1
-    return s.strip(), None
+    return -1
+
+
+def _split_at_keyword(s: str, kw: str) -> tuple[str, str | None]:
+    """Split ``s`` at the first TOP-LEVEL occurrence of keyword ``kw`` —
+    outside quotes and parens, on word boundaries — returning
+    (before, after) or (s, None). A quote-blind regex split broke valid
+    statements whose string literals contain the keyword. NOTE: an
+    occurrence with an EMPTY remainder also returns after=None (a bare
+    trailing WHERE means 'no WHERE clause'); keyword COUNTING must use
+    _find_keyword instead."""
+    i = _find_keyword(s, kw)
+    if i < 0:
+        return s.strip(), None
+    return s[:i].strip(), s[i + len(kw) :].strip() or None
 
 
 def _split_where(s: str) -> tuple[str, str | None]:
     return _split_at_keyword(s, "WHERE")
 
 
+def _case_depth_delta(s: str) -> int:
+    """Net CASE-expression nesting change across ``s``: +1 per
+    top-level CASE keyword, -1 per END (quote/paren-aware, word
+    boundaries). Used to tell clause-level WHEN from expression-level
+    WHEN, which can only legally occur inside CASE ... END."""
+    depth, i = 0, 0
+    while True:
+        pos_c = _find_keyword(s, "CASE", i)
+        pos_e = _find_keyword(s, "END", i)
+        if pos_c < 0 and pos_e < 0:
+            return depth
+        if pos_e < 0 or (0 <= pos_c < pos_e):
+            depth += 1
+            i = pos_c + 4
+        else:
+            depth -= 1
+            i = pos_e + 3
+
+
 def _split_merge_clauses(s: str) -> list[str]:
     """Split ``ON <cond> WHEN ... WHEN ...`` at top-level clause
     boundaries ONLY — a WHEN that starts a ``WHEN [NOT] MATCHED``
-    clause. A bare top-level ``CASE WHEN ... END`` inside a SET
-    assignment or INSERT VALUES expression must NOT split (parens don't
-    protect it: ``SET v = CASE WHEN s.a > 0 THEN 1 ELSE 0 END`` is
-    legal Spark SQL at depth 0)."""
+    clause OUTSIDE any CASE ... END expression. Parens don't protect
+    expression-level WHENs (``SET v = CASE WHEN s.a > 0 THEN 1 ELSE 0
+    END`` is legal Spark SQL at depth 0), and the MATCHED lookahead
+    alone is not enough either — ``CASE WHEN matched THEN 1`` with a
+    column literally named `matched` would fake a boundary — so the
+    scanner tracks CASE/END nesting and splits only at CASE-depth 0."""
     segs: list[str] = [""]
+    case_depth = 0
     rest = s
     while True:
         before, after = _split_at_keyword(rest, "WHEN")
         if after is None:
             segs[-1] = f"{segs[-1]} {before}".strip()
             return segs
-        if re.match(r"^(NOT\s+)?MATCHED\b", after, re.IGNORECASE):
+        case_depth += _case_depth_delta(before)
+        if case_depth == 0 and re.match(
+            r"^(NOT\s+)?MATCHED\b", after, re.IGNORECASE
+        ):
             segs[-1] = f"{segs[-1]} {before}".strip()
             segs.append("")  # a real clause boundary: start a new segment
         else:
-            # expression-level WHEN (CASE WHEN): glue the keyword back
-            # into the current segment and keep scanning
+            # expression-level WHEN (inside CASE ... END): glue the
+            # keyword back into the current segment and keep scanning
             segs[-1] = f"{segs[-1]} {before} WHEN".strip()
         rest = after
 
@@ -155,6 +195,29 @@ def _parse_assignments(set_clause: str) -> dict[str, str]:
     if not out:
         raise ValueError("UPDATE statement has an empty SET clause")
     return out
+
+
+def _parse_merge_assignments(set_clause: str) -> tuple[dict, dict]:
+    """SET assignments for MERGE: the target may be qualified with the
+    target table/alias (``SET t.col = ...`` — the canonical
+    Spark/Iceberg MERGE form). Returns ({col: rhs}, {col: qualifier});
+    qualifier validation is the statement parser's job (it knows the
+    aliases)."""
+    out: dict[str, str] = {}
+    quals: dict[str, str] = {}
+    for item in _split_top_level(set_clause):
+        m = re.match(r"^\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*(.+)$", item, re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse MERGE SET assignment: {item!r}")
+        qual, col, rhs = m.group(1), m.group(2), m.group(3).strip()
+        if col in out:
+            raise ValueError(f"column {col!r} assigned twice in SET clause")
+        out[col] = rhs
+        if qual is not None:
+            quals[col] = qual
+    if not out:
+        raise ValueError("MERGE UPDATE has an empty SET clause")
+    return out, quals
 
 
 # Optional target alias must not swallow the USING keyword.
@@ -204,10 +267,21 @@ def _resolve_merge_source(spark: SparkSession, src_part: str, root: str):
     if not m:
         raise ValueError(f"MERGE USING: cannot parse source {src_part[:60]!r}")
     name, alias = m.group(1), m.group(2) or m.group(1)
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.table(name), alias
-    except Exception:
-        return SnapshotTable(spark, name, root).read(), alias
+    except AnalysisException:
+        # not a temp view / catalog table: try the snapshot-table
+        # namespace, and say so clearly when that misses too (a typo'd
+        # USING name must not surface as a cryptic missing-meta error)
+        t = SnapshotTable(spark, name, root)
+        if t.current_version() is None:
+            raise ValueError(
+                f"MERGE USING: unknown source {name!r} (no temp view, "
+                f"catalog table, or snapshot table by that name)"
+            )
+        return t.read(), alias
 
 
 def _merge_key(cond: str, target: str, t_alias: str | None, s_alias: str) -> str:
@@ -260,8 +334,11 @@ def _parse_when_clause(text: str) -> tuple[str, dict]:
     m = re.match(r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+)$", t, re.IGNORECASE | re.DOTALL)
     if m:
         body = m.group(1).strip().rstrip(";").strip()
-        set_spec = "*" if body == "*" else _parse_assignments(body)
-        return "matched", {"action": "update", "set": set_spec}
+        if body == "*":
+            return "matched", {"action": "update", "set": "*"}
+        set_spec, set_quals = _parse_merge_assignments(body)
+        return "matched", {"action": "update", "set": set_spec,
+                           "set_quals": set_quals}
     if re.match(r"^MATCHED\s+THEN\s+DELETE\s*;?\s*$", t, re.IGNORECASE):
         return "matched", {"action": "delete"}
     if re.match(r"^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$", t, re.IGNORECASE):
@@ -309,11 +386,20 @@ def _execute_merge(
         "target_alias": t_alias or target,
         "source_alias": s_alias,
     }
+    t_names = {target.lower(), (t_alias or target).lower()}
     for seg in when_segs[1:]:
         kind, spec = _parse_when_clause(seg)
         if clauses[kind] is not None:
             raise ValueError(f"duplicate WHEN {'NOT ' if kind == 'not_matched' else ''}"
                              "MATCHED clause")
+        for col, qual in spec.pop("set_quals", {}).items():
+            # qualified SET targets (SET t.col = ...) must name the
+            # TARGET; assigning into the source is not a thing
+            if qual.lower() not in t_names:
+                raise ValueError(
+                    f"MERGE UPDATE SET target {qual}.{col} does not name "
+                    f"the target table (expected one of {sorted(t_names)})"
+                )
         clauses[kind] = spec
     t = SnapshotTable(spark, target, root)
     version, audit = t.merge(source_df, key, clauses=clauses)

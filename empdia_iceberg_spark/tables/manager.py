@@ -572,6 +572,23 @@ class SnapshotTable:
                 meta = self._read_meta(cur)
                 deletes = meta.get("delete_dirs", [])
                 spec = meta.get("spec", [])
+                # canonicalize the key to the TABLE schema's spelling:
+                # Spark resolves column references case-insensitively,
+                # but Python-side schema[...] lookups and the envelope
+                # cache key by exact string
+                tbl_by_lower = {
+                    f.name.lower(): f.name
+                    for f in T.StructType.fromJson(
+                        json.loads(meta["schema"])
+                    ).fields
+                }
+                key_c = tbl_by_lower.get(key.lower())
+                if key_c is None:
+                    raise ValueError(
+                        f"table {self.name}: MERGE key {key!r} is not a "
+                        "table column"
+                    )
+                key = key_c
                 needs_aligned = clauses is None or (
                     (clauses.get("matched") or {}).get("set") == "*"
                     or (
@@ -582,7 +599,11 @@ class SnapshotTable:
                 if needs_aligned:
                     aligned = self._align_source_to_schema(source, meta["schema"])
                 else:
-                    if key not in source.columns:
+                    # case-INSENSITIVE membership (Spark's own resolution
+                    # is case-insensitive by default, so `ON t.C_K = s.C_K`
+                    # against a lowercase column is a valid statement;
+                    # only this Python-side check was case-sensitive)
+                    if key.lower() not in {c.lower() for c in source.columns}:
                         raise ValueError(
                             f"table {self.name}: MERGE source lacks the key "
                             f"column {key!r}"
@@ -683,6 +704,42 @@ class SnapshotTable:
                 )
         return source.select(*cols)
 
+    # Clause-expression assignability: the engine's safe widenings plus
+    # the ANSI store-assignment numeric upcasts SQL users expect for
+    # literals and arithmetic (1 into a double column), plus untyped
+    # NULL. Anything else raises, mirroring _align_source_to_schema —
+    # an unconditional cast here silently wrote NULL/overflow values
+    # where the aligned *-forms raise (r11 review).
+    _INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+    def _conform_clause_types(
+        self, df: DataFrame, ttypes: dict, what: str
+    ) -> DataFrame:
+        """Conform an analyzed clause projection to the table types:
+        identical passes, safe/ANSI-upcast coercions cast, anything
+        else raises. Plan-only (schema analysis, no job)."""
+        cols, changed = [], False
+        for name, stype in df.dtypes:
+            ttype = ttypes[name].simpleString()
+            ok_cast = (
+                (stype, ttype) in self._SAFE_WIDENINGS
+                or (stype in self._INTEGRAL_TYPES and ttype in ("float", "double"))
+                or stype == "void"  # untyped NULL literal
+            )
+            if stype == ttype:
+                cols.append(F.col(name))
+            elif ok_cast:
+                cols.append(F.col(name).cast(ttype).alias(name))
+                changed = True
+            else:
+                raise ValueError(
+                    f"table {self.name}: {what} expression for column "
+                    f"{name!r} has type {stype}, not assignable to table "
+                    f"type {ttype} (only safe widenings and ANSI numeric "
+                    "upcasts are coerced; cast explicitly to force)"
+                )
+        return df.select(*cols) if changed else df
+
     def _merge_impl(
         self,
         source: DataFrame,
@@ -778,7 +835,13 @@ class SnapshotTable:
         # dirs that actually contain a source key.
         hit: set[str] = set()
         if candidates:
-            kt = source.schema[key].dataType
+            # case-insensitive field lookup: the key is canonicalized to
+            # the TABLE spelling, which may differ from the source's
+            kt = next(
+                f.dataType
+                for f in source.schema.fields
+                if f.name.lower() == key.lower()
+            )
             bounds = self.spark.createDataFrame(
                 candidates,
                 T.StructType(
@@ -838,7 +901,25 @@ class SnapshotTable:
                     "dirs_rewritten": 0,
                     "dirs_reused": len(meta["dirs"]),
                 }
+        # Pure-insert writes (nothing rewritten) can turn out EMPTY —
+        # every source key already matched — which must be a no-op, not
+        # a committed snapshot carrying a zero-row dir. An Observation
+        # on the write detects it for free (no extra counting job);
+        # rewriting branches never take this path (their output
+        # legitimately may be empty, e.g. a DELETE of a whole file).
+        obs = None
+        if clauses is not None and not touched:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"merge_ins_{uuid.uuid4().hex[:8]}")
+            merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
         d_new = self._write_data(merged, spec)
+        if obs is not None and obs.get["n"] == 0:
+            shutil.rmtree(d_new, ignore_errors=True)
+            return cur, {
+                "dirs_rewritten": 0,
+                "dirs_reused": len(meta["dirs"]),
+            }
         # Every delete-applicable dir was force-touched, so no surviving
         # delete file applies to any dir in the new snapshot.
         # Snapshot schema: when dirs are carried by reference the snapshot
@@ -907,6 +988,26 @@ class SnapshotTable:
         ttypes = {f.name: f.dataType for f in schema.fields}
         tcols = [f.name for f in schema.fields]
 
+        # Statement validation runs UNCONDITIONALLY — before r11's
+        # review pass the unknown-column check sat inside the
+        # bounds-hit branch, so the same typo'd statement raised or
+        # silently succeeded depending on which dirs the source keys
+        # happened to envelope (data-dependent validation).
+        if m is not None and m["action"] == "update" and m["set"] != "*":
+            unknown = sorted(set(m["set"]) - set(tcols))
+            if unknown:
+                raise ValueError(
+                    f"table {self.name}: MERGE UPDATE assigns unknown "
+                    f"column(s) {unknown}"
+                )
+        if nm is not None and nm.get("cols") is not None:
+            unknown = sorted(set(nm["cols"]) - set(tcols))
+            if unknown:
+                raise ValueError(
+                    f"table {self.name}: MERGE INSERT targets unknown "
+                    f"column(s) {unknown}"
+                )
+
         pieces: list[DataFrame] = []
         target_read = (
             self._read_dirs_mor(meta, read_dirs) if read_dirs else None
@@ -915,7 +1016,13 @@ class SnapshotTable:
             # read set == rewrite set whenever a matched clause exists;
             # insert-only merges rewrite only must_touch dirs (their
             # rows pass through unchanged — the rewrite exists to fold
-            # MOR deletes in, not to touch matched rows)
+            # MOR deletes in, not to touch matched rows). In that rare
+            # combination (insert-only + MOR deletes + bounds hits) the
+            # must_touch dirs are referenced by two plan branches
+            # (passthrough piece + the anti-join's target side) and so
+            # scan twice; deduplicating would need a persist or an
+            # input_file_name split for a path that is one compaction
+            # away from not existing — accepted.
             target_rw = (
                 target_read
                 if read_dirs == touched
@@ -935,12 +1042,6 @@ class SnapshotTable:
                         )
                     )
                 elif m["action"] == "update":
-                    unknown = sorted(set(m["set"]) - set(tcols))
-                    if unknown:
-                        raise ValueError(
-                            f"table {self.name}: MERGE UPDATE assigns "
-                            f"unknown column(s) {unknown}"
-                        )
                     j = target_rw.alias(t_a).join(
                         source.alias(s_a),
                         F.col(f"{t_a}.{key}") == F.col(f"{s_a}.{key}"),
@@ -948,13 +1049,17 @@ class SnapshotTable:
                     )
                     proj = [
                         (
-                            F.expr(m["set"][c]).cast(ttypes[c])
+                            F.expr(m["set"][c])
                             if c in m["set"]
                             else F.col(f"{t_a}.{c}")
                         ).alias(c)
                         for c in tcols
                     ]
-                    pieces.append(j.select(*proj))
+                    pieces.append(
+                        self._conform_clause_types(
+                            j.select(*proj), ttypes, "MERGE UPDATE SET"
+                        )
+                    )
                 # action == "delete": matched rows contribute nothing
         if nm is not None:
             ins = (
@@ -965,23 +1070,20 @@ class SnapshotTable:
             if nm.get("cols") is None:
                 pieces.append(ins)  # INSERT *: source aligned by merge()
             else:
-                cols, vals = list(nm["cols"]), list(nm["vals"])
-                unknown = sorted(set(cols) - set(tcols))
-                if unknown:
-                    raise ValueError(
-                        f"table {self.name}: MERGE INSERT targets unknown "
-                        f"column(s) {unknown}"
-                    )
-                by_col = dict(zip(cols, vals))
+                by_col = dict(zip(nm["cols"], nm["vals"]))
                 proj = [
                     (
-                        F.expr(by_col[c]).cast(ttypes[c])
+                        F.expr(by_col[c])
                         if c in by_col
                         else F.lit(None).cast(ttypes[c])
                     ).alias(c)
                     for c in tcols
                 ]
-                pieces.append(ins.alias(s_a).select(*proj))
+                pieces.append(
+                    self._conform_clause_types(
+                        ins.alias(s_a).select(*proj), ttypes, "MERGE INSERT"
+                    )
+                )
         if not pieces:
             return None
         out = pieces[0]

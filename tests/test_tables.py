@@ -1681,3 +1681,115 @@ def test_merge_dml_case_when_in_assignments_does_not_split_clauses(spark, nation
     rows = {r.n_nationkey: r.n_regionkey for r in t.read().collect()}
     assert rows[0] == 100 and rows[999] == 2
     t.drop()
+
+
+def test_merge_dml_review_hardening(spark, nation):
+    """r11 review batch: (1) qualified SET targets (SET t.col = ...) —
+    the canonical Spark/Iceberg form — parse, and a source-qualified
+    target raises; (2) clause expressions are type-GUARDED like the
+    aligned path (string into int raises; int literal into double
+    coerces as ANSI store assignment); (3) statement validation is
+    data-INDEPENDENT (unknown SET column raises even when no source key
+    matches any dir); (4) an insert-only merge whose source fully
+    matches is a version-preserving no-op, not an empty-dir snapshot;
+    (5) the ON key resolves case-insensitively like Spark itself;
+    (6) a typo'd USING name says 'unknown source'."""
+    import pytest
+
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_mrgdml_hard_unit")
+    t.drop()
+    t.create(
+        nation.select(
+            "n_nationkey",
+            "n_name",
+            F.col("n_regionkey").cast("double").alias("score"),
+        )
+    )
+    spark.createDataFrame(
+        [(1, "one", 7), (666, "new", 3)], "n_nationkey int, tag string, iv int"
+    ).createOrReplaceTempView("mrgdml_hard_src")
+    head = (
+        "MERGE INTO t_mrgdml_hard_unit t USING mrgdml_hard_src s "
+        "ON t.N_NATIONKEY = s.n_nationkey "  # (5) mixed-case key
+    )
+    # (1)+(2): qualified target + int literal -> double coercion
+    execute_dml(
+        spark,
+        head + "WHEN MATCHED THEN UPDATE SET t.score = s.iv, "
+        "t.n_name = concat(t.n_name, '_', s.tag)",
+    )
+    rows = {r.n_nationkey: (r.n_name, r.score) for r in t.read().collect()}
+    assert rows[1][0].endswith("_one") and rows[1][1] == 7.0
+    with pytest.raises(ValueError, match="does not name the target"):
+        execute_dml(spark, head + "WHEN MATCHED THEN UPDATE SET s.tag = 'x'")
+    # (2) string into int must raise, not silently NULL
+    with pytest.raises(ValueError, match="not assignable"):
+        execute_dml(
+            spark, head + "WHEN MATCHED THEN UPDATE SET n_nationkey = s.tag"
+        )
+    with pytest.raises(ValueError, match="not assignable"):
+        execute_dml(
+            spark,
+            head + "WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name) "
+            "VALUES (s.tag, s.tag)",
+        )
+    # (3) unknown column raises with a source that matches NOTHING
+    spark.createDataFrame(
+        [(99999, "ghost", 0)], "n_nationkey int, tag string, iv int"
+    ).createOrReplaceTempView("mrgdml_hard_miss")
+    with pytest.raises(ValueError, match="unknown column"):
+        execute_dml(
+            spark,
+            "MERGE INTO t_mrgdml_hard_unit t USING mrgdml_hard_miss s "
+            "ON t.n_nationkey = s.n_nationkey "
+            "WHEN MATCHED THEN UPDATE SET tpyo_col = 1 "
+            "WHEN NOT MATCHED THEN INSERT (n_nationkey) VALUES (s.n_nationkey)",
+        )
+    # (4) insert-only merge, all keys already present: no-op
+    v0 = t.current_version()
+    spark.createDataFrame(
+        [(1, "dup", 0)], "n_nationkey int, tag string, iv int"
+    ).createOrReplaceTempView("mrgdml_hard_allmatch")
+    res = execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_hard_unit t USING mrgdml_hard_allmatch s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name) "
+        "VALUES (s.n_nationkey, s.tag)",
+    )
+    assert res["version"] == v0 == t.current_version()
+    assert res["audit"]["dirs_rewritten"] == 0
+    # (6) unknown USING source
+    with pytest.raises(ValueError, match="unknown source"):
+        execute_dml(
+            spark,
+            "MERGE INTO t_mrgdml_hard_unit t USING mrgdml_no_such_view s "
+            "ON t.n_nationkey = s.n_nationkey WHEN MATCHED THEN DELETE",
+        )
+    t.drop()
+
+
+def test_merge_dml_case_when_with_matched_named_column(spark, nation):
+    """A source column literally named `matched` inside a CASE WHEN
+    must not fake a clause boundary — the scanner tracks CASE/END
+    nesting, not just the MATCHED lookahead."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_mrgdml_mcol_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_regionkey"))
+    spark.createDataFrame(
+        [(0, True), (1, False)], "n_nationkey int, matched boolean"
+    ).createOrReplaceTempView("mrgdml_mcol_src")
+    execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_mcol_unit t USING mrgdml_mcol_src s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET "
+        "n_regionkey = CASE WHEN matched THEN 500 ELSE 600 END",
+    )
+    rows = {r.n_nationkey: r.n_regionkey for r in t.read().collect()}
+    assert rows[0] == 500 and rows[1] == 600
+    t.drop()
