@@ -78,7 +78,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # semantics -> table_merge_pruned / table_merge_upsert re-swept, and the
 # COW DML queries ride the _dirs_matching micro-fix), the knn stack's
 # fingerprint-TTL parse moves to import time (r10 ADVICE #4) and the
-# recall-audit work touches the IVF/LSH paths, doc_exact_dedup gets the
+# recall-audit work touches the IVF/LSH paths, the layout queries route
+# through the shared curve_envelopes report, doc_exact_dedup gets the
 # cheap-key pre-group cut (ask #4), lsh_candidates gets the heavy-hitter
 # bucket cap (r10 ADVICE #2) -> doc_minhash_near_dup/doc_dedup_clusters,
 # and table_hilbert_layout's oracle mirror gains NULL propagation (r10
@@ -96,6 +97,7 @@ _SWEEP_PRIORITY = [
     "table_update_dml",  # r11-planned-changed
     "table_delete_dml",  # r11-planned-changed
     "table_hilbert_layout",  # r11-planned-changed
+    "table_zorder_layout",  # r11-changed: routed through curve_envelopes
     "table_merge_pruned",  # r11-planned-changed
     "table_merge_upsert",  # r11-planned-changed
     "knn_cosine_top5",  # r11-planned-changed
@@ -138,8 +140,8 @@ _SWEEP_PRIORITY = [
     "parts_abc_pareto",  # stalest green (r5)
     "events_pit_dimension_join",  # stalest green (r5)
     "events_cohort_ltv",  # stalest green (r5)
-    "events_time_to_convert",  # stalest green (r5)
-    # -------- 50-slot window ends here (4 new + 11 changed + 35 stalest) ----------
+    # -------- 50-slot window ends here (4 new + 12 changed + 34 stalest) ----------
+    "events_time_to_convert",  # stalest green (r5), displaced by r11 new
     "stream_stream_left_join",  # stalest green (r5), displaced by r11 new
     "events_ewma16_user",  # stalest green (r5), displaced by r11 new
     "orders_open_peak_monthly",  # stalest green (r5), displaced by r11 new
@@ -147,7 +149,6 @@ _SWEEP_PRIORITY = [
     "q1_pricing_agg",
     "q3_join3_topk",
     "user_profile_similarity",
-    "table_zorder_layout",
     "table_rollback_restore",
     "table_incremental_diff",
     "table_history_audit",
