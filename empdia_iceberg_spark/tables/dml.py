@@ -324,28 +324,70 @@ def _merge_key(cond: str, target: str, t_alias: str | None, s_alias: str) -> str
     return c1
 
 
+def _find_keyword_outside_case(s: str, kw: str) -> int:
+    """First top-level occurrence of ``kw`` that is NOT inside a
+    CASE ... END expression (a qualifier condition may contain CASE
+    WHEN ... THEN, whose THEN must not terminate the condition)."""
+    i = 0
+    while True:
+        pos = _find_keyword(s, kw, i)
+        if pos < 0:
+            return -1
+        if _case_depth_delta(s[:pos]) == 0:
+            return pos
+        i = pos + len(kw)
+
+
 def _parse_when_clause(text: str) -> tuple[str, dict]:
+    """One WHEN clause (leading WHEN already consumed):
+    ``[NOT] MATCHED [AND <cond>] THEN <action>``. The optional AND
+    qualifier is a raw Spark SQL boolean handed to Catalyst; for
+    MATCHED clauses it may reference both aliases, for NOT MATCHED
+    only the source. Qualifier semantics are SQL MERGE's: the action
+    applies only where the condition is TRUE — a matched row failing
+    it passes through unchanged, a not-matched source row failing it
+    is simply not inserted."""
     t = text.strip()
-    if re.match(r"^(NOT\s+)?MATCHED\s+AND\b", t, re.IGNORECASE):
-        raise ValueError(
-            "qualified WHEN ... AND <cond> clauses are not supported; "
-            "fold the condition into the source query or the assignments"
-        )
-    m = re.match(r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+)$", t, re.IGNORECASE | re.DOTALL)
-    if m:
-        body = m.group(1).strip().rstrip(";").strip()
-        if body == "*":
-            return "matched", {"action": "update", "set": "*"}
-        set_spec, set_quals = _parse_merge_assignments(body)
-        return "matched", {"action": "update", "set": set_spec,
-                           "set_quals": set_quals}
-    if re.match(r"^MATCHED\s+THEN\s+DELETE\s*;?\s*$", t, re.IGNORECASE):
-        return "matched", {"action": "delete"}
-    if re.match(r"^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$", t, re.IGNORECASE):
-        return "not_matched", {"action": "insert", "cols": None, "vals": None}
+    mm = re.match(r"^(NOT\s+)?MATCHED\b\s*(.*)$", t, re.IGNORECASE | re.DOTALL)
+    if not mm:
+        raise ValueError(f"cannot parse MERGE WHEN clause: {t[:80]!r}")
+    negated, rest = bool(mm.group(1)), mm.group(2).strip()
+    cond: str | None = None
+    if re.match(r"^AND\b", rest, re.IGNORECASE):
+        rest2 = rest[3:].strip()
+        pos = _find_keyword_outside_case(rest2, "THEN")
+        if pos < 0:
+            raise ValueError(
+                f"WHEN ... AND <cond> clause lacks a THEN: {t[:80]!r}"
+            )
+        cond = rest2[:pos].strip()
+        if not cond:
+            raise ValueError(f"empty WHEN ... AND condition: {t[:80]!r}")
+        action = rest2[pos + 4 :].strip()
+    elif re.match(r"^THEN\b", rest, re.IGNORECASE):
+        action = rest[4:].strip()
+    else:
+        raise ValueError(f"cannot parse MERGE WHEN clause: {t[:80]!r}")
+
+    if not negated:
+        m = re.match(r"^UPDATE\s+SET\s+(.+)$", action, re.IGNORECASE | re.DOTALL)
+        if m:
+            body = m.group(1).strip().rstrip(";").strip()
+            if body == "*":
+                return "matched", {"action": "update", "set": "*", "cond": cond}
+            set_spec, set_quals = _parse_merge_assignments(body)
+            return "matched", {"action": "update", "set": set_spec,
+                               "set_quals": set_quals, "cond": cond}
+        if re.match(r"^DELETE\s*;?\s*$", action, re.IGNORECASE):
+            return "matched", {"action": "delete", "cond": cond}
+        raise ValueError(f"cannot parse WHEN MATCHED action: {action[:80]!r}")
+
+    if re.match(r"^INSERT\s+\*\s*;?\s*$", action, re.IGNORECASE):
+        return "not_matched", {"action": "insert", "cols": None, "vals": None,
+                               "cond": cond}
     m = re.match(
-        r"^NOT\s+MATCHED\s+THEN\s+INSERT\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*;?\s*$",
-        t,
+        r"^INSERT\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*;?\s*$",
+        action,
         re.IGNORECASE | re.DOTALL,
     )
     if m:
@@ -360,8 +402,9 @@ def _parse_when_clause(text: str) -> tuple[str, dict]:
         for c in cols:
             if not re.fullmatch(r"\w+", c):
                 raise ValueError(f"MERGE INSERT: bad column name {c!r}")
-        return "not_matched", {"action": "insert", "cols": cols, "vals": vals}
-    raise ValueError(f"cannot parse MERGE WHEN clause: {t[:80]!r}")
+        return "not_matched", {"action": "insert", "cols": cols, "vals": vals,
+                               "cond": cond}
+    raise ValueError(f"cannot parse WHEN NOT MATCHED action: {action[:80]!r}")
 
 
 def _execute_merge(
@@ -424,9 +467,9 @@ def execute_dml(
 
         MERGE INTO t [AS a] USING <view|table|(subquery) alias> s
         ON t.key = s.key
-        [WHEN MATCHED THEN UPDATE SET * | SET col = expr, ...]
-        [WHEN MATCHED THEN DELETE]
-        [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
+        [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET col = expr, ...]
+        [WHEN MATCHED [AND cond] THEN DELETE]
+        [WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)]
 
     routed to the proven pruned merge engine (`SnapshotTable.merge`
     with a clause spec): Catalyst parses every assignment/VALUES

@@ -528,13 +528,20 @@ class SnapshotTable:
         insert-*) byte-identical. Shape::
 
             {"matched": None
-                        | {"action": "update", "set": "*" | {col: sql}}
-                        | {"action": "delete"},
+                        | {"action": "update", "set": "*" | {col: sql},
+                           "cond": None | sql}
+                        | {"action": "delete", "cond": None | sql},
              "not_matched": None
                         | {"action": "insert",
                            "cols": None | [col, ...],   # None => INSERT *
-                           "vals": None | [sql, ...]},
+                           "vals": None | [sql, ...],
+                           "cond": None | sql},
              "target_alias": str, "source_alias": str}
+
+        ``cond`` carries a ``WHEN ... AND <cond>`` qualifier (SQL MERGE
+        semantics: the action applies only where the condition is TRUE;
+        a matched row failing it passes through unchanged, a
+        not-matched source row failing it is not inserted).
 
         Assignment/VALUES expressions are raw Spark SQL strings handed
         to Catalyst (``F.expr``); in assignments they may reference both
@@ -1035,38 +1042,73 @@ class SnapshotTable:
                     source.select(key), on=key, how="left_anti"
                 )
                 pieces.append(kept)
-                if m["action"] == "update" and m["set"] == "*":
-                    pieces.append(
-                        source.join(
-                            target_rw.select(key), on=key, how="left_semi"
-                        )
-                    )
-                elif m["action"] == "update":
+                cond = m.get("cond")
+                use_join = cond is not None or (
+                    m["action"] == "update" and m["set"] != "*"
+                )
+                if use_join:
                     j = target_rw.alias(t_a).join(
                         source.alias(s_a),
                         F.col(f"{t_a}.{key}") == F.col(f"{s_a}.{key}"),
                         "inner",
                     )
-                    proj = [
-                        (
-                            F.expr(m["set"][c])
-                            if c in m["set"]
-                            else F.col(f"{t_a}.{c}")
-                        ).alias(c)
-                        for c in tcols
-                    ]
+                    # SQL MERGE qualifier semantics: the action applies
+                    # only where the condition is TRUE (NULL = no)
+                    applies = (
+                        F.coalesce(F.expr(cond).cast("boolean"), F.lit(False))
+                        if cond is not None
+                        else F.lit(True)
+                    )
+                    if m["action"] == "update":
+                        assign_of = (
+                            {c: f"{s_a}.{c}" for c in tcols}
+                            if m["set"] == "*"
+                            else m["set"]
+                        )
+                        proj = [
+                            (
+                                F.expr(assign_of[c])
+                                if c in assign_of
+                                else F.col(f"{t_a}.{c}")
+                            ).alias(c)
+                            for c in tcols
+                        ]
+                        pieces.append(
+                            self._conform_clause_types(
+                                j.filter(applies).select(*proj),
+                                ttypes,
+                                "MERGE UPDATE SET",
+                            )
+                        )
+                    # action == "delete": qualifying rows contribute nothing
+                    if cond is not None:
+                        # matched rows FAILING the qualifier pass through
+                        pieces.append(
+                            j.filter(~applies).select(
+                                *[F.col(f"{t_a}.{c}").alias(c) for c in tcols]
+                            )
+                        )
+                elif m["action"] == "update":  # unqualified SET *
                     pieces.append(
-                        self._conform_clause_types(
-                            j.select(*proj), ttypes, "MERGE UPDATE SET"
+                        source.join(
+                            target_rw.select(key), on=key, how="left_semi"
                         )
                     )
-                # action == "delete": matched rows contribute nothing
+                # unqualified delete: matched rows contribute nothing
         if nm is not None:
             ins = (
                 source
                 if target_read is None
                 else source.join(target_read.select(key), on=key, how="left_anti")
             )
+            ins = ins.alias(s_a)
+            if nm.get("cond") is not None:
+                # NOT MATCHED qualifier: a source row failing it is
+                # simply not inserted (only source refs are resolvable —
+                # there is no target row on the not-matched side)
+                ins = ins.filter(
+                    F.coalesce(F.expr(nm["cond"]).cast("boolean"), F.lit(False))
+                )
             if nm.get("cols") is None:
                 pieces.append(ins)  # INSERT *: source aligned by merge()
             else:
@@ -1081,7 +1123,7 @@ class SnapshotTable:
                 ]
                 pieces.append(
                     self._conform_clause_types(
-                        ins.alias(s_a).select(*proj), ttypes, "MERGE INSERT"
+                        ins.select(*proj), ttypes, "MERGE INSERT"
                     )
                 )
         if not pieces:

@@ -1603,7 +1603,8 @@ def test_merge_dml_subquery_source_and_errors(spark, nation):
     head = ("MERGE INTO t_mrgdml_err_unit t USING mrgdml_nation_view s ")
     for stmt, msg in [
         (head + "ON t.n_nationkey = s.n_nationkey "
-         "WHEN MATCHED AND s.n_regionkey = 1 THEN DELETE", "qualified WHEN"),
+         "WHEN MATCHED AND s.n_regionkey = 1 UPDATE SET n_name = 'x'",
+         "lacks a THEN"),
         (head + "ON t.n_nationkey < s.n_nationkey "
          "WHEN MATCHED THEN DELETE", "single key equality"),
         (head + "ON t.n_nationkey = s.n_regionkey "
@@ -1792,4 +1793,51 @@ def test_merge_dml_case_when_with_matched_named_column(spark, nation):
     )
     rows = {r.n_nationkey: r.n_regionkey for r in t.read().collect()}
     assert rows[0] == 500 and rows[1] == 600
+    t.drop()
+
+
+def test_merge_dml_qualified_when_clauses(spark, nation):
+    """WHEN ... AND <cond> qualifiers (r11): (a) a qualified UPDATE
+    touches only condition-TRUE matched rows, the rest pass through
+    unchanged; (b) a qualified DELETE removes only qualifying matches;
+    (c) a qualified NOT MATCHED INSERT drops non-qualifying source
+    rows; (d) a NULL condition means no (SQL three-valued logic);
+    (e) a CASE ... THEN inside the condition does not terminate it."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_mrgdml_qual_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name", "n_regionkey"))
+    spark.createDataFrame(
+        [(0, 10, "a"), (1, -1, "b"), (2, None, "c"),
+         (777, 10, "new-hi"), (888, -5, "new-lo")],
+        "n_nationkey int, sig int, tag string",
+    ).createOrReplaceTempView("mrgdml_qual_src")
+    execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_qual_unit t USING mrgdml_qual_src s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED AND s.sig > 0 THEN UPDATE SET n_name = s.tag "
+        "WHEN NOT MATCHED AND s.sig > 0 THEN INSERT (n_nationkey, n_name) "
+        "VALUES (s.n_nationkey, s.tag)",
+    )
+    rows = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    base = {r.n_nationkey: r.n_name for r in nation.collect()}
+    assert rows[0] == "a"  # qualified update applied
+    assert rows[1] == base[1]  # sig < 0: passes through unchanged
+    assert rows[2] == base[2]  # NULL condition = no
+    assert rows[777] == "new-hi" and 888 not in rows  # qualified insert
+    assert len(rows) == nation.count() + 1
+
+    # (b) qualified DELETE + (e) CASE ... THEN inside the condition
+    execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_qual_unit t USING mrgdml_qual_src s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED AND (CASE WHEN s.sig > 0 THEN 1 ELSE 0 END) = 1 "
+        "THEN DELETE",
+    )
+    rows2 = {r.n_nationkey for r in t.read().collect()}
+    assert 0 not in rows2 and 777 not in rows2  # sig>0 matches deleted
+    assert 1 in rows2 and 2 in rows2  # non-qualifying matches survive
     t.drop()
