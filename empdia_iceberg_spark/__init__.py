@@ -86,7 +86,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # ADVICE #3) — then (2) the stalest green block: the four r3-cohort
 # names the r10 window annotation mis-included (r10 ADVICE #1), the
 # rest of the r3 cohort, and the r5 cohort head. NEW queries registered
-# this round (table_merge_dml, table_delete_mor_dml, knn recall audits)
+# this round (table_merge_dml, table_delete_mor_dml, table_insert_dml,
+# knn recall audits)
 # are inserted at the VERY FRONT as they land, displacing the bottom of
 # the stalest block below the marker (same-round-driver-row rule).
 _SWEEP_PRIORITY = [
@@ -94,6 +95,7 @@ _SWEEP_PRIORITY = [
     "table_delete_mor_dml",  # NEW r11 (ask #7): DML mor_key branch driver row
     "knn_ivf_recall_audit",  # NEW r11 (ask #6): IVF recall as hash-checked value
     "knn_lsh_recall_audit",  # NEW r11 (ask #6): LSH recall histogram (rows-only)
+    "table_insert_dml",  # NEW r11: INSERT INTO completes the DML surface
     "table_update_dml",  # r11-planned-changed
     "table_delete_dml",  # r11-planned-changed
     "table_hilbert_layout",  # r11-planned-changed
@@ -139,8 +141,8 @@ _SWEEP_PRIORITY = [
     "events_twap_user",  # stalest green (r5)
     "parts_abc_pareto",  # stalest green (r5)
     "events_pit_dimension_join",  # stalest green (r5)
-    "events_cohort_ltv",  # stalest green (r5)
-    # -------- 50-slot window ends here (4 new + 12 changed + 34 stalest) ----------
+    # -------- 50-slot window ends here (5 new + 12 changed + 33 stalest) ----------
+    "events_cohort_ltv",  # stalest green (r5), displaced by r11 new
     "events_time_to_convert",  # stalest green (r5), displaced by r11 new
     "stream_stream_left_join",  # stalest green (r5), displaced by r11 new
     "events_ewma16_user",  # stalest green (r5), displaced by r11 new

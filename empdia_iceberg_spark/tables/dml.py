@@ -1,7 +1,9 @@
-"""Declarative SQL DML over the snapshot tables: `UPDATE ... SET ...
-WHERE ...` and `DELETE FROM ... WHERE ...` statements, routed to the
-manager's pruned copy-on-write engine (`SnapshotTable.update_where` /
-`delete_where_pruned`) or, on request, the merge-on-read delete path.
+"""Declarative SQL DML over the snapshot tables: `INSERT INTO`,
+`UPDATE ... SET ... WHERE ...`, `DELETE FROM ... WHERE ...`, and
+`MERGE INTO ... USING ... ON ... WHEN ...` statements, routed to the
+manager's engines (append_checked, pruned copy-on-write
+update_where/delete_where_pruned, the clause-generalized pruned merge)
+or, on request, the merge-on-read delete path.
 
 Stock Spark SQL cannot parse UPDATE/DELETE against plain parquet (those
 statements exist only for v2 catalogs like the real Iceberg runtime,
@@ -220,12 +222,111 @@ def _parse_merge_assignments(set_clause: str) -> tuple[dict, dict]:
     return out, quals
 
 
+_INSERT_HEAD = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s*(.*)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _execute_insert(
+    spark: SparkSession, head: "re.Match", root: str, mor_key: str | None
+) -> dict:
+    """``INSERT INTO t [(cols)] VALUES (...), (...) | SELECT ...`` —
+    the append statement that completes the DML surface. The row source
+    is Catalyst-parsed in full (`SELECT * FROM VALUES ...` / the SELECT
+    itself); the column list maps positionally; omitted table columns
+    land NULL (append's additive alignment); untyped NULL literals are
+    pinned to the table type; everything else goes through
+    `_align_append_to_schema`'s conformance guard (safe widenings cast,
+    anything narrower raises before any write). Routed to
+    `append_checked` — the OCC commit loop, so concurrent inserts both
+    land."""
+    if mor_key is not None:
+        raise ValueError("mor_key applies to DELETE only; INSERT appends")
+    name, rest = head.group(1), head.group(2).strip().rstrip(";").strip()
+    cols: list[str] | None = None
+    if rest.startswith("("):
+        end = _matching_paren(rest)
+        if end < 0:
+            raise ValueError("INSERT INTO: unbalanced parens in column list")
+        cols = [c.strip() for c in _split_top_level(rest[1:end])]
+        for c in cols:
+            if not re.fullmatch(r"\w+", c):
+                raise ValueError(f"INSERT INTO: bad column name {c!r}")
+        if len(set(cols)) != len(cols):
+            raise ValueError("INSERT INTO: duplicate target column")
+        rest = rest[end + 1 :].strip()
+    if re.match(r"^VALUES\b", rest, re.IGNORECASE):
+        df = spark.sql(f"SELECT * FROM {rest}")
+    elif re.match(r"^SELECT\b", rest, re.IGNORECASE):
+        df = spark.sql(rest)
+    else:
+        raise ValueError(
+            f"INSERT INTO expects VALUES (...) or SELECT ...: {rest[:60]!r}"
+        )
+    t = SnapshotTable(spark, name, root)
+    cur = t.current_version()
+    if cur is None:
+        raise ValueError(f"table {name}: cannot INSERT before create")
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(_json.loads(t._read_meta(cur)["schema"]))
+    tcols = schema.fieldNames()
+    target_cols = cols if cols is not None else tcols
+    unknown = sorted(set(target_cols) - set(tcols))
+    if unknown:
+        raise ValueError(f"table {name}: INSERT targets unknown column(s) {unknown}")
+    if len(df.columns) != len(target_cols):
+        raise ValueError(
+            f"table {name}: INSERT supplies {len(df.columns)} values for "
+            f"{len(target_cols)} target columns"
+        )
+    df = df.toDF(*target_cols)
+    # untyped NULL literals (void) pin to the table type; every other
+    # type goes through append's conformance guard unchanged
+    ttypes = {f.name: f.dataType for f in schema.fields}
+    df = df.select(
+        *[
+            F.col(c).cast(ttypes[c]).alias(c) if dt == "void" else F.col(c)
+            for c, dt in df.dtypes
+        ]
+    )
+    version = t.append_checked(df)
+    return {"op": "insert", "table": name, "version": version, "audit": None}
+
+
 # Optional target alias must not swallow the USING keyword.
 _MERGE_HEAD = re.compile(
     r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _EQ_COND = re.compile(r"^\s*([A-Za-z_]\w*(?:\.\w+)?)\s*=\s*([A-Za-z_]\w*(?:\.\w+)?)\s*$")
+
+
+def _matching_paren(s: str) -> int:
+    """Index of the ``)`` closing the ``(`` that ``s`` starts with
+    (quote-aware), or -1 when unbalanced."""
+    depth, quote = 0, None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == "\\" and i + 1 < n:
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
 
 
 def _resolve_merge_source(spark: SparkSession, src_part: str, root: str):
@@ -235,27 +336,7 @@ def _resolve_merge_source(spark: SparkSession, src_part: str, root: str):
     subqueries). Returns (DataFrame, alias)."""
     src_part = src_part.strip()
     if src_part.startswith("("):
-        depth, quote = 0, None
-        i, n = 0, len(src_part)
-        end = -1
-        while i < n:
-            ch = src_part[i]
-            if quote:
-                if ch == "\\" and i + 1 < n:
-                    i += 2
-                    continue
-                if ch == quote:
-                    quote = None
-            elif ch in ("'", '"'):
-                quote = ch
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    end = i
-                    break
-            i += 1
+        end = _matching_paren(src_part)
         if end < 0:
             raise ValueError("MERGE USING: unbalanced parens in subquery source")
         df = spark.sql(src_part[1:end])
@@ -478,6 +559,9 @@ def execute_dml(
     m = _MERGE_HEAD.match(statement)
     if m:
         return _execute_merge(spark, m, root, mor_key)
+    m = _INSERT_HEAD.match(statement)
+    if m:
+        return _execute_insert(spark, m, root, mor_key)
     m = _UPDATE_HEAD.match(statement)
     if m:
         name, rest = m.group(1), m.group(2)
@@ -511,9 +595,9 @@ def execute_dml(
         version, audit = t.delete_where_pruned(cond)
         return {"op": "delete", "table": name, "version": version, "audit": audit}
     raise ValueError(
-        f"unsupported DML statement (expected UPDATE ... SET ... [WHERE ...], "
-        f"DELETE FROM ... [WHERE ...], or MERGE INTO ... USING ... ON ... "
-        f"WHEN ...): {statement[:80]!r}"
+        f"unsupported DML statement (expected INSERT INTO ..., UPDATE ... "
+        f"SET ... [WHERE ...], DELETE FROM ... [WHERE ...], or MERGE INTO "
+        f"... USING ... ON ... WHEN ...): {statement[:80]!r}"
     )
 
 
@@ -778,5 +862,80 @@ def table_delete_mor_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("op", F.lit(res["op"]))
         .withColumn("n_delete_files", F.lit(n_delete_files).cast("int"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "table_insert_dml",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT (2 * max(c_custkey)) // 3 AS b2, max(c_custkey) AS mk
+        FROM customer
+    ),
+    base AS (
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
+    ),
+    ins_sel AS (
+        SELECT c_custkey + mk AS c_custkey, 'INSERTED' AS c_mktsegment,
+               c_acctbal
+        FROM base, bounds WHERE c_custkey > b2 AND c_mktsegment = 'BUILDING'
+    ),
+    ins_val AS (
+        SELECT 2 * mk + 1 AS c_custkey, 'VROW' AS c_mktsegment,
+               CAST(NULL AS DOUBLE) AS c_acctbal
+        FROM bounds
+    ),
+    allr AS (
+        SELECT * FROM base
+        UNION ALL SELECT * FROM ins_sel
+        UNION ALL SELECT * FROM ins_val
+    )
+    SELECT c_mktsegment, count(*) AS n_rows,
+           round({sql_sum2('c_acctbal')}, 2) AS sum_acctbal,
+           CAST(2 AS INT) AS versions_added
+    FROM allr
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Declarative SQL `INSERT INTO` (r11 — completing the DML "
+    "surface alongside UPDATE/DELETE/MERGE): one INSERT ... SELECT "
+    "(Catalyst-parsed query source, positional mapping to the table "
+    "schema) and one INSERT (cols) VALUES (...) whose omitted column "
+    "lands NULL via append's additive alignment and whose untyped NULL "
+    "would pin to the table type. Both route through append_checked "
+    "(the OCC commit loop); the emitted versions_added column "
+    "hash-checks that exactly two snapshots were committed, and the "
+    "all-NULL VROW group's NULL sum survives both engines' rollups "
+    "identically.",
+)
+def table_insert_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, b2 = _three_dir_customer(spark, sf_dir, "customer_dml_ins")
+    cust = load(spark, sf_dir, "customer")
+    mk = int(cust.agg(F.max("c_custkey")).first()[0])  # 1 metadata scalar
+    cust.createOrReplaceTempView("cust_ins_base")
+    v0 = t.current_version()
+    execute_dml(
+        spark,
+        f"INSERT INTO customer_dml_ins "
+        f"SELECT c_custkey + {mk}, 'INSERTED', CAST(c_acctbal AS DOUBLE) "
+        f"FROM cust_ins_base WHERE c_custkey > {b2} "
+        f"AND c_mktsegment = 'BUILDING'",
+    )
+    execute_dml(
+        spark,
+        f"INSERT INTO customer_dml_ins (c_custkey, c_mktsegment) "
+        f"VALUES ({2 * mk + 1}, 'VROW')",
+    )
+    versions_added = t.current_version() - v0
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .withColumn("versions_added", F.lit(int(versions_added)).cast("int"))
         .orderBy("c_mktsegment")
     )

@@ -1841,3 +1841,66 @@ def test_merge_dml_qualified_when_clauses(spark, nation):
     assert 0 not in rows2 and 777 not in rows2  # sig>0 matches deleted
     assert 1 in rows2 and 2 in rows2  # non-qualifying matches survive
     t.drop()
+
+
+# ------------------------------------------------------- SQL INSERT INTO layer
+
+
+def test_insert_dml_values_select_and_guards(spark, nation):
+    """INSERT INTO (r11): multi-row VALUES, INSERT ... SELECT, a column
+    list whose omitted columns land NULL, untyped NULL literals pinned
+    to the table type, OCC append per statement, and the guard rails
+    (count mismatch, unknown column, unknown statement, insert before
+    create, type conformance via append's alignment)."""
+    import pytest
+
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_insdml_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name", "n_regionkey"))
+    v0 = t.current_version()
+    res = execute_dml(
+        spark,
+        "INSERT INTO t_insdml_unit VALUES (900, 'NINEHUNDRED', 4), "
+        "(901, 'NINEOHONE', NULL)",
+    )
+    assert res["op"] == "insert" and res["version"] == v0 + 1
+    nation.createOrReplaceTempView("insdml_nation_view")
+    execute_dml(
+        spark,
+        "INSERT INTO t_insdml_unit (n_nationkey, n_name) "
+        "SELECT n_nationkey + 1000, upper(n_name) FROM insdml_nation_view "
+        "WHERE n_regionkey = 0",
+    )
+    rows = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in t.read().collect()}
+    assert rows[900] == ("NINEHUNDRED", 4)
+    assert rows[901] == ("NINEOHONE", None)  # untyped NULL literal
+    base0 = [r.n_nationkey for r in nation.filter("n_regionkey = 0").collect()]
+    assert base0 and all(rows[k + 1000][1] is None for k in base0)  # omitted col
+    assert all(rows[k + 1000][0].isupper() for k in base0)
+    assert len(rows) == nation.count() + 2 + len(base0)
+
+    with pytest.raises(ValueError, match="supplies 2 values for 3"):
+        execute_dml(spark, "INSERT INTO t_insdml_unit VALUES (1, 'x')")
+    with pytest.raises(ValueError, match="unknown column"):
+        execute_dml(
+            spark, "INSERT INTO t_insdml_unit (nope) VALUES (1)"
+        )
+    with pytest.raises(ValueError, match="expects VALUES"):
+        execute_dml(spark, "INSERT INTO t_insdml_unit SET x = 1")
+    with pytest.raises(ValueError, match="cannot INSERT before create"):
+        execute_dml(spark, "INSERT INTO t_insdml_ghost VALUES (1, 'x', 2)")
+    with pytest.raises(ValueError, match="not assignable"):
+        # string into int via append's conformance guard, before any write
+        execute_dml(
+            spark,
+            "INSERT INTO t_insdml_unit (n_nationkey, n_name) "
+            "VALUES ('oops', 'x')",
+        )
+    with pytest.raises(ValueError, match="mor_key applies to DELETE"):
+        execute_dml(
+            spark, "INSERT INTO t_insdml_unit VALUES (1, 'x', 2)",
+            mor_key="n_nationkey",
+        )
+    t.drop()
