@@ -505,17 +505,14 @@ def _execute_merge(
     source_df, s_alias = _resolve_merge_source(spark, src_part, root)
     key = _merge_key(cond, target, t_alias, s_alias)
     clauses: dict = {
-        "matched": None,
-        "not_matched": None,
+        "matched": [],
+        "not_matched": [],
         "target_alias": t_alias or target,
         "source_alias": s_alias,
     }
     t_names = {target.lower(), (t_alias or target).lower()}
     for seg in when_segs[1:]:
         kind, spec = _parse_when_clause(seg)
-        if clauses[kind] is not None:
-            raise ValueError(f"duplicate WHEN {'NOT ' if kind == 'not_matched' else ''}"
-                             "MATCHED clause")
         for col, qual in spec.pop("set_quals", {}).items():
             # qualified SET targets (SET t.col = ...) must name the
             # TARGET; assigning into the source is not a thing
@@ -524,7 +521,10 @@ def _execute_merge(
                     f"MERGE UPDATE SET target {qual}.{col} does not name "
                     f"the target table (expected one of {sorted(t_names)})"
                 )
-        clauses[kind] = spec
+        # multiple clauses per side are legal and evaluate
+        # first-match-wins in statement order; the engine enforces that
+        # only the last clause of a side may omit AND <cond>
+        clauses[kind].append(spec)
     t = SnapshotTable(spark, target, root)
     version, audit = t.merge(source_df, key, clauses=clauses)
     return {"op": "merge", "table": target, "version": version, "audit": audit}

@@ -527,21 +527,24 @@ class SnapshotTable:
         while keeping THIS default path (clauses=None: update-* +
         insert-*) byte-identical. Shape::
 
-            {"matched": None
-                        | {"action": "update", "set": "*" | {col: sql},
-                           "cond": None | sql}
-                        | {"action": "delete", "cond": None | sql},
-             "not_matched": None
-                        | {"action": "insert",
-                           "cols": None | [col, ...],   # None => INSERT *
-                           "vals": None | [sql, ...],
-                           "cond": None | sql},
+            {"matched": None | spec | [spec, ...],     # ordered list
+             "not_matched": None | spec | [spec, ...],
              "target_alias": str, "source_alias": str}
 
-        ``cond`` carries a ``WHEN ... AND <cond>`` qualifier (SQL MERGE
-        semantics: the action applies only where the condition is TRUE;
-        a matched row failing it passes through unchanged, a
-        not-matched source row failing it is not inserted).
+        where a matched spec is ``{"action": "update", "set": "*" |
+        {col: sql}, "cond": None | sql}`` or ``{"action": "delete",
+        "cond": None | sql}``, and a not-matched spec is ``{"action":
+        "insert", "cols": None | [col, ...], "vals": None | [sql, ...],
+        "cond": None | sql}`` (cols None => INSERT *).
+
+        Multiple clauses per side evaluate FIRST-MATCH-WINS in list
+        order (SQL MERGE): each row is claimed by the first clause
+        whose ``cond`` is TRUE; rows claimed by none pass through
+        unchanged (matched) or are not inserted (not-matched). Only the
+        LAST clause of a side may omit ``cond``. This is the shape the
+        canonical CDC apply statement needs (WHEN MATCHED AND op='D'
+        THEN DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED
+        AND op<>'D' THEN INSERT *).
 
         Assignment/VALUES expressions are raw Spark SQL strings handed
         to Catalyst (``F.expr``); in assignments they may reference both
@@ -559,12 +562,34 @@ class SnapshotTable:
         applicable MOR deletes still rewrite (deletes must fold in
         because this commit drops delete files)."""
         if clauses is not None:
-            m, nm = clauses.get("matched"), clauses.get("not_matched")
-            if m is None and nm is None:
+            # normalize each side to an ORDERED clause list (a single
+            # dict stays supported for direct API callers); SQL MERGE
+            # first-match-wins requires the unconditional clause, if
+            # any, to be LAST — later clauses would be unreachable
+            def _as_list(spec):
+                if spec is None:
+                    return []
+                return [spec] if isinstance(spec, dict) else list(spec)
+
+            clauses = dict(clauses)
+            clauses["matched"] = _as_list(clauses.get("matched"))
+            clauses["not_matched"] = _as_list(clauses.get("not_matched"))
+            if not clauses["matched"] and not clauses["not_matched"]:
                 raise ValueError(
                     f"table {self.name}: MERGE requires at least one "
                     "WHEN MATCHED / WHEN NOT MATCHED clause"
                 )
+            for lst, what in (
+                (clauses["matched"], "MATCHED"),
+                (clauses["not_matched"], "NOT MATCHED"),
+            ):
+                for i, spec in enumerate(lst):
+                    if spec.get("cond") is None and i < len(lst) - 1:
+                        raise ValueError(
+                            f"table {self.name}: only the LAST WHEN {what} "
+                            "clause may omit AND <cond> (first-match-wins "
+                            "makes later clauses unreachable)"
+                        )
         # merge makes three passes over the source (bounds aggregate,
         # membership join, final write) — cache it so an expensive source
         # pipeline computes once
@@ -597,11 +622,11 @@ class SnapshotTable:
                     )
                 key = key_c
                 needs_aligned = clauses is None or (
-                    (clauses.get("matched") or {}).get("set") == "*"
-                    or (
-                        clauses.get("not_matched") is not None
-                        and clauses["not_matched"].get("cols") is None
+                    any(
+                        s["action"] == "update" and s["set"] == "*"
+                        for s in clauses["matched"]
                     )
+                    or any(s.get("cols") is None for s in clauses["not_matched"])
                 )
                 if needs_aligned:
                     aligned = self._align_source_to_schema(source, meta["schema"])
@@ -876,7 +901,7 @@ class SnapshotTable:
         # READ for the not-matched anti-join and carry by reference —
         # never rewritten for containing a matched key. must_touch still
         # rewrites (this commit drops MOR delete files; they must fold).
-        insert_only = clauses is not None and clauses.get("matched") is None
+        insert_only = clauses is not None and not clauses["matched"]
         rewrite = set(must_touch) | (set() if insert_only else hit)
         read_set = set(must_touch) | hit
         touched: list[str] = []
@@ -987,8 +1012,8 @@ class SnapshotTable:
         target row whose key equals a source key lives in a read_dirs
         dir, so the anti-/semi-/inner-joins below never need the
         carried dirs."""
-        m = clauses.get("matched")
-        nm = clauses.get("not_matched")
+        m_list = clauses["matched"]  # normalized to lists by merge()
+        nm_list = clauses["not_matched"]
         t_a = clauses.get("target_alias") or self.name
         s_a = clauses.get("source_alias") or "src"
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
@@ -1000,20 +1025,30 @@ class SnapshotTable:
         # bounds-hit branch, so the same typo'd statement raised or
         # silently succeeded depending on which dirs the source keys
         # happened to envelope (data-dependent validation).
-        if m is not None and m["action"] == "update" and m["set"] != "*":
-            unknown = sorted(set(m["set"]) - set(tcols))
-            if unknown:
-                raise ValueError(
-                    f"table {self.name}: MERGE UPDATE assigns unknown "
-                    f"column(s) {unknown}"
-                )
-        if nm is not None and nm.get("cols") is not None:
-            unknown = sorted(set(nm["cols"]) - set(tcols))
-            if unknown:
-                raise ValueError(
-                    f"table {self.name}: MERGE INSERT targets unknown "
-                    f"column(s) {unknown}"
-                )
+        for spec in m_list:
+            if spec["action"] == "update" and spec["set"] != "*":
+                unknown = sorted(set(spec["set"]) - set(tcols))
+                if unknown:
+                    raise ValueError(
+                        f"table {self.name}: MERGE UPDATE assigns unknown "
+                        f"column(s) {unknown}"
+                    )
+        for spec in nm_list:
+            if spec.get("cols") is not None:
+                unknown = sorted(set(spec["cols"]) - set(tcols))
+                if unknown:
+                    raise ValueError(
+                        f"table {self.name}: MERGE INSERT targets unknown "
+                        f"column(s) {unknown}"
+                    )
+
+        def cond_true(spec):
+            # SQL MERGE qualifier semantics: a clause claims a row only
+            # where its condition is TRUE (NULL = no)
+            c = spec.get("cond")
+            if c is None:
+                return F.lit(True)
+            return F.coalesce(F.expr(c).cast("boolean"), F.lit(False))
 
         pieces: list[DataFrame] = []
         target_read = (
@@ -1035,35 +1070,54 @@ class SnapshotTable:
                 if read_dirs == touched
                 else self._read_dirs_mor(meta, touched)
             )
-            if m is None:
+            single = m_list[0] if len(m_list) == 1 else None
+            if not m_list:
                 pieces.append(target_rw)
+            elif (
+                single is not None
+                and single.get("cond") is None
+                and single["action"] == "update"
+                and single["set"] == "*"
+            ):
+                # fast path: unconditional whole-row replace needs no
+                # target join — matched source rows ARE the new rows
+                pieces.append(
+                    target_rw.join(source.select(key), on=key, how="left_anti")
+                )
+                pieces.append(
+                    source.join(target_rw.select(key), on=key, how="left_semi")
+                )
+            elif (
+                single is not None
+                and single.get("cond") is None
+                and single["action"] == "delete"
+            ):
+                pieces.append(
+                    target_rw.join(source.select(key), on=key, how="left_anti")
+                )
             else:
-                kept = target_rw.join(
-                    source.select(key), on=key, how="left_anti"
+                # general form: FIRST-MATCH-WINS over the ordered
+                # clause list. `remaining` is the conjunction of every
+                # earlier clause's negation, so each matched row is
+                # claimed by at most one clause; rows claimed by none
+                # pass through unchanged.
+                pieces.append(
+                    target_rw.join(source.select(key), on=key, how="left_anti")
                 )
-                pieces.append(kept)
-                cond = m.get("cond")
-                use_join = cond is not None or (
-                    m["action"] == "update" and m["set"] != "*"
+                j = target_rw.alias(t_a).join(
+                    source.alias(s_a),
+                    F.col(f"{t_a}.{key}") == F.col(f"{s_a}.{key}"),
+                    "inner",
                 )
-                if use_join:
-                    j = target_rw.alias(t_a).join(
-                        source.alias(s_a),
-                        F.col(f"{t_a}.{key}") == F.col(f"{s_a}.{key}"),
-                        "inner",
-                    )
-                    # SQL MERGE qualifier semantics: the action applies
-                    # only where the condition is TRUE (NULL = no)
-                    applies = (
-                        F.coalesce(F.expr(cond).cast("boolean"), F.lit(False))
-                        if cond is not None
-                        else F.lit(True)
-                    )
-                    if m["action"] == "update":
+                remaining = F.lit(True)
+                for spec in m_list:
+                    ct = cond_true(spec)
+                    applies = remaining & ct
+                    if spec["action"] == "update":
                         assign_of = (
                             {c: f"{s_a}.{c}" for c in tcols}
-                            if m["set"] == "*"
-                            else m["set"]
+                            if spec["set"] == "*"
+                            else spec["set"]
                         )
                         proj = [
                             (
@@ -1080,52 +1134,45 @@ class SnapshotTable:
                                 "MERGE UPDATE SET",
                             )
                         )
-                    # action == "delete": qualifying rows contribute nothing
-                    if cond is not None:
-                        # matched rows FAILING the qualifier pass through
-                        pieces.append(
-                            j.filter(~applies).select(
-                                *[F.col(f"{t_a}.{c}").alias(c) for c in tcols]
-                            )
-                        )
-                elif m["action"] == "update":  # unqualified SET *
-                    pieces.append(
-                        source.join(
-                            target_rw.select(key), on=key, how="left_semi"
-                        )
+                    # action == "delete": claimed rows contribute nothing
+                    remaining = remaining & ~ct
+                pieces.append(
+                    j.filter(remaining).select(
+                        *[F.col(f"{t_a}.{c}").alias(c) for c in tcols]
                     )
-                # unqualified delete: matched rows contribute nothing
-        if nm is not None:
+                )
+        if nm_list:
             ins = (
                 source
                 if target_read is None
                 else source.join(target_read.select(key), on=key, how="left_anti")
             )
             ins = ins.alias(s_a)
-            if nm.get("cond") is not None:
-                # NOT MATCHED qualifier: a source row failing it is
-                # simply not inserted (only source refs are resolvable —
-                # there is no target row on the not-matched side)
-                ins = ins.filter(
-                    F.coalesce(F.expr(nm["cond"]).cast("boolean"), F.lit(False))
-                )
-            if nm.get("cols") is None:
-                pieces.append(ins)  # INSERT *: source aligned by merge()
-            else:
-                by_col = dict(zip(nm["cols"], nm["vals"]))
-                proj = [
-                    (
-                        F.expr(by_col[c])
-                        if c in by_col
-                        else F.lit(None).cast(ttypes[c])
-                    ).alias(c)
-                    for c in tcols
-                ]
-                pieces.append(
-                    self._conform_clause_types(
-                        ins.select(*proj), ttypes, "MERGE INSERT"
+            # first-match-wins over NOT MATCHED clauses: a source row
+            # claimed by no clause is simply not inserted (only source
+            # refs are resolvable — there is no target row here)
+            remaining = F.lit(True)
+            for spec in nm_list:
+                ct = cond_true(spec)
+                cur_ins = ins.filter(remaining & ct)
+                if spec.get("cols") is None:
+                    pieces.append(cur_ins)  # INSERT *: aligned by merge()
+                else:
+                    by_col = dict(zip(spec["cols"], spec["vals"]))
+                    proj = [
+                        (
+                            F.expr(by_col[c])
+                            if c in by_col
+                            else F.lit(None).cast(ttypes[c])
+                        ).alias(c)
+                        for c in tcols
+                    ]
+                    pieces.append(
+                        self._conform_clause_types(
+                            cur_ins.select(*proj), ttypes, "MERGE INSERT"
+                        )
                     )
-                )
+                remaining = remaining & ~ct
         if not pieces:
             return None
         out = pieces[0]

@@ -1614,7 +1614,8 @@ def test_merge_dml_subquery_source_and_errors(spark, nation):
         (head + "ON t.n_nationkey = t.n_nationkey "
          "WHEN MATCHED THEN DELETE", "not two of the same side"),
         (head + "ON t.n_nationkey = s.n_nationkey "
-         "WHEN MATCHED THEN DELETE WHEN MATCHED THEN DELETE", "duplicate WHEN"),
+         "WHEN MATCHED THEN DELETE WHEN MATCHED THEN DELETE",
+         "only the LAST WHEN MATCHED"),
         (head + "ON t.n_nationkey = s.n_nationkey "
          "WHEN NOT MATCHED THEN INSERT (n_nationkey) VALUES (s.a, s.b)",
          "columns but"),
@@ -1904,3 +1905,57 @@ def test_insert_dml_values_select_and_guards(spark, nation):
             mor_key="n_nationkey",
         )
     t.drop()
+
+
+def test_merge_dml_multiple_clauses_cdc_apply(spark, nation):
+    """Multiple WHEN clauses, first-match-wins (r11): the canonical CDC
+    apply statement — deletes fold in, updates replace, inserts land,
+    and a D-op row with no target match is NOT inserted. Also checks
+    clause ORDER matters (first match claims the row)."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_mrgdml_cdc_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    spark.createDataFrame(
+        [
+            (0, "x", "D"),        # matched delete
+            (1, "ONE-NEW", "U"),  # matched update
+            (555, "FIVES", "I"),  # not-matched insert
+            (556, "ghost", "D"),  # not-matched D-op: must NOT insert
+        ],
+        "n_nationkey int, n_name string, op string",
+    ).createOrReplaceTempView("mrgdml_cdc_src")
+    execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_cdc_unit t USING mrgdml_cdc_src s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET n_name = s.n_name "
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (n_nationkey, n_name) "
+        "VALUES (s.n_nationkey, s.n_name)",
+    )
+    rows = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    assert 0 not in rows                      # deleted
+    assert rows[1] == "ONE-NEW"               # updated
+    assert rows[555] == "FIVES"               # inserted
+    assert 556 not in rows                    # D-op not resurrected
+    assert len(rows) == nation.count() - 1 + 1
+
+    # first-match-wins: with the order FLIPPED, a row satisfying both
+    # conditions is claimed by the first clause
+    t2 = SnapshotTable(spark, "t_mrgdml_fmw_unit")
+    t2.drop()
+    t2.create(spark.createDataFrame([(1, "orig")], "k int, v string"))
+    spark.createDataFrame(
+        [(1, 5)], "k int, sig int"
+    ).createOrReplaceTempView("mrgdml_fmw_src")
+    execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_fmw_unit t USING mrgdml_fmw_src s ON t.k = s.k "
+        "WHEN MATCHED AND s.sig > 0 THEN UPDATE SET v = 'first' "
+        "WHEN MATCHED AND s.sig > 1 THEN UPDATE SET v = 'second'",
+    )
+    assert t2.read().first().v == "first"
+    t.drop()
+    t2.drop()
