@@ -621,25 +621,43 @@ class SnapshotTable:
                         "table column"
                     )
                 key = key_c
-                needs_aligned = clauses is None or (
-                    any(
-                        s["action"] == "update" and s["set"] == "*"
-                        for s in clauses["matched"]
-                    )
-                    or any(s.get("cols") is None for s in clauses["not_matched"])
-                )
-                if needs_aligned:
+                if clauses is None:
                     aligned = self._align_source_to_schema(source, meta["schema"])
                 else:
-                    # case-INSENSITIVE membership (Spark's own resolution
+                    # Clause merges never pre-align: the source may carry
+                    # EXTRA columns the conditions/assignments reference
+                    # (a CDC feed's `op` column) — SET * / INSERT *
+                    # expansions project to the table columns and
+                    # type-conform per piece inside _apply_merge_clauses
+                    # (Delta's SET * semantics: source must CONTAIN every
+                    # table column, extras are simply not assigned).
+                    # Case-INSENSITIVE membership (Spark's own resolution
                     # is case-insensitive by default, so `ON t.C_K = s.C_K`
                     # against a lowercase column is a valid statement;
-                    # only this Python-side check was case-sensitive)
-                    if key.lower() not in {c.lower() for c in source.columns}:
+                    # only Python-side checks were case-sensitive).
+                    src_lower = {c.lower() for c in source.columns}
+                    if key.lower() not in src_lower:
                         raise ValueError(
                             f"table {self.name}: MERGE source lacks the key "
                             f"column {key!r}"
                         )
+                    star_used = any(
+                        s["action"] == "update" and s["set"] == "*"
+                        for s in clauses["matched"]
+                    ) or any(
+                        s.get("cols") is None for s in clauses["not_matched"]
+                    )
+                    if star_used:
+                        tbl_cols = list(tbl_by_lower.values())
+                        missing = [
+                            c for c in tbl_cols if c.lower() not in src_lower
+                        ]
+                        if missing:
+                            raise ValueError(
+                                f"table {self.name}: MERGE SET */INSERT * "
+                                f"requires the source to contain every table "
+                                f"column; missing {missing}"
+                            )
                     aligned = source
                 try:
                     return self._merge_impl(
@@ -1081,11 +1099,19 @@ class SnapshotTable:
             ):
                 # fast path: unconditional whole-row replace needs no
                 # target join — matched source rows ARE the new rows
+                # (projected to the table columns: clause sources may
+                # carry extras, e.g. a CDC op column)
                 pieces.append(
                     target_rw.join(source.select(key), on=key, how="left_anti")
                 )
                 pieces.append(
-                    source.join(target_rw.select(key), on=key, how="left_semi")
+                    self._conform_clause_types(
+                        source.join(
+                            target_rw.select(key), on=key, how="left_semi"
+                        ).select(*tcols),
+                        ttypes,
+                        "MERGE UPDATE SET *",
+                    )
                 )
             elif (
                 single is not None
@@ -1156,7 +1182,13 @@ class SnapshotTable:
                 ct = cond_true(spec)
                 cur_ins = ins.filter(remaining & ct)
                 if spec.get("cols") is None:
-                    pieces.append(cur_ins)  # INSERT *: aligned by merge()
+                    # INSERT *: project to the table columns (extras like
+                    # a CDC op column are simply not inserted) + conform
+                    pieces.append(
+                        self._conform_clause_types(
+                            cur_ins.select(*tcols), ttypes, "MERGE INSERT *"
+                        )
+                    )
                 else:
                     by_col = dict(zip(spec["cols"], spec["vals"]))
                     proj = [

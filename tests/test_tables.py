@@ -1959,3 +1959,48 @@ def test_merge_dml_multiple_clauses_cdc_apply(spark, nation):
     assert t2.read().first().v == "first"
     t.drop()
     t2.drop()
+
+
+def test_merge_dml_star_forms_tolerate_extra_source_columns(spark, nation):
+    """Delta SET * semantics (r11): the canonical CDC apply uses SET * /
+    INSERT * over a source that carries an extra op column — the *
+    expansion assigns only table columns, extras are ignored; a source
+    MISSING a table column raises a clear error instead of an
+    unresolved-reference crash."""
+    import pytest
+
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_mrgdml_star2_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    spark.createDataFrame(
+        [(0, "x", "D"), (2, "TWO-NEW", "U"), (700, "SEVEN", "I"),
+         (701, "ghost", "D")],
+        "n_nationkey int, n_name string, op string",
+    ).createOrReplaceTempView("mrgdml_star2_src")
+    execute_dml(
+        spark,
+        "MERGE INTO t_mrgdml_star2_unit t USING mrgdml_star2_src s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *",
+    )
+    rows = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    assert 0 not in rows and rows[2] == "TWO-NEW" and rows[700] == "SEVEN"
+    assert 701 not in rows
+    assert len(rows) == nation.count() - 1 + 1
+    assert t.read().columns == ["n_nationkey", "n_name"]  # op never lands
+
+    spark.createDataFrame(
+        [(3, "z")], "n_nationkey int, something_else string"
+    ).createOrReplaceTempView("mrgdml_star2_bad")
+    with pytest.raises(ValueError, match="missing \\['n_name'\\]"):
+        execute_dml(
+            spark,
+            "MERGE INTO t_mrgdml_star2_unit t USING mrgdml_star2_bad s "
+            "ON t.n_nationkey = s.n_nationkey "
+            "WHEN MATCHED THEN UPDATE SET *",
+        )
+    t.drop()
