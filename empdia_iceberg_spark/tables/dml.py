@@ -548,9 +548,15 @@ def execute_dml(
 
         MERGE INTO t [AS a] USING <view|table|(subquery) alias> s
         ON t.key = s.key
-        [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET col = expr, ...]
-        [WHEN MATCHED [AND cond] THEN DELETE]
-        [WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)]
+        [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET col = expr, ...]...
+        [WHEN MATCHED [AND cond] THEN DELETE]...
+        [WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)]...
+
+    Clauses repeat; each side evaluates FIRST-MATCH-WINS in statement
+    order and only its last clause may omit AND <cond>. Star forms
+    follow Delta SET * semantics (source must contain every table
+    column; extras such as a CDC op column are ignored), so the
+    canonical CDC apply statement runs verbatim.
 
     routed to the proven pruned merge engine (`SnapshotTable.merge`
     with a clause spec): Catalyst parses every assignment/VALUES

@@ -550,11 +550,14 @@ class SnapshotTable:
         to Catalyst (``F.expr``); in assignments they may reference both
         ``target_alias.col`` and ``source_alias.col`` (unqualified
         shared names raise Spark's ambiguity error — qualify them).
-        Sources for the *-forms must be table-shaped (same alignment as
-        the default path); assignment/column-list forms accept ANY
-        source schema containing the key column — standard MERGE lets
-        the source carry deltas, not full rows. Scale posture nuance:
-        an insert-only merge (matched=None) never rewrites a dir for
+        Sources for the *-forms must CONTAIN every table column (Delta
+        SET * semantics — extras like a CDC op column are legal and
+        simply not assigned; the expansions project to the table
+        columns and type-conform per piece); assignment/column-list
+        forms accept ANY source schema containing the key column —
+        standard MERGE lets the source carry deltas, not full rows.
+        Scale posture nuance:
+        an insert-only merge (no matched clause) never rewrites a dir for
         containing a matched key — matched rows are unchanged, so
         bounds-hit dirs are only READ for the not-matched anti-join and
         carried by reference (a uniformly-spread insert-only MERGE at
