@@ -45,6 +45,7 @@ from empdia_iceberg_spark.plans import grpo  # noqa: F401
 from empdia_iceberg_spark.plans import curation  # noqa: F401
 from empdia_iceberg_spark.tables import manager  # noqa: F401
 from empdia_iceberg_spark.tables import dml  # noqa: F401
+from empdia_iceberg_spark.tables import ddl  # noqa: F401
 from empdia_iceberg_spark.streaming import windows as stream_windows  # noqa: F401
 from empdia_iceberg_spark.streaming import conversation  # noqa: F401
 from empdia_iceberg_spark.streaming import ewma as stream_ewma  # noqa: F401
@@ -87,10 +88,18 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # names the r10 window annotation mis-included (r10 ADVICE #1), the
 # rest of the r3 cohort, and the r5 cohort head. NEW queries registered
 # this round (table_merge_dml, table_delete_mor_dml, table_insert_dml,
-# knn recall audits)
+# knn recall audits, table_ddl_lifecycle)
 # are inserted at the VERY FRONT as they land, displacing the bottom of
 # the stalest block below the marker (same-round-driver-row rule).
+# LATE-r11 widening: the DDL work made every snapshot-table read resolve
+# against the COMMITTED schema instead of footer inference
+# (manager._read_dirs explicit-schema reads — the Iceberg read model,
+# required for metadata-only ADD COLUMN), which changes the read path of
+# EVERY table_* / cdc_* / mv_* / catalog_* query — all 15 not already in
+# the window move above the marker (changed-code-first rule), displacing
+# stalest-green r3/r5 names below it.
 _SWEEP_PRIORITY = [
+    "table_ddl_lifecycle",  # NEW r11 late: SQL DDL (CTAS + metadata-only ADD COLUMN)
     "table_merge_dml",  # NEW r11 (ask #2): SQL MERGE INTO via clause merge
     "table_delete_mor_dml",  # NEW r11 (ask #7): DML mor_key branch driver row
     "knn_ivf_recall_audit",  # NEW r11 (ask #6): IVF recall as hash-checked value
@@ -108,6 +117,23 @@ _SWEEP_PRIORITY = [
     "doc_exact_dedup",  # r11-planned-changed
     "doc_minhash_near_dup",  # r11-planned-changed
     "doc_dedup_clusters",  # r11-planned-changed
+    "table_snapshot_lifecycle",  # r11-late-changed: explicit-schema reads
+    "table_expire_compact",  # r11-late-changed: explicit-schema reads
+    "table_schema_evolution",  # r11-late-changed: explicit-schema reads
+    "table_rollback_restore",  # r11-late-changed: explicit-schema reads
+    "table_incremental_diff",  # r11-late-changed: explicit-schema reads
+    "table_partition_evolution",  # r11-late-changed: explicit-schema reads
+    "table_wap_publish",  # r11-late-changed: explicit-schema reads
+    "cdc_log_compaction",  # r11-late-changed: explicit-schema reads
+    "table_crypto_shred",  # r11-late-changed: explicit-schema reads
+    "mv_incremental_refresh",  # r11-late-changed: explicit-schema reads
+    "table_branch_merge",  # r11-late-changed: explicit-schema reads
+    "table_history_audit",  # r11-late-changed: explicit-schema reads
+    "table_concurrent_appends",  # r11-late-changed: explicit-schema reads
+    "table_mor_deletes",  # r11-late-changed: explicit-schema reads
+    "table_bloom_point_lookup",  # r11-late-changed: explicit-schema reads
+    "table_changelog_emit",  # r11-late-changed: explicit-schema reads
+    "catalog_multi_table_txn",  # r11-late-changed: explicit-schema reads
     "termination_first_stop",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
     "trajectory_metrics",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
     "messages_role_swap_pipeline",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
@@ -122,10 +148,9 @@ _SWEEP_PRIORITY = [
     "grpo_group_normalize",  # stalest green (r3)
     "grpo_pairwise_n2",  # stalest green (r3)
     "q5_region_revenue",  # stalest green (r3)
-    "table_snapshot_lifecycle",  # stalest green (r3)
-    "table_expire_compact",  # stalest green (r3)
     "stream_sliding_2h_1h",  # stalest green (r3)
-    "stream_session_window",  # stalest green (r3)
+    # -------- 50-slot window ends here (6 new + 29 changed + 15 stalest) ----------
+    "stream_session_window",  # stalest green (r3), displaced by r11-late changes
     "stream_dedup_events",  # stalest green (r3)
     "stream_dedup_bounded_state",  # stalest green (r3)
     "multimodal_decode_features",  # stalest green (r5)
@@ -141,7 +166,6 @@ _SWEEP_PRIORITY = [
     "events_twap_user",  # stalest green (r5)
     "parts_abc_pareto",  # stalest green (r5)
     "events_pit_dimension_join",  # stalest green (r5)
-    # -------- 50-slot window ends here (5 new + 12 changed + 33 stalest) ----------
     "events_cohort_ltv",  # stalest green (r5), displaced by r11 new
     "events_time_to_convert",  # stalest green (r5), displaced by r11 new
     "stream_stream_left_join",  # stalest green (r5), displaced by r11 new
@@ -151,9 +175,6 @@ _SWEEP_PRIORITY = [
     "q1_pricing_agg",
     "q3_join3_topk",
     "user_profile_similarity",
-    "table_rollback_restore",
-    "table_incremental_diff",
-    "table_history_audit",
     "events_multi_grain_rollup",
     "salted_join_skewed",
     "unpivot_pricing_metrics",
@@ -202,11 +223,6 @@ _SWEEP_PRIORITY = [
     "events_impute_value",
     "events_target_encode_loo",
     "spearman_qty_price",
-    "table_mor_deletes",
-    "table_changelog_emit",
-    "cdc_log_compaction",
-    "table_crypto_shred",
-    "mv_incremental_refresh",
     "q2_min_cost_supplier",
     "q4_priority_exists",
     "q6_forecast_revenue",
@@ -253,12 +269,6 @@ _SWEEP_PRIORITY = [
     "events_mad_outliers",
     "stream_tumbling_hourly",
     "stream_watermark_late_drop",
-    "table_concurrent_appends",
-    "table_partition_evolution",
-    "table_wap_publish",
-    "table_branch_merge",
-    "catalog_multi_table_txn",
-    "table_schema_evolution",
     "stream_ewma16_state",
     "emb_cosine_near_dup",
     "supplier_part_matching",
@@ -286,7 +296,6 @@ _SWEEP_PRIORITY = [
     "doc_weighted_sample",
     "doc_sample_per_lang",
     "stream_conversation_state",
-    "table_bloom_point_lookup",
     "doc_tfidf_top_terms",
     "emb_decontaminate",
     "doc_repetition_stats",

@@ -347,6 +347,52 @@ class SnapshotTable:
             f"table {self.name}: evolve gave up after {max_retries} retries"
         )
 
+    def add_column(self, col: str, sql_type: str, max_retries: int = 3) -> int:
+        """Iceberg `ALTER TABLE ... ADD COLUMN`: METADATA-ONLY schema
+        evolution — the commit carries every data dir by reference and
+        only the stored schema grows, so adding a column to a 100 TB
+        table costs one JSON write, never a rewrite. Reads resolve
+        against the committed schema (`_read_dirs`), so files written
+        before the evolution surface the column as typed NULL, and
+        time travel to an earlier version shows the schema AS OF then.
+
+        ``sql_type`` is a DDL type string (``string``, ``decimal(12,2)``,
+        ``array<double>``, ...) parsed by Spark itself via an empty
+        createDataFrame — no hand-rolled type grammar. Append-shaped OCC
+        like evolve_partitioning: dirs ride by reference, so the commit
+        declares expect_parent and retries against the fresh head."""
+        # Spark parses the DDL type (raises on nonsense); driver-only.
+        field = self.spark.createDataFrame([], f"`{col}` {sql_type}").schema[0]
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"table {self.name}: cannot add a column before create"
+                )
+            meta = self._read_meta(cur)
+            schema = T.StructType.fromJson(json.loads(meta["schema"]))
+            if col in schema.fieldNames():
+                raise ValueError(
+                    f"table {self.name}: column {col!r} already exists"
+                )
+            evolved = T.StructType(list(schema.fields) + [field])
+            try:
+                return self._commit(
+                    "add-column",
+                    meta["dirs"],
+                    cur,
+                    evolved.json(),
+                    spec=meta.get("spec", []),
+                    dir_specs=self._dir_specs(meta),
+                    expect_parent=cur,
+                    delete_dirs=meta.get("delete_dirs", []),
+                )
+            except CommitConflictError:
+                continue  # metadata-only: nothing to clean, just re-read
+        raise CommitConflictError(
+            f"table {self.name}: add_column gave up after {max_retries} retries"
+        )
+
     def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
         cur = self.current_version()
         spec = self.current_spec()
@@ -1283,7 +1329,7 @@ class SnapshotTable:
 
         matched_files = set()
         for r in (
-            self._read_dirs(meta["dirs"])
+            self._read_dirs(meta["dirs"], schema_json=meta["schema"])
             .filter(condition)
             .select(F.input_file_name().alias("f"))
             .distinct()
@@ -1640,7 +1686,7 @@ class SnapshotTable:
         set are read together."""
         deletes = meta.get("delete_dirs", [])
         if not deletes:
-            return self._read_dirs(dirs, merge_schema)
+            return self._read_dirs(dirs, merge_schema, meta["schema"])
         from collections import defaultdict
 
         groups: dict[tuple, list[str]] = defaultdict(list)
@@ -1653,7 +1699,7 @@ class SnapshotTable:
             groups[applicable].append(d)
         parts = []
         for applicable, group_dirs in groups.items():
-            part = self._read_dirs(group_dirs, merge_schema)
+            part = self._read_dirs(group_dirs, merge_schema, meta["schema"])
             for i in applicable:
                 keys = self.spark.read.parquet(deletes[i]["dir"])
                 part = part.join(keys, on=deletes[i]["key"], how="left_anti")
@@ -1663,13 +1709,38 @@ class SnapshotTable:
             out = out.unionByName(p_, allowMissingColumns=merge_schema)
         return out
 
-    def _read_dirs(self, dirs: list[str], merge_schema: bool = False) -> DataFrame:
+    def _read_dirs(
+        self,
+        dirs: list[str],
+        merge_schema: bool = False,
+        schema_json: str | None = None,
+    ) -> DataFrame:
         # recursiveFileLookup: read leaf files only, no partition-column
         # discovery — partition values live INSIDE the files (shadow-
         # column layout), so dirs written under different partition
         # specs union cleanly.
         reader = self.spark.read.option("recursiveFileLookup", "true")
-        if merge_schema:
+        if schema_json is not None:
+            # Iceberg read model: the COMMITTED schema, not file-footer
+            # inference, decides the read schema. Files missing a column
+            # (written before a metadata-only ADD COLUMN) surface it as
+            # NULL; physical types always match because every write path
+            # casts to the table type (_align_append_to_schema). This
+            # also skips the footer-merge inference job entirely.
+            # Fields are forced nullable: a column declared non-null by
+            # the frame that created the table CAN be NULL in files
+            # written before it existed, and a falsely non-null read
+            # schema licenses the optimizer to prune IS NULL branches.
+            stored = T.StructType.fromJson(json.loads(schema_json))
+            reader = reader.schema(
+                T.StructType(
+                    [
+                        T.StructField(f.name, f.dataType, True, f.metadata)
+                        for f in stored.fields
+                    ]
+                )
+            )
+        elif merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
 
@@ -1693,7 +1764,9 @@ class SnapshotTable:
                 chosen.append(d)
         if not chosen:
             return self.read(version).filter(F.col(col) == F.lit(value)).limit(0)
-        return self._read_dirs(chosen).filter(F.col(col) == F.lit(value))
+        return self._read_dirs(chosen, schema_json=meta["schema"]).filter(
+            F.col(col) == F.lit(value)
+        )
 
     def drop(self) -> None:
         if os.path.isdir(self.base):

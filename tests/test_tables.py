@@ -2004,3 +2004,144 @@ def test_merge_dml_star_forms_tolerate_extra_source_columns(spark, nation):
             "WHEN MATCHED THEN UPDATE SET *",
         )
     t.drop()
+
+
+# ---------------------------------------------------------------- SQL DDL
+
+
+def test_ddl_ctas_partitioned_layout_and_pruned_read(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_ddl
+
+    nation.createOrReplaceTempView("ddl_nation_src")
+    execute_ddl(spark, "DROP TABLE IF EXISTS t_ddl_ctas")
+    res = execute_ddl(
+        spark,
+        "CREATE TABLE t_ddl_ctas PARTITIONED BY (n_regionkey) AS "
+        "SELECT n_nationkey, n_name, n_regionkey FROM ddl_nation_src "
+        "WHERE n_nationkey < 20",
+    )
+    assert res["op"] == "create" and res["version"] == 1
+    t = SnapshotTable(spark, "t_ddl_ctas")
+    assert t.current_spec() == ["n_regionkey"]
+    assert t.read().count() == nation.filter(F.col("n_nationkey") < 20).count()
+    # partition pruning actually prunes: the pruned read lists a strict
+    # subset and equals the filtered full read
+    want = {r.n_nationkey for r in nation.filter(
+        (F.col("n_regionkey") == 0) & (F.col("n_nationkey") < 20)).collect()}
+    got = {r.n_nationkey for r in t.read_pruned("n_regionkey", 0).collect()}
+    assert got == want
+    # IF NOT EXISTS on an existing table is a version-preserving no-op
+    res2 = execute_ddl(
+        spark,
+        "CREATE TABLE IF NOT EXISTS t_ddl_ctas AS SELECT * FROM ddl_nation_src",
+    )
+    assert res2["op"] == "create-noop" and res2["version"] == 1
+    # plain CREATE on an existing table raises
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(
+            spark, "CREATE TABLE t_ddl_ctas AS SELECT * FROM ddl_nation_src"
+        )
+    t.drop()
+
+
+def test_ddl_add_column_is_metadata_only_and_reads_null(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_ddl
+
+    t = SnapshotTable(spark, "t_ddl_addcol")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    v1_dirs = t._read_meta(1)["dirs"]
+    res = execute_ddl(
+        spark,
+        "ALTER TABLE t_ddl_addcol ADD COLUMNS score DOUBLE, tags ARRAY<STRING>",
+    )
+    assert res["op"] == "add-column" and res["audit"]["dirs_rewritten"] == 0
+    # metadata-only: every version shares the identical dir list
+    assert t._read_meta(t.current_version())["dirs"] == v1_dirs
+    out = t.read()
+    assert out.columns == ["n_nationkey", "n_name", "score", "tags"]
+    assert out.filter(F.col("score").isNull()).count() == nation.count()
+    assert dict(out.dtypes)["tags"] == "array<string>"
+    # time travel shows the schema AS OF the earlier version
+    assert t.read(version=1).columns == ["n_nationkey", "n_name"]
+    # the evolved column is immediately updatable (COW rewrite sees it)
+    t.update_where(F.col("n_nationkey") < 5, {"score": F.lit(1.5)})
+    assert t.read().filter(F.col("score") == 1.5).count() == 5
+    assert t.read().filter(F.col("score").isNull()).count() == nation.count() - 5
+    # and a predicate on it prunes correctly (NULL never matches)
+    v, audit = t.delete_where_pruned(F.col("score") > 100.0)
+    assert audit["dirs_rewritten"] == 0  # no row matches -> true no-op
+    # duplicate name raises
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(spark, "ALTER TABLE t_ddl_addcol ADD COLUMN score INT")
+    t.drop()
+
+
+def test_ddl_partition_field_evolution_and_drop_table(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_ddl
+
+    t = SnapshotTable(spark, "t_ddl_spec")
+    t.drop()
+    t.create(nation)
+    execute_ddl(spark, "ALTER TABLE t_ddl_spec ADD PARTITION FIELD n_regionkey")
+    assert t.current_spec() == ["n_regionkey"]
+    with pytest.raises(ValueError, match="already a partition field"):
+        execute_ddl(spark, "ALTER TABLE t_ddl_spec ADD PARTITION FIELD n_regionkey")
+    execute_ddl(spark, "ALTER TABLE t_ddl_spec DROP PARTITION FIELD n_regionkey")
+    assert t.current_spec() == []
+    with pytest.raises(ValueError, match="not a partition field"):
+        execute_ddl(spark, "ALTER TABLE t_ddl_spec DROP PARTITION FIELD n_name")
+    # content untouched through the metadata-only spec changes
+    assert t.read().count() == nation.count()
+    execute_ddl(spark, "DROP TABLE t_ddl_spec")
+    assert t.current_version() is None
+    with pytest.raises(ValueError, match="does not exist"):
+        execute_ddl(spark, "DROP TABLE t_ddl_spec")
+    execute_ddl(spark, "DROP TABLE IF EXISTS t_ddl_spec")  # no raise
+
+
+def test_ddl_grammar_guards(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import _split_columns, execute_ddl
+
+    # angle-bracket-aware column split (map types carry commas)
+    assert _split_columns("a decimal(12,2), b map<string,int>, c int") == [
+        "a decimal(12,2)", "b map<string,int>", "c int"
+    ]
+    with pytest.raises(ValueError, match="AS SELECT"):
+        execute_ddl(spark, "CREATE TABLE t_x PARTITIONED BY (a)")
+    with pytest.raises(ValueError, match="must be a SELECT"):
+        execute_ddl(spark, "CREATE TABLE t_x AS DELETE FROM y")
+    with pytest.raises(ValueError, match="unexpected tokens"):
+        execute_ddl(spark, "CREATE TABLE t_x USING parquet AS SELECT 1 AS a")
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        execute_ddl(spark, "ALTER TABLE t_x RENAME COLUMN a TO b")
+    with pytest.raises(ValueError, match="unsupported DDL"):
+        execute_ddl(spark, "TRUNCATE TABLE t_x")
+    # a CTAS whose SELECT contains ' AS ' in a string literal still splits
+    # at the TOP-LEVEL AS (the scanner is quote-aware)
+    nation.createOrReplaceTempView("ddl_nation_src")
+    execute_ddl(spark, "DROP TABLE IF EXISTS t_ddl_quote")
+    execute_ddl(
+        spark,
+        "CREATE TABLE t_ddl_quote AS SELECT n_nationkey, ' AS ' AS lit "
+        "FROM ddl_nation_src",
+    )
+    t = SnapshotTable(spark, "t_ddl_quote")
+    assert t.read().filter(F.col("lit") == " AS ").count() == nation.count()
+    t.drop()
+
+
+def test_ddl_ctas_with_cte_body(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_ddl
+
+    nation.createOrReplaceTempView("ddl_nation_src")
+    execute_ddl(spark, "DROP TABLE IF EXISTS t_ddl_cte")
+    execute_ddl(
+        spark,
+        "CREATE TABLE t_ddl_cte AS WITH big AS "
+        "(SELECT * FROM ddl_nation_src WHERE n_nationkey >= 10) "
+        "SELECT n_nationkey, n_name FROM big",
+    )
+    t = SnapshotTable(spark, "t_ddl_cte")
+    assert t.read().count() == nation.filter(F.col("n_nationkey") >= 10).count()
+    t.drop()
