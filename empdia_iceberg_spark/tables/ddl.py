@@ -1,9 +1,10 @@
 """Declarative SQL DDL over the snapshot tables: `CREATE TABLE ... AS
-SELECT` (CTAS, optionally partitioned), `ALTER TABLE ... ADD COLUMN[S]`
-(METADATA-ONLY schema evolution — the Iceberg model: one JSON commit,
-zero data rewrites, old files surface the column as typed NULL),
-`ALTER TABLE ... ADD/DROP PARTITION FIELD` (spec evolution for future
-writes), and `DROP TABLE [IF EXISTS]`.
+SELECT` (CTAS, optionally partitioned), `ALTER TABLE ... ADD/DROP
+COLUMN[S]` (both METADATA-ONLY schema evolution — the Iceberg model:
+one JSON commit, zero data rewrites; added columns surface as typed
+NULL in old files, dropped columns stop being projected while their
+bytes stay in place), `ALTER TABLE ... ADD/DROP PARTITION FIELD` (spec
+evolution for future writes), and `DROP TABLE [IF EXISTS]`.
 
 Together with `tables/dml.py` (INSERT/UPDATE/DELETE/MERGE) this
 completes the declarative statement surface: a user can stand up,
@@ -55,6 +56,9 @@ _PARTITIONED_BY = re.compile(
     r"^PARTITIONED\s+BY\s*\(([^)]*)\)\s*$", re.IGNORECASE | re.DOTALL
 )
 _ADD_COLUMNS = re.compile(r"^ADD\s+COLUMNS?\s+(.+)$", re.IGNORECASE | re.DOTALL)
+_DROP_COLUMNS = re.compile(
+    r"^DROP\s+COLUMNS?\s+(\w+(?:\s*,\s*\w+)*)\s*$", re.IGNORECASE
+)
 _ADD_PART_FIELD = re.compile(
     r"^ADD\s+PARTITION\s+FIELD\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -92,13 +96,15 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
 
         CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (c1[, c2])] AS SELECT ...
         ALTER TABLE t ADD COLUMN[S] name type [, name type ...]
+        ALTER TABLE t DROP COLUMN[S] name [, name ...]
         ALTER TABLE t ADD PARTITION FIELD col
         ALTER TABLE t DROP PARTITION FIELD col
         DROP TABLE [IF EXISTS] t
 
-    Returns {"op", "table", "version", "audit"}; for ADD COLUMN the
-    audit PROVES the commit was metadata-only (dirs_rewritten pinned
-    to 0 by comparing the parent's and the new snapshot's dir lists).
+    Returns {"op", "table", "version", "audit"}; for ADD/DROP COLUMN
+    the audit PROVES the commit was metadata-only (dirs_rewritten
+    pinned to 0 by comparing the parent's and the new snapshot's dir
+    lists).
     """
     m = _CREATE_HEAD.match(statement)
     if m:
@@ -153,6 +159,20 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
             }
             return {"op": "add-column", "table": name, "version": version,
                     "audit": audit}
+        dm = _DROP_COLUMNS.match(action)
+        if dm:
+            parent = t.current_version()
+            parent_dirs = t._read_meta(parent)["dirs"] if parent else None
+            version = parent
+            for col in [c.strip() for c in dm.group(1).split(",")]:
+                version = t.drop_column(col)
+            new_dirs = t._read_meta(version)["dirs"]
+            audit = {
+                "dirs_rewritten": len(set(new_dirs) - set(parent_dirs or [])),
+                "dirs_reused": len(new_dirs),
+            }
+            return {"op": "drop-column", "table": name, "version": version,
+                    "audit": audit}
         pm = _ADD_PART_FIELD.match(action)
         if pm:
             col = pm.group(1)
@@ -199,20 +219,23 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
            count(*) AS n_rows,
            round({sql_sum2('c_acctbal')}, 2) AS sum_acctbal,
            CAST(0 AS INT) AS alter_dirs_rewritten,
-           CAST(3 AS INT) AS n_versions
+           CAST(4 AS INT) AS n_versions,
+           CAST(4 AS INT) AS n_columns
     FROM src
     GROUP BY c_mktsegment, CASE WHEN c_acctbal >= 5000.0 THEN 'gold' ELSE 'std' END
     ORDER BY c_mktsegment, tier
     """,
     doc="Declarative SQL DDL lifecycle over a snapshot table: CTAS "
-    "PARTITIONED BY from a Catalyst-parsed SELECT, then a METADATA-ONLY "
-    "`ALTER TABLE ADD COLUMN` (Iceberg schema evolution: one JSON "
-    "commit, dir list carried by reference — the emitted "
-    "alter_dirs_rewritten=0 audit column hash-checks that no data was "
-    "rewritten), then a declarative UPDATE filling the evolved column "
+    "PARTITIONED BY from a Catalyst-parsed SELECT, then METADATA-ONLY "
+    "`ALTER TABLE ADD COLUMN` and `DROP COLUMN` (Iceberg schema "
+    "evolution: one JSON commit each, dir list carried by reference — "
+    "the emitted alter_dirs_rewritten=0 audit column hash-checks that "
+    "neither evolution rewrote data, and n_columns=4 hash-checks that "
+    "the dropped column stopped being projected while its bytes stay "
+    "in the files), then a declarative UPDATE filling the added column "
     "(reads resolve against the COMMITTED schema, so pre-evolution "
-    "files surface the column as NULL and the COW rewrite sees it). "
-    "Final state + the metadata-only proof + the version count are all "
+    "files surface it as NULL and the COW rewrite sees it). Final "
+    "state + the metadata-only proofs + the version count are all "
     "pinned by the oracle.",
 )
 def table_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,10 +244,11 @@ def table_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     execute_ddl(
         spark,
         "CREATE TABLE customer_ddl PARTITIONED BY (c_mktsegment) AS "
-        "SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal "
-        "FROM cust_ddl_src",
+        "SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal, "
+        "c_name FROM cust_ddl_src",
     )
-    res = execute_ddl(spark, "ALTER TABLE customer_ddl ADD COLUMN tier STRING")
+    res_add = execute_ddl(spark, "ALTER TABLE customer_ddl ADD COLUMN tier STRING")
+    res_drop = execute_ddl(spark, "ALTER TABLE customer_ddl DROP COLUMN c_name")
     execute_dml(
         spark,
         "UPDATE customer_ddl SET tier = CASE WHEN c_acctbal >= 5000.0 "
@@ -232,17 +256,18 @@ def table_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = SnapshotTable(spark, "customer_ddl")
     n_versions = t.current_version()
+    final = t.read()
+    rewrote = int(res_add["audit"]["dirs_rewritten"]) + int(
+        res_drop["audit"]["dirs_rewritten"]
+    )
     return (
-        t.read()
-        .groupBy("c_mktsegment", "tier")
+        final.groupBy("c_mktsegment", "tier")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(exact_sum2("c_acctbal"), 2).alias("sum_acctbal"),
         )
-        .withColumn(
-            "alter_dirs_rewritten",
-            F.lit(int(res["audit"]["dirs_rewritten"])).cast("int"),
-        )
+        .withColumn("alter_dirs_rewritten", F.lit(rewrote).cast("int"))
         .withColumn("n_versions", F.lit(int(n_versions)).cast("int"))
+        .withColumn("n_columns", F.lit(len(final.columns)).cast("int"))
         .orderBy("c_mktsegment", "tier")
     )

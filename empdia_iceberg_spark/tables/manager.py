@@ -375,6 +375,29 @@ class SnapshotTable:
                 raise ValueError(
                     f"table {self.name}: column {col!r} already exists"
                 )
+            # Name-based schema model guard: a name that appears in any
+            # HISTORICAL schema but not the current one was dropped, and
+            # pre-drop files still physically contain it — re-adding the
+            # name would RESURRECT those old values instead of reading
+            # NULL (Iceberg's field-id model gives the re-added column a
+            # fresh id, hence NULL). Refuse; pick a new name or rewrite.
+            # O(|versions|) local JSON reads, metadata-sized. Caveat:
+            # expire_snapshots can erase the history that records a drop
+            # — the data dirs it keeps are the current version's, whose
+            # files may still carry dropped bytes.
+            for v in self._versions():
+                if v == cur:
+                    continue
+                past = T.StructType.fromJson(
+                    json.loads(self._read_meta(v)["schema"])
+                )
+                if col in past.fieldNames():
+                    raise ValueError(
+                        f"table {self.name}: column {col!r} was previously "
+                        "dropped and old files still contain its bytes — "
+                        "re-adding the name would resurrect them; use a new "
+                        "name or rewrite the table"
+                    )
             evolved = T.StructType(list(schema.fields) + [field])
             try:
                 return self._commit(
@@ -391,6 +414,66 @@ class SnapshotTable:
                 continue  # metadata-only: nothing to clean, just re-read
         raise CommitConflictError(
             f"table {self.name}: add_column gave up after {max_retries} retries"
+        )
+
+    def drop_column(self, col: str, max_retries: int = 3) -> int:
+        """Iceberg `ALTER TABLE ... DROP COLUMN`: METADATA-ONLY — the
+        stored schema loses the field and every data dir rides by
+        reference; reads resolve against the committed schema, so the
+        physical column still present in old files is simply never
+        projected (parquet column pruning makes that free). Refuses to
+        drop a partition-spec field (reads/writes key on it) or a live
+        MOR equality-delete key (the read-time anti-join needs it).
+
+        Name-based schema model caveat: pre-drop files still contain
+        the column's bytes, so re-introducing the NAME would resurrect
+        old values instead of reading NULL — `add_column` refuses names
+        found in historical schemas for exactly this reason, and a
+        later APPEND whose frame carries the dropped name re-evolves it
+        additively (new files carry values, old files' bytes become
+        visible again); avoid reusing dropped names without a rewrite."""
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"table {self.name}: cannot drop a column before create"
+                )
+            meta = self._read_meta(cur)
+            schema = T.StructType.fromJson(json.loads(meta["schema"]))
+            if col not in schema.fieldNames():
+                raise ValueError(f"table {self.name}: no column {col!r}")
+            if col in meta.get("spec", []) or any(
+                col in ds for ds in self._dir_specs(meta)
+            ):
+                raise ValueError(
+                    f"table {self.name}: {col!r} is a partition field — "
+                    "evolve the partition spec first"
+                )
+            if any(dd.get("key") == col for dd in meta.get("delete_dirs", [])):
+                raise ValueError(
+                    f"table {self.name}: {col!r} keys live merge-on-read "
+                    "delete files — compact them in first"
+                )
+            kept = [f for f in schema.fields if f.name != col]
+            if not kept:
+                raise ValueError(
+                    f"table {self.name}: cannot drop the last column"
+                )
+            try:
+                return self._commit(
+                    "drop-column",
+                    meta["dirs"],
+                    cur,
+                    T.StructType(kept).json(),
+                    spec=meta.get("spec", []),
+                    dir_specs=self._dir_specs(meta),
+                    expect_parent=cur,
+                    delete_dirs=meta.get("delete_dirs", []),
+                )
+            except CommitConflictError:
+                continue  # metadata-only: nothing to clean, just re-read
+        raise CommitConflictError(
+            f"table {self.name}: drop_column gave up after {max_retries} retries"
         )
 
     def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:

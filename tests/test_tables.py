@@ -2145,3 +2145,52 @@ def test_ddl_ctas_with_cte_body(spark, nation):
     t = SnapshotTable(spark, "t_ddl_cte")
     assert t.read().count() == nation.filter(F.col("n_nationkey") >= 10).count()
     t.drop()
+
+
+def test_ddl_drop_column_is_metadata_only_and_guards(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_ddl
+
+    t = SnapshotTable(spark, "t_ddl_dropcol")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name", "n_regionkey"))
+    v1_dirs = t._read_meta(1)["dirs"]
+    res = execute_ddl(spark, "ALTER TABLE t_ddl_dropcol DROP COLUMN n_name")
+    assert res["op"] == "drop-column" and res["audit"]["dirs_rewritten"] == 0
+    assert t._read_meta(t.current_version())["dirs"] == v1_dirs
+    assert t.read().columns == ["n_nationkey", "n_regionkey"]
+    # time travel still projects the dropped column with its values
+    assert t.read(version=1).filter(F.col("n_name").isNotNull()).count() == \
+        nation.count()
+    # re-adding a dropped name is refused (old files would resurrect)
+    with pytest.raises(ValueError, match="previously\\s+dropped"):
+        t.add_column("n_name", "string")
+    # a genuinely new name is fine
+    t.add_column("n_fresh", "string")
+    # guards: unknown column, partition field, last column
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("nope")
+    t.drop()
+    t2 = SnapshotTable(spark, "t_ddl_dropcol2")
+    t2.drop()
+    t2.create(nation.select("n_nationkey", "n_name", "n_regionkey"),
+              partition_by=["n_regionkey"])
+    with pytest.raises(ValueError, match="partition field"):
+        t2.drop_column("n_regionkey")
+    t2.drop_column("n_nationkey")
+    with pytest.raises(ValueError, match="last column"):
+        # the spec field is untouchable, so n_name is the last DROPPABLE
+        # column — but the guard is about the schema: shrink to one
+        SnapshotTable(spark, "t_ddl_dropcol2b").drop()
+        t2b = SnapshotTable(spark, "t_ddl_dropcol2b")
+        t2b.create(nation.select("n_nationkey"))
+        t2b.drop_column("n_nationkey")
+    t2.drop()
+    SnapshotTable(spark, "t_ddl_dropcol2b").drop()
+    # guard: a live MOR equality-delete key cannot be dropped
+    t3 = SnapshotTable(spark, "t_ddl_dropcol3")
+    t3.drop()
+    t3.create(nation.select("n_nationkey", "n_name"))
+    t3.delete_where_mor(F.col("n_nationkey") < 3, key="n_nationkey")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        t3.drop_column("n_nationkey")
+    t3.drop()
