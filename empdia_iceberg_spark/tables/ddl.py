@@ -147,6 +147,16 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
                 if not cm:
                     raise ValueError(f"bad column definition: {item!r}")
                 defs.append((cm.group(1), cm.group(2).strip()))
+            # Fail fast BEFORE the first commit so a bad later item
+            # cannot leave a multi-column statement half-applied: parse
+            # every type (Spark raises on nonsense) and reject in-list
+            # duplicates up front. Per-column guards (exists / was
+            # dropped) still run inside add_column under its OCC loop.
+            names = [c for c, _ in defs]
+            if len(set(names)) != len(names):
+                raise ValueError(f"duplicate column names in ADD COLUMNS: {names}")
+            for col, sql_type in defs:
+                spark.createDataFrame([], f"`{col}` {sql_type}")
             parent = t.current_version()
             parent_dirs = t._read_meta(parent)["dirs"] if parent else None
             version = parent
@@ -161,10 +171,13 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
                     "audit": audit}
         dm = _DROP_COLUMNS.match(action)
         if dm:
+            cols = [c.strip() for c in dm.group(1).split(",")]
+            if len(set(cols)) != len(cols):
+                raise ValueError(f"duplicate column names in DROP COLUMNS: {cols}")
             parent = t.current_version()
             parent_dirs = t._read_meta(parent)["dirs"] if parent else None
             version = parent
-            for col in [c.strip() for c in dm.group(1).split(",")]:
+            for col in cols:
                 version = t.drop_column(col)
             new_dirs = t._read_meta(version)["dirs"]
             audit = {
@@ -204,6 +217,37 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         f"unsupported DDL statement (expected CREATE TABLE ... AS SELECT, "
         f"ALTER TABLE ... ADD COLUMN[S]/ADD PARTITION FIELD/DROP PARTITION "
         f"FIELD, or DROP TABLE): {statement[:80]!r}"
+    )
+
+
+def execute_sql(
+    spark: SparkSession,
+    statement: str,
+    root: str = DEFAULT_ROOT,
+    mor_key: str | None = None,
+):
+    """One entry point for the whole declarative surface, dispatched on
+    the statement's first keyword: SELECT/WITH run through ``spark.sql``
+    verbatim and return a DataFrame (register snapshot tables as temp
+    views via ``SnapshotTable.read().createOrReplaceTempView`` first);
+    INSERT/UPDATE/DELETE/MERGE route to :func:`tables.dml.execute_dml`;
+    CREATE/ALTER/DROP TABLE route to :func:`execute_ddl` (both return
+    the result dict). ``mor_key`` is the DML DELETE routing knob and is
+    rejected elsewhere."""
+    head = statement.lstrip().lstrip("(").split(None, 1)
+    kw = head[0].upper() if head else ""
+    if kw in ("SELECT", "WITH"):
+        return spark.sql(statement)
+    if kw in ("INSERT", "UPDATE", "DELETE", "MERGE"):
+        return execute_dml(spark, statement, root, mor_key)
+    if kw in ("CREATE", "ALTER", "DROP"):
+        if mor_key is not None:
+            raise ValueError("mor_key applies to DML DELETE only")
+        return execute_ddl(spark, statement, root)
+    raise ValueError(
+        f"unsupported SQL statement (expected SELECT/WITH, "
+        f"INSERT/UPDATE/DELETE/MERGE, or CREATE/ALTER/DROP TABLE): "
+        f"{statement[:80]!r}"
     )
 
 

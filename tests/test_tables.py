@@ -2194,3 +2194,53 @@ def test_ddl_drop_column_is_metadata_only_and_guards(spark, nation):
     with pytest.raises(ValueError, match="merge-on-read"):
         t3.drop_column("n_nationkey")
     t3.drop()
+
+
+def test_execute_sql_dispatch_and_multi_column_prevalidation(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    nation.createOrReplaceTempView("ddl_nation_src")
+    execute_sql(spark, "DROP TABLE IF EXISTS t_sql_dispatch")
+    res = execute_sql(
+        spark,
+        "CREATE TABLE t_sql_dispatch AS "
+        "SELECT n_nationkey, n_name FROM ddl_nation_src",
+    )
+    assert res["op"] == "create"
+    res = execute_sql(
+        spark,
+        "INSERT INTO t_sql_dispatch (n_nationkey, n_name) VALUES (900, 'X')",
+    )
+    assert res["op"] == "insert"
+    res = execute_sql(
+        spark, "DELETE FROM t_sql_dispatch WHERE n_nationkey = 900"
+    )
+    assert res["op"] == "delete"
+    t = SnapshotTable(spark, "t_sql_dispatch")
+    assert t.read().count() == nation.count()
+    # SELECT passes through to spark.sql and returns a DataFrame
+    t.read().createOrReplaceTempView("t_sql_dispatch_v")
+    df = execute_sql(
+        spark, "SELECT count(*) AS n FROM t_sql_dispatch_v"
+    )
+    assert df.collect()[0].n == nation.count()
+    with pytest.raises(ValueError, match="unsupported SQL"):
+        execute_sql(spark, "VACUUM t_sql_dispatch")
+    with pytest.raises(ValueError, match="mor_key applies"):
+        execute_sql(spark, "DROP TABLE t_sql_dispatch", mor_key="n_nationkey")
+    # multi-column ADD fails fast BEFORE any commit on a bad later type
+    v_before = t.current_version()
+    with pytest.raises(Exception):
+        execute_sql(
+            spark,
+            "ALTER TABLE t_sql_dispatch ADD COLUMNS ok_col INT, bad_col NOT_A_TYPE",
+        )
+    assert t.current_version() == v_before  # nothing half-applied
+    with pytest.raises(ValueError, match="duplicate column"):
+        execute_sql(
+            spark, "ALTER TABLE t_sql_dispatch ADD COLUMNS a INT, a STRING"
+        )
+    with pytest.raises(ValueError, match="duplicate column"):
+        execute_sql(spark, "ALTER TABLE t_sql_dispatch DROP COLUMNS n_name, n_name")
+    assert t.current_version() == v_before
+    execute_sql(spark, "DROP TABLE t_sql_dispatch")
