@@ -29,6 +29,7 @@ the public Iceberg spec's metadata-evolution model.
 from __future__ import annotations
 
 import re
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -220,6 +221,92 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
     )
 
 
+# Read-side time travel: `t VERSION AS OF 3` / `t FOR TIMESTAMP AS OF
+# '2026-08-16 12:00:00'` (Spark 3.3+/Delta syntax; SYSTEM_VERSION /
+# SYSTEM_TIME are the Iceberg spellings). The value group matches a
+# quoted literal or a bare number/ISO token; the scan runs over a
+# LITERAL-MASKED copy of the statement so `AS OF` inside a string can
+# never trigger a rewrite.
+_AS_OF = re.compile(
+    r"\b([A-Za-z_]\w*)\s+(?:FOR\s+)?"
+    r"(VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)\s+AS\s+OF\s+"
+    r"('[^']*'|\"[^\"]*\"|[\w.:+\-]+)",
+    re.IGNORECASE,
+)
+
+
+def _mask_literals(s: str) -> str:
+    """Same-length copy with every string-literal INTERIOR (including
+    backslash escapes, so an escaped quote cannot end the masked span
+    early) replaced by 'x' — regex scans over the mask, spans index the
+    original."""
+    out = list(s)
+    i, n, quote = 0, len(s), None
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == "\\" and i + 1 < n:
+                out[i] = out[i + 1] = "x"
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            else:
+                out[i] = "x"
+        elif ch in ("'", '"'):
+            quote = ch
+        i += 1
+    return "".join(out)
+
+
+def _parse_as_of_ts(raw: str) -> float:
+    """Epoch seconds from a TIMESTAMP AS OF literal: a bare epoch number
+    or an ISO-8601 string ('2026-08-16 12:00:00[+00:00]'); a naive
+    timestamp is UTC (the engine pins spark.sql.session.timeZone=UTC)."""
+    v = raw.strip().strip("'\"")
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    dt = datetime.fromisoformat(v)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def materialize_time_travel(
+    spark: SparkSession, statement: str, root: str = DEFAULT_ROOT
+) -> str:
+    """Rewrite every `table [FOR] VERSION|TIMESTAMP AS OF <literal>`
+    reference in ``statement`` to a temp view over that snapshot read
+    (`SnapshotTable.read(version)` — the committed-schema read, so time
+    travel shows the schema AS OF each version) and return the rewritten
+    statement. Statements without time-travel refs pass through
+    untouched. Metadata-only: resolution reads snapshot JSONs; the scan
+    itself stays one pruned parquet read per referenced version."""
+    masked = _mask_literals(statement)
+    matches = list(_AS_OF.finditer(masked))
+    if not matches:
+        return statement
+    out = statement
+    for m in reversed(matches):  # right-to-left keeps earlier spans valid
+        name, kind = m.group(1), m.group(2).upper()
+        raw = statement[m.start(3) : m.end(3)]
+        t = SnapshotTable(spark, name, root)
+        if t.current_version() is None:
+            raise ValueError(
+                f"time travel requires a snapshot table: {name!r} not found"
+            )
+        if kind in ("VERSION", "SYSTEM_VERSION"):
+            version = int(raw.strip().strip("'\""))
+        else:
+            version = t.version_as_of(_parse_as_of_ts(raw))
+        view = f"_asof_{name}_v{version}"
+        t.read(version).createOrReplaceTempView(view)
+        out = out[: m.start()] + view + out[m.end() :]
+    return out
+
+
 def execute_sql(
     spark: SparkSession,
     statement: str,
@@ -233,7 +320,11 @@ def execute_sql(
     INSERT/UPDATE/DELETE/MERGE route to :func:`tables.dml.execute_dml`;
     CREATE/ALTER/DROP TABLE route to :func:`execute_ddl` (both return
     the result dict). ``mor_key`` is the DML DELETE routing knob and is
-    rejected elsewhere."""
+    rejected elsewhere. Read-side time travel (`t [FOR] VERSION|
+    TIMESTAMP AS OF <literal>`) is materialized BEFORE dispatch, so it
+    works anywhere a read ref appears — a SELECT, an INSERT body, a
+    MERGE source."""
+    statement = materialize_time_travel(spark, statement, root)
     head = statement.lstrip().lstrip("(").split(None, 1)
     kw = head[0].upper() if head else ""
     if kw in ("SELECT", "WITH"):
@@ -314,4 +405,55 @@ def table_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_versions", F.lit(int(n_versions)).cast("int"))
         .withColumn("n_columns", F.lit(len(final.columns)).cast("int"))
         .orderBy("c_mktsegment", "tier")
+    )
+
+
+@register(
+    "table_time_travel_sql",
+    oracle=f"""
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderstatus = 'O'),
+         v2 AS (SELECT * FROM orders WHERE o_orderstatus IN ('O', 'F')),
+         v3 AS (SELECT * FROM orders)
+    SELECT 1 AS version, count(*) AS n_rows, round({sql_sum2('o_totalprice')}, 2) AS total_price FROM v1
+    UNION ALL
+    SELECT 2, count(*), round({sql_sum2('o_totalprice')}, 2) FROM v2
+    UNION ALL
+    SELECT 3, count(*), round({sql_sum2('o_totalprice')}, 2) FROM v3
+    ORDER BY version
+    """,
+    doc="Read-side SQL time travel over the snapshot table: ONE SELECT "
+    "statement reads three eras of the same table through `VERSION AS "
+    "OF`, `FOR TIMESTAMP AS OF '<iso>'` (resolved against the commit "
+    "timestamps in the snapshot metadata — Iceberg snapshot-timestamp "
+    "semantics; the probe timestamp is taken BETWEEN v2 and v3 commit "
+    "times so it must resolve to v2), and the Iceberg `SYSTEM_VERSION "
+    "AS OF` spelling. The rewrite is literal-masked (an 'AS OF' inside "
+    "a string can never trigger it) and materializes each era as a "
+    "committed-schema snapshot read; differentially checked against "
+    "status filters over the base orders table.",
+)
+def table_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_asof")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    t.append(orders.filter(~F.col("o_orderstatus").isin("O", "F")))
+    ts = {m["version"]: m["ts"] for m in t.snapshots()}
+    # strictly between the v2 and v3 commits => must resolve to v2
+    mid = datetime.fromtimestamp(
+        (ts[2] + ts[3]) / 2.0, tz=timezone.utc
+    ).isoformat()
+    total = f"round({sql_sum2('o_totalprice')}, 2)"
+    return execute_sql(
+        spark,
+        f"""
+        SELECT 1 AS version, count(*) AS n_rows, {total} AS total_price
+        FROM orders_asof VERSION AS OF 1
+        UNION ALL
+        SELECT 2, count(*), {total} FROM orders_asof FOR TIMESTAMP AS OF '{mid}'
+        UNION ALL
+        SELECT 3, count(*), {total} FROM orders_asof SYSTEM_VERSION AS OF 3
+        ORDER BY version
+        """,
     )

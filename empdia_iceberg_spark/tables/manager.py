@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -160,6 +161,10 @@ class SnapshotTable:
                 "dir_specs": dir_specs if dir_specs is not None else [[] for _ in dirs],
                 # merge-on-read equality-delete files riding this snapshot
                 "delete_dirs": delete_dirs if delete_dirs is not None else [],
+                # commit wall-clock (epoch seconds) — resolves TIMESTAMP
+                # AS OF time travel (Iceberg snapshot timestamp-ms).
+                # Older metadata lacks the key; readers use .get("ts").
+                "ts": time.time(),
             }
             tmp = os.path.join(
                 self.meta_dir, f".v{version:05d}.{os.getpid()}.{id(meta):x}.tmp"
@@ -195,6 +200,26 @@ class SnapshotTable:
     def current_version(self) -> int | None:
         vs = self._versions()
         return vs[-1] if vs else None
+
+    def version_as_of(self, ts: float) -> int:
+        """Greatest version committed at or before epoch ``ts`` —
+        `TIMESTAMP AS OF` resolution (Iceberg snapshot-timestamp
+        semantics). Commit timestamps are monotone with version numbers
+        because every commit is serialized through the atomic metadata
+        publish. Raises if the table has no snapshot that old; snapshots
+        from metadata written before timestamps existed (no "ts" key)
+        are treated as infinitely old, i.e. always visible."""
+        best = None
+        for v in self._versions():
+            committed = self._read_meta(v).get("ts")
+            if committed is None or committed <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"table {self.name}: no snapshot committed at or before "
+                f"epoch {ts} (earliest is newer)"
+            )
+        return best
 
     # ------------------------------------------------------------ write ops
 

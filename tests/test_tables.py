@@ -2244,3 +2244,72 @@ def test_execute_sql_dispatch_and_multi_column_prevalidation(spark, nation):
         execute_sql(spark, "ALTER TABLE t_sql_dispatch DROP COLUMNS n_name, n_name")
     assert t.current_version() == v_before
     execute_sql(spark, "DROP TABLE t_sql_dispatch")
+
+
+# ------------------------------------------------------- SQL time travel
+
+
+def test_time_travel_sql_version_and_timestamp(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    t = SnapshotTable(spark, "t_asof_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    ts = {m["version"]: m["ts"] for m in t.snapshots()}
+    mid = (ts[1] + ts[2]) / 2.0
+    n1 = nation.filter(F.col("n_nationkey") < 10).count()
+    n_all = nation.count()
+    # VERSION AS OF / Iceberg SYSTEM_VERSION spelling / FOR prefix
+    rows = execute_sql(
+        spark,
+        "SELECT (SELECT count(*) FROM t_asof_unit VERSION AS OF 1) AS a, "
+        "(SELECT count(*) FROM t_asof_unit FOR SYSTEM_VERSION AS OF 2) AS b",
+    ).collect()
+    assert (rows[0].a, rows[0].b) == (n1, n_all)
+    # TIMESTAMP AS OF between commits resolves to the earlier snapshot;
+    # both the bare-epoch and ISO spellings resolve identically
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(mid, tz=timezone.utc).isoformat()
+    for literal in (f"{mid}", f"'{iso}'"):
+        got = execute_sql(
+            spark,
+            f"SELECT count(*) AS n FROM t_asof_unit TIMESTAMP AS OF {literal}",
+        ).collect()[0].n
+        assert got == n1
+    # a probe before the earliest commit refuses (Iceberg semantics)
+    with pytest.raises(ValueError, match="no snapshot committed"):
+        execute_sql(
+            spark,
+            f"SELECT count(*) FROM t_asof_unit TIMESTAMP AS OF {ts[1] - 60.0}",
+        )
+    # unknown table refuses
+    with pytest.raises(ValueError, match="not found"):
+        execute_sql(spark, "SELECT * FROM no_such_tbl VERSION AS OF 1")
+    # literal masking: 'AS OF' inside a string never triggers a rewrite
+    got = execute_sql(
+        spark, "SELECT 'x VERSION AS OF 1' AS s"
+    ).collect()[0].s
+    assert got == "x VERSION AS OF 1"
+    t.drop()
+
+
+def test_time_travel_in_dml_source(spark, nation):
+    """Time travel composes with DML: an INSERT body can read an older
+    snapshot of ANOTHER table (the pre-dispatch rewrite runs before the
+    statement is routed)."""
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    src = SnapshotTable(spark, "t_asof_src")
+    dst = SnapshotTable(spark, "t_asof_dst")
+    src.drop(), dst.drop()
+    src.create(nation.select("n_nationkey", "n_name").filter(F.col("n_nationkey") < 5))
+    src.append(nation.select("n_nationkey", "n_name").filter(F.col("n_nationkey") >= 5))
+    dst.create(nation.select("n_nationkey", "n_name").limit(0))
+    execute_sql(
+        spark,
+        "INSERT INTO t_asof_dst SELECT * FROM t_asof_src VERSION AS OF 1",
+    )
+    assert dst.read().count() == 5
+    src.drop(), dst.drop()
