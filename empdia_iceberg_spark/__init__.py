@@ -88,7 +88,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # names the r10 window annotation mis-included (r10 ADVICE #1), the
 # rest of the r3 cohort, and the r5 cohort head. NEW queries registered
 # this round (table_merge_dml, table_delete_mor_dml, table_insert_dml,
-# knn recall audits, table_ddl_lifecycle, table_time_travel_sql)
+# knn recall audits, table_ddl_lifecycle, table_time_travel_sql,
+# table_maintenance_sql)
 # are inserted at the VERY FRONT as they land, displacing the bottom of
 # the stalest block below the marker (same-round-driver-row rule).
 # LATE-r11 widening: the DDL work made every snapshot-table read resolve
@@ -99,6 +100,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # the window move above the marker (changed-code-first rule), displacing
 # stalest-green r3/r5 names below it.
 _SWEEP_PRIORITY = [
+    "table_maintenance_sql",  # NEW r11 late: OPTIMIZE [ZORDER BY] / VACUUM statements
     "table_time_travel_sql",  # NEW r11 late: VERSION/TIMESTAMP AS OF read syntax
     "table_ddl_lifecycle",  # NEW r11 late: SQL DDL (CTAS + metadata-only ADD COLUMN)
     "table_merge_dml",  # NEW r11 (ask #2): SQL MERGE INTO via clause merge
@@ -148,8 +150,8 @@ _SWEEP_PRIORITY = [
     "positional_split_70_30",  # stalest green (r3)
     "grpo_group_normalize",  # stalest green (r3)
     "grpo_pairwise_n2",  # stalest green (r3)
-    "q5_region_revenue",  # stalest green (r3)
-    # -------- 50-slot window ends here (7 new + 29 changed + 14 stalest) ----------
+    # -------- 50-slot window ends here (8 new + 29 changed + 13 stalest) ----------
+    "q5_region_revenue",  # stalest green (r3), displaced by r11 new
     "stream_sliding_2h_1h",  # stalest green (r3), displaced by r11 new
     "stream_session_window",  # stalest green (r3), displaced by r11-late changes
     "stream_dedup_events",  # stalest green (r3)

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from empdia_iceberg_spark.functions.exact import exact_sum2, sql_sum2
+from empdia_iceberg_spark.operators.layout import morton_spark
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
 from empdia_iceberg_spark.tables.dml import (
@@ -65,6 +66,15 @@ _ADD_PART_FIELD = re.compile(
 )
 _DROP_PART_FIELD = re.compile(
     r"^DROP\s+PARTITION\s+FIELD\s+(\w+)\s*$", re.IGNORECASE
+)
+_OPTIMIZE_HEAD = re.compile(
+    r"^\s*OPTIMIZE\s+(\w+)"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_HEAD = re.compile(
+    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$",
+    re.IGNORECASE,
 )
 
 
@@ -101,6 +111,8 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         ALTER TABLE t ADD PARTITION FIELD col
         ALTER TABLE t DROP PARTITION FIELD col
         DROP TABLE [IF EXISTS] t
+        OPTIMIZE t [ZORDER BY (c1, c2)]
+        VACUUM t [RETAIN k VERSIONS]
 
     Returns {"op", "table", "version", "audit"}; for ADD/DROP COLUMN
     the audit PROVES the commit was metadata-only (dirs_rewritten
@@ -214,11 +226,132 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
             raise ValueError(f"table {name} does not exist")
         t.drop()
         return {"op": "drop", "table": name, "version": None, "audit": None}
+    m = _OPTIMIZE_HEAD.match(statement)
+    if m:
+        name, zcols = m.group(1), m.group(2)
+        t = SnapshotTable(spark, name, root)
+        if t.current_version() is None:
+            raise ValueError(f"table {name} does not exist")
+        cols = [c.strip() for c in (zcols or "").split(",") if c.strip()]
+        return _optimize(spark, t, cols)
+    m = _VACUUM_HEAD.match(statement)
+    if m:
+        name, keep = m.group(1), int(m.group(2) or 1)
+        t = SnapshotTable(spark, name, root)
+        if t.current_version() is None:
+            raise ValueError(f"table {name} does not exist")
+        if keep < 1:
+            raise ValueError("VACUUM must retain at least 1 version")
+        expired = t.expire_snapshots(keep_last=keep)
+        return {
+            "op": "vacuum",
+            "table": name,
+            "version": t.current_version(),
+            "audit": {
+                "versions_expired": len(expired),
+                "versions_left": len(t._versions()),
+            },
+        }
     raise ValueError(
         f"unsupported DDL statement (expected CREATE TABLE ... AS SELECT, "
         f"ALTER TABLE ... ADD COLUMN[S]/ADD PARTITION FIELD/DROP PARTITION "
-        f"FIELD, or DROP TABLE): {statement[:80]!r}"
+        f"FIELD, DROP TABLE, OPTIMIZE [ZORDER BY], or VACUUM): "
+        f"{statement[:80]!r}"
     )
+
+
+def _curve_dim(df: DataFrame, col: str):
+    """ZORDER dimension as a bigint Column: DATE → days since epoch,
+    integral/decimal → bigint cast. Refuses strings/doubles (a curve
+    key needs a total order on a bounded integer grid; Iceberg's
+    zorder likewise transforms to fixed-width integers)."""
+    dt = dict(df.dtypes).get(col)
+    if dt is None:
+        raise ValueError(f"ZORDER BY column {col!r} not in table")
+    if dt == "date" or dt.startswith("timestamp"):
+        # day granularity — the layout-module convention; finer grids
+        # buy nothing for file skipping at target-file-size file counts
+        return F.datediff(F.to_date(F.col(col)), F.to_date(F.lit("1970-01-01")))
+    if dt in ("tinyint", "smallint", "int", "bigint") or dt.startswith("decimal"):
+        return F.col(col).cast("bigint")
+    raise ValueError(
+        f"ZORDER BY column {col!r} has unsupported type {dt} "
+        "(integral, decimal, date, or timestamp required)"
+    )
+
+
+def _target_file_count(df: DataFrame) -> int:
+    """File count under the target-file-size policy, from Catalyst's
+    plan-size estimate (same policy as SnapshotTable._write_data)."""
+    from empdia_iceberg_spark.tables import manager as _mgr
+
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        return max(1, min(4096, -(-size // _mgr.TARGET_FILE_BYTES)))
+    except Exception:
+        return 1
+
+
+def _optimize(spark: SparkSession, t: SnapshotTable, zorder_cols: list[str]) -> dict:
+    """OPTIMIZE engine: rewrite the current file set to target-size
+    files, optionally Z-ORDER clustered (Delta `OPTIMIZE ... ZORDER BY`
+    / Iceberg rewrite_data_files with sort order).
+
+    Scale shape: ONE range shuffle on the Morton key (repartitionByRange
+    gives disjoint key ranges per output file — the file-skipping
+    property), sortWithinPartitions inside each file, no driver
+    materialization beyond the 1-row min/max envelope read that sizes
+    the curve grid. Bits are chosen from the measured dim ranges, so a
+    dim wider than 2^21 cells is never silently masked into collisions.
+    MOR delete files fold in (the read applies them; the rewrite commits
+    clean files and drops the delete set)."""
+    before = t._read_meta(t.current_version())
+    df = t.read()
+    if zorder_cols:
+        if len(zorder_cols) != 2:
+            raise ValueError(
+                f"OPTIMIZE ZORDER BY takes exactly 2 columns, got {zorder_cols}"
+            )
+        dims = [_curve_dim(df, c) for c in zorder_cols]
+        env = df.agg(
+            *[F.min(d).alias(f"lo{i}") for i, d in enumerate(dims)],
+            *[F.max(d).alias(f"hi{i}") for i, d in enumerate(dims)],
+        ).first()
+        ranges = [
+            int(env[f"hi{i}"] or 0) - int(env[f"lo{i}"] or 0) for i in range(2)
+        ]
+        bits = max(1, max(r.bit_length() for r in ranges))
+        if bits > 31:
+            raise ValueError(
+                f"ZORDER dims span {max(ranges)} cells — beyond the 31-bit "
+                "curve grid; bucket or transform the columns first"
+            )
+        rebased = [
+            d - F.lit(int(env[f"lo{i}"] or 0)) for i, d in enumerate(dims)
+        ]
+        key = morton_spark(rebased[0], rebased[1], bits=bits)
+        out = (
+            df.withColumn("_zkey", key)
+            .repartitionByRange(_target_file_count(df), F.col("_zkey"))
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+        op = "optimize-zorder"
+    else:
+        out = df.coalesce(_target_file_count(df))
+        op = "optimize"
+    version = t.overwrite(out, op=op)
+    after = t._read_meta(version)
+    return {
+        "op": op,
+        "table": t.name,
+        "version": version,
+        "audit": {
+            "dirs_in": len(before["dirs"]),
+            "dirs_out": len(after["dirs"]),
+            "delete_files_folded": len(before.get("delete_dirs", [])),
+        },
+    }
 
 
 # Read-side time travel: `t VERSION AS OF 3` / `t FOR TIMESTAMP AS OF
@@ -331,14 +464,14 @@ def execute_sql(
         return spark.sql(statement)
     if kw in ("INSERT", "UPDATE", "DELETE", "MERGE"):
         return execute_dml(spark, statement, root, mor_key)
-    if kw in ("CREATE", "ALTER", "DROP"):
+    if kw in ("CREATE", "ALTER", "DROP", "OPTIMIZE", "VACUUM"):
         if mor_key is not None:
             raise ValueError("mor_key applies to DML DELETE only")
         return execute_ddl(spark, statement, root)
     raise ValueError(
         f"unsupported SQL statement (expected SELECT/WITH, "
-        f"INSERT/UPDATE/DELETE/MERGE, or CREATE/ALTER/DROP TABLE): "
-        f"{statement[:80]!r}"
+        f"INSERT/UPDATE/DELETE/MERGE, CREATE/ALTER/DROP TABLE, "
+        f"OPTIMIZE, or VACUUM): {statement[:80]!r}"
     )
 
 
@@ -456,4 +589,65 @@ def table_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 3, count(*), {total} FROM orders_asof SYSTEM_VERSION AS OF 3
         ORDER BY version
         """,
+    )
+
+
+@register(
+    "table_maintenance_sql",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           round({sql_sum2('o_totalprice')}, 2) AS total_price,
+           CAST(3 AS INT) AS optimize_dirs_in,
+           CAST(1 AS INT) AS optimize_dirs_out,
+           CAST(3 AS INT) AS vacuum_expired,
+           CAST(1 AS INT) AS versions_left
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Declarative maintenance statements over the snapshot table: "
+    "`OPTIMIZE t ZORDER BY (o_custkey, o_orderdate)` rewrites a "
+    "3-append file set into Z-ORDER-clustered target-size files (one "
+    "range shuffle on the Morton key — disjoint key ranges per file, "
+    "the file-skipping property; curve bits sized from the measured "
+    "dim ranges) and `VACUUM t RETAIN 1 VERSIONS` expires the three "
+    "pre-optimize snapshots and their now-unreferenced data dirs "
+    "(Iceberg expire_snapshots). The audit columns hash-check the "
+    "maintenance decisions — 3 dirs in, 1 clustered dir out, 3 "
+    "versions expired, 1 left — and the rollup proves the rewrite "
+    "preserved content exactly.",
+)
+def table_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_maint")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    t.append(orders.filter(~F.col("o_orderstatus").isin("O", "F")))
+    res_opt = execute_sql(
+        spark, "OPTIMIZE orders_maint ZORDER BY (o_custkey, o_orderdate)"
+    )
+    res_vac = execute_sql(spark, "VACUUM orders_maint RETAIN 1 VERSIONS")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("o_totalprice"), 2).alias("total_price"),
+        )
+        .withColumn(
+            "optimize_dirs_in", F.lit(int(res_opt["audit"]["dirs_in"])).cast("int")
+        )
+        .withColumn(
+            "optimize_dirs_out", F.lit(int(res_opt["audit"]["dirs_out"])).cast("int")
+        )
+        .withColumn(
+            "vacuum_expired",
+            F.lit(int(res_vac["audit"]["versions_expired"])).cast("int"),
+        )
+        .withColumn(
+            "versions_left", F.lit(int(res_vac["audit"]["versions_left"])).cast("int")
+        )
+        .orderBy("o_orderstatus")
     )

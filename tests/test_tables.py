@@ -2313,3 +2313,84 @@ def test_time_travel_in_dml_source(spark, nation):
     )
     assert dst.read().count() == 5
     src.drop(), dst.drop()
+
+
+# ------------------------------------------------------ OPTIMIZE / VACUUM
+
+
+def test_optimize_zorder_disjoint_file_envelopes(spark, monkeypatch):
+    """OPTIMIZE ZORDER writes files with DISJOINT Morton-key ranges
+    (repartitionByRange) — the property file skipping rests on."""
+    from empdia_iceberg_spark.operators.layout import morton_spark
+    from empdia_iceberg_spark.tables import manager as mgr
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    from empdia_iceberg_spark.sources.tables import load
+
+    orders = load(spark, SF_DIR, "orders")
+    t = SnapshotTable(spark, "t_opt_zorder")
+    t.drop()
+    t.create(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"))
+    monkeypatch.setattr(mgr, "TARGET_FILE_BYTES", 16 * 1024)
+    res = execute_sql(spark, "OPTIMIZE t_opt_zorder ZORDER BY (o_custkey, o_orderdate)")
+    assert res["op"] == "optimize-zorder"
+    df = t.read()
+    assert df.count() == orders.count()
+    # recompute the key exactly as the rewrite did and check per-file
+    # envelopes never overlap
+    day = F.datediff(F.to_date(F.col("o_orderdate")), F.to_date(F.lit("1970-01-01")))
+    cust = F.col("o_custkey").cast("bigint")
+    lo = df.agg(F.min(cust), F.min(day), F.max(cust), F.max(day)).first()
+    bits = max(1, max((lo[2] - lo[0]).bit_length(), (lo[3] - lo[1]).bit_length()))
+    key = morton_spark(cust - F.lit(lo[0]), day - F.lit(lo[1]), bits=bits)
+    envs = (
+        df.withColumn("_k", key)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("_k").alias("lo"), F.max("_k").alias("hi"))
+        .collect()
+    )
+    assert len(envs) > 1, "monkeypatched target size should force multiple files"
+    spans = sorted((r.lo, r.hi) for r in envs)
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi < blo, f"overlapping file envelopes: {(alo, ahi)} vs {(blo, bhi)}"
+    t.drop()
+
+
+def test_optimize_compacts_and_folds_mor_deletes(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    t = SnapshotTable(spark, "t_opt_mor")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10).select("n_nationkey", "n_name"))
+    t.append(nation.filter(F.col("n_nationkey") >= 10).select("n_nationkey", "n_name"))
+    t.delete_where_mor(F.col("n_nationkey") == 3, key="n_nationkey")
+    res = execute_sql(spark, "OPTIMIZE t_opt_mor")
+    assert res["audit"]["dirs_in"] == 2 and res["audit"]["dirs_out"] == 1
+    assert res["audit"]["delete_files_folded"] == 1
+    meta = t._read_meta(t.current_version())
+    assert meta["delete_dirs"] == []  # folded in, not carried
+    keys = {r.n_nationkey for r in t.read().collect()}
+    assert 3 not in keys and len(keys) == nation.count() - 1
+    t.drop()
+
+
+def test_vacuum_retain_and_guards(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    t = SnapshotTable(spark, "t_vac_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 5))
+    t.append(nation.filter((F.col("n_nationkey") >= 5) & (F.col("n_nationkey") < 10)))
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    res = execute_sql(spark, "VACUUM t_vac_unit RETAIN 2 VERSIONS")
+    assert res["audit"] == {"versions_expired": 1, "versions_left": 2}
+    assert t.read().count() == nation.count()  # head snapshot intact
+    with pytest.raises(ValueError, match="does not exist"):
+        execute_sql(spark, "VACUUM no_such_table")
+    with pytest.raises(ValueError, match="at least 1"):
+        execute_sql(spark, "VACUUM t_vac_unit RETAIN 0 VERSIONS")
+    with pytest.raises(ValueError, match="exactly 2 columns"):
+        execute_sql(spark, "OPTIMIZE t_vac_unit ZORDER BY (n_nationkey)")
+    with pytest.raises(ValueError, match="unsupported type"):
+        execute_sql(spark, "OPTIMIZE t_vac_unit ZORDER BY (n_name, n_nationkey)")
+    t.drop()
