@@ -228,3 +228,33 @@ def test_additive_upsert_two_checkpoint_lineages(spark):
     got = {r.event_type: (r.n_events, r.sum_value) for r in t.read().collect()}
     assert got["click"] == (4, 23.0)
     t.drop()
+
+
+def test_stream_cdc_apply_per_key_fates(spark):
+    """The CDC apply's per-key semantics, asserted key-by-key: same-batch
+    collapse (seq 3 beats seq 2), delete, late insert, and the
+    upsert-back of an update arriving after a delete."""
+    from empdia_iceberg_spark.streaming.cdc import stream_cdc_apply
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    stream_cdc_apply(spark, SF_DIR).collect()  # builds orders_cdc_state
+    state = {
+        r.k: r.price
+        for r in SnapshotTable(spark, "orders_cdc_state").read().collect()
+    }
+    orders = {
+        r.o_orderkey: r.o_totalprice
+        for r in load(spark, SF_DIR, "orders").collect()
+    }
+    for k, price in orders.items():
+        if k % 8 == 1:  # two updates in ONE batch: max-seq (+20) wins
+            assert state[k] == price + 20.0
+        elif k % 4 == 1:  # single update (+10)
+            assert state[k] == price + 10.0
+        elif k % 8 == 2:  # deleted then updated: upserted back (+5)
+            assert state[k] == price + 5.0
+        elif k % 4 == 2:  # deleted, never resurrected
+            assert k not in state
+        else:  # k%4 in (0, 3): plain insert (phase 1 or late phase 3)
+            assert state[k] == price
+    assert len(state) == sum(1 for k in orders if k % 4 != 2 or k % 8 == 2)
