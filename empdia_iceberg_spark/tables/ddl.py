@@ -61,6 +61,9 @@ _ADD_COLUMNS = re.compile(r"^ADD\s+COLUMNS?\s+(.+)$", re.IGNORECASE | re.DOTALL)
 _DROP_COLUMNS = re.compile(
     r"^DROP\s+COLUMNS?\s+(\w+(?:\s*,\s*\w+)*)\s*$", re.IGNORECASE
 )
+_RENAME_COLUMN = re.compile(
+    r"^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", re.IGNORECASE
+)
 _ADD_PART_FIELD = re.compile(
     r"^ADD\s+PARTITION\s+FIELD\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -108,6 +111,7 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (c1[, c2])] AS SELECT ...
         ALTER TABLE t ADD COLUMN[S] name type [, name type ...]
         ALTER TABLE t DROP COLUMN[S] name [, name ...]
+        ALTER TABLE t RENAME COLUMN old TO new
         ALTER TABLE t ADD PARTITION FIELD col
         ALTER TABLE t DROP PARTITION FIELD col
         DROP TABLE [IF EXISTS] t
@@ -198,6 +202,19 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
                 "dirs_reused": len(new_dirs),
             }
             return {"op": "drop-column", "table": name, "version": version,
+                    "audit": audit}
+        rm = _RENAME_COLUMN.match(action)
+        if rm:
+            old, new = rm.group(1), rm.group(2)
+            parent = t.current_version()
+            parent_dirs = t._read_meta(parent)["dirs"] if parent else None
+            version = t.rename_column(old, new)
+            new_dirs = t._read_meta(version)["dirs"]
+            audit = {
+                "dirs_rewritten": len(set(new_dirs) - set(parent_dirs or [])),
+                "dirs_reused": len(new_dirs),
+            }
+            return {"op": "rename-column", "table": name, "version": version,
                     "audit": audit}
         pm = _ADD_PART_FIELD.match(action)
         if pm:
@@ -650,4 +667,76 @@ def table_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "versions_left", F.lit(int(res_vac["audit"]["versions_left"])).cast("int")
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "table_rename_column_sql",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           round({sql_sum2("CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0 ELSE c_acctbal END")}, 2) AS sum_balance,
+           CAST(0 AS INT) AS rename_dirs_rewritten,
+           CAST(1 AS INT) AS files_carry_physical_name
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="METADATA-ONLY `ALTER TABLE RENAME COLUMN` (the Iceberg rename "
+    "semantics under a name-based schema model): the committed schema "
+    "records the field's PHYSICAL file-column name, reads project "
+    "physical → logical, and every later write maps logical back to "
+    "physical — so files written before the rename, an INSERT after "
+    "it, and a COW UPDATE rewrite after it all carry the SAME physical "
+    "column and union trivially. The rename_dirs_rewritten=0 audit "
+    "hash-checks that the rename rewrote nothing; "
+    "files_carry_physical_name=1 asserts (by reading the newest data "
+    "dir raw) that post-rename files really store the ORIGINAL column "
+    "name; the rollup over the renamed column pins value correctness "
+    "across all three file generations.",
+)
+def table_rename_column_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_rn_src")
+    execute_ddl(spark, "DROP TABLE IF EXISTS customer_rn")
+    execute_ddl(
+        spark,
+        "CREATE TABLE customer_rn AS SELECT c_custkey, c_mktsegment, "
+        "CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM cust_rn_src "
+        "WHERE c_custkey % 2 = 0",
+    )
+    res_rn = execute_ddl(
+        spark, "ALTER TABLE customer_rn RENAME COLUMN c_acctbal TO balance"
+    )
+    # post-rename INSERT and COW UPDATE both address the LOGICAL name
+    execute_dml(
+        spark,
+        "INSERT INTO customer_rn SELECT c_custkey, c_mktsegment, "
+        "CAST(c_acctbal AS DOUBLE) AS balance FROM cust_rn_src "
+        "WHERE c_custkey % 2 = 1",
+    )
+    execute_dml(
+        spark,
+        "UPDATE customer_rn SET balance = balance + 100.0 "
+        "WHERE c_mktsegment = 'BUILDING'",
+    )
+    t = SnapshotTable(spark, "customer_rn")
+    # the newest data dir must physically store the ORIGINAL name
+    newest = t._read_meta(t.current_version())["dirs"][-1]
+    raw_cols = spark.read.parquet(newest).columns
+    physical_ok = int("c_acctbal" in raw_cols and "balance" not in raw_cols)
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("balance"), 2).alias("sum_balance"),
+        )
+        .withColumn(
+            "rename_dirs_rewritten",
+            F.lit(int(res_rn["audit"]["dirs_rewritten"])).cast("int"),
+        )
+        .withColumn(
+            "files_carry_physical_name", F.lit(physical_ok).cast("int")
+        )
+        .orderBy("c_mktsegment")
     )

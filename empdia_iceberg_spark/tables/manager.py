@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -284,7 +285,7 @@ class SnapshotTable:
         meta = self._read_meta(cur)
         spec = meta.get("spec", [])
         df, schema_json = self._align_append_to_schema(df, meta["schema"])
-        d = self._write_data(df, spec)
+        d = self._write_data(self._to_physical(df, schema_json), spec)
         try:
             return self._commit(
                 "append",
@@ -316,7 +317,7 @@ class SnapshotTable:
             meta = self._read_meta(cur)
             spec = meta.get("spec", [])
             aligned, schema_json = self._align_append_to_schema(df, meta["schema"])
-            d = self._write_data(aligned, spec)
+            d = self._write_data(self._to_physical(aligned, schema_json), spec)
             try:
                 return self._commit(
                     "append",
@@ -400,12 +401,22 @@ class SnapshotTable:
                 raise ValueError(
                     f"table {self.name}: column {col!r} already exists"
                 )
-            # Name-based schema model guard: a name that appears in any
-            # HISTORICAL schema but not the current one was dropped, and
-            # pre-drop files still physically contain it — re-adding the
-            # name would RESURRECT those old values instead of reading
-            # NULL (Iceberg's field-id model gives the re-added column a
-            # fresh id, hence NULL). Refuse; pick a new name or rewrite.
+            if col in set(self._physical_map(meta["schema"]).values()):
+                raise ValueError(
+                    f"table {self.name}: {col!r} is the physical name of a "
+                    "renamed column — data files carry its bytes; use a "
+                    "different name"
+                )
+            # Name-based schema model guard: a PHYSICAL name that appears
+            # in any HISTORICAL schema but not the current one was
+            # dropped, and pre-drop files still physically contain it —
+            # re-adding the name would RESURRECT those old values instead
+            # of reading NULL (Iceberg's field-id model gives the
+            # re-added column a fresh id, hence NULL). Refuse; pick a new
+            # name or rewrite. Checked against physical names: only they
+            # touch file bytes — a purely LOGICAL historical name (e.g.
+            # the old name of a renamed column… which stays physical, or
+            # a dropped renamed column's logical name) is safe to reuse.
             # O(|versions|) local JSON reads, metadata-sized. Caveat:
             # expire_snapshots can erase the history that records a drop
             # — the data dirs it keeps are the current version's, whose
@@ -413,10 +424,9 @@ class SnapshotTable:
             for v in self._versions():
                 if v == cur:
                     continue
-                past = T.StructType.fromJson(
-                    json.loads(self._read_meta(v)["schema"])
-                )
-                if col in past.fieldNames():
+                if col in set(
+                    self._physical_map(self._read_meta(v)["schema"]).values()
+                ):
                     raise ValueError(
                         f"table {self.name}: column {col!r} was previously "
                         "dropped and old files still contain its bytes — "
@@ -501,6 +511,83 @@ class SnapshotTable:
             f"table {self.name}: drop_column gave up after {max_retries} retries"
         )
 
+    def rename_column(self, old: str, new: str, max_retries: int = 3) -> int:
+        """Iceberg `ALTER TABLE ... RENAME COLUMN`: METADATA-ONLY — the
+        commit carries every data dir by reference and only the stored
+        schema changes. Iceberg gets this free from field-ids; the
+        name-based equivalent here records the field's PHYSICAL name
+        (the name its values are written under in files, fixed at the
+        field's creation) in the field metadata: reads list physical
+        names in the explicit reader schema and project them to logical
+        names (`_read_dirs`), writes map logical back to physical
+        (`_to_physical`), so files written before AND after the rename
+        carry the same physical column and union trivially.
+
+        Logical names never touch file bytes, so renaming TO a
+        historically-dropped name is safe (the dropped bytes are only
+        reachable through their physical name, which stays out of the
+        reader schema). Refused: renaming a partition-spec field (spec
+        and shadow dirs key on the name), a live MOR delete key (the
+        read-time anti-join joins on the recorded name), or onto any
+        current logical OR physical name (the reader schema must stay
+        collision-free)."""
+        if not re.match(r"^\w+$", new):
+            raise ValueError(f"invalid column name: {new!r}")
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"table {self.name}: cannot rename a column before create"
+                )
+            meta = self._read_meta(cur)
+            schema = T.StructType.fromJson(json.loads(meta["schema"]))
+            if old not in schema.fieldNames():
+                raise ValueError(f"table {self.name}: no column {old!r}")
+            taken = set(schema.fieldNames()) | set(
+                self._physical_map(meta["schema"]).values()
+            )
+            if new in taken:
+                raise ValueError(
+                    f"table {self.name}: name {new!r} collides with a "
+                    "current logical or physical column name"
+                )
+            if old in meta.get("spec", []) or any(
+                old in ds for ds in self._dir_specs(meta)
+            ):
+                raise ValueError(
+                    f"table {self.name}: {old!r} is a partition field — "
+                    "evolve the partition spec first"
+                )
+            if any(dd.get("key") == old for dd in meta.get("delete_dirs", [])):
+                raise ValueError(
+                    f"table {self.name}: {old!r} keys live merge-on-read "
+                    "delete files — compact them in first"
+                )
+            fields = []
+            for f in schema.fields:
+                if f.name == old:
+                    md = dict(f.metadata or {})
+                    md["physical"] = md.get("physical", f.name)
+                    fields.append(T.StructField(new, f.dataType, f.nullable, md))
+                else:
+                    fields.append(f)
+            try:
+                return self._commit(
+                    "rename-column",
+                    meta["dirs"],
+                    cur,
+                    T.StructType(fields).json(),
+                    spec=meta.get("spec", []),
+                    dir_specs=self._dir_specs(meta),
+                    expect_parent=cur,
+                    delete_dirs=meta.get("delete_dirs", []),
+                )
+            except CommitConflictError:
+                continue  # metadata-only: nothing to clean, just re-read
+        raise CommitConflictError(
+            f"table {self.name}: rename_column gave up after {max_retries} retries"
+        )
+
     def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
         cur = self.current_version()
         spec = self.current_spec()
@@ -561,7 +648,16 @@ class SnapshotTable:
         key, so such dirs can always be carried by reference. None (the
         conservative must-rewrite marker) remains only for the case
         where the key column exists in NO missing dir at all."""
-        cache_path = os.path.join(self.meta_dir, f"envelopes_{key}.json")
+        # Scans over raw files must use the PHYSICAL column name (stable
+        # across metadata-only renames); the cache file is keyed by it
+        # too, so a rename neither orphans nor duplicates envelopes.
+        cur = self.current_version()
+        pkey = (
+            self._physical_map(self._read_meta(cur)["schema"]).get(key, key)
+            if cur is not None
+            else key
+        )
+        cache_path = os.path.join(self.meta_dir, f"envelopes_{pkey}.json")
         cache: dict = {}
         if os.path.exists(cache_path):
             with open(cache_path) as f:
@@ -585,7 +681,7 @@ class SnapshotTable:
             # because partitioned dirs nest _p_ subdirs under the dir.
             dir_pat = "^.*/data/([^/]+)/"
             df = self._read_dirs(missing, merge_schema=True)
-            if key not in df.columns:
+            if pkey not in df.columns:
                 for d in missing:
                     cache[d] = None
             else:
@@ -595,7 +691,7 @@ class SnapshotTable:
                         F.regexp_extract(
                             F.input_file_name(), dir_pat, 1
                         ).alias("_dir"),
-                        F.col(key).alias("_k"),
+                        F.col(pkey).alias("_k"),
                     )
                     .groupBy("_dir")
                     .agg(
@@ -1120,7 +1216,7 @@ class SnapshotTable:
 
             obs = Observation(f"merge_ins_{uuid.uuid4().hex[:8]}")
             merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
-        d_new = self._write_data(merged, spec)
+        d_new = self._write_data(self._to_physical(merged, meta["schema"]), spec)
         if obs is not None and obs.get["n"] == 0:
             shutil.rmtree(d_new, ignore_errors=True)
             return cur, {
@@ -1502,7 +1598,7 @@ class SnapshotTable:
                 # empty-source posture).
                 return cur, {"dirs_rewritten": 0, "dirs_reused": len(meta["dirs"])}
             rewritten = transform(self._read_dirs_mor(meta, touched))
-            d_new = self._write_data(rewritten, spec)
+            d_new = self._write_data(self._to_physical(rewritten, meta["schema"]), spec)
             schema_json = meta["schema"]
             try:
                 version = self._commit(
@@ -1688,7 +1784,7 @@ class SnapshotTable:
             pmeta = self._read_meta(parent)
             spec = pmeta.get("spec", [])
             aligned, schema_json = self._align_append_to_schema(df, pmeta["schema"])
-            d = self._write_data(aligned, spec)
+            d = self._write_data(self._to_physical(aligned, schema_json), spec)
             v = self._commit(
                 f"append@{branch}",
                 pmeta["dirs"] + [d],
@@ -1817,6 +1913,37 @@ class SnapshotTable:
             out = out.unionByName(p_, allowMissingColumns=merge_schema)
         return out
 
+    @staticmethod
+    def _physical_map(schema_json: str) -> dict[str, str]:
+        """logical → PHYSICAL column name per the committed schema.
+
+        A field's physical name is the name its values are written
+        under in data files; it is set at the field's creation and
+        NEVER changes (metadata-only RENAME moves only the logical
+        name, recording the original in the field metadata) — so one
+        physical name is valid across the table's whole file history,
+        the invariant both the explicit-schema read and the
+        envelope/bloom scans rely on."""
+        stored = T.StructType.fromJson(json.loads(schema_json))
+        return {
+            f.name: (f.metadata or {}).get("physical", f.name)
+            for f in stored.fields
+        }
+
+    def _to_physical(self, df: DataFrame, schema_json: str) -> DataFrame:
+        """Rename logical → physical column names immediately before a
+        file write, so every data file ever written carries the same
+        physical names regardless of later renames. No-op (and no plan
+        node) for never-renamed tables. Columns not in the schema
+        (e.g. additive-evolution columns an append introduces) keep
+        their own name — their physical name IS their logical name."""
+        m = self._physical_map(schema_json)
+        if all(l == p for l, p in m.items()):
+            return df
+        return df.select(
+            *[F.col(c).alias(m.get(c, c), metadata={}) for c in df.columns]
+        )
+
     def _read_dirs(
         self,
         dirs: list[str],
@@ -1840,13 +1967,38 @@ class SnapshotTable:
             # written before it existed, and a falsely non-null read
             # schema licenses the optimizer to prune IS NULL branches.
             stored = T.StructType.fromJson(json.loads(schema_json))
+            phys = self._physical_map(schema_json)
+            if all(f.name == phys[f.name] for f in stored.fields):
+                reader = reader.schema(
+                    T.StructType(
+                        [
+                            T.StructField(f.name, f.dataType, True, f.metadata)
+                            for f in stored.fields
+                        ]
+                    )
+                )
+                return reader.parquet(*dirs)
+            # Metadata-only RENAME support: files carry PHYSICAL names,
+            # so the reader schema lists those, and one projection maps
+            # physical → logical (aliases push through Catalyst, so
+            # pruning/pushdown on logical columns still reach the scan).
+            # Metadata is stripped from the output: a frame that flows
+            # from here into overwrite() must not re-commit a stale
+            # physical mapping against files it will rewrite under
+            # logical names.
             reader = reader.schema(
                 T.StructType(
                     [
-                        T.StructField(f.name, f.dataType, True, f.metadata)
+                        T.StructField(phys[f.name], f.dataType, True)
                         for f in stored.fields
                     ]
                 )
+            )
+            return reader.parquet(*dirs).select(
+                *[
+                    F.col(phys[f.name]).alias(f.name, metadata={})
+                    for f in stored.fields
+                ]
             )
         elif merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -2942,11 +3094,13 @@ class BloomIndex:
             # rightmost '/data/<seg>/' is always the table's data dir
             # (rationale + '+'/'%'-in-root hazard: _ensure_key_envelopes)
             dir_pat = "^.*/data/([^/]+)/"
+            # raw-file scan: use the PHYSICAL key name (rename-stable)
+            pkey = self.table._physical_map(meta["schema"]).get(self.key, self.key)
             tagged = self.table._read_dirs(dirs, merge_schema=True).select(
                 F.regexp_extract(
                     F.input_file_name(), dir_pat, 1
                 ).alias("_dir"),
-                F.col(self.key).alias("_k"),
+                F.col(pkey).alias("_k"),
             ).persist()  # sizing pass + bit pass share one scan
             try:
                 counts = {}

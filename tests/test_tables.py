@@ -2114,7 +2114,7 @@ def test_ddl_grammar_guards(spark, nation):
     with pytest.raises(ValueError, match="unexpected tokens"):
         execute_ddl(spark, "CREATE TABLE t_x USING parquet AS SELECT 1 AS a")
     with pytest.raises(ValueError, match="unsupported ALTER"):
-        execute_ddl(spark, "ALTER TABLE t_x RENAME COLUMN a TO b")
+        execute_ddl(spark, "ALTER TABLE t_x SET TBLPROPERTIES ('a'='b')")
     with pytest.raises(ValueError, match="unsupported DDL"):
         execute_ddl(spark, "TRUNCATE TABLE t_x")
     # a CTAS whose SELECT contains ' AS ' in a string literal still splits
@@ -2225,7 +2225,7 @@ def test_execute_sql_dispatch_and_multi_column_prevalidation(spark, nation):
     )
     assert df.collect()[0].n == nation.count()
     with pytest.raises(ValueError, match="unsupported SQL"):
-        execute_sql(spark, "VACUUM t_sql_dispatch")
+        execute_sql(spark, "TRUNCATE TABLE t_sql_dispatch")
     with pytest.raises(ValueError, match="mor_key applies"):
         execute_sql(spark, "DROP TABLE t_sql_dispatch", mor_key="n_nationkey")
     # multi-column ADD fails fast BEFORE any commit on a bad later type
@@ -2393,4 +2393,120 @@ def test_vacuum_retain_and_guards(spark, nation):
         execute_sql(spark, "OPTIMIZE t_vac_unit ZORDER BY (n_nationkey)")
     with pytest.raises(ValueError, match="unsupported type"):
         execute_sql(spark, "OPTIMIZE t_vac_unit ZORDER BY (n_name, n_nationkey)")
+    t.drop()
+
+
+# ------------------------------------------------------- RENAME COLUMN
+
+
+def test_rename_column_metadata_only_across_generations(spark, nation):
+    """Rename is one metadata commit; files before and after it carry
+    the SAME physical column name and union through the logical name."""
+    from empdia_iceberg_spark.tables.ddl import execute_ddl
+
+    t = SnapshotTable(spark, "t_rename_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name").filter(F.col("n_nationkey") < 10))
+    v1_dirs = t._read_meta(1)["dirs"]
+    res = execute_ddl(spark, "ALTER TABLE t_rename_unit RENAME COLUMN n_name TO nation_name")
+    assert res["audit"]["dirs_rewritten"] == 0
+    assert t._read_meta(t.current_version())["dirs"] == v1_dirs
+    # old files read under the NEW logical name, values intact
+    got = {r.n_nationkey: r.nation_name for r in t.read().collect()}
+    want = {r.n_nationkey: r.n_name for r in nation.filter(F.col("n_nationkey") < 10).collect()}
+    assert got == want
+    # post-rename append addresses the logical name but files store the
+    # PHYSICAL one
+    t.append(
+        nation.filter(F.col("n_nationkey") >= 10)
+        .select("n_nationkey", F.col("n_name").alias("nation_name"))
+    )
+    newest = t._read_meta(t.current_version())["dirs"][-1]
+    raw = spark.read.parquet(newest).columns
+    assert "n_name" in raw and "nation_name" not in raw
+    assert t.read().count() == nation.count()
+    # time travel shows the schema AS OF v1 (old logical name)
+    assert "n_name" in t.read(version=1).columns
+    # compaction bakes the mapping out: rewritten files carry logical names
+    t.compact()
+    newest = t._read_meta(t.current_version())["dirs"][-1]
+    raw = spark.read.parquet(newest).columns
+    assert "nation_name" in raw and "n_name" not in raw
+    got = {r.n_nationkey: r.nation_name for r in t.read().collect()}
+    assert got == {r.n_nationkey: r.n_name for r in nation.collect()}
+    t.drop()
+
+
+def test_merge_on_renamed_key_uses_physical_envelopes(spark, nation):
+    """MERGE keyed on a renamed column: the envelope scan must read the
+    PHYSICAL name from raw files and pruning must still work."""
+    t = SnapshotTable(spark, "t_rename_merge")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name").filter(F.col("n_nationkey") < 10))
+    t.append(nation.select("n_nationkey", "n_name").filter(F.col("n_nationkey") >= 10))
+    t.rename_column("n_nationkey", "nk")
+    src = nation.select(
+        F.col("n_nationkey").alias("nk"),
+        F.upper("n_name").alias("n_name"),
+    ).filter(F.col("nk") < 3)
+    version, audit = t.merge(src, key="nk")
+    assert audit["dirs_rewritten"] == 1 and audit["dirs_reused"] == 1
+    got = {r.nk: r.n_name for r in t.read().collect()}
+    for r in nation.collect():
+        assert got[r.n_nationkey] == (r.n_name.upper() if r.n_nationkey < 3 else r.n_name)
+    t.drop()
+
+
+def test_rename_column_guards(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_ddl
+
+    t = SnapshotTable(spark, "t_rename_guards")
+    t.drop()
+    t.create(
+        nation.select("n_nationkey", "n_name", "n_regionkey"),
+        partition_by=["n_regionkey"],
+    )
+    with pytest.raises(ValueError, match="partition field"):
+        t.rename_column("n_regionkey", "rk")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="collides"):
+        t.rename_column("n_name", "n_nationkey")
+    t.rename_column("n_name", "nation_name")
+    # the PHYSICAL name of a renamed column stays reserved: rename-onto
+    # and add-column both refuse it (files carry its bytes)
+    with pytest.raises(ValueError, match="collides"):
+        t.rename_column("n_nationkey", "n_name")
+    with pytest.raises(ValueError, match="physical name"):
+        t.add_column("n_name", "string")
+    with pytest.raises(ValueError, match="delete files"):
+        t2 = SnapshotTable(spark, "t_rename_guards_mor")
+        t2.drop()
+        t2.create(nation.select("n_nationkey", "n_name"))
+        t2.delete_where_mor(F.col("n_nationkey") == 1, key="n_nationkey")
+        try:
+            t2.rename_column("n_nationkey", "nk")
+        finally:
+            t2.drop()
+    t.drop()
+
+
+def test_rename_to_dropped_name_never_resurrects_bytes(spark, nation):
+    """Logical names never touch file bytes: renaming onto a
+    historically-DROPPED name must surface the renamed column's values,
+    not the dropped column's old bytes."""
+    t = SnapshotTable(spark, "t_rename_dropped")
+    t.drop()
+    t.create(
+        nation.select(
+            "n_nationkey",
+            F.lit("OLD-BYTES").alias("label"),
+            F.col("n_name").alias("fresh"),
+        )
+    )
+    t.drop_column("label")
+    t.rename_column("fresh", "label")
+    got = {r.n_nationkey: r.label for r in t.read().collect()}
+    want = {r.n_nationkey: r.n_name for r in nation.collect()}
+    assert got == want  # n_name values, never 'OLD-BYTES'
     t.drop()
