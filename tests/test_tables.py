@@ -2510,3 +2510,20 @@ def test_rename_to_dropped_name_never_resurrects_bytes(spark, nation):
     want = {r.n_nationkey: r.n_name for r in nation.collect()}
     assert got == want  # n_name values, never 'OLD-BYTES'
     t.drop()
+
+
+def test_rename_projection_preserves_pushdown_and_pruning(spark, nation):
+    """Scale guarantee of the rename read model: a filter/projection on
+    the LOGICAL name must reach the parquet scan as pushed filters and
+    a pruned ReadSchema on the PHYSICAL name — the alias projection
+    costs one codegen-fused Project, never a barrier."""
+    t = SnapshotTable(spark, "t_rename_pushdown")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name", "n_regionkey"))
+    t.rename_column("n_nationkey", "nk")
+    df = t.read().filter(F.col("nk") < 5).select("nk", "n_name")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LessThan(n_nationkey,5)" in plan  # pushed, physical name
+    assert "ReadSchema: struct<n_nationkey:int,n_name:string>" in plan  # pruned
+    assert "Exchange" not in plan
+    t.drop()
