@@ -90,7 +90,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # rest of the r3 cohort, and the r5 cohort head. NEW queries registered
 # this round (table_merge_dml, table_delete_mor_dml, table_insert_dml,
 # knn recall audits, table_ddl_lifecycle, table_time_travel_sql,
-# table_maintenance_sql, stream_cdc_apply, table_rename_column_sql)
+# table_maintenance_sql, stream_cdc_apply, table_rename_column_sql,
+# table_refs_sql)
 # are inserted at the VERY FRONT as they land, displacing the bottom of
 # the stalest block below the marker (same-round-driver-row rule).
 # LATE-r11 widening: the DDL work made every snapshot-table read resolve
@@ -101,6 +102,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # the window move above the marker (changed-code-first rule), displacing
 # stalest-green r3/r5 names below it.
 _SWEEP_PRIORITY = [
+    "table_refs_sql",  # NEW r11 late: branch/tag DDL + ref reads via VERSION AS OF
     "table_rename_column_sql",  # NEW r11 late: metadata-only RENAME via physical names
     "stream_cdc_apply",  # NEW r11 late: streaming CDC apply via MERGE foreachBatch
     "table_maintenance_sql",  # NEW r11 late: OPTIMIZE [ZORDER BY] / VACUUM statements
@@ -150,8 +152,8 @@ _SWEEP_PRIORITY = [
     "dialogue_prep_verl_rows",  # stalest green (r3)
     "dialogue_prep_nested",  # stalest green (r3)
     "overlong_prompt_filter",  # stalest green (r3)
-    "positional_split_70_30",  # stalest green (r3)
-    # -------- 50-slot window ends here (10 new + 29 changed + 11 stalest) ----------
+    # -------- 50-slot window ends here (11 new + 29 changed + 10 stalest) ----------
+    "positional_split_70_30",  # stalest green (r3), displaced by r11 new
     "grpo_group_normalize",  # stalest green (r3), displaced by r11 new
     "grpo_pairwise_n2",  # stalest green (r3), displaced by r11 new
     "q5_region_revenue",  # stalest green (r3), displaced by r11 new

@@ -64,6 +64,11 @@ _DROP_COLUMNS = re.compile(
 _RENAME_COLUMN = re.compile(
     r"^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", re.IGNORECASE
 )
+_CREATE_REF = re.compile(
+    r"^CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
+_DROP_REF = re.compile(r"^DROP\s+(BRANCH|TAG)\s+(\w+)\s*$", re.IGNORECASE)
 _ADD_PART_FIELD = re.compile(
     r"^ADD\s+PARTITION\s+FIELD\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -112,6 +117,8 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         ALTER TABLE t ADD COLUMN[S] name type [, name type ...]
         ALTER TABLE t DROP COLUMN[S] name [, name ...]
         ALTER TABLE t RENAME COLUMN old TO new
+        ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION n]
+        ALTER TABLE t DROP BRANCH|TAG name
         ALTER TABLE t ADD PARTITION FIELD col
         ALTER TABLE t DROP PARTITION FIELD col
         DROP TABLE [IF EXISTS] t
@@ -203,6 +210,33 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
             }
             return {"op": "drop-column", "table": name, "version": version,
                     "audit": audit}
+        cm = _CREATE_REF.match(action)
+        if cm:
+            kind, ref, at = cm.group(1).lower(), cm.group(2), cm.group(3)
+            version = int(at) if at else t.current_version()
+            if version is None:
+                raise ValueError(f"table {name} has no snapshots")
+            from empdia_iceberg_spark.tables.manager import CommitConflictError
+
+            try:
+                # CAS against absence: CREATE must not move an existing ref
+                t.set_ref(ref, version, expect=None)
+            except CommitConflictError:
+                raise ValueError(
+                    f"table {name}: ref {ref!r} already exists "
+                    f"(use set_ref to move it)"
+                )
+            return {"op": f"create-{kind}", "table": name,
+                    "version": version, "audit": {"ref": ref}}
+        dm2 = _DROP_REF.match(action)
+        if dm2:
+            kind, ref = dm2.group(1).lower(), dm2.group(2)
+            try:
+                t.drop_ref(ref)
+            except KeyError as e:
+                raise ValueError(str(e))
+            return {"op": f"drop-{kind}", "table": name,
+                    "version": t.current_version(), "audit": {"ref": ref}}
         rm = _RENAME_COLUMN.match(action)
         if rm:
             old, new = rm.group(1), rm.group(2)
@@ -448,7 +482,12 @@ def materialize_time_travel(
                 f"time travel requires a snapshot table: {name!r} not found"
             )
         if kind in ("VERSION", "SYSTEM_VERSION"):
-            version = int(raw.strip().strip("'\""))
+            v = raw.strip().strip("'\"")
+            # Iceberg lets VERSION AS OF name a branch/tag ref
+            try:
+                version = int(v) if v.isdigit() else t.get_ref(v)
+            except KeyError as e:
+                raise ValueError(str(e))
         else:
             version = t.version_as_of(_parse_as_of_ts(raw))
         view = f"_asof_{name}_v{version}"
@@ -739,4 +778,52 @@ def table_rename_column_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "files_carry_physical_name", F.lit(physical_ok).cast("int")
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "table_refs_sql",
+    oracle=f"""
+    WITH launch AS (SELECT * FROM orders WHERE o_orderstatus = 'O'),
+         main AS (SELECT * FROM orders WHERE o_orderstatus IN ('O', 'F')),
+         dev AS (SELECT * FROM orders)
+    SELECT 'dev' AS ref, count(*) AS n_rows, round({sql_sum2('o_totalprice')}, 2) AS total_price FROM dev
+    UNION ALL
+    SELECT 'launch', count(*), round({sql_sum2('o_totalprice')}, 2) FROM launch
+    UNION ALL
+    SELECT 'main', count(*), round({sql_sum2('o_totalprice')}, 2) FROM main
+    ORDER BY ref
+    """,
+    doc="Branch/tag refs through SQL (Iceberg/Nessie ref DDL + ref "
+    "reads): `ALTER TABLE ... CREATE TAG launch AS OF VERSION 1` pins "
+    "an immutable historical read, `CREATE BRANCH main`/`CREATE BRANCH "
+    "dev` fork the head, a branch append moves ONLY the dev ref (writer "
+    "isolation — main still reads the pre-append state, the isolation "
+    "this query hash-checks), and `VERSION AS OF '<ref>'` resolves ref "
+    "names in the same read syntax as integer versions. CREATE is a "
+    "compare-and-swap against absence, so it can never move an "
+    "existing ref.",
+)
+def table_refs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_refs")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    execute_sql(spark, "ALTER TABLE orders_refs CREATE TAG launch AS OF VERSION 1")
+    execute_sql(spark, "ALTER TABLE orders_refs CREATE BRANCH main")
+    execute_sql(spark, "ALTER TABLE orders_refs CREATE BRANCH dev")
+    t.branch_append("dev", orders.filter(~F.col("o_orderstatus").isin("O", "F")))
+    total = f"round({sql_sum2('o_totalprice')}, 2)"
+    return execute_sql(
+        spark,
+        f"""
+        SELECT 'dev' AS ref, count(*) AS n_rows, {total} AS total_price
+        FROM orders_refs VERSION AS OF 'dev'
+        UNION ALL
+        SELECT 'launch', count(*), {total} FROM orders_refs VERSION AS OF 'launch'
+        UNION ALL
+        SELECT 'main', count(*), {total} FROM orders_refs VERSION AS OF 'main'
+        ORDER BY ref
+        """,
     )

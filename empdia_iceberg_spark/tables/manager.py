@@ -1769,6 +1769,25 @@ class SnapshotTable:
             raise KeyError(f"table {self.name}: no ref {name!r}")
         return refs[name]
 
+    def drop_ref(self, name: str) -> None:
+        """Remove a branch/tag pointer. The snapshots it pointed to stay
+        in the log (history is immutable; expire_snapshots reclaims
+        them later) — Iceberg DROP BRANCH/TAG semantics. Same flock
+        discipline as set_ref so a concurrent CAS never interleaves."""
+        lock = self._refs_path() + ".lock"
+        fd = _acquire_excl_lock(lock, f"table {self.name} refs")
+        try:
+            refs = self.refs()
+            if name not in refs:
+                raise KeyError(f"table {self.name}: no ref {name!r}")
+            del refs[name]
+            tmp = self._refs_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(refs, f)
+            os.rename(tmp, self._refs_path())
+        finally:
+            os.close(fd)
+
     def read_ref(self, name: str) -> DataFrame:
         return self.read(version=self.get_ref(name))
 

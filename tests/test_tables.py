@@ -2527,3 +2527,29 @@ def test_rename_projection_preserves_pushdown_and_pruning(spark, nation):
     assert "ReadSchema: struct<n_nationkey:int,n_name:string>" in plan  # pruned
     assert "Exchange" not in plan
     t.drop()
+
+
+def test_ref_ddl_create_drop_guards(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_ddl, execute_sql
+
+    t = SnapshotTable(spark, "t_refs_ddl")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    execute_ddl(spark, "ALTER TABLE t_refs_ddl CREATE TAG first AS OF VERSION 1")
+    assert t.get_ref("first") == 1
+    # ref name resolves in VERSION AS OF
+    n = execute_sql(
+        spark, "SELECT count(*) AS n FROM t_refs_ddl VERSION AS OF 'first'"
+    ).collect()[0].n
+    assert n == 10
+    # CREATE is CAS-against-absence: re-creating refuses
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(spark, "ALTER TABLE t_refs_ddl CREATE TAG first")
+    # unknown ref in a read refuses
+    with pytest.raises(ValueError, match="no ref"):
+        execute_sql(spark, "SELECT * FROM t_refs_ddl VERSION AS OF 'nope'")
+    execute_ddl(spark, "ALTER TABLE t_refs_ddl DROP TAG first")
+    with pytest.raises(ValueError, match="no ref"):
+        execute_ddl(spark, "ALTER TABLE t_refs_ddl DROP TAG first")
+    t.drop()
