@@ -429,10 +429,23 @@ def _parse_when_clause(text: str) -> tuple[str, dict]:
     it passes through unchanged, a not-matched source row failing it
     is simply not inserted."""
     t = text.strip()
-    mm = re.match(r"^(NOT\s+)?MATCHED\b\s*(.*)$", t, re.IGNORECASE | re.DOTALL)
+    mm = re.match(
+        r"^(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?\b\s*(.*)$",
+        t,
+        re.IGNORECASE | re.DOTALL,
+    )
     if not mm:
         raise ValueError(f"cannot parse MERGE WHEN clause: {t[:80]!r}")
-    negated, rest = bool(mm.group(1)), mm.group(2).strip()
+    negated, by, rest = (
+        bool(mm.group(1)),
+        (mm.group(2) or "").upper(),
+        mm.group(3).strip(),
+    )
+    if by and not negated:
+        raise ValueError(
+            f"WHEN MATCHED takes no BY qualifier: {t[:80]!r}"
+        )
+    by_source = negated and by == "SOURCE"  # BY TARGET = plain NOT MATCHED
     cond: str | None = None
     if re.match(r"^AND\b", rest, re.IGNORECASE):
         rest2 = rest[3:].strip()
@@ -450,18 +463,25 @@ def _parse_when_clause(text: str) -> tuple[str, dict]:
     else:
         raise ValueError(f"cannot parse MERGE WHEN clause: {t[:80]!r}")
 
-    if not negated:
+    if not negated or by_source:
+        kind = "not_matched_by_source" if by_source else "matched"
+        label = "WHEN NOT MATCHED BY SOURCE" if by_source else "WHEN MATCHED"
         m = re.match(r"^UPDATE\s+SET\s+(.+)$", action, re.IGNORECASE | re.DOTALL)
         if m:
             body = m.group(1).strip().rstrip(";").strip()
             if body == "*":
+                if by_source:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * — "
+                        "there is no source row to take values from"
+                    )
                 return "matched", {"action": "update", "set": "*", "cond": cond}
             set_spec, set_quals = _parse_merge_assignments(body)
-            return "matched", {"action": "update", "set": set_spec,
-                               "set_quals": set_quals, "cond": cond}
+            return kind, {"action": "update", "set": set_spec,
+                          "set_quals": set_quals, "cond": cond}
         if re.match(r"^DELETE\s*;?\s*$", action, re.IGNORECASE):
-            return "matched", {"action": "delete", "cond": cond}
-        raise ValueError(f"cannot parse WHEN MATCHED action: {action[:80]!r}")
+            return kind, {"action": "delete", "cond": cond}
+        raise ValueError(f"cannot parse {label} action: {action[:80]!r}")
 
     if re.match(r"^INSERT\s+\*\s*;?\s*$", action, re.IGNORECASE):
         return "not_matched", {"action": "insert", "cols": None, "vals": None,
@@ -507,6 +527,7 @@ def _execute_merge(
     clauses: dict = {
         "matched": [],
         "not_matched": [],
+        "not_matched_by_source": [],
         "target_alias": t_alias or target,
         "source_alias": s_alias,
     }
@@ -945,3 +966,67 @@ def table_insert_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("versions_added", F.lit(int(versions_added)).cast("int"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "table_merge_sync_dml",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT max(c_custkey) // 3 AS b1, (2 * max(c_custkey)) // 3 AS b2
+        FROM customer
+    ),
+    base AS (
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
+    ),
+    final AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey > b2 AND NOT (c_acctbal < 0.0)
+                    THEN c_mktsegment || '_S' ELSE c_mktsegment
+               END AS c_mktsegment,
+               CASE WHEN c_custkey <= b1 AND c_mktsegment = 'BUILDING'
+                    THEN c_acctbal + 50.0 ELSE c_acctbal
+               END AS c_acctbal
+        FROM base, bounds
+        WHERE NOT (c_custkey > b2 AND c_acctbal < 0.0)
+    )
+    SELECT c_mktsegment, count(*) AS n_rows,
+           round({sql_sum2('c_acctbal')}, 2) AS sum_acctbal,
+           CAST(2 AS INT) AS dirs_rewritten,
+           CAST(1 AS INT) AS dirs_reused
+    FROM final
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="`WHEN NOT MATCHED BY SOURCE` (Delta/SQL:2023 MERGE extension — "
+    "the full-sync shape): matched rows take the source row (SET *), "
+    "and UNMATCHED TARGET rows are claimed first-match-wins by two "
+    "qualified BY SOURCE clauses (DELETE negatives, mark the rest). "
+    "BY SOURCE is intrinsically one table scan, but the REWRITE stays "
+    "pruned: a tagged anti-join scan finds the dirs that actually "
+    "contain an affected row, so with the source confined to the "
+    "bottom third and the BY SOURCE qualifiers to the top third, the "
+    "middle dir carries by reference — dirs_rewritten=2 / dirs_reused=1 "
+    "hash-checks that pruning decision.",
+)
+def table_merge_sync_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, b2 = _three_dir_customer(spark, sf_dir, "customer_dml_sync")
+    b1 = b2 // 2  # thirds: b2 = 2*max//3, so b1 = max//3
+    t.read().filter(
+        (F.col("c_custkey") <= b1) & (F.col("c_mktsegment") == "BUILDING")
+    ).withColumn("c_acctbal", F.col("c_acctbal") + F.lit(50.0)).createOrReplaceTempView(
+        "sync_src"
+    )
+    res = execute_dml(
+        spark,
+        f"""
+        MERGE INTO customer_dml_sync t USING sync_src s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE AND t.c_custkey > {b2} AND t.c_acctbal < 0.0
+            THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.c_custkey > {b2}
+            THEN UPDATE SET c_mktsegment = concat(t.c_mktsegment, '_S')
+        """,
+    )
+    return _segment_rollup(t, res["audit"])

@@ -785,7 +785,14 @@ class SnapshotTable:
         {col: sql}, "cond": None | sql}`` or ``{"action": "delete",
         "cond": None | sql}``, and a not-matched spec is ``{"action":
         "insert", "cols": None | [col, ...], "vals": None | [sql, ...],
-        "cond": None | sql}`` (cols None => INSERT *).
+        "cond": None | sql}`` (cols None => INSERT *). An optional
+        ``"not_matched_by_source"`` list (Delta/SQL:2023) holds
+        update/delete specs applied to UNMATCHED TARGET rows — SET * is
+        illegal there (no source row), assignments/conds may reference
+        only the target alias, the empty-source no-op short-circuit is
+        disabled (an empty source claims every row — truncate-to-source
+        sync), and dirs are discovered by one tagged anti-join scan so
+        only dirs actually containing an affected row rewrite.
 
         Multiple clauses per side evaluate FIRST-MATCH-WINS in list
         order (SQL MERGE): each row is claimed by the first clause
@@ -827,7 +834,14 @@ class SnapshotTable:
             clauses = dict(clauses)
             clauses["matched"] = _as_list(clauses.get("matched"))
             clauses["not_matched"] = _as_list(clauses.get("not_matched"))
-            if not clauses["matched"] and not clauses["not_matched"]:
+            clauses["not_matched_by_source"] = _as_list(
+                clauses.get("not_matched_by_source")
+            )
+            if (
+                not clauses["matched"]
+                and not clauses["not_matched"]
+                and not clauses["not_matched_by_source"]
+            ):
                 raise ValueError(
                     f"table {self.name}: MERGE requires at least one "
                     "WHEN MATCHED / WHEN NOT MATCHED clause"
@@ -835,6 +849,7 @@ class SnapshotTable:
             for lst, what in (
                 (clauses["matched"], "MATCHED"),
                 (clauses["not_matched"], "NOT MATCHED"),
+                (clauses["not_matched_by_source"], "NOT MATCHED BY SOURCE"),
             ):
                 for i, spec in enumerate(lst):
                     if spec.get("cond") is None and i < len(lst) - 1:
@@ -1077,13 +1092,20 @@ class SnapshotTable:
                 "Iceberg MERGE INTO semantics forbid multiple source rows "
                 "per key; de-duplicate the source first"
             )
-        if n_src == 0:
+        nmbs_list = (
+            clauses["not_matched_by_source"] if clauses is not None else []
+        )
+        if n_src == 0 and not nmbs_list:
             # Empty source: MERGE is a true no-op. Committing anyway would
             # be worse than useless — the commit below does not carry
             # delete_dirs, so a snapshot published here would drop the MOR
             # equality-delete files while carrying every data dir by
             # reference, silently resurrecting deleted rows on every
             # subsequent read. Leave the table at its current version.
+            # NOT skipped when a BY SOURCE clause exists: against an
+            # empty source EVERY target row is unmatched, so the clause
+            # legitimately touches the whole table (e.g. the classic
+            # full-sync `WHEN NOT MATCHED BY SOURCE THEN DELETE`).
             return cur, {
                 "dirs_rewritten": 0,
                 "dirs_reused": len(meta["dirs"]),
@@ -1166,6 +1188,52 @@ class SnapshotTable:
                 .distinct()
                 .collect()
             }
+
+        if nmbs_list:
+            # WHEN NOT MATCHED BY SOURCE is intrinsically O(one table
+            # scan) — ANY target row may be unmatched — but the REWRITE
+            # stays pruned Delta-style: one tagged scan finds the dirs
+            # that actually CONTAIN an affected row (no source-key
+            # match AND some clause's condition holds; for dir
+            # discovery the OR of the conditions suffices — first-
+            # match-wins only decides WHICH clause claims a row, not
+            # whether the row changes its dir's fate). The file tag is
+            # captured in the scan projection, before the anti-join
+            # shuffle can erase input_file_name(). MOR deletes are NOT
+            # applied here: counting a deleted row as affected costs at
+            # most a false-positive rewrite (which folds the delete in
+            # anyway), never a wrong answer.
+            t_a_ = (clauses.get("target_alias") or self.name) if clauses else self.name
+            claimed = F.lit(False)
+            for spec_c in nmbs_list:
+                c = spec_c.get("cond")
+                ct = (
+                    F.lit(True)
+                    if c is None
+                    else F.coalesce(F.expr(c).cast("boolean"), F.lit(False))
+                )
+                claimed = claimed | ct
+            base_of = {os.path.basename(d): d for d in meta["dirs"]}
+            dir_pat = "^.*/data/([^/]+)/"  # rationale: _ensure_key_envelopes
+            tagged = (
+                self._read_dirs(meta["dirs"], schema_json=meta["schema"])
+                .withColumn("_file", F.input_file_name())
+                .alias(t_a_)
+            )
+            for r in (
+                tagged.join(source.select(key), on=key, how="left_anti")
+                .filter(claimed)
+                .select(F.regexp_extract(F.col("_file"), dir_pat, 1).alias("_dir"))
+                .distinct()
+                .collect()
+            ):
+                owner = base_of.get(r["_dir"])
+                if owner is None:
+                    raise RuntimeError(
+                        f"table {self.name}: BY SOURCE scan could not "
+                        f"attribute file tag {r['_dir']!r} to a data dir"
+                    )
+                must_touch.add(owner)
 
         # Rewrite set vs read set: with NO matched clause (insert-only
         # MERGE) matched rows are unchanged, so bounds-hit dirs are only
@@ -1285,6 +1353,7 @@ class SnapshotTable:
         carried dirs."""
         m_list = clauses["matched"]  # normalized to lists by merge()
         nm_list = clauses["not_matched"]
+        nmbs_list = clauses.get("not_matched_by_source") or []
         t_a = clauses.get("target_alias") or self.name
         s_a = clauses.get("source_alias") or "src"
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
@@ -1311,6 +1380,14 @@ class SnapshotTable:
                     raise ValueError(
                         f"table {self.name}: MERGE INSERT targets unknown "
                         f"column(s) {unknown}"
+                    )
+        for spec in nmbs_list:
+            if spec["action"] == "update":
+                unknown = sorted(set(spec["set"]) - set(tcols))
+                if unknown:
+                    raise ValueError(
+                        f"table {self.name}: MERGE UPDATE (BY SOURCE) assigns "
+                        f"unknown column(s) {unknown}"
                     )
 
         def cond_true(spec):
@@ -1341,14 +1418,65 @@ class SnapshotTable:
                 if read_dirs == touched
                 else self._read_dirs_mor(meta, touched)
             )
+
+            def unmatched_pieces() -> list[DataFrame]:
+                # target rows with NO source-key match: pass through
+                # unchanged — unless WHEN NOT MATCHED BY SOURCE clauses
+                # exist, in which case they get the same FIRST-MATCH-WINS
+                # treatment as matched rows (claimed UPDATE rewrites,
+                # claimed DELETE drops, unclaimed passes through). Only
+                # target refs are resolvable here — there is no source
+                # row by definition.
+                anti = target_rw.join(source.select(key), on=key, how="left_anti")
+                if not nmbs_list:
+                    return [anti]
+                a = anti.alias(t_a)
+                out: list[DataFrame] = []
+                rem = F.lit(True)
+                for spec in nmbs_list:
+                    ct = cond_true(spec)
+                    applies = rem & ct
+                    if spec["action"] == "update":
+                        proj = [
+                            (
+                                F.expr(spec["set"][c])
+                                if c in spec["set"]
+                                else F.col(f"{t_a}.{c}")
+                            ).alias(c)
+                            for c in tcols
+                        ]
+                        out.append(
+                            self._conform_clause_types(
+                                a.filter(applies).select(*proj),
+                                ttypes,
+                                "MERGE UPDATE (BY SOURCE)",
+                            )
+                        )
+                    # action == "delete": claimed rows contribute nothing
+                    rem = rem & ~ct
+                out.append(
+                    a.filter(rem).select(
+                        *[F.col(f"{t_a}.{c}").alias(c) for c in tcols]
+                    )
+                )
+                return out
+
             single = m_list[0] if len(m_list) == 1 else None
             if not m_list:
-                pieces.append(target_rw)
+                if nmbs_list:
+                    pieces.extend(unmatched_pieces())
+                    # matched rows pass through unchanged (no matched clause)
+                    pieces.append(
+                        target_rw.join(source.select(key), on=key, how="left_semi")
+                    )
+                else:
+                    pieces.append(target_rw)
             elif (
                 single is not None
                 and single.get("cond") is None
                 and single["action"] == "update"
                 and single["set"] == "*"
+                and not nmbs_list
             ):
                 # fast path: unconditional whole-row replace needs no
                 # target join — matched source rows ARE the new rows
@@ -1370,6 +1498,7 @@ class SnapshotTable:
                 single is not None
                 and single.get("cond") is None
                 and single["action"] == "delete"
+                and not nmbs_list
             ):
                 pieces.append(
                     target_rw.join(source.select(key), on=key, how="left_anti")
@@ -1380,9 +1509,7 @@ class SnapshotTable:
                 # earlier clause's negation, so each matched row is
                 # claimed by at most one clause; rows claimed by none
                 # pass through unchanged.
-                pieces.append(
-                    target_rw.join(source.select(key), on=key, how="left_anti")
-                )
+                pieces.extend(unmatched_pieces())
                 j = target_rw.alias(t_a).join(
                     source.alias(s_a),
                     F.col(f"{t_a}.{key}") == F.col(f"{s_a}.{key}"),

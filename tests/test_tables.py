@@ -2553,3 +2553,108 @@ def test_ref_ddl_create_drop_guards(spark, nation):
     with pytest.raises(ValueError, match="no ref"):
         execute_ddl(spark, "ALTER TABLE t_refs_ddl DROP TAG first")
     t.drop()
+
+
+# --------------------------------------------- MERGE: NOT MATCHED BY SOURCE
+
+
+def test_merge_not_matched_by_source_semantics_and_pruning(spark, nation):
+    """Full-sync MERGE: matched rows take the source, unmatched target
+    rows are claimed first-match-wins by two qualified BY SOURCE
+    clauses. Rewrites stay pruned: the source confines to dir 1 and the
+    qualifiers to dir 3, so dir 2 carries by reference."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_nmbs_unit")
+    t.drop()
+    sel = nation.select("n_nationkey", "n_name")
+    t.create(sel.filter(F.col("n_nationkey") < 10))
+    t.append(sel.filter((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)))
+    t.append(sel.filter(F.col("n_nationkey") >= 20))
+    nation.select("n_nationkey", F.upper("n_name").alias("n_name")).filter(
+        F.col("n_nationkey") < 5
+    ).createOrReplaceTempView("nmbs_unit_src")
+    res = execute_dml(
+        spark,
+        """
+        MERGE INTO t_nmbs_unit t USING nmbs_unit_src s
+        ON t.n_nationkey = s.n_nationkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE AND t.n_nationkey >= 20
+             AND t.n_nationkey % 2 = 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.n_nationkey >= 20
+             THEN UPDATE SET n_name = concat(t.n_name, '_S')
+        """,
+    )
+    assert res["audit"] == {"dirs_rewritten": 2, "dirs_reused": 1}
+    rows = {r.n_nationkey: r.n_name for r in t.read().collect()}
+    for r in nation.collect():
+        k, v = r.n_nationkey, r.n_name
+        if k < 5:
+            assert rows[k] == v.upper()  # matched: source wins
+        elif k < 20:
+            assert rows[k] == v  # unmatched, unclaimed: pass through
+        elif k % 2 == 0:
+            assert k not in rows  # first BY SOURCE clause: deleted
+        else:
+            assert rows[k] == v + "_S"  # second clause: marked
+    t.drop()
+
+
+def test_merge_by_source_empty_source_is_not_a_noop(spark, nation):
+    """`WHEN NOT MATCHED BY SOURCE THEN DELETE` against an EMPTY source
+    is the canonical truncate-to-source sync: every row is unmatched."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_nmbs_empty")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    nation.select("n_nationkey", "n_name").limit(0).createOrReplaceTempView(
+        "nmbs_empty_src"
+    )
+    execute_dml(
+        spark,
+        "MERGE INTO t_nmbs_empty t USING nmbs_empty_src s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    assert t.read().count() == 0
+    t.drop()
+
+
+def test_merge_by_source_parse_guards(spark, nation):
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    t = SnapshotTable(spark, "t_nmbs_guards")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    nation.select("n_nationkey", "n_name").createOrReplaceTempView("nmbs_g_src")
+    head = (
+        "MERGE INTO t_nmbs_guards t USING nmbs_g_src s "
+        "ON t.n_nationkey = s.n_nationkey "
+    )
+    with pytest.raises(ValueError, match="cannot UPDATE SET \\*"):
+        execute_dml(spark, head + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *")
+    with pytest.raises(ValueError, match="no BY qualifier"):
+        execute_dml(spark, head + "WHEN MATCHED BY SOURCE THEN DELETE")
+    with pytest.raises(ValueError, match="cannot parse WHEN NOT MATCHED BY SOURCE"):
+        execute_dml(
+            spark, head + "WHEN NOT MATCHED BY SOURCE THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="may omit"):
+        execute_dml(
+            spark,
+            head
+            + "WHEN MATCHED THEN UPDATE SET * "
+            + "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+            + "WHEN NOT MATCHED BY SOURCE AND t.n_nationkey > 3 THEN DELETE",
+        )
+    # BY TARGET is the explicit spelling of plain NOT MATCHED
+    execute_dml(
+        spark,
+        head + "WHEN NOT MATCHED BY TARGET THEN INSERT "
+        "(n_nationkey, n_name) VALUES (s.n_nationkey, s.n_name)",
+    )
+    assert t.read().count() == nation.count()
+    t.drop()
