@@ -45,8 +45,12 @@ from empdia_iceberg_spark.tables.dml import (
 from empdia_iceberg_spark.tables.manager import DEFAULT_ROOT, SnapshotTable
 
 _CREATE_HEAD = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+(.*?)\s*;?\s*$",
+    r"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
+    r"(\w+)\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_HEAD = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$", re.IGNORECASE
 )
 _ALTER_HEAD = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+(.*?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
@@ -113,7 +117,8 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
     Supported grammar (everything inside the SELECT and every column
     type is parsed by Spark itself)::
 
-        CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (c1[, c2])] AS SELECT ...
+        CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t [PARTITIONED BY (...)] AS SELECT ...
+        TRUNCATE TABLE t
         ALTER TABLE t ADD COLUMN[S] name type [, name type ...]
         ALTER TABLE t DROP COLUMN[S] name [, name ...]
         ALTER TABLE t RENAME COLUMN old TO new
@@ -132,7 +137,13 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
     """
     m = _CREATE_HEAD.match(statement)
     if m:
-        if_not_exists, name, rest = m.group(1), m.group(2), m.group(3)
+        or_replace, if_not_exists, name, rest = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
+        )
+        if or_replace and if_not_exists:
+            raise ValueError(
+                "CREATE OR REPLACE and IF NOT EXISTS are mutually exclusive"
+            )
         i = _find_keyword(rest, "AS")
         if i < 0:
             raise ValueError(
@@ -156,9 +167,23 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
             if if_not_exists:
                 return {"op": "create-noop", "table": name,
                         "version": t.current_version(), "audit": None}
+            if or_replace:
+                # Iceberg CREATE OR REPLACE: one snapshot commit replaces
+                # content, schema AND partition spec; history + time
+                # travel to the pre-replace versions stay intact
+                version = t.overwrite(spark.sql(select), op="replace", spec=spec)
+                return {"op": "replace", "table": name, "version": version,
+                        "audit": None}
             raise ValueError(f"table {name} already exists")
         version = t.create(spark.sql(select), partition_by=spec or None)
         return {"op": "create", "table": name, "version": version, "audit": None}
+    m = _TRUNCATE_HEAD.match(statement)
+    if m:
+        name = m.group(1)
+        t = SnapshotTable(spark, name, root)
+        version = t.truncate()
+        return {"op": "truncate", "table": name, "version": version,
+                "audit": {"dirs_rewritten": 0}}
     m = _ALTER_HEAD.match(statement)
     if m:
         name, action = m.group(1), m.group(2).strip()
@@ -520,7 +545,7 @@ def execute_sql(
         return spark.sql(statement)
     if kw in ("INSERT", "UPDATE", "DELETE", "MERGE"):
         return execute_dml(spark, statement, root, mor_key)
-    if kw in ("CREATE", "ALTER", "DROP", "OPTIMIZE", "VACUUM"):
+    if kw in ("CREATE", "ALTER", "DROP", "OPTIMIZE", "VACUUM", "TRUNCATE"):
         if mor_key is not None:
             raise ValueError("mor_key applies to DML DELETE only")
         return execute_ddl(spark, statement, root)
@@ -826,4 +851,72 @@ def table_refs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'main', count(*), {total} FROM orders_refs VERSION AS OF 'main'
         ORDER BY ref
         """,
+    )
+
+
+@register(
+    "table_statement_corners",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           round({sql_sum2('o_totalprice')}, 2) AS total_price,
+           CAST(5 AS INT) AS n_versions,
+           CAST((SELECT count(*) FROM orders WHERE o_orderstatus = 'F')
+                AS INT) AS time_travel_v2_rows
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="The whole-table-replace statement set, chained end-to-end: "
+    "CTAS ('O' rows) -> INSERT OVERWRITE ('F' rows; one snapshot "
+    "commit, pre-overwrite state stays time-travelable) -> CREATE OR "
+    "REPLACE (all rows, same schema; history intact) -> TRUNCATE "
+    "(O(1) metadata commit with an EMPTY file list — no data touched) "
+    "-> INSERT INTO ('P' rows). Final content + the version count "
+    "(exactly one commit per statement) are hash-checked; the "
+    "mid-chain time-travel row count is pinned via the guard column.",
+)
+def table_statement_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("corners_orders_src")
+    execute_sql(spark, "DROP TABLE IF EXISTS orders_corners")
+    execute_sql(
+        spark,
+        "CREATE TABLE orders_corners AS SELECT o_orderkey, o_orderstatus, "
+        "CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM corners_orders_src "
+        "WHERE o_orderstatus = 'O'",
+    )
+    execute_sql(
+        spark,
+        "INSERT OVERWRITE orders_corners SELECT o_orderkey, o_orderstatus, "
+        "CAST(o_totalprice AS DOUBLE) FROM corners_orders_src "
+        "WHERE o_orderstatus = 'F'",
+    )
+    execute_sql(
+        spark,
+        "CREATE OR REPLACE TABLE orders_corners AS SELECT o_orderkey, "
+        "o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice "
+        "FROM corners_orders_src",
+    )
+    execute_sql(spark, "TRUNCATE TABLE orders_corners")
+    execute_sql(
+        spark,
+        "INSERT INTO orders_corners SELECT o_orderkey, o_orderstatus, "
+        "CAST(o_totalprice AS DOUBLE) FROM corners_orders_src "
+        "WHERE o_orderstatus = 'P'",
+    )
+    t = SnapshotTable(spark, "orders_corners")
+    # guard: time travel into the middle of the chain still reads the
+    # pre-replace 'F' content (count pinned by the oracle literal)
+    guard = t.read(version=2).count()
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("o_totalprice"), 2).alias("total_price"),
+        )
+        .withColumn("n_versions", F.lit(int(t.current_version())).cast("int"))
+        .withColumn("time_travel_v2_rows", F.lit(int(guard)).cast("int"))
+        .orderBy("o_orderstatus")
     )

@@ -223,7 +223,8 @@ def _parse_merge_assignments(set_clause: str) -> tuple[dict, dict]:
 
 
 _INSERT_HEAD = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s*(.*)$", re.IGNORECASE | re.DOTALL
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 
@@ -239,10 +240,17 @@ def _execute_insert(
     `_align_append_to_schema`'s conformance guard (safe widenings cast,
     anything narrower raises before any write). Routed to
     `append_checked` — the OCC commit loop, so concurrent inserts both
-    land."""
+    land.
+
+    ``INSERT OVERWRITE [TABLE] t`` replaces the table's CONTENT in one
+    snapshot commit (`overwrite`; history and time travel stay intact).
+    The table schema wins: overwrite mode requires the statement to
+    supply every table column (a column list that omits some would
+    silently shrink the schema on a whole-table replace — refused)."""
     if mor_key is not None:
         raise ValueError("mor_key applies to DELETE only; INSERT appends")
-    name, rest = head.group(1), head.group(2).strip().rstrip(";").strip()
+    mode = head.group(1).upper()
+    name, rest = head.group(2), head.group(3).strip().rstrip(";").strip()
     cols: list[str] | None = None
     if rest.startswith("("):
         end = _matching_paren(rest)
@@ -292,6 +300,18 @@ def _execute_insert(
             for c, dt in df.dtypes
         ]
     )
+    if mode == "OVERWRITE":
+        missing = sorted(set(tcols) - set(target_cols))
+        if missing:
+            raise ValueError(
+                f"table {name}: INSERT OVERWRITE must supply every table "
+                f"column (missing {missing}) — a partial column list would "
+                "shrink the schema on a whole-table replace"
+            )
+        aligned, _ = t._align_append_to_schema(df, t._read_meta(cur)["schema"])
+        version = t.overwrite(aligned.select(*tcols), op="insert-overwrite")
+        return {"op": "insert-overwrite", "table": name, "version": version,
+                "audit": None}
     version = t.append_checked(df)
     return {"op": "insert", "table": name, "version": version, "audit": None}
 

@@ -588,13 +588,31 @@ class SnapshotTable:
             f"table {self.name}: rename_column gave up after {max_retries} retries"
         )
 
-    def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
+    def overwrite(
+        self, df: DataFrame, op: str = "overwrite", spec: list[str] | None = None
+    ) -> int:
         cur = self.current_version()
-        spec = self.current_spec()
+        spec = self.current_spec() if spec is None else spec
         d = self._write_data(df, spec)
         return self._commit(
             op, [d], cur, df.schema.json(), spec=spec, dir_specs=[spec],
             retry_on_race=True,
+        )
+
+    def truncate(self) -> int:
+        """`TRUNCATE TABLE`: ONE metadata commit with an empty file
+        list — O(1) at any table size, no data touched. The old rows
+        stay reachable through time travel until expire_snapshots
+        reclaims them (Iceberg truncate semantics). Schema and
+        partition spec survive, so subsequent INSERTs need no
+        re-declaration."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"table {self.name}: cannot TRUNCATE before create")
+        meta = self._read_meta(cur)
+        return self._commit(
+            "truncate", [], cur, meta["schema"],
+            spec=meta.get("spec", []), dir_specs=[], retry_on_race=True,
         )
 
     @staticmethod
@@ -2096,6 +2114,20 @@ class SnapshotTable:
         merge_schema: bool = False,
         schema_json: str | None = None,
     ) -> DataFrame:
+        if not dirs:
+            # a TRUNCATEd snapshot has an empty file list: an empty
+            # frame in the committed (logical) schema, no scan at all
+            if schema_json is None:
+                raise ValueError(
+                    f"table {self.name}: cannot read zero dirs without a schema"
+                )
+            stored = T.StructType.fromJson(json.loads(schema_json))
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [T.StructField(f.name, f.dataType, True) for f in stored.fields]
+                ),
+            )
         # recursiveFileLookup: read leaf files only, no partition-column
         # discovery — partition values live INSIDE the files (shadow-
         # column layout), so dirs written under different partition

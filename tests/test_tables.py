@@ -2116,7 +2116,7 @@ def test_ddl_grammar_guards(spark, nation):
     with pytest.raises(ValueError, match="unsupported ALTER"):
         execute_ddl(spark, "ALTER TABLE t_x SET TBLPROPERTIES ('a'='b')")
     with pytest.raises(ValueError, match="unsupported DDL"):
-        execute_ddl(spark, "TRUNCATE TABLE t_x")
+        execute_ddl(spark, "ANALYZE TABLE t_x")
     # a CTAS whose SELECT contains ' AS ' in a string literal still splits
     # at the TOP-LEVEL AS (the scanner is quote-aware)
     nation.createOrReplaceTempView("ddl_nation_src")
@@ -2225,7 +2225,7 @@ def test_execute_sql_dispatch_and_multi_column_prevalidation(spark, nation):
     )
     assert df.collect()[0].n == nation.count()
     with pytest.raises(ValueError, match="unsupported SQL"):
-        execute_sql(spark, "TRUNCATE TABLE t_sql_dispatch")
+        execute_sql(spark, "ANALYZE TABLE t_sql_dispatch")
     with pytest.raises(ValueError, match="mor_key applies"):
         execute_sql(spark, "DROP TABLE t_sql_dispatch", mor_key="n_nationkey")
     # multi-column ADD fails fast BEFORE any commit on a bad later type
@@ -2657,4 +2657,63 @@ def test_merge_by_source_parse_guards(spark, nation):
         "(n_nationkey, n_name) VALUES (s.n_nationkey, s.n_name)",
     )
     assert t.read().count() == nation.count()
+    t.drop()
+
+
+# ------------------------------------- statement corners: the full-replace set
+
+
+def test_truncate_insert_overwrite_replace(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    execute_sql(spark, "DROP TABLE IF EXISTS t_corners")
+    nation.createOrReplaceTempView("corners_src")
+    execute_sql(
+        spark,
+        "CREATE TABLE t_corners AS SELECT n_nationkey, n_name "
+        "FROM corners_src WHERE n_nationkey < 10",
+    )
+    t = SnapshotTable(spark, "t_corners")
+    # INSERT OVERWRITE replaces content in one commit, history intact
+    execute_sql(
+        spark,
+        "INSERT OVERWRITE t_corners SELECT n_nationkey, n_name "
+        "FROM corners_src WHERE n_nationkey >= 10",
+    )
+    assert t.read().count() == nation.filter(F.col("n_nationkey") >= 10).count()
+    assert t.read(version=1).count() == 10  # time travel to pre-overwrite
+    # partial column list on OVERWRITE refused (would shrink the schema)
+    with pytest.raises(ValueError, match="every table column"):
+        execute_sql(
+            spark,
+            "INSERT OVERWRITE t_corners (n_nationkey) "
+            "SELECT n_nationkey FROM corners_src",
+        )
+    # TRUNCATE: O(1) metadata commit, empty read, schema/spec survive
+    res = execute_sql(spark, "TRUNCATE TABLE t_corners")
+    assert res["op"] == "truncate"
+    assert t.read().count() == 0
+    assert t.read().columns == ["n_nationkey", "n_name"]
+    execute_sql(
+        spark,
+        "INSERT INTO t_corners SELECT n_nationkey, n_name FROM corners_src",
+    )
+    assert t.read().count() == nation.count()
+    # CREATE OR REPLACE: new schema AND new partition spec, history intact
+    v_before = t.current_version()
+    res = execute_sql(
+        spark,
+        "CREATE OR REPLACE TABLE t_corners PARTITIONED BY (n_regionkey) AS "
+        "SELECT n_nationkey, n_regionkey FROM corners_src",
+    )
+    assert res["op"] == "replace" and res["version"] == v_before + 1
+    assert t.read().columns == ["n_nationkey", "n_regionkey"]
+    assert t.current_spec() == ["n_regionkey"]
+    assert t.read(version=v_before).columns == ["n_nationkey", "n_name"]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        execute_sql(
+            spark,
+            "CREATE OR REPLACE TABLE IF NOT EXISTS t_corners AS "
+            "SELECT 1 AS a",
+        )
     t.drop()
