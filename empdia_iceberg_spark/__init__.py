@@ -91,7 +91,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # this round (table_merge_dml, table_delete_mor_dml, table_insert_dml,
 # knn recall audits, table_ddl_lifecycle, table_time_travel_sql,
 # table_maintenance_sql, stream_cdc_apply, table_rename_column_sql,
-# table_refs_sql, table_merge_sync_dml, table_statement_corners)
+# table_refs_sql, table_merge_sync_dml, table_statement_corners,
+# table_metadata_tables_sql)
 # are inserted at the VERY FRONT as they land, displacing the bottom of
 # the stalest block below the marker (same-round-driver-row rule).
 # LATE-r11 widening: the DDL work made every snapshot-table read resolve
@@ -102,6 +103,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # the window move above the marker (changed-code-first rule), displacing
 # stalest-green r3/r5 names below it.
 _SWEEP_PRIORITY = [
+    "table_metadata_tables_sql",  # NEW r11 late: t.snapshots/t.refs/t.files reads
     "table_statement_corners",  # NEW r11 late: REPLACE/TRUNCATE/INSERT OVERWRITE
     "table_merge_sync_dml",  # NEW r11 late: WHEN NOT MATCHED BY SOURCE full-sync
     "table_refs_sql",  # NEW r11 late: branch/tag DDL + ref reads via VERSION AS OF
@@ -151,8 +153,8 @@ _SWEEP_PRIORITY = [
     "sink_json_roundtrip",  # stalest green (r3)
     "csv_roundtrip",  # stalest green (r3)
     "sink_partitioned_write",  # stalest green (r3)
-    "dialogue_prep_verl_rows",  # stalest green (r3)
-    # -------- 50-slot window ends here (13 new + 29 changed + 8 stalest) ----------
+    # -------- 50-slot window ends here (14 new + 29 changed + 7 stalest) ----------
+    "dialogue_prep_verl_rows",  # stalest green (r3), displaced by r11 new
     "dialogue_prep_nested",  # stalest green (r3), displaced by r11 new
     "overlong_prompt_filter",  # stalest green (r3), displaced by r11 new
     "positional_split_70_30",  # stalest green (r3), displaced by r11 new

@@ -430,6 +430,81 @@ def _optimize(spark: SparkSession, t: SnapshotTable, zorder_cols: list[str]) -> 
     }
 
 
+# Iceberg metadata tables: `SELECT ... FROM <table>.snapshots|refs|files`
+# materializes the snapshot log / named refs / data-file inventory as a
+# queryable frame. Resolution requires <table> to BE a snapshot table;
+# a dotted ref whose head is a view/alias (e.g. `s.refs` where `refs`
+# is a column) is left untouched. Like Iceberg, a COLUMN named exactly
+# like a metadata table on a snapshot table of the same name is
+# shadowed — qualify through a view alias to reach it.
+_META_REF = re.compile(r"\b([A-Za-z_]\w*)\.(snapshots|refs|files)\b")
+
+
+def _metadata_frame(spark: SparkSession, t: SnapshotTable, kind: str) -> DataFrame:
+    """Build the metadata table as a driver-side frame. Strictly
+    metadata-sized: snapshots/refs read the JSON log; files lists the
+    CURRENT snapshot's data dirs (one os.walk per dir — O(|files|),
+    the same cost as planning any scan of the table)."""
+    import os as _os
+
+    if kind == "snapshots":
+        rows = [
+            (
+                m["version"],
+                m.get("op", ""),
+                m.get("parent"),
+                float(m["ts"]) if m.get("ts") is not None else None,
+                len(m.get("dirs", [])),
+                len(m.get("delete_dirs", [])),
+            )
+            for m in t.snapshots()
+        ]
+        schema = (
+            "version int, op string, parent int, committed_at double, "
+            "n_data_dirs int, n_delete_dirs int"
+        )
+    elif kind == "refs":
+        rows = sorted(t.refs().items())
+        schema = "name string, version int"
+    else:  # files
+        meta = t._read_meta(t.current_version())
+        rows = []
+        for d, dspec in zip(meta["dirs"], t._dir_specs(meta)):
+            n_files, n_bytes = 0, 0
+            for root_, _dirs, fnames in _os.walk(d):
+                for fn in fnames:
+                    if fn.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += _os.path.getsize(_os.path.join(root_, fn))
+            rows.append(
+                (_os.path.basename(d), ",".join(dspec), n_files, n_bytes)
+            )
+        schema = "dir string, spec string, n_files int, size_bytes bigint"
+    return spark.createDataFrame(rows, schema)
+
+
+def materialize_metadata_tables(
+    spark: SparkSession, statement: str, root: str = DEFAULT_ROOT
+) -> str:
+    """Rewrite `<snapshot-table>.<snapshots|refs|files>` references to
+    temp views over the metadata frames. Non-snapshot-table heads pass
+    through untouched (they are column/alias accessors)."""
+    masked = _mask_literals(statement)
+    matches = list(_META_REF.finditer(masked))
+    if not matches:
+        return statement
+    out = statement
+    for m in reversed(matches):
+        name, kind = m.group(1), m.group(2)
+        t = SnapshotTable(spark, name, root)
+        if t.current_version() is None:
+            continue  # not a snapshot table: a column/alias accessor
+        view = f"_meta_{name}_{kind}"
+        _metadata_frame(spark, t, kind).createOrReplaceTempView(view)
+        out = out[: m.start()] + view + out[m.end() :]
+    return out
+
+
 # Read-side time travel: `t VERSION AS OF 3` / `t FOR TIMESTAMP AS OF
 # '2026-08-16 12:00:00'` (Spark 3.3+/Delta syntax; SYSTEM_VERSION /
 # SYSTEM_TIME are the Iceberg spellings). The value group matches a
@@ -539,6 +614,7 @@ def execute_sql(
     works anywhere a read ref appears — a SELECT, an INSERT body, a
     MERGE source."""
     statement = materialize_time_travel(spark, statement, root)
+    statement = materialize_metadata_tables(spark, statement, root)
     head = statement.lstrip().lstrip("(").split(None, 1)
     kw = head[0].upper() if head else ""
     if kw in ("SELECT", "WITH"):
@@ -919,4 +995,47 @@ def table_statement_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_versions", F.lit(int(t.current_version())).cast("int"))
         .withColumn("time_travel_v2_rows", F.lit(int(guard)).cast("int"))
         .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "table_metadata_tables_sql",
+    oracle="""
+    SELECT * FROM (
+        SELECT CAST(1 AS INT) AS version, 'create' AS op,
+               CAST(1 AS INT) AS n_data_dirs, CAST(0 AS INT) AS n_delete_dirs,
+               CAST(1 AS BIGINT) AS n_refs, CAST(2 AS BIGINT) AS total_files
+        UNION ALL
+        SELECT CAST(2 AS INT), 'append', CAST(2 AS INT), CAST(0 AS INT),
+               CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+    ) ORDER BY version
+    """,
+    doc="Iceberg metadata tables: `SELECT ... FROM t.snapshots / t.refs "
+    "/ t.files` materialize the snapshot log, the named refs, and the "
+    "data-file inventory as queryable frames (strictly metadata-sized "
+    "— the snapshot JSONs plus one file listing, never a data scan). "
+    "The query joins all three over a create→append→tag table and "
+    "hash-checks the op log, per-snapshot dir counts, the ref count, "
+    "and the target-file-size policy's file count (one file per write "
+    "at this scale).",
+)
+def table_metadata_tables_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_meta_t")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))
+    t.append(orders.filter(F.col("o_orderstatus") != "O"))
+    execute_sql(spark, "ALTER TABLE orders_meta_t CREATE TAG first AS OF VERSION 1")
+    return execute_sql(
+        spark,
+        """
+        SELECT CAST(s.version AS INT) AS version, s.op,
+               CAST(s.n_data_dirs AS INT) AS n_data_dirs,
+               CAST(s.n_delete_dirs AS INT) AS n_delete_dirs,
+               CAST((SELECT count(*) FROM orders_meta_t.refs) AS BIGINT) AS n_refs,
+               CAST((SELECT sum(n_files) FROM orders_meta_t.files) AS BIGINT)
+                   AS total_files
+        FROM orders_meta_t.snapshots s
+        ORDER BY version
+        """,
     )

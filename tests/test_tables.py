@@ -2717,3 +2717,32 @@ def test_truncate_insert_overwrite_replace(spark, nation):
             "SELECT 1 AS a",
         )
     t.drop()
+
+
+def test_metadata_tables_resolution_and_passthrough(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    t = SnapshotTable(spark, "t_meta_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    t.append(nation.select("n_nationkey", "n_name"))
+    rows = execute_sql(
+        spark, "SELECT version, op, n_data_dirs FROM t_meta_unit.snapshots"
+    ).collect()
+    assert [(r.version, r.op, r.n_data_dirs) for r in rows] == [
+        (1, "create", 1), (2, "append", 2),
+    ]
+    files = execute_sql(
+        spark, "SELECT count(*) AS n, sum(n_files) AS f FROM t_meta_unit.files"
+    ).collect()[0]
+    assert (files.n, files.f) == (2, 2)
+    # a dotted ref whose head is NOT a snapshot table passes through:
+    # here `s` is a view alias and `refs` is an ordinary column
+    spark.createDataFrame([(1, 7)], "id int, refs int").createOrReplaceTempView(
+        "meta_passthrough_v"
+    )
+    got = execute_sql(
+        spark, "SELECT s.refs FROM meta_passthrough_v s"
+    ).collect()[0].refs
+    assert got == 7
+    t.drop()
