@@ -68,6 +68,12 @@ HEADLINE = [
     "daily_acf_value",
     "events_rolling_wau",
     "pyds_synthetic_rollup",
+    # r11 late additions — NEW in BENCH_r11, so the cross-round
+    # comparable number is the sum over the queries shared with r10:
+    # streaming CDC apply (3 availableNow phases + 2 pruned MERGE
+    # commits per call) and the BY SOURCE full-sync MERGE
+    "stream_cdc_apply",
+    "table_merge_sync_dml",
 ]
 
 # r7: no per-query special-casing remains. Every timed run is the
