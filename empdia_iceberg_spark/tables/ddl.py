@@ -309,6 +309,11 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         if t.current_version() is None:
             raise ValueError(f"table {name} does not exist")
         cols = [c.strip() for c in (zcols or "").split(",") if c.strip()]
+        if zcols is not None and not cols:
+            raise ValueError(
+                "OPTIMIZE ... ZORDER BY () names no columns — drop the "
+                "clause for plain compaction or list exactly 2 columns"
+            )
         return _optimize(spark, t, cols)
     m = _VACUUM_HEAD.match(statement)
     if m:
@@ -329,10 +334,10 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
             },
         }
     raise ValueError(
-        f"unsupported DDL statement (expected CREATE TABLE ... AS SELECT, "
-        f"ALTER TABLE ... ADD COLUMN[S]/ADD PARTITION FIELD/DROP PARTITION "
-        f"FIELD, DROP TABLE, OPTIMIZE [ZORDER BY], or VACUUM): "
-        f"{statement[:80]!r}"
+        f"unsupported DDL statement (expected CREATE [OR REPLACE] TABLE ... "
+        f"AS SELECT, TRUNCATE TABLE, ALTER TABLE ... ADD/DROP/RENAME "
+        f"COLUMN[S] / ADD|DROP PARTITION FIELD / CREATE|DROP BRANCH|TAG, "
+        f"DROP TABLE, OPTIMIZE [ZORDER BY], or VACUUM): {statement[:80]!r}"
     )
 
 
@@ -627,7 +632,7 @@ def execute_sql(
         return execute_ddl(spark, statement, root)
     raise ValueError(
         f"unsupported SQL statement (expected SELECT/WITH, "
-        f"INSERT/UPDATE/DELETE/MERGE, CREATE/ALTER/DROP TABLE, "
+        f"INSERT/UPDATE/DELETE/MERGE, CREATE/ALTER/DROP/TRUNCATE TABLE, "
         f"OPTIMIZE, or VACUUM): {statement[:80]!r}"
     )
 

@@ -279,7 +279,8 @@ def _execute_insert(
 
     from pyspark.sql.types import StructType
 
-    schema = StructType.fromJson(_json.loads(t._read_meta(cur)["schema"]))
+    schema_json = t._read_meta(cur)["schema"]
+    schema = StructType.fromJson(_json.loads(schema_json))
     tcols = schema.fieldNames()
     target_cols = cols if cols is not None else tcols
     unknown = sorted(set(target_cols) - set(tcols))
@@ -308,7 +309,7 @@ def _execute_insert(
                 f"column (missing {missing}) — a partial column list would "
                 "shrink the schema on a whole-table replace"
             )
-        aligned, _ = t._align_append_to_schema(df, t._read_meta(cur)["schema"])
+        aligned, _ = t._align_append_to_schema(df, schema_json)
         version = t.overwrite(aligned.select(*tcols), op="insert-overwrite")
         return {"op": "insert-overwrite", "table": name, "version": version,
                 "audit": None}

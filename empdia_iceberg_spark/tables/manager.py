@@ -1005,6 +1005,18 @@ class SnapshotTable:
                 )
         out = df.select(*cols) if changed else df
         new_fields = [f for f in out.schema.fields if f.name not in tgt]
+        # Additive evolution must not resurrect a renamed column's
+        # PHYSICAL name: the committed schema would then hold two fields
+        # sharing one file column, and every later explicit-schema read
+        # lists that parquet field twice (same hazard add_column guards).
+        reserved = set(self._physical_map(schema_json).values()) - set(tgt)
+        bad = sorted(f.name for f in new_fields if f.name in reserved)
+        if bad:
+            raise ValueError(
+                f"table {self.name}: append column(s) {bad} collide with "
+                "the physical name of a renamed column — data files carry "
+                "those bytes; use different names"
+            )
         evolved = StructType(list(target.fields) + new_fields)
         return out, evolved.json()
 

@@ -2746,3 +2746,42 @@ def test_metadata_tables_resolution_and_passthrough(spark, nation):
     ).collect()[0].refs
     assert got == 7
     t.drop()
+
+
+def test_append_cannot_resurrect_renamed_physical_name(spark, nation):
+    """Additive append evolution must refuse a new column named like a
+    renamed column's PHYSICAL name — the committed schema would hold two
+    fields sharing one file column (r11 review finding)."""
+    t = SnapshotTable(spark, "t_rename_append_guard")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    t.rename_column("n_name", "nation_name")
+    bad = nation.select(
+        "n_nationkey",
+        F.col("n_name").alias("nation_name"),
+        F.lit("x").alias("n_name"),  # collides with the physical name
+    )
+    for path in (t.append, t.append_checked):
+        with pytest.raises(ValueError, match="physical name"):
+            path(bad)
+    # a fresh non-colliding column still evolves additively
+    t.append(
+        nation.select(
+            "n_nationkey",
+            F.col("n_name").alias("nation_name"),
+            F.lit("y").alias("extra"),
+        )
+    )
+    assert set(t.read().columns) == {"n_nationkey", "nation_name", "extra"}
+    t.drop()
+
+
+def test_optimize_zorder_empty_list_refused(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    t = SnapshotTable(spark, "t_opt_empty")
+    t.drop()
+    t.create(nation)
+    with pytest.raises(ValueError, match="names no columns"):
+        execute_sql(spark, "OPTIMIZE t_opt_empty ZORDER BY ()")
+    t.drop()
