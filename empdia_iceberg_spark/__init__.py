@@ -101,7 +101,10 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # required for metadata-only ADD COLUMN), which changes the read path of
 # EVERY table_* / cdc_* / mv_* / catalog_* query — all 15 not already in
 # the window move above the marker (changed-code-first rule), displacing
-# stalest-green r3/r5 names below it.
+# stalest-green r3/r5 names below it; the second r11 session extended
+# the same rule to the two STREAMING snapshot-table users
+# (stream_continuous_aggregate, stream_restart_recovery), whose sink
+# read path also resolves through _read_dirs.
 _SWEEP_PRIORITY = [
     "table_metadata_tables_sql",  # NEW r11 late: t.snapshots/t.refs/t.files reads
     "table_statement_corners",  # NEW r11 late: REPLACE/TRUNCATE/INSERT OVERWRITE
@@ -146,14 +149,16 @@ _SWEEP_PRIORITY = [
     "table_bloom_point_lookup",  # r11-late-changed: explicit-schema reads
     "table_changelog_emit",  # r11-late-changed: explicit-schema reads
     "catalog_multi_table_txn",  # r11-late-changed: explicit-schema reads
+    "stream_continuous_aggregate",  # r11-late-changed: snapshot-table sink read path
+    "stream_restart_recovery",  # r11-late-changed: snapshot-table sink read path
     "termination_first_stop",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
     "trajectory_metrics",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
     "messages_role_swap_pipeline",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
     "sink_parquet_roundtrip",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
     "sink_json_roundtrip",  # stalest green (r3)
-    "csv_roundtrip",  # stalest green (r3)
-    "sink_partitioned_write",  # stalest green (r3)
-    # -------- 50-slot window ends here (14 new + 29 changed + 7 stalest) ----------
+    # -------- 50-slot window ends here (14 new + 31 changed + 5 stalest) ----------
+    "csv_roundtrip",  # stalest green (r3), displaced by r11 changed-code rule
+    "sink_partitioned_write",  # stalest green (r3), displaced by r11 changed-code rule
     "dialogue_prep_verl_rows",  # stalest green (r3), displaced by r11 new
     "dialogue_prep_nested",  # stalest green (r3), displaced by r11 new
     "overlong_prompt_filter",  # stalest green (r3), displaced by r11 new
@@ -366,8 +371,6 @@ _SWEEP_PRIORITY = [
     "json_ingest_corrupt_records",
     "xml_roundtrip",
     "orc_roundtrip",
-    "stream_restart_recovery",
-    "stream_continuous_aggregate",
     "pagerank_trading_graph",
     "semi_join_active_customers",
     "anti_join_inactive_customers",
