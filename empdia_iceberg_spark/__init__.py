@@ -40,6 +40,7 @@ from empdia_iceberg_spark.functions import termination  # noqa: F401
 from empdia_iceberg_spark.functions import messages  # noqa: F401
 from empdia_iceberg_spark.sources import sinks  # noqa: F401
 from empdia_iceberg_spark.sources import pydatasource  # noqa: F401
+from empdia_iceberg_spark.sources import table_stream  # noqa: F401
 from empdia_iceberg_spark.plans import prep  # noqa: F401
 from empdia_iceberg_spark.plans import grpo  # noqa: F401
 from empdia_iceberg_spark.plans import curation  # noqa: F401
@@ -92,7 +93,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # knn recall audits, table_ddl_lifecycle, table_time_travel_sql,
 # table_maintenance_sql, stream_cdc_apply, table_rename_column_sql,
 # table_refs_sql, table_merge_sync_dml, table_statement_corners,
-# table_metadata_tables_sql)
+# table_metadata_tables_sql, stream_table_tail)
 # are inserted at the VERY FRONT as they land, displacing the bottom of
 # the stalest block below the marker (same-round-driver-row rule).
 # LATE-r11 widening: the DDL work made every snapshot-table read resolve
@@ -106,6 +107,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # (stream_continuous_aggregate, stream_restart_recovery), whose sink
 # read path also resolves through _read_dirs.
 _SWEEP_PRIORITY = [
+    "stream_table_tail",  # NEW r11 late: streaming SOURCE over snapshot tables
     "table_metadata_tables_sql",  # NEW r11 late: t.snapshots/t.refs/t.files reads
     "table_statement_corners",  # NEW r11 late: REPLACE/TRUNCATE/INSERT OVERWRITE
     "table_merge_sync_dml",  # NEW r11 late: WHEN NOT MATCHED BY SOURCE full-sync
@@ -155,8 +157,8 @@ _SWEEP_PRIORITY = [
     "trajectory_metrics",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
     "messages_role_swap_pipeline",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
     "sink_parquet_roundtrip",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
-    "sink_json_roundtrip",  # stalest green (r3)
-    # -------- 50-slot window ends here (14 new + 31 changed + 5 stalest) ----------
+    # -------- 50-slot window ends here (15 new + 31 changed + 4 stalest) ----------
+    "sink_json_roundtrip",  # stalest green (r3), displaced by r11 new
     "csv_roundtrip",  # stalest green (r3), displaced by r11 changed-code rule
     "sink_partitioned_write",  # stalest green (r3), displaced by r11 changed-code rule
     "dialogue_prep_verl_rows",  # stalest green (r3), displaced by r11 new

@@ -1,0 +1,293 @@
+"""Streaming SOURCE over snapshot tables — `spark.readStream.format(
+"snapshot_tail")` tails a table's APPEND commits, the Delta
+`readStream`-on-a-table / Iceberg incremental-streaming-read model,
+built on the public Spark 4 Python Data Source streaming API
+(pyspark.sql.datasource.DataSourceStreamReader, SPARK-44076).
+
+Together with `streaming/cdc.py` (stream → MERGE INTO table) this
+closes the streaming⇄table loop in BOTH directions: a pipeline can
+land data in a snapshot table and downstream jobs can tail that table
+as a stream with exactly-once delivery — offsets are SNAPSHOT VERSION
+numbers checkpointed by Spark, and `partitions(start, end)` is a pure
+function of the immutable version log, so recomputation after a crash
+replans the identical batch.
+
+Scale shape: offset resolution and partition planning read only the
+snapshot JSONs plus one file listing per NEW dir (metadata-sized,
+driver); each new parquet FILE becomes one InputPartition whose rows
+are materialized ON THE EXECUTOR as Arrow batches (pyarrow reader) —
+the source scales out exactly like a parquet scan, no driver
+materialization.
+
+Semantics (Delta readStream parity):
+- APPEND commits (`create` / `append`) stream their NEW dirs' rows,
+  exactly once.
+- CHANGE commits (overwrite / compact / merge / COW update / truncate /
+  rollback / optimize ...) cannot be represented as appends; the
+  reader RAISES on them unless `skip_change_commits=true` (Delta's
+  `skipChangeCommits`), which skips the commit entirely. Metadata-only
+  commits (schema/spec evolution, rename) are always skipped — they
+  add no data. MOR equality-deletes affect rows already emitted;
+  an append-tail does not retract (same as Delta).
+- Renamed columns stream under their CURRENT logical names: partitions
+  carry the logical→physical mapping and the executor-side reader
+  projects physical file columns (or typed NULLs for files written
+  before an ADD COLUMN) into the committed schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from empdia_iceberg_spark.functions.exact import exact_sum2, sql_sum2
+from empdia_iceberg_spark.registry import register
+from empdia_iceberg_spark.sources.tables import load
+from empdia_iceberg_spark.tables.manager import DEFAULT_ROOT, SnapshotTable
+
+# ops whose NEW dirs are pure appends of new rows
+_APPEND_OPS = ("create", "append")
+# metadata-only ops: no data delta at all
+_METADATA_OPS = ("add-column", "drop-column", "rename-column",
+                 "evolve-partitioning")
+
+
+class _TailFilePartition(InputPartition):
+    """One new parquet file + the (logical, physical, arrow-type) plan
+    needed to project it into the committed schema on the executor."""
+
+    def __init__(self, path: str, fields: list[tuple[str, str]], schema_ddl: str):
+        self.path = path
+        self.fields = fields  # [(logical, physical)]
+        self.schema_ddl = schema_ddl
+
+
+class SnapshotTailStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema_ddl: str):
+        self.table = options["table"]
+        self.root = options.get("root", DEFAULT_ROOT)
+        self.skip_change = (
+            str(options.get("skip_change_commits", "false")).lower() == "true"
+        )
+        self.schema_ddl = schema_ddl
+        self.meta_dir = os.path.join(self.root, self.table, "_meta")
+
+    # ------------------------------------------------- offsets (versions)
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        return sorted(
+            int(f[1:6])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def _meta(self, v: int) -> dict:
+        with open(os.path.join(self.meta_dir, f"v{v:05d}.json")) as f:
+            return json.load(f)
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        vs = self._versions()
+        return {"version": vs[-1] if vs else 0}
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: the version log is the source of truth
+
+    # ------------------------------------------------- partition planning
+    def partitions(self, start: dict, end: dict) -> list[_TailFilePartition]:
+        s, e = int(start["version"]), int(end["version"])
+        parts: list[_TailFilePartition] = []
+        for v in range(s + 1, e + 1):
+            meta = self._meta(v)
+            op = meta.get("op", "")
+            if op in _METADATA_OPS:
+                continue
+            if not (op in _APPEND_OPS or op.startswith("append@")):
+                if self.skip_change:
+                    continue
+                raise ValueError(
+                    f"snapshot_tail: table {self.table} v{v} is a "
+                    f"{op!r} commit — not representable as an append "
+                    "stream; set skip_change_commits=true to skip it "
+                    "(Delta skipChangeCommits semantics)"
+                )
+            parent = meta.get("parent")
+            parent_dirs = set(self._meta(parent)["dirs"]) if parent else set()
+            # the schema AS OF this commit decides names/types for its files
+            stored = T.StructType.fromJson(json.loads(meta["schema"]))
+            fields = [
+                (f.name, (f.metadata or {}).get("physical", f.name))
+                for f in stored.fields
+            ]
+            for d in meta["dirs"]:
+                if d in parent_dirs:
+                    continue
+                for root_, _dirs, fnames in os.walk(d):
+                    for fn in sorted(fnames):
+                        if fn.endswith(".parquet"):
+                            parts.append(
+                                _TailFilePartition(
+                                    os.path.join(root_, fn),
+                                    fields,
+                                    self.schema_ddl,
+                                )
+                            )
+        return parts
+
+    # ------------------------------------------------- executor-side read
+    def read(self, partition: _TailFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        target = to_arrow_schema(StructType.fromJson(json.loads(partition.schema_ddl)))
+        tbl = pq.read_table(partition.path)
+        have = set(tbl.schema.names)
+        arrays = []
+        for i, (logical, physical) in enumerate(partition.fields):
+            want_t = target.field(i).type
+            if physical in have:
+                col = tbl.column(physical)
+                if col.type != want_t:
+                    import pyarrow.compute as pc
+
+                    col = pc.cast(col, want_t)
+                arrays.append(col.combine_chunks())
+            else:
+                # file written before an ADD COLUMN: typed NULLs
+                arrays.append(pa.nulls(len(tbl), type=want_t))
+        out = pa.table(arrays, schema=target)
+        yield from out.to_batches()
+
+
+class SnapshotTailDataSource(DataSource):
+    """`spark.readStream.format("snapshot_tail").option("table", name)
+    [.option("root", ...)] [.option("skip_change_commits", "true")]`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_tail"
+
+    def schema(self):
+        t_name = self.options["table"]
+        root = self.options.get("root", DEFAULT_ROOT)
+        meta_dir = os.path.join(root, t_name, "_meta")
+        versions = sorted(
+            int(f[1:6])
+            for f in os.listdir(meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        with open(os.path.join(meta_dir, f"v{versions[-1]:05d}.json")) as f:
+            schema_json = json.load(f)["schema"]
+        # forced-nullable logical schema (matches SnapshotTable reads)
+        stored = T.StructType.fromJson(json.loads(schema_json))
+        self._schema_struct = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in stored.fields]
+        )
+        return self._schema_struct
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        struct = getattr(self, "_schema_struct", None) or schema
+        return SnapshotTailStreamReader(self.options, struct.json())
+
+
+@register(
+    "stream_table_tail",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           round({sql_sum2('o_totalprice')}, 2) AS total_price
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Streaming SOURCE over a snapshot table (Delta readStream / "
+    "Iceberg incremental-read model, via the public Spark 4 Python "
+    "Data Source streaming API): offsets are snapshot VERSIONS, each "
+    "new parquet file of an append commit becomes one executor-side "
+    "Arrow-read InputPartition, and two availableNow drains against "
+    "one checkpoint deliver the create and the append exactly once — "
+    "the sink equals the batch rollup over exactly the appended rows "
+    "(hash-checked). Closes the streaming⇄table loop opposite "
+    "stream_cdc_apply.",
+)
+def stream_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+
+    spark.dataSource.register(SnapshotTailDataSource)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    t = SnapshotTable(spark, "orders_tail")
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))
+    run = uuid.uuid4().hex[:8]
+    ckpt = os.path.join(_WORK_ROOT, f"tail_ckpt_{run}")
+    sink = os.path.join(_WORK_ROOT, f"tail_sink_{run}")
+    name = "t_tail_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    # foreachBatch sink: the memory sink cannot RECOVER from a
+    # checkpoint, and recovery across the two drains is exactly what
+    # this query proves (the second run must resume at offset v1 and
+    # emit only v2's new dir)
+    def sink_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("table", "orders_tail")
+            .load()
+            .writeStream.queryName(name)
+            .outputMode("append")
+            .foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        drain()  # emits v1 (create: the 'O' rows)
+        t.append(orders.filter(F.col("o_orderstatus") == "F"))
+        drain()  # emits ONLY v2's new dir (exactly-once across restarts)
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(exact_sum2("o_totalprice"), 2).alias("total_price"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink files
+        return out
+    finally:
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

@@ -258,3 +258,72 @@ def test_stream_cdc_apply_per_key_fates(spark):
         else:  # k%4 in (0, 3): plain insert (phase 1 or late phase 3)
             assert state[k] == price
     assert len(state) == sum(1 for k in orders if k % 4 != 2 or k % 8 == 2)
+
+
+def test_snapshot_tail_exactly_once_and_change_commit_guard(spark, tmp_path):
+    """The snapshot_tail source: version offsets give exactly-once
+    across checkpoint recovery, change commits refuse unless
+    skip_change_commits, and renamed columns stream under their
+    current logical names (physical projection on the executor)."""
+    import os
+    import shutil
+    import uuid
+
+    from empdia_iceberg_spark.sources.table_stream import SnapshotTailDataSource
+    from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    spark.dataSource.register(SnapshotTailDataSource)
+    nation = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    t = SnapshotTable(spark, "t_tail_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))
+    t.rename_column("n_name", "nation_name")
+    run = uuid.uuid4().hex[:8]
+    ckpt = os.path.join(_WORK_ROOT, f"tail_unit_ckpt_{run}")
+    sink = os.path.join(_WORK_ROOT, f"tail_unit_sink_{run}")
+
+    def drain(skip_change=False):
+        reader = (
+            spark.readStream.format("snapshot_tail").option("table", "t_tail_unit")
+        )
+        if skip_change:
+            reader = reader.option("skip_change_commits", "true")
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(
+                lambda b, i: b.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        drain()
+        # post-rename append streams under the logical name
+        t.append(
+            nation.filter(F.col("n_nationkey") >= 10)
+            .select("n_nationkey", F.col("n_name").alias("nation_name"))
+        )
+        drain()
+        got = spark.read.parquet(sink)
+        assert got.columns == ["n_nationkey", "nation_name"]
+        assert got.count() == nation.count()  # each row exactly once
+        assert got.select("n_nationkey").distinct().count() == nation.count()
+        # a change commit (compact) refuses ...
+        t.compact()
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="append stream"):
+            drain()
+        # ... and skip_change_commits skips it (no new rows)
+        drain(skip_change=True)
+        assert spark.read.parquet(sink).count() == nation.count()
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        t.drop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
