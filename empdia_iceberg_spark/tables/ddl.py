@@ -1,10 +1,25 @@
-"""Declarative SQL DDL over the snapshot tables: `CREATE TABLE ... AS
-SELECT` (CTAS, optionally partitioned), `ALTER TABLE ... ADD/DROP
-COLUMN[S]` (both METADATA-ONLY schema evolution — the Iceberg model:
-one JSON commit, zero data rewrites; added columns surface as typed
-NULL in old files, dropped columns stop being projected while their
-bytes stay in place), `ALTER TABLE ... ADD/DROP PARTITION FIELD` (spec
-evolution for future writes), and `DROP TABLE [IF EXISTS]`.
+"""Declarative SQL DDL + statement front-end over the snapshot tables:
+
+- `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t [PARTITIONED BY] AS
+  SELECT` (CTAS; OR REPLACE swaps content, schema AND spec in one
+  commit with history intact) and `TRUNCATE TABLE` (O(1) empty-file-
+  list metadata commit).
+- METADATA-ONLY schema evolution — the Iceberg model, one JSON commit,
+  zero data rewrites: `ALTER TABLE ... ADD/DROP COLUMN[S]` (added
+  columns surface as typed NULL in old files; dropped columns stop
+  being projected while their bytes stay in place) and `RENAME COLUMN`
+  (physical file-column names recorded in the committed schema; reads
+  project physical→logical, writes map back).
+- `ALTER TABLE ... ADD/DROP PARTITION FIELD` (spec evolution, future
+  writes only), `CREATE/DROP BRANCH|TAG` (refs; CREATE is a CAS
+  against absence), `DROP TABLE [IF EXISTS]`.
+- Maintenance: `OPTIMIZE t [ZORDER BY (c1, c2)]` (target-size rewrite,
+  optionally Morton-clustered with disjoint per-file key ranges) and
+  `VACUUM t [RETAIN k VERSIONS]` (expire_snapshots).
+- Read-side sugar materialized pre-dispatch in `execute_sql`: time
+  travel `t [FOR] VERSION|TIMESTAMP AS OF <literal>` (ref names
+  resolve too) and the Iceberg metadata tables `t.snapshots`,
+  `t.refs`, `t.files`.
 
 Together with `tables/dml.py` (INSERT/UPDATE/DELETE/MERGE) this
 completes the declarative statement surface: a user can stand up,
