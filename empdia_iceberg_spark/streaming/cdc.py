@@ -213,3 +213,102 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_versions", F.lit(int(n_versions)).cast("int"))
         .orderBy("status")
     )
+
+
+@register(
+    "pipeline_medallion",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           round({sql_sum2('o_totalprice + 0.0')}, 2) AS sum_price,
+           round({sql_sum2("floor(o_totalprice * 0.1 * 100 + 0.5) / 100")}, 2)
+               AS sum_margin
+    FROM orders
+    WHERE o_totalprice >= 1000.0 AND o_orderstatus IN ('O', 'F')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Medallion pipeline (bronze → silver), the composed user story: "
+    "raw appends land in a BRONZE snapshot table in two phases; a "
+    "downstream job TAILS bronze as a stream (snapshot_tail source, "
+    "version offsets, checkpoint recovery across the phases), applies "
+    "a quality gate + derived-column transform per micro-batch, and "
+    "MERGEs the result into a SILVER snapshot table (idempotent upsert "
+    "through the declarative MERGE engine). Exactly-once end-to-end: "
+    "the silver state hash-matches one batch SQL expression over all "
+    "bronze rows — every row transformed once, none lost or doubled "
+    "across the restart boundary.",
+)
+def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from empdia_iceberg_spark.sources.table_stream import SnapshotTailDataSource
+
+    spark.dataSource.register(SnapshotTailDataSource)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    bronze = SnapshotTable(spark, "orders_bronze")
+    silver = SnapshotTable(spark, "orders_silver")
+    bronze.drop(), silver.drop()
+    bronze.create(orders.filter(F.col("o_orderstatus") == "O"))
+    run = uuid.uuid4().hex[:8]
+    ckpt = os.path.join(_WORK_ROOT, f"medallion_ckpt_{run}")
+
+    def refine(batch_df: DataFrame, batch_id: int) -> None:
+        refined = batch_df.filter(F.col("o_totalprice") >= 1000.0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            # det_round shape (floor(x·100+0.5)/100) — bit-stable vs SQL
+            (
+                F.floor(F.col("o_totalprice") * 0.1 * 100 + 0.5).cast("double")
+                / 100
+            ).alias("margin"),
+        )
+        if silver.current_version() is None:
+            silver.create(refined)
+            return
+        refined.createOrReplaceTempView("medallion_batch")
+        execute_dml(
+            batch_df.sparkSession,
+            """
+            MERGE INTO orders_silver t USING medallion_batch s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("table", "orders_bronze")
+            .load()
+            .writeStream.queryName("t_medallion")
+            .foreachBatch(refine)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        drain()  # silver <- refined 'O' rows
+        bronze.append(orders.filter(F.col("o_orderstatus") == "F"))
+        drain()  # resumes at v1: refines ONLY the 'F' append
+    finally:
+        for q in spark.streams.active:
+            if q.name == "t_medallion":
+                q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        silver.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("o_totalprice"), 2).alias("sum_price"),
+            F.round(exact_sum2("margin"), 2).alias("sum_margin"),
+        )
+        .orderBy("o_orderstatus")
+    )
