@@ -93,7 +93,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # knn recall audits, table_ddl_lifecycle, table_time_travel_sql,
 # table_maintenance_sql, stream_cdc_apply, table_rename_column_sql,
 # table_refs_sql, table_merge_sync_dml, table_statement_corners,
-# table_metadata_tables_sql, stream_table_tail, pipeline_medallion)
+# table_metadata_tables_sql, stream_table_tail, pipeline_medallion,
+# table_describe_sql)
 # are inserted at the VERY FRONT as they land, displacing the bottom of
 # the stalest block below the marker (same-round-driver-row rule).
 # LATE-r11 widening: the DDL work made every snapshot-table read resolve
@@ -107,6 +108,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # (stream_continuous_aggregate, stream_restart_recovery), whose sink
 # read path also resolves through _read_dirs.
 _SWEEP_PRIORITY = [
+    "table_describe_sql",  # NEW r11 late: DESCRIBE TABLE / SHOW TABLES
     "pipeline_medallion",  # NEW r11 late: bronze->silver tail+transform+MERGE
     "stream_table_tail",  # NEW r11 late: streaming SOURCE over snapshot tables
     "table_metadata_tables_sql",  # NEW r11 late: t.snapshots/t.refs/t.files reads
@@ -156,8 +158,8 @@ _SWEEP_PRIORITY = [
     "stream_restart_recovery",  # r11-late-changed: snapshot-table sink read path
     "termination_first_stop",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
     "trajectory_metrics",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
-    "messages_role_swap_pipeline",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
-    # -------- 50-slot window ends here (16 new + 31 changed + 3 stalest) ----------
+    # -------- 50-slot window ends here (17 new + 31 changed + 2 stalest) ----------
+    "messages_role_swap_pipeline",  # stalest green (r3), displaced by r11 new
     "sink_parquet_roundtrip",  # stalest green (r3), displaced by r11 new
     "sink_json_roundtrip",  # stalest green (r3), displaced by r11 new
     "csv_roundtrip",  # stalest green (r3), displaced by r11 changed-code rule

@@ -46,8 +46,9 @@ from __future__ import annotations
 import re
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from empdia_iceberg_spark.functions.exact import exact_sum2, sql_sum2
 from empdia_iceberg_spark.operators.layout import morton_spark
@@ -103,6 +104,51 @@ _VACUUM_HEAD = re.compile(
     r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$",
     re.IGNORECASE,
 )
+_DESCRIBE_HEAD = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_TABLES_HEAD = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+
+
+def describe_table(spark: SparkSession, name: str, root: str = DEFAULT_ROOT) -> DataFrame:
+    """`DESCRIBE TABLE t` as a frame: one row per column of the
+    COMMITTED schema (current logical names — a renamed column shows
+    its new name) plus whether it is a partition field. Metadata-sized:
+    one snapshot JSON read, no scan."""
+    t = SnapshotTable(spark, name, root)
+    cur = t.current_version()
+    if cur is None:
+        raise ValueError(f"table {name} does not exist")
+    import json as _json
+
+    meta = t._read_meta(cur)
+    stored = T.StructType.fromJson(_json.loads(meta["schema"]))
+    spec = set(meta.get("spec", []))
+    rows = [
+        (f.name, f.dataType.simpleString(), f.name in spec)
+        for f in stored.fields
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, data_type string, is_partition_field boolean"
+    )
+
+
+def show_tables(spark: SparkSession, root: str = DEFAULT_ROOT) -> DataFrame:
+    """`SHOW TABLES`: every snapshot table under the catalog root (a
+    dir with a _meta log), with its current version. Listing-order
+    independent (sorted)."""
+    import os as _os
+
+    rows = []
+    if _os.path.isdir(root):
+        for d in sorted(_os.listdir(root)):
+            meta_dir = _os.path.join(root, d, "_meta")
+            if _os.path.isdir(meta_dir):
+                t = SnapshotTable(spark, d, root)
+                v = t.current_version()
+                if v is not None:
+                    rows.append((d, v))
+    return spark.createDataFrame(rows, "table_name string, version int")
 
 
 def _split_columns(s: str) -> list[str]:
@@ -641,6 +687,15 @@ def execute_sql(
         return spark.sql(statement)
     if kw in ("INSERT", "UPDATE", "DELETE", "MERGE"):
         return execute_dml(spark, statement, root, mor_key)
+    if kw in ("DESCRIBE", "DESC"):
+        m = _DESCRIBE_HEAD.match(statement)
+        if not m:
+            raise ValueError(f"cannot parse DESCRIBE statement: {statement[:60]!r}")
+        return describe_table(spark, m.group(1), root)
+    if kw == "SHOW":
+        if not _SHOW_TABLES_HEAD.match(statement):
+            raise ValueError(f"unsupported SHOW statement: {statement[:60]!r}")
+        return show_tables(spark, root)
     if kw in ("CREATE", "ALTER", "DROP", "OPTIMIZE", "VACUUM", "TRUNCATE"):
         if mor_key is not None:
             raise ValueError("mor_key applies to DML DELETE only")
@@ -1059,3 +1114,37 @@ def table_metadata_tables_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY version
         """,
     )
+
+
+@register(
+    "table_describe_sql",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'c_custkey' AS col_name, 'bigint' AS data_type,
+               false AS is_partition_field, CAST(1 AS INT) AS ord
+        UNION ALL SELECT 'c_mktsegment', 'string', true, 2
+        UNION ALL SELECT 'balance', 'double', false, 3
+        UNION ALL SELECT 'tier', 'string', false, 4
+    ) ORDER BY ord
+    """,
+    doc="`DESCRIBE TABLE` over a snapshot table whose schema went "
+    "through the full metadata-only evolution story: CTAS PARTITIONED "
+    "BY, RENAME COLUMN (the description shows the current LOGICAL "
+    "name), and ADD COLUMN — one snapshot-JSON read, no scan; column "
+    "names, Spark type strings, partition-field flags, and schema "
+    "ORDER are all hash-checked.",
+)
+def table_describe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_desc_src")
+    execute_sql(spark, "DROP TABLE IF EXISTS customer_desc")
+    execute_sql(
+        spark,
+        "CREATE TABLE customer_desc PARTITIONED BY (c_mktsegment) AS "
+        "SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal "
+        "FROM cust_desc_src",
+    )
+    execute_sql(spark, "ALTER TABLE customer_desc RENAME COLUMN c_acctbal TO balance")
+    execute_sql(spark, "ALTER TABLE customer_desc ADD COLUMN tier STRING")
+    desc = execute_sql(spark, "DESCRIBE TABLE customer_desc")
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return desc.withColumn("ord", F.row_number().over(w).cast("int")).orderBy("ord")

@@ -2785,3 +2785,21 @@ def test_optimize_zorder_empty_list_refused(spark, nation):
     with pytest.raises(ValueError, match="names no columns"):
         execute_sql(spark, "OPTIMIZE t_opt_empty ZORDER BY ()")
     t.drop()
+
+
+def test_show_tables_and_describe_guards(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    t = SnapshotTable(spark, "t_show_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    rows = {r.table_name: r.version for r in execute_sql(spark, "SHOW TABLES").collect()}
+    assert rows.get("t_show_unit") == 1
+    with pytest.raises(ValueError, match="does not exist"):
+        execute_sql(spark, "DESCRIBE TABLE no_such_t")
+    with pytest.raises(ValueError, match="unsupported SHOW"):
+        execute_sql(spark, "SHOW SNAPSHOTS")
+    # DESC shorthand
+    cols = [r.col_name for r in execute_sql(spark, "DESC t_show_unit").collect()]
+    assert cols == ["n_nationkey", "n_name"]
+    t.drop()
