@@ -78,25 +78,30 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         self.skip_change = (
             str(options.get("skip_change_commits", "false")).lower() == "true"
         )
+        self.starting_version = int(options.get("starting_version", 0))
         self.schema_ddl = schema_ddl
-        self.meta_dir = os.path.join(self.root, self.table, "_meta")
+        # metadata-only accessors: SnapshotTable never touches its spark
+        # handle for _versions/_read_meta, so the version-log layout
+        # stays defined in ONE place (manager.py)
+        self._t = SnapshotTable(None, self.table, self.root)
 
     # ------------------------------------------------- offsets (versions)
     def _versions(self) -> list[int]:
-        if not os.path.isdir(self.meta_dir):
-            return []
-        return sorted(
-            int(f[1:6])
-            for f in os.listdir(self.meta_dir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        return self._t._versions()
 
     def _meta(self, v: int) -> dict:
-        with open(os.path.join(self.meta_dir, f"v{v:05d}.json")) as f:
-            return json.load(f)
+        try:
+            return self._t._read_meta(v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot_tail: table {self.table} v{v} has been EXPIRED "
+                "(expire_snapshots/VACUUM) — a tail cannot replay it. "
+                "Start a new checkpoint with "
+                "option('starting_version', <earliest retained version>)."
+            )
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         vs = self._versions()
@@ -125,8 +130,13 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                 )
             parent = meta.get("parent")
             parent_dirs = set(self._meta(parent)["dirs"]) if parent else set()
-            # the schema AS OF this commit decides names/types for its files
-            stored = T.StructType.fromJson(json.loads(meta["schema"]))
+            # Field plan from the CURRENT committed schema, matched to
+            # file contents BY PHYSICAL NAME at read time — never by
+            # index against a historical commit schema: a column ADDed
+            # after this commit reads back as typed NULLs, a column
+            # DROPped later is simply not projected, and renames are
+            # safe because physical names are creation-stable.
+            stored = T.StructType.fromJson(json.loads(self.schema_ddl))
             fields = [
                 (f.name, (f.metadata or {}).get("physical", f.name))
                 for f in stored.fields
@@ -185,18 +195,21 @@ class SnapshotTailDataSource(DataSource):
     def schema(self):
         t_name = self.options["table"]
         root = self.options.get("root", DEFAULT_ROOT)
-        meta_dir = os.path.join(root, t_name, "_meta")
-        versions = sorted(
-            int(f[1:6])
-            for f in os.listdir(meta_dir)
-            if f.startswith("v") and f.endswith(".json")
-        )
-        with open(os.path.join(meta_dir, f"v{versions[-1]:05d}.json")) as f:
-            schema_json = json.load(f)["schema"]
-        # forced-nullable logical schema (matches SnapshotTable reads)
-        stored = T.StructType.fromJson(json.loads(schema_json))
+        t = SnapshotTable(None, t_name, root)  # metadata-only accessors
+        cur = t.current_version()
+        if cur is None:
+            raise ValueError(
+                f"snapshot_tail: table {t_name!r} does not exist under {root}"
+            )
+        stored = T.StructType.fromJson(json.loads(t._read_meta(cur)["schema"]))
+        # forced-nullable LOGICAL schema (matches SnapshotTable reads);
+        # field metadata is KEPT — the physical map in it drives the
+        # executor-side file projection
         self._schema_struct = T.StructType(
-            [T.StructField(f.name, f.dataType, True) for f in stored.fields]
+            [
+                T.StructField(f.name, f.dataType, True, f.metadata)
+                for f in stored.fields
+            ]
         )
         return self._schema_struct
 

@@ -327,3 +327,64 @@ def test_snapshot_tail_exactly_once_and_change_commit_guard(spark, tmp_path):
         t.drop()
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_snapshot_tail_across_schema_evolution(spark):
+    """Tailing ACROSS an ADD COLUMN: files written before the evolution
+    stream the new column as typed NULLs; a later DROP stops projecting
+    it — the field plan comes from the CURRENT schema by PHYSICAL name,
+    never by index against a historical commit (r11 review fix)."""
+    import os
+    import shutil
+    import uuid
+
+    from empdia_iceberg_spark.sources.table_stream import SnapshotTailDataSource
+    from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    spark.dataSource.register(SnapshotTailDataSource)
+    nation = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    t = SnapshotTable(spark, "t_tail_evo")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))  # v1: 2 columns
+    t.add_column("score", "double")  # v2: metadata-only
+    t.append(  # v3: 3 columns
+        nation.filter(F.col("n_nationkey") >= 10).withColumn(
+            "score", F.col("n_nationkey") * 1.0
+        )
+    )
+    run = uuid.uuid4().hex[:8]
+    ckpt = os.path.join(_WORK_ROOT, f"tailevo_ckpt_{run}")
+    sink = os.path.join(_WORK_ROOT, f"tailevo_sink_{run}")
+    try:
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("table", "t_tail_evo")
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, i: b.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(sink)
+        assert set(got.columns) == {"n_nationkey", "n_name", "score"}
+        rows = {r.n_nationkey: r.score for r in got.collect()}
+        assert len(rows) == nation.count()
+        for k, score in rows.items():
+            assert score == (None if k < 10 else float(k))  # pre-ADD files: NULL
+        # a missing table fails with a clear error, not a raw OSError
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="does not exist"):
+            spark.readStream.format("snapshot_tail").option(
+                "table", "no_such_tail_table"
+            ).load()
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        t.drop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

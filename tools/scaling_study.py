@@ -459,7 +459,9 @@ def _study_variant(study: str):
         yield
 
 
-def run_cdc_apply_study(spark, scale: int, reps: int, check: bool) -> dict:
+def run_cdc_apply_study(
+    spark, scale: int, reps: int, check: bool, spark_only: bool = False
+) -> dict:
     """Incremental declarative-MERGE apply vs the single-node
     copy-on-write equivalent (VERDICT r11 direction: at-scale evidence
     for the DML/MERGE family and the CDC-apply flagship).
@@ -527,6 +529,16 @@ def run_cdc_apply_study(spark, scale: int, reps: int, check: bool) -> dict:
         t.rollback(base_v)
     assert audit == {"dirs_rewritten": 1, "dirs_reused": n_dirs - 1}, audit
 
+    if spark_only:
+        t.drop()
+        return {
+            "study": "cdc_apply",
+            "scale": scale,
+            "rows": None,
+            "spark_sec": round(s_best, 3),
+            "duckdb_sec": None,
+            "ratio": None,
+        }
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW orders AS SELECT * FROM "
@@ -582,6 +594,8 @@ def run_cdc_apply_study(spark, scale: int, reps: int, check: bool) -> dict:
         n_rows = sum(r[1] for r in srows)
         t.rollback(base_v)
     con.close()
+    if os.path.exists(out_pq):
+        os.remove(out_pq)  # full-table-sized COPY output: do not leak it
     t.drop()
     return {
         "study": "cdc_apply",
@@ -687,7 +701,9 @@ def main() -> None:
     for study in args.studies:
         for scale in [int(s) for s in args.scales.split(",")]:
             if study == "cdc_apply":
-                r = run_cdc_apply_study(spark, scale, args.reps, args.check)
+                r = run_cdc_apply_study(
+                    spark, scale, args.reps, args.check, args.spark_only
+                )
             else:
                 r = run_study(spark, study, scale, args.reps, args.check, args.spark_only)
             print(
