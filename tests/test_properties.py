@@ -558,3 +558,52 @@ def test_hilbert_sql_mirror_matches_kernel_on_edges(spark):
     duck21 = dict(con.execute(f"WITH {ctes21} SELECT id, _hd FROM {last21}").fetchall())
     con.close()
     assert duck21 == {r.id: r.d for r in sdf21.collect()}
+
+
+# ---------------------------------------------- statement-scanner invariants
+#
+# Pure-Python properties (no Spark job): the literal-masking and
+# clause-splitting primitives under the SQL statement surface must hold
+# for arbitrary statements, not just the grammar the tests exercise.
+
+_scanner_settings = settings(max_examples=200, deadline=None)
+
+_sql_texts = st.text(
+    alphabet=st.sampled_from(list("abcXYZ01 _.,()'\"\\=<>%")), max_size=60
+)
+
+
+@given(_sql_texts)
+@_scanner_settings
+def test_mask_literals_is_length_preserving_and_idempotent_outside_quotes(s):
+    from empdia_iceberg_spark.tables.ddl import _mask_literals
+
+    masked = _mask_literals(s)
+    assert len(masked) == len(s)
+    # every position that is not inside a literal is unchanged
+    for i, (a, b) in enumerate(zip(s, masked)):
+        assert b in (a, "x")
+
+
+@given(_sql_texts)
+@_scanner_settings
+def test_as_of_rewrite_never_fires_inside_literals(s):
+    """Whatever the statement, planting an AS OF phrase INSIDE a string
+    literal must not produce a time-travel match."""
+    from empdia_iceberg_spark.tables.ddl import _AS_OF, _mask_literals
+
+    stmt = f"SELECT '{s.replace(chr(39), '')} tbl VERSION AS OF 1' AS c"
+    masked = _mask_literals(stmt)
+    for m in _AS_OF.finditer(masked):
+        # any match must start OUTSIDE the literal span (cols 8..-6)
+        assert not (8 <= m.start() < len(stmt) - 6)
+
+
+@given(st.lists(st.sampled_from(
+    ["a int", "b decimal(12,2)", "c map<string,int>",
+     "d array<struct<x:int,y:string>>", "e string"]), min_size=1, max_size=5))
+@_scanner_settings
+def test_split_columns_round_trips_type_lists(defs):
+    from empdia_iceberg_spark.tables.ddl import _split_columns
+
+    assert _split_columns(", ".join(defs)) == defs
