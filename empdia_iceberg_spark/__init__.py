@@ -74,107 +74,47 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 #      (tools/next_sweep.py emits the order);
 #   3. the stalest previously-green block as tail filler.
 #
-# ROUND 11 ARITHMETIC (VERDICT r10 asks #1): never-swept debt stays
-# ZERO (all 270 queries have driver rows through r10), so the window is
-# (1) the answer paths this round's work plans to touch — the SQL DML
-# story gains MERGE INTO (manager._merge_impl generalizes to clause
-# semantics -> table_merge_pruned / table_merge_upsert re-swept, and the
-# COW DML queries ride the _dirs_matching micro-fix), the knn stack's
-# fingerprint-TTL parse moves to import time (r10 ADVICE #4) and the
-# recall-audit work touches the IVF/LSH paths, the layout queries route
-# through the shared curve_envelopes report, doc_exact_dedup gets the
-# cheap-key pre-group cut (ask #4), lsh_candidates gets the heavy-hitter
-# bucket cap (r10 ADVICE #2) -> doc_minhash_near_dup/doc_dedup_clusters,
-# and table_hilbert_layout's oracle mirror gains NULL propagation (r10
-# ADVICE #3) — then (2) the stalest green block: the four r3-cohort
-# names the r10 window annotation mis-included (r10 ADVICE #1), the
-# rest of the r3 cohort, and the r5 cohort head. NEW queries registered
-# this round (table_merge_dml, table_delete_mor_dml, table_insert_dml,
-# knn recall audits, table_ddl_lifecycle, table_time_travel_sql,
-# table_maintenance_sql, stream_cdc_apply, table_rename_column_sql,
-# table_refs_sql, table_merge_sync_dml, table_statement_corners,
-# table_metadata_tables_sql, stream_table_tail, pipeline_medallion,
-# table_describe_sql)
-# are inserted at the VERY FRONT as they land, displacing the bottom of
-# the stalest block below the marker (same-round-driver-row rule).
-# LATE-r11 widening: the DDL work made every snapshot-table read resolve
-# against the COMMITTED schema instead of footer inference
-# (manager._read_dirs explicit-schema reads — the Iceberg read model,
-# required for metadata-only ADD COLUMN), which changes the read path of
-# EVERY table_* / cdc_* / mv_* / catalog_* query — all 15 not already in
-# the window move above the marker (changed-code-first rule), displacing
-# stalest-green r3/r5 names below it; the second r11 session extended
-# the same rule to the two STREAMING snapshot-table users
-# (stream_continuous_aggregate, stream_restart_recovery), whose sink
-# read path also resolves through _read_dirs.
+# ROUND 12 ARITHMETIC (VERDICT r11 asks #2): never-swept debt stays ZERO
+# (all 287 queries have driver rows through r11; zero FAILs ever), so the
+# window is (1) the answer paths round 12 plans to touch — the IVF recall
+# repair (seeded-uniform centroid sample, VERDICT r11 ask #3) changes
+# knn_cosine_ivf + both recall audits; snapshot_tail batch bounding
+# (max_files_per_trigger / AvailableNow, ask #5) changes stream_table_tail
+# and pipeline_medallion; the scratch-table uuid scaffolding (ask #6)
+# changes stream_cdc_apply's scaffold path — then (2) the ENTIRE r3-stale
+# cohort (16 names — ask #2 says burn it completely), then (3) 28 of the
+# 31-name r5 cohort; the remaining 3 r5 names sit directly below the
+# marker and lead the r13 window. NEW queries registered this round
+# (table_alter_type_sql, table_show_create_sql, ...) are inserted at the
+# VERY FRONT as they land, displacing the bottom of the r5 block below
+# the marker (same-round-driver-row rule). Scaffold-NAME-only changes
+# (ask #6 uuid suffixes) are exempt from the changed-code-first rule for
+# queries already swept in r11: the scratch name is not part of the
+# answer path, and tests/test_scratch_names.py pins answer identity and
+# concurrent-run isolation.
 _SWEEP_PRIORITY = [
-    "table_describe_sql",  # NEW r11 late: DESCRIBE TABLE / SHOW TABLES
-    "pipeline_medallion",  # NEW r11 late: bronze->silver tail+transform+MERGE
-    "stream_table_tail",  # NEW r11 late: streaming SOURCE over snapshot tables
-    "table_metadata_tables_sql",  # NEW r11 late: t.snapshots/t.refs/t.files reads
-    "table_statement_corners",  # NEW r11 late: REPLACE/TRUNCATE/INSERT OVERWRITE
-    "table_merge_sync_dml",  # NEW r11 late: WHEN NOT MATCHED BY SOURCE full-sync
-    "table_refs_sql",  # NEW r11 late: branch/tag DDL + ref reads via VERSION AS OF
-    "table_rename_column_sql",  # NEW r11 late: metadata-only RENAME via physical names
-    "stream_cdc_apply",  # NEW r11 late: streaming CDC apply via MERGE foreachBatch
-    "table_maintenance_sql",  # NEW r11 late: OPTIMIZE [ZORDER BY] / VACUUM statements
-    "table_time_travel_sql",  # NEW r11 late: VERSION/TIMESTAMP AS OF read syntax
-    "table_ddl_lifecycle",  # NEW r11 late: SQL DDL (CTAS + metadata-only ADD COLUMN)
-    "table_merge_dml",  # NEW r11 (ask #2): SQL MERGE INTO via clause merge
-    "table_delete_mor_dml",  # NEW r11 (ask #7): DML mor_key branch driver row
-    "knn_ivf_recall_audit",  # NEW r11 (ask #6): IVF recall as hash-checked value
-    "knn_lsh_recall_audit",  # NEW r11 (ask #6): LSH recall histogram (rows-only)
-    "table_insert_dml",  # NEW r11: INSERT INTO completes the DML surface
-    "table_update_dml",  # r11-planned-changed
-    "table_delete_dml",  # r11-planned-changed
-    "table_hilbert_layout",  # r11-planned-changed
-    "table_zorder_layout",  # r11-changed: routed through curve_envelopes
-    "table_merge_pruned",  # r11-planned-changed
-    "table_merge_upsert",  # r11-planned-changed
-    "knn_cosine_top5",  # r11-planned-changed
-    "knn_cosine_ivf",  # r11-planned-changed
-    "knn_cosine_lsh",  # r11-planned-changed
-    "doc_exact_dedup",  # r11-planned-changed
-    "doc_minhash_near_dup",  # r11-planned-changed
-    "doc_dedup_clusters",  # r11-planned-changed
-    "table_snapshot_lifecycle",  # r11-late-changed: explicit-schema reads
-    "table_expire_compact",  # r11-late-changed: explicit-schema reads
-    "table_schema_evolution",  # r11-late-changed: explicit-schema reads
-    "table_rollback_restore",  # r11-late-changed: explicit-schema reads
-    "table_incremental_diff",  # r11-late-changed: explicit-schema reads
-    "table_partition_evolution",  # r11-late-changed: explicit-schema reads
-    "table_wap_publish",  # r11-late-changed: explicit-schema reads
-    "cdc_log_compaction",  # r11-late-changed: explicit-schema reads
-    "table_crypto_shred",  # r11-late-changed: explicit-schema reads
-    "mv_incremental_refresh",  # r11-late-changed: explicit-schema reads
-    "table_branch_merge",  # r11-late-changed: explicit-schema reads
-    "table_history_audit",  # r11-late-changed: explicit-schema reads
-    "table_concurrent_appends",  # r11-late-changed: explicit-schema reads
-    "table_mor_deletes",  # r11-late-changed: explicit-schema reads
-    "table_bloom_point_lookup",  # r11-late-changed: explicit-schema reads
-    "table_changelog_emit",  # r11-late-changed: explicit-schema reads
-    "catalog_multi_table_txn",  # r11-late-changed: explicit-schema reads
-    "stream_continuous_aggregate",  # r11-late-changed: snapshot-table sink read path
-    "stream_restart_recovery",  # r11-late-changed: snapshot-table sink read path
-    "termination_first_stop",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
-    "trajectory_metrics",  # stalest green (r3; outside the r10 window, r10 ADVICE #1)
-    # -------- 50-slot window ends here (17 new + 31 changed + 2 stalest) ----------
-    "messages_role_swap_pipeline",  # stalest green (r3), displaced by r11 new
-    "sink_parquet_roundtrip",  # stalest green (r3), displaced by r11 new
-    "sink_json_roundtrip",  # stalest green (r3), displaced by r11 new
-    "csv_roundtrip",  # stalest green (r3), displaced by r11 changed-code rule
-    "sink_partitioned_write",  # stalest green (r3), displaced by r11 changed-code rule
-    "dialogue_prep_verl_rows",  # stalest green (r3), displaced by r11 new
-    "dialogue_prep_nested",  # stalest green (r3), displaced by r11 new
-    "overlong_prompt_filter",  # stalest green (r3), displaced by r11 new
-    "positional_split_70_30",  # stalest green (r3), displaced by r11 new
-    "grpo_group_normalize",  # stalest green (r3), displaced by r11 new
-    "grpo_pairwise_n2",  # stalest green (r3), displaced by r11 new
-    "q5_region_revenue",  # stalest green (r3), displaced by r11 new
-    "stream_sliding_2h_1h",  # stalest green (r3), displaced by r11 new
-    "stream_session_window",  # stalest green (r3), displaced by r11-late changes
-    "stream_dedup_events",  # stalest green (r3)
-    "stream_dedup_bounded_state",  # stalest green (r3)
+    "knn_ivf_recall_audit",  # r12-planned-changed
+    "knn_lsh_recall_audit",  # r12-planned-changed
+    "knn_cosine_ivf",  # r12-planned-changed
+    "stream_table_tail",  # r12-planned-changed
+    "pipeline_medallion",  # r12-planned-changed
+    "stream_cdc_apply",  # r12-planned-changed
+    "messages_role_swap_pipeline",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "sink_parquet_roundtrip",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "sink_json_roundtrip",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "csv_roundtrip",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "sink_partitioned_write",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "dialogue_prep_verl_rows",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "dialogue_prep_nested",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "overlong_prompt_filter",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "positional_split_70_30",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "grpo_group_normalize",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "grpo_pairwise_n2",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "q5_region_revenue",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "stream_sliding_2h_1h",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "stream_session_window",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "stream_dedup_events",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
+    "stream_dedup_bounded_state",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
     "multimodal_decode_features",  # stalest green (r5)
     "multimodal_feature_extract",  # stalest green (r5)
     "multimodal_frame_sample",  # stalest green (r5)
@@ -185,15 +125,72 @@ _SWEEP_PRIORITY = [
     "stats_exact_moments",  # stalest green (r5)
     "stratified_sample_counts",  # stalest green (r5)
     "events_anomaly_zscore",  # stalest green (r5)
-    "events_twap_user",  # stalest green (r5)
-    "parts_abc_pareto",  # stalest green (r5)
     "events_pit_dimension_join",  # stalest green (r5)
-    "events_cohort_ltv",  # stalest green (r5), displaced by r11 new
-    "events_time_to_convert",  # stalest green (r5), displaced by r11 new
-    "stream_stream_left_join",  # stalest green (r5), displaced by r11 new
-    "events_ewma16_user",  # stalest green (r5), displaced by r11 new
-    "orders_open_peak_monthly",  # stalest green (r5), displaced by r11 new
-    "events_longest_streaks",  # stalest green (r5), displaced by r11 new
+    "events_cohort_ltv",  # stalest green (r5)
+    "events_time_to_convert",  # stalest green (r5)
+    "stream_stream_left_join",  # stalest green (r5)
+    "events_ewma16_user",  # stalest green (r5)
+    "orders_open_peak_monthly",  # stalest green (r5)
+    "events_longest_streaks",  # stalest green (r5)
+    "part_pairs_cooccurrence",  # stalest green (r5)
+    "events_type_transitions",  # stalest green (r5)
+    "part_hierarchy_rollup",  # stalest green (r5)
+    "part_association_rules",  # stalest green (r5)
+    "benford_order_totals",  # stalest green (r5)
+    "ols_quantity_price",  # stalest green (r5)
+    "chi2_events_type_dow",  # stalest green (r5)
+    "welch_t_acctbal_segments",  # stalest green (r5)
+    "events_survival_km",  # stalest green (r5)
+    "events_impute_value",  # stalest green (r5)
+    "events_target_encode_loo",  # stalest green (r5)
+    # -------- 50-slot window ends here (6 changed + 16 r3 + 28 r5) ----------
+    "events_twap_user",  # stalest green (r5), deferred to r13 (window arithmetic)
+    "parts_abc_pareto",  # stalest green (r5), deferred to r13 (window arithmetic)
+    "semantic_prune_clusters",  # stalest green (r5), deferred to r13 (window arithmetic)
+    "table_describe_sql",
+    "table_metadata_tables_sql",
+    "table_statement_corners",
+    "table_merge_sync_dml",
+    "table_refs_sql",
+    "table_rename_column_sql",
+    "table_maintenance_sql",
+    "table_time_travel_sql",
+    "table_ddl_lifecycle",
+    "table_merge_dml",
+    "table_delete_mor_dml",
+    "table_insert_dml",
+    "table_update_dml",
+    "table_delete_dml",
+    "table_hilbert_layout",
+    "table_zorder_layout",
+    "table_merge_pruned",
+    "table_merge_upsert",
+    "knn_cosine_top5",
+    "knn_cosine_lsh",
+    "doc_exact_dedup",
+    "doc_minhash_near_dup",
+    "doc_dedup_clusters",
+    "table_snapshot_lifecycle",
+    "table_expire_compact",
+    "table_schema_evolution",
+    "table_rollback_restore",
+    "table_incremental_diff",
+    "table_partition_evolution",
+    "table_wap_publish",
+    "cdc_log_compaction",
+    "table_crypto_shred",
+    "mv_incremental_refresh",
+    "table_branch_merge",
+    "table_history_audit",
+    "table_concurrent_appends",
+    "table_mor_deletes",
+    "table_bloom_point_lookup",
+    "table_changelog_emit",
+    "catalog_multi_table_txn",
+    "stream_continuous_aggregate",
+    "stream_restart_recovery",
+    "termination_first_stop",
+    "trajectory_metrics",
     "q1_pricing_agg",
     "q3_join3_topk",
     "user_profile_similarity",
@@ -232,18 +229,6 @@ _SWEEP_PRIORITY = [
     "reward_config_coalesce",
     "reward_trajectory_pandas",
     "termination_flags",
-    "semantic_prune_clusters",
-    "part_pairs_cooccurrence",
-    "events_type_transitions",
-    "part_hierarchy_rollup",
-    "part_association_rules",
-    "benford_order_totals",
-    "ols_quantity_price",
-    "chi2_events_type_dow",
-    "welch_t_acctbal_segments",
-    "events_survival_km",
-    "events_impute_value",
-    "events_target_encode_loo",
     "spearman_qty_price",
     "q2_min_cost_supplier",
     "q4_priority_exists",
