@@ -251,7 +251,9 @@ def main() -> None:
     # query ids, which seed the IVF centroids and so probe their own
     # cells). Cross-round note: r10 and earlier recall_at_5 values are
     # prefix-scoped and NOT comparable to these.
-    recall: dict = {"scope": "full-corpus (pre-r11 rounds were a 100-row prefix)"}
+    # scope note: full-corpus audit histograms; pre-r11 rounds measured a
+    # 100-row display prefix and are NOT comparable (see r11 bench note).
+    recall: dict = {"scope": "full-corpus"}
     try:
         from empdia_iceberg_spark.operators.similarity import TOP_K
 
@@ -293,12 +295,24 @@ def main() -> None:
             key=lambda f: int(re.search(r"_r(\d+)", os.path.basename(f)).group(1)),
         )
         prior_line = None
-        if prior_files:
-            blob = json.load(open(prior_files[-1]))
+        # Walk newest-first until a file with a parseable final line is
+        # found: BENCH_r11's tail starts mid-line (the ~3k-char r11 line
+        # overflowed the driver's 2,000-char capture window, VERDICT r11
+        # what's-wrong #1), so the latest PARSEABLE record is the right
+        # comparison base, not simply the latest file.
+        for pf in reversed(prior_files):
+            try:
+                blob = json.load(open(pf))
+            except (OSError, json.JSONDecodeError):
+                continue
             tail = blob.get("tail", "")
             at = tail.rfind('{"metric"')
             if at >= 0:
-                prior_line = json.loads(tail[at:])
+                try:
+                    prior_line = json.loads(tail[at:])
+                    break
+                except json.JSONDecodeError:
+                    continue
         if prior_line:
             p_ratio = (prior_line.get("anchor") or {}).get("ratio_vs_ref") or 1.0
             p_q = prior_line.get("queries", {})
@@ -327,24 +341,79 @@ def main() -> None:
     except Exception as exc:  # adjudication must never kill the bench line
         adjudication = {"error": str(exc)[:200]}
 
-    out = {
-        "metric": "headline-queries total wall time",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "queries": timings,
+    # ---- emission (VERDICT r11 what's-wrong #1 / ask #1) -------------
+    # The driver captures a 2,000-char stdout TAIL and parses the final
+    # JSON line. r11's line grew to ~3k chars (queries_adjusted +
+    # adjudication) and the capture window started mid-line, so the
+    # round's official record carried no per-query data. The contract
+    # line is now minimal and budget-guarded; the adjudication /
+    # adjusted-timings / streaming-breakdown detail goes to (a) an
+    # EARLIER stdout line (may be truncated in the tail — that's fine)
+    # and (b) a committed sidecar file BENCH_DETAIL.json.
+    detail = {
         "queries_adjusted": queries_adjusted,
         "adjudication": adjudication,
-        "overhead_sec": round(overhead, 4),
-        "anchor": anchor,
-        "stream_overhead_sec": (
-            round(stream_overhead, 4) if stream_overhead is not None else None
-        ),
         "stream_breakdown": stream_breakdown,
+        "anchor": anchor,
+        "queries": timings,
+        "sf": sf,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # sidecar is best-effort; the stdout detail line still goes out
+    print(json.dumps({"detail": detail}, separators=(",", ":")))
+
+    out = {
+        "metric": "headline-queries total wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {q: round(v, 3) for q, v in timings.items()},
+        "overhead_sec": round(overhead, 3),
+        "anchor": {
+            "runs_sec": [round(r, 3) for r in anchor["runs_sec"]],
+            "ref_sec": ANCHOR_REF_SEC,
+            "ratio_vs_ref": anchor["ratio_vs_ref"],
+        },
+        "stream_overhead_sec": (
+            round(stream_overhead, 3) if stream_overhead is not None else None
+        ),
         "recall_at_5": recall,
         "skipped": skipped,
         "sf": sf,
     }
-    print(json.dumps(out))
+    print(final_line(out))
+
+
+LINE_BUDGET = 1900  # driver tail capture is 2,000 chars; leave newline headroom
+
+
+def final_line(out: dict) -> str:
+    """Serialize the one-line bench contract, guaranteed under LINE_BUDGET.
+
+    Sheds the most-droppable fields first if a future headline-list
+    growth pushes the compact line over budget — per-query timings are
+    the contract and are never dropped (they shrink to 2 decimals as the
+    last step before the hard assert)."""
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > LINE_BUDGET and "skipped" in out and not out["skipped"]:
+        out = {k: v for k, v in out.items() if k != "skipped"}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > LINE_BUDGET and isinstance(out.get("anchor"), dict):
+        out = dict(out, anchor={"ratio_vs_ref": out["anchor"]["ratio_vs_ref"]})
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > LINE_BUDGET:
+        out = dict(out, queries={q: round(v, 2) for q, v in out["queries"].items()})
+        line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= LINE_BUDGET, (
+        f"bench contract line is {len(line)} chars (> {LINE_BUDGET}): trim the "
+        "HEADLINE list's serialized footprint or move a field to BENCH_DETAIL"
+    )
+    return line
 
 
 if __name__ == "__main__":
