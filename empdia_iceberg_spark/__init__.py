@@ -93,6 +93,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # answer path, and tests/test_scratch_names.py pins answer identity and
 # concurrent-run isolation.
 _SWEEP_PRIORITY = [
+    "table_alter_type_sql",  # NEW r12: ALTER COLUMN TYPE safe promotion (ask #4)
     "knn_ivf_recall_audit",  # r12-planned-changed
     "knn_lsh_recall_audit",  # r12-planned-changed
     "knn_cosine_ivf",  # r12-planned-changed

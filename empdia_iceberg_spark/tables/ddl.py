@@ -84,6 +84,11 @@ _DROP_COLUMNS = re.compile(
 _RENAME_COLUMN = re.compile(
     r"^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", re.IGNORECASE
 )
+_ALTER_TYPE = re.compile(  # Iceberg/Spark `ALTER COLUMN c TYPE t`; the
+    # DB2/postgres `SET DATA TYPE` spelling is accepted as an alias
+    r"^ALTER\s+COLUMN\s+(\w+)\s+(?:TYPE|SET\s+DATA\s+TYPE)\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_REF = re.compile(
     r"^CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
     re.IGNORECASE,
@@ -183,6 +188,7 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         ALTER TABLE t ADD COLUMN[S] name type [, name type ...]
         ALTER TABLE t DROP COLUMN[S] name [, name ...]
         ALTER TABLE t RENAME COLUMN old TO new
+        ALTER TABLE t ALTER COLUMN c TYPE t  (safe promotion; SET DATA TYPE alias)
         ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION n]
         ALTER TABLE t DROP BRANCH|TAG name
         ALTER TABLE t ADD PARTITION FIELD col
@@ -323,6 +329,19 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
                 raise ValueError(str(e))
             return {"op": f"drop-{kind}", "table": name,
                     "version": t.current_version(), "audit": {"ref": ref}}
+        tm = _ALTER_TYPE.match(action)
+        if tm:
+            col, sql_type = tm.group(1), tm.group(2).strip()
+            parent = t.current_version()
+            parent_dirs = t._read_meta(parent)["dirs"] if parent else None
+            version = t.alter_column_type(col, sql_type)
+            new_dirs = t._read_meta(version)["dirs"]
+            audit = {
+                "dirs_rewritten": len(set(new_dirs) - set(parent_dirs or [])),
+                "dirs_reused": len(new_dirs),
+            }
+            return {"op": "alter-column-type", "table": name,
+                    "version": version, "audit": audit}
         rm = _RENAME_COLUMN.match(action)
         if rm:
             old, new = rm.group(1), rm.group(2)
@@ -397,7 +416,8 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
     raise ValueError(
         f"unsupported DDL statement (expected CREATE [OR REPLACE] TABLE ... "
         f"AS SELECT, TRUNCATE TABLE, ALTER TABLE ... ADD/DROP/RENAME "
-        f"COLUMN[S] / ADD|DROP PARTITION FIELD / CREATE|DROP BRANCH|TAG, "
+        f"COLUMN[S] / ALTER COLUMN ... TYPE / ADD|DROP PARTITION FIELD / "
+        f"CREATE|DROP BRANCH|TAG, "
         f"DROP TABLE, OPTIMIZE [ZORDER BY], or VACUUM): {statement[:80]!r}"
     )
 
@@ -954,6 +974,113 @@ def table_rename_column_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "files_carry_physical_name", F.lit(physical_ok).cast("int")
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "table_alter_type_sql",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey,
+               l_linenumber AS line_no,
+               CAST(l_quantity AS REAL) AS qty,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+               l_returnflag
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           max(CAST(line_no AS BIGINT)) AS max_line_no,
+           round({sql_sum2("CAST(qty AS DOUBLE)")}, 2) AS sum_qty,
+           CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(0 AS INT) AS alter_dirs_rewritten,
+           CAST(1 AS INT) AS narrowing_refused,
+           CAST(1 AS INT) AS old_files_stayed_narrow,
+           CAST(1 AS INT) AS new_files_written_wide
+    FROM li
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="METADATA-ONLY `ALTER TABLE ... ALTER COLUMN ... TYPE` (the "
+    "Iceberg spec's safe type promotions): int→bigint, float→double, "
+    "and decimal precision growth (via the SET DATA TYPE alias "
+    "spelling) each commit ONE schema JSON — alter_dirs_rewritten=0 is "
+    "hash-checked across all three statements. Old files keep their "
+    "narrow physical encoding (parquet INT32/FLOAT/DECIMAL(12,2), "
+    "audited by reading the oldest data dir raw) and the scan itself "
+    "upcasts them under the widened committed schema; a post-widening "
+    "INSERT conforms to the wide types (newest dir audited raw), and "
+    "the rollup over both file generations pins value correctness. A "
+    "decimal NARROWING attempt must be refused (narrowing_refused=1) — "
+    "value-destroying changes need a rewrite, never a metadata commit.",
+)
+def table_alter_type_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_widen_src")
+    execute_ddl(spark, "DROP TABLE IF EXISTS lineitem_widen")
+    execute_ddl(
+        spark,
+        "CREATE TABLE lineitem_widen AS SELECT l_orderkey, "
+        "CAST(l_linenumber AS INT) AS line_no, "
+        "CAST(l_quantity AS FLOAT) AS qty, "
+        "CAST(l_extendedprice AS DECIMAL(12,2)) AS price, "
+        "l_returnflag FROM li_widen_src WHERE l_orderkey % 2 = 0",
+    )
+    res1 = execute_ddl(
+        spark, "ALTER TABLE lineitem_widen ALTER COLUMN line_no TYPE BIGINT"
+    )
+    res2 = execute_ddl(
+        spark, "ALTER TABLE lineitem_widen ALTER COLUMN qty TYPE DOUBLE"
+    )
+    res3 = execute_ddl(
+        spark,
+        "ALTER TABLE lineitem_widen ALTER COLUMN price SET DATA TYPE DECIMAL(18,2)",
+    )
+    # a narrowing must refuse, leaving no commit behind
+    try:
+        execute_ddl(
+            spark, "ALTER TABLE lineitem_widen ALTER COLUMN price TYPE DECIMAL(8,2)"
+        )
+        refused = 0
+    except ValueError:
+        refused = 1
+    # post-widening INSERT: the append conforms to the WIDE committed types
+    execute_dml(
+        spark,
+        "INSERT INTO lineitem_widen SELECT l_orderkey, "
+        "CAST(l_linenumber AS BIGINT) AS line_no, "
+        "CAST(l_quantity AS DOUBLE) AS qty, "
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price, "
+        "l_returnflag FROM li_widen_src WHERE l_orderkey % 2 = 1",
+    )
+    t = SnapshotTable(spark, "lineitem_widen")
+    dirs = t._read_meta(t.current_version())["dirs"]
+    raw_old = dict(spark.read.parquet(dirs[0]).dtypes)
+    raw_new = dict(spark.read.parquet(dirs[-1]).dtypes)
+    old_narrow = int(
+        raw_old["line_no"] == "int"
+        and raw_old["qty"] == "float"
+        and raw_old["price"] == "decimal(12,2)"
+    )
+    new_wide = int(
+        raw_new["line_no"] == "bigint"
+        and raw_new["qty"] == "double"
+        and raw_new["price"] == "decimal(18,2)"
+    )
+    rewritten = sum(r["audit"]["dirs_rewritten"] for r in (res1, res2, res3))
+    return (
+        t.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("line_no").alias("max_line_no"),
+            F.round(exact_sum2("qty"), 2).alias("sum_qty"),
+            F.sum("price").cast("double").alias("sum_price"),
+        )
+        .withColumn("alter_dirs_rewritten", F.lit(int(rewritten)).cast("int"))
+        .withColumn("narrowing_refused", F.lit(int(refused)).cast("int"))
+        .withColumn("old_files_stayed_narrow", F.lit(old_narrow).cast("int"))
+        .withColumn("new_files_written_wide", F.lit(new_wide).cast("int"))
+        .orderBy("l_returnflag")
     )
 
 

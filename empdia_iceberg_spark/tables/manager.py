@@ -588,6 +588,100 @@ class SnapshotTable:
             f"table {self.name}: rename_column gave up after {max_retries} retries"
         )
 
+    # Safe type promotions (the Iceberg spec's schema-evolution table,
+    # plus Spark's narrower integral types): value-preserving widenings
+    # whose OLD physical encoding remains readable under the NEW reader
+    # type — Spark 4's parquet reader performs the upcast in the scan
+    # (verified: INT32 file under a bigint reader schema, FLOAT under
+    # double, DECIMAL(5,2) under DECIMAL(12,2)). Everything else would
+    # need a data rewrite and is refused.
+    _INTEGRAL_WIDTH = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+
+    @classmethod
+    def _is_safe_promotion(cls, old: T.DataType, new: T.DataType) -> bool:
+        o, n = old.typeName(), new.typeName()
+        if o == n and old == new:
+            return False  # no-op: surfaced as an error, not a silent commit
+        if o in cls._INTEGRAL_WIDTH and n in cls._INTEGRAL_WIDTH:
+            return cls._INTEGRAL_WIDTH[n] > cls._INTEGRAL_WIDTH[o]
+        if o == "float" and n == "double":
+            return True
+        if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+            # Iceberg: precision may grow, scale must stay — a scale
+            # change re-scales the stored unscaled ints (data rewrite).
+            return new.scale == old.scale and new.precision > old.precision
+        return False
+
+    def alter_column_type(self, col: str, sql_type: str, max_retries: int = 3) -> int:
+        """Iceberg `ALTER TABLE ... ALTER COLUMN ... TYPE`: METADATA-ONLY
+        safe type promotion — one JSON commit, zero rewrites. Old files'
+        physical encoding (e.g. parquet INT32) is read under the widened
+        committed type by the scan itself; `_align_append_to_schema`
+        conforms subsequent appends, so new files carry the wide type and
+        both generations union under one reader schema.
+
+        Allowed: integral widening (byte→short→int→long), float→double,
+        decimal precision growth at unchanged scale. Refused: narrowings
+        and lateral changes (they need a rewrite), partition-spec fields
+        (spec + shadow-dir values key on the column), and live MOR
+        delete keys (delete files recorded the key under the old type)."""
+        field = self.spark.createDataFrame([], f"`{col}` {sql_type}").schema[0]
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"table {self.name}: cannot alter a column before create"
+                )
+            meta = self._read_meta(cur)
+            schema = T.StructType.fromJson(json.loads(meta["schema"]))
+            if col not in schema.fieldNames():
+                raise ValueError(f"table {self.name}: no column {col!r}")
+            old_field = schema[col]
+            if not self._is_safe_promotion(old_field.dataType, field.dataType):
+                raise ValueError(
+                    f"table {self.name}: cannot promote {col!r} from "
+                    f"{old_field.dataType.simpleString()} to "
+                    f"{field.dataType.simpleString()} — only value-preserving "
+                    "widenings (byte/short/int→wider integral, float→double, "
+                    "decimal precision growth at the same scale) are "
+                    "metadata-only; anything else needs a table rewrite"
+                )
+            if col in meta.get("spec", []) or any(
+                col in ds for ds in self._dir_specs(meta)
+            ):
+                raise ValueError(
+                    f"table {self.name}: {col!r} is a partition field — "
+                    "evolve the partition spec first"
+                )
+            if any(dd.get("key") == col for dd in meta.get("delete_dirs", [])):
+                raise ValueError(
+                    f"table {self.name}: {col!r} keys live merge-on-read "
+                    "delete files — compact them in first"
+                )
+            fields = [
+                T.StructField(f.name, field.dataType, f.nullable, f.metadata)
+                if f.name == col
+                else f
+                for f in schema.fields
+            ]
+            try:
+                return self._commit(
+                    "alter-column-type",
+                    meta["dirs"],
+                    cur,
+                    T.StructType(fields).json(),
+                    spec=meta.get("spec", []),
+                    dir_specs=self._dir_specs(meta),
+                    expect_parent=cur,
+                    delete_dirs=meta.get("delete_dirs", []),
+                )
+            except CommitConflictError:
+                continue  # metadata-only: nothing to clean, just re-read
+        raise CommitConflictError(
+            f"table {self.name}: alter_column_type gave up after "
+            f"{max_retries} retries"
+        )
+
     def overwrite(
         self, df: DataFrame, op: str = "overwrite", spec: list[str] | None = None
     ) -> int:

@@ -2803,3 +2803,91 @@ def test_show_tables_and_describe_guards(spark, nation):
     cols = [r.col_name for r in execute_sql(spark, "DESC t_show_unit").collect()]
     assert cols == ["n_nationkey", "n_name"]
     t.drop()
+
+
+def test_alter_column_type_metadata_only_widening(spark, nation):
+    """ALTER COLUMN TYPE: one metadata commit, zero rewrites; old files'
+    narrow physical encoding reads under the widened committed type, a
+    later append conforms to the wide type, and time travel shows the
+    schema AS OF each version."""
+    from empdia_iceberg_spark.tables.ddl import execute_ddl
+
+    t = SnapshotTable(spark, "t_altertype_unit")
+    t.drop()
+    t.create(
+        nation.filter(F.col("n_nationkey") < 10).select(
+            F.col("n_nationkey").cast("int").alias("nk"),
+            F.col("n_regionkey").cast("float").alias("rk"),
+            F.lit("1.25").cast("decimal(5,2)").alias("amt"),
+        )
+    )
+    v1_dirs = t._read_meta(1)["dirs"]
+    for stmt in (
+        "ALTER TABLE t_altertype_unit ALTER COLUMN nk TYPE BIGINT",
+        "ALTER TABLE t_altertype_unit ALTER COLUMN rk TYPE DOUBLE",
+        "ALTER TABLE t_altertype_unit ALTER COLUMN amt SET DATA TYPE DECIMAL(12,2)",
+    ):
+        res = execute_ddl(spark, stmt)
+        assert res["op"] == "alter-column-type"
+        assert res["audit"]["dirs_rewritten"] == 0
+    assert t._read_meta(t.current_version())["dirs"] == v1_dirs
+    got = dict(t.read().dtypes)
+    assert got == {"nk": "bigint", "rk": "double", "amt": "decimal(12,2)"}
+    # values from the narrow files are intact under the wide reader
+    vals = {r.nk: (r.rk, r.amt) for r in t.read().collect()}
+    for r in nation.filter(F.col("n_nationkey") < 10).collect():
+        assert vals[r.n_nationkey][0] == float(r.n_regionkey)
+    # append conforms to the widened committed schema
+    t.append(
+        nation.filter(F.col("n_nationkey") >= 10).select(
+            F.col("n_nationkey").cast("bigint").alias("nk"),
+            F.col("n_regionkey").cast("double").alias("rk"),
+            F.lit("2.50").cast("decimal(12,2)").alias("amt"),
+        )
+    )
+    newest = t._read_meta(t.current_version())["dirs"][-1]
+    assert dict(spark.read.parquet(newest).dtypes)["nk"] == "bigint"
+    assert t.read().count() == nation.count()
+    # time travel: v1 still reads with the narrow schema
+    assert dict(t.read(version=1).dtypes)["nk"] == "int"
+    t.drop()
+
+
+def test_alter_column_type_guards(spark, nation):
+    """Narrowings, lateral changes, scale changes, no-ops, partition
+    fields, and MOR delete keys are all refused with clear messages."""
+    t = SnapshotTable(spark, "t_altertype_guards")
+    t.drop()
+    t.create(
+        nation.select(
+            F.col("n_nationkey").cast("int").alias("nk"),
+            F.col("n_regionkey").cast("int").alias("rk"),
+            F.col("n_name").alias("nm"),
+            F.lit("1.00").cast("decimal(10,2)").alias("amt"),
+        ),
+        partition_by=["rk"],
+    )
+    for col, typ in (
+        ("nk", "short"),           # narrowing
+        ("nk", "string"),          # lateral
+        ("amt", "decimal(10,4)"),  # scale change
+        ("amt", "decimal(8,2)"),   # precision shrink
+        ("nk", "int"),             # no-op
+        ("nm", "double"),          # lateral
+    ):
+        with pytest.raises(ValueError, match="promote"):
+            t.alter_column_type(col, typ)
+    # a LEGAL widening still refuses on a partition-spec field
+    with pytest.raises(ValueError, match="partition field"):
+        t.alter_column_type("rk", "bigint")
+    with pytest.raises(ValueError, match="no column"):
+        t.alter_column_type("missing", "bigint")
+    t.drop()
+    # MOR delete-key refusal
+    t2 = SnapshotTable(spark, "t_altertype_mor")
+    t2.drop()
+    t2.create(nation.select(F.col("n_nationkey").cast("int").alias("nk"), "n_name"))
+    t2.delete_where_mor(F.col("nk") < 2, key="nk")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        t2.alter_column_type("nk", "bigint")
+    t2.drop()
