@@ -94,6 +94,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # concurrent-run isolation.
 _SWEEP_PRIORITY = [
     "table_alter_type_sql",  # NEW r12: ALTER COLUMN TYPE safe promotion (ask #4)
+    "table_describe_sql",  # r12-changed: + RENAME TABLE / SHOW CREATE TABLE story (ask #8)
     "knn_ivf_recall_audit",  # r12-planned-changed
     "knn_lsh_recall_audit",  # r12-planned-changed
     "knn_cosine_ivf",  # r12-planned-changed
@@ -142,13 +143,12 @@ _SWEEP_PRIORITY = [
     "chi2_events_type_dow",  # stalest green (r5)
     "welch_t_acctbal_segments",  # stalest green (r5)
     "events_survival_km",  # stalest green (r5)
-    "events_impute_value",  # stalest green (r5)
-    "events_target_encode_loo",  # stalest green (r5)
-    # -------- 50-slot window ends here (6 changed + 16 r3 + 28 r5) ----------
+    # ---- 50-slot window ends here (1 new + 7 changed + 16 r3 + 26 r5) ----
+    "events_impute_value",  # stalest green (r5), displaced by r12 new/changed
+    "events_target_encode_loo",  # stalest green (r5), displaced by r12 new/changed
     "events_twap_user",  # stalest green (r5), deferred to r13 (window arithmetic)
     "parts_abc_pareto",  # stalest green (r5), deferred to r13 (window arithmetic)
     "semantic_prune_clusters",  # stalest green (r5), deferred to r13 (window arithmetic)
-    "table_describe_sql",
     "table_metadata_tables_sql",
     "table_statement_corners",
     "table_merge_sync_dml",

@@ -113,6 +113,10 @@ _DESCRIBE_HEAD = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_TABLES_HEAD = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_SHOW_CREATE_HEAD = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_RENAME_TABLE = re.compile(r"^RENAME\s+TO\s+(\w+)\s*$", re.IGNORECASE)
 
 
 def describe_table(spark: SparkSession, name: str, root: str = DEFAULT_ROOT) -> DataFrame:
@@ -156,6 +160,35 @@ def show_tables(spark: SparkSession, root: str = DEFAULT_ROOT) -> DataFrame:
     return spark.createDataFrame(rows, "table_name string, version int")
 
 
+def show_create_table(
+    spark: SparkSession, name: str, root: str = DEFAULT_ROOT
+) -> DataFrame:
+    """`SHOW CREATE TABLE t`: one row (`createtab_stmt`) with the
+    canonical statement for the CURRENT committed state — logical
+    column names and types (a renamed column shows its new name, a
+    widened column its promoted type) and the partition spec, mirroring
+    DESCRIBE's partition-field flags. Metadata-sized: one snapshot JSON
+    read. The engine creates tables via CTAS, so the emitted column
+    list is documentation of the committed schema in standard CREATE
+    syntax (the Iceberg/Spark `SHOW CREATE TABLE` shape)."""
+    t = SnapshotTable(spark, name, root)
+    cur = t.current_version()
+    if cur is None:
+        raise ValueError(f"table {name} does not exist")
+    import json as _json
+
+    meta = t._read_meta(cur)
+    stored = T.StructType.fromJson(_json.loads(meta["schema"]))
+    cols = ",\n".join(
+        f"  {f.name} {f.dataType.simpleString()}" for f in stored.fields
+    )
+    stmt = f"CREATE TABLE {name} (\n{cols})\nUSING snapshot"
+    spec = meta.get("spec", [])
+    if spec:
+        stmt += f"\nPARTITIONED BY ({', '.join(spec)})"
+    return spark.createDataFrame([(stmt,)], "createtab_stmt string")
+
+
 def _split_columns(s: str) -> list[str]:
     """Split an ADD COLUMNS list on commas at paren AND angle-bracket
     depth 0 — `a decimal(12,2), b map<string,int>` must yield two
@@ -189,6 +222,7 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         ALTER TABLE t DROP COLUMN[S] name [, name ...]
         ALTER TABLE t RENAME COLUMN old TO new
         ALTER TABLE t ALTER COLUMN c TYPE t  (safe promotion; SET DATA TYPE alias)
+        ALTER TABLE t RENAME TO t2           (catalog move; history travels)
         ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION n]
         ALTER TABLE t DROP BRANCH|TAG name
         ALTER TABLE t ADD PARTITION FIELD col
@@ -329,6 +363,14 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
                 raise ValueError(str(e))
             return {"op": f"drop-{kind}", "table": name,
                     "version": t.current_version(), "audit": {"ref": ref}}
+        rt = _RENAME_TABLE.match(action)
+        if rt:
+            new_name = rt.group(1)
+            t.rename_to(new_name)
+            t2 = SnapshotTable(spark, new_name, root)
+            return {"op": "rename-table", "table": new_name,
+                    "version": t2.current_version(),
+                    "audit": {"renamed_from": name}}
         tm = _ALTER_TYPE.match(action)
         if tm:
             col, sql_type = tm.group(1), tm.group(2).strip()
@@ -713,8 +755,14 @@ def execute_sql(
             raise ValueError(f"cannot parse DESCRIBE statement: {statement[:60]!r}")
         return describe_table(spark, m.group(1), root)
     if kw == "SHOW":
+        sm = _SHOW_CREATE_HEAD.match(statement)
+        if sm:
+            return show_create_table(spark, sm.group(1), root)
         if not _SHOW_TABLES_HEAD.match(statement):
-            raise ValueError(f"unsupported SHOW statement: {statement[:60]!r}")
+            raise ValueError(
+                f"unsupported SHOW statement (expected SHOW TABLES or "
+                f"SHOW CREATE TABLE t): {statement[:60]!r}"
+            )
         return show_tables(spark, root)
     if kw in ("CREATE", "ALTER", "DROP", "OPTIMIZE", "VACUUM", "TRUNCATE"):
         if mor_key is not None:
@@ -1246,7 +1294,17 @@ def table_metadata_tables_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "table_describe_sql",
     oracle="""
-    SELECT * FROM (
+    SELECT *,
+           'customer_desc' AS renamed_from,
+           CAST(3 AS INT) AS versions_survived,
+           'CREATE TABLE customer_desc2 (' || chr(10) ||
+           '  c_custkey bigint,' || chr(10) ||
+           '  c_mktsegment string,' || chr(10) ||
+           '  balance double,' || chr(10) ||
+           '  tier string)' || chr(10) ||
+           'USING snapshot' || chr(10) ||
+           'PARTITIONED BY (c_mktsegment)' AS show_create
+    FROM (
         SELECT 'c_custkey' AS col_name, 'bigint' AS data_type,
                false AS is_partition_field, CAST(1 AS INT) AS ord
         UNION ALL SELECT 'c_mktsegment', 'string', true, 2
@@ -1254,16 +1312,22 @@ def table_metadata_tables_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL SELECT 'tier', 'string', false, 4
     ) ORDER BY ord
     """,
-    doc="`DESCRIBE TABLE` over a snapshot table whose schema went "
-    "through the full metadata-only evolution story: CTAS PARTITIONED "
-    "BY, RENAME COLUMN (the description shows the current LOGICAL "
-    "name), and ADD COLUMN — one snapshot-JSON read, no scan; column "
-    "names, Spark type strings, partition-field flags, and schema "
-    "ORDER are all hash-checked.",
+    doc="`DESCRIBE TABLE` / `RENAME TABLE` / `SHOW CREATE TABLE` over "
+    "a snapshot table whose schema went through the full metadata-only "
+    "evolution story: CTAS PARTITIONED BY, RENAME COLUMN (the "
+    "description shows the current LOGICAL name), ADD COLUMN, then an "
+    "`ALTER TABLE ... RENAME TO` catalog move (r12) that carries "
+    "history, refs, and data-dir references (absolute-path prefix "
+    "rewrite in the version JSONs — zero data rewrites) — "
+    "versions_survived=3 hash-checks the history traveled. The exact "
+    "SHOW CREATE TABLE text for the evolved schema is pinned as a "
+    "literal value, so a drift in type rendering, column order, or "
+    "spec printing breaks the compare.",
 )
 def table_describe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("cust_desc_src")
     execute_sql(spark, "DROP TABLE IF EXISTS customer_desc")
+    execute_sql(spark, "DROP TABLE IF EXISTS customer_desc2")
     execute_sql(
         spark,
         "CREATE TABLE customer_desc PARTITIONED BY (c_mktsegment) AS "
@@ -1272,6 +1336,19 @@ def table_describe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     execute_sql(spark, "ALTER TABLE customer_desc RENAME COLUMN c_acctbal TO balance")
     execute_sql(spark, "ALTER TABLE customer_desc ADD COLUMN tier STRING")
-    desc = execute_sql(spark, "DESCRIBE TABLE customer_desc")
+    # r12: RENAME TABLE moves the catalog entry with history intact, and
+    # SHOW CREATE TABLE prints the canonical statement for the evolved
+    # schema — both hash-checked (the statement as a literal value, the
+    # survived history via the version count)
+    res_rn = execute_sql(spark, "ALTER TABLE customer_desc RENAME TO customer_desc2")
+    stmt = execute_sql(spark, "SHOW CREATE TABLE customer_desc2").collect()[0][0]
+    n_versions = len(SnapshotTable(spark, "customer_desc2")._versions())
+    desc = execute_sql(spark, "DESCRIBE TABLE customer_desc2")
     w = Window.orderBy(F.monotonically_increasing_id())
-    return desc.withColumn("ord", F.row_number().over(w).cast("int")).orderBy("ord")
+    return (
+        desc.withColumn("ord", F.row_number().over(w).cast("int"))
+        .withColumn("renamed_from", F.lit(res_rn["audit"]["renamed_from"]))
+        .withColumn("versions_survived", F.lit(n_versions).cast("int"))
+        .withColumn("show_create", F.lit(stmt))
+        .orderBy("ord")
+    )

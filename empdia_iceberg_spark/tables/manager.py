@@ -98,6 +98,7 @@ class SnapshotTable:
     def __init__(self, spark: SparkSession, name: str, root: str = DEFAULT_ROOT):
         self.spark = spark
         self.name = name
+        self.root = root
         self.base = os.path.join(root, name)
         self.meta_dir = os.path.join(self.base, "_meta")
         self.data_dir = os.path.join(self.base, "data")
@@ -2315,6 +2316,41 @@ class SnapshotTable:
     def drop(self) -> None:
         if os.path.isdir(self.base):
             shutil.rmtree(self.base)
+
+    def rename_to(self, new_name: str) -> "SnapshotTable":
+        """`ALTER TABLE ... RENAME TO`: a catalog-level move — history,
+        refs, schema, data, and sidecar indexes all travel. Commits
+        record data dirs as ABSOLUTE paths, so the move is the directory
+        rename plus a prefix rewrite of the path references in each
+        version's metadata JSON (O(|versions|) metadata-sized writes,
+        zero data rewrites — file bytes never move; the dirs live under
+        the renamed base). Catalog-level like drop(): not OCC-protected
+        against a concurrent writer of the SAME table — Iceberg's
+        rename is likewise a catalog pointer swap, not a table commit.
+        Returns a handle bound to the new name."""
+        if not re.match(r"^\w+$", new_name):
+            raise ValueError(f"invalid table name: {new_name!r}")
+        if self.current_version() is None:
+            raise ValueError(f"table {self.name}: cannot RENAME before create")
+        new_base = os.path.join(self.root, new_name)
+        if os.path.exists(new_base):
+            raise ValueError(
+                f"cannot rename {self.name!r} to {new_name!r}: target exists"
+            )
+        os.rename(self.base, new_base)
+        old_prefix, new_prefix = self.base + os.sep, new_base + os.sep
+        meta_dir = os.path.join(new_base, "_meta")
+        for fn in sorted(os.listdir(meta_dir)):
+            if not fn.endswith(".json"):
+                continue
+            p = os.path.join(meta_dir, fn)
+            raw = open(p).read()
+            if old_prefix in raw:
+                # rewrite in place: the commit already happened, this is
+                # the path-reference fixup of the move itself
+                with open(p, "w") as fh:
+                    fh.write(raw.replace(old_prefix, new_prefix))
+        return SnapshotTable(self.spark, new_name, self.root)
 
 
 # ------------------------------------------------------------------ queries

@@ -2891,3 +2891,70 @@ def test_alter_column_type_guards(spark, nation):
     with pytest.raises(ValueError, match="merge-on-read"):
         t2.alter_column_type("nk", "bigint")
     t2.drop()
+
+
+def test_rename_table_moves_history_refs_and_deletes(spark, nation):
+    """RENAME TO: the catalog move carries versions, refs, MOR delete
+    dirs, and data-dir references (absolute-path prefix rewrite); reads,
+    time travel, and ref reads all work under the new name and the old
+    name is gone."""
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    for nm in ("t_rt_unit", "t_rt_unit2"):
+        SnapshotTable(spark, nm).drop()
+    t = SnapshotTable(spark, "t_rt_unit")
+    t.create(nation.filter(F.col("n_nationkey") < 10))
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    t.set_ref("stable", 1, expect=None)
+    t.delete_where_mor(F.col("n_nationkey") == 0, key="n_nationkey")
+    res = execute_sql(spark, "ALTER TABLE t_rt_unit RENAME TO t_rt_unit2")
+    assert res["op"] == "rename-table"
+    assert res["audit"]["renamed_from"] == "t_rt_unit"
+    t2 = SnapshotTable(spark, "t_rt_unit2")
+    assert t2.read().count() == nation.count() - 1  # MOR delete applies
+    assert t2.read(version=1).count() == 10         # time travel intact
+    assert t2.refs()["stable"] == 1                 # refs traveled
+    assert SnapshotTable(spark, "t_rt_unit").current_version() is None
+    # every recorded dir actually lives under the new base
+    meta = t2._read_meta(t2.current_version())
+    for d in meta["dirs"] + [dd["dir"] for dd in meta.get("delete_dirs", [])]:
+        assert d.startswith(t2.base)
+    t2.drop()
+
+
+def test_rename_table_guards(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_ddl
+
+    for nm in ("t_rt_g1", "t_rt_g2"):
+        SnapshotTable(spark, nm).drop()
+    t = SnapshotTable(spark, "t_rt_g1")
+    t.create(nation.limit(3))
+    SnapshotTable(spark, "t_rt_g2").create(nation.limit(2))
+    with pytest.raises(ValueError, match="target exists"):
+        t.rename_to("t_rt_g2")
+    with pytest.raises(ValueError, match="invalid table name"):
+        t.rename_to("bad-name!")
+    with pytest.raises(ValueError, match="RENAME before create"):
+        SnapshotTable(spark, "t_rt_missing").rename_to("t_rt_other")
+    for nm in ("t_rt_g1", "t_rt_g2"):
+        SnapshotTable(spark, nm).drop()
+
+
+def test_show_create_table_pins_schema_and_spec(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_ddl, execute_sql
+
+    SnapshotTable(spark, "t_sct_unit").drop()
+    nation.createOrReplaceTempView("t_sct_src")
+    execute_ddl(
+        spark,
+        "CREATE TABLE t_sct_unit PARTITIONED BY (n_regionkey) AS "
+        "SELECT n_nationkey, n_regionkey, n_name FROM t_sct_src",
+    )
+    execute_ddl(spark, "ALTER TABLE t_sct_unit ALTER COLUMN n_nationkey TYPE BIGINT")
+    stmt = execute_sql(spark, "SHOW CREATE TABLE t_sct_unit").collect()[0][0]
+    assert "n_nationkey bigint" in stmt          # promoted type shows
+    assert "PARTITIONED BY (n_regionkey)" in stmt
+    assert stmt.startswith("CREATE TABLE t_sct_unit (")
+    with pytest.raises(ValueError, match="does not exist"):
+        execute_sql(spark, "SHOW CREATE TABLE t_sct_nope")
+    SnapshotTable(spark, "t_sct_unit").drop()
