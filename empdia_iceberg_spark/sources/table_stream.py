@@ -72,6 +72,44 @@ class _TailFilePartition(InputPartition):
 
 
 class SnapshotTailStreamReader(DataSourceStreamReader):
+    """Offsets are composite `{"version": v, "file": k}`: every version
+    BELOW v fully emitted, plus the first k new files of version v
+    (`"file": null` = all of v). The pre-r12 `{"version": v}` form
+    (no "file" key) meant "all of v emitted" and still checkpoints
+    compatibly — it reads as (v, all). The composite form is what makes
+    ADMISSION CONTROL possible: `max_files_per_trigger` (alias
+    `maxFilesPerTrigger`, the Delta knob) bounds each micro-batch to
+    that many new files, splitting WITHIN a large append commit when
+    needed, so a big backlog drains in bounded batches instead of one
+    giant plan.
+
+    The bound is emulated in `latestOffset` because the Spark 4 Python
+    streaming API exposes no ReadLimit/AvailableNow hooks (the JVM
+    SupportsAdmissionControl surface — latestOffset(start, limit) — is
+    not plumbed through; `latestOffset(self)` receives nothing — and
+    PythonMicroBatchStream implements plain MicroBatchStream, which is
+    also why Spark logs a fallback to single-batch for
+    Trigger.AvailableNow on this source). The reader therefore tracks
+    its position itself — and it learns that position ONLY from offsets
+    Spark hands it (`partitions(start, …)` and `commit(end)`, both
+    derived from Spark's own offset log), never from its own guesses:
+    a self-derived position could sit BEHIND the checkpointed offset
+    after a restart (the engine calls latestOffset before initialOffset
+    — measured), and returning an offset behind the log would make
+    Spark plan a backwards batch and then replay already-emitted files.
+
+    Consequence, documented honestly: the FIRST planned batch of each
+    run (fresh start or restart) is unbounded — serving the full head
+    until the position is learned is the only answer that is
+    simultaneously progress-guaranteed under every trigger (including
+    the availableNow single-batch fallback, which calls latestOffset
+    exactly once per run) and immune to offset regression. Every batch
+    after the first respects the cap, so a backlog that arrives while
+    the stream runs — the steady-state trickle case the knob exists
+    for — drains in bounded batches. Rows are exactly-once under all
+    of this: the bound only ever changes batch SIZES, never the
+    [start, end) file ranges the offset log pins."""
+
     def __init__(self, options, schema_ddl: str):
         self.table = options["table"]
         self.root = options.get("root", DEFAULT_ROOT)
@@ -79,11 +117,32 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
             str(options.get("skip_change_commits", "false")).lower() == "true"
         )
         self.starting_version = int(options.get("starting_version", 0))
+        self.max_files = int(
+            options.get(
+                "max_files_per_trigger", options.get("maxfilespertrigger", 0)
+            )
+            or 0
+        )
+        if self.max_files < 0:
+            raise ValueError("max_files_per_trigger must be >= 1 (or unset)")
         self.schema_ddl = schema_ddl
         # metadata-only accessors: SnapshotTable never touches its spark
         # handle for _versions/_read_meta, so the version-log layout
         # stays defined in ONE place (manager.py)
         self._t = SnapshotTable(None, self.table, self.root)
+        # position = the largest Spark-provided offset seen (see class
+        # docstring for why it must never come from our own results)
+        self._pos: tuple[int, float] | None = None
+        self._files_cache: dict[int, list[str]] = {}
+
+    @staticmethod
+    def _key(v: int, f: int | None) -> tuple[int, float]:
+        return (v, float("inf") if f is None else f)
+
+    def _learn(self, raw: dict) -> None:
+        k = self._key(*self._off(raw))
+        if self._pos is None or k > self._pos:
+            self._pos = k
 
     # ------------------------------------------------- offsets (versions)
     def _versions(self) -> list[int]:
@@ -100,60 +159,115 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                 "option('starting_version', <earliest retained version>)."
             )
 
-    def initialOffset(self) -> dict:
-        return {"version": self.starting_version}
-
-    def latestOffset(self) -> dict:
-        vs = self._versions()
-        return {"version": vs[-1] if vs else 0}
-
-    def commit(self, end: dict) -> None:
-        pass  # nothing to clean: the version log is the source of truth
-
-    # ------------------------------------------------- partition planning
-    def partitions(self, start: dict, end: dict) -> list[_TailFilePartition]:
-        s, e = int(start["version"]), int(end["version"])
-        parts: list[_TailFilePartition] = []
-        for v in range(s + 1, e + 1):
-            meta = self._meta(v)
-            op = meta.get("op", "")
-            if op in _METADATA_OPS:
-                continue
-            if not (op in _APPEND_OPS or op.startswith("append@")):
-                if self.skip_change:
-                    continue
+    def _new_files(self, v: int, raise_on_change: bool) -> list[str] | None:
+        """Ordered new parquet files of version v (the append delta vs
+        its parent). [] for metadata-only commits; None for a CHANGE
+        commit when the caller wants the lenient path (latestOffset's
+        counting walk) instead of the user-facing error."""
+        if v in self._files_cache:
+            return self._files_cache[v]
+        meta = self._meta(v)
+        op = meta.get("op", "")
+        if op in _METADATA_OPS:
+            files: list[str] = []
+        elif not (op in _APPEND_OPS or op.startswith("append@")):
+            if self.skip_change:
+                files = []
+            elif raise_on_change:
                 raise ValueError(
                     f"snapshot_tail: table {self.table} v{v} is a "
                     f"{op!r} commit — not representable as an append "
                     "stream; set skip_change_commits=true to skip it "
                     "(Delta skipChangeCommits semantics)"
                 )
+            else:
+                return None
+        else:
             parent = meta.get("parent")
             parent_dirs = set(self._meta(parent)["dirs"]) if parent else set()
-            # Field plan from the CURRENT committed schema, matched to
-            # file contents BY PHYSICAL NAME at read time — never by
-            # index against a historical commit schema: a column ADDed
-            # after this commit reads back as typed NULLs, a column
-            # DROPped later is simply not projected, and renames are
-            # safe because physical names are creation-stable.
-            stored = T.StructType.fromJson(json.loads(self.schema_ddl))
-            fields = [
-                (f.name, (f.metadata or {}).get("physical", f.name))
-                for f in stored.fields
-            ]
+            files = []
             for d in meta["dirs"]:
                 if d in parent_dirs:
                     continue
                 for root_, _dirs, fnames in os.walk(d):
                     for fn in sorted(fnames):
                         if fn.endswith(".parquet"):
-                            parts.append(
-                                _TailFilePartition(
-                                    os.path.join(root_, fn),
-                                    fields,
-                                    self.schema_ddl,
-                                )
-                            )
+                            files.append(os.path.join(root_, fn))
+        self._files_cache[v] = files
+        return files
+
+    @staticmethod
+    def _off(raw: dict) -> tuple[int, int | None]:
+        # pre-r12 offsets have no "file" key == all of the version done
+        return int(raw["version"]), raw.get("file")
+
+    def initialOffset(self) -> dict:
+        off = {"version": self.starting_version, "file": None}
+        self._learn(off)  # Spark only asks on a FRESH query — authoritative
+        return off
+
+    def latestOffset(self) -> dict:
+        vs = self._versions()
+        head = {"version": vs[-1] if vs else 0, "file": None}
+        if not self.max_files:
+            return head
+        if self._pos is None:
+            # position not learned yet (first call of a run precedes both
+            # initialOffset and any partitions/commit): full head — see
+            # class docstring for why bounding here would be unsafe
+            return head
+        cur_v, cur_f = self._pos
+        budget = self.max_files
+        for v in range(max(cur_v, 1), (vs[-1] if vs else 0) + 1):
+            files = self._new_files(v, raise_on_change=False)
+            if files is None:
+                # change commit without skip_change: let partitions()
+                # raise the informative error on the next batch
+                return head
+            lo = min(cur_f, len(files)) if v == cur_v else 0
+            remaining = len(files) - int(lo)
+            if remaining > budget:
+                return {"version": v, "file": int(lo) + budget}
+            budget -= remaining
+        return head
+
+    def commit(self, end: dict) -> None:
+        # nothing to clean (the version log is the source of truth); a
+        # committed end is the strongest position signal there is
+        self._learn(end)
+
+    # ------------------------------------------------- partition planning
+    def partitions(self, start: dict, end: dict) -> list[_TailFilePartition]:
+        (s_v, s_f), (e_v, e_f) = self._off(start), self._off(end)
+        # learn from START only: end isn't done yet, and an in-process
+        # re-plan of the same [start, end) must reproduce it exactly
+        self._learn(start)
+        # Field plan from the CURRENT committed schema, matched to
+        # file contents BY PHYSICAL NAME at read time — never by
+        # index against a historical commit schema: a column ADDed
+        # after this commit reads back as typed NULLs, a column
+        # DROPped later is simply not projected, and renames are
+        # safe because physical names are creation-stable.
+        stored = T.StructType.fromJson(json.loads(self.schema_ddl))
+        fields = [
+            (f.name, (f.metadata or {}).get("physical", f.name))
+            for f in stored.fields
+        ]
+        parts: list[_TailFilePartition] = []
+        for v in range(max(s_v, 1), e_v + 1):
+            files = self._new_files(v, raise_on_change=True)
+            lo = (
+                (len(files) if s_f is None else min(s_f, len(files)))
+                if v == s_v
+                else 0
+            )
+            hi = (
+                (len(files) if e_f is None else min(e_f, len(files)))
+                if v == e_v
+                else len(files)
+            )
+            for path in files[lo:hi]:
+                parts.append(_TailFilePartition(path, fields, self.schema_ddl))
         return parts
 
     # ------------------------------------------------- executor-side read
@@ -186,7 +300,11 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
 
 class SnapshotTailDataSource(DataSource):
     """`spark.readStream.format("snapshot_tail").option("table", name)
-    [.option("root", ...)] [.option("skip_change_commits", "true")]`."""
+    [.option("root", ...)] [.option("skip_change_commits", "true")]
+    [.option("maxFilesPerTrigger", n)]` — the last is the r12 admission
+    control knob (alias `max_files_per_trigger`): at most n new files
+    per micro-batch after the first batch of a run (see
+    SnapshotTailStreamReader for the exact bound semantics)."""
 
     @classmethod
     def name(cls) -> str:

@@ -388,3 +388,128 @@ def test_snapshot_tail_across_schema_evolution(spark):
         t.drop()
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_snapshot_tail_bounded_batches_drain_backlog(spark):
+    """max_files_per_trigger (r12 admission control): a backlog that
+    lands while the stream runs drains in MULTIPLE bounded micro-batches
+    — every row exactly once, no post-initial batch exceeding the cap's
+    file budget — including a split WITHIN one multi-file commit. (The
+    FIRST batch of a run is unbounded by design: the Python streaming
+    API hands latestOffset no start offset, and a self-guessed bound
+    could regress the checkpoint — see the reader docstring.)"""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from empdia_iceberg_spark.sources.table_stream import SnapshotTailDataSource
+    from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    spark.dataSource.register(SnapshotTailDataSource)
+    nation = load(spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    t = SnapshotTable(spark, "t_tail_bounded")
+    t.drop()
+    # small initial table: batch 0 (the unbounded learn-position batch)
+    # stays tiny; the REAL backlog arrives while the stream runs
+    t.create(nation.filter(F.col("n_nationkey") < 2))
+    run = uuid.uuid4().hex[:8]
+    ckpt = os.path.join(_WORK_ROOT, f"tail_bounded_ckpt_{run}")
+    sink_name = f"t_tail_bounded_mem_{run}"
+    q = (
+        spark.readStream.format("snapshot_tail")
+        .option("table", "t_tail_bounded")
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        # wait for batch 0 (the initial 2 rows) so the position is learned
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(sink_name).count() < 2:
+            time.sleep(0.2)
+        assert spark.table(sink_name).count() == 2
+        # backlog: 4 single-file appends (5 rows each) + one partitioned
+        # append whose commit has one file per region (multi-file commit
+        # the cap must split inside)
+        for lo, hi in ((2, 7), (7, 12), (12, 17), (17, 20)):
+            t.append(
+                nation.filter(
+                    (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi)
+                )
+            )
+        expect = nation.filter(F.col("n_nationkey") < 20).count()
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table(sink_name).count() < expect:
+            time.sleep(0.5)
+        got = spark.table(sink_name)
+        assert got.count() == expect
+        assert got.select("n_nationkey").distinct().count() == expect  # exactly once
+        batches = [
+            p
+            for p in q.recentProgress
+            if p["numInputRows"] and p["numInputRows"] > 0
+        ]
+        # batch 0 = 2 rows; the 18-row backlog over 4 files at cap=2 needs
+        # >= 2 further batches; every post-initial batch <= 2 files * 5 rows
+        assert len(batches) >= 3, f"expected a multi-batch drain, got {len(batches)}"
+        post_initial = [p["numInputRows"] for p in batches[1:]]
+        assert post_initial and max(post_initial) <= 10
+    finally:
+        q.stop()
+        t.drop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_snapshot_tail_bounded_offsets_split_within_commit(spark):
+    """Driving the reader directly (the deterministic layer under the
+    live-query test): the bounded walk splits inside a multi-file
+    commit, resumes mid-version, honors pre-r12 offsets, and never
+    regresses once the position is learned from Spark-shaped calls."""
+    import json as _json
+
+    from empdia_iceberg_spark.sources.table_stream import SnapshotTailStreamReader
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    nation = load(spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    t = SnapshotTable(spark, "t_tail_off_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10), partition_by=["n_regionkey"])
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    schema_json = t._read_meta(t.current_version())["schema"]
+    r = SnapshotTailStreamReader(
+        {"table": "t_tail_off_unit", "maxfilespertrigger": "2"}, schema_json
+    )
+    n1 = len(r._new_files(1, raise_on_change=True))
+    assert n1 >= 3  # partitioned create => multi-file commit
+    # simulate the engine's call order: latestOffset BEFORE initialOffset
+    head = r.latestOffset()
+    assert head == {"version": 2, "file": None}  # unbounded until learned
+    o0 = r.initialOffset()
+    # now bounded: splits INSIDE v1
+    o1 = r.latestOffset()
+    assert o1 == {"version": 1, "file": 2}
+    assert len(r.partitions(o0, o1)) == 2
+    r.commit(o1)
+    o2 = r.latestOffset()
+    parts2 = r.partitions(o1, o2)
+    assert len(parts2) == 2 and (o2["version"], o2["file"]) in ((1, 4), (2, 1))
+    r.commit(o2)
+    # pre-r12 offset form still reads as "all of v done"
+    legacy = r.partitions({"version": 1}, {"version": 2})
+    assert len(legacy) == len(r._new_files(2, raise_on_change=True))
+    # a backwards batch (restart probe shape) plans empty and cannot
+    # drag the learned position backwards
+    assert r.partitions({"version": 2, "file": None}, {"version": 1, "file": 0}) == []
+    assert r.latestOffset() == {"version": 2, "file": None}
+    t.drop()
