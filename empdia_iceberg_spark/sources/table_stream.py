@@ -52,7 +52,11 @@ from pyspark.sql.datasource import (
 from empdia_iceberg_spark.functions.exact import exact_sum2, sql_sum2
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
-from empdia_iceberg_spark.tables.manager import DEFAULT_ROOT, SnapshotTable
+from empdia_iceberg_spark.tables.manager import (
+    DEFAULT_ROOT,
+    SnapshotTable,
+    scratch_root,
+)
 
 # ops whose NEW dirs are pure appends of new rows
 _APPEND_OPS = ("create", "append")
@@ -369,7 +373,7 @@ def stream_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
-    t = SnapshotTable(spark, "orders_tail")
+    t = SnapshotTable(spark, "orders_tail", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))
     run = uuid.uuid4().hex[:8]
@@ -391,6 +395,7 @@ def stream_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             spark.readStream.format("snapshot_tail")
             .option("table", "orders_tail")
+            .option("root", scratch_root())
             .load()
             .writeStream.queryName(name)
             .outputMode("append")

@@ -53,6 +53,7 @@ from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
 from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
 from empdia_iceberg_spark.tables.dml import execute_dml
+from empdia_iceberg_spark.tables.manager import scratch_root
 from empdia_iceberg_spark.tables.manager import SnapshotTable
 
 # The deterministic CDC log derived from `orders` (key = o_orderkey):
@@ -145,7 +146,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = os.path.join(_WORK_ROOT, f"cdc_feed_{uuid.uuid4().hex[:8]}")
     ckpt = os.path.join(_WORK_ROOT, f"cdc_ckpt_{uuid.uuid4().hex[:8]}")
-    table = SnapshotTable(spark, "orders_cdc_state")
+    table = SnapshotTable(spark, "orders_cdc_state", scratch_root())
     table.drop()
 
     def apply_cdc(batch_df: DataFrame, batch_id: int) -> None:
@@ -174,6 +175,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHEN NOT MATCHED AND s.op <> 'D' THEN
                 INSERT (k, status, price) VALUES (s.k, s.status, s.price)
             """,
+            root=scratch_root(),
         )
 
     first = _log_frame(orders, _PHASES[0])
@@ -248,8 +250,8 @@ def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
-    bronze = SnapshotTable(spark, "orders_bronze")
-    silver = SnapshotTable(spark, "orders_silver")
+    bronze = SnapshotTable(spark, "orders_bronze", scratch_root())
+    silver = SnapshotTable(spark, "orders_silver", scratch_root())
     bronze.drop(), silver.drop()
     bronze.create(orders.filter(F.col("o_orderstatus") == "O"))
     run = uuid.uuid4().hex[:8]
@@ -278,12 +280,14 @@ def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED THEN INSERT *
             """,
+            root=scratch_root(),
         )
 
     def drain():
         q = (
             spark.readStream.format("snapshot_tail")
             .option("table", "orders_bronze")
+            .option("root", scratch_root())
             .load()
             .writeStream.queryName("t_medallion")
             .foreachBatch(refine)

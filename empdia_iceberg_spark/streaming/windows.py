@@ -608,7 +608,7 @@ def stream_dedup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental-maintenance invariant.",
 )
 def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from empdia_iceberg_spark.tables.manager import SnapshotTable
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
 
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     feed = os.path.join(_WORK_ROOT, "cagg_feed")
@@ -617,7 +617,7 @@ def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = "2024-01-15 12:30:00"  # mid-hour: phase 2 updates the 12:00 window
     ev.filter(F.col("ts") < cutoff).write.parquet(feed)
 
-    table = SnapshotTable(spark, "events_hourly_cagg")
+    table = SnapshotTable(spark, "events_hourly_cagg", scratch_root())
     table.drop()
 
     schema = spark.read.parquet(feed).schema
@@ -810,7 +810,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "restart-recovery guarantee production streaming jobs live on.",
 )
 def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from empdia_iceberg_spark.tables.manager import SnapshotTable
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
 
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     name = "t_restart"
@@ -820,7 +820,7 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = "2024-01-15"
     ev.filter(F.col("ts") < cutoff).write.parquet(feed)
 
-    table = SnapshotTable(spark, "events_restart_agg")
+    table = SnapshotTable(spark, "events_restart_agg", scratch_root())
     table.drop()
 
     def upsert_additive(batch_df, batch_id: int) -> None:

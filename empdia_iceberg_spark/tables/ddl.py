@@ -58,7 +58,11 @@ from empdia_iceberg_spark.tables.dml import (
     _find_keyword,
     execute_dml,
 )
-from empdia_iceberg_spark.tables.manager import DEFAULT_ROOT, SnapshotTable
+from empdia_iceberg_spark.tables.manager import (
+    DEFAULT_ROOT,
+    SnapshotTable,
+    scratch_root,
+)
 
 _CREATE_HEAD = re.compile(
     r"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
@@ -808,21 +812,21 @@ def execute_sql(
 )
 def table_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("cust_ddl_src")
-    execute_ddl(spark, "DROP TABLE IF EXISTS customer_ddl")
+    execute_ddl(spark, "DROP TABLE IF EXISTS customer_ddl", root=scratch_root())
     execute_ddl(
         spark,
         "CREATE TABLE customer_ddl PARTITIONED BY (c_mktsegment) AS "
         "SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal, "
-        "c_name FROM cust_ddl_src",
+        "c_name FROM cust_ddl_src", root=scratch_root(),
     )
-    res_add = execute_ddl(spark, "ALTER TABLE customer_ddl ADD COLUMN tier STRING")
-    res_drop = execute_ddl(spark, "ALTER TABLE customer_ddl DROP COLUMN c_name")
+    res_add = execute_ddl(spark, "ALTER TABLE customer_ddl ADD COLUMN tier STRING", root=scratch_root())
+    res_drop = execute_ddl(spark, "ALTER TABLE customer_ddl DROP COLUMN c_name", root=scratch_root())
     execute_dml(
         spark,
         "UPDATE customer_ddl SET tier = CASE WHEN c_acctbal >= 5000.0 "
-        "THEN 'gold' ELSE 'std' END",
+        "THEN 'gold' ELSE 'std' END", root=scratch_root(),
     )
-    t = SnapshotTable(spark, "customer_ddl")
+    t = SnapshotTable(spark, "customer_ddl", scratch_root())
     n_versions = t.current_version()
     final = t.read()
     rewrote = int(res_add["audit"]["dirs_rewritten"]) + int(
@@ -867,7 +871,7 @@ def table_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_asof")
+    t = SnapshotTable(spark, "orders_asof", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
@@ -888,7 +892,7 @@ def table_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 3, count(*), {total} FROM orders_asof SYSTEM_VERSION AS OF 3
         ORDER BY version
-        """,
+        """, root=scratch_root(),
     )
 
 
@@ -920,15 +924,15 @@ def table_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_maint")
+    t = SnapshotTable(spark, "orders_maint", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
     t.append(orders.filter(~F.col("o_orderstatus").isin("O", "F")))
     res_opt = execute_sql(
         spark, "OPTIMIZE orders_maint ZORDER BY (o_custkey, o_orderdate)"
-    )
-    res_vac = execute_sql(spark, "VACUUM orders_maint RETAIN 1 VERSIONS")
+    , root=scratch_root())
+    res_vac = execute_sql(spark, "VACUUM orders_maint RETAIN 1 VERSIONS", root=scratch_root())
     return (
         t.read()
         .groupBy("o_orderstatus")
@@ -980,29 +984,29 @@ def table_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_rename_column_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("cust_rn_src")
-    execute_ddl(spark, "DROP TABLE IF EXISTS customer_rn")
+    execute_ddl(spark, "DROP TABLE IF EXISTS customer_rn", root=scratch_root())
     execute_ddl(
         spark,
         "CREATE TABLE customer_rn AS SELECT c_custkey, c_mktsegment, "
         "CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM cust_rn_src "
-        "WHERE c_custkey % 2 = 0",
+        "WHERE c_custkey % 2 = 0", root=scratch_root(),
     )
     res_rn = execute_ddl(
         spark, "ALTER TABLE customer_rn RENAME COLUMN c_acctbal TO balance"
-    )
+    , root=scratch_root())
     # post-rename INSERT and COW UPDATE both address the LOGICAL name
     execute_dml(
         spark,
         "INSERT INTO customer_rn SELECT c_custkey, c_mktsegment, "
         "CAST(c_acctbal AS DOUBLE) AS balance FROM cust_rn_src "
-        "WHERE c_custkey % 2 = 1",
+        "WHERE c_custkey % 2 = 1", root=scratch_root(),
     )
     execute_dml(
         spark,
         "UPDATE customer_rn SET balance = balance + 100.0 "
-        "WHERE c_mktsegment = 'BUILDING'",
+        "WHERE c_mktsegment = 'BUILDING'", root=scratch_root(),
     )
-    t = SnapshotTable(spark, "customer_rn")
+    t = SnapshotTable(spark, "customer_rn", scratch_root())
     # the newest data dir must physically store the ORIGINAL name
     newest = t._read_meta(t.current_version())["dirs"][-1]
     raw_cols = spark.read.parquet(newest).columns
@@ -1064,30 +1068,30 @@ def table_rename_column_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_alter_type_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_widen_src")
-    execute_ddl(spark, "DROP TABLE IF EXISTS lineitem_widen")
+    execute_ddl(spark, "DROP TABLE IF EXISTS lineitem_widen", root=scratch_root())
     execute_ddl(
         spark,
         "CREATE TABLE lineitem_widen AS SELECT l_orderkey, "
         "CAST(l_linenumber AS INT) AS line_no, "
         "CAST(l_quantity AS FLOAT) AS qty, "
         "CAST(l_extendedprice AS DECIMAL(12,2)) AS price, "
-        "l_returnflag FROM li_widen_src WHERE l_orderkey % 2 = 0",
+        "l_returnflag FROM li_widen_src WHERE l_orderkey % 2 = 0", root=scratch_root(),
     )
     res1 = execute_ddl(
         spark, "ALTER TABLE lineitem_widen ALTER COLUMN line_no TYPE BIGINT"
-    )
+    , root=scratch_root())
     res2 = execute_ddl(
         spark, "ALTER TABLE lineitem_widen ALTER COLUMN qty TYPE DOUBLE"
-    )
+    , root=scratch_root())
     res3 = execute_ddl(
         spark,
-        "ALTER TABLE lineitem_widen ALTER COLUMN price SET DATA TYPE DECIMAL(18,2)",
+        "ALTER TABLE lineitem_widen ALTER COLUMN price SET DATA TYPE DECIMAL(18,2)", root=scratch_root(),
     )
     # a narrowing must refuse, leaving no commit behind
     try:
         execute_ddl(
             spark, "ALTER TABLE lineitem_widen ALTER COLUMN price TYPE DECIMAL(8,2)"
-        )
+        , root=scratch_root())
         refused = 0
     except ValueError:
         refused = 1
@@ -1098,9 +1102,9 @@ def table_alter_type_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(l_linenumber AS BIGINT) AS line_no, "
         "CAST(l_quantity AS DOUBLE) AS qty, "
         "CAST(l_extendedprice AS DECIMAL(18,2)) AS price, "
-        "l_returnflag FROM li_widen_src WHERE l_orderkey % 2 = 1",
+        "l_returnflag FROM li_widen_src WHERE l_orderkey % 2 = 1", root=scratch_root(),
     )
-    t = SnapshotTable(spark, "lineitem_widen")
+    t = SnapshotTable(spark, "lineitem_widen", scratch_root())
     dirs = t._read_meta(t.current_version())["dirs"]
     raw_old = dict(spark.read.parquet(dirs[0]).dtypes)
     raw_new = dict(spark.read.parquet(dirs[-1]).dtypes)
@@ -1157,13 +1161,13 @@ def table_alter_type_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_refs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_refs")
+    t = SnapshotTable(spark, "orders_refs", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
-    execute_sql(spark, "ALTER TABLE orders_refs CREATE TAG launch AS OF VERSION 1")
-    execute_sql(spark, "ALTER TABLE orders_refs CREATE BRANCH main")
-    execute_sql(spark, "ALTER TABLE orders_refs CREATE BRANCH dev")
+    execute_sql(spark, "ALTER TABLE orders_refs CREATE TAG launch AS OF VERSION 1", root=scratch_root())
+    execute_sql(spark, "ALTER TABLE orders_refs CREATE BRANCH main", root=scratch_root())
+    execute_sql(spark, "ALTER TABLE orders_refs CREATE BRANCH dev", root=scratch_root())
     t.branch_append("dev", orders.filter(~F.col("o_orderstatus").isin("O", "F")))
     total = f"round({sql_sum2('o_totalprice')}, 2)"
     return execute_sql(
@@ -1176,7 +1180,7 @@ def table_refs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'main', count(*), {total} FROM orders_refs VERSION AS OF 'main'
         ORDER BY ref
-        """,
+        """, root=scratch_root(),
     )
 
 
@@ -1205,33 +1209,33 @@ def table_refs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_statement_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("corners_orders_src")
-    execute_sql(spark, "DROP TABLE IF EXISTS orders_corners")
+    execute_sql(spark, "DROP TABLE IF EXISTS orders_corners", root=scratch_root())
     execute_sql(
         spark,
         "CREATE TABLE orders_corners AS SELECT o_orderkey, o_orderstatus, "
         "CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM corners_orders_src "
-        "WHERE o_orderstatus = 'O'",
+        "WHERE o_orderstatus = 'O'", root=scratch_root(),
     )
     execute_sql(
         spark,
         "INSERT OVERWRITE orders_corners SELECT o_orderkey, o_orderstatus, "
         "CAST(o_totalprice AS DOUBLE) FROM corners_orders_src "
-        "WHERE o_orderstatus = 'F'",
+        "WHERE o_orderstatus = 'F'", root=scratch_root(),
     )
     execute_sql(
         spark,
         "CREATE OR REPLACE TABLE orders_corners AS SELECT o_orderkey, "
         "o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice "
-        "FROM corners_orders_src",
+        "FROM corners_orders_src", root=scratch_root(),
     )
-    execute_sql(spark, "TRUNCATE TABLE orders_corners")
+    execute_sql(spark, "TRUNCATE TABLE orders_corners", root=scratch_root())
     execute_sql(
         spark,
         "INSERT INTO orders_corners SELECT o_orderkey, o_orderstatus, "
         "CAST(o_totalprice AS DOUBLE) FROM corners_orders_src "
-        "WHERE o_orderstatus = 'P'",
+        "WHERE o_orderstatus = 'P'", root=scratch_root(),
     )
-    t = SnapshotTable(spark, "orders_corners")
+    t = SnapshotTable(spark, "orders_corners", scratch_root())
     # guard: time travel into the middle of the chain still reads the
     # pre-replace 'F' content (count pinned by the oracle literal)
     guard = t.read(version=2).count()
@@ -1271,11 +1275,11 @@ def table_statement_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_metadata_tables_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_meta_t")
+    t = SnapshotTable(spark, "orders_meta_t", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))
     t.append(orders.filter(F.col("o_orderstatus") != "O"))
-    execute_sql(spark, "ALTER TABLE orders_meta_t CREATE TAG first AS OF VERSION 1")
+    execute_sql(spark, "ALTER TABLE orders_meta_t CREATE TAG first AS OF VERSION 1", root=scratch_root())
     return execute_sql(
         spark,
         """
@@ -1287,7 +1291,7 @@ def table_metadata_tables_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS total_files
         FROM orders_meta_t.snapshots s
         ORDER BY version
-        """,
+        """, root=scratch_root(),
     )
 
 
@@ -1326,24 +1330,24 @@ def table_metadata_tables_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_describe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("cust_desc_src")
-    execute_sql(spark, "DROP TABLE IF EXISTS customer_desc")
-    execute_sql(spark, "DROP TABLE IF EXISTS customer_desc2")
+    execute_sql(spark, "DROP TABLE IF EXISTS customer_desc", root=scratch_root())
+    execute_sql(spark, "DROP TABLE IF EXISTS customer_desc2", root=scratch_root())
     execute_sql(
         spark,
         "CREATE TABLE customer_desc PARTITIONED BY (c_mktsegment) AS "
         "SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal "
-        "FROM cust_desc_src",
+        "FROM cust_desc_src", root=scratch_root(),
     )
-    execute_sql(spark, "ALTER TABLE customer_desc RENAME COLUMN c_acctbal TO balance")
-    execute_sql(spark, "ALTER TABLE customer_desc ADD COLUMN tier STRING")
+    execute_sql(spark, "ALTER TABLE customer_desc RENAME COLUMN c_acctbal TO balance", root=scratch_root())
+    execute_sql(spark, "ALTER TABLE customer_desc ADD COLUMN tier STRING", root=scratch_root())
     # r12: RENAME TABLE moves the catalog entry with history intact, and
     # SHOW CREATE TABLE prints the canonical statement for the evolved
     # schema — both hash-checked (the statement as a literal value, the
     # survived history via the version count)
-    res_rn = execute_sql(spark, "ALTER TABLE customer_desc RENAME TO customer_desc2")
-    stmt = execute_sql(spark, "SHOW CREATE TABLE customer_desc2").collect()[0][0]
-    n_versions = len(SnapshotTable(spark, "customer_desc2")._versions())
-    desc = execute_sql(spark, "DESCRIBE TABLE customer_desc2")
+    res_rn = execute_sql(spark, "ALTER TABLE customer_desc RENAME TO customer_desc2", root=scratch_root())
+    stmt = execute_sql(spark, "SHOW CREATE TABLE customer_desc2", root=scratch_root()).collect()[0][0]
+    n_versions = len(SnapshotTable(spark, "customer_desc2", scratch_root())._versions())
+    desc = execute_sql(spark, "DESCRIBE TABLE customer_desc2", root=scratch_root())
     w = Window.orderBy(F.monotonically_increasing_id())
     return (
         desc.withColumn("ord", F.row_number().over(w).cast("int"))

@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 from empdia_iceberg_spark.functions.exact import exact_sum2, sql_sum2
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
-from empdia_iceberg_spark.tables.manager import DEFAULT_ROOT, SnapshotTable
+from empdia_iceberg_spark.tables.manager import (
+    DEFAULT_ROOT,
+    SnapshotTable,
+    scratch_root,
+)
 
 _UPDATE_HEAD = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
@@ -659,7 +663,7 @@ def _three_dir_customer(spark: SparkSession, sf_dir: str, name: str):
     )
     k_max = cust.agg(F.max("c_custkey")).first()[0]  # 1 metadata scalar
     b1, b2 = k_max // 3, (2 * k_max) // 3
-    t = SnapshotTable(spark, name)
+    t = SnapshotTable(spark, name, scratch_root())
     t.drop()
     t.create(cust.filter(F.col("c_custkey") <= b1))
     t.append(cust.filter((F.col("c_custkey") > b1) & (F.col("c_custkey") <= b2)))
@@ -717,7 +721,7 @@ def table_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"UPDATE customer_dml_upd SET c_acctbal = c_acctbal + 100.0, "
         f"c_mktsegment = concat(c_mktsegment, '_U') "
-        f"WHERE c_custkey > {b2} AND c_mktsegment = 'BUILDING'",
+        f"WHERE c_custkey > {b2} AND c_mktsegment = 'BUILDING'", root=scratch_root(),
     )
     return _segment_rollup(t, res["audit"])
 
@@ -752,7 +756,7 @@ def table_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = execute_dml(
         spark,
         f"DELETE FROM customer_dml_del "
-        f"WHERE c_custkey > {b2} AND c_acctbal < 0.0",
+        f"WHERE c_custkey > {b2} AND c_acctbal < 0.0", root=scratch_root(),
     )
     return _segment_rollup(t, res["audit"])
 
@@ -840,7 +844,7 @@ def table_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             c_mktsegment = concat(t.c_mktsegment, '_M')
         WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, c_acctbal)
             VALUES (s.c_custkey, s.seg_new, s.bal_new)
-        """,
+        """, root=scratch_root(),
     )
     return _segment_rollup(t, res["audit"])
 
@@ -886,7 +890,7 @@ def table_delete_mor_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = execute_dml(
         spark,
         "DELETE FROM customer_dml_mord WHERE c_acctbal < 0.0",
-        mor_key="c_custkey",
+        mor_key="c_custkey", root=scratch_root(),
     )
     cust = load(spark, sf_dir, "customer")
     k0 = int(
@@ -969,12 +973,12 @@ def table_insert_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"INSERT INTO customer_dml_ins "
         f"SELECT c_custkey + {mk}, 'INSERTED', CAST(c_acctbal AS DOUBLE) "
         f"FROM cust_ins_base WHERE c_custkey > {b2} "
-        f"AND c_mktsegment = 'BUILDING'",
+        f"AND c_mktsegment = 'BUILDING'", root=scratch_root(),
     )
     execute_dml(
         spark,
         f"INSERT INTO customer_dml_ins (c_custkey, c_mktsegment) "
-        f"VALUES ({2 * mk + 1}, 'VROW')",
+        f"VALUES ({2 * mk + 1}, 'VROW')", root=scratch_root(),
     )
     versions_added = t.current_version() - v0
     return (
@@ -1048,6 +1052,6 @@ def table_merge_sync_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             THEN DELETE
         WHEN NOT MATCHED BY SOURCE AND t.c_custkey > {b2}
             THEN UPDATE SET c_mktsegment = concat(t.c_mktsegment, '_S')
-        """,
+        """, root=scratch_root(),
     )
     return _segment_rollup(t, res["audit"])

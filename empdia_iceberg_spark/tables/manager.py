@@ -51,6 +51,56 @@ DEFAULT_ROOT = os.environ.get(
     "SPARK_GRAFT_TABLE_ROOT", "/root/repo/.managed_tables"
 )
 
+# ---------------------------------------------------------- scratch catalog
+# Registered queries build throwaway SCAFFOLD tables (drop + recreate on
+# every run). Under one shared root, two processes running the same query
+# concurrently collide on that drop/recreate — observed as FileNotFound
+# when a bench and a verify run overlapped (VERDICT r11 what's-wrong #3;
+# OCC protects COMMITS, but drop/recreate scaffolding is catalog-level).
+# scratch_root() hands every PROCESS its own catalog subdir: table NAMES
+# stay stable (statements, SHOW CREATE output, and oracles are unchanged),
+# isolation comes from the root. Reclamation mirrors the IVF cache: this
+# process's dir is removed at exit; _scratch_* dirs whose newest mtime is
+# older than EMPDIA_SCRATCH_IDLE_SEC (default 24 h) are orphans from
+# crashed processes and are swept on first use.
+_SCRATCH_SUFFIX = uuid.uuid4().hex[:8]
+_scratch_ready = False
+
+
+def scratch_root(root: str | None = None) -> str:
+    global _scratch_ready
+    base = root or DEFAULT_ROOT
+    mine = os.path.join(base, f"_scratch_{_SCRATCH_SUFFIX}")
+    if not _scratch_ready:
+        os.makedirs(mine, exist_ok=True)
+        import atexit
+
+        atexit.register(shutil.rmtree, mine, ignore_errors=True)
+        idle = float(os.environ.get("EMPDIA_SCRATCH_IDLE_SEC", 24 * 3600))
+        now = time.time()
+        for name in os.listdir(base):
+            full = os.path.join(base, name)
+            if (
+                name.startswith("_scratch_")
+                and full != mine
+                and os.path.isdir(full)
+            ):
+                newest = 0.0
+                for r_, _d, fs in os.walk(full):
+                    for f in fs:
+                        try:
+                            newest = max(newest, os.path.getmtime(os.path.join(r_, f)))
+                        except OSError:
+                            continue
+                try:
+                    newest = max(newest, os.path.getmtime(full))
+                except OSError:
+                    continue
+                if now - newest > idle:
+                    shutil.rmtree(full, ignore_errors=True)
+        _scratch_ready = True
+    return mine
+
 # Snapshot writes aim for files of this size (Iceberg's
 # write.target-file-size-bytes default), via shuffle-free coalesce.
 TARGET_FILE_BYTES = 128 * 1024 * 1024
@@ -2380,7 +2430,7 @@ class SnapshotTable:
 )
 def table_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_lifecycle")
+    t = SnapshotTable(spark, "orders_lifecycle", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
@@ -2430,7 +2480,7 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
     )
-    t = SnapshotTable(spark, "customer_merge")
+    t = SnapshotTable(spark, "customer_merge", scratch_root())
     t.drop()
     t.create(cust)
     updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
@@ -2499,7 +2549,7 @@ def table_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k_max = cust.agg(F.max("c_custkey")).first()[0]  # 1 audit scalar
     b1, b2 = k_max // 3, (2 * k_max) // 3
-    t = SnapshotTable(spark, "customer_merge_pruned")
+    t = SnapshotTable(spark, "customer_merge_pruned", scratch_root())
     t.drop()
     t.create(cust.filter(F.col("c_custkey") <= b1))
     t.append(cust.filter((F.col("c_custkey") > b1) & (F.col("c_custkey") <= b2)))
@@ -2540,7 +2590,7 @@ def table_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_expire_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
-    t = SnapshotTable(spark, "nation_expire")
+    t = SnapshotTable(spark, "nation_expire", scratch_root())
     t.drop()
     t.create(nation.filter(F.col("n_nationkey") < 10))
     t.append(nation.filter(F.col("n_nationkey") >= 10))
@@ -2574,7 +2624,7 @@ def table_expire_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    t = SnapshotTable(spark, "nation_evolve")
+    t = SnapshotTable(spark, "nation_evolve", scratch_root())
     t.drop()
     t.create(nation)  # v1: two columns
     evolved = nation.select(
@@ -2610,7 +2660,7 @@ def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_rollback")
+    t = SnapshotTable(spark, "orders_rollback", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))  # v1
     v2 = t.append(orders.filter(F.col("o_orderstatus") == "F"))  # v2
@@ -2668,7 +2718,7 @@ def table_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_incremental")
+    t = SnapshotTable(spark, "orders_incremental", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
@@ -2727,7 +2777,7 @@ def table_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_partevo")
+    t = SnapshotTable(spark, "orders_partevo", scratch_root())
     t.drop()
     t.create(
         orders.filter(F.col("o_orderkey") % 2 == 0), partition_by=["o_orderstatus"]
@@ -2788,7 +2838,7 @@ def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    t = SnapshotTable(spark, "orders_wap")
+    t = SnapshotTable(spark, "orders_wap", scratch_root())
     t.drop()
     t.create(base)  # v1: published base
 
@@ -3022,10 +3072,10 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
         )
 
-    base = SnapshotTable(spark, "orders_mv_base")
+    base = SnapshotTable(spark, "orders_mv_base", scratch_root())
     base.drop()
     base.create(orders.filter(F.col("o_orderkey") % 2 == 0))
-    mv = SnapshotTable(spark, "orders_mv")
+    mv = SnapshotTable(spark, "orders_mv", scratch_root())
     mv.drop()
     mv.create(agg_mv(base.read()))
 
@@ -3101,7 +3151,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_branching")
+    t = SnapshotTable(spark, "orders_branching", scratch_root())
     t.drop()
     v1 = t.create(orders.filter(F.col("o_orderstatus") == "O"))
     t.set_ref("main", v1)
@@ -3168,7 +3218,7 @@ def table_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_history_audit")
+    t = SnapshotTable(spark, "orders_history_audit", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
@@ -3213,16 +3263,16 @@ def table_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_concurrent_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_concurrent")
+    t = SnapshotTable(spark, "orders_concurrent", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))  # v1
 
     # writer A reads its base snapshot
-    writer_a = SnapshotTable(spark, "orders_concurrent")
+    writer_a = SnapshotTable(spark, "orders_concurrent", scratch_root())
     base_a = writer_a.current_version()
     meta_a = writer_a._read_meta(base_a)
     # writer B wins the race
-    writer_b = SnapshotTable(spark, "orders_concurrent")
+    writer_b = SnapshotTable(spark, "orders_concurrent", scratch_root())
     writer_b.append(orders.filter(F.col("o_orderstatus") == "F"))  # v2
 
     conflicts = 0
@@ -3303,7 +3353,7 @@ def table_concurrent_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_mor")
+    t = SnapshotTable(spark, "orders_mor", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))  # v1
     t.delete_where_mor(F.col("o_totalprice") < 50000.0, key="o_orderkey")  # v2
@@ -3634,7 +3684,7 @@ class BloomIndex:
 )
 def table_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_bloom")
+    t = SnapshotTable(spark, "orders_bloom", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))
     t.append(orders.filter(F.col("o_orderstatus") == "F"))
@@ -3690,7 +3740,7 @@ def table_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def table_changelog_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    t = SnapshotTable(spark, "orders_changelog")
+    t = SnapshotTable(spark, "orders_changelog", scratch_root())
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))  # v1
     source = (
@@ -3746,6 +3796,7 @@ class Catalog:
 
     def __init__(self, spark: SparkSession, name: str, root: str = DEFAULT_ROOT):
         self.spark = spark
+        self.root = root
         self.path = os.path.join(root, f"_catalog_{name}.json")
 
     def pins(self) -> dict[str, int]:
@@ -3792,7 +3843,11 @@ class Catalog:
             os.close(fd)  # releases the flock; the lockfile path stays
 
     def read(self, table: str) -> DataFrame:
-        return SnapshotTable(self.spark, table).read(version=self.pins()[table])
+        # resolve through the catalog's OWN root: pinned versions are
+        # only meaningful for the tables that share its namespace
+        return SnapshotTable(self.spark, table, self.root).read(
+            version=self.pins()[table]
+        )
 
     def drop(self) -> None:
         if os.path.exists(self.path):
@@ -3841,9 +3896,9 @@ def catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     o_keys = orders.select("o_orderkey", "o_orderstatus")
 
-    t_orders = SnapshotTable(spark, "txn_orders")
-    t_li = SnapshotTable(spark, "txn_lineitem")
-    cat = Catalog(spark, "txn_demo")
+    t_orders = SnapshotTable(spark, "txn_orders", scratch_root())
+    t_li = SnapshotTable(spark, "txn_lineitem", scratch_root())
+    cat = Catalog(spark, "txn_demo", scratch_root())
     for t in (t_orders, t_li):
         t.drop()
     cat.drop()

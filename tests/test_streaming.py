@@ -235,12 +235,14 @@ def test_stream_cdc_apply_per_key_fates(spark):
     collapse (seq 3 beats seq 2), delete, late insert, and the
     upsert-back of an update arriving after a delete."""
     from empdia_iceberg_spark.streaming.cdc import stream_cdc_apply
-    from empdia_iceberg_spark.tables.manager import SnapshotTable
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
 
     stream_cdc_apply(spark, SF_DIR).collect()  # builds orders_cdc_state
     state = {
         r.k: r.price
-        for r in SnapshotTable(spark, "orders_cdc_state").read().collect()
+        for r in SnapshotTable(spark, "orders_cdc_state", scratch_root())
+        .read()
+        .collect()
     }
     orders = {
         r.o_orderkey: r.o_totalprice

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from empdia_iceberg_spark.tables.manager import SnapshotTable
+from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
 from tests.conftest import SF_DIR
 
 
@@ -136,7 +136,7 @@ def test_partition_evolution_pruned_read(spark):
     from tests.conftest import SF_DIR
 
     registry.queries()["table_partition_evolution"](spark, SF_DIR).collect()
-    t = SnapshotTable(spark, "orders_partevo")
+    t = SnapshotTable(spark, "orders_partevo", scratch_root())
     assert t.current_spec() == ["o_orderpriority"]
     pruned = t.read_pruned("o_orderstatus", "O")
     plain = t.read().filter(F.col("o_orderstatus") == "O")
@@ -213,7 +213,7 @@ def test_merge_pruned_reuses_untouched_dirs(spark):
     assert out, "pruned merge returned no rows"
     assert all(r["dirs_rewritten"] == 1 and r["dirs_reused"] == 2 for r in out)
 
-    t = SnapshotTable(spark, "customer_merge_pruned")
+    t = SnapshotTable(spark, "customer_merge_pruned", scratch_root())
     metas = {m["version"]: m for m in t.snapshots()}
     pre, post = metas[3], metas[4]  # create+2 appends, then merge
     assert post["op"] == "merge"
@@ -485,7 +485,7 @@ def test_bloom_index_skips_files(spark):
     from pyspark.sql import functions as F
 
     registry.queries()["table_bloom_point_lookup"](spark, SF_DIR).collect()
-    t = SnapshotTable(spark, "orders_bloom")
+    t = SnapshotTable(spark, "orders_bloom", scratch_root())
     idx = BloomIndex(t, "o_orderkey")
     orders = load(spark, SF_DIR, "orders")
     probe = (
@@ -629,7 +629,7 @@ def test_bloom_blobs_written_outside_sidecar(spark):
     from empdia_iceberg_spark.tables.manager import BloomIndex, SnapshotTable
 
     registry.queries()["table_bloom_point_lookup"](spark, SF_DIR).collect()
-    t = SnapshotTable(spark, "orders_bloom")
+    t = SnapshotTable(spark, "orders_bloom", scratch_root())
     idx = BloomIndex(t, "o_orderkey")
     with open(idx.path) as f:
         sidecar = _json.load(f)
