@@ -56,6 +56,7 @@ from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
 from empdia_iceberg_spark.tables.dml import (
     _find_keyword,
+    _split_top_level,
     execute_dml,
 )
 from empdia_iceberg_spark.tables.manager import (
@@ -121,6 +122,23 @@ _SHOW_CREATE_HEAD = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$", re.IGNORECASE
 )
 _RENAME_TABLE = re.compile(r"^RENAME\s+TO\s+(\w+)\s*$", re.IGNORECASE)
+_SET_PROPS = re.compile(
+    r"^SET\s+TBLPROPERTIES\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_UNSET_PROPS = re.compile(
+    r"^UNSET\s+TBLPROPERTIES\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_ADD_CONSTRAINT = re.compile(  # greedy (.+) pairs with the LAST ')', so the
+    # CHECK expression may itself contain parens — Catalyst parses it
+    r"^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT = re.compile(r"^DROP\s+CONSTRAINT\s+(\w+)\s*$", re.IGNORECASE)
+_CALL_HEAD = re.compile(
+    r"^\s*CALL\s+(\w+)\s*\((.*)\)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_PROP_PAIR = re.compile(r"^\s*'([^']+)'\s*=\s*'([^']*)'\s*$")
+_PROP_KEY = re.compile(r"^\s*'([^']+)'\s*$")
 
 
 def describe_table(spark: SparkSession, name: str, root: str = DEFAULT_ROOT) -> DataFrame:
@@ -190,6 +208,15 @@ def show_create_table(
     spec = meta.get("spec", [])
     if spec:
         stmt += f"\nPARTITIONED BY ({', '.join(spec)})"
+    # TBLPROPERTIES block carries the user properties plus the CHECK
+    # constraints rendered Delta-style (`delta.constraints.<name>` is
+    # the public model this mirrors), sorted for determinism
+    props = dict(meta.get("properties", {}))
+    for cname, cexpr in meta.get("constraints", {}).items():
+        props[f"constraint.{cname}"] = f"CHECK ({cexpr})"
+    if props:
+        lines = ",\n".join(f"  '{k}' = '{v}'" for k, v in sorted(props.items()))
+        stmt += f"\nTBLPROPERTIES (\n{lines})"
     return spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
 
@@ -214,6 +241,77 @@ def _split_columns(s: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _call_procedure(spark: SparkSession, name: str, raw_args: str, root: str) -> dict:
+    """`CALL proc(arg, ...)` — the Iceberg stored-procedure surface
+    (spark_catalog.system.* in the real runtime) over the maintenance
+    methods that already exist: rollback_to_version(table, version),
+    expire_snapshots(table [, keep_last]), compact(table). Arguments
+    are positional or `key => value` (Iceberg named-argument syntax);
+    strings quoted, integers bare."""
+
+    def _parse(tok: str):
+        tok = tok.strip()
+        sm = re.match(r"^'([^']*)'$", tok)
+        if sm:
+            return sm.group(1)
+        if re.match(r"^-?\d+$", tok):
+            return int(tok)
+        raise ValueError(f"CALL argument must be a 'string' or integer: {tok!r}")
+
+    args: list = []
+    kwargs: dict = {}
+    for item in _split_top_level(raw_args):
+        km = re.match(r"^\s*(\w+)\s*=>\s*(.+)$", item, re.DOTALL)
+        if km:
+            kwargs[km.group(1).lower()] = _parse(km.group(2))
+        elif kwargs:
+            raise ValueError("positional CALL argument after a named one")
+        else:
+            args.append(_parse(item))
+
+    def _bind(names: list[str], defaults: dict | None = None):
+        bound = dict(zip(names, args))
+        overlap = set(bound) & set(kwargs)
+        if overlap or len(args) > len(names):
+            raise ValueError(f"CALL {name}: bad arguments {args} {kwargs}")
+        bound.update(kwargs)
+        for k, v in (defaults or {}).items():
+            bound.setdefault(k, v)
+        missing = [n for n in names if n not in bound]
+        if missing:
+            raise ValueError(f"CALL {name}: missing argument(s) {missing}")
+        return bound
+
+    if name == "rollback_to_version":
+        b = _bind(["table", "version"])
+        t = SnapshotTable(spark, str(b["table"]), root)
+        v = t.rollback(int(b["version"]))
+        return {"op": "call-rollback_to_version", "table": b["table"],
+                "version": v, "audit": {"rolled_back_to": int(b["version"])}}
+    if name == "expire_snapshots":
+        b = _bind(["table"], {"keep_last": 1})
+        t = SnapshotTable(spark, str(b["table"]), root)
+        if t.current_version() is None:
+            raise ValueError(f"table {b['table']} does not exist")
+        expired = t.expire_snapshots(keep_last=int(b["keep_last"]))
+        return {"op": "call-expire_snapshots", "table": b["table"],
+                "version": t.current_version(),
+                "audit": {"versions_expired": len(expired),
+                          "versions_left": len(t._versions())}}
+    if name == "compact":
+        b = _bind(["table"])
+        t = SnapshotTable(spark, str(b["table"]), root)
+        if t.current_version() is None:
+            raise ValueError(f"table {b['table']} does not exist")
+        v = t.compact()
+        return {"op": "call-compact", "table": b["table"], "version": v,
+                "audit": None}
+    raise ValueError(
+        f"unknown procedure {name!r} (expected rollback_to_version, "
+        "expire_snapshots, or compact)"
+    )
+
+
 def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -> dict:
     """Execute one DDL statement against the snapshot-table catalog.
 
@@ -227,7 +325,13 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         ALTER TABLE t RENAME COLUMN old TO new
         ALTER TABLE t ALTER COLUMN c TYPE t  (safe promotion; SET DATA TYPE alias)
         ALTER TABLE t RENAME TO t2           (catalog move; history travels)
+        ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)   (merge-over)
+        ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
+        ALTER TABLE t ADD CONSTRAINT name CHECK (expr)     (validated + enforced)
+        ALTER TABLE t DROP CONSTRAINT name
         ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION n]
+        CALL rollback_to_version('t', n) | expire_snapshots('t' [, keep_last => k])
+             | compact('t')
         ALTER TABLE t DROP BRANCH|TAG name
         ALTER TABLE t ADD PARTITION FIELD col
         ALTER TABLE t DROP PARTITION FIELD col
@@ -240,6 +344,9 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
     pinned to 0 by comparing the parent's and the new snapshot's dir
     lists).
     """
+    m = _CALL_HEAD.match(statement)
+    if m:
+        return _call_procedure(spark, m.group(1).lower(), m.group(2), root)
     m = _CREATE_HEAD.match(statement)
     if m:
         or_replace, if_not_exists, name, rest = (
@@ -375,6 +482,46 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
             return {"op": "rename-table", "table": new_name,
                     "version": t2.current_version(),
                     "audit": {"renamed_from": name}}
+        sp = _SET_PROPS.match(action)
+        if sp:
+            props = {}
+            for item in _split_top_level(sp.group(1)):
+                pm2 = _PROP_PAIR.match(item)
+                if not pm2:
+                    raise ValueError(
+                        f"bad TBLPROPERTIES entry (expected 'k' = 'v'): {item!r}"
+                    )
+                props[pm2.group(1)] = pm2.group(2)
+            version = t.set_properties(props)
+            return {"op": "set-properties", "table": name, "version": version,
+                    "audit": {"properties": t.properties(),
+                              "dirs_rewritten": 0}}
+        up = _UNSET_PROPS.match(action)
+        if up:
+            keys = []
+            for item in _split_top_level(up.group(1)):
+                km = _PROP_KEY.match(item)
+                if not km:
+                    raise ValueError(
+                        f"bad UNSET TBLPROPERTIES entry (expected 'k'): {item!r}"
+                    )
+                keys.append(km.group(1))
+            version = t.unset_properties(keys)
+            return {"op": "unset-properties", "table": name, "version": version,
+                    "audit": {"properties": t.properties(),
+                              "dirs_rewritten": 0}}
+        ac = _ADD_CONSTRAINT.match(action)
+        if ac:
+            cname, cexpr = ac.group(1), ac.group(2).strip()
+            version = t.add_constraint(cname, cexpr)
+            return {"op": "add-constraint", "table": name, "version": version,
+                    "audit": {"constraint": cname, "check": cexpr,
+                              "dirs_rewritten": 0}}
+        dc = _DROP_CONSTRAINT.match(action)
+        if dc:
+            version = t.drop_constraint(dc.group(1))
+            return {"op": "drop-constraint", "table": name, "version": version,
+                    "audit": {"constraint": dc.group(1), "dirs_rewritten": 0}}
         tm = _ALTER_TYPE.match(action)
         if tm:
             col, sql_type = tm.group(1), tm.group(2).strip()
@@ -768,7 +915,7 @@ def execute_sql(
                 f"SHOW CREATE TABLE t): {statement[:60]!r}"
             )
         return show_tables(spark, root)
-    if kw in ("CREATE", "ALTER", "DROP", "OPTIMIZE", "VACUUM", "TRUNCATE"):
+    if kw in ("CREATE", "ALTER", "DROP", "OPTIMIZE", "VACUUM", "TRUNCATE", "CALL"):
         if mor_key is not None:
             raise ValueError("mor_key applies to DML DELETE only")
         return execute_ddl(spark, statement, root)
@@ -1133,6 +1280,128 @@ def table_alter_type_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("old_files_stayed_narrow", F.lit(old_narrow).cast("int"))
         .withColumn("new_files_written_wide", F.lit(new_wide).cast("int"))
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "table_governance_sql",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           round({sql_sum2("abs(c_acctbal)")}, 2) AS sum_abs_bal,
+           CAST(1 AS INT) AS insert_refused,
+           CAST(1 AS INT) AS backfill_constraint_refused,
+           CAST(1 AS INT) AS versions_left,
+           'CREATE TABLE customer_gov (' || chr(10) ||
+           '  c_custkey bigint,' || chr(10) ||
+           '  c_mktsegment string,' || chr(10) ||
+           '  c_acctbal double)' || chr(10) ||
+           'USING snapshot' || chr(10) ||
+           'TBLPROPERTIES (' || chr(10) ||
+           '  ''constraint.non_negative_bal'' = ''CHECK (c_acctbal >= 0.0)'',' || chr(10) ||
+           '  ''owner'' = ''data-eng'')' AS show_create
+    FROM (SELECT c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+          FROM customer)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Table governance through SQL (r12): `SET/UNSET TBLPROPERTIES` "
+    "(Iceberg property semantics — merge-over, metadata-only) and "
+    "Delta-style CHECK constraints (`ADD CONSTRAINT ... CHECK`, stored "
+    "in table metadata, enforced on EVERY write path as one fused "
+    "predicate-only validation job over the incoming frame). "
+    "Hash-checked: a violating INSERT is REFUSED leaving no commit "
+    "behind (insert_refused=1 + untouched rollup), adding a constraint "
+    "that existing rows violate is refused after its validation scan "
+    "(backfill_constraint_refused=1), a compliant INSERT lands, "
+    "`CALL expire_snapshots(t, keep_last => 1)` (the Iceberg stored-"
+    "procedure surface) trims history to versions_left=1, and the "
+    "exact SHOW CREATE text — properties plus constraints rendered "
+    "Delta-style, sorted — is pinned as a literal.",
+)
+def table_governance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("cust_gov_src")
+    mk = int(cust.agg(F.max("c_custkey")).first()[0])
+    execute_sql(spark, "DROP TABLE IF EXISTS customer_gov", root=scratch_root())
+    execute_sql(
+        spark,
+        "CREATE TABLE customer_gov AS SELECT c_custkey, c_mktsegment, "
+        "CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM cust_gov_src "
+        "WHERE c_acctbal >= 0.0",
+        root=scratch_root(),
+    )
+    execute_sql(
+        spark,
+        "ALTER TABLE customer_gov SET TBLPROPERTIES "
+        "('owner' = 'data-eng', 'retention.days' = '30')",
+        root=scratch_root(),
+    )
+    execute_sql(
+        spark,
+        "ALTER TABLE customer_gov ADD CONSTRAINT non_negative_bal "
+        "CHECK (c_acctbal >= 0.0)",
+        root=scratch_root(),
+    )
+    t = SnapshotTable(spark, "customer_gov", scratch_root())
+    v_before = t.current_version()
+    try:  # violating write must refuse and commit NOTHING
+        execute_sql(
+            spark,
+            "INSERT INTO customer_gov SELECT c_custkey, c_mktsegment, "
+            "CAST(c_acctbal AS DOUBLE) FROM cust_gov_src WHERE c_acctbal < 0.0",
+            root=scratch_root(),
+        )
+        insert_refused = 0
+    except ValueError:
+        insert_refused = int(t.current_version() == v_before)
+    # compliant write: the negative balances arrive rectified
+    execute_sql(
+        spark,
+        f"INSERT INTO customer_gov SELECT c_custkey + {mk}, c_mktsegment, "
+        "CAST(-c_acctbal AS DOUBLE) FROM cust_gov_src WHERE c_acctbal < 0.0",
+        root=scratch_root(),
+    )
+    try:  # a constraint existing rows violate must refuse
+        execute_sql(
+            spark,
+            "ALTER TABLE customer_gov ADD CONSTRAINT tiny CHECK (c_acctbal < 1.0)",
+            root=scratch_root(),
+        )
+        backfill_refused = 0
+    except ValueError:
+        backfill_refused = 1
+    execute_sql(
+        spark,
+        "ALTER TABLE customer_gov UNSET TBLPROPERTIES ('retention.days')",
+        root=scratch_root(),
+    )
+    res_exp = execute_sql(
+        spark,
+        "CALL expire_snapshots('customer_gov', keep_last => 1)",
+        root=scratch_root(),
+    )
+    stmt = (
+        execute_sql(spark, "SHOW CREATE TABLE customer_gov", root=scratch_root())
+        .collect()[0][0]
+    )
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("c_acctbal"), 2).alias("sum_abs_bal"),
+        )
+        .withColumn("insert_refused", F.lit(insert_refused).cast("int"))
+        .withColumn(
+            "backfill_constraint_refused", F.lit(backfill_refused).cast("int")
+        )
+        .withColumn(
+            "versions_left",
+            F.lit(int(res_exp["audit"]["versions_left"])).cast("int"),
+        )
+        .withColumn("show_create", F.lit(stmt))
+        .orderBy("c_mktsegment")
     )
 
 

@@ -179,7 +179,28 @@ class SnapshotTable:
         expect_parent: int | None = None,
         delete_dirs: list[dict] | None = None,
         retry_on_race: bool = False,
+        extra: dict | None = None,
     ) -> int:
+        # Table-level governance metadata (TBLPROPERTIES, CHECK
+        # constraints) rides every commit: inherited from the parent
+        # snapshot unless `extra` overrides a key — so ordinary writes
+        # carry it forward untouched and time travel shows the
+        # properties/constraints AS OF that version (Iceberg's
+        # properties model; Delta's constraints-in-metadata model).
+        carried: dict = {}
+        if parent is not None:
+            try:
+                pmeta = self._read_meta(parent)
+                carried = {
+                    k: pmeta[k]
+                    for k in ("properties", "constraints")
+                    if pmeta.get(k)
+                }
+            except FileNotFoundError:
+                pass
+        if extra:
+            carried.update(extra)
+        carried = {k: v for k, v in carried.items() if v}
         os.makedirs(self.meta_dir, exist_ok=True)
         # The metadata publish must be a true atomic CREATE, not a
         # check-then-rename: two racing writers can both read the same
@@ -217,6 +238,7 @@ class SnapshotTable:
                 # AS OF time travel (Iceberg snapshot timestamp-ms).
                 # Older metadata lacks the key; readers use .get("ts").
                 "ts": time.time(),
+                **carried,
             }
             tmp = os.path.join(
                 self.meta_dir, f".v{version:05d}.{os.getpid()}.{id(meta):x}.tmp"
@@ -336,6 +358,7 @@ class SnapshotTable:
         meta = self._read_meta(cur)
         spec = meta.get("spec", [])
         df, schema_json = self._align_append_to_schema(df, meta["schema"])
+        self._enforce_constraints(df, meta)
         d = self._write_data(self._to_physical(df, schema_json), spec)
         try:
             return self._commit(
@@ -368,6 +391,7 @@ class SnapshotTable:
             meta = self._read_meta(cur)
             spec = meta.get("spec", [])
             aligned, schema_json = self._align_append_to_schema(df, meta["schema"])
+            self._enforce_constraints(aligned, meta)
             d = self._write_data(self._to_physical(aligned, schema_json), spec)
             try:
                 return self._commit(
@@ -733,10 +757,190 @@ class SnapshotTable:
             f"{max_retries} retries"
         )
 
+    # ------------------------------------------- governance (r12): properties
+    # TBLPROPERTIES (the Iceberg table-properties model) and CHECK
+    # constraints (the Delta constraints model: stored in table metadata,
+    # enforced on every write). Both ride commits via _commit's
+    # inheritance, so ordinary writes carry them forward and time travel
+    # shows them AS OF each version.
+
+    def properties(self) -> dict:
+        cur = self.current_version()
+        return dict(self._read_meta(cur).get("properties", {})) if cur else {}
+
+    def set_properties(self, props: dict, max_retries: int = 3) -> int:
+        """`ALTER TABLE ... SET TBLPROPERTIES`: metadata-only merge-over
+        commit (Iceberg property semantics — unmentioned keys survive)."""
+        if not props or not all(
+            isinstance(k, str) and isinstance(v, str) for k, v in props.items()
+        ):
+            raise ValueError("TBLPROPERTIES must be a non-empty str->str map")
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"table {self.name}: cannot set properties before create"
+                )
+            meta = self._read_meta(cur)
+            merged = {**meta.get("properties", {}), **props}
+            try:
+                return self._commit(
+                    "set-properties", meta["dirs"], cur, meta["schema"],
+                    spec=meta.get("spec", []), dir_specs=self._dir_specs(meta),
+                    expect_parent=cur, delete_dirs=meta.get("delete_dirs", []),
+                    extra={"properties": merged},
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"table {self.name}: set_properties gave up after {max_retries} retries"
+        )
+
+    def unset_properties(self, keys: list[str], max_retries: int = 3) -> int:
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"table {self.name}: cannot unset properties before create"
+                )
+            meta = self._read_meta(cur)
+            props = dict(meta.get("properties", {}))
+            missing = [k for k in keys if k not in props]
+            if missing:
+                raise ValueError(
+                    f"table {self.name}: no such table propert"
+                    f"{'y' if len(missing) == 1 else 'ies'}: {missing}"
+                )
+            for k in keys:
+                props.pop(k)
+            try:
+                return self._commit(
+                    "unset-properties", meta["dirs"], cur, meta["schema"],
+                    spec=meta.get("spec", []), dir_specs=self._dir_specs(meta),
+                    expect_parent=cur, delete_dirs=meta.get("delete_dirs", []),
+                    extra={"properties": props},
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"table {self.name}: unset_properties gave up after {max_retries} retries"
+        )
+
+    # --------------------------------------------- governance: CHECK constraints
+
+    def constraints(self) -> dict:
+        cur = self.current_version()
+        return dict(self._read_meta(cur).get("constraints", {})) if cur else {}
+
+    def add_constraint(self, name: str, expr: str, max_retries: int = 3) -> int:
+        """`ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` — Delta
+        semantics: the expression (full Spark SQL, parsed by Catalyst)
+        must hold on ALL EXISTING rows (one predicate-only validation
+        scan, map-side, no shuffle) and is then enforced on every
+        subsequent write. SQL three-valued logic: a NULL check passes,
+        matching the SQL-standard CHECK."""
+        if not re.match(r"^\w+$", name):
+            raise ValueError(f"invalid constraint name: {name!r}")
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"table {self.name}: cannot add a constraint before create"
+                )
+            meta = self._read_meta(cur)
+            cons = dict(meta.get("constraints", {}))
+            if name in cons:
+                raise ValueError(
+                    f"table {self.name}: constraint {name!r} already exists"
+                )
+            # Catalyst parses/analyzes the expression against the real
+            # schema (raises on nonsense), then existing data validates
+            snap = self.read(version=cur)
+            bad = snap.filter(~F.expr(expr)).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"table {self.name}: existing rows violate CHECK "
+                    f"({expr}) — e.g. {bad[0].asDict()}; clean the data "
+                    "before adding the constraint"
+                )
+            cons[name] = expr
+            try:
+                return self._commit(
+                    "add-constraint", meta["dirs"], cur, meta["schema"],
+                    spec=meta.get("spec", []), dir_specs=self._dir_specs(meta),
+                    expect_parent=cur, delete_dirs=meta.get("delete_dirs", []),
+                    extra={"constraints": cons},
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"table {self.name}: add_constraint gave up after {max_retries} retries"
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 3) -> int:
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"table {self.name}: cannot drop a constraint before create"
+                )
+            meta = self._read_meta(cur)
+            cons = dict(meta.get("constraints", {}))
+            if name not in cons:
+                raise ValueError(f"table {self.name}: no constraint {name!r}")
+            cons.pop(name)
+            try:
+                return self._commit(
+                    "drop-constraint", meta["dirs"], cur, meta["schema"],
+                    spec=meta.get("spec", []), dir_specs=self._dir_specs(meta),
+                    expect_parent=cur, delete_dirs=meta.get("delete_dirs", []),
+                    extra={"constraints": cons},
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"table {self.name}: drop_constraint gave up after {max_retries} retries"
+        )
+
+    def _enforce_constraints(self, df: DataFrame, meta: dict) -> None:
+        """Validate an incoming LOGICAL frame against the snapshot's
+        CHECK constraints before any bytes land (Delta write-path
+        enforcement). Cost when constraints exist: ONE predicate-only
+        job over the incoming frame (all constraints fused into a
+        single filter), map-side, no shuffle — `limit(1)` stops at the
+        first violating row. Caveat: the frame is evaluated once here
+        and once by the write; a non-deterministic source expression
+        could pass validation yet write a violating value — same
+        read-twice caveat as Delta's CDF-less constraint check.
+        A constraint referencing a column the frame lacks fails
+        analysis and surfaces as the refusal (overwrite with a new
+        schema: drop the constraint first)."""
+        cons = meta.get("constraints", {})
+        if not cons:
+            return
+        import functools
+
+        fused = functools.reduce(
+            lambda a, b: a & b, [F.expr(e) for e in cons.values()]
+        )
+        if df.filter(~fused).limit(1).collect():
+            for cname in sorted(cons):
+                bad = df.filter(~F.expr(cons[cname])).limit(1).collect()
+                if bad:
+                    raise ValueError(
+                        f"table {self.name}: write violates CHECK constraint "
+                        f"{cname!r} ({cons[cname]}) — e.g. {bad[0].asDict()}"
+                    )
+            raise ValueError(
+                f"table {self.name}: write violates a CHECK constraint"
+            )
+
     def overwrite(
         self, df: DataFrame, op: str = "overwrite", spec: list[str] | None = None
     ) -> int:
         cur = self.current_version()
+        if cur is not None:
+            self._enforce_constraints(df, self._read_meta(cur))
         spec = self.current_spec() if spec is None else spec
         d = self._write_data(df, spec)
         return self._commit(
@@ -1453,6 +1657,7 @@ class SnapshotTable:
         # on the write detects it for free (no extra counting job);
         # rewriting branches never take this path (their output
         # legitimately may be empty, e.g. a DELETE of a whole file).
+        self._enforce_constraints(merged, meta)
         obs = None
         if clauses is not None and not touched:
             from pyspark.sql import Observation
@@ -1900,6 +2105,7 @@ class SnapshotTable:
                 # empty-source posture).
                 return cur, {"dirs_rewritten": 0, "dirs_reused": len(meta["dirs"])}
             rewritten = transform(self._read_dirs_mor(meta, touched))
+            self._enforce_constraints(rewritten, meta)
             d_new = self._write_data(self._to_physical(rewritten, meta["schema"]), spec)
             schema_json = meta["schema"]
             try:
@@ -2105,6 +2311,7 @@ class SnapshotTable:
             pmeta = self._read_meta(parent)
             spec = pmeta.get("spec", [])
             aligned, schema_json = self._align_append_to_schema(df, pmeta["schema"])
+            self._enforce_constraints(aligned, pmeta)
             d = self._write_data(self._to_physical(aligned, schema_json), spec)
             v = self._commit(
                 f"append@{branch}",

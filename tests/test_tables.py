@@ -2114,6 +2114,10 @@ def test_ddl_grammar_guards(spark, nation):
     with pytest.raises(ValueError, match="unexpected tokens"):
         execute_ddl(spark, "CREATE TABLE t_x USING parquet AS SELECT 1 AS a")
     with pytest.raises(ValueError, match="unsupported ALTER"):
+        execute_ddl(spark, "ALTER TABLE t_x SET LOCATION '/elsewhere'")
+    # SET TBLPROPERTIES is a real statement now (r12) — it fails on the
+    # missing table, not on the grammar
+    with pytest.raises(ValueError, match="before create"):
         execute_ddl(spark, "ALTER TABLE t_x SET TBLPROPERTIES ('a'='b')")
     with pytest.raises(ValueError, match="unsupported DDL"):
         execute_ddl(spark, "ANALYZE TABLE t_x")
@@ -2958,3 +2962,104 @@ def test_show_create_table_pins_schema_and_spec(spark, nation):
     with pytest.raises(ValueError, match="does not exist"):
         execute_sql(spark, "SHOW CREATE TABLE t_sct_nope")
     SnapshotTable(spark, "t_sct_unit").drop()
+
+
+def test_properties_ride_commits_and_time_travel(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_ddl
+
+    t = SnapshotTable(spark, "t_props_unit")
+    t.drop()
+    t.create(nation.limit(5))
+    t.set_properties({"owner": "a", "tier": "bronze"})
+    t.append(nation.filter(F.col("n_nationkey") >= 5))  # ordinary write carries props
+    assert t.properties() == {"owner": "a", "tier": "bronze"}
+    t.set_properties({"tier": "silver"})  # merge-over: owner survives
+    assert t.properties() == {"owner": "a", "tier": "silver"}
+    t.unset_properties(["owner"])
+    assert t.properties() == {"tier": "silver"}
+    # AS OF: the pre-unset version still shows owner
+    assert t._read_meta(3).get("properties") == {"owner": "a", "tier": "bronze"}
+    with pytest.raises(ValueError, match="no such table propert"):
+        t.unset_properties(["nope"])
+    res = execute_ddl(spark, "ALTER TABLE t_props_unit SET TBLPROPERTIES ('x' = '1')")
+    assert res["audit"]["properties"]["x"] == "1"
+    with pytest.raises(ValueError, match="TBLPROPERTIES"):
+        execute_ddl(spark, "ALTER TABLE t_props_unit SET TBLPROPERTIES (bad)")
+    t.drop()
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, nation):
+    t = SnapshotTable(spark, "t_cons_unit")
+    t.drop()
+    t.create(
+        nation.select(
+            "n_nationkey", F.col("n_regionkey").cast("double").alias("score")
+        )
+    )
+    t.add_constraint("score_nonneg", "score >= 0.0")
+    bad = spark.createDataFrame([(100, -1.0)], "n_nationkey int, score double")
+    good = spark.createDataFrame([(100, 1.0)], "n_nationkey int, score double")
+    with pytest.raises(ValueError, match="score_nonneg"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="score_nonneg"):
+        t.append_checked(bad)
+    with pytest.raises(ValueError, match="score_nonneg"):
+        t.merge(bad, key="n_nationkey")
+    with pytest.raises(ValueError, match="score_nonneg"):
+        t.update_where(F.col("n_nationkey") == 0, {"score": F.lit(-5.0)})
+    with pytest.raises(ValueError, match="score_nonneg"):
+        t.overwrite(bad)
+    v = t.current_version()
+    t.append(good)  # compliant writes land
+    assert t.current_version() == v + 1
+    # NULL check passes (SQL three-valued CHECK)
+    t.append(spark.createDataFrame([(101, None)], "n_nationkey int, score double"))
+    # a constraint existing rows violate refuses with a sample row
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("tiny", "score < 0.5")
+    t.drop_constraint("score_nonneg")
+    t.append(bad)  # enforcement gone
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("score_nonneg")
+    t.drop()
+
+
+def test_constraints_enforced_on_branch_append(spark, nation):
+    t = SnapshotTable(spark, "t_cons_branch")
+    t.drop()
+    t.create(
+        nation.select(
+            "n_nationkey", F.col("n_regionkey").cast("double").alias("score")
+        )
+    )
+    t.add_constraint("nonneg", "score >= 0.0")
+    t.set_ref("dev", t.current_version(), expect=None)
+    bad = spark.createDataFrame([(200, -2.0)], "n_nationkey int, score double")
+    with pytest.raises(ValueError, match="nonneg"):
+        t.branch_append("dev", bad)
+    t.drop()
+
+
+def test_call_procedures_and_guards(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    t = SnapshotTable(spark, "t_call_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    res = execute_sql(spark, "CALL rollback_to_version('t_call_unit', 1)")
+    assert res["op"] == "call-rollback_to_version"
+    assert t.read().count() == 10
+    res = execute_sql(spark, "CALL compact('t_call_unit')")
+    assert res["op"] == "call-compact"
+    res = execute_sql(spark, "CALL expire_snapshots('t_call_unit', keep_last => 2)")
+    assert res["audit"]["versions_left"] == 2
+    with pytest.raises(ValueError, match="unknown procedure"):
+        execute_sql(spark, "CALL frobnicate('t_call_unit')")
+    with pytest.raises(ValueError, match="missing argument"):
+        execute_sql(spark, "CALL rollback_to_version('t_call_unit')")
+    with pytest.raises(ValueError, match="positional CALL argument"):
+        execute_sql(spark, "CALL expire_snapshots(keep_last => 1, 't_call_unit')")
+    with pytest.raises(ValueError, match="string.*or integer"):
+        execute_sql(spark, "CALL compact(t_call_unit)")
+    t.drop()
