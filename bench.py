@@ -74,6 +74,12 @@ HEADLINE = [
     # commits per call) and the BY SOURCE full-sync MERGE
     "stream_cdc_apply",
     "table_merge_sync_dml",
+    # r12 late additions — NEW in BENCH_r12 (cross-round comparable number
+    # is the sum over queries shared with r11): the ALTER COLUMN TYPE
+    # metadata-only promotion story and the governance statement bundle
+    # (TBLPROPERTIES + CHECK-constraint enforcement + CALL expire)
+    "table_alter_type_sql",
+    "table_governance_sql",
 ]
 
 # r7: no per-query special-casing remains. Every timed run is the

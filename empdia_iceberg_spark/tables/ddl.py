@@ -137,6 +137,11 @@ _DROP_CONSTRAINT = re.compile(r"^DROP\s+CONSTRAINT\s+(\w+)\s*$", re.IGNORECASE)
 _CALL_HEAD = re.compile(
     r"^\s*CALL\s+(\w+)\s*\((.*)\)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
+_ANALYZE_HEAD = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+COLUMNS\b(.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _PROP_PAIR = re.compile(r"^\s*'([^']+)'\s*=\s*'([^']*)'\s*$")
 _PROP_KEY = re.compile(r"^\s*'([^']+)'\s*$")
 
@@ -332,6 +337,7 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION n]
         CALL rollback_to_version('t', n) | expire_snapshots('t' [, keep_last => k])
              | compact('t')
+        ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]  (-> t.stats)
         ALTER TABLE t DROP BRANCH|TAG name
         ALTER TABLE t ADD PARTITION FIELD col
         ALTER TABLE t DROP PARTITION FIELD col
@@ -347,6 +353,17 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
     m = _CALL_HEAD.match(statement)
     if m:
         return _call_procedure(spark, m.group(1).lower(), m.group(2), root)
+    m = _ANALYZE_HEAD.match(statement)
+    if m:
+        name, collist = m.group(1), m.group(2)
+        t = SnapshotTable(spark, name, root)
+        cols = [c.strip() for c in (collist or "").split(",") if c.strip()]
+        if collist is not None and not cols:
+            raise ValueError("ANALYZE ... FOR COLUMNS names no columns")
+        version = t.analyze(cols or None)
+        return {"op": "analyze", "table": name, "version": version,
+                "audit": {"stats": t._read_meta(version)["stats"],
+                          "dirs_rewritten": 0}}
     m = _CREATE_HEAD.match(statement)
     if m:
         or_replace, if_not_exists, name, rest = (
@@ -716,7 +733,7 @@ def _optimize(spark: SparkSession, t: SnapshotTable, zorder_cols: list[str]) -> 
 # is a column) is left untouched. Like Iceberg, a COLUMN named exactly
 # like a metadata table on a snapshot table of the same name is
 # shadowed — qualify through a view alias to reach it.
-_META_REF = re.compile(r"\b([A-Za-z_]\w*)\.(snapshots|refs|files)\b")
+_META_REF = re.compile(r"\b([A-Za-z_]\w*)\.(snapshots|refs|files|stats)\b")
 
 
 def _metadata_frame(spark: SparkSession, t: SnapshotTable, kind: str) -> DataFrame:
@@ -745,6 +762,31 @@ def _metadata_frame(spark: SparkSession, t: SnapshotTable, kind: str) -> DataFra
     elif kind == "refs":
         rows = sorted(t.refs().items())
         schema = "name string, version int"
+    elif kind == "stats":
+        st = t._read_meta(t.current_version()).get("stats")
+        rows = []
+        if st:
+            rows = [
+                (
+                    c,
+                    st["row_count"],
+                    cs["ndv"],
+                    cs["null_count"],
+                    cs["min"],
+                    cs["max"],
+                    st["as_of_version"],
+                )
+                for c, cs in sorted(st.get("columns", {}).items())
+            ] or [
+                # table analyzed without FOR COLUMNS: one table-level row
+                ("_table_", st["row_count"], None, None, None, None,
+                 st["as_of_version"])
+            ]
+        schema = (
+            "col_name string, row_count bigint, ndv bigint, "
+            "null_count bigint, min_value string, max_value string, "
+            "as_of_version int"
+        )
     else:  # files
         meta = t._read_meta(t.current_version())
         rows = []
@@ -915,7 +957,8 @@ def execute_sql(
                 f"SHOW CREATE TABLE t): {statement[:60]!r}"
             )
         return show_tables(spark, root)
-    if kw in ("CREATE", "ALTER", "DROP", "OPTIMIZE", "VACUUM", "TRUNCATE", "CALL"):
+    if kw in ("CREATE", "ALTER", "DROP", "OPTIMIZE", "VACUUM",
+              "TRUNCATE", "CALL", "ANALYZE"):
         if mor_key is not None:
             raise ValueError("mor_key applies to DML DELETE only")
         return execute_ddl(spark, statement, root)
@@ -1280,6 +1323,89 @@ def table_alter_type_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("old_files_stayed_narrow", F.lit(old_narrow).cast("int"))
         .withColumn("new_files_written_wide", F.lit(new_wide).cast("int"))
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "table_analyze_sql",
+    oracle="""
+    WITH st AS (
+        SELECT count(*) AS row_count,
+               count(DISTINCT o_custkey) AS ndv_ck,
+               CAST(min(o_custkey) AS VARCHAR) AS min_ck,
+               CAST(max(o_custkey) AS VARCHAR) AS max_ck,
+               count(DISTINCT o_orderstatus) AS ndv_st,
+               CAST(min(o_orderstatus) AS VARCHAR) AS min_st,
+               CAST(max(o_orderstatus) AS VARCHAR) AS max_st
+        FROM orders
+    )
+    SELECT 'o_custkey' AS col_name, row_count, ndv_ck AS ndv,
+           CAST(0 AS BIGINT) AS null_count, min_ck AS min_value,
+           max_ck AS max_value, CAST(3 AS INT) AS as_of_version,
+           CAST(1 AS INT) AS stale_as_of_after_append
+    FROM st
+    UNION ALL
+    SELECT 'o_orderstatus', row_count, ndv_st, CAST(0 AS BIGINT),
+           min_st, max_st, CAST(3 AS INT), CAST(1 AS INT)
+    FROM st
+    ORDER BY col_name
+    """,
+    doc="`ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` (r12) + the "
+    "`t.stats` metadata table: ONE aggregation pass computes row count "
+    "and per-column exact NDV / null count / min / max (rendered "
+    "through the engine's string cast), committed into snapshot "
+    "metadata with the analyzed version PINNED — a later append "
+    "carries the stats forward unchanged and `t.stats` shows the stale "
+    "as_of_version (the Iceberg/Spark model: stats describe the "
+    "snapshot they were computed on; staleness is visible, never "
+    "hidden — hash-checked via stale_as_of_after_append=2), and a "
+    "re-ANALYZE refreshes every value over both file generations "
+    "(hash-checked against base-table aggregates).",
+)
+def table_analyze_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_an_src")
+    execute_sql(spark, "DROP TABLE IF EXISTS orders_stats_t", root=scratch_root())
+    execute_sql(
+        spark,
+        "CREATE TABLE orders_stats_t AS SELECT o_orderkey, o_custkey, "
+        "o_orderstatus FROM orders_an_src WHERE o_orderkey % 2 = 0",
+        root=scratch_root(),
+    )
+    execute_sql(
+        spark,
+        "ANALYZE TABLE orders_stats_t COMPUTE STATISTICS "
+        "FOR COLUMNS o_custkey, o_orderstatus",
+        root=scratch_root(),
+    )
+    execute_sql(
+        spark,
+        "INSERT INTO orders_stats_t SELECT o_orderkey, o_custkey, "
+        "o_orderstatus FROM orders_an_src WHERE o_orderkey % 2 = 1",
+        root=scratch_root(),
+    )
+    # stats ride the append UNCHANGED: as_of still pins ANALYZED v1
+    # (as_of_version records the snapshot the stats DESCRIBE, which is
+    # the analyze commit's parent, not the analyze commit itself)
+    stale = execute_sql(
+        spark,
+        "SELECT DISTINCT as_of_version FROM orders_stats_t.stats",
+        root=scratch_root(),
+    ).collect()
+    stale_as_of = int(stale[0][0]) if len(stale) == 1 else -1
+    execute_sql(
+        spark,
+        "ANALYZE TABLE orders_stats_t COMPUTE STATISTICS "
+        "FOR COLUMNS o_custkey, o_orderstatus",
+        root=scratch_root(),
+    )
+    return (
+        execute_sql(
+            spark,
+            "SELECT * FROM orders_stats_t.stats",
+            root=scratch_root(),
+        )
+        .withColumn("stale_as_of_after_append", F.lit(stale_as_of).cast("int"))
+        .orderBy("col_name")
     )
 
 

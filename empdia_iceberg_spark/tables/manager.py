@@ -193,7 +193,7 @@ class SnapshotTable:
                 pmeta = self._read_meta(parent)
                 carried = {
                     k: pmeta[k]
-                    for k in ("properties", "constraints")
+                    for k in ("properties", "constraints", "stats")
                     if pmeta.get(k)
                 }
             except FileNotFoundError:
@@ -900,6 +900,68 @@ class SnapshotTable:
                 continue
         raise CommitConflictError(
             f"table {self.name}: drop_constraint gave up after {max_retries} retries"
+        )
+
+    def analyze(self, columns: list[str] | None = None, max_retries: int = 3) -> int:
+        """`ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]`:
+        ONE aggregation pass over the current snapshot (row count, plus
+        per requested column: exact NDV, null count, min/max rendered
+        through Spark's string cast), committed into the snapshot
+        metadata with the analyzed version pinned. Later writes carry
+        the stats forward UNCHANGED — the Iceberg/Spark model: stats
+        describe the snapshot they were computed on, and `t.stats`
+        exposes `as_of_version` so staleness is visible, never hidden.
+        Scale shape: one shuffle-light agg job (count-distinct is the
+        only exchange); nothing driver-side but the 1-row result."""
+        cols = list(columns or [])
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"table {self.name}: cannot ANALYZE before create"
+                )
+            meta = self._read_meta(cur)
+            schema = T.StructType.fromJson(json.loads(meta["schema"]))
+            missing = [c for c in cols if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(
+                    f"table {self.name}: ANALYZE FOR COLUMNS names unknown "
+                    f"column(s) {missing}"
+                )
+            snap = self.read(version=cur)
+            aggs = [F.count(F.lit(1)).alias("__rows")]
+            for c in cols:
+                aggs += [
+                    F.countDistinct(c).alias(f"__ndv_{c}"),
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}"),
+                    F.min(c).cast("string").alias(f"__min_{c}"),
+                    F.max(c).cast("string").alias(f"__max_{c}"),
+                ]
+            row = snap.agg(*aggs).first()
+            stats = {
+                "as_of_version": cur,
+                "row_count": int(row["__rows"]),
+                "columns": {
+                    c: {
+                        "ndv": int(row[f"__ndv_{c}"]),
+                        "null_count": int(row[f"__nul_{c}"] or 0),
+                        "min": row[f"__min_{c}"],
+                        "max": row[f"__max_{c}"],
+                    }
+                    for c in cols
+                },
+            }
+            try:
+                return self._commit(
+                    "analyze", meta["dirs"], cur, meta["schema"],
+                    spec=meta.get("spec", []), dir_specs=self._dir_specs(meta),
+                    expect_parent=cur, delete_dirs=meta.get("delete_dirs", []),
+                    extra={"stats": stats},
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"table {self.name}: analyze gave up after {max_retries} retries"
         )
 
     def _enforce_constraints(self, df: DataFrame, meta: dict) -> None:

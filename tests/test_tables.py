@@ -3063,3 +3063,38 @@ def test_call_procedures_and_guards(spark, nation):
     with pytest.raises(ValueError, match="string.*or integer"):
         execute_sql(spark, "CALL compact(t_call_unit)")
     t.drop()
+
+
+def test_analyze_stats_semantics_and_guards(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    t = SnapshotTable(spark, "t_an_unit")
+    t.drop()
+    t.create(
+        nation.select(
+            "n_nationkey", "n_name",
+            F.when(F.col("n_nationkey") < 3, None)
+            .otherwise(F.col("n_regionkey")).alias("rk"),
+        )
+    )
+    res = execute_sql(
+        spark, "ANALYZE TABLE t_an_unit COMPUTE STATISTICS FOR COLUMNS rk"
+    )
+    st = res["audit"]["stats"]
+    assert st["row_count"] == nation.count()
+    assert st["columns"]["rk"]["null_count"] == 3
+    assert st["columns"]["rk"]["ndv"] == nation.select("n_regionkey").distinct().count()
+    # table-level only (no FOR COLUMNS) -> one _table_ row in t.stats
+    execute_sql(spark, "ANALYZE TABLE t_an_unit COMPUTE STATISTICS")
+    rows = execute_sql(spark, "SELECT * FROM t_an_unit.stats").collect()
+    assert [r.col_name for r in rows] == ["_table_"]
+    assert rows[0].row_count == nation.count() and rows[0].ndv is None
+    with pytest.raises(ValueError, match="unknown column"):
+        execute_sql(
+            spark, "ANALYZE TABLE t_an_unit COMPUTE STATISTICS FOR COLUMNS nope"
+        )
+    with pytest.raises(ValueError, match="names no columns"):
+        execute_sql(
+            spark, "ANALYZE TABLE t_an_unit COMPUTE STATISTICS FOR COLUMNS "
+        )
+    t.drop()
