@@ -85,7 +85,10 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
     `maxFilesPerTrigger`, the Delta knob) bounds each micro-batch to
     that many new files, splitting WITHIN a large append commit when
     needed, so a big backlog drains in bounded batches instead of one
-    giant plan.
+    giant plan. `max_bytes_per_trigger` (alias `maxBytesPerTrigger`) is
+    the byte-budget twin — whichever budget exhausts first ends the
+    batch, and an oversized single file still ships whole (a file is
+    the atomic offset unit, Delta's behavior).
 
     The bound is emulated in `latestOffset` because the Spark 4 Python
     streaming API exposes no ReadLimit/AvailableNow hooks (the JVM
@@ -129,6 +132,17 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         )
         if self.max_files < 0:
             raise ValueError("max_files_per_trigger must be >= 1 (or unset)")
+        # byte-budget twin (Delta's maxBytesPerTrigger): whichever budget
+        # exhausts first ends the batch; a single file larger than the
+        # byte budget still ships whole (a file is the atomic unit)
+        self.max_bytes = int(
+            options.get(
+                "max_bytes_per_trigger", options.get("maxbytespertrigger", 0)
+            )
+            or 0
+        )
+        if self.max_bytes < 0:
+            raise ValueError("max_bytes_per_trigger must be >= 1 (or unset)")
         self.schema_ddl = schema_ddl
         # metadata-only accessors: SnapshotTable never touches its spark
         # handle for _versions/_read_meta, so the version-log layout
@@ -137,7 +151,7 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         # position = the largest Spark-provided offset seen (see class
         # docstring for why it must never come from our own results)
         self._pos: tuple[int, float] | None = None
-        self._files_cache: dict[int, list[str]] = {}
+        self._files_cache: dict[int, list[tuple[str, int]]] = {}
 
     @staticmethod
     def _key(v: int, f: int | None) -> tuple[int, float]:
@@ -163,17 +177,17 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                 "option('starting_version', <earliest retained version>)."
             )
 
-    def _new_files(self, v: int, raise_on_change: bool) -> list[str] | None:
-        """Ordered new parquet files of version v (the append delta vs
-        its parent). [] for metadata-only commits; None for a CHANGE
-        commit when the caller wants the lenient path (latestOffset's
-        counting walk) instead of the user-facing error."""
+    def _new_files(self, v: int, raise_on_change: bool) -> list[tuple[str, int]] | None:
+        """Ordered new (parquet file, size_bytes) pairs of version v
+        (the append delta vs its parent). [] for metadata-only commits;
+        None for a CHANGE commit when the caller wants the lenient path
+        (latestOffset's counting walk) instead of the user-facing error."""
         if v in self._files_cache:
             return self._files_cache[v]
         meta = self._meta(v)
         op = meta.get("op", "")
         if op in _METADATA_OPS:
-            files: list[str] = []
+            files: list[tuple[str, int]] = []
         elif not (op in _APPEND_OPS or op.startswith("append@")):
             if self.skip_change:
                 files = []
@@ -196,7 +210,8 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                 for root_, _dirs, fnames in os.walk(d):
                     for fn in sorted(fnames):
                         if fn.endswith(".parquet"):
-                            files.append(os.path.join(root_, fn))
+                            fp = os.path.join(root_, fn)
+                            files.append((fp, os.path.getsize(fp)))
         self._files_cache[v] = files
         return files
 
@@ -213,7 +228,7 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         vs = self._versions()
         head = {"version": vs[-1] if vs else 0, "file": None}
-        if not self.max_files:
+        if not (self.max_files or self.max_bytes):
             return head
         if self._pos is None:
             # position not learned yet (first call of a run precedes both
@@ -221,18 +236,25 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
             # class docstring for why bounding here would be unsafe
             return head
         cur_v, cur_f = self._pos
-        budget = self.max_files
+        f_budget = self.max_files or float("inf")
+        b_budget = self.max_bytes or float("inf")
+        taken = 0
         for v in range(max(cur_v, 1), (vs[-1] if vs else 0) + 1):
             files = self._new_files(v, raise_on_change=False)
             if files is None:
                 # change commit without skip_change: let partitions()
                 # raise the informative error on the next batch
                 return head
-            lo = min(cur_f, len(files)) if v == cur_v else 0
-            remaining = len(files) - int(lo)
-            if remaining > budget:
-                return {"version": v, "file": int(lo) + budget}
-            budget -= remaining
+            lo = int(min(cur_f, len(files))) if v == cur_v else 0
+            for i in range(lo, len(files)):
+                if f_budget < 1 or (b_budget < files[i][1] and taken > 0):
+                    # budget exhausted with data left: end the batch here
+                    # (an oversized single file still ships whole —
+                    # taken==0 lets it through rather than stalling)
+                    return {"version": v, "file": i}
+                f_budget -= 1
+                b_budget -= files[i][1]
+                taken += 1
         return head
 
     def commit(self, end: dict) -> None:
@@ -270,7 +292,7 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                 if v == e_v
                 else len(files)
             )
-            for path in files[lo:hi]:
+            for path, _sz in files[lo:hi]:
                 parts.append(_TailFilePartition(path, fields, self.schema_ddl))
         return parts
 
@@ -305,10 +327,11 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
 class SnapshotTailDataSource(DataSource):
     """`spark.readStream.format("snapshot_tail").option("table", name)
     [.option("root", ...)] [.option("skip_change_commits", "true")]
-    [.option("maxFilesPerTrigger", n)]` — the last is the r12 admission
-    control knob (alias `max_files_per_trigger`): at most n new files
-    per micro-batch after the first batch of a run (see
-    SnapshotTailStreamReader for the exact bound semantics)."""
+    [.option("maxFilesPerTrigger", n)] [.option("maxBytesPerTrigger", b)]`
+    — the last two are the r12 admission control knobs (snake_case
+    aliases accepted): at most n new files / b new bytes per micro-batch
+    after the first batch of a run (see SnapshotTailStreamReader for
+    the exact bound semantics)."""
 
     @classmethod
     def name(cls) -> str:

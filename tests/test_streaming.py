@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from empdia_iceberg_spark.functions.termination import turn_log_from_events, with_termination
@@ -514,4 +515,59 @@ def test_snapshot_tail_bounded_offsets_split_within_commit(spark):
     # drag the learned position backwards
     assert r.partitions({"version": 2, "file": None}, {"version": 1, "file": 0}) == []
     assert r.latestOffset() == {"version": 2, "file": None}
+    t.drop()
+
+
+def test_snapshot_tail_byte_budget_bounds_batches(spark):
+    """max_bytes_per_trigger: the byte-budget twin of the file cap —
+    whichever exhausts first ends the batch, and a single file larger
+    than the budget still ships whole instead of stalling."""
+    from empdia_iceberg_spark.sources.table_stream import SnapshotTailStreamReader
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    nation = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    t = SnapshotTable(spark, "t_tail_bytes_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 8))
+    for lo, hi in ((8, 16), (16, 25)):
+        t.append(
+            nation.filter((F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi))
+        )
+    schema_json = t._read_meta(t.current_version())["schema"]
+    sizes = [
+        sz
+        for v in (1, 2, 3)
+        for _p, sz in SnapshotTailStreamReader(
+            {"table": "t_tail_bytes_unit"}, schema_json
+        )._new_files(v, raise_on_change=True)
+    ]
+    # budget = just under two files: each batch carries exactly one file
+    r = SnapshotTailStreamReader(
+        {"table": "t_tail_bytes_unit",
+         "maxbytespertrigger": str(min(sizes) * 2 - 1)},
+        schema_json,
+    )
+    o = r.initialOffset()
+    seen = 0
+    while True:
+        nxt = r.latestOffset()
+        if nxt == o:
+            break
+        parts = r.partitions(o, nxt)
+        assert len(parts) == 1, "byte budget under 2 files => 1 file per batch"
+        r.commit(nxt)
+        seen += len(parts)
+        o = nxt
+    assert seen == len(sizes)  # every file delivered exactly once
+    # an oversized single file ships whole rather than stalling
+    r2 = SnapshotTailStreamReader(
+        {"table": "t_tail_bytes_unit", "maxbytespertrigger": "1"}, schema_json
+    )
+    o2 = r2.initialOffset()
+    n2 = r2.latestOffset()
+    assert len(r2.partitions(o2, n2)) == 1
+    with pytest.raises(ValueError, match="max_bytes_per_trigger"):
+        SnapshotTailStreamReader(
+            {"table": "t_tail_bytes_unit", "maxbytespertrigger": "-1"}, schema_json
+        )
     t.drop()
