@@ -733,7 +733,9 @@ def _optimize(spark: SparkSession, t: SnapshotTable, zorder_cols: list[str]) -> 
 # is a column) is left untouched. Like Iceberg, a COLUMN named exactly
 # like a metadata table on a snapshot table of the same name is
 # shadowed — qualify through a view alias to reach it.
-_META_REF = re.compile(r"\b([A-Za-z_]\w*)\.(snapshots|refs|files|stats)\b")
+_META_REF = re.compile(
+    r"\b([A-Za-z_]\w*)\.(snapshots|refs|files|stats|partitions)\b"
+)
 
 
 def _metadata_frame(spark: SparkSession, t: SnapshotTable, kind: str) -> DataFrame:
@@ -787,6 +789,36 @@ def _metadata_frame(spark: SparkSession, t: SnapshotTable, kind: str) -> DataFra
             "null_count bigint, min_value string, max_value string, "
             "as_of_version int"
         )
+    elif kind == "partitions":
+        # Iceberg `t.partitions`: per-partition-value file/byte counts of
+        # the CURRENT snapshot. Partition values live in hive `_p_<col>=`
+        # subdir names (the shadow-column layout), so this is one
+        # os.walk per dir — metadata-sized, no file reads. Dirs written
+        # under an empty spec report a single '' partition.
+        meta = t._read_meta(t.current_version())
+        agg: dict = {}
+        for d, dspec in zip(meta["dirs"], t._dir_specs(meta)):
+            for root_, _dirs, fnames in _os.walk(d):
+                pq_files = [f for f in fnames if f.endswith(".parquet")]
+                if not pq_files:
+                    continue
+                rel = _os.path.relpath(root_, d)
+                part = "/".join(
+                    p_ for p_ in rel.split(_os.sep) if p_.startswith("_p_")
+                ).replace("_p_", "")
+                key = (part, ",".join(dspec))
+                n, b = agg.get(key, (0, 0))
+                agg[key] = (
+                    n + len(pq_files),
+                    b + sum(
+                        _os.path.getsize(_os.path.join(root_, f))
+                        for f in pq_files
+                    ),
+                )
+        rows = [
+            (part, spec_, n, b) for (part, spec_), (n, b) in sorted(agg.items())
+        ]
+        schema = "partition string, spec string, n_files int, size_bytes bigint"
     else:  # files
         meta = t._read_meta(t.current_version())
         rows = []

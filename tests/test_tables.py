@@ -3098,3 +3098,29 @@ def test_analyze_stats_semantics_and_guards(spark, nation):
             spark, "ANALYZE TABLE t_an_unit COMPUTE STATISTICS FOR COLUMNS "
         )
     t.drop()
+
+
+def test_partitions_metadata_table(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    t = SnapshotTable(spark, "t_parts_meta")
+    t.drop()
+    t.create(nation, partition_by=["n_regionkey"])
+    t.append(nation.limit(3))  # current spec still n_regionkey
+    rows = execute_sql(
+        spark,
+        "SELECT * FROM t_parts_meta.partitions ORDER BY partition",
+    ).collect()
+    vals = {r.partition for r in rows}
+    want = {
+        f"n_regionkey={v[0]}" for v in nation.select("n_regionkey").distinct().collect()
+    }
+    assert vals == want
+    assert all(r.spec == "n_regionkey" and r.n_files >= 1 for r in rows)
+    # files metadata table and partitions table agree on byte totals
+    files_bytes = sum(
+        r.size_bytes
+        for r in execute_sql(spark, "SELECT * FROM t_parts_meta.files").collect()
+    )
+    assert sum(r.size_bytes for r in rows) == files_bytes
+    t.drop()
