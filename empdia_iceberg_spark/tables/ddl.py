@@ -142,6 +142,17 @@ _ANALYZE_HEAD = re.compile(
     r"(?:\s+FOR\s+COLUMNS\b(.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_VIEW = re.compile(
+    r"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+(\w+)\s+AS\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_CREATE_VIEW = re.compile(
+    r"^\s*SHOW\s+CREATE\s+VIEW\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_VIEWS_HEAD = re.compile(r"^\s*SHOW\s+VIEWS\s*;?\s*$", re.IGNORECASE)
 _PROP_PAIR = re.compile(r"^\s*'([^']+)'\s*=\s*'([^']*)'\s*$")
 _PROP_KEY = re.compile(r"^\s*'([^']+)'\s*$")
 
@@ -244,6 +255,149 @@ def _split_columns(s: str) -> list[str]:
         buf.append(ch)
     parts.append("".join(buf))
     return [p.strip() for p in parts if p.strip()]
+
+
+# --------------------------------------------------------------- SQL views
+# Persisted SQL views, the Iceberg VIEW-spec model: a view is VERSIONED
+# metadata (the SQL text), resolved lazily at read time against the
+# CURRENT state of whatever it references — never materialized data.
+# Storage: <root>/_views/<name>/v<NNNNN>.json (CREATE OR REPLACE appends
+# a version; history is auditable like table snapshots).
+
+
+def _views_dir(root: str, name: str | None = None) -> str:
+    import os as _os
+
+    return _os.path.join(root, "_views", name) if name else _os.path.join(root, "_views")
+
+
+def _view_versions(root: str, name: str) -> list[int]:
+    import os as _os
+
+    d = _views_dir(root, name)
+    if not _os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:6]) for f in _os.listdir(d) if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _view_sql(root: str, name: str) -> str | None:
+    import json as _json
+    import os as _os
+
+    vs = _view_versions(root, name)
+    if not vs:
+        return None
+    with open(_os.path.join(_views_dir(root, name), f"v{vs[-1]:05d}.json")) as f:
+        return _json.load(f)["sql"]
+
+
+def _view_names(root: str) -> list[str]:
+    import os as _os
+
+    base = _views_dir(root)
+    if not _os.path.isdir(base):
+        return []
+    return sorted(n for n in _os.listdir(base) if _view_versions(root, n))
+
+
+def materialize_views(
+    spark: SparkSession, statement: str, root: str, depth: int = 0
+) -> None:
+    """Resolve persisted views referenced by ``statement``: each view
+    name found at a word boundary (literal-masked scan, same discipline
+    as time travel) has its stored SQL executed — recursively, so views
+    can stack — and registered as a session temp view under its own
+    name, which Spark's analyzer then resolves. Depth-capped so a
+    reference cycle fails with a clear error instead of recursing."""
+    if depth > 8:
+        raise ValueError(
+            "view resolution exceeded depth 8 — reference cycle? "
+            f"(while materializing for: {statement[:60]!r})"
+        )
+    masked = _mask_literals(statement)
+    for name in _view_names(root):
+        if re.search(rf"\b{re.escape(name)}\b", masked) and _should_register(
+            spark, name
+        ):
+            execute_sql(
+                spark, _view_sql(root, name), root, _view_depth=depth + 1
+            ).createOrReplaceTempView(name)
+
+
+# Names THIS module auto-registered as temp views, per session: the
+# freshness rule below must refresh our own registrations on every
+# statement (they pin the table state AS OF registration — stale
+# otherwise) while never clobbering a temp view the USER registered.
+_AUTO_MATERIALIZED: set = set()
+
+
+def _should_register(spark: SparkSession, name: str) -> bool:
+    """A temp view the user registered BEFORE this session ever
+    auto-materialized the name wins permanently. Once a name has been
+    auto-materialized, the engine keeps refreshing it — a later user
+    re-registration over the same name is indistinguishable from our
+    own previous registration (the catalog exposes no owner), so the
+    documented precedence is: pre-existing user temp views > persisted
+    views > snapshot tables, and catalog-object names are best left
+    out of a session's own temp-view namespace."""
+    key = (id(spark), name)
+    if spark.catalog.tableExists(name) and key not in _AUTO_MATERIALIZED:
+        return False  # the user's own temp view — never shadow
+    _AUTO_MATERIALIZED.add(key)
+    return True
+
+
+def materialize_tables(spark: SparkSession, statement: str, root: str) -> None:
+    """Make bare snapshot-table references resolvable: any identifier in
+    the (literal-masked) statement that names a snapshot table under the
+    catalog root gets its CURRENT state registered as a temp view —
+    re-registered on EVERY statement, because a temp view pins the
+    snapshot read it was built from and would otherwise serve stale
+    state after a write. A temp view the USER registered always wins
+    (tracked via _AUTO_MATERIALIZED), and view materialization runs
+    first, so the precedence is: user temp views > persisted views >
+    snapshot tables."""
+    import os as _os
+
+    if not _os.path.isdir(root):
+        return
+    masked = _mask_literals(statement)
+    live = set()
+    for name in sorted(_os.listdir(root)):
+        if not _os.path.isdir(_os.path.join(root, name, "_meta")):
+            continue
+        live.add(name)
+        if not re.search(rf"\b{re.escape(name)}\b", masked):
+            continue
+        if not _should_register(spark, name):
+            continue
+        t = SnapshotTable(spark, name, root)
+        if t.current_version() is not None:
+            t.read().createOrReplaceTempView(name)
+    # a DROPped table or view must stop resolving through OUR stale
+    # registration (a user temp view is untouched — not in the set)
+    views = set(_view_names(root))
+    for key in list(_AUTO_MATERIALIZED):
+        sid, name = key
+        if sid == id(spark) and name not in live and name not in views:
+            spark.catalog.dropTempView(name)
+            _AUTO_MATERIALIZED.discard(key)
+
+
+def show_create_view(spark: SparkSession, name: str, root: str) -> DataFrame:
+    sql = _view_sql(root, name)
+    if sql is None:
+        raise ValueError(f"view {name} does not exist")
+    return spark.createDataFrame(
+        [(f"CREATE VIEW {name} AS\n{sql}",)], "createview_stmt string"
+    )
+
+
+def show_views(spark: SparkSession, root: str) -> DataFrame:
+    rows = [(n, _view_versions(root, n)[-1]) for n in _view_names(root)]
+    return spark.createDataFrame(rows, "view_name string, version int")
 
 
 def _call_procedure(spark: SparkSession, name: str, raw_args: str, root: str) -> dict:
@@ -353,6 +507,46 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
     m = _CALL_HEAD.match(statement)
     if m:
         return _call_procedure(spark, m.group(1).lower(), m.group(2), root)
+    m = _CREATE_VIEW.match(statement)
+    if m:
+        import json as _json
+        import os as _os
+
+        or_replace, name, body = m.group(1), m.group(2), m.group(3).strip()
+        first = body.lstrip("(").split(None, 1)[0].upper() if body else ""
+        if first not in ("SELECT", "WITH"):
+            raise ValueError(f"view body must be a SELECT: {body[:60]!r}")
+        if re.search(rf"\b{re.escape(name)}\b", _mask_literals(body)):
+            raise ValueError(f"view {name} cannot reference itself")
+        if SnapshotTable(spark, name, root).current_version() is not None:
+            raise ValueError(
+                f"cannot CREATE VIEW {name}: a TABLE of that name exists"
+            )
+        vs = _view_versions(root, name)
+        if vs and not or_replace:
+            raise ValueError(f"view {name} already exists (use OR REPLACE)")
+        # validate the body resolves NOW (analyzer errors surface here,
+        # not at first read) — the stored text stays lazy
+        execute_sql(spark, body, root).limit(0).collect()
+        d = _views_dir(root, name)
+        _os.makedirs(d, exist_ok=True)
+        v = (vs[-1] + 1) if vs else 1
+        with open(_os.path.join(d, f"v{v:05d}.json"), "w") as f:
+            _json.dump({"name": name, "sql": body, "version": v}, f)
+        return {"op": "create-view" if v == 1 else "replace-view",
+                "table": name, "version": v, "audit": None}
+    m = _DROP_VIEW.match(statement)
+    if m:
+        import shutil as _shutil
+
+        if_exists, name = m.group(1), m.group(2)
+        if not _view_versions(root, name):
+            if if_exists:
+                return {"op": "drop-view-noop", "table": name,
+                        "version": None, "audit": None}
+            raise ValueError(f"view {name} does not exist")
+        _shutil.rmtree(_views_dir(root, name), ignore_errors=True)
+        return {"op": "drop-view", "table": name, "version": None, "audit": None}
     m = _ANALYZE_HEAD.match(statement)
     if m:
         name, collist = m.group(1), m.group(2)
@@ -391,6 +585,10 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         first = select.lstrip("(").split(None, 1)[0].upper() if select else ""
         if first not in ("SELECT", "WITH"):
             raise ValueError(f"CTAS body must be a SELECT: {select[:60]!r}")
+        if _view_versions(root, name):
+            raise ValueError(
+                f"cannot CREATE TABLE {name}: a VIEW of that name exists"
+            )
         t = SnapshotTable(spark, name, root)
         if t.current_version() is not None:
             if if_not_exists:
@@ -628,7 +826,9 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         f"AS SELECT, TRUNCATE TABLE, ALTER TABLE ... ADD/DROP/RENAME "
         f"COLUMN[S] / ALTER COLUMN ... TYPE / ADD|DROP PARTITION FIELD / "
         f"CREATE|DROP BRANCH|TAG, "
-        f"DROP TABLE, OPTIMIZE [ZORDER BY], or VACUUM): {statement[:80]!r}"
+        f"DROP TABLE, OPTIMIZE [ZORDER BY], VACUUM, CALL <proc>(...), "
+        f"ANALYZE TABLE ... COMPUTE STATISTICS, or CREATE/DROP VIEW): "
+        f"{statement[:80]!r}"
     )
 
 
@@ -954,6 +1154,7 @@ def execute_sql(
     statement: str,
     root: str = DEFAULT_ROOT,
     mor_key: str | None = None,
+    _view_depth: int = 0,
 ):
     """One entry point for the whole declarative surface, dispatched on
     the statement's first keyword: SELECT/WITH run through ``spark.sql``
@@ -968,6 +1169,11 @@ def execute_sql(
     MERGE source."""
     statement = materialize_time_travel(spark, statement, root)
     statement = materialize_metadata_tables(spark, statement, root)
+    # persisted views resolve for every READING statement; CREATE/DROP
+    # VIEW manage the catalog and must not resolve their own target
+    if not (_CREATE_VIEW.match(statement) or _DROP_VIEW.match(statement)):
+        materialize_views(spark, statement, root, depth=_view_depth)
+    materialize_tables(spark, statement, root)
     head = statement.lstrip().lstrip("(").split(None, 1)
     kw = head[0].upper() if head else ""
     if kw in ("SELECT", "WITH"):
@@ -980,6 +1186,11 @@ def execute_sql(
             raise ValueError(f"cannot parse DESCRIBE statement: {statement[:60]!r}")
         return describe_table(spark, m.group(1), root)
     if kw == "SHOW":
+        sm = _SHOW_CREATE_VIEW.match(statement)
+        if sm:
+            return show_create_view(spark, sm.group(1), root)
+        if _SHOW_VIEWS_HEAD.match(statement):
+            return show_views(spark, root)
         sm = _SHOW_CREATE_HEAD.match(statement)
         if sm:
             return show_create_table(spark, sm.group(1), root)
@@ -1355,6 +1566,113 @@ def table_alter_type_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("old_files_stayed_narrow", F.lit(old_narrow).cast("int"))
         .withColumn("new_files_written_wide", F.lit(new_wide).cast("int"))
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "table_views_sql",
+    oracle=f"""
+    WITH t100 AS (
+        SELECT o_orderstatus, count(*) AS n_rows,
+               round({sql_sum2('o_totalprice')}, 2) AS sum_price
+        FROM orders WHERE o_totalprice > 100000.0
+        GROUP BY o_orderstatus
+    ),
+    t150 AS (
+        SELECT o_orderstatus, count(*) AS n_rows,
+               round({sql_sum2('o_totalprice')}, 2) AS sum_price
+        FROM orders WHERE o_totalprice > 150000.0
+        GROUP BY o_orderstatus
+    )
+    SELECT 'full_t100k' AS epoch, o_orderstatus, n_rows, sum_price,
+           CAST(2 AS INT) AS v_big_version,
+           'CREATE VIEW orders_big_v AS' || chr(10) ||
+           'SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice ' ||
+           'FROM orders_view_t WHERE o_totalprice > 150000.0' AS show_create
+    FROM t100
+    UNION ALL
+    SELECT 'full_t150k', o_orderstatus, n_rows, sum_price, 2,
+           'CREATE VIEW orders_big_v AS' || chr(10) ||
+           'SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice ' ||
+           'FROM orders_view_t WHERE o_totalprice > 150000.0'
+    FROM t150
+    ORDER BY epoch, o_orderstatus
+    """,
+    doc="Persisted SQL VIEWS (r12, the Iceberg view-spec model: a view "
+    "is VERSIONED metadata — the SQL text — resolved lazily at read "
+    "time, never materialized data): `CREATE [OR REPLACE] VIEW`, view-"
+    "over-view stacking resolved recursively with a cycle guard, bare "
+    "snapshot-table references auto-materialized (precedence: session "
+    "temp views > persisted views > snapshot tables), `SHOW CREATE "
+    "VIEW`/`SHOW VIEWS`, `DROP VIEW`. Hash-checked: the stacked rollup "
+    "reads THROUGH the view chain after an INSERT doubled the base "
+    "table (laziness — epoch full_t100k) and again after OR REPLACE "
+    "rewired the inner view's threshold (the stack picks up the "
+    "replaced child — epoch full_t150k); the replaced view's version=2 "
+    "and its exact SHOW CREATE VIEW text are pinned as literals.",
+)
+def table_views_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_vw_src")
+    root = scratch_root()
+    for v in ("orders_big_v", "orders_big_rollup_v"):
+        execute_sql(spark, f"DROP VIEW IF EXISTS {v}", root=root)
+    execute_sql(spark, "DROP TABLE IF EXISTS orders_view_t", root=root)
+    execute_sql(
+        spark,
+        "CREATE TABLE orders_view_t AS SELECT o_orderkey, o_orderstatus, "
+        "CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders_vw_src "
+        "WHERE o_orderkey % 2 = 0",
+        root=root,
+    )
+    execute_sql(
+        spark,
+        "CREATE VIEW orders_big_v AS "
+        "SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice "
+        "FROM orders_view_t WHERE o_totalprice > 100000.0",
+        root=root,
+    )
+    execute_sql(
+        spark,
+        "CREATE VIEW orders_big_rollup_v AS "
+        "SELECT o_orderstatus, count(*) AS n_rows, "
+        f"round({sql_sum2('o_totalprice')}, 2) AS sum_price "
+        "FROM orders_big_v GROUP BY o_orderstatus",
+        root=root,
+    )
+    # the views are LAZY: doubling the base table shows straight through
+    execute_sql(
+        spark,
+        "INSERT INTO orders_view_t SELECT o_orderkey, o_orderstatus, "
+        "CAST(o_totalprice AS DOUBLE) FROM orders_vw_src WHERE o_orderkey % 2 = 1",
+        root=root,
+    )
+    read_100k = execute_sql(
+        spark, "SELECT * FROM orders_big_rollup_v", root=root
+    ).collect()
+    # OR REPLACE rewires the INNER view; the stacked rollup picks it up
+    res_rp = execute_sql(
+        spark,
+        "CREATE OR REPLACE VIEW orders_big_v AS "
+        "SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice "
+        "FROM orders_view_t WHERE o_totalprice > 150000.0",
+        root=root,
+    )
+    read_150k = execute_sql(
+        spark, "SELECT * FROM orders_big_rollup_v", root=root
+    ).collect()
+    stmt = execute_sql(
+        spark, "SHOW CREATE VIEW orders_big_v", root=root
+    ).collect()[0][0]
+    rows = [("full_t100k", r.o_orderstatus, r.n_rows, r.sum_price) for r in read_100k]
+    rows += [("full_t150k", r.o_orderstatus, r.n_rows, r.sum_price) for r in read_150k]
+    return (
+        spark.createDataFrame(
+            sorted(rows),
+            "epoch string, o_orderstatus string, n_rows bigint, sum_price double",
+        )
+        .withColumn("v_big_version", F.lit(int(res_rp["version"])).cast("int"))
+        .withColumn("show_create", F.lit(stmt))
+        .orderBy("epoch", "o_orderstatus")
     )
 
 

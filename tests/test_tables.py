@@ -2228,8 +2228,12 @@ def test_execute_sql_dispatch_and_multi_column_prevalidation(spark, nation):
         spark, "SELECT count(*) AS n FROM t_sql_dispatch_v"
     )
     assert df.collect()[0].n == nation.count()
-    with pytest.raises(ValueError, match="unsupported SQL"):
+    # ANALYZE routes to DDL now (r12); without COMPUTE STATISTICS it is
+    # still refused, and a truly unknown head still says unsupported SQL
+    with pytest.raises(ValueError, match="unsupported DDL"):
         execute_sql(spark, "ANALYZE TABLE t_sql_dispatch")
+    with pytest.raises(ValueError, match="unsupported SQL"):
+        execute_sql(spark, "EXPLAIN SELECT 1")
     with pytest.raises(ValueError, match="mor_key applies"):
         execute_sql(spark, "DROP TABLE t_sql_dispatch", mor_key="n_nationkey")
     # multi-column ADD fails fast BEFORE any commit on a bad later type
@@ -3124,3 +3128,127 @@ def test_partitions_metadata_table(spark, nation):
     )
     assert sum(r.size_bytes for r in rows) == files_bytes
     t.drop()
+
+
+def test_views_lifecycle_resolution_and_guards(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    root = scratch_root()
+    t = SnapshotTable(spark, "nation_vt", root)
+    t.drop()
+    execute_sql(spark, "DROP VIEW IF EXISTS small_nations", root=root)
+    execute_sql(spark, "DROP VIEW IF EXISTS tiny_nations", root=root)
+    t.create(nation)
+    # bare snapshot-table references resolve without manual temp views
+    assert (
+        execute_sql(spark, "SELECT count(*) AS n FROM nation_vt", root=root)
+        .collect()[0].n == nation.count()
+    )
+    execute_sql(
+        spark,
+        "CREATE VIEW small_nations AS SELECT n_nationkey, n_name "
+        "FROM nation_vt WHERE n_nationkey < 10",
+        root=root,
+    )
+    assert (
+        execute_sql(spark, "SELECT count(*) AS n FROM small_nations", root=root)
+        .collect()[0].n == 10
+    )
+    # views stack (a view over a view), resolved recursively
+    execute_sql(
+        spark,
+        "CREATE VIEW tiny_nations AS SELECT * FROM small_nations "
+        "WHERE n_nationkey < 3",
+        root=root,
+    )
+    assert (
+        execute_sql(spark, "SELECT count(*) AS n FROM tiny_nations", root=root)
+        .collect()[0].n == 3
+    )
+    # views are LAZY over table state: an append shows through
+    t.append(nation.select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        "n_name", "n_regionkey").limit(1))
+    assert (
+        execute_sql(spark, "SELECT count(*) AS n FROM small_nations", root=root)
+        .collect()[0].n == 10
+    )
+    # OR REPLACE versions the metadata; SHOW CREATE VIEW shows the latest
+    execute_sql(
+        spark,
+        "CREATE OR REPLACE VIEW small_nations AS SELECT n_nationkey "
+        "FROM nation_vt WHERE n_nationkey < 5",
+        root=root,
+    )
+    stmt = execute_sql(spark, "SHOW CREATE VIEW small_nations", root=root).collect()[0][0]
+    assert "n_nationkey < 5" in stmt and stmt.startswith("CREATE VIEW small_nations AS")
+    views = {r.view_name: r.version
+             for r in execute_sql(spark, "SHOW VIEWS", root=root).collect()}
+    assert views["small_nations"] == 2 and views["tiny_nations"] == 1
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        execute_sql(
+            spark,
+            "CREATE VIEW small_nations AS SELECT 1 AS x",
+            root=root,
+        )
+    with pytest.raises(ValueError, match="cannot reference itself"):
+        execute_sql(
+            spark,
+            "CREATE OR REPLACE VIEW loopy AS SELECT * FROM loopy",
+            root=root,
+        )
+    with pytest.raises(ValueError, match="a TABLE of that name exists"):
+        execute_sql(spark, "CREATE VIEW nation_vt AS SELECT 1 AS x", root=root)
+    with pytest.raises(ValueError, match="a VIEW of that name exists"):
+        execute_sql(
+            spark,
+            "CREATE TABLE small_nations AS SELECT 1 AS x",
+            root=root,
+        )
+    with pytest.raises(Exception):  # analyzer refuses a bad body NOW
+        execute_sql(
+            spark, "CREATE VIEW bad_v AS SELECT no_such_col FROM nation_vt",
+            root=root,
+        )
+    execute_sql(spark, "DROP VIEW tiny_nations", root=root)
+    with pytest.raises(ValueError, match="does not exist"):
+        execute_sql(spark, "DROP VIEW tiny_nations", root=root)
+    execute_sql(spark, "DROP VIEW IF EXISTS tiny_nations", root=root)
+    execute_sql(spark, "DROP VIEW small_nations", root=root)
+    t.drop()
+
+
+def test_auto_materialized_views_track_state_and_drops(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    root = scratch_root()
+    t = SnapshotTable(spark, "t_fresh_vt", root)
+    t.drop()
+    t.create(nation.limit(5))
+    n1 = execute_sql(spark, "SELECT count(*) AS n FROM t_fresh_vt", root=root).collect()[0].n
+    t.append(nation.limit(25).subtract(nation.limit(5)))
+    n2 = execute_sql(spark, "SELECT count(*) AS n FROM t_fresh_vt", root=root).collect()[0].n
+    assert (n1, n2) == (5, 25), "auto temp view must refresh per statement"
+    # precedence: a user temp view that PREDATES any engine use of the
+    # name wins permanently; one registered after is refreshed over
+    # (indistinguishable from our own registration — documented)
+    t2 = SnapshotTable(spark, "t_fresh_user_first", root)
+    t2.drop()
+    t2.create(nation.limit(7))
+    nation.limit(2).createOrReplaceTempView("t_fresh_user_first")
+    n_user = execute_sql(
+        spark, "SELECT count(*) AS n FROM t_fresh_user_first", root=root
+    ).collect()[0].n
+    assert n_user == 2, "pre-existing user temp view must win"
+    spark.catalog.dropTempView("t_fresh_user_first")
+    t2.drop()
+    nation.limit(2).createOrReplaceTempView("t_fresh_vt")
+    n3 = execute_sql(spark, "SELECT count(*) AS n FROM t_fresh_vt", root=root).collect()[0].n
+    assert n3 == 25, "auto-materialized name keeps refreshing (documented)"
+    t.drop()
+    import pytest as _pt
+
+    # after DROP TABLE our registration stops resolving
+    with _pt.raises(Exception):
+        execute_sql(spark, "SELECT count(*) AS n FROM t_fresh_vt", root=root).collect()
