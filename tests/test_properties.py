@@ -607,3 +607,76 @@ def test_split_columns_round_trips_type_lists(defs):
     from empdia_iceberg_spark.tables.ddl import _split_columns
 
     assert _split_columns(", ".join(defs)) == defs
+
+
+@given(st.lists(
+    st.tuples(
+        st.text(alphabet=st.sampled_from(list("abcz_.0")), min_size=1, max_size=8),
+        st.text(alphabet=st.sampled_from(list("abcz 0,)(=")), max_size=8),
+    ),
+    min_size=1, max_size=5,
+))
+@_scanner_settings
+def test_tblproperties_pairs_round_trip(pairs):
+    """Whatever the keys/values (no quotes inside), a rendered
+    TBLPROPERTIES list parses back to exactly the written pairs —
+    commas and parens inside VALUES must not split the list."""
+    from empdia_iceberg_spark.tables.ddl import _PROP_PAIR
+    from empdia_iceberg_spark.tables.dml import _split_top_level
+
+    rendered = ", ".join(f"'{k}' = '{v}'" for k, v in pairs)
+    items = _split_top_level(rendered)
+    assert len(items) == len(pairs)
+    for item, (k, v) in zip(items, pairs):
+        m = _PROP_PAIR.match(item)
+        assert m and m.group(1) == k and m.group(2) == v
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=-10**9, max_value=10**9),
+            st.text(alphabet=st.sampled_from(list("abc_=>,0 ")), max_size=10),
+        ),
+        min_size=0, max_size=4,
+    ),
+    st.dictionaries(
+        st.sampled_from(["keep_last", "version", "opt"]),
+        st.integers(min_value=0, max_value=99),
+        max_size=2,
+    ),
+)
+@_scanner_settings
+def test_call_argument_parsing_round_trips(args, kwargs):
+    """CALL argument rendering → parsing is the identity for any mix of
+    positional ints/strings and named => ints (strings may contain
+    commas, '=>' and parens — the quote-aware splitter must hold)."""
+    import re as _re
+
+    from empdia_iceberg_spark.tables.dml import _split_top_level
+
+    toks = [str(a) if isinstance(a, int) else f"'{a}'" for a in args]
+    toks += [f"{k} => {v}" for k, v in kwargs.items()]
+    raw = ", ".join(toks)
+    got_args, got_kwargs = [], {}
+    for item in (_split_top_level(raw) if raw.strip() else []):
+        km = _re.match(r"^\s*(\w+)\s*=>\s*(.+)$", item, _re.DOTALL)
+        if km:
+            got_kwargs[km.group(1)] = int(km.group(2))
+        else:
+            t = item.strip()
+            got_args.append(int(t) if _re.match(r"^-?\d+$", t) else t[1:-1])
+    assert got_args == list(args)
+    assert got_kwargs == kwargs
+
+
+@given(st.text(alphabet=st.sampled_from(list("abcz _.,()'\"=<>0")), max_size=50))
+@_scanner_settings
+def test_view_body_self_reference_detection_ignores_literals(body):
+    """A view name planted INSIDE a string literal of the body must not
+    count as self-reference (the guard scans the masked text)."""
+    from empdia_iceberg_spark.tables.ddl import _mask_literals
+    import re as _re
+
+    stmt = f"SELECT '{body.replace(chr(39), '')} myview ' AS c"
+    assert not _re.search(r"\bmyview\b", _mask_literals(stmt))
