@@ -93,6 +93,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # answer path, and tests/test_scratch_names.py pins answer identity and
 # concurrent-run isolation.
 _SWEEP_PRIORITY = [
+    "emb_near_dup_ivf",  # NEW r12: IVF-blocked near-dup pairs (ANN scale path, full mirror oracle)
     "table_views_sql",  # NEW r12: persisted SQL views (Iceberg view-spec model)
     "table_analyze_sql",  # NEW r12: ANALYZE TABLE + t.stats metadata table
     "table_governance_sql",  # NEW r12: TBLPROPERTIES + CHECK constraints + CALL procs
@@ -142,8 +143,8 @@ _SWEEP_PRIORITY = [
     "part_hierarchy_rollup",  # stalest green (r5)
     "part_association_rules",  # stalest green (r5)
     "benford_order_totals",  # stalest green (r5)
+    # ---- 50-slot window ends here (5 new + 7 changed + 16 r3 + 22 r5) ----
     "ols_quantity_price",  # stalest green (r5)
-    # ---- 50-slot window ends here (4 new + 7 changed + 16 r3 + 23 r5) ----
     "chi2_events_type_dow",  # stalest green (r5)
     "welch_t_acctbal_segments",  # stalest green (r5)
     "events_survival_km",  # stalest green (r5), displaced by r12 new/changed

@@ -1011,7 +1011,13 @@ def _ivf_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- ANN recall audits
 
 
-def _ivf_recall_oracle_sql() -> str:
+def _ivf_assignment_ctes() -> list:
+    """Shared DuckDB mirror of the deterministic IVF pipeline through
+    full-corpus MULTI-assignment (`fasg`): Knuth-hash-ordered training
+    sample, strided spread init, unrolled MATERIALIZED Lloyd iterations,
+    and rn<=IVF_ASSIGN cell assignment. Composed by the recall audit
+    (probing + overlap) and the IVF near-dup oracle (co-located pairs).
+    """
     """DuckDB mirror of the ENTIRE IVF pipeline (VERDICT r10 ask #6) —
     the same technique as the Hilbert CTE mirror, applied to k-means:
     the centroid training is deterministic relational arithmetic
@@ -1104,8 +1110,23 @@ def _ivf_recall_oracle_sql() -> str:
                    PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
         FROM fdot
     ),
-    fasg AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= {IVF_ASSIGN}),
-    probes AS (
+    fasg AS MATERIALIZED (
+        SELECT vec_id, cell FROM ranked_cells WHERE rn <= {IVF_ASSIGN}
+    )"""
+    )
+    return parts
+
+
+def _ivf_recall_oracle_sql() -> str:
+    """DuckDB mirror of the ENTIRE IVF pipeline (VERDICT r10 ask #6) —
+    see _ivf_assignment_ctes for the shared assignment chain; this adds
+    nprobe cell selection, DISTINCT candidate ranking inside probed
+    cells, and the per-query overlap count against the exact
+    brute-force top-k. Any drift in sharding, assignment, probing, or
+    merge breaks the driver value compare, not just a bench field."""
+    parts = _ivf_assignment_ctes()
+    parts.append(
+        f"""probes AS (
         SELECT vec_id AS query_id, cell FROM ranked_cells WHERE rn <= {IVF_NPROBE}
     ),
     cand AS (
@@ -1147,6 +1168,105 @@ def _ivf_recall_oracle_sql() -> str:
     FROM hits GROUP BY n_hit ORDER BY n_hit"""
     )
     return "WITH " + ",\n    ".join(parts)
+
+
+def _ivf_near_dup_oracle_sql() -> str:
+    """Near-dup mirror over the shared IVF assignment chain: candidate
+    pairs are vectors CO-LOCATED in at least one cell under
+    multi-assignment (fasg self-join), verified by exact cosine on the
+    det_round(·,6) grid — the same blocking the engine executes, so the
+    compare is a true value oracle for the blocked result, not for the
+    all-pairs ideal (the brute `emb_cosine_near_dup` pins that; the
+    blocking recall vs it is asserted in tests)."""
+    parts = _ivf_assignment_ctes()
+    parts.append(
+        f"""pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT p.vec_a, p.vec_b,
+           {sql_det_round('list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])', 6)} AS cos_sim
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.vec_a
+    JOIN embeddings eb ON eb.vec_id = p.vec_b
+    WHERE {sql_det_round('list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])', 6)} >= {NEAR_DUP_COS}
+    ORDER BY vec_a, vec_b"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _ivf_pair_cell(cells_dir: str, threshold: float):
+    """applyInPandas kernel: one group per cell id; load ONLY that
+    cell's shard and emit within-cell pairs on/above the threshold
+    (det_round grid, same cross-engine discipline as the brute
+    kernel). Cost is quadratic in the CELL, never the corpus — the
+    standard blocked near-dup trade."""
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+
+        import pyarrow.parquet as pq
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.asarray([], dtype=np.int64),
+                "vec_b": np.asarray([], dtype=np.int64),
+                "cos_sim": np.asarray([], dtype=np.float64),
+            }
+        )
+        cell = int(pdf["cell"].iloc[0])
+        shard = os.path.join(cells_dir, f"_cell={cell}")
+        if not os.path.isdir(shard):
+            return empty
+        t = pq.read_table(shard, columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        if len(ids) < 2:
+            return empty
+        m = _list_col_to_matrix(t.column("embedding"))
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        rounded = np.floor(sims * 1e6 + 0.5) / 1e6
+        rows, cols = np.nonzero(rounded >= threshold)
+        keep = ids[rows] < ids[cols]  # each unordered pair once per cell
+        return pd.DataFrame(
+            {
+                "vec_a": ids[rows[keep]],
+                "vec_b": ids[cols[keep]],
+                "cos_sim": sims[rows[keep], cols[keep]].astype(np.float64),
+            }
+        )
+
+    return pairs
+
+
+@register(
+    "emb_near_dup_ivf",
+    oracle=_ivf_near_dup_oracle_sql(),
+    doc="IVF-BLOCKED embedding near-duplicate pairs (cos >= 0.4) — the "
+    "scale path beside the brute-force emb_cosine_near_dup: candidate "
+    "pairs are vectors co-located in at least one of the 16 cells "
+    "under r12 multi-assignment (each vector lives in its 2 nearest "
+    "cells, so boundary-straddling pairs stay findable), and a "
+    "per-cell applyInPandas task loads ONLY that cell's shard for the "
+    "exact within-cell verify — quadratic in the CELL, never the "
+    "corpus. Duplicate pairs from shared cells collapse in one "
+    "groupBy. The DuckDB oracle mirrors the ENTIRE blocking (shared "
+    "Lloyd assignment CTEs + fasg self-join + det_round-grid cosine), "
+    "so this is a hash-checked value compare of the blocked result; "
+    "pair recall vs the all-pairs brute answer is asserted in tests.",
+)
+def emb_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = path_for(sf_dir, "embeddings")
+    cells_dir, _cents = _ivf_cells_dir(spark, path)
+    cells = spark.range(IVF_CELLS).select(F.col("id").cast("int").alias("cell"))
+    cand = cells.groupBy("cell").applyInPandas(
+        _ivf_pair_cell(cells_dir, NEAR_DUP_COS),
+        schema="vec_a long, vec_b long, cos_sim double",
+    )
+    out = cand.groupBy("vec_a", "vec_b").agg(F.max("cos_sim").alias("cos_sim"))
+    return out.select(
+        "vec_a", "vec_b", det_round(F.col("cos_sim"), 6).alias("cos_sim")
+    ).orderBy("vec_a", "vec_b")
 
 
 def _recall_histogram(exact: DataFrame, approx: DataFrame) -> DataFrame:

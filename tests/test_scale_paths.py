@@ -791,3 +791,28 @@ def test_ivf_build_idle_bound_env_tunable(spark, tmp_path, monkeypatch):
     _sh.copy(f"{SF_DIR}/embeddings.parquet", path)
     _ivf_cells_dir(spark, path)
     assert not staging.exists(), "idle bound 1s: 2s-idle staging dir must age out"
+
+
+def test_ivf_near_dup_blocked_pairs_exact_subset_and_recall(spark):
+    """emb_near_dup_ivf (r12): every emitted pair must appear in the
+    brute-force all-pairs answer with the identical rounded cosine
+    (blocking narrows the CANDIDATES, never perturbs a value), and the
+    blocking recall on this corpus stays above a floor. Context: the
+    synthetic corpus has no true near-dups — the 0.4 threshold sits in
+    the far-apart tail where co-location is weakest, so the floor is
+    deliberately conservative; a real near-dup corpus (cos >= 0.9)
+    co-locates almost surely under multi-assignment."""
+    from empdia_iceberg_spark.operators import similarity
+
+    blocked = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in similarity.emb_near_dup_ivf(spark, SF_DIR).collect()
+    }
+    brute = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in similarity.emb_cosine_near_dup(spark, SF_DIR).collect()
+    }
+    assert blocked, "blocked path found no pairs at all"
+    for pair, cos in blocked.items():
+        assert pair in brute and brute[pair] == cos
+    assert len(blocked) / len(brute) >= 0.5
