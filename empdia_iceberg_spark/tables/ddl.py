@@ -153,6 +153,9 @@ _SHOW_CREATE_VIEW = re.compile(
     r"^\s*SHOW\s+CREATE\s+VIEW\s+(\w+)\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_VIEWS_HEAD = re.compile(r"^\s*SHOW\s+VIEWS\s*;?\s*$", re.IGNORECASE)
+_SHOW_PROPS_HEAD = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
 _PROP_PAIR = re.compile(r"^\s*'([^']+)'\s*=\s*'([^']*)'\s*$")
 _PROP_KEY = re.compile(r"^\s*'([^']+)'\s*$")
 
@@ -1186,6 +1189,14 @@ def execute_sql(
             raise ValueError(f"cannot parse DESCRIBE statement: {statement[:60]!r}")
         return describe_table(spark, m.group(1), root)
     if kw == "SHOW":
+        sm = _SHOW_PROPS_HEAD.match(statement)
+        if sm:
+            t = SnapshotTable(spark, sm.group(1), root)
+            if t.current_version() is None:
+                raise ValueError(f"table {sm.group(1)} does not exist")
+            return spark.createDataFrame(
+                sorted(t.properties().items()), "key string, value string"
+            )
         sm = _SHOW_CREATE_VIEW.match(statement)
         if sm:
             return show_create_view(spark, sm.group(1), root)
@@ -1196,8 +1207,9 @@ def execute_sql(
             return show_create_table(spark, sm.group(1), root)
         if not _SHOW_TABLES_HEAD.match(statement):
             raise ValueError(
-                f"unsupported SHOW statement (expected SHOW TABLES or "
-                f"SHOW CREATE TABLE t): {statement[:60]!r}"
+                f"unsupported SHOW statement (expected SHOW TABLES, SHOW "
+                f"VIEWS, SHOW CREATE TABLE|VIEW t, or SHOW TBLPROPERTIES "
+                f"t): {statement[:60]!r}"
             )
         return show_tables(spark, root)
     if kw in ("CREATE", "ALTER", "DROP", "OPTIMIZE", "VACUUM",

@@ -3252,3 +3252,17 @@ def test_auto_materialized_views_track_state_and_drops(spark, nation):
     # after DROP TABLE our registration stops resolving
     with _pt.raises(Exception):
         execute_sql(spark, "SELECT count(*) AS n FROM t_fresh_vt", root=root).collect()
+
+
+def test_show_tblproperties_statement(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    t = SnapshotTable(spark, "t_showprops")
+    t.drop()
+    t.create(nation.limit(3))
+    t.set_properties({"owner": "me", "a": "1"})
+    rows = execute_sql(spark, "SHOW TBLPROPERTIES t_showprops").collect()
+    assert [(r.key, r.value) for r in rows] == [("a", "1"), ("owner", "me")]
+    with pytest.raises(ValueError, match="does not exist"):
+        execute_sql(spark, "SHOW TBLPROPERTIES t_nope")
+    t.drop()
