@@ -124,6 +124,31 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
             str(options.get("skip_change_commits", "false")).lower() == "true"
         )
         self.starting_version = int(options.get("starting_version", 0))
+        st_ts = options.get(
+            "starting_timestamp", options.get("startingtimestamp")
+        )
+        if st_ts is not None:
+            # Delta's startingTimestamp: stream commits AT OR AFTER the
+            # given time. starting_version is an exclusive floor, so
+            # resolve to the newest version committed strictly BEFORE
+            # the timestamp (0 if none) — everything from the first
+            # commit >= ts then streams. ISO or epoch accepted (the
+            # same literal forms as TIMESTAMP AS OF time travel).
+            if "starting_version" in options:
+                raise ValueError(
+                    "starting_version and starting_timestamp are mutually "
+                    "exclusive"
+                )
+            from empdia_iceberg_spark.tables.ddl import _parse_as_of_ts
+
+            ts = _parse_as_of_ts(str(st_ts))
+            t0 = SnapshotTable(None, self.table, self.root)
+            floor = 0
+            for v in t0._versions():
+                committed = t0._read_meta(v).get("ts")
+                if committed is not None and committed < ts:
+                    floor = v
+            self.starting_version = floor
         self.max_files = int(
             options.get(
                 "max_files_per_trigger", options.get("maxfilespertrigger", 0)

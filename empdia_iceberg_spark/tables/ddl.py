@@ -1152,6 +1152,26 @@ def materialize_time_travel(
     return out
 
 
+def execute_sql_script(
+    spark: SparkSession,
+    script: str,
+    root: str = DEFAULT_ROOT,
+) -> list:
+    """Run a multi-statement SQL script: statements split on TOP-LEVEL
+    semicolons (the dml quote/paren-aware scanner — a ';' inside a
+    string literal or parens never splits), executed in order through
+    :func:`execute_sql`, results returned as a list (DataFrames for
+    reads, result dicts for DDL/DML). Fails fast: the first error stops
+    the script with statements before it already applied — the same
+    no-transaction contract as running the statements one at a time
+    (use Catalog.publish for atomic multi-table commits)."""
+    results = []
+    for stmt in _split_top_level(script, ";"):
+        if stmt.strip():
+            results.append(execute_sql(spark, stmt, root))
+    return results
+
+
 def execute_sql(
     spark: SparkSession,
     statement: str,

@@ -571,3 +571,51 @@ def test_snapshot_tail_byte_budget_bounds_batches(spark):
             {"table": "t_tail_bytes_unit", "maxbytespertrigger": "-1"}, schema_json
         )
     t.drop()
+
+
+def test_snapshot_tail_starting_timestamp(spark):
+    """starting_timestamp (Delta's startingTimestamp): commits at or
+    after the given time stream; earlier history is skipped. Resolved
+    through the same commit timestamps as TIMESTAMP AS OF time travel."""
+    import os
+    import shutil
+    import uuid
+
+    from empdia_iceberg_spark.sources.table_stream import (
+        SnapshotTailDataSource,
+        SnapshotTailStreamReader,
+    )
+    from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    spark.dataSource.register(SnapshotTailDataSource)
+    nation = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    t = SnapshotTable(spark, "t_tail_ts_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))
+    cut = t._read_meta(1)["ts"] + 0.0005  # just after v1's commit
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    schema_json = t._read_meta(t.current_version())["schema"]
+    r = SnapshotTailStreamReader(
+        {"table": "t_tail_ts_unit", "startingtimestamp": str(cut)}, schema_json
+    )
+    assert r.starting_version == 1  # v1 predates the cut; v2 streams
+    o0, o1 = r.initialOffset(), r.latestOffset()
+    ids = set()
+    import pyarrow as pa
+
+    for part in r.partitions(o0, o1):
+        for batch in r.read(part):
+            ids |= set(batch.column(0).to_pylist())
+    assert ids == {int(x.n_nationkey) for x in nation.filter(F.col("n_nationkey") >= 10).collect()}
+    # a pre-history timestamp streams everything; exclusivity guard fires
+    r2 = SnapshotTailStreamReader(
+        {"table": "t_tail_ts_unit", "startingtimestamp": "0"}, schema_json
+    )
+    assert r2.starting_version == 0
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SnapshotTailStreamReader(
+            {"table": "t_tail_ts_unit", "starting_version": "1",
+             "startingtimestamp": "0"}, schema_json
+        )
+    t.drop()

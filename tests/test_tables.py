@@ -3266,3 +3266,36 @@ def test_show_tblproperties_statement(spark, nation):
     with pytest.raises(ValueError, match="does not exist"):
         execute_sql(spark, "SHOW TBLPROPERTIES t_nope")
     t.drop()
+
+
+def test_execute_sql_script_splits_and_fails_fast(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql_script
+
+    root = scratch_root()
+    SnapshotTable(spark, "t_script_unit", root).drop()
+    nation.createOrReplaceTempView("t_script_src")
+    out = execute_sql_script(
+        spark,
+        """
+        DROP TABLE IF EXISTS t_script_unit;
+        CREATE TABLE t_script_unit AS
+            SELECT n_nationkey, 'a;b' AS tag FROM t_script_src;
+        ALTER TABLE t_script_unit SET TBLPROPERTIES ('k' = 'v;w');
+        SELECT count(*) AS n FROM t_script_unit
+        """,
+        root=root,
+    )
+    assert len(out) == 4  # the ';' inside literals did not split
+    assert out[3].collect()[0].n == nation.count()
+    t = SnapshotTable(spark, "t_script_unit", root)
+    assert t.properties() == {"k": "v;w"}
+    # fail-fast: statement 2 errors, statement 1 already applied
+    with pytest.raises(ValueError, match="no column"):
+        execute_sql_script(
+            spark,
+            "ALTER TABLE t_script_unit SET TBLPROPERTIES ('x' = '1'); "
+            "ALTER TABLE t_script_unit DROP COLUMN nope",
+            root=root,
+        )
+    assert t.properties()["x"] == "1"
+    t.drop()
