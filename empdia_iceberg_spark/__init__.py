@@ -74,193 +74,75 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 #      (tools/next_sweep.py emits the order);
 #   3. the stalest previously-green block as tail filler.
 #
-# ROUND 12 ARITHMETIC (VERDICT r11 asks #2): never-swept debt stays ZERO
-# (all 287 queries have driver rows through r11; zero FAILs ever), so the
-# window is (1) the answer paths round 12 plans to touch — the IVF recall
-# repair (seeded-uniform centroid sample, VERDICT r11 ask #3) changes
-# knn_cosine_ivf + both recall audits; snapshot_tail batch bounding
-# (max_files_per_trigger / AvailableNow, ask #5) changes stream_table_tail
-# and pipeline_medallion; the scratch-table uuid scaffolding (ask #6)
-# changes stream_cdc_apply's scaffold path — then (2) the ENTIRE r3-stale
-# cohort (16 names — ask #2 says burn it completely), then (3) 28 of the
-# 31-name r5 cohort; the remaining 3 r5 names sit directly below the
-# marker and lead the r13 window. NEW queries registered this round
-# (table_alter_type_sql, table_show_create_sql, ...) are inserted at the
-# VERY FRONT as they land, displacing the bottom of the r5 block below
-# the marker (same-round-driver-row rule). Scaffold-NAME-only changes
-# (ask #6 uuid suffixes) are exempt from the changed-code-first rule for
-# queries already swept in r11: the scratch name is not part of the
-# answer path, and tests/test_scratch_names.py pins answer identity and
-# concurrent-run isolation.
+# ROUND 13 ARITHMETIC (VERDICT r12 asks): never-swept debt stays ZERO
+# (all 292 queries have driver rows through r12; zero FAILs ever), so the
+# window is (1) the answer paths round 13 touches — the emb_near_dup_ivf
+# recall repair (ask #1); table_governance_sql gains NOT NULL / DEFAULT
+# (ask #8); table_describe_sql's rename path gets atomic JSON fixup and
+# SHOW CREATE gets quote escaping (ADVICE); stream_table_tail +
+# pipeline_medallion pick up the deterministic os.walk order in
+# _new_files (ADVICE medium — it changes which file an offset index maps
+# to); table_merge_dml gains WITH SCHEMA EVOLUTION (ask #6); and ALL 8
+# sink queries re-sweep after SINK_ROOT moved to the process-unique
+# scratch root (ask #2 says re-sweep them despite the scaffold-path-only
+# exemption) — then (2) the ENTIRE 9-name r5 cohort (ask #3 says burn
+# it), then (3) 27 of the r6 cohort as tail filler. NEW queries
+# registered this round (table_changes_sql, the native streaming sink
+# story, ...) are inserted at the VERY FRONT as they land, displacing
+# the bottom of the r6 block below the marker (same-round-driver-row
+# rule).
 _SWEEP_PRIORITY = [
-    "emb_near_dup_ivf",  # NEW r12: IVF-blocked near-dup pairs (ANN scale path, full mirror oracle)
-    "table_views_sql",  # NEW r12: persisted SQL views (Iceberg view-spec model)
-    "table_analyze_sql",  # NEW r12: ANALYZE TABLE + t.stats metadata table
-    "table_governance_sql",  # NEW r12: TBLPROPERTIES + CHECK constraints + CALL procs
-    "table_alter_type_sql",  # NEW r12: ALTER COLUMN TYPE safe promotion (ask #4)
-    "table_describe_sql",  # r12-changed: + RENAME TABLE / SHOW CREATE TABLE story (ask #8)
-    "knn_ivf_recall_audit",  # r12-planned-changed
-    "knn_lsh_recall_audit",  # r12-planned-changed
-    "knn_cosine_ivf",  # r12-planned-changed
-    "stream_table_tail",  # r12-planned-changed
-    "pipeline_medallion",  # r12-planned-changed
-    "stream_cdc_apply",  # r12-planned-changed
-    "messages_role_swap_pipeline",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "sink_parquet_roundtrip",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "sink_json_roundtrip",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "csv_roundtrip",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "sink_partitioned_write",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "dialogue_prep_verl_rows",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "dialogue_prep_nested",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "overlong_prompt_filter",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "positional_split_70_30",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "grpo_group_normalize",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "grpo_pairwise_n2",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "q5_region_revenue",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "stream_sliding_2h_1h",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "stream_session_window",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "stream_dedup_events",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "stream_dedup_bounded_state",  # stalest green (r3) — burned completely this round (VERDICT r12 ask #2)
-    "multimodal_decode_features",  # stalest green (r5)
-    "multimodal_feature_extract",  # stalest green (r5)
-    "multimodal_frame_sample",  # stalest green (r5)
-    "generation_retry_real",  # stalest green (r5)
-    "doc_simhash_near_dup",  # stalest green (r5)
-    "doc_span_dedup",  # stalest green (r5)
-    "doc_fuzzy_pairs_blocked",  # stalest green (r5)
-    "stats_exact_moments",  # stalest green (r5)
-    "stratified_sample_counts",  # stalest green (r5)
-    "events_anomaly_zscore",  # stalest green (r5)
-    "events_pit_dimension_join",  # stalest green (r5)
-    "events_cohort_ltv",  # stalest green (r5)
-    "events_time_to_convert",  # stalest green (r5)
-    "stream_stream_left_join",  # stalest green (r5)
-    "events_ewma16_user",  # stalest green (r5)
-    "orders_open_peak_monthly",  # stalest green (r5)
-    "events_longest_streaks",  # stalest green (r5)
-    "part_pairs_cooccurrence",  # stalest green (r5)
-    "events_type_transitions",  # stalest green (r5)
-    "part_hierarchy_rollup",  # stalest green (r5)
-    "part_association_rules",  # stalest green (r5)
-    "benford_order_totals",  # stalest green (r5)
-    # ---- 50-slot window ends here (5 new + 7 changed + 16 r3 + 22 r5) ----
+    "emb_near_dup_ivf",  # r13-changed: near-dup recall repair (VERDICT r12 ask #1)
+    "table_governance_sql",  # r13-changed: + NOT NULL / DEFAULT constraints (ask #8)
+    "table_describe_sql",  # r13-changed: atomic rename fixup + SHOW CREATE quote escaping (ADVICE)
+    "stream_table_tail",  # r13-changed: deterministic walk order in _new_files (ADVICE, medium)
+    "pipeline_medallion",  # r13-changed: consumes snapshot_tail (walk-order fix)
+    "table_merge_dml",  # r13-changed: MERGE WITH SCHEMA EVOLUTION (ask #6)
+    "sink_parquet_roundtrip",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
+    "sink_json_roundtrip",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
+    "csv_roundtrip",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
+    "sink_partitioned_write",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
+    "orc_roundtrip",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
+    "json_ingest_corrupt_records",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
+    "xml_roundtrip",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
+    "binaryfile_ingest",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
     "ols_quantity_price",  # stalest green (r5)
     "chi2_events_type_dow",  # stalest green (r5)
     "welch_t_acctbal_segments",  # stalest green (r5)
-    "events_survival_km",  # stalest green (r5), displaced by r12 new/changed
-    "events_impute_value",  # stalest green (r5), displaced by r12 new/changed
-    "events_target_encode_loo",  # stalest green (r5), displaced by r12 new/changed
-    "events_twap_user",  # stalest green (r5), deferred to r13 (window arithmetic)
-    "parts_abc_pareto",  # stalest green (r5), deferred to r13 (window arithmetic)
-    "semantic_prune_clusters",  # stalest green (r5), deferred to r13 (window arithmetic)
-    "table_metadata_tables_sql",
-    "table_statement_corners",
-    "table_merge_sync_dml",
-    "table_refs_sql",
-    "table_rename_column_sql",
-    "table_maintenance_sql",
-    "table_time_travel_sql",
-    "table_ddl_lifecycle",
-    "table_merge_dml",
-    "table_delete_mor_dml",
-    "table_insert_dml",
-    "table_update_dml",
-    "table_delete_dml",
-    "table_hilbert_layout",
-    "table_zorder_layout",
-    "table_merge_pruned",
-    "table_merge_upsert",
-    "knn_cosine_top5",
-    "knn_cosine_lsh",
-    "doc_exact_dedup",
-    "doc_minhash_near_dup",
-    "doc_dedup_clusters",
-    "table_snapshot_lifecycle",
-    "table_expire_compact",
-    "table_schema_evolution",
-    "table_rollback_restore",
-    "table_incremental_diff",
-    "table_partition_evolution",
-    "table_wap_publish",
-    "cdc_log_compaction",
-    "table_crypto_shred",
-    "mv_incremental_refresh",
-    "table_branch_merge",
-    "table_history_audit",
-    "table_concurrent_appends",
-    "table_mor_deletes",
-    "table_bloom_point_lookup",
-    "table_changelog_emit",
-    "catalog_multi_table_txn",
-    "stream_continuous_aggregate",
-    "stream_restart_recovery",
-    "termination_first_stop",
-    "trajectory_metrics",
-    "q1_pricing_agg",
-    "q3_join3_topk",
-    "user_profile_similarity",
-    "events_multi_grain_rollup",
-    "salted_join_skewed",
-    "unpivot_pricing_metrics",
-    "doc_dedup_survivors",
-    "doc_text_stats",
-    "doc_token_counts",
-    "doc_lang_id_confusion",
-    "doc_fingerprint",
-    "doc_pii_scrub",
-    "window_rank_topk_per_customer",
-    "window_lag_lead_orders",
-    "window_running_max_events",
-    "window_trailing_frame_events",
-    "window_ntile_quartiles",
-    "window_first_last_order",
-    "window_range_frame_value",
-    "window_percent_rank_cume_dist",
-    "embedding_avg_by_label",
-    "range_join_events_1h",
-    "bucketed_join_colocated",
-    "skyline_orders_2d",
-    "multimodal_metadata",
-    "classifier_stub_layers",
-    "classifier_label_canonicalization",
-    "classifier_real_model",
-    "generation_retry_stub",
-    "collate_prompt_batches",
-    "udtf_word_windows",
-    "udaf_weighted_value",
-    "reward_trajectory",
-    "reward_per_turn_scores",
-    "reward_fallback_mean",
-    "reward_config_coalesce",
-    "reward_trajectory_pandas",
-    "termination_flags",
-    "spearman_qty_price",
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_late_priority_counts",
-    "q13_custdist",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "lateral_top2_per_customer",
-    "events_sessionize_8h",
-    "daily_acf_value",
-    "seasonal_strength_scan",
-    "events_seasonal_residual_outliers",
-    "events_linear_interpolate",
-    "doc_bm25_search",
+    "events_survival_km",  # stalest green (r5)
+    "events_impute_value",  # stalest green (r5)
+    "events_target_encode_loo",  # stalest green (r5)
+    "events_twap_user",  # stalest green (r5)
+    "parts_abc_pareto",  # stalest green (r5)
+    "semantic_prune_clusters",  # stalest green (r5)
+    "spearman_qty_price",  # stalest green (r6)
+    "q2_min_cost_supplier",  # stalest green (r6)
+    "q4_priority_exists",  # stalest green (r6)
+    "q6_forecast_revenue",  # stalest green (r6)
+    "q7_volume_shipping",  # stalest green (r6)
+    "q8_market_share",  # stalest green (r6)
+    "q9_profit_by_nation",  # stalest green (r6)
+    "q10_returned_revenue",  # stalest green (r6)
+    "q11_important_parts",  # stalest green (r6)
+    "q12_late_priority_counts",  # stalest green (r6)
+    "q13_custdist",  # stalest green (r6)
+    "q14_promo_revenue",  # stalest green (r6)
+    "q15_top_supplier",  # stalest green (r6)
+    "q16_supplier_part_counts",  # stalest green (r6)
+    "q17_small_qty_revenue",  # stalest green (r6)
+    "q18_large_orders",  # stalest green (r6)
+    "q19_disjunctive_revenue",  # stalest green (r6)
+    "q20_dominant_suppliers",  # stalest green (r6)
+    "q21_waiting_suppliers",  # stalest green (r6)
+    "q22_idle_rich_customers",  # stalest green (r6)
+    "lateral_top2_per_customer",  # stalest green (r6)
+    "events_sessionize_8h",  # stalest green (r6)
+    "daily_acf_value",  # stalest green (r6)
+    "seasonal_strength_scan",  # stalest green (r6)
+    "events_seasonal_residual_outliers",  # stalest green (r6)
+    "events_linear_interpolate",  # stalest green (r6)
+    "doc_bm25_search",  # stalest green (r6)
+    # ---- 50-slot window ends here (14 changed + 9 r5 + 27 r6) ----
     "doc_phrase_search",
     "doc_rerank_crossencoder",
     "embedding_pq_codes",
@@ -316,7 +198,6 @@ _SWEEP_PRIORITY = [
     "nb_lang_confusion",
     "classifier_agreement_kappa",
     "multimodal_audio_zcr",
-    "binaryfile_ingest",
     "udtf_split_fixed_cols",
     "pyds_synthetic_rollup",
     "stream_topk_trending",
@@ -363,9 +244,6 @@ _SWEEP_PRIORITY = [
     "secure_masked_view",
     "observed_metrics_shipments",
     "dq_checks_orders",
-    "json_ingest_corrupt_records",
-    "xml_roundtrip",
-    "orc_roundtrip",
     "pagerank_trading_graph",
     "semi_join_active_customers",
     "anti_join_inactive_customers",
@@ -386,6 +264,127 @@ _SWEEP_PRIORITY = [
     "grouping_sets_pricing",
     "percentile_order_values",
     "approx_percentile_sketch",
+    "q1_pricing_agg",
+    "q3_join3_topk",
+    "user_profile_similarity",
+    "events_multi_grain_rollup",
+    "salted_join_skewed",
+    "unpivot_pricing_metrics",
+    "doc_dedup_survivors",
+    "doc_text_stats",
+    "doc_token_counts",
+    "doc_lang_id_confusion",
+    "doc_fingerprint",
+    "doc_pii_scrub",
+    "window_rank_topk_per_customer",
+    "window_lag_lead_orders",
+    "window_running_max_events",
+    "window_trailing_frame_events",
+    "window_ntile_quartiles",
+    "window_first_last_order",
+    "window_range_frame_value",
+    "window_percent_rank_cume_dist",
+    "embedding_avg_by_label",
+    "range_join_events_1h",
+    "bucketed_join_colocated",
+    "skyline_orders_2d",
+    "multimodal_metadata",
+    "classifier_stub_layers",
+    "classifier_label_canonicalization",
+    "classifier_real_model",
+    "generation_retry_stub",
+    "collate_prompt_batches",
+    "udtf_word_windows",
+    "udaf_weighted_value",
+    "reward_trajectory",
+    "reward_per_turn_scores",
+    "reward_fallback_mean",
+    "reward_config_coalesce",
+    "reward_trajectory_pandas",
+    "termination_flags",
+    "table_metadata_tables_sql",
+    "table_statement_corners",
+    "table_merge_sync_dml",
+    "table_refs_sql",
+    "table_rename_column_sql",
+    "table_maintenance_sql",
+    "table_time_travel_sql",
+    "table_ddl_lifecycle",
+    "table_delete_mor_dml",
+    "table_insert_dml",
+    "table_update_dml",
+    "table_delete_dml",
+    "table_hilbert_layout",
+    "table_zorder_layout",
+    "table_merge_pruned",
+    "table_merge_upsert",
+    "knn_cosine_top5",
+    "knn_cosine_lsh",
+    "doc_exact_dedup",
+    "doc_minhash_near_dup",
+    "doc_dedup_clusters",
+    "table_snapshot_lifecycle",
+    "table_expire_compact",
+    "table_schema_evolution",
+    "table_rollback_restore",
+    "table_incremental_diff",
+    "table_partition_evolution",
+    "table_wap_publish",
+    "cdc_log_compaction",
+    "table_crypto_shred",
+    "mv_incremental_refresh",
+    "table_branch_merge",
+    "table_history_audit",
+    "table_concurrent_appends",
+    "table_mor_deletes",
+    "table_bloom_point_lookup",
+    "table_changelog_emit",
+    "catalog_multi_table_txn",
+    "stream_continuous_aggregate",
+    "stream_restart_recovery",
+    "termination_first_stop",
+    "trajectory_metrics",
+    "table_views_sql",
+    "table_analyze_sql",
+    "table_alter_type_sql",
+    "knn_ivf_recall_audit",
+    "knn_lsh_recall_audit",
+    "knn_cosine_ivf",
+    "stream_cdc_apply",
+    "messages_role_swap_pipeline",
+    "dialogue_prep_verl_rows",
+    "dialogue_prep_nested",
+    "overlong_prompt_filter",
+    "positional_split_70_30",
+    "grpo_group_normalize",
+    "grpo_pairwise_n2",
+    "q5_region_revenue",
+    "stream_sliding_2h_1h",
+    "stream_session_window",
+    "stream_dedup_events",
+    "stream_dedup_bounded_state",
+    "multimodal_decode_features",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "generation_retry_real",
+    "doc_simhash_near_dup",
+    "doc_span_dedup",
+    "doc_fuzzy_pairs_blocked",
+    "stats_exact_moments",
+    "stratified_sample_counts",
+    "events_anomaly_zscore",
+    "events_pit_dimension_join",
+    "events_cohort_ltv",
+    "events_time_to_convert",
+    "stream_stream_left_join",
+    "events_ewma16_user",
+    "orders_open_peak_monthly",
+    "events_longest_streaks",
+    "part_pairs_cooccurrence",
+    "events_type_transitions",
+    "part_hierarchy_rollup",
+    "part_association_rules",
+    "benford_order_totals",
 ]
 
 registry.promote(_SWEEP_PRIORITY)

@@ -677,12 +677,6 @@ _IVF_HASH_MULT = 2654435761
 _IVF_HASH_MOD = 2**32
 
 
-def _ivf_sample_order_key(vec_ids: np.ndarray) -> np.ndarray:
-    return (vec_ids.astype(np.uint64) * np.uint64(_IVF_HASH_MULT)) % np.uint64(
-        _IVF_HASH_MOD
-    )
-
-
 def _ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
     """Deterministic IVF centroids from a BOUNDED training sample — the
     IVF_TRAIN_SAMPLE vectors smallest by the Knuth-hash order key (one
@@ -946,8 +940,9 @@ def _ivf_search_cell(cells_dir: str, k: int):
     "vector in its 2 nearest cells — Jégou-style multiple assignment, "
     "the r12 recall repair: 0.698 → ~0.90 full-corpus recall@5); "
     "queries fan out to their nprobe=6 nearest cells and a per-cell "
-    "applyInPandas task loads ONLY that cell's shard (≈1/8 of the "
-    "doubled index) for an exact local top-k, pairs collapsed then "
+    "applyInPandas task loads ONLY that cell's shard (≈1/16 of the "
+    "doubled index, i.e. ≈1/8 of the corpus) for an exact local "
+    "top-k, pairs collapsed then "
     "merged by a per-query window. No process ever holds the full "
     "index — the beyond-executor-memory path the brute-force ceiling "
     "error points at. Recall@5 vs exact is re-measured every BENCH "
@@ -1017,9 +1012,8 @@ def _ivf_assignment_ctes() -> list:
     sample, strided spread init, unrolled MATERIALIZED Lloyd iterations,
     and rn<=IVF_ASSIGN cell assignment. Composed by the recall audit
     (probing + overlap) and the IVF near-dup oracle (co-located pairs).
-    """
-    """DuckDB mirror of the ENTIRE IVF pipeline (VERDICT r10 ask #6) —
-    the same technique as the Hilbert CTE mirror, applied to k-means:
+
+    Same technique as the Hilbert CTE mirror, applied to k-means:
     the centroid training is deterministic relational arithmetic
     (Knuth-hash-ordered IVF_TRAIN_SAMPLE sample, spread init — every
     stride-th sample vector in hash order — then _IVF_LLOYD_ITERS

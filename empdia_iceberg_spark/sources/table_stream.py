@@ -233,6 +233,12 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                 if d in parent_dirs:
                     continue
                 for root_, _dirs, fnames in os.walk(d):
+                    # Deterministic traversal (ADVICE r12): os.walk's
+                    # subdir order is readdir order, which is not stable
+                    # across filesystems/processes — and file-level
+                    # offsets INDEX into this sequence, so a checkpoint
+                    # resumed in a new process must reproduce it exactly.
+                    _dirs.sort()
                     for fn in sorted(fnames):
                         if fn.endswith(".parquet"):
                             fp = os.path.join(root_, fn)

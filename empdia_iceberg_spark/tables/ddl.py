@@ -234,7 +234,13 @@ def show_create_table(
     for cname, cexpr in meta.get("constraints", {}).items():
         props[f"constraint.{cname}"] = f"CHECK ({cexpr})"
     if props:
-        lines = ",\n".join(f"  '{k}' = '{v}'" for k, v in sorted(props.items()))
+        # SQL-escape single quotes (ADVICE r12): a CHECK constraint with a
+        # string literal (CHECK (seg = 'BLD')) must render as a valid
+        # quoted property value, not nested bare quotes
+        esc = lambda s: str(s).replace("'", "''")  # noqa: E731
+        lines = ",\n".join(
+            f"  '{esc(k)}' = '{esc(v)}'" for k, v in sorted(props.items())
+        )
         stmt += f"\nTBLPROPERTIES (\n{lines})"
     return spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
@@ -1740,7 +1746,7 @@ def table_views_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "carries the stats forward unchanged and `t.stats` shows the stale "
     "as_of_version (the Iceberg/Spark model: stats describe the "
     "snapshot they were computed on; staleness is visible, never "
-    "hidden — hash-checked via stale_as_of_after_append=2), and a "
+    "hidden — hash-checked via stale_as_of_after_append=1), and a "
     "re-ANALYZE refreshes every value over both file generations "
     "(hash-checked against base-table aggregates).",
 )

@@ -64,14 +64,16 @@ DEFAULT_ROOT = os.environ.get(
 # older than EMPDIA_SCRATCH_IDLE_SEC (default 24 h) are orphans from
 # crashed processes and are swept on first use.
 _SCRATCH_SUFFIX = uuid.uuid4().hex[:8]
-_scratch_ready = False
+# Readiness keyed PER BASE (ADVICE r12): a first-call-wins boolean meant a
+# later call with a different root returned a dir that was never created,
+# had no atexit cleanup, and whose orphans were never swept.
+_scratch_ready_bases: set[str] = set()
 
 
 def scratch_root(root: str | None = None) -> str:
-    global _scratch_ready
     base = root or DEFAULT_ROOT
     mine = os.path.join(base, f"_scratch_{_SCRATCH_SUFFIX}")
-    if not _scratch_ready:
+    if base not in _scratch_ready_bases:
         os.makedirs(mine, exist_ok=True)
         import atexit
 
@@ -98,7 +100,7 @@ def scratch_root(root: str | None = None) -> str:
                     continue
                 if now - newest > idle:
                     shutil.rmtree(full, ignore_errors=True)
-        _scratch_ready = True
+        _scratch_ready_bases.add(base)
     return mine
 
 # Snapshot writes aim for files of this size (Iceberg's
@@ -2665,10 +2667,13 @@ class SnapshotTable:
             p = os.path.join(meta_dir, fn)
             raw = open(p).read()
             if old_prefix in raw:
-                # rewrite in place: the commit already happened, this is
-                # the path-reference fixup of the move itself
-                with open(p, "w") as fh:
+                # atomic fixup (ADVICE r12): tmp + os.replace, the same
+                # publish discipline as _commit — a truncating in-place
+                # rewrite could leave a corrupt snapshot JSON on crash
+                tmp = p + ".rename_tmp"
+                with open(tmp, "w") as fh:
                     fh.write(raw.replace(old_prefix, new_prefix))
+                os.replace(tmp, p)
         return SnapshotTable(self.spark, new_name, self.root)
 
 

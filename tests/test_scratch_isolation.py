@@ -24,6 +24,13 @@ for _ in range(3):  # repeated drop+recreate maximizes collision surface
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert rows, "query returned no rows"
+    # sink family (r13, VERDICT r12 ask #2): the fixed SINK_ROOT was the
+    # one scaffold family scratch_root() did not cover — _fresh()'s
+    # rmtree raced a concurrent reader (json_ingest / orc flakes)
+    rows = registry.queries()["json_ingest_corrupt_records"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "sink query returned no rows"
 print("WORKER_OK")
 """
 
@@ -64,7 +71,9 @@ def test_scratch_root_is_process_unique_and_reclaims_orphans(tmp_path, monkeypat
     aged = 1_000_000
     for p in (old, old / "t", old / "t" / "f.json"):
         os.utime(p, (os.path.getmtime(p) - aged,) * 2)
-    monkeypatch.setattr(M, "_scratch_ready", False)
+    # per-base readiness (ADVICE r12): a base never seen before must get
+    # makedirs + sweep even if another base was already prepared
+    M._scratch_ready_bases.discard(str(base))
     mine = M.scratch_root(str(base))
     assert os.path.basename(mine) == f"_scratch_{M._SCRATCH_SUFFIX}"
     assert os.path.isdir(mine)
@@ -72,3 +81,17 @@ def test_scratch_root_is_process_unique_and_reclaims_orphans(tmp_path, monkeypat
     assert not old.exists(), "aged orphans must be reclaimed"
     # a second call is idempotent and does not re-sweep
     assert M.scratch_root(str(base)) == mine
+
+
+def test_scratch_root_prepares_each_distinct_base(tmp_path):
+    """ADVICE r12: first-call-wins readiness meant a SECOND base returned
+    a path that was never created. Each distinct root must be prepared."""
+    import empdia_iceberg_spark.tables.manager as M
+
+    a, b = tmp_path / "cat_a", tmp_path / "cat_b"
+    a.mkdir()
+    b.mkdir()
+    pa = M.scratch_root(str(a))
+    pb = M.scratch_root(str(b))
+    assert os.path.isdir(pa) and os.path.isdir(pb)
+    assert pa != pb and pa.startswith(str(a)) and pb.startswith(str(b))
