@@ -797,11 +797,12 @@ def test_ivf_near_dup_blocked_pairs_exact_subset_and_recall(spark):
     """emb_near_dup_ivf (r12): every emitted pair must appear in the
     brute-force all-pairs answer with the identical rounded cosine
     (blocking narrows the CANDIDATES, never perturbs a value), and the
-    blocking recall on this corpus stays above a floor. Context: the
-    synthetic corpus has no true near-dups — the 0.4 threshold sits in
-    the far-apart tail where co-location is weakest, so the floor is
-    deliberately conservative; a real near-dup corpus (cos >= 0.9)
-    co-locates almost surely under multi-assignment."""
+    blocking recall on this corpus stays >= 0.9 (r13, VERDICT r12 ask
+    #1): the synthetic corpus has no true near-dups — the 0.4
+    threshold sits in the far-apart tail where co-location is weakest
+    — so the pair path uses the WIDE assignment
+    (NEAR_DUP_IVF_ASSIGN=4; measured 0.955 at sf0.001, 1.0 at
+    sf0.01)."""
     from empdia_iceberg_spark.operators import similarity
 
     blocked = {
@@ -815,4 +816,4 @@ def test_ivf_near_dup_blocked_pairs_exact_subset_and_recall(spark):
     assert blocked, "blocked path found no pairs at all"
     for pair, cos in blocked.items():
         assert pair in brute and brute[pair] == cos
-    assert len(blocked) / len(brute) >= 0.5
+    assert len(blocked) / len(brute) >= 0.9
