@@ -92,6 +92,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # the bottom of the r6 block below the marker (same-round-driver-row
 # rule).
 _SWEEP_PRIORITY = [
+    "table_changes_sql",  # NEW r13: CDC read TVF table_changes('t', v1, v2[, key]) (ask #5)
     "emb_near_dup_ivf",  # r13-changed: near-dup recall repair (VERDICT r12 ask #1)
     "table_governance_sql",  # r13-changed: + NOT NULL / DEFAULT constraints (ask #8)
     "table_describe_sql",  # r13-changed: atomic rename fixup + SHOW CREATE quote escaping (ADVICE)
@@ -141,8 +142,8 @@ _SWEEP_PRIORITY = [
     "seasonal_strength_scan",  # stalest green (r6)
     "events_seasonal_residual_outliers",  # stalest green (r6)
     "events_linear_interpolate",  # stalest green (r6)
-    "doc_bm25_search",  # stalest green (r6)
-    # ---- 50-slot window ends here (14 changed + 9 r5 + 27 r6) ----
+    # ---- 50-slot window ends here (1 new + 14 changed + 9 r5 + 26 r6) ----
+    "doc_bm25_search",  # stalest green (r6), displaced by r13 new
     "doc_phrase_search",
     "doc_rerank_crossencoder",
     "embedding_pq_codes",

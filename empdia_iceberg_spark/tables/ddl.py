@@ -1158,6 +1158,54 @@ def materialize_time_travel(
     return out
 
 
+# CDC read TVF (r13, VERDICT r12 ask #5): Delta's
+# `table_changes('t', start [, end])` spelling, with an optional 4th
+# argument naming a key column to fold same-commit delete+insert pairs
+# into update_preimage/update_postimage (Delta CDF's shape). Scanned on
+# the literal-masked copy like time travel, so the TVF name inside a
+# string can never trigger a rewrite.
+_TABLE_CHANGES = re.compile(
+    r"\btable_changes\s*\(\s*('[^']*'|\"[^\"]*\")\s*,\s*(\d+)\s*"
+    r"(?:,\s*(\d+)\s*)?(?:,\s*('[^']*'|\"[^\"]*\")\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def materialize_table_changes(
+    spark: SparkSession, statement: str, root: str = DEFAULT_ROOT
+) -> str:
+    """Rewrite every `table_changes('t', v1 [, v2 [, 'key']])` reference
+    to a temp view over :meth:`SnapshotTable.changes` and return the
+    rewritten statement — the SQL spelling of the CDC read, resolved
+    pre-dispatch exactly like time travel and the metadata tables.
+    Statements without the TVF pass through untouched."""
+    masked = _mask_literals(statement)
+    matches = list(_TABLE_CHANGES.finditer(masked))
+    if not matches:
+        return statement
+    out = statement
+    for m in reversed(matches):  # right-to-left keeps earlier spans valid
+        name = statement[m.start(1) : m.end(1)].strip("'\"")
+        if not re.fullmatch(r"\w+", name):
+            raise ValueError(f"table_changes: invalid table name {name!r}")
+        v1 = int(m.group(2))
+        v2 = int(m.group(3)) if m.group(3) else None
+        key = (
+            statement[m.start(4) : m.end(4)].strip("'\"") if m.group(4) else None
+        )
+        t = SnapshotTable(spark, name, root)
+        if t.current_version() is None:
+            raise ValueError(
+                f"table_changes requires a snapshot table: {name!r} not found"
+            )
+        view = f"_changes_{name}_{v1}_{v2 if v2 is not None else 'cur'}" + (
+            f"_{key}" if key else ""
+        )
+        t.changes(v1, v2, key=key).createOrReplaceTempView(view)
+        out = out[: m.start()] + view + out[m.end() :]
+    return out
+
+
 def execute_sql_script(
     spark: SparkSession,
     script: str,
@@ -1197,6 +1245,7 @@ def execute_sql(
     works anywhere a read ref appears — a SELECT, an INSERT body, a
     MERGE source."""
     statement = materialize_time_travel(spark, statement, root)
+    statement = materialize_table_changes(spark, statement, root)
     statement = materialize_metadata_tables(spark, statement, root)
     # persisted views resolve for every READING statement; CREATE/DROP
     # VIEW manage the catalog and must not resolve their own target
@@ -1364,6 +1413,74 @@ def table_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 3, count(*), {total} FROM orders_asof SYSTEM_VERSION AS OF 3
         ORDER BY version
         """, root=scratch_root(),
+    )
+
+
+@register(
+    "table_changes_sql",
+    oracle=f"""
+    WITH upd AS (SELECT * FROM orders
+                 WHERE o_orderstatus = 'O' AND o_totalprice > 450000.0),
+         ins3 AS (SELECT * FROM orders WHERE o_orderstatus = 'P'),
+         del4 AS (SELECT * FROM orders WHERE o_totalprice < 10000.0)
+    SELECT 2 AS commit_version, 'insert' AS change_type,
+           count(*) AS n_rows, round({sql_sum2('o_totalprice')}, 2) AS sum_price
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 3, 'insert', count(*), round({sql_sum2('o_totalprice')}, 2) FROM ins3
+    UNION ALL
+    SELECT 3, 'update_postimage', count(*), round({sql_sum2('o_totalprice')}, 2) FROM upd
+    UNION ALL
+    SELECT 3, 'update_preimage', count(*), round({sql_sum2('o_totalprice')}, 2) FROM upd
+    UNION ALL
+    SELECT 4, 'delete', count(*), round({sql_sum2('o_totalprice')}, 2) FROM del4
+    ORDER BY commit_version, change_type
+    """,
+    doc="SQL CDC read (r13, VERDICT r12 ask #5): ONE SELECT over the "
+    "`table_changes('t', v1, v2, 'key')` TVF (Delta's spelling, "
+    "resolved pre-dispatch on the literal-masked statement like time "
+    "travel) aggregates the change stream of CREATE(O) -> APPEND(F) -> "
+    "MERGE(update expensive O-orders to 0-RUSH priority + insert the "
+    "P-orders) -> DELETE(cheap), starting at v2 so the range bound is "
+    "exercised. The reads are file-pruned per commit — appends scan "
+    "only the added files, the CoW merge/delete diff only the swapped "
+    "file sets via exceptAll — and the key argument folds same-commit "
+    "delete+insert pairs into update_preimage/update_postimage (Delta "
+    "CDF's shape; without a key they surface as Iceberg changelog "
+    "insert+delete). Counts AND exact-decimal price sums per "
+    "(_commit_version, _change_type) are pinned by base-table "
+    "arithmetic: updates preserve the price column so pre/post sums "
+    "must agree; the delete era runs over the post-merge table, so a "
+    "wrong diff anywhere upstream shifts a sum.",
+)
+def table_changes_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_cdcsql", scratch_root())
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))  # v1
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))  # v2
+    source = (
+        orders.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 450000.0)
+        )
+        .withColumn("o_orderpriority", F.lit("0-RUSH"))
+        .unionByName(orders.filter(F.col("o_orderstatus") == "P"))
+    )
+    t.merge(source, key="o_orderkey")  # v3: updates + inserts in ONE commit
+    t.delete_where(F.col("o_totalprice") < 10000.0)  # v4: CoW delete
+    total = f"round({sql_sum2('o_totalprice')}, 2)"
+    return execute_sql(
+        spark,
+        f"""
+        SELECT _commit_version AS commit_version,
+               _change_type AS change_type,
+               count(*) AS n_rows,
+               {total} AS sum_price
+        FROM table_changes('orders_cdcsql', 2, 4, 'o_orderkey')
+        GROUP BY _commit_version, _change_type
+        ORDER BY commit_version, change_type
+        """,
+        root=scratch_root(),
     )
 
 

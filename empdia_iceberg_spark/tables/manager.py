@@ -2634,6 +2634,155 @@ class SnapshotTable:
             F.col(col) == F.lit(value)
         )
 
+    def changes(
+        self,
+        start_version: int,
+        end_version: int | None = None,
+        key: str | None = None,
+    ) -> DataFrame:
+        """Row-level CDC read between snapshots — the Delta
+        `table_changes` / Iceberg changelog-scan model: every change
+        COMMITTED in versions [start_version, end_version] (inclusive,
+        Delta's bounds), as table rows plus `_change_type`,
+        `_commit_version`, `_commit_timestamp`.
+
+        File-pruned per commit, never a full-table diff:
+        - append-shaped commits (create/append) scan ONLY the files the
+          commit added → `insert` rows;
+        - merge-on-read delete commits scan only the dirs the new
+          equality-delete entries apply to, semi-joined on the delete
+          keys → `delete` rows;
+        - copy-on-write change commits (merge/delete/update/overwrite/
+          compact/truncate/rollback) diff ONLY the file sets the commit
+          swapped: `exceptAll` both ways between removed and added
+          files (exact multiset semantics — a compaction rewrite diffs
+          to zero rows), each side read under its own committed schema;
+        - metadata-only commits contribute nothing.
+
+        Without stored row lineage an update surfaces as its
+        delete+insert pair (exactly Iceberg's changelog scan). Pass
+        ``key`` to fold pairs that share a key within one commit into
+        `update_preimage`/`update_postimage` (Delta CDF's shape).
+
+        Output columns follow the END version's committed schema (rows
+        from older schemas surface later-added columns as NULL). Raises
+        if the range references an expired snapshot — same contract as
+        time travel."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"table {self.name}: no snapshots")
+        end = end_version if end_version is not None else cur
+        versions = set(self._versions())
+        if not (1 <= start_version <= end <= cur):
+            raise ValueError(
+                f"table {self.name}: invalid change range "
+                f"[{start_version}, {end}] (table is at v{cur})"
+            )
+        for v in range(max(start_version - 1, 1), end + 1):
+            if v not in versions:
+                raise ValueError(
+                    f"table {self.name}: v{v} was expired — CHANGES "
+                    f"cannot replay it; start after the earliest "
+                    "retained snapshot"
+                )
+        end_meta = self._read_meta(end)
+        end_schema = T.StructType.fromJson(json.loads(end_meta["schema"]))
+        out_cols = [f.name for f in end_schema.fields]
+
+        def align(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(c).cast(f.dataType)
+                    if c in df.columns
+                    else F.lit(None).cast(f.dataType).alias(c)
+                    for c, f in zip(out_cols, end_schema.fields)
+                ]
+            )
+
+        def tag(df: DataFrame, ctype: str, v: int, ts: float | None) -> DataFrame:
+            return align(df).select(
+                "*",
+                F.lit(ctype).alias("_change_type"),
+                F.lit(v).cast("int").alias("_commit_version"),
+                F.lit(ts).cast("double").cast("timestamp").alias("_commit_timestamp"),
+            )
+
+        parts: list[DataFrame] = []
+        for v in range(start_version, end + 1):
+            meta = self._read_meta(v)
+            ts = meta.get("ts")
+            parent_meta = self._read_meta(v - 1) if v > 1 else None
+            p_dirs = parent_meta["dirs"] if parent_meta else []
+            added = [d for d in meta["dirs"] if d not in set(p_dirs)]
+            removed = [d for d in p_dirs if d not in set(meta["dirs"])]
+            p_ndel = len(parent_meta.get("delete_dirs", [])) if parent_meta else 0
+            new_deletes = meta.get("delete_dirs", [])[p_ndel:]
+            if not added and not removed and not new_deletes:
+                continue  # metadata-only commit
+            ins = del_ = None
+            if removed or (added and self._op_is_change(meta)):
+                # copy-on-write swap: diff exactly the swapped file sets
+                old_df = (
+                    self._read_dirs_mor(parent_meta, removed)
+                    if removed
+                    else self._read_dirs([], schema_json=parent_meta["schema"])
+                )
+                new_df = (
+                    self._read_dirs_mor(meta, added)
+                    if added
+                    else self._read_dirs([], schema_json=meta["schema"])
+                )
+                old_a, new_a = align(old_df), align(new_df)
+                ins, del_ = new_a.exceptAll(old_a), old_a.exceptAll(new_a)
+            elif added:
+                # append-shaped: the commit's new files ARE the inserts
+                # (equality deletes never apply to files newer than the
+                # delete commit, so the plain pruned read is exact)
+                ins = self._read_dirs(added, schema_json=meta["schema"])
+            for dd in new_deletes:
+                # merge-on-read delete: deleted rows = parent-state rows
+                # in the dirs this delete applies to, matching its keys
+                applies = [
+                    d for d in dd.get("applies_to", p_dirs) if d in set(p_dirs)
+                ]
+                if not applies:
+                    continue
+                keys = self.spark.read.parquet(dd["dir"])
+                hit = self._read_dirs_mor(parent_meta, applies).join(
+                    keys, on=dd["key"], how="semi"
+                )
+                del_ = hit if del_ is None else align(del_).unionByName(align(hit))
+            if key is not None and ins is not None and del_ is not None:
+                ins_a, del_a = align(ins), align(del_)
+                upd_keys = ins_a.select(key).intersect(del_a.select(key))
+                parts.append(
+                    tag(ins_a.join(upd_keys, key, "semi"), "update_postimage", v, ts)
+                )
+                parts.append(
+                    tag(del_a.join(upd_keys, key, "semi"), "update_preimage", v, ts)
+                )
+                parts.append(tag(ins_a.join(upd_keys, key, "anti"), "insert", v, ts))
+                parts.append(tag(del_a.join(upd_keys, key, "anti"), "delete", v, ts))
+            else:
+                if ins is not None:
+                    parts.append(tag(ins, "insert", v, ts))
+                if del_ is not None:
+                    parts.append(tag(del_, "delete", v, ts))
+        if not parts:
+            empty = self._read_dirs([], schema_json=end_meta["schema"])
+            return tag(empty, "insert", end, None).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @staticmethod
+    def _op_is_change(meta: dict) -> bool:
+        """True for commits whose added files may REPLACE rows (CoW
+        change family) rather than extend the table (append family)."""
+        op = meta.get("op", "")
+        return not (op in ("create", "append") or op.startswith("append@"))
+
     def drop(self) -> None:
         if os.path.isdir(self.base):
             shutil.rmtree(self.base)

@@ -3299,3 +3299,146 @@ def test_execute_sql_script_splits_and_fails_fast(spark, nation):
         )
     assert t.properties()["x"] == "1"
     t.drop()
+
+
+# ------------------------------------------------------ CDC changes() (r13)
+
+
+def _change_counts(df):
+    return {
+        (r._commit_version, r._change_type): r.n
+        for r in df.groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_changes_per_commit_types(spark, nation):
+    """insert from appends, delete from CoW delete, empty diff from
+    compaction, MOR delete keys — each commit contributes exactly its
+    own change rows, file-pruned."""
+    t = SnapshotTable(spark, "t_changes_unit")
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))  # v1: 10 inserts
+    t.append(nation.filter(F.col("n_nationkey") >= 10))  # v2: 15 inserts
+    t.delete_where(F.col("n_regionkey") == 0)  # v3: CoW delete (5 rows)
+    t.compact(target_partitions=1)  # v4: rewrite, zero row changes
+    t.delete_where_mor(F.col("n_regionkey") == 1, key="n_nationkey")  # v5: MOR
+    c = _change_counts(t.changes(1))
+    assert c == {
+        (1, "insert"): 10,
+        (2, "insert"): 15,
+        (3, "delete"): 5,
+        (5, "delete"): 5,
+    }
+    # range bounds are inclusive and start after v1 skips its inserts
+    c2 = _change_counts(t.changes(2, 3))
+    assert c2 == {(2, "insert"): 15, (3, "delete"): 5}
+    # rows carry the real column values (spot-check one deleted key)
+    deleted = {
+        r.n_nationkey
+        for r in t.changes(3, 3).filter(F.col("_change_type") == "delete").collect()
+    }
+    assert deleted == {
+        r.n_nationkey
+        for r in nation.filter(F.col("n_regionkey") == 0).collect()
+    }
+    t.drop()
+
+
+def test_changes_update_fold_with_key(spark, nation):
+    """With a key, a same-commit delete+insert pair folds into
+    update_preimage/update_postimage (Delta CDF shape); unpaired rows
+    stay insert/delete."""
+    t = SnapshotTable(spark, "t_changes_fold_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    source = spark.createDataFrame(
+        [(0, "RENAMED"), (999, "NEWLAND")], "n_nationkey int, n_name string"
+    )
+    t.merge(source, key="n_nationkey")  # v2: 1 update + 1 insert
+    c = _change_counts(t.changes(2, key="n_nationkey"))
+    assert c == {
+        (2, "insert"): 1,
+        (2, "update_preimage"): 1,
+        (2, "update_postimage"): 1,
+    }
+    pre = t.changes(2, key="n_nationkey").filter(
+        F.col("_change_type") == "update_preimage"
+    ).collect()
+    post = t.changes(2, key="n_nationkey").filter(
+        F.col("_change_type") == "update_postimage"
+    ).collect()
+    assert pre[0].n_name != "RENAMED" and post[0].n_name == "RENAMED"
+    # without the key the same commit reads as insert+delete pairs
+    c2 = _change_counts(t.changes(2))
+    assert c2 == {(2, "insert"): 2, (2, "delete"): 1}
+    t.drop()
+
+
+def test_changes_schema_evolution_aligns_to_end_version(spark, nation):
+    """Rows from commits before an ADD COLUMN surface the new column as
+    NULL — output follows the END version's committed schema."""
+    t = SnapshotTable(spark, "t_changes_evo_unit")
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))  # v1
+    t.add_column("tier", "string")  # v2: metadata-only
+    t.append(
+        spark.createDataFrame(
+            [(900, "X", "gold")], "n_nationkey int, n_name string, tier string"
+        )
+    )  # v3
+    ch = t.changes(1)
+    assert "tier" in ch.columns
+    v1rows = ch.filter(F.col("_commit_version") == 1).collect()
+    assert all(r.tier is None for r in v1rows)
+    assert (
+        ch.filter(F.col("_commit_version") == 3).collect()[0].tier == "gold"
+    )
+    # the metadata-only v2 contributes no change rows
+    assert ch.filter(F.col("_commit_version") == 2).count() == 0
+    t.drop()
+
+
+def test_changes_validates_range_and_expiry(spark, nation):
+    t = SnapshotTable(spark, "t_changes_guard_unit")
+    t.drop()
+    t.create(nation)
+    with pytest.raises(ValueError, match="invalid change range"):
+        t.changes(0)
+    with pytest.raises(ValueError, match="invalid change range"):
+        t.changes(2)
+    with pytest.raises(ValueError, match="invalid change range"):
+        t.changes(1, 5)
+    t.drop()
+
+
+def test_table_changes_tvf_sql_spelling(spark, nation):
+    """The table_changes('t', v1[, v2[, key]]) TVF resolves inside any
+    reading statement, literal-masked."""
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    root = scratch_root()
+    t = SnapshotTable(spark, "t_changes_tvf_unit", root)
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    out = execute_sql(
+        spark,
+        "SELECT _change_type, count(*) AS n FROM "
+        "table_changes('t_changes_tvf_unit', 2) GROUP BY 1",
+        root=root,
+    ).collect()
+    assert [(r._change_type, r.n) for r in out] == [("insert", 15)]
+    # a literal mentioning the TVF must NOT trigger resolution
+    lit = execute_sql(
+        spark, "SELECT 'table_changes(''x'', 1)' AS s", root=root
+    ).collect()
+    assert lit[0].s == "table_changes('x', 1)"
+    with pytest.raises(ValueError, match="not found"):
+        execute_sql(
+            spark,
+            "SELECT * FROM table_changes('no_such_table_xyz', 1)",
+            root=root,
+        )
+    t.drop()
