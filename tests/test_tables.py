@@ -3442,3 +3442,79 @@ def test_table_changes_tvf_sql_spelling(spark, nation):
             root=root,
         )
     t.drop()
+
+
+# ------------------------------------- MERGE WITH SCHEMA EVOLUTION (r13)
+
+
+def test_merge_with_schema_evolution_insert_and_update(spark, nation):
+    """Delta's `MERGE WITH SCHEMA EVOLUTION INTO`: source-only columns
+    auto-ADD via the metadata-only evolve before the clause engine runs;
+    pre-evolution rows surface them as NULL."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    root = scratch_root()
+    t = SnapshotTable(spark, "t_merge_evo_unit", root)
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    spark.createDataFrame(
+        [(0, "RENAMED", "gold"), (999, "NEWLAND", "silver")],
+        "n_nationkey int, n_name string, tier string",
+    ).createOrReplaceTempView("evo_src")
+    res = execute_dml(
+        spark,
+        """MERGE WITH SCHEMA EVOLUTION INTO t_merge_evo_unit t
+           USING evo_src s ON t.n_nationkey = s.n_nationkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        root=root,
+    )
+    assert res["evolved_columns"] == ["tier"]
+    rows = {r.n_nationkey: (r.n_name, r.tier) for r in t.read().collect()}
+    assert rows[0] == ("RENAMED", "gold")       # updated with the new column
+    assert rows[999] == ("NEWLAND", "silver")   # inserted with the new column
+    assert rows[1][1] is None                   # untouched row: NULL tier
+    # the evolve was metadata-only: one add-column commit + the merge
+    assert [s["op"] for s in t.snapshots()] == ["create", "add-column", "merge"]
+    t.drop()
+
+
+def test_merge_without_evolution_clause_still_refuses(spark, nation):
+    """Without the clause the SET * source-coverage guard stands — the
+    evolved path must be opt-in, not a silent schema change."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    root = scratch_root()
+    t = SnapshotTable(spark, "t_merge_noevo_unit", root)
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name", "n_regionkey"))
+    # source MISSING a table column: SET * must refuse with or without
+    # the evolution clause (evolution adds source-only columns, it never
+    # waives the source-coverage rule)
+    spark.createDataFrame(
+        [(0, "RENAMED")], "n_nationkey int, n_name string"
+    ).createOrReplaceTempView("noevo_src")
+    for head in ("MERGE INTO", "MERGE WITH SCHEMA EVOLUTION INTO"):
+        with pytest.raises(Exception):
+            execute_dml(
+                spark,
+                f"""{head} t_merge_noevo_unit t
+                   USING noevo_src s ON t.n_nationkey = s.n_nationkey
+                   WHEN MATCHED THEN UPDATE SET *""",
+                root=root,
+            )
+    # and a source with an EXTRA column, without the clause, must not
+    # grow the schema (extras are legal for SET * and simply ignored)
+    spark.createDataFrame(
+        [(0, "RENAMED", 1, "oops")],
+        "n_nationkey int, n_name string, n_regionkey int, extra string",
+    ).createOrReplaceTempView("noevo_extra_src")
+    execute_dml(
+        spark,
+        """MERGE INTO t_merge_noevo_unit t
+           USING noevo_extra_src s ON t.n_nationkey = s.n_nationkey
+           WHEN MATCHED THEN UPDATE SET *""",
+        root=root,
+    )
+    assert "extra" not in t.read().columns
+    t.drop()
