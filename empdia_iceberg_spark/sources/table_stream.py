@@ -60,9 +60,12 @@ from empdia_iceberg_spark.tables.manager import (
 
 # ops whose NEW dirs are pure appends of new rows
 _APPEND_OPS = ("create", "append")
-# metadata-only ops: no data delta at all
+# metadata-only ops: no data delta at all (governance/stats commits
+# carry every data dir by reference — r13 adds the NOT NULL pair)
 _METADATA_OPS = ("add-column", "drop-column", "rename-column",
-                 "evolve-partitioning")
+                 "evolve-partitioning", "set-properties",
+                 "unset-properties", "add-constraint", "drop-constraint",
+                 "analyze", "set-not-null", "drop-not-null")
 
 
 class _TailFilePartition(InputPartition):

@@ -94,6 +94,13 @@ _ALTER_TYPE = re.compile(  # Iceberg/Spark `ALTER COLUMN c TYPE t`; the
     r"^ALTER\s+COLUMN\s+(\w+)\s+(?:TYPE|SET\s+DATA\s+TYPE)\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_NOT_NULL = re.compile(  # r13: Delta/Spark `ALTER COLUMN c SET NOT NULL`
+    r"^ALTER\s+COLUMN\s+(\w+)\s+(SET|DROP)\s+NOT\s+NULL\s*$", re.IGNORECASE
+)
+# `DEFAULT <literal>` suffix of an ADD COLUMN item (r13, Iceberg v3
+# initial/write defaults) — located on the literal-masked copy so a
+# string default containing the word DEFAULT cannot split early.
+_DEFAULT_SPLIT = re.compile(r"\s+DEFAULT\s+", re.IGNORECASE)
 _CREATE_REF = re.compile(
     r"^CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
     re.IGNORECASE,
@@ -220,9 +227,17 @@ def show_create_table(
 
     meta = t._read_meta(cur)
     stored = T.StructType.fromJson(_json.loads(meta["schema"]))
-    cols = ",\n".join(
-        f"  {f.name} {f.dataType.simpleString()}" for f in stored.fields
-    )
+    nn = set(meta.get("not_null", []))
+
+    def _coldef(f) -> str:
+        s = f"  {f.name} {f.dataType.simpleString()}"
+        if f.name in nn:
+            s += " NOT NULL"
+        if "default" in (f.metadata or {}):
+            s += f" DEFAULT {f.metadata['default']}"
+        return s
+
+    cols = ",\n".join(_coldef(f) for f in stored.fields)
     stmt = f"CREATE TABLE {name} (\n{cols})\nUSING snapshot"
     spec = meta.get("spec", [])
     if spec:
@@ -492,6 +507,9 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         ALTER TABLE t DROP COLUMN[S] name [, name ...]
         ALTER TABLE t RENAME COLUMN old TO new
         ALTER TABLE t ALTER COLUMN c TYPE t  (safe promotion; SET DATA TYPE alias)
+        ALTER TABLE t ALTER COLUMN c SET NOT NULL   (validated + enforced)
+        ALTER TABLE t ALTER COLUMN c DROP NOT NULL
+        ALTER TABLE t ADD COLUMN c type DEFAULT <literal>  (Iceberg-v3 defaults)
         ALTER TABLE t RENAME TO t2           (catalog move; history travels)
         ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)   (merge-over)
         ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
@@ -631,22 +649,27 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
                 cm = re.match(r"^(\w+)\s+(.+)$", item, re.DOTALL)
                 if not cm:
                     raise ValueError(f"bad column definition: {item!r}")
-                defs.append((cm.group(1), cm.group(2).strip()))
+                type_part, default = cm.group(2).strip(), None
+                dm_ = _DEFAULT_SPLIT.search(_mask_literals(type_part))
+                if dm_:
+                    default = type_part[dm_.end() :].strip()
+                    type_part = type_part[: dm_.start()].strip()
+                defs.append((cm.group(1), type_part, default))
             # Fail fast BEFORE the first commit so a bad later item
             # cannot leave a multi-column statement half-applied: parse
             # every type (Spark raises on nonsense) and reject in-list
             # duplicates up front. Per-column guards (exists / was
             # dropped) still run inside add_column under its OCC loop.
-            names = [c for c, _ in defs]
+            names = [c for c, _t, _d in defs]
             if len(set(names)) != len(names):
                 raise ValueError(f"duplicate column names in ADD COLUMNS: {names}")
-            for col, sql_type in defs:
+            for col, sql_type, _d in defs:
                 spark.createDataFrame([], f"`{col}` {sql_type}")
             parent = t.current_version()
             parent_dirs = t._read_meta(parent)["dirs"] if parent else None
             version = parent
-            for col, sql_type in defs:
-                version = t.add_column(col, sql_type)
+            for col, sql_type, default in defs:
+                version = t.add_column(col, sql_type, default=default)
             new_dirs = t._read_meta(version)["dirs"]
             audit = {
                 "dirs_rewritten": len(set(new_dirs) - set(parent_dirs or [])),
@@ -746,6 +769,15 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
             version = t.drop_constraint(dc.group(1))
             return {"op": "drop-constraint", "table": name, "version": version,
                     "audit": {"constraint": dc.group(1), "dirs_rewritten": 0}}
+        nn = _ALTER_NOT_NULL.match(action)
+        if nn:
+            col, verb = nn.group(1), nn.group(2).upper()
+            version = (
+                t.set_not_null(col) if verb == "SET" else t.drop_not_null(col)
+            )
+            return {"op": f"{verb.lower()}-not-null", "table": name,
+                    "version": version,
+                    "audit": {"column": col, "dirs_rewritten": 0}}
         tm = _ALTER_TYPE.match(action)
         if tm:
             col, sql_type = tm.group(1), tm.group(2).strip()
@@ -1920,13 +1952,16 @@ def table_analyze_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            count(*) AS n_rows,
            round({sql_sum2("abs(c_acctbal)")}, 2) AS sum_abs_bal,
+           count(*) AS n_default_tier,
            CAST(1 AS INT) AS insert_refused,
            CAST(1 AS INT) AS backfill_constraint_refused,
+           CAST(1 AS INT) AS not_null_refused,
            CAST(1 AS INT) AS versions_left,
            'CREATE TABLE customer_gov (' || chr(10) ||
            '  c_custkey bigint,' || chr(10) ||
-           '  c_mktsegment string,' || chr(10) ||
-           '  c_acctbal double)' || chr(10) ||
+           '  c_mktsegment string NOT NULL,' || chr(10) ||
+           '  c_acctbal double,' || chr(10) ||
+           '  tier string DEFAULT ''standard'')' || chr(10) ||
            'USING snapshot' || chr(10) ||
            'TBLPROPERTIES (' || chr(10) ||
            '  ''constraint.non_negative_bal'' = ''CHECK (c_acctbal >= 0.0)'',' || chr(10) ||
@@ -1948,7 +1983,15 @@ def table_analyze_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "`CALL expire_snapshots(t, keep_last => 1)` (the Iceberg stored-"
     "procedure surface) trims history to versions_left=1, and the "
     "exact SHOW CREATE text — properties plus constraints rendered "
-    "Delta-style, sorted — is pinned as a literal.",
+    "Delta-style, sorted — is pinned as a literal. r13 (VERDICT r12 "
+    "ask #8) extends the story with the remaining column-governance "
+    "basics: `ALTER COLUMN ... SET NOT NULL` (one validation scan, "
+    "then write-path enforcement fused with the CHECKs — a NULL "
+    "insert refuses commit-free, not_null_refused=1) and `ADD COLUMN "
+    "tier string DEFAULT 'standard'` (Iceberg-v3 initial+write "
+    "defaults: metadata-only, pre-evolve rows surface the default "
+    "instead of NULL — n_default_tier equals every segment's row "
+    "count — and SHOW CREATE renders both markers).",
 )
 def table_governance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
@@ -2002,6 +2045,31 @@ def table_governance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         backfill_refused = 0
     except ValueError:
         backfill_refused = 1
+    # r13: NOT NULL — validated against existing rows, then enforced
+    execute_sql(
+        spark,
+        "ALTER TABLE customer_gov ALTER COLUMN c_mktsegment SET NOT NULL",
+        root=scratch_root(),
+    )
+    v_nn = t.current_version()
+    try:  # a NULL in the NOT NULL column must refuse commit-free
+        execute_sql(
+            spark,
+            f"INSERT INTO customer_gov SELECT c_custkey + {2 * mk}, "
+            "CAST(NULL AS STRING), CAST(1.0 AS DOUBLE) "
+            "FROM cust_gov_src LIMIT 1",
+            root=scratch_root(),
+        )
+        not_null_refused = 0
+    except ValueError:
+        not_null_refused = int(t.current_version() == v_nn)
+    # r13: Iceberg-v3 column DEFAULT — metadata-only; every pre-evolve
+    # row surfaces 'standard' (and future appends omitting it fill it)
+    execute_sql(
+        spark,
+        "ALTER TABLE customer_gov ADD COLUMN tier string DEFAULT 'standard'",
+        root=scratch_root(),
+    )
     execute_sql(
         spark,
         "ALTER TABLE customer_gov UNSET TBLPROPERTIES ('retention.days')",
@@ -2022,11 +2090,15 @@ def table_governance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(exact_sum2("c_acctbal"), 2).alias("sum_abs_bal"),
+            F.sum(
+                F.when(F.col("tier") == "standard", 1).otherwise(0)
+            ).alias("n_default_tier"),
         )
         .withColumn("insert_refused", F.lit(insert_refused).cast("int"))
         .withColumn(
             "backfill_constraint_refused", F.lit(backfill_refused).cast("int")
         )
+        .withColumn("not_null_refused", F.lit(not_null_refused).cast("int"))
         .withColumn(
             "versions_left",
             F.lit(int(res_exp["audit"]["versions_left"])).cast("int"),

@@ -108,6 +108,14 @@ def scratch_root(root: str | None = None) -> str:
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
+def _dir_within(d: str, bases: tuple) -> bool:
+    """True when data dir ``d`` is one of ``bases`` or nested under one
+    (pruned reads list hive SUBdirs of a recorded data dir)."""
+    return any(
+        d == b or d.startswith(b.rstrip(os.sep) + os.sep) for b in bases
+    )
+
+
 class CommitConflictError(RuntimeError):
     """Optimistic-concurrency failure: the table advanced past the
     snapshot this commit was based on (Iceberg's commit-conflict
@@ -195,7 +203,7 @@ class SnapshotTable:
                 pmeta = self._read_meta(parent)
                 carried = {
                     k: pmeta[k]
-                    for k in ("properties", "constraints", "stats")
+                    for k in ("properties", "constraints", "stats", "not_null")
                     if pmeta.get(k)
                 }
             except FileNotFoundError:
@@ -450,7 +458,13 @@ class SnapshotTable:
             f"table {self.name}: evolve gave up after {max_retries} retries"
         )
 
-    def add_column(self, col: str, sql_type: str, max_retries: int = 3) -> int:
+    def add_column(
+        self,
+        col: str,
+        sql_type: str,
+        max_retries: int = 3,
+        default: str | None = None,
+    ) -> int:
         """Iceberg `ALTER TABLE ... ADD COLUMN`: METADATA-ONLY schema
         evolution — the commit carries every data dir by reference and
         only the stored schema grows, so adding a column to a 100 TB
@@ -463,9 +477,27 @@ class SnapshotTable:
         ``array<double>``, ...) parsed by Spark itself via an empty
         createDataFrame — no hand-rolled type grammar. Append-shaped OCC
         like evolve_partitioning: dirs ride by reference, so the commit
-        declares expect_parent and retries against the fresh head."""
+        declares expect_parent and retries against the fresh head.
+
+        ``default`` (r13, the Iceberg-v3 initial-default model): a SQL
+        literal expression. Files written BEFORE the evolve surface the
+        default instead of NULL — still metadata-only: the field
+        metadata records the default plus the pre-evolve data dirs
+        (immutable once written), and the read path coalesces the
+        default over exactly those dirs; files written after carry
+        their values physically (an append omitting the column gets the
+        default filled at write — Iceberg's write-default — while an
+        EXPLICIT NULL in a post-evolve write stays NULL). A compaction
+        reads through the same path, so it materializes defaults into
+        the rewritten files, after which the coalesce is a no-op."""
         # Spark parses the DDL type (raises on nonsense); driver-only.
         field = self.spark.createDataFrame([], f"`{col}` {sql_type}").schema[0]
+        if default is not None:
+            # Catalyst parses + type-checks the literal (raises on
+            # nonsense or an uncastable default); driver-only, no job
+            self.spark.createDataFrame([], "dummy int").select(
+                F.expr(default).cast(field.dataType)
+            )
         for _ in range(max_retries + 1):
             cur = self.current_version()
             if cur is None:
@@ -510,6 +542,20 @@ class SnapshotTable:
                         "re-adding the name would resurrect them; use a new "
                         "name or rewrite the table"
                     )
+            if default is not None:
+                field = T.StructField(
+                    field.name,
+                    field.dataType,
+                    True,
+                    {
+                        **(field.metadata or {}),
+                        "default": default,
+                        # dirs existing BEFORE the evolve: exactly the
+                        # files that lack the column physically (every
+                        # write path conforms frames to the full schema)
+                        "default_pre_dirs": list(meta["dirs"]),
+                    },
+                )
             evolved = T.StructType(list(schema.fields) + [field])
             try:
                 return self._commit(
@@ -879,6 +925,84 @@ class SnapshotTable:
             f"table {self.name}: add_constraint gave up after {max_retries} retries"
         )
 
+    def set_not_null(self, col: str, max_retries: int = 3) -> int:
+        """`ALTER TABLE ... ALTER COLUMN col SET NOT NULL` (r13, VERDICT
+        r12 ask #8) — Delta semantics: one predicate-only validation
+        scan proves no existing row is NULL, then the commit records the
+        column in the snapshot's `not_null` list and every subsequent
+        write enforces it alongside the CHECK constraints (same fused
+        map-side job, `_enforce_constraints`). Stored as carried commit
+        metadata rather than schema nullability because CoW rewrites
+        commit the frame's schema (and reads force nullable for
+        file-history safety) — the list survives every commit the way
+        properties/constraints do, and time travel shows it AS OF each
+        version."""
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"table {self.name}: cannot SET NOT NULL before create"
+                )
+            meta = self._read_meta(cur)
+            schema = T.StructType.fromJson(json.loads(meta["schema"]))
+            if col not in schema.fieldNames():
+                raise ValueError(f"table {self.name}: no column {col!r}")
+            nn = list(meta.get("not_null", []))
+            if col in nn:
+                raise ValueError(
+                    f"table {self.name}: column {col!r} is already NOT NULL"
+                )
+            bad = (
+                self.read(version=cur)
+                .filter(F.col(col).isNull())
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"table {self.name}: existing rows hold NULL in "
+                    f"{col!r} — clean the data before SET NOT NULL"
+                )
+            try:
+                return self._commit(
+                    "set-not-null", meta["dirs"], cur, meta["schema"],
+                    spec=meta.get("spec", []), dir_specs=self._dir_specs(meta),
+                    expect_parent=cur, delete_dirs=meta.get("delete_dirs", []),
+                    extra={"not_null": nn + [col]},
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"table {self.name}: set_not_null gave up after {max_retries} retries"
+        )
+
+    def drop_not_null(self, col: str, max_retries: int = 3) -> int:
+        """`ALTER COLUMN col DROP NOT NULL`: metadata-only removal."""
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"table {self.name}: cannot DROP NOT NULL before create"
+                )
+            meta = self._read_meta(cur)
+            nn = list(meta.get("not_null", []))
+            if col not in nn:
+                raise ValueError(
+                    f"table {self.name}: column {col!r} is not NOT NULL"
+                )
+            try:
+                return self._commit(
+                    "drop-not-null", meta["dirs"], cur, meta["schema"],
+                    spec=meta.get("spec", []), dir_specs=self._dir_specs(meta),
+                    expect_parent=cur, delete_dirs=meta.get("delete_dirs", []),
+                    extra={"not_null": [c for c in nn if c != col]},
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"table {self.name}: drop_not_null gave up after {max_retries} retries"
+        )
+
     def drop_constraint(self, name: str, max_retries: int = 3) -> int:
         for _ in range(max_retries + 1):
             cur = self.current_version()
@@ -979,7 +1103,18 @@ class SnapshotTable:
         A constraint referencing a column the frame lacks fails
         analysis and surfaces as the refusal (overwrite with a new
         schema: drop the constraint first)."""
-        cons = meta.get("constraints", {})
+        cons = dict(meta.get("constraints", {}))
+        # NOT NULL columns (r13) fold into the same fused predicate-only
+        # job — NOT the SQL CHECK three-valued rule: a NULL must FAIL.
+        # A frame omitting a NOT NULL column entirely would land files
+        # reading NULL, so that refuses up front (add a DEFAULT or drop
+        # the constraint first).
+        for c in meta.get("not_null", []):
+            if c not in df.columns:
+                raise ValueError(
+                    f"table {self.name}: write omits NOT NULL column {c!r}"
+                )
+            cons[f"__not_null_{c}"] = f"{c} IS NOT NULL"
         if not cons:
             return
         import functools
@@ -991,9 +1126,14 @@ class SnapshotTable:
             for cname in sorted(cons):
                 bad = df.filter(~F.expr(cons[cname])).limit(1).collect()
                 if bad:
+                    label = (
+                        f"NOT NULL column {cname[len('__not_null_'):]!r}"
+                        if cname.startswith("__not_null_")
+                        else f"CHECK constraint {cname!r} ({cons[cname]})"
+                    )
                     raise ValueError(
-                        f"table {self.name}: write violates CHECK constraint "
-                        f"{cname!r} ({cons[cname]}) — e.g. {bad[0].asDict()}"
+                        f"table {self.name}: write violates {label} "
+                        f"— e.g. {bad[0].asDict()}"
                     )
             raise ValueError(
                 f"table {self.name}: write violates a CHECK constraint"
@@ -1003,12 +1143,34 @@ class SnapshotTable:
         self, df: DataFrame, op: str = "overwrite", spec: list[str] | None = None
     ) -> int:
         cur = self.current_version()
+        schema_json = df.schema.json()
         if cur is not None:
-            self._enforce_constraints(df, self._read_meta(cur))
+            meta = self._read_meta(cur)
+            self._enforce_constraints(df, meta)
+            # Column DEFAULTs survive a rewrite (r13): the frame's schema
+            # (which the rewrite commits) lost the default field metadata
+            # when read() projected the columns — re-attach it for fields
+            # the rewrite keeps. The rewrite materialized default VALUES
+            # into its files (reads flow through the coalesce), so the
+            # stale pre-dirs list is harmless (those dirs are gone); what
+            # must persist is the WRITE-default for future appends.
+            defaults = self._schema_defaults(meta["schema"])
+            if defaults:
+                fields = []
+                for f in df.schema.fields:
+                    if f.name in defaults and "default" not in (f.metadata or {}):
+                        e, _t, pre = defaults[f.name]
+                        f = T.StructField(
+                            f.name, f.dataType, f.nullable,
+                            {**(f.metadata or {}), "default": e,
+                             "default_pre_dirs": list(pre)},
+                        )
+                    fields.append(f)
+                schema_json = T.StructType(fields).json()
         spec = self.current_spec() if spec is None else spec
         d = self._write_data(df, spec)
         return self._commit(
-            op, [d], cur, df.schema.json(), spec=spec, dir_specs=[spec],
+            op, [d], cur, schema_json, spec=spec, dir_specs=[spec],
             retry_on_race=True,
         )
 
@@ -1417,6 +1579,16 @@ class SnapshotTable:
                     "type promotion needs an explicit rewrite)"
                 )
         out = df.select(*cols) if changed else df
+        # Write-default (r13, Iceberg v3 ADD COLUMN ... DEFAULT): a
+        # frame OMITTING a defaulted column gets the default filled at
+        # write — an explicit NULL in a present column is respected.
+        fills = [
+            F.expr(e).cast(t).alias(c)
+            for c, (e, t, _pre) in self._schema_defaults(schema_json).items()
+            if c not in src
+        ]
+        if fills:
+            out = out.select("*", *fills)
         new_fields = [f for f in out.schema.fields if f.name not in tgt]
         # Additive evolution must not resurrect a renamed column's
         # PHYSICAL name: the committed schema would then hold two fields
@@ -2481,7 +2653,18 @@ class SnapshotTable:
         same key survive. Data dirs sharing the same applicable delete
         set are read together."""
         deletes = meta.get("delete_dirs", [])
-        if not deletes:
+        defaults = self._schema_defaults(meta["schema"])
+
+        def _defcols(d: str) -> frozenset:
+            # columns whose initial-default applies to THIS dir (the dir
+            # predates the column's evolve, so its files lack it)
+            return frozenset(
+                c for c, (_e, _t, pre) in defaults.items() if _dir_within(d, pre)
+            )
+
+        if not deletes and (
+            not defaults or not any(_defcols(d) for d in dirs)
+        ):
             return self._read_dirs(dirs, merge_schema, meta["schema"])
         from collections import defaultdict
 
@@ -2492,17 +2675,38 @@ class SnapshotTable:
                 for i, dd in enumerate(deletes)
                 if d in dd.get("applies_to", meta["dirs"])
             )
-            groups[applicable].append(d)
+            groups[(applicable, _defcols(d))].append(d)
         parts = []
-        for applicable, group_dirs in groups.items():
+        for (applicable, defcols), group_dirs in groups.items():
             part = self._read_dirs(group_dirs, merge_schema, meta["schema"])
             for i in applicable:
                 keys = self.spark.read.parquet(deletes[i]["dir"])
                 part = part.join(keys, on=deletes[i]["key"], how="left_anti")
+            for c in sorted(defcols):
+                expr_s, dtype, _pre = defaults[c]
+                part = part.withColumn(
+                    c, F.coalesce(F.col(c), F.expr(expr_s).cast(dtype))
+                )
             parts.append(part)
         out = parts[0]
         for p_ in parts[1:]:
             out = out.unionByName(p_, allowMissingColumns=merge_schema)
+        return out
+
+    @staticmethod
+    def _schema_defaults(schema_json: str) -> dict:
+        """{col: (default SQL literal, DataType, pre-evolve dirs)} for
+        fields carrying an initial-default (add_column(default=...))."""
+        stored = T.StructType.fromJson(json.loads(schema_json))
+        out = {}
+        for f in stored.fields:
+            md = f.metadata or {}
+            if "default" in md:
+                out[f.name] = (
+                    md["default"],
+                    f.dataType,
+                    tuple(md.get("default_pre_dirs", [])),
+                )
         return out
 
     @staticmethod
@@ -2630,9 +2834,38 @@ class SnapshotTable:
                 chosen.append(d)
         if not chosen:
             return self.read(version).filter(F.col(col) == F.lit(value)).limit(0)
-        return self._read_dirs(chosen, schema_json=meta["schema"]).filter(
-            F.col(col) == F.lit(value)
-        )
+        defaults = self._schema_defaults(meta["schema"])
+        part = self._read_dirs(chosen, schema_json=meta["schema"])
+        if defaults:
+            # pruned reads surface initial-defaults too (the predicate
+            # may target the defaulted column): same per-dir grouping as
+            # _read_dirs_mor, so an explicit NULL in a post-evolve file
+            # is never masked by the default
+            from collections import defaultdict
+
+            groups = defaultdict(list)
+            for d in chosen:
+                groups[
+                    frozenset(
+                        c
+                        for c, (_e, _t, pre) in defaults.items()
+                        if _dir_within(d, pre)
+                    )
+                ].append(d)
+            if any(groups):
+                parts = []
+                for defcols, group_dirs in groups.items():
+                    p_ = self._read_dirs(group_dirs, schema_json=meta["schema"])
+                    for c in sorted(defcols):
+                        e, t_, _pre = defaults[c]
+                        p_ = p_.withColumn(
+                            c, F.coalesce(F.col(c), F.expr(e).cast(t_))
+                        )
+                    parts.append(p_)
+                part = parts[0]
+                for p_ in parts[1:]:
+                    part = part.unionByName(p_)
+        return part.filter(F.col(col) == F.lit(value))
 
     def changes(
         self,

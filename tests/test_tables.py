@@ -3518,3 +3518,107 @@ def test_merge_without_evolution_clause_still_refuses(spark, nation):
     )
     assert "extra" not in t.read().columns
     t.drop()
+
+
+# --------------------------------------- NOT NULL + column DEFAULT (r13)
+
+
+def test_set_not_null_validates_and_enforces(spark, nation):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    root = scratch_root()
+    t = SnapshotTable(spark, "t_nn_unit", root)
+    t.drop()
+    t.create(nation.select("n_nationkey", "n_name"))
+    execute_sql(
+        spark, "ALTER TABLE t_nn_unit ALTER COLUMN n_name SET NOT NULL", root
+    )
+    v = t.current_version()
+    # NULL value refused, commit-free
+    with pytest.raises(ValueError, match="NOT NULL column 'n_name'"):
+        t.append(
+            spark.createDataFrame([(900, None)], "n_nationkey int, n_name string")
+        )
+    assert t.current_version() == v
+    # frame omitting the column refused (files would read NULL)
+    with pytest.raises(ValueError, match="omits NOT NULL"):
+        t.append(spark.createDataFrame([(901,)], "n_nationkey int"))
+    # compliant append passes; the marker survives the data commit
+    t.append(spark.createDataFrame([(902, "OK")], "n_nationkey int, n_name string"))
+    assert t._read_meta(t.current_version()).get("not_null") == ["n_name"]
+    # DROP NOT NULL re-admits NULLs
+    execute_sql(
+        spark, "ALTER TABLE t_nn_unit ALTER COLUMN n_name DROP NOT NULL", root
+    )
+    t.append(spark.createDataFrame([(903, None)], "n_nationkey int, n_name string"))
+    t.drop()
+
+
+def test_set_not_null_refuses_existing_nulls(spark):
+    t = SnapshotTable(spark, "t_nn_existing_unit")
+    t.drop()
+    t.create(spark.createDataFrame([(1, None)], "a int, b string"))
+    with pytest.raises(ValueError, match="existing rows hold NULL"):
+        t.set_not_null("b")
+    with pytest.raises(ValueError, match="no column"):
+        t.set_not_null("zzz")
+    t.drop()
+
+
+def test_add_column_default_initial_and_write_semantics(spark):
+    """Iceberg-v3 defaults: pre-evolve rows surface the default (not
+    NULL); an append omitting the column gets it filled (write
+    default); an EXPLICIT post-evolve NULL stays NULL; a CoW rewrite
+    materializes values and keeps the write-default for later appends;
+    time travel to before the evolve shows no column at all."""
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    root = scratch_root()
+    t = SnapshotTable(spark, "t_default_unit", root)
+    t.drop()
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    execute_sql(
+        spark,
+        "ALTER TABLE t_default_unit ADD COLUMN tier string DEFAULT 'bronze'",
+        root,
+    )
+    t.append(spark.createDataFrame([(3, "c")], "k int, v string"))  # omitted
+    t.append(
+        spark.createDataFrame(
+            [(4, "d", None), (5, "e", "gold")], "k int, v string, tier string"
+        )
+    )  # explicit NULL + explicit value
+    vals = {r.k: r.tier for r in t.read().collect()}
+    assert vals == {1: "bronze", 2: "bronze", 3: "bronze", 4: None, 5: "gold"}
+    # pruned point read surfaces the default too
+    pr = {r.k: r.tier for r in t.read_pruned("k", 1).collect()}
+    assert pr == {1: "bronze"}
+    # time travel before the evolve: no tier column
+    assert "tier" not in t.read(version=1).columns
+    # CoW rewrite materializes defaults and keeps the write-default
+    t.delete_where(F.col("k") == 2)
+    vals = {r.k: r.tier for r in t.read().collect()}
+    assert vals == {1: "bronze", 3: "bronze", 4: None, 5: "gold"}
+    t.append(spark.createDataFrame([(6, "f")], "k int, v string"))
+    assert {r.k: r.tier for r in t.read().collect()}[6] == "bronze"
+    # SHOW CREATE renders the default marker
+    stmt = execute_sql(spark, "SHOW CREATE TABLE t_default_unit", root).collect()[
+        0
+    ].createtab_stmt
+    assert "tier string DEFAULT 'bronze'" in stmt
+    t.drop()
+
+
+def test_default_validated_and_changes_interplay(spark):
+    """A nonsense default refuses at ALTER time; changes() rows read
+    through the default path like any other read."""
+    t = SnapshotTable(spark, "t_default_guard_unit")
+    t.drop()
+    t.create(spark.createDataFrame([(1, "a")], "k int, v string"))
+    with pytest.raises(Exception):
+        t.add_column("bad", "int", default="not_a_literal(")
+    t.add_column("tier", "string", default="'bronze'")
+    t.delete_where(F.col("k") == 1)  # CoW: deleted row carries the default
+    deleted = t.changes(3, 3).collect()
+    assert [(r._change_type, r.tier) for r in deleted] == [("delete", "bronze")]
+    t.drop()
