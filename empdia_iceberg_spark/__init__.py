@@ -41,6 +41,7 @@ from empdia_iceberg_spark.functions import messages  # noqa: F401
 from empdia_iceberg_spark.sources import sinks  # noqa: F401
 from empdia_iceberg_spark.sources import pydatasource  # noqa: F401
 from empdia_iceberg_spark.sources import table_stream  # noqa: F401
+from empdia_iceberg_spark.sources import table_sink  # noqa: F401
 from empdia_iceberg_spark.plans import prep  # noqa: F401
 from empdia_iceberg_spark.plans import grpo  # noqa: F401
 from empdia_iceberg_spark.plans import curation  # noqa: F401
@@ -92,6 +93,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # the bottom of the r6 block below the marker (same-round-driver-row
 # rule).
 _SWEEP_PRIORITY = [
+    "stream_native_sink_medallion",  # NEW r13: native snapshot_write streaming sink (ask #7)
     "table_changes_sql",  # NEW r13: CDC read TVF table_changes('t', v1, v2[, key]) (ask #5)
     "emb_near_dup_ivf",  # r13-changed: near-dup recall repair (VERDICT r12 ask #1)
     "table_governance_sql",  # r13-changed: + NOT NULL / DEFAULT constraints (ask #8)
@@ -141,8 +143,8 @@ _SWEEP_PRIORITY = [
     "daily_acf_value",  # stalest green (r6)
     "seasonal_strength_scan",  # stalest green (r6)
     "events_seasonal_residual_outliers",  # stalest green (r6)
-    "events_linear_interpolate",  # stalest green (r6)
-    # ---- 50-slot window ends here (1 new + 14 changed + 9 r5 + 26 r6) ----
+    # ---- 50-slot window ends here (2 new + 14 changed + 9 r5 + 25 r6) ----
+    "events_linear_interpolate",  # displaced below the marker by r13 new queries
     "doc_bm25_search",  # stalest green (r6), displaced by r13 new
     "doc_phrase_search",
     "doc_rerank_crossencoder",

@@ -1,0 +1,395 @@
+"""Streaming SINK into snapshot tables — `df.writeStream.format(
+"snapshot_write")` lands every micro-batch as an APPEND commit, the
+write-side twin of `snapshot_tail` (sources/table_stream.py), built on
+the public Spark 4 Python Data Source streaming API
+(pyspark.sql.datasource.DataSourceStreamWriter, SPARK-44076). Closes
+the read/write symmetry VERDICT r12 ask #7 names: a pipeline can tail a
+table AND land in a table with the engine's own source/sink pair,
+no foreachBatch glue.
+
+Exactly-once: the same batch-id stamping contract as the foreachBatch
+sinks (`streaming/windows.additive_upsert`) — each commit's snapshot op
+is `append@<run_id>#b<N>`, the table's version log IS the transaction
+record (stamp and file list publish in ONE atomic metadata create), and
+a redelivered micro-batch (foreachBatch/DSv2 sinks are at-least-once)
+is recognized by `batch_id <= newest stamp of this lineage` and skipped
+with its staged files reclaimed. `run_id` scopes the monotonic batch
+ids to one checkpoint lineage, exactly like additive_upsert's guard.
+
+Scale shape: `write()` runs ON THE EXECUTORS — each task streams its
+partition's rows into one parquet file (chunked through Arrow, bounded
+memory) under a staging dir; only file PATHS travel to the driver,
+whose `commit()` is a metadata-sized rename + one snapshot JSON
+publish. The sink scales out exactly like a parquet write.
+
+The op stamp starts with `append@`, which `snapshot_tail` already
+treats as an append commit — so a table fed by this sink can itself be
+tailed downstream, chaining medallion hops natively.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+from empdia_iceberg_spark.tables.manager import (
+    DEFAULT_ROOT,
+    CommitConflictError,
+    SnapshotTable,
+)
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+def _arrow_type(dt: T.DataType):
+    """Spark type → the EXACT Arrow type the table's physical parquet
+    encoding expects. The committed-schema read path sets an explicit
+    reader schema, so a sink writing INT64 into an INT32 table would
+    make every subsequent read fail with a physical-type mismatch —
+    the same hazard `_align_append_to_schema` guards on the batch path.
+    Nested/interval types are refused with a clear error rather than
+    silently mis-encoded."""
+    import pyarrow as pa
+
+    m = {
+        T.ByteType: pa.int8(),
+        T.ShortType: pa.int16(),
+        T.IntegerType: pa.int32(),
+        T.LongType: pa.int64(),
+        T.FloatType: pa.float32(),
+        T.DoubleType: pa.float64(),
+        T.StringType: pa.string(),
+        T.BooleanType: pa.bool_(),
+        T.DateType: pa.date32(),
+        T.BinaryType: pa.binary(),
+    }
+    if type(dt) in m:
+        return m[type(dt)]
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.TimestampNTZType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    raise ValueError(
+        f"snapshot_write: unsupported sink column type {dt.simpleString()!r} "
+        "(primitive types only; land nested payloads as binary/JSON strings)"
+    )
+
+
+class SnapshotStreamWriter(DataSourceStreamWriter):
+    """One instance per streaming query run; `write` executes on
+    executors, `commit`/`abort` on the driver."""
+
+    _WRITE_CHUNK = 65536  # rows buffered per Arrow batch on an executor
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self.table = options["table"]
+        self.root = options.get("root", DEFAULT_ROOT)
+        # checkpoint lineage token (see additive_upsert): batch ids are
+        # monotonic only within one checkpoint, so idempotency stamps
+        # must carry the lineage. Callers pass a token derived from
+        # their checkpoint dir; the default supports the common
+        # one-writer-per-table case.
+        self.run_id = options.get("run_id", "default")
+        if "#" in self.run_id or "/" in self.run_id:
+            raise ValueError("snapshot_write: run_id must not contain '#' or '/'")
+        t = SnapshotTable(None, self.table, self.root)
+        cur = t.current_version()
+        if cur is None:
+            raise ValueError(
+                f"snapshot_write: table {self.table!r} does not exist under "
+                f"{self.root} — CREATE it first (the sink appends; it does "
+                "not invent a schema)"
+            )
+        meta = t._read_meta(cur)
+        stored = T.StructType.fromJson(json.loads(meta["schema"]))
+        tgt = {f.name: f.dataType.simpleString() for f in stored.fields}
+        src = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if src != tgt:
+            raise ValueError(
+                f"snapshot_write: stream schema {src} must exactly match "
+                f"table {self.table!r} schema {tgt} (align/cast in the "
+                "stream plan; files are written before the driver could "
+                "coerce them)"
+            )
+        # logical → physical names + arrow types, computed ON THE DRIVER
+        # (executors get plain picklable lists)
+        phys = t._physical_map(meta["schema"])
+        self._cols = [
+            (f.name, phys.get(f.name, f.name), _arrow_type(f.dataType))
+            for f in schema.fields
+        ]
+        self.base = t.base
+        self.stage = os.path.join(t.base, ".stream_stage", self.run_id)
+        os.makedirs(self.stage, exist_ok=True)
+
+    # ------------------------------------------------------- executor side
+    def write(self, iterator: Iterator) -> _StagedFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        aschema = pa.schema([(p, at) for _l, p, at in self._cols])
+        path = os.path.join(self.stage, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        n = 0
+        buf: list[tuple] = []
+
+        def flush():
+            nonlocal writer
+            if not buf:
+                return
+            cols = list(zip(*buf))
+            arrays = [
+                pa.array(cols[i], type=self._cols[i][2])
+                for i in range(len(self._cols))
+            ]
+            batch = pa.table(arrays, schema=aschema)
+            if writer is None:
+                writer = pq.ParquetWriter(path, aschema)
+            writer.write_table(batch)
+            buf.clear()
+
+        for row in iterator:
+            buf.append(tuple(row))
+            n += 1
+            if len(buf) >= self._WRITE_CHUNK:
+                flush()
+        flush()
+        if writer is not None:
+            writer.close()
+        return _StagedFile(path if writer is not None else "", n)
+
+    # --------------------------------------------------------- driver side
+    def _last_stamped(self, t: SnapshotTable) -> int | None:
+        mine = f"append@{self.run_id}#b"
+        for v in reversed(t._versions()):
+            op = t._read_meta(v).get("op", "")
+            if op.startswith(mine) and op[len(mine):].isdigit():
+                return int(op[len(mine):])
+        return None
+
+    def commit(self, messages, batchId: int) -> None:
+        t = SnapshotTable(None, self.table, self.root)
+        files = [m.path for m in messages if m is not None and m.path]
+        last = self._last_stamped(t)
+        stamp = f"append@{self.run_id}#b{batchId}"
+        if last is not None and batchId <= last:
+            # redelivered batch (crash between table commit and Spark's
+            # checkpoint write): already landed — reclaim and return
+            for f in files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            return
+        if not files:
+            # empty batch: stamp a metadata-only commit so the lineage
+            # stays monotonic through quiet triggers
+            for _ in range(4):
+                cur = t.current_version()
+                meta = t._read_meta(cur)
+                try:
+                    t._commit(
+                        stamp, meta["dirs"], cur, meta["schema"],
+                        spec=meta.get("spec", []),
+                        dir_specs=t._dir_specs(meta),
+                        expect_parent=cur,
+                        delete_dirs=meta.get("delete_dirs", []),
+                    )
+                    return
+                except CommitConflictError:
+                    continue
+            raise CommitConflictError(
+                f"snapshot_write: empty-batch stamp for {self.table} lost "
+                "the commit race 4 times"
+            )
+        # move staged files into one new data dir, then append-commit it
+        # (same dir naming as _write_data; rename is same-filesystem)
+        for _ in range(4):
+            cur = t.current_version()
+            meta = t._read_meta(cur)
+            d = os.path.join(
+                t.data_dir, f"s{cur + 1:05d}-{uuid.uuid4().hex[:8]}"
+            )
+            os.makedirs(d, exist_ok=True)
+            moved = []
+            for f in files:
+                dst = os.path.join(d, os.path.basename(f))
+                os.rename(f, dst)
+                moved.append(dst)
+            try:
+                t._commit(
+                    stamp, meta["dirs"] + [d], cur, meta["schema"],
+                    spec=meta.get("spec", []),
+                    dir_specs=t._dir_specs(meta) + [meta.get("spec", [])],
+                    expect_parent=cur,
+                    delete_dirs=meta.get("delete_dirs", []),
+                )
+                return
+            except CommitConflictError:
+                # lost the race: move files BACK to staging and rebuild
+                # against the fresh head (files are the batch's truth;
+                # only the dir name / parent pointer were stale)
+                for dst in moved:
+                    os.rename(dst, os.path.join(self.stage, os.path.basename(dst)))
+                shutil.rmtree(d, ignore_errors=True)
+                continue
+        raise CommitConflictError(
+            f"snapshot_write: batch {batchId} for {self.table} lost the "
+            "commit race 4 times"
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and getattr(m, "path", ""):
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class SnapshotWriteDataSource(DataSource):
+    """`df.writeStream.format("snapshot_write").option("table", name)
+    [.option("root", ...)] [.option("run_id", lineage_token)]` — appends
+    each micro-batch to the named snapshot table with exactly-once
+    batch-id stamping. The table must exist; the stream schema must
+    match its committed schema exactly."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_write"
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "snapshot_write supports append mode only (complete/"
+                "update rewrite semantics belong to MERGE sinks)"
+            )
+        return SnapshotStreamWriter(self.options, schema)
+
+
+# ------------------------------------------------------------------ queries
+
+
+def _register_query():
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.functions.exact import exact_sum2, sql_sum2
+    from empdia_iceberg_spark.registry import register
+    from empdia_iceberg_spark.sources.tables import load
+    from empdia_iceberg_spark.tables.manager import scratch_root
+
+    @register(
+        "stream_native_sink_medallion",
+        oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               round({sql_sum2('o_totalprice + 0.0')}, 2) AS sum_price,
+               round({sql_sum2("floor(o_totalprice * 0.1 * 100 + 0.5) / 100")}, 2)
+                   AS sum_margin
+        FROM orders
+        WHERE o_totalprice >= 1000.0 AND o_orderstatus IN ('O', 'F')
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        doc="Medallion bronze → silver with the NATIVE table sink (r13, "
+        "VERDICT r12 ask #7): the pipeline_medallion story re-expressed "
+        "with zero foreachBatch glue — `readStream.format('snapshot_tail')` "
+        "tails bronze, the quality gate + margin transform run in the "
+        "stream plan, and `writeStream.format('snapshot_write')` appends "
+        "each micro-batch to silver with exactly-once batch-id stamping "
+        "(op append@<lineage>#b<N>; the snapshot log is the transaction "
+        "record). Two availableNow drains against ONE checkpoint cross a "
+        "restart boundary: the silver state hash-matches one batch SQL "
+        "expression over all bronze rows — nothing lost, nothing doubled. "
+        "Executor-side file writes, metadata-sized driver commit.",
+    )
+    def stream_native_sink_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import uuid as _uuid
+
+        from empdia_iceberg_spark.sources.table_stream import (
+            SnapshotTailDataSource,
+        )
+        from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+
+        spark.dataSource.register(SnapshotTailDataSource)
+        spark.dataSource.register(SnapshotWriteDataSource)
+        root = scratch_root()
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        refine = lambda df: df.filter(F.col("o_totalprice") >= 1000.0).select(  # noqa: E731
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            (
+                F.floor(F.col("o_totalprice") * 0.1 * 100 + 0.5).cast("double")
+                / 100
+            ).alias("margin"),
+        )
+        bronze = SnapshotTable(spark, "orders_bronze_nat", root)
+        silver = SnapshotTable(spark, "orders_silver_nat", root)
+        bronze.drop(), silver.drop()
+        bronze.create(orders.filter(F.col("o_orderstatus") == "O"))
+        silver.create(refine(orders).limit(0))  # schema-only, the sink appends
+        run = _uuid.uuid4().hex[:8]
+        ckpt = os.path.join(_WORK_ROOT, f"native_sink_ckpt_{run}")
+
+        def drain():
+            q = (
+                spark.readStream.format("snapshot_tail")
+                .option("table", "orders_bronze_nat")
+                .option("root", root)
+                .load()
+                .transform(refine)
+                .writeStream.queryName("t_native_sink")
+                .format("snapshot_write")
+                .option("table", "orders_silver_nat")
+                .option("root", root)
+                .option("run_id", run)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        try:
+            drain()  # silver <- refined 'O' rows
+            bronze.append(orders.filter(F.col("o_orderstatus") == "F"))
+            drain()  # resumes at the checkpointed offset: ONLY the 'F' rows
+        finally:
+            for q in spark.streams.active:
+                if q.name == "t_native_sink":
+                    q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return (
+            silver.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(exact_sum2("o_totalprice"), 2).alias("sum_price"),
+                F.round(exact_sum2("margin"), 2).alias("sum_margin"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
+
+_register_query()

@@ -1,0 +1,151 @@
+"""Native streaming SINK into snapshot tables (sources/table_sink.py,
+r13 VERDICT r12 ask #7): exactly-once batch-id stamping, redelivery
+skip, abort cleanup, and schema guards."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from empdia_iceberg_spark.sources.table_sink import (
+    SnapshotStreamWriter,
+    SnapshotWriteDataSource,
+)
+from empdia_iceberg_spark.sources.table_stream import SnapshotTailDataSource
+from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def nation(spark):
+    return spark.read.parquet(f"{SF_DIR}/nation.parquet")
+
+
+def _writer(spark, table, run_id="t"):
+    schema = T.StructType.fromJson(
+        __import__("json").loads(
+            SnapshotTable(spark, table, scratch_root())._read_meta(1)["schema"]
+        )
+    )
+    return SnapshotStreamWriter(
+        {"table": table, "root": scratch_root(), "run_id": run_id}, schema
+    )
+
+
+def test_sink_streams_appends_exactly_once_across_restart(spark, nation):
+    spark.dataSource.register(SnapshotTailDataSource)
+    spark.dataSource.register(SnapshotWriteDataSource)
+    root = scratch_root()
+    src = SnapshotTable(spark, "t_sink_src_unit", root)
+    dst = SnapshotTable(spark, "t_sink_dst_unit", root)
+    src.drop(), dst.drop()
+    src.create(nation.filter(F.col("n_nationkey") < 10))
+    dst.create(nation.limit(0))
+    run = uuid.uuid4().hex[:8]
+    ckpt = f"/tmp/t_sink_ckpt_{run}"
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("table", "t_sink_src_unit")
+            .option("root", root)
+            .load()
+            .writeStream.format("snapshot_write")
+            .option("table", "t_sink_dst_unit")
+            .option("root", root)
+            .option("run_id", run)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        drain()
+        assert dst.read().count() == 10
+        src.append(nation.filter(F.col("n_nationkey") >= 10))
+        drain()  # restart against the same checkpoint: only the append
+        assert dst.read().count() == nation.count()
+        ops = [m["op"] for m in dst.snapshots()]
+        assert ops[0] == "create" and all(
+            o.startswith(f"append@{run}#b") for o in ops[1:]
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        src.drop(), dst.drop()
+
+
+def test_sink_commit_skips_redelivered_batch(spark, nation):
+    """A redelivered micro-batch (crash between table commit and the
+    Spark checkpoint write) must be recognized by its stamp and
+    skipped, its staged files reclaimed — the exactly-once core."""
+    root = scratch_root()
+    dst = SnapshotTable(spark, "t_sink_redeliver_unit", root)
+    dst.drop()
+    dst.create(nation.limit(0))
+    w = _writer(spark, "t_sink_redeliver_unit")
+    rows = [tuple(r) for r in nation.limit(3).collect()]
+    msg = w.write(iter(rows))
+    w.commit([msg], 0)
+    assert dst.read().count() == 3
+    v = dst.current_version()
+    # redelivery: same batch id, fresh staged file
+    msg2 = w.write(iter(rows))
+    w.commit([msg2], 0)
+    assert dst.current_version() == v, "duplicate batch must not commit"
+    assert dst.read().count() == 3
+    assert not os.path.exists(msg2.path), "skipped batch's file reclaimed"
+    # next batch id lands normally
+    msg3 = w.write(iter(rows))
+    w.commit([msg3], 1)
+    assert dst.read().count() == 6
+    dst.drop()
+
+
+def test_sink_empty_batch_stamps_metadata_only(spark, nation):
+    root = scratch_root()
+    dst = SnapshotTable(spark, "t_sink_empty_unit", root)
+    dst.drop()
+    dst.create(nation.limit(0))
+    w = _writer(spark, "t_sink_empty_unit")
+    w.commit([w.write(iter([]))], 0)
+    meta = dst._read_meta(dst.current_version())
+    assert meta["op"].endswith("#b0") and meta["dirs"] == dst._read_meta(1)["dirs"]
+    dst.drop()
+
+
+def test_sink_abort_reclaims_staged_files(spark, nation):
+    root = scratch_root()
+    dst = SnapshotTable(spark, "t_sink_abort_unit", root)
+    dst.drop()
+    dst.create(nation.limit(0))
+    w = _writer(spark, "t_sink_abort_unit")
+    msg = w.write(iter([tuple(r) for r in nation.limit(2).collect()]))
+    assert os.path.exists(msg.path)
+    w.abort([msg], 0)
+    assert not os.path.exists(msg.path)
+    assert dst.current_version() == 1
+    dst.drop()
+
+
+def test_sink_guards_schema_and_existence(spark, nation):
+    root = scratch_root()
+    dst = SnapshotTable(spark, "t_sink_guard_unit", root)
+    dst.drop()
+    dst.create(nation.limit(0))
+    with pytest.raises(ValueError, match="does not exist"):
+        SnapshotStreamWriter(
+            {"table": "no_such_sink_table", "root": root},
+            nation.schema,
+        )
+    with pytest.raises(ValueError, match="must exactly match"):
+        SnapshotStreamWriter(
+            {"table": "t_sink_guard_unit", "root": root},
+            T.StructType([T.StructField("x", T.IntegerType())]),
+        )
+    dst.drop()
