@@ -80,6 +80,13 @@ HEADLINE = [
     # (TBLPROPERTIES + CHECK-constraint enforcement + CALL expire)
     "table_alter_type_sql",
     "table_governance_sql",
+    # r13 late additions — NEW in BENCH_r13 (cross-round comparable number
+    # is the sum over queries shared with r12): the CDC read TVF story
+    # (4 table eras + the pruned per-commit change scan) and the native
+    # streaming sink medallion (2 availableNow drains through
+    # snapshot_tail -> snapshot_write with batch-id-stamped commits)
+    "table_changes_sql",
+    "stream_native_sink_medallion",
 ]
 
 # r7: no per-query special-casing remains. Every timed run is the
