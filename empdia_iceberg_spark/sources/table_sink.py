@@ -137,6 +137,34 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
         self.base = t.base
         self.stage = os.path.join(t.base, ".stream_stage", self.run_id)
         os.makedirs(self.stage, exist_ok=True)
+        # Reclaim staging orphans from CRASHED runs (a query killed
+        # between write() and commit() leaves its staged files forever;
+        # commit/abort clean per-batch, nothing cleans a dead lineage).
+        # Same posture as the IVF build-staging sweep: idle-age bound,
+        # env-tunable for clock-skewed shared filesystems. Never touches
+        # THIS lineage's dir — a concurrent commit may be mid-rename.
+        import time
+
+        idle = float(os.environ.get("EMPDIA_SINK_STAGE_IDLE_SEC", 24 * 3600))
+        ns = os.path.dirname(self.stage)
+        now = time.time()
+        for name in os.listdir(ns):
+            full = os.path.join(ns, name)
+            if full == self.stage or not os.path.isdir(full):
+                continue
+            newest = 0.0
+            for r_, _d, fs in os.walk(full):
+                for f in fs:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(r_, f)))
+                    except OSError:
+                        pass
+            try:
+                newest = max(newest, os.path.getmtime(full))
+            except OSError:
+                continue
+            if now - newest > idle:
+                shutil.rmtree(full, ignore_errors=True)
 
     # ------------------------------------------------------- executor side
     def write(self, iterator: Iterator) -> _StagedFile:

@@ -149,3 +149,30 @@ def test_sink_guards_schema_and_existence(spark, nation):
             T.StructType([T.StructField("x", T.IntegerType())]),
         )
     dst.drop()
+
+
+def test_sink_reclaims_stale_staging_orphans(spark, nation, monkeypatch):
+    """A crashed run's staging files age out on the next writer
+    construction; fresh orphans and the live lineage survive."""
+    import time as _time
+
+    root = scratch_root()
+    dst = SnapshotTable(spark, "t_sink_orphan_unit", root)
+    dst.drop()
+    dst.create(nation.limit(0))
+    ns = os.path.join(dst.base, ".stream_stage")
+    dead = os.path.join(ns, "deadrun")
+    os.makedirs(dead)
+    orphan = os.path.join(dead, "part-x.parquet")
+    open(orphan, "wb").write(b"orphan")
+    old = _time.time() - 10
+    os.utime(orphan, (old, old))
+    os.utime(dead, (old, old))
+    fresh = os.path.join(ns, "freshrun")
+    os.makedirs(fresh)
+    open(os.path.join(fresh, "part-y.parquet"), "wb").write(b"live")
+    monkeypatch.setenv("EMPDIA_SINK_STAGE_IDLE_SEC", "5")
+    _writer(spark, "t_sink_orphan_unit", run_id="live")
+    assert not os.path.exists(dead), "10s-idle orphan must age out at bound 5s"
+    assert os.path.exists(fresh), "fresh staging must survive"
+    dst.drop()
