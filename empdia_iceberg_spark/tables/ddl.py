@@ -163,8 +163,17 @@ _SHOW_VIEWS_HEAD = re.compile(r"^\s*SHOW\s+VIEWS\s*;?\s*$", re.IGNORECASE)
 _SHOW_PROPS_HEAD = re.compile(
     r"^\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*$", re.IGNORECASE
 )
-_PROP_PAIR = re.compile(r"^\s*'([^']+)'\s*=\s*'([^']*)'\s*$")
-_PROP_KEY = re.compile(r"^\s*'([^']+)'\s*$")
+# '' is the SQL escape for a quote INSIDE a quoted key/value (SHOW
+# CREATE emits it for constraints carrying string literals — r13, so
+# its TBLPROPERTIES block round-trips); _prop_unescape folds it back.
+_PROP_PAIR = re.compile(
+    r"^\s*'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'\s*$"
+)
+_PROP_KEY = re.compile(r"^\s*'((?:[^']|'')+)'\s*$")
+
+
+def _prop_unescape(s: str) -> str:
+    return s.replace("''", "'")
 
 
 def describe_table(spark: SparkSession, name: str, root: str = DEFAULT_ROOT) -> DataFrame:
@@ -279,6 +288,168 @@ def _split_columns(s: str) -> list[str]:
         buf.append(ch)
     parts.append("".join(buf))
     return [p.strip() for p in parts if p.strip()]
+
+
+_NOT_NULL_IN_DEF = re.compile(r"\s+NOT\s+NULL\b", re.IGNORECASE)
+_USING_CLAUSE = re.compile(r"^USING\s+(\w+)\s*", re.IGNORECASE)
+_PART_BY_CLAUSE = re.compile(
+    r"^PARTITIONED\s+BY\s*\(([^)]*)\)\s*", re.IGNORECASE | re.DOTALL
+)
+_PROPS_CLAUSE = re.compile(r"^TBLPROPERTIES\s*\(", re.IGNORECASE)
+
+
+def _create_schema_only(
+    spark: SparkSession,
+    name: str,
+    rest: str,
+    root: str,
+    or_replace: bool,
+    if_not_exists: bool,
+) -> dict:
+    """CREATE TABLE with an explicit column list: an EMPTY v1 with the
+    declared schema, NOT NULL markers, Iceberg-v3 column defaults,
+    partition spec, and properties (constraint.* properties re-enter as
+    CHECK constraints) — the exact surface SHOW CREATE TABLE renders,
+    closing the emit↔execute round trip. Metadata-sized: the only data
+    write is one empty dir."""
+    masked = _mask_literals(rest)
+    depth, end = 0, -1
+    for idx, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                end = idx
+                break
+    if end < 0:
+        raise ValueError(f"CREATE TABLE {name}: unbalanced column list")
+    cols_src, tail = rest[1:end], rest[end + 1 :].strip().rstrip(";").strip()
+    if _find_keyword(tail, "AS") >= 0:
+        raise ValueError(
+            "CREATE TABLE: a column list and AS SELECT are mutually "
+            "exclusive (the column list declares an empty table)"
+        )
+    # tail clauses in any sane order: USING x, PARTITIONED BY, TBLPROPERTIES
+    spec: list[str] = []
+    props: dict[str, str] = {}
+    while tail:
+        um = _USING_CLAUSE.match(tail)
+        if um:
+            if um.group(1).lower() not in ("snapshot", "parquet"):
+                raise ValueError(
+                    f"CREATE TABLE {name}: unsupported USING {um.group(1)!r}"
+                )
+            tail = tail[um.end() :].strip()
+            continue
+        pm = _PART_BY_CLAUSE.match(tail)
+        if pm:
+            spec = [c.strip() for c in pm.group(1).split(",") if c.strip()]
+            tail = tail[pm.end() :].strip()
+            continue
+        tm = _PROPS_CLAUSE.match(tail)
+        if tm:
+            tmask = _mask_literals(tail)
+            d, close = 0, -1
+            for idx in range(tm.end() - 1, len(tail)):
+                if tmask[idx] == "(":
+                    d += 1
+                elif tmask[idx] == ")":
+                    d -= 1
+                    if d == 0:
+                        close = idx
+                        break
+            if close < 0:
+                raise ValueError("TBLPROPERTIES: unbalanced parens")
+            for item in _split_top_level(tail[tm.end() : close]):
+                pm2 = _PROP_PAIR.match(item)
+                if not pm2:
+                    raise ValueError(
+                        f"bad TBLPROPERTIES entry (expected 'k' = 'v'): {item!r}"
+                    )
+                props[_prop_unescape(pm2.group(1))] = _prop_unescape(pm2.group(2))
+            tail = tail[close + 1 :].strip()
+            continue
+        raise ValueError(
+            f"CREATE TABLE {name}: unexpected tokens after column list: "
+            f"{tail[:60]!r}"
+        )
+    # column definitions: name type [NOT NULL] [DEFAULT lit] (either order)
+    fields, not_null, defaults = [], [], {}
+    for item in _split_columns(cols_src):
+        imask = _mask_literals(item)
+        nn = _NOT_NULL_IN_DEF.search(imask)
+        if nn:
+            item = item[: nn.start()] + item[nn.end() :]
+            imask = imask[: nn.start()] + imask[nn.end() :]
+        default = None
+        dm_ = _DEFAULT_SPLIT.search(imask)
+        if dm_:
+            default = item[dm_.end() :].strip()
+            item = item[: dm_.start()].strip()
+        cm = re.match(r"^(\w+)\s+(.+)$", item.strip(), re.DOTALL)
+        if not cm:
+            raise ValueError(f"bad column definition: {item!r}")
+        col, sql_type = cm.group(1), cm.group(2).strip()
+        field = spark.createDataFrame([], f"`{col}` {sql_type}").schema[0]
+        if default is not None:
+            spark.createDataFrame([], "dummy int").select(
+                F.expr(default).cast(field.dataType)
+            )  # Catalyst validates the literal; driver-only
+            field = T.StructField(
+                field.name, field.dataType, True,
+                {"default": default, "default_pre_dirs": []},
+            )
+            defaults[col] = default
+        fields.append(field)
+        if nn:
+            not_null.append(col)
+    names_ = [f.name for f in fields]
+    if len(set(names_)) != len(names_):
+        raise ValueError(f"duplicate column names in CREATE TABLE: {names_}")
+    for c in spec:
+        if c not in names_:
+            raise ValueError(f"partition column {c!r} is not in the column list")
+    if _view_versions(root, name):
+        raise ValueError(f"cannot CREATE TABLE {name}: a VIEW of that name exists")
+    t = SnapshotTable(spark, name, root)
+    if t.current_version() is not None:
+        if if_not_exists:
+            return {"op": "create-noop", "table": name,
+                    "version": t.current_version(), "audit": None}
+        if not or_replace:
+            raise ValueError(f"table {name} already exists")
+        t.drop()
+    empty = spark.createDataFrame([], T.StructType(fields))
+    t.create(empty, partition_by=spec or None)
+    # governance riders: each a metadata-only commit on the empty table
+    # (validation scans are trivially empty); constraint.* properties
+    # re-enter as real enforced CHECK constraints, the inverse of SHOW
+    # CREATE's rendering
+    for c in not_null:
+        t.set_not_null(c)
+    cons = {
+        k[len("constraint."):]: v[len("CHECK ("):-1]
+        for k, v in props.items()
+        if k.startswith("constraint.") and v.upper().startswith("CHECK (")
+        and v.endswith(")")
+    }
+    plain = {k: v for k, v in props.items() if not k.startswith("constraint.")}
+    for cname, cexpr in sorted(cons.items()):
+        t.add_constraint(cname, cexpr)
+    if plain:
+        t.set_properties(plain)
+    return {
+        "op": "create",
+        "table": name,
+        "version": t.current_version(),
+        "audit": {
+            "rows": 0,
+            "not_null": not_null,
+            "defaults": sorted(defaults),
+            "constraints": sorted(cons),
+        },
+    }
 
 
 # --------------------------------------------------------------- SQL views
@@ -594,11 +765,23 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
             raise ValueError(
                 "CREATE OR REPLACE and IF NOT EXISTS are mutually exclusive"
             )
+        if rest.lstrip().startswith("("):
+            # schema-only CREATE TABLE t (col type [NOT NULL] [DEFAULT lit],
+            # ...) [USING snapshot] [PARTITIONED BY (...)] [TBLPROPERTIES
+            # (...)] — r13: the column-list form SHOW CREATE TABLE emits,
+            # so its output ROUND-TRIPS through execute_sql (constraints
+            # ride back in as 'constraint.<name>' = 'CHECK (...)'
+            # properties). Mutually exclusive with CTAS: a column list
+            # declares an EMPTY v1.
+            return _create_schema_only(
+                spark, name, rest.lstrip(), root,
+                or_replace=bool(or_replace), if_not_exists=bool(if_not_exists),
+            )
         i = _find_keyword(rest, "AS")
         if i < 0:
             raise ValueError(
-                "CREATE TABLE requires an AS SELECT clause (schema-only "
-                f"creation is not supported): {statement[:60]!r}"
+                "CREATE TABLE requires an AS SELECT clause or a column "
+                f"list (CREATE TABLE t (col type, ...)): {statement[:60]!r}"
             )
         head, select = rest[:i].strip(), rest[i + 2 :].strip()
         spec: list[str] = []
@@ -738,7 +921,7 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
                     raise ValueError(
                         f"bad TBLPROPERTIES entry (expected 'k' = 'v'): {item!r}"
                     )
-                props[pm2.group(1)] = pm2.group(2)
+                props[_prop_unescape(pm2.group(1))] = _prop_unescape(pm2.group(2))
             version = t.set_properties(props)
             return {"op": "set-properties", "table": name, "version": version,
                     "audit": {"properties": t.properties(),
@@ -752,7 +935,7 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
                     raise ValueError(
                         f"bad UNSET TBLPROPERTIES entry (expected 'k'): {item!r}"
                     )
-                keys.append(km.group(1))
+                keys.append(_prop_unescape(km.group(1)))
             version = t.unset_properties(keys)
             return {"op": "unset-properties", "table": name, "version": version,
                     "audit": {"properties": t.properties(),

@@ -3622,3 +3622,105 @@ def test_default_validated_and_changes_interplay(spark):
     deleted = t.changes(3, 3).collect()
     assert [(r._change_type, r.tier) for r in deleted] == [("delete", "bronze")]
     t.drop()
+
+
+# --------------------------------- schema-only CREATE TABLE round trip (r13)
+
+
+def test_create_table_column_list_and_show_create_roundtrip(spark):
+    """CREATE TABLE (cols) declares an empty v1 with NOT NULL, DEFAULT,
+    partition spec, properties, and constraint.* re-entry — and SHOW
+    CREATE TABLE's output re-executes to an equivalent table (emit <->
+    execute round trip, stable under a second hop)."""
+    from decimal import Decimal
+
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    root = scratch_root()
+    for n in ("t_ct_unit", "t_ct_rt_unit"):
+        SnapshotTable(spark, n, root).drop()
+    r = execute_sql(
+        spark,
+        """CREATE TABLE t_ct_unit (
+             k bigint NOT NULL,
+             seg string DEFAULT 'BLD',
+             bal decimal(12,2))
+           USING snapshot
+           PARTITIONED BY (seg)
+           TBLPROPERTIES (
+             'constraint.pos_bal' = 'CHECK (bal >= 0.0)',
+             'owner' = 'data''eng')""",
+        root,
+    )
+    assert r["audit"] == {
+        "rows": 0, "not_null": ["k"], "defaults": ["seg"],
+        "constraints": ["pos_bal"],
+    }
+    t = SnapshotTable(spark, "t_ct_unit", root)
+    assert t.read().count() == 0 and t.current_spec() == ["seg"]
+    assert t.properties()["owner"] == "data'eng"
+    with pytest.raises(ValueError, match="CHECK"):
+        t.append(
+            spark.createDataFrame(
+                [(1, "X", Decimal("-5.00"))],
+                "k bigint, seg string, bal decimal(12,2)",
+            )
+        )
+    with pytest.raises(ValueError, match="NOT NULL"):
+        t.append(
+            spark.createDataFrame(
+                [(None, "X", Decimal("5.00"))],
+                "k bigint, seg string, bal decimal(12,2)",
+            )
+        )
+    t.append(
+        spark.createDataFrame([(7, Decimal("3.00"))], "k bigint, bal decimal(12,2)")
+    )
+    assert [(r_.k, r_.seg) for r_ in t.read().collect()] == [(7, "BLD")]
+    stmt = execute_sql(spark, "SHOW CREATE TABLE t_ct_unit", root).collect()[
+        0
+    ].createtab_stmt
+    rt = stmt.replace("t_ct_unit", "t_ct_rt_unit")
+    r2 = execute_sql(spark, rt, root)
+    assert r2["audit"]["not_null"] == ["k"] and r2["audit"]["constraints"] == [
+        "pos_bal"
+    ]
+    stmt2 = execute_sql(
+        spark, "SHOW CREATE TABLE t_ct_rt_unit", root
+    ).collect()[0].createtab_stmt
+    assert stmt2 == rt, "round trip must be a fixed point"
+    for n in ("t_ct_unit", "t_ct_rt_unit"):
+        SnapshotTable(spark, n, root).drop()
+
+
+def test_create_table_column_list_guards(spark):
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    root = scratch_root()
+    SnapshotTable(spark, "t_ct_guard_unit", root).drop()
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        execute_sql(
+            spark,
+            "CREATE TABLE t_ct_guard_unit (k int) AS SELECT 1 AS k", root
+        )
+    with pytest.raises(ValueError, match="duplicate column"):
+        execute_sql(spark, "CREATE TABLE t_ct_guard_unit (k int, k int)", root)
+    with pytest.raises(ValueError, match="not in the column list"):
+        execute_sql(
+            spark,
+            "CREATE TABLE t_ct_guard_unit (k int) PARTITIONED BY (zzz)", root
+        )
+    execute_sql(spark, "CREATE TABLE t_ct_guard_unit (k int)", root)
+    with pytest.raises(ValueError, match="already exists"):
+        execute_sql(spark, "CREATE TABLE t_ct_guard_unit (k int)", root)
+    r = execute_sql(
+        spark, "CREATE TABLE IF NOT EXISTS t_ct_guard_unit (k int)", root
+    )
+    assert r["op"] == "create-noop"
+    r = execute_sql(
+        spark, "CREATE OR REPLACE TABLE t_ct_guard_unit (k2 string)", root
+    )
+    assert r["op"] == "create"
+    t = SnapshotTable(spark, "t_ct_guard_unit", root)
+    assert [f.name for f in t.read().schema.fields] == ["k2"]
+    t.drop()
