@@ -660,9 +660,21 @@ def _call_procedure(spark: SparkSession, name: str, raw_args: str, root: str) ->
         v = t.compact()
         return {"op": "call-compact", "table": b["table"], "version": v,
                 "audit": None}
+    if name == "remove_orphan_files":
+        # Iceberg's remove_orphan_files(table, older_than) — r13
+        b = _bind(["table"], {"older_than_sec": 3 * 24 * 3600})
+        t = SnapshotTable(spark, str(b["table"]), root)
+        if t.current_version() is None:
+            raise ValueError(f"table {b['table']} does not exist")
+        removed = t.remove_orphan_files(
+            older_than_sec=float(b["older_than_sec"])
+        )
+        return {"op": "call-remove_orphan_files", "table": b["table"],
+                "version": t.current_version(),
+                "audit": {"orphans_removed": len(removed)}}
     raise ValueError(
         f"unknown procedure {name!r} (expected rollback_to_version, "
-        "expire_snapshots, or compact)"
+        "expire_snapshots, compact, or remove_orphan_files)"
     )
 
 
@@ -688,6 +700,7 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         ALTER TABLE t DROP CONSTRAINT name
         ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION n]
         CALL rollback_to_version('t', n) | expire_snapshots('t' [, keep_last => k])
+        CALL compact('t') | remove_orphan_files('t' [, older_than_sec => s])
              | compact('t')
         ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]  (-> t.stats)
         ALTER TABLE t DROP BRANCH|TAG name

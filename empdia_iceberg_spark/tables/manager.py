@@ -2596,6 +2596,49 @@ class SnapshotTable:
         self.set_ref(target, src)
         return src
 
+    def remove_orphan_files(self, older_than_sec: float = 3 * 24 * 3600) -> list[str]:
+        """Iceberg's `remove_orphan_files` (r13): delete data/delete-key
+        dirs under this table's data directory referenced by NO retained
+        snapshot — the residue of crashed writers (files written, commit
+        lost) and OCC losers whose cleanup died. Age-bounded exactly
+        like Iceberg's older_than (default 3 days): an IN-FLIGHT
+        writer's dir exists before its commit does, so only dirs whose
+        newest file write is older than the bound are orphans — never
+        a live write. Age is the newest mtime anywhere in the dir (a
+        long-running distributed write keeps closing part files, which
+        refreshes it — the IVF staging-sweep discipline). Metadata-sized
+        driver work: one snapshot-log scan + one top-level listing.
+        Partitioned hive subdirs live INSIDE a referenced dir and are
+        never listed individually, so they cannot be mis-classified."""
+        referenced: set[str] = set()
+        for v in self._versions():
+            meta = self._read_meta(v)
+            referenced |= set(meta["dirs"])
+            referenced |= {dd["dir"] for dd in meta.get("delete_dirs", [])}
+        removed: list[str] = []
+        if not os.path.isdir(self.data_dir):
+            return removed
+        now = time.time()
+        for name in sorted(os.listdir(self.data_dir)):
+            full = os.path.join(self.data_dir, name)
+            if full in referenced or not os.path.isdir(full):
+                continue
+            newest = 0.0
+            try:
+                newest = os.path.getmtime(full)
+            except OSError:
+                continue
+            for r_, _d, fs in os.walk(full):
+                for f in fs:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(r_, f)))
+                    except OSError:
+                        continue
+            if now - newest > older_than_sec:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        return removed
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last `keep_last` snapshots and delete data
         AND merge-on-read delete-key dirs no longer referenced by a

@@ -3724,3 +3724,52 @@ def test_create_table_column_list_guards(spark):
     t = SnapshotTable(spark, "t_ct_guard_unit", root)
     assert [f.name for f in t.read().schema.fields] == ["k2"]
     t.drop()
+
+
+# ---------------------------------------- CALL remove_orphan_files (r13)
+
+
+def test_remove_orphan_files_reclaims_aged_unreferenced_dirs(spark, nation):
+    """Orphans (crashed-writer dirs no snapshot references) age out;
+    referenced dirs and FRESH unreferenced dirs (in-flight writers)
+    survive; the CALL spelling reports the count."""
+    import os
+    import time as _time
+
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    root = scratch_root()
+    t = SnapshotTable(spark, "t_orphan_unit", root)
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    # a crashed writer's dir: written, never committed, 10s idle
+    dead = os.path.join(t.data_dir, "s99999-deadbeef")
+    os.makedirs(dead)
+    f = os.path.join(dead, "part-x.parquet")
+    open(f, "wb").write(b"orphan")
+    old = _time.time() - 10
+    os.utime(f, (old, old))
+    os.utime(dead, (old, old))
+    # an in-flight writer's dir: unreferenced but FRESH
+    live = os.path.join(t.data_dir, "s99998-inflight")
+    os.makedirs(live)
+    open(os.path.join(live, "part-y.parquet"), "wb").write(b"live")
+    res = execute_sql(
+        spark,
+        "CALL remove_orphan_files('t_orphan_unit', older_than_sec => 5)",
+        root,
+    )
+    assert res["audit"]["orphans_removed"] == 1
+    assert not os.path.exists(dead)
+    assert os.path.exists(live), "fresh unreferenced dir must survive"
+    assert t.read().count() == nation.count(), "referenced data untouched"
+    # default bound (3 days) removes nothing here
+    res2 = execute_sql(
+        spark, "CALL remove_orphan_files('t_orphan_unit')", root
+    )
+    assert res2["audit"]["orphans_removed"] == 0
+    import shutil as _sh
+
+    _sh.rmtree(live, ignore_errors=True)
+    t.drop()
