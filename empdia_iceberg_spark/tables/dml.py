@@ -255,6 +255,25 @@ def _execute_insert(
         raise ValueError("mor_key applies to DELETE only; INSERT appends")
     mode = head.group(1).upper()
     name, rest = head.group(2), head.group(3).strip().rstrip(";").strip()
+    static: dict | None = None
+    pm = re.match(r"^PARTITION\s*\(", rest, re.IGNORECASE)
+    if pm:
+        # static partition overwrite: INSERT OVERWRITE t PARTITION
+        # (col=lit, ...) SELECT <non-partition columns>
+        if mode != "OVERWRITE":
+            raise ValueError("PARTITION (...) clause requires INSERT OVERWRITE")
+        end = pm.end() - 1 + _matching_paren(rest[pm.end() - 1 :])
+        if end < pm.end() - 1:
+            raise ValueError("INSERT OVERWRITE: unbalanced PARTITION clause")
+        static = {}
+        for item in _split_top_level(rest[pm.end() : end]):
+            am = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", item, re.DOTALL)
+            if not am:
+                raise ValueError(
+                    f"bad PARTITION entry (expected col = literal): {item!r}"
+                )
+            static[am.group(1)] = F.expr(am.group(2))
+        rest = rest[end + 1 :].strip()
     cols: list[str] | None = None
     if rest.startswith("("):
         end = _matching_paren(rest)
@@ -286,7 +305,11 @@ def _execute_insert(
     schema_json = t._read_meta(cur)["schema"]
     schema = StructType.fromJson(_json.loads(schema_json))
     tcols = schema.fieldNames()
-    target_cols = cols if cols is not None else tcols
+    # a static PARTITION clause pins its columns; the positional SELECT
+    # then covers only the remaining table columns
+    target_cols = cols if cols is not None else (
+        tcols if static is None else [c for c in tcols if c not in static]
+    )
     unknown = sorted(set(target_cols) - set(tcols))
     if unknown:
         raise ValueError(f"table {name}: INSERT targets unknown column(s) {unknown}")
@@ -306,13 +329,48 @@ def _execute_insert(
         ]
     )
     if mode == "OVERWRITE":
-        missing = sorted(set(tcols) - set(target_cols))
+        spec = t.current_spec()
+        if static is not None:
+            # static form: the SELECT supplies the non-partition columns
+            # (positionally, unless a column list said otherwise); the
+            # pinned constants are appended cast to the table types
+            bad = sorted(set(static) - set(tcols))
+            if bad:
+                raise ValueError(
+                    f"table {name}: PARTITION clause names unknown "
+                    f"column(s) {bad}"
+                )
+            overlap = sorted(set(static) & set(target_cols))
+            if overlap:
+                raise ValueError(
+                    f"table {name}: column(s) {overlap} appear in both the "
+                    "column list and the PARTITION clause"
+                )
+            for c, expr_col in static.items():
+                df = df.withColumn(c, expr_col.cast(ttypes[c]))
+            df = df.select(*tcols)
+        missing = sorted(set(tcols) - set(df.columns))
         if missing:
             raise ValueError(
                 f"table {name}: INSERT OVERWRITE must supply every table "
                 f"column (missing {missing}) — a partial column list would "
                 "shrink the schema on a whole-table replace"
             )
+        if spec:
+            # partitioned table: Iceberg dynamic-overwrite semantics —
+            # replace exactly the partitions present in the incoming
+            # data (plus the pinned one in the static form), carry the
+            # rest untouched; never a whole-table replace
+            static_lits = (
+                {c: e.cast(ttypes[c]) for c, e in static.items()}
+                if static
+                else None
+            )
+            version, audit = t.overwrite_partitions(
+                df.select(*tcols), static=static_lits
+            )
+            return {"op": "overwrite-partitions", "table": name,
+                    "version": version, "audit": audit}
         aligned, _ = t._align_append_to_schema(df, schema_json)
         version = t.overwrite(aligned.select(*tcols), op="insert-overwrite")
         return {"op": "insert-overwrite", "table": name, "version": version,
@@ -993,6 +1051,92 @@ def table_delete_mor_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("op", F.lit(res["op"]))
         .withColumn("n_delete_files", F.lit(n_delete_files).cast("int"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "table_insert_overwrite_dml",
+    oracle=f"""
+    WITH final AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) + 1000.0 AS bal
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE)
+        FROM customer
+        WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+    )
+    SELECT c_mktsegment, count(*) AS n_rows,
+           round({sql_sum2('bal')}, 2) AS sum_bal,
+           CAST(1 AS INT) AS partitions_replaced,
+           CAST(4 AS INT) AS subdirs_carried,
+           CAST(0 AS INT) AS dirs_rewritten,
+           CAST(1 AS INT) AS clear_replaced,
+           CAST(1 AS INT) AS clear_dropped
+    FROM final
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Dynamic partition overwrite (r13) — Iceberg `INSERT OVERWRITE` "
+    "semantics, the 100 TB backfill primitive: on a table partitioned "
+    "by c_mktsegment, an INSERT OVERWRITE whose SELECT holds only "
+    "BUILDING rows replaces EXACTLY that partition (audit pins "
+    "partitions_replaced=1 with the other 4 partitions carried BY "
+    "REFERENCE at hive-subdir granularity — subdirs_carried=4, "
+    "dirs_rewritten=0, zero data movement outside the written "
+    "partition), and a static `PARTITION (c_mktsegment='MACHINERY')` "
+    "overwrite with an EMPTY source clears that partition (Spark's "
+    "static-overwrite contract; clear_replaced/clear_dropped pin it). "
+    "Replaced-partition identification compares hive subdir names the "
+    "writer itself produced, so value escaping can never desync. The "
+    "final per-segment rollup hash-checks rows AND exact-decimal sums "
+    "against base-table arithmetic; v1 stays intact under time travel.",
+)
+def table_insert_overwrite_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    t = SnapshotTable(spark, "customer_dml_dpo", scratch_root())
+    t.drop()
+    t.create(cust, partition_by=["c_mktsegment"])
+    cust.createOrReplaceTempView("cust_dpo_src")
+    res = execute_dml(
+        spark,
+        """
+        INSERT OVERWRITE customer_dml_dpo
+        SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0
+        FROM cust_dpo_src
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+        """, root=scratch_root(),
+    )
+    res2 = execute_dml(
+        spark,
+        """
+        INSERT OVERWRITE customer_dml_dpo PARTITION (c_mktsegment = 'MACHINERY')
+        SELECT c_custkey, c_acctbal FROM cust_dpo_src WHERE 1 = 0
+        """, root=scratch_root(),
+    )
+    a, a2 = res["audit"], res2["audit"]
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .withColumn(
+            "partitions_replaced", F.lit(int(a["partitions_replaced"])).cast("int")
+        )
+        .withColumn("subdirs_carried", F.lit(int(a["subdirs_carried"])).cast("int"))
+        .withColumn("dirs_rewritten", F.lit(int(a["dirs_rewritten"])).cast("int"))
+        .withColumn(
+            "clear_replaced", F.lit(int(a2["partitions_replaced"])).cast("int")
+        )
+        .withColumn("clear_dropped", F.lit(int(a2["dirs_rewritten"])).cast("int"))
         .orderBy("c_mktsegment")
     )
 

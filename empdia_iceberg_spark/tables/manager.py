@@ -1174,6 +1174,173 @@ class SnapshotTable:
             retry_on_race=True,
         )
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        static: dict | None = None,
+        max_retries: int = 3,
+    ) -> tuple[int, dict]:
+        """Dynamic partition overwrite (r13) — Iceberg's `INSERT
+        OVERWRITE` semantics on a partitioned table: replace exactly the
+        partitions PRESENT IN THE INCOMING DATA, carry every other
+        partition untouched. The 100 TB backfill primitive: re-running
+        one day's pipeline must cost that day's write, never a table
+        rewrite.
+
+        Scale shape: the incoming frame is written once (executor-
+        parallel, hive layout under the current spec); for every
+        existing data dir written under the SAME spec, surviving
+        partitions are carried BY REFERENCE at hive-subdir granularity
+        — zero data movement, the commit just lists subdir paths (reads
+        are recursive and self-sufficient, so a subdir is as good a
+        data dir as its parent). Replaced-partition identification
+        compares the subdir NAMES the writer itself produced (both
+        sides come from the same Spark partitionBy writer, so hive
+        value escaping can never desynchronize). Dirs written under a
+        DIFFERENT spec (pre-partition-evolution) and dirs with
+        applicable merge-on-read deletes cannot be subdir-carried: they
+        get one broadcast semi-join containment probe, ride whole by
+        reference when they hold none of the replaced partitions, and
+        otherwise rewrite their survivors (folding deletes in — the
+        merge engine's force-rewrite rule).
+
+        ``static`` ({col: Column literal}) is the `PARTITION (col=val)`
+        static form: the named partition is replaced even when the
+        incoming frame is EMPTY (Spark's static-overwrite contract —
+        an empty source clears the partition).
+
+        Returns (version, audit) with partitions_replaced /
+        subdirs_carried / dirs_carried / dirs_rewritten."""
+        import glob as _glob
+
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"table {self.name}: cannot OVERWRITE before create")
+        meta0 = self._read_meta(cur)
+        spec = meta0.get("spec", [])
+        if not spec:
+            raise ValueError(
+                f"table {self.name}: overwrite_partitions needs a "
+                "partitioned table (use overwrite() for full replace)"
+            )
+        aligned, schema_json = self._align_append_to_schema(df, meta0["schema"])
+        self._enforce_constraints(aligned, meta0)
+        new_dir = self._write_data(self._to_physical(aligned, schema_json), spec)
+        pat = [f"_p_{c}=*" for c in spec]
+        replaced = {
+            os.path.relpath(p, new_dir)
+            for p in _glob.glob(os.path.join(new_dir, *pat))
+        }
+        if static:
+            # the static partition is replaced even with zero incoming
+            # rows: derive its exact hive relpath from the same writer
+            probe_dir = new_dir + ".static_probe"
+            row = self.spark.range(1).select(
+                *[v.alias(c) for c, v in static.items()]
+            )
+            aug = row
+            for c in spec:
+                if c not in static:
+                    raise ValueError(
+                        f"static PARTITION clause must pin every partition "
+                        f"column (missing {c!r})"
+                    )
+                aug = aug.withColumn(f"_p_{c}", F.col(c))
+            aug.coalesce(1).write.mode("overwrite").partitionBy(
+                *[f"_p_{c}" for c in spec]
+            ).parquet(probe_dir)
+            probed = {
+                os.path.relpath(p, probe_dir)
+                for p in _glob.glob(os.path.join(probe_dir, *pat))
+            }
+            shutil.rmtree(probe_dir, ignore_errors=True)
+            replaced |= probed
+        if not replaced:
+            # dynamic overwrite with an empty source replaces nothing
+            shutil.rmtree(new_dir, ignore_errors=True)
+            return cur, {
+                "partitions_replaced": 0, "subdirs_carried": 0,
+                "dirs_carried": 0, "dirs_rewritten": 0,
+            }
+        vals_df = aligned.select(*spec).distinct()
+        if static:
+            row = self.spark.range(1).select(
+                *[v.alias(c) for c, v in static.items()]
+            ).select(*spec)
+            vals_df = vals_df.unionByName(row).distinct()
+        new_has_files = bool(_glob.glob(os.path.join(new_dir, *pat)))
+        if not new_has_files:
+            # static clear with an empty source: nothing to reference
+            shutil.rmtree(new_dir, ignore_errors=True)
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            meta = self._read_meta(cur)
+            if meta.get("spec", []) != spec:
+                raise CommitConflictError(
+                    f"table {self.name}: partition spec changed mid-overwrite"
+                )
+            deletes = meta.get("delete_dirs", [])
+            dirs_out: list[str] = [new_dir] if new_has_files else []
+            specs_out: list[list[str]] = [spec] if new_has_files else []
+            scratch_dirs: list[str] = []
+            subdirs_carried = dirs_carried = dirs_rewritten = 0
+            for d, dspec in zip(meta["dirs"], self._dir_specs(meta)):
+                has_del = any(
+                    d in dd.get("applies_to", meta["dirs"]) for dd in deletes
+                )
+                if dspec == spec and not has_del:
+                    for p in _glob.glob(os.path.join(d, *pat)):
+                        rp = os.path.relpath(p, d)
+                        if rp in replaced:
+                            continue  # this partition is being replaced
+                        dirs_out.append(p)
+                        # the subdir's spec levels are fully consumed:
+                        # rows inside hold constant partition values
+                        specs_out.append([])
+                        subdirs_carried += 1
+                    continue
+                part = self._read_dirs_mor(meta, [d])
+                hit = (
+                    part.join(F.broadcast(vals_df), spec, "semi")
+                    .limit(1)
+                    .collect()
+                )
+                if not hit:
+                    dirs_out.append(d)
+                    specs_out.append(dspec)
+                    dirs_carried += 1
+                    continue
+                survivors = part.join(F.broadcast(vals_df), spec, "left_anti")
+                if not survivors.limit(1).collect():
+                    dirs_rewritten += 1  # fully-replaced dir: just dropped
+                    continue
+                sd = self._write_data(self._to_physical(survivors, schema_json), spec)
+                scratch_dirs.append(sd)
+                dirs_out.append(sd)
+                specs_out.append(spec)
+                dirs_rewritten += 1
+            try:
+                v = self._commit(
+                    "overwrite-partitions", dirs_out, cur, schema_json,
+                    spec=spec, dir_specs=specs_out, expect_parent=cur,
+                    delete_dirs=deletes,
+                )
+                return v, {
+                    "partitions_replaced": len(replaced),
+                    "subdirs_carried": subdirs_carried,
+                    "dirs_carried": dirs_carried,
+                    "dirs_rewritten": dirs_rewritten,
+                }
+            except CommitConflictError:
+                for sd in scratch_dirs:  # orphaned survivor rewrites
+                    shutil.rmtree(sd, ignore_errors=True)
+                continue
+        shutil.rmtree(new_dir, ignore_errors=True)
+        raise CommitConflictError(
+            f"table {self.name}: overwrite_partitions gave up after "
+            f"{max_retries} retries"
+        )
+
     def truncate(self) -> int:
         """`TRUNCATE TABLE`: ONE metadata commit with an empty file
         list — O(1) at any table size, no data touched. The old rows

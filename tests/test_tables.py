@@ -3773,3 +3773,51 @@ def test_remove_orphan_files_reclaims_aged_unreferenced_dirs(spark, nation):
 
     _sh.rmtree(live, ignore_errors=True)
     t.drop()
+
+
+# ------------------------------------ dynamic partition overwrite (r13)
+
+
+def test_overwrite_partitions_foreign_spec_and_mor_paths(spark, nation):
+    """Dirs written under an OLDER spec and dirs with applicable MOR
+    deletes cannot be subdir-carried: untouched ones ride whole by
+    reference after a containment probe; overlapping ones rewrite their
+    survivors with deletes folded in."""
+    root = scratch_root()
+    t = SnapshotTable(spark, "t_dpo_evo_unit", root)
+    t.drop()
+    # v1: UNPARTITIONED dir (foreign spec after the evolve)
+    t.create(nation.filter(F.col("n_regionkey") <= 1))
+    t.evolve_partitioning(["n_regionkey"])
+    # v3: partitioned append + v4: MOR delete touching it
+    t.append(nation.filter(F.col("n_regionkey") >= 2))
+    t.delete_where_mor(F.col("n_nationkey") == 4, key="n_nationkey")  # region 4's row? any
+    before = {r.n_regionkey: r.n for r in t.read().groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # overwrite region 1 with a single replacement row
+    repl = spark.createDataFrame(
+        [(900, "NEWLAND", 1, "x")],
+        "n_nationkey int, n_name string, n_regionkey int, n_comment string",
+    ).select(*t.read().columns)
+    v, audit = t.overwrite_partitions(repl)
+    after = {r.n_regionkey: r.n for r in t.read().groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert after[1] == 1 and after[0] == before[0]
+    for rk in before:
+        if rk not in (0, 1):
+            assert after[rk] == before[rk], f"region {rk} must be untouched"
+    assert audit["partitions_replaced"] == 1
+    # the foreign-spec v1 dir overlapped region 1 -> survivor rewrite
+    assert audit["dirs_rewritten"] >= 1
+    # MOR-deleted key stays deleted through the rewrite/carry
+    assert t.read().filter(F.col("n_nationkey") == 4).count() == 0
+    # time travel to the pre-overwrite state is intact
+    assert t.read(version=4).filter(F.col("n_regionkey") == 1).count() == before[1]
+    t.drop()
+
+
+def test_overwrite_partitions_guards(spark, nation):
+    t = SnapshotTable(spark, "t_dpo_guard_unit")
+    t.drop()
+    t.create(nation)  # unpartitioned
+    with pytest.raises(ValueError, match="partitioned table"):
+        t.overwrite_partitions(nation)
+    t.drop()
