@@ -643,11 +643,18 @@ def _call_procedure(spark: SparkSession, name: str, raw_args: str, root: str) ->
         return {"op": "call-rollback_to_version", "table": b["table"],
                 "version": v, "audit": {"rolled_back_to": int(b["version"])}}
     if name == "expire_snapshots":
-        b = _bind(["table"], {"keep_last": 1})
+        b = _bind(["table"], {"keep_last": 1, "older_than_sec": None})
         t = SnapshotTable(spark, str(b["table"]), root)
         if t.current_version() is None:
             raise ValueError(f"table {b['table']} does not exist")
-        expired = t.expire_snapshots(keep_last=int(b["keep_last"]))
+        expired = t.expire_snapshots(
+            keep_last=int(b["keep_last"]),
+            older_than=(
+                float(b["older_than_sec"])
+                if b["older_than_sec"] is not None
+                else None
+            ),
+        )
         return {"op": "call-expire_snapshots", "table": b["table"],
                 "version": t.current_version(),
                 "audit": {"versions_expired": len(expired),

@@ -2806,15 +2806,36 @@ class SnapshotTable:
                 removed.append(full)
         return removed
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than: float | None = None
+    ) -> list[int]:
         """Drop all but the last `keep_last` snapshots and delete data
         AND merge-on-read delete-key dirs no longer referenced by a
         surviving snapshot. Versions still pointed to by named refs
         (branches/tags) are refused — expiring them would leave dangling
         refs whose reads fail mid-flight (Iceberg likewise keeps
-        ref-reachable snapshots alive)."""
+        ref-reachable snapshots alive).
+
+        ``older_than`` (r13 — Iceberg's timestamp form, epoch seconds):
+        only snapshots COMMITTED BEFORE the bound expire, and the two
+        retention rules compose — a snapshot survives if it is in the
+        keep_last newest OR at/after the bound. Expiry stays a PREFIX
+        of the version log (the scan stops at the first young version
+        even if a clock jump put an older ts after it): parent-chain
+        consumers (changes(), snapshot_tail replay validation) rely on
+        retained history being contiguous. Pre-timestamp metadata (no
+        "ts") counts as older than any bound."""
         vs = self._versions()
         expired, survivors = vs[:-keep_last], vs[-keep_last:]
+        if older_than is not None:
+            cut = 0
+            for v in expired:
+                if (self._read_meta(v).get("ts") or 0) < older_than:
+                    cut += 1
+                else:
+                    break
+            survivors = expired[cut:] + survivors
+            expired = expired[:cut]
         referenced = {v for v in self.refs().values() if v in expired}
         if referenced:
             raise ValueError(

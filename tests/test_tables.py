@@ -3821,3 +3821,42 @@ def test_overwrite_partitions_guards(spark, nation):
     with pytest.raises(ValueError, match="partitioned table"):
         t.overwrite_partitions(nation)
     t.drop()
+
+
+def test_expire_snapshots_older_than_composes_with_keep_last(spark, nation):
+    """Iceberg's timestamp retention: only snapshots committed before
+    the bound expire, keep_last still floors survivors, and expiry
+    stays a prefix of the version log."""
+    import time as _time
+
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+
+    root = scratch_root()
+    t = SnapshotTable(spark, "t_expire_ts_unit", root)
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 5))     # v1
+    t.append(nation.filter(F.col("n_nationkey") >= 20))   # v2
+    mid = _time.time()
+    t.append(
+        nation.filter(
+            (F.col("n_nationkey") >= 5) & (F.col("n_nationkey") < 20)
+        )
+    )  # v3 (younger than mid)
+    # bound at mid: v1+v2 are old, but keep_last=1 already retains v3;
+    # v3 also survives by age
+    res = execute_sql(
+        spark,
+        f"CALL expire_snapshots('t_expire_ts_unit', keep_last => 1, "
+        f"older_than_sec => '{mid}')",
+        root,
+    )
+    assert res["audit"]["versions_left"] == 1
+    # fresh table: a bound in the PAST expires nothing even with
+    # keep_last=1 asking for more
+    t2 = SnapshotTable(spark, "t_expire_ts2_unit", root)
+    t2.drop()
+    t2.create(nation.filter(F.col("n_nationkey") < 5))
+    t2.append(nation.filter(F.col("n_nationkey") >= 5))
+    assert t2.expire_snapshots(keep_last=1, older_than=mid - 10_000) == []
+    assert t2._versions() == [1, 2]
+    t.drop(), t2.drop()
