@@ -93,6 +93,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # the bottom of the r6 block below the marker (same-round-driver-row
 # rule).
 _SWEEP_PRIORITY = [
+    "pipeline_wap",  # NEW r13: write-audit-publish quality gate through catalog pins
     "table_insert_overwrite_dml",  # NEW r13: dynamic partition overwrite (Iceberg INSERT OVERWRITE)
     "stream_native_sink_medallion",  # NEW r13: native snapshot_write streaming sink (ask #7)
     "table_changes_sql",  # NEW r13: CDC read TVF table_changes('t', v1, v2[, key]) (ask #5)
@@ -142,8 +143,8 @@ _SWEEP_PRIORITY = [
     "lateral_top2_per_customer",  # stalest green (r6)
     "events_sessionize_8h",  # stalest green (r6)
     "daily_acf_value",  # stalest green (r6)
-    "seasonal_strength_scan",  # stalest green (r6)
-    # ---- 50-slot window ends here (3 new + 14 changed + 9 r5 + 24 r6) ----
+    # ---- 50-slot window ends here (4 new + 14 changed + 9 r5 + 23 r6) ----
+    "seasonal_strength_scan",  # displaced below the marker by r13 new queries
     "events_seasonal_residual_outliers",  # displaced below the marker by r13 new queries
     "events_linear_interpolate",  # displaced below the marker by r13 new queries
     "doc_bm25_search",  # stalest green (r6), displaced by r13 new

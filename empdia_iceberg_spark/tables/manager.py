@@ -4829,3 +4829,86 @@ def catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "step string, n_rows long",
     )
+
+
+@register(
+    "pipeline_wap",
+    oracle="""
+    WITH o AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O'),
+    p AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'P'),
+    f AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'audit_bad_violations' AS step, CAST((SELECT n FROM p) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'audit_good_violations', CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'reader_before', CAST((SELECT n FROM o) AS BIGINT)
+    UNION ALL
+    SELECT 'reader_during_bad_stage', CAST((SELECT n FROM o) AS BIGINT)
+    UNION ALL
+    SELECT 'reader_after_publish', CAST((SELECT n FROM o) + (SELECT n FROM f) AS BIGINT)
+    ORDER BY step
+    """,
+    doc="Write-Audit-Publish (r13) -- THE Iceberg quality-gate workflow "
+    "for production writes, composed entirely from existing pieces: "
+    "writers STAGE appends as inert snapshots, an AUDIT queries the "
+    "staged version (time travel -- never the published view), and "
+    "only a passing audit PUBLISHES by flipping the catalog pin "
+    "(consumers resolve through the catalog, so an unpublished stage "
+    "is invisible no matter how many snapshots land). The failing "
+    "path is exercised for real: a staged batch carrying negated "
+    "prices trips the audit (violation count pinned by base "
+    "arithmetic), the catalog reader STILL sees the pre-stage rows "
+    "(the isolation WAP exists to provide), and the stage is aborted "
+    "with rollback() -- a NEW snapshot restoring the audited-good file "
+    "set, the bad version left in history for forensics until expiry. "
+    "The good batch then stages, audits clean, and publishes; every "
+    "phase's reader-visible count is hash-checked.",
+)
+def pipeline_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    t = SnapshotTable(spark, "orders_wap", scratch_root())
+    cat = Catalog(spark, "wap_demo", scratch_root())
+    t.drop()
+    cat.drop()
+    v1 = t.create(orders.filter(F.col("o_orderstatus") == "O"))
+    cat.publish({"orders_wap": v1})
+    reader_before = cat.read("orders_wap").count()
+
+    def audit(version: int) -> int:
+        # the quality gate: no non-positive prices may publish
+        return (
+            t.read(version=version)
+            .filter(F.col("o_totalprice") <= 0)
+            .count()
+        )
+
+    # WAP attempt 1: a corrupted batch (negated prices) stages...
+    bad = orders.filter(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    v_bad = t.append(bad)
+    bad_violations = audit(v_bad)
+    reader_mid = cat.read("orders_wap").count()  # catalog still pins v1
+    assert bad_violations > 0
+    # ...fails the audit: NO publish; abort the stage (rollback restores
+    # v1's exact file set as a new snapshot; v_bad stays for forensics)
+    t.rollback(v1)
+    # WAP attempt 2: the good batch stages, audits clean, publishes
+    v_good = t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    good_violations = audit(v_good)
+    assert good_violations == 0
+    cat.publish({"orders_wap": v_good}, expect={"orders_wap": v1})
+    reader_after = cat.read("orders_wap").count()
+    return local_df(
+        spark,
+        sorted(
+            [
+                ("audit_bad_violations", int(bad_violations)),
+                ("audit_good_violations", int(good_violations)),
+                ("reader_before", int(reader_before)),
+                ("reader_during_bad_stage", int(reader_mid)),
+                ("reader_after_publish", int(reader_after)),
+            ]
+        ),
+        "step string, n_rows long",
+    )
