@@ -1276,6 +1276,7 @@ class SnapshotTable:
             cur = self.current_version()
             meta = self._read_meta(cur)
             if meta.get("spec", []) != spec:
+                shutil.rmtree(new_dir, ignore_errors=True)
                 raise CommitConflictError(
                     f"table {self.name}: partition spec changed mid-overwrite"
                 )
