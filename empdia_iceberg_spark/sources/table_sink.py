@@ -135,6 +135,24 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
             for f in schema.fields
         ]
         self.base = t.base
+        self._last_cache: int | None = None  # newest stamped batch id
+        # Session timezone, captured ON THE DRIVER (r13 review): Spark
+        # hands write() NAIVE datetimes rendered in the session zone;
+        # encoding them straight into timestamp('us', tz='UTC') would
+        # shift every stored instant on a non-UTC session. Executors
+        # localize with this zone before Arrow conversion.
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        self.tz = (
+            (sess.conf.get("spark.sql.session.timeZone") if sess else None)
+            or "UTC"
+        )
+        self._ts_idx = [
+            i
+            for i, f in enumerate(schema.fields)
+            if isinstance(f.dataType, T.TimestampType)
+        ]
         self.stage = os.path.join(t.base, ".stream_stage", self.run_id)
         os.makedirs(self.stage, exist_ok=True)
         # Reclaim staging orphans from CRASHED runs (a query killed
@@ -177,11 +195,21 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
         n = 0
         buf: list[tuple] = []
 
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(self.tz)
+
         def flush():
             nonlocal writer
             if not buf:
                 return
-            cols = list(zip(*buf))
+            cols = [list(c) for c in zip(*buf)]
+            for i in self._ts_idx:
+                cols[i] = [
+                    v if v is None or v.tzinfo is not None
+                    else v.replace(tzinfo=zone)
+                    for v in cols[i]
+                ]
             arrays = [
                 pa.array(cols[i], type=self._cols[i][2])
                 for i in range(len(self._cols))
@@ -204,11 +232,20 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
 
     # --------------------------------------------------------- driver side
     def _last_stamped(self, t: SnapshotTable) -> int | None:
+        """Newest batch id this lineage stamped. Cached after each
+        successful commit (r13 review: re-scanning the whole version
+        log per micro-batch made a long stream O(versions²) in driver
+        metadata reads) — the full reverse scan runs once per writer
+        construction (i.e. per query run), which is exactly the restart
+        case the scan exists for."""
+        if self._last_cache is not None:
+            return self._last_cache
         mine = f"append@{self.run_id}#b"
         for v in reversed(t._versions()):
             op = t._read_meta(v).get("op", "")
             if op.startswith(mine) and op[len(mine):].isdigit():
-                return int(op[len(mine):])
+                self._last_cache = int(op[len(mine):])
+                return self._last_cache
         return None
 
     def commit(self, messages, batchId: int) -> None:
@@ -239,6 +276,7 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                         expect_parent=cur,
                         delete_dirs=meta.get("delete_dirs", []),
                     )
+                    self._last_cache = batchId
                     return
                 except CommitConflictError:
                     continue
@@ -268,6 +306,7 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                     expect_parent=cur,
                     delete_dirs=meta.get("delete_dirs", []),
                 )
+                self._last_cache = batchId
                 return
             except CommitConflictError:
                 # lost the race: move files BACK to staging and rebuild

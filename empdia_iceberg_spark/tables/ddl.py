@@ -643,15 +643,19 @@ def _call_procedure(spark: SparkSession, name: str, raw_args: str, root: str) ->
         return {"op": "call-rollback_to_version", "table": b["table"],
                 "version": v, "audit": {"rolled_back_to": int(b["version"])}}
     if name == "expire_snapshots":
-        b = _bind(["table"], {"keep_last": 1, "older_than_sec": None})
+        # older_than_TS is an absolute epoch timestamp (Iceberg's
+        # older_than), deliberately NOT named older_than_sec — the
+        # sibling remove_orphan_files takes an AGE in seconds, and one
+        # spelling for two meanings invites expiring nothing (r13 review)
+        b = _bind(["table"], {"keep_last": 1, "older_than_ts": None})
         t = SnapshotTable(spark, str(b["table"]), root)
         if t.current_version() is None:
             raise ValueError(f"table {b['table']} does not exist")
         expired = t.expire_snapshots(
             keep_last=int(b["keep_last"]),
             older_than=(
-                float(b["older_than_sec"])
-                if b["older_than_sec"] is not None
+                float(b["older_than_ts"])
+                if b["older_than_ts"] is not None
                 else None
             ),
         )
@@ -706,8 +710,9 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         ALTER TABLE t ADD CONSTRAINT name CHECK (expr)     (validated + enforced)
         ALTER TABLE t DROP CONSTRAINT name
         ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION n]
-        CALL rollback_to_version('t', n) | expire_snapshots('t' [, keep_last => k])
-        CALL compact('t') | remove_orphan_files('t' [, older_than_sec => s])
+        CALL rollback_to_version('t', n)
+        CALL expire_snapshots('t' [, keep_last => k] [, older_than_ts => epoch])
+        CALL compact('t') | remove_orphan_files('t' [, older_than_sec => age])
              | compact('t')
         ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]  (-> t.stats)
         ALTER TABLE t DROP BRANCH|TAG name

@@ -334,11 +334,16 @@ def _execute_insert(
             # static form: the SELECT supplies the non-partition columns
             # (positionally, unless a column list said otherwise); the
             # pinned constants are appended cast to the table types
-            bad = sorted(set(static) - set(tcols))
+            if not spec:
+                raise ValueError(
+                    f"table {name}: PARTITION clause requires a "
+                    "partitioned table (this table has no partition spec)"
+                )
+            bad = sorted(set(static) - set(spec))
             if bad:
                 raise ValueError(
-                    f"table {name}: PARTITION clause names unknown "
-                    f"column(s) {bad}"
+                    f"table {name}: PARTITION clause may only name "
+                    f"partition columns {spec}; got {bad}"
                 )
             overlap = sorted(set(static) & set(target_cols))
             if overlap:

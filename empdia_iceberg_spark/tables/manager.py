@@ -2789,7 +2789,16 @@ class SnapshotTable:
         now = time.time()
         for name in sorted(os.listdir(self.data_dir)):
             full = os.path.join(self.data_dir, name)
-            if full in referenced or not os.path.isdir(full):
+            if not os.path.isdir(full):
+                continue
+            # a dir is LIVE if referenced exactly OR if any referenced
+            # path lies inside it (dynamic partition overwrite commits
+            # hive SUBDIR paths — r13 code review: exact-match here
+            # deleted a parent dir whose subdirs the current snapshot
+            # still reads)
+            if full in referenced or any(
+                _dir_within(r, (full,)) for r in referenced
+            ):
                 continue
             newest = 0.0
             try:
@@ -2850,9 +2859,25 @@ class SnapshotTable:
             }
 
         live_dirs = {d for v in survivors for d in _all_dirs(self._read_meta(v))}
+
+        def _overlaps_live(d: str) -> bool:
+            # dir-granular reference checks are NOT exact-match (r13
+            # code review): dynamic partition overwrite commits hive
+            # SUBDIR paths, so an expired whole-dir reference can
+            # CONTAIN live subdir references (deleting it would destroy
+            # the current snapshot) and an expired subdir reference can
+            # live INSIDE a surviving whole-dir reference. Either
+            # overlap direction keeps the path; the conservative leak
+            # (a replaced partition's bytes inside a kept parent dir)
+            # is reclaimable later once the parent itself expires.
+            return any(
+                d == L or _dir_within(d, (L,)) or _dir_within(L, (d,))
+                for L in live_dirs
+            )
+
         for v in expired:
             for d in _all_dirs(self._read_meta(v)):
-                if d not in live_dirs and os.path.isdir(d):
+                if not _overlaps_live(d) and os.path.isdir(d):
                     shutil.rmtree(d)
             os.remove(os.path.join(self.meta_dir, f"v{v:05d}.json"))
         return expired
@@ -3178,8 +3203,9 @@ class SnapshotTable:
             ts = meta.get("ts")
             parent_meta = self._read_meta(v - 1) if v > 1 else None
             p_dirs = parent_meta["dirs"] if parent_meta else []
-            added = [d for d in meta["dirs"] if d not in set(p_dirs)]
-            removed = [d for d in p_dirs if d not in set(meta["dirs"])]
+            p_set, m_set = set(p_dirs), set(meta["dirs"])
+            added = [d for d in meta["dirs"] if d not in p_set]
+            removed = [d for d in p_dirs if d not in m_set]
             p_ndel = len(parent_meta.get("delete_dirs", [])) if parent_meta else 0
             new_deletes = meta.get("delete_dirs", [])[p_ndel:]
             if not added and not removed and not new_deletes:
@@ -3208,7 +3234,7 @@ class SnapshotTable:
                 # merge-on-read delete: deleted rows = parent-state rows
                 # in the dirs this delete applies to, matching its keys
                 applies = [
-                    d for d in dd.get("applies_to", p_dirs) if d in set(p_dirs)
+                    d for d in dd.get("applies_to", p_dirs) if d in p_set
                 ]
                 if not applies:
                     continue

@@ -176,3 +176,35 @@ def test_sink_reclaims_stale_staging_orphans(spark, nation, monkeypatch):
     assert not os.path.exists(dead), "10s-idle orphan must age out at bound 5s"
     assert os.path.exists(fresh), "fresh staging must survive"
     dst.drop()
+
+
+def test_sink_timestamps_preserve_instants_across_session_zones(spark, nation):
+    """Naive session-local datetimes must land as the same INSTANT the
+    engine's own parquet writes store — not reinterpreted as UTC (r13
+    review). Proven by flipping the session zone and comparing against
+    a batch append of identical rows."""
+    import datetime
+
+    root = scratch_root()
+    dst = SnapshotTable(spark, "t_sink_tz_unit", root)
+    ref = SnapshotTable(spark, "t_ref_tz_unit", root)
+    dst.drop(), ref.drop()
+    rows = [(1, datetime.datetime(2026, 1, 1, 12, 0, 0))]
+    schema = "k int, ts timestamp"
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        frame = spark.createDataFrame(rows, schema)
+        dst.create(frame.limit(0))
+        ref.create(frame)  # the engine's own write path = ground truth
+        w = SnapshotStreamWriter(
+            {"table": "t_sink_tz_unit", "root": root, "run_id": "tz"},
+            frame.schema,
+        )
+        w.commit([w.write(iter([tuple(r) for r in frame.collect()]))], 0)
+        got = dst.read().collect()[0].ts
+        want = ref.read().collect()[0].ts
+        assert got == want, f"sink stored {got}, batch write stored {want}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        dst.drop(), ref.drop()

@@ -3847,7 +3847,7 @@ def test_expire_snapshots_older_than_composes_with_keep_last(spark, nation):
     res = execute_sql(
         spark,
         f"CALL expire_snapshots('t_expire_ts_unit', keep_last => 1, "
-        f"older_than_sec => '{mid}')",
+        f"older_than_ts => '{mid}')",
         root,
     )
     assert res["audit"]["versions_left"] == 1
@@ -3860,3 +3860,72 @@ def test_expire_snapshots_older_than_composes_with_keep_last(spark, nation):
     assert t2.expire_snapshots(keep_last=1, older_than=mid - 10_000) == []
     assert t2._versions() == [1, 2]
     t.drop(), t2.drop()
+
+
+# ----------------------- r13 code-review regressions (subdir liveness)
+
+
+def test_expire_keeps_dirs_containing_live_subdir_references(spark, nation):
+    """After a dynamic partition overwrite carries hive SUBDIRS by
+    reference, expiring the pre-overwrite snapshot must NOT delete the
+    parent dir those subdirs live in (exact-path liveness destroyed the
+    current snapshot — r13 review)."""
+    root = scratch_root()
+    t = SnapshotTable(spark, "t_expire_subdir_unit", root)
+    t.drop()
+    t.create(nation, partition_by=["n_regionkey"])  # v1: one dir, 5 parts
+    repl = spark.createDataFrame(
+        [(900, "NEWLAND", 1, "x")],
+        "n_nationkey int, n_name string, n_regionkey int, n_comment string",
+    ).select(*t.read().columns)
+    t.overwrite_partitions(repl)  # v2: new dir + 4 carried SUBDIRS of v1's dir
+    expect = t.read().count()
+    t.expire_snapshots(keep_last=1)  # v1 expires; its dir must survive
+    assert t.read().count() == expect, "current snapshot lost rows after expire"
+    t.drop()
+
+
+def test_remove_orphans_keeps_dirs_live_via_subdir_references(spark, nation):
+    root = scratch_root()
+    t = SnapshotTable(spark, "t_orphan_subdir_unit", root)
+    t.drop()
+    t.create(nation, partition_by=["n_regionkey"])
+    repl = spark.createDataFrame(
+        [(900, "NEWLAND", 1, "x")],
+        "n_nationkey int, n_name string, n_regionkey int, n_comment string",
+    ).select(*t.read().columns)
+    t.overwrite_partitions(repl)
+    t.expire_snapshots(keep_last=1)  # only subdir references remain live
+    expect = t.read().count()
+    removed = t.remove_orphan_files(older_than_sec=0)
+    assert t.read().count() == expect, f"orphan sweep deleted live data: {removed}"
+    t.drop()
+
+
+def test_insert_overwrite_partition_clause_guards(spark, nation):
+    from empdia_iceberg_spark.tables.dml import execute_dml
+
+    root = scratch_root()
+    t = SnapshotTable(spark, "t_dpo_sql_guard_unit", root)
+    t.drop()
+    t.create(nation)  # UNPARTITIONED
+    nation.createOrReplaceTempView("dpo_guard_src")
+    with pytest.raises(ValueError, match="requires a partitioned table"):
+        execute_dml(
+            spark,
+            "INSERT OVERWRITE t_dpo_sql_guard_unit PARTITION (n_regionkey = 1) "
+            "SELECT n_nationkey, n_name FROM dpo_guard_src WHERE 1=0",
+            root=root,
+        )
+    assert t.read().count() == nation.count(), "guard must not overwrite"
+    t.drop()
+    t.create(nation, partition_by=["n_regionkey"])
+    with pytest.raises(ValueError, match="only name partition columns"):
+        execute_dml(
+            spark,
+            "INSERT OVERWRITE t_dpo_sql_guard_unit "
+            "PARTITION (n_regionkey = 1, n_name = 'X') "
+            "SELECT n_nationkey FROM dpo_guard_src WHERE 1=0",
+            root=root,
+        )
+    t.drop()
