@@ -44,6 +44,9 @@ Studies:
                 the base ones): the O(users²) pairwise stage at k× users
   profile_sim_nobroadcast  the same with the 200k-user broadcast
                 ceiling forced to 0 (shuffle-join fallback cost)
+  dpo           dynamic partition overwrite: INSERT OVERWRITE replacing
+                one partition (~2.5% of rows) vs DuckDB re-COPYing the
+                whole merged table — the backfill cost claim priced
   cdc_apply     incremental declarative MERGE (batch confined to 1 of 8
                 key-range dirs; pruning audit asserted per scale) vs
                 the single-node COW equivalent (DuckDB COPY of the
@@ -96,6 +99,7 @@ STUDY_TABLES = {
     "profile_sim": ["events"],
     "profile_sim_nobroadcast": ["events"],
     "cdc_apply": ["orders"],
+    "dpo": ["orders"],
 }
 STUDY_QUERY = {
     "q1": "q1_pricing_agg",
@@ -112,6 +116,7 @@ STUDY_QUERY = {
     "profile_sim": "user_profile_similarity",
     "profile_sim_nobroadcast": "user_profile_similarity",  # ceiling forced 0
     "cdc_apply": "table_merge_dml",  # nominal; custom runner below
+    "dpo": "table_insert_overwrite_dml",  # nominal; custom runner below
 }
 # Studies sharing one scaled dataset (the A/B variants must time the
 # SAME files, and q3_bucketed layers a layout on q3's data).
@@ -125,6 +130,7 @@ _DATASET_ALIAS = {
     "profile_sim": "profile",
     "profile_sim_nobroadcast": "profile",
     "cdc_apply": "window_rank",  # shares the orders ×k replicas
+    "dpo": "window_rank",  # shares the orders ×k replicas
 }
 # q1 is the one study whose scaling mode is BIGGER groups, not more
 # groups (its output is always the 4 returnflag/linestatus rows):
@@ -607,6 +613,124 @@ def run_cdc_apply_study(
     }
 
 
+def run_dpo_study(
+    spark, scale: int, reps: int, check: bool, spark_only: bool = False
+) -> dict:
+    """Dynamic partition overwrite vs the single-node COW equivalent
+    (r13): the backfill claim is that replacing ONE partition costs
+    that partition's write, never a table rewrite — the audit pins it
+    structurally (partitions_replaced=1, dirs_rewritten=0, the other
+    partitions carried by reference at subdir granularity), and this
+    study prices it against DuckDB re-COPYing the whole merged table to
+    parquet (what a single-node engine without partition-granular file
+    replacement pays for the same logical update).
+
+    Timed Spark: ONE `INSERT OVERWRITE` replacing the 'P' partition
+    (~2.5% of rows) of the ×scale orders table partitioned by status;
+    each rep rolls back to base (a metadata commit) so state is
+    identical. Timed DuckDB: COPY of the full post-update table."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.sources.tables import load
+    from empdia_iceberg_spark.tables.dml import execute_dml
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    sf_dir = build_dataset("dpo", scale)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    t = SnapshotTable(spark, "orders_dpo_scale")
+    t.drop()
+    t.create(orders, partition_by=["o_orderstatus"])
+    base_v = t.current_version()
+    orders.filter(F.col("o_orderstatus") == "P").createOrReplaceTempView(
+        "dpo_scale_batch"
+    )
+    stmt = (
+        "INSERT OVERWRITE orders_dpo_scale "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0 "
+        "FROM dpo_scale_batch"
+    )
+    execute_dml(spark, stmt)  # warm-up (codegen, file listing)
+    t.rollback(base_v)
+    s_best, audit = float("inf"), None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = execute_dml(spark, stmt)
+        s_best = min(s_best, time.perf_counter() - t0)
+        audit = res["audit"]
+        t.rollback(base_v)
+    assert audit["partitions_replaced"] == 1 and audit["dirs_rewritten"] == 0, audit
+
+    if spark_only:
+        t.drop()
+        return {
+            "study": "dpo", "scale": scale, "rows": None,
+            "spark_sec": round(s_best, 3), "duckdb_sec": None, "ratio": None,
+        }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet/*.parquet')"
+    )
+    merged_select = """
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(o_totalprice AS DOUBLE) + 10.0
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+        FROM orders
+    """
+    out_pq = os.path.join(ROOT, f"dpo_out_x{scale}.parquet")
+    apply_sql = f"COPY ({merged_select}) TO '{out_pq}' (FORMAT PARQUET)"
+    con.execute(f"CREATE VIEW applied AS {merged_select}")
+    con.execute(apply_sql)  # warm OS page cache
+    d_best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        con.execute(apply_sql)
+        d_best = min(d_best, time.perf_counter() - t0)
+
+    n_rows = None
+    if check:
+        execute_dml(spark, stmt)
+        rollup = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("s"),
+            )
+        )
+        srows = [tuple(r) for r in rollup.collect()]
+        res = con.execute(
+            "SELECT o_orderstatus, count(*) AS n_rows, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s "
+            "FROM applied GROUP BY o_orderstatus"
+        )
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        assert len(srows) == len(orows) and _canon(
+            srows, rollup.columns
+        ) == _canon(orows, ocols), f"dpo x{scale}: mismatch"
+        n_rows = sum(r[1] for r in srows)
+        t.rollback(base_v)
+    con.close()
+    if os.path.exists(out_pq):
+        os.remove(out_pq)
+    t.drop()
+    return {
+        "study": "dpo", "scale": scale, "rows": n_rows,
+        "spark_sec": round(s_best, 3), "duckdb_sec": round(d_best, 3),
+        "ratio": round(s_best / d_best, 2),
+    }
+
+
 def run_study(
     spark, study: str, scale: int, reps: int, check: bool, spark_only: bool = False
 ) -> dict:
@@ -702,6 +826,10 @@ def main() -> None:
         for scale in [int(s) for s in args.scales.split(",")]:
             if study == "cdc_apply":
                 r = run_cdc_apply_study(
+                    spark, scale, args.reps, args.check, args.spark_only
+                )
+            elif study == "dpo":
+                r = run_dpo_study(
                     spark, scale, args.reps, args.check, args.spark_only
                 )
             else:
