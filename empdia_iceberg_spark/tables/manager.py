@@ -2869,7 +2869,9 @@ class SnapshotTable:
             # live INSIDE a surviving whole-dir reference. Either
             # overlap direction keeps the path; the conservative leak
             # (a replaced partition's bytes inside a kept parent dir)
-            # is reclaimable later once the parent itself expires.
+            # is reclaimed by remove_orphan_files once no retained
+            # snapshot references into the parent — expire only ever
+            # deletes dirs named by the metas it expires.
             return any(
                 d == L or _dir_within(d, (L,)) or _dir_within(L, (d,))
                 for L in live_dirs

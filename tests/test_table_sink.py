@@ -208,3 +208,59 @@ def test_sink_timestamps_preserve_instants_across_session_zones(spark, nation):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
         dst.drop(), ref.drop()
+
+
+def test_sink_fed_table_is_tailable_downstream(spark, nation):
+    """bronze -> silver -> gold through the native source+sink pair on
+    BOTH hops: snapshot_write stamps append@-shaped ops, which
+    snapshot_tail treats as plain appends — medallion hops chain with
+    no foreachBatch anywhere."""
+    spark.dataSource.register(SnapshotTailDataSource)
+    spark.dataSource.register(SnapshotWriteDataSource)
+    root = scratch_root()
+    bronze = SnapshotTable(spark, "t_chain_bronze_unit", root)
+    silver = SnapshotTable(spark, "t_chain_silver_unit", root)
+    gold = SnapshotTable(spark, "t_chain_gold_unit", root)
+    for t in (bronze, silver, gold):
+        t.drop()
+    bronze.create(nation)
+    silver.create(nation.limit(0))
+    gold.create(nation.limit(0))
+    run = uuid.uuid4().hex[:8]
+
+    def hop(src, dst, ckpt):
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("table", src)
+            .option("root", root)
+            .load()
+            .writeStream.format("snapshot_write")
+            .option("table", dst)
+            .option("root", root)
+            .option("run_id", f"{run}_{dst}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    c1, c2 = f"/tmp/t_chain1_{run}", f"/tmp/t_chain2_{run}"
+    try:
+        hop("t_chain_bronze_unit", "t_chain_silver_unit", c1)
+        hop("t_chain_silver_unit", "t_chain_gold_unit", c2)
+        assert gold.read().count() == nation.count()
+        # a second bronze append flows through BOTH hops incrementally
+        bronze.append(
+            spark.createDataFrame(
+                [(900, "NEWLAND", 1)], "n_nationkey int, n_name string, n_regionkey int"
+            ).select(*nation.columns)
+        )
+        hop("t_chain_bronze_unit", "t_chain_silver_unit", c1)
+        hop("t_chain_silver_unit", "t_chain_gold_unit", c2)
+        assert gold.read().count() == nation.count() + 1
+        assert silver.read().count() == nation.count() + 1
+    finally:
+        for c in (c1, c2):
+            shutil.rmtree(c, ignore_errors=True)
+        for t in (bronze, silver, gold):
+            t.drop()
