@@ -3929,3 +3929,61 @@ def test_insert_overwrite_partition_clause_guards(spark, nation):
             root=root,
         )
     t.drop()
+
+
+def test_changes_replay_reconstructs_every_state(spark):
+    """CHANGELOG-REPLAY INVARIANT (r13): applying changes(1, v) to an
+    empty multiset — add every insert row, remove every delete row —
+    must reconstruct read(v) EXACTLY, for every version of a random
+    create/append/merge/MOR-delete/CoW-delete/compact history. This
+    pins changes() as a true changelog: per-commit file pruning,
+    exceptAll diffs, MOR key joins, and metadata-skips all compose to
+    the table's actual state transitions."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(13_2026)
+    t = SnapshotTable(spark, "t_changes_replay_unit")
+    t.drop()
+
+    def fresh_rows(n, used):
+        ks = rng.sample([k for k in range(1000) if k not in used], n)
+        return [(k, f"v{rng.randrange(1_000_000)}") for k in ks]
+
+    used: set[int] = set()
+    rows = fresh_rows(5, used)
+    used |= {k for k, _ in rows}
+    t.create(spark.createDataFrame(rows, "k int, v string"))
+    for _ in range(7):
+        op = rng.choice(["append", "merge", "delete_mor", "delete_cow", "compact"])
+        keys = {r.k for r in t.read().select("k").collect()}
+        if op == "append":
+            rows = fresh_rows(rng.randrange(1, 4), used)
+            used |= {k for k, _ in rows}
+            t.append(spark.createDataFrame(rows, "k int, v string"))
+        elif op == "merge" and keys:
+            upd = [(k, f"u{rng.randrange(1_000_000)}") for k in rng.sample(sorted(keys), min(2, len(keys)))]
+            ins = fresh_rows(1, used)
+            used |= {k for k, _ in ins}
+            t.merge(spark.createDataFrame(upd + ins, "k int, v string"), key="k")
+        elif op == "delete_mor" and keys:
+            t.delete_where_mor(F.col("k") == rng.choice(sorted(keys)), key="k")
+        elif op == "delete_cow" and keys:
+            t.delete_where(F.col("k") <= rng.choice(sorted(keys)))
+        elif op == "compact":
+            t.compact(target_partitions=2)
+        else:
+            continue
+    for v in t._versions():
+        ch = t.changes(1, v).collect()
+        state = Counter()
+        for r in ch:
+            if r._change_type == "insert":
+                state[(r.k, r.v)] += 1
+            else:
+                state[(r.k, r.v)] -= 1
+        replayed = {kv for kv, n in state.items() if n != 0}
+        assert all(n in (0, 1) for n in state.values()), (v, state)
+        actual = {(r.k, r.v) for r in t.read(version=v).collect()}
+        assert replayed == actual, (v, replayed ^ actual)
+    t.drop()
