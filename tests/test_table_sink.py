@@ -264,3 +264,63 @@ def test_sink_fed_table_is_tailable_downstream(spark, nation):
             shutil.rmtree(c, ignore_errors=True)
         for t in (bronze, silver, gold):
             t.drop()
+
+
+def test_two_concurrent_sink_lineages_both_land(spark, nation, tmp_path):
+    """Two PROCESSES streaming into ONE table under different run_ids:
+    OCC append commits must interleave without losing either lineage's
+    batches (the additive_upsert multi-writer contract, proven for the
+    native sink)."""
+    import subprocess
+    import sys as _sys
+
+    root = scratch_root()
+    dst = SnapshotTable(spark, "t_sink_race_unit", root)
+    dst.drop()
+    dst.create(spark.createDataFrame([], "k long, who string"))
+    worker = tmp_path / "sink_worker.py"
+    worker.write_text(
+        f"""
+import sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from empdia_iceberg_spark.session import get_spark
+from empdia_iceberg_spark.sources.table_sink import SnapshotStreamWriter
+from pyspark.sql import types as T
+
+who = sys.argv[1]
+spark = get_spark(app_name="sink-race-" + who)
+schema = T.StructType([
+    T.StructField("k", T.LongType()), T.StructField("who", T.StringType()),
+])
+w = SnapshotStreamWriter(
+    {{"table": "t_sink_race_unit", "root": {root!r}, "run_id": who}}, schema
+)
+for b in range(4):
+    rows = [(b * 10 + i, who) for i in range(5)]
+    w.commit([w.write(iter(rows))], b)
+print("WORKER_OK")
+"""
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, str(worker), who],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for who in ("alpha", "beta")
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0 and "WORKER_OK" in out, out[-3000:]
+    counts = {
+        r.who: r.n
+        for r in dst.read().groupBy("who").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"alpha": 20, "beta": 20}, counts
+    ops = [m["op"] for m in dst.snapshots()]
+    assert sum(o.startswith("append@alpha#b") for o in ops) == 4
+    assert sum(o.startswith("append@beta#b") for o in ops) == 4
+    dst.drop()
