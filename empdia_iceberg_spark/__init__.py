@@ -75,321 +75,320 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 #      (tools/next_sweep.py emits the order);
 #   3. the stalest previously-green block as tail filler.
 #
-# ROUND 13 ARITHMETIC (VERDICT r12 asks): never-swept debt stays ZERO
-# (all 292 queries have driver rows through r12; zero FAILs ever), so the
-# window is (1) the answer paths round 13 touches — the emb_near_dup_ivf
-# recall repair (ask #1); table_governance_sql gains NOT NULL / DEFAULT
-# (ask #8); table_describe_sql's rename path gets atomic JSON fixup and
-# SHOW CREATE gets quote escaping (ADVICE); stream_table_tail +
-# pipeline_medallion pick up the deterministic os.walk order in
-# _new_files (ADVICE medium — it changes which file an offset index maps
-# to); table_merge_dml gains WITH SCHEMA EVOLUTION (ask #6); and ALL 8
-# sink queries re-sweep after SINK_ROOT moved to the process-unique
-# scratch root (ask #2 says re-sweep them despite the scaffold-path-only
-# exemption) — then (2) the ENTIRE 9-name r5 cohort (ask #3 says burn
-# it), then (3) 27 of the r6 cohort as tail filler. NEW queries
-# registered this round (table_changes_sql, the native streaming sink
-# story, ...) are inserted at the VERY FRONT as they land, displacing
-# the bottom of the r6 block below the marker (same-round-driver-row
-# rule).
+# ROUND 14 ARITHMETIC (VERDICT r13 asks): never-swept debt stays ZERO
+# (all 296 queries have driver rows through r13; zero FAILs ever). The
+# window is (1) ALL 18 streaming-family queries — the r14 fix routes the
+# shared fixed _WORK_ROOT through scratch_root() (VERDICT r13 what's-wrong
+# #1 / ask #1; the judge observed stream_conversation_state and
+# stream_topk_trending corrupt under two concurrent clients, so those two
+# lead), plus table_stream/table_sink which gain the CDC streaming tail
+# and sink-hygiene work this round; then (2) the 7 table-family queries
+# whose manager/ddl/dml paths the r14 features touch (partition
+# transforms, position deletes, changes() surfacing them, compaction
+# folding them); then (3) the ENTIRE 11-name r6 cohort (VERDICT ask #5:
+# burn it) and 14 of the r7 cohort as tail filler — max staleness in the
+# window tail is r7. NEW queries registered this round
+# (table_partition_transforms_sql, stream_cdc_tail, position-delete
+# story, ...) are inserted at the VERY FRONT as they land, displacing the
+# bottom of the r7 block below the marker (same-round-driver-row rule).
 _SWEEP_PRIORITY = [
-    "pipeline_wap",  # NEW r13: write-audit-publish quality gate through catalog pins
-    "table_insert_overwrite_dml",  # NEW r13: dynamic partition overwrite (Iceberg INSERT OVERWRITE)
-    "stream_native_sink_medallion",  # NEW r13: native snapshot_write streaming sink (ask #7)
-    "table_changes_sql",  # NEW r13: CDC read TVF table_changes('t', v1, v2[, key]) (ask #5)
-    "emb_near_dup_ivf",  # r13-changed: near-dup recall repair (VERDICT r12 ask #1)
-    "table_governance_sql",  # r13-changed: + NOT NULL / DEFAULT constraints (ask #8)
-    "table_describe_sql",  # r13-changed: atomic rename fixup + SHOW CREATE quote escaping (ADVICE)
-    "stream_table_tail",  # r13-changed: deterministic walk order in _new_files (ADVICE, medium)
-    "pipeline_medallion",  # r13-changed: consumes snapshot_tail (walk-order fix)
-    "table_merge_dml",  # r13-changed: MERGE WITH SCHEMA EVOLUTION (ask #6)
-    "sink_parquet_roundtrip",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
-    "sink_json_roundtrip",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
-    "csv_roundtrip",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
-    "sink_partitioned_write",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
-    "orc_roundtrip",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
-    "json_ingest_corrupt_records",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
-    "xml_roundtrip",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
-    "binaryfile_ingest",  # r13-changed: SINK_ROOT -> process-unique scratch (ask #2; re-sweep all 8)
-    "ols_quantity_price",  # stalest green (r5)
-    "chi2_events_type_dow",  # stalest green (r5)
-    "welch_t_acctbal_segments",  # stalest green (r5)
-    "events_survival_km",  # stalest green (r5)
-    "events_impute_value",  # stalest green (r5)
-    "events_target_encode_loo",  # stalest green (r5)
-    "events_twap_user",  # stalest green (r5)
-    "parts_abc_pareto",  # stalest green (r5)
-    "semantic_prune_clusters",  # stalest green (r5)
-    "spearman_qty_price",  # stalest green (r6)
-    "q2_min_cost_supplier",  # stalest green (r6)
-    "q4_priority_exists",  # stalest green (r6)
-    "q6_forecast_revenue",  # stalest green (r6)
-    "q7_volume_shipping",  # stalest green (r6)
-    "q8_market_share",  # stalest green (r6)
-    "q9_profit_by_nation",  # stalest green (r6)
-    "q10_returned_revenue",  # stalest green (r6)
-    "q11_important_parts",  # stalest green (r6)
-    "q12_late_priority_counts",  # stalest green (r6)
-    "q13_custdist",  # stalest green (r6)
-    "q14_promo_revenue",  # stalest green (r6)
-    "q15_top_supplier",  # stalest green (r6)
-    "q16_supplier_part_counts",  # stalest green (r6)
-    "q17_small_qty_revenue",  # stalest green (r6)
-    "q18_large_orders",  # stalest green (r6)
-    "q19_disjunctive_revenue",  # stalest green (r6)
-    "q20_dominant_suppliers",  # stalest green (r6)
-    "q21_waiting_suppliers",  # stalest green (r6)
-    "q22_idle_rich_customers",  # stalest green (r6)
-    "lateral_top2_per_customer",  # stalest green (r6)
-    "events_sessionize_8h",  # stalest green (r6)
-    "daily_acf_value",  # stalest green (r6)
-    # ---- 50-slot window ends here (4 new + 14 changed + 9 r5 + 23 r6) ----
-    "seasonal_strength_scan",  # displaced below the marker by r13 new queries
-    "events_seasonal_residual_outliers",  # displaced below the marker by r13 new queries
-    "events_linear_interpolate",  # displaced below the marker by r13 new queries
-    "doc_bm25_search",  # stalest green (r6), displaced by r13 new
-    "doc_phrase_search",
-    "doc_rerank_crossencoder",
-    "embedding_pq_codes",
-    "embedding_pca_power",
-    "user_reach_hll_rollup",
-    "token_cms_estimates",
-    "token_heavy_hitters",
-    "mannwhitney_u_segments",
-    "doc_lm_perplexity",
-    "doc_decontaminate",
-    "doc_ngram_jaccard_pairs",
-    "doc_dup_ngram_fraction",
-    "curation_pipeline",
-    "curation_funnel_counts",
-    "anova_acctbal_segments",
-    "ks_acctbal_two_sample",
-    "lineitem_corr_matrix",
-    "events_mad_outliers",
-    "stream_tumbling_hourly",
-    "stream_watermark_late_drop",
-    "stream_ewma16_state",
-    "emb_cosine_near_dup",
-    "supplier_part_matching",
-    "graph_triangle_census",
-    "events_markov_entropy_rate",
-    "mi_events_type_hour",
-    "doc_chunking",
-    "doc_quality_filter",
-    "doc_rrf_fusion",
-    "events_funnel_conversion",
-    "orders_shipping_busdays",
-    "orders_diversified_topk",
-    "weighted_quantiles_quantity",
-    "orders_robust_means",
-    "messages_last_by_role",
-    "udtf_table_arg_digest",
-    "kmv_distinct_orders",
-    "kmv_set_overlap",
-    "asof_join_last_error",
-    "events_gap_fill_ffill",
-    "events_cusum_drift",
-    "events_max_drawdown_user",
-    "forecast_backtest_snaive",
-    "profile_orders_stats",
-    "doc_weighted_sample",
-    "doc_sample_per_lang",
-    "stream_conversation_state",
-    "doc_tfidf_top_terms",
-    "emb_decontaminate",
-    "doc_repetition_stats",
-    "doc_rake_keyphrases",
-    "doc_oov_rate",
-    "nb_lang_confusion",
-    "classifier_agreement_kappa",
-    "multimodal_audio_zcr",
-    "udtf_split_fixed_cols",
-    "pyds_synthetic_rollup",
-    "stream_topk_trending",
-    "stream_stream_join_1h",
-    "stream_static_enrich",
-    "events_session_window_batch",
-    "events_rolling_median_7d",
-    "events_rolling_wau",
-    "events_linear_attribution",
-    "events_ohlc_hourly",
-    "events_scd2_history",
-    "events_weekly_retention",
-    "mc_pi_estimate",
-    "orders_var_cvar",
-    "ab_sprt_trace",
-    "ab_test_conversion",
-    "ols_by_returnflag",
-    "quantile_transform_acctbal",
-    "revenue_concentration_hhi",
-    "revenue_gini_customers",
-    "corpus_zipf_slope",
-    "revenue_price_volume_bridge",
-    "revenue_recognition_schedule",
-    "revenue_yoy_growth",
-    "customer_segment_migration",
-    "customer_rfm_segments",
-    "orders_interpurchase_intervals",
-    "orders_status_summary",
-    "lineitem_fifo_allocation",
-    "join_key_skew_stats",
-    "duplicate_baskets",
-    "graph_bfs_hops",
-    "graph_kcore_sizes",
-    "graph_degree_assortativity",
-    "item_item_similar_parts",
-    "seq2_event_patterns",
-    "doc_fuzzy_clusters",
-    "doc_greedy_coverage_select",
-    "doc_pack_windows",
-    "hash_split_assignments",
-    "domain_mixture_weights",
-    "embedding_quantize_int8",
-    "variant_props_typed",
-    "secure_masked_view",
-    "observed_metrics_shipments",
-    "dq_checks_orders",
-    "pagerank_trading_graph",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "set_ops_segments",
-    "rollup_pricing",
-    "cube_order_priority",
-    "distinct_counts",
-    "approx_distinct_counts",
-    "topk_orders_global",
-    "scalar_string_fns",
-    "date_fns_orders",
-    "json_extract_events",
-    "orders_above_customer_avg",
-    "events_hourly_rollup",
-    "pivot_status_by_priority",
-    "null_safe_join_acctbal",
-    "map_functions_props",
-    "grouping_sets_pricing",
-    "percentile_order_values",
-    "approx_percentile_sketch",
-    "q1_pricing_agg",
-    "q3_join3_topk",
-    "user_profile_similarity",
-    "events_multi_grain_rollup",
-    "salted_join_skewed",
-    "unpivot_pricing_metrics",
-    "doc_dedup_survivors",
-    "doc_text_stats",
-    "doc_token_counts",
-    "doc_lang_id_confusion",
-    "doc_fingerprint",
-    "doc_pii_scrub",
-    "window_rank_topk_per_customer",
-    "window_lag_lead_orders",
-    "window_running_max_events",
-    "window_trailing_frame_events",
-    "window_ntile_quartiles",
-    "window_first_last_order",
-    "window_range_frame_value",
-    "window_percent_rank_cume_dist",
-    "embedding_avg_by_label",
-    "range_join_events_1h",
-    "bucketed_join_colocated",
-    "skyline_orders_2d",
-    "multimodal_metadata",
-    "classifier_stub_layers",
-    "classifier_label_canonicalization",
-    "classifier_real_model",
-    "generation_retry_stub",
-    "collate_prompt_batches",
-    "udtf_word_windows",
-    "udaf_weighted_value",
-    "reward_trajectory",
-    "reward_per_turn_scores",
-    "reward_fallback_mean",
-    "reward_config_coalesce",
-    "reward_trajectory_pandas",
-    "termination_flags",
-    "table_metadata_tables_sql",
-    "table_statement_corners",
-    "table_merge_sync_dml",
-    "table_refs_sql",
-    "table_rename_column_sql",
-    "table_maintenance_sql",
-    "table_time_travel_sql",
-    "table_ddl_lifecycle",
-    "table_delete_mor_dml",
-    "table_insert_dml",
-    "table_update_dml",
-    "table_delete_dml",
-    "table_hilbert_layout",
-    "table_zorder_layout",
-    "table_merge_pruned",
-    "table_merge_upsert",
-    "knn_cosine_top5",
-    "knn_cosine_lsh",
-    "doc_exact_dedup",
-    "doc_minhash_near_dup",
-    "doc_dedup_clusters",
-    "table_snapshot_lifecycle",
-    "table_expire_compact",
-    "table_schema_evolution",
-    "table_rollback_restore",
-    "table_incremental_diff",
-    "table_partition_evolution",
-    "table_wap_publish",
-    "cdc_log_compaction",
-    "table_crypto_shred",
-    "mv_incremental_refresh",
-    "table_branch_merge",
-    "table_history_audit",
-    "table_concurrent_appends",
-    "table_mor_deletes",
-    "table_bloom_point_lookup",
-    "table_changelog_emit",
-    "catalog_multi_table_txn",
-    "stream_continuous_aggregate",
-    "stream_restart_recovery",
-    "termination_first_stop",
-    "trajectory_metrics",
-    "table_views_sql",
-    "table_analyze_sql",
-    "table_alter_type_sql",
-    "knn_ivf_recall_audit",
-    "knn_lsh_recall_audit",
-    "knn_cosine_ivf",
-    "stream_cdc_apply",
-    "messages_role_swap_pipeline",
-    "dialogue_prep_verl_rows",
-    "dialogue_prep_nested",
-    "overlong_prompt_filter",
-    "positional_split_70_30",
-    "grpo_group_normalize",
-    "grpo_pairwise_n2",
-    "q5_region_revenue",
-    "stream_sliding_2h_1h",
-    "stream_session_window",
-    "stream_dedup_events",
-    "stream_dedup_bounded_state",
-    "multimodal_decode_features",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "generation_retry_real",
-    "doc_simhash_near_dup",
-    "doc_span_dedup",
-    "doc_fuzzy_pairs_blocked",
-    "stats_exact_moments",
-    "stratified_sample_counts",
-    "events_anomaly_zscore",
-    "events_pit_dimension_join",
-    "events_cohort_ltv",
-    "events_time_to_convert",
-    "stream_stream_left_join",
-    "events_ewma16_user",
-    "orders_open_peak_monthly",
-    "events_longest_streaks",
-    "part_pairs_cooccurrence",
-    "events_type_transitions",
-    "part_hierarchy_rollup",
-    "part_association_rules",
-    "benford_order_totals",
+    "stream_conversation_state",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_topk_trending",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_tumbling_hourly",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_watermark_late_drop",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_ewma16_state",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_stream_join_1h",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_static_enrich",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_continuous_aggregate",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_restart_recovery",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_cdc_apply",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_sliding_2h_1h",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_session_window",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_dedup_events",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_dedup_bounded_state",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_stream_left_join",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "pipeline_medallion",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_table_tail",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "stream_native_sink_medallion",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
+    "table_partition_evolution",  # r14-changed path: partition transforms / position deletes / CDC tail
+    "table_insert_overwrite_dml",  # r14-changed path: partition transforms / position deletes / CDC tail
+    "table_delete_mor_dml",  # r14-changed path: partition transforms / position deletes / CDC tail
+    "table_mor_deletes",  # r14-changed path: partition transforms / position deletes / CDC tail
+    "table_changes_sql",  # r14-changed path: partition transforms / position deletes / CDC tail
+    "table_expire_compact",  # r14-changed path: partition transforms / position deletes / CDC tail
+    "table_ddl_lifecycle",  # r14-changed path: partition transforms / position deletes / CDC tail
+    "seasonal_strength_scan",  # stalest green (r6)
+    "events_seasonal_residual_outliers",  # stalest green (r6)
+    "events_linear_interpolate",  # stalest green (r6)
+    "doc_bm25_search",  # stalest green (r6)
+    "doc_phrase_search",  # stalest green (r6)
+    "doc_rerank_crossencoder",  # stalest green (r6)
+    "embedding_pq_codes",  # stalest green (r6)
+    "embedding_pca_power",  # stalest green (r6)
+    "user_reach_hll_rollup",  # stalest green (r6)
+    "token_cms_estimates",  # stalest green (r6)
+    "token_heavy_hitters",  # stalest green (r6)
+    "mannwhitney_u_segments",  # stalest green (r7)
+    "doc_lm_perplexity",  # stalest green (r7)
+    "doc_decontaminate",  # stalest green (r7)
+    "doc_ngram_jaccard_pairs",  # stalest green (r7)
+    "doc_dup_ngram_fraction",  # stalest green (r7)
+    "curation_pipeline",  # stalest green (r7)
+    "curation_funnel_counts",  # stalest green (r7)
+    "anova_acctbal_segments",  # stalest green (r7)
+    "ks_acctbal_two_sample",  # stalest green (r7)
+    "lineitem_corr_matrix",  # stalest green (r7)
+    "events_mad_outliers",  # stalest green (r7)
+    "emb_cosine_near_dup",  # stalest green (r7)
+    "supplier_part_matching",  # stalest green (r7)
+    "graph_triangle_census",  # stalest green (r7)
+    # ---- 50-slot window ends here (18 streaming + 7 table + 11 r6 + 14 r7) ----
+    "events_markov_entropy_rate",  # r7
+    "mi_events_type_hour",  # r7
+    "doc_chunking",  # r7
+    "doc_quality_filter",  # r7
+    "doc_rrf_fusion",  # r7
+    "events_funnel_conversion",  # r7
+    "orders_shipping_busdays",  # r7
+    "orders_diversified_topk",  # r7
+    "weighted_quantiles_quantity",  # r7
+    "orders_robust_means",  # r7
+    "messages_last_by_role",  # r7
+    "udtf_table_arg_digest",  # r7
+    "kmv_distinct_orders",  # r7
+    "kmv_set_overlap",  # r7
+    "asof_join_last_error",  # r8
+    "events_gap_fill_ffill",  # r8
+    "events_cusum_drift",  # r8
+    "events_max_drawdown_user",  # r8
+    "forecast_backtest_snaive",  # r8
+    "profile_orders_stats",  # r8
+    "doc_weighted_sample",  # r8
+    "doc_sample_per_lang",  # r8
+    "doc_tfidf_top_terms",  # r8
+    "emb_decontaminate",  # r8
+    "doc_repetition_stats",  # r8
+    "doc_rake_keyphrases",  # r8
+    "doc_oov_rate",  # r8
+    "nb_lang_confusion",  # r8
+    "classifier_agreement_kappa",  # r8
+    "multimodal_audio_zcr",  # r8
+    "udtf_split_fixed_cols",  # r8
+    "pyds_synthetic_rollup",  # r8
+    "events_session_window_batch",  # r8
+    "events_rolling_median_7d",  # r8
+    "events_rolling_wau",  # r8
+    "events_linear_attribution",  # r8
+    "events_ohlc_hourly",  # r8
+    "events_scd2_history",  # r8
+    "events_weekly_retention",  # r8
+    "mc_pi_estimate",  # r8
+    "orders_var_cvar",  # r8
+    "ab_sprt_trace",  # r8
+    "ab_test_conversion",  # r8
+    "ols_by_returnflag",  # r8
+    "quantile_transform_acctbal",  # r8
+    "revenue_concentration_hhi",  # r8
+    "revenue_gini_customers",  # r8
+    "corpus_zipf_slope",  # r8
+    "revenue_price_volume_bridge",  # r8
+    "revenue_recognition_schedule",  # r8
+    "revenue_yoy_growth",  # r8
+    "customer_segment_migration",  # r8
+    "customer_rfm_segments",  # r8
+    "orders_interpurchase_intervals",  # r9
+    "orders_status_summary",  # r9
+    "lineitem_fifo_allocation",  # r9
+    "join_key_skew_stats",  # r9
+    "duplicate_baskets",  # r9
+    "graph_bfs_hops",  # r9
+    "graph_kcore_sizes",  # r9
+    "graph_degree_assortativity",  # r9
+    "item_item_similar_parts",  # r9
+    "seq2_event_patterns",  # r9
+    "doc_fuzzy_clusters",  # r9
+    "doc_greedy_coverage_select",  # r9
+    "doc_pack_windows",  # r9
+    "hash_split_assignments",  # r9
+    "domain_mixture_weights",  # r9
+    "embedding_quantize_int8",  # r9
+    "variant_props_typed",  # r9
+    "secure_masked_view",  # r9
+    "observed_metrics_shipments",  # r9
+    "dq_checks_orders",  # r9
+    "pagerank_trading_graph",  # r9
+    "semi_join_active_customers",  # r9
+    "anti_join_inactive_customers",  # r9
+    "set_ops_segments",  # r9
+    "rollup_pricing",  # r9
+    "cube_order_priority",  # r9
+    "distinct_counts",  # r9
+    "approx_distinct_counts",  # r9
+    "topk_orders_global",  # r9
+    "scalar_string_fns",  # r9
+    "date_fns_orders",  # r9
+    "json_extract_events",  # r9
+    "orders_above_customer_avg",  # r9
+    "events_hourly_rollup",  # r9
+    "pivot_status_by_priority",  # r9
+    "null_safe_join_acctbal",  # r9
+    "map_functions_props",  # r9
+    "grouping_sets_pricing",  # r9
+    "percentile_order_values",  # r9
+    "approx_percentile_sketch",  # r9
+    "q1_pricing_agg",  # r10
+    "q3_join3_topk",  # r10
+    "user_profile_similarity",  # r10
+    "events_multi_grain_rollup",  # r10
+    "salted_join_skewed",  # r10
+    "unpivot_pricing_metrics",  # r10
+    "doc_dedup_survivors",  # r10
+    "doc_text_stats",  # r10
+    "doc_token_counts",  # r10
+    "doc_lang_id_confusion",  # r10
+    "doc_fingerprint",  # r10
+    "doc_pii_scrub",  # r10
+    "window_rank_topk_per_customer",  # r10
+    "window_lag_lead_orders",  # r10
+    "window_running_max_events",  # r10
+    "window_trailing_frame_events",  # r10
+    "window_ntile_quartiles",  # r10
+    "window_first_last_order",  # r10
+    "window_range_frame_value",  # r10
+    "window_percent_rank_cume_dist",  # r10
+    "embedding_avg_by_label",  # r10
+    "range_join_events_1h",  # r10
+    "bucketed_join_colocated",  # r10
+    "skyline_orders_2d",  # r10
+    "multimodal_metadata",  # r10
+    "classifier_stub_layers",  # r10
+    "classifier_label_canonicalization",  # r10
+    "classifier_real_model",  # r10
+    "generation_retry_stub",  # r10
+    "collate_prompt_batches",  # r10
+    "udtf_word_windows",  # r10
+    "udaf_weighted_value",  # r10
+    "reward_trajectory",  # r10
+    "reward_per_turn_scores",  # r10
+    "reward_fallback_mean",  # r10
+    "reward_config_coalesce",  # r10
+    "reward_trajectory_pandas",  # r10
+    "termination_flags",  # r10
+    "table_metadata_tables_sql",  # r11
+    "table_statement_corners",  # r11
+    "table_merge_sync_dml",  # r11
+    "table_refs_sql",  # r11
+    "table_rename_column_sql",  # r11
+    "table_maintenance_sql",  # r11
+    "table_time_travel_sql",  # r11
+    "table_insert_dml",  # r11
+    "table_update_dml",  # r11
+    "table_delete_dml",  # r11
+    "table_hilbert_layout",  # r11
+    "table_zorder_layout",  # r11
+    "table_merge_pruned",  # r11
+    "table_merge_upsert",  # r11
+    "knn_cosine_top5",  # r11
+    "knn_cosine_lsh",  # r11
+    "doc_exact_dedup",  # r11
+    "doc_minhash_near_dup",  # r11
+    "doc_dedup_clusters",  # r11
+    "table_snapshot_lifecycle",  # r11
+    "table_schema_evolution",  # r11
+    "table_rollback_restore",  # r11
+    "table_incremental_diff",  # r11
+    "table_wap_publish",  # r11
+    "cdc_log_compaction",  # r11
+    "table_crypto_shred",  # r11
+    "mv_incremental_refresh",  # r11
+    "table_branch_merge",  # r11
+    "table_history_audit",  # r11
+    "table_concurrent_appends",  # r11
+    "table_bloom_point_lookup",  # r11
+    "table_changelog_emit",  # r11
+    "catalog_multi_table_txn",  # r11
+    "termination_first_stop",  # r11
+    "trajectory_metrics",  # r11
+    "table_views_sql",  # r12
+    "table_analyze_sql",  # r12
+    "table_alter_type_sql",  # r12
+    "knn_ivf_recall_audit",  # r12
+    "knn_lsh_recall_audit",  # r12
+    "knn_cosine_ivf",  # r12
+    "messages_role_swap_pipeline",  # r12
+    "dialogue_prep_verl_rows",  # r12
+    "dialogue_prep_nested",  # r12
+    "overlong_prompt_filter",  # r12
+    "positional_split_70_30",  # r12
+    "grpo_group_normalize",  # r12
+    "grpo_pairwise_n2",  # r12
+    "q5_region_revenue",  # r12
+    "multimodal_decode_features",  # r12
+    "multimodal_feature_extract",  # r12
+    "multimodal_frame_sample",  # r12
+    "generation_retry_real",  # r12
+    "doc_simhash_near_dup",  # r12
+    "doc_span_dedup",  # r12
+    "doc_fuzzy_pairs_blocked",  # r12
+    "stats_exact_moments",  # r12
+    "stratified_sample_counts",  # r12
+    "events_anomaly_zscore",  # r12
+    "events_pit_dimension_join",  # r12
+    "events_cohort_ltv",  # r12
+    "events_time_to_convert",  # r12
+    "events_ewma16_user",  # r12
+    "orders_open_peak_monthly",  # r12
+    "events_longest_streaks",  # r12
+    "part_pairs_cooccurrence",  # r12
+    "events_type_transitions",  # r12
+    "part_hierarchy_rollup",  # r12
+    "part_association_rules",  # r12
+    "benford_order_totals",  # r12
+    "pipeline_wap",  # r13
+    "emb_near_dup_ivf",  # r13
+    "table_governance_sql",  # r13
+    "table_describe_sql",  # r13
+    "table_merge_dml",  # r13
+    "sink_parquet_roundtrip",  # r13
+    "sink_json_roundtrip",  # r13
+    "csv_roundtrip",  # r13
+    "sink_partitioned_write",  # r13
+    "orc_roundtrip",  # r13
+    "json_ingest_corrupt_records",  # r13
+    "xml_roundtrip",  # r13
+    "binaryfile_ingest",  # r13
+    "ols_quantity_price",  # r13
+    "chi2_events_type_dow",  # r13
+    "welch_t_acctbal_segments",  # r13
+    "events_survival_km",  # r13
+    "events_impute_value",  # r13
+    "events_target_encode_loo",  # r13
+    "events_twap_user",  # r13
+    "parts_abc_pareto",  # r13
+    "semantic_prune_clusters",  # r13
+    "spearman_qty_price",  # r13
+    "q2_min_cost_supplier",  # r13
+    "q4_priority_exists",  # r13
+    "q6_forecast_revenue",  # r13
+    "q7_volume_shipping",  # r13
+    "q8_market_share",  # r13
+    "q9_profit_by_nation",  # r13
+    "q10_returned_revenue",  # r13
+    "q11_important_parts",  # r13
+    "q12_late_priority_counts",  # r13
+    "q13_custdist",  # r13
+    "q14_promo_revenue",  # r13
+    "q15_top_supplier",  # r13
+    "q16_supplier_part_counts",  # r13
+    "q17_small_qty_revenue",  # r13
+    "q18_large_orders",  # r13
+    "q19_disjunctive_revenue",  # r13
+    "q20_dominant_suppliers",  # r13
+    "q21_waiting_suppliers",  # r13
+    "q22_idle_rich_customers",  # r13
+    "lateral_top2_per_customer",  # r13
+    "events_sessionize_8h",  # r13
+    "daily_acf_value",  # r13
 ]
 
 registry.promote(_SWEEP_PRIORITY)

@@ -393,7 +393,7 @@ def _register_query():
         from empdia_iceberg_spark.sources.table_stream import (
             SnapshotTailDataSource,
         )
-        from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+        from empdia_iceberg_spark.streaming.windows import work_root
 
         spark.dataSource.register(SnapshotTailDataSource)
         spark.dataSource.register(SnapshotWriteDataSource)
@@ -418,7 +418,7 @@ def _register_query():
         bronze.create(orders.filter(F.col("o_orderstatus") == "O"))
         silver.create(refine(orders).limit(0))  # schema-only, the sink appends
         run = _uuid.uuid4().hex[:8]
-        ckpt = os.path.join(_WORK_ROOT, f"native_sink_ckpt_{run}")
+        ckpt = os.path.join(work_root(), f"native_sink_ckpt_{run}")
 
         def drain():
             q = (

@@ -422,7 +422,7 @@ def stream_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
-    from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+    from empdia_iceberg_spark.streaming.windows import work_root
 
     spark.dataSource.register(SnapshotTailDataSource)
     orders = load(spark, sf_dir, "orders").select(
@@ -434,8 +434,8 @@ def stream_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.drop()
     t.create(orders.filter(F.col("o_orderstatus") == "O"))
     run = uuid.uuid4().hex[:8]
-    ckpt = os.path.join(_WORK_ROOT, f"tail_ckpt_{run}")
-    sink = os.path.join(_WORK_ROOT, f"tail_sink_{run}")
+    ckpt = os.path.join(work_root(), f"tail_ckpt_{run}")
+    sink = os.path.join(work_root(), f"tail_sink_{run}")
     name = "t_tail_sink"
     for q in spark.streams.active:
         if q.name == name:

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from empdia_iceberg_spark.functions.exact import exact_sum2, sql_sum2
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
-from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+from empdia_iceberg_spark.streaming.windows import work_root
 from empdia_iceberg_spark.tables.dml import execute_dml
 from empdia_iceberg_spark.tables.manager import scratch_root
 from empdia_iceberg_spark.tables.manager import SnapshotTable
@@ -144,8 +144,8 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    feed = os.path.join(_WORK_ROOT, f"cdc_feed_{uuid.uuid4().hex[:8]}")
-    ckpt = os.path.join(_WORK_ROOT, f"cdc_ckpt_{uuid.uuid4().hex[:8]}")
+    feed = os.path.join(work_root(), f"cdc_feed_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(work_root(), f"cdc_ckpt_{uuid.uuid4().hex[:8]}")
     table = SnapshotTable(spark, "orders_cdc_state", scratch_root())
     table.drop()
 
@@ -255,7 +255,7 @@ def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
     bronze.drop(), silver.drop()
     bronze.create(orders.filter(F.col("o_orderstatus") == "O"))
     run = uuid.uuid4().hex[:8]
-    ckpt = os.path.join(_WORK_ROOT, f"medallion_ckpt_{run}")
+    ckpt = os.path.join(work_root(), f"medallion_ckpt_{run}")
 
     def refine(batch_df: DataFrame, batch_id: int) -> None:
         refined = batch_df.filter(F.col("o_totalprice") >= 1000.0).select(

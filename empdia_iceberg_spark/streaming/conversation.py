@@ -47,7 +47,7 @@ from empdia_iceberg_spark.functions.termination import (
 )
 from empdia_iceberg_spark.registry import register
 
-_WORK_ROOT = os.environ.get("SPARK_GRAFT_STREAM_ROOT", "/root/repo/.stream_work")
+from empdia_iceberg_spark.streaming.windows import work_root
 
 OUTPUT_SCHEMA = (
     "dia_id bigint, turn int, layer int, terminate_reason string, deepest_layer int"
@@ -135,14 +135,14 @@ def _run_conversation_stream(
     log = turn_log_from_events(spark, sf_dir).withColumn(
         "n_turns", F.max("turn").over(W.partitionBy("dia_id"))
     )
-    feed = os.path.join(_WORK_ROOT, f"{name}_feed")
+    feed = os.path.join(work_root(), f"{name}_feed")
     shutil.rmtree(feed, ignore_errors=True)
     log.filter(F.col("turn") <= 10).write.parquet(feed)
 
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    ckpt = os.path.join(_WORK_ROOT, f"{name}_ckpt_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(work_root(), f"{name}_ckpt_{uuid.uuid4().hex[:8]}")
 
     schema = spark.read.parquet(feed).schema
     stream = build_stateful(

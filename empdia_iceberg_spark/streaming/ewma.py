@@ -34,7 +34,7 @@ from empdia_iceberg_spark.operators.windows import EWMA16_ORACLE
 from empdia_iceberg_spark.registry import register
 from empdia_iceberg_spark.sources.tables import load
 
-_WORK_ROOT = os.environ.get("SPARK_GRAFT_STREAM_ROOT", "/root/repo/.stream_work")
+from empdia_iceberg_spark.streaming.windows import work_root
 
 OUTPUT_SCHEMA = "event_id bigint, user_id bigint, ewma16 double"
 STATE_SCHEMA = "vals array<double>"
@@ -98,7 +98,7 @@ def stream_ewma16_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "value"
     )
     name = "t_ewma16"
-    feed = os.path.join(_WORK_ROOT, f"{name}_feed")
+    feed = os.path.join(work_root(), f"{name}_feed")
     shutil.rmtree(feed, ignore_errors=True)
     # event-time split: batch 1 = first week, batch 2 = the rest, so
     # per-user series genuinely straddle the micro-batch boundary
@@ -108,7 +108,7 @@ def stream_ewma16_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    ckpt = os.path.join(_WORK_ROOT, f"{name}_ckpt_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(work_root(), f"{name}_ckpt_{uuid.uuid4().hex[:8]}")
 
     schema = spark.read.parquet(feed).schema
     stream = (

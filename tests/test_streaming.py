@@ -273,7 +273,7 @@ def test_snapshot_tail_exactly_once_and_change_commit_guard(spark, tmp_path):
     import uuid
 
     from empdia_iceberg_spark.sources.table_stream import SnapshotTailDataSource
-    from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+    from empdia_iceberg_spark.streaming.windows import work_root
     from empdia_iceberg_spark.tables.manager import SnapshotTable
 
     spark.dataSource.register(SnapshotTailDataSource)
@@ -283,8 +283,8 @@ def test_snapshot_tail_exactly_once_and_change_commit_guard(spark, tmp_path):
     t.create(nation.filter(F.col("n_nationkey") < 10))
     t.rename_column("n_name", "nation_name")
     run = uuid.uuid4().hex[:8]
-    ckpt = os.path.join(_WORK_ROOT, f"tail_unit_ckpt_{run}")
-    sink = os.path.join(_WORK_ROOT, f"tail_unit_sink_{run}")
+    ckpt = os.path.join(work_root(), f"tail_unit_ckpt_{run}")
+    sink = os.path.join(work_root(), f"tail_unit_sink_{run}")
 
     def drain(skip_change=False):
         reader = (
@@ -342,7 +342,7 @@ def test_snapshot_tail_across_schema_evolution(spark):
     import uuid
 
     from empdia_iceberg_spark.sources.table_stream import SnapshotTailDataSource
-    from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+    from empdia_iceberg_spark.streaming.windows import work_root
     from empdia_iceberg_spark.tables.manager import SnapshotTable
 
     spark.dataSource.register(SnapshotTailDataSource)
@@ -357,8 +357,8 @@ def test_snapshot_tail_across_schema_evolution(spark):
         )
     )
     run = uuid.uuid4().hex[:8]
-    ckpt = os.path.join(_WORK_ROOT, f"tailevo_ckpt_{run}")
-    sink = os.path.join(_WORK_ROOT, f"tailevo_sink_{run}")
+    ckpt = os.path.join(work_root(), f"tailevo_ckpt_{run}")
+    sink = os.path.join(work_root(), f"tailevo_sink_{run}")
     try:
         q = (
             spark.readStream.format("snapshot_tail")
@@ -407,7 +407,7 @@ def test_snapshot_tail_bounded_batches_drain_backlog(spark):
     import uuid
 
     from empdia_iceberg_spark.sources.table_stream import SnapshotTailDataSource
-    from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+    from empdia_iceberg_spark.streaming.windows import work_root
     from empdia_iceberg_spark.tables.manager import SnapshotTable
 
     spark.dataSource.register(SnapshotTailDataSource)
@@ -420,7 +420,7 @@ def test_snapshot_tail_bounded_batches_drain_backlog(spark):
     # stays tiny; the REAL backlog arrives while the stream runs
     t.create(nation.filter(F.col("n_nationkey") < 2))
     run = uuid.uuid4().hex[:8]
-    ckpt = os.path.join(_WORK_ROOT, f"tail_bounded_ckpt_{run}")
+    ckpt = os.path.join(work_root(), f"tail_bounded_ckpt_{run}")
     sink_name = f"t_tail_bounded_mem_{run}"
     q = (
         spark.readStream.format("snapshot_tail")
@@ -585,7 +585,7 @@ def test_snapshot_tail_starting_timestamp(spark):
         SnapshotTailDataSource,
         SnapshotTailStreamReader,
     )
-    from empdia_iceberg_spark.streaming.windows import _WORK_ROOT
+    from empdia_iceberg_spark.streaming.windows import work_root
     from empdia_iceberg_spark.tables.manager import SnapshotTable
 
     spark.dataSource.register(SnapshotTailDataSource)
