@@ -25,6 +25,11 @@ def _worst_case_out() -> dict:
             "ref_sec": 0.116,
             "ratio_vs_ref": 99.999,
         },
+        "anchor_mid": {
+            "runs_sec": [99.999, 99.999, 99.999],
+            "ref_sec": 1.17,
+            "ratio_vs_ref": 99.999,
+        },
         "stream_overhead_sec": 99.999,
         "recall_at_5": {
             "scope": "full-corpus",
@@ -63,3 +68,13 @@ def test_guard_trips_instead_of_emitting_an_unparseable_line():
     out["queries"] = {f"some_quite_long_query_name_{i:03d}": 99.999 for i in range(90)}
     with pytest.raises(AssertionError):
         bench.final_line(out)
+
+
+def test_mid_anchor_ratio_survives_shedding():
+    """r14: queries_adjusted divides by the MID anchor's ratio, so the
+    contract line must carry at least anchor_mid.ratio_vs_ref even when
+    the budget forces the runs/ref detail out."""
+    out = _worst_case_out()
+    out["queries"] = {f"events_typical_name_{i:03d}": 99.999 for i in range(50)}
+    parsed = json.loads(bench.final_line(out))
+    assert parsed["anchor_mid"]["ratio_vs_ref"] == 99.999
