@@ -62,6 +62,7 @@ from empdia_iceberg_spark.tables.dml import (
 from empdia_iceberg_spark.tables.manager import (
     DEFAULT_ROOT,
     SnapshotTable,
+    canonical_transform,
     scratch_root,
 )
 
@@ -79,9 +80,11 @@ _ALTER_HEAD = re.compile(
 _DROP_HEAD = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*$", re.IGNORECASE
 )
-_PARTITIONED_BY = re.compile(
-    r"^PARTITIONED\s+BY\s*\(([^)]*)\)\s*$", re.IGNORECASE | re.DOTALL
-)
+# Opens the PARTITIONED BY list; the close paren is found by a balanced
+# scan because entries may be transforms with their own parens —
+# `PARTITIONED BY (days(ts), bucket(16, id))` (Iceberg hidden
+# partitioning). _consume_partitioned_by below is the one parser.
+_PART_BY_OPEN = re.compile(r"^PARTITIONED\s+BY\s*\(", re.IGNORECASE)
 _ADD_COLUMNS = re.compile(r"^ADD\s+COLUMNS?\s+(.+)$", re.IGNORECASE | re.DOTALL)
 _DROP_COLUMNS = re.compile(
     r"^DROP\s+COLUMNS?\s+(\w+(?:\s*,\s*\w+)*)\s*$", re.IGNORECASE
@@ -106,11 +109,13 @@ _CREATE_REF = re.compile(
     re.IGNORECASE,
 )
 _DROP_REF = re.compile(r"^DROP\s+(BRANCH|TAG)\s+(\w+)\s*$", re.IGNORECASE)
+# the field may be a bare column or a transform — days(ts),
+# bucket(16, id), truncate(4, s); canonical_transform validates it
 _ADD_PART_FIELD = re.compile(
-    r"^ADD\s+PARTITION\s+FIELD\s+(\w+)\s*$", re.IGNORECASE
+    r"^ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$", re.IGNORECASE
 )
 _DROP_PART_FIELD = re.compile(
-    r"^DROP\s+PARTITION\s+FIELD\s+(\w+)\s*$", re.IGNORECASE
+    r"^DROP\s+PARTITION\s+FIELD\s+(.+?)\s*$", re.IGNORECASE
 )
 _OPTIMIZE_HEAD = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)"
@@ -292,10 +297,33 @@ def _split_columns(s: str) -> list[str]:
 
 _NOT_NULL_IN_DEF = re.compile(r"\s+NOT\s+NULL\b", re.IGNORECASE)
 _USING_CLAUSE = re.compile(r"^USING\s+(\w+)\s*", re.IGNORECASE)
-_PART_BY_CLAUSE = re.compile(
-    r"^PARTITIONED\s+BY\s*\(([^)]*)\)\s*", re.IGNORECASE | re.DOTALL
-)
 _PROPS_CLAUSE = re.compile(r"^TBLPROPERTIES\s*\(", re.IGNORECASE)
+
+
+def _consume_partitioned_by(tail: str) -> tuple[list[str] | None, str]:
+    """If ``tail`` starts with PARTITIONED BY (...), parse the spec list
+    (top-level comma split + canonical transform spelling, so
+    `bucket(16, id)` survives both its inner comma and its inner parens)
+    and return (spec, rest-after-close-paren); else (None, tail)."""
+    m = _PART_BY_OPEN.match(tail)
+    if not m:
+        return None, tail
+    depth, close = 1, -1
+    for idx in range(m.end(), len(tail)):
+        if tail[idx] == "(":
+            depth += 1
+        elif tail[idx] == ")":
+            depth -= 1
+            if depth == 0:
+                close = idx
+                break
+    if close < 0:
+        raise ValueError("PARTITIONED BY: unbalanced parens")
+    spec = [
+        canonical_transform(e)
+        for e in _split_columns(tail[m.end() : close])
+    ]
+    return spec, tail[close + 1 :].strip()
 
 
 def _create_schema_only(
@@ -342,10 +370,10 @@ def _create_schema_only(
                 )
             tail = tail[um.end() :].strip()
             continue
-        pm = _PART_BY_CLAUSE.match(tail)
-        if pm:
-            spec = [c.strip() for c in pm.group(1).split(",") if c.strip()]
-            tail = tail[pm.end() :].strip()
+        parsed_spec, rest = _consume_partitioned_by(tail)
+        if parsed_spec is not None:
+            spec = parsed_spec
+            tail = rest
             continue
         tm = _PROPS_CLAUSE.match(tail)
         if tm:
@@ -811,12 +839,12 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
         head, select = rest[:i].strip(), rest[i + 2 :].strip()
         spec: list[str] = []
         if head:
-            pm = _PARTITIONED_BY.match(head)
-            if not pm:
+            parsed_spec, remainder = _consume_partitioned_by(head)
+            if parsed_spec is None or remainder:
                 raise ValueError(
                     f"unexpected tokens between table name and AS: {head[:60]!r}"
                 )
-            spec = [c.strip() for c in pm.group(1).split(",") if c.strip()]
+            spec = parsed_spec
         first = select.lstrip("(").split(None, 1)[0].upper() if select else ""
         if first not in ("SELECT", "WITH"):
             raise ValueError(f"CTAS body must be a SELECT: {select[:60]!r}")
@@ -1014,20 +1042,20 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
                     "audit": audit}
         pm = _ADD_PART_FIELD.match(action)
         if pm:
-            col = pm.group(1)
+            entry = canonical_transform(pm.group(1))
             spec = t.current_spec()
-            if col in spec:
-                raise ValueError(f"{col!r} is already a partition field")
-            version = t.evolve_partitioning(spec + [col])
+            if entry in spec:
+                raise ValueError(f"{entry!r} is already a partition field")
+            version = t.evolve_partitioning(spec + [entry])
             return {"op": "evolve-partitioning", "table": name,
                     "version": version, "audit": None}
         pm = _DROP_PART_FIELD.match(action)
         if pm:
-            col = pm.group(1)
+            entry = canonical_transform(pm.group(1))
             spec = t.current_spec()
-            if col not in spec:
-                raise ValueError(f"{col!r} is not a partition field of {name}")
-            version = t.evolve_partitioning([c for c in spec if c != col])
+            if entry not in spec:
+                raise ValueError(f"{entry!r} is not a partition field of {name}")
+            version = t.evolve_partitioning([c for c in spec if c != entry])
             return {"op": "evolve-partitioning", "table": name,
                     "version": version, "audit": None}
         raise ValueError(f"unsupported ALTER TABLE action: {action[:60]!r}")
@@ -2535,4 +2563,135 @@ def table_describe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("versions_survived", F.lit(n_versions).cast("int"))
         .withColumn("show_create", F.lit(stmt))
         .orderBy("ord")
+    )
+
+
+@register(
+    "table_partition_transforms_sql",
+    oracle=f"""
+    WITH adj AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CASE WHEN CAST(ts AS DATE) = DATE '2024-01-03'
+                    THEN 1.0 ELSE value END AS value
+        FROM events
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           count(*) AS n_rows,
+           round({sql_sum2("value")}, 2) AS sum_value,
+           CAST(1 AS INT) AS dirs_pruned,
+           CAST(1 AS INT) AS subdirs_selected,
+           CAST(1 AS INT) AS pruned_read_exact,
+           CAST(1 AS INT) AS replaced_eq_live_buckets,
+           CAST(1 AS INT) AS carried_eq_rest,
+           CAST(0 AS INT) AS dirs_rewritten,
+           'CREATE TABLE events_hidden (' || chr(10) ||
+           '  event_id bigint,' || chr(10) ||
+           '  ts timestamp,' || chr(10) ||
+           '  user_id bigint,' || chr(10) ||
+           '  event_type string,' || chr(10) ||
+           '  value double)' || chr(10) ||
+           'USING snapshot' || chr(10) ||
+           'PARTITIONED BY (days(ts), bucket(4, user_id))' AS show_create
+    FROM adj
+    WHERE d BETWEEN DATE '2024-01-02' AND DATE '2024-01-04'
+    GROUP BY d
+    ORDER BY day
+    """,
+    doc="Hidden partitioning (Iceberg partition transforms, VERDICT r13 "
+    "ask #3): `CREATE TABLE ... PARTITIONED BY (days(ts), "
+    "bucket(4, user_id)) AS SELECT ...` derives partition values from "
+    "the SOURCE columns at write time (date_format / xxhash64+pmod "
+    "shadow columns, JVM-side) — the user never pre-materializes a date "
+    "column. The story CTAS-loads the first half-month, INSERTs the "
+    "second, then (a) prunes a one-day read through the transform "
+    "(read_pruned_transform: the second dir has no 2024-01-03 subdir "
+    "and is PRUNED from the listing — dirs_pruned=1, subdirs_selected="
+    "1, and the pruned result equals the full-scan filter, "
+    "pruned_read_exact=1), (b) dynamically overwrites exactly that day "
+    "(overwrite_partitions replaces the day's live bucket cells and "
+    "carries every other hive subdir by reference: replaced_eq_live_"
+    "buckets / carried_eq_rest pin the audit against independently "
+    "derived expectations, dirs_rewritten=0), and (c) round-trips the "
+    "transformed spec through SHOW CREATE TABLE. At 100 TB this is the "
+    "standard event-table layout: every day lands in its own prunable "
+    "dir set and a day's backfill costs one day's write.",
+)
+def table_partition_transforms_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).createOrReplaceTempView("ev_hidden_src")
+    execute_sql(spark, "DROP TABLE IF EXISTS events_hidden", root=scratch_root())
+    execute_sql(
+        spark,
+        "CREATE TABLE events_hidden PARTITIONED BY (days(ts), "
+        "bucket(4, user_id)) AS SELECT * FROM ev_hidden_src "
+        "WHERE ts < TIMESTAMP '2024-01-16 00:00:00'",
+        root=scratch_root(),
+    )
+    execute_sql(
+        spark,
+        "INSERT INTO events_hidden SELECT * FROM ev_hidden_src "
+        "WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'",
+        root=scratch_root(),
+    )
+    t = SnapshotTable(spark, "events_hidden", scratch_root())
+    day = "2024-01-03"
+    # (a) transform-pruned one-day read: exact vs the full-scan filter
+    pruned, audit = t.read_pruned_transform("days(ts)", day)
+    n_pruned = pruned.count()
+    n_full = t.read().filter(F.to_date("ts") == F.lit(day)).count()
+    pruned_read_exact = int(n_pruned == n_full and n_pruned > 0)
+    # (b) dynamic overwrite of exactly that day through the transform;
+    # expectations derived independently: live bucket cells of the day,
+    # and the total hive cell count minus them
+    src = spark.table("ev_hidden_src")
+    day_rows = src.filter(F.to_date("ts") == F.lit(day)).withColumn(
+        "value", F.lit(1.0)
+    )
+    live_buckets = (
+        day_rows.select(F.pmod(F.xxhash64("user_id"), F.lit(4)).alias("b"))
+        .distinct()
+        .count()
+    )
+    total_cells = (
+        src.select(
+            F.to_date("ts").alias("d"),
+            F.pmod(F.xxhash64("user_id"), F.lit(4)).alias("b"),
+            (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("half"),
+        )
+        .distinct()
+        .count()
+    )
+    _v, ow_audit = t.overwrite_partitions(day_rows)
+    replaced_eq_live_buckets = int(ow_audit["partitions_replaced"] == live_buckets)
+    carried_eq_rest = int(
+        ow_audit["subdirs_carried"] == total_cells - live_buckets
+    )
+    # (c) the transformed spec round-trips through SHOW CREATE
+    stmt = execute_sql(
+        spark, "SHOW CREATE TABLE events_hidden", root=scratch_root()
+    ).collect()[0][0]
+    return (
+        t.read()
+        .filter(F.to_date("ts").between("2024-01-02", "2024-01-04"))
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("value"), 2).alias("sum_value"),
+        )
+        .withColumn("dirs_pruned", F.lit(audit["dirs_pruned"]).cast("int"))
+        .withColumn(
+            "subdirs_selected", F.lit(audit["subdirs_selected"]).cast("int")
+        )
+        .withColumn("pruned_read_exact", F.lit(pruned_read_exact).cast("int"))
+        .withColumn(
+            "replaced_eq_live_buckets",
+            F.lit(replaced_eq_live_buckets).cast("int"),
+        )
+        .withColumn("carried_eq_rest", F.lit(carried_eq_rest).cast("int"))
+        .withColumn(
+            "dirs_rewritten", F.lit(ow_audit["dirs_rewritten"]).cast("int")
+        )
+        .withColumn("show_create", F.lit(stmt))
+        .orderBy("day")
     )

@@ -107,6 +107,132 @@ def scratch_root(root: str | None = None) -> str:
 # write.target-file-size-bytes default), via shuffle-free coalesce.
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
+# ------------------------------------------------------ partition transforms
+# Iceberg hidden partitioning (spec §Partition Transforms): a spec entry
+# is either an identity column name or a TRANSFORM over a source column —
+# years(ts) / months(ts) / days(ts) / hours(ts), bucket(N, col),
+# truncate(W, col). The user writes and filters on the SOURCE column;
+# the engine derives the partition value at write time and prunes on it
+# at read time — the "hidden" in hidden partitioning is exactly the
+# manual pre-materialized date column this removes. Transform values are
+# computed by JVM-side expressions (date_format / xxhash64 / pmod /
+# substring) so the write path stays whole-stage-codegen; bucket uses
+# Spark's xxhash64 where Iceberg pins murmur3_x86_32 — same
+# deterministic hash-mod model, not byte-compatible with Iceberg
+# manifests (which this layout does not produce).
+_TRANSFORM_RE = re.compile(
+    r"^(years|months|days|hours|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?"
+    r"(\w+)\s*\)$",
+    re.IGNORECASE,
+)
+_TIME_TRANSFORM_FMT = {
+    "years": "yyyy",
+    "months": "yyyy-MM",
+    "days": "yyyy-MM-dd",
+    "hours": "yyyy-MM-dd-HH",
+}
+
+
+def parse_transform(entry: str) -> tuple[str, int | None, str]:
+    """Parse one partition-spec entry -> (kind, param, source_col).
+    Identity entries (a bare column name) return ("identity", None, col).
+    Raises on malformed entries so a typo'd spec fails at CREATE, not at
+    first write."""
+    entry = entry.strip()
+    m = _TRANSFORM_RE.match(entry)
+    if not m:
+        if not re.match(r"^\w+$", entry):
+            raise ValueError(
+                f"malformed partition-spec entry {entry!r} (expected a "
+                "column name or years/months/days/hours(col), "
+                "bucket(N, col), truncate(W, col))"
+            )
+        return ("identity", None, entry)
+    kind, n, col = m.group(1).lower(), m.group(2), m.group(3)
+    if kind in ("bucket", "truncate"):
+        if n is None:
+            raise ValueError(f"{kind}() needs a width: {kind}(N, {col})")
+        if int(n) <= 0:
+            raise ValueError(f"{kind}() width must be positive: {entry!r}")
+        return (kind, int(n), col)
+    if n is not None:
+        raise ValueError(f"{kind}() takes a single column: {kind}({col})")
+    return (kind, None, col)
+
+
+def canonical_transform(entry: str) -> str:
+    """Canonical spelling stored in metadata and emitted by SHOW CREATE
+    (so the statement round-trips byte-identically)."""
+    kind, n, col = parse_transform(entry)
+    if kind == "identity":
+        return col
+    return f"{kind}({col})" if n is None else f"{kind}({n}, {col})"
+
+
+def transform_source(entry: str) -> str:
+    return parse_transform(entry)[2]
+
+
+def spec_sources(spec: list[str]) -> set[str]:
+    """Source columns a spec reads — the set schema guards (DROP/RENAME/
+    ALTER TYPE refusal) must check, since dropping days(ts)'s source
+    breaks every future write exactly like dropping an identity field."""
+    return {transform_source(e) for e in (spec or [])}
+
+
+def transform_slug(entry: str) -> str:
+    """Filesystem-safe shadow-column suffix: identity keeps the bare
+    column name (layout-compatible with pre-transform tables);
+    days(ts) -> days__ts, bucket(16, k) -> bucket16__k."""
+    kind, n, col = parse_transform(entry)
+    if kind == "identity":
+        return col
+    return f"{kind}{n if n is not None else ''}__{col}"
+
+
+def transform_expr_on(source, dtype: T.DataType, entry: str):
+    """The JVM Column computing ``entry``'s partition value from a
+    source Column of type ``dtype`` — shared by the write path, the
+    dynamic-overwrite probes, and the prune-value evaluation so the
+    three can never disagree on a partition value."""
+    kind, n, _col = parse_transform(entry)
+    if kind == "identity":
+        return source
+    if kind in _TIME_TRANSFORM_FMT:
+        if not isinstance(dtype, (T.TimestampType, T.DateType, T.TimestampNTZType)):
+            raise ValueError(
+                f"{kind}() needs a timestamp/date source, got {dtype.simpleString()}"
+            )
+        return F.date_format(source, _TIME_TRANSFORM_FMT[kind])
+    if kind == "bucket":
+        return F.pmod(F.xxhash64(source), F.lit(n))
+    # truncate: strings -> leading W chars; integers -> floor to a
+    # multiple of W (pmod keeps negatives on the floor side, Iceberg's
+    # truncate contract)
+    if isinstance(dtype, T.StringType):
+        return F.substring(source, 1, n)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return source - F.pmod(source, F.lit(n))
+    raise ValueError(
+        f"truncate() supports string/integer sources, got {dtype.simpleString()}"
+    )
+
+
+def with_transform_cols(df: DataFrame, spec: list[str], prefix: str) -> tuple:
+    """Append one computed column per spec entry (named ``prefix+slug``)
+    -> (augmented df, names). The probe columns dynamic overwrite joins
+    on; write paths use prefix='_p_' to get the hive shadow layout."""
+    names = []
+    out = df
+    for e in spec:
+        src = transform_source(e)
+        name = f"{prefix}{transform_slug(e)}"
+        out = out.withColumn(
+            name, transform_expr_on(F.col(src), df.schema[src].dataType, e)
+        )
+        names.append(name)
+    return out, names
+
 
 def _dir_within(d: str, bases: tuple) -> bool:
     """True when data dir ``d`` is one of ``bases`` or nested under one
@@ -328,18 +454,16 @@ class SnapshotTable:
         except Exception:
             pass  # stats unavailable: write with the plan's partitioning
         if spec:
-            # Hive-layout partitioning on SHADOW columns (_p_<col>): the
+            # Hive-layout partitioning on SHADOW columns (_p_<slug>): the
             # real columns stay inside the data files, so reads never
             # depend on dir structure (recursiveFileLookup) and dirs
             # written under DIFFERENT specs union cleanly — Iceberg's
             # partition-evolution model (metadata chooses files; file
-            # contents are self-sufficient).
-            aug = df
-            for c in spec:
-                aug = aug.withColumn(f"_p_{c}", F.col(c))
-            aug.write.mode("overwrite").partitionBy(
-                *[f"_p_{c}" for c in spec]
-            ).parquet(out)
+            # contents are self-sufficient). Transform entries (days(ts),
+            # bucket(N, k), ...) compute their value here — hidden
+            # partitioning's write half.
+            aug, shadows = with_transform_cols(df, spec, "_p_")
+            aug.write.mode("overwrite").partitionBy(*shadows).parquet(out)
         else:
             df.write.mode("overwrite").parquet(out)
         return out
@@ -351,10 +475,28 @@ class SnapshotTable:
     def _dir_specs(self, meta: dict) -> list[list[str]]:
         return meta.get("dir_specs", [[] for _ in meta["dirs"]])
 
+    def _validate_spec(self, spec: list[str], schema: T.StructType) -> list[str]:
+        """Canonicalize spec entries and fail fast on unknown source
+        columns / untransformable source types — a typo'd
+        PARTITIONED BY must error at CREATE/evolve, not at first write."""
+        out = []
+        for e in spec:
+            canon = canonical_transform(e)  # raises on malformed entries
+            src = transform_source(canon)
+            if src not in schema.fieldNames():
+                raise ValueError(
+                    f"table {self.name}: partition source column {src!r} "
+                    f"not in schema (entry {canon!r})"
+                )
+            # type-check the transform now (identity passes any type)
+            transform_expr_on(F.col(src), schema[src].dataType, canon)
+            out.append(canon)
+        return out
+
     def create(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         if self._versions():
             raise ValueError(f"table {self.name} already exists")
-        spec = partition_by or []
+        spec = self._validate_spec(partition_by or [], df.schema)
         d = self._write_data(df, spec)
         return self._commit(
             "create", [d], None, df.schema.json(), spec=spec, dir_specs=[spec],
@@ -438,6 +580,9 @@ class SnapshotTable:
             if cur is None:
                 raise ValueError(f"table {self.name}: cannot evolve before create")
             meta = self._read_meta(cur)
+            partition_by = self._validate_spec(
+                partition_by, T.StructType.fromJson(json.loads(meta["schema"]))
+            )
             try:
                 return self._commit(
                     "evolve-partitioning",
@@ -600,8 +745,8 @@ class SnapshotTable:
             schema = T.StructType.fromJson(json.loads(meta["schema"]))
             if col not in schema.fieldNames():
                 raise ValueError(f"table {self.name}: no column {col!r}")
-            if col in meta.get("spec", []) or any(
-                col in ds for ds in self._dir_specs(meta)
+            if col in spec_sources(meta.get("spec", [])) or any(
+                col in spec_sources(ds) for ds in self._dir_specs(meta)
             ):
                 raise ValueError(
                     f"table {self.name}: {col!r} is a partition field — "
@@ -674,8 +819,8 @@ class SnapshotTable:
                     f"table {self.name}: name {new!r} collides with a "
                     "current logical or physical column name"
                 )
-            if old in meta.get("spec", []) or any(
-                old in ds for ds in self._dir_specs(meta)
+            if old in spec_sources(meta.get("spec", [])) or any(
+                old in spec_sources(ds) for ds in self._dir_specs(meta)
             ):
                 raise ValueError(
                     f"table {self.name}: {old!r} is a partition field — "
@@ -769,8 +914,8 @@ class SnapshotTable:
                     "decimal precision growth at the same scale) are "
                     "metadata-only; anything else needs a table rewrite"
                 )
-            if col in meta.get("spec", []) or any(
-                col in ds for ds in self._dir_specs(meta)
+            if col in spec_sources(meta.get("spec", [])) or any(
+                col in spec_sources(ds) for ds in self._dir_specs(meta)
             ):
                 raise ValueError(
                     f"table {self.name}: {col!r} is a partition field — "
@@ -1167,7 +1312,11 @@ class SnapshotTable:
                         )
                     fields.append(f)
                 schema_json = T.StructType(fields).json()
-        spec = self.current_spec() if spec is None else spec
+        spec = (
+            self.current_spec()
+            if spec is None
+            else self._validate_spec(spec, df.schema)
+        )
         d = self._write_data(df, spec)
         return self._commit(
             op, [d], cur, schema_json, spec=spec, dir_specs=[spec],
@@ -1226,7 +1375,7 @@ class SnapshotTable:
         aligned, schema_json = self._align_append_to_schema(df, meta0["schema"])
         self._enforce_constraints(aligned, meta0)
         new_dir = self._write_data(self._to_physical(aligned, schema_json), spec)
-        pat = [f"_p_{c}=*" for c in spec]
+        pat = [f"_p_{transform_slug(c)}=*" for c in spec]
         replaced = {
             os.path.relpath(p, new_dir)
             for p in _glob.glob(os.path.join(new_dir, *pat))
@@ -1235,19 +1384,21 @@ class SnapshotTable:
             # the static partition is replaced even with zero incoming
             # rows: derive its exact hive relpath from the same writer
             probe_dir = new_dir + ".static_probe"
+            for c in spec:
+                if transform_source(c) not in static:
+                    raise ValueError(
+                        f"static PARTITION clause must pin every partition "
+                        f"source column (missing {transform_source(c)!r})"
+                    )
             row = self.spark.range(1).select(
                 *[v.alias(c) for c, v in static.items()]
             )
-            aug = row
-            for c in spec:
-                if c not in static:
-                    raise ValueError(
-                        f"static PARTITION clause must pin every partition "
-                        f"column (missing {c!r})"
-                    )
-                aug = aug.withColumn(f"_p_{c}", F.col(c))
+            # transform-aware: the probe derives the hive value through
+            # the same writer expressions (PARTITION (ts='2024-03-01...')
+            # on a days(ts) spec pins that day's dir)
+            aug, shadows = with_transform_cols(row, spec, "_p_")
             aug.coalesce(1).write.mode("overwrite").partitionBy(
-                *[f"_p_{c}" for c in spec]
+                *shadows
             ).parquet(probe_dir)
             probed = {
                 os.path.relpath(p, probe_dir)
@@ -1262,12 +1413,17 @@ class SnapshotTable:
                 "partitions_replaced": 0, "subdirs_carried": 0,
                 "dirs_carried": 0, "dirs_rewritten": 0,
             }
-        vals_df = aligned.select(*spec).distinct()
+        # replaced-partition VALUES in transform space: probes join on the
+        # computed partition values (_pt_<slug>), so a days(ts) spec
+        # compares days, not raw timestamps
+        aug_vals, probe_cols = with_transform_cols(aligned, spec, "_pt_")
+        vals_df = aug_vals.select(*probe_cols).distinct()
         if static:
             row = self.spark.range(1).select(
                 *[v.alias(c) for c, v in static.items()]
-            ).select(*spec)
-            vals_df = vals_df.unionByName(row).distinct()
+            )
+            row_t, _ = with_transform_cols(row, spec, "_pt_")
+            vals_df = vals_df.unionByName(row_t.select(*probe_cols)).distinct()
         new_has_files = bool(_glob.glob(os.path.join(new_dir, *pat)))
         if not new_has_files:
             # static clear with an empty source: nothing to reference
@@ -1301,8 +1457,9 @@ class SnapshotTable:
                         subdirs_carried += 1
                     continue
                 part = self._read_dirs_mor(meta, [d])
+                part_t, _ = with_transform_cols(part, spec, "_pt_")
                 hit = (
-                    part.join(F.broadcast(vals_df), spec, "semi")
+                    part_t.join(F.broadcast(vals_df), probe_cols, "semi")
                     .limit(1)
                     .collect()
                 )
@@ -1311,7 +1468,9 @@ class SnapshotTable:
                     specs_out.append(dspec)
                     dirs_carried += 1
                     continue
-                survivors = part.join(F.broadcast(vals_df), spec, "left_anti")
+                survivors = part_t.join(
+                    F.broadcast(vals_df), probe_cols, "left_anti"
+                ).drop(*probe_cols)
                 if not survivors.limit(1).collect():
                     dirs_rewritten += 1  # fully-replaced dir: just dropped
                     continue
@@ -3073,20 +3232,46 @@ class SnapshotTable:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
 
+    def _prune_value(self, entry: str, value, schema_json: str):
+        """The hive dir value ``entry`` maps ``value`` to — evaluated by
+        the SAME JVM expression the writer used (date_format / xxhash64 /
+        truncate), on a one-row frame, so prune and write can never
+        disagree on session-timezone or hash details. Bounded driver
+        probe (1 row), metadata-sized like the constraint probes."""
+        kind, _n, src = parse_transform(entry)
+        if kind == "identity":
+            return value
+        dtype = T.StructType.fromJson(json.loads(schema_json))[src].dataType
+        row = (
+            self.spark.range(1)
+            .select(
+                transform_expr_on(F.lit(value).cast(dtype), dtype, entry).alias("v")
+            )
+            .collect()[0]
+        )
+        return row["v"]
+
     def read_pruned(self, col: str, value, version: int | None = None) -> DataFrame:
         """Metadata-driven partition pruning across evolving specs
         (Iceberg's model: the catalog chooses files). For each data dir:
-        if its spec leads with `col`, only the matching hive subdir is
-        listed; otherwise the whole dir is read and the residual filter
-        applies. The result always equals read().filter(col == value) —
-        pruning is a file-listing optimization, never a semantics
-        change."""
+        if its spec leads with `col` — or with a TRANSFORM over `col`
+        (hidden partitioning: filtering ts prunes days(ts) dirs) — only
+        the matching hive subdir is listed; otherwise the whole dir is
+        read and the residual filter applies. The result always equals
+        read().filter(col == value) — pruning is a file-listing
+        optimization, never a semantics change."""
         cur = version if version is not None else self.current_version()
         meta = self._read_meta(cur)
         chosen: list[str] = []
+        tval_cache: dict[str, object] = {}
         for d, spec in zip(meta["dirs"], self._dir_specs(meta)):
-            if spec and spec[0] == col:
-                sub = os.path.join(d, f"_p_{col}={value}")
+            if spec and transform_source(spec[0]) == col:
+                e = spec[0]
+                if e not in tval_cache:
+                    tval_cache[e] = self._prune_value(e, value, meta["schema"])
+                sub = os.path.join(
+                    d, f"_p_{transform_slug(e)}={tval_cache[e]}"
+                )
                 if os.path.isdir(sub):
                     chosen.append(sub)
             else:
@@ -3125,6 +3310,52 @@ class SnapshotTable:
                 for p_ in parts[1:]:
                     part = part.unionByName(p_)
         return part.filter(F.col(col) == F.lit(value))
+
+    def read_pruned_transform(
+        self, entry: str, tvalue, version: int | None = None
+    ) -> tuple[DataFrame, dict]:
+        """Hidden-partitioning pruned read: every row whose TRANSFORM
+        value equals ``tvalue`` (e.g. entry='days(ts)',
+        tvalue='2024-01-03' reads one day). Dirs whose spec leads with
+        the entry contribute only the matching hive subdir — a missing
+        subdir prunes the whole dir from the listing; dirs written under
+        other specs are read whole behind the residual filter. The
+        residual transform predicate applies to EVERY row, so the result
+        is exactly read().filter(transform(col) == tvalue) regardless of
+        layout. Returns (df, audit) — the audit pins dirs_pruned /
+        subdirs_selected / dirs_full_scan so a registered story can
+        hash-check that pruning actually happened."""
+        entry = canonical_transform(entry)
+        cur = version if version is not None else self.current_version()
+        meta = self._read_meta(cur)
+        if meta.get("delete_dirs"):
+            raise ValueError(
+                f"table {self.name}: pruned transform reads over MOR "
+                "delete files are unsupported — compact first"
+            )
+        chosen: list[str] = []
+        audit = {"dirs_pruned": 0, "subdirs_selected": 0, "dirs_full_scan": 0}
+        for d, spec in zip(meta["dirs"], self._dir_specs(meta)):
+            if spec and spec[0] == entry:
+                sub = os.path.join(d, f"_p_{transform_slug(entry)}={tvalue}")
+                if os.path.isdir(sub):
+                    chosen.append(sub)
+                    audit["subdirs_selected"] += 1
+                else:
+                    audit["dirs_pruned"] += 1
+            else:
+                chosen.append(d)
+                audit["dirs_full_scan"] += 1
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        src = transform_source(entry)
+        residual = (
+            transform_expr_on(F.col(src), schema[src].dataType, entry)
+            == F.lit(tvalue)
+        )
+        if not chosen:
+            return self.read(version).filter(residual).limit(0), audit
+        df = self._read_dirs(chosen, schema_json=meta["schema"])
+        return df.filter(residual), audit
 
     def changes(
         self,

@@ -3987,3 +3987,146 @@ def test_changes_replay_reconstructs_every_state(spark):
         actual = {(r.k, r.v) for r in t.read(version=v).collect()}
         assert replayed == actual, (v, replayed ^ actual)
     t.drop()
+
+
+# ------------------------------------------------- hidden partitioning (r14)
+
+
+def test_parse_transform_and_canonical_forms():
+    from empdia_iceberg_spark.tables.manager import (
+        canonical_transform,
+        parse_transform,
+        transform_slug,
+    )
+
+    assert parse_transform("c_mktsegment") == ("identity", None, "c_mktsegment")
+    assert parse_transform("days(ts)") == ("days", None, "ts")
+    assert parse_transform("BUCKET( 16 , id )") == ("bucket", 16, "id")
+    assert canonical_transform("bucket( 16 ,id)") == "bucket(16, id)"
+    assert canonical_transform("Days( ts )") == "days(ts)"
+    assert transform_slug("days(ts)") == "days__ts"
+    assert transform_slug("truncate(4, s)") == "truncate4__s"
+    assert transform_slug("plain") == "plain"
+    with pytest.raises(ValueError):
+        parse_transform("bucket(id)")  # width required
+    with pytest.raises(ValueError):
+        parse_transform("days(3, ts)")  # no width allowed
+    with pytest.raises(ValueError):
+        parse_transform("bucket(0, id)")  # positive width
+    with pytest.raises(ValueError):
+        parse_transform("not a column")
+
+
+def test_truncate_transform_semantics(spark):
+    """Iceberg truncate: strings keep the leading W chars; integers
+    floor to a multiple of W (negatives floor DOWN, pmod semantics)."""
+    from empdia_iceberg_spark.tables.manager import transform_expr_on
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [("abcdef", 17), ("ab", -3)], "s string, k int"
+    )
+    rows = df.select(
+        transform_expr_on(F.col("s"), T.StringType(), "truncate(3, s)").alias("ts"),
+        transform_expr_on(F.col("k"), T.IntegerType(), "truncate(10, k)").alias("tk"),
+    ).collect()
+    assert [(r.ts, r.tk) for r in rows] == [("abc", 10), ("ab", -10)]
+    with pytest.raises(ValueError):
+        transform_expr_on(F.col("s"), T.DoubleType(), "truncate(3, s)")
+    with pytest.raises(ValueError):
+        transform_expr_on(F.col("s"), T.StringType(), "days(s)")
+
+
+def test_hidden_partitioning_write_prune_and_guards(spark):
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    ev = __import__(
+        "empdia_iceberg_spark.sources.tables", fromlist=["load"]
+    ).load(spark, SF_DIR, "events").select("event_id", "ts", "user_id", "value")
+    t = SnapshotTable(spark, "t_hidden_unit", scratch_root())
+    t.drop()
+    t.create(ev.filter(F.dayofmonth("ts") <= 10), partition_by=["days(ts)"])
+    t.append(ev.filter(F.dayofmonth("ts") > 10))
+    # pruned one-day read equals the full-scan filter
+    pruned, audit = t.read_pruned_transform("days(ts)", "2024-01-02")
+    expect = ev.filter(F.to_date("ts") == "2024-01-02").count()
+    assert pruned.count() == expect > 0
+    assert audit["dirs_pruned"] == 1 and audit["subdirs_selected"] == 1
+    # source-column guards: dropping/renaming days(ts)'s source refuses
+    with pytest.raises(ValueError, match="partition field"):
+        t.drop_column("ts")
+    with pytest.raises(ValueError, match="partition field"):
+        t.rename_column("ts", "event_time")
+    # unknown source / bad type fail at create-time validation
+    with pytest.raises(ValueError, match="not in schema"):
+        t.evolve_partitioning(["days(nope)"])
+    with pytest.raises(ValueError, match="timestamp/date"):
+        t.evolve_partitioning(["days(user_id)"])
+    t.drop()
+
+
+def test_partition_transform_spec_evolution_coexists(spark):
+    """Old identity layout + new transform layout coexist in one table
+    (dir_specs records each dir's spec); transform-pruned reads full-scan
+    the pre-evolution dirs behind the residual filter."""
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    ev = __import__(
+        "empdia_iceberg_spark.sources.tables", fromlist=["load"]
+    ).load(spark, SF_DIR, "events").select("event_id", "ts", "user_id", "value")
+    t = SnapshotTable(spark, "t_hidden_evo_unit", scratch_root())
+    t.drop()
+    t.create(ev.filter(F.dayofmonth("ts") <= 10))  # unpartitioned era
+    t.evolve_partitioning(["days(ts)"])
+    t.append(ev.filter(F.dayofmonth("ts") > 10))  # days-transform era
+    assert t.current_spec() == ["days(ts)"]
+    pruned, audit = t.read_pruned_transform("days(ts)", "2024-01-20")
+    expect = ev.filter(F.to_date("ts") == "2024-01-20").count()
+    assert pruned.count() == expect > 0
+    # the unpartitioned dir full-scans; the transform dir prunes to one day
+    assert audit["dirs_full_scan"] == 1 and audit["subdirs_selected"] == 1
+    t.drop()
+
+
+def test_partitioned_by_transform_sql_round_trip(spark):
+    """PARTITIONED BY (days(ts), bucket(4, user_id)) parses through the
+    statement front-end, SHOW CREATE re-emits the canonical spelling, and
+    ADD/DROP PARTITION FIELD accept transform entries."""
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    __import__(
+        "empdia_iceberg_spark.sources.tables", fromlist=["load"]
+    ).load(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    ).createOrReplaceTempView("ev_rt_src")
+    execute_sql(spark, "DROP TABLE IF EXISTS ev_rt", root=scratch_root())
+    execute_sql(
+        spark,
+        "CREATE TABLE ev_rt PARTITIONED BY (days(ts), bucket( 4 ,user_id)) "
+        "AS SELECT * FROM ev_rt_src",
+        root=scratch_root(),
+    )
+    t = SnapshotTable(spark, "ev_rt", scratch_root())
+    assert t.current_spec() == ["days(ts)", "bucket(4, user_id)"]
+    stmt = execute_sql(
+        spark, "SHOW CREATE TABLE ev_rt", root=scratch_root()
+    ).collect()[0][0]
+    assert "PARTITIONED BY (days(ts), bucket(4, user_id))" in stmt
+    execute_sql(
+        spark,
+        "ALTER TABLE ev_rt DROP PARTITION FIELD bucket(4, user_id)",
+        root=scratch_root(),
+    )
+    execute_sql(
+        spark,
+        "ALTER TABLE ev_rt ADD PARTITION FIELD truncate(2, event_id)",
+        root=scratch_root(),
+    )
+    assert t.current_spec() == ["days(ts)", "truncate(2, event_id)"]
+    with pytest.raises(ValueError, match="already a partition field"):
+        execute_sql(
+            spark, "ALTER TABLE ev_rt ADD PARTITION FIELD days( ts )",
+            root=scratch_root(),
+        )
+    t.drop()
