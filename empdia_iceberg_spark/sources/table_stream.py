@@ -66,15 +66,68 @@ _METADATA_OPS = ("add-column", "drop-column", "rename-column",
                  "evolve-partitioning", "set-properties",
                  "unset-properties", "add-constraint", "drop-constraint",
                  "analyze", "set-not-null", "drop-not-null")
+# synthesized tag columns of CDC mode (Delta CDF's spelling)
+_CDC_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
 
 
 class _TailFilePartition(InputPartition):
     """One new parquet file + the (logical, physical, arrow-type) plan
-    needed to project it into the committed schema on the executor."""
+    needed to project it into the committed schema on the executor.
+    In CDC mode (`read_changes`) the partition also carries its commit's
+    tag triple — append commits stay per-file parallel, each file just
+    emits three extra constant columns."""
 
-    def __init__(self, path: str, fields: list[tuple[str, str]], schema_ddl: str):
+    def __init__(
+        self,
+        path: str,
+        fields: list[tuple[str, str]],
+        schema_ddl: str,
+        cdc_tag: tuple | None = None,  # (ctype, version, ts) in CDC mode
+    ):
         self.path = path
         self.fields = fields  # [(logical, physical)]
+        self.schema_ddl = schema_ddl
+        self.cdc_tag = cdc_tag
+
+
+class _ChangeCommitPartition(InputPartition):
+    """One CHANGE commit's whole CDC delta (CDC mode only): the executor
+    replays exactly the file-pruned per-commit logic of
+    `SnapshotTable.changes()` (manager.py) in Arrow/pandas — CoW commits
+    multiset-diff ONLY the swapped file sets, MOR delete commits
+    semi-join only the dirs the delete keys apply to. Commit-grained by
+    design: without write-time change files (Delta CDF's `_change_data`)
+    a CoW delta is a diff, and a diff needs both sides — change commits
+    are trickle-sized next to appends, which keep per-file partitions.
+
+    All payloads are plain lists/strings resolved on the driver from
+    snapshot metadata; the executor only reads parquet. A "group" is
+    {"files": [...], "deletes": [(key_col, [key_files])]} — one per
+    distinct applicable-delete set, mirroring _read_dirs_mor."""
+
+    def __init__(
+        self,
+        version: int,
+        ts: float | None,
+        cow: bool,                      # CoW swap vs plain-append ins side
+        removed_groups: list,
+        added_groups: list,
+        plain_added_files: list,        # ins side when not cow
+        mor_hits: list,                 # [{"groups": [...], "key": col,
+                                        #   "key_files": [...]}]
+        key_fold: str | None,
+        fields: list,
+        schema_ddl: str,
+    ):
+        self.version = version
+        self.ts = ts
+        self.cow = cow
+        self.removed_groups = removed_groups
+        self.added_groups = added_groups
+        self.plain_added_files = plain_added_files
+        self.mor_hits = mor_hits
+        self.key_fold = key_fold
+        self.fields = fields
         self.schema_ddl = schema_ddl
 
 
@@ -126,6 +179,21 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         self.skip_change = (
             str(options.get("skip_change_commits", "false")).lower() == "true"
         )
+        # CDC mode (VERDICT r13 ask #4 — the streaming twin of
+        # SnapshotTable.changes()): emit _change_type/_commit_version/
+        # _commit_timestamp rows per new version instead of the
+        # raise-or-skip dilemma on change commits
+        self.read_changes = (
+            str(options.get("read_changes", "false")).lower() == "true"
+        )
+        if self.read_changes and self.skip_change:
+            raise ValueError(
+                "read_changes and skip_change_commits are mutually "
+                "exclusive (CDC mode REPRESENTS change commits)"
+            )
+        self.cdc_key = options.get("cdc_key")  # fold pairs like changes(key=)
+        if self.cdc_key is not None and not self.read_changes:
+            raise ValueError("cdc_key requires read_changes=true")
         self.starting_version = int(options.get("starting_version", 0))
         st_ts = options.get(
             "starting_timestamp", options.get("startingtimestamp")
@@ -272,6 +340,22 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         cur_v, cur_f = self._pos
         f_budget = self.max_files or float("inf")
         b_budget = self.max_bytes or float("inf")
+        if self.read_changes:
+            # CDC admission control is COMMIT-granular: a change commit
+            # is one atomic unit (its delta is a per-commit diff, not a
+            # file list), an append commit counts its new files. At
+            # least one version always ships (progress guarantee).
+            taken_v = int(cur_v)
+            for v in range(max(int(cur_v) + 1, 1), (vs[-1] if vs else 0) + 1):
+                files = self._new_files(v, raise_on_change=False)
+                units = 1 if files is None else max(len(files), 0)
+                size = 0 if files is None else sum(s for _f, s in files)
+                if taken_v > cur_v and (f_budget < units or b_budget < size):
+                    return {"version": taken_v, "file": None}
+                f_budget -= units
+                b_budget -= size
+                taken_v = v
+            return head
         taken = 0
         for v in range(max(cur_v, 1), (vs[-1] if vs else 0) + 1):
             files = self._new_files(v, raise_on_change=False)
@@ -297,6 +381,118 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         self._learn(end)
 
     # ------------------------------------------------- partition planning
+    def _files_under(self, d: str) -> list[str]:
+        """Deterministic sorted parquet listing of one data dir (same
+        traversal contract as _new_files — offsets and re-plans must
+        reproduce it exactly)."""
+        out = []
+        for root_, _dirs, fnames in os.walk(d):
+            _dirs.sort()
+            for fn in sorted(fnames):
+                if fn.endswith(".parquet"):
+                    out.append(os.path.join(root_, fn))
+        return out
+
+    def _mor_groups(self, meta: dict, dirs: list[str]) -> list[dict]:
+        """Dirs grouped by their applicable equality-delete set, resolved
+        to plain file lists — the picklable twin of _read_dirs_mor's
+        grouping (per-dir `applies_to`, the sequence-number rule)."""
+        deletes = meta.get("delete_dirs", []) if meta else []
+        groups: dict[tuple, dict] = {}
+        for d in dirs:
+            applicable = tuple(
+                i
+                for i, dd in enumerate(deletes)
+                if d in dd.get("applies_to", meta["dirs"])
+            )
+            g = groups.setdefault(applicable, {"files": [], "deletes": []})
+            g["files"].extend(self._files_under(d))
+        for applicable, g in groups.items():
+            g["deletes"] = [
+                (deletes[i]["key"], self._files_under(deletes[i]["dir"]))
+                for i in applicable
+            ]
+        return [g for g in groups.values() if g["files"]]
+
+    def _cdc_partitions(self, s_v: int, e_v: int, fields: list) -> list:
+        """CDC-mode plan for versions (s_v, e_v]: per-FILE insert
+        partitions for pure appends (the dominant shape — stays as
+        parallel as the plain tail), ONE _ChangeCommitPartition per
+        change commit (see that class's docstring). Mirrors the
+        per-commit branches of SnapshotTable.changes() exactly — the
+        registered story hash-checks the two against each other."""
+        parts: list = []
+        for v in range(max(s_v + 1, 1), e_v + 1):
+            meta = self._meta(v)
+            op = meta.get("op", "")
+            ts = meta.get("ts")
+            parent_meta = self._meta(v - 1) if v > 1 else None
+            if parent_meta and self._t._schema_defaults(parent_meta["schema"]):
+                raise ValueError(
+                    "snapshot_tail read_changes: initial-DEFAULT columns "
+                    "are not supported in the CDC tail (the batch "
+                    "changes() read covers them)"
+                )
+            p_dirs = parent_meta["dirs"] if parent_meta else []
+            p_set, m_set = set(p_dirs), set(meta["dirs"])
+            added = [d for d in meta["dirs"] if d not in p_set]
+            removed = [d for d in p_dirs if d not in m_set]
+            p_ndel = (
+                len(parent_meta.get("delete_dirs", [])) if parent_meta else 0
+            )
+            new_deletes = meta.get("delete_dirs", [])[p_ndel:]
+            if not added and not removed and not new_deletes:
+                continue  # metadata-only commit
+            op_is_change = not (op in _APPEND_OPS or op.startswith("append@"))
+            if added and not removed and not op_is_change and not new_deletes:
+                for d in added:
+                    for fp in self._files_under(d):
+                        parts.append(
+                            _TailFilePartition(
+                                fp, fields, self.schema_ddl,
+                                cdc_tag=("insert", v, ts),
+                            )
+                        )
+                continue
+            cow = bool(removed or (added and op_is_change))
+            mor_hits = []
+            for dd in new_deletes:
+                applies = [
+                    d for d in dd.get("applies_to", p_dirs) if d in p_set
+                ]
+                if not applies:
+                    continue
+                mor_hits.append(
+                    {
+                        "groups": self._mor_groups(parent_meta, applies),
+                        "key": dd["key"],
+                        "key_files": self._files_under(dd["dir"]),
+                    }
+                )
+            parts.append(
+                _ChangeCommitPartition(
+                    version=v,
+                    ts=ts,
+                    cow=cow,
+                    removed_groups=(
+                        self._mor_groups(parent_meta, removed) if removed else []
+                    ),
+                    added_groups=(
+                        self._mor_groups(meta, added) if (added and cow) else []
+                    ),
+                    plain_added_files=(
+                        [f for d in added for f in self._files_under(d)]
+                        if (added and not cow)
+                        else []
+                    ),
+                    mor_hits=mor_hits,
+                    key_fold=self.cdc_key,
+                    fields=fields,
+                    schema_ddl=self.schema_ddl,
+                )
+            )
+        return parts
+
     def partitions(self, start: dict, end: dict) -> list[_TailFilePartition]:
         (s_v, s_f), (e_v, e_f) = self._off(start), self._off(end)
         # learn from START only: end isn't done yet, and an in-process
@@ -312,7 +508,10 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         fields = [
             (f.name, (f.metadata or {}).get("physical", f.name))
             for f in stored.fields
+            if f.name not in _CDC_COLS  # CDC tag columns are synthesized
         ]
+        if self.read_changes:
+            return self._cdc_partitions(s_v, e_v, fields)
         parts: list[_TailFilePartition] = []
         for v in range(max(s_v, 1), e_v + 1):
             files = self._new_files(v, raise_on_change=True)
@@ -331,31 +530,173 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         return parts
 
     # ------------------------------------------------- executor-side read
-    def read(self, partition: _TailFilePartition):
+    def read(self, partition):
+        if isinstance(partition, _ChangeCommitPartition):
+            yield from _read_change_commit(partition)
+            return
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType
-
-        target = to_arrow_schema(StructType.fromJson(json.loads(partition.schema_ddl)))
-        tbl = pq.read_table(partition.path)
-        have = set(tbl.schema.names)
-        arrays = []
-        for i, (logical, physical) in enumerate(partition.fields):
-            want_t = target.field(i).type
-            if physical in have:
-                col = tbl.column(physical)
-                if col.type != want_t:
-                    import pyarrow.compute as pc
-
-                    col = pc.cast(col, want_t)
-                arrays.append(col.combine_chunks())
-            else:
-                # file written before an ADD COLUMN: typed NULLs
-                arrays.append(pa.nulls(len(tbl), type=want_t))
-        out = pa.table(arrays, schema=target)
+        target, out = _project_file(
+            partition.path, partition.fields, partition.schema_ddl
+        )
+        if partition.cdc_tag is not None:
+            out = _tag_cdc(out, target, partition.cdc_tag)
         yield from out.to_batches()
+
+
+# --------------------------------------------- executor-side read helpers
+# Module-level (picklable by reference) — they run inside the Python
+# Data Source worker with no SparkSession: pure pyarrow/pandas.
+
+
+def _arrow_target(schema_ddl: str):
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    return to_arrow_schema(StructType.fromJson(json.loads(schema_ddl)))
+
+
+def _project_table(tbl, fields, target):
+    """Project one parquet file's arrow table into the leading
+    len(fields) target columns by PHYSICAL name (typed NULLs for columns
+    added after the file was written, cast on type promotion)."""
+    import pyarrow as pa
+
+    have = set(tbl.schema.names)
+    arrays = []
+    for i, (_logical, physical) in enumerate(fields):
+        want_t = target.field(i).type
+        if physical in have:
+            col = tbl.column(physical)
+            if col.type != want_t:
+                import pyarrow.compute as pc
+
+                col = pc.cast(col, want_t)
+            arrays.append(col.combine_chunks())
+        else:
+            arrays.append(pa.nulls(len(tbl), type=want_t))
+    return pa.table(
+        arrays, schema=pa.schema([target.field(i) for i in range(len(fields))])
+    )
+
+
+def _project_file(path: str, fields, schema_ddl: str):
+    import pyarrow.parquet as pq
+
+    target = _arrow_target(schema_ddl)
+    return target, _project_table(pq.read_table(path), fields, target)
+
+
+def _tag_cdc(tbl, target, tag):
+    """Append the three constant CDC columns to a projected table."""
+    import pyarrow as pa
+
+    ctype, v, ts = tag
+    n = len(tbl)
+    arrays = [tbl.column(i).combine_chunks() for i in range(tbl.num_columns)]
+    arrays.append(pa.array([ctype] * n, type=target.field("_change_type").type))
+    arrays.append(pa.array([v] * n, type=target.field("_commit_version").type))
+    t_ts = target.field("_commit_timestamp").type
+    arrays.append(
+        pa.nulls(n, t_ts)
+        if ts is None
+        else pa.array([int(ts * 1_000_000)] * n, pa.int64()).cast(t_ts)
+    )
+    return pa.table(arrays, schema=target)
+
+
+def _except_all(a, b):
+    """Multiset EXCEPT ALL on pandas frames (SQL set-op NULL semantics:
+    NULLs compare equal) — the executor twin of changes()'s exceptAll.
+    Each row of ``a`` survives unless a not-yet-consumed duplicate
+    exists in ``b`` (cumcount pairing)."""
+    if len(b) == 0 or len(a) == 0:
+        return a
+    cols = list(a.columns)
+    a2 = a.copy()
+    a2["__n"] = a2.groupby(cols, dropna=False).cumcount()
+    b2 = b.copy()
+    b2["__n"] = b2.groupby(cols, dropna=False).cumcount()
+    m = a2.merge(b2[cols + ["__n"]], on=cols + ["__n"], how="left", indicator=True)
+    return m[m["_merge"] == "left_only"][cols]
+
+
+def _read_change_commit(p: _ChangeCommitPartition):
+    """Materialize one change commit's CDC delta — the executor replay
+    of SnapshotTable.changes()'s per-commit branches (CoW multiset diff
+    of exactly the swapped file sets; MOR hits = parent-state rows in
+    the applies-to dirs matching the new delete keys; optional key
+    folding into Delta CDF's update_preimage/update_postimage)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = _arrow_target(p.schema_ddl)
+    tbl_schema = pa.schema([target.field(i) for i in range(len(p.fields))])
+    cols = [f[0] for f in p.fields]
+
+    def read_files(files):
+        if not files:
+            return tbl_schema.empty_table().to_pandas(
+                types_mapper=pd.ArrowDtype
+            )
+        tables = [
+            _project_table(pq.read_table(f), p.fields, target) for f in files
+        ]
+        return pa.concat_tables(tables).to_pandas(types_mapper=pd.ArrowDtype)
+
+    def read_keys(files, key_col):
+        ts_ = pa.concat_tables([pq.read_table(f) for f in files])
+        return ts_.column(key_col).to_pandas()
+
+    def read_groups(groups):
+        frames = []
+        for g in groups:
+            df = read_files(g["files"])
+            for key_col, key_files in g["deletes"]:
+                if key_files and len(df):
+                    df = df[~df[key_col].isin(read_keys(key_files, key_col))]
+            frames.append(df)
+        return (
+            pd.concat(frames, ignore_index=True) if frames else read_files([])
+        )
+
+    ins = dele = None
+    if p.cow:
+        old = read_groups(p.removed_groups)
+        new = read_groups(p.added_groups)
+        ins, dele = _except_all(new, old), _except_all(old, new)
+    elif p.plain_added_files:
+        ins = read_files(p.plain_added_files)
+    for hit in p.mor_hits:
+        hdf = read_groups(hit["groups"])
+        if len(hdf):
+            hdf = hdf[hdf[hit["key"]].isin(read_keys(hit["key_files"], hit["key"]))]
+        dele = (
+            hdf
+            if dele is None
+            else pd.concat([dele, hdf], ignore_index=True)
+        )
+    out_parts = []
+    if p.key_fold is not None and ins is not None and dele is not None:
+        k = p.key_fold
+        upd = set(ins[k].dropna()) & set(dele[k].dropna())
+        out_parts.append((ins[ins[k].isin(upd)], "update_postimage"))
+        out_parts.append((dele[dele[k].isin(upd)], "update_preimage"))
+        out_parts.append((ins[~ins[k].isin(upd)], "insert"))
+        out_parts.append((dele[~dele[k].isin(upd)], "delete"))
+    else:
+        if ins is not None:
+            out_parts.append((ins, "insert"))
+        if dele is not None:
+            out_parts.append((dele, "delete"))
+    for df, ctype in out_parts:
+        if df is None or not len(df):
+            continue
+        t = pa.Table.from_pandas(
+            df[cols], schema=tbl_schema, preserve_index=False
+        )
+        yield from _tag_cdc(t, target, (ctype, p.version, p.ts)).to_batches()
 
 
 class SnapshotTailDataSource(DataSource):
@@ -384,12 +725,18 @@ class SnapshotTailDataSource(DataSource):
         # forced-nullable LOGICAL schema (matches SnapshotTable reads);
         # field metadata is KEPT — the physical map in it drives the
         # executor-side file projection
-        self._schema_struct = T.StructType(
-            [
-                T.StructField(f.name, f.dataType, True, f.metadata)
-                for f in stored.fields
+        fields = [
+            T.StructField(f.name, f.dataType, True, f.metadata)
+            for f in stored.fields
+        ]
+        if str(self.options.get("read_changes", "false")).lower() == "true":
+            # CDC mode appends the Delta-CDF tag columns
+            fields += [
+                T.StructField("_change_type", T.StringType(), True),
+                T.StructField("_commit_version", T.IntegerType(), True),
+                T.StructField("_commit_timestamp", T.TimestampType(), True),
             ]
-        )
+        self._schema_struct = T.StructType(fields)
         return self._schema_struct
 
     def streamReader(self, schema) -> DataSourceStreamReader:
@@ -478,6 +825,139 @@ def stream_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink files
         return out
+    finally:
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+@register(
+    "stream_cdc_tail",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+    ),
+    changed AS (
+        SELECT 1 AS _commit_version, 'insert' AS _change_type, o_totalprice
+        FROM base WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 2, 'insert', o_totalprice FROM base WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 3, 'update_preimage', o_totalprice
+        FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 3, 'update_postimage', o_totalprice * 2
+        FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 4, 'delete',
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END
+        FROM base WHERE o_orderkey % 5 = 0
+    )
+    SELECT _commit_version, _change_type,
+           count(*) AS n_rows,
+           round({sql_sum2("o_totalprice")}, 2) AS sum_price,
+           CAST(1 AS INT) AS cdc_equals_batch
+    FROM changed
+    GROUP BY _commit_version, _change_type
+    ORDER BY _commit_version, _change_type
+    """,
+    doc="CDC-MODE streaming tail (VERDICT r13 ask #4 — the streaming "
+    "twin of SnapshotTable.changes(), Delta readChangeFeed's model): "
+    "`.option('read_changes', 'true')` on snapshot_tail emits "
+    "_change_type/_commit_version/_commit_timestamp rows per new "
+    "version instead of the raise-or-skip dilemma on change commits. "
+    "Offsets stay snapshot versions; partitions come from the same "
+    "file-pruned per-commit logic — append commits stay per-FILE "
+    "parallel insert partitions, a CoW commit ships as one partition "
+    "that multiset-diffs exactly the swapped file sets executor-side, "
+    "a MOR delete semi-joins only its applies-to dirs against the "
+    "delete keys, and `cdc_key` folds delete+insert pairs into "
+    "update_preimage/update_postimage (Delta CDF). The story drains a "
+    "create -> append -> CoW MERGE -> MOR DELETE lineage through one "
+    "checkpoint across a restart boundary (drain, commit changes, "
+    "drain again) and pins cdc_equals_batch=1 by comparing the "
+    "streamed aggregate against batch changes() row-for-row.",
+)
+def stream_cdc_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from empdia_iceberg_spark.streaming.windows import work_root
+
+    spark.dataSource.register(SnapshotTailDataSource)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    t = SnapshotTable(spark, "orders_cdctail", scratch_root())
+    t.drop()
+    t.create(orders.filter(F.col("o_orderstatus") == "O"))
+    t.append(orders.filter(F.col("o_orderstatus") == "F"))
+    run = uuid.uuid4().hex[:8]
+    ckpt = os.path.join(work_root(), f"cdctail_ckpt_{run}")
+    sink = os.path.join(work_root(), f"cdctail_sink_{run}")
+    name = "t_cdc_tail_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("table", "orders_cdctail")
+            .option("root", scratch_root())
+            .option("read_changes", "true")
+            .option("cdc_key", "o_orderkey")
+            .load()
+            .writeStream.queryName(name)
+            .outputMode("append")
+            .foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("_commit_version", "_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(exact_sum2("o_totalprice"), 2).alias("sum_price"),
+            )
+            .orderBy("_commit_version", "_change_type")
+        )
+
+    try:
+        drain()  # v1+v2: per-file insert partitions
+        src = (
+            t.read()
+            .filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        t.merge(src, key="o_orderkey")  # v3: CoW update pairs
+        t.delete_where_mor(F.col("o_orderkey") % 5 == 0, key="o_orderkey")  # v4
+        drain()  # restart: resumes at v2's offset, emits v3+v4 only
+        streamed = rollup(spark.read.parquet(sink)).collect()
+        batch = rollup(t.changes(1, key="o_orderkey")).collect()
+        equal = int(
+            [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+            and len(streamed) > 0
+        )
+        out = spark.createDataFrame(
+            streamed,
+            "_commit_version int, _change_type string, n_rows bigint, "
+            "sum_price double",
+        ).withColumn("cdc_equals_batch", F.lit(equal).cast("int"))
+        return out.orderBy("_commit_version", "_change_type")
     finally:
         for q in spark.streams.active:
             if q.name == name:

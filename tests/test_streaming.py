@@ -619,3 +619,90 @@ def test_snapshot_tail_starting_timestamp(spark):
              "startingtimestamp": "0"}, schema_json
         )
     t.drop()
+
+
+# ------------------------------------------------------ CDC tail (r14)
+
+
+def test_cdc_tail_option_validation(spark):
+    from empdia_iceberg_spark.sources.table_stream import (
+        SnapshotTailStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SnapshotTailStreamReader(
+            {"table": "x", "read_changes": "true",
+             "skip_change_commits": "true"},
+            "{}",
+        )
+    with pytest.raises(ValueError, match="requires read_changes"):
+        SnapshotTailStreamReader({"table": "x", "cdc_key": "k"}, "{}")
+
+
+def test_cdc_tail_metadata_commits_and_schema(spark):
+    """Metadata-only commits plan zero CDC partitions; the CDC schema
+    appends the three Delta-CDF tag columns; append commits stay
+    per-FILE partitions (the parallel fast path)."""
+    from empdia_iceberg_spark.sources.table_stream import (
+        SnapshotTailDataSource,
+        SnapshotTailStreamReader,
+        _ChangeCommitPartition,
+        _TailFilePartition,
+    )
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    t = SnapshotTable(spark, "t_cdc_plan_unit", scratch_root())
+    t.drop()
+    t.create(nat.filter(F.col("n_nationkey") < 10))       # v1 append-shaped
+    t.set_properties({"owner": "x"})                       # v2 metadata-only
+    t.append(nat.filter(F.col("n_nationkey") >= 10))       # v3 append-shaped
+    t.delete_where_mor(F.col("n_nationkey") == 3, key="n_nationkey")  # v4 MOR
+    ds = SnapshotTailDataSource(
+        {"table": "t_cdc_plan_unit", "root": scratch_root(),
+         "read_changes": "true"}
+    )
+    struct = ds.schema()
+    assert [f.name for f in struct.fields][-3:] == [
+        "_change_type", "_commit_version", "_commit_timestamp",
+    ]
+    reader = SnapshotTailStreamReader(ds.options, struct.json())
+    parts = reader.partitions(
+        {"version": 0, "file": None}, {"version": 4, "file": None}
+    )
+    per_file = [p for p in parts if isinstance(p, _TailFilePartition)]
+    per_commit = [p for p in parts if isinstance(p, _ChangeCommitPartition)]
+    assert all(p.cdc_tag[0] == "insert" for p in per_file)
+    assert {p.cdc_tag[1] for p in per_file} == {1, 3}  # v2 contributed nothing
+    assert [p.version for p in per_commit] == [4]
+    assert per_commit[0].mor_hits and not per_commit[0].cow
+    t.drop()
+
+
+def test_cdc_tail_admission_control_is_commit_granular(spark):
+    """In CDC mode max_files_per_trigger bounds at commit granularity:
+    after the position is learned, each latestOffset ends a batch before
+    the version that would blow the budget (>=1 version always ships)."""
+    from empdia_iceberg_spark.sources.table_stream import (
+        SnapshotTailStreamReader,
+    )
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet").coalesce(1)
+    t = SnapshotTable(spark, "t_cdc_admit_unit", scratch_root())
+    t.drop()
+    t.create(nat.filter(F.col("n_nationkey") < 5))
+    t.append(nat.filter((F.col("n_nationkey") >= 5) & (F.col("n_nationkey") < 10)))
+    t.append(nat.filter(F.col("n_nationkey") >= 10))
+    reader = SnapshotTailStreamReader(
+        {"table": "t_cdc_admit_unit", "root": scratch_root(),
+         "read_changes": "true", "max_files_per_trigger": "1"},
+        t._read_meta(t.current_version())["schema"],
+    )
+    reader.commit({"version": 0, "file": None})  # learn the position
+    assert reader.latestOffset() == {"version": 1, "file": None}
+    reader.commit({"version": 1, "file": None})
+    assert reader.latestOffset() == {"version": 2, "file": None}
+    reader.commit({"version": 3, "file": None})
+    assert reader.latestOffset() == {"version": 3, "file": None}
+    t.drop()
