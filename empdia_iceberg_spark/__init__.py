@@ -92,6 +92,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # story, ...) are inserted at the VERY FRONT as they land, displacing the
 # bottom of the r7 block below the marker (same-round-driver-row rule).
 _SWEEP_PRIORITY = [
+    "table_position_delete_dml",  # NEW r14: Iceberg v2 position deletes (ask #6)
     "stream_cdc_tail",  # NEW r14: CDC-mode streaming tail (read_changes; ask #4)
     "table_partition_transforms_sql",  # NEW r14: hidden partitioning (days/bucket transforms; ask #3)
     "stream_conversation_state",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)

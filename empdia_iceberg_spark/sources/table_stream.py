@@ -409,7 +409,11 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
             g["files"].extend(self._files_under(d))
         for applicable, g in groups.items():
             g["deletes"] = [
-                (deletes[i]["key"], self._files_under(deletes[i]["dir"]))
+                (
+                    deletes[i].get("kind", "equality"),
+                    deletes[i].get("key"),
+                    self._files_under(deletes[i]["dir"]),
+                )
                 for i in applicable
             ]
         return [g for g in groups.values() if g["files"]]
@@ -465,7 +469,8 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                 mor_hits.append(
                     {
                         "groups": self._mor_groups(parent_meta, applies),
-                        "key": dd["key"],
+                        "kind": dd.get("kind", "equality"),
+                        "key": dd.get("key"),
                         "key_files": self._files_under(dd["dir"]),
                     }
                 )
@@ -634,31 +639,68 @@ def _read_change_commit(p: _ChangeCommitPartition):
     target = _arrow_target(p.schema_ddl)
     tbl_schema = pa.schema([target.field(i) for i in range(len(p.fields))])
     cols = [f[0] for f in p.fields]
+    LIN = ["__pf", "__pi"]  # row lineage: Spark's _metadata coordinates
 
-    def read_files(files):
+    def read_files(files, lineage=False):
         if not files:
-            return tbl_schema.empty_table().to_pandas(
+            df = tbl_schema.empty_table().to_pandas(
                 types_mapper=pd.ArrowDtype
             )
-        tables = [
-            _project_table(pq.read_table(f), p.fields, target) for f in files
-        ]
-        return pa.concat_tables(tables).to_pandas(types_mapper=pd.ArrowDtype)
+            if lineage:
+                df["__pf"], df["__pi"] = [], []
+            return df
+        frames = []
+        for f in files:
+            df = _project_table(pq.read_table(f), p.fields, target).to_pandas(
+                types_mapper=pd.ArrowDtype
+            )
+            if lineage:
+                # sequential read order == Spark's _metadata.row_index;
+                # _metadata.file_path spells local paths as file:<abs>
+                df["__pf"] = "file:" + f
+                df["__pi"] = range(len(df))
+            frames.append(df)
+        return pd.concat(frames, ignore_index=True)
 
     def read_keys(files, key_col):
         ts_ = pa.concat_tables([pq.read_table(f) for f in files])
         return ts_.column(key_col).to_pandas()
 
-    def read_groups(groups):
+    def read_pos_keys(files):
+        ts_ = pa.concat_tables([pq.read_table(f) for f in files])
+        k = ts_.to_pandas()
+        return k.rename(
+            columns={"file_path": "__pf", "row_index": "__pi"}
+        ).drop_duplicates()
+
+    def pos_filter(df, key_files, keep_matching):
+        m = df.merge(
+            read_pos_keys(key_files), on=LIN, how="left", indicator=True
+        )
+        want = "both" if keep_matching else "left_only"
+        return m[m["_merge"] == want].drop(columns=["_merge"])
+
+    def read_groups(groups, keep_lineage=False):
         frames = []
         for g in groups:
-            df = read_files(g["files"])
-            for key_col, key_files in g["deletes"]:
-                if key_files and len(df):
+            lineage = keep_lineage or any(
+                kind == "position" for kind, _k, _f in g["deletes"]
+            )
+            df = read_files(g["files"], lineage=lineage)
+            for kind, key_col, key_files in g["deletes"]:
+                if not key_files or not len(df):
+                    continue
+                if kind == "position":
+                    df = pos_filter(df, key_files, keep_matching=False)
+                else:
                     df = df[~df[key_col].isin(read_keys(key_files, key_col))]
+            if lineage and not keep_lineage:
+                df = df.drop(columns=LIN)
             frames.append(df)
         return (
-            pd.concat(frames, ignore_index=True) if frames else read_files([])
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else read_files([], lineage=keep_lineage)
         )
 
     ins = dele = None
@@ -669,9 +711,17 @@ def _read_change_commit(p: _ChangeCommitPartition):
     elif p.plain_added_files:
         ins = read_files(p.plain_added_files)
     for hit in p.mor_hits:
-        hdf = read_groups(hit["groups"])
+        pos = hit.get("kind", "equality") == "position"
+        hdf = read_groups(hit["groups"], keep_lineage=pos)
         if len(hdf):
-            hdf = hdf[hdf[hit["key"]].isin(read_keys(hit["key_files"], hit["key"]))]
+            if pos:
+                hdf = pos_filter(hdf, hit["key_files"], keep_matching=True)
+            else:
+                hdf = hdf[
+                    hdf[hit["key"]].isin(read_keys(hit["key_files"], hit["key"]))
+                ]
+        if pos:
+            hdf = hdf.drop(columns=LIN)
         dele = (
             hdf
             if dele is None

@@ -2577,6 +2577,79 @@ class SnapshotTable:
             f"table {self.name}: MOR delete gave up after {max_retries} retries"
         )
 
+    def delete_where_position(self, condition, max_retries: int = 3) -> int:
+        """Merge-on-read POSITION delete (Iceberg v2's second delete
+        form): commit a tiny file of (file_path, row_index) coordinates
+        for exactly the predicate rows. The cheap point-correction path:
+        a one-row fix on a huge table costs one scan to find the row
+        plus an O(1)-sized delete file — no CoW dir rewrite, and unlike
+        an equality delete no table-column key that every subsequent
+        read must semi-join (readers anti-join two lineage columns the
+        scan already produces for free from `_metadata`).
+
+        `applies_to` pins only the dirs that contain a referenced file,
+        so unrelated dirs never pay the anti-join; later appends are
+        naturally immune (their files are not referenced). compact()
+        folds position deletes away like equality deletes — reads flow
+        through _read_dirs_mor. Coordinates are found under the CURRENT
+        state (prior deletes applied), so stacked deletes compose."""
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(f"table {self.name}: cannot DELETE before create")
+            meta = self._read_meta(cur)
+            hits = (
+                self._read_dirs_mor(meta, meta["dirs"], with_lineage=True)
+                .filter(condition)
+                .select(
+                    F.col(self._POS_FILE).alias("file_path"),
+                    F.col(self._POS_IDX).alias("row_index"),
+                )
+            )
+            version = (self._versions()[-1] + 1) if self._versions() else 1
+            dd = os.path.join(
+                self.data_dir, f"p{version:05d}-{uuid.uuid4().hex[:8]}"
+            )
+            hits.write.mode("overwrite").parquet(dd)
+            # prune applies_to to the dirs holding a referenced file —
+            # bounded driver probe: one row per distinct FILE (metadata-
+            # sized; a position delete is point-shaped by design)
+            ref_files = [
+                r["f"]
+                for r in self.spark.read.parquet(dd)
+                .select(F.col("file_path").alias("f"))
+                .distinct()
+                .collect()
+            ]
+
+            def _holds(d: str) -> bool:
+                pre = "file:" + d.rstrip(os.sep) + os.sep
+                return any(
+                    f.startswith(pre) or f.startswith(d.rstrip(os.sep) + os.sep)
+                    for f in ref_files
+                )
+
+            applies = [d for d in meta["dirs"] if _holds(d)]
+            try:
+                return self._commit(
+                    "delete-mor-position",
+                    meta["dirs"],
+                    cur,
+                    meta["schema"],
+                    spec=meta.get("spec", []),
+                    dir_specs=self._dir_specs(meta),
+                    delete_dirs=meta.get("delete_dirs", [])
+                    + [{"dir": dd, "kind": "position", "applies_to": applies}],
+                    expect_parent=cur,
+                )
+            except CommitConflictError:
+                shutil.rmtree(dd, ignore_errors=True)
+                continue
+        raise CommitConflictError(
+            f"table {self.name}: position delete gave up after "
+            f"{max_retries} retries"
+        )
+
     def delete_where(self, condition) -> int:
         # SQL DELETE semantics: only predicate-TRUE rows go; NULL-
         # predicate rows survive (same contract as delete_where_pruned)
@@ -3058,7 +3131,11 @@ class SnapshotTable:
         return self._read_dirs_mor(meta, meta["dirs"], merge_schema)
 
     def _read_dirs_mor(
-        self, meta: dict, dirs: list[str], merge_schema: bool = False
+        self,
+        meta: dict,
+        dirs: list[str],
+        merge_schema: bool = False,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Read a subset of a snapshot's data dirs with that snapshot's
         merge-on-read equality deletes applied — the shared scan path for
@@ -3080,8 +3157,10 @@ class SnapshotTable:
                 c for c, (_e, _t, pre) in defaults.items() if _dir_within(d, pre)
             )
 
-        if not deletes and (
-            not defaults or not any(_defcols(d) for d in dirs)
+        if (
+            not deletes
+            and not with_lineage
+            and (not defaults or not any(_defcols(d) for d in dirs))
         ):
             return self._read_dirs(dirs, merge_schema, meta["schema"])
         from collections import defaultdict
@@ -3096,10 +3175,25 @@ class SnapshotTable:
             groups[(applicable, _defcols(d))].append(d)
         parts = []
         for (applicable, defcols), group_dirs in groups.items():
-            part = self._read_dirs(group_dirs, merge_schema, meta["schema"])
+            # position deletes key on (file, ordinal), so any applicable
+            # position entry — or a lineage-requesting caller — reads
+            # through the lineage scan; the columns drop before return
+            need_lineage = with_lineage or any(
+                deletes[i].get("kind") == "position" for i in applicable
+            )
+            part = (
+                self._read_dirs_lineage(group_dirs, meta["schema"])
+                if need_lineage
+                else self._read_dirs(group_dirs, merge_schema, meta["schema"])
+            )
             for i in applicable:
-                keys = self.spark.read.parquet(deletes[i]["dir"])
-                part = part.join(keys, on=deletes[i]["key"], how="left_anti")
+                if deletes[i].get("kind") == "position":
+                    part = self._apply_position_delete(part, deletes[i])
+                else:
+                    keys = self.spark.read.parquet(deletes[i]["dir"])
+                    part = part.join(keys, on=deletes[i]["key"], how="left_anti")
+            if need_lineage and not with_lineage:
+                part = part.drop(self._POS_FILE, self._POS_IDX)
             for c in sorted(defcols):
                 expr_s, dtype, _pre = defaults[c]
                 part = part.withColumn(
@@ -3231,6 +3325,58 @@ class SnapshotTable:
         elif merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
+
+    # row-lineage column names (position-delete coordinates)
+    _POS_FILE = "_pos_file"
+    _POS_IDX = "_pos_idx"
+
+    def _read_dirs_lineage(self, dirs: list[str], schema_json: str) -> DataFrame:
+        """_read_dirs plus the two ROW-LINEAGE columns position deletes
+        key on: `_pos_file` / `_pos_idx` from the parquet scan's hidden
+        `_metadata` column (file_path, row_index — Spark 3.5+ public
+        surface). Zero extra I/O: the coordinates come from the scan
+        itself, which is exactly what makes (file, ordinal) a stable row
+        identity over immutable files (Iceberg v2 position deletes)."""
+        if not dirs:
+            stored = T.StructType.fromJson(json.loads(schema_json))
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [T.StructField(f.name, f.dataType, True) for f in stored.fields]
+                    + [
+                        T.StructField(self._POS_FILE, T.StringType(), True),
+                        T.StructField(self._POS_IDX, T.LongType(), True),
+                    ]
+                ),
+            )
+        stored = T.StructType.fromJson(json.loads(schema_json))
+        phys = self._physical_map(schema_json)
+        reader = self.spark.read.option("recursiveFileLookup", "true").schema(
+            T.StructType(
+                [
+                    T.StructField(phys[f.name], f.dataType, True)
+                    for f in stored.fields
+                ]
+            )
+        )
+        return reader.parquet(*dirs).select(
+            *[
+                F.col(phys[f.name]).alias(f.name, metadata={})
+                for f in stored.fields
+            ],
+            F.col("_metadata.file_path").alias(self._POS_FILE),
+            F.col("_metadata.row_index").alias(self._POS_IDX),
+        )
+
+    def _apply_position_delete(self, part: DataFrame, dd: dict) -> DataFrame:
+        """Anti-join one position-delete file against a lineage-bearing
+        frame — O(|deleted positions|) broadcast-sized in the common
+        point-correction case."""
+        keys = self.spark.read.parquet(dd["dir"]).select(
+            F.col("file_path").alias(self._POS_FILE),
+            F.col("row_index").alias(self._POS_IDX),
+        )
+        return part.join(keys, on=[self._POS_FILE, self._POS_IDX], how="left_anti")
 
     def _prune_value(self, entry: str, value, schema_json: str):
         """The hive dir value ``entry`` maps ``value`` to — evaluated by
@@ -3466,15 +3612,28 @@ class SnapshotTable:
             for dd in new_deletes:
                 # merge-on-read delete: deleted rows = parent-state rows
                 # in the dirs this delete applies to, matching its keys
+                # (equality) or its (file, ordinal) coordinates (position)
                 applies = [
                     d for d in dd.get("applies_to", p_dirs) if d in p_set
                 ]
                 if not applies:
                     continue
-                keys = self.spark.read.parquet(dd["dir"])
-                hit = self._read_dirs_mor(parent_meta, applies).join(
-                    keys, on=dd["key"], how="semi"
-                )
+                if dd.get("kind") == "position":
+                    base = self._read_dirs_mor(
+                        parent_meta, applies, with_lineage=True
+                    )
+                    keys = self.spark.read.parquet(dd["dir"]).select(
+                        F.col("file_path").alias(self._POS_FILE),
+                        F.col("row_index").alias(self._POS_IDX),
+                    )
+                    hit = base.join(
+                        keys, on=[self._POS_FILE, self._POS_IDX], how="semi"
+                    ).drop(self._POS_FILE, self._POS_IDX)
+                else:
+                    keys = self.spark.read.parquet(dd["dir"])
+                    hit = self._read_dirs_mor(parent_meta, applies).join(
+                        keys, on=dd["key"], how="semi"
+                    )
                 del_ = hit if del_ is None else align(del_).unionByName(align(hit))
             if key is not None and ins is not None and del_ is not None:
                 ins_a, del_a = align(ins), align(del_)

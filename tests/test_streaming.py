@@ -706,3 +706,58 @@ def test_cdc_tail_admission_control_is_commit_granular(spark):
     reader.commit({"version": 3, "file": None})
     assert reader.latestOffset() == {"version": 3, "file": None}
     t.drop()
+
+
+def test_cdc_tail_streams_position_delete_commits(spark):
+    """A position-delete commit streams through the CDC tail with the
+    same rows batch changes() reports — the executor synthesizes
+    (file, ordinal) lineage from its sequential pyarrow read, which
+    must agree with Spark's _metadata.row_index coordinates."""
+    import os
+    import shutil
+    import uuid
+
+    from empdia_iceberg_spark.sources.table_stream import (
+        SnapshotTailDataSource,
+    )
+    from empdia_iceberg_spark.streaming.windows import work_root
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    spark.dataSource.register(SnapshotTailDataSource)
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    t = SnapshotTable(spark, "t_cdc_posdel_unit", scratch_root())
+    t.drop()
+    t.create(nat)
+    t.delete_where_position(F.col("n_nationkey").isin(3, 7))
+    run = uuid.uuid4().hex[:8]
+    ckpt = os.path.join(work_root(), f"cdcp_ckpt_{run}")
+    sink = os.path.join(work_root(), f"cdcp_sink_{run}")
+    q = (
+        spark.readStream.format("snapshot_tail")
+        .option("table", "t_cdc_posdel_unit")
+        .option("root", scratch_root())
+        .option("read_changes", "true")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _b: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.read.parquet(sink)
+        .select("n_nationkey", "_change_type", "_commit_version")
+        .collect()
+    )
+    exp = (
+        t.changes(1)
+        .select("n_nationkey", "_change_type", "_commit_version")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    deld = [r for r in got if r[1] == "delete"]
+    assert sorted(r[0] for r in deld) == [3, 7]
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    t.drop()

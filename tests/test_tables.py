@@ -4130,3 +4130,67 @@ def test_partitioned_by_transform_sql_round_trip(spark):
             root=scratch_root(),
         )
     t.drop()
+
+
+# --------------------------------------------------- position deletes (r14)
+
+
+def test_position_delete_basics_and_stacking(spark, nation):
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    t = SnapshotTable(spark, "t_posdel_unit", scratch_root())
+    t.drop()
+    t.create(nation)
+    v = t.delete_where_position(F.col("n_nationkey") == 3)
+    meta = t._read_meta(v)
+    dd = meta["delete_dirs"][-1]
+    assert dd["kind"] == "position" and "key" not in dd
+    assert spark.read.parquet(dd["dir"]).count() == 1
+    assert len(dd["applies_to"]) == 1  # pruned to the one dir holding it
+    assert t.read().filter(F.col("n_nationkey") == 3).count() == 0
+    assert t.read().count() == nation.count() - 1
+    # stacking with an equality delete composes
+    t.delete_where_mor(F.col("n_regionkey") == 0, key="n_nationkey")
+    n_after_eq = t.read().count()
+    assert n_after_eq < nation.count() - 1
+    # a later append of the same key survives BOTH delete forms
+    t.append(nation.filter(F.col("n_nationkey") == 3))
+    assert t.read().filter(F.col("n_nationkey") == 3).count() == 1
+    # position-delete columns never leak into the read schema
+    assert "_pos_file" not in t.read().columns
+    # compact folds both delete files away, row set unchanged
+    before = t.read().count()
+    t.compact()
+    assert t.read().count() == before
+    assert t._read_meta(t.current_version()).get("delete_dirs") == []
+    # guards: a position delete never blocks column DDL (it keys no
+    # table column)
+    t.rename_column("n_name", "nation_name")
+    t.drop()
+
+
+def test_position_delete_dml_strategy_guards(spark, nation):
+    from empdia_iceberg_spark.tables.dml import execute_dml
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    t = SnapshotTable(spark, "t_posdel_dml_unit", scratch_root())
+    t.drop()
+    t.create(nation)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        execute_dml(
+            spark, "DELETE FROM t_posdel_dml_unit WHERE n_nationkey = 1",
+            mor_key="n_nationkey", mor_position=True, root=scratch_root(),
+        )
+    with pytest.raises(ValueError, match="DELETE only"):
+        execute_dml(
+            spark,
+            "UPDATE t_posdel_dml_unit SET n_name = 'x' WHERE n_nationkey = 1",
+            mor_position=True, root=scratch_root(),
+        )
+    res = execute_dml(
+        spark, "DELETE FROM t_posdel_dml_unit WHERE n_nationkey = 1",
+        mor_position=True, root=scratch_root(),
+    )
+    assert res["op"] == "delete-mor-position"
+    assert t.read().filter(F.col("n_nationkey") == 1).count() == 0
+    t.drop()
