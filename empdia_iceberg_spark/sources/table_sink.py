@@ -108,6 +108,18 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
         self.run_id = options.get("run_id", "default")
         if "#" in self.run_id or "/" in self.run_id:
             raise ValueError("snapshot_write: run_id must not contain '#' or '/'")
+        # opt-in small-file hygiene (VERDICT r13 ask #7): a per-trigger
+        # sink lands one dir per micro-batch — 1,440 dirs/day at
+        # trigger-per-minute. Every N batches the driver runs a MINOR
+        # compaction (compact_minor: merges only the sub-threshold
+        # trickle dirs, O(small bytes) never O(table)) right after the
+        # batch commit. 0 disables; CALL compact_minor('t') is the
+        # external-maintenance alternative.
+        self.auto_compact_every = int(
+            options.get("auto_compact_every", 0) or 0
+        )
+        if self.auto_compact_every < 0:
+            raise ValueError("snapshot_write: auto_compact_every must be >= 0")
         t = SnapshotTable(None, self.table, self.root)
         cur = t.current_version()
         if cur is None:
@@ -302,11 +314,19 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                 t._commit(
                     stamp, meta["dirs"] + [d], cur, meta["schema"],
                     spec=meta.get("spec", []),
-                    dir_specs=t._dir_specs(meta) + [meta.get("spec", [])],
+                    # the sink stages FLAT files (one per task, no hive
+                    # subdirs), so its dir honestly records an EMPTY
+                    # dir-spec — claiming the table spec here made
+                    # read_pruned look for hive subdirs that don't exist
+                    # and silently drop the dir from pruned listings
+                    # (r14 review). compact_minor/compact restore the
+                    # prunable layout later.
+                    dir_specs=t._dir_specs(meta) + [[]],
                     expect_parent=cur,
                     delete_dirs=meta.get("delete_dirs", []),
                 )
                 self._last_cache = batchId
+                self._maybe_auto_compact(batchId)
                 return
             except CommitConflictError:
                 # lost the race: move files BACK to staging and rebuild
@@ -320,6 +340,26 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
             f"snapshot_write: batch {batchId} for {self.table} lost the "
             "commit race 4 times"
         )
+
+    def _maybe_auto_compact(self, batchId: int) -> None:
+        """Every `auto_compact_every` batches, sweep the trickle dirs.
+        Runs AFTER the batch's own commit (exactly-once is already
+        sealed); a lost compaction race or transient IO failure is
+        swallowed — the next interval (or CALL compact_minor) retries.
+        The compaction commit is CoW-swap-shaped, so a downstream
+        skip_change_commits tail skips it and a CDC tail diffs it to
+        zero rows."""
+        if not self.auto_compact_every:
+            return
+        if (batchId + 1) % self.auto_compact_every != 0:
+            return
+        try:
+            # spark=None: commit() runs in the Python Data Source worker
+            # subprocess where no SparkSession exists — compact_minor's
+            # Arrow fallback merges the flat trickle dirs session-free
+            SnapshotTable(None, self.table, self.root).compact_minor()
+        except (CommitConflictError, OSError):
+            pass  # transient: retried at the next interval
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

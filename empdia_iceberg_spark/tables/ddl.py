@@ -699,6 +699,17 @@ def _call_procedure(spark: SparkSession, name: str, raw_args: str, root: str) ->
         v = t.compact()
         return {"op": "call-compact", "table": b["table"], "version": v,
                 "audit": None}
+    if name == "compact_minor":
+        # small-file sweep (r14): merge only the sub-threshold dirs a
+        # per-trigger streaming sink lands; O(small bytes), never O(table)
+        b = _bind(["table"], {"small_bytes": 32 * 1024 * 1024})
+        t = SnapshotTable(spark, str(b["table"]), root)
+        if t.current_version() is None:
+            raise ValueError(f"table {b['table']} does not exist")
+        v, audit = t.compact_minor(small_bytes=int(b["small_bytes"]))
+        return {"op": "call-compact_minor", "table": b["table"],
+                "version": v if v is not None else t.current_version(),
+                "audit": audit}
     if name == "remove_orphan_files":
         # Iceberg's remove_orphan_files(table, older_than) — r13
         b = _bind(["table"], {"older_than_sec": 3 * 24 * 3600})

@@ -2833,6 +2833,149 @@ class SnapshotTable:
         cur = self.read()
         return self.overwrite(cur.coalesce(target_partitions), op="compact")
 
+    def compact_minor(
+        self, small_bytes: int = 32 * 1024 * 1024, max_retries: int = 3
+    ) -> tuple[int | None, dict]:
+        """MINOR compaction (Iceberg rewrite_data_files with a
+        small-file filter): merge only the SMALL data dirs — the
+        one-dir-per-micro-batch trickle a long-running snapshot_write
+        stream lands (1,440 dirs/day at trigger-per-minute) — into one
+        dir, carrying every big dir by reference. Cost is O(small
+        bytes), never O(table): the full compact() rewrite grows with
+        the table, this grows with the trickle since the last sweep.
+
+        Dirs with applicable MOR deletes are left alone (rewriting them
+        must fold the deletes — that is full compact()'s job); dirs
+        written under a different partition spec than current are
+        likewise skipped (the merged dir lands under the CURRENT spec).
+        Needs >= 2 qualifying dirs, else no-op (None, audit). The
+        commit is a CoW swap of exactly the merged dirs, so changes()
+        diffs it to zero rows and a skip_change_commits tail skips it —
+        rows were already emitted when they first landed."""
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(f"table {self.name}: nothing to compact")
+            meta = self._read_meta(cur)
+            deletes = meta.get("delete_dirs", [])
+            spec = meta.get("spec", [])
+
+            def _size(d: str) -> int:
+                total = 0
+                for r_, _ds, fs in os.walk(d):
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            total += os.path.getsize(os.path.join(r_, f))
+                return total
+
+            def _flat(d: str) -> bool:
+                # flat = no hive _p_ subdirs (sink dirs and unpartitioned
+                # writes); the Arrow fallback can only concat flat dirs
+                for r_, ds_, _fs in os.walk(d):
+                    if any(x.startswith("_p_") for x in ds_):
+                        return False
+                return True
+
+            small, kept, kept_specs = [], [], []
+            merged_bytes = 0
+            for d, dspec in zip(meta["dirs"], self._dir_specs(meta)):
+                has_del = any(
+                    d in dd.get("applies_to", meta["dirs"]) for dd in deletes
+                )
+                sz = _size(d)
+                mergeable = (
+                    not has_del
+                    and sz < small_bytes
+                    and (dspec == spec or dspec == [])
+                    and (self.spark is not None or _flat(d))
+                )
+                if mergeable:
+                    small.append(d)
+                    merged_bytes += sz
+                else:
+                    kept.append(d)
+                    kept_specs.append(dspec)
+            audit = {
+                "dirs_merged": len(small),
+                "bytes_merged": merged_bytes,
+                "dirs_carried": len(kept),
+            }
+            if len(small) < 2:
+                return None, audit
+            if self.spark is not None:
+                merged = self._write_data(
+                    self._to_physical(
+                        self._read_dirs(small, schema_json=meta["schema"]),
+                        meta["schema"],
+                    ),
+                    spec,
+                )
+                merged_spec = spec
+            else:
+                # session-free Arrow path (the snapshot_write sink's
+                # auto-compact runs in the Python Data Source worker,
+                # which has no SparkSession): concat the flat dirs'
+                # files — physical encodings ride through untouched.
+                # Files must share ONE schema (mixed evolution eras are
+                # left for full compact()); the merged dir records an
+                # EMPTY dir-spec because its layout is flat.
+                merged = self._merge_dirs_arrow(small, cur)
+                if merged is None:
+                    audit["dirs_merged"] = 0
+                    return None, audit
+                merged_spec = []
+            try:
+                v = self._commit(
+                    "compact-minor",
+                    kept + [merged],
+                    cur,
+                    meta["schema"],
+                    spec=spec,
+                    dir_specs=kept_specs + [merged_spec],
+                    expect_parent=cur,
+                    delete_dirs=deletes,
+                )
+                return v, audit
+            except CommitConflictError:
+                shutil.rmtree(merged, ignore_errors=True)
+                continue
+        raise CommitConflictError(
+            f"table {self.name}: compact_minor gave up after "
+            f"{max_retries} retries"
+        )
+
+    def _merge_dirs_arrow(self, dirs: list[str], cur: int) -> str | None:
+        """Concat the parquet files of flat dirs into ONE file in a new
+        data dir, pure pyarrow (no SparkSession). None if the files do
+        not share a single schema (schema-evolution eras differ —
+        full compact() handles those)."""
+        import pyarrow.parquet as pq
+
+        files = []
+        for d in dirs:
+            for r_, ds_, fs in os.walk(d):
+                ds_.sort()
+                for f in sorted(fs):
+                    if f.endswith(".parquet"):
+                        files.append(os.path.join(r_, f))
+        if not files:
+            return None
+        tables = [pq.read_table(f) for f in files]
+        schema = tables[0].schema
+        if any(t_.schema != schema for t_ in tables[1:]):
+            return None
+        import pyarrow as pa
+
+        out_dir = os.path.join(
+            self.data_dir, f"s{cur + 1:05d}-{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(
+            pa.concat_tables(tables),
+            os.path.join(out_dir, f"merged-{uuid.uuid4().hex[:8]}.parquet"),
+        )
+        return out_dir
+
     def rollback(self, version: int) -> int:
         """Iceberg rollback_to_snapshot semantics: commit a NEW snapshot
         whose file set is the target version's — history stays intact

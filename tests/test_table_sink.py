@@ -324,3 +324,96 @@ print("WORKER_OK")
     assert sum(o.startswith("append@alpha#b") for o in ops) == 4
     assert sum(o.startswith("append@beta#b") for o in ops) == 4
     dst.drop()
+
+
+# -------------------------------------------------- small-file hygiene (r14)
+
+
+def test_compact_minor_merges_only_small_delete_free_dirs(spark, nation):
+    t = SnapshotTable(spark, "t_cminor_unit", scratch_root())
+    t.drop()
+    # dir 1 becomes delete-bearing (applies_to pins dirs that existed at
+    # delete time); the three later appends are delete-free trickle
+    t.create(nation.filter(F.col("n_nationkey") < 5))
+    t.delete_where_mor(F.col("n_nationkey") == 2, key="n_nationkey")
+    t.append(nation.filter((F.col("n_nationkey") >= 5) & (F.col("n_nationkey") < 10)))
+    t.append(nation.filter((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 15)))
+    t.append(nation.filter(F.col("n_nationkey") >= 15))
+    before = sorted(r.n_nationkey for r in t.read().collect())
+    v, audit = t.compact_minor(small_bytes=32 * 1024 * 1024)
+    assert v is not None
+    assert audit["dirs_merged"] == 3      # the trickle appends
+    assert audit["dirs_carried"] == 1     # the delete-bearing create dir
+    meta = t._read_meta(t.current_version())
+    assert len(meta["dirs"]) == 2
+    assert sorted(r.n_nationkey for r in t.read().collect()) == before
+    assert t.read().filter(F.col("n_nationkey") == 2).count() == 0
+    t.drop()
+
+
+def test_compact_minor_noop_below_two_dirs_and_respects_threshold(spark, nation):
+    t = SnapshotTable(spark, "t_cminor_noop_unit", scratch_root())
+    t.drop()
+    t.create(nation)
+    v, audit = t.compact_minor()
+    assert v is None and audit["dirs_merged"] <= 1
+    # threshold: tiny limit treats every dir as big -> no-op
+    t.append(nation.limit(3))
+    v2, audit2 = t.compact_minor(small_bytes=1)
+    assert v2 is None and audit2["dirs_merged"] == 0
+    t.drop()
+
+
+def test_sink_auto_compact_bounds_dir_count(spark, nation):
+    """A sink fed 4 one-batch appends with auto_compact_every=2 must
+    end with FEWER data dirs than batches, same rows — the small-file
+    policy working inside the stream itself."""
+    spark.dataSource.register(SnapshotTailDataSource)
+    spark.dataSource.register(SnapshotWriteDataSource)
+    root = scratch_root()
+    src = SnapshotTable(spark, "t_ac_src_unit", root)
+    dst = SnapshotTable(spark, "t_ac_dst_unit", root)
+    src.drop(), dst.drop()
+    src.create(nation.filter(F.col("n_nationkey") < 5))
+    dst.create(nation.limit(0))
+    run = uuid.uuid4().hex[:8]
+    ckpt = f"/tmp/t_ac_ckpt_{run}"
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("table", "t_ac_src_unit")
+            .option("root", root)
+            .load()
+            .writeStream.format("snapshot_write")
+            .option("table", "t_ac_dst_unit")
+            .option("root", root)
+            .option("run_id", run)
+            .option("auto_compact_every", "2")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        drain()
+        for lo, hi in ((5, 10), (10, 15), (15, 26)):
+            src.append(
+                nation.filter(
+                    (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi)
+                )
+            )
+            drain()
+        assert dst.read().count() == nation.count()
+        ops = [s["op"] for s in dst.snapshots()]
+        assert any(op == "compact-minor" for op in ops), ops
+        n_dirs = len(dst._read_meta(dst.current_version())["dirs"])
+        assert n_dirs < 4, f"expected merged trickle dirs, got {n_dirs}"
+        assert sorted(r.n_nationkey for r in dst.read().collect()) == sorted(
+            r.n_nationkey for r in nation.collect()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        src.drop()
+        dst.drop()

@@ -1378,7 +1378,7 @@ def test_execute_dml_parse_and_guard_errors(spark, nation):
         execute_dml(spark, "MERGE INTO t USING s ON 1=1")
     with pytest.raises(ValueError, match="unsupported DML"):
         execute_dml(spark, "TRUNCATE TABLE t")
-    with pytest.raises(ValueError, match="mor_key applies to DELETE"):
+    with pytest.raises(ValueError, match="apply to DELETE only"):
         execute_dml(spark, "UPDATE t SET a = 1", mor_key="a")
 
     t = SnapshotTable(spark, "t_dml_guard_unit")
