@@ -87,6 +87,14 @@ HEADLINE = [
     # snapshot_tail -> snapshot_write with batch-id-stamped commits)
     "table_changes_sql",
     "stream_native_sink_medallion",
+    # r14 late additions — NEW in BENCH_r14 (cross-round comparable number
+    # is the sum over queries shared with r13): hidden partitioning
+    # (CTAS PARTITIONED BY days/bucket + one-day pruned read + one-day
+    # dynamic overwrite) and the CDC-mode streaming tail (two availableNow
+    # drains of a create→append→MERGE→DELETE lineage + the batch-changes
+    # equality probe)
+    "table_partition_transforms_sql",
+    "stream_cdc_tail",
 ]
 
 # r7: no per-query special-casing remains. Every timed run is the

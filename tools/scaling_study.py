@@ -100,6 +100,7 @@ STUDY_TABLES = {
     "profile_sim_nobroadcast": ["events"],
     "cdc_apply": ["orders"],
     "dpo": ["orders"],
+    "hidden_prune": ["events"],
 }
 STUDY_QUERY = {
     "q1": "q1_pricing_agg",
@@ -117,6 +118,7 @@ STUDY_QUERY = {
     "profile_sim_nobroadcast": "user_profile_similarity",  # ceiling forced 0
     "cdc_apply": "table_merge_dml",  # nominal; custom runner below
     "dpo": "table_insert_overwrite_dml",  # nominal; custom runner below
+    "hidden_prune": "table_partition_transforms_sql",  # nominal; custom runner below
 }
 # Studies sharing one scaled dataset (the A/B variants must time the
 # SAME files, and q3_bucketed layers a layout on q3's data).
@@ -131,6 +133,7 @@ _DATASET_ALIAS = {
     "profile_sim_nobroadcast": "profile",
     "cdc_apply": "window_rank",  # shares the orders ×k replicas
     "dpo": "window_rank",  # shares the orders ×k replicas
+    "hidden_prune": "events_hourly",  # shares the events ×k replicas
 }
 # q1 is the one study whose scaling mode is BIGGER groups, not more
 # groups (its output is always the 4 returnflag/linestatus rows):
@@ -731,6 +734,120 @@ def run_dpo_study(
     }
 
 
+def run_hidden_prune_study(
+    spark, scale: int, reps: int, check: bool, spark_only: bool = False
+) -> dict:
+    """Hidden partitioning's read claim priced (r14): a ONE-DAY read of
+    a days(ts)-partitioned table must cost that day — flat as the table
+    grows ×k — while the same logical read without partition pruning
+    scans the table. The events ×k replicas shift ts by 35 days per
+    replica, so scaling adds DAYS and the probed day's row count stays
+    constant: exactly the shape where pruning is the whole ballgame.
+
+    Timed Spark (pruned): read_pruned_transform('days(ts)', day) →
+    count/sum rollup, fresh plan per rep. Also timed: the identical
+    rollup over read().filter(to_date(ts) = day) — what the engine
+    pays WITHOUT the transform dirs (spark_full_sec, printed). Timed
+    DuckDB: the same rollup over the raw parquet (row-group zone maps
+    give DuckDB its own pruning — an honest single-node baseline).
+    The prep write (partitionBy over ~30×k day dirs) is untimed: the
+    pay-once layout trade, like q3_bucketed."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.sources.tables import load
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    sf_dir = build_dataset("hidden_prune", scale)
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", F.col("value").cast("double").alias("value")
+    )
+    t = SnapshotTable(spark, "events_hidden_scale")
+    t.drop()
+    t.create(events, partition_by=["days(ts)"])  # untimed prep
+    day = "2024-01-03"  # a base-replica day; row count constant in scale
+
+    def rollup(df):
+        return (
+            df.groupBy(F.lit(1).alias("g"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("s"),
+            )
+            .collect()
+        )
+
+    pruned_df, audit = t.read_pruned_transform("days(ts)", day)
+    rollup(pruned_df)  # warm-up
+    s_best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df, audit = t.read_pruned_transform("days(ts)", day)
+        srows = rollup(df)
+        s_best = min(s_best, time.perf_counter() - t0)
+    full_best = float("inf")
+    rollup(t.read().filter(F.to_date("ts") == F.lit(day)))  # warm-up
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rollup(t.read().filter(F.to_date("ts") == F.lit(day)))
+        full_best = min(full_best, time.perf_counter() - t0)
+
+    if spark_only:
+        t.drop()
+        print(
+            f"|   hidden_prune x{scale}: pruned {round(s_best, 3)} s vs "
+            f"full-filter {round(full_best, 3)} s "
+            f"(dirs_pruned={audit['dirs_pruned']})",
+            flush=True,
+        )
+        return {
+            "study": "hidden_prune", "scale": scale, "rows": None,
+            "spark_sec": round(s_best, 3), "duckdb_sec": None, "ratio": None,
+        }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    osql = (
+        "SELECT 1 AS g, count(*) AS n, "
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s "
+        f"FROM events WHERE CAST(ts AS DATE) = DATE '{day}'"
+    )
+    con.execute(osql).fetchall()  # warm page cache
+    d_best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        orows = con.execute(osql).fetchall()
+        d_best = min(d_best, time.perf_counter() - t0)
+
+    n_rows = None
+    if check:
+        res = con.execute(osql)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        assert _canon([tuple(r) for r in srows], ["g", "n", "s"]) == _canon(
+            orows, ocols
+        ), f"hidden_prune x{scale}: mismatch"
+        n_rows = srows[0]["n"]
+    con.close()
+    t.drop()
+    print(
+        f"|   hidden_prune x{scale}: pruned {round(s_best, 3)} s vs "
+        f"full-filter {round(full_best, 3)} s "
+        f"(dirs_pruned={audit['dirs_pruned']})",
+        flush=True,
+    )
+    return {
+        "study": "hidden_prune", "scale": scale, "rows": n_rows,
+        "spark_sec": round(s_best, 3), "duckdb_sec": round(d_best, 3),
+        "ratio": round(s_best / d_best, 2),
+    }
+
+
 def run_study(
     spark, study: str, scale: int, reps: int, check: bool, spark_only: bool = False
 ) -> dict:
@@ -830,6 +947,10 @@ def main() -> None:
                 )
             elif study == "dpo":
                 r = run_dpo_study(
+                    spark, scale, args.reps, args.check, args.spark_only
+                )
+            elif study == "hidden_prune":
+                r = run_hidden_prune_study(
                     spark, scale, args.reps, args.check, args.spark_only
                 )
             else:
