@@ -794,6 +794,15 @@ def run_hidden_prune_study(
         t0 = time.perf_counter()
         rollup(t.read().filter(F.to_date("ts") == F.lit(day)))
         full_best = min(full_best, time.perf_counter() - t0)
+    # the same logical read over the RAW unpartitioned parquet — the
+    # honest "no hidden partitioning" comparator (the partitioned
+    # table's own full scan also pays its many-small-dirs layout)
+    raw_best = float("inf")
+    rollup(events.filter(F.to_date("ts") == F.lit(day)))  # warm-up
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rollup(events.filter(F.to_date("ts") == F.lit(day)))
+        raw_best = min(raw_best, time.perf_counter() - t0)
 
     if spark_only:
         t.drop()
@@ -837,8 +846,9 @@ def run_hidden_prune_study(
     t.drop()
     print(
         f"|   hidden_prune x{scale}: pruned {round(s_best, 3)} s vs "
-        f"full-filter {round(full_best, 3)} s "
-        f"(dirs_pruned={audit['dirs_pruned']})",
+        f"full-filter {round(full_best, 3)} s vs "
+        f"raw-parquet-filter {round(raw_best, 3)} s "
+        f"(subdirs_selected={audit['subdirs_selected']})",
         flush=True,
     )
     return {
