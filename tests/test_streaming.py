@@ -761,3 +761,67 @@ def test_cdc_tail_streams_position_delete_commits(spark):
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
     t.drop()
+
+
+def test_cdc_tail_across_add_column_evolution(spark):
+    """ADD COLUMN mid-lineage: rows from files written BEFORE the evolve
+    stream through the CDC tail with typed NULLs in the new column, and
+    the whole streamed set equals batch changes() — including a CoW
+    commit whose swapped sets span both schema eras."""
+    import os
+    import shutil
+    import uuid
+
+    from empdia_iceberg_spark.sources.table_stream import (
+        SnapshotTailDataSource,
+    )
+    from empdia_iceberg_spark.streaming.windows import work_root
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    spark.dataSource.register(SnapshotTailDataSource)
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    t = SnapshotTable(spark, "t_cdc_evo_unit", scratch_root())
+    t.drop()
+    t.create(nat.filter(F.col("n_nationkey") < 10))          # v1 (old era)
+    t.add_column("score", "double")                           # v2 metadata-only
+    t.append(                                                 # v3 (new era)
+        nat.filter(F.col("n_nationkey") >= 10).withColumn(
+            "score", F.col("n_nationkey").cast("double")
+        )
+    )
+    # v4: CoW update touching BOTH eras' files
+    t.update_where(
+        F.col("n_nationkey").isin(1, 20), {"n_name": F.lit("X")}
+    )
+    run = uuid.uuid4().hex[:8]
+    ckpt = os.path.join(work_root(), f"cdce_ckpt_{run}")
+    sink = os.path.join(work_root(), f"cdce_sink_{run}")
+    q = (
+        spark.readStream.format("snapshot_tail")
+        .option("table", "t_cdc_evo_unit")
+        .option("root", scratch_root())
+        .option("read_changes", "true")
+        .option("cdc_key", "n_nationkey")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _b: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cols = ["n_nationkey", "n_name", "score", "_change_type", "_commit_version"]
+    got = sorted(map(tuple, spark.read.parquet(sink).select(*cols).collect()))
+    exp = sorted(map(tuple, t.changes(1, key="n_nationkey").select(*cols).collect()))
+    assert got == exp
+    # old-era insert rows surface the evolved column as NULL
+    assert all(
+        r[2] is None for r in got if r[4] == 1
+    ), "pre-evolve files must stream typed NULLs for the added column"
+    # the CoW update folded into pre/post pairs across both eras
+    assert {r[0] for r in got if r[3] == "update_postimage"} == {1, 20}
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    t.drop()
