@@ -194,6 +194,11 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         self.cdc_key = options.get("cdc_key")  # fold pairs like changes(key=)
         if self.cdc_key is not None and not self.read_changes:
             raise ValueError("cdc_key requires read_changes=true")
+        # per-commit byte ceiling for the CoW diff partition (see the
+        # scale guard in _cdc_partitions); default 1 GiB
+        self.cdc_cow_max_bytes = int(
+            options.get("cdc_cow_max_bytes", 1 << 30) or (1 << 30)
+        )
         self.starting_version = int(options.get("starting_version", 0))
         st_ts = options.get(
             "starting_timestamp", options.get("startingtimestamp")
@@ -459,6 +464,27 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                         )
                 continue
             cow = bool(removed or (added and op_is_change))
+            if cow:
+                # scale guard: a CoW commit's delta is a BOTH-SIDES diff
+                # materialized in one task — bounded work for the
+                # trickle-sized change commits CDC streams exist for,
+                # but a table-rewrite commit must fail loudly, not OOM
+                # an executor. Batch changes() handles any size (its
+                # exceptAll is a distributed plan).
+                swapped = sum(
+                    os.path.getsize(f)
+                    for d in (removed + (added if cow else []))
+                    for f in self._files_under(d)
+                )
+                if swapped > self.cdc_cow_max_bytes:
+                    raise ValueError(
+                        f"snapshot_tail read_changes: v{v} swaps "
+                        f"{swapped >> 20} MiB of files — above "
+                        "cdc_cow_max_bytes "
+                        f"({self.cdc_cow_max_bytes >> 20} MiB). Use batch "
+                        "table_changes()/changes() for rewrite-sized "
+                        "commits, or raise the option."
+                    )
             mor_hits = []
             for dd in new_deletes:
                 applies = [

@@ -825,3 +825,38 @@ def test_cdc_tail_across_add_column_evolution(spark):
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
     t.drop()
+
+
+def test_cdc_tail_cow_byte_guard(spark):
+    """A rewrite-sized CoW commit must fail loudly in CDC mode (its diff
+    is one both-sides task), pointing at batch changes() — never OOM."""
+    from empdia_iceberg_spark.sources.table_stream import (
+        SnapshotTailStreamReader,
+    )
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    t = SnapshotTable(spark, "t_cdc_guard_unit", scratch_root())
+    t.drop()
+    t.create(nat)
+    t.compact()  # v2: CoW swap of the whole (tiny) table
+    reader = SnapshotTailStreamReader(
+        {"table": "t_cdc_guard_unit", "root": scratch_root(),
+         "read_changes": "true", "cdc_cow_max_bytes": "1"},
+        t._read_meta(t.current_version())["schema"],
+    )
+    with pytest.raises(ValueError, match="cdc_cow_max_bytes"):
+        reader.partitions(
+            {"version": 1, "file": None}, {"version": 2, "file": None}
+        )
+    # default ceiling admits the tiny commit
+    reader2 = SnapshotTailStreamReader(
+        {"table": "t_cdc_guard_unit", "root": scratch_root(),
+         "read_changes": "true"},
+        t._read_meta(t.current_version())["schema"],
+    )
+    parts = reader2.partitions(
+        {"version": 1, "file": None}, {"version": 2, "file": None}
+    )
+    assert len(parts) == 1 and parts[0].cow
+    t.drop()
