@@ -4218,3 +4218,62 @@ def test_time_transform_family_hours_months_years(spark):
         if entry != "hours(ts)":
             assert expect > 0  # a specific hour may be empty at sf0.001
         t.drop()
+
+
+def test_overwrite_partitions_probes_cross_spec_dirs_with_transforms(spark):
+    """Dynamic one-day overwrite on a table whose OLD dir predates the
+    days(ts) spec: the old-spec dir cannot be subdir-carried, so it gets
+    the broadcast containment probe in TRANSFORM space — rewriting its
+    survivors when it holds the replaced day, and the final state equals
+    the logical expectation."""
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    ev = __import__(
+        "empdia_iceberg_spark.sources.tables", fromlist=["load"]
+    ).load(spark, SF_DIR, "events").select("event_id", "ts", "value")
+    t = SnapshotTable(spark, "t_xspec_ow_unit", scratch_root())
+    t.drop()
+    t.create(ev.filter(F.dayofmonth("ts") <= 10))  # unpartitioned era
+    t.evolve_partitioning(["days(ts)"])
+    t.append(ev.filter(F.dayofmonth("ts") > 10))   # days-layout era
+    day = "2024-01-02"  # lives in the OLD unpartitioned dir
+    repl = ev.filter(F.to_date("ts") == day).withColumn("value", F.lit(9.9))
+    _v, audit = t.overwrite_partitions(repl)
+    assert audit["dirs_rewritten"] == 1, audit   # the old dir's survivors
+    assert audit["partitions_replaced"] == 1, audit
+    out = t.read()
+    assert out.filter(F.to_date("ts") == day).agg(
+        F.min("value"), F.max("value")
+    ).collect() == [(9.9, 9.9)] or out.filter(
+        (F.to_date("ts") == day) & (F.col("value") != 9.9)
+    ).count() == 0
+    assert out.count() == ev.count()
+    # days not replaced are untouched
+    other = out.filter(F.to_date("ts") != day)
+    assert other.filter(F.col("value") == 9.9).count() == ev.filter(
+        (F.to_date("ts") != day) & (F.col("value") == 9.9)
+    ).count()
+    t.drop()
+
+
+def test_partitions_metadata_table_renders_transform_slugs(spark):
+    """`t.partitions` lists hive values under transformed specs — the
+    slug spelling (days__ts=YYYY-MM-DD) documents the layout."""
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    ev = __import__(
+        "empdia_iceberg_spark.sources.tables", fromlist=["load"]
+    ).load(spark, SF_DIR, "events").select("event_id", "ts", "value")
+    t = SnapshotTable(spark, "t_pmeta_unit", scratch_root())
+    t.drop()
+    t.create(ev.filter(F.dayofmonth("ts") <= 2), partition_by=["days(ts)"])
+    rows = execute_sql(
+        spark,
+        "SELECT partition, spec, n_files FROM t_pmeta_unit.partitions "
+        "ORDER BY partition",
+        root=scratch_root(),
+    ).collect()
+    assert rows and all(r.partition.startswith("days__ts=2024-01-0") for r in rows)
+    assert all(r.spec == "days(ts)" for r in rows)
+    t.drop()
