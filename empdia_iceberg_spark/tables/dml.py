@@ -339,11 +339,17 @@ def _execute_insert(
                     f"table {name}: PARTITION clause requires a "
                     "partitioned table (this table has no partition spec)"
                 )
-            bad = sorted(set(static) - set(spec))
+            # transform-aware (r14 hidden partitioning): the clause
+            # names SOURCE columns — PARTITION (ts='2024-01-03 ...') on
+            # a days(ts) spec pins that day's dir through the same
+            # writer expression (overwrite_partitions derives the value)
+            from empdia_iceberg_spark.tables.manager import spec_sources
+
+            bad = sorted(set(static) - spec_sources(spec))
             if bad:
                 raise ValueError(
                     f"table {name}: PARTITION clause may only name "
-                    f"partition columns {spec}; got {bad}"
+                    f"partition source columns of {spec}; got {bad}"
                 )
             overlap = sorted(set(static) & set(target_cols))
             if overlap:

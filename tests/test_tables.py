@@ -4277,3 +4277,37 @@ def test_partitions_metadata_table_renders_transform_slugs(spark):
     assert rows and all(r.partition.startswith("days__ts=2024-01-0") for r in rows)
     assert all(r.spec == "days(ts)" for r in rows)
     t.drop()
+
+
+def test_insert_overwrite_static_partition_through_transform(spark):
+    """`INSERT OVERWRITE t PARTITION (ts='...') SELECT ...` on a
+    days(ts)-partitioned table: the static clause names the SOURCE
+    column; the day's dir is replaced even though the spec entry is a
+    transform — and an EMPTY source clears exactly that day."""
+    from empdia_iceberg_spark.tables.dml import execute_dml
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    ev = __import__(
+        "empdia_iceberg_spark.sources.tables", fromlist=["load"]
+    ).load(spark, SF_DIR, "events").select("event_id", "ts", "value")
+    ev.createOrReplaceTempView("ev_static_src")
+    t = SnapshotTable(spark, "t_static_hidden_unit", scratch_root())
+    t.drop()
+    t.create(ev, partition_by=["days(ts)"])
+    n_total = ev.count()
+    day = "2024-01-04"
+    n_day = ev.filter(F.to_date("ts") == day).count()
+    assert n_day > 0
+    # clear the day: empty source + static pin through the transform
+    res = execute_dml(
+        spark,
+        f"INSERT OVERWRITE t_static_hidden_unit PARTITION "
+        f"(ts = TIMESTAMP '{day} 00:00:00') "
+        "SELECT event_id, value FROM ev_static_src WHERE 1 = 0",
+        root=scratch_root(),
+    )
+    assert res["audit"]["partitions_replaced"] >= 1
+    out = t.read()
+    assert out.filter(F.to_date("ts") == day).count() == 0
+    assert out.count() == n_total - n_day
+    t.drop()
