@@ -117,6 +117,12 @@ _ADD_PART_FIELD = re.compile(
 _DROP_PART_FIELD = re.compile(
     r"^DROP\s+PARTITION\s+FIELD\s+(.+?)\s*$", re.IGNORECASE
 )
+# Iceberg's one-commit evolution spelling: swap a spec entry in place
+# (position preserved) — e.g. REPLACE PARTITION FIELD days(ts) WITH
+# hours(ts) when an event table's volume outgrows daily dirs
+_REPLACE_PART_FIELD = re.compile(
+    r"^REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*$", re.IGNORECASE
+)
 _OPTIMIZE_HEAD = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
@@ -755,8 +761,9 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
              | compact('t')
         ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2]  (-> t.stats)
         ALTER TABLE t DROP BRANCH|TAG name
-        ALTER TABLE t ADD PARTITION FIELD col
-        ALTER TABLE t DROP PARTITION FIELD col
+        ALTER TABLE t ADD PARTITION FIELD col|transform(col)
+        ALTER TABLE t DROP PARTITION FIELD col|transform(col)
+        ALTER TABLE t REPLACE PARTITION FIELD old WITH new  (in place)
         DROP TABLE [IF EXISTS] t
         OPTIMIZE t [ZORDER BY (c1, c2)]
         VACUUM t [RETAIN k VERSIONS]
@@ -1060,6 +1067,21 @@ def execute_ddl(spark: SparkSession, statement: str, root: str = DEFAULT_ROOT) -
             version = t.evolve_partitioning(spec + [entry])
             return {"op": "evolve-partitioning", "table": name,
                     "version": version, "audit": None}
+        pm = _REPLACE_PART_FIELD.match(action)
+        if pm:
+            old = canonical_transform(pm.group(1))
+            new = canonical_transform(pm.group(2))
+            spec = t.current_spec()
+            if old not in spec:
+                raise ValueError(f"{old!r} is not a partition field of {name}")
+            if new in spec:
+                raise ValueError(f"{new!r} is already a partition field")
+            version = t.evolve_partitioning(
+                [new if c == old else c for c in spec]
+            )
+            return {"op": "evolve-partitioning", "table": name,
+                    "version": version,
+                    "audit": {"replaced": old, "with": new}}
         pm = _DROP_PART_FIELD.match(action)
         if pm:
             entry = canonical_transform(pm.group(1))

@@ -4311,3 +4311,51 @@ def test_insert_overwrite_static_partition_through_transform(spark):
     assert out.filter(F.to_date("ts") == day).count() == 0
     assert out.count() == n_total - n_day
     t.drop()
+
+
+def test_replace_partition_field_in_place(spark):
+    """REPLACE PARTITION FIELD days(ts) WITH hours(ts): one metadata
+    commit swaps the entry IN PLACE (position preserved), old layout
+    dirs keep their recorded spec, and new writes land hourly."""
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    ev = __import__(
+        "empdia_iceberg_spark.sources.tables", fromlist=["load"]
+    ).load(spark, SF_DIR, "events").select("event_id", "ts", "user_id", "value")
+    ev.createOrReplaceTempView("ev_repl_src")
+    execute_sql(spark, "DROP TABLE IF EXISTS ev_repl", root=scratch_root())
+    execute_sql(
+        spark,
+        "CREATE TABLE ev_repl PARTITIONED BY (days(ts), bucket(2, user_id)) "
+        "AS SELECT * FROM ev_repl_src WHERE ts < TIMESTAMP '2024-01-03 00:00:00'",
+        root=scratch_root(),
+    )
+    res = execute_sql(
+        spark,
+        "ALTER TABLE ev_repl REPLACE PARTITION FIELD days(ts) WITH hours(ts)",
+        root=scratch_root(),
+    )
+    assert res["audit"] == {"replaced": "days(ts)", "with": "hours(ts)"}
+    t = SnapshotTable(spark, "ev_repl", scratch_root())
+    assert t.current_spec() == ["hours(ts)", "bucket(2, user_id)"]
+    execute_sql(
+        spark,
+        "INSERT INTO ev_repl SELECT * FROM ev_repl_src "
+        "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'",
+        root=scratch_root(),
+    )
+    # one-hour pruned read across both layouts equals the filter
+    hour = "2024-01-03-07"
+    pruned, audit = t.read_pruned_transform("hours(ts)", hour)
+    expect = ev.filter(F.date_format("ts", "yyyy-MM-dd-HH") == hour).count()
+    assert pruned.count() == expect
+    assert audit["subdirs_selected"] == 1 and audit["dirs_pruned"] == 0
+    assert audit["dirs_full_scan"] == 1  # the days-era dir full-scans
+    with pytest.raises(ValueError, match="not a partition field"):
+        execute_sql(
+            spark,
+            "ALTER TABLE ev_repl REPLACE PARTITION FIELD days(ts) WITH years(ts)",
+            root=scratch_root(),
+        )
+    t.drop()
