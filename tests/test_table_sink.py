@@ -417,3 +417,70 @@ def test_sink_auto_compact_bounds_dir_count(spark, nation):
         shutil.rmtree(ckpt, ignore_errors=True)
         src.drop()
         dst.drop()
+
+
+def test_downstream_tail_survives_auto_compact_commits(spark, nation):
+    """A table fed by the auto-compacting sink can still be tailed
+    downstream: compact-minor commits are CoW swaps, so a
+    skip_change_commits tail skips them and a CDC tail diffs them to
+    zero rows — either way the downstream sees each row exactly once."""
+    spark.dataSource.register(SnapshotTailDataSource)
+    spark.dataSource.register(SnapshotWriteDataSource)
+    root = scratch_root()
+    src = SnapshotTable(spark, "t_act_src_unit", root)
+    mid = SnapshotTable(spark, "t_act_mid_unit", root)
+    src.drop(), mid.drop()
+    src.create(nation.filter(F.col("n_nationkey") < 8))
+    mid.create(nation.limit(0))
+    run = uuid.uuid4().hex[:8]
+    ckpt1 = f"/tmp/t_act_ck1_{run}"
+    ckpt2 = f"/tmp/t_act_ck2_{run}"
+    sink2 = f"/tmp/t_act_out_{run}"
+
+    def hop1():
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("table", "t_act_src_unit")
+            .option("root", root)
+            .load()
+            .writeStream.format("snapshot_write")
+            .option("table", "t_act_mid_unit")
+            .option("root", root)
+            .option("run_id", run)
+            .option("auto_compact_every", "1")  # sweep after EVERY batch
+            .option("checkpointLocation", ckpt1)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def hop2():
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("table", "t_act_mid_unit")
+            .option("root", root)
+            .option("skip_change_commits", "true")
+            .load()
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _b: df.write.mode("append").parquet(sink2))
+            .option("checkpointLocation", ckpt2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        hop1()
+        hop2()
+        src.append(nation.filter((F.col("n_nationkey") >= 8) & (F.col("n_nationkey") < 16)))
+        src.append(nation.filter(F.col("n_nationkey") >= 16))
+        hop1()  # two batches -> two appends + compact-minor sweeps
+        hop2()  # must resume past the compaction commits, no loss, no dupes
+        got = sorted(r.n_nationkey for r in spark.read.parquet(sink2).collect())
+        assert got == sorted(r.n_nationkey for r in nation.collect())
+        assert any(s["op"] == "compact-minor" for s in mid.snapshots())
+    finally:
+        for d in (ckpt1, ckpt2, sink2):
+            shutil.rmtree(d, ignore_errors=True)
+        src.drop()
+        mid.drop()
