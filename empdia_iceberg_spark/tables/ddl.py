@@ -1466,10 +1466,45 @@ def materialize_time_travel(
 # the literal-masked copy like time travel, so the TVF name inside a
 # string can never trigger a rewrite.
 _TABLE_CHANGES = re.compile(
-    r"\btable_changes\s*\(\s*('[^']*'|\"[^\"]*\")\s*,\s*(\d+)\s*"
-    r"(?:,\s*(\d+)\s*)?(?:,\s*('[^']*'|\"[^\"]*\")\s*)?\)",
+    r"\btable_changes\s*\(\s*('[^']*'|\"[^\"]*\")\s*,\s*(\d+|'[^']*')\s*"
+    r"(?:,\s*(\d+|'[^']*')\s*)?(?:,\s*('[^']*'|\"[^\"]*\")\s*)?\)",
     re.IGNORECASE,
 )
+
+
+def _changes_bound(t: SnapshotTable, tok: str | None, is_start: bool):
+    """Resolve one table_changes() bound: a bare integer is a version;
+    a quoted literal is a TIMESTAMP bound (Delta parity) — the start
+    resolves to the earliest version committed AT OR AFTER it, the end
+    to the latest committed at or before it."""
+    if tok is None:
+        return None
+    tok = tok.strip()
+    if re.fullmatch(r"\d+", tok):
+        return int(tok)
+    lit = tok.strip("'\"")
+    try:
+        ts = _parse_as_of_ts(lit)
+    except ValueError:
+        raise ValueError(
+            f"table_changes: bound {lit!r} is neither a version number "
+            "nor a timestamp literal (for key folding, pass the key as "
+            "the FOURTH argument: table_changes('t', v1, v2, 'key'))"
+        )
+    best = None
+    for v in t._versions():
+        committed = t._read_meta(v).get("ts")
+        if is_start:
+            if committed is not None and committed >= ts:
+                return v
+        elif committed is None or committed <= ts:
+            best = v
+    if is_start or best is None:
+        raise ValueError(
+            f"table_changes: no commit of {t.name} "
+            f"{'at or after' if is_start else 'at or before'} {lit!r}"
+        )
+    return best
 
 
 def materialize_table_changes(
@@ -1489,8 +1524,6 @@ def materialize_table_changes(
         name = statement[m.start(1) : m.end(1)].strip("'\"")
         if not re.fullmatch(r"\w+", name):
             raise ValueError(f"table_changes: invalid table name {name!r}")
-        v1 = int(m.group(2))
-        v2 = int(m.group(3)) if m.group(3) else None
         key = (
             statement[m.start(4) : m.end(4)].strip("'\"") if m.group(4) else None
         )
@@ -1499,6 +1532,14 @@ def materialize_table_changes(
             raise ValueError(
                 f"table_changes requires a snapshot table: {name!r} not found"
             )
+        v1 = _changes_bound(
+            t, statement[m.start(2) : m.end(2)], is_start=True
+        )
+        v2 = (
+            _changes_bound(t, statement[m.start(3) : m.end(3)], is_start=False)
+            if m.group(3)
+            else None
+        )
         view = f"_changes_{name}_{v1}_{v2 if v2 is not None else 'cur'}" + (
             f"_{key}" if key else ""
         )

@@ -4359,3 +4359,49 @@ def test_replace_partition_field_in_place(spark):
             root=scratch_root(),
         )
     t.drop()
+
+
+def test_table_changes_timestamp_bounds(spark, nation):
+    """table_changes('t', '<ts1>' [, '<ts2>']) — Delta's timestamp
+    bounds: start resolves to the earliest commit AT OR AFTER ts1, end
+    to the latest at or before ts2."""
+    import time as _time
+
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    t = SnapshotTable(spark, "t_chts_unit", scratch_root())
+    t.drop()
+    t.create(nation.filter(F.col("n_nationkey") < 10))       # v1
+    t.append(nation.filter(F.col("n_nationkey") >= 10))      # v2
+    ts_v2 = t._read_meta(2)["ts"]
+    # start bound: the instant of v2 → only v2's insert rows
+    n = execute_sql(
+        spark,
+        f"SELECT count(*) AS n FROM table_changes('t_chts_unit', '{ts_v2}')",
+        root=scratch_root(),
+    ).collect()[0]["n"]
+    assert n == nation.filter(F.col("n_nationkey") >= 10).count()
+    # both bounds covering everything
+    n_all = execute_sql(
+        spark,
+        f"SELECT count(*) AS n FROM table_changes("
+        f"'t_chts_unit', '0', '{_time.time() + 1}')",
+        root=scratch_root(),
+    ).collect()[0]["n"]
+    assert n_all == nation.count()
+    # a start after the last commit errors informatively
+    with pytest.raises(ValueError, match="at or after"):
+        execute_sql(
+            spark,
+            f"SELECT * FROM table_changes('t_chts_unit', '{_time.time() + 60}')",
+            root=scratch_root(),
+        )
+    # a non-timestamp string bound points at the key-folding signature
+    with pytest.raises(ValueError, match="FOURTH argument"):
+        execute_sql(
+            spark,
+            "SELECT * FROM table_changes('t_chts_unit', 1, 'n_nationkey')",
+            root=scratch_root(),
+        )
+    t.drop()
