@@ -142,10 +142,12 @@ _SWEEP_PRIORITY = [
     "ks_acctbal_two_sample",  # stalest green (r7)
     "lineitem_corr_matrix",  # stalest green (r7)
     "events_mad_outliers",  # stalest green (r7)
+    # ---- 50-slot window ends here (3 NEW r14 + 18 streaming + 7 table
+    #      + 11 r6 + 11 r7; the 3 new-query prepends displaced the bottom
+    #      3 r7 names below this marker, same-round-driver-row rule) ----
     "emb_cosine_near_dup",  # stalest green (r7)
     "supplier_part_matching",  # stalest green (r7)
     "graph_triangle_census",  # stalest green (r7)
-    # ---- 50-slot window ends here (18 streaming + 7 table + 11 r6 + 14 r7) ----
     "events_markov_entropy_rate",  # r7
     "mi_events_type_hour",  # r7
     "doc_chunking",  # r7
