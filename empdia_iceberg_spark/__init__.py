@@ -92,6 +92,7 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # story, ...) are inserted at the VERY FRONT as they land, displacing the
 # bottom of the r7 block below the marker (same-round-driver-row rule).
 _SWEEP_PRIORITY = [
+    "table_partition_replace_sql",  # NEW r14: REPLACE PARTITION FIELD days->hours, mixed-era pruned reads
     "table_position_delete_dml",  # NEW r14: Iceberg v2 position deletes (ask #6)
     "stream_cdc_tail",  # NEW r14: CDC-mode streaming tail (read_changes; ask #4)
     "table_partition_transforms_sql",  # NEW r14: hidden partitioning (days/bucket transforms; ask #3)
@@ -141,10 +142,10 @@ _SWEEP_PRIORITY = [
     "anova_acctbal_segments",  # stalest green (r7)
     "ks_acctbal_two_sample",  # stalest green (r7)
     "lineitem_corr_matrix",  # stalest green (r7)
+    # ---- 50-slot window ends here (4 NEW r14 + 18 streaming + 7 table
+    #      + 11 r6 + 10 r7; the new-query prepends displaced the bottom
+    #      4 r7 names below this marker, same-round-driver-row rule) ----
     "events_mad_outliers",  # stalest green (r7)
-    # ---- 50-slot window ends here (3 NEW r14 + 18 streaming + 7 table
-    #      + 11 r6 + 11 r7; the 3 new-query prepends displaced the bottom
-    #      3 r7 names below this marker, same-round-driver-row rule) ----
     "emb_cosine_near_dup",  # stalest green (r7)
     "supplier_part_matching",  # stalest green (r7)
     "graph_triangle_census",  # stalest green (r7)

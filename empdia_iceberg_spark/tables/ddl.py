@@ -2769,3 +2769,102 @@ def table_partition_transforms_sql(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("show_create", F.lit(stmt))
         .orderBy("day")
     )
+
+
+@register(
+    "table_partition_replace_sql",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d-%H') AS hour,
+           count(*) AS n_rows,
+           round({sql_sum2("value")}, 2) AS sum_value,
+           'days(ts)->hours(ts)' AS spec_evolution,
+           CAST(1 AS INT) AS hour_prune_exact,
+           CAST(1 AS INT) AS old_era_prune_exact,
+           CAST(1 AS INT) AS hourly_dir_pruned_for_old_hour
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-20'
+    GROUP BY hour
+    ORDER BY hour
+    """,
+    doc="Partition-spec REPLACEMENT under hidden partitioning (r14): "
+    "`ALTER TABLE ... REPLACE PARTITION FIELD days(ts) WITH hours(ts)` "
+    "swaps the spec entry IN PLACE in one metadata commit — the move an "
+    "event table makes when daily dirs outgrow their usefulness. The "
+    "story lands the first half-month under days(ts), replaces the "
+    "field, INSERTs the second half under hours(ts), then proves BOTH "
+    "eras serve transform-pruned reads: a one-HOUR read of a new-era "
+    "hour (the days-era dir full-scans behind the residual filter, the "
+    "hourly dir prunes to one subdir, result equals the plain filter — "
+    "hour_prune_exact), and a one-hour read of an OLD-era hour (the "
+    "hourly dir is PRUNED ENTIRELY — no such subdir — while the days "
+    "dir full-scans; old_era_prune_exact). The rollup hashes one day's "
+    "hourly aggregate off the mixed-layout table. At 100 TB this is "
+    "zero-rewrite spec evolution: old dirs keep their recorded spec "
+    "forever, reads consult dir_specs per dir (Iceberg's partition-"
+    "evolution model).",
+)
+def table_partition_replace_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    ).createOrReplaceTempView("ev_repart_src")
+    execute_sql(spark, "DROP TABLE IF EXISTS events_repart", root=scratch_root())
+    execute_sql(
+        spark,
+        "CREATE TABLE events_repart PARTITIONED BY (days(ts)) AS "
+        "SELECT * FROM ev_repart_src "
+        "WHERE ts < TIMESTAMP '2024-01-16 00:00:00'",
+        root=scratch_root(),
+    )
+    execute_sql(
+        spark,
+        "ALTER TABLE events_repart REPLACE PARTITION FIELD days(ts) "
+        "WITH hours(ts)",
+        root=scratch_root(),
+    )
+    execute_sql(
+        spark,
+        "INSERT INTO events_repart SELECT * FROM ev_repart_src "
+        "WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'",
+        root=scratch_root(),
+    )
+    t = SnapshotTable(spark, "events_repart", scratch_root())
+    # new-era hour: hourly dir prunes to one subdir, days dir full-scans
+    new_hour = "2024-01-20-02"
+    pruned_new, audit_new = t.read_pruned_transform("hours(ts)", new_hour)
+    n_new = pruned_new.count()
+    exact_new = int(
+        n_new
+        == t.read()
+        .filter(F.date_format("ts", "yyyy-MM-dd-HH") == new_hour)
+        .count()
+        and n_new > 0
+        and audit_new["subdirs_selected"] == 1
+        and audit_new["dirs_full_scan"] == 1
+    )
+    # old-era hour: the hourly dir has no such subdir and is pruned away
+    old_hour = "2024-01-05-03"
+    pruned_old, audit_old = t.read_pruned_transform("hours(ts)", old_hour)
+    exact_old = int(
+        pruned_old.count()
+        == t.read()
+        .filter(F.date_format("ts", "yyyy-MM-dd-HH") == old_hour)
+        .count()
+        and audit_old["dirs_full_scan"] == 1
+    )
+    return (
+        t.read()
+        .filter(F.to_date("ts") == "2024-01-20")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd-HH").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("value"), 2).alias("sum_value"),
+        )
+        .withColumn("spec_evolution", F.lit("days(ts)->hours(ts)"))
+        .withColumn("hour_prune_exact", F.lit(exact_new).cast("int"))
+        .withColumn("old_era_prune_exact", F.lit(exact_old).cast("int"))
+        .withColumn(
+            "hourly_dir_pruned_for_old_hour",
+            F.lit(int(audit_old["dirs_pruned"] == 1)).cast("int"),
+        )
+        .orderBy("hour")
+    )

@@ -4405,3 +4405,25 @@ def test_table_changes_timestamp_bounds(spark, nation):
             root=scratch_root(),
         )
     t.drop()
+
+
+def test_read_pruned_maps_bucket_literals_through_xxhash(spark, nation):
+    """read_pruned on a bucket(N, key) spec: the literal maps through
+    the SAME xxhash64+pmod expression the writer used, so the listing
+    picks exactly the right bucket subdir and the result equals the
+    plain filter."""
+    from empdia_iceberg_spark.tables.manager import SnapshotTable, scratch_root
+
+    t = SnapshotTable(spark, "t_bucket_prune_unit", scratch_root())
+    t.drop()
+    t.create(nation, partition_by=["bucket(4, n_nationkey)"])
+    for k in (0, 7, 23):
+        got = sorted(
+            r.n_name for r in t.read_pruned("n_nationkey", k).collect()
+        )
+        want = sorted(
+            r.n_name
+            for r in nation.filter(F.col("n_nationkey") == k).collect()
+        )
+        assert got == want, k
+    t.drop()
