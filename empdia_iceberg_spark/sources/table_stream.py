@@ -464,23 +464,29 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                         )
                 continue
             cow = bool(removed or (added and op_is_change))
-            if cow:
-                # scale guard: a CoW commit's delta is a BOTH-SIDES diff
-                # materialized in one task — bounded work for the
-                # trickle-sized change commits CDC streams exist for,
-                # but a table-rewrite commit must fail loudly, not OOM
-                # an executor. Batch changes() handles any size (its
-                # exceptAll is a distributed plan).
-                swapped = sum(
+            # scale guard: a change commit's delta materializes in ONE
+            # task (a CoW diff needs both swapped sides together; a MOR
+            # hit reads its applies-to dirs against the keys) — bounded
+            # work for the trickle-sized commits CDC streams exist for,
+            # but a commit touching rewrite-scale bytes must fail
+            # loudly, not OOM an executor. Batch changes() handles any
+            # size (its exceptAll/semi-joins are distributed plans).
+            guarded_dirs = list(removed + added) if cow else []
+            for dd in new_deletes:
+                guarded_dirs.extend(
+                    d for d in dd.get("applies_to", p_dirs) if d in p_set
+                )
+            if guarded_dirs:
+                touched = sum(
                     os.path.getsize(f)
-                    for d in (removed + (added if cow else []))
+                    for d in set(guarded_dirs)
                     for f in self._files_under(d)
                 )
-                if swapped > self.cdc_cow_max_bytes:
+                if touched > self.cdc_cow_max_bytes:
                     raise ValueError(
-                        f"snapshot_tail read_changes: v{v} swaps "
-                        f"{swapped >> 20} MiB of files — above "
-                        "cdc_cow_max_bytes "
+                        f"snapshot_tail read_changes: v{v} touches "
+                        f"{touched >> 20} MiB of files in its change "
+                        "delta — above cdc_cow_max_bytes "
                         f"({self.cdc_cow_max_bytes >> 20} MiB). Use batch "
                         "table_changes()/changes() for rewrite-sized "
                         "commits, or raise the option."
