@@ -3920,7 +3920,7 @@ def test_insert_overwrite_partition_clause_guards(spark, nation):
     assert t.read().count() == nation.count(), "guard must not overwrite"
     t.drop()
     t.create(nation, partition_by=["n_regionkey"])
-    with pytest.raises(ValueError, match="only name partition columns"):
+    with pytest.raises(ValueError, match="only name partition source columns"):
         execute_dml(
             spark,
             "INSERT OVERWRITE t_dpo_sql_guard_unit "
