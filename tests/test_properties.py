@@ -680,3 +680,32 @@ def test_view_body_self_reference_detection_ignores_literals(body):
 
     stmt = f"SELECT '{body.replace(chr(39), '')} myview ' AS c"
     assert not _re.search(r"\bmyview\b", _mask_literals(stmt))
+
+
+@given(
+    kind=st.sampled_from(["years", "months", "days", "hours", "bucket", "truncate"]),
+    n=st.integers(min_value=1, max_value=4096),
+    col=st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,20}", fullmatch=True),
+    spaces=st.integers(min_value=0, max_value=3),
+)
+def test_partition_transform_parse_canonical_idempotent(kind, n, col, spaces):
+    """canonical_transform is idempotent and whitespace/case-insensitive,
+    and the slug it derives is filesystem-safe — the invariants the
+    hive shadow layout and SHOW CREATE round-trip both lean on."""
+    import re as _re
+
+    from empdia_iceberg_spark.tables.manager import (
+        canonical_transform,
+        transform_slug,
+    )
+
+    pad = " " * spaces
+    if kind in ("bucket", "truncate"):
+        raw = f"{kind.upper()}({pad}{n}{pad},{pad}{col}{pad})"
+    else:
+        raw = f"{kind.title()}({pad}{col}{pad})"
+    canon = canonical_transform(raw)
+    assert canonical_transform(canon) == canon
+    slug = transform_slug(canon)
+    assert _re.fullmatch(r"[A-Za-z0-9_]+", slug), slug
+    assert transform_slug(raw) == slug
