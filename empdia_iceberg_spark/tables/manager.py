@@ -3318,12 +3318,56 @@ class SnapshotTable:
             groups[(applicable, _defcols(d))].append(d)
         parts = []
         for (applicable, defcols), group_dirs in groups.items():
-            # position deletes key on (file, ordinal), so any applicable
-            # position entry — or a lineage-requesting caller — reads
-            # through the lineage scan; the columns drop before return
-            need_lineage = with_lineage or any(
-                deletes[i].get("kind") == "position" for i in applicable
-            )
+            pos_idx = [
+                i for i in applicable if deletes[i].get("kind") == "position"
+            ]
+            eq_idx = [
+                i for i in applicable if deletes[i].get("kind") != "position"
+            ]
+            if pos_idx and not with_lineage:
+                # FILE-GRANULAR position application (the read-tax shape
+                # that makes position deletes the cheap form): only the
+                # files a delete actually references pay the lineage
+                # scan + anti-join; every untouched file reads plain —
+                # O(referenced files), not O(group). The referenced-path
+                # set is a bounded driver probe (position deletes are
+                # point-shaped by design; a huge set falls back to the
+                # whole-group lineage read below).
+                ref = self._referenced_pos_files(pos_idx, deletes)
+                if ref is not None:
+                    all_files = [
+                        f for d in group_dirs for f in self._walk_parquet(d)
+                    ]
+                    touched = [f for f in all_files if "file:" + f in ref]
+                    plain = [f for f in all_files if "file:" + f not in ref]
+                    sides = []
+                    if plain:
+                        sides.append(
+                            self._read_dirs(plain, merge_schema, meta["schema"])
+                        )
+                    if touched:
+                        hit = self._read_dirs_lineage(touched, meta["schema"])
+                        for i in pos_idx:
+                            hit = self._apply_position_delete(hit, deletes[i])
+                        sides.append(hit.drop(self._POS_FILE, self._POS_IDX))
+                    part = sides[0]
+                    for s_ in sides[1:]:
+                        part = part.unionByName(s_)
+                    for i in eq_idx:
+                        keys = self.spark.read.parquet(deletes[i]["dir"])
+                        part = part.join(
+                            keys, on=deletes[i]["key"], how="left_anti"
+                        )
+                    for c in sorted(defcols):
+                        expr_s, dtype, _pre = defaults[c]
+                        part = part.withColumn(
+                            c, F.coalesce(F.col(c), F.expr(expr_s).cast(dtype))
+                        )
+                    parts.append(part)
+                    continue
+            # lineage-requesting callers (and the huge-delete fallback)
+            # read the whole group through the lineage scan
+            need_lineage = with_lineage or bool(pos_idx)
             part = (
                 self._read_dirs_lineage(group_dirs, meta["schema"])
                 if need_lineage
@@ -3510,6 +3554,40 @@ class SnapshotTable:
             F.col("_metadata.file_path").alias(self._POS_FILE),
             F.col("_metadata.row_index").alias(self._POS_IDX),
         )
+
+    @staticmethod
+    def _walk_parquet(d: str) -> list[str]:
+        """Deterministic sorted parquet listing of one data dir."""
+        out = []
+        for r_, ds_, fs in os.walk(d):
+            ds_.sort()
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    out.append(os.path.join(r_, f))
+        return out
+
+    # above this many referenced files, file-granular position-delete
+    # application falls back to the whole-group lineage read (the probe
+    # is a driver collect of DISTINCT file paths — bounded for the
+    # point-shaped deletes the feature exists for)
+    _POS_REF_FILE_CAP = 10_000
+
+    def _referenced_pos_files(self, pos_idx, deletes) -> set | None:
+        """Distinct file paths the given position-delete entries touch,
+        or None when the set exceeds _POS_REF_FILE_CAP."""
+        ref: set = set()
+        for i in pos_idx:
+            rows = (
+                self.spark.read.parquet(deletes[i]["dir"])
+                .select("file_path")
+                .distinct()
+                .limit(self._POS_REF_FILE_CAP + 1)
+                .collect()
+            )
+            if len(rows) > self._POS_REF_FILE_CAP:
+                return None
+            ref |= {r["file_path"] for r in rows}
+        return ref if len(ref) <= self._POS_REF_FILE_CAP else None
 
     def _apply_position_delete(self, part: DataFrame, dd: dict) -> DataFrame:
         """Anti-join one position-delete file against a lineage-bearing

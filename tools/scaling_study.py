@@ -101,6 +101,7 @@ STUDY_TABLES = {
     "cdc_apply": ["orders"],
     "dpo": ["orders"],
     "hidden_prune": ["events"],
+    "posdel_read_tax": ["orders"],
 }
 STUDY_QUERY = {
     "q1": "q1_pricing_agg",
@@ -119,6 +120,7 @@ STUDY_QUERY = {
     "cdc_apply": "table_merge_dml",  # nominal; custom runner below
     "dpo": "table_insert_overwrite_dml",  # nominal; custom runner below
     "hidden_prune": "table_partition_transforms_sql",  # nominal; custom runner below
+    "posdel_read_tax": "table_position_delete_dml",  # nominal; custom runner below
 }
 # Studies sharing one scaled dataset (the A/B variants must time the
 # SAME files, and q3_bucketed layers a layout on q3's data).
@@ -134,6 +136,7 @@ _DATASET_ALIAS = {
     "cdc_apply": "window_rank",  # shares the orders ×k replicas
     "dpo": "window_rank",  # shares the orders ×k replicas
     "hidden_prune": "events_hourly",  # shares the events ×k replicas
+    "posdel_read_tax": "window_rank",  # shares the orders ×k replicas
 }
 # q1 is the one study whose scaling mode is BIGGER groups, not more
 # groups (its output is always the 4 returnflag/linestatus rows):
@@ -734,6 +737,113 @@ def run_dpo_study(
     }
 
 
+def run_posdel_read_tax_study(spark, scale: int, reps: int) -> dict:
+    """The read tax of the two MOR delete forms priced (r14): after ONE
+    point delete on a ×scale orders table, what does every subsequent
+    full read pay? An equality delete anti-joins a table-column key
+    against every applies-to row forever (until compaction); a position
+    delete anti-joins the two lineage columns the scan already produces.
+    Timed: the identical count+sum rollup over (a) the clean base table,
+    (b) the table after delete_where_mor (equality), (c) the table after
+    delete_where_position — same files, same rollup, fresh plans,
+    best-of-reps. Value parity asserted: (b) and (c) read identical row
+    sets. Spark-only by design (this prices two engine paths against
+    each other; there is no DuckDB twin of a MOR read)."""
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.sources.tables import load
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    sf_dir = build_dataset("posdel_read_tax", scale)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    k0 = orders.agg(F.min("o_orderkey")).first()[0]
+
+    def rollup(df):
+        return (
+            df.groupBy(F.lit(1).alias("g"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("s"),
+            )
+            .collect()
+        )
+
+    def best_of(t):
+        rollup(t.read())  # warm
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = rollup(t.read())
+            b = min(b, time.perf_counter() - t0)
+        return b, rows
+
+    # 16-file layout: the representative shape (every production writer
+    # targets 64-256 MB files, so a point delete touches ONE of many
+    # files); a single-file table would make the file-granular position
+    # path degenerate to a whole-table lineage scan. The create path's
+    # target-file-size coalesce would fold a small-SF study table back
+    # to 1-2 files, so the study pins a proportionally smaller target —
+    # same files-per-table SHAPE a 100 TB table has at 128 MB files.
+    import empdia_iceberg_spark.tables.manager as _M
+
+    # file COUNT scales with the table so file SIZE stays fixed — the
+    # production invariant (128 MB files). Holding count fixed instead
+    # would grow the touched file with the table and mismeasure the
+    # position tax as O(table).
+    n_files = max(8, scale // 6)
+    orders16 = orders.repartition(n_files, "o_orderkey")
+    _saved_target = _M.TARGET_FILE_BYTES
+    _M.TARGET_FILE_BYTES = 8 * 1024 * 1024
+
+    base = SnapshotTable(spark, "orders_posdel_base")
+    base.drop()
+    base.create(orders16)
+    clean_sec, _ = best_of(base)
+
+    eq = SnapshotTable(spark, "orders_posdel_eq")
+    eq.drop()
+    eq.create(orders16)
+    eq.delete_where_mor(F.col("o_orderkey") == k0, key="o_orderkey")
+    eq_sec, eq_rows = best_of(eq)
+
+    pos = SnapshotTable(spark, "orders_posdel_pos")
+    pos.drop()
+    pos.create(orders16)
+    pos.delete_where_position(F.col("o_orderkey") == k0)
+    meta = pos._read_meta(pos.current_version())
+    n_files = sum(
+        len(pos._walk_parquet(d)) for d in meta["dirs"]
+    )
+    n_touched = (
+        spark.read.parquet(meta["delete_dirs"][-1]["dir"])
+        .select("file_path").distinct().count()
+    )
+    assert n_files >= 8 and n_touched == 1, (n_files, n_touched)
+    pos_sec, pos_rows = best_of(pos)
+    _M.TARGET_FILE_BYTES = _saved_target
+    assert eq_rows == pos_rows, "the two delete forms must read identically"
+
+    base.drop(), eq.drop(), pos.drop()
+    print(
+        f"|   posdel_read_tax x{scale}: clean {round(clean_sec, 3)} s, "
+        f"equality-MOR read {round(eq_sec, 3)} s "
+        f"(+{round((eq_sec - clean_sec) * 1000)} ms), "
+        f"position-MOR read {round(pos_sec, 3)} s "
+        f"(+{round((pos_sec - clean_sec) * 1000)} ms)",
+        flush=True,
+    )
+    return {
+        "study": "posdel_read_tax", "scale": scale, "rows": eq_rows[0]["n"],
+        "spark_sec": round(pos_sec, 3), "duckdb_sec": round(eq_sec, 3),
+        "ratio": round(pos_sec / eq_sec, 2),
+    }
+
+
 def run_hidden_prune_study(
     spark, scale: int, reps: int, check: bool, spark_only: bool = False
 ) -> dict:
@@ -963,6 +1073,8 @@ def main() -> None:
                 r = run_hidden_prune_study(
                     spark, scale, args.reps, args.check, args.spark_only
                 )
+            elif study == "posdel_read_tax":
+                r = run_posdel_read_tax_study(spark, scale, args.reps)
             else:
                 r = run_study(spark, study, scale, args.reps, args.check, args.spark_only)
             print(
