@@ -545,7 +545,10 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         fields = [
             (f.name, (f.metadata or {}).get("physical", f.name))
             for f in stored.fields
-            if f.name not in _CDC_COLS  # CDC tag columns are synthesized
+            # the synthesized CDC tag columns exist only in CDC mode's
+            # declared schema; a plain tail over a table with a genuine
+            # column of that name must keep projecting it (ADVICE r14)
+            if not (self.read_changes and f.name in _CDC_COLS)
         ]
         if self.read_changes:
             return self._cdc_partitions(s_v, e_v, fields)
@@ -812,6 +815,14 @@ class SnapshotTailDataSource(DataSource):
             for f in stored.fields
         ]
         if str(self.options.get("read_changes", "false")).lower() == "true":
+            clash = [f.name for f in stored.fields if f.name in _CDC_COLS]
+            if clash:
+                raise ValueError(
+                    f"snapshot_tail read_changes: table {t_name!r} already "
+                    f"has column(s) {clash} — the CDC tag names are "
+                    "reserved in CDC mode (rename the column or use the "
+                    "plain tail)"
+                )
             # CDC mode appends the Delta-CDF tag columns
             fields += [
                 T.StructField("_change_type", T.StringType(), True),

@@ -1507,6 +1507,24 @@ def _changes_bound(t: SnapshotTable, tok: str | None, is_start: bool):
     return best
 
 
+def _ts_literal_parses(lit: str) -> bool:
+    try:
+        _parse_as_of_ts(lit)
+        return True
+    except ValueError:
+        return False
+
+
+def _table_columns(t: SnapshotTable) -> set:
+    import json as _json
+
+    return set(
+        T.StructType.fromJson(
+            _json.loads(t._read_meta(t.current_version())["schema"])
+        ).fieldNames()
+    )
+
+
 def materialize_table_changes(
     spark: SparkSession, statement: str, root: str = DEFAULT_ROOT
 ) -> str:
@@ -1535,11 +1553,24 @@ def materialize_table_changes(
         v1 = _changes_bound(
             t, statement[m.start(2) : m.end(2)], is_start=True
         )
-        v2 = (
-            _changes_bound(t, statement[m.start(3) : m.end(3)], is_start=False)
-            if m.group(3)
-            else None
-        )
+        v2 = None
+        if m.group(3):
+            tok3 = statement[m.start(3) : m.end(3)].strip()
+            lit3 = tok3.strip("'\"")
+            if (
+                key is None
+                and not re.fullmatch(r"\d+", tok3)
+                and not _ts_literal_parses(lit3)
+                and lit3 in _table_columns(t)
+            ):
+                # legacy 3-arg key-folding form table_changes('t', v1,
+                # 'key'): a quoted 3rd arg that is not a timestamp but
+                # IS a table column keeps its pre-r14 meaning (ADVICE
+                # r14 — the widened timestamp-bound regex had turned it
+                # into a hard error)
+                key = lit3
+            else:
+                v2 = _changes_bound(t, tok3, is_start=False)
         view = f"_changes_{name}_{v1}_{v2 if v2 is not None else 'cur'}" + (
             f"_{key}" if key else ""
         )

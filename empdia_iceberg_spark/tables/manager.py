@@ -31,6 +31,7 @@ category), cited against Iceberg's public spec semantics.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -242,6 +243,50 @@ def _dir_within(d: str, bases: tuple) -> bool:
     )
 
 
+# Spark's partitionBy writer hive-escapes partition VALUES in dir names
+# (ExternalCatalogUtils.escapePathName): ASCII 0x01-0x1F plus the chars
+# below become %XX (uppercase hex); null/empty values become the
+# __HIVE_DEFAULT_PARTITION__ sentinel. Prune-time path probes must
+# render values the SAME way or a value containing '/', ':', '=', '%',
+# ... probes a subdir that never exists and silently prunes live rows.
+_HIVE_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f')
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+# value types whose str() provably matches Spark's path rendering
+# (decimal ints, ISO dates/timestamps-mod-escaping, plain strings).
+# bool is an int subclass but renders 'True' vs Spark's 'true'; floats
+# can render scientifically — both fall back to a full dir scan.
+_PATH_EXACT_TYPES = (str, int, datetime.date)
+
+
+def hive_escape_value(v) -> str | None:
+    """Render a partition value exactly as the partitionBy writer does,
+    or None when the value's str() is not provably the writer's
+    rendering (callers full-scan that dir behind the residual filter —
+    pruning is never allowed to change semantics)."""
+    if v is None:
+        return HIVE_DEFAULT_PARTITION
+    if isinstance(v, bool) or not isinstance(v, _PATH_EXACT_TYPES):
+        return None
+    s = str(v)
+    if s == "":
+        return HIVE_DEFAULT_PARTITION
+    return "".join(
+        f"%{ord(c):02X}" if (ord(c) < 0x20 or c in _HIVE_ESCAPE_CHARS) else c
+        for c in s
+    )
+
+
+def hive_unescape_value(s: str) -> str:
+    """Invert the writer's hive path escaping (%XX → char). Decoding
+    dir names is always well-defined — unlike encoding probe values,
+    which is only provable for _PATH_EXACT_TYPES — so range pruning
+    compares DECODED subdir values against the bounds."""
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s
+    )
+
+
 class CommitConflictError(RuntimeError):
     """Optimistic-concurrency failure: the table advanced past the
     snapshot this commit was based on (Iceberg's commit-conflict
@@ -324,6 +369,7 @@ class SnapshotTable:
         # properties/constraints AS OF that version (Iceberg's
         # properties model; Delta's constraints-in-metadata model).
         carried: dict = {}
+        parent_tz = None
         if parent is not None:
             try:
                 pmeta = self._read_meta(parent)
@@ -332,11 +378,36 @@ class SnapshotTable:
                     for k in ("properties", "constraints", "stats", "not_null")
                     if pmeta.get(k)
                 }
+                parent_tz = pmeta.get("tz")
             except FileNotFoundError:
                 pass
         if extra:
             carried.update(extra)
         carried = {k: v for k, v in carried.items() if v}
+        # Time-transform partition values (days/hours/months/years) are
+        # date_format strings rendered in the WRITING session's timezone;
+        # Iceberg's transforms are tz-independent, this hive emulation's
+        # are not (ADVICE r14). Pin the table's tz at first time-
+        # partitioned commit and refuse writes from a differently-zoned
+        # session — a silent mix would place the same instant in two
+        # different day dirs. Prune-time mismatch falls back to full scan.
+        all_specs = [spec or []] + list(dir_specs or [])
+        if any(
+            parse_transform(e)[0] in _TIME_TRANSFORM_FMT
+            for s in all_specs
+            for e in s
+        ):
+            sess_tz = self.spark.conf.get("spark.sql.session.timeZone")
+            if parent_tz is not None and parent_tz != sess_tz:
+                raise ValueError(
+                    f"table {self.name}: time-transform partition values "
+                    f"were written under session timezone {parent_tz!r} but "
+                    f"this session uses {sess_tz!r} — set "
+                    f"spark.sql.session.timeZone={parent_tz} to write"
+                )
+            carried["tz"] = parent_tz or sess_tz
+        elif parent_tz is not None:
+            carried["tz"] = parent_tz
         os.makedirs(self.meta_dir, exist_ok=True)
         # The metadata publish must be a true atomic CREATE, not a
         # check-then-rename: two racing writers can both read the same
@@ -2621,6 +2692,13 @@ class SnapshotTable:
                 .distinct()
                 .collect()
             ]
+            if not ref_files:
+                # zero matching rows: committing an empty delete entry
+                # would be a no-op for reads but permanently flip the
+                # table into "has MOR deletes" (ADVICE r14 — it blocked
+                # transform-pruned reads until a full compact)
+                shutil.rmtree(dd, ignore_errors=True)
+                return cur
 
             def _holds(d: str) -> bool:
                 pre = "file:" + d.rstrip(os.sep) + os.sep
@@ -3310,10 +3388,13 @@ class SnapshotTable:
 
         groups: dict[tuple, list[str]] = defaultdict(list)
         for d in dirs:
+            # _dir_within, not membership: pruned reads pass hive
+            # SUBdirs of a recorded data dir, which inherit the parent
+            # dir's applicable delete set (equal paths still match)
             applicable = tuple(
                 i
                 for i, dd in enumerate(deletes)
-                if d in dd.get("applies_to", meta["dirs"])
+                if _dir_within(d, tuple(dd.get("applies_to", meta["dirs"])))
             )
             groups[(applicable, _defcols(d))].append(d)
         parts = []
@@ -3631,11 +3712,28 @@ class SnapshotTable:
         meta = self._read_meta(cur)
         chosen: list[str] = []
         tval_cache: dict[str, object] = {}
+        tz_ok = meta.get("tz") in (
+            None,
+            self.spark.conf.get("spark.sql.session.timeZone"),
+        )
         for d, spec in zip(meta["dirs"], self._dir_specs(meta)):
             if spec and transform_source(spec[0]) == col:
                 e = spec[0]
+                if parse_transform(e)[0] in _TIME_TRANSFORM_FMT and not tz_ok:
+                    # dir values were rendered under a different session
+                    # timezone — probing would silently drop rows; read
+                    # the dir whole behind the residual filter instead
+                    chosen.append(d)
+                    continue
                 if e not in tval_cache:
-                    tval_cache[e] = self._prune_value(e, value, meta["schema"])
+                    tval_cache[e] = hive_escape_value(
+                        self._prune_value(e, value, meta["schema"])
+                    )
+                if tval_cache[e] is None:
+                    # str(value) is not provably the writer's rendering
+                    # (bool/float/decimal): full-scan behind the residual
+                    chosen.append(d)
+                    continue
                 sub = os.path.join(
                     d, f"_p_{transform_slug(e)}={tval_cache[e]}"
                 )
@@ -3645,37 +3743,11 @@ class SnapshotTable:
                 chosen.append(d)
         if not chosen:
             return self.read(version).filter(F.col(col) == F.lit(value)).limit(0)
-        defaults = self._schema_defaults(meta["schema"])
-        part = self._read_dirs(chosen, schema_json=meta["schema"])
-        if defaults:
-            # pruned reads surface initial-defaults too (the predicate
-            # may target the defaulted column): same per-dir grouping as
-            # _read_dirs_mor, so an explicit NULL in a post-evolve file
-            # is never masked by the default
-            from collections import defaultdict
-
-            groups = defaultdict(list)
-            for d in chosen:
-                groups[
-                    frozenset(
-                        c
-                        for c, (_e, _t, pre) in defaults.items()
-                        if _dir_within(d, pre)
-                    )
-                ].append(d)
-            if any(groups):
-                parts = []
-                for defcols, group_dirs in groups.items():
-                    p_ = self._read_dirs(group_dirs, schema_json=meta["schema"])
-                    for c in sorted(defcols):
-                        e, t_, _pre = defaults[c]
-                        p_ = p_.withColumn(
-                            c, F.coalesce(F.col(c), F.expr(e).cast(t_))
-                        )
-                    parts.append(p_)
-                part = parts[0]
-                for p_ in parts[1:]:
-                    part = part.unionByName(p_)
+        # the MOR-composed read: live equality/position deletes and
+        # initial-defaults apply to the pruned subdir listing exactly as
+        # they do to a full read (r15 — previously this path read raw
+        # dirs, which would have resurrected MOR-deleted rows)
+        part = self._read_dirs_mor(meta, chosen)
         return part.filter(F.col(col) == F.lit(value))
 
     def read_pruned_transform(
@@ -3695,16 +3767,19 @@ class SnapshotTable:
         entry = canonical_transform(entry)
         cur = version if version is not None else self.current_version()
         meta = self._read_meta(cur)
-        if meta.get("delete_dirs"):
-            raise ValueError(
-                f"table {self.name}: pruned transform reads over MOR "
-                "delete files are unsupported — compact first"
-            )
         chosen: list[str] = []
         audit = {"dirs_pruned": 0, "subdirs_selected": 0, "dirs_full_scan": 0}
+        tz_ok = meta.get("tz") in (
+            None,
+            self.spark.conf.get("spark.sql.session.timeZone"),
+        )
+        is_time = parse_transform(entry)[0] in _TIME_TRANSFORM_FMT
+        esc = hive_escape_value(tvalue)
         for d, spec in zip(meta["dirs"], self._dir_specs(meta)):
-            if spec and spec[0] == entry:
-                sub = os.path.join(d, f"_p_{transform_slug(entry)}={tvalue}")
+            if spec and spec[0] == entry and esc is not None and (
+                tz_ok or not is_time
+            ):
+                sub = os.path.join(d, f"_p_{transform_slug(entry)}={esc}")
                 if os.path.isdir(sub):
                     chosen.append(sub)
                     audit["subdirs_selected"] += 1
@@ -3719,10 +3794,272 @@ class SnapshotTable:
             transform_expr_on(F.col(src), schema[src].dataType, entry)
             == F.lit(tvalue)
         )
+        audit["mor_deletes_applied"] = len(meta.get("delete_dirs", []))
         if not chosen:
             return self.read(version).filter(residual).limit(0), audit
-        df = self._read_dirs(chosen, schema_json=meta["schema"])
+        # MOR composition (r15): chosen subdirs flow through the same
+        # merge-on-read group machinery as a full read — a subdir
+        # inherits its parent data dir's applicable delete set — so
+        # live-delete tables prune too instead of raising
+        df = self._read_dirs_mor(meta, chosen)
         return df.filter(residual), audit
+
+    def read_pruned_transform_range(
+        self,
+        entry: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Hidden-partitioning pruned RANGE read: every row whose
+        transform value falls in [lo, hi], both ends inclusive, either
+        end None for an open range — `ts BETWEEN a AND b` over a
+        days(ts) table is the dominant event-table read shape this
+        serves (Iceberg: a manifest range scan over partition bounds).
+
+        Dirs whose spec leads with ``entry`` list their hive subdirs
+        once (driver-side, metadata-sized) and keep only those whose
+        DECODED value — the writer's hive path escaping inverted — lies
+        in the range; dirs under other specs read whole. The residual
+        transform predicate applies to every row, so the result is
+        exactly read().filter(lo <= transform(col) <= hi) regardless of
+        layout. The __HIVE_DEFAULT_PARTITION__ subdir (NULL transform
+        value) is always pruned: NULL fails any range residual.
+        Composes with merge-on-read like the point read. Time-transform
+        values compare lexicographically (the date_format renderings
+        are fixed-width per transform, so string order IS chronological
+        order); integer truncate values compare numerically; bucket()
+        has no ordering semantics and is refused."""
+        entry = canonical_transform(entry)
+        kind, _n, src = parse_transform(entry)
+        if kind == "bucket":
+            raise ValueError(
+                "range pruning over bucket() has no ordering semantics"
+            )
+        if lo is None and hi is None:
+            raise ValueError("range pruning needs at least one bound")
+        cur = version if version is not None else self.current_version()
+        meta = self._read_meta(cur)
+        tz_ok = meta.get("tz") in (
+            None,
+            self.spark.conf.get("spark.sql.session.timeZone"),
+        )
+        is_time = kind in _TIME_TRANSFORM_FMT
+        as_int = isinstance(lo if lo is not None else hi, int) and not isinstance(
+            lo if lo is not None else hi, bool
+        )
+
+        def _in_range(decoded: str) -> bool:
+            if decoded == HIVE_DEFAULT_PARTITION:
+                return False
+            if as_int:
+                try:
+                    v: object = int(decoded)
+                except ValueError:
+                    return False
+            else:
+                v = decoded
+            return (lo is None or v >= lo) and (hi is None or v <= hi)
+
+        slug = transform_slug(entry)
+        chosen: list[str] = []
+        audit = {
+            "dirs_pruned": 0,
+            "subdirs_selected": 0,
+            "subdirs_pruned": 0,
+            "dirs_full_scan": 0,
+        }
+        for d, spec in zip(meta["dirs"], self._dir_specs(meta)):
+            if spec and spec[0] == entry and (tz_ok or not is_time):
+                subs = self._subdir_values(d, slug)
+                picked = [p for p, val in subs if _in_range(val)]
+                chosen.extend(sorted(picked))
+                audit["subdirs_selected"] += len(picked)
+                audit["subdirs_pruned"] += len(subs) - len(picked)
+                if not picked:
+                    audit["dirs_pruned"] += 1
+            else:
+                chosen.append(d)
+                audit["dirs_full_scan"] += 1
+        audit["mor_deletes_applied"] = len(meta.get("delete_dirs", []))
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        texpr = transform_expr_on(F.col(src), schema[src].dataType, entry)
+        residual = F.lit(True)
+        if lo is not None:
+            residual = residual & (texpr >= F.lit(lo))
+        if hi is not None:
+            residual = residual & (texpr <= F.lit(hi))
+        if not chosen:
+            return self.read(version).filter(residual).limit(0), audit
+        df = self._read_dirs_mor(meta, chosen)
+        return df.filter(residual), audit
+
+    # python-side strftime renderings of the time transforms — same
+    # output as the writer's date_format under a MATCHING session tz
+    # (the tz_ok guard refuses the probe otherwise), letting the SQL
+    # prune path convert timestamp bounds without a Spark job per bound
+    _TIME_STRFTIME = {
+        "years": "%Y",
+        "months": "%Y-%m",
+        "days": "%Y-%m-%d",
+        "hours": "%Y-%m-%d-%H",
+    }
+
+    def read_pruned_for_bounds(
+        self, bounds: dict, version: int | None = None
+    ) -> tuple[DataFrame, dict]:
+        """The SQL front-end's pruned read (r15): ``bounds`` maps a
+        partition SOURCE column to an inclusive raw-value range
+        ``(lo, hi)`` (python datetime/date/str/int; None = open end)
+        extracted from a statement's top-level WHERE conjuncts. Returns
+        ``(df, audit)`` where df is a SUPERSET of
+        ``read().filter(<conjuncts>)`` — the statement re-applies its
+        own WHERE over the temp view, so the query's filter IS the
+        residual and the final result is provably identical to running
+        against the full read.
+
+        Every transform except bucket() is MONOTONE (prefix/floor/
+        date_format truncations), so a raw-value range maps through the
+        transform to a transform-value range [T(lo), T(hi)]; bucket()
+        participates only for point bounds (lo == hi), mapped through
+        the writer's own xxhash64 probe. Subdir values are compared
+        DECODED (hive unescaping inverted), the
+        __HIVE_DEFAULT_PARTITION__ subdir always prunes (a NULL source
+        fails every bound conjunct under SQL semantics), and a
+        mismatched session timezone or unconvertible bound degrades
+        that dir to a full scan — pruning can only ever widen, never
+        drop, the row set. Composes with merge-on-read."""
+        cur = version if version is not None else self.current_version()
+        meta = self._read_meta(cur)
+        tz_ok = meta.get("tz") in (
+            None,
+            self.spark.conf.get("spark.sql.session.timeZone"),
+        )
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        audit = {
+            "dirs_pruned": 0,
+            "subdirs_selected": 0,
+            "subdirs_pruned": 0,
+            "dirs_full_scan": 0,
+        }
+        _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        tcache: dict[str, tuple | None] = {}
+
+        def _tbounds(e: str) -> tuple | None:
+            """entry -> inclusive (tlo, thi) in TRANSFORM-value space,
+            or None when the bound cannot be provably converted (that
+            dir full-scans)."""
+            if e in tcache:
+                return tcache[e]
+            kind, n, src = parse_transform(e)
+            lo, hi = bounds[src]
+            dtype = schema[src].dataType if src in schema.fieldNames() else None
+            res: tuple | None = None
+            try:
+                if kind in _TIME_TRANSFORM_FMT:
+                    if tz_ok and all(
+                        v is None or isinstance(v, (datetime.datetime, datetime.date))
+                        for v in (lo, hi)
+                    ):
+                        fmt = self._TIME_STRFTIME[kind]
+                        res = (
+                            lo.strftime(fmt) if lo is not None else None,
+                            hi.strftime(fmt) if hi is not None else None,
+                        )
+                elif kind == "identity":
+                    if isinstance(dtype, T.StringType) and all(
+                        v is None or isinstance(v, str) for v in (lo, hi)
+                    ):
+                        res = (lo, hi)
+                    elif isinstance(dtype, _INT_TYPES) and all(
+                        v is None
+                        or (isinstance(v, int) and not isinstance(v, bool))
+                        for v in (lo, hi)
+                    ):
+                        res = (lo, hi)
+                elif kind == "truncate":
+                    if isinstance(dtype, T.StringType) and all(
+                        v is None or isinstance(v, str) for v in (lo, hi)
+                    ):
+                        res = (
+                            lo[:n] if lo is not None else None,
+                            hi[:n] if hi is not None else None,
+                        )
+                    elif isinstance(dtype, _INT_TYPES) and all(
+                        v is None
+                        or (isinstance(v, int) and not isinstance(v, bool))
+                        for v in (lo, hi)
+                    ):
+                        res = (
+                            lo - lo % n if lo is not None else None,
+                            hi - hi % n if hi is not None else None,
+                        )
+                elif kind == "bucket":
+                    if lo is not None and lo == hi:
+                        b = self._prune_value(e, lo, meta["schema"])
+                        res = (int(b), int(b))
+            except Exception:
+                res = None
+            if res == (None, None):
+                res = None
+            tcache[e] = res
+            return res
+
+        chosen: list[str] = []
+        for d, spec in zip(meta["dirs"], self._dir_specs(meta)):
+            e = spec[0] if spec else None
+            if e is None or transform_source(e) not in bounds:
+                chosen.append(d)
+                audit["dirs_full_scan"] += 1
+                continue
+            tb = _tbounds(e)
+            if tb is None:
+                chosen.append(d)
+                audit["dirs_full_scan"] += 1
+                continue
+            tlo, thi = tb
+            as_int = isinstance(tlo if tlo is not None else thi, int)
+            picked = []
+            for p, val in self._subdir_values(d, transform_slug(e)):
+                if val == HIVE_DEFAULT_PARTITION:
+                    audit["subdirs_pruned"] += 1
+                    continue
+                v: object = val
+                if as_int:
+                    try:
+                        v = int(val)
+                    except ValueError:
+                        audit["subdirs_pruned"] += 1
+                        continue
+                if (tlo is None or v >= tlo) and (thi is None or v <= thi):
+                    picked.append(p)
+                else:
+                    audit["subdirs_pruned"] += 1
+            chosen.extend(sorted(picked))
+            audit["subdirs_selected"] += len(picked)
+            if not picked:
+                audit["dirs_pruned"] += 1
+        audit["mor_deletes_applied"] = len(meta.get("delete_dirs", []))
+        if not chosen:
+            return self.read(version).limit(0), audit
+        return self._read_dirs_mor(meta, chosen), audit
+
+    def _subdir_values(self, d: str, slug: str) -> list[tuple[str, str]]:
+        """(subdir path, hive-DECODED partition value) for each
+        `_p_<slug>=*` hive subdir of data dir ``d`` — one driver-side
+        listdir, metadata-sized (subdir count = distinct partition
+        values in the dir, never row- or file-proportional)."""
+        pre = f"_p_{slug}="
+        out = []
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return out
+        for nm in names:
+            full = os.path.join(d, nm)
+            if nm.startswith(pre) and os.path.isdir(full):
+                out.append((full, hive_unescape_value(nm[len(pre):])))
+        return out
 
     def changes(
         self,

@@ -4397,11 +4397,21 @@ def test_table_changes_timestamp_bounds(spark, nation):
             f"SELECT * FROM table_changes('t_chts_unit', '{_time.time() + 60}')",
             root=scratch_root(),
         )
-    # a non-timestamp string bound points at the key-folding signature
-    with pytest.raises(ValueError, match="FOURTH argument"):
+    # a quoted 3rd arg that is not a timestamp but IS a table column
+    # keeps its legacy key-folding meaning (ADVICE r14): same rows as
+    # the explicit 4-arg form
+    legacy = execute_sql(
+        spark,
+        "SELECT count(*) AS n FROM "
+        "table_changes('t_chts_unit', 1, 'n_nationkey')",
+        root=scratch_root(),
+    ).collect()[0]["n"]
+    assert legacy == nation.count()
+    # a quoted 3rd arg that is neither timestamp nor column still errors
+    with pytest.raises(ValueError, match="neither a version number"):
         execute_sql(
             spark,
-            "SELECT * FROM table_changes('t_chts_unit', 1, 'n_nationkey')",
+            "SELECT * FROM table_changes('t_chts_unit', 1, 'not_a_col')",
             root=scratch_root(),
         )
     t.drop()
