@@ -91,6 +91,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # displacing the bottom of the r8 block below the marker
 # (same-round-driver-row rule).
 _SWEEP_PRIORITY = [
+    "table_sql_pruned_read",  # NEW r15
+    "table_range_mor_pruned_read",  # NEW r15
     "table_partition_transforms_sql",  # r15-changed path
     "table_partition_replace_sql",  # r15-changed path
     "table_position_delete_dml",  # r15-changed path

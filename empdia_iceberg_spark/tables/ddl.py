@@ -578,7 +578,9 @@ def _should_register(spark: SparkSession, name: str) -> bool:
     return True
 
 
-def materialize_tables(spark: SparkSession, statement: str, root: str) -> None:
+def materialize_tables(
+    spark: SparkSession, statement: str, root: str
+) -> list[str]:
     """Make bare snapshot-table references resolvable: any identifier in
     the (literal-masked) statement that names a snapshot table under the
     catalog root gets its CURRENT state registered as a temp view —
@@ -587,13 +589,15 @@ def materialize_tables(spark: SparkSession, statement: str, root: str) -> None:
     state after a write. A temp view the USER registered always wins
     (tracked via _AUTO_MATERIALIZED), and view materialization runs
     first, so the precedence is: user temp views > persisted views >
-    snapshot tables."""
+    snapshot tables. Returns the table names registered for THIS
+    statement (the SQL-prune pass inspects exactly those)."""
     import os as _os
 
     if not _os.path.isdir(root):
-        return
+        return []
     masked = _mask_literals(statement)
     live = set()
+    registered: list[str] = []
     for name in sorted(_os.listdir(root)):
         if not _os.path.isdir(_os.path.join(root, name, "_meta")):
             continue
@@ -605,6 +609,7 @@ def materialize_tables(spark: SparkSession, statement: str, root: str) -> None:
         t = SnapshotTable(spark, name, root)
         if t.current_version() is not None:
             t.read().createOrReplaceTempView(name)
+            registered.append(name)
     # a DROPped table or view must stop resolving through OUR stale
     # registration (a user temp view is untouched — not in the set)
     views = set(_view_names(root))
@@ -613,6 +618,7 @@ def materialize_tables(spark: SparkSession, statement: str, root: str) -> None:
         if sid == id(spark) and name not in live and name not in views:
             spark.catalog.dropTempView(name)
             _AUTO_MATERIALIZED.discard(key)
+    return registered
 
 
 def show_create_view(spark: SparkSession, name: str, root: str) -> DataFrame:
@@ -1624,11 +1630,23 @@ def execute_sql(
     # VIEW manage the catalog and must not resolve their own target
     if not (_CREATE_VIEW.match(statement) or _DROP_VIEW.match(statement)):
         materialize_views(spark, statement, root, depth=_view_depth)
-    materialize_tables(spark, statement, root)
+    registered = materialize_tables(spark, statement, root)
     head = statement.lstrip().lstrip("(").split(None, 1)
     kw = head[0].upper() if head else ""
     if kw in ("SELECT", "WITH"):
-        return spark.sql(statement)
+        df = spark.sql(statement)
+        if registered:
+            # partition pruning for the SQL read path: if Catalyst
+            # pushed partition-source predicates onto a table's scan,
+            # re-bind that table's temp view to the dir-pruned read and
+            # re-analyze (sqlprune module; falls back to the full plan
+            # whenever scoping or bounds can't be PROVEN)
+            from .sqlprune import try_sql_prune
+
+            pruned = try_sql_prune(spark, df, statement, root, registered)
+            if pruned is not None:
+                return pruned
+        return df
     if kw in ("INSERT", "UPDATE", "DELETE", "MERGE"):
         return execute_dml(spark, statement, root, mor_key)
     if kw in ("DESCRIBE", "DESC"):
@@ -2898,4 +2916,228 @@ def table_partition_replace_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(int(audit_old["dirs_pruned"] == 1)).cast("int"),
         )
         .orderBy("hour")
+    )
+
+
+@register(
+    "table_sql_pruned_read",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_rows,
+           round({sql_sum2("value")}, 2) AS sum_value,
+           CAST(1 AS INT) AS dirs_pruned,
+           CAST(1 AS INT) AS subdirs_selected,
+           CAST(0 AS INT) AS dirs_full_scan,
+           CAST(1 AS INT) AS pruned_eq_full,
+           CAST(3 AS INT) AS range_subdirs_selected,
+           CAST(1 AS INT) AS range_eq_full,
+           CAST(1 AS INT) AS prune_declined_nonpartition
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Partition pruning on the SQL READ path (VERDICT r14 ask #1): "
+    "`SELECT ... FROM events_sqlp WHERE CAST(ts AS DATE) = d` through "
+    "plain execute_sql binds the temp view to a dir-pruned read — the "
+    "scoping is proven by CATALYST's own pushed-down filters in the "
+    "optimized plan (the CAST rewrites to timestamp range bounds via "
+    "UnwrapCastInBinaryComparison), mapped through the monotone "
+    "days(ts) transform onto hive subdir selection (sqlprune.py). The "
+    "story CTAS-loads the first half-month and INSERTs the second "
+    "(two data dirs), then hash-pins: the one-day statement selected "
+    "exactly 1 subdir and PRUNED the second dir entirely (dirs_pruned="
+    "1, subdirs_selected=1, dirs_full_scan=0) with rows identical to "
+    "the full-view evaluation (pruned_eq_full=1); a BETWEEN statement "
+    "range-prunes to 3 subdirs (range_subdirs_selected=3, range_eq_"
+    "full=1); and a statement filtering a NON-partition column "
+    "correctly declines to prune (prune_declined_nonpartition=1 — the "
+    "no-false-prune guard). At 100 TB this is the difference between "
+    "the flat 0.38 s one-day read and the 7.8 s linear full scan the "
+    "r14 scaling study measured — now reachable from PLAIN SQL, which "
+    "is the path users actually write.",
+)
+def table_sql_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sqlprune import LAST_SQL_PRUNE_AUDITS
+
+    load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).createOrReplaceTempView("ev_sqlp_src")
+    execute_sql(spark, "DROP TABLE IF EXISTS events_sqlp", root=scratch_root())
+    execute_sql(
+        spark,
+        "CREATE TABLE events_sqlp PARTITIONED BY (days(ts)) AS "
+        "SELECT * FROM ev_sqlp_src WHERE ts < TIMESTAMP '2024-01-16 00:00:00'",
+        root=scratch_root(),
+    )
+    execute_sql(
+        spark,
+        "INSERT INTO events_sqlp SELECT * FROM ev_sqlp_src "
+        "WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'",
+        root=scratch_root(),
+    )
+    t = SnapshotTable(spark, "events_sqlp", scratch_root())
+    # (a) the one-day statement through PLAIN SQL
+    LAST_SQL_PRUNE_AUDITS.clear()
+    day_df = execute_sql(
+        spark,
+        "SELECT event_type, count(*) AS n_rows, "
+        "round(CAST(sum(CAST(value AS decimal(18,2))) AS DOUBLE), 2) "
+        "AS sum_value FROM events_sqlp "
+        "WHERE CAST(ts AS DATE) = DATE '2024-01-03' "
+        "GROUP BY event_type",
+        root=scratch_root(),
+    )
+    rows = day_df.collect()
+    audit = dict(LAST_SQL_PRUNE_AUDITS.get("events_sqlp") or {})
+    n_stmt = sum(r["n_rows"] for r in rows)
+    n_full = t.read().filter(F.to_date("ts") == F.lit("2024-01-03")).count()
+    pruned_eq_full = int(n_stmt == n_full and n_stmt > 0)
+    # (b) the BETWEEN statement range-prunes across subdirs
+    LAST_SQL_PRUNE_AUDITS.clear()
+    n_rng = execute_sql(
+        spark,
+        "SELECT count(*) AS c FROM events_sqlp WHERE ts BETWEEN "
+        "TIMESTAMP '2024-01-02 00:00:00' AND TIMESTAMP '2024-01-04 23:59:59'",
+        root=scratch_root(),
+    ).collect()[0]["c"]
+    rng_audit = dict(LAST_SQL_PRUNE_AUDITS.get("events_sqlp") or {})
+    n_rng_full = (
+        t.read()
+        .filter(
+            F.col("ts").between(
+                F.lit("2024-01-02 00:00:00").cast("timestamp"),
+                F.lit("2024-01-04 23:59:59").cast("timestamp"),
+            )
+        )
+        .count()
+    )
+    range_eq_full = int(n_rng == n_rng_full and n_rng > 0)
+    # (c) a non-partition predicate must DECLINE to prune
+    LAST_SQL_PRUNE_AUDITS.clear()
+    execute_sql(
+        spark,
+        "SELECT count(*) AS c FROM events_sqlp WHERE user_id = 42",
+        root=scratch_root(),
+    ).collect()
+    declined = int("events_sqlp" not in LAST_SQL_PRUNE_AUDITS)
+    return (
+        day_df.withColumn(
+            "dirs_pruned", F.lit(audit.get("dirs_pruned", -1)).cast("int")
+        )
+        .withColumn(
+            "subdirs_selected",
+            F.lit(audit.get("subdirs_selected", -1)).cast("int"),
+        )
+        .withColumn(
+            "dirs_full_scan",
+            F.lit(audit.get("dirs_full_scan", -1)).cast("int"),
+        )
+        .withColumn("pruned_eq_full", F.lit(pruned_eq_full).cast("int"))
+        .withColumn(
+            "range_subdirs_selected",
+            F.lit(rng_audit.get("subdirs_selected", -1)).cast("int"),
+        )
+        .withColumn("range_eq_full", F.lit(range_eq_full).cast("int"))
+        .withColumn(
+            "prune_declined_nonpartition", F.lit(declined).cast("int")
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "table_range_mor_pruned_read",
+    oracle=f"""
+    WITH live AS (
+        SELECT CAST(ts AS DATE) AS d, value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-04'
+          AND NOT (event_type = 'purchase'
+                   AND CAST(ts AS DATE) = DATE '2024-01-03')
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           count(*) AS n_rows,
+           round({sql_sum2("value")}, 2) AS sum_value,
+           CAST(3 AS INT) AS subdirs_selected,
+           CAST(1 AS INT) AS dirs_pruned,
+           CAST(1 AS INT) AS mor_deletes_applied,
+           CAST(1 AS INT) AS range_eq_full
+    FROM live
+    GROUP BY d
+    ORDER BY day
+    """,
+    doc="Range + merge-on-read composition for transform-pruned reads "
+    "(VERDICT r14 ask #2): a 3-day `read_pruned_transform_range` over "
+    "a days(ts) table carrying ONE LIVE equality-delete file — the "
+    "shape real event tables are in (trickle deletes between "
+    "compactions, reads always ranged). The story CTAS-loads the "
+    "first half-month, INSERTs the second, MOR-deletes one day's "
+    "'purchase' rows by key (no rewrite — the delete file rides the "
+    "snapshot), then range-reads days 02–04: the first dir "
+    "contributes exactly its 3 in-range subdirs, the second dir has "
+    "none and is PRUNED from the listing (subdirs_selected=3, dirs_"
+    "pruned=1), the delete file anti-joins INSIDE the pruned read "
+    "(mor_deletes_applied=1, the deleted day-03 purchases are gone "
+    "from the aggregate the oracle pins), and the result equals the "
+    "full MOR read's filter (range_eq_full=1 — pruning is never a "
+    "semantics change). Pre-r15 this read RAISED 'compact first'.",
+)
+def table_range_mor_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).createOrReplaceTempView("ev_rngmor_src")
+    execute_sql(
+        spark, "DROP TABLE IF EXISTS events_rngmor", root=scratch_root()
+    )
+    execute_sql(
+        spark,
+        "CREATE TABLE events_rngmor PARTITIONED BY (days(ts)) AS "
+        "SELECT * FROM ev_rngmor_src "
+        "WHERE ts < TIMESTAMP '2024-01-16 00:00:00'",
+        root=scratch_root(),
+    )
+    execute_sql(
+        spark,
+        "INSERT INTO events_rngmor SELECT * FROM ev_rngmor_src "
+        "WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'",
+        root=scratch_root(),
+    )
+    t = SnapshotTable(spark, "events_rngmor", scratch_root())
+    t.delete_where_mor(
+        (F.col("event_type") == "purchase")
+        & (F.to_date("ts") == F.lit("2024-01-03")),
+        key="event_id",
+    )
+    df, audit = t.read_pruned_transform_range(
+        "days(ts)", "2024-01-02", "2024-01-04"
+    )
+    n_full = (
+        t.read()
+        .filter(F.to_date("ts").between("2024-01-02", "2024-01-04"))
+        .count()
+    )
+    agg = (
+        df.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("value"), 2).alias("sum_value"),
+        )
+    )
+    n_range = df.count()
+    return (
+        agg.withColumn(
+            "subdirs_selected",
+            F.lit(audit["subdirs_selected"]).cast("int"),
+        )
+        .withColumn("dirs_pruned", F.lit(audit["dirs_pruned"]).cast("int"))
+        .withColumn(
+            "mor_deletes_applied",
+            F.lit(audit["mor_deletes_applied"]).cast("int"),
+        )
+        .withColumn(
+            "range_eq_full",
+            F.lit(int(n_range == n_full and n_range > 0)).cast("int"),
+        )
+        .orderBy("day")
     )
