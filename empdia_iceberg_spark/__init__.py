@@ -92,6 +92,8 @@ from empdia_iceberg_spark.operators import timeseries  # noqa: F401
 # (same-round-driver-row rule).
 _SWEEP_PRIORITY = [
     "table_sql_pruned_read",  # NEW r15
+    "table_stats_pruned_dml",  # NEW r15
+    "table_posdel_rewrite_sql",  # NEW r15
     "table_range_mor_pruned_read",  # NEW r15
     "table_partition_transforms_sql",  # r15-changed path
     "table_partition_replace_sql",  # r15-changed path

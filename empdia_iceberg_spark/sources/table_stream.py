@@ -65,9 +65,83 @@ _APPEND_OPS = ("create", "append")
 _METADATA_OPS = ("add-column", "drop-column", "rename-column",
                  "evolve-partitioning", "set-properties",
                  "unset-properties", "add-constraint", "drop-constraint",
-                 "analyze", "set-not-null", "drop-not-null")
+                 "analyze", "set-not-null", "drop-not-null",
+                 # folds delete FILES only — zero data delta; the plain
+                 # tail never retracts MOR deletes anyway (r15)
+                 "rewrite-position-deletes")
 # synthesized tag columns of CDC mode (Delta CDF's spelling)
 _CDC_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
+
+
+def _default_literal(expr_s: str):
+    """Parse an initial-default SQL expression into a plain python
+    VALUE, or raise. The streaming tails run their reads in
+    sessionless Python Data Source workers, so a default must ship as
+    a value, not as an expression to evaluate — and Iceberg's
+    initial-default is a LITERAL by spec (spec §Default values), so
+    literal shapes are the whole surface. Non-literal defaults (this
+    engine's add_column accepts any SQL) keep failing loudly."""
+    import datetime as _dt
+    import re as _re
+
+    s = expr_s.strip()
+    m = _re.fullmatch(r"'((?:[^']|'')*)'", s)
+    if m:
+        return m.group(1).replace("''", "'")
+    if _re.fullmatch(r"-?\d+", s):
+        return int(s)
+    if _re.fullmatch(r"-?\d+\.\d+", s):
+        return float(s)
+    u = s.upper()
+    if u == "TRUE":
+        return True
+    if u == "FALSE":
+        return False
+    if u == "NULL":
+        return None
+    m = _re.fullmatch(r"DATE\s*'([^']*)'", s, _re.IGNORECASE)
+    if m:
+        return _dt.date.fromisoformat(m.group(1))
+    m = _re.fullmatch(r"TIMESTAMP\s*'([^']*)'", s, _re.IGNORECASE)
+    if m:
+        return _dt.datetime.fromisoformat(m.group(1))
+    raise ValueError(
+        f"snapshot_tail: initial default {expr_s!r} is not a literal — "
+        "the streaming tail ships default VALUES to sessionless "
+        "executors (use batch reads for expression defaults)"
+    )
+
+
+def _defaults_payload(schema_json: str) -> dict:
+    """{logical col: {'value': v, 'pre_dirs': [...]}} for fields
+    carrying an initial-default — the picklable twin of
+    _read_dirs_mor's defaults machinery (manager.py), resolved on the
+    planner so executors only compare file paths and fill arrays."""
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    out = {}
+    for col, (expr_s, _dtype, pre) in SnapshotTable._schema_defaults(
+        schema_json
+    ).items():
+        out[col] = {"value": _default_literal(expr_s), "pre_dirs": list(pre)}
+    return out
+
+
+def _file_default_fill(path: str, defaults: dict | None) -> dict:
+    """Per-FILE fill values: a default applies to this file iff the
+    file sits inside one of the column's pre-evolve dirs (the file
+    predates the ADD COLUMN and lacks it physically)."""
+    if not defaults:
+        return {}
+    fill = {}
+    for col, spec in defaults.items():
+        pre = spec["pre_dirs"]
+        if any(
+            path == b or path.startswith(b.rstrip(os.sep) + os.sep)
+            for b in pre
+        ):
+            fill[col] = spec["value"]
+    return fill
 
 
 class _TailFilePartition(InputPartition):
@@ -83,11 +157,13 @@ class _TailFilePartition(InputPartition):
         fields: list[tuple[str, str]],
         schema_ddl: str,
         cdc_tag: tuple | None = None,  # (ctype, version, ts) in CDC mode
+        defaults: dict | None = None,  # _defaults_payload (r15)
     ):
         self.path = path
         self.fields = fields  # [(logical, physical)]
         self.schema_ddl = schema_ddl
         self.cdc_tag = cdc_tag
+        self.defaults = defaults
 
 
 class _ChangeCommitPartition(InputPartition):
@@ -118,6 +194,7 @@ class _ChangeCommitPartition(InputPartition):
         key_fold: str | None,
         fields: list,
         schema_ddl: str,
+        defaults: dict | None = None,  # _defaults_payload (r15)
     ):
         self.version = version
         self.ts = ts
@@ -129,6 +206,7 @@ class _ChangeCommitPartition(InputPartition):
         self.key_fold = key_fold
         self.fields = fields
         self.schema_ddl = schema_ddl
+        self.defaults = defaults
 
 
 class SnapshotTailStreamReader(DataSourceStreamReader):
@@ -430,18 +508,17 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         change commit (see that class's docstring). Mirrors the
         per-commit branches of SnapshotTable.changes() exactly — the
         registered story hash-checks the two against each other."""
+        # initial-DEFAULT columns (r15): resolved ONCE from the
+        # committed schema into a picklable {col: value, pre_dirs}
+        # payload; executors fill per-file exactly like the batch
+        # read's per-dir coalesce (previously this raised)
+        defaults = _defaults_payload(self.schema_ddl) or None
         parts: list = []
         for v in range(max(s_v + 1, 1), e_v + 1):
             meta = self._meta(v)
             op = meta.get("op", "")
             ts = meta.get("ts")
             parent_meta = self._meta(v - 1) if v > 1 else None
-            if parent_meta and self._t._schema_defaults(parent_meta["schema"]):
-                raise ValueError(
-                    "snapshot_tail read_changes: initial-DEFAULT columns "
-                    "are not supported in the CDC tail (the batch "
-                    "changes() read covers them)"
-                )
             p_dirs = parent_meta["dirs"] if parent_meta else []
             p_set, m_set = set(p_dirs), set(meta["dirs"])
             added = [d for d in meta["dirs"] if d not in p_set]
@@ -460,6 +537,7 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                             _TailFilePartition(
                                 fp, fields, self.schema_ddl,
                                 cdc_tag=("insert", v, ts),
+                                defaults=defaults,
                             )
                         )
                 continue
@@ -526,6 +604,7 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                     key_fold=self.cdc_key,
                     fields=fields,
                     schema_ddl=self.schema_ddl,
+                    defaults=defaults,
                 )
             )
         return parts
@@ -552,6 +631,7 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         ]
         if self.read_changes:
             return self._cdc_partitions(s_v, e_v, fields)
+        defaults = _defaults_payload(self.schema_ddl) or None
         parts: list[_TailFilePartition] = []
         for v in range(max(s_v, 1), e_v + 1):
             files = self._new_files(v, raise_on_change=True)
@@ -566,7 +646,11 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                 else len(files)
             )
             for path, _sz in files[lo:hi]:
-                parts.append(_TailFilePartition(path, fields, self.schema_ddl))
+                parts.append(
+                    _TailFilePartition(
+                        path, fields, self.schema_ddl, defaults=defaults
+                    )
+                )
         return parts
 
     # ------------------------------------------------- executor-side read
@@ -577,7 +661,10 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         import pyarrow as pa
 
         target, out = _project_file(
-            partition.path, partition.fields, partition.schema_ddl
+            partition.path,
+            partition.fields,
+            partition.schema_ddl,
+            getattr(partition, "defaults", None),
         )
         if partition.cdc_tag is not None:
             out = _tag_cdc(out, target, partition.cdc_tag)
@@ -596,15 +683,19 @@ def _arrow_target(schema_ddl: str):
     return to_arrow_schema(StructType.fromJson(json.loads(schema_ddl)))
 
 
-def _project_table(tbl, fields, target):
+def _project_table(tbl, fields, target, fill: dict | None = None):
     """Project one parquet file's arrow table into the leading
     len(fields) target columns by PHYSICAL name (typed NULLs for columns
-    added after the file was written, cast on type promotion)."""
+    added after the file was written, cast on type promotion). ``fill``
+    maps LOGICAL column names to initial-default values for THIS file
+    (r15): a physically-missing column with a fill entry materializes
+    the default instead of NULLs — the executor-side twin of the batch
+    read's per-dir coalesce, same fill-only-when-missing semantics."""
     import pyarrow as pa
 
     have = set(tbl.schema.names)
     arrays = []
-    for i, (_logical, physical) in enumerate(fields):
+    for i, (logical, physical) in enumerate(fields):
         want_t = target.field(i).type
         if physical in have:
             col = tbl.column(physical)
@@ -613,6 +704,8 @@ def _project_table(tbl, fields, target):
 
                 col = pc.cast(col, want_t)
             arrays.append(col.combine_chunks())
+        elif fill and logical in fill and fill[logical] is not None:
+            arrays.append(pa.array([fill[logical]] * len(tbl)).cast(want_t))
         else:
             arrays.append(pa.nulls(len(tbl), type=want_t))
     return pa.table(
@@ -620,11 +713,13 @@ def _project_table(tbl, fields, target):
     )
 
 
-def _project_file(path: str, fields, schema_ddl: str):
+def _project_file(path: str, fields, schema_ddl: str, defaults=None):
     import pyarrow.parquet as pq
 
     target = _arrow_target(schema_ddl)
-    return target, _project_table(pq.read_table(path), fields, target)
+    return target, _project_table(
+        pq.read_table(path), fields, target, _file_default_fill(path, defaults)
+    )
 
 
 def _tag_cdc(tbl, target, tag):
@@ -686,9 +781,12 @@ def _read_change_commit(p: _ChangeCommitPartition):
             return df
         frames = []
         for f in files:
-            df = _project_table(pq.read_table(f), p.fields, target).to_pandas(
-                types_mapper=pd.ArrowDtype
-            )
+            df = _project_table(
+                pq.read_table(f),
+                p.fields,
+                target,
+                _file_default_fill(f, getattr(p, "defaults", None)),
+            ).to_pandas(types_mapper=pd.ArrowDtype)
             if lineage:
                 # sequential read order == Spark's _metadata.row_index;
                 # _metadata.file_path spells local paths as file:<abs>

@@ -722,6 +722,27 @@ def _call_procedure(spark: SparkSession, name: str, raw_args: str, root: str) ->
         return {"op": "call-compact_minor", "table": b["table"],
                 "version": v if v is not None else t.current_version(),
                 "audit": audit}
+    if name == "rewrite_position_deletes":
+        # Iceberg's rewrite_position_delete_files maintenance twin
+        # (r15): fold many small position-delete files into one, data
+        # untouched, CDC-neutral
+        b = _bind(["table"])
+        t = SnapshotTable(spark, str(b["table"]), root)
+        cur = t.current_version()
+        if cur is None:
+            raise ValueError(f"table {b['table']} does not exist")
+        n_before = len(
+            [
+                dd
+                for dd in t._read_meta(cur).get("delete_dirs", [])
+                if dd.get("kind") == "position"
+            ]
+        )
+        v = t.rewrite_position_deletes()
+        return {"op": "call-rewrite_position_deletes", "table": b["table"],
+                "version": v,
+                "audit": {"position_delete_files_before": n_before,
+                          "position_delete_files_after": min(n_before, 1)}}
     if name == "remove_orphan_files":
         # Iceberg's remove_orphan_files(table, older_than) — r13
         b = _bind(["table"], {"older_than_sec": 3 * 24 * 3600})
@@ -3140,4 +3161,170 @@ def table_range_mor_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(int(n_range == n_full and n_range > 0)).cast("int"),
         )
         .orderBy("day")
+    )
+
+
+@register(
+    "table_stats_pruned_dml",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           round({sql_sum2("o_totalprice")}, 2) AS sum_price,
+           CAST(1 AS INT) AS stats_scanned_only_matching_dir,
+           CAST(1 AS INT) AS stats_skipped_other_dirs,
+           CAST(1 AS INT) AS dirs_rewritten
+    FROM orders
+    WHERE o_orderkey >= 5000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Per-file column-stat manifests (VERDICT r14 ask #3): the "
+    "file-finding pass of predicate DML consults per-file min/max/"
+    "null-count derived from the parquet FOOTERS (pyarrow, driver-"
+    "side, cached in an immutable-dir `_file_stats.json` sidecar — "
+    "Iceberg keeps the same stats in avro manifests) so a "
+    "`DELETE ... WHERE o_orderkey < 5000` reads ONLY files whose "
+    "stat range intersects the bound instead of scanning the whole "
+    "table's predicate column. The story appends three disjoint key "
+    "ranges (three data dirs), deletes the first range through "
+    "declarative SQL DELETE, and hash-pins that the stats pass "
+    "scanned exactly the matching dir's files and skipped every "
+    "file of the other two dirs (booleans derived from the dirs' "
+    "actual file counts), that exactly one dir was rewritten, and "
+    "that the surviving table equals the oracle's filter. At 100 TB "
+    "this turns DML file-finding from O(table) into O(candidate "
+    "files) — the manifest-pruning shape that makes trickle "
+    "corrections affordable.",
+)
+def table_stats_pruned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).createOrReplaceTempView("ord_stats_src")
+    execute_sql(
+        spark, "DROP TABLE IF EXISTS orders_stats", root=scratch_root()
+    )
+    execute_sql(
+        spark,
+        "CREATE TABLE orders_stats AS SELECT * FROM ord_stats_src "
+        "WHERE o_orderkey < 5000",
+        root=scratch_root(),
+    )
+    execute_sql(
+        spark,
+        "INSERT INTO orders_stats SELECT * FROM ord_stats_src "
+        "WHERE o_orderkey >= 5000 AND o_orderkey < 10000",
+        root=scratch_root(),
+    )
+    execute_sql(
+        spark,
+        "INSERT INTO orders_stats SELECT * FROM ord_stats_src "
+        "WHERE o_orderkey >= 10000",
+        root=scratch_root(),
+    )
+    t = SnapshotTable(spark, "orders_stats", scratch_root())
+    meta = t._read_meta(t.current_version())
+    n_files = [len(t._walk_parquet(d)) for d in meta["dirs"]]
+    res = execute_dml(
+        spark,
+        "DELETE FROM orders_stats WHERE o_orderkey < 5000",
+        root=scratch_root(),
+    )
+    audit = SnapshotTable._DML_STATS_AUDITS.get("orders_stats", {})
+    only_matching = int(audit.get("files_scanned") == n_files[0])
+    skipped_rest = int(
+        audit.get("files_skipped_by_stats") == n_files[1] + n_files[2]
+    )
+    dirs_rewritten = int(res["audit"]["dirs_rewritten"] == 1)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(exact_sum2("o_totalprice"), 2).alias("sum_price"),
+        )
+        .withColumn(
+            "stats_scanned_only_matching_dir",
+            F.lit(only_matching).cast("int"),
+        )
+        .withColumn(
+            "stats_skipped_other_dirs", F.lit(skipped_rest).cast("int")
+        )
+        .withColumn("dirs_rewritten", F.lit(dirs_rewritten).cast("int"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "table_posdel_rewrite_sql",
+    oracle="""
+    SELECT n_regionkey,
+           count(*) AS n_rows,
+           CAST(3 AS INT) AS pos_files_before,
+           CAST(1 AS INT) AS pos_files_after,
+           CAST(1 AS INT) AS cdc_neutral,
+           CAST(1 AS INT) AS read_unchanged,
+           CAST(0 AS INT) AS data_dirs_rewritten
+    FROM nation
+    WHERE n_nationkey NOT IN (1, 7, 13)
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    doc="Position-delete maintenance (VERDICT r14 ask #7 — Iceberg's "
+    "`rewrite_position_delete_files` twin): three point corrections "
+    "leave three tiny position-delete files on the snapshot; `CALL "
+    "rewrite_position_deletes('t')` folds them into ONE without "
+    "touching any data file (every data dir rides by reference — "
+    "data_dirs_rewritten=0 compares the dir lists before/after). "
+    "Hash-pinned: entry count 3 → 1 (pos_files_before/after), the "
+    "read is byte-identical across the fold (read_unchanged), the "
+    "maintenance commit contributes ZERO rows to changes() "
+    "(cdc_neutral — a CDC consumer never sees maintenance), and the "
+    "surviving rows equal the oracle's NOT IN filter. The shape a "
+    "trickle of point corrections leaves behind at 100 TB: folding "
+    "N delete files into one cuts N read-time anti-join probes to "
+    "one, for one O(deleted positions) metadata-sized commit.",
+)
+def table_posdel_rewrite_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    t = SnapshotTable(spark, "nation_pdrw", scratch_root())
+    t.drop()
+    t.create(nat)
+    for k in (1, 7, 13):
+        t.delete_where_position(F.col("n_nationkey") == k)
+    v_pre = t.current_version()
+    meta_pre = t._read_meta(v_pre)
+    n_before = len(
+        [d for d in meta_pre.get("delete_dirs", []) if d.get("kind") == "position"]
+    )
+    before_rows = set(
+        (r["n_nationkey"], r["n_name"]) for r in t.read().collect()
+    )
+    res = execute_ddl(
+        spark, "CALL rewrite_position_deletes('nation_pdrw')", root=scratch_root()
+    )
+    v_rw = res["version"]
+    meta_post = t._read_meta(v_rw)
+    n_after = len(
+        [d for d in meta_post.get("delete_dirs", []) if d.get("kind") == "position"]
+    )
+    after_rows = set(
+        (r["n_nationkey"], r["n_name"]) for r in t.read().collect()
+    )
+    cdc_neutral = int(t.changes(v_rw, v_rw).count() == 0)
+    read_unchanged = int(before_rows == after_rows)
+    dirs_rewritten = int(
+        sorted(meta_pre["dirs"]) != sorted(meta_post["dirs"])
+    )
+    return (
+        t.read()
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("pos_files_before", F.lit(n_before).cast("int"))
+        .withColumn("pos_files_after", F.lit(n_after).cast("int"))
+        .withColumn("cdc_neutral", F.lit(cdc_neutral).cast("int"))
+        .withColumn("read_unchanged", F.lit(read_unchanged).cast("int"))
+        .withColumn(
+            "data_dirs_rewritten", F.lit(dirs_rewritten).cast("int")
+        )
+        .orderBy("n_regionkey")
     )

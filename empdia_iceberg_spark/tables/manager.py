@@ -2735,6 +2735,229 @@ class SnapshotTable:
             self.read().filter(~condition | condition.isNull()), op="delete"
         )
 
+    def rewrite_position_deletes(self, max_retries: int = 3) -> int:
+        """Iceberg's `rewrite_position_delete_files` maintenance twin
+        (r15, VERDICT ask #7): fold MANY small position-delete files —
+        the residue a trickle of point corrections leaves behind — into
+        ONE, without touching any data file. Every data dir rides into
+        the new snapshot by reference; the only write is one tiny
+        parquet of the UNION of (file_path, row_index) coordinates
+        (distinct — stacked deletes may reference the same row), so the
+        commit costs O(total deleted positions), metadata-shaped.
+
+        The merged entry's `applies_to` is the union of the folded
+        entries' — safe because a position coordinate can only ever
+        match its own immutable file; widening applies_to widens the
+        read-tax candidate set, never the deleted row set. Equality
+        delete entries are untouched and keep their relative order.
+
+        CDC-NEUTRAL by construction: the new snapshot's delete_dirs
+        list is SHORTER than its parent's, so both batch `changes()`
+        and the streaming CDC tail see zero added dirs, zero removed
+        dirs, zero NEW delete entries — the commit contributes no
+        change rows (asserted by the registered story). No-op (current
+        version returned) when fewer than two position entries exist."""
+        for _ in range(max_retries + 1):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"table {self.name}: cannot rewrite position deletes "
+                    "before create"
+                )
+            meta = self._read_meta(cur)
+            deletes = meta.get("delete_dirs", [])
+            pos = [dd for dd in deletes if dd.get("kind") == "position"]
+            if len(pos) <= 1:
+                return cur
+            other = [dd for dd in deletes if dd.get("kind") != "position"]
+            merged = (
+                self.spark.read.parquet(*[dd["dir"] for dd in pos])
+                .select("file_path", "row_index")
+                .distinct()
+            )
+            dd_dir = os.path.join(
+                self.data_dir, f"p{cur + 1:05d}-{uuid.uuid4().hex[:8]}"
+            )
+            merged.coalesce(1).write.parquet(dd_dir)
+            applies = sorted(
+                {d for dd in pos for d in dd.get("applies_to", meta["dirs"])}
+            )
+            try:
+                return self._commit(
+                    "rewrite-position-deletes",
+                    meta["dirs"],
+                    cur,
+                    meta["schema"],
+                    spec=meta.get("spec", []),
+                    dir_specs=self._dir_specs(meta),
+                    delete_dirs=other
+                    + [
+                        {
+                            "dir": dd_dir,
+                            "kind": "position",
+                            "applies_to": applies,
+                        }
+                    ],
+                    expect_parent=cur,
+                )
+            except CommitConflictError:
+                shutil.rmtree(dd_dir, ignore_errors=True)
+                continue
+        raise CommitConflictError(
+            f"table {self.name}: rewrite_position_deletes gave up after "
+            f"{max_retries} retries"
+        )
+
+    # --------------------------------------------- per-file column stats
+    # Iceberg keeps per-data-file min/max/null-count in avro manifests
+    # written at commit time; this engine derives the SAME stats from
+    # the parquet FOOTERS the files already carry (driver-side pyarrow
+    # metadata read — no data pages move) and caches them in a hidden
+    # `_file_stats.json` sidecar per data dir. Because data dirs are
+    # immutable, the cache can never go stale; the leading underscore
+    # keeps it out of Spark's (Hadoop-filtered) file listing. At 100 TB
+    # the first-use computation would move into the committing
+    # executors (write side), but the read-side contract — metadata-
+    # only file pruning — is identical.
+    _STATS_SIDECAR = "_file_stats.json"
+    # {table name: audit of the last stats-consulting file-finding pass}
+    _DML_STATS_AUDITS: dict = {}
+
+    @staticmethod
+    def _stats_encode(v) -> tuple | None:
+        """footer stat value -> (json-safe value, kind) or None when
+        the type has no provably-ordered json round-trip (bytes,
+        Decimal, bool)."""
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return (v, "int")
+        if isinstance(v, float):
+            return (v, "float")
+        if isinstance(v, str):
+            return (v, "str")
+        if isinstance(v, datetime.datetime):
+            return (v.isoformat(), "ts")
+        if isinstance(v, datetime.date):
+            return (v.isoformat(), "date")
+        return None
+
+    @staticmethod
+    def _stats_decode(v, kind: str):
+        if kind == "ts":
+            return datetime.datetime.fromisoformat(v)
+        if kind == "date":
+            return datetime.date.fromisoformat(v)
+        return v
+
+    def _dir_file_stats(self, d: str) -> dict:
+        """{'files': {relpath: {'rows': n, 'cols': {physname: {'min',
+        'max', 'kind', 'nulls'}}}}} for one immutable data dir,
+        computed from parquet footers on first use and cached in the
+        sidecar. Parquet writers must keep stored min/max CONSERVATIVE
+        under truncation (format contract), so a consult can prune a
+        file only when its whole range provably misses the bound."""
+        import pyarrow.parquet as pq
+
+        side = os.path.join(d, self._STATS_SIDECAR)
+        try:
+            with open(side) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        files: dict = {}
+        for f in self._walk_parquet(d):
+            md = pq.ParquetFile(f).metadata
+            per: dict = {}
+            bad: set = set()
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for ci in range(rg.num_columns):
+                    c = rg.column(ci)
+                    name = c.path_in_schema
+                    if "." in name or name in bad:
+                        continue  # nested leaves don't prune top-level
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        bad.add(name)
+                        per.pop(name, None)
+                        continue
+                    emin = self._stats_encode(st.min)
+                    emax = self._stats_encode(st.max)
+                    if emin is None or emax is None or emin[1] != emax[1]:
+                        bad.add(name)
+                        per.pop(name, None)
+                        continue
+                    nulls = st.null_count if st.null_count is not None else 0
+                    ent = per.get(name)
+                    if ent is None:
+                        per[name] = {
+                            "min": emin[0],
+                            "max": emax[0],
+                            "kind": emin[1],
+                            "nulls": nulls,
+                        }
+                    elif ent["kind"] != emin[1]:
+                        bad.add(name)
+                        per.pop(name, None)
+                    else:
+                        lo = self._stats_decode(emin[0], emin[1])
+                        hi = self._stats_decode(emax[0], emax[1])
+                        cl = self._stats_decode(ent["min"], ent["kind"])
+                        ch = self._stats_decode(ent["max"], ent["kind"])
+                        ent["min"] = emin[0] if lo < cl else ent["min"]
+                        ent["max"] = emax[0] if hi > ch else ent["max"]
+                        ent["nulls"] += nulls
+            files[os.path.relpath(f, d)] = {"rows": md.num_rows, "cols": per}
+        out = {"files": files}
+        tmp = side + f".tmp.{uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(out, fh)
+            os.replace(tmp, side)  # atomic: concurrent computes agree
+        except OSError:
+            pass
+        return out
+
+    def _stats_files_matching(
+        self, d: str, bounds: dict, phys: dict
+    ) -> tuple[list[str], int]:
+        """(candidate files of dir ``d``, n skipped): a file survives
+        unless SOME bounded column's footer range provably misses its
+        [lo, hi] — or the file is all-NULL in that column (a bound
+        conjunct is never NULL-satisfied). Any per-file doubt
+        (missing/foreign-typed stats, incomparable types) keeps the
+        file: stats pruning only ever narrows the SCAN, the predicate
+        itself re-applies to every surviving row."""
+        stats = self._dir_file_stats(d)
+        cand: list[str] = []
+        skipped = 0
+        for rel, ent in stats["files"].items():
+            keep = True
+            for col, (lo, hi) in bounds.items():
+                ce = ent["cols"].get(phys.get(col, col))
+                if ce is None:
+                    continue
+                try:
+                    if ent["rows"] > 0 and ce["nulls"] >= ent["rows"]:
+                        keep = False
+                        break
+                    mn = self._stats_decode(ce["min"], ce["kind"])
+                    mx = self._stats_decode(ce["max"], ce["kind"])
+                    if lo is not None and mx < lo:
+                        keep = False
+                        break
+                    if hi is not None and mn > hi:
+                        keep = False
+                        break
+                except (TypeError, ValueError):
+                    continue
+            if keep:
+                cand.append(os.path.join(d, rel))
+            else:
+                skipped += 1
+        return cand, skipped
+
     # ------------------------------------------------------- pruned COW DML
 
     def _dirs_matching(self, meta: dict, condition) -> set[str]:
@@ -2752,9 +2975,64 @@ class SnapshotTable:
         at most a spurious rewrite, never a wrong answer."""
         from urllib.parse import unquote, urlparse
 
+        # Stats pre-pass (r15, VERDICT ask #3): extract inclusive
+        # raw-value bounds from the predicate's top-level conjuncts
+        # (same parser as the SQL prune path) and consult the per-file
+        # footer-stat manifests — files whose ranges provably miss the
+        # bounds never enter the scan, so the file-finding pass costs
+        # O(candidate files) instead of O(table), Iceberg's manifest
+        # shape. The scan over survivors stays the exactness source.
+        scan_targets: list[str] = list(meta["dirs"])
+        skipped = 0
+        bounds: dict = {}
+        if os.environ.get("SPARK_GRAFT_DISABLE_FILE_STATS"):
+            bounds = None  # kill switch: scaling-study comparator
+        try:
+            if bounds is None:
+                raise RuntimeError("file stats disabled")
+            from .sqlprune import bounds_from_condition
+
+            # Recover the predicate's Catalyst SQL by ANALYZING it over
+            # an empty frame in the committed schema (driver-only, no
+            # job; the ANALYZED plan is used because the optimizer
+            # would fold a filter over an empty relation away) — the
+            # same trusted `condition().sql()` form the SQL prune
+            # parser consumes.
+            probe = self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(meta["schema"]))
+            ).filter(condition)
+            jplan = probe._jdf.queryExecution().analyzed()
+            if jplan.getClass().getSimpleName() == "Filter":
+                bounds = bounds_from_condition(
+                    jplan.condition().sql(), allow_float=True
+                )
+        except Exception:
+            bounds = {}
+        if bounds:
+            phys = self._physical_map(meta["schema"])
+            cand: list[str] = []
+            for d in meta["dirs"]:
+                try:
+                    files, sk = self._stats_files_matching(d, bounds, phys)
+                except Exception:
+                    files, sk = self._walk_parquet(d), 0
+                cand.extend(files)
+                skipped += sk
+            scan_targets = cand
+        # class-level so the audit survives across SnapshotTable
+        # instances (execute_dml constructs its own): registered
+        # stories and tests read the audit of the LAST predicate-DML
+        # file-finding pass per table name
+        SnapshotTable._DML_STATS_AUDITS[self.name] = {
+            "bounded_columns": sorted(bounds),
+            "files_scanned": len(scan_targets) if bounds else -1,
+            "files_skipped_by_stats": skipped,
+        }
+        if not scan_targets:
+            return set()
         matched_files = set()
         for r in (
-            self._read_dirs(meta["dirs"], schema_json=meta["schema"])
+            self._read_dirs(scan_targets, schema_json=meta["schema"])
             .filter(condition)
             .select(F.input_file_name().alias("f"))
             .distinct()
@@ -4116,12 +4394,26 @@ class SnapshotTable:
         end_schema = T.StructType.fromJson(json.loads(end_meta["schema"]))
         out_cols = [f.name for f in end_schema.fields]
 
+        end_defaults = self._schema_defaults(end_meta["schema"])
+
         def align(df: DataFrame) -> DataFrame:
+            # a column missing from a commit-era frame means every row
+            # of that frame PREDATES the column's ADD COLUMN — if the
+            # field carries an initial-default, the changelog surfaces
+            # the default, not NULL (Iceberg v3 initial-default
+            # semantics; r15 — matches the streaming CDC tail and the
+            # batch read's per-dir coalesce)
+            def missing(c, f):
+                if c in end_defaults:
+                    expr_s, dtype, _pre = end_defaults[c]
+                    return F.expr(expr_s).cast(dtype).alias(c)
+                return F.lit(None).cast(f.dataType).alias(c)
+
             return df.select(
                 *[
                     F.col(c).cast(f.dataType)
                     if c in df.columns
-                    else F.lit(None).cast(f.dataType).alias(c)
+                    else missing(c, f)
                     for c, f in zip(out_cols, end_schema.fields)
                 ]
             )

@@ -122,8 +122,10 @@ def conjuncts(cond_sql: str) -> list[str]:
 _LIT = (
     r"(?:TIMESTAMP(?:_NTZ)? '(?P<ts{i}>[^']*)'"
     r"|DATE '(?P<date{i}>[^']*)'"
+    r"|CAST\('(?P<cstr{i}>[^']*)' AS (?P<ctyp{i}>\w+)\)"
+    r"|CAST\((?P<cnum{i}>-?\d+(?:\.\d+)?)(?:[SLD]|BD)? AS \w+(?:\([^)]*\))?\)"
     r"|'(?P<str{i}>(?:[^']|'')*)'"
-    r"|(?P<num{i}>-?\d+(?:\.\d+)?))"
+    r"|(?P<num{i}>-?\d+(?:\.\d+)?)(?:[SLD]|BD)?)"
 )
 _COL = r"(?:[\w.]+\.)?`?(?P<col>\w+)`?"
 _OP = r"(?P<op><=|>=|<|>|=)"
@@ -132,7 +134,7 @@ _REV = re.compile(rf"^{_LIT.format(i='')}\s*{_OP}\s*{_COL}$")
 _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
 
 
-def _parse_literal(m) -> tuple[object, str] | None:
+def _parse_literal(m, allow_float: bool = False) -> tuple[object, str] | None:
     """matched literal -> (python value, kind) or None if unusable."""
     if m.group("ts") is not None:
         try:
@@ -144,11 +146,30 @@ def _parse_literal(m) -> tuple[object, str] | None:
             return (datetime.date.fromisoformat(m.group("date")), "date")
         except ValueError:
             return None
+    if m.group("cstr") is not None:
+        # an UN-optimized plan leaves implicit coercions as
+        # CAST('lit' AS T) — recover the typed literal (the DML path
+        # reads the ANALYZED plan, where constant folding hasn't run)
+        typ = m.group("ctyp").upper()
+        raw = m.group("cstr")
+        try:
+            if typ.startswith("TIMESTAMP"):
+                return (datetime.datetime.fromisoformat(raw), "ts")
+            if typ == "DATE":
+                return (datetime.date.fromisoformat(raw), "date")
+            if typ == "STRING":
+                return (raw, "str")
+        except ValueError:
+            return None
+        return None
     if m.group("str") is not None:
         return (m.group("str").replace("''", "'"), "str")
-    num = m.group("num")
+    num = m.group("cnum") if m.group("cnum") is not None else m.group("num")
     if "." in num:
-        return None  # float literals have no provable dir rendering
+        # float literals have no provable DIR rendering (no partition
+        # pruning) — but footer-stat consults compare VALUES, so the
+        # stats path opts in
+        return (float(num), "float") if allow_float else None
     return (int(num), "int")
 
 
@@ -156,7 +177,9 @@ _US = datetime.timedelta(microseconds=1)
 _DAY = datetime.timedelta(days=1)
 
 
-def parse_conjunct(conj: str) -> tuple[str, str, object] | None:
+def parse_conjunct(
+    conj: str, allow_float: bool = False
+) -> tuple[str, str, object] | None:
     """One conjunct -> (column, 'lo'|'hi'|'eq', inclusive bound value),
     or None when the shape is not `col <op> literal` (ignored — always
     sound). Strict < / > tighten to inclusive bounds exactly for
@@ -172,7 +195,7 @@ def parse_conjunct(conj: str) -> tuple[str, str, object] | None:
             op = _FLIP[m.group("op")]
     if not m or op is None:
         return None
-    lit = _parse_literal(m)
+    lit = _parse_literal(m, allow_float)
     if lit is None:
         return None
     val, kind = lit
@@ -198,13 +221,13 @@ def parse_conjunct(conj: str) -> tuple[str, str, object] | None:
     return (col, "hi", val)
 
 
-def bounds_from_condition(cond_sql: str) -> dict:
+def bounds_from_condition(cond_sql: str, allow_float: bool = False) -> dict:
     """Condition SQL -> {col: (lo, hi)} inclusive raw-value bounds
     (None = open end). Conjuncts that don't parse are ignored; columns
     whose bounds mix incomparable types are dropped."""
     acc: dict[str, dict] = {}
     for conj in conjuncts(cond_sql):
-        parsed = parse_conjunct(conj)
+        parsed = parse_conjunct(conj, allow_float)
         if parsed is None:
             continue
         col, side, val = parsed

@@ -102,6 +102,7 @@ STUDY_TABLES = {
     "dpo": ["orders"],
     "hidden_prune": ["events"],
     "posdel_read_tax": ["orders"],
+    "dml_stats": ["orders"],
 }
 STUDY_QUERY = {
     "q1": "q1_pricing_agg",
@@ -968,6 +969,80 @@ def run_hidden_prune_study(
     }
 
 
+def run_dml_stats_study(spark, scale: int, reps: int) -> dict:
+    """Per-file column-stat manifests priced (r15, VERDICT ask #3):
+    predicate DML's file-finding pass over a trickle-append table —
+    one append per replica, so the table holds `scale` data dirs with
+    disjoint o_orderkey ranges — probing a FIXED key range that lives
+    entirely in replica 0. WITH the footer-stat manifests
+    (`_dirs_matching`'s stats pre-pass) the pass reads only replica
+    0's files: flat in table size. WITHOUT them (the
+    SPARK_GRAFT_DISABLE_FILE_STATS kill switch) the pass scans the
+    predicate column of EVERY file: linear. The hit-dir sets are
+    asserted identical every rep — stats pruning narrows the scan,
+    never the answer. Iceberg pays exactly this shape via manifest
+    min/max; the sidecar warm-up (footer reads) is untimed pay-once
+    prep, like the bucketed-layout studies."""
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.sources.tables import load
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    base = load(spark, BASE_SF, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    off = base.agg(F.max("o_orderkey")).first()[0] + 1
+    t = SnapshotTable(spark, "orders_dml_stats_scale")
+    t.drop()
+    t.create(base)
+    for i in range(1, scale):
+        t.append(
+            base.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * off))
+        )
+    meta = t._read_meta(t.current_version())
+    cond = F.col("o_orderkey").between(100, 200)  # replica-0 keys only
+
+    def find(disabled: bool) -> tuple[set, float]:
+        if disabled:
+            os.environ["SPARK_GRAFT_DISABLE_FILE_STATS"] = "1"
+        else:
+            os.environ.pop("SPARK_GRAFT_DISABLE_FILE_STATS", None)
+        try:
+            best, hit = float("inf"), None
+            t._dirs_matching(meta, cond)  # warm (and build sidecars)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                h = t._dirs_matching(meta, cond)
+                best = min(best, time.perf_counter() - t0)
+                hit = h
+            return hit, best
+        finally:
+            os.environ.pop("SPARK_GRAFT_DISABLE_FILE_STATS", None)
+
+    hit_stats, with_best = find(disabled=False)
+    audit = dict(SnapshotTable._DML_STATS_AUDITS["orders_dml_stats_scale"])
+    hit_plain, without_best = find(disabled=True)
+    assert hit_stats == hit_plain, (
+        f"dml_stats x{scale}: hit-dir parity violated"
+    )
+    n_rows = scale * base.count()
+    t.drop()
+    print(
+        f"|   dml_stats x{scale}: file-finding with stats "
+        f"{round(with_best, 3)} s (files_scanned="
+        f"{audit['files_scanned']}, skipped="
+        f"{audit['files_skipped_by_stats']}) vs without "
+        f"{round(without_best, 3)} s",
+        flush=True,
+    )
+    return {
+        "study": "dml_stats", "scale": scale, "rows": n_rows,
+        "spark_sec": round(with_best, 3),
+        "duckdb_sec": round(without_best, 3),  # the no-stats comparator
+        "ratio": round(with_best / without_best, 2),
+    }
+
+
 def run_study(
     spark, study: str, scale: int, reps: int, check: bool, spark_only: bool = False
 ) -> dict:
@@ -1075,6 +1150,8 @@ def main() -> None:
                 )
             elif study == "posdel_read_tax":
                 r = run_posdel_read_tax_study(spark, scale, args.reps)
+            elif study == "dml_stats":
+                r = run_dml_stats_study(spark, scale, args.reps)
             else:
                 r = run_study(spark, study, scale, args.reps, args.check, args.spark_only)
             print(
