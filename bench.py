@@ -95,6 +95,12 @@ HEADLINE = [
     # equality probe)
     "table_partition_transforms_sql",
     "stream_cdc_tail",
+    # r15 late addition — NEW in BENCH_r15 (cross-round comparable number
+    # is the sum over queries shared with r14): partition pruning on the
+    # PLAIN SQL read path (CTAS + INSERT build, then a one-day statement,
+    # a BETWEEN range statement, and a declined non-partition statement,
+    # each with Catalyst-proven scoping and dirs-pruned audits)
+    "table_sql_pruned_read",
 ]
 
 # r7: no per-query special-casing remains. Every timed run is the

@@ -3916,7 +3916,11 @@ class SnapshotTable:
 
     @staticmethod
     def _walk_parquet(d: str) -> list[str]:
-        """Deterministic sorted parquet listing of one data dir."""
+        """Deterministic sorted parquet listing of one data dir — or of
+        a single FILE (stat-refined pruned reads pass file paths through
+        the same scan-group machinery as dirs)."""
+        if os.path.isfile(d):
+            return [d] if d.endswith(".parquet") else []
         out = []
         for r_, ds_, fs in os.walk(d):
             ds_.sort()
@@ -4317,6 +4321,27 @@ class SnapshotTable:
             audit["subdirs_selected"] += len(picked)
             if not picked:
                 audit["dirs_pruned"] += 1
+        # File-stat refinement (r15): within the surviving dirs/subdirs,
+        # consult the footer-stat sidecars for EVERY bounded column —
+        # including non-partition ones the transforms can't see — and
+        # drop files whose ranges provably miss. A refined file list
+        # flows through the same MOR group machinery (a file inherits
+        # its dir's applicable deletes/defaults via _dir_within).
+        files_skipped = 0
+        if chosen:
+            phys = self._physical_map(meta["schema"])
+            refined: list[str] = []
+            for d in chosen:
+                try:
+                    files, sk = self._stats_files_matching(d, bounds, phys)
+                except Exception:
+                    refined.append(d)
+                    continue
+                refined.extend(files)
+                files_skipped += sk
+            if files_skipped:
+                chosen = refined
+        audit["files_skipped_by_stats"] = files_skipped
         audit["mor_deletes_applied"] = len(meta.get("delete_dirs", []))
         if not chosen:
             return self.read(version).limit(0), audit

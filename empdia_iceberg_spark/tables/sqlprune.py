@@ -45,7 +45,9 @@ import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .manager import SnapshotTable, _dir_within, transform_source
+import json
+
+from .manager import SnapshotTable, _dir_within
 
 # audits of the last try_sql_prune call that re-registered anything:
 # {table_name: audit dict} — read by registered stories to hash-pin
@@ -236,13 +238,27 @@ def bounds_from_condition(cond_sql: str, allow_float: bool = False) -> dict:
             slot["lo"].append(val)
         if side in ("hi", "eq"):
             slot["hi"].append(val)
+    def _family(v) -> str:
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, float)):
+            return "num"
+        if isinstance(v, datetime.datetime):
+            return "ts"
+        if isinstance(v, datetime.date):
+            return "date"
+        return type(v).__name__
+
     out: dict[str, tuple] = {}
     for col, slot in acc.items():
+        fams = {_family(v) for v in slot["lo"] + slot["hi"]}
+        if len(fams) != 1:
+            continue  # incomparable mixed-type bounds: no pruning
         try:
             lo = max(slot["lo"]) if slot["lo"] else None
             hi = min(slot["hi"]) if slot["hi"] else None
         except TypeError:
-            continue  # incomparable mixed-type bounds: no pruning
+            continue
         if lo is not None or hi is not None:
             out[col] = (lo, hi)
     return out
@@ -388,19 +404,30 @@ def try_sql_prune(
         for name, conds in occurrences.items():
             if not conds or any(c is None for c in conds):
                 continue  # some scan of this table needs every row
-            bounds = _union_bounds([bounds_from_condition(c) for c in conds])
+            bounds = _union_bounds(
+                [
+                    bounds_from_condition(c, allow_float=True)
+                    for c in conds
+                ]
+            )
             t = candidates[name]
             meta = t._read_meta(t.current_version())
-            sources = {
-                transform_source(spec[0])
-                for spec in t._dir_specs(meta)
-                if spec
+            schema_cols = {
+                f["name"]
+                for f in json.loads(meta["schema"]).get("fields", [])
             }
-            bounds = {c: b for c, b in bounds.items() if c in sources}
+            # every bounded column must be a REAL column of this table
+            # (a qualified conjunct above our relation can only name our
+            # columns, but the parser is textual — keep it provable)
+            bounds = {c: b for c, b in bounds.items() if c in schema_cols}
             if not bounds:
                 continue
             pdf, audit = t.read_pruned_for_bounds(bounds)
-            if audit["subdirs_pruned"] == 0 and audit["dirs_pruned"] == 0:
+            if (
+                audit["subdirs_pruned"] == 0
+                and audit["dirs_pruned"] == 0
+                and audit["files_skipped_by_stats"] == 0
+            ):
                 continue  # nothing actually pruned: keep the full plan
             pdf.createOrReplaceTempView(name)
             pruned_names.append(name)

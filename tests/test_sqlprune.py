@@ -238,6 +238,82 @@ def test_no_false_prune_property_battery(spark, day_table):
         assert got == want, f"row mismatch for {where!r}: {got} != {want}"
 
 
+def test_bounds_parser_edge_cases():
+    """Pure-function battery over the conjunct grammar: quoted ' AND '
+    inside literals, reversed operands, doubled quotes, cast-wrapped
+    literals, numeric suffixes, mixed incomparable types dropped."""
+    import datetime
+
+    from empdia_iceberg_spark.tables.sqlprune import (
+        bounds_from_condition,
+        conjuncts,
+    )
+
+    assert conjuncts("((a = 'x AND y') AND (b > 2))") == [
+        "a = 'x AND y'",
+        "b > 2",
+    ]
+    b = bounds_from_condition("(k = 'it''s')")
+    assert b == {"k": ("it's", "it's")}
+    # reversed operand order flips the operator
+    assert bounds_from_condition("(5 <= k)") == {"k": (5, None)}
+    # strict int bounds tighten to inclusive
+    assert bounds_from_condition("(k > 5) AND (k < 10)") == {"k": (6, 9)}
+    # timestamp strictness tightens by 1 microsecond
+    lo, hi = bounds_from_condition(
+        "(ts > TIMESTAMP '2024-01-03 00:00:00')"
+    )["ts"]
+    assert lo == datetime.datetime(2024, 1, 3, 0, 0, 0, 1) and hi is None
+    # cast-wrapped literals (analyzed-plan shapes) and suffixes
+    assert bounds_from_condition("(k = CAST(1500 AS BIGINT))") == {
+        "k": (1500, 1500)
+    }
+    assert bounds_from_condition("(k >= 100L)") == {"k": (100, None)}
+    assert bounds_from_condition(
+        "(d = CAST('2024-01-03' AS DATE))"
+    ) == {"d": (datetime.date(2024, 1, 3),) * 2}
+    # float literals only with allow_float
+    assert bounds_from_condition("(v < 1.5)") == {}
+    assert bounds_from_condition("(v < 1.5)", allow_float=True) == {
+        "v": (None, 1.5)
+    }
+    # incomparable mixed types for one column -> dropped, OR -> ignored
+    assert bounds_from_condition("(k > 5) AND (k < 'z')") == {}
+    assert bounds_from_condition("((k = 1) OR (k = 2))") == {}
+    # contradictory bounds survive as an empty range (prunes everything)
+    assert bounds_from_condition("(k > 10) AND (k < 5)") == {"k": (11, 4)}
+
+
+def test_file_stats_refine_nonpartition_predicate(spark):
+    """Within the transform-selected subdirs, footer-stat sidecars
+    skip files whose ranges miss NON-partition bounds — SQL pruning
+    reaches columns the partition transforms can't see."""
+    t = SnapshotTable(spark, "t_sqlp_stats", scratch_root())
+    t.drop()
+    rows = [
+        (f"2024-01-{d:02d} 12:00:00", n)
+        for d in (1, 2, 3)
+        for n in range(d * 100, d * 100 + 10)
+    ]
+    df = spark.createDataFrame(rows, "raw string, n int").select(
+        F.col("raw").cast("timestamp").alias("ts"), "n"
+    )
+    # one dir, three day-subdirs; n ranges are disjoint per day, so a
+    # bound on n can prove two of the three subdirs' files irrelevant
+    t.create(df.coalesce(1), partition_by=["days(ts)"])
+    sqlprune.LAST_SQL_PRUNE_AUDITS.clear()
+    r = execute_sql(
+        spark,
+        "SELECT n FROM t_sqlp_stats WHERE ts >= TIMESTAMP'2024-01-01 00:00:00' "
+        "AND n BETWEEN 200 AND 205",
+        scratch_root(),
+    )
+    assert sorted(x["n"] for x in r.collect()) == list(range(200, 206))
+    a = sqlprune.LAST_SQL_PRUNE_AUDITS.get("t_sqlp_stats")
+    assert a and a["files_skipped_by_stats"] >= 2, a
+    t.drop()
+
+
 def test_tz_mismatch_degrades_to_full_scan(spark, day_table):
     old = spark.conf.get("spark.sql.session.timeZone")
     try:
