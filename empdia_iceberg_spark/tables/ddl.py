@@ -722,6 +722,25 @@ def _call_procedure(spark: SparkSession, name: str, raw_args: str, root: str) ->
         return {"op": "call-compact_minor", "table": b["table"],
                 "version": v if v is not None else t.current_version(),
                 "audit": audit}
+    if name == "compute_file_stats":
+        # prebuild the footer-stat sidecars for every data dir of the
+        # CURRENT snapshot (r15): the write-time half of the manifest
+        # model — done eagerly here, lazily on first consult otherwise
+        b = _bind(["table"])
+        t = SnapshotTable(spark, str(b["table"]), root)
+        cur = t.current_version()
+        if cur is None:
+            raise ValueError(f"table {b['table']} does not exist")
+        meta = t._read_meta(cur)
+        n_files = n_cols = 0
+        for d in meta["dirs"]:
+            stats = t._dir_file_stats(d)
+            n_files += len(stats["files"])
+            n_cols += sum(len(e["cols"]) for e in stats["files"].values())
+        return {"op": "call-compute_file_stats", "table": b["table"],
+                "version": cur,
+                "audit": {"files_profiled": n_files,
+                          "column_entries": n_cols}}
     if name == "rewrite_position_deletes":
         # Iceberg's rewrite_position_delete_files maintenance twin
         # (r15): fold many small position-delete files into one, data
@@ -1271,7 +1290,7 @@ def _optimize(spark: SparkSession, t: SnapshotTable, zorder_cols: list[str]) -> 
 # like a metadata table on a snapshot table of the same name is
 # shadowed — qualify through a view alias to reach it.
 _META_REF = re.compile(
-    r"\b([A-Za-z_]\w*)\.(snapshots|refs|files|stats|partitions)\b"
+    r"\b([A-Za-z_]\w*)\.(snapshots|refs|files|stats|partitions|file_stats)\b"
 )
 
 
@@ -1356,6 +1375,34 @@ def _metadata_frame(spark: SparkSession, t: SnapshotTable, kind: str) -> DataFra
             (part, spec_, n, b) for (part, spec_), (n, b) in sorted(agg.items())
         ]
         schema = "partition string, spec string, n_files int, size_bytes bigint"
+    elif kind == "file_stats":
+        # per-FILE column stats from the footer-stat sidecars (r15 —
+        # Iceberg's manifest-entry readable_metrics): builds the
+        # sidecar on first use (footer reads, driver-side); values are
+        # the string renderings of the stored bounds
+        meta = t._read_meta(t.current_version())
+        rows = []
+        for d in meta["dirs"]:
+            stats = t._dir_file_stats(d)
+            for rel, ent in sorted(stats["files"].items()):
+                for col, ce in sorted(ent["cols"].items()):
+                    rows.append(
+                        (
+                            _os.path.basename(d),
+                            rel,
+                            ent["rows"],
+                            col,
+                            str(ce["min"]),
+                            str(ce["max"]),
+                            ce["nulls"],
+                            ce["kind"],
+                        )
+                    )
+        schema = (
+            "dir string, file string, row_count bigint, col_name string, "
+            "min_value string, max_value string, null_count bigint, "
+            "value_kind string"
+        )
     else:  # files
         meta = t._read_meta(t.current_version())
         rows = []

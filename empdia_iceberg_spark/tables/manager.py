@@ -524,6 +524,30 @@ class SnapshotTable:
             df = df.coalesce(target)
         except Exception:
             pass  # stats unavailable: write with the plan's partitioning
+        # Write timestamps as INT64 micros, not Spark's INT96 default:
+        # INT96 column chunks carry NO footer statistics, so time
+        # predicates could never stat-prune (r15; Iceberg likewise
+        # mandates int64 micros). Set-and-restore around the write —
+        # the engine must not leak a conf change into the user's own
+        # writes. Micros is also what the committed schemas declare, so
+        # reads are byte-compatible either way.
+        _TS_KEY = "spark.sql.parquet.outputTimestampType"
+        try:
+            prior_ts = self.spark.conf.get(_TS_KEY)
+        except Exception:
+            prior_ts = None
+        self.spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+        try:
+            return self._write_data_inner(df, spec, out)
+        finally:
+            if prior_ts is not None:
+                self.spark.conf.set(_TS_KEY, prior_ts)
+            else:
+                self.spark.conf.unset(_TS_KEY)
+
+    def _write_data_inner(
+        self, df: DataFrame, spec: list[str] | None, out: str
+    ) -> str:
         if spec:
             # Hive-layout partitioning on SHADOW columns (_p_<slug>): the
             # real columns stay inside the data files, so reads never
@@ -2837,6 +2861,12 @@ class SnapshotTable:
         if isinstance(v, str):
             return (v, "str")
         if isinstance(v, datetime.datetime):
+            # Spark micros are UTC-adjusted; pyarrow may surface them
+            # tz-aware — store as NAIVE UTC so they compare against
+            # bounds parsed from session-rendered literals (consults
+            # are guarded to UTC sessions)
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
             return (v.isoformat(), "ts")
         if isinstance(v, datetime.date):
             return (v.isoformat(), "date")
@@ -2930,6 +2960,12 @@ class SnapshotTable:
         file: stats pruning only ever narrows the SCAN, the predicate
         itself re-applies to every surviving row."""
         stats = self._dir_file_stats(d)
+        # timestamp stat values are NAIVE UTC; bounds parse from
+        # session-tz-rendered literals, so the comparison is only
+        # provable under a UTC session — otherwise ts columns decline
+        tz_utc = self.spark.conf.get("spark.sql.session.timeZone") in (
+            "UTC", "Etc/UTC", "GMT", "Z",
+        )
         cand: list[str] = []
         skipped = 0
         for rel, ent in stats["files"].items():
@@ -2937,6 +2973,8 @@ class SnapshotTable:
             for col, (lo, hi) in bounds.items():
                 ce = ent["cols"].get(phys.get(col, col))
                 if ce is None:
+                    continue
+                if ce["kind"] == "ts" and not tz_utc:
                     continue
                 try:
                     if ent["rows"] > 0 and ce["nulls"] >= ent["rows"]:

@@ -178,15 +178,45 @@ def _parse_literal(m, allow_float: bool = False) -> tuple[object, str] | None:
 _US = datetime.timedelta(microseconds=1)
 _DAY = datetime.timedelta(days=1)
 
+# A NUMERIC-WIDENING cast on the COLUMN side is order-preserving and
+# value-faithful, so `CAST(k AS BIGINT) >= 5` bounds k exactly like
+# `k >= 5` (the analyzed plan wraps implicit int-family coercions this
+# way). The inner must be identifier-shaped — a literal cast's inner
+# starts with a digit/quote and is left alone.
+_COL_CAST = re.compile(
+    r"CAST\(((?:[\w.]+\.)?`?[A-Za-z_]\w*`?) AS "
+    r"(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT|DOUBLE|FLOAT|REAL|"
+    r"DECIMAL(?:\([^)]*\))?)\)"
+)
+_IN = re.compile(rf"^{_COL}\s+IN\s+\((?P<items>.*)\)$", re.DOTALL)
+_LIT_ONLY = re.compile(rf"^{_LIT.format(i='')}$")
+
 
 def parse_conjunct(
     conj: str, allow_float: bool = False
-) -> tuple[str, str, object] | None:
-    """One conjunct -> (column, 'lo'|'hi'|'eq', inclusive bound value),
-    or None when the shape is not `col <op> literal` (ignored — always
-    sound). Strict < / > tighten to inclusive bounds exactly for
-    microsecond timestamps / dates / ints; strings stay inclusive
-    (sound: a wider bound only admits more rows)."""
+) -> list[tuple[str, str, object]] | None:
+    """One conjunct -> a list of (column, 'lo'|'hi'|'eq', inclusive
+    bound value) actions, or None when the shape is not
+    `col <op> literal` / `col IN (literals)` (ignored — always sound).
+    Strict < / > tighten to inclusive bounds exactly for microsecond
+    timestamps / dates / ints; strings stay inclusive (sound: a wider
+    bound only admits more rows). IN-lists bound to [min, max] of the
+    member literals — coarser than the exact set, still implied."""
+    conj = _COL_CAST.sub(r"\1", conj)
+    mi = _IN.match(conj)
+    if mi:
+        vals, fams = [], set()
+        for item in _top_comma_split(mi.group("items")):
+            lm = _LIT_ONLY.match(item.strip())
+            lit = _parse_literal(lm, allow_float) if lm else None
+            if lit is None:
+                return None
+            vals.append(lit[0])
+            fams.add(lit[1])
+        if not vals or len(fams) != 1 or any(v is None for v in vals):
+            return None
+        col = mi.group("col")
+        return [(col, "lo", min(vals)), (col, "hi", max(vals))]
     m = _FWD.match(conj)
     op = None
     if m:
@@ -203,7 +233,7 @@ def parse_conjunct(
     val, kind = lit
     col = m.group("col")
     if op == "=":
-        return (col, "eq", val)
+        return [(col, "eq", val)]
     if op in (">", ">="):
         if op == ">":
             if kind == "ts":
@@ -212,7 +242,7 @@ def parse_conjunct(
                 val = val + _DAY
             elif kind == "int":
                 val = val + 1
-        return (col, "lo", val)
+        return [(col, "lo", val)]
     if op == "<":
         if kind == "ts":
             val = val - _US
@@ -220,7 +250,38 @@ def parse_conjunct(
             val = val - _DAY
         elif kind == "int":
             val = val - 1
-    return (col, "hi", val)
+    return [(col, "hi", val)]
+
+
+def _top_comma_split(s: str) -> list[str]:
+    parts, depth, in_str, cur, i = [], 0, False, [], 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif depth == 0 and c == ",":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
 
 
 def bounds_from_condition(cond_sql: str, allow_float: bool = False) -> dict:
@@ -232,12 +293,12 @@ def bounds_from_condition(cond_sql: str, allow_float: bool = False) -> dict:
         parsed = parse_conjunct(conj, allow_float)
         if parsed is None:
             continue
-        col, side, val = parsed
-        slot = acc.setdefault(col, {"lo": [], "hi": []})
-        if side in ("lo", "eq"):
-            slot["lo"].append(val)
-        if side in ("hi", "eq"):
-            slot["hi"].append(val)
+        for col, side, val in parsed:
+            slot = acc.setdefault(col, {"lo": [], "hi": []})
+            if side in ("lo", "eq"):
+                slot["lo"].append(val)
+            if side in ("hi", "eq"):
+                slot["hi"].append(val)
     def _family(v) -> str:
         if isinstance(v, bool):
             return "bool"
@@ -392,8 +453,9 @@ def try_sql_prune(
             if cur is None:
                 continue
             meta = t._read_meta(cur)
-            if not any(meta.get("dir_specs") or []):
-                continue  # unpartitioned: nothing to prune
+            # partitioned tables prune dirs/subdirs; unpartitioned ones
+            # still stat-prune FILES from the footer-stat sidecars, so
+            # every live table is a candidate (r15)
             candidates[n] = t
             table_dirs[n] = list(meta["dirs"])
         if not candidates:

@@ -141,18 +141,30 @@ def test_stats_after_rename_uses_physical_names(spark):
     t2.drop()
 
 
-def test_timestamp_predicate_keeps_all_files(spark):
-    """INT96 timestamps carry no footer stats — every file survives,
-    results stay exact."""
+def test_timestamp_stats_prune_after_micros_write(spark):
+    """Table writes store timestamps as INT64 micros (r15 — INT96
+    chunks carry no footer stats), so time predicates stat-prune and
+    DML semantics stay exact."""
     t = SnapshotTable(spark, "t_fs_ts", scratch_root())
     t.drop()
-    df = spark.createDataFrame(
-        [(f"2024-01-{d:02d} 00:00:00", d) for d in (1, 2, 3)],
-        "raw string, n int",
-    ).select(F.col("raw").cast("timestamp").alias("ts"), "n")
-    t.create(df)
+    for d in (1, 2, 3):
+        df = spark.createDataFrame(
+            [(f"2024-01-{d:02d} 00:00:00", d)], "raw string, n int"
+        ).select(F.col("raw").cast("timestamp").alias("ts"), "n")
+        (t.create if d == 1 else t.append)(df)
+    meta = t._read_meta(t.current_version())
+    hit = t._dirs_matching(
+        meta, F.col("ts") >= F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    assert len(hit) == 1
+    a = _audit("t_fs_ts")
+    assert a["files_skipped_by_stats"] == 2, a
     t.delete_where_pruned(
         F.col("ts") == F.lit("2024-01-02 00:00:00").cast("timestamp")
     )
     assert sorted(r["n"] for r in t.read().collect()) == [1, 3]
+    # the session conf was restored after every engine write
+    assert (
+        spark.conf.get("spark.sql.parquet.outputTimestampType") != ""
+    )
     t.drop()

@@ -282,6 +282,21 @@ def test_bounds_parser_edge_cases():
     assert bounds_from_condition("((k = 1) OR (k = 2))") == {}
     # contradictory bounds survive as an empty range (prunes everything)
     assert bounds_from_condition("(k > 10) AND (k < 5)") == {"k": (11, 4)}
+    # IN-lists bound to [min, max]; cast-wrapped columns normalize
+    assert bounds_from_condition("(k IN (7, 2, 5))") == {"k": (2, 7)}
+    assert bounds_from_condition("(s IN ('b', 'a'))") == {"s": ("a", "b")}
+    assert bounds_from_condition(
+        "(CAST(k AS BIGINT) IN (CAST(1 AS BIGINT), CAST(3 AS BIGINT)))"
+    ) == {"k": (1, 3)}
+    assert bounds_from_condition("(CAST(k AS BIGINT) >= 5)") == {
+        "k": (5, None)
+    }
+    # a literal cast's inner is not identifier-shaped: left alone
+    assert bounds_from_condition("(k = CAST(42 AS BIGINT))") == {
+        "k": (42, 42)
+    }
+    # IN with an unparseable member: whole conjunct ignored
+    assert bounds_from_condition("(k IN (1, other_col))") == {}
 
 
 def test_file_stats_refine_nonpartition_predicate(spark):
@@ -311,6 +326,31 @@ def test_file_stats_refine_nonpartition_predicate(spark):
     assert sorted(x["n"] for x in r.collect()) == list(range(200, 206))
     a = sqlprune.LAST_SQL_PRUNE_AUDITS.get("t_sqlp_stats")
     assert a and a["files_skipped_by_stats"] >= 2, a
+    t.drop()
+
+
+def test_stats_only_prune_on_unpartitioned_table(spark):
+    """An UNPARTITIONED table still file-prunes through plain SQL when
+    footer stats prove files irrelevant (three appends with disjoint
+    key ranges; the statement's bound hits one)."""
+    t = SnapshotTable(spark, "t_sqlp_flat", scratch_root())
+    t.drop()
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    t.create(mk(0, 100))
+    t.append(mk(100, 200))
+    t.append(mk(200, 300))
+    sqlprune.LAST_SQL_PRUNE_AUDITS.clear()
+    r = execute_sql(
+        spark,
+        "SELECT count(*) AS c, sum(k) AS s FROM t_sqlp_flat "
+        "WHERE k BETWEEN 120 AND 130",
+        scratch_root(),
+    ).collect()[0]
+    assert (r["c"], r["s"]) == (11, sum(range(120, 131)))
+    a = sqlprune.LAST_SQL_PRUNE_AUDITS.get("t_sqlp_flat")
+    assert a and a["files_skipped_by_stats"] == 2, a
     t.drop()
 
 
