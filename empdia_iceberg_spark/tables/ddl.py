@@ -560,6 +560,10 @@ def materialize_views(
 # statement (they pin the table state AS OF registration — stale
 # otherwise) while never clobbering a temp view the USER registered.
 _AUTO_MATERIALIZED: set = set()
+# {(session id, root, table): (version, full-read DataFrame)} — see
+# materialize_tables: reusing the frame skips the per-statement file
+# listing; the version key makes staleness impossible
+_VIEW_FRAME_CACHE: dict = {}
 
 
 def _should_register(spark: SparkSession, name: str) -> bool:
@@ -580,7 +584,7 @@ def _should_register(spark: SparkSession, name: str) -> bool:
 
 def materialize_tables(
     spark: SparkSession, statement: str, root: str
-) -> list[str]:
+) -> list:
     """Make bare snapshot-table references resolvable: any identifier in
     the (literal-masked) statement that names a snapshot table under the
     catalog root gets its CURRENT state registered as a temp view —
@@ -589,15 +593,18 @@ def materialize_tables(
     state after a write. A temp view the USER registered always wins
     (tracked via _AUTO_MATERIALIZED), and view materialization runs
     first, so the precedence is: user temp views > persisted views >
-    snapshot tables. Returns the table names registered for THIS
-    statement (the SQL-prune pass inspects exactly those)."""
+    snapshot tables. Returns the (name, DataFrame) pairs registered
+    for THIS statement — the SQL-prune pass inspects exactly those,
+    and restoring a view from the SAME DataFrame object costs nothing
+    (its file index is already built; a fresh t.read() would RELIST
+    the whole table)."""
     import os as _os
 
     if not _os.path.isdir(root):
         return []
     masked = _mask_literals(statement)
     live = set()
-    registered: list[str] = []
+    registered: list = []
     for name in sorted(_os.listdir(root)):
         if not _os.path.isdir(_os.path.join(root, name, "_meta")):
             continue
@@ -607,9 +614,31 @@ def materialize_tables(
         if not _should_register(spark, name):
             continue
         t = SnapshotTable(spark, name, root)
-        if t.current_version() is not None:
-            t.read().createOrReplaceTempView(name)
-            registered.append(name)
+        cur = t.current_version()
+        if cur is not None:
+            # Version-keyed DataFrame reuse (r15): building t.read()
+            # LISTS the table's files (InMemoryFileIndex is eager), so
+            # a fresh frame per statement paid an O(files) driver
+            # listing every time. Snapshots are immutable — the same
+            # (version, frame) serves every statement until a commit
+            # moves the version, when a fresh read picks up the new
+            # file set. Keyed per session like _AUTO_MATERIALIZED.
+            ck = (id(spark), root, name)
+            try:
+                # version alone is not unique across DROP+recreate —
+                # the meta file's inode+mtime pins the incarnation
+                st = _os.stat(_os.path.join(t.meta_dir, f"v{cur:05d}.json"))
+                sig = (cur, st.st_ino, st.st_mtime_ns)
+            except OSError:
+                sig = (cur, None, None)
+            hit = _VIEW_FRAME_CACHE.get(ck)
+            if hit is not None and hit[0] == sig:
+                full_df = hit[1]
+            else:
+                full_df = t.read()
+                _VIEW_FRAME_CACHE[ck] = (sig, full_df)
+            full_df.createOrReplaceTempView(name)
+            registered.append((name, full_df))
     # a DROPped table or view must stop resolving through OUR stale
     # registration (a user temp view is untouched — not in the set)
     views = set(_view_names(root))

@@ -436,7 +436,7 @@ def try_sql_prune(
     df: DataFrame,
     statement: str,
     root: str,
-    names: list[str],
+    registered: list,
 ) -> DataFrame | None:
     """Attempt partition pruning for an analyzed SELECT/WITH DataFrame
     over auto-materialized snapshot-table views. Returns the re-planned
@@ -444,10 +444,15 @@ def try_sql_prune(
     (caller keeps the full-read plan). Never raises: any unexpected
     failure warns and falls back — pruning is a physical optimization,
     the full-read plan is always available."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_DISABLE_SQL_PRUNE"):
+        return None  # kill switch: scaling-study comparator
     try:
         candidates: dict[str, SnapshotTable] = {}
         table_dirs: dict[str, list] = {}
-        for n in names:
+        full_views = dict(registered)
+        for n in full_views:
             t = SnapshotTable(spark, n, root)
             cur = t.current_version()
             if cur is None:
@@ -504,8 +509,12 @@ def try_sql_prune(
             # keeps the plan it analyzed; later statements re-register
             # anyway, but out-of-band spark.table() must never see a
             # stale pruned view)
+            # Restored from the SAME DataFrame objects
+            # materialize_tables registered — a fresh t.read() would
+            # RELIST the whole table per statement (the sql_prune
+            # scaling study measured that doubling the wall cost).
             for name in pruned_names:
-                candidates[name].read().createOrReplaceTempView(name)
+                full_views[name].createOrReplaceTempView(name)
         LAST_SQL_PRUNE_AUDITS.clear()
         LAST_SQL_PRUNE_AUDITS.update(audits)
         return out

@@ -104,6 +104,7 @@ STUDY_TABLES = {
     "posdel_read_tax": ["orders"],
     "dml_stats": ["orders"],
     "bucket_join": ["orders", "customer"],
+    "sql_prune": ["events"],
 }
 STUDY_QUERY = {
     "q1": "q1_pricing_agg",
@@ -139,6 +140,7 @@ _DATASET_ALIAS = {
     "dpo": "window_rank",  # shares the orders ×k replicas
     "hidden_prune": "events_hourly",  # shares the events ×k replicas
     "posdel_read_tax": "window_rank",  # shares the orders ×k replicas
+    "sql_prune": "events_hourly",  # shares the events ×k replicas
 }
 # q1 is the one study whose scaling mode is BIGGER groups, not more
 # groups (its output is always the 4 returnflag/linestatus rows):
@@ -1044,6 +1046,71 @@ def run_dml_stats_study(spark, scale: int, reps: int) -> dict:
     }
 
 
+def run_sql_prune_study(spark, scale: int, reps: int) -> dict:
+    """The SQL read path's pruning priced end-to-end (r15, the ask-#1
+    follow-through): the r14 hidden_prune study showed the PYTHON API's
+    one-day read flat vs linear; this times the same one-day read as a
+    PLAIN SQL statement through execute_sql — plan walk, bounds
+    extraction, subdir selection, re-analysis and all — against the
+    identical statement with the prune pass disabled (the
+    SPARK_GRAFT_DISABLE_SQL_PRUNE kill switch). Same events ×k shape
+    (replicas shift ts 35 days: scaling adds DAYS, the probed day stays
+    constant). Row values asserted identical between the arms."""
+    from pyspark.sql import functions as F
+
+    from empdia_iceberg_spark.sources.tables import load
+    from empdia_iceberg_spark.tables.ddl import execute_sql
+    from empdia_iceberg_spark.tables.manager import SnapshotTable
+
+    sf_dir = build_dataset("sql_prune", scale)
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", F.col("value").cast("double").alias("value")
+    )
+    t = SnapshotTable(spark, "events_sqlprune_scale")
+    t.drop()
+    t.create(events, partition_by=["days(ts)"])  # untimed prep
+    stmt = (
+        "SELECT count(*) AS n, "
+        "CAST(sum(CAST(value AS decimal(18,2))) AS DOUBLE) AS s "
+        "FROM events_sqlprune_scale "
+        "WHERE CAST(ts AS DATE) = DATE '2024-01-03'"
+    )
+
+    def run(disabled: bool):
+        if disabled:
+            os.environ["SPARK_GRAFT_DISABLE_SQL_PRUNE"] = "1"
+        else:
+            os.environ.pop("SPARK_GRAFT_DISABLE_SQL_PRUNE", None)
+        try:
+            rows = execute_sql(spark, stmt).collect()  # warm
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                rows = execute_sql(spark, stmt).collect()
+                best = min(best, time.perf_counter() - t0)
+            return [tuple(r) for r in rows], best
+        finally:
+            os.environ.pop("SPARK_GRAFT_DISABLE_SQL_PRUNE", None)
+
+    pruned_rows, pruned_best = run(disabled=False)
+    full_rows, full_best = run(disabled=True)
+    assert pruned_rows == full_rows, f"sql_prune x{scale}: value mismatch"
+    n_rows = pruned_rows[0][0]
+    t.drop()
+    print(
+        f"|   sql_prune x{scale}: SQL one-day read pruned "
+        f"{round(pruned_best, 3)} s vs prune-disabled "
+        f"{round(full_best, 3)} s",
+        flush=True,
+    )
+    return {
+        "study": "sql_prune", "scale": scale, "rows": n_rows,
+        "spark_sec": round(pruned_best, 3),
+        "duckdb_sec": round(full_best, 3),  # the disabled comparator
+        "ratio": round(pruned_best / full_best, 2),
+    }
+
+
 def run_bucket_join_study(spark, scale: int, reps: int) -> dict:
     """Storage-partitioned joins over co-bucketed tables (r15, VERDICT
     ask #6): orders and customer both `bucket(16, custkey)`-partitioned
@@ -1270,6 +1337,8 @@ def main() -> None:
                 r = run_dml_stats_study(spark, scale, args.reps)
             elif study == "bucket_join":
                 r = run_bucket_join_study(spark, scale, args.reps)
+            elif study == "sql_prune":
+                r = run_sql_prune_study(spark, scale, args.reps)
             else:
                 r = run_study(spark, study, scale, args.reps, args.check, args.spark_only)
             print(
