@@ -3047,9 +3047,11 @@ def table_partition_replace_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1, subdirs_selected=1, dirs_full_scan=0) with rows identical to "
     "the full-view evaluation (pruned_eq_full=1); a BETWEEN statement "
     "range-prunes to 3 subdirs (range_subdirs_selected=3, range_eq_"
-    "full=1); and a statement filtering a NON-partition column "
-    "correctly declines to prune (prune_declined_nonpartition=1 — the "
-    "no-false-prune guard). At 100 TB this is the difference between "
+    "full=1); and a statement whose predicate the front-end cannot "
+    "prove (an OR — not a top-level conjunct) correctly declines to "
+    "prune (prune_declined_nonpartition=1 — the no-false-prune guard; "
+    "plain non-partition equalities are no longer decline cases: "
+    "footer stats legitimately file-prune them where ranges miss). At 100 TB this is the difference between "
     "the flat 0.38 s one-day read and the 7.8 s linear full scan the "
     "r14 scaling study measured — now reachable from PLAIN SQL, which "
     "is the path users actually write.",
@@ -3110,11 +3112,16 @@ def table_sql_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     range_eq_full = int(n_rng == n_rng_full and n_rng > 0)
-    # (c) a non-partition predicate must DECLINE to prune
+    # (c) an unprovable predicate (OR — not a top-level conjunct shape)
+    # must DECLINE to prune at EVERY scale. A plain non-partition
+    # equality is no longer a decline case: footer stats can prune
+    # files for it wherever their ranges miss (scale-dependent), which
+    # is the correct behavior, not a false prune.
     LAST_SQL_PRUNE_AUDITS.clear()
     execute_sql(
         spark,
-        "SELECT count(*) AS c FROM events_sqlp WHERE user_id = 42",
+        "SELECT count(*) AS c FROM events_sqlp "
+        "WHERE user_id = 42 OR event_type = 'click'",
         root=scratch_root(),
     ).collect()
     declined = int("events_sqlp" not in LAST_SQL_PRUNE_AUDITS)

