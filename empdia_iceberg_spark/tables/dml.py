@@ -290,6 +290,21 @@ def _execute_insert(
         df = spark.sql(f"SELECT * FROM {rest}")
     elif re.match(r"^SELECT\b", rest, re.IGNORECASE):
         df = spark.sql(rest)
+        # partition/stat pruning for the INSERT's source SELECT (r15):
+        # `INSERT INTO t2 SELECT ... FROM t WHERE <partition pred>` is
+        # the backfill shape — the source read prunes exactly like a
+        # standalone SELECT (same Catalyst-proven scoping; falls back
+        # to the full plan whenever unprovable)
+        try:
+            from .ddl import materialize_tables
+            from .sqlprune import try_sql_prune
+
+            reg = materialize_tables(spark, rest, root)
+            pruned = try_sql_prune(spark, df, rest, root, reg)
+            if pruned is not None:
+                df = pruned
+        except Exception:
+            pass
     else:
         raise ValueError(
             f"INSERT INTO expects VALUES (...) or SELECT ...: {rest[:60]!r}"

@@ -354,6 +354,80 @@ def test_stats_only_prune_on_unpartitioned_table(spark):
     t.drop()
 
 
+def test_insert_source_select_prunes(spark, day_table):
+    """INSERT INTO t2 SELECT ... FROM t WHERE <day predicate> — the
+    backfill shape — prunes the SOURCE read and lands exactly the
+    oracle rows."""
+    execute_sql(spark, "DROP TABLE IF EXISTS t_sqlp_bf", scratch_root())
+    execute_sql(
+        spark,
+        "CREATE TABLE t_sqlp_bf AS SELECT * FROM t_sqlp_days WHERE 1 = 0",
+        scratch_root(),
+    )
+    sqlprune.LAST_SQL_PRUNE_AUDITS.clear()
+    execute_sql(
+        spark,
+        "INSERT INTO t_sqlp_bf SELECT * FROM t_sqlp_days "
+        "WHERE CAST(ts AS DATE) BETWEEN DATE'2024-01-02' AND DATE'2024-01-03'",
+        scratch_root(),
+    )
+    got = sorted(
+        r["n"]
+        for r in execute_sql(
+            spark, "SELECT n FROM t_sqlp_bf", scratch_root()
+        ).collect()
+    )
+    assert got == [2, 3]
+    a = sqlprune.LAST_SQL_PRUNE_AUDITS.get("t_sqlp_days")
+    assert a and a["subdirs_selected"] == 2 and a["subdirs_pruned"] == 3
+    execute_sql(spark, "DROP TABLE IF EXISTS t_sqlp_bf", scratch_root())
+
+
+def test_prune_through_persisted_view_stays_correct(spark, day_table):
+    """A statement over a persisted VIEW of a partitioned table: the
+    view's frame is already bound, so pruning may or may not engage —
+    the result must equal the full evaluation either way."""
+    execute_sql(spark, "DROP VIEW IF EXISTS v_sqlp_days", scratch_root())
+    execute_sql(
+        spark,
+        "CREATE VIEW v_sqlp_days AS SELECT ts, n FROM t_sqlp_days",
+        scratch_root(),
+    )
+    r = execute_sql(
+        spark,
+        "SELECT n FROM v_sqlp_days WHERE CAST(ts AS DATE) = DATE'2024-01-03'",
+        scratch_root(),
+    )
+    assert [x["n"] for x in r.collect()] == [3]
+    execute_sql(spark, "DROP VIEW IF EXISTS v_sqlp_days", scratch_root())
+
+
+def test_view_cache_serves_fresh_state_after_commits(spark):
+    """The version-keyed frame cache must never serve stale state:
+    write → SQL read → write → SQL read sees every commit, and a
+    DROP+recreate at the same version number is caught by the
+    meta-file identity key."""
+    t = SnapshotTable(spark, "t_sqlp_fresh", scratch_root())
+    t.drop()
+    t.create(spark.createDataFrame([(1,)], "k int"))
+    c1 = execute_sql(
+        spark, "SELECT count(*) c FROM t_sqlp_fresh", scratch_root()
+    ).collect()[0]["c"]
+    t.append(spark.createDataFrame([(2,)], "k int"))
+    c2 = execute_sql(
+        spark, "SELECT count(*) c FROM t_sqlp_fresh", scratch_root()
+    ).collect()[0]["c"]
+    assert (c1, c2) == (1, 2)
+    t.drop()
+    t2 = SnapshotTable(spark, "t_sqlp_fresh", scratch_root())
+    t2.create(spark.createDataFrame([(9,), (8,), (7,)], "k int"))
+    c3 = execute_sql(
+        spark, "SELECT count(*) c FROM t_sqlp_fresh", scratch_root()
+    ).collect()[0]["c"]
+    assert c3 == 3, "DROP+recreate at v1 served a stale cached frame"
+    t2.drop()
+
+
 def test_tz_mismatch_degrades_to_full_scan(spark, day_table):
     old = spark.conf.get("spark.sql.session.timeZone")
     try:
