@@ -108,6 +108,11 @@ def scratch_root(root: str | None = None) -> str:
 # write.target-file-size-bytes default), via shuffle-free coalesce.
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
+# sentinel: footer stats could not prove a dir's key envelope — the
+# caller must fall back to the Spark scan path (None is taken: it is a
+# legal cached envelope meaning "conservative must-rewrite")
+_ENV_UNPROVEN = object()
+
 # ------------------------------------------------------ partition transforms
 # Iceberg hidden partitioning (spec §Partition Transforms): a spec entry
 # is either an identity column name or a TRANSFORM over a source column —
@@ -518,12 +523,22 @@ class SnapshotTable:
         # 32 splits of a 1 MB table -> 32 tiny files per snapshot).
         # Unknown stats estimate huge -> target clamps high -> coalesce
         # becomes a no-op, never an error.
-        try:
-            size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-            target = max(1, min(4096, -(-size // TARGET_FILE_BYTES)))
-            df = df.coalesce(target)
-        except Exception:
-            pass  # stats unavailable: write with the plan's partitioning
+        # Partitioned writes skip the coalesce: they hash-distribute by
+        # the partition transforms instead (Iceberg's
+        # write.distribution-mode=hash) — a coalesce(1) feeding
+        # partitionBy serializes EVERY dir through one task (measured
+        # 2.5-3.6 s vs 1.4-2.1 s for the same sf0.1 events write), and
+        # at scale one task writing every partition is the classic
+        # distribution-mode=none failure the Iceberg docs warn about.
+        if not spec:
+            try:
+                size = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+                target = max(1, min(4096, -(-size // TARGET_FILE_BYTES)))
+                df = df.coalesce(target)
+            except Exception:
+                pass  # stats unavailable: write with the plan's partitioning
         # Write timestamps as INT64 micros, not Spark's INT96 default:
         # INT96 column chunks carry NO footer statistics, so time
         # predicates could never stat-prune (r15; Iceberg likewise
@@ -558,7 +573,13 @@ class SnapshotTable:
             # bucket(N, k), ...) compute their value here — hidden
             # partitioning's write half.
             aug, shadows = with_transform_cols(df, spec, "_p_")
-            aug.write.mode("overwrite").partitionBy(*shadows).parquet(out)
+            # Hash-distribute by the shadow partition columns (Iceberg
+            # write.distribution-mode=hash): each partition value lands
+            # wholly in one task, so dirs write in parallel AND each dir
+            # gets one file instead of one-fragment-per-input-partition.
+            aug.repartition(*shadows).write.mode("overwrite").partitionBy(
+                *shadows
+            ).parquet(out)
         else:
             df.write.mode("overwrite").parquet(out)
         return out
@@ -1646,6 +1667,57 @@ class SnapshotTable:
                 return decimal.Decimal(v["v"])
         return v
 
+    # kinds whose footer stats round-trip losslessly into envelope
+    # bounds: ints and dates compare natively; strings rely on the
+    # parquet contract that truncated min/max stay conservative (the
+    # same contract _stats_files_matching already leans on)
+    _ENV_STAT_KINDS = ("int", "str", "date")
+
+    # at most this many candidate dirs ride the source-stats aggregate
+    # as inline membership flags (one conditional agg per dir); above
+    # it, the broadcast bounds range-join path handles any dir count
+    _ENV_FUSE_MAX = 64
+
+    def _envelope_from_stats(self, d: str, pkey: str):
+        """Envelope of one dir folded from its parquet-footer stats
+        sidecar, or _ENV_UNPROVEN when the footers cannot prove it
+        (missing/dropped stats, unsafe kind, mixed kinds, pre-allcols
+        sidecar). Returns the same encoded shapes the scan path caches:
+        ["empty"] (no non-NULL key in the dir) or [enc_lo, enc_hi]."""
+        try:
+            files = self._dir_file_stats(d)["files"]
+            nk = 0
+            lo = hi = None
+            kind_seen = None
+            for fe in files.values():
+                allcols = fe.get("allcols")
+                if allcols is None:
+                    return _ENV_UNPROVEN  # pre-r15 sidecar: can't tell
+                    # column-absent apart from stats-dropped
+                rows = fe["rows"]
+                if rows == 0 or pkey not in allcols:
+                    continue  # rowless, or pre-ADD-COLUMN file: key NULL
+                ce = fe["cols"].get(pkey)
+                if ce is None or ce["kind"] not in self._ENV_STAT_KINDS:
+                    return _ENV_UNPROVEN
+                if kind_seen is None:
+                    kind_seen = ce["kind"]
+                elif kind_seen != ce["kind"]:
+                    return _ENV_UNPROVEN  # mixed physical kinds in one dir
+                nn = rows - ce["nulls"]
+                if nn <= 0:
+                    continue
+                v_lo = self._stats_decode(ce["min"], ce["kind"])
+                v_hi = self._stats_decode(ce["max"], ce["kind"])
+                lo = v_lo if lo is None or v_lo < lo else lo
+                hi = v_hi if hi is None or v_hi > hi else hi
+                nk += nn
+            if nk == 0:
+                return ["empty"]
+            return [self._env_encode(lo), self._env_encode(hi)]
+        except Exception:
+            return _ENV_UNPROVEN  # any doubt: the scan path decides
+
     def _ensure_key_envelopes(self, dirs: list[str], key: str) -> dict:
         """(min, max) of `key` for EVERY dir in `dirs` — the per-file
         column bounds an Iceberg manifest stores. Data dirs are
@@ -1678,6 +1750,31 @@ class SnapshotTable:
             with open(cache_path) as f:
                 cache = json.load(f)
         missing = [d for d in dirs if d not in cache]
+        # Footer fast path (r15): the per-file stats sidecar already
+        # holds min/max/null_count for the key column, so a missing
+        # dir's envelope is a driver-side fold over footers — no Spark
+        # scan. This is exactly where Iceberg gets its manifest bounds
+        # (write-time file stats), and at 100 TB it is the difference
+        # between reading metadata and scanning the table. Restricted to
+        # provably-safe kinds: int/str/date. Floats fall back (parquet
+        # writers may exclude NaN from min/max, and the merge's NaN
+        # correctness rests on envelopes surfacing NaN bounds); ts falls
+        # back (footer stats are naive-UTC while the scan path collects
+        # in the driver zone — mixing the two would shift bounds).
+        if missing:
+            still_missing = []
+            for d in missing:
+                env = self._envelope_from_stats(d, pkey)
+                if env is _ENV_UNPROVEN:
+                    still_missing.append(d)
+                else:
+                    cache[d] = env
+            if len(still_missing) < len(missing):
+                tmp = cache_path + f".{os.getpid()}.tmp"
+                with open(tmp, "w") as f:
+                    json.dump(cache, f)
+                os.rename(tmp, cache_path)
+            missing = still_missing
         if missing:
             base_of = {os.path.basename(d): d for d in missing}
             # input_file_name() is a Hadoop URI — percent-encoded (a
@@ -2114,12 +2211,73 @@ class SnapshotTable:
         per_key = source.groupBy(F.col(key).alias("_k")).agg(
             F.count(F.lit(1)).alias("_c")
         )
-        env_row = per_key.agg(
+        base_aggs = [
             F.sum("_c").alias("n"),
             F.min("_k").alias("lo"),
             F.max("_k").alias("hi"),
             F.max(F.when(F.col("_k").isNotNull(), F.col("_c"))).alias("max_mult"),
-        ).first()
+        ]
+
+        def _isnan(x) -> bool:
+            return isinstance(x, float) and x != x
+
+        # Dir envelopes first (driver-side footer fold, cached; Spark
+        # scan only as fallback) so the source-stats job below can carry
+        # the per-dir membership test INLINE: one source pass computes
+        # the envelope/dup stats AND which dirs contain a source key,
+        # where the old shape needed a second full pass for the
+        # membership join. Above _ENV_FUSE_MAX candidate dirs the
+        # conditional-aggregate row would get silly-wide, so the
+        # broadcast range-join pass (which scales to any dir count)
+        # takes over — the 100 TB posture is unchanged.
+        envs = self._ensure_key_envelopes(meta["dirs"], key)
+        must_touch: set[str] = set()  # unknown/NaN bounds / MOR deletes
+        usable: list[tuple[str, object, object]] = []  # (dir, lo_d, hi_d)
+        for d in meta["dirs"]:
+            has_deletes = any(
+                d in dd.get("applies_to", meta["dirs"]) for dd in deletes
+            )
+            env = envs[d]
+            if has_deletes or env is None:
+                must_touch.add(d)  # deletes fold in / conservative rewrite
+            elif env == ("empty",):
+                # no non-NULL key in the dir (rowless / all-NULL keys /
+                # written before the key column existed): matches nothing
+                pass
+            elif _isnan(env[0]) or _isnan(env[1]):
+                must_touch.add(d)  # NaN dir bounds break the membership join
+            else:
+                usable.append((d, env[0], env[1]))
+
+        hit: set[str] = set()
+        fused = len(usable) <= self._ENV_FUSE_MAX
+        if fused and usable:
+            # case-insensitive field lookup: the key is canonicalized to
+            # the TABLE spelling, which may differ from the source's
+            kt = next(
+                f.dataType
+                for f in source.schema.fields
+                if f.name.lower() == key.lower()
+            )
+            aggs = list(base_aggs)
+            for i, (_d, lo_d, hi_d) in enumerate(usable):
+                aggs.append(
+                    F.max(
+                        F.when(
+                            (F.col("_k") >= F.lit(lo_d).cast(kt))
+                            & (F.col("_k") <= F.lit(hi_d).cast(kt)),
+                            1,
+                        )
+                    ).alias(f"_h{i}")
+                )
+            env_row = per_key.agg(*aggs).first()
+            hit = {
+                usable[i][0]
+                for i in range(len(usable))
+                if env_row[f"_h{i}"] == 1
+            }
+        else:
+            env_row = per_key.agg(*base_aggs).first()
         n_src, lo, hi = env_row["n"], env_row["lo"], env_row["hi"]
         n_src = int(n_src) if n_src is not None else 0
         if env_row["max_mult"] is not None and env_row["max_mult"] > 1:
@@ -2148,83 +2306,64 @@ class SnapshotTable:
                 "dirs_reused": len(meta["dirs"]),
             }
 
-        def _isnan(x) -> bool:
-            return isinstance(x, float) and x != x
-
-        # Coarse pass (free, metadata-only): the source envelope rules out
-        # dirs wholly outside [lo, hi]; survivors get the exact test.
-        # All missing dir envelopes compute in ONE job up front.
-        # NULL bounds (all source keys NULL) match no target row — the
-        # source is pure NOT-MATCHED inserts, same as any NULL-key source
-        # row. NaN bounds (float keys): the coarse test below runs in
-        # PYTHON, where IEEE NaN comparisons are all false, so a NaN
-        # source bound would silently rule out every dir — we null it
-        # out instead (coarse filter disabled, exact pass decides). The
-        # membership join runs in SPARK SQL, whose semantics differ from
-        # IEEE: NaN sorts GREATER than every value and NaN = NaN is TRUE.
-        # Under that ordering a NaN source key satisfies `NaN >= _lo` but
-        # never `NaN <= _hi` for non-NaN _hi, so it can only hit a dir
-        # whose _hi is itself NaN — and exactly those dirs are force-
-        # rewritten (must_touch) below, which is what makes NaN-key
-        # matches correct. Do NOT "simplify" the must_touch path away:
-        # without it, NaN target keys would be unreachable by the join.
-        envs = self._ensure_key_envelopes(meta["dirs"], key)
-        lo_c = None if lo is None or _isnan(lo) else lo
-        hi_c = None if hi is None or _isnan(hi) else hi
-        must_touch: set[str] = set()  # unknown/NaN bounds / MOR deletes
-        candidates: list[tuple[str, object, object]] = []  # (dir, lo_d, hi_d)
-        for d in meta["dirs"]:
-            has_deletes = any(
-                d in dd.get("applies_to", meta["dirs"]) for dd in deletes
-            )
-            env = envs[d]
-            if has_deletes or env is None:
-                must_touch.add(d)  # deletes fold in / conservative rewrite
-            elif env == ("empty",):
-                # no non-NULL key in the dir (rowless / all-NULL keys /
-                # written before the key column existed): matches nothing
-                pass
-            elif _isnan(env[0]) or _isnan(env[1]):
-                must_touch.add(d)  # NaN dir bounds break the membership join
-            elif lo is None:
-                pass  # all-NULL source keys: no target row can match
-            elif (hi_c is None or env[0] <= hi_c) and (lo_c is None or env[1] >= lo_c):
-                candidates.append((d, env[0], env[1]))
-
-        # Exact pass: one distributed range-join of the source keys
-        # against the broadcast bounds of the surviving candidate dirs
-        # (one row per dir) — the result is a ≤|dirs|-row collect of the
-        # dirs that actually contain a source key.
-        hit: set[str] = set()
-        if candidates:
-            # case-insensitive field lookup: the key is canonicalized to
-            # the TABLE spelling, which may differ from the source's
-            kt = next(
-                f.dataType
-                for f in source.schema.fields
-                if f.name.lower() == key.lower()
-            )
-            bounds = self.spark.createDataFrame(
-                candidates,
-                T.StructType(
-                    [
-                        T.StructField("_dir", T.StringType()),
-                        T.StructField("_lo", kt),
-                        T.StructField("_hi", kt),
-                    ]
-                ),
-            )
-            hit = {
-                r["_dir"]
-                for r in source.select(F.col(key).alias("_k"))
-                .join(
-                    F.broadcast(bounds),
-                    (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+        # NaN notes (still load-bearing for the non-fused path and for
+        # must_touch): the coarse test below runs in PYTHON, where IEEE
+        # NaN comparisons are all false, so a NaN source bound would
+        # silently rule out every dir — we null it out instead (coarse
+        # filter disabled, exact pass decides). The membership join/agg
+        # runs in SPARK SQL, whose semantics differ from IEEE: NaN sorts
+        # GREATER than every value and NaN = NaN is TRUE. Under that
+        # ordering a NaN source key satisfies `NaN >= _lo` but never
+        # `NaN <= _hi` for non-NaN _hi, so it can only hit a dir whose
+        # _hi is itself NaN — and exactly those dirs are force-rewritten
+        # (must_touch) above, which is what makes NaN-key matches
+        # correct. Do NOT "simplify" the must_touch path away: without
+        # it, NaN target keys would be unreachable by the join.
+        if not fused:
+            # Coarse pass (free, metadata-only): the source envelope
+            # rules out dirs wholly outside [lo, hi]; survivors get the
+            # exact test — one distributed range-join of the source keys
+            # against the broadcast bounds of the candidate dirs (one
+            # row per dir), collected as a ≤|dirs|-row set of the dirs
+            # that actually contain a source key. NULL source bounds
+            # (all keys NULL) match no target row.
+            lo_c = None if lo is None or _isnan(lo) else lo
+            hi_c = None if hi is None or _isnan(hi) else hi
+            candidates = [
+                (d, lo_d, hi_d)
+                for d, lo_d, hi_d in usable
+                if lo is not None
+                and (hi_c is None or lo_d <= hi_c)
+                and (lo_c is None or hi_d >= lo_c)
+            ]
+            if candidates:
+                kt = next(
+                    f.dataType
+                    for f in source.schema.fields
+                    if f.name.lower() == key.lower()
                 )
-                .select("_dir")
-                .distinct()
-                .collect()
-            }
+                bounds = self.spark.createDataFrame(
+                    candidates,
+                    T.StructType(
+                        [
+                            T.StructField("_dir", T.StringType()),
+                            T.StructField("_lo", kt),
+                            T.StructField("_hi", kt),
+                        ]
+                    ),
+                )
+                hit = {
+                    r["_dir"]
+                    for r in source.select(F.col(key).alias("_k"))
+                    .join(
+                        F.broadcast(bounds),
+                        (F.col("_k") >= F.col("_lo"))
+                        & (F.col("_k") <= F.col("_hi")),
+                    )
+                    .select("_dir")
+                    .distinct()
+                    .collect()
+                }
 
         if nmbs_list:
             # WHEN NOT MATCHED BY SOURCE is intrinsically O(one table
@@ -2946,7 +3085,23 @@ class SnapshotTable:
                         ent["min"] = emin[0] if lo < cl else ent["min"]
                         ent["max"] = emax[0] if hi > ch else ent["max"]
                         ent["nulls"] += nulls
-            files[os.path.relpath(f, d)] = {"rows": md.num_rows, "cols": per}
+            # top-level physical column names present in THIS file —
+            # lets consumers distinguish "column absent from the file"
+            # (pre-ADD-COLUMN rows: key is NULL everywhere) from "stats
+            # unusable" (must fall back to a scan)
+            names = sorted(
+                {
+                    md.row_group(0).column(ci).path_in_schema.split(".")[0]
+                    for ci in range(md.row_group(0).num_columns)
+                }
+                if md.num_row_groups
+                else set()
+            )
+            files[os.path.relpath(f, d)] = {
+                "rows": md.num_rows,
+                "cols": per,
+                "allcols": names,
+            }
         out = {"files": files}
         tmp = side + f".tmp.{uuid.uuid4().hex[:8]}"
         try:

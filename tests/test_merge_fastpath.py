@@ -1,0 +1,130 @@
+"""Round-15 optimization internals: footer-stats envelopes and the fused
+merge membership aggregate must make the SAME pruning decisions as the
+scan-based envelope + broadcast range-join they replace."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from empdia_iceberg_spark.tables.manager import (
+    SnapshotTable,
+    _ENV_UNPROVEN,
+    scratch_root,
+)
+
+from .conftest import spark  # noqa: F401  (session fixture)
+
+
+def _fresh(spark, name):
+    t = SnapshotTable(spark, name, scratch_root())
+    t.drop()
+    return t
+
+
+def test_footer_envelope_matches_scan(spark):
+    t = _fresh(spark, "envfast_int")
+    df = spark.range(10, 50).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    t.create(df)
+    d = t._read_meta(t.current_version())["dirs"][0]
+    env = t._envelope_from_stats(d, "k")
+    assert env == [10, 49]
+    # and the public path returns decoded tuples identical to a scan
+    envs = t._ensure_key_envelopes([d], "k")
+    assert envs[d] == (10, 49)
+
+
+def test_footer_envelope_string_and_date(spark):
+    t = _fresh(spark, "envfast_strdate")
+    df = spark.createDataFrame(
+        [("apple", datetime.date(2020, 1, 2)), ("zebra", datetime.date(2021, 6, 30))],
+        "s string, d date",
+    )
+    t.create(df)
+    dd = t._read_meta(t.current_version())["dirs"][0]
+    assert t._envelope_from_stats(dd, "s") == ["apple", "zebra"]
+    env_d = [SnapshotTable._env_decode(x) for x in t._envelope_from_stats(dd, "d")]
+    assert env_d == [datetime.date(2020, 1, 2), datetime.date(2021, 6, 30)]
+
+
+def test_footer_envelope_declines_float_and_ts(spark):
+    t = _fresh(spark, "envfast_decline")
+    df = spark.createDataFrame(
+        [(1.5, datetime.datetime(2020, 1, 1, 12))], "f double, ts timestamp"
+    )
+    t.create(df)
+    d = t._read_meta(t.current_version())["dirs"][0]
+    # float: NaN-unsafe footer stats; ts: driver-zone round-trip — both
+    # must defer to the scan path
+    assert t._envelope_from_stats(d, "f") is _ENV_UNPROVEN
+    assert t._envelope_from_stats(d, "ts") is _ENV_UNPROVEN
+    # the scan fallback still yields working envelopes
+    envs = t._ensure_key_envelopes([d], "f")
+    assert envs[d] == (1.5, 1.5)
+
+
+def test_footer_envelope_pre_add_column_dir_is_empty(spark):
+    t = _fresh(spark, "envfast_precol")
+    t.create(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    t.add_column("extra", "bigint")
+    d0 = t._read_meta(1)["dirs"][0]  # written before `extra` existed
+    assert t._envelope_from_stats(d0, "extra") == ["empty"]
+
+
+def test_merge_prune_decisions_fused_equals_join(spark):
+    # two dirs with DISJOINT key ranges; a source touching only the
+    # second must reuse the first — under both membership strategies
+    rows = None
+    audits = {}
+    for fuse_max in (64, -1):  # fused path vs broadcast-join path
+        t = _fresh(spark, f"envfast_prune_{fuse_max}")
+        t.create(spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v")))
+        t.append(spark.range(1000, 1100).select(F.col("id").alias("k"), F.lit(2).alias("v")))
+        src = spark.range(1050, 1060).select(
+            F.col("id").alias("k"), F.lit(99).alias("v")
+        )
+        old = SnapshotTable._ENV_FUSE_MAX
+        SnapshotTable._ENV_FUSE_MAX = fuse_max
+        try:
+            _, audit = t.merge(src, key="k")
+        finally:
+            SnapshotTable._ENV_FUSE_MAX = old
+        audits[fuse_max] = audit
+        got = sorted(tuple(r) for r in t.read().collect())
+        if rows is None:
+            rows = got
+        else:
+            assert got == rows
+    assert audits[64] == {"dirs_rewritten": 1, "dirs_reused": 1}
+    assert audits[-1] == audits[64]
+
+
+def test_merge_duplicate_key_still_raises(spark):
+    t = _fresh(spark, "envfast_dup")
+    t.create(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    dup = spark.createDataFrame([(2, "x"), (2, "y")], "k bigint, v string")
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(dup, key="k")
+
+
+def test_partitioned_write_one_file_per_dir(spark):
+    # hash distribution by the shadow columns must keep the
+    # one-file-per-partition-dir layout the coalesce path produced
+    import os
+
+    t = _fresh(spark, "envfast_partwrite")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("g"),
+    )
+    t.create(df, partition_by=["g"])
+    d = t._read_meta(t.current_version())["dirs"][0]
+    subdirs = [s for s in os.listdir(d) if s.startswith("_p_")]
+    assert len(subdirs) == 5
+    for s in subdirs:
+        files = [f for f in os.listdir(os.path.join(d, s)) if f.endswith(".parquet")]
+        assert len(files) == 1
+    # content round-trips
+    assert t.read().count() == 1000
