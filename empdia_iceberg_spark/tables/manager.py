@@ -4712,16 +4712,48 @@ class SnapshotTable:
                     )
                 del_ = hit if del_ is None else align(del_).unionByName(align(hit))
             if key is not None and ins is not None and del_ is not None:
+                # Fold delete+insert pairs sharing a key into update_
+                # preimage/postimage in ONE pass: tag each side, union,
+                # and decide per row from windowed has-insert/has-delete
+                # flags. The old intersect + 4 semi/anti joins evaluated
+                # the ins/del subtrees (for CoW commits: the full
+                # exceptAll diff) up to five times in one plan and added
+                # five key shuffles; this shape computes each diff once
+                # and shuffles the commit delta by key once. NULL keys
+                # never pair (the legacy semi-join equality semantics):
+                # they stay plain insert/delete rows.
+                from pyspark.sql import Window as _W
+
                 ins_a, del_a = align(ins), align(del_)
-                upd_keys = ins_a.select(key).intersect(del_a.select(key))
-                parts.append(
-                    tag(ins_a.join(upd_keys, key, "semi"), "update_postimage", v, ts)
+                both = ins_a.withColumn("_side", F.lit("i")).unionByName(
+                    del_a.withColumn("_side", F.lit("d"))
+                )
+                w = _W.partitionBy(key)
+                has_i = F.max((F.col("_side") == "i").cast("int")).over(w)
+                has_d = F.max((F.col("_side") == "d").cast("int")).over(w)
+                paired = (
+                    F.col(key).isNotNull() & (has_i == 1) & (has_d == 1)
+                )
+                ctype = (
+                    F.when(
+                        paired & (F.col("_side") == "i"),
+                        F.lit("update_postimage"),
+                    )
+                    .when(paired, F.lit("update_preimage"))
+                    .when(F.col("_side") == "i", F.lit("insert"))
+                    .otherwise(F.lit("delete"))
                 )
                 parts.append(
-                    tag(del_a.join(upd_keys, key, "semi"), "update_preimage", v, ts)
+                    both.select(
+                        *out_cols,
+                        ctype.alias("_change_type"),
+                        F.lit(v).cast("int").alias("_commit_version"),
+                        F.lit(ts)
+                        .cast("double")
+                        .cast("timestamp")
+                        .alias("_commit_timestamp"),
+                    )
                 )
-                parts.append(tag(ins_a.join(upd_keys, key, "anti"), "insert", v, ts))
-                parts.append(tag(del_a.join(upd_keys, key, "anti"), "delete", v, ts))
             else:
                 if ins is not None:
                     parts.append(tag(ins, "insert", v, ts))
