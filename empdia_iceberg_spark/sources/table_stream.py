@@ -1137,12 +1137,30 @@ def stream_cdc_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.merge(src, key="o_orderkey")  # v3: CoW update pairs
         t.delete_where_mor(F.col("o_orderkey") % 5 == 0, key="o_orderkey")  # v4
         drain()  # restart: resumes at v2's offset, emits v3+v4 only
-        streamed = rollup(spark.read.parquet(sink)).collect()
-        batch = rollup(t.changes(1, key="o_orderkey")).collect()
-        equal = int(
-            [tuple(r) for r in streamed] == [tuple(r) for r in batch]
-            and len(streamed) > 0
+        # one action for BOTH rollups: tag the sides and union — the
+        # streamed-vs-batch equality probe needs the two aggregates
+        # together anyway, and separate collects paid two full
+        # plan+schedule+collect round-trips (r15)
+        tagged = (
+            rollup(spark.read.parquet(sink))
+            .withColumn("_side", F.lit("s"))
+            .unionByName(
+                rollup(t.changes(1, key="o_orderkey")).withColumn(
+                    "_side", F.lit("b")
+                )
+            )
+            .collect()
         )
+        # the union does not preserve each side's orderBy — re-sort the
+        # driver-sized lists by the rollup key before comparing
+        def side(tag: str) -> list[tuple]:
+            return sorted(
+                (tuple(r)[:-1] for r in tagged if r["_side"] == tag),
+                key=lambda x: (x[0], x[1]),
+            )
+
+        streamed, batch = side("s"), side("b")
+        equal = int(streamed == batch and len(streamed) > 0)
         out = spark.createDataFrame(
             streamed,
             "_commit_version int, _change_type string, n_rows bigint, "
