@@ -125,6 +125,19 @@ _SWEEP_PRIORITY = [
     "table_merge_pruned",  # r15-changed path
     "table_time_travel_sql",  # r15-changed path
     "table_metadata_tables_sql",  # r15-changed path
+    # r15 OPTIMIZATION-round changes (merge envelope/membership fusion,
+    # changes() fold rewrite, partitioned-write hash distribution,
+    # worker-lazy package init): every query whose answer path those
+    # touch joins the window, displacing tail filler below the marker
+    "table_merge_upsert",  # r15-opt: fused merge membership
+    "table_merge_sync_dml",  # r15-opt: fused merge membership (BY SOURCE)
+    "stream_cdc_apply",  # r15-opt: merges inside foreachBatch drains
+    "pipeline_medallion",  # r15-opt: silver MERGE + pyds tail
+    "curation_pipeline",  # r15-opt: MERGE step
+    "table_expire_compact",  # r15-opt: changes()-adjacent lifecycle
+    "table_partition_evolution",  # r15-opt: partitioned-write distribution
+    "stream_native_sink_medallion",  # r15-opt: pyds drains (worker-lazy init)
+    "pyds_synthetic_rollup",  # r15-opt: python datasource worker imports
     "events_mad_outliers",  # r7
     "emb_cosine_near_dup",  # r7
     "supplier_part_matching",  # r7
