@@ -35,8 +35,14 @@ def _in_pyspark_worker() -> bool:
     on EVERY streaming query start (fresh planner runner per query) and
     every cold worker, for a registry nobody in that process reads."""
     main = _sys.modules.get("__main__")
-    f = getattr(main, "__file__", None) or getattr(main, "__name__", "") or ""
-    return "pyspark" in f.replace("\\", "/")
+    f = (getattr(main, "__file__", None) or "").replace("\\", "/")
+    if "pyspark" not in f:
+        return False
+    # match the specific worker entrypoints, NOT anything under the
+    # pyspark tree — the interactive `pyspark` shell (pyspark/shell.py)
+    # is a DRIVER and must get the full registry
+    base = f.rsplit("/", 1)[-1]
+    return base in ("worker.py", "daemon.py") or "/sql/worker/" in f
 
 
 if not _in_pyspark_worker():
