@@ -98,342 +98,324 @@ if not _in_pyspark_worker():
 #      (tools/next_sweep.py emits the order);
 #   3. the stalest previously-green block as tail filler.
 #
-# ROUND 15 ARITHMETIC (VERDICT r14 asks): never-swept debt stays ZERO
-# (all 300 queries have driver rows through r14; zero FAILs ever). The
-# window is (1) the 13 queries whose answer paths round 15 touches —
-# the SQL partition-pruning front-end (execute_sql materialization,
-# ddl.py), the range+MOR composition and hive-escaping fixes in
-# read_pruned/read_pruned_transform (ADVICE medium), per-file column
-# stats in _dirs_matching, the table_changes TVF quoted-3rd-arg fix,
-# and the CDC tail's _CDC_COLS / initial-DEFAULT fixes (table_stream) —
-# then (2) the ENTIRE 18-name r7 cohort (VERDICT ask #5: burn it; max
-# staleness after this round becomes r8), then (3) 19 r8 names as tail
-# filler. NEW queries registered this round (SQL-pruned read story,
-# range+MOR pruned read, stats-manifest audit, rewrite_position_deletes,
-# bucket-join study, ...) are inserted at the VERY FRONT as they land,
-# displacing the bottom of the r8 block below the marker
-# (same-round-driver-row rule).
+# ROUND 16 ARITHMETIC (optimization round 2): never-swept debt stays
+# ZERO (all 304 queries have driver rows through r15; zero FAILs ever).
+# The window is (1) the 14 queries whose answer paths round 16's
+# optimization targets touch (VERDICT r15 "Next round" list: the
+# pagerank iteration loop, the table_sql_pruned_read action cut, the
+# governance/alter statement bundles, the merge family's shared
+# BY-SOURCE scan, user_profile_similarity, partitioned-write within-dir
+# splitting, and the pyds drain import trim) — every changed path gets
+# a driver oracle row this round, same verification-positive promotion
+# policy as r15 — then (2) the ENTIRE 32-name r8 cohort (oldest
+# last-swept; burning it moves max staleness to r9), then (3) 4 r9
+# names as tail filler.
 _SWEEP_PRIORITY = [
-    "table_sql_pruned_read",  # NEW r15
-    "table_stats_pruned_dml",  # NEW r15
-    "table_posdel_rewrite_sql",  # NEW r15
-    "table_range_mor_pruned_read",  # NEW r15
-    "table_partition_transforms_sql",  # r15-changed path
-    "table_partition_replace_sql",  # r15-changed path
-    "table_position_delete_dml",  # r15-changed path
-    "table_changes_sql",  # r15-changed path
-    "stream_cdc_tail",  # r15-changed path
-    "stream_table_tail",  # r15-changed path
-    "table_delete_mor_dml",  # r15-changed path
-    "table_mor_deletes",  # r15-changed path
-    "table_update_dml",  # r15-changed path
-    "table_delete_dml",  # r15-changed path
-    "table_merge_pruned",  # r15-changed path
-    "table_time_travel_sql",  # r15-changed path
-    "table_metadata_tables_sql",  # r15-changed path
-    # r15 OPTIMIZATION-round changes (merge envelope/membership fusion,
-    # changes() fold rewrite, partitioned-write hash distribution,
-    # worker-lazy package init): every query whose answer path those
-    # touch joins the window, displacing tail filler below the marker
-    "table_merge_upsert",  # r15-opt: fused merge membership
-    "table_merge_sync_dml",  # r15-opt: fused merge membership (BY SOURCE)
-    "stream_cdc_apply",  # r15-opt: merges inside foreachBatch drains
-    "pipeline_medallion",  # r15-opt: silver MERGE + pyds tail
-    "curation_pipeline",  # r15-opt: MERGE step
-    "table_expire_compact",  # r15-opt: changes()-adjacent lifecycle
-    "table_partition_evolution",  # r15-opt: partitioned-write distribution
-    "stream_native_sink_medallion",  # r15-opt: pyds drains (worker-lazy init)
-    "pyds_synthetic_rollup",  # r15-opt: python datasource worker imports
-    "events_mad_outliers",  # r7
-    "emb_cosine_near_dup",  # r7
-    "supplier_part_matching",  # r7
-    "graph_triangle_census",  # r7
-    "events_markov_entropy_rate",  # r7
-    "mi_events_type_hour",  # r7
-    "doc_chunking",  # r7
-    "doc_quality_filter",  # r7
-    "doc_rrf_fusion",  # r7
-    "events_funnel_conversion",  # r7
-    "orders_shipping_busdays",  # r7
-    "orders_diversified_topk",  # r7
-    "weighted_quantiles_quantity",  # r7
-    "orders_robust_means",  # r7
-    "messages_last_by_role",  # r7
-    "udtf_table_arg_digest",  # r7
-    "kmv_distinct_orders",  # r7
-    "kmv_set_overlap",  # r7
-    "asof_join_last_error",  # r8
-    "events_gap_fill_ffill",  # r8
-    "events_cusum_drift",  # r8
-    "events_max_drawdown_user",  # r8
-    "forecast_backtest_snaive",  # r8
-    "profile_orders_stats",  # r8
-    "doc_weighted_sample",  # r8
-    "doc_sample_per_lang",  # r8
-    "doc_tfidf_top_terms",  # r8
-    "emb_decontaminate",  # r8
-    "doc_repetition_stats",  # r8
-    "doc_rake_keyphrases",  # r8
-    "doc_oov_rate",  # r8
-    "nb_lang_confusion",  # r8
-    "classifier_agreement_kappa",  # r8
-    "multimodal_audio_zcr",  # r8
-    "udtf_split_fixed_cols",  # r8
-    "pyds_synthetic_rollup",  # r8
-    "events_session_window_batch",  # r8
-    # ---- 50-slot window ends here (13 r15-changed + 18 r7 + 19 r8;
-    #      new-query prepends displace the bottom r8 names below
-    #      this marker, same-round-driver-row rule) ----
-    "events_rolling_median_7d",  # r8
-    "events_rolling_wau",  # r8
-    "events_linear_attribution",  # r8
-    "events_ohlc_hourly",  # r8
-    "events_scd2_history",  # r8
-    "events_weekly_retention",  # r8
-    "mc_pi_estimate",  # r8
-    "orders_var_cvar",  # r8
-    "ab_sprt_trace",  # r8
-    "ab_test_conversion",  # r8
-    "ols_by_returnflag",  # r8
-    "quantile_transform_acctbal",  # r8
-    "revenue_concentration_hhi",  # r8
-    "revenue_gini_customers",  # r8
-    "corpus_zipf_slope",  # r8
-    "revenue_price_volume_bridge",  # r8
-    "revenue_recognition_schedule",  # r8
-    "revenue_yoy_growth",  # r8
-    "customer_segment_migration",  # r8
-    "customer_rfm_segments",  # r8
-    "orders_interpurchase_intervals",  # r9
-    "orders_status_summary",  # r9
-    "lineitem_fifo_allocation",  # r9
-    "join_key_skew_stats",  # r9
-    "duplicate_baskets",  # r9
-    "graph_bfs_hops",  # r9
-    "graph_kcore_sizes",  # r9
-    "graph_degree_assortativity",  # r9
-    "item_item_similar_parts",  # r9
-    "seq2_event_patterns",  # r9
-    "doc_fuzzy_clusters",  # r9
-    "doc_greedy_coverage_select",  # r9
-    "doc_pack_windows",  # r9
-    "hash_split_assignments",  # r9
-    "domain_mixture_weights",  # r9
-    "embedding_quantize_int8",  # r9
-    "variant_props_typed",  # r9
-    "secure_masked_view",  # r9
-    "observed_metrics_shipments",  # r9
-    "dq_checks_orders",  # r9
-    "pagerank_trading_graph",  # r9
-    "semi_join_active_customers",  # r9
-    "anti_join_inactive_customers",  # r9
-    "set_ops_segments",  # r9
-    "rollup_pricing",  # r9
-    "cube_order_priority",  # r9
-    "distinct_counts",  # r9
-    "approx_distinct_counts",  # r9
-    "topk_orders_global",  # r9
-    "scalar_string_fns",  # r9
-    "date_fns_orders",  # r9
-    "json_extract_events",  # r9
-    "orders_above_customer_avg",  # r9
-    "events_hourly_rollup",  # r9
-    "pivot_status_by_priority",  # r9
-    "null_safe_join_acctbal",  # r9
-    "map_functions_props",  # r9
-    "grouping_sets_pricing",  # r9
-    "percentile_order_values",  # r9
-    "approx_percentile_sketch",  # r9
-    "q1_pricing_agg",  # r10
-    "q3_join3_topk",  # r10
-    "user_profile_similarity",  # r10
-    "events_multi_grain_rollup",  # r10
-    "salted_join_skewed",  # r10
-    "unpivot_pricing_metrics",  # r10
-    "doc_dedup_survivors",  # r10
-    "doc_text_stats",  # r10
-    "doc_token_counts",  # r10
-    "doc_lang_id_confusion",  # r10
-    "doc_fingerprint",  # r10
-    "doc_pii_scrub",  # r10
-    "window_rank_topk_per_customer",  # r10
-    "window_lag_lead_orders",  # r10
-    "window_running_max_events",  # r10
-    "window_trailing_frame_events",  # r10
-    "window_ntile_quartiles",  # r10
-    "window_first_last_order",  # r10
-    "window_range_frame_value",  # r10
-    "window_percent_rank_cume_dist",  # r10
-    "embedding_avg_by_label",  # r10
-    "range_join_events_1h",  # r10
-    "bucketed_join_colocated",  # r10
-    "skyline_orders_2d",  # r10
-    "multimodal_metadata",  # r10
-    "classifier_stub_layers",  # r10
-    "classifier_label_canonicalization",  # r10
-    "classifier_real_model",  # r10
-    "generation_retry_stub",  # r10
-    "collate_prompt_batches",  # r10
-    "udtf_word_windows",  # r10
-    "udaf_weighted_value",  # r10
-    "reward_trajectory",  # r10
-    "reward_per_turn_scores",  # r10
-    "reward_fallback_mean",  # r10
-    "reward_config_coalesce",  # r10
-    "reward_trajectory_pandas",  # r10
-    "termination_flags",  # r10
-    "table_statement_corners",  # r11
-    "table_merge_sync_dml",  # r11
-    "table_refs_sql",  # r11
-    "table_rename_column_sql",  # r11
-    "table_maintenance_sql",  # r11
-    "table_insert_dml",  # r11
-    "table_hilbert_layout",  # r11
-    "table_zorder_layout",  # r11
-    "table_merge_upsert",  # r11
-    "knn_cosine_top5",  # r11
-    "knn_cosine_lsh",  # r11
-    "doc_exact_dedup",  # r11
-    "doc_minhash_near_dup",  # r11
-    "doc_dedup_clusters",  # r11
-    "table_snapshot_lifecycle",  # r11
-    "table_schema_evolution",  # r11
-    "table_rollback_restore",  # r11
-    "table_incremental_diff",  # r11
-    "table_wap_publish",  # r11
-    "cdc_log_compaction",  # r11
-    "table_crypto_shred",  # r11
-    "mv_incremental_refresh",  # r11
-    "table_branch_merge",  # r11
-    "table_history_audit",  # r11
-    "table_concurrent_appends",  # r11
-    "table_bloom_point_lookup",  # r11
-    "table_changelog_emit",  # r11
-    "catalog_multi_table_txn",  # r11
-    "termination_first_stop",  # r11
-    "trajectory_metrics",  # r11
-    "table_views_sql",  # r12
-    "table_analyze_sql",  # r12
-    "table_alter_type_sql",  # r12
-    "knn_ivf_recall_audit",  # r12
-    "knn_lsh_recall_audit",  # r12
-    "knn_cosine_ivf",  # r12
-    "messages_role_swap_pipeline",  # r12
-    "dialogue_prep_verl_rows",  # r12
-    "dialogue_prep_nested",  # r12
-    "overlong_prompt_filter",  # r12
-    "positional_split_70_30",  # r12
-    "grpo_group_normalize",  # r12
-    "grpo_pairwise_n2",  # r12
-    "q5_region_revenue",  # r12
-    "multimodal_decode_features",  # r12
-    "multimodal_feature_extract",  # r12
-    "multimodal_frame_sample",  # r12
-    "generation_retry_real",  # r12
-    "doc_simhash_near_dup",  # r12
-    "doc_span_dedup",  # r12
-    "doc_fuzzy_pairs_blocked",  # r12
-    "stats_exact_moments",  # r12
-    "stratified_sample_counts",  # r12
-    "events_anomaly_zscore",  # r12
-    "events_pit_dimension_join",  # r12
-    "events_cohort_ltv",  # r12
-    "events_time_to_convert",  # r12
-    "events_ewma16_user",  # r12
-    "orders_open_peak_monthly",  # r12
-    "events_longest_streaks",  # r12
-    "part_pairs_cooccurrence",  # r12
-    "events_type_transitions",  # r12
-    "part_hierarchy_rollup",  # r12
-    "part_association_rules",  # r12
-    "benford_order_totals",  # r12
-    "pipeline_wap",  # r13
-    "emb_near_dup_ivf",  # r13
-    "table_governance_sql",  # r13
-    "table_describe_sql",  # r13
-    "table_merge_dml",  # r13
-    "sink_parquet_roundtrip",  # r13
-    "sink_json_roundtrip",  # r13
-    "csv_roundtrip",  # r13
-    "sink_partitioned_write",  # r13
-    "orc_roundtrip",  # r13
-    "json_ingest_corrupt_records",  # r13
-    "xml_roundtrip",  # r13
-    "binaryfile_ingest",  # r13
-    "ols_quantity_price",  # r13
-    "chi2_events_type_dow",  # r13
-    "welch_t_acctbal_segments",  # r13
-    "events_survival_km",  # r13
-    "events_impute_value",  # r13
-    "events_target_encode_loo",  # r13
-    "events_twap_user",  # r13
-    "parts_abc_pareto",  # r13
-    "semantic_prune_clusters",  # r13
-    "spearman_qty_price",  # r13
-    "q2_min_cost_supplier",  # r13
-    "q4_priority_exists",  # r13
-    "q6_forecast_revenue",  # r13
-    "q7_volume_shipping",  # r13
-    "q8_market_share",  # r13
-    "q9_profit_by_nation",  # r13
-    "q10_returned_revenue",  # r13
-    "q11_important_parts",  # r13
-    "q12_late_priority_counts",  # r13
-    "q13_custdist",  # r13
-    "q14_promo_revenue",  # r13
-    "q15_top_supplier",  # r13
-    "q16_supplier_part_counts",  # r13
-    "q17_small_qty_revenue",  # r13
-    "q18_large_orders",  # r13
-    "q19_disjunctive_revenue",  # r13
-    "q20_dominant_suppliers",  # r13
-    "q21_waiting_suppliers",  # r13
-    "q22_idle_rich_customers",  # r13
-    "lateral_top2_per_customer",  # r13
-    "events_sessionize_8h",  # r13
-    "daily_acf_value",  # r13
-    "stream_conversation_state",  # r14
-    "stream_topk_trending",  # r14
-    "stream_tumbling_hourly",  # r14
-    "stream_watermark_late_drop",  # r14
-    "stream_ewma16_state",  # r14
-    "stream_stream_join_1h",  # r14
-    "stream_static_enrich",  # r14
-    "stream_continuous_aggregate",  # r14
-    "stream_restart_recovery",  # r14
-    "stream_cdc_apply",  # r14
-    "stream_sliding_2h_1h",  # r14
-    "stream_session_window",  # r14
-    "stream_dedup_events",  # r14
-    "stream_dedup_bounded_state",  # r14
-    "stream_stream_left_join",  # r14
-    "pipeline_medallion",  # r14
-    "stream_native_sink_medallion",  # r14
-    "table_partition_evolution",  # r14
-    "table_insert_overwrite_dml",  # r14
-    "table_expire_compact",  # r14
-    "table_ddl_lifecycle",  # r14
-    "seasonal_strength_scan",  # r14
-    "events_seasonal_residual_outliers",  # r14
-    "events_linear_interpolate",  # r14
-    "doc_bm25_search",  # r14
-    "doc_phrase_search",  # r14
-    "doc_rerank_crossencoder",  # r14
-    "embedding_pq_codes",  # r14
-    "embedding_pca_power",  # r14
-    "user_reach_hll_rollup",  # r14
-    "token_cms_estimates",  # r14
-    "token_heavy_hitters",  # r14
-    "mannwhitney_u_segments",  # r14
-    "doc_lm_perplexity",  # r14
-    "doc_decontaminate",  # r14
-    "doc_ngram_jaccard_pairs",  # r14
-    "doc_dup_ngram_fraction",  # r14
-    "curation_pipeline",  # r14
-    "curation_funnel_counts",  # r14
-    "anova_acctbal_segments",  # r14
-    "ks_acctbal_two_sample",  # r14
-    "lineitem_corr_matrix",  # r14
+    "pagerank_trading_graph",  # r16-opt target: iteration loop
+    "table_sql_pruned_read",  # r16-opt target: CTAS+INSERT action cut
+    "table_governance_sql",  # r16-opt target: statement-bundle actions
+    "table_alter_type_sql",  # r16-opt target: statement-bundle actions
+    "table_merge_sync_dml",  # r16-opt target: shared BY-SOURCE scan
+    "table_merge_upsert",  # r16-opt: merge path shared with sync_dml
+    "table_merge_pruned",  # r16-opt: merge path shared with sync_dml
+    "user_profile_similarity",  # r16-opt target: pivot/pair-join evidence
+    "table_partition_transforms_sql",  # r16-opt target: within-dir file split
+    "table_partition_evolution",  # r16-opt: partitioned-write path
+    "stream_cdc_apply",  # r16-opt: merge path in drains
+    "stream_cdc_tail",  # r16-opt target: drain import trim
+    "stream_native_sink_medallion",  # r16-opt target: drain import trim
+    "pipeline_medallion",  # r16-opt: merge + pyds tail
+    "doc_weighted_sample",  # r8 cohort burn
+    "doc_sample_per_lang",  # r8 cohort burn
+    "doc_tfidf_top_terms",  # r8 cohort burn
+    "emb_decontaminate",  # r8 cohort burn
+    "doc_repetition_stats",  # r8 cohort burn
+    "doc_rake_keyphrases",  # r8 cohort burn
+    "doc_oov_rate",  # r8 cohort burn
+    "nb_lang_confusion",  # r8 cohort burn
+    "classifier_agreement_kappa",  # r8 cohort burn
+    "multimodal_audio_zcr",  # r8 cohort burn
+    "udtf_split_fixed_cols",  # r8 cohort burn
+    "events_session_window_batch",  # r8 cohort burn
+    "events_rolling_median_7d",  # r8 cohort burn
+    "events_rolling_wau",  # r8 cohort burn
+    "events_linear_attribution",  # r8 cohort burn
+    "events_ohlc_hourly",  # r8 cohort burn
+    "events_scd2_history",  # r8 cohort burn
+    "events_weekly_retention",  # r8 cohort burn
+    "mc_pi_estimate",  # r8 cohort burn
+    "orders_var_cvar",  # r8 cohort burn
+    "ab_sprt_trace",  # r8 cohort burn
+    "ab_test_conversion",  # r8 cohort burn
+    "ols_by_returnflag",  # r8 cohort burn
+    "quantile_transform_acctbal",  # r8 cohort burn
+    "revenue_concentration_hhi",  # r8 cohort burn
+    "revenue_gini_customers",  # r8 cohort burn
+    "corpus_zipf_slope",  # r8 cohort burn
+    "revenue_price_volume_bridge",  # r8 cohort burn
+    "revenue_recognition_schedule",  # r8 cohort burn
+    "revenue_yoy_growth",  # r8 cohort burn
+    "customer_segment_migration",  # r8 cohort burn
+    "customer_rfm_segments",  # r8 cohort burn
+    "orders_interpurchase_intervals",  # r9 filler
+    "orders_status_summary",  # r9 filler
+    "lineitem_fifo_allocation",  # r9 filler
+    "join_key_skew_stats",  # r9 filler
+    # ---- 50-slot window ends here (14 r16-changed + 32 r8 + 4 r9) ----
+    "table_stats_pruned_dml",  # last swept r15
+    "table_posdel_rewrite_sql",  # last swept r15
+    "table_range_mor_pruned_read",  # last swept r15
+    "table_partition_replace_sql",  # last swept r15
+    "table_position_delete_dml",  # last swept r15
+    "table_changes_sql",  # last swept r15
+    "stream_table_tail",  # last swept r15
+    "table_delete_mor_dml",  # last swept r15
+    "table_mor_deletes",  # last swept r15
+    "table_update_dml",  # last swept r15
+    "table_delete_dml",  # last swept r15
+    "table_time_travel_sql",  # last swept r15
+    "table_metadata_tables_sql",  # last swept r15
+    "curation_pipeline",  # last swept r15
+    "table_expire_compact",  # last swept r15
+    "pyds_synthetic_rollup",  # last swept r15
+    "events_mad_outliers",  # last swept r15
+    "emb_cosine_near_dup",  # last swept r15
+    "supplier_part_matching",  # last swept r15
+    "graph_triangle_census",  # last swept r15
+    "events_markov_entropy_rate",  # last swept r15
+    "mi_events_type_hour",  # last swept r15
+    "doc_chunking",  # last swept r15
+    "doc_quality_filter",  # last swept r15
+    "doc_rrf_fusion",  # last swept r15
+    "events_funnel_conversion",  # last swept r15
+    "orders_shipping_busdays",  # last swept r15
+    "orders_diversified_topk",  # last swept r15
+    "weighted_quantiles_quantity",  # last swept r15
+    "orders_robust_means",  # last swept r15
+    "messages_last_by_role",  # last swept r15
+    "udtf_table_arg_digest",  # last swept r15
+    "kmv_distinct_orders",  # last swept r15
+    "kmv_set_overlap",  # last swept r15
+    "asof_join_last_error",  # last swept r15
+    "events_gap_fill_ffill",  # last swept r15
+    "events_cusum_drift",  # last swept r15
+    "events_max_drawdown_user",  # last swept r15
+    "forecast_backtest_snaive",  # last swept r15
+    "profile_orders_stats",  # last swept r15
+    "duplicate_baskets",  # last swept r9
+    "graph_bfs_hops",  # last swept r9
+    "graph_kcore_sizes",  # last swept r9
+    "graph_degree_assortativity",  # last swept r9
+    "item_item_similar_parts",  # last swept r9
+    "seq2_event_patterns",  # last swept r9
+    "doc_fuzzy_clusters",  # last swept r9
+    "doc_greedy_coverage_select",  # last swept r9
+    "doc_pack_windows",  # last swept r9
+    "hash_split_assignments",  # last swept r9
+    "domain_mixture_weights",  # last swept r9
+    "embedding_quantize_int8",  # last swept r9
+    "variant_props_typed",  # last swept r9
+    "secure_masked_view",  # last swept r9
+    "observed_metrics_shipments",  # last swept r9
+    "dq_checks_orders",  # last swept r9
+    "semi_join_active_customers",  # last swept r9
+    "anti_join_inactive_customers",  # last swept r9
+    "set_ops_segments",  # last swept r9
+    "rollup_pricing",  # last swept r9
+    "cube_order_priority",  # last swept r9
+    "distinct_counts",  # last swept r9
+    "approx_distinct_counts",  # last swept r9
+    "topk_orders_global",  # last swept r9
+    "scalar_string_fns",  # last swept r9
+    "date_fns_orders",  # last swept r9
+    "json_extract_events",  # last swept r9
+    "orders_above_customer_avg",  # last swept r9
+    "events_hourly_rollup",  # last swept r9
+    "pivot_status_by_priority",  # last swept r9
+    "null_safe_join_acctbal",  # last swept r9
+    "map_functions_props",  # last swept r9
+    "grouping_sets_pricing",  # last swept r9
+    "percentile_order_values",  # last swept r9
+    "approx_percentile_sketch",  # last swept r9
+    "q1_pricing_agg",  # last swept r10
+    "q3_join3_topk",  # last swept r10
+    "events_multi_grain_rollup",  # last swept r10
+    "salted_join_skewed",  # last swept r10
+    "unpivot_pricing_metrics",  # last swept r10
+    "doc_dedup_survivors",  # last swept r10
+    "doc_text_stats",  # last swept r10
+    "doc_token_counts",  # last swept r10
+    "doc_lang_id_confusion",  # last swept r10
+    "doc_fingerprint",  # last swept r10
+    "doc_pii_scrub",  # last swept r10
+    "window_rank_topk_per_customer",  # last swept r10
+    "window_lag_lead_orders",  # last swept r10
+    "window_running_max_events",  # last swept r10
+    "window_trailing_frame_events",  # last swept r10
+    "window_ntile_quartiles",  # last swept r10
+    "window_first_last_order",  # last swept r10
+    "window_range_frame_value",  # last swept r10
+    "window_percent_rank_cume_dist",  # last swept r10
+    "embedding_avg_by_label",  # last swept r10
+    "range_join_events_1h",  # last swept r10
+    "bucketed_join_colocated",  # last swept r10
+    "skyline_orders_2d",  # last swept r10
+    "multimodal_metadata",  # last swept r10
+    "classifier_stub_layers",  # last swept r10
+    "classifier_label_canonicalization",  # last swept r10
+    "classifier_real_model",  # last swept r10
+    "generation_retry_stub",  # last swept r10
+    "collate_prompt_batches",  # last swept r10
+    "udtf_word_windows",  # last swept r10
+    "udaf_weighted_value",  # last swept r10
+    "reward_trajectory",  # last swept r10
+    "reward_per_turn_scores",  # last swept r10
+    "reward_fallback_mean",  # last swept r10
+    "reward_config_coalesce",  # last swept r10
+    "reward_trajectory_pandas",  # last swept r10
+    "termination_flags",  # last swept r10
+    "table_statement_corners",  # last swept r11
+    "table_refs_sql",  # last swept r11
+    "table_rename_column_sql",  # last swept r11
+    "table_maintenance_sql",  # last swept r11
+    "table_insert_dml",  # last swept r11
+    "table_hilbert_layout",  # last swept r11
+    "table_zorder_layout",  # last swept r11
+    "knn_cosine_top5",  # last swept r11
+    "knn_cosine_lsh",  # last swept r11
+    "doc_exact_dedup",  # last swept r11
+    "doc_minhash_near_dup",  # last swept r11
+    "doc_dedup_clusters",  # last swept r11
+    "table_snapshot_lifecycle",  # last swept r11
+    "table_schema_evolution",  # last swept r11
+    "table_rollback_restore",  # last swept r11
+    "table_incremental_diff",  # last swept r11
+    "table_wap_publish",  # last swept r11
+    "cdc_log_compaction",  # last swept r11
+    "table_crypto_shred",  # last swept r11
+    "mv_incremental_refresh",  # last swept r11
+    "table_branch_merge",  # last swept r11
+    "table_history_audit",  # last swept r11
+    "table_concurrent_appends",  # last swept r11
+    "table_bloom_point_lookup",  # last swept r11
+    "table_changelog_emit",  # last swept r11
+    "catalog_multi_table_txn",  # last swept r11
+    "termination_first_stop",  # last swept r11
+    "trajectory_metrics",  # last swept r11
+    "table_views_sql",  # last swept r12
+    "table_analyze_sql",  # last swept r12
+    "knn_ivf_recall_audit",  # last swept r12
+    "knn_lsh_recall_audit",  # last swept r12
+    "knn_cosine_ivf",  # last swept r12
+    "messages_role_swap_pipeline",  # last swept r12
+    "dialogue_prep_verl_rows",  # last swept r12
+    "dialogue_prep_nested",  # last swept r12
+    "overlong_prompt_filter",  # last swept r12
+    "positional_split_70_30",  # last swept r12
+    "grpo_group_normalize",  # last swept r12
+    "grpo_pairwise_n2",  # last swept r12
+    "q5_region_revenue",  # last swept r12
+    "multimodal_decode_features",  # last swept r12
+    "multimodal_feature_extract",  # last swept r12
+    "multimodal_frame_sample",  # last swept r12
+    "generation_retry_real",  # last swept r12
+    "doc_simhash_near_dup",  # last swept r12
+    "doc_span_dedup",  # last swept r12
+    "doc_fuzzy_pairs_blocked",  # last swept r12
+    "stats_exact_moments",  # last swept r12
+    "stratified_sample_counts",  # last swept r12
+    "events_anomaly_zscore",  # last swept r12
+    "events_pit_dimension_join",  # last swept r12
+    "events_cohort_ltv",  # last swept r12
+    "events_time_to_convert",  # last swept r12
+    "events_ewma16_user",  # last swept r12
+    "orders_open_peak_monthly",  # last swept r12
+    "events_longest_streaks",  # last swept r12
+    "part_pairs_cooccurrence",  # last swept r12
+    "events_type_transitions",  # last swept r12
+    "part_hierarchy_rollup",  # last swept r12
+    "part_association_rules",  # last swept r12
+    "benford_order_totals",  # last swept r12
+    "pipeline_wap",  # last swept r13
+    "emb_near_dup_ivf",  # last swept r13
+    "table_describe_sql",  # last swept r13
+    "table_merge_dml",  # last swept r13
+    "sink_parquet_roundtrip",  # last swept r13
+    "sink_json_roundtrip",  # last swept r13
+    "csv_roundtrip",  # last swept r13
+    "sink_partitioned_write",  # last swept r13
+    "orc_roundtrip",  # last swept r13
+    "json_ingest_corrupt_records",  # last swept r13
+    "xml_roundtrip",  # last swept r13
+    "binaryfile_ingest",  # last swept r13
+    "ols_quantity_price",  # last swept r13
+    "chi2_events_type_dow",  # last swept r13
+    "welch_t_acctbal_segments",  # last swept r13
+    "events_survival_km",  # last swept r13
+    "events_impute_value",  # last swept r13
+    "events_target_encode_loo",  # last swept r13
+    "events_twap_user",  # last swept r13
+    "parts_abc_pareto",  # last swept r13
+    "semantic_prune_clusters",  # last swept r13
+    "spearman_qty_price",  # last swept r13
+    "q2_min_cost_supplier",  # last swept r13
+    "q4_priority_exists",  # last swept r13
+    "q6_forecast_revenue",  # last swept r13
+    "q7_volume_shipping",  # last swept r13
+    "q8_market_share",  # last swept r13
+    "q9_profit_by_nation",  # last swept r13
+    "q10_returned_revenue",  # last swept r13
+    "q11_important_parts",  # last swept r13
+    "q12_late_priority_counts",  # last swept r13
+    "q13_custdist",  # last swept r13
+    "q14_promo_revenue",  # last swept r13
+    "q15_top_supplier",  # last swept r13
+    "q16_supplier_part_counts",  # last swept r13
+    "q17_small_qty_revenue",  # last swept r13
+    "q18_large_orders",  # last swept r13
+    "q19_disjunctive_revenue",  # last swept r13
+    "q20_dominant_suppliers",  # last swept r13
+    "q21_waiting_suppliers",  # last swept r13
+    "q22_idle_rich_customers",  # last swept r13
+    "lateral_top2_per_customer",  # last swept r13
+    "events_sessionize_8h",  # last swept r13
+    "daily_acf_value",  # last swept r13
+    "stream_conversation_state",  # last swept r14
+    "stream_topk_trending",  # last swept r14
+    "stream_tumbling_hourly",  # last swept r14
+    "stream_watermark_late_drop",  # last swept r14
+    "stream_ewma16_state",  # last swept r14
+    "stream_stream_join_1h",  # last swept r14
+    "stream_static_enrich",  # last swept r14
+    "stream_continuous_aggregate",  # last swept r14
+    "stream_restart_recovery",  # last swept r14
+    "stream_sliding_2h_1h",  # last swept r14
+    "stream_session_window",  # last swept r14
+    "stream_dedup_events",  # last swept r14
+    "stream_dedup_bounded_state",  # last swept r14
+    "stream_stream_left_join",  # last swept r14
+    "table_insert_overwrite_dml",  # last swept r14
+    "table_ddl_lifecycle",  # last swept r14
+    "seasonal_strength_scan",  # last swept r14
+    "events_seasonal_residual_outliers",  # last swept r14
+    "events_linear_interpolate",  # last swept r14
+    "doc_bm25_search",  # last swept r14
+    "doc_phrase_search",  # last swept r14
+    "doc_rerank_crossencoder",  # last swept r14
+    "embedding_pq_codes",  # last swept r14
+    "embedding_pca_power",  # last swept r14
+    "user_reach_hll_rollup",  # last swept r14
+    "token_cms_estimates",  # last swept r14
+    "token_heavy_hitters",  # last swept r14
+    "mannwhitney_u_segments",  # last swept r14
+    "doc_lm_perplexity",  # last swept r14
+    "doc_decontaminate",  # last swept r14
+    "doc_ngram_jaccard_pairs",  # last swept r14
+    "doc_dup_ngram_fraction",  # last swept r14
+    "curation_funnel_counts",  # last swept r14
+    "anova_acctbal_segments",  # last swept r14
+    "ks_acctbal_two_sample",  # last swept r14
+    "lineitem_corr_matrix",  # last swept r14
 ]
 
 if not _in_pyspark_worker():
