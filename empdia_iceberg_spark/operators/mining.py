@@ -174,7 +174,17 @@ _PR_DAMP = 0.85
 # checkpoint + manual rank broadcast forced one job — plan, AQE,
 # scheduler, driver collect — per iteration, and that 10× job floor,
 # not the math, was the bulk of the wall time at bench scale).
-_PR_CHECKPOINT_EVERY = 5
+_PR_CHECKPOINT_EVERY = 10
+# Rank-vector broadcast ceiling (r16): one row per node ≈ 16 bytes, so
+# 2M nodes ≈ 32 MB broadcast — comfortably inside executor memory while
+# far above any reasonable autoBroadcastJoinThreshold estimate miss.
+# Below the ceiling the per-iteration rank join is PINNED broadcast
+# (the build side is an aggregate subtree whose size estimate Catalyst
+# routinely gets wrong — guide §3.1: hint when you know); above it the
+# hint is dropped and the planner falls back to a shuffle join against
+# the dst-partitioned checkpointed edges, whose iteration-invariant
+# exchange is reused across rounds.
+_PR_BROADCAST_MAX_NODES = 2_000_000
 
 
 def _pagerank_oracle() -> str:
@@ -265,13 +275,27 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized ONCE as an eager localCheckpoint (not persist: the
     # returned plan must read it at action time, and a still-persisted
     # cache entry would outlive the query — checkpoint blocks release
-    # with the DataFrame, the profile_orders_stats discipline). The
-    # join leaves it hash-partitioned by src and LogicalRDD keeps that
-    # outputPartitioning, so each round's rank join replans against it
-    # without re-exchanging the (large) edge side.
-    edge_w = edges.join(deg, ["src"]).localCheckpoint()
-    nodes = edge_w.select(F.col("src").alias("node")).distinct()
+    # with the DataFrame, the profile_orders_stats discipline).
+    # Partitioned by DST (r16): every iteration ends in groupBy(dst-as-
+    # node), so one hash exchange by dst ABOVE the checkpoint — under
+    # AQE the checkpoint scan itself reports UnknownPartitioning, so
+    # the repartition must stay a PLAN node, where EnsureRequirements
+    # sees it and ReuseExchange executes it once for all rounds — lets
+    # all 10 per-round contribution aggregates run WITHOUT their own
+    # Exchange (guide §2.4: operations keyed the same way share one
+    # exchange; the alias-aware projection carries hash(dst) through
+    # the broadcast join). The rank side rides a broadcast below
+    # _PR_BROADCAST_MAX_NODES; above it the planner falls back to a
+    # shuffle join whose edge-side exchange is equally reused.
+    edge_w = edges.join(deg, ["src"]).localCheckpoint().repartition("dst")
+    # The edge list is symmetric, so distinct dst == distinct src ==
+    # the node set — and a dst-keyed distinct reuses the repartition's
+    # exchange (no extra shuffle) where the old src-keyed one added one.
+    nodes = edge_w.select(F.col("dst").alias("node")).distinct()
     n = nodes.count()  # scalar driver read
+    rank_side = (
+        F.broadcast if n <= _PR_BROADCAST_MAX_NODES else (lambda d: d)
+    )
 
     # The rounds build ONE declarative plan (r9 rewrite). The previous
     # shape — manual F.broadcast(ranks) + localCheckpoint EVERY round —
@@ -281,15 +305,20 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # manual broadcast was also why the per-round checkpoint existed at
     # all (broadcasting a stacked lineage re-executes prior rounds —
     # O(rounds²)). Declared as one plan, a single action executes every
-    # round exactly once (shuffle stage boundaries), and the
-    # broadcast-vs-shuffle choice for the rank side becomes
-    # Catalyst-native: AQE measures the actual rank-vector size each
-    # round and broadcasts below spark.sql.autoBroadcastJoinThreshold
-    # (one row per node — ~1 GiB at 20M nodes, far over the 64 MiB
-    # threshold, so huge graphs get the shuffle join against the
-    # cached src-partitioned edges with no ceiling env var to tune).
-    # A checkpoint every _PR_CHECKPOINT_EVERY rounds still bounds plan
-    # depth and fault-recovery re-execution for long iteration counts.
+    # round exactly once. The rank side is PINNED broadcast below
+    # _PR_BROADCAST_MAX_NODES (r16 — guide §3.1: the build side is an
+    # aggregate whose size estimate is unreliable, and n is already in
+    # hand): with the edges checkpointed dst-partitioned, a round is
+    # then scan → BroadcastHashJoin → aggregate with ZERO exchanges —
+    # the rank vector travels between rounds as a ~16·n-byte broadcast
+    # instead of a contribution-row shuffle. The physical tree is one
+    # linear chain (each round's broadcast appears exactly once), so
+    # there is no per-round re-execution. Above the ceiling (~32 MB at
+    # 2M nodes) the hint drops away and huge graphs take the shuffle
+    # join, whose iteration-invariant edge-side exchange is reused
+    # across rounds. A checkpoint every _PR_CHECKPOINT_EVERY rounds
+    # still bounds plan depth and fault-recovery re-execution for long
+    # iteration counts.
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
     for it in range(_PR_ITERS):
         # The edge list is symmetric (each trading pair walked both
@@ -307,7 +336,7 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unrolled-CTE oracle), with no BigDecimal buffer in the hot
         # per-row aggregation.
         ranks = (
-            edge_w.join(ranks, edge_w["src"] == ranks["node"])
+            edge_w.join(rank_side(ranks), edge_w["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.floor(

@@ -1680,11 +1680,18 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from empdia_iceberg_spark.functions.exact import exact_sum_r6
 
     ev = load(spark, sf_dir, "events")
+    # ONE events pass (r16): norms and the pivot below both aggregate
+    # prof, and as lazy branches each re-derived it — two full events
+    # scans + groupBy shuffles for one tiny (user, hour) table. An
+    # eager localCheckpoint materializes prof once (|users|·24 rows);
+    # both branches then read the checkpoint (guide §2.4 — don't
+    # compute things twice). Checkpoint, not persist: blocks release
+    # with the DataFrame (the profile_orders_stats discipline).
     prof = ev.groupBy(
         "user_id", F.hour("ts").cast("int").alias("hh")
     ).agg(
         (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("v")
-    )
+    ).localCheckpoint()
     norms = prof.groupBy("user_id").agg(
         det_round(F.sqrt(exact_sum_r6(F.col("v") * F.col("v"))), 6).alias("nrm")
     )

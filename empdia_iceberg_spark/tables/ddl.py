@@ -3090,8 +3090,6 @@ def table_sql_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = day_df.collect()
     audit = dict(LAST_SQL_PRUNE_AUDITS.get("events_sqlp") or {})
     n_stmt = sum(r["n_rows"] for r in rows)
-    n_full = t.read().filter(F.to_date("ts") == F.lit("2024-01-03")).count()
-    pruned_eq_full = int(n_stmt == n_full and n_stmt > 0)
     # (b) the BETWEEN statement range-prunes across subdirs
     LAST_SQL_PRUNE_AUDITS.clear()
     n_rng = execute_sql(
@@ -3101,16 +3099,28 @@ def table_sql_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         root=scratch_root(),
     ).collect()[0]["c"]
     rng_audit = dict(LAST_SQL_PRUNE_AUDITS.get("events_sqlp") or {})
-    n_rng_full = (
-        t.read()
-        .filter(
-            F.col("ts").between(
-                F.lit("2024-01-02 00:00:00").cast("timestamp"),
-                F.lit("2024-01-04 23:59:59").cast("timestamp"),
-            )
-        )
-        .count()
-    )
+    # BOTH pruned-eq-full audit counts in ONE full-view pass (r16,
+    # guide §2.4 — the two separate .count() actions each scanned the
+    # whole table; conditional sums over one scan count the same rows:
+    # a NULL predicate falls to the otherwise-0 branch exactly like
+    # filter() dropping it). No DML runs between the statements, so
+    # counting after statement (b) reads the same snapshot.
+    full_row = t.read().agg(
+        F.sum(
+            F.when(F.to_date("ts") == F.lit("2024-01-03"), 1).otherwise(0)
+        ).alias("n_day"),
+        F.sum(
+            F.when(
+                F.col("ts").between(
+                    F.lit("2024-01-02 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-04 23:59:59").cast("timestamp"),
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_rng"),
+    ).first()
+    n_full, n_rng_full = int(full_row["n_day"]), int(full_row["n_rng"])
+    pruned_eq_full = int(n_stmt == n_full and n_stmt > 0)
     range_eq_full = int(n_rng == n_rng_full and n_rng > 0)
     # (c) an unprovable predicate (OR — not a top-level conjunct shape)
     # must DECLINE to prune at EVERY scale. A plain non-partition

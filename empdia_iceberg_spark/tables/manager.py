@@ -2251,6 +2251,62 @@ class SnapshotTable:
 
         hit: set[str] = set()
         fused = len(usable) <= self._ENV_FUSE_MAX
+        nmbs_list = (
+            clauses["not_matched_by_source"] if clauses is not None else []
+        )
+
+        # WHEN NOT MATCHED BY SOURCE dir discovery (built here so the
+        # fused path below can ride it in the SAME collect as the
+        # source stats — one driver action instead of two, r16):
+        # intrinsically O(one table scan) — ANY target row may be
+        # unmatched — but the REWRITE stays pruned Delta-style: one
+        # tagged scan finds the dirs that actually CONTAIN an affected
+        # row (no source-key match AND some clause's condition holds;
+        # for dir discovery the OR of the conditions suffices — first-
+        # match-wins only decides WHICH clause claims a row, not
+        # whether the row changes its dir's fate). The file tag is
+        # captured in the scan projection, before the anti-join
+        # shuffle can erase input_file_name(). MOR deletes are NOT
+        # applied here: counting a deleted row as affected costs at
+        # most a false-positive rewrite (which folds the delete in
+        # anyway), never a wrong answer.
+        disc_df = None
+        base_of: dict = {}
+        if nmbs_list:
+            t_a_ = (clauses.get("target_alias") or self.name) if clauses else self.name
+            claimed = F.lit(False)
+            for spec_c in nmbs_list:
+                c = spec_c.get("cond")
+                ct = (
+                    F.lit(True)
+                    if c is None
+                    else F.coalesce(F.expr(c).cast("boolean"), F.lit(False))
+                )
+                claimed = claimed | ct
+            base_of = {os.path.basename(d): d for d in meta["dirs"]}
+            dir_pat = "^.*/data/([^/]+)/"  # rationale: _ensure_key_envelopes
+            tagged = (
+                self._read_dirs(meta["dirs"], schema_json=meta["schema"])
+                .withColumn("_file", F.input_file_name())
+                .alias(t_a_)
+            )
+            disc_df = (
+                tagged.join(source.select(key), on=key, how="left_anti")
+                .filter(claimed)
+                .select(F.regexp_extract(F.col("_file"), dir_pat, 1).alias("_dir"))
+                .distinct()
+            )
+
+        def _claim_dirs(rows) -> None:
+            for r in rows:
+                owner = base_of.get(r["_dir"])
+                if owner is None:
+                    raise RuntimeError(
+                        f"table {self.name}: BY SOURCE scan could not "
+                        f"attribute file tag {r['_dir']!r} to a data dir"
+                    )
+                must_touch.add(owner)
+
         if fused and usable:
             # case-insensitive field lookup: the key is canonicalized to
             # the TABLE spelling, which may differ from the source's
@@ -2270,7 +2326,25 @@ class SnapshotTable:
                         )
                     ).alias(f"_h{i}")
                 )
-            env_row = per_key.agg(*aggs).first()
+            stats_df = per_key.agg(*aggs)
+            if disc_df is not None:
+                # One action for stats + BY-SOURCE discovery: tag the
+                # stats row with a NULL _dir (regexp_extract never
+                # yields NULL, so the sides are separable), drop the
+                # key-typed lo/hi bounds (unused on the fused path —
+                # the union must not coerce them), and let unionByName
+                # null-fill the missing columns per side.
+                rows = (
+                    stats_df.drop("lo", "hi")
+                    .withColumn("_dir", F.lit(None).cast("string"))
+                    .unionByName(disc_df, allowMissingColumns=True)
+                    .collect()
+                )
+                env_row = next(r for r in rows if r["_dir"] is None)
+                _claim_dirs([r for r in rows if r["_dir"] is not None])
+                disc_df = None  # consumed — skip the standalone collect
+            else:
+                env_row = stats_df.first()
             hit = {
                 usable[i][0]
                 for i in range(len(usable))
@@ -2278,7 +2352,9 @@ class SnapshotTable:
             }
         else:
             env_row = per_key.agg(*base_aggs).first()
-        n_src, lo, hi = env_row["n"], env_row["lo"], env_row["hi"]
+        n_src = env_row["n"]
+        lo = env_row["lo"] if "lo" in env_row else None
+        hi = env_row["hi"] if "hi" in env_row else None
         n_src = int(n_src) if n_src is not None else 0
         if env_row["max_mult"] is not None and env_row["max_mult"] > 1:
             raise ValueError(
@@ -2287,9 +2363,6 @@ class SnapshotTable:
                 "Iceberg MERGE INTO semantics forbid multiple source rows "
                 "per key; de-duplicate the source first"
             )
-        nmbs_list = (
-            clauses["not_matched_by_source"] if clauses is not None else []
-        )
         if n_src == 0 and not nmbs_list:
             # Empty source: MERGE is a true no-op. Committing anyway would
             # be worse than useless — the commit below does not carry
@@ -2365,51 +2438,12 @@ class SnapshotTable:
                     .collect()
                 }
 
-        if nmbs_list:
-            # WHEN NOT MATCHED BY SOURCE is intrinsically O(one table
-            # scan) — ANY target row may be unmatched — but the REWRITE
-            # stays pruned Delta-style: one tagged scan finds the dirs
-            # that actually CONTAIN an affected row (no source-key
-            # match AND some clause's condition holds; for dir
-            # discovery the OR of the conditions suffices — first-
-            # match-wins only decides WHICH clause claims a row, not
-            # whether the row changes its dir's fate). The file tag is
-            # captured in the scan projection, before the anti-join
-            # shuffle can erase input_file_name(). MOR deletes are NOT
-            # applied here: counting a deleted row as affected costs at
-            # most a false-positive rewrite (which folds the delete in
-            # anyway), never a wrong answer.
-            t_a_ = (clauses.get("target_alias") or self.name) if clauses else self.name
-            claimed = F.lit(False)
-            for spec_c in nmbs_list:
-                c = spec_c.get("cond")
-                ct = (
-                    F.lit(True)
-                    if c is None
-                    else F.coalesce(F.expr(c).cast("boolean"), F.lit(False))
-                )
-                claimed = claimed | ct
-            base_of = {os.path.basename(d): d for d in meta["dirs"]}
-            dir_pat = "^.*/data/([^/]+)/"  # rationale: _ensure_key_envelopes
-            tagged = (
-                self._read_dirs(meta["dirs"], schema_json=meta["schema"])
-                .withColumn("_file", F.input_file_name())
-                .alias(t_a_)
-            )
-            for r in (
-                tagged.join(source.select(key), on=key, how="left_anti")
-                .filter(claimed)
-                .select(F.regexp_extract(F.col("_file"), dir_pat, 1).alias("_dir"))
-                .distinct()
-                .collect()
-            ):
-                owner = base_of.get(r["_dir"])
-                if owner is None:
-                    raise RuntimeError(
-                        f"table {self.name}: BY SOURCE scan could not "
-                        f"attribute file tag {r['_dir']!r} to a data dir"
-                    )
-                must_touch.add(owner)
+        if disc_df is not None:
+            # BY-SOURCE discovery on the non-fused path (built above):
+            # the stats row carried typed lo/hi bounds here, so the two
+            # collects stay separate rather than coercing bounds
+            # through a union.
+            _claim_dirs(disc_df.collect())
 
         # Rewrite set vs read set: with NO matched clause (insert-only
         # MERGE) matched rows are unchanged, so bounds-hit dirs are only

@@ -128,3 +128,46 @@ def test_partitioned_write_one_file_per_dir(spark):
         assert len(files) == 1
     # content round-trips
     assert t.read().count() == 1000
+
+
+def test_by_source_discovery_fused_equals_separate(spark):
+    """r16: the BY-SOURCE dir-discovery scan rides the source-stats
+    aggregate's collect on the fused path (one driver action). Both
+    the fused-union path and the non-fused separate-collect path must
+    claim the same dirs — pinned by identical audits and rows on a
+    3-dir table where the source covers dir 1 and the BY SOURCE
+    qualifier only claims rows in dir 3 (dir 2 must carry by
+    reference)."""
+    rows = None
+    audits = {}
+    for fuse_max in (64, -1):  # fused union vs separate collects
+        t = _fresh(spark, f"envfast_bysrc_{fuse_max}")
+        t.create(spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v")))
+        t.append(spark.range(1000, 1100).select(F.col("id").alias("k"), F.lit(2).alias("v")))
+        t.append(spark.range(2000, 2100).select(F.col("id").alias("k"), F.lit(3).alias("v")))
+        src = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(9).alias("v"))
+        clauses = {
+            "matched": {"action": "update", "set": "*"},
+            "not_matched": None,
+            "not_matched_by_source": [
+                {"action": "delete", "cond": "t.k >= 2000"},
+            ],
+            "target_alias": "t",
+            "source_alias": "s",
+        }
+        old = SnapshotTable._ENV_FUSE_MAX
+        SnapshotTable._ENV_FUSE_MAX = fuse_max
+        try:
+            _, audit = t.merge(src, key="k", clauses=clauses)
+        finally:
+            SnapshotTable._ENV_FUSE_MAX = old
+        audits[fuse_max] = audit
+        got = sorted(tuple(r) for r in t.read().collect())
+        if rows is None:
+            rows = got
+        else:
+            assert got == rows
+    # dir 1 rewrites (matched keys), dir 3 rewrites (BY SOURCE delete),
+    # dir 2 carries by reference under BOTH discovery strategies
+    assert audits[64] == {"dirs_rewritten": 2, "dirs_reused": 1}
+    assert audits[-1] == audits[64]

@@ -376,7 +376,10 @@ def test_pagerank_lineage_bounded_by_checkpoint_cadence(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in opt, opt  # the cadence checkpoint boundary
     rounds_in_plan = opt.count("Aggregate")
-    assert rounds_in_plan <= _m._PR_CHECKPOINT_EVERY, (
+    # +1: when no mid-run checkpoint fires (iters <= cadence, r16) the
+    # ranks0 node-distinct aggregate sits above the EDGE checkpoint
+    # alongside the full round window
+    assert rounds_in_plan <= _m._PR_CHECKPOINT_EVERY + 1, (
         f"{rounds_in_plan} stacked join-agg rounds in the final plan — "
         "checkpoint cadence not truncating lineage", opt)
 

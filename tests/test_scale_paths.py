@@ -276,17 +276,17 @@ def test_bucketed_prefix_sum_equals_global_window(spark):
     assert got == want
 
 
-def test_pagerank_shuffle_fallback_matches_broadcast(spark):
-    """r9: the broadcast-vs-shuffle choice for the rank side is
-    Catalyst-native — AQE broadcasts the measured rank vector below
-    spark.sql.autoBroadcastJoinThreshold and shuffle-joins above it
-    (a 20M-node vector is ~1 GiB, far over the 64 MiB threshold, so
-    huge graphs take the shuffle path with no env ceiling to tune).
-    Force the shuffle path by disabling auto-broadcast; ranks must be
-    identical — the det_round(12) long contribution sums are
-    partitioning-independent by construction."""
+def test_pagerank_shuffle_fallback_matches_broadcast(spark, monkeypatch):
+    """r16: the rank-side broadcast is PINNED below
+    _PR_BROADCAST_MAX_NODES (a hint ignores the auto-broadcast
+    threshold), with a shuffle-join fallback above the ceiling for
+    huge graphs. Force the fallback (ceiling 0, auto-broadcast off so
+    AQE cannot re-broadcast either); ranks must be identical — the
+    det_round(12) long contribution sums are partitioning-independent
+    by construction."""
     from tests.conftest import SF_DIR
     from empdia_iceberg_spark import registry
+    from empdia_iceberg_spark.operators import mining as _m
 
     fn = registry.queries()["pagerank_trading_graph"]
     broad = [tuple(r) for r in fn(spark, SF_DIR).collect()]
@@ -294,6 +294,7 @@ def test_pagerank_shuffle_fallback_matches_broadcast(spark):
     saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
     saved_aqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
     try:
+        monkeypatch.setattr(_m, "_PR_BROADCAST_MAX_NODES", 0)
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         fell = [tuple(r) for r in fn(spark, SF_DIR).collect()]
