@@ -1723,13 +1723,26 @@ def execute_sql(
     statement = materialize_time_travel(spark, statement, root)
     statement = materialize_table_changes(spark, statement, root)
     statement = materialize_metadata_tables(spark, statement, root)
-    # persisted views resolve for every READING statement; CREATE/DROP
-    # VIEW manage the catalog and must not resolve their own target
-    if not (_CREATE_VIEW.match(statement) or _DROP_VIEW.match(statement)):
-        materialize_views(spark, statement, root, depth=_view_depth)
-    registered = materialize_tables(spark, statement, root)
     head = statement.lstrip().lstrip("(").split(None, 1)
     kw = head[0].upper() if head else ""
+    # View/table materialization only for statements whose BODY is
+    # evaluated through spark.sql (reads and write bodies). Pure
+    # metadata statements (ALTER/DROP/CALL/SHOW/DESCRIBE/ANALYZE/
+    # OPTIMIZE/VACUUM/TRUNCATE) dispatch to SnapshotTable methods that
+    # never resolve the temp-view namespace — refreshing every view
+    # for them paid an O(tables·py4j) driver tax per statement (r16;
+    # the governance bundle spent ~0.3 s/call re-registering reads no
+    # statement used). A DROP's stale auto-view is harmless: the next
+    # READING statement re-runs materialize_tables, whose cleanup
+    # drops it before spark.sql can resolve it.
+    registered: list = []
+    if kw in ("SELECT", "WITH", "INSERT", "UPDATE", "DELETE", "MERGE", "CREATE"):
+        # persisted views resolve for every READING statement; CREATE/
+        # DROP VIEW manage the catalog and must not resolve their own
+        # target
+        if not (_CREATE_VIEW.match(statement) or _DROP_VIEW.match(statement)):
+            materialize_views(spark, statement, root, depth=_view_depth)
+        registered = materialize_tables(spark, statement, root)
     if kw in ("SELECT", "WITH"):
         df = spark.sql(statement)
         if registered:
@@ -2856,32 +2869,54 @@ def table_partition_transforms_sql(spark: SparkSession, sf_dir: str) -> DataFram
     )
     t = SnapshotTable(spark, "events_hidden", scratch_root())
     day = "2024-01-03"
-    # (a) transform-pruned one-day read: exact vs the full-scan filter
+    # (a) transform-pruned one-day read: exact vs the full-scan filter.
+    # ONE action for both sides (r16, guide §2.4): tag each frame and
+    # union — the pruned read and the full-scan filter still both
+    # evaluate (the equality proof is unchanged), in a single job
+    # instead of two.
     pruned, audit = t.read_pruned_transform("days(ts)", day)
-    n_pruned = pruned.count()
-    n_full = t.read().filter(F.to_date("ts") == F.lit(day)).count()
+    cnt_rows = (
+        pruned.select(F.lit("p").alias("_s"))
+        .unionByName(
+            t.read()
+            .filter(F.to_date("ts") == F.lit(day))
+            .select(F.lit("f").alias("_s"))
+        )
+        .groupBy("_s")
+        .count()
+        .collect()
+    )
+    cnt = {r["_s"]: r["count"] for r in cnt_rows}
+    n_pruned, n_full = int(cnt.get("p", 0)), int(cnt.get("f", 0))
     pruned_read_exact = int(n_pruned == n_full and n_pruned > 0)
     # (b) dynamic overwrite of exactly that day through the transform;
     # expectations derived independently: live bucket cells of the day,
-    # and the total hive cell count minus them
+    # and the total hive cell count minus them. Both derive from the
+    # SAME distinct hive-cell set — (day, bucket, half) cells exist iff
+    # some row maps to them, so the day's distinct buckets are exactly
+    # the distinct b over cells with d = day — computed in one pass
+    # instead of two source scans (r16).
     src = spark.table("ev_hidden_src")
     day_rows = src.filter(F.to_date("ts") == F.lit(day)).withColumn(
         "value", F.lit(1.0)
     )
-    live_buckets = (
-        day_rows.select(F.pmod(F.xxhash64("user_id"), F.lit(4)).alias("b"))
-        .distinct()
-        .count()
-    )
-    total_cells = (
+    cells_row = (
         src.select(
             F.to_date("ts").alias("d"),
             F.pmod(F.xxhash64("user_id"), F.lit(4)).alias("b"),
             (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("half"),
         )
         .distinct()
-        .count()
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.countDistinct(
+                F.when(F.col("d") == F.lit(day).cast("date"), F.col("b"))
+            ).alias("live"),
+        )
+        .first()
     )
+    live_buckets = int(cells_row["live"])
+    total_cells = int(cells_row["total"])
     _v, ow_audit = t.overwrite_partitions(day_rows)
     replaced_eq_live_buckets = int(ow_audit["partitions_replaced"] == live_buckets)
     carried_eq_rest = int(
