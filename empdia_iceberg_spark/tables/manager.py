@@ -575,11 +575,35 @@ class SnapshotTable:
             aug, shadows = with_transform_cols(df, spec, "_p_")
             # Hash-distribute by the shadow partition columns (Iceberg
             # write.distribution-mode=hash): each partition value lands
-            # wholly in one task, so dirs write in parallel AND each dir
-            # gets one file instead of one-fragment-per-input-partition.
-            aug.repartition(*shadows).write.mode("overwrite").partitionBy(
-                *shadows
-            ).parquet(out)
+            # wholly in one task, so dirs write in parallel and a dir
+            # below the file-size target gets exactly one file. r16:
+            # REBALANCE instead of a plain repartition — AQE's
+            # OptimizeSkewInRebalancePartitions splits a reduce
+            # partition larger than the advisory size (pinned to
+            # TARGET_FILE_BYTES around this write) into map-range
+            # chunks, so a HOT partition value writes N target-sized
+            # files in parallel instead of one multi-GB file through
+            # one task — the classic skew-by-partition-value failure at
+            # 100 TB (guide §2.5). Below the target nothing splits and
+            # the one-file-per-dir layout is unchanged (test-pinned);
+            # coalescing of small partitions respects parallelism
+            # (spark.sql.adaptive.coalescePartitions.parallelismFirst,
+            # default true).
+            _ADV_KEY = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+            try:
+                prior_adv = self.spark.conf.get(_ADV_KEY)
+            except Exception:
+                prior_adv = None
+            self.spark.conf.set(_ADV_KEY, str(TARGET_FILE_BYTES))
+            try:
+                aug.hint("rebalance", *shadows).write.mode(
+                    "overwrite"
+                ).partitionBy(*shadows).parquet(out)
+            finally:
+                if prior_adv is not None:
+                    self.spark.conf.set(_ADV_KEY, prior_adv)
+                else:
+                    self.spark.conf.unset(_ADV_KEY)
         else:
             df.write.mode("overwrite").parquet(out)
         return out

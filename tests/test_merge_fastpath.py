@@ -171,3 +171,52 @@ def test_by_source_discovery_fused_equals_separate(spark):
     # dir 2 carries by reference under BOTH discovery strategies
     assert audits[64] == {"dirs_rewritten": 2, "dirs_reused": 1}
     assert audits[-1] == audits[64]
+
+
+def test_partitioned_write_splits_hot_dir(spark, monkeypatch):
+    """r16: the hash-distributed partitioned write REBALANCEs by the
+    shadow columns with the advisory partition size pinned to
+    TARGET_FILE_BYTES, so a partition value whose bytes exceed the
+    target splits into multiple target-sized files (written in
+    parallel) while small values keep the one-file-per-dir layout
+    (pinned above). Shrink the target so a ~4 MB hot value crosses it."""
+    import os
+
+    from empdia_iceberg_spark.tables import manager as _mgr
+
+    monkeypatch.setattr(_mgr, "TARGET_FILE_BYTES", 256 * 1024)
+    t = _fresh(spark, "envfast_hotsplit")
+    # hot value: ~20k rows of incompressible ~130-byte payloads (sha2
+    # of the id — random-looking, so shuffle bytes track payload
+    # bytes); cold value: 50 rows
+    hot = spark.range(0, 20000).select(
+        F.lit("hot").alias("g"),
+        F.concat(
+            F.sha2(F.col("id").cast("string"), 256),
+            F.sha2((F.col("id") + 1).cast("string"), 256),
+        ).alias("payload"),
+    )
+    cold = spark.range(0, 50).select(
+        F.lit("cold").alias("g"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    t.create(hot.unionByName(cold), partition_by=["g"])
+    d = t._read_meta(t.current_version())["dirs"][0]
+    files_of = {
+        s: [
+            f
+            for f in os.listdir(os.path.join(d, s))
+            if f.endswith(".parquet")
+        ]
+        for s in os.listdir(d)
+        if s.startswith("_p_")
+    }
+    hot_dir = next(s for s in files_of if "hot" in s)
+    cold_dir = next(s for s in files_of if "cold" in s)
+    assert len(files_of[cold_dir]) == 1, files_of
+    assert len(files_of[hot_dir]) > 1, (
+        "hot partition value did not split past TARGET_FILE_BYTES",
+        files_of,
+    )
+    # content round-trips
+    assert t.read().count() == 20050
