@@ -122,6 +122,31 @@ def main() -> None:
     spark = get_spark(app_name="empdia-bench")
     qs = registry.queries()
 
+    from pyspark.sql import functions as F
+
+    def _floor_df():
+        return spark.range(1000).groupBy((F.col("id") % 8).alias("k")).count()
+
+    def _anchor_once() -> float:
+        t0 = time.perf_counter()
+        _floor_df().toPandas()
+        return time.perf_counter() - t0
+
+    # Per-query stall guard (VERDICT r15 ask #2, additions-only): the
+    # r15 c32 window recorded fixed-work micro-anchor readings 2.7x the
+    # r14 run's — whole multi-second host stalls landed inside query
+    # windows and the record could not separate them from plans. The
+    # micro anchor is read once at run start and once after EACH
+    # query's best-of-3; a post-query reading > 2x the run-start floor
+    # marks that window stall-contaminated and the query is re-run
+    # (one more best-of-3, min over all runs — same fresh-plan
+    # methodology). Both the per-query readings and the re-run events
+    # are emitted in BENCH_DETAIL.json; the contract line is unchanged.
+    _floor_df().toPandas()  # warm the anchor path (codegen, JIT)
+    anchor0 = min(_anchor_once() for _ in range(2))
+    query_anchor: dict[str, float] = {}
+    stall_reruns: dict[str, dict] = {}
+
     timings: dict[str, float] = {}
     skipped: list[str] = []
     for name in HEADLINE:
@@ -140,6 +165,20 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).toPandas()  # fresh plan, every stage runs
             best = min(best, time.perf_counter() - t0)
+        a_q = _anchor_once()
+        query_anchor[name] = round(a_q, 4)
+        if a_q > 2 * anchor0:
+            first_best = best
+            for i in range(3):  # stall-contaminated window: re-run once
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).toPandas()
+                best = min(best, time.perf_counter() - t0)
+            stall_reruns[name] = {
+                "anchor_sec": round(a_q, 4),
+                "anchor_run_start_sec": round(anchor0, 4),
+                "first_window_sec": round(first_best, 4),
+                "rerun_sec": round(best, 4),
+            }
         timings[name] = round(best, 4)
 
     # Fixed per-query overhead: a trivial two-stage shuffle, REBUILT per
@@ -150,12 +189,8 @@ def main() -> None:
     # the smallest queries (doc_exact_dedup's whole answer is 8 rows),
     # while at cluster scale it vanishes into real work. Reported so
     # tiny-SF ratios vs the in-process DuckDB baseline can be read
-    # fairly.
-    from pyspark.sql import functions as F
-
-    def _floor_df():
-        return spark.range(1000).groupBy((F.col("id") % 8).alias("k")).count()
-
+    # fairly. (_floor_df defined above — it doubles as the per-query
+    # stall guard's fixed-work probe.)
     _floor_df().toPandas()  # warm-up
     overhead = float("inf")
     anchor_runs: list[float] = []
@@ -446,6 +481,12 @@ def main() -> None:
         "stream_breakdown": stream_breakdown,
         "anchor": anchor,
         "anchor_mid": anchor_mid,
+        # per-query stall guard (r16): the micro-anchor reading taken
+        # right after each query's window, the run-start floor it is
+        # judged against, and any stall-triggered re-runs
+        "anchor_run_start_sec": round(anchor0, 4),
+        "query_anchor": query_anchor,
+        "stall_reruns": stall_reruns,
         "queries": timings,
         "sf": sf,
     }
