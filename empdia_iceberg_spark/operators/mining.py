@@ -244,12 +244,15 @@ def _pagerank_oracle() -> str:
     "contribution sums so the iterative ranks stay bit-deterministic. "
     "Long surrogate node keys through the whole pipeline (string "
     "labels only in the final projection); the out-degree-annotated "
-    "edge list persists once; the rounds are ONE declarative plan — "
-    "AQE broadcasts the rank side at runtime while it fits and falls "
-    "back to a shuffle join above the threshold — with a "
-    "localCheckpoint every 5 rounds bounding lineage. The oracle "
-    "unrolls the iterations into chained CTEs — a full value hash "
-    "for an iterative algorithm.",
+    "edge list checkpoints once, hash-exposed by dst so every round's "
+    "contribution aggregate shares ONE runtime-reused exchange; the "
+    "rounds are ONE declarative plan with the rank side PINNED "
+    "broadcast below _PR_BROADCAST_MAX_NODES (shuffle-join fallback "
+    "above the ceiling — a hint ignores autoBroadcastJoinThreshold) "
+    "and a localCheckpoint every _PR_CHECKPOINT_EVERY (10) rounds "
+    "bounding lineage on longer runs. The oracle unrolls the "
+    "iterations into chained CTEs — a full value hash for an "
+    "iterative algorithm.",
 )
 def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")

@@ -3166,17 +3166,23 @@ def table_sql_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter() dropping it). No DML runs between the statements, so
     # counting after statement (b) reads the same snapshot.
     full_row = t.read().agg(
-        F.sum(
-            F.when(F.to_date("ts") == F.lit("2024-01-03"), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.to_date("ts") == F.lit("2024-01-03"), 1).otherwise(0)
+            ),
+            F.lit(0),  # sum over ZERO rows is NULL, unlike count
         ).alias("n_day"),
-        F.sum(
-            F.when(
-                F.col("ts").between(
-                    F.lit("2024-01-02 00:00:00").cast("timestamp"),
-                    F.lit("2024-01-04 23:59:59").cast("timestamp"),
-                ),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("ts").between(
+                        F.lit("2024-01-02 00:00:00").cast("timestamp"),
+                        F.lit("2024-01-04 23:59:59").cast("timestamp"),
+                    ),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_rng"),
     ).first()
     n_full, n_rng_full = int(full_row["n_day"]), int(full_row["n_rng"])

@@ -589,11 +589,16 @@ class SnapshotTable:
             # coalescing of small partitions respects parallelism
             # (spark.sql.adaptive.coalescePartitions.parallelismFirst,
             # default true).
+            # get with an explicit default: this key HAS a config
+            # default, so a bare get() never raises — it would return
+            # the default and the finally below would PIN it as an
+            # explicit session value, severing the documented fallback
+            # chain. None here means "was never explicitly set" and
+            # restores the pristine state via unset. (Session-global
+            # like the timestamp conf above: a concurrent writer thread
+            # would see the pinned value for the write's duration.)
             _ADV_KEY = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-            try:
-                prior_adv = self.spark.conf.get(_ADV_KEY)
-            except Exception:
-                prior_adv = None
+            prior_adv = self.spark.conf.get(_ADV_KEY, None)
             self.spark.conf.set(_ADV_KEY, str(TARGET_FILE_BYTES))
             try:
                 aug.hint("rebalance", *shadows).write.mode(
