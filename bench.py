@@ -171,8 +171,13 @@ def main() -> None:
         # a stall, the first clean per-query reading ratchets the floor
         # down so the guard is not silently disabled for the whole run
         # (queries before the first clean reading are the only blind
-        # spot, and their inflated anchor readings are on record)
-        stalled = a_q > 2 * anchor0
+        # spot, and their inflated anchor readings are on record).
+        # Absolute damping term: an exceptionally clean run-start floor
+        # (~0.10 s observed) would otherwise make ordinary ±0.1 s micro
+        # jitter fire re-runs on a quarter of the queries — the guard
+        # targets the r15-style multi-second stalls (micro readings
+        # 0.45 s+), not scheduler noise.
+        stalled = a_q > max(2 * anchor0, anchor0 + 0.2)
         anchor0 = min(anchor0, a_q)
         if stalled:
             first_best = best
