@@ -36,13 +36,19 @@ def _in_pyspark_worker() -> bool:
     every cold worker, for a registry nobody in that process reads."""
     main = _sys.modules.get("__main__")
     f = (getattr(main, "__file__", None) or "").replace("\\", "/")
-    if "pyspark" not in f:
-        return False
-    # match the specific worker entrypoints, NOT anything under the
-    # pyspark tree — the interactive `pyspark` shell (pyspark/shell.py)
-    # is a DRIVER and must get the full registry
-    base = f.rsplit("/", 1)[-1]
-    return base in ("worker.py", "daemon.py") or "/sql/worker/" in f
+    # anchor to the actual PySpark entrypoint module paths (r15 ADVICE:
+    # a user driver script named worker.py under a pyspark-ish dir must
+    # NOT lose its registry), and include the STREAMING SOURCE runner —
+    # it lives under pyspark/sql/streaming/, not sql/worker/, and was
+    # paying the full fan-out on every python-source query start (r16,
+    # verified by logging __main__ in the spawned processes). The
+    # interactive `pyspark` shell (pyspark/shell.py) stays a driver.
+    return (
+        f.endswith("/pyspark/worker.py")
+        or f.endswith("/pyspark/daemon.py")
+        or "/pyspark/sql/worker/" in f
+        or f.endswith("/pyspark/sql/streaming/python_streaming_source_runner.py")
+    )
 
 
 if not _in_pyspark_worker():
