@@ -2262,6 +2262,46 @@ class SnapshotTable:
         envs = self._ensure_key_envelopes(meta["dirs"], key)
         must_touch: set[str] = set()  # unknown/NaN bounds / MOR deletes
         usable: list[tuple[str, object, object]] = []  # (dir, lo_d, hi_d)
+
+        # Bound-vs-source-key KIND gate (r15 ADVICE): the fused
+        # membership embeds bounds as F.lit(bound).cast(kt) where kt is
+        # the SOURCE key type — under non-ANSI SQL an uncastable bound
+        # (e.g. a string envelope vs a numeric source key) silently
+        # becomes NULL, the dir is never 'hit', and matched target rows
+        # would be carried stale while source rows insert as duplicates.
+        # Worse, envelopes of a MISMATCHED kind are ordered by the
+        # table type's comparator ("10" < "9" lexicographically), so
+        # even castable values bound the wrong range. Any dir whose
+        # bounds are not the same KIND as the source key routes to
+        # must_touch (a conservative rewrite — never a wrong answer);
+        # same-typed merges (the only shape the engine's own stories
+        # produce) are unaffected.
+        kt = next(
+            f.dataType
+            for f in source.schema.fields
+            if f.name.lower() == key.lower()
+        )
+
+        def _kind_ok(v) -> bool:
+            import datetime as _dt
+            from decimal import Decimal as _Dec
+
+            if v is None:
+                return True  # no bound — the membership test is a no-op
+            if isinstance(kt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                return isinstance(v, int) and not isinstance(v, bool)
+            if isinstance(kt, (T.DoubleType, T.FloatType)):
+                return isinstance(v, (int, float)) and not isinstance(v, bool)
+            if isinstance(kt, T.DecimalType):
+                return isinstance(v, (int, _Dec)) and not isinstance(v, bool)
+            if isinstance(kt, T.StringType):
+                return isinstance(v, str)
+            if isinstance(kt, T.DateType):
+                return isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+            if isinstance(kt, (T.TimestampType, T.TimestampNTZType)):
+                return isinstance(v, _dt.datetime)
+            return False  # unknown key kind: conservative rewrite
+
         for d in meta["dirs"]:
             has_deletes = any(
                 d in dd.get("applies_to", meta["dirs"]) for dd in deletes
@@ -2275,6 +2315,8 @@ class SnapshotTable:
                 pass
             elif _isnan(env[0]) or _isnan(env[1]):
                 must_touch.add(d)  # NaN dir bounds break the membership join
+            elif not (_kind_ok(env[0]) and _kind_ok(env[1])):
+                must_touch.add(d)  # bound kind mismatches the source key
             else:
                 usable.append((d, env[0], env[1]))
 
@@ -2337,13 +2379,9 @@ class SnapshotTable:
                 must_touch.add(owner)
 
         if fused and usable:
-            # case-insensitive field lookup: the key is canonicalized to
-            # the TABLE spelling, which may differ from the source's
-            kt = next(
-                f.dataType
-                for f in source.schema.fields
-                if f.name.lower() == key.lower()
-            )
+            # kt (the SOURCE key type, case-insensitive lookup above):
+            # every usable bound passed the kind gate, so the casts
+            # below cannot silently NULL out
             aggs = list(base_aggs)
             for i, (_d, lo_d, hi_d) in enumerate(usable):
                 aggs.append(
@@ -2439,11 +2477,6 @@ class SnapshotTable:
                 and (lo_c is None or hi_d >= lo_c)
             ]
             if candidates:
-                kt = next(
-                    f.dataType
-                    for f in source.schema.fields
-                    if f.name.lower() == key.lower()
-                )
                 bounds = self.spark.createDataFrame(
                     candidates,
                     T.StructType(

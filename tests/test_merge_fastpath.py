@@ -220,3 +220,34 @@ def test_partitioned_write_splits_hot_dir(spark, monkeypatch):
     )
     # content round-trips
     assert t.read().count() == 20050
+
+
+def test_merge_kind_mismatched_envelope_routes_to_rewrite(spark):
+    """r15 ADVICE: a STRING-keyed dir's envelope is ordered
+    lexicographically ("10" < "9"), so embedding it as
+    lit(bound).cast(<numeric source type>) bounds the WRONG range —
+    a fused membership that silently never 'hits' such a dir would
+    carry a matching target row stale next to a duplicate insert.
+    Two layers now prevent it: (1) the public merge() front-end
+    REFUSES a source key type that is not the table type or a safe
+    widening, and (2) _merge_impl's kind gate routes mismatched
+    bounds to must_touch (conservative rewrite) for any caller that
+    reaches it directly."""
+    t = _fresh(spark, "envfast_kindgate")
+    t.create(
+        spark.createDataFrame([("10", "old"), ("9", "x")], "k string, v string")
+    )
+    src = spark.createDataFrame([(10, "new")], "k bigint, v string")
+    # layer 1: the public path refuses loudly
+    with pytest.raises(ValueError, match="not assignable"):
+        t.merge(src, key="k")
+    # layer 2: the internal path rewrites instead of silently carrying
+    cur = t.current_version()
+    meta = t._read_meta(cur)
+    _, audit = t._merge_impl(
+        src, "k", cur, meta, [], meta.get("spec", []), None
+    )
+    assert audit["dirs_rewritten"] == 1, audit
+    rows = {(str(r["k"]), r["v"]) for r in t.read().collect()}
+    assert sum(1 for k, _ in rows if k in ("10", "10.0")) == 1, rows
+    assert ("9", "x") in rows, rows
